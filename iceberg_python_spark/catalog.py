@@ -1,0 +1,337 @@
+"""Catalogs: SQLite-backed (durable, concurrent CAS) and in-memory.
+
+Reference: pyiceberg/catalog/__init__.py:347 (Catalog ABC),
+pyiceberg/catalog/sql.py:115 (SqlCatalog). The commit protocol is
+optimistic concurrency: write the new metadata JSON, then compare-and-swap
+the catalog's metadata-location pointer inside a SQLite transaction
+(reference catalog/__init__.py:554 commit_table; SURVEY.md §7 watch-list
+item 5 — the file catalog needs a real CAS to survive concurrent writers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import posixpath
+import sqlite3
+import uuid
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .partitioning import UNPARTITIONED, PartitionSpec
+from .schema import Schema, assign_fresh_ids, schema_from_spark
+from .table import CommitFailedException, StaticTable, Table
+from .table.metadata import SortOrder, TableMetadata, new_table_metadata
+
+Identifier = Tuple[str, ...]
+
+
+class NoSuchTableError(Exception):
+    pass
+
+
+class TableAlreadyExistsError(Exception):
+    pass
+
+
+class NoSuchNamespaceError(Exception):
+    pass
+
+
+def _to_identifier(identifier: Union[str, Identifier]) -> Identifier:
+    if isinstance(identifier, str):
+        return tuple(identifier.split("."))
+    return tuple(identifier)
+
+
+class SqliteCatalog:
+    """A durable catalog holding metadata-location pointers in SQLite.
+
+    Matches the shape of the reference's SqlCatalog tables
+    (iceberg_tables / iceberg_namespace_properties, catalog/sql.py:62-113).
+    """
+
+    def __init__(self, name: str, warehouse: str, spark: SparkSession, db_path: Optional[str] = None):
+        self.name = name
+        self.warehouse = warehouse.rstrip("/")
+        self.spark = spark
+        os.makedirs(self.warehouse, exist_ok=True)
+        self.db_path = db_path or os.path.join(self.warehouse, f"{name}.catalog.db")
+        with self._conn() as con:
+            con.execute(
+                """CREATE TABLE IF NOT EXISTS iceberg_tables (
+                    catalog_name TEXT NOT NULL,
+                    table_namespace TEXT NOT NULL,
+                    table_name TEXT NOT NULL,
+                    metadata_location TEXT,
+                    previous_metadata_location TEXT,
+                    PRIMARY KEY (catalog_name, table_namespace, table_name)
+                )"""
+            )
+            con.execute(
+                """CREATE TABLE IF NOT EXISTS iceberg_namespace_properties (
+                    catalog_name TEXT NOT NULL,
+                    namespace TEXT NOT NULL,
+                    properties TEXT,
+                    PRIMARY KEY (catalog_name, namespace)
+                )"""
+            )
+
+    def _conn(self) -> sqlite3.Connection:
+        con = sqlite3.connect(self.db_path, timeout=30)
+        con.isolation_level = None  # manual transactions
+        return con
+
+    # -- namespaces ------------------------------------------------------------
+    def create_namespace(self, namespace: Union[str, Identifier], properties: Optional[Dict[str, str]] = None) -> None:
+        ns = ".".join(_to_identifier(namespace))
+        with self._conn() as con:
+            con.execute(
+                "INSERT OR IGNORE INTO iceberg_namespace_properties VALUES (?, ?, ?)",
+                (self.name, ns, json.dumps(properties or {})),
+            )
+
+    def list_namespaces(self) -> List[Identifier]:
+        with self._conn() as con:
+            rows = con.execute(
+                "SELECT namespace FROM iceberg_namespace_properties WHERE catalog_name = ?", (self.name,)
+            ).fetchall()
+        return [tuple(r[0].split(".")) for r in rows]
+
+    def namespace_exists(self, namespace: Union[str, Identifier]) -> bool:
+        ns = ".".join(_to_identifier(namespace))
+        with self._conn() as con:
+            return (
+                con.execute(
+                    "SELECT 1 FROM iceberg_namespace_properties WHERE catalog_name=? AND namespace=?",
+                    (self.name, ns),
+                ).fetchone()
+                is not None
+            )
+
+    def drop_namespace(self, namespace: Union[str, Identifier]) -> None:
+        ns = ".".join(_to_identifier(namespace))
+        if self.list_tables(namespace):
+            raise ValueError(f"namespace {ns} is not empty")
+        with self._conn() as con:
+            con.execute(
+                "DELETE FROM iceberg_namespace_properties WHERE catalog_name=? AND namespace=?", (self.name, ns)
+            )
+
+    def load_namespace_properties(self, namespace: Union[str, Identifier]) -> Dict[str, str]:
+        ns = ".".join(_to_identifier(namespace))
+        with self._conn() as con:
+            row = con.execute(
+                "SELECT properties FROM iceberg_namespace_properties WHERE catalog_name=? AND namespace=?",
+                (self.name, ns),
+            ).fetchone()
+        if row is None:
+            raise NoSuchNamespaceError(ns)
+        return json.loads(row[0] or "{}")
+
+    # -- tables ------------------------------------------------------------------
+    def create_table(
+        self,
+        identifier: Union[str, Identifier],
+        schema: Union[Schema, "pyspark.sql.types.StructType"],
+        partition_spec: PartitionSpec = UNPARTITIONED,
+        sort_order: Optional[SortOrder] = None,
+        properties: Optional[Dict[str, str]] = None,
+        location: Optional[str] = None,
+    ) -> Table:
+        ident = _to_identifier(identifier)
+        ns, table_name = ".".join(ident[:-1]), ident[-1]
+        if not self.namespace_exists(ns):
+            self.create_namespace(ns)
+        from pyspark.sql import types as T
+
+        if isinstance(schema, T.StructType):
+            schema = schema_from_spark(schema)
+        location = location or posixpath.join(self.warehouse, *ident)
+        metadata = new_table_metadata(schema, partition_spec, location, properties, sort_order)
+        metadata_location = self._write_metadata(metadata, version=1)
+        with self._conn() as con:
+            con.execute("BEGIN IMMEDIATE")
+            try:
+                cur = con.execute(
+                    "SELECT 1 FROM iceberg_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+                    (self.name, ns, table_name),
+                )
+                if cur.fetchone() is not None:
+                    raise TableAlreadyExistsError(".".join(ident))
+                con.execute(
+                    "INSERT INTO iceberg_tables VALUES (?, ?, ?, ?, NULL)",
+                    (self.name, ns, table_name, metadata_location),
+                )
+                con.execute("COMMIT")
+            except BaseException:
+                con.execute("ROLLBACK")
+                raise
+        self._write_version_hint(metadata_location)
+        return Table(ident, metadata, metadata_location, self, self.spark)
+
+    def create_table_if_not_exists(self, identifier, schema, **kw) -> Table:
+        try:
+            return self.create_table(identifier, schema, **kw)
+        except TableAlreadyExistsError:
+            return self.load_table(identifier)
+
+    def load_table(self, identifier: Union[str, Identifier]) -> Table:
+        ident = _to_identifier(identifier)
+        ns, table_name = ".".join(ident[:-1]), ident[-1]
+        with self._conn() as con:
+            row = con.execute(
+                "SELECT metadata_location FROM iceberg_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+                (self.name, ns, table_name),
+            ).fetchone()
+        if row is None:
+            raise NoSuchTableError(".".join(ident))
+        metadata = TableMetadata.read(row[0])
+        return Table(ident, metadata, row[0], self, self.spark)
+
+    def table_exists(self, identifier: Union[str, Identifier]) -> bool:
+        try:
+            self.load_table(identifier)
+            return True
+        except NoSuchTableError:
+            return False
+
+    def list_tables(self, namespace: Union[str, Identifier]) -> List[Identifier]:
+        ns = ".".join(_to_identifier(namespace))
+        with self._conn() as con:
+            rows = con.execute(
+                "SELECT table_name FROM iceberg_tables WHERE catalog_name=? AND table_namespace=?",
+                (self.name, ns),
+            ).fetchall()
+        return [tuple(ns.split(".")) + (r[0],) for r in rows]
+
+    def drop_table(self, identifier: Union[str, Identifier]) -> None:
+        ident = _to_identifier(identifier)
+        ns, table_name = ".".join(ident[:-1]), ident[-1]
+        with self._conn() as con:
+            cur = con.execute(
+                "DELETE FROM iceberg_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+                (self.name, ns, table_name),
+            )
+            if cur.rowcount == 0:
+                raise NoSuchTableError(".".join(ident))
+
+    def purge_table(self, identifier: Union[str, Identifier]) -> None:
+        import shutil
+
+        table = self.load_table(identifier)
+        self.drop_table(identifier)
+        shutil.rmtree(table.location, ignore_errors=True)
+
+    def rename_table(self, from_identifier: Union[str, Identifier], to_identifier: Union[str, Identifier]) -> Table:
+        src, dst = _to_identifier(from_identifier), _to_identifier(to_identifier)
+        with self._conn() as con:
+            con.execute("BEGIN IMMEDIATE")
+            try:
+                cur = con.execute(
+                    "UPDATE iceberg_tables SET table_namespace=?, table_name=? "
+                    "WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+                    (".".join(dst[:-1]), dst[-1], self.name, ".".join(src[:-1]), src[-1]),
+                )
+                if cur.rowcount == 0:
+                    raise NoSuchTableError(".".join(src))
+                con.execute("COMMIT")
+            except BaseException:
+                con.execute("ROLLBACK")
+                raise
+        return self.load_table(dst)
+
+    def register_table(self, identifier: Union[str, Identifier], metadata_location: str) -> Table:
+        """Register an existing metadata JSON under a new name
+        (reference catalog/__init__.py:521)."""
+        ident = _to_identifier(identifier)
+        ns, table_name = ".".join(ident[:-1]), ident[-1]
+        if not self.namespace_exists(ns):
+            self.create_namespace(ns)
+        TableMetadata.read(metadata_location)  # validate
+        with self._conn() as con:
+            con.execute(
+                "INSERT INTO iceberg_tables VALUES (?, ?, ?, ?, NULL)",
+                (self.name, ns, table_name, metadata_location),
+            )
+        return self.load_table(ident)
+
+    # -- commit protocol -----------------------------------------------------------
+    def _write_metadata(self, metadata: TableMetadata, version: int) -> str:
+        # uuid suffix so concurrent commit attempts at the same version can
+        # NEVER overwrite each other's file — the CAS below picks the winner
+        # (same reason the spec names files 00001-<uuid>.metadata.json)
+        path = posixpath.join(metadata.location, "metadata", f"{version:05d}-{uuid.uuid4()}.metadata.json")
+        metadata.write(path)
+        return path
+
+    @staticmethod
+    def _write_version_hint(metadata_location: str) -> None:
+        base = os.path.basename(metadata_location)
+        hint = posixpath.join(os.path.dirname(metadata_location), "version-hint.text")
+        tmp = hint + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            f.write(base)
+        os.replace(tmp, hint)
+
+    def _commit_table(self, table: Table, new_metadata: TableMetadata) -> None:
+        ns, table_name = ".".join(table.identifier[:-1]), table.identifier[-1]
+        old_location = table.metadata_location
+        # next version number from the current pointer
+        base = os.path.basename(old_location)
+        version = int(base.split("-")[0].lstrip("v").split(".")[0]) + 1
+        new_metadata.metadata_log = (new_metadata.metadata_log or []) + [
+            {"timestamp-ms": new_metadata.last_updated_ms, "metadata-file": old_location}
+        ]
+        new_location = self._write_metadata(new_metadata, version)
+        with self._conn() as con:
+            con.execute("BEGIN IMMEDIATE")
+            try:
+                cur = con.execute(
+                    "UPDATE iceberg_tables SET metadata_location=?, previous_metadata_location=? "
+                    "WHERE catalog_name=? AND table_namespace=? AND table_name=? AND metadata_location=?",
+                    (new_location, old_location, self.name, ns, table_name, old_location),
+                )
+                if cur.rowcount != 1:
+                    raise CommitFailedException(
+                        f"metadata location for {table.name} changed concurrently (expected {old_location})"
+                    )
+                con.execute("COMMIT")
+            except BaseException:
+                con.execute("ROLLBACK")
+                raise
+        self._write_version_hint(new_location)  # advisory, after the CAS won
+        table.metadata = new_metadata
+        table.metadata_location = new_location
+
+
+class InMemoryCatalog(SqliteCatalog):
+    """Ephemeral catalog for tests (reference catalog/memory.py:22)."""
+
+    def __init__(self, name: str, warehouse: str, spark: SparkSession):
+        super().__init__(name, warehouse, spark, db_path=":memory:")
+        # sqlite :memory: is per-connection; use a shared in-memory db URI
+        self.db_path = f"file:{name}_{uuid.uuid4().hex}?mode=memory&cache=shared"
+        self._keepalive = sqlite3.connect(self.db_path, uri=True)
+        self._init_tables()
+
+    def _conn(self) -> sqlite3.Connection:
+        con = sqlite3.connect(self.db_path, uri=True, timeout=30)
+        con.isolation_level = None
+        return con
+
+    def _init_tables(self) -> None:
+        with self._conn() as con:
+            con.execute(
+                """CREATE TABLE IF NOT EXISTS iceberg_tables (
+                    catalog_name TEXT NOT NULL, table_namespace TEXT NOT NULL,
+                    table_name TEXT NOT NULL, metadata_location TEXT,
+                    previous_metadata_location TEXT,
+                    PRIMARY KEY (catalog_name, table_namespace, table_name))"""
+            )
+            con.execute(
+                """CREATE TABLE IF NOT EXISTS iceberg_namespace_properties (
+                    catalog_name TEXT NOT NULL, namespace TEXT NOT NULL, properties TEXT,
+                    PRIMARY KEY (catalog_name, namespace))"""
+            )

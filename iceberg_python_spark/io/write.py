@@ -1,0 +1,308 @@
+"""Write path: partition fan-out + per-file stats collection.
+
+Reference shape (pyiceberg/io/pyarrow.py): _determine_partitions (:3053)
+fans an Arrow table out by transform values, write_file (:2718) writes
+parquet and collects stats from the written footer
+(data_file_statistics_from_parquet_metadata :2526). Here the fan-out IS
+the Spark job — transform expressions become partition columns, the
+cluster shuffles by them (hash distribution), and ``partitionBy`` writes
+hive-style dirs under a per-commit directory so the commit knows exactly
+which files it added. Stats are then collected by a second, footer-only
+job distributed over the written file list (executors read metadata, not
+data).
+
+Scale notes:
+- one shuffle per append (by partition value); AQE coalesces small
+  partitions. For skewed partitions set write.distribution-mode=none and
+  rely on input partitioning, or salt.
+- footers-only stats job is O(files), not O(rows).
+- string bounds truncated to 16 chars with upper-bound increment
+  (reference utils/truncate.py:47, io/pyarrow.py:2271-2303) — an invalid
+  upper bound would silently break pruning, see test_write_stats.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import posixpath
+import urllib.parse
+from typing import Any, Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..expressions import to_internal
+from ..partitioning import PartitionSpec
+from ..schema import Schema
+from ..types import (
+    BinaryType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IcebergType,
+    IntegerType,
+    LongType,
+    StringType,
+    TimestamptzType,
+    TimestampType,
+    to_spark_type,
+)
+
+PARTITION_COL_PREFIX = "_p_"
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+BOUND_TRUNCATE = 16
+
+
+def coerce_to_table_schema(df: DataFrame, schema: Schema) -> DataFrame:
+    """Align an input DataFrame to the table schema by name: reorder, cast,
+    and attach parquet field IDs (write-side analogue of reference
+    io/pyarrow.py:2846 _check_pyarrow_schema_compatible)."""
+    by_name = {f.name.lower(): f for f in df.schema.fields}
+    cols = []
+    for field in schema.fields:
+        src = by_name.get(field.name.lower())
+        if src is None:
+            if field.required:
+                raise ValueError(f"input is missing required column {field.name!r}")
+            cols.append(
+                F.lit(None).cast(to_spark_type(field.field_type)).alias(
+                    field.name, metadata={"parquet.field.id": field.field_id}
+                )
+            )
+        else:
+            cols.append(
+                F.col(src.name)
+                .cast(to_spark_type(field.field_type))
+                .alias(field.name, metadata={"parquet.field.id": field.field_id})
+            )
+    return df.select(*cols)
+
+
+def write_data_files(
+    spark: SparkSession,
+    df: DataFrame,
+    schema: Schema,
+    spec: PartitionSpec,
+    location: str,
+    commit_uuid: str,
+    properties: Optional[Dict[str, str]] = None,
+    sort_columns: Optional[List[Tuple[str, bool, bool]]] = None,
+) -> List[Dict[str, Any]]:
+    """Write ``df`` as new parquet data files; return DataFile dicts.
+
+    ``sort_columns``: (name, ascending, nulls_first) honored via
+    sortWithinPartitions (improves on the reference, which records sort
+    orders but does not yet sort on write — io/pyarrow.py:2768).
+    """
+    properties = properties or {}
+    df = coerce_to_table_schema(df, schema)
+    out_dir = posixpath.join(location, "data", commit_uuid)
+
+    writer_df = df
+    pnames = []
+    if not spec.is_unpartitioned:
+        for name, col in spec.spark_partition_columns(schema):
+            writer_df = writer_df.withColumn(PARTITION_COL_PREFIX + name, col)
+            pnames.append(PARTITION_COL_PREFIX + name)
+        mode = properties.get("write.distribution-mode", "hash")
+        if mode == "hash":
+            writer_df = writer_df.repartition(*[F.col(p) for p in pnames])
+    if sort_columns:
+        sort_exprs = []
+        for name, asc, nulls_first in sort_columns:
+            c = F.col(name)
+            c = (c.asc_nulls_first() if nulls_first else c.asc_nulls_last()) if asc else (
+                c.desc_nulls_first() if nulls_first else c.desc_nulls_last()
+            )
+            sort_exprs.append(c)
+        writer_df = writer_df.sortWithinPartitions(*sort_exprs)
+
+    writer = writer_df.write.mode("append").format("parquet")
+    max_records = properties.get("write.parquet.max-records-per-file")
+    if max_records:
+        writer = writer.option("maxRecordsPerFile", int(max_records))
+    if pnames:
+        writer = writer.partitionBy(*pnames)
+    writer.save(out_dir)
+
+    paths = _list_parquet_files(out_dir)
+    if not paths:
+        return []
+    stats = collect_file_stats(spark, paths, schema)
+    data_files = []
+    for path in sorted(paths):
+        st = stats[path]
+        partition = _partition_values_from_path(path, out_dir, spec, schema)
+        data_files.append(
+            {
+                "content": 0,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "spec_id": spec.spec_id,
+                "schema_id": schema.schema_id,
+                "partition": partition,
+                "record_count": st["record_count"],
+                "file_size_in_bytes": st["file_size_in_bytes"],
+                "value_counts": st["value_counts"],
+                "null_value_counts": st["null_value_counts"],
+                "nan_value_counts": st["nan_value_counts"],
+                "lower_bounds": st["lower_bounds"],
+                "upper_bounds": st["upper_bounds"],
+            }
+        )
+    return data_files
+
+
+def _list_parquet_files(root: str) -> List[str]:
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.join(dirpath, f))
+    return out
+
+
+def _parse_partition_dir_value(raw: str, t: IcebergType) -> Any:
+    if raw == HIVE_NULL:
+        return None
+    s = urllib.parse.unquote(raw)
+    if isinstance(t, (IntegerType, LongType)):
+        return int(s)
+    if isinstance(t, DateType):
+        return to_internal(_dt.date.fromisoformat(s), t)
+    if isinstance(t, (TimestampType, TimestamptzType)):
+        return to_internal(s, t)
+    if isinstance(t, (FloatType, DoubleType)):
+        return float(s)
+    if isinstance(t, DecimalType):
+        from decimal import Decimal
+
+        return Decimal(s)
+    return s
+
+
+def _partition_values_from_path(path: str, root: str, spec: PartitionSpec, schema: Schema) -> Dict[str, Any]:
+    if spec.is_unpartitioned:
+        return {}
+    part_schema = spec.partition_schema(schema)
+    rel = os.path.relpath(os.path.dirname(path), root)
+    values: Dict[str, Any] = {}
+    for seg in rel.split(os.sep):
+        if "=" not in seg:
+            continue
+        key, raw = seg.split("=", 1)
+        if key.startswith(PARTITION_COL_PREFIX):
+            name = key[len(PARTITION_COL_PREFIX):]
+            try:
+                t = part_schema.find_field(name).field_type
+            except ValueError:
+                continue
+            values[name] = _parse_partition_dir_value(raw, t)
+    return values
+
+
+# ---------------------------------------------------------------------------
+# executor-side footer stats
+# ---------------------------------------------------------------------------
+
+
+def _truncate_bounds(lo: Any, hi: Any, t: IcebergType) -> Tuple[Any, Any]:
+    """16-char truncation with upper-bound increment (reference
+    utils/truncate.py:47 + io/pyarrow.py:2271-2303)."""
+    if isinstance(t, StringType) and isinstance(lo, str) and isinstance(hi, str):
+        lo_t = lo[:BOUND_TRUNCATE]
+        if len(hi) > BOUND_TRUNCATE:
+            head = hi[:BOUND_TRUNCATE]
+            # increment last codepoint that can be incremented
+            for i in range(len(head) - 1, -1, -1):
+                cp = ord(head[i])
+                if cp < 0x10FFFF:
+                    hi_t = head[:i] + chr(cp + 1)
+                    break
+            else:
+                hi_t = hi  # cannot produce a valid truncated upper; keep full
+        else:
+            hi_t = hi
+        return lo_t, hi_t
+    return lo, hi
+
+
+def _file_stats_fn(schema_json: str):
+    """Returns a picklable per-file footer reader for use in an RDD map."""
+    import json as _json
+
+    def read_one(path: str) -> Tuple[str, Dict[str, Any]]:
+        import pyarrow.parquet as _pq
+
+        from ..expressions import to_internal as _to_internal
+        from ..schema import Schema as _Schema
+
+        schema = _Schema.from_dict(_json.loads(schema_json))
+        pf = _pq.ParquetFile(path)
+        md = pf.metadata
+        n = md.num_rows
+        name_to_field = {f.name: f for f in schema.fields}
+        value_counts: Dict[int, int] = {}
+        null_counts: Dict[int, int] = {}
+        lowers: Dict[int, Any] = {}
+        uppers: Dict[int, Any] = {}
+        have_stats: Dict[int, bool] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema.split(".")[0]
+                field = name_to_field.get(name)
+                if field is None or not field.field_type.is_primitive:
+                    continue
+                fid = field.field_id
+                value_counts[fid] = value_counts.get(fid, 0) + g.num_rows
+                st = col.statistics
+                if st is None:
+                    have_stats[fid] = False
+                    continue
+                if st.null_count is not None:
+                    null_counts[fid] = null_counts.get(fid, 0) + st.null_count
+                if st.has_min_max:
+                    lo = _to_internal(st.min, field.field_type)
+                    hi = _to_internal(st.max, field.field_type)
+                    if fid not in lowers or lo < lowers[fid]:
+                        lowers[fid] = lo
+                    if fid not in uppers or hi > uppers[fid]:
+                        uppers[fid] = hi
+                else:
+                    have_stats[fid] = False
+        # drop bounds for any field that had a statless row group
+        for fid, ok in have_stats.items():
+            if not ok:
+                lowers.pop(fid, None)
+                uppers.pop(fid, None)
+        for fid in list(lowers.keys()):
+            f = schema.find_field(fid)
+            lowers[fid], uppers[fid] = _truncate_bounds(lowers[fid], uppers[fid], f.field_type)
+        return path, {
+            "record_count": n,
+            "file_size_in_bytes": os.path.getsize(path),
+            "value_counts": value_counts,
+            "null_value_counts": null_counts,
+            "nan_value_counts": {},  # parquet footers don't track NaN; evaluators treat missing as unknown
+            "lower_bounds": lowers,
+            "upper_bounds": uppers,
+        }
+
+    return read_one
+
+
+def collect_file_stats(spark: SparkSession, paths: List[str], schema: Schema) -> Dict[str, Dict[str, Any]]:
+    """Footer-only stats for each file, read on executors (an RDD is
+    justified here: per-file imperative metadata reads, no row data)."""
+    import json as _json
+
+    fn = _file_stats_fn(_json.dumps(schema.to_dict()))
+    if len(paths) <= 4:  # not worth a job
+        return dict(fn(p) for p in paths)
+    sc = spark.sparkContext
+    n_slices = min(len(paths), 64)
+    return dict(sc.parallelize(paths, n_slices).map(fn).collect())

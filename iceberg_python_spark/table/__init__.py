@@ -1,0 +1,952 @@
+"""Table, Transaction, and DataScan — the user-facing surface.
+
+Reference parity map:
+- ``Table``                  — pyiceberg/table/__init__.py:1147
+- ``Table.scan``             — :1221-1271 (immutable builder)
+- ``DataScan.plan_files``    — :2286, planner core :2622-2667
+- ``DataScan.count``         — :2341-2366 (metadata fast path)
+- ``Transaction.append``     — :460-539
+- ``Transaction.overwrite``  — :606-701
+- ``Transaction.delete``     — :703-798 (+ update/snapshot.py:409 _compute_deletes)
+- ``dynamic_partition_overwrite`` — :541-604
+- ``Transaction.upsert``     — :800-948 (+ upsert_util.py)
+- ``Transaction.add_files``  — :972-1007
+- ``StaticTable``            — :1782-1826
+- ``IncrementalAppendScan``  — :2372-2554
+
+Execution differences (Spark-first, SURVEY.md §7): planning stays
+driver-side over parquet manifests; the data plane is DataFrames —
+``spark.read.schema(...).parquet(*pruned_files)`` with per-schema-group
+field-ID alignment, residual/filters as Catalyst predicates (pushed to
+parquet), joins for upsert chosen by Catalyst/AQE.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import posixpath
+import random
+import time
+import uuid
+from dataclasses import dataclass, replace as _dc_replace
+from typing import Any, Callable, Dict, Iterable, List, Mapping, Optional, Sequence, Set, Tuple, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..expressions import (
+    AlwaysFalse,
+    AlwaysTrue,
+    And,
+    BooleanExpression,
+    In,
+    Or,
+    UnboundPredicate,
+    bind,
+    or_all,
+)
+from ..expressions.parser import parse as parse_filter
+from ..expressions.visitors import (
+    expression_evaluator,
+    inclusive_metrics_evaluator,
+    manifest_evaluator,
+    residual as compute_residual,
+    strict_metrics_evaluator,
+    to_spark_column,
+)
+from ..io.write import coerce_to_table_schema, write_data_files
+from ..partitioning import PartitionSpec
+from ..schema import Schema
+from ..types import to_spark_type
+from .manifests import (
+    CONTENT_DATA,
+    STATUS_ADDED,
+    STATUS_DELETED,
+    STATUS_EXISTING,
+    read_manifest,
+    read_manifest_list,
+    write_manifest,
+    write_manifest_list,
+)
+from .metadata import MAIN_BRANCH, SnapshotRef, SortOrder, TableMetadata, new_table_metadata
+from .snapshots import Operation, Snapshot, SnapshotLogEntry, build_summary
+
+
+class CommitFailedException(Exception):
+    """Optimistic-concurrency conflict (reference exceptions.py)."""
+
+
+@dataclass(frozen=True)
+class FileScanTask:
+    """One pruned data file + its residual filter
+    (reference table/__init__.py:2052 FileScanTask)."""
+
+    data_file: Dict[str, Any]
+    residual: BooleanExpression
+
+    @property
+    def file_path(self) -> str:
+        return self.data_file["file_path"]
+
+
+@dataclass
+class UpsertResult:
+    rows_updated: int
+    rows_inserted: int
+
+
+def _new_snapshot_id() -> int:
+    return random.getrandbits(62)
+
+
+class Table:
+    def __init__(self, identifier: Tuple[str, ...], metadata: TableMetadata, metadata_location: str, catalog, spark: SparkSession):
+        self.identifier = identifier
+        self.metadata = metadata
+        self.metadata_location = metadata_location
+        self.catalog = catalog
+        self.spark = spark
+
+    # -- metadata accessors -------------------------------------------------
+    @property
+    def name(self) -> str:
+        return ".".join(self.identifier)
+
+    @property
+    def location(self) -> str:
+        return self.metadata.location
+
+    @property
+    def properties(self) -> Dict[str, str]:
+        return self.metadata.properties
+
+    def schema(self) -> Schema:
+        return self.metadata.schema()
+
+    def spec(self) -> PartitionSpec:
+        return self.metadata.spec()
+
+    def sort_order(self) -> SortOrder:
+        return self.metadata.sort_order()
+
+    def snapshots(self) -> List[Snapshot]:
+        return self.metadata.snapshots
+
+    def current_snapshot(self) -> Optional[Snapshot]:
+        return self.metadata.current_snapshot()
+
+    def snapshot_by_id(self, snapshot_id: int) -> Optional[Snapshot]:
+        return self.metadata.snapshot_by_id(snapshot_id)
+
+    def snapshot_by_name(self, name: str) -> Optional[Snapshot]:
+        return self.metadata.snapshot_by_name(name)
+
+    def snapshot_as_of_timestamp(self, timestamp_ms: int) -> Optional[Snapshot]:
+        return self.metadata.snapshot_as_of_timestamp(timestamp_ms)
+
+    def history(self) -> List[SnapshotLogEntry]:
+        return self.metadata.snapshot_log
+
+    def refs(self) -> Dict[str, SnapshotRef]:
+        return self.metadata.refs
+
+    @property
+    def inspect(self):
+        from .inspect import InspectTable
+
+        return InspectTable(self)
+
+    def refresh(self) -> "Table":
+        fresh = self.catalog.load_table(self.identifier)
+        self.metadata = fresh.metadata
+        self.metadata_location = fresh.metadata_location
+        return self
+
+    # -- scan ----------------------------------------------------------------
+    def scan(
+        self,
+        row_filter: Union[str, BooleanExpression] = AlwaysTrue(),
+        selected_fields: Tuple[str, ...] = ("*",),
+        case_sensitive: bool = True,
+        snapshot_id: Optional[int] = None,
+        limit: Optional[int] = None,
+        use_ref: Optional[str] = None,
+    ) -> "DataScan":
+        return DataScan(self, row_filter, selected_fields, case_sensitive, snapshot_id, limit, use_ref)
+
+    def incremental_append_scan(
+        self,
+        from_snapshot_id_exclusive: Optional[int] = None,
+        to_snapshot_id_inclusive: Optional[int] = None,
+        row_filter: Union[str, BooleanExpression] = AlwaysTrue(),
+        selected_fields: Tuple[str, ...] = ("*",),
+    ) -> "IncrementalAppendScan":
+        return IncrementalAppendScan(self, from_snapshot_id_exclusive, to_snapshot_id_inclusive, row_filter, selected_fields)
+
+    def to_df(self) -> DataFrame:
+        return self.scan().to_df()
+
+    def to_pandas(self):
+        return self.to_df().toPandas()
+
+    def to_arrow(self):
+        return self.to_df().toArrow()
+
+    def to_duckdb(self, table_name: str, connection=None):
+        import duckdb
+
+        con = connection or duckdb.connect()
+        arrow_table = self.to_arrow()  # noqa: F841 — registered by name below
+        con.register(table_name, arrow_table)
+        return con
+
+    # -- writes ----------------------------------------------------------------
+    def transaction(self) -> "Transaction":
+        return Transaction(self)
+
+    def append(self, df: DataFrame, snapshot_properties: Optional[Dict[str, str]] = None) -> None:
+        with self.transaction() as tx:
+            tx.append(df, snapshot_properties)
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        overwrite_filter: Union[str, BooleanExpression] = AlwaysTrue(),
+        snapshot_properties: Optional[Dict[str, str]] = None,
+    ) -> None:
+        with self.transaction() as tx:
+            tx.overwrite(df, overwrite_filter, snapshot_properties)
+
+    def delete(self, delete_filter: Union[str, BooleanExpression], snapshot_properties: Optional[Dict[str, str]] = None) -> None:
+        with self.transaction() as tx:
+            tx.delete(delete_filter, snapshot_properties)
+
+    def dynamic_partition_overwrite(self, df: DataFrame, snapshot_properties: Optional[Dict[str, str]] = None) -> None:
+        with self.transaction() as tx:
+            tx.dynamic_partition_overwrite(df, snapshot_properties)
+
+    def upsert(
+        self,
+        df: DataFrame,
+        join_cols: Optional[List[str]] = None,
+        when_matched_update_all: bool = True,
+        when_not_matched_insert_all: bool = True,
+    ) -> UpsertResult:
+        with self.transaction() as tx:
+            return tx.upsert(df, join_cols, when_matched_update_all, when_not_matched_insert_all)
+
+    def add_files(self, file_paths: List[str], snapshot_properties: Optional[Dict[str, str]] = None) -> None:
+        with self.transaction() as tx:
+            tx.add_files(file_paths, snapshot_properties)
+
+    def manage_snapshots(self) -> "ManageSnapshots":
+        from .update import ManageSnapshots
+
+        return ManageSnapshots(self)
+
+    def update_schema(self, case_sensitive: bool = True) -> "UpdateSchema":
+        from .update import UpdateSchema
+
+        return UpdateSchema(self, case_sensitive=case_sensitive)
+
+    def update_spec(self) -> "UpdateSpec":
+        from .update import UpdateSpec
+
+        return UpdateSpec(self)
+
+    def expire_snapshots(self) -> "ExpireSnapshots":
+        from .update import ExpireSnapshots
+
+        return ExpireSnapshots(self)
+
+    # -- plumbing shared with Transaction -------------------------------------
+    def _live_manifests(self, snapshot: Optional[Snapshot]) -> List[Dict[str, Any]]:
+        if snapshot is None:
+            return []
+        return read_manifest_list(snapshot.manifest_list, self.metadata.spec_by_id, self.metadata.schema())
+
+    def _live_entries(self, snapshot: Optional[Snapshot]) -> List[Dict[str, Any]]:
+        out = []
+        for m in self._live_manifests(snapshot):
+            spec = self.metadata.spec_by_id(m["spec_id"])
+            for e in read_manifest(m["manifest_path"], self.metadata.schema(), spec):
+                if e["status"] != STATUS_DELETED:
+                    out.append(e)
+        return out
+
+
+class Transaction:
+    """Groups staged snapshot commits; writes metadata once on exit
+    (reference table/__init__.py:216; CAS via the catalog)."""
+
+    def __init__(self, table: Table):
+        self.table = table
+        self.metadata = table.metadata  # evolving copy
+        self._dirty = False
+
+    def __enter__(self) -> "Transaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.commit_transaction()
+
+    # -- snapshot producers ----------------------------------------------------
+    def _spark(self) -> SparkSession:
+        return self.table.spark
+
+    def _schema(self) -> Schema:
+        return self.metadata.schema()
+
+    def _spec(self) -> PartitionSpec:
+        return self.metadata.spec()
+
+    def _sort_columns(self) -> Optional[List[Tuple[str, bool, bool]]]:
+        order = self.metadata.sort_order()
+        if order.is_unsorted:
+            return None
+        out = []
+        for f in order.fields:
+            name = self._schema().find_column_name(f.source_id)
+            if name and f.transform == "identity":
+                out.append((name, f.direction == "asc", f.null_order == "nulls-first"))
+        return out or None
+
+    def _write_files(self, df: DataFrame) -> List[Dict[str, Any]]:
+        return write_data_files(
+            self._spark(),
+            df,
+            self._schema(),
+            self._spec(),
+            self.metadata.location,
+            commit_uuid=str(uuid.uuid4()),
+            properties=self.metadata.properties,
+            sort_columns=self._sort_columns(),
+        )
+
+    def _commit_snapshot(
+        self,
+        operation: str,
+        added_files: List[Dict[str, Any]],
+        removed_paths: Optional[Set[str]] = None,
+        snapshot_properties: Optional[Dict[str, str]] = None,
+    ) -> None:
+        """Produce a snapshot: new manifest for added files, carry forward /
+        rewrite existing manifests (reference table/update/snapshot.py:94-733)."""
+        meta = self.metadata
+        schema = meta.schema()
+        parent = meta.current_snapshot()
+        snapshot_id = _new_snapshot_id()
+        seq = meta.last_sequence_number + 1
+        removed_paths = removed_paths or set()
+        manifests_dir = posixpath.join(meta.location, "metadata", "manifests")
+
+        new_manifest_files: List[Dict[str, Any]] = []
+        deleted_files = deleted_records = deleted_size = 0
+        # carry forward existing manifests, rewriting any that lose files
+        for m in self.table._live_manifests(parent) if parent else []:
+            spec = meta.spec_by_id(m["spec_id"])
+            if not removed_paths:
+                new_manifest_files.append(m)
+                continue
+            entries = read_manifest(m["manifest_path"], schema, spec)
+            live = [e for e in entries if e["status"] != STATUS_DELETED]
+            hit = [e for e in live if e["data_file"]["file_path"] in removed_paths]
+            if not hit:
+                new_manifest_files.append(m)
+                continue
+            deleted_files += len(hit)
+            deleted_records += sum(e["data_file"]["record_count"] for e in hit)
+            deleted_size += sum(e["data_file"]["file_size_in_bytes"] for e in hit)
+            keep = [e for e in live if e["data_file"]["file_path"] not in removed_paths]
+            if keep:
+                for e in keep:
+                    e["status"] = STATUS_EXISTING
+                path = posixpath.join(manifests_dir, f"manifest-{uuid.uuid4()}.parquet")
+                new_manifest_files.append(write_manifest(path, keep, schema, spec))
+
+        if added_files:
+            by_spec: Dict[int, List[Dict[str, Any]]] = {}
+            for f in added_files:
+                by_spec.setdefault(f.get("spec_id", meta.default_spec_id), []).append(f)
+            for spec_id, files in by_spec.items():
+                spec = meta.spec_by_id(spec_id)
+                entries = [
+                    {"status": STATUS_ADDED, "snapshot_id": snapshot_id, "sequence_number": seq, "data_file": f}
+                    for f in files
+                ]
+                path = posixpath.join(manifests_dir, f"manifest-{uuid.uuid4()}.parquet")
+                new_manifest_files.append(write_manifest(path, entries, schema, spec))
+
+        manifest_list_path = posixpath.join(manifests_dir, f"snap-{snapshot_id}.parquet")
+        write_manifest_list(manifest_list_path, new_manifest_files, meta.spec(), schema)
+
+        total_files = sum(m["added_files_count"] + m["existing_files_count"] for m in new_manifest_files)
+        total_records = sum(m["added_rows_count"] + m.get("existing_rows_count", 0) for m in new_manifest_files)
+        summary = build_summary(
+            operation,
+            added_files=len(added_files),
+            added_records=sum(f["record_count"] for f in added_files),
+            added_size=sum(f["file_size_in_bytes"] for f in added_files),
+            deleted_files=deleted_files,
+            deleted_records=deleted_records,
+            deleted_size=deleted_size,
+            total_files=total_files,
+            total_records=total_records,
+            extra=snapshot_properties,
+        )
+        now_ms = int(time.time() * 1000)
+        snapshot = Snapshot(
+            snapshot_id=snapshot_id,
+            parent_snapshot_id=parent.snapshot_id if parent else None,
+            sequence_number=seq,
+            timestamp_ms=now_ms,
+            manifest_list=manifest_list_path,
+            summary=summary,
+            schema_id=schema.schema_id,
+        )
+        meta.snapshots.append(snapshot)
+        meta.current_snapshot_id = snapshot_id
+        meta.last_sequence_number = seq
+        meta.last_updated_ms = now_ms
+        meta.refs[MAIN_BRANCH] = SnapshotRef(snapshot_id, "branch")
+        meta.snapshot_log.append(SnapshotLogEntry(snapshot_id, now_ms))
+        self._dirty = True
+
+    # -- public write ops --------------------------------------------------------
+    def append(self, df: DataFrame, snapshot_properties: Optional[Dict[str, str]] = None) -> None:
+        files = self._write_files(df)
+        self._commit_snapshot(Operation.APPEND, files, snapshot_properties=snapshot_properties)
+
+    def delete(
+        self, delete_filter: Union[str, BooleanExpression], snapshot_properties: Optional[Dict[str, str]] = None
+    ) -> None:
+        """Copy-on-write delete: strict-match files are dropped metadata-only
+        (no data read); partial files are rewritten with the complement
+        (reference table/update/snapshot.py:409-484)."""
+        if isinstance(delete_filter, str):
+            delete_filter = parse_filter(delete_filter)
+        schema = self._schema()
+        bound = bind(delete_filter, schema)
+        if isinstance(bound, AlwaysFalse):
+            return
+        parent = self.metadata.current_snapshot()
+        entries = self.table._live_entries(parent)
+        inclusive = inclusive_metrics_evaluator(bound)
+        strict = strict_metrics_evaluator(bound)
+
+        full_delete: List[Dict[str, Any]] = []
+        partial: List[Dict[str, Any]] = []
+        for e in entries:
+            df_ = e["data_file"]
+            spec = self.metadata.spec_by_id(df_.get("spec_id", self.metadata.default_spec_id))
+            res = compute_residual(spec, schema, bound, df_.get("partition", {}))
+            if isinstance(res, AlwaysFalse):
+                continue  # partition proves no rows match
+            if isinstance(res, AlwaysTrue) or strict(df_):
+                full_delete.append(df_)
+            elif inclusive(df_):
+                partial.append(df_)
+
+        added: List[Dict[str, Any]] = []
+        rewritten_paths: Set[str] = set()
+        if partial:
+            paths = [d["file_path"] for d in partial]
+            spark_schema = schema.to_spark()
+            src = self._spark().read.schema(spark_schema).parquet(*paths)
+            pred = to_spark_column(bound)
+            # keep rows where the predicate is NOT true (null-safe complement,
+            # reference io/pyarrow.py:1093 _expression_to_complementary_pyarrow)
+            remaining = src.where(~F.coalesce(pred, F.lit(False)))
+            n_before = sum(d["record_count"] for d in partial)
+            added = self._write_files(remaining)
+            n_after = sum(f["record_count"] for f in added)
+            if n_after == n_before:
+                # nothing actually matched in the partial files; drop rewrite
+                for f in added:
+                    try:
+                        os.remove(f["file_path"])
+                    except OSError:
+                        pass
+                added = []
+            else:
+                rewritten_paths = set(paths)
+
+        removed = {d["file_path"] for d in full_delete} | rewritten_paths
+        if not removed and not added:
+            return  # no-op delete
+        self._commit_snapshot(Operation.DELETE, added, removed_paths=removed, snapshot_properties=snapshot_properties)
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        overwrite_filter: Union[str, BooleanExpression] = AlwaysTrue(),
+        snapshot_properties: Optional[Dict[str, str]] = None,
+    ) -> None:
+        """Delete-by-filter then append (CoW), as one commit chain
+        (reference table/__init__.py:606-701)."""
+        if isinstance(overwrite_filter, str):
+            overwrite_filter = parse_filter(overwrite_filter)
+        if not isinstance(overwrite_filter, AlwaysFalse):
+            self.delete(overwrite_filter, snapshot_properties)
+        files = self._write_files(df)
+        self._commit_snapshot(Operation.OVERWRITE, files, snapshot_properties=snapshot_properties)
+
+    def dynamic_partition_overwrite(self, df: DataFrame, snapshot_properties: Optional[Dict[str, str]] = None) -> None:
+        """Replace exactly the partitions present in ``df``
+        (reference table/__init__.py:541-604)."""
+        spec = self._spec()
+        if spec.is_unpartitioned:
+            raise ValueError("cannot dynamic-partition-overwrite an unpartitioned table")
+        schema = self._schema()
+        aligned = coerce_to_table_schema(df, schema)
+        pcols = [col.alias(name) for name, col in spec.spark_partition_columns(schema)]
+        incoming = {
+            tuple(row[name] for name in spec.field_names())
+            for row in aligned.select(*pcols).distinct().collect()
+        }
+        # normalize Spark row values to internal representation
+        part_schema = spec.partition_schema(schema)
+        from ..expressions import to_internal
+
+        def norm(name: str, v: Any) -> Any:
+            return None if v is None else to_internal(v, part_schema.find_field(name).field_type)
+
+        incoming = {tuple(norm(n, v) for n, v in zip(spec.field_names(), t)) for t in incoming}
+        parent = self.metadata.current_snapshot()
+        removed: Set[str] = set()
+        for e in self.table._live_entries(parent):
+            d = e["data_file"]
+            key = tuple(d.get("partition", {}).get(n) for n in spec.field_names())
+            if key in incoming:
+                removed.add(d["file_path"])
+        files = self._write_files(df)
+        self._commit_snapshot(Operation.OVERWRITE, files, removed_paths=removed, snapshot_properties=snapshot_properties)
+
+    def upsert(
+        self,
+        df: DataFrame,
+        join_cols: Optional[List[str]] = None,
+        when_matched_update_all: bool = True,
+        when_not_matched_insert_all: bool = True,
+    ) -> UpsertResult:
+        """MERGE: update matched-and-changed rows, insert unmatched
+        (reference table/__init__.py:800-948 + upsert_util.py).
+
+        Spark shape (SURVEY.md §2.4): one join job computes the update and
+        insert sets (null-safe non-key comparison); the commit is a CoW
+        overwrite of updated keys + append."""
+        schema = self._schema()
+        if join_cols is None:
+            join_cols = [schema.find_column_name(fid) for fid in schema.identifier_field_ids]
+        if not join_cols:
+            raise ValueError("upsert requires join_cols or identifier_field_ids on the schema")
+        src = coerce_to_table_schema(df, schema).cache()
+        # duplicate-key guard (reference upsert_util.py:51)
+        if src.groupBy(*join_cols).count().where(F.col("count") > 1).limit(1).count() > 0:
+            raise ValueError(f"duplicate rows in source on key {join_cols}")
+
+        # prune the target scan with an IN filter when the key set is small
+        # (reference upsert_util.create_match_filter); full scan otherwise —
+        # the join itself handles matching at scale.
+        match_filter: BooleanExpression = AlwaysTrue()
+        if len(join_cols) == 1:
+            keys = [r[0] for r in src.select(join_cols[0]).distinct().limit(10001).collect()]
+            if len(keys) <= 10000:
+                match_filter = In(join_cols[0], keys)
+        tgt = DataScan(self.table, match_filter, ("*",), True, None, None, None)._to_df_of(self.metadata).cache()
+
+        non_key = [c for c in schema.column_names if c not in join_cols]
+        rows_updated = rows_inserted = 0
+        to_append: List[DataFrame] = []
+        removed_keys_df = None
+        if when_matched_update_all:
+            cond = [src[k].eqNullSafe(tgt[k]) for k in join_cols]
+            diff = F.lit(False)
+            for c in non_key:
+                diff = diff | ~src[c].eqNullSafe(tgt[c])
+            updated = src.join(tgt, cond, "inner").where(diff).select(*[src[c] for c in schema.column_names]).cache()
+            rows_updated = updated.count()
+            if rows_updated:
+                removed_keys_df = updated.select(*join_cols)
+                to_append.append(updated)
+        if when_not_matched_insert_all:
+            inserts = src.join(tgt, join_cols, "left_anti").cache()
+            rows_inserted = inserts.count()
+            if rows_inserted:
+                to_append.append(inserts)
+
+        if removed_keys_df is not None:
+            # CoW delete of the updated keys: collect the changed keys and
+            # build an In/Or filter (reference builds the same predicate;
+            # bounded by rows that actually changed)
+            keys = removed_keys_df.distinct().collect()
+            if len(join_cols) == 1:
+                delete_filter: BooleanExpression = In(join_cols[0], [r[0] for r in keys])
+            else:
+                delete_filter = or_all(
+                    [
+                        And(*[UnboundPredicate("eq", c, r[c]) for c in join_cols])
+                        for r in keys
+                    ]
+                )
+            self.delete(delete_filter)
+        for d in to_append:
+            self.append(d)
+        return UpsertResult(rows_updated=rows_updated, rows_inserted=rows_inserted)
+
+    def add_files(self, file_paths: List[str], snapshot_properties: Optional[Dict[str, str]] = None) -> None:
+        """Register existing parquet files without rewriting them
+        (reference table/__init__.py:972-1007; stats via footer reads on
+        executors, io/pyarrow.py:2887 parquet_file_to_data_file)."""
+        from ..io.write import collect_file_stats
+
+        existing = {
+            e["data_file"]["file_path"] for e in self.table._live_entries(self.metadata.current_snapshot())
+        }
+        dupes = existing & set(file_paths)
+        if dupes:
+            raise ValueError(f"files already referenced by table: {sorted(dupes)[:3]}...")
+        spec = self._spec()
+        if not spec.is_unpartitioned:
+            raise NotImplementedError("add_files currently supports unpartitioned tables")
+        stats = collect_file_stats(self._spark(), file_paths, self._schema())
+        files = []
+        for p in file_paths:
+            st = stats[p]
+            files.append(
+                {
+                    "content": CONTENT_DATA,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "spec_id": spec.spec_id,
+                    "schema_id": self._schema().schema_id,
+                    "partition": {},
+                    **st,
+                }
+            )
+        self._commit_snapshot(Operation.APPEND, files, snapshot_properties=snapshot_properties)
+
+    # -- commit -------------------------------------------------------------------
+    def commit_transaction(self) -> None:
+        if not self._dirty:
+            return
+        self.table.catalog._commit_table(self.table, self.metadata)
+        self._dirty = False
+
+
+# ---------------------------------------------------------------------------
+# scans
+# ---------------------------------------------------------------------------
+
+
+class DataScan:
+    """Immutable scan builder (reference table/__init__.py:1876 BaseScan,
+    :2227 DataScan)."""
+
+    def __init__(
+        self,
+        table: Table,
+        row_filter: Union[str, BooleanExpression] = AlwaysTrue(),
+        selected_fields: Tuple[str, ...] = ("*",),
+        case_sensitive: bool = True,
+        snapshot_id: Optional[int] = None,
+        limit: Optional[int] = None,
+        use_ref: Optional[str] = None,
+    ):
+        self.table = table
+        self.row_filter = parse_filter(row_filter) if isinstance(row_filter, str) else row_filter
+        self.selected_fields = selected_fields
+        self.case_sensitive = case_sensitive
+        self.snapshot_id = snapshot_id
+        self.limit = limit
+        self.use_ref = use_ref
+
+    def _replace(self, **kw) -> "DataScan":
+        args = dict(
+            table=self.table,
+            row_filter=self.row_filter,
+            selected_fields=self.selected_fields,
+            case_sensitive=self.case_sensitive,
+            snapshot_id=self.snapshot_id,
+            limit=self.limit,
+            use_ref=self.use_ref,
+        )
+        args.update(kw)
+        return DataScan(**args)
+
+    def filter(self, expr: Union[str, BooleanExpression]) -> "DataScan":
+        new = parse_filter(expr) if isinstance(expr, str) else expr
+        return self._replace(row_filter=And(self.row_filter, new))
+
+    def select(self, *names: str) -> "DataScan":
+        return self._replace(selected_fields=tuple(names))
+
+    def with_limit(self, n: int) -> "DataScan":
+        return self._replace(limit=n)
+
+    def use_snapshot(self, snapshot_id: int) -> "DataScan":
+        return self._replace(snapshot_id=snapshot_id)
+
+    # -- planning -----------------------------------------------------------
+    def _snapshot(self, metadata: TableMetadata) -> Optional[Snapshot]:
+        if self.snapshot_id is not None:
+            s = metadata.snapshot_by_id(self.snapshot_id)
+            if s is None:
+                raise ValueError(f"snapshot {self.snapshot_id} not found")
+            return s
+        if self.use_ref:
+            ref = metadata.refs.get(self.use_ref)
+            if ref is None:
+                raise ValueError(f"unknown ref {self.use_ref!r}")
+            return metadata.snapshot_by_id(ref.snapshot_id)
+        return metadata.current_snapshot()
+
+    def projection(self, metadata: Optional[TableMetadata] = None) -> Schema:
+        metadata = metadata or self.table.metadata
+        snap = self._snapshot(metadata)
+        schema = metadata.schema_by_id(snap.schema_id) if snap else metadata.schema()
+        return schema.select(*self.selected_fields, case_sensitive=self.case_sensitive)
+
+    def plan_files(self, metadata: Optional[TableMetadata] = None) -> List[FileScanTask]:
+        """Snapshot -> manifest-list -> manifest -> file pruning
+        (reference ManifestGroupPlanner.plan_files :2622-2667):
+        1. per-spec inclusive projection of the row filter into partition
+           space prunes manifests via partition summaries;
+        2. exact partition-tuple evaluation + min/max/null metrics prune
+           files;
+        3. a residual is attached per file."""
+        metadata = metadata or self.table.metadata
+        snap = self._snapshot(metadata)
+        if snap is None:
+            return []
+        schema = metadata.schema_by_id(snap.schema_id) if snap.schema_id is not None else metadata.schema()
+        bound = bind(self.row_filter, schema, self.case_sensitive)
+        if isinstance(bound, AlwaysFalse):
+            return []
+        manifest_files = read_manifest_list(snap.manifest_list, metadata.spec_by_id, schema)
+
+        # cache per-spec projections/evaluators (reference :2669-2686)
+        part_filter_by_spec: Dict[int, BooleanExpression] = {}
+        metrics_eval = inclusive_metrics_evaluator(bound)
+
+        def part_filter(spec_id: int) -> BooleanExpression:
+            if spec_id not in part_filter_by_spec:
+                spec = metadata.spec_by_id(spec_id)
+                part_filter_by_spec[spec_id] = spec.inclusive_projection(schema, bound)
+            return part_filter_by_spec[spec_id]
+
+        tasks: List[FileScanTask] = []
+        for m in manifest_files:
+            pf = part_filter(m["spec_id"])
+            if isinstance(pf, AlwaysFalse):
+                continue
+            if not isinstance(pf, AlwaysTrue) and m.get("partition_summaries"):
+                if not manifest_evaluator(m["partition_summaries"])(pf):
+                    continue  # manifest pruned by partition summaries
+            spec = metadata.spec_by_id(m["spec_id"])
+            pf_eval = None if isinstance(pf, AlwaysTrue) else expression_evaluator(pf)
+            for e in read_manifest(m["manifest_path"], schema, spec):
+                if e["status"] == STATUS_DELETED:
+                    continue
+                d = e["data_file"]
+                if pf_eval is not None and not pf_eval(d.get("partition", {})):
+                    continue
+                if not metrics_eval(d):
+                    continue
+                res = compute_residual(spec, schema, bound, d.get("partition", {}))
+                if isinstance(res, AlwaysFalse):
+                    continue
+                tasks.append(FileScanTask(d, res))
+        return tasks
+
+    # -- execution ----------------------------------------------------------
+    def to_df(self) -> DataFrame:
+        return self._to_df_of(self.table.metadata)
+
+    def _to_df_of(self, metadata: TableMetadata) -> DataFrame:
+        spark = self.table.spark
+        snap = self._snapshot(metadata)
+        schema = metadata.schema_by_id(snap.schema_id) if snap else metadata.schema()
+        projected = self.projection(metadata)
+        tasks = self.plan_files(metadata)
+        if not tasks:
+            return spark.createDataFrame([], schema=projected.to_spark())
+
+        # group by file schema for field-ID-correct reads (schema evolution:
+        # renamed/added columns resolved per group, reference
+        # ArrowProjectionVisitor io/pyarrow.py:1931)
+        groups: Dict[int, List[FileScanTask]] = {}
+        for t in tasks:
+            groups.setdefault(t.data_file.get("schema_id", schema.schema_id), []).append(t)
+
+        need_filter = not all(isinstance(t.residual, AlwaysTrue) for t in tasks)
+        bound = bind(self.row_filter, schema, self.case_sensitive) if need_filter else None
+
+        dfs = []
+        for schema_id, group in groups.items():
+            file_schema = metadata.schema_by_id(schema_id)
+            df = spark.read.schema(file_schema.to_spark()).parquet(*[t.file_path for t in group])
+            df = _align_to_schema(df, file_schema, schema)
+            dfs.append(df)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        if bound is not None and not isinstance(bound, AlwaysTrue):
+            out = out.where(to_spark_column(bound))
+        out = out.select(*[F.col(f.name) for f in projected.fields])
+        if self.limit is not None:
+            out = out.limit(self.limit)
+        return out
+
+    def count(self) -> int:
+        """Metadata fast path: sum record_count where the residual is
+        AlwaysTrue; read only files that still need the filter
+        (reference table/__init__.py:2341-2366)."""
+        tasks = self.plan_files()
+        total = 0
+        to_read: List[FileScanTask] = []
+        for t in tasks:
+            if isinstance(t.residual, AlwaysTrue):
+                total += t.data_file["record_count"]
+            else:
+                to_read.append(t)
+        if to_read:
+            metadata = self.table.metadata
+            snap = self._snapshot(metadata)
+            schema = metadata.schema_by_id(snap.schema_id) if snap else metadata.schema()
+            bound = bind(self.row_filter, schema, self.case_sensitive)
+            df = self.table.spark.read.schema(schema.to_spark()).parquet(*[t.file_path for t in to_read])
+            total += df.where(to_spark_column(bound)).count()
+        if self.limit is not None:
+            total = min(total, self.limit)
+        return total
+
+
+def _align_to_schema(df: DataFrame, file_schema: Schema, target: Schema) -> DataFrame:
+    """Project a file-schema DataFrame to the target schema by field ID:
+    rename, cast (promotion), fill initial-default/null for added columns
+    (reference ArrowProjectionVisitor io/pyarrow.py:1931-2104)."""
+    cols = []
+    for field in target.fields:
+        old = file_schema.find_column_name(field.field_id)
+        spark_t = to_spark_type(field.field_type)
+        if old is None:
+            default = field.initial_default
+            cols.append(F.lit(default).cast(spark_t).alias(field.name))
+        else:
+            old_field = file_schema.find_field(field.field_id)
+            c = F.col(old)
+            if old_field.field_type != field.field_type:
+                c = c.cast(spark_t)
+            cols.append(c.alias(field.name))
+    return df.select(*cols)
+
+
+class IncrementalAppendScan:
+    """Rows appended between two snapshots — append snapshots only,
+    ADDED entries only (reference table/__init__.py:2372-2554)."""
+
+    def __init__(
+        self,
+        table: Table,
+        from_snapshot_id_exclusive: Optional[int],
+        to_snapshot_id_inclusive: Optional[int],
+        row_filter: Union[str, BooleanExpression] = AlwaysTrue(),
+        selected_fields: Tuple[str, ...] = ("*",),
+    ):
+        self.table = table
+        self.from_id = from_snapshot_id_exclusive
+        self.to_id = to_snapshot_id_inclusive
+        self.row_filter = parse_filter(row_filter) if isinstance(row_filter, str) else row_filter
+        self.selected_fields = selected_fields
+
+    def _snapshot_range(self) -> List[Snapshot]:
+        meta = self.table.metadata
+        to_id = self.to_id if self.to_id is not None else meta.current_snapshot_id
+        if to_id is None:
+            return []
+        chain = []
+        cur = meta.snapshot_by_id(to_id)
+        while cur is not None:
+            if self.from_id is not None and cur.snapshot_id == self.from_id:
+                break
+            chain.append(cur)
+            if cur.parent_snapshot_id is None:
+                if self.from_id is not None and cur.snapshot_id != self.from_id:
+                    pass  # from_id not an ancestor; reference raises — we include full history
+                break
+            cur = meta.snapshot_by_id(cur.parent_snapshot_id)
+        return [s for s in reversed(chain) if s.operation == Operation.APPEND]
+
+    def plan_files(self) -> List[FileScanTask]:
+        meta = self.table.metadata
+        schema = meta.schema()
+        bound = bind(self.row_filter, schema)
+        if isinstance(bound, AlwaysFalse):
+            return []
+        snapshot_ids = {s.snapshot_id for s in self._snapshot_range()}
+        if not snapshot_ids:
+            return []
+        metrics_eval = inclusive_metrics_evaluator(bound)
+        tasks = []
+        seen: Set[str] = set()
+        for s in self._snapshot_range():
+            for m in read_manifest_list(s.manifest_list, meta.spec_by_id, schema):
+                if m["added_snapshot_id"] not in snapshot_ids:
+                    continue
+                spec = meta.spec_by_id(m["spec_id"])
+                for e in read_manifest(m["manifest_path"], schema, spec):
+                    if e["status"] != STATUS_ADDED or e["snapshot_id"] not in snapshot_ids:
+                        continue
+                    d = e["data_file"]
+                    if d["file_path"] in seen:
+                        continue
+                    seen.add(d["file_path"])
+                    if not metrics_eval(d):
+                        continue
+                    res = compute_residual(spec, schema, bound, d.get("partition", {}))
+                    if isinstance(res, AlwaysFalse):
+                        continue
+                    tasks.append(FileScanTask(d, res))
+        return tasks
+
+    def to_df(self) -> DataFrame:
+        meta = self.table.metadata
+        schema = meta.schema()
+        projected = schema.select(*self.selected_fields)
+        tasks = self.plan_files()
+        spark = self.table.spark
+        if not tasks:
+            return spark.createDataFrame([], schema=projected.to_spark())
+        df = spark.read.schema(schema.to_spark()).parquet(*[t.file_path for t in tasks])
+        bound = bind(self.row_filter, schema)
+        if not isinstance(bound, AlwaysTrue):
+            df = df.where(to_spark_column(bound))
+        return df.select(*[F.col(f.name) for f in projected.fields])
+
+
+class StaticTable(Table):
+    """Open a table directly from its metadata JSON, no catalog
+    (reference table/__init__.py:1782-1826)."""
+
+    @classmethod
+    def from_metadata(cls, metadata_location: str, spark: SparkSession) -> "StaticTable":
+        if os.path.isdir(metadata_location):
+            hint = os.path.join(metadata_location, "metadata", "version-hint.text")
+            with open(hint) as f:
+                v = f.read().strip()
+            # hint holds the metadata file basename (older layouts: a number)
+            basename = v if v.endswith(".metadata.json") else f"v{v}.metadata.json"
+            metadata_location = os.path.join(metadata_location, "metadata", basename)
+        metadata = TableMetadata.read(metadata_location)
+        return cls(("static", os.path.basename(metadata.location)), metadata, metadata_location, _StaticCatalog(), spark)
+
+
+class _StaticCatalog:
+    def _commit_table(self, table: Table, metadata: TableMetadata) -> None:
+        raise CommitFailedException("static tables are read-only")
+
+    def load_table(self, identifier):
+        raise NotImplementedError

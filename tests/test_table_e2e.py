@@ -1,0 +1,172 @@
+"""M1 end-to-end: create_table → append → scan with pruning → writes.
+
+Mirrors the reference's integration strategy (SURVEY.md §5) with the
+testdata parquet as input and direct Spark reads as the oracle.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_python_spark import spec_from_names
+from iceberg_python_spark.expressions import AlwaysTrue
+from iceberg_python_spark.schema import schema_from_spark
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture()
+def lineitem_df(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+@pytest.fixture()
+def lineitem_table(catalog, lineitem_df):
+    schema = schema_from_spark(lineitem_df.schema)
+    spec = spec_from_names(schema, ("l_shipdate", "month"))
+    t = catalog.create_table("db.lineitem", schema, partition_spec=spec)
+    t.append(lineitem_df)
+    return t
+
+
+def test_append_scan_roundtrip(lineitem_table, lineitem_df):
+    t = lineitem_table
+    assert t.scan().to_df().count() == lineitem_df.count()
+    # values roundtrip
+    a = sorted(map(tuple, t.scan().to_df().collect()))
+    b = sorted(map(tuple, lineitem_df.collect()))
+    assert a == b
+
+
+def test_filter_scan_matches_oracle(lineitem_table, lineitem_df):
+    t = lineitem_table
+    got = t.scan(row_filter="l_shipdate <= '1995-06-30' and l_quantity > 40").to_df().count()
+    want = lineitem_df.where("l_shipdate <= timestamp'1995-06-30' and l_quantity > 40").count()
+    assert got == want
+
+
+def test_partition_pruning_skips_files(lineitem_table):
+    t = lineitem_table
+    all_files = t.scan().plan_files()
+    pruned = t.scan(row_filter="l_shipdate < '1996-01-01'").plan_files()
+    assert len(pruned) < len(all_files)
+    assert len(pruned) > 0
+
+
+def test_select_and_limit(lineitem_table):
+    df = lineitem_table.scan(selected_fields=("l_orderkey", "l_quantity"), limit=10).to_df()
+    assert df.columns == ["l_orderkey", "l_quantity"]
+    assert df.count() == 10
+
+
+def test_count_fast_path(lineitem_table, lineitem_df):
+    t = lineitem_table
+    assert t.scan().count() == lineitem_df.count()
+    got = t.scan(row_filter="l_quantity > 40").count()
+    assert got == lineitem_df.where("l_quantity > 40").count()
+
+
+def test_time_travel(lineitem_table, lineitem_df, spark):
+    t = lineitem_table
+    snap1 = t.current_snapshot().snapshot_id
+    extra = lineitem_df.limit(100)
+    t.append(extra)
+    assert t.scan().to_df().count() == lineitem_df.count() + 100
+    assert t.scan(snapshot_id=snap1).to_df().count() == lineitem_df.count()
+
+
+def test_delete_cow(lineitem_table, lineitem_df):
+    t = lineitem_table
+    t.delete("l_quantity > 40")
+    want = lineitem_df.where("NOT coalesce(l_quantity > 40, false)").count()
+    assert t.scan().to_df().count() == want
+    # metadata-only whole-partition delete
+    before_files = {task.file_path for task in t.scan().plan_files()}
+    t.delete("l_shipdate < '1996-01-01'")
+    after_files = {task.file_path for task in t.scan().plan_files()}
+    assert after_files < before_files
+
+
+def test_overwrite_filter(lineitem_table, lineitem_df):
+    t = lineitem_table
+    replacement = lineitem_df.where("l_quantity <= 10").withColumn("l_quantity", F.lit(999.0))
+    t.overwrite(replacement, "l_quantity <= 10")
+    assert t.scan(row_filter="l_quantity = 999.0").to_df().count() == lineitem_df.where("l_quantity <= 10").count()
+    assert t.scan().to_df().count() == lineitem_df.count()
+
+
+def test_upsert(catalog, spark):
+    src = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id: long, name: string, val: double"
+    )
+    schema = schema_from_spark(src.schema)
+    t = catalog.create_table("db.upsert_t", schema)
+    t.append(src)
+    changes = spark.createDataFrame(
+        [(2, "b", 21.0), (3, "c", 30.0), (4, "d", 40.0)], "id: long, name: string, val: double"
+    )
+    res = t.upsert(changes, join_cols=["id"])
+    assert res.rows_updated == 1  # id=3 unchanged -> not updated
+    assert res.rows_inserted == 1
+    rows = {r.id: r.val for r in t.scan().to_df().collect()}
+    assert rows == {1: 10.0, 2: 21.0, 3: 30.0, 4: 40.0}
+
+
+def test_dynamic_partition_overwrite(catalog, spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-15", 1.0), (2, "2024-02-15", 2.0), (3, "2024-03-15", 3.0)],
+        "id: long, d: string, v: double",
+    ).withColumn("d", F.to_date("d"))
+    schema = schema_from_spark(df.schema)
+    spec = spec_from_names(schema, ("d", "month"))
+    t = catalog.create_table("db.dpo_t", schema, partition_spec=spec)
+    t.append(df)
+    replacement = spark.createDataFrame([(9, "2024-02-20", 9.0)], "id: long, d: string, v: double").withColumn(
+        "d", F.to_date("d")
+    )
+    t.dynamic_partition_overwrite(replacement)
+    rows = sorted((r.id, r.v) for r in t.scan().to_df().collect())
+    assert rows == [(1, 1.0), (3, 3.0), (9, 9.0)]
+
+
+def test_add_files(catalog, spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id: long, s: string")
+    ext = str(tmp_path / "external")
+    df.repartition(1).write.parquet(ext)
+    paths = [os.path.join(ext, f) for f in os.listdir(ext) if f.endswith(".parquet")]
+    schema = schema_from_spark(df.schema)
+    t = catalog.create_table("db.addf_t", schema)
+    t.add_files(paths)
+    assert t.scan().to_df().count() == 2
+    with pytest.raises(ValueError):
+        t.add_files(paths)  # duplicate registration rejected
+
+
+def test_incremental_append_scan(lineitem_table, lineitem_df):
+    t = lineitem_table
+    snap1 = t.current_snapshot().snapshot_id
+    t.append(lineitem_df.limit(50))
+    snap2 = t.current_snapshot().snapshot_id
+    inc = t.incremental_append_scan(from_snapshot_id_exclusive=snap1, to_snapshot_id_inclusive=snap2)
+    assert inc.to_df().count() == 50
+
+
+def test_commit_conflict(catalog, spark):
+    df = spark.createDataFrame([(1,)], "id: long")
+    schema = schema_from_spark(df.schema)
+    catalog.create_table("db.conflict_t", schema)
+    t1 = catalog.load_table("db.conflict_t")
+    t2 = catalog.load_table("db.conflict_t")
+    t1.append(df)
+    from iceberg_python_spark import CommitFailedException
+
+    with pytest.raises(CommitFailedException):
+        t2.append(df)  # stale metadata pointer
+
+
+def test_static_table(lineitem_table, spark):
+    from iceberg_python_spark import StaticTable
+
+    st = StaticTable.from_metadata(lineitem_table.location, spark)
+    assert st.scan().to_df().count() == lineitem_table.scan().to_df().count()
