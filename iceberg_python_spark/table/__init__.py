@@ -703,10 +703,21 @@ class DataScan:
             return metadata.snapshot_by_id(ref.snapshot_id)
         return metadata.current_snapshot()
 
+    def _scan_schema(self, metadata: TableMetadata, snap: Optional[Snapshot]) -> Schema:
+        # current reads project the CURRENT schema (renames/adds visible over
+        # old files via field-ID alignment); explicit time travel keeps the
+        # snapshot's own schema for historical fidelity
+        if snap is not None and (self.snapshot_id is not None or self.use_ref):
+            try:
+                return metadata.schema_by_id(snap.schema_id)
+            except ValueError:
+                return metadata.schema()
+        return metadata.schema()
+
     def projection(self, metadata: Optional[TableMetadata] = None) -> Schema:
         metadata = metadata or self.table.metadata
         snap = self._snapshot(metadata)
-        schema = metadata.schema_by_id(snap.schema_id) if snap else metadata.schema()
+        schema = self._scan_schema(metadata, snap)
         return schema.select(*self.selected_fields, case_sensitive=self.case_sensitive)
 
     def plan_files(self, metadata: Optional[TableMetadata] = None) -> List[FileScanTask]:
@@ -721,7 +732,7 @@ class DataScan:
         snap = self._snapshot(metadata)
         if snap is None:
             return []
-        schema = metadata.schema_by_id(snap.schema_id) if snap.schema_id is not None else metadata.schema()
+        schema = self._scan_schema(metadata, snap)
         bound = bind(self.row_filter, schema, self.case_sensitive)
         if isinstance(bound, AlwaysFalse):
             return []
@@ -768,7 +779,7 @@ class DataScan:
     def _to_df_of(self, metadata: TableMetadata) -> DataFrame:
         spark = self.table.spark
         snap = self._snapshot(metadata)
-        schema = metadata.schema_by_id(snap.schema_id) if snap else metadata.schema()
+        schema = self._scan_schema(metadata, snap)
         projected = self.projection(metadata)
         tasks = self.plan_files(metadata)
         if not tasks:
@@ -815,7 +826,7 @@ class DataScan:
         if to_read:
             metadata = self.table.metadata
             snap = self._snapshot(metadata)
-            schema = metadata.schema_by_id(snap.schema_id) if snap else metadata.schema()
+            schema = self._scan_schema(metadata, snap)
             bound = bind(self.row_filter, schema, self.case_sensitive)
             df = self.table.spark.read.schema(schema.to_spark()).parquet(*[t.file_path for t in to_read])
             total += df.where(to_spark_column(bound)).count()

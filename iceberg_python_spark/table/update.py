@@ -1,0 +1,344 @@
+"""Table update services: schema evolution, partition-spec evolution,
+snapshot management (branches/tags/rollback), snapshot expiration.
+
+Reference parity:
+- UpdateSchema     — pyiceberg/table/update/schema.py:77-695
+- UpdateSpec       — pyiceberg/table/update/spec.py:49-294
+- ManageSnapshots  — pyiceberg/table/update/snapshot.py:807-1030
+- ExpireSnapshots  — pyiceberg/table/update/snapshot.py:1033-1133
+  (+ orphan-file GC, which the reference leaves to engines — ours is a
+  Spark-friendly listing diff)
+
+All updates are staged on a builder and committed via the catalog CAS.
+Field-ID discipline: adds allocate fresh IDs; renames keep the ID (so
+old data files still resolve by ID); drops retain the ID as tombstoned
+(never reused, spec requirement).
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+import time
+from typing import Any, Dict, List, Optional, Set, Tuple
+
+from ..partitioning import PartitionField, PartitionSpec
+from ..schema import Schema, promote
+from ..transforms import IdentityTransform, parse_transform
+from ..types import IcebergType, NestedField
+from .metadata import MAIN_BRANCH, SnapshotRef
+from .snapshots import SnapshotLogEntry
+
+
+class UpdateSchema:
+    """Stage add/drop/rename/update-type/make-optional column changes and
+    commit them as a new schema version (ID-aware)."""
+
+    def __init__(self, table, case_sensitive: bool = True):
+        self.table = table
+        self.case_sensitive = case_sensitive
+        self._adds: List[Tuple[str, IcebergType, bool, Any]] = []
+        self._deletes: Set[int] = set()
+        self._renames: Dict[int, str] = {}
+        self._type_updates: Dict[int, IcebergType] = {}
+        self._requirement_updates: Dict[int, bool] = {}
+        self._identifier_names: Optional[List[str]] = None
+
+    def __enter__(self) -> "UpdateSchema":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.commit()
+
+    def add_column(self, name: str, field_type: IcebergType, required: bool = False, default: Any = None) -> "UpdateSchema":
+        if required and default is None:
+            raise ValueError("adding a required column needs a default (existing rows have no value)")
+        self._adds.append((name, field_type, required, default))
+        return self
+
+    def delete_column(self, name: str) -> "UpdateSchema":
+        self._deletes.add(self._field(name).field_id)
+        return self
+
+    def rename_column(self, name: str, new_name: str) -> "UpdateSchema":
+        self._renames[self._field(name).field_id] = new_name
+        return self
+
+    def update_column_type(self, name: str, new_type: IcebergType) -> "UpdateSchema":
+        f = self._field(name)
+        if not promote(f.field_type, new_type):
+            raise ValueError(f"cannot promote {f.field_type} to {new_type} (allowed: int->long, float->double, decimal widening)")
+        self._type_updates[f.field_id] = new_type
+        return self
+
+    def make_column_optional(self, name: str) -> "UpdateSchema":
+        self._requirement_updates[self._field(name).field_id] = False
+        return self
+
+    def set_identifier_fields(self, *names: str) -> "UpdateSchema":
+        self._identifier_names = list(names)
+        return self
+
+    def union_by_name(self, other) -> "UpdateSchema":
+        """Add any column present in ``other`` (a Spark StructType or
+        Schema) but missing here (reference update/schema.py:146-161)."""
+        from pyspark.sql import types as T
+
+        from ..schema import schema_from_spark
+
+        if isinstance(other, T.StructType):
+            other = schema_from_spark(other)
+        mine = {f.name for f in self.table.metadata.schema().fields}
+        for f in other.fields:
+            if f.name not in mine:
+                self._adds.append((f.name, f.field_type, False, None))
+        return self
+
+    def _field(self, name: str) -> NestedField:
+        return self.table.metadata.schema().find_field(name, case_sensitive=self.case_sensitive)
+
+    def commit(self) -> None:
+        meta = self.table.metadata
+        schema = meta.schema()
+        next_id = meta.last_column_id
+        fields: List[NestedField] = []
+        for f in schema.fields:
+            if f.field_id in self._deletes:
+                continue
+            fields.append(
+                NestedField(
+                    f.field_id,
+                    self._renames.get(f.field_id, f.name),
+                    self._type_updates.get(f.field_id, f.field_type),
+                    required=self._requirement_updates.get(f.field_id, f.required),
+                    doc=f.doc,
+                    initial_default=f.initial_default,
+                    write_default=f.write_default,
+                )
+            )
+        for name, t, required, default in self._adds:
+            if any(x.name == name for x in fields):
+                raise ValueError(f"column {name!r} already exists")
+            next_id += 1
+            fields.append(NestedField(next_id, name, t, required=required, initial_default=default))
+        new_schema = Schema(*fields, schema_id=max(s.schema_id for s in meta.schemas) + 1)
+        if self._identifier_names is not None:
+            ident = [new_schema.find_field(n).field_id for n in self._identifier_names]
+            new_schema = Schema(*fields, schema_id=new_schema.schema_id, identifier_field_ids=ident)
+        else:
+            kept = [fid for fid in schema.identifier_field_ids if fid not in self._deletes]
+            new_schema = Schema(*fields, schema_id=new_schema.schema_id, identifier_field_ids=kept)
+        new_meta = copy.deepcopy(meta)
+        new_meta.schemas.append(new_schema)
+        new_meta.current_schema_id = new_schema.schema_id
+        new_meta.last_column_id = max(next_id, new_schema.highest_field_id)
+        new_meta.last_updated_ms = int(time.time() * 1000)
+        self.table.catalog._commit_table(self.table, new_meta)
+
+
+class UpdateSpec:
+    """Partition evolution: add/remove partition fields; old data keeps its
+    old spec_id and the planner evaluates filters per spec."""
+
+    def __init__(self, table):
+        self.table = table
+        self._adds: List[Tuple[str, str, Optional[str]]] = []
+        self._removes: Set[str] = set()
+        self._renames: Dict[str, str] = {}
+
+    def __enter__(self) -> "UpdateSpec":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.commit()
+
+    def add_field(self, source_column: str, transform: str = "identity", name: Optional[str] = None) -> "UpdateSpec":
+        self._adds.append((source_column, transform, name))
+        return self
+
+    def remove_field(self, name: str) -> "UpdateSpec":
+        self._removes.add(name)
+        return self
+
+    def rename_field(self, name: str, new_name: str) -> "UpdateSpec":
+        self._renames[name] = new_name
+        return self
+
+    def commit(self) -> None:
+        meta = self.table.metadata
+        schema = meta.schema()
+        spec = meta.spec()
+        next_field_id = meta.last_partition_id
+        fields: List[PartitionField] = []
+        for pf in spec.fields:
+            if pf.name in self._removes:
+                continue
+            fields.append(
+                PartitionField(pf.source_id, pf.field_id, pf.transform, self._renames.get(pf.name, pf.name))
+            )
+        for source_column, transform, name in self._adds:
+            src = schema.find_field(source_column)
+            tf = parse_transform(transform)
+            default_name = source_column if isinstance(tf, IdentityTransform) else f"{source_column}_{transform.split('[')[0]}"
+            pname = name or default_name
+            if any(f.name == pname for f in fields):
+                raise ValueError(f"partition field {pname!r} already exists")
+            next_field_id += 1
+            fields.append(PartitionField(src.field_id, next_field_id, tf, pname))
+        new_spec = PartitionSpec(*fields, spec_id=max(s.spec_id for s in meta.partition_specs) + 1)
+        new_meta = copy.deepcopy(meta)
+        new_meta.partition_specs.append(new_spec)
+        new_meta.default_spec_id = new_spec.spec_id
+        new_meta.last_partition_id = max(next_field_id, meta.last_partition_id)
+        new_meta.last_updated_ms = int(time.time() * 1000)
+        self.table.catalog._commit_table(self.table, new_meta)
+
+
+class ManageSnapshots:
+    """Tags, branches, rollback (reference update/snapshot.py:807-1030)."""
+
+    def __init__(self, table):
+        self.table = table
+        self._new_refs: Dict[str, SnapshotRef] = {}
+        self._removed_refs: Set[str] = set()
+        self._new_current: Optional[int] = None
+
+    def __enter__(self) -> "ManageSnapshots":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.commit()
+
+    def create_tag(self, snapshot_id: int, tag_name: str) -> "ManageSnapshots":
+        self._new_refs[tag_name] = SnapshotRef(snapshot_id, "tag")
+        return self
+
+    def create_branch(self, snapshot_id: int, branch_name: str) -> "ManageSnapshots":
+        self._new_refs[branch_name] = SnapshotRef(snapshot_id, "branch")
+        return self
+
+    def remove_tag(self, tag_name: str) -> "ManageSnapshots":
+        self._removed_refs.add(tag_name)
+        return self
+
+    def remove_branch(self, branch_name: str) -> "ManageSnapshots":
+        self._removed_refs.add(branch_name)
+        return self
+
+    def set_current_snapshot(self, snapshot_id: Optional[int] = None, ref_name: Optional[str] = None) -> "ManageSnapshots":
+        if snapshot_id is None:
+            ref = self.table.metadata.refs.get(ref_name)
+            if ref is None:
+                raise ValueError(f"unknown ref {ref_name!r}")
+            snapshot_id = ref.snapshot_id
+        if self.table.metadata.snapshot_by_id(snapshot_id) is None:
+            raise ValueError(f"snapshot {snapshot_id} not found")
+        self._new_current = snapshot_id
+        return self
+
+    def rollback_to_snapshot(self, snapshot_id: int) -> "ManageSnapshots":
+        return self.set_current_snapshot(snapshot_id)
+
+    def rollback_to_timestamp(self, timestamp_ms: int) -> "ManageSnapshots":
+        snap = self.table.metadata.snapshot_as_of_timestamp(timestamp_ms)
+        if snap is None:
+            raise ValueError(f"no snapshot at or before {timestamp_ms}")
+        return self.set_current_snapshot(snap.snapshot_id)
+
+    def commit(self) -> None:
+        meta = copy.deepcopy(self.table.metadata)
+        for name, ref in self._new_refs.items():
+            if meta.snapshot_by_id(ref.snapshot_id) is None:
+                raise ValueError(f"snapshot {ref.snapshot_id} not found")
+            meta.refs[name] = ref
+        for name in self._removed_refs:
+            if name == MAIN_BRANCH:
+                raise ValueError("cannot remove the main branch")
+            meta.refs.pop(name, None)
+        if self._new_current is not None:
+            meta.current_snapshot_id = self._new_current
+            meta.refs[MAIN_BRANCH] = SnapshotRef(self._new_current, "branch")
+            meta.snapshot_log.append(SnapshotLogEntry(self._new_current, int(time.time() * 1000)))
+        meta.last_updated_ms = int(time.time() * 1000)
+        self.table.catalog._commit_table(self.table, meta)
+
+
+class ExpireSnapshots:
+    """Expire old snapshots while protecting every ref head and ancestors
+    of live refs as needed (reference update/snapshot.py:1033-1133), then
+    optionally delete files no surviving snapshot references."""
+
+    def __init__(self, table):
+        self.table = table
+        self._expire_ids: Set[int] = set()
+        self._older_than_ms: Optional[int] = None
+
+    def expire_snapshot_id(self, snapshot_id: int) -> "ExpireSnapshots":
+        self._expire_ids.add(snapshot_id)
+        return self
+
+    def expire_older_than(self, timestamp_ms: int) -> "ExpireSnapshots":
+        self._older_than_ms = timestamp_ms
+        return self
+
+    def commit(self, clean_files: bool = True) -> List[str]:
+        meta = copy.deepcopy(self.table.metadata)
+        protected = {ref.snapshot_id for ref in meta.refs.values()}
+        if meta.current_snapshot_id is not None:
+            protected.add(meta.current_snapshot_id)
+        to_expire = set(self._expire_ids)
+        if self._older_than_ms is not None:
+            to_expire |= {s.snapshot_id for s in meta.snapshots if s.timestamp_ms < self._older_than_ms}
+        to_expire -= protected
+        if not to_expire:
+            return []
+        survivors = [s for s in meta.snapshots if s.snapshot_id not in to_expire]
+        expired = [s for s in meta.snapshots if s.snapshot_id in to_expire]
+        meta.snapshots = survivors
+        meta.snapshot_log = [e for e in meta.snapshot_log if e.snapshot_id not in to_expire]
+        meta.last_updated_ms = int(time.time() * 1000)
+        self.table.catalog._commit_table(self.table, meta)
+
+        removed: List[str] = []
+        if clean_files:
+            removed = self._clean_orphaned(survivors, expired)
+        return removed
+
+    def _clean_orphaned(self, survivors, expired) -> List[str]:
+        """Delete data/manifest files referenced only by expired snapshots.
+        File GC is a set difference over manifests — at large scale this
+        becomes a Spark anti-join over manifest DataFrames."""
+        meta = self.table.metadata
+
+        def files_of(snapshots) -> Tuple[Set[str], Set[str]]:
+            data, mfs = set(), set()
+            for s in snapshots:
+                try:
+                    from .manifests import read_manifest, read_manifest_list
+
+                    mlist = read_manifest_list(s.manifest_list, meta.spec_by_id, meta.schema())
+                except FileNotFoundError:
+                    continue
+                mfs.add(s.manifest_list)
+                for m in mlist:
+                    mfs.add(m["manifest_path"])
+                    from .manifests import read_manifest
+
+                    spec = meta.spec_by_id(m["spec_id"])
+                    for e in read_manifest(m["manifest_path"], meta.schema(), spec):
+                        data.add(e["data_file"]["file_path"])
+            return data, mfs
+
+        live_data, live_manifests = files_of(survivors)
+        dead_data, dead_manifests = files_of(expired)
+        removed = []
+        for p in (dead_data - live_data) | (dead_manifests - live_manifests):
+            try:
+                os.remove(p)
+                removed.append(p)
+            except OSError:
+                pass
+        return removed

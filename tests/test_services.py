@@ -1,0 +1,122 @@
+"""Table services: schema evolution, partition evolution, snapshot
+management (tags/branches/rollback), expiration + orphan GC, inspect
+tables."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_python_spark import spec_from_names
+from iceberg_python_spark.schema import schema_from_spark
+from iceberg_python_spark.types import DoubleType, LongType, StringType
+
+
+@pytest.fixture()
+def table(catalog, spark):
+    df = spark.createDataFrame([(i, f"n{i}", float(i)) for i in range(20)], "id: long, name: string, val: double")
+    t = catalog.create_table("db.svc", schema_from_spark(df.schema))
+    t.append(df)
+    return t
+
+
+def test_schema_evolution_rename_add_read_old_files(table, spark):
+    t = table
+    t.update_schema().rename_column("name", "label").add_column("extra", StringType()).commit()
+    t.refresh()
+    assert t.schema().column_names == ["id", "label", "val", "extra"]
+    # old files resolve by field id: renamed column keeps its values
+    rows = t.scan().to_df().collect()
+    assert {r.label for r in rows} == {f"n{i}" for i in range(20)}
+    assert all(r.extra is None for r in rows)
+    # new appends carry the new schema; both file generations union correctly
+    t.append(spark.createDataFrame([(100, "new", 1.0, "x")], "id: long, label: string, val: double, extra: string"))
+    got = t.scan(row_filter="id = 100").to_df().collect()
+    assert got[0].extra == "x"
+    assert t.scan().to_df().count() == 21
+
+
+def test_schema_evolution_type_promotion(catalog, spark):
+    df = spark.createDataFrame([(1, 2.0)], "a: int, b: float")
+    t = catalog.create_table("db.promo", schema_from_spark(df.schema))
+    t.append(df)
+    t.update_schema().update_column_type("a", LongType()).update_column_type("b", DoubleType()).commit()
+    t.refresh()
+    row = t.scan().to_df().collect()[0]
+    assert row.a == 1 and abs(row.b - 2.0) < 1e-6
+    with pytest.raises(ValueError):
+        t.update_schema().update_column_type("a", StringType()).commit()
+
+
+def test_delete_column(table):
+    t = table
+    t.update_schema().delete_column("val").commit()
+    t.refresh()
+    assert t.schema().column_names == ["id", "name"]
+    assert "val" not in t.scan().to_df().columns
+
+
+def test_partition_evolution(catalog, spark):
+    df = spark.createDataFrame([(i, f"g{i%3}") for i in range(30)], "id: long, grp: string")
+    t = catalog.create_table("db.pevo", schema_from_spark(df.schema))
+    t.append(df)
+    t.update_spec().add_field("grp", "identity").commit()
+    t.refresh()
+    assert t.spec().field_names() == ["grp"]
+    t.append(df)
+    # scan covers both old (unpartitioned) and new (partitioned) files
+    assert t.scan().to_df().count() == 60
+    # pruning works on the new files; old-spec files can't prune but still scan
+    tasks = t.scan(row_filter="grp = 'g0'").plan_files()
+    assert t.scan(row_filter="grp = 'g0'").to_df().count() == 20
+
+
+def test_tags_branches_rollback(table, spark):
+    t = table
+    s1 = t.current_snapshot().snapshot_id
+    t.append(spark.createDataFrame([(999, "z", 0.0)], "id: long, name: string, val: double"))
+    s2 = t.current_snapshot().snapshot_id
+    t.manage_snapshots().create_tag(s1, "v1").create_branch(s2, "dev").commit()
+    t.refresh()
+    assert t.refs()["v1"].snapshot_id == s1
+    assert t.scan(use_ref="v1").to_df().count() == 20
+    assert t.scan(use_ref="dev").to_df().count() == 21
+    t.manage_snapshots().rollback_to_snapshot(s1).commit()
+    t.refresh()
+    assert t.scan().to_df().count() == 20
+    with pytest.raises(ValueError):
+        t.manage_snapshots().create_tag(12345, "bad").commit()
+
+
+def test_expire_snapshots_gc(table, spark):
+    t = table
+    s1 = t.current_snapshot().snapshot_id
+    t.delete("id < 10")  # rewrites files -> s1's originals become unreferenced
+    t.refresh()
+    files_before = set()
+    for task in t.scan(snapshot_id=s1).plan_files():
+        files_before.add(task.file_path)
+    removed = t.expire_snapshots().expire_snapshot_id(s1).commit()
+    t.refresh()
+    assert len(t.snapshots()) == 1
+    assert t.scan().to_df().count() == 10  # current state intact
+    # orphaned data files physically removed
+    assert any(p in files_before for p in removed)
+    for p in removed:
+        assert not os.path.exists(p)
+
+
+def test_inspect_tables(table, spark):
+    t = table
+    t.append(spark.createDataFrame([(55, "x", 5.0)], "id: long, name: string, val: double"))
+    snaps = t.inspect.snapshots()
+    assert snaps.count() == 2
+    assert set(snaps.select("operation").distinct().toPandas()["operation"]) == {"append"}
+    files = t.inspect.files()
+    assert files.count() >= 2
+    total = t.inspect.partitions().agg(F.sum("record_count")).collect()[0][0]
+    assert total == 21
+    assert t.inspect.refs().count() >= 1
+    assert t.inspect.history().count() == 2
+    assert t.inspect.entries().count() >= 2
+    assert t.inspect.metadata_log_entries().count() >= 2
