@@ -119,6 +119,20 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict:
     )
     env["orders_evo"] = oe
 
+    # merge-on-read: position-delete files applied as anti-joins at scan
+    lm = create("lineitem_mor", raw["lineitem"], parts=[("l_shipdate", "month")])
+    lm.delete("l_quantity > 45", mode="merge-on-read")
+    lm.refresh()
+    env["lineitem_mor"] = lm
+
+    # MoR + compaction: same state rewritten into clean files
+    lc = create("lineitem_compact", raw["lineitem"], parts=[("l_shipdate", "month")])
+    lc.delete("l_quantity > 45", mode="merge-on-read")
+    lc.refresh()
+    lc.compact()
+    lc.refresh()
+    env["lineitem_compact"] = lc
+
     # duplicated-documents corpus for dedup ops
     docs = raw["documents"]
     dup_exact = docs.where("doc_id % 10 = 0").withColumn("doc_id", F.col("doc_id") + 1000000)
@@ -193,6 +207,68 @@ def _q_incremental(spark, env):
 
 def _q_schema_evolution(spark, env):
     return env["orders_evo"].scan().to_df()
+
+
+def _q_mor_delete(spark, env):
+    return env["lineitem_mor"].scan().to_df()
+
+
+def _q_mor_compacted(spark, env):
+    return env["lineitem_compact"].scan().to_df()
+
+
+def _q_q4_order_priority(spark, env):
+    """Q4-style: orders with at least one late lineitem (left-semi join)."""
+    orders = env["orders"].scan(row_filter="o_orderdate >= '1996-01-01' and o_orderdate < '1996-10-01'").to_df()
+    li = env["lineitem"].scan(selected_fields=("l_orderkey", "l_quantity")).to_df().where("l_quantity > 47")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def _q_q14_promo(spark, env):
+    """Q14-style: share of revenue from a brand prefix (join + conditional agg)."""
+    li = env["lineitem"].scan(row_filter="l_shipdate >= '1996-09-01' and l_shipdate < '1996-10-01'").to_df()
+    part = env["part"].scan().to_df()
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.agg(
+        F.round(F.sum(F.when(F.col("p_brand") == "Brand#1", rev).otherwise(F.lit(0.0))) * 100.0 / F.sum(rev), 4).alias(
+            "promo_share_pct"
+        )
+    )
+
+
+def _q_q17_small_qty(spark, env):
+    """Q17-style: revenue from lineitems below 50%% of the part's average
+    quantity (aggregate subquery join)."""
+    li = env["lineitem"].scan(selected_fields=("l_partkey", "l_quantity", "l_extendedprice")).to_df()
+    avg_qty = li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.5).alias("half_avg"))
+    return (
+        li.join(avg_qty, "l_partkey")
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def _q_q18_large_orders(spark, env):
+    """Q18-style: orders whose total quantity exceeds a threshold (HAVING)."""
+    li = env["lineitem"].scan(selected_fields=("l_orderkey", "l_quantity")).to_df()
+    big = li.groupBy("l_orderkey").agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty")).where(F.col("sum_qty") > 160)
+    orders = env["orders"].scan().to_df()
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+def _q_anti_join_customers(spark, env):
+    """Customers with no orders (left-anti join)."""
+    cust = env["customer"].scan().to_df()
+    orders = env["orders"].scan(selected_fields=("o_custkey",)).to_df()
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
 def _q_q1(spark, env):
@@ -403,7 +479,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dynamic_partition_overwrite": _q_dpo,
             "incremental_append_scan": _q_incremental,
             "schema_evolution_read": _q_schema_evolution,
+            "mor_delete_scan": _q_mor_delete,
+            "mor_compacted_scan": _q_mor_compacted,
             "tpch_q1_pricing_summary": _q_q1,
+            "tpch_q4_order_priority": _q_q4_order_priority,
+            "tpch_q14_promo_share": _q_q14_promo,
+            "tpch_q17_small_qty_revenue": _q_q17_small_qty,
+            "tpch_q18_large_orders": _q_q18_large_orders,
+            "anti_join_customers_no_orders": _q_anti_join_customers,
             "tpch_q3_shipping_priority": _q_q3,
             "tpch_q5_local_supplier": _q_q5,
             "tpch_q6_revenue": _q_q6,
@@ -466,6 +549,33 @@ def oracle_sql() -> dict[str, str]:
         "schema_evolution_read": (
             "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
             "o_orderpriority AS priority, CASE WHEN o_orderkey % 2 = 1 THEN 'new' END AS note FROM orders"
+        ),
+        "mor_delete_scan": "SELECT * FROM lineitem WHERE NOT (l_quantity > 45)",
+        "mor_compacted_scan": "SELECT * FROM lineitem WHERE NOT (l_quantity > 45)",
+        "tpch_q4_order_priority": (
+            "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-10-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 47) "
+            "GROUP BY o_orderpriority"
+        ),
+        "tpch_q14_promo_share": (
+            "SELECT round(100.0 * sum(CASE WHEN p_brand = 'Brand#1' THEN l_extendedprice * (1 - l_discount) "
+            "ELSE 0.0 END) / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct "
+            "FROM lineitem, part WHERE l_partkey = p_partkey "
+            "AND l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'"
+        ),
+        "tpch_q17_small_qty_revenue": (
+            "SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly FROM lineitem l1 "
+            "WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)"
+        ),
+        "tpch_q18_large_orders": (
+            "SELECT o_orderkey, o_orderdate, o_totalprice, sum_qty FROM orders JOIN ("
+            "SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY l_orderkey "
+            "HAVING round(sum(l_quantity), 2) > 160) b ON o_orderkey = b.l_orderkey"
+        ),
+        "anti_join_customers_no_orders": (
+            "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS ("
+            "SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
         ),
         "tpch_q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "

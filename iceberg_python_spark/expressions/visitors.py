@@ -71,12 +71,18 @@ def _visit(expr: BooleanExpression, pred_fn: Callable[[BoundPredicate], Any], an
 # ---------------------------------------------------------------------------
 
 
-def to_spark_column(expr: BooleanExpression, column_for: Optional[Callable[[BoundPredicate], Column]] = None) -> Column:
+def to_spark_column(
+    expr: BooleanExpression,
+    column_for: Optional[Callable[[BoundPredicate], Column]] = None,
+    keep_internal: bool = False,
+) -> Column:
     """Convert a bound expression tree to a Spark Column predicate.
 
     ``column_for`` maps a predicate to the Column holding that field
     (defaults to ``F.col(field.name)``); pass a custom mapper to target
-    renamed per-file columns.
+    renamed per-file columns. ``keep_internal=True`` leaves literals in
+    internal representation (days/µs ints) for columns that physically
+    hold internal values, e.g. JSON-parsed partition tuples.
     """
 
     def pred(p: BoundPredicate) -> Column:
@@ -84,7 +90,7 @@ def to_spark_column(expr: BooleanExpression, column_for: Optional[Callable[[Boun
             raise ValueError(f"expression must be bound first: {p!r}")
         c = column_for(p) if column_for else F.col(p.field.name)
         t = p.field.field_type
-        vals = [internal_to_python(v, t) for v in p.values]
+        vals = list(p.values) if keep_internal else [internal_to_python(v, t) for v in p.values]
         op = p.op
         if op == "is_null":
             return c.isNull()

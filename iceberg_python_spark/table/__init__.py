@@ -79,15 +79,33 @@ class CommitFailedException(Exception):
 
 @dataclass(frozen=True)
 class FileScanTask:
-    """One pruned data file + its residual filter
-    (reference table/__init__.py:2052 FileScanTask)."""
+    """One pruned data file + its residual filter + applicable position
+    deletes (reference table/__init__.py:2052 FileScanTask)."""
 
     data_file: Dict[str, Any]
     residual: BooleanExpression
+    delete_files: Tuple[str, ...] = ()
+    sequence_number: int = 0
 
     @property
     def file_path(self) -> str:
         return self.data_file["file_path"]
+
+
+# reserved field IDs for position-delete files (Iceberg spec)
+POS_DELETE_SCHEMA = None  # initialized below (module import order)
+
+
+def _pos_delete_schema() -> Schema:
+    global POS_DELETE_SCHEMA
+    if POS_DELETE_SCHEMA is None:
+        from ..types import LongType as _Long, NestedField as _NF, StringType as _Str
+
+        POS_DELETE_SCHEMA = Schema(
+            _NF(2147483546, "file_path", _Str(), required=True),
+            _NF(2147483545, "pos", _Long(), required=True),
+        )
+    return POS_DELETE_SCHEMA
 
 
 @dataclass
@@ -218,9 +236,18 @@ class Table:
         with self.transaction() as tx:
             tx.overwrite(df, overwrite_filter, snapshot_properties)
 
-    def delete(self, delete_filter: Union[str, BooleanExpression], snapshot_properties: Optional[Dict[str, str]] = None) -> None:
+    def delete(
+        self,
+        delete_filter: Union[str, BooleanExpression],
+        snapshot_properties: Optional[Dict[str, str]] = None,
+        mode: Optional[str] = None,
+    ) -> None:
         with self.transaction() as tx:
-            tx.delete(delete_filter, snapshot_properties)
+            tx.delete(delete_filter, snapshot_properties, mode=mode)
+
+    def compact(self, snapshot_properties: Optional[Dict[str, str]] = None) -> None:
+        with self.transaction() as tx:
+            tx.compact(snapshot_properties)
 
     def dynamic_partition_overwrite(self, df: DataFrame, snapshot_properties: Optional[Dict[str, str]] = None) -> None:
         with self.transaction() as tx:
@@ -325,6 +352,63 @@ class Transaction:
             sort_columns=self._sort_columns(),
         )
 
+    def _write_position_deletes(self, data_paths: List[str], bound: BooleanExpression) -> List[Dict[str, Any]]:
+        """Write sorted position-delete parquet for rows matching ``bound``
+        in the given data files, using Spark's _metadata virtual column
+        for (file, row_index). Returns content=1 DataFile dicts."""
+        from ..io.write import collect_file_stats, _list_parquet_files
+
+        spark = self._spark()
+        schema = self._schema()
+        src = spark.read.schema(schema.to_spark()).parquet(*data_paths)
+        matched = (
+            src.withColumn("_f", F.col("_metadata.file_path"))
+            .withColumn("_p", F.col("_metadata.row_index"))
+            .where(F.coalesce(to_spark_column(bound), F.lit(False)))
+            .select(F.col("_f").alias("file_path"), F.col("_p").alias("pos"))
+        )
+        out_dir = posixpath.join(self.metadata.location, "data", f"{uuid.uuid4()}-deletes")
+        (
+            matched.repartition("file_path")
+            .sortWithinPartitions("file_path", "pos")  # spec: pos deletes sorted
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+        paths = _list_parquet_files(out_dir)
+        if not paths:
+            return []
+        stats = collect_file_stats(spark, paths, _pos_delete_schema())
+        out = []
+        for path in sorted(paths):
+            st = stats[path]
+            if st["record_count"] == 0:
+                continue
+            out.append(
+                {
+                    "content": 1,
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "spec_id": self._spec().spec_id,
+                    "schema_id": schema.schema_id,
+                    "partition": {},
+                    **st,
+                }
+            )
+        return out
+
+    def compact(self, snapshot_properties: Optional[Dict[str, str]] = None) -> None:
+        """Rewrite the table's current state into fresh bin-packed files
+        with all position deletes applied, as one REPLACE snapshot
+        (rewrite_data_files maintenance; removes accumulated MoR debt)."""
+        parent = self.metadata.current_snapshot()
+        entries = self.table._live_entries(parent)
+        if not entries:
+            return
+        current = DataScan(self.table, AlwaysTrue(), ("*",), True, None, None, None)._to_df_of(self.metadata)
+        files = self._write_files(current)
+        removed = {e["data_file"]["file_path"] for e in entries}
+        self._commit_snapshot(Operation.REPLACE, files, removed_paths=removed, snapshot_properties=snapshot_properties)
+
     def _commit_snapshot(
         self,
         operation: str,
@@ -420,11 +504,28 @@ class Transaction:
         self._commit_snapshot(Operation.APPEND, files, snapshot_properties=snapshot_properties)
 
     def delete(
-        self, delete_filter: Union[str, BooleanExpression], snapshot_properties: Optional[Dict[str, str]] = None
+        self,
+        delete_filter: Union[str, BooleanExpression],
+        snapshot_properties: Optional[Dict[str, str]] = None,
+        mode: Optional[str] = None,
     ) -> None:
-        """Copy-on-write delete: strict-match files are dropped metadata-only
-        (no data read); partial files are rewritten with the complement
-        (reference table/update/snapshot.py:409-484)."""
+        """Row-level delete. Strict-match files are dropped metadata-only
+        (no data read) in both modes; for partially-matching files:
+
+        - copy-on-write (default): rewrite with the complement filter
+          (reference table/update/snapshot.py:409-484);
+        - merge-on-read: write position-delete files instead — matched
+          (file, row_index) pairs captured via Spark's ``_metadata``
+          virtual column and applied as an anti-join at scan time
+          (the read side of reference io/pyarrow.py:1130-1176; the
+          reference's own delete falls back to CoW, table/__init__.py:726
+          — our MoR write is an extension it plans but does not ship).
+
+        Mode resolves from the argument, else the table property
+        ``write.delete.mode``, else copy-on-write."""
+        mode = mode or self.metadata.properties.get("write.delete.mode", "copy-on-write")
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown delete mode {mode!r} (use 'copy-on-write' or 'merge-on-read')")
         if isinstance(delete_filter, str):
             delete_filter = parse_filter(delete_filter)
         schema = self._schema()
@@ -432,12 +533,19 @@ class Transaction:
         if isinstance(bound, AlwaysFalse):
             return
         parent = self.metadata.current_snapshot()
-        entries = self.table._live_entries(parent)
+        all_entries = self.table._live_entries(parent)
+        entries = [e for e in all_entries if e["data_file"].get("content", 0) == CONTENT_DATA]
+        existing_deletes = [
+            (e["sequence_number"], e["data_file"]["file_path"])
+            for e in all_entries
+            if e["data_file"].get("content", 0) != CONTENT_DATA
+        ]
         inclusive = inclusive_metrics_evaluator(bound)
         strict = strict_metrics_evaluator(bound)
 
         full_delete: List[Dict[str, Any]] = []
         partial: List[Dict[str, Any]] = []
+        partial_seqs: List[int] = []
         for e in entries:
             df_ = e["data_file"]
             spec = self.metadata.spec_by_id(df_.get("spec_id", self.metadata.default_spec_id))
@@ -448,18 +556,45 @@ class Transaction:
                 full_delete.append(df_)
             elif inclusive(df_):
                 partial.append(df_)
+                partial_seqs.append(e["sequence_number"])
 
         added: List[Dict[str, Any]] = []
         rewritten_paths: Set[str] = set()
+        if partial and mode == "merge-on-read":
+            delete_files = self._write_position_deletes([d["file_path"] for d in partial], bound)
+            removed = {d["file_path"] for d in full_delete}
+            if not removed and not delete_files:
+                return
+            self._commit_snapshot(
+                Operation.DELETE, delete_files, removed_paths=removed, snapshot_properties=snapshot_properties
+            )
+            return
         if partial:
             paths = [d["file_path"] for d in partial]
             spark_schema = schema.to_spark()
-            src = self._spark().read.schema(spark_schema).parquet(*paths)
+            spark = self._spark()
+            src = spark.read.schema(spark_schema).parquet(*paths)
+            n_before = sum(d["record_count"] for d in partial)
+            # apply pre-existing position deletes so the rewrite doesn't
+            # resurrect rows already deleted under merge-on-read
+            applicable = sorted({pth for dseq, pth in existing_deletes if dseq >= min(partial_seqs)})
+            if applicable:
+                dels = spark.read.schema(_pos_delete_schema().to_spark()).parquet(*applicable)
+                src = (
+                    src.withColumn("_ips_file", F.col("_metadata.file_path"))
+                    .withColumn("_ips_pos", F.col("_metadata.row_index"))
+                    .join(
+                        F.broadcast(dels),
+                        (F.col("_ips_file") == dels.file_path) & (F.col("_ips_pos") == dels.pos),
+                        "left_anti",
+                    )
+                    .drop("_ips_file", "_ips_pos")
+                )
+                n_before = src.count()
             pred = to_spark_column(bound)
             # keep rows where the predicate is NOT true (null-safe complement,
             # reference io/pyarrow.py:1093 _expression_to_complementary_pyarrow)
             remaining = src.where(~F.coalesce(pred, F.lit(False)))
-            n_before = sum(d["record_count"] for d in partial)
             added = self._write_files(remaining)
             n_after = sum(f["record_count"] for f in added)
             if n_after == n_before:
@@ -518,6 +653,8 @@ class Transaction:
         removed: Set[str] = set()
         for e in self.table._live_entries(parent):
             d = e["data_file"]
+            if d.get("content", 0) != CONTENT_DATA:
+                continue
             key = tuple(d.get("partition", {}).get(n) for n in spec.field_names())
             if key in incoming:
                 removed.add(d["file_path"])
@@ -748,8 +885,35 @@ class DataScan:
                 part_filter_by_spec[spec_id] = spec.inclusive_projection(schema, bound)
             return part_filter_by_spec[spec_id]
 
+        # Distributed planning for huge tables (SURVEY.md §7 M5): when the
+        # manifest entry count is large, pruning runs as a Spark job over
+        # the manifest parquets instead of a driver loop — manifests ARE
+        # DataFrames here, which is why they are parquet not Avro.
+        threshold = int(metadata.properties.get("read.plan.distributed-threshold", "200000"))
+        est_entries = sum(
+            m["added_files_count"] + m["existing_files_count"]
+            for m in manifest_files
+            if m.get("content", CONTENT_DATA) == CONTENT_DATA
+        )
+        if est_entries > threshold:
+            return self._plan_files_distributed(metadata, schema, bound, manifest_files, part_filter, metrics_eval)
+
+        # position-delete index: (sequence_number, path) of live delete files
+        # (reference DeleteFileIndex, table/delete_file_index.py:105 — ours
+        # matches by sequence number; path disjointness makes the anti-join
+        # exact regardless)
+        deletes: List[Tuple[int, str]] = []
+        for m in manifest_files:
+            if m.get("content", CONTENT_DATA) != CONTENT_DATA:
+                spec = metadata.spec_by_id(m["spec_id"])
+                for e in read_manifest(m["manifest_path"], schema, spec):
+                    if e["status"] != STATUS_DELETED:
+                        deletes.append((e["sequence_number"], e["data_file"]["file_path"]))
+
         tasks: List[FileScanTask] = []
         for m in manifest_files:
+            if m.get("content", CONTENT_DATA) != CONTENT_DATA:
+                continue
             pf = part_filter(m["spec_id"])
             if isinstance(pf, AlwaysFalse):
                 continue
@@ -769,7 +933,93 @@ class DataScan:
                 res = compute_residual(spec, schema, bound, d.get("partition", {}))
                 if isinstance(res, AlwaysFalse):
                     continue
-                tasks.append(FileScanTask(d, res))
+                seq = e["sequence_number"]
+                applicable = tuple(path for dseq, path in deletes if dseq >= seq)
+                tasks.append(FileScanTask(d, res, delete_files=applicable, sequence_number=seq))
+        return tasks
+
+    def _plan_files_distributed(
+        self, metadata, schema, bound, manifest_files, part_filter, metrics_eval
+    ) -> List[FileScanTask]:
+        """Manifest pruning as a Spark job: read all (summary-surviving)
+        manifests as one DataFrame per spec, evaluate the projected
+        partition filter on the JSON-parsed partition tuple JVM-side, and
+        collect only surviving entries for metrics/residual evaluation."""
+        from pyspark.sql import types as T
+
+        from ..manifests_distributed import json_storage_spark_type  # local import avoids cycle
+
+        spark = self.table.spark
+        # delete manifests stay driver-side (orders of magnitude fewer)
+        deletes: List[Tuple[int, str]] = []
+        by_spec: Dict[int, List[Dict[str, Any]]] = {}
+        for m in manifest_files:
+            if m.get("content", CONTENT_DATA) != CONTENT_DATA:
+                spec = metadata.spec_by_id(m["spec_id"])
+                for e in read_manifest(m["manifest_path"], schema, spec):
+                    if e["status"] != STATUS_DELETED:
+                        deletes.append((e["sequence_number"], e["data_file"]["file_path"]))
+            else:
+                by_spec.setdefault(m["spec_id"], []).append(m)
+
+        tasks: List[FileScanTask] = []
+        for spec_id, group in by_spec.items():
+            pf = part_filter(spec_id)
+            if isinstance(pf, AlwaysFalse):
+                continue
+            spec = metadata.spec_by_id(spec_id)
+            # manifest-level pruning by partition summaries first (driver, cheap)
+            paths = []
+            for m in group:
+                if not isinstance(pf, AlwaysTrue) and m.get("partition_summaries"):
+                    if not manifest_evaluator(m["partition_summaries"])(pf):
+                        continue
+                paths.append(m["manifest_path"])
+            if not paths:
+                continue
+            df = spark.read.parquet(*paths).where(
+                (F.col("status") != STATUS_DELETED) & (F.col("content") == CONTENT_DATA)
+            )
+            if not isinstance(pf, AlwaysTrue):
+                part_schema = spec.partition_schema(schema)
+                struct = T.StructType(
+                    [T.StructField(f.name, json_storage_spark_type(f.field_type)) for f in part_schema.fields]
+                )
+                df = df.withColumn("_part", F.from_json("partition_json", struct))
+                pred = to_spark_column(
+                    pf, column_for=lambda p: F.col(f"_part.{p.field.name}"), keep_internal=True
+                )
+                df = df.where(pred)
+            rows = df.select(
+                "file_path",
+                "sequence_number",
+                "record_count",
+                "file_size_in_bytes",
+                "partition_json",
+                "stats_json",
+                "schema_id",
+            ).collect()
+            from .manifests import _partition_from_json, _stats_from_json
+
+            for r in rows:
+                d = {
+                    "content": CONTENT_DATA,
+                    "file_path": r.file_path,
+                    "file_format": "PARQUET",
+                    "spec_id": spec_id,
+                    "schema_id": r.schema_id,
+                    "partition": _partition_from_json(r.partition_json, spec, schema),
+                    "record_count": r.record_count,
+                    "file_size_in_bytes": r.file_size_in_bytes,
+                    **_stats_from_json(r.stats_json, schema),
+                }
+                if not metrics_eval(d):
+                    continue
+                res = compute_residual(spec, schema, bound, d["partition"])
+                if isinstance(res, AlwaysFalse):
+                    continue
+                applicable = tuple(path for dseq, path in deletes if dseq >= r.sequence_number)
+                tasks.append(FileScanTask(d, res, delete_files=applicable, sequence_number=r.sequence_number))
         return tasks
 
     # -- execution ----------------------------------------------------------
@@ -799,6 +1049,21 @@ class DataScan:
         for schema_id, group in groups.items():
             file_schema = metadata.schema_by_id(schema_id)
             df = spark.read.schema(file_schema.to_spark()).parquet(*[t.file_path for t in group])
+            delete_paths = sorted({p for t in group for p in t.delete_files})
+            if delete_paths:
+                # MoR: drop positions listed in delete files via a
+                # broadcast-able anti-join on (_metadata.file_path, row_index)
+                dels = spark.read.schema(_pos_delete_schema().to_spark()).parquet(*delete_paths)
+                df = (
+                    df.withColumn("_ips_file", F.col("_metadata.file_path"))
+                    .withColumn("_ips_pos", F.col("_metadata.row_index"))
+                    .join(
+                        F.broadcast(dels),
+                        (F.col("_ips_file") == dels.file_path) & (F.col("_ips_pos") == dels.pos),
+                        "left_anti",
+                    )
+                    .drop("_ips_file", "_ips_pos")
+                )
             df = _align_to_schema(df, file_schema, schema)
             dfs.append(df)
         out = dfs[0]
@@ -819,7 +1084,7 @@ class DataScan:
         total = 0
         to_read: List[FileScanTask] = []
         for t in tasks:
-            if isinstance(t.residual, AlwaysTrue):
+            if isinstance(t.residual, AlwaysTrue) and not t.delete_files:
                 total += t.data_file["record_count"]
             else:
                 to_read.append(t)
@@ -828,8 +1093,23 @@ class DataScan:
             snap = self._snapshot(metadata)
             schema = self._scan_schema(metadata, snap)
             bound = bind(self.row_filter, schema, self.case_sensitive)
-            df = self.table.spark.read.schema(schema.to_spark()).parquet(*[t.file_path for t in to_read])
-            total += df.where(to_spark_column(bound)).count()
+            spark = self.table.spark
+            df = spark.read.schema(schema.to_spark()).parquet(*[t.file_path for t in to_read])
+            delete_paths = sorted({p for t in to_read for p in t.delete_files})
+            if delete_paths:
+                dels = spark.read.schema(_pos_delete_schema().to_spark()).parquet(*delete_paths)
+                df = (
+                    df.withColumn("_ips_file", F.col("_metadata.file_path"))
+                    .withColumn("_ips_pos", F.col("_metadata.row_index"))
+                    .join(
+                        F.broadcast(dels),
+                        (F.col("_ips_file") == dels.file_path) & (F.col("_ips_pos") == dels.pos),
+                        "left_anti",
+                    )
+                )
+            if not isinstance(bound, AlwaysTrue):
+                df = df.where(to_spark_column(bound))
+            total += df.count()
         if self.limit is not None:
             total = min(total, self.limit)
         return total

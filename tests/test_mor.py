@@ -1,0 +1,98 @@
+"""Merge-on-read: position-delete writes, anti-join reads, interaction
+with CoW rewrites, and compaction."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_python_spark import spec_from_names
+from iceberg_python_spark.schema import schema_from_spark
+
+
+@pytest.fixture()
+def table(catalog, spark):
+    df = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(100)], "id: long, grp: int, val: double"
+    )
+    t = catalog.create_table("db.mor", schema_from_spark(df.schema))
+    t.append(df)
+    return t
+
+
+def test_mor_delete_and_scan(table):
+    t = table
+    files_before = {x.file_path for x in t.scan().plan_files()}
+    t.delete("id >= 10 and id < 20", mode="merge-on-read")
+    t.refresh()
+    # data files untouched; a delete file was added
+    files_after = {x.file_path for x in t.scan().plan_files()}
+    assert files_after == files_before
+    assert any(x.delete_files for x in t.scan().plan_files())
+    assert t.scan().to_df().count() == 90
+    assert t.scan().count() == 90  # count path applies deletes too
+    assert t.scan(row_filter="id < 30").to_df().count() == 20
+    rows = {r.id for r in t.scan().to_df().collect()}
+    assert rows == set(range(10)) | set(range(20, 100))
+
+
+def test_mor_stacked_deletes(table):
+    t = table
+    t.delete("id < 10", mode="merge-on-read")
+    t.delete("id >= 90", mode="merge-on-read")
+    t.refresh()
+    assert t.scan().to_df().count() == 80
+    # overlapping re-delete is idempotent
+    t.delete("id < 15", mode="merge-on-read")
+    t.refresh()
+    assert t.scan().to_df().count() == 75
+
+
+def test_cow_rewrite_respects_existing_mor_deletes(table):
+    t = table
+    t.delete("id < 10", mode="merge-on-read")
+    t.refresh()
+    # CoW delete rewrites files; must not resurrect MoR-deleted rows
+    t.delete("val > 95.0", mode="copy-on-write")
+    t.refresh()
+    rows = {r.id for r in t.scan().to_df().collect()}
+    assert rows == set(range(10, 96))
+
+
+def test_upsert_on_mor_table(table, spark):
+    t = table
+    t.delete("id < 50", mode="merge-on-read")
+    t.refresh()
+    src = spark.createDataFrame([(60, 0, -1.0), (200, 1, 2.0)], "id: long, grp: int, val: double")
+    res = t.upsert(src, join_cols=["id"])
+    assert res.rows_updated == 1 and res.rows_inserted == 1
+    rows = {r.id: r.val for r in t.scan().to_df().collect()}
+    assert rows[60] == -1.0 and rows[200] == 2.0
+    assert len(rows) == 51
+
+
+def test_compact_removes_delete_debt(table):
+    t = table
+    t.delete("id >= 50", mode="merge-on-read")
+    t.refresh()
+    assert t.scan().to_df().count() == 50
+    n_files_before = t.inspect.files().count()
+    t.compact()
+    t.refresh()
+    assert t.scan().to_df().count() == 50
+    # no delete files remain; all tasks clean
+    assert all(not x.delete_files for x in t.scan().plan_files())
+    assert t.inspect.delete_files().count() == 0
+    assert t.current_snapshot().operation == "replace"
+    rows = {r.id for r in t.scan().to_df().collect()}
+    assert rows == set(range(50))
+
+
+def test_mor_partitioned(catalog, spark):
+    df = spark.createDataFrame([(i, f"g{i%3}") for i in range(90)], "id: long, grp: string")
+    schema = schema_from_spark(df.schema)
+    t = catalog.create_table("db.mor_part", schema, partition_spec=spec_from_names(schema, "grp"))
+    t.append(df)
+    t.delete("id < 30 and grp = 'g0'", mode="merge-on-read")
+    t.refresh()
+    assert t.scan().to_df().count() == 80
+    # partition pruning still effective alongside deletes
+    assert t.scan(row_filter="grp = 'g0'").to_df().count() == 20

@@ -170,3 +170,22 @@ def test_static_table(lineitem_table, spark):
 
     st = StaticTable.from_metadata(lineitem_table.location, spark)
     assert st.scan().to_df().count() == lineitem_table.scan().to_df().count()
+
+
+def test_distributed_planning_matches_driver_side(catalog, spark, lineitem_df):
+    schema = schema_from_spark(lineitem_df.schema)
+    spec = spec_from_names(schema, ("l_shipdate", "month"))
+    t = catalog.create_table(
+        "db.li_dist", schema, partition_spec=spec,
+        properties={"read.plan.distributed-threshold": "1000000"},
+    )
+    t.append(lineitem_df)
+    flt = "l_shipdate >= '1996-01-01' and l_shipdate < '1997-01-01' and l_quantity > 30"
+    driver_tasks = {x.file_path for x in t.scan(row_filter=flt).plan_files()}
+    # force the distributed path
+    t.metadata.properties["read.plan.distributed-threshold"] = "0"
+    dist_tasks = {x.file_path for x in t.scan(row_filter=flt).plan_files()}
+    assert dist_tasks == driver_tasks
+    assert t.scan(row_filter=flt).to_df().count() == lineitem_df.where(
+        "l_shipdate >= timestamp'1996-01-01' and l_shipdate < timestamp'1997-01-01' and l_quantity > 30"
+    ).count()
