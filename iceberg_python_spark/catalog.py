@@ -77,6 +77,16 @@ class SqliteCatalog:
                     PRIMARY KEY (catalog_name, namespace)
                 )"""
             )
+            con.execute(
+                """CREATE TABLE IF NOT EXISTS iceberg_views (
+                    catalog_name TEXT NOT NULL,
+                    view_namespace TEXT NOT NULL,
+                    view_name TEXT NOT NULL,
+                    sql TEXT NOT NULL,
+                    comment TEXT,
+                    PRIMARY KEY (catalog_name, view_namespace, view_name)
+                )"""
+            )
 
     def _conn(self) -> sqlite3.Connection:
         con = sqlite3.connect(self.db_path, timeout=30)
@@ -257,6 +267,70 @@ class SqliteCatalog:
             )
         return self.load_table(ident)
 
+    # -- views (reference catalog/__init__.py:712-760, REST-only there;
+    # ours stores SQL text and resolves table names against this catalog) --
+    def create_view(self, identifier: Union[str, Identifier], sql: str, comment: Optional[str] = None) -> None:
+        ident = _to_identifier(identifier)
+        ns, name = ".".join(ident[:-1]), ident[-1]
+        if not self.namespace_exists(ns):
+            self.create_namespace(ns)
+        with self._conn() as con:
+            con.execute(
+                "INSERT OR REPLACE INTO iceberg_views VALUES (?, ?, ?, ?, ?)",
+                (self.name, ns, name, sql, comment),
+            )
+
+    def view_exists(self, identifier: Union[str, Identifier]) -> bool:
+        ident = _to_identifier(identifier)
+        with self._conn() as con:
+            return (
+                con.execute(
+                    "SELECT 1 FROM iceberg_views WHERE catalog_name=? AND view_namespace=? AND view_name=?",
+                    (self.name, ".".join(ident[:-1]), ident[-1]),
+                ).fetchone()
+                is not None
+            )
+
+    def drop_view(self, identifier: Union[str, Identifier]) -> None:
+        ident = _to_identifier(identifier)
+        with self._conn() as con:
+            cur = con.execute(
+                "DELETE FROM iceberg_views WHERE catalog_name=? AND view_namespace=? AND view_name=?",
+                (self.name, ".".join(ident[:-1]), ident[-1]),
+            )
+            if cur.rowcount == 0:
+                raise NoSuchTableError(".".join(ident))
+
+    def view_sql(self, identifier: Union[str, Identifier]) -> str:
+        ident = _to_identifier(identifier)
+        with self._conn() as con:
+            row = con.execute(
+                "SELECT sql FROM iceberg_views WHERE catalog_name=? AND view_namespace=? AND view_name=?",
+                (self.name, ".".join(ident[:-1]), ident[-1]),
+            ).fetchone()
+        if row is None:
+            raise NoSuchTableError(".".join(ident))
+        return row[0]
+
+    def read_view(self, identifier: Union[str, Identifier]) -> DataFrame:
+        """Run the view SQL with every table of its namespace registered
+        as a temp view (engine scans, so snapshots/deletes apply)."""
+        ident = _to_identifier(identifier)
+        sql = self.view_sql(ident)
+        ns = ident[:-1]
+        for t_ident in self.list_tables(".".join(ns)):
+            self.load_table(t_ident).scan().to_df().createOrReplaceTempView(t_ident[-1])
+        return self.spark.sql(sql)
+
+    def list_views(self, namespace: Union[str, Identifier]) -> List[Identifier]:
+        ns = ".".join(_to_identifier(namespace))
+        with self._conn() as con:
+            rows = con.execute(
+                "SELECT view_name FROM iceberg_views WHERE catalog_name=? AND view_namespace=?",
+                (self.name, ns),
+            ).fetchall()
+        return [tuple(ns.split(".")) + (r[0],) for r in rows]
+
     # -- commit protocol -----------------------------------------------------------
     def _write_metadata(self, metadata: TableMetadata, version: int) -> str:
         # uuid suffix so concurrent commit attempts at the same version can
@@ -334,4 +408,10 @@ class InMemoryCatalog(SqliteCatalog):
                 """CREATE TABLE IF NOT EXISTS iceberg_namespace_properties (
                     catalog_name TEXT NOT NULL, namespace TEXT NOT NULL, properties TEXT,
                     PRIMARY KEY (catalog_name, namespace))"""
+            )
+            con.execute(
+                """CREATE TABLE IF NOT EXISTS iceberg_views (
+                    catalog_name TEXT NOT NULL, view_namespace TEXT NOT NULL,
+                    view_name TEXT NOT NULL, sql TEXT NOT NULL, comment TEXT,
+                    PRIMARY KEY (catalog_name, view_namespace, view_name))"""
             )

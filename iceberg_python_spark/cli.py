@@ -1,0 +1,125 @@
+"""Thin CLI over the catalog (reference: pyiceberg/cli/console.py, 490 LoC:
+list/describe/files/schema/spec/uuid/location/drop/rename/properties/
+list-refs). Run as:
+
+    python -m iceberg_python_spark.cli --warehouse /path [--catalog name] CMD ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("ips-cli")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def main(argv=None) -> int:
+    try:
+        return _main(argv)
+    except Exception as e:
+        print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
+        return 1
+
+
+def _main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="iceberg_python_spark", description="catalog/table inspection CLI")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--catalog", default="default")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list-namespaces")
+    p = sub.add_parser("list")
+    p.add_argument("namespace")
+    for name in ("describe", "schema", "spec", "uuid", "location", "properties", "list-refs", "files", "snapshots", "history"):
+        p = sub.add_parser(name)
+        p.add_argument("identifier")
+    p = sub.add_parser("drop")
+    p.add_argument("identifier")
+    p.add_argument("--purge", action="store_true")
+    p = sub.add_parser("rename")
+    p.add_argument("src")
+    p.add_argument("dst")
+
+    args = ap.parse_args(argv)
+
+    from .catalog import SqliteCatalog
+
+    cat = SqliteCatalog(args.catalog, args.warehouse, spark=None)
+
+    def table():
+        t = cat.load_table(args.identifier)
+        return t
+
+    if args.cmd == "list-namespaces":
+        for ns in cat.list_namespaces():
+            print(".".join(ns))
+    elif args.cmd == "list":
+        for ident in cat.list_tables(args.namespace):
+            print(".".join(ident))
+        for ident in cat.list_views(args.namespace):
+            print(".".join(ident) + " (view)")
+    elif args.cmd == "describe":
+        t = table()
+        info = {
+            "name": t.name,
+            "location": t.location,
+            "uuid": t.metadata.table_uuid,
+            "format-version": t.metadata.format_version,
+            "current-snapshot-id": t.metadata.current_snapshot_id,
+            "snapshots": len(t.snapshots()),
+            "schema": [str(f) for f in t.schema().fields],
+            "partition-spec": [f.to_dict() for f in t.spec().fields],
+            "properties": t.properties,
+        }
+        print(json.dumps(info, indent=2, default=str))
+    elif args.cmd == "schema":
+        for f in table().schema().fields:
+            print(f)
+    elif args.cmd == "spec":
+        print(json.dumps(table().spec().to_dict(), indent=2))
+    elif args.cmd == "uuid":
+        print(table().metadata.table_uuid)
+    elif args.cmd == "location":
+        print(table().location)
+    elif args.cmd == "properties":
+        for k, v in sorted(table().properties.items()):
+            print(f"{k}\t{v}")
+    elif args.cmd == "list-refs":
+        for name, ref in table().refs().items():
+            print(f"{name}\t{ref.type}\t{ref.snapshot_id}")
+    elif args.cmd == "snapshots":
+        for s in table().snapshots():
+            print(f"{s.snapshot_id}\t{s.operation}\tseq={s.sequence_number}\tts={s.timestamp_ms}")
+    elif args.cmd == "history":
+        for e in table().history():
+            print(f"{e.timestamp_ms}\t{e.snapshot_id}")
+    elif args.cmd == "files":
+        t = table()
+        for e in t._live_entries(t.current_snapshot()):
+            d = e["data_file"]
+            kind = "DATA" if d.get("content", 0) == 0 else "DELETES"
+            print(f"{kind}\t{d['record_count']}\t{d['file_size_in_bytes']}\t{d['file_path']}")
+    elif args.cmd == "drop":
+        (cat.purge_table if args.purge else cat.drop_table)(args.identifier)
+        print(f"dropped {args.identifier}")
+    elif args.cmd == "rename":
+        cat.rename_table(args.src, args.dst)
+        print(f"renamed {args.src} -> {args.dst}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -287,6 +287,33 @@ class Table:
 
         return ExpireSnapshots(self)
 
+    def update_sort_order(self) -> "UpdateSortOrder":
+        from .update import UpdateSortOrder
+
+        return UpdateSortOrder(self)
+
+    def update_statistics(self) -> "UpdateStatistics":
+        from .update import UpdateStatistics
+
+        return UpdateStatistics(self)
+
+    def to_polars(self):
+        """Export via Arrow (reference table/__init__.py:1964); needs the
+        polars package (not bundled here)."""
+        try:
+            import polars  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError("polars is not installed in this environment") from e
+        return polars.from_arrow(self.to_arrow())
+
+    def to_ray(self):
+        """Export to a Ray dataset (reference table/__init__.py:1954)."""
+        try:
+            import ray  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError("ray is not installed in this environment") from e
+        return ray.data.from_arrow(self.to_arrow())
+
     # -- plumbing shared with Transaction -------------------------------------
     def _live_manifests(self, snapshot: Optional[Snapshot]) -> List[Dict[str, Any]]:
         if snapshot is None:

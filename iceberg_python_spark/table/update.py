@@ -26,7 +26,7 @@ from ..partitioning import PartitionField, PartitionSpec
 from ..schema import Schema, promote
 from ..transforms import IdentityTransform, parse_transform
 from ..types import IcebergType, NestedField
-from .metadata import MAIN_BRANCH, SnapshotRef
+from .metadata import MAIN_BRANCH, SnapshotRef, SortField, SortOrder
 from .snapshots import SnapshotLogEntry
 
 
@@ -194,6 +194,83 @@ class UpdateSpec:
         new_meta.last_partition_id = max(next_field_id, meta.last_partition_id)
         new_meta.last_updated_ms = int(time.time() * 1000)
         self.table.catalog._commit_table(self.table, new_meta)
+
+
+class UpdateSortOrder:
+    """Sort-order evolution (reference table/update/sorting.py:37-136).
+    Unlike the reference — which records sort orders but does not yet sort
+    on write (io/pyarrow.py:2768) — our writer honors the active order via
+    sortWithinPartitions, improving scan locality and min/max pruning."""
+
+    def __init__(self, table):
+        self.table = table
+        self._fields: List[SortField] = []
+
+    def __enter__(self) -> "UpdateSortOrder":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.commit()
+
+    def asc(self, name: str, null_order: str = "nulls-first") -> "UpdateSortOrder":
+        f = self.table.metadata.schema().find_field(name)
+        self._fields.append(SortField(f.field_id, "identity", "asc", null_order))
+        return self
+
+    def desc(self, name: str, null_order: str = "nulls-last") -> "UpdateSortOrder":
+        f = self.table.metadata.schema().find_field(name)
+        self._fields.append(SortField(f.field_id, "identity", "desc", null_order))
+        return self
+
+    def commit(self) -> None:
+        meta = copy.deepcopy(self.table.metadata)
+        order = SortOrder(order_id=max((o.order_id for o in meta.sort_orders), default=0) + 1, fields=self._fields)
+        meta.sort_orders.append(order)
+        meta.default_sort_order_id = order.order_id
+        meta.last_updated_ms = int(time.time() * 1000)
+        self.table.catalog._commit_table(self.table, meta)
+
+
+class UpdateStatistics:
+    """Table statistics (reference table/update/statistics.py:74 — Puffin
+    NDV blobs; ours stores NDV sketches computed by a Spark job directly
+    in the metadata JSON, keyed by snapshot)."""
+
+    def __init__(self, table):
+        self.table = table
+        self._ndv: Dict[int, int] = {}
+
+    def compute(self, *columns: str) -> "UpdateStatistics":
+        """approx_count_distinct over the current snapshot (one Spark job)."""
+        from pyspark.sql import functions as F
+
+        schema = self.table.metadata.schema()
+        cols = list(columns) or [f.name for f in schema.fields if f.field_type.is_primitive]
+        df = self.table.scan(selected_fields=tuple(cols)).to_df()
+        row = df.agg(*[F.approx_count_distinct(c).alias(c) for c in cols]).collect()[0]
+        for c in cols:
+            self._ndv[schema.find_field(c).field_id] = int(row[c])
+        return self
+
+    def set_ndv(self, column: str, ndv: int) -> "UpdateStatistics":
+        self._ndv[self.table.metadata.schema().find_field(column).field_id] = ndv
+        return self
+
+    def commit(self) -> None:
+        meta = copy.deepcopy(self.table.metadata)
+        snap = meta.current_snapshot()
+        entry = {
+            "snapshot-id": snap.snapshot_id if snap else None,
+            "ndv": {str(k): v for k, v in self._ndv.items()},
+        }
+        # stored under properties as JSON (metadata shape kept simple)
+        import json as _json
+
+        meta.properties = dict(meta.properties)
+        meta.properties["statistics.ndv"] = _json.dumps(entry)
+        meta.last_updated_ms = int(time.time() * 1000)
+        self.table.catalog._commit_table(self.table, meta)
 
 
 class ManageSnapshots:

@@ -1,0 +1,84 @@
+"""Views, sort orders, statistics, CLI, catalog behaviors."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from iceberg_python_spark.schema import schema_from_spark
+
+
+@pytest.fixture()
+def table(catalog, spark):
+    df = spark.createDataFrame([(i, f"g{i % 3}", float(i)) for i in range(30)], "id: long, grp: string, val: double")
+    t = catalog.create_table("db.extras", schema_from_spark(df.schema))
+    t.append(df)
+    return t
+
+
+def test_views(catalog, table, spark):
+    catalog.create_view("db.big_vals", "SELECT id, val FROM extras WHERE val > 20")
+    assert catalog.view_exists("db.big_vals")
+    out = catalog.read_view("db.big_vals")
+    assert out.count() == 9
+    assert catalog.list_views("db") == [("db", "big_vals")]
+    catalog.drop_view("db.big_vals")
+    assert not catalog.view_exists("db.big_vals")
+
+
+def test_sort_order_applied_on_write(catalog, table, spark):
+    t = table
+    t.update_sort_order().asc("grp").desc("val").commit()
+    t.refresh()
+    assert not t.sort_order().is_unsorted
+    df = spark.createDataFrame([(100 + i, f"g{i % 2}", float(100 - i)) for i in range(50)], "id: long, grp: string, val: double")
+    t.append(df)
+    assert t.scan().to_df().count() == 80
+    # new files are sorted within partitions: check one file's order
+    newest = max(
+        (e["data_file"] for e in t._live_entries(t.current_snapshot())),
+        key=lambda d: d["file_path"],
+    )
+    rows = spark.read.parquet(newest["file_path"]).collect()
+    keys = [(r.grp, -r.val) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_statistics(table):
+    t = table
+    t.update_statistics().compute("id", "grp").commit()
+    t.refresh()
+    stats = json.loads(t.properties["statistics.ndv"])
+    schema = t.schema()
+    ndv = {int(k): v for k, v in stats["ndv"].items()}
+    assert abs(ndv[schema.find_field("id").field_id] - 30) <= 2  # approx
+    assert abs(ndv[schema.find_field("grp").field_id] - 3) <= 1
+
+
+def test_namespaces_and_rename(catalog, table):
+    assert ("db",) in catalog.list_namespaces()
+    catalog.rename_table("db.extras", "db.extras2")
+    assert catalog.table_exists("db.extras2") and not catalog.table_exists("db.extras")
+    t = catalog.load_table("db.extras2")
+    assert t.scan().to_df().count() == 30
+
+
+def test_cli(catalog, table, warehouse):
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, "-m", "iceberg_python_spark.cli", "--warehouse", warehouse, "--catalog", "test", *args],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+        )
+    out = run("list", "db")
+    assert out.returncode == 0 and "db.extras" in out.stdout
+    out = run("schema", "db.extras")
+    assert "id" in out.stdout and "grp" in out.stdout
+    out = run("snapshots", "db.extras")
+    assert "append" in out.stdout
+    out = run("files", "db.extras")
+    assert "DATA" in out.stdout
+    out = run("describe", "db.extras")
+    assert json.loads(out.stdout)["name"] == "db.extras"
