@@ -98,6 +98,12 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict:
     ou.upsert(src, join_cols=["o_orderkey"])
     env["orders_ups"] = ou
 
+    # same upsert scenario committed merge-on-read (position deletes from
+    # the join itself — no driver collect of changed keys)
+    oum = create("orders_ups_mor", raw["orders"])
+    oum.upsert(src, join_cols=["o_orderkey"], mode="merge-on-read")
+    env["orders_ups_mor"] = oum
+
     # dynamic partition overwrite: zero out 1996's totalprice
     od = create("orders_dpo", raw["orders"], parts=[("o_orderdate", "month")])
     od.dynamic_partition_overwrite(raw["orders"].where("year(o_orderdate) = 1996").withColumn("o_totalprice", F.lit(0.0)))
@@ -193,6 +199,10 @@ def _q_delete_cow(spark, env):
 
 def _q_upsert(spark, env):
     return env["orders_ups"].scan().to_df()
+
+
+def _q_upsert_mor(spark, env):
+    return env["orders_ups_mor"].scan().to_df()
 
 
 def _q_dpo(spark, env):
@@ -383,6 +393,39 @@ def _q_dedup_jaccard(spark, env):
     )
 
 
+def _q_dedup_jaccard_blocked(spark, env):
+    """Exact n-gram Jaccard with deterministic (lang, length-bucket)
+    blocking — fully SQL-expressible, so unlike the LSH-candidate variant
+    this one is oracle-checked end to end."""
+    from iceberg_python_spark.operators.dedup import ngram_jaccard_pairs
+
+    from iceberg_python_spark.operators.dedup import with_ngram_shingles
+
+    docs = env["docs_dup"].scan().to_df().select("doc_id", "text", "lang", (F.floor(F.col("n_chars") / 64)).alias("_lb"))
+    sh = with_ngram_shingles(docs, "text").select("doc_id", "lang", "_lb", "shingles", F.size("shingles").alias("_n"))
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("_la"), F.col("_lb").alias("_ba"),
+        F.col("shingles").alias("sh_a"), F.col("_n").alias("_na"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("_lb2"), F.col("_lb").alias("_bb"),
+        F.col("shingles").alias("sh_b"), F.col("_n").alias("_nb"),
+    )
+    # size-ratio prefilter: J >= 0.8 requires |A| >= 0.8|B| and vice versa —
+    # a cheap necessary condition evaluated before the array intersect
+    joined = a.join(
+        b,
+        (F.col("_la") == F.col("_lb2")) & (F.col("_ba") == F.col("_bb")) & (F.col("id_a") < F.col("id_b"))
+        & (F.col("_na") >= 0.8 * F.col("_nb")) & (F.col("_nb") >= 0.8 * F.col("_na")),
+    )
+    j = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.withColumn("_j", j)
+        .where(F.col("_j") >= 0.8)
+        .select("id_a", "id_b", F.round("_j", 4).alias("jaccard"))
+    )
+
+
 def _q_embedding_neardup(spark, env):
     from iceberg_python_spark.operators.dedup import embedding_neardup_pairs
 
@@ -476,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "time_travel": _q_time_travel,
             "delete_cow": _q_delete_cow,
             "upsert_merge": _q_upsert,
+            "upsert_merge_on_read": _q_upsert_mor,
             "dynamic_partition_overwrite": _q_dpo,
             "incremental_append_scan": _q_incremental,
             "schema_evolution_read": _q_schema_evolution,
@@ -497,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_minhash_lsh": _q_dedup_minhash,
             "dedup_simhash_candidates": _q_dedup_simhash,
             "dedup_ngram_jaccard": _q_dedup_jaccard,
+            "dedup_jaccard_blocked": _q_dedup_jaccard_blocked,
             "dedup_embedding_cosine": _q_embedding_neardup,
             "ann_cosine_topk": _q_ann_brute,
             "ann_lsh_topk": _q_ann_lsh,
@@ -534,6 +579,13 @@ def oracle_sql() -> dict[str, str]:
         "time_travel": "SELECT * FROM lineitem",
         "delete_cow": "SELECT * FROM lineitem WHERE NOT (l_quantity > 45)",
         "upsert_merge": (
+            "SELECT o_orderkey, o_custkey, o_orderstatus, "
+            "CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice, "
+            "o_orderdate, o_orderpriority FROM orders "
+            "UNION ALL SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority "
+            "FROM orders WHERE o_orderkey % 97 = 0"
+        ),
+        "upsert_merge_on_read": (
             "SELECT o_orderkey, o_custkey, o_orderstatus, "
             "CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice, "
             "o_orderdate, o_orderpriority FROM orders "
@@ -625,6 +677,19 @@ def oracle_sql() -> dict[str, str]:
             f"{docs_dup_cte} SELECT d.* FROM docs_dup d JOIN ("
             "SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS nrm, "
             "min(doc_id) AS keep FROM docs_dup GROUP BY 1) k ON d.doc_id = k.keep"
+        ),
+        "dedup_jaccard_blocked": (
+            f"{docs_dup_cte}, sh AS ("
+            "SELECT doc_id, lang, floor(n_chars / 64) AS lb, "
+            "list_distinct(list_transform(generate_series(1, greatest(len(regexp_split_to_array(trim("
+            "regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+')) - 2, 1)), "
+            "i -> array_to_string((regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), "
+            "'\\s+'))[i:i+2], ' '))) AS shingles FROM docs_dup) "
+            "SELECT id_a, id_b, round(j, 4) AS jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.shingles, b.shingles)) / len(list_distinct(a.shingles || b.shingles)) AS j "
+            "FROM sh a JOIN sh b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id "
+            "AND len(a.shingles) >= 0.8 * len(b.shingles) AND len(b.shingles) >= 0.8 * len(a.shingles)) "
+            "WHERE j >= 0.8"
         ),
         "dedup_embedding_cosine": (
             "SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

@@ -259,9 +259,10 @@ class Table:
         join_cols: Optional[List[str]] = None,
         when_matched_update_all: bool = True,
         when_not_matched_insert_all: bool = True,
+        mode: Optional[str] = None,
     ) -> UpsertResult:
         with self.transaction() as tx:
-            return tx.upsert(df, join_cols, when_matched_update_all, when_not_matched_insert_all)
+            return tx.upsert(df, join_cols, when_matched_update_all, when_not_matched_insert_all, mode=mode)
 
     def add_files(self, file_paths: List[str], snapshot_properties: Optional[Dict[str, str]] = None) -> None:
         with self.transaction() as tx:
@@ -394,6 +395,14 @@ class Transaction:
             .where(F.coalesce(to_spark_column(bound), F.lit(False)))
             .select(F.col("_f").alias("file_path"), F.col("_p").alias("pos"))
         )
+        return self._write_pos_delete_rows(matched)
+
+    def _write_pos_delete_rows(self, matched: DataFrame) -> List[Dict[str, Any]]:
+        """Write a (file_path, pos) DataFrame as position-delete files."""
+        from ..io.write import collect_file_stats, _list_parquet_files
+
+        spark = self._spark()
+        schema = self._schema()
         out_dir = posixpath.join(self.metadata.location, "data", f"{uuid.uuid4()}-deletes")
         (
             matched.repartition("file_path")
@@ -478,10 +487,13 @@ class Transaction:
                 new_manifest_files.append(write_manifest(path, keep, schema, spec))
 
         if added_files:
-            by_spec: Dict[int, List[Dict[str, Any]]] = {}
+            # one manifest per (spec, content): a manifest must be all-data
+            # or all-deletes — its descriptor carries a single content flag
+            by_spec: Dict[Tuple[int, int], List[Dict[str, Any]]] = {}
             for f in added_files:
-                by_spec.setdefault(f.get("spec_id", meta.default_spec_id), []).append(f)
-            for spec_id, files in by_spec.items():
+                key = (f.get("spec_id", meta.default_spec_id), f.get("content", CONTENT_DATA))
+                by_spec.setdefault(key, []).append(f)
+            for (spec_id, _content), files in by_spec.items():
                 spec = meta.spec_by_id(spec_id)
                 entries = [
                     {"status": STATUS_ADDED, "snapshot_id": snapshot_id, "sequence_number": seq, "data_file": f}
@@ -694,13 +706,25 @@ class Transaction:
         join_cols: Optional[List[str]] = None,
         when_matched_update_all: bool = True,
         when_not_matched_insert_all: bool = True,
+        mode: Optional[str] = None,
     ) -> UpsertResult:
         """MERGE: update matched-and-changed rows, insert unmatched
         (reference table/__init__.py:800-948 + upsert_util.py).
 
         Spark shape (SURVEY.md §2.4): one join job computes the update and
-        insert sets (null-safe non-key comparison); the commit is a CoW
-        overwrite of updated keys + append."""
+        insert sets (null-safe non-key comparison). The commit is either
+
+        - copy-on-write (default): CoW delete of updated keys + appends
+          (the reference's shape; collects the changed keys to build the
+          delete predicate — fine when few rows change), or
+        - merge-on-read: the SAME join also emits (file, row_index) for
+          matched rows via ``_metadata``, written directly as position
+          deletes + one OVERWRITE snapshot — nothing but the task list
+          ever touches the driver, the 100 TB path (SCALE.md).
+        """
+        mode = mode or self.metadata.properties.get("write.merge.mode", "copy-on-write")
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown merge mode {mode!r} (use 'copy-on-write' or 'merge-on-read')")
         schema = self._schema()
         if join_cols is None:
             join_cols = [schema.find_column_name(fid) for fid in schema.identifier_field_ids]
@@ -719,6 +743,8 @@ class Transaction:
             keys = [r[0] for r in src.select(join_cols[0]).distinct().limit(10001).collect()]
             if len(keys) <= 10000:
                 match_filter = In(join_cols[0], keys)
+        if mode == "merge-on-read":
+            return self._upsert_mor(src, join_cols, match_filter, when_matched_update_all, when_not_matched_insert_all)
         tgt = DataScan(self.table, match_filter, ("*",), True, None, None, None)._to_df_of(self.metadata).cache()
 
         non_key = [c for c in schema.column_names if c not in join_cols]
@@ -758,6 +784,76 @@ class Transaction:
             self.delete(delete_filter)
         for d in to_append:
             self.append(d)
+        for cached in (src, tgt, *to_append):
+            cached.unpersist()
+        return UpsertResult(rows_updated=rows_updated, rows_inserted=rows_inserted)
+
+    def _upsert_mor(
+        self,
+        src: DataFrame,
+        join_cols: List[str],
+        match_filter: BooleanExpression,
+        when_matched_update_all: bool,
+        when_not_matched_insert_all: bool,
+    ) -> UpsertResult:
+        """MERGE with a merge-on-read commit: one join over the pruned
+        target (read WITH _metadata), matched-and-changed rows become
+        position deletes + re-appended rows; all files land in ONE
+        OVERWRITE snapshot."""
+        schema = self._schema()
+        spark = self._spark()
+        scan = DataScan(self.table, match_filter, ("*",), True, None, None, None)
+        tasks = scan.plan_files(self.metadata)
+        if tasks:
+            tgt = spark.read.schema(schema.to_spark()).parquet(*[t.file_path for t in tasks])
+            tgt = tgt.withColumn("_ips_file", F.col("_metadata.file_path")).withColumn(
+                "_ips_pos", F.col("_metadata.row_index")
+            )
+            delete_paths = sorted({p for t in tasks for p in t.delete_files})
+            if delete_paths:
+                dels = spark.read.schema(_pos_delete_schema().to_spark()).parquet(*delete_paths)
+                tgt = tgt.join(
+                    F.broadcast(dels),
+                    (F.col("_ips_file") == dels.file_path) & (F.col("_ips_pos") == dels.pos),
+                    "left_anti",
+                )
+            bound = bind(match_filter, schema)
+            if not isinstance(bound, AlwaysTrue):
+                tgt = tgt.where(to_spark_column(bound))
+        else:
+            from pyspark.sql import types as T
+
+            empty = T.StructType(
+                schema.to_spark().fields
+                + [T.StructField("_ips_file", T.StringType()), T.StructField("_ips_pos", T.LongType())]
+            )
+            tgt = spark.createDataFrame([], empty)
+        tgt = tgt.cache()
+
+        non_key = [c for c in schema.column_names if c not in join_cols]
+        rows_updated = rows_inserted = 0
+        added_files: List[Dict[str, Any]] = []
+        if when_matched_update_all:
+            cond = [src[k].eqNullSafe(tgt[k]) for k in join_cols]
+            diff = F.lit(False)
+            for c in non_key:
+                diff = diff | ~src[c].eqNullSafe(tgt[c])
+            joined = src.join(tgt, cond, "inner").where(diff).cache()
+            rows_updated = joined.count()
+            if rows_updated:
+                added_files += self._write_pos_delete_rows(
+                    joined.select(F.col("_ips_file").alias("file_path"), F.col("_ips_pos").alias("pos"))
+                )
+                added_files += self._write_files(joined.select(*[src[c] for c in schema.column_names]))
+        if when_not_matched_insert_all:
+            inserts = src.join(tgt.select(*join_cols), join_cols, "left_anti").cache()
+            rows_inserted = inserts.count()
+            if rows_inserted:
+                added_files += self._write_files(inserts)
+        if added_files:
+            self._commit_snapshot(Operation.OVERWRITE, added_files)
+        for cached in (src, tgt):
+            cached.unpersist()
         return UpsertResult(rows_updated=rows_updated, rows_inserted=rows_inserted)
 
     def add_files(self, file_paths: List[str], snapshot_properties: Optional[Dict[str, str]] = None) -> None:

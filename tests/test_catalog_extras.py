@@ -35,10 +35,13 @@ def test_sort_order_applied_on_write(catalog, table, spark):
     df = spark.createDataFrame([(100 + i, f"g{i % 2}", float(100 - i)) for i in range(50)], "id: long, grp: string, val: double")
     t.append(df)
     assert t.scan().to_df().count() == 80
-    # new files are sorted within partitions: check one file's order
-    newest = max(
-        (e["data_file"] for e in t._live_entries(t.current_snapshot())),
-        key=lambda d: d["file_path"],
+    # new files are sorted within partitions: check a file added by the
+    # post-sort-order commit (uuid paths don't sort by recency)
+    last_snap = t.current_snapshot().snapshot_id
+    newest = next(
+        e["data_file"]
+        for e in t._live_entries(t.current_snapshot())
+        if e["snapshot_id"] == last_snap
     )
     rows = spark.read.parquet(newest["file_path"]).collect()
     keys = [(r.grp, -r.val) for r in rows]

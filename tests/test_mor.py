@@ -96,3 +96,29 @@ def test_mor_partitioned(catalog, spark):
     assert t.scan().to_df().count() == 80
     # partition pruning still effective alongside deletes
     assert t.scan(row_filter="grp = 'g0'").to_df().count() == 20
+
+
+def test_upsert_merge_on_read(catalog, spark):
+    df = spark.createDataFrame([(i, i % 5, float(i)) for i in range(100)], "id: long, grp: int, val: double")
+    t = catalog.create_table("db.mor_upsert", schema_from_spark(df.schema))
+    t.append(df)
+    n_snaps = len(t.snapshots())
+    src = spark.createDataFrame(
+        [(10, 0, -1.0), (20, 0, 20.0), (500, 1, 5.0)], "id: long, grp: int, val: double"
+    )  # id=20 unchanged -> no update
+    res = t.upsert(src, join_cols=["id"], mode="merge-on-read")
+    t.refresh()
+    assert res.rows_updated == 1 and res.rows_inserted == 1
+    assert len(t.snapshots()) == n_snaps + 1  # single OVERWRITE commit
+    assert t.current_snapshot().operation == "overwrite"
+    rows = {r.id: r.val for r in t.scan().to_df().collect()}
+    assert rows[10] == -1.0 and rows[20] == 20.0 and rows[500] == 5.0
+    assert len(rows) == 101
+    assert t.inspect.delete_files().count() >= 1
+    # second MoR upsert stacks correctly on the first
+    res2 = t.upsert(spark.createDataFrame([(10, 0, -2.0)], "id: long, grp: int, val: double"),
+                    join_cols=["id"], mode="merge-on-read")
+    t.refresh()
+    assert res2.rows_updated == 1
+    rows2 = {r.id: r.val for r in t.scan().to_df().collect()}
+    assert rows2[10] == -2.0 and len(rows2) == 101
