@@ -311,3 +311,50 @@ def collect_file_stats(spark: SparkSession, paths: List[str], schema: Schema) ->
     sc = spark.sparkContext
     n_slices = min(len(paths), 64)
     return dict(sc.parallelize(paths, n_slices).map(fn).collect())
+
+
+def spark_stats_for_files(spark: SparkSession, paths: List[str], schema: Schema, fmt: str = "ORC") -> Dict[str, Dict[str, Any]]:
+    """Per-file stats via a Spark agg job grouped by _metadata.file_path —
+    for formats whose footers the driver-side reader doesn't parse (ORC).
+    O(rows) of the given files, still fully distributed."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read.schema(schema.to_spark())
+    df = reader.orc(*paths) if fmt.upper() == "ORC" else reader.parquet(*paths)
+    prim = [f for f in schema.fields if f.field_type.is_primitive]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for f in prim:
+        aggs += [
+            F.min(f.name).alias(f"_min_{f.field_id}"),
+            F.max(f.name).alias(f"_max_{f.field_id}"),
+            F.sum(F.when(F.col(f.name).isNull(), 1).otherwise(0)).alias(f"_null_{f.field_id}"),
+        ]
+    rows = df.groupBy(F.col("_metadata.file_path").alias("_fp")).agg(*aggs).collect()
+    from ..expressions import to_internal
+
+    # _metadata.file_path is a URI (file:/...); map back to the given paths
+    by_tail = {}
+    for p in paths:
+        by_tail[os.path.basename(p)] = p
+    out: Dict[str, Dict[str, Any]] = {}
+    for r in rows:
+        p = by_tail.get(os.path.basename(r["_fp"]), r["_fp"])
+        lowers, uppers, nulls, counts = {}, {}, {}, {}
+        for f in prim:
+            counts[f.field_id] = r["_n"]
+            nulls[f.field_id] = r[f"_null_{f.field_id}"] or 0
+            lo, hi = r[f"_min_{f.field_id}"], r[f"_max_{f.field_id}"]
+            if lo is not None:
+                lowers[f.field_id], uppers[f.field_id] = _truncate_bounds(
+                    to_internal(lo, f.field_type), to_internal(hi, f.field_type), f.field_type
+                )
+        out[p] = {
+            "record_count": r["_n"],
+            "file_size_in_bytes": os.path.getsize(p) if os.path.exists(p) else 0,
+            "value_counts": counts,
+            "null_value_counts": nulls,
+            "nan_value_counts": {},
+            "lower_bounds": lowers,
+            "upper_bounds": uppers,
+        }
+    return out

@@ -118,6 +118,14 @@ def _new_snapshot_id() -> int:
     return random.getrandbits(62)
 
 
+def _read_paths(spark: SparkSession, spark_schema, fmt: str, paths: List[str]) -> DataFrame:
+    """Format-aware file read (PARQUET | ORC — reference manifest.py:114)."""
+    reader = spark.read.schema(spark_schema)
+    if fmt.upper() == "ORC":
+        return reader.orc(*paths)
+    return reader.parquet(*paths)
+
+
 class Table:
     def __init__(self, identifier: Tuple[str, ...], metadata: TableMetadata, metadata_location: str, catalog, spark: SparkSession):
         self.identifier = identifier
@@ -871,7 +879,15 @@ class Transaction:
         spec = self._spec()
         if not spec.is_unpartitioned:
             raise NotImplementedError("add_files currently supports unpartitioned tables")
-        stats = collect_file_stats(self._spark(), file_paths, self._schema())
+        parquet_paths = [p for p in file_paths if not p.endswith(".orc")]
+        orc_paths = [p for p in file_paths if p.endswith(".orc")]
+        stats = collect_file_stats(self._spark(), parquet_paths, self._schema()) if parquet_paths else {}
+        if orc_paths:
+            # ORC footers aren't exposed by the footer reader; one Spark agg
+            # job over the files computes the stats instead
+            from ..io.write import spark_stats_for_files
+
+            stats.update(spark_stats_for_files(self._spark(), orc_paths, self._schema(), fmt="ORC"))
         files = []
         for p in file_paths:
             st = stats[p]
@@ -879,7 +895,7 @@ class Transaction:
                 {
                     "content": CONTENT_DATA,
                     "file_path": p,
-                    "file_format": "PARQUET",
+                    "file_format": "ORC" if p.endswith(".orc") else "PARQUET",
                     "spec_id": spec.spec_id,
                     "schema_id": self._schema().schema_id,
                     "partition": {},
@@ -1158,20 +1174,21 @@ class DataScan:
         if not tasks:
             return spark.createDataFrame([], schema=projected.to_spark())
 
-        # group by file schema for field-ID-correct reads (schema evolution:
-        # renamed/added columns resolved per group, reference
+        # group by (file schema, format) for field-ID-correct reads (schema
+        # evolution: renamed/added columns resolved per group, reference
         # ArrowProjectionVisitor io/pyarrow.py:1931)
-        groups: Dict[int, List[FileScanTask]] = {}
+        groups: Dict[Tuple[int, str], List[FileScanTask]] = {}
         for t in tasks:
-            groups.setdefault(t.data_file.get("schema_id", schema.schema_id), []).append(t)
+            key = (t.data_file.get("schema_id", schema.schema_id), t.data_file.get("file_format", "PARQUET"))
+            groups.setdefault(key, []).append(t)
 
         need_filter = not all(isinstance(t.residual, AlwaysTrue) for t in tasks)
         bound = bind(self.row_filter, schema, self.case_sensitive) if need_filter else None
 
         dfs = []
-        for schema_id, group in groups.items():
+        for (schema_id, fmt), group in groups.items():
             file_schema = metadata.schema_by_id(schema_id)
-            df = spark.read.schema(file_schema.to_spark()).parquet(*[t.file_path for t in group])
+            df = _read_paths(spark, file_schema.to_spark(), fmt, [t.file_path for t in group])
             delete_paths = sorted({p for t in group for p in t.delete_files})
             if delete_paths:
                 # MoR: drop positions listed in delete files via a
@@ -1217,7 +1234,16 @@ class DataScan:
             schema = self._scan_schema(metadata, snap)
             bound = bind(self.row_filter, schema, self.case_sensitive)
             spark = self.table.spark
-            df = spark.read.schema(schema.to_spark()).parquet(*[t.file_path for t in to_read])
+            by_fmt: Dict[str, List[FileScanTask]] = {}
+            for t in to_read:
+                by_fmt.setdefault(t.data_file.get("file_format", "PARQUET"), []).append(t)
+            parts = [
+                _read_paths(spark, schema.to_spark(), fmt, [t.file_path for t in grp])
+                for fmt, grp in by_fmt.items()
+            ]
+            df = parts[0]
+            for d in parts[1:]:
+                df = df.unionByName(d)
             delete_paths = sorted({p for t in to_read for p in t.delete_files})
             if delete_paths:
                 dels = spark.read.schema(_pos_delete_schema().to_spark()).parquet(*delete_paths)

@@ -157,6 +157,22 @@ class InspectTable:
             )
         )
 
+    def all_files(self) -> DataFrame:
+        """Files across every snapshot (reference inspect.py all_files)."""
+        dfs = [self.files(s.snapshot_id) for s in self.table.metadata.snapshots]
+        if not dfs:
+            return self.files()
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out.distinct()
+
+    def all_data_files(self) -> DataFrame:
+        return self.all_files().where(F.col("content") == 0)
+
+    def all_delete_files(self) -> DataFrame:
+        return self.all_files().where(F.col("content") != 0)
+
     def all_manifests(self) -> DataFrame:
         dfs = [self.manifests(s.snapshot_id) for s in self.table.metadata.snapshots]
         if not dfs:

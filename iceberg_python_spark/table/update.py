@@ -42,6 +42,7 @@ class UpdateSchema:
         self._renames: Dict[int, str] = {}
         self._type_updates: Dict[int, IcebergType] = {}
         self._requirement_updates: Dict[int, bool] = {}
+        self._moves: List[Tuple[int, str, Optional[int]]] = []
         self._identifier_names: Optional[List[str]] = None
 
     def __enter__(self) -> "UpdateSchema":
@@ -74,6 +75,18 @@ class UpdateSchema:
 
     def make_column_optional(self, name: str) -> "UpdateSchema":
         self._requirement_updates[self._field(name).field_id] = False
+        return self
+
+    def move_first(self, name: str) -> "UpdateSchema":
+        self._moves.append((self._field(name).field_id, "first", None))
+        return self
+
+    def move_before(self, name: str, other: str) -> "UpdateSchema":
+        self._moves.append((self._field(name).field_id, "before", self._field(other).field_id))
+        return self
+
+    def move_after(self, name: str, other: str) -> "UpdateSchema":
+        self._moves.append((self._field(name).field_id, "after", self._field(other).field_id))
         return self
 
     def set_identifier_fields(self, *names: str) -> "UpdateSchema":
@@ -122,6 +135,14 @@ class UpdateSchema:
                 raise ValueError(f"column {name!r} already exists")
             next_id += 1
             fields.append(NestedField(next_id, name, t, required=required, initial_default=default))
+        for fid, how, other in self._moves:
+            moving = next(f for f in fields if f.field_id == fid)
+            fields = [f for f in fields if f.field_id != fid]
+            if how == "first":
+                fields.insert(0, moving)
+            else:
+                idx = next(i for i, f in enumerate(fields) if f.field_id == other)
+                fields.insert(idx if how == "before" else idx + 1, moving)
         new_schema = Schema(*fields, schema_id=max(s.schema_id for s in meta.schemas) + 1)
         if self._identifier_names is not None:
             ident = [new_schema.find_field(n).field_id for n in self._identifier_names]

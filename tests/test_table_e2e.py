@@ -189,3 +189,18 @@ def test_distributed_planning_matches_driver_side(catalog, spark, lineitem_df):
     assert t.scan(row_filter=flt).to_df().count() == lineitem_df.where(
         "l_shipdate >= timestamp'1996-01-01' and l_shipdate < timestamp'1997-01-01' and l_quantity > 30"
     ).count()
+
+
+def test_add_files_orc(catalog, spark, tmp_path):
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(50)], "id: long, s: string")
+    ext = str(tmp_path / "orc_ext")
+    df.repartition(1).write.orc(ext)
+    paths = [os.path.join(ext, f) for f in os.listdir(ext) if f.endswith(".orc")]
+    schema = schema_from_spark(df.schema)
+    t = catalog.create_table("db.orc_t", schema)
+    t.add_files(paths)
+    assert t.scan().to_df().count() == 50
+    # pruning works from the Spark-computed ORC stats
+    assert t.scan(row_filter="id > 100").plan_files() == []
+    assert t.scan(row_filter="id < 10").to_df().count() == 10
+    assert t.scan(row_filter="id >= 25").count() == 25
