@@ -57,6 +57,7 @@ def main() -> None:
         except Exception as e:  # a failing query must not hide the rest
             times[name] = -1.0
             print(f"# bench error {name}: {type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
+        spark.catalog.clearCache()  # no cross-query cache/memory interference
 
     total = round(sum(v for v in times.values() if v >= 0), 3)
     print(

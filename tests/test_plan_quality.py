@@ -1,0 +1,71 @@
+"""Physical-plan quality guards: the properties that make the engine fast
+at 100 TB must be visible in the executed plan, not assumed.
+
+- residual filters reach the parquet scan (PushedFilters)
+- column projection reaches the scan (ReadSchema)
+- MoR delete application is a broadcast anti-join, not a shuffle
+- partition-aligned filters produce NO data-plane filter at all
+  (residual AlwaysTrue) while still returning exact results
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_python_spark import spec_from_names
+from iceberg_python_spark.schema import schema_from_spark
+
+from .conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    from iceberg_python_spark import SqliteCatalog
+
+    cat = SqliteCatalog("plans", str(tmp_path_factory.mktemp("wh")), spark)
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    schema = schema_from_spark(df.schema)
+    t = cat.create_table("db.li", schema, partition_spec=spec_from_names(schema, ("l_shipdate", "month")))
+    t.append(df)
+    return t
+
+
+def test_filter_pushdown_and_column_pruning(table):
+    df = table.scan(row_filter="l_quantity > 45", selected_fields=("l_orderkey", "l_quantity")).to_df()
+    plan = _plan(df)
+    assert "l_quantity" in plan and "45" in plan.split("DataFilters")[1].split("]")[0]
+    # scan reads only the two projected columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_partition_aligned_filter_drops_row_filter(table):
+    # month-aligned predicate: all surviving files are fully covered, so
+    # no Filter node is needed at all
+    df = table.scan(row_filter="l_shipdate < '1996-01-01'").to_df()
+    plan = _plan(df)
+    assert "Filter" not in plan.split("Scan parquet")[0], plan
+    # and the result is still exact
+    raw = table.spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    assert df.count() == raw.where("l_shipdate < timestamp'1996-01-01'").count()
+
+
+def test_mor_delete_is_broadcast_anti_join(table):
+    t = table
+    t.delete("l_quantity > 49", mode="merge-on-read")
+    t.refresh()
+    plan = _plan(t.scan().to_df())
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_broadcast_join_on_small_dim(table, spark):
+    nation = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    li = table.scan().to_df()
+    joined = li.join(F.broadcast(nation), li.l_suppkey == nation.s_suppkey)
+    assert "BroadcastHashJoin" in _plan(joined)
