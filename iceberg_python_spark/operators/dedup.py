@@ -78,13 +78,21 @@ def minhash_signature(df: DataFrame, text_col: str, num_hashes: int = 32, shingl
 
 
 def minhash_lsh_candidates(
-    df: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4, sig_col: str = "minhash"
+    df: DataFrame,
+    id_col: str,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    sig_col: str = "minhash",
+    max_bucket_size: Optional[int] = 1000,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidate pairs.
 
     Shuffle pattern: explode to (band, bucket) -> self-join per bucket.
+    ``max_bucket_size`` drops over-full buckets (boilerplate/empty-doc
+    hash collisions) — the skew guard: one hot bucket of size k costs
+    k^2/2 pairs and stalls a single reducer at scale. Docs dropped from
+    a hot bucket usually still pair via their other bands.
     Returns distinct (id_a, id_b) with id_a < id_b."""
-    pairs = []
     buckets = df.select(
         F.col(id_col),
         F.posexplode(
@@ -96,6 +104,11 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    if max_bucket_size:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        buckets = buckets.withColumn("_bsz", F.count("*").over(w)).where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(

@@ -510,6 +510,16 @@ class Transaction:
                 path = posixpath.join(manifests_dir, f"manifest-{uuid.uuid4()}.parquet")
                 new_manifest_files.append(write_manifest(path, entries, schema, spec))
 
+        # manifest merging (reference _ManifestMergeManager, update/
+        # snapshot.py:733-805): when enabled and the data-manifest count
+        # passes min-count, bin-pack small manifests into consolidated ones
+        # so planning stays O(few manifests) as commit count grows
+        if meta.properties.get("commit.manifest-merge.enabled", "false") == "true":
+            min_count = int(meta.properties.get("commit.manifest.min-count-to-merge", "100"))
+            n_data = sum(1 for m in new_manifest_files if m.get("content", CONTENT_DATA) == CONTENT_DATA)
+            if n_data >= min_count:
+                new_manifest_files = self._merge_manifests(new_manifest_files, schema, meta, manifests_dir)
+
         manifest_list_path = posixpath.join(manifests_dir, f"snap-{snapshot_id}.parquet")
         write_manifest_list(manifest_list_path, new_manifest_files, meta.spec(), schema)
 
@@ -544,6 +554,34 @@ class Transaction:
         meta.refs[MAIN_BRANCH] = SnapshotRef(snapshot_id, "branch")
         meta.snapshot_log.append(SnapshotLogEntry(snapshot_id, now_ms))
         self._dirty = True
+
+    def _merge_manifests(
+        self, manifest_files: List[Dict[str, Any]], schema: Schema, meta: TableMetadata, manifests_dir: str
+    ) -> List[Dict[str, Any]]:
+        """Consolidate data manifests per spec into chunks of at most
+        commit.manifest.target-entries entries. Entries keep their original
+        snapshot_id/sequence_number (demoted to EXISTING), so incremental
+        scans over historical snapshot ranges are unaffected — each old
+        snapshot still points at its own immutable manifest list."""
+        target = int(meta.properties.get("commit.manifest.target-entries", "8192"))
+        out = [m for m in manifest_files if m.get("content", CONTENT_DATA) != CONTENT_DATA]
+        by_spec: Dict[int, List[Dict[str, Any]]] = {}
+        for m in manifest_files:
+            if m.get("content", CONTENT_DATA) == CONTENT_DATA:
+                by_spec.setdefault(m["spec_id"], []).append(m)
+        for spec_id, group in by_spec.items():
+            spec = meta.spec_by_id(spec_id)
+            entries: List[Dict[str, Any]] = []
+            for m in group:
+                for e in read_manifest(m["manifest_path"], schema, spec):
+                    if e["status"] == STATUS_DELETED:
+                        continue
+                    e["status"] = STATUS_EXISTING
+                    entries.append(e)
+            for i in range(0, len(entries), target):
+                path = posixpath.join(manifests_dir, f"manifest-{uuid.uuid4()}.parquet")
+                out.append(write_manifest(path, entries[i : i + target], schema, spec))
+        return out
 
     # -- public write ops --------------------------------------------------------
     def append(self, df: DataFrame, snapshot_properties: Optional[Dict[str, str]] = None) -> None:

@@ -120,3 +120,24 @@ def test_inspect_tables(table, spark):
     assert t.inspect.history().count() == 2
     assert t.inspect.entries().count() >= 2
     assert t.inspect.metadata_log_entries().count() >= 2
+
+
+def test_manifest_merge_on_append(catalog, spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "id: long")
+    t = catalog.create_table(
+        "db.merge_manifests", schema_from_spark(df.schema),
+        properties={"commit.manifest-merge.enabled": "true", "commit.manifest.min-count-to-merge": "4"},
+    )
+    snaps = []
+    for i in range(6):
+        t.append(df.withColumn("id", df.id + i * 100))
+        snaps.append(t.current_snapshot().snapshot_id)
+    t.refresh()
+    # far fewer manifests than commits
+    assert t.inspect.manifests().count() < 6
+    assert t.scan().to_df().count() == 60
+    assert t.scan(row_filter="id >= 500").to_df().count() == 10
+    # incremental scans across merged history still see exactly each batch
+    inc = t.incremental_append_scan(from_snapshot_id_exclusive=snaps[3], to_snapshot_id_inclusive=snaps[4])
+    assert inc.to_df().count() == 10
+    assert {r.id for r in inc.to_df().collect()} == {400 + i for i in range(10)}
