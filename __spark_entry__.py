@@ -477,7 +477,14 @@ def _q_text_fingerprint(spark, env):
 def _q_text_winnow(spark, env):
     from iceberg_python_spark.operators.text import fingerprint
 
-    return fingerprint(env["documents"].scan().to_df(), "text", "doc_id").select("doc_id", "winnow_fp")
+    # winnow_fp is array<long>; the driver's canonicalizer can't hash list
+    # cells, so emit the (sorted, distinct) fingerprint set as one string.
+    fp = fingerprint(env["documents"].scan().to_df(), "text", "doc_id")
+    return fp.select(
+        "doc_id",
+        F.concat_ws(",", F.col("winnow_fp").cast("array<string>")).alias("winnow_fp"),
+        F.size("winnow_fp").alias("n_fp"),
+    )
 
 
 def _q_multimodal(spark, env):

@@ -192,9 +192,19 @@ def simhash(df: DataFrame, text_col: str, out: str = "simhash", bits: int = 64) 
     return sums.withColumn(out, packed).drop(*[f"_b{i}" for i in range(bits)])
 
 
-def simhash_candidates(df: DataFrame, id_col: str, sim_col: str = "simhash", band_bits: int = 16) -> DataFrame:
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    sim_col: str = "simhash",
+    band_bits: int = 16,
+    max_bucket_size: Optional[int] = 1000,
+) -> DataFrame:
     """Candidate pairs sharing any 16-bit band of the simhash (docs within
-    Hamming distance 3 of each other share a band with high probability)."""
+    Hamming distance 3 of each other share a band with high probability).
+
+    ``max_bucket_size`` is the same skew guard as minhash LSH: empty or
+    boilerplate docs collapse to identical simhashes, so one hot band
+    bucket of size k would cost k^2/2 pairs on a single reducer."""
     bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     b = df.select(
@@ -204,6 +214,11 @@ def simhash_candidates(df: DataFrame, id_col: str, sim_col: str = "simhash", ban
             F.array(*[F.shiftrightunsigned(sim_col, i * band_bits).bitwiseAND(F.lit(mask)) for i in range(bands)])
         ).alias("band", "bucket"),
     )
+    if max_bucket_size:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        b = b.withColumn("_bsz", F.count("*").over(w)).where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
     x, y = b.alias("x"), b.alias("y")
     return (
         x.join(

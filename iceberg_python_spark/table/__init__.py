@@ -1353,7 +1353,12 @@ class IncrementalAppendScan:
             chain.append(cur)
             if cur.parent_snapshot_id is None:
                 if self.from_id is not None and cur.snapshot_id != self.from_id:
-                    pass  # from_id not an ancestor; reference raises — we include full history
+                    # silent over-read is a correctness trap for CDC consumers
+                    # (reference table/__init__.py:2516-2554 raises likewise)
+                    raise ValueError(
+                        f"Starting snapshot {self.from_id} is not an ancestor of "
+                        f"end snapshot {to_id}"
+                    )
                 break
             cur = meta.snapshot_by_id(cur.parent_snapshot_id)
         return [s for s in reversed(chain) if s.operation == Operation.APPEND]

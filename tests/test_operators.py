@@ -65,6 +65,22 @@ def test_simhash_close_for_similar(docs, spark):
     assert ham_14 < ham_15  # near-dup closer than unrelated
 
 
+def test_simhash_candidates_skew_guard(spark):
+    from iceberg_python_spark.operators.dedup import simhash_candidates
+
+    # 1000 docs with identical simhash: without the bucket cap this is a
+    # ~500k-pair self-join on one reducer; with it, the hot bucket drops.
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit(0xDEADBEEF).cast("long").alias("simhash")
+    )
+    assert simhash_candidates(df, "doc_id", max_bucket_size=100).count() == 0
+    # small clusters under the cap still pair
+    small = spark.range(4).select(
+        F.col("id").alias("doc_id"), F.lit(42).cast("long").alias("simhash")
+    )
+    assert simhash_candidates(small, "doc_id", max_bucket_size=100).count() == 6
+
+
 def test_embedding_neardup(spark):
     from iceberg_python_spark.operators.dedup import embedding_neardup_pairs
 

@@ -152,6 +152,17 @@ def test_incremental_append_scan(lineitem_table, lineitem_df):
     assert inc.to_df().count() == 50
 
 
+def test_incremental_scan_non_ancestor_raises(lineitem_table, lineitem_df):
+    t = lineitem_table
+    t.append(lineitem_df.limit(10))
+    snap2 = t.current_snapshot().snapshot_id
+    # an id that is not in the ancestry chain of snap2
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.incremental_append_scan(
+            from_snapshot_id_exclusive=123456789, to_snapshot_id_inclusive=snap2
+        ).plan_files()
+
+
 def test_commit_conflict(catalog, spark):
     df = spark.createDataFrame([(1,)], "id: long")
     schema = schema_from_spark(df.schema)
