@@ -396,34 +396,17 @@ def _q_dedup_jaccard(spark, env):
 def _q_dedup_jaccard_blocked(spark, env):
     """Exact n-gram Jaccard with deterministic (lang, length-bucket)
     blocking — fully SQL-expressible, so unlike the LSH-candidate variant
-    this one is oracle-checked end to end."""
-    from iceberg_python_spark.operators.dedup import ngram_jaccard_pairs
+    this one is oracle-checked end to end. Candidate generation is the
+    prefix-filtering inverted-index join (exact, no quadratic block);
+    the DuckDB oracle is the brute-force within-block join and must
+    hash-match, which empirically proves the prefix filter lossless."""
+    from iceberg_python_spark.operators.dedup import jaccard_prefix_join
 
-    from iceberg_python_spark.operators.dedup import with_ngram_shingles
-
-    docs = env["docs_dup"].scan().to_df().select("doc_id", "text", "lang", (F.floor(F.col("n_chars") / 64)).alias("_lb"))
-    sh = with_ngram_shingles(docs, "text").select("doc_id", "lang", "_lb", "shingles", F.size("shingles").alias("_n"))
-    a = sh.select(
-        F.col("doc_id").alias("id_a"), F.col("lang").alias("_la"), F.col("_lb").alias("_ba"),
-        F.col("shingles").alias("sh_a"), F.col("_n").alias("_na"),
+    docs = env["docs_dup"].scan().to_df().select(
+        "doc_id", "text", "lang", (F.floor(F.col("n_chars") / 64)).alias("_lb")
     )
-    b = sh.select(
-        F.col("doc_id").alias("id_b"), F.col("lang").alias("_lb2"), F.col("_lb").alias("_bb"),
-        F.col("shingles").alias("sh_b"), F.col("_n").alias("_nb"),
-    )
-    # size-ratio prefilter: J >= 0.8 requires |A| >= 0.8|B| and vice versa —
-    # a cheap necessary condition evaluated before the array intersect
-    joined = a.join(
-        b,
-        (F.col("_la") == F.col("_lb2")) & (F.col("_ba") == F.col("_bb")) & (F.col("id_a") < F.col("id_b"))
-        & (F.col("_na") >= 0.8 * F.col("_nb")) & (F.col("_nb") >= 0.8 * F.col("_na")),
-    )
-    j = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        joined.withColumn("_j", j)
-        .where(F.col("_j") >= 0.8)
-        .select("id_a", "id_b", F.round("_j", 4).alias("jaccard"))
-    )
+    out = jaccard_prefix_join(docs, "doc_id", "text", threshold=0.8, block_cols=["lang", "_lb"])
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def _q_embedding_neardup(spark, env):

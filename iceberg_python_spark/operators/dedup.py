@@ -162,6 +162,83 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    block_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard self-join (jaccard >= threshold) via prefix
+    filtering (Bayardo/Ma/Srikant, "Scaling Up All Pairs", WWW'07).
+
+    Candidate generation is an inverted-index join on each document's
+    *prefix* — its ``n - ceil(t*n) + 1`` rarest shingles under a global
+    document-frequency order. The prefix-filter theorem guarantees any
+    pair with jaccard >= t shares at least one prefix shingle, so this
+    prunes candidates without losing pairs: results are identical to the
+    quadratic join (and therefore still SQL-oracle-checkable).
+
+    Shuffle pattern at scale: one groupBy(shingle) for doc frequency,
+    one window shuffle by doc id to rank shingles, one equi-join on
+    prefix shingle (buckets are *rare* shingles by construction, so no
+    hot keys), one candidate-distinct, one verify join. No quadratic
+    block anywhere. ``block_cols`` restricts pairs to equal block keys
+    (applied in the join condition).
+    """
+    from pyspark.sql import Window
+
+    blocks = list(block_cols or [])
+    sh = with_ngram_shingles(df, text_col, n=shingle_n).select(
+        F.col(id_col), *[F.col(c) for c in blocks], F.col("shingles"), F.size("shingles").alias("_n")
+    )
+    tok = sh.select(F.col(id_col), *[F.col(c) for c in blocks], "_n", F.explode("shingles").alias("_sh"))
+    doc_freq = tok.groupBy("_sh").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy(id_col).orderBy("_df", "_sh")
+    prefix_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    idx = (
+        tok.join(doc_freq, "_sh")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= prefix_len)
+        .select(F.col(id_col), *[F.col(c) for c in blocks], "_n", "_sh")
+    )
+    a = idx.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"_a_{c}") for c in blocks],
+        F.col("_n").alias("_na"),
+        "_sh",
+    )
+    b = idx.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"_b_{c}") for c in blocks],
+        F.col("_n").alias("_nb"),
+        "_sh",
+    )
+    # size-ratio: J >= t requires t*|B| <= |A| <= |B|/t — cheap necessary
+    # condition applied inside the candidate join
+    cond = (
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("_na") >= threshold * F.col("_nb"))
+        & (F.col("_nb") >= threshold * F.col("_na"))
+    )
+    for c in blocks:
+        cond = cond & (F.col(f"_a_{c}") == F.col(f"_b_{c}"))
+    cands = a.join(b, on="_sh").where(cond).select("id_a", "id_b").distinct()
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_dedup(df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7) -> DataFrame:
     """Full near-dup pipeline: minhash -> LSH candidates -> Jaccard verify
     -> drop the higher id of each surviving pair (greedy)."""

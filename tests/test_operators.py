@@ -65,6 +65,24 @@ def test_simhash_close_for_similar(docs, spark):
     assert ham_14 < ham_15  # near-dup closer than unrelated
 
 
+def test_jaccard_prefix_join_matches_bruteforce(spark):
+    from iceberg_python_spark.operators.dedup import jaccard_prefix_join, ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = []
+    for i in range(40):
+        words = base.split()
+        words[i % len(words)] = f"w{i % 7}"
+        rows.append((i, " ".join(words)))
+    rows += [(100, "completely different text about spark distributed joins"),
+             (101, "completely different text about spark distributed joins"),
+             (102, ""), (103, "")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    fast = {(r.id_a, r.id_b, round(r.jaccard, 6)) for r in jaccard_prefix_join(df, "doc_id", "text", 0.8).collect()}
+    brute = {(r.id_a, r.id_b, round(r.jaccard, 6)) for r in ngram_jaccard_pairs(df, "doc_id", "text", 0.8).collect()}
+    assert fast == brute and len(brute) > 0
+
+
 def test_simhash_candidates_skew_guard(spark):
     from iceberg_python_spark.operators.dedup import simhash_candidates
 
