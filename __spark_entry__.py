@@ -139,6 +139,16 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict:
     lc.refresh()
     env["lineitem_compact"] = lc
 
+    # real-Iceberg interop: round-trip the customer table through
+    # spec-conformant Avro metadata (Avro manifest list + manifests +
+    # metadata.json) and reopen it catalog-free via StaticTable — the
+    # scan below then plans from decoded Avro manifests
+    from iceberg_python_spark.table import StaticTable
+    from iceberg_python_spark.table.avro_manifests import export_avro_metadata
+
+    avro_json = export_avro_metadata(env["customer"], os.path.join(wh_dir, "avro_export_customer"))
+    env["customer_avro"] = StaticTable.from_metadata(avro_json, spark)
+
     # duplicated-documents corpus for dedup ops
     docs = raw["documents"]
     dup_exact = docs.where("doc_id % 10 = 0").withColumn("doc_id", F.col("doc_id") + 1000000)
@@ -478,6 +488,17 @@ def _q_multimodal(spark, env):
     return feats.select(F.col("id").alias("doc_id"), "n_bytes", "sha256")
 
 
+def _q_avro_interop(spark, env):
+    """Scan a table opened from REAL Iceberg metadata (Avro manifest list
+    + Avro manifests, decoded by the pure-Python OCF reader): filter +
+    projection planned via Avro-decoded file stats."""
+    return (
+        env["customer_avro"]
+        .scan(row_filter="c_acctbal > 1000", selected_fields=("c_custkey", "c_name", "c_acctbal"))
+        .to_df()
+    )
+
+
 def _q_meta_snapshots(spark, env):
     return env["lineitem_tt"].inspect.snapshots().select("snapshot_id", "operation", "sequence_number")
 
@@ -515,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "schema_evolution_read": _q_schema_evolution,
             "mor_delete_scan": _q_mor_delete,
             "mor_compacted_scan": _q_mor_compacted,
+            "avro_interop_scan": _q_avro_interop,
             "tpch_q1_pricing_summary": _q_q1,
             "tpch_q4_order_priority": _q_q4_order_priority,
             "tpch_q14_promo_share": _q_q14_promo,
@@ -594,6 +616,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mor_delete_scan": "SELECT * FROM lineitem WHERE NOT (l_quantity > 45)",
         "mor_compacted_scan": "SELECT * FROM lineitem WHERE NOT (l_quantity > 45)",
+        "avro_interop_scan": (
+            "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 1000"
+        ),
         "tpch_q4_order_priority": (
             "SELECT o_orderpriority, count(*) AS order_count FROM orders "
             "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-10-01' "

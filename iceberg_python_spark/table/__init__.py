@@ -333,7 +333,7 @@ class Table:
         out = []
         for m in self._live_manifests(snapshot):
             spec = self.metadata.spec_by_id(m["spec_id"])
-            for e in read_manifest(m["manifest_path"], self.metadata.schema(), spec):
+            for e in read_manifest(m["manifest_path"], self.metadata.schema(), spec, manifest=m):
                 if e["status"] != STATUS_DELETED:
                     out.append(e)
         return out
@@ -478,7 +478,7 @@ class Transaction:
             if not removed_paths:
                 new_manifest_files.append(m)
                 continue
-            entries = read_manifest(m["manifest_path"], schema, spec)
+            entries = read_manifest(m["manifest_path"], schema, spec, manifest=m)
             live = [e for e in entries if e["status"] != STATUS_DELETED]
             hit = [e for e in live if e["data_file"]["file_path"] in removed_paths]
             if not hit:
@@ -573,7 +573,7 @@ class Transaction:
             spec = meta.spec_by_id(spec_id)
             entries: List[Dict[str, Any]] = []
             for m in group:
-                for e in read_manifest(m["manifest_path"], schema, spec):
+                for e in read_manifest(m["manifest_path"], schema, spec, manifest=m):
                     if e["status"] == STATUS_DELETED:
                         continue
                     e["status"] = STATUS_EXISTING
@@ -1083,7 +1083,7 @@ class DataScan:
         for m in manifest_files:
             if m.get("content", CONTENT_DATA) != CONTENT_DATA:
                 spec = metadata.spec_by_id(m["spec_id"])
-                for e in read_manifest(m["manifest_path"], schema, spec):
+                for e in read_manifest(m["manifest_path"], schema, spec, manifest=m):
                     if e["status"] != STATUS_DELETED:
                         deletes.append((e["sequence_number"], e["data_file"]["file_path"]))
 
@@ -1099,7 +1099,7 @@ class DataScan:
                     continue  # manifest pruned by partition summaries
             spec = metadata.spec_by_id(m["spec_id"])
             pf_eval = None if isinstance(pf, AlwaysTrue) else expression_evaluator(pf)
-            for e in read_manifest(m["manifest_path"], schema, spec):
+            for e in read_manifest(m["manifest_path"], schema, spec, manifest=m):
                 if e["status"] == STATUS_DELETED:
                     continue
                 d = e["data_file"]
@@ -1133,7 +1133,7 @@ class DataScan:
         for m in manifest_files:
             if m.get("content", CONTENT_DATA) != CONTENT_DATA:
                 spec = metadata.spec_by_id(m["spec_id"])
-                for e in read_manifest(m["manifest_path"], schema, spec):
+                for e in read_manifest(m["manifest_path"], schema, spec, manifest=m):
                     if e["status"] != STATUS_DELETED:
                         deletes.append((e["sequence_number"], e["data_file"]["file_path"]))
             else:
@@ -1380,7 +1380,7 @@ class IncrementalAppendScan:
                 if m["added_snapshot_id"] not in snapshot_ids:
                     continue
                 spec = meta.spec_by_id(m["spec_id"])
-                for e in read_manifest(m["manifest_path"], schema, spec):
+                for e in read_manifest(m["manifest_path"], schema, spec, manifest=m):
                     if e["status"] != STATUS_ADDED or e["snapshot_id"] not in snapshot_ids:
                         continue
                     d = e["data_file"]

@@ -175,8 +175,19 @@ def write_manifest(
     }
 
 
-def read_manifest(path: str, schema: Schema, spec: PartitionSpec) -> List[Dict[str, Any]]:
-    """Read manifest entries (driver-side; manifests are small parquet)."""
+def read_manifest(
+    path: str, schema: Schema, spec: PartitionSpec, manifest: Optional[Mapping[str, Any]] = None
+) -> List[Dict[str, Any]]:
+    """Read manifest entries (driver-side; manifests are small).
+
+    Dispatches on extension: our own manifests are parquet; ``.avro``
+    manifests come from real Iceberg tables (spec format) and decode
+    through :mod:`.avro_manifests` with sequence-number inheritance from
+    the ``manifest`` descriptor."""
+    if path.endswith(".avro"):
+        from .avro_manifests import read_avro_manifest
+
+        return read_avro_manifest(path, schema, spec, manifest=manifest)
     t = pq.read_table(path)
     cols = {name: t.column(name).to_pylist() for name in t.schema.names}
     out = []
@@ -267,6 +278,10 @@ def write_manifest_list(path: str, manifest_files: List[Dict[str, Any]], spec: P
 
 
 def read_manifest_list(path: str, spec_by_id, schema: Schema) -> List[Dict[str, Any]]:
+    if path.endswith(".avro"):
+        from .avro_manifests import read_avro_manifest_list
+
+        return read_avro_manifest_list(path, spec_by_id, schema)
     t = pq.read_table(path)
     cols = {name: t.column(name).to_pylist() for name in t.schema.names}
     out = []

@@ -169,6 +169,30 @@ class TableMetadata:
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "TableMetadata":
+        # v1 metadata interop (reference table/metadata.py:393
+        # TableMetadataV1.construct_refs/to_v2): singular "schema" /
+        # "partition-spec" forms predate the v2 lists
+        if "schemas" in d:
+            schemas = [Schema.from_dict(s) for s in d["schemas"]]
+            current_schema_id = d["current-schema-id"]
+        else:
+            schemas = [Schema.from_dict(d["schema"])]
+            current_schema_id = schemas[0].schema_id
+        if "partition-specs" in d:
+            specs = [PartitionSpec.from_dict(s) for s in d["partition-specs"]]
+            default_spec_id = d["default-spec-id"]
+        else:
+            from ..partitioning import PartitionField
+            from ..transforms import parse_transform
+
+            fields = [
+                PartitionField(
+                    f["source-id"], f.get("field-id", 1000 + i), parse_transform(f["transform"]), f["name"]
+                )
+                for i, f in enumerate(d.get("partition-spec", []))
+            ]
+            specs = [PartitionSpec(*fields, spec_id=0)]
+            default_spec_id = 0
         return cls(
             format_version=d["format-version"],
             table_uuid=d["table-uuid"],
@@ -176,10 +200,10 @@ class TableMetadata:
             last_sequence_number=d.get("last-sequence-number", 0),
             last_updated_ms=d["last-updated-ms"],
             last_column_id=d["last-column-id"],
-            schemas=[Schema.from_dict(s) for s in d["schemas"]],
-            current_schema_id=d["current-schema-id"],
-            partition_specs=[PartitionSpec.from_dict(s) for s in d["partition-specs"]],
-            default_spec_id=d["default-spec-id"],
+            schemas=schemas,
+            current_schema_id=current_schema_id,
+            partition_specs=specs,
+            default_spec_id=default_spec_id,
             last_partition_id=d.get("last-partition-id", 999),
             sort_orders=[SortOrder.from_dict(o) for o in d.get("sort-orders", [])],
             default_sort_order_id=d.get("default-sort-order-id", 0),
@@ -200,6 +224,8 @@ class TableMetadata:
 
     @classmethod
     def read(cls, path: str) -> "TableMetadata":
+        if path.startswith("file://"):
+            path = path[len("file://") :]
         with open(path) as f:
             return cls.from_dict(json.load(f))
 

@@ -426,7 +426,7 @@ class ExpireSnapshots:
                     from .manifests import read_manifest
 
                     spec = meta.spec_by_id(m["spec_id"])
-                    for e in read_manifest(m["manifest_path"], meta.schema(), spec):
+                    for e in read_manifest(m["manifest_path"], meta.schema(), spec, manifest=m):
                         data.add(e["data_file"]["file_path"])
             return data, mfs
 
