@@ -41,10 +41,7 @@ from ..expressions import (
     And,
     BooleanExpression,
     In,
-    Or,
-    UnboundPredicate,
     bind,
-    or_all,
 )
 from ..expressions.parser import parse as parse_filter
 from ..expressions.visitors import (
@@ -760,13 +757,17 @@ class Transaction:
         Spark shape (SURVEY.md §2.4): one join job computes the update and
         insert sets (null-safe non-key comparison). The commit is either
 
-        - copy-on-write (default): CoW delete of updated keys + appends
-          (the reference's shape; collects the changed keys to build the
-          delete predicate — fine when few rows change), or
-        - merge-on-read: the SAME join also emits (file, row_index) for
-          matched rows via ``_metadata``, written directly as position
-          deletes + one OVERWRITE snapshot — nothing but the task list
-          ever touches the driver, the 100 TB path (SCALE.md).
+        - copy-on-write (default): the join carries ``_metadata.file_path``
+          lineage, so the set of files containing a changed row falls out
+          of the join itself; exactly those files are rewritten (kept rows
+          + new values + inserts) in ONE OVERWRITE snapshot. Only the
+          affected *file list* — metadata, same order as the scan plan —
+          ever reaches the driver; row keys never do (improves on the
+          reference, which builds a driver-side key predicate,
+          upsert_util.py:create_match_filter), or
+        - merge-on-read: the SAME join emits (file, row_index) for matched
+          rows, written directly as position deletes + one OVERWRITE
+          snapshot — the 100 TB path (SCALE.md).
         """
         mode = mode or self.metadata.properties.get("write.merge.mode", "copy-on-write")
         if mode not in ("copy-on-write", "merge-on-read"):
@@ -791,48 +792,101 @@ class Transaction:
                 match_filter = In(join_cols[0], keys)
         if mode == "merge-on-read":
             return self._upsert_mor(src, join_cols, match_filter, when_matched_update_all, when_not_matched_insert_all)
-        tgt = DataScan(self.table, match_filter, ("*",), True, None, None, None)._to_df_of(self.metadata).cache()
+
+        tasks, tgt = self._target_with_lineage(match_filter)
+        tgt = tgt.cache()
+        # _metadata.file_path is a URI (file:/…); manifests store the plan
+        # path — map back by basename (unique per-commit UUID file names)
+        path_by_tail = {posixpath.basename(t.file_path): t.file_path for t in tasks}
 
         non_key = [c for c in schema.column_names if c not in join_cols]
         rows_updated = rows_inserted = 0
-        to_append: List[DataFrame] = []
-        removed_keys_df = None
+        affected: Set[str] = set()
+        parts: List[DataFrame] = []
+        updated = None
         if when_matched_update_all:
             cond = [src[k].eqNullSafe(tgt[k]) for k in join_cols]
             diff = F.lit(False)
             for c in non_key:
                 diff = diff | ~src[c].eqNullSafe(tgt[c])
-            updated = src.join(tgt, cond, "inner").where(diff).select(*[src[c] for c in schema.column_names]).cache()
+            updated = src.join(tgt, cond, "inner").where(diff).cache()
             rows_updated = updated.count()
             if rows_updated:
-                removed_keys_df = updated.select(*join_cols)
-                to_append.append(updated)
+                # only the affected FILE LIST reaches the driver (bounded by
+                # file count, like the scan plan itself) — never row keys
+                affected = {
+                    path_by_tail.get(posixpath.basename(r[0]), r[0])
+                    for r in updated.select("_ips_file").distinct().collect()
+                }
+                upd_keys = updated.select(*[src[k] for k in join_cols])
+                # re-read ONLY the affected files WITHOUT the key pruning
+                # filter: their non-matching rows must be carried into the
+                # rewrite (tgt is key-pruned, so it can't provide them)
+                aff_tasks = [t for t in tasks if t.file_path in affected]
+                keep = (
+                    self._lineage_df(aff_tasks)
+                    .join(upd_keys, join_cols, "left_anti")
+                    .select(*schema.column_names)
+                )
+                parts.append(keep)
+                parts.append(updated.select(*[src[c] for c in schema.column_names]))
         if when_not_matched_insert_all:
-            inserts = src.join(tgt, join_cols, "left_anti").cache()
+            inserts = src.join(tgt.select(*join_cols), join_cols, "left_anti").cache()
             rows_inserted = inserts.count()
             if rows_inserted:
-                to_append.append(inserts)
-
-        if removed_keys_df is not None:
-            # CoW delete of the updated keys: collect the changed keys and
-            # build an In/Or filter (reference builds the same predicate;
-            # bounded by rows that actually changed)
-            keys = removed_keys_df.distinct().collect()
-            if len(join_cols) == 1:
-                delete_filter: BooleanExpression = In(join_cols[0], [r[0] for r in keys])
-            else:
-                delete_filter = or_all(
-                    [
-                        And(*[UnboundPredicate("eq", c, r[c]) for c in join_cols])
-                        for r in keys
-                    ]
-                )
-            self.delete(delete_filter)
-        for d in to_append:
-            self.append(d)
-        for cached in (src, tgt, *to_append):
+                parts.append(inserts.select(*schema.column_names))
+        if parts:
+            to_write = parts[0]
+            for p in parts[1:]:
+                to_write = to_write.unionByName(p)
+            files = self._write_files(to_write)
+            op = Operation.OVERWRITE if affected else Operation.APPEND
+            self._commit_snapshot(op, files, removed_paths=affected)
+        for cached in (src, tgt) + ((updated,) if updated is not None else ()):
             cached.unpersist()
         return UpsertResult(rows_updated=rows_updated, rows_inserted=rows_inserted)
+
+    def _target_with_lineage(
+        self, match_filter: BooleanExpression
+    ) -> Tuple[List["FileScanTask"], DataFrame]:
+        """Plan + read the pruned target WITH ``_ips_file``/``_ips_pos``
+        row lineage, existing position deletes applied (shared by the CoW
+        and MoR upsert paths)."""
+        scan = DataScan(self.table, match_filter, ("*",), True, None, None, None)
+        tasks = scan.plan_files(self.metadata)
+        return tasks, self._lineage_df(tasks, match_filter)
+
+    def _lineage_df(self, tasks: List["FileScanTask"], row_filter: Optional[BooleanExpression] = None) -> DataFrame:
+        """Read the given tasks with ``_ips_file``/``_ips_pos`` lineage
+        columns, applicable position deletes anti-joined away, and an
+        optional row filter."""
+        schema = self._schema()
+        spark = self._spark()
+        if not tasks:
+            from pyspark.sql import types as T
+
+            empty = T.StructType(
+                schema.to_spark().fields
+                + [T.StructField("_ips_file", T.StringType()), T.StructField("_ips_pos", T.LongType())]
+            )
+            return spark.createDataFrame([], empty)
+        df = spark.read.schema(schema.to_spark()).parquet(*[t.file_path for t in tasks])
+        df = df.withColumn("_ips_file", F.col("_metadata.file_path")).withColumn(
+            "_ips_pos", F.col("_metadata.row_index")
+        )
+        delete_paths = sorted({p for t in tasks for p in t.delete_files})
+        if delete_paths:
+            dels = spark.read.schema(_pos_delete_schema().to_spark()).parquet(*delete_paths)
+            df = df.join(
+                F.broadcast(dels),
+                (F.col("_ips_file") == dels.file_path) & (F.col("_ips_pos") == dels.pos),
+                "left_anti",
+            )
+        if row_filter is not None:
+            bound = bind(row_filter, schema)
+            if not isinstance(bound, AlwaysTrue):
+                df = df.where(to_spark_column(bound))
+        return df
 
     def _upsert_mor(
         self,
@@ -847,33 +901,7 @@ class Transaction:
         position deletes + re-appended rows; all files land in ONE
         OVERWRITE snapshot."""
         schema = self._schema()
-        spark = self._spark()
-        scan = DataScan(self.table, match_filter, ("*",), True, None, None, None)
-        tasks = scan.plan_files(self.metadata)
-        if tasks:
-            tgt = spark.read.schema(schema.to_spark()).parquet(*[t.file_path for t in tasks])
-            tgt = tgt.withColumn("_ips_file", F.col("_metadata.file_path")).withColumn(
-                "_ips_pos", F.col("_metadata.row_index")
-            )
-            delete_paths = sorted({p for t in tasks for p in t.delete_files})
-            if delete_paths:
-                dels = spark.read.schema(_pos_delete_schema().to_spark()).parquet(*delete_paths)
-                tgt = tgt.join(
-                    F.broadcast(dels),
-                    (F.col("_ips_file") == dels.file_path) & (F.col("_ips_pos") == dels.pos),
-                    "left_anti",
-                )
-            bound = bind(match_filter, schema)
-            if not isinstance(bound, AlwaysTrue):
-                tgt = tgt.where(to_spark_column(bound))
-        else:
-            from pyspark.sql import types as T
-
-            empty = T.StructType(
-                schema.to_spark().fields
-                + [T.StructField("_ips_file", T.StringType()), T.StructField("_ips_pos", T.LongType())]
-            )
-            tgt = spark.createDataFrame([], empty)
+        _tasks, tgt = self._target_with_lineage(match_filter)
         tgt = tgt.cache()
 
         non_key = [c for c in schema.column_names if c not in join_cols]

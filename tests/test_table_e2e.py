@@ -113,6 +113,41 @@ def test_upsert(catalog, spark):
     assert rows == {1: 10.0, 2: 21.0, 3: 30.0, 4: 40.0}
 
 
+def test_upsert_cow_collects_no_unbounded_keys(catalog, spark, monkeypatch):
+    """Scale regression: CoW upsert must never .collect() row keys —
+    only the affected-file list (and the bounded ≤10001-key scan
+    prefilter) may reach the driver."""
+    import pyspark.sql
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(1000)], "id: long, val: double")
+    schema = schema_from_spark(df.schema)
+    t = catalog.create_table("db.upsert_nc", schema)
+    t.append(df)
+    t.append(spark.createDataFrame([(i, float(i)) for i in range(1000, 2000)], "id: long, val: double"))
+
+    collected = []
+    orig = pyspark.sql.DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected.append(([f.name for f in self.schema.fields], len(rows)))
+        return rows
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", spy)
+    changes = spark.createDataFrame([(i, float(i) + 0.5) for i in range(0, 2000, 3)], "id: long, val: double")
+    res = t.upsert(changes, join_cols=["id"])
+    monkeypatch.undo()
+    assert res.rows_updated == 667 and res.rows_inserted == 0
+    for cols, n in collected:
+        if cols == ["_ips_file"]:
+            continue  # affected-file list: bounded by file count
+        assert n <= 10001, f"unbounded driver collect of {cols}: {n} rows"
+    t.refresh()
+    rows = {r.id: r.val for r in t.scan().to_df().collect()}
+    assert len(rows) == 2000
+    assert rows[0] == 0.5 and rows[1] == 1.0 and rows[3] == 3.5
+
+
 def test_dynamic_partition_overwrite(catalog, spark):
     df = spark.createDataFrame(
         [(1, "2024-01-15", 1.0), (2, "2024-02-15", 2.0), (3, "2024-03-15", 3.0)],
