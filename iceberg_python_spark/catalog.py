@@ -53,11 +53,19 @@ class SqliteCatalog:
     """
 
     def __init__(self, name: str, warehouse: str, spark: SparkSession, db_path: Optional[str] = None):
+        from .io.fileio import is_remote, to_local
+
         self.name = name
         self.warehouse = warehouse.rstrip("/")
         self.spark = spark
-        os.makedirs(self.warehouse, exist_ok=True)
-        self.db_path = db_path or os.path.join(self.warehouse, f"{name}.catalog.db")
+        if not is_remote(self.warehouse):
+            os.makedirs(to_local(self.warehouse), exist_ok=True)
+        elif db_path is None:
+            raise ValueError(
+                "remote warehouse needs a local db_path for the SQLite pointer store "
+                "(table data/metadata go to the warehouse; the catalog db stays local)"
+            )
+        self.db_path = db_path or os.path.join(to_local(self.warehouse), f"{name}.catalog.db")
         with self._conn() as con:
             con.execute(
                 """CREATE TABLE IF NOT EXISTS iceberg_tables (
@@ -228,11 +236,19 @@ class SqliteCatalog:
                 raise NoSuchTableError(".".join(ident))
 
     def purge_table(self, identifier: Union[str, Identifier]) -> None:
-        import shutil
+        from .io.fileio import is_remote, to_local
 
         table = self.load_table(identifier)
         self.drop_table(identifier)
-        shutil.rmtree(table.location, ignore_errors=True)
+        if is_remote(table.location):
+            jvm = self.spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(table.location)
+            fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            fs.delete(jpath, True)  # recursive
+        else:
+            import shutil
+
+            shutil.rmtree(to_local(table.location), ignore_errors=True)
 
     def rename_table(self, from_identifier: Union[str, Identifier], to_identifier: Union[str, Identifier]) -> Table:
         src, dst = _to_identifier(from_identifier), _to_identifier(to_identifier)
@@ -342,12 +358,11 @@ class SqliteCatalog:
 
     @staticmethod
     def _write_version_hint(metadata_location: str) -> None:
-        base = os.path.basename(metadata_location)
-        hint = posixpath.join(os.path.dirname(metadata_location), "version-hint.text")
-        tmp = hint + f".{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as f:
-            f.write(base)
-        os.replace(tmp, hint)
+        from .io.fileio import write_text
+
+        base = posixpath.basename(metadata_location)
+        hint = posixpath.join(posixpath.dirname(metadata_location), "version-hint.text")
+        write_text(hint, base)
 
     def _commit_table(self, table: Table, new_metadata: TableMetadata) -> None:
         ns, table_name = ".".join(table.identifier[:-1]), table.identifier[-1]

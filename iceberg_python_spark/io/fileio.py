@@ -1,0 +1,200 @@
+"""FileIO — scheme-aware file operations for table metadata and commits.
+
+The reference abstracts storage behind FileIO implementations
+(pyiceberg/io/__init__.py:324 FileIO, fsspec/pyarrow backends) so one
+code path serves local disk, S3, GCS, ADLS and HDFS. Here the data
+plane already goes through Spark (``spark.read.parquet`` /
+``df.write``), which handles any Hadoop-supported scheme natively; this
+module covers the REST of the engine — listing freshly written files,
+footer sizes, metadata JSON, manifest parquet, and GC deletes — with
+the same dispatch:
+
+- plain local paths (no scheme) and ``file:`` URIs use ``os``/builtin
+  IO (fast path, no JVM round-trip);
+- any other scheme (``s3a:``, ``hdfs:``, ``gs:``, ``abfs:``, …) routes
+  through the driver's Hadoop FileSystem via ``spark._jvm`` — the same
+  connector stack Spark's own writes use, so any scheme Spark can write
+  is a scheme we can commit.
+
+Executor-side footer reads (no JVM access from Python workers) use
+pyarrow's FileSystem.from_uri with the conventional ``s3a:`` → ``s3:``
+mapping instead.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import List, Optional, Tuple
+
+_SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*):/")
+
+
+def split_scheme(path: str) -> Tuple[Optional[str], str]:
+    """(scheme, rest-after-colon). Handles both URI forms Hadoop emits:
+    ``file:///p`` and ``file:/p``."""
+    m = _SCHEME_RE.match(path)
+    if not m:
+        return None, path
+    scheme = m.group(1)
+    return scheme, path[len(scheme) + 1 :]
+
+
+def path_only(path: str) -> str:
+    """The path component with any scheme and authority slashes
+    collapsed: ``file:///tmp/x`` / ``file:/tmp/x`` -> ``/tmp/x``."""
+    scheme, rest = split_scheme(path)
+    if scheme is None:
+        return path
+    return "/" + rest.lstrip("/")
+
+
+def is_remote(path: str) -> bool:
+    scheme, _ = split_scheme(path)
+    return scheme is not None and scheme != "file"
+
+
+def to_local(path: str) -> str:
+    """Strip a file scheme; raise for genuinely remote paths so a local
+    fallback never silently reads the wrong store."""
+    scheme, _rest = split_scheme(path)
+    if scheme is None:
+        return path
+    if scheme == "file":
+        return path_only(path)
+    raise ValueError(f"path is not local: {path}")
+
+
+def _active_spark(spark=None):
+    if spark is not None:
+        return spark
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        raise RuntimeError("no active SparkSession for remote FileIO")
+    return s
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def list_files(root: str, suffix: str = ".parquet", spark=None) -> List[str]:
+    """Recursive file listing. Remote results keep their full URI;
+    local results are plain paths (manifest entries stay byte-stable
+    across local runs)."""
+    if not is_remote(root):
+        local_root = to_local(root)
+        out = []
+        for dirpath, _dirs, files in os.walk(local_root):
+            for f in files:
+                if f.endswith(suffix):
+                    out.append(os.path.join(dirpath, f))
+        return out
+    spark = _active_spark(spark)
+    fs, jpath, _jvm = _hadoop_fs(spark, root)
+    if not fs.exists(jpath):
+        return []
+    it = fs.listFiles(jpath, True)
+    out = []
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        if p.endswith(suffix):
+            out.append(p)
+    return out
+
+
+def file_size(path: str, spark=None) -> int:
+    if not is_remote(path):
+        return os.path.getsize(to_local(path))
+    spark = _active_spark(spark)
+    fs, jpath, _ = _hadoop_fs(spark, path)
+    return fs.getFileStatus(jpath).getLen()
+
+
+def exists(path: str, spark=None) -> bool:
+    if not is_remote(path):
+        return os.path.exists(to_local(path))
+    spark = _active_spark(spark)
+    fs, jpath, _ = _hadoop_fs(spark, path)
+    return fs.exists(jpath)
+
+
+def remove(path: str, spark=None) -> bool:
+    """Delete one file; False if it was already gone (idempotent GC)."""
+    if not is_remote(path):
+        try:
+            os.remove(to_local(path))
+            return True
+        except OSError:
+            return False
+    spark = _active_spark(spark)
+    fs, jpath, _ = _hadoop_fs(spark, path)
+    try:
+        return bool(fs.delete(jpath, False))
+    except Exception:
+        return False
+
+
+def read_bytes(path: str, spark=None) -> bytes:
+    if not is_remote(path):
+        with open(to_local(path), "rb") as f:
+            return f.read()
+    spark = _active_spark(spark)
+    fs, jpath, jvm = _hadoop_fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, False)
+        return bytes(baos.toByteArray())
+    finally:
+        stream.close()
+
+
+def write_bytes(path: str, data: bytes, spark=None) -> None:
+    if not is_remote(path):
+        local = to_local(path)
+        d = os.path.dirname(local)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        tmp = local + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, local)
+        return
+    spark = _active_spark(spark)
+    fs, jpath, _jvm = _hadoop_fs(spark, path)
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(data))
+    finally:
+        stream.close()
+
+
+def read_text(path: str, spark=None) -> str:
+    return read_bytes(path, spark).decode("utf-8")
+
+
+def write_text(path: str, text: str, spark=None) -> None:
+    write_bytes(path, text.encode("utf-8"), spark)
+
+
+def executor_footer_and_size(path: str):
+    """Executor-safe parquet footer + size (no JVM from Python workers):
+    local paths via os/pyarrow; remote URIs via pyarrow FileSystem with
+    the s3a:// → s3:// convention."""
+    import pyarrow.parquet as _pq
+
+    if not is_remote(path):
+        local = to_local(path)
+        return _pq.ParquetFile(local), os.path.getsize(local)
+    from pyarrow import fs as pafs
+
+    uri = path.replace("s3a://", "s3://", 1)
+    fs, rel = pafs.FileSystem.from_uri(uri)
+    info = fs.get_file_info(rel)
+    return _pq.ParquetFile(fs.open_input_file(rel)), info.size

@@ -156,12 +156,10 @@ def write_data_files(
 
 
 def _list_parquet_files(root: str) -> List[str]:
-    out = []
-    for dirpath, _dirs, files in os.walk(root):
-        for f in files:
-            if f.endswith(".parquet"):
-                out.append(os.path.join(dirpath, f))
-    return out
+    """Scheme-aware recursive listing (local os.walk or Hadoop FS)."""
+    from .fileio import list_files
+
+    return list_files(root, ".parquet")
 
 
 def _parse_partition_dir_value(raw: str, t: IcebergType) -> Any:
@@ -191,10 +189,16 @@ def _parse_partition_dir_value(raw: str, t: IcebergType) -> Any:
 def _partition_values_from_path(path: str, root: str, spec: PartitionSpec, schema: Schema) -> Dict[str, Any]:
     if spec.is_unpartitioned:
         return {}
+    from .fileio import path_only
+
     part_schema = spec.partition_schema(schema)
-    rel = os.path.relpath(os.path.dirname(path), root)
+    # URI-safe relative path: strip any scheme from both sides (hive-style
+    # partition dirs always use '/')
+    p = path_only(posixpath.dirname(path))
+    r = path_only(root)
+    rel = p[len(r) :].lstrip("/") if p.startswith(r) else posixpath.relpath(p, r)
     values: Dict[str, Any] = {}
-    for seg in rel.split(os.sep):
+    for seg in rel.split("/"):
         if "=" not in seg:
             continue
         key, raw = seg.split("=", 1)
@@ -239,13 +243,12 @@ def _file_stats_fn(schema_json: str):
     import json as _json
 
     def read_one(path: str) -> Tuple[str, Dict[str, Any]]:
-        import pyarrow.parquet as _pq
-
         from ..expressions import to_internal as _to_internal
         from ..schema import Schema as _Schema
+        from .fileio import executor_footer_and_size as _footer
 
         schema = _Schema.from_dict(_json.loads(schema_json))
-        pf = _pq.ParquetFile(path)
+        pf, file_size = _footer(path)
         md = pf.metadata
         n = md.num_rows
         name_to_field = {f.name: f for f in schema.fields}
@@ -289,7 +292,7 @@ def _file_stats_fn(schema_json: str):
             lowers[fid], uppers[fid] = _truncate_bounds(lowers[fid], uppers[fid], f.field_type)
         return path, {
             "record_count": n,
-            "file_size_in_bytes": os.path.getsize(path),
+            "file_size_in_bytes": file_size,
             "value_counts": value_counts,
             "null_value_counts": null_counts,
             "nan_value_counts": {},  # parquet footers don't track NaN; evaluators treat missing as unknown
@@ -348,9 +351,11 @@ def spark_stats_for_files(spark: SparkSession, paths: List[str], schema: Schema,
                 lowers[f.field_id], uppers[f.field_id] = _truncate_bounds(
                     to_internal(lo, f.field_type), to_internal(hi, f.field_type), f.field_type
                 )
+        from .fileio import exists as _exists, file_size as _fsize
+
         out[p] = {
             "record_count": r["_n"],
-            "file_size_in_bytes": os.path.getsize(p) if os.path.exists(p) else 0,
+            "file_size_in_bytes": _fsize(p, spark) if _exists(p, spark) else 0,
             "value_counts": counts,
             "null_value_counts": nulls,
             "nan_value_counts": {},

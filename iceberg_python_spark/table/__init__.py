@@ -681,11 +681,10 @@ class Transaction:
             n_after = sum(f["record_count"] for f in added)
             if n_after == n_before:
                 # nothing actually matched in the partial files; drop rewrite
+                from ..io.fileio import remove as _rm
+
                 for f in added:
-                    try:
-                        os.remove(f["file_path"])
-                    except OSError:
-                        pass
+                    _rm(f["file_path"], spark)
                 added = []
             else:
                 rewritten_paths = set(paths)
@@ -1444,13 +1443,14 @@ class StaticTable(Table):
 
     @classmethod
     def from_metadata(cls, metadata_location: str, spark: SparkSession) -> "StaticTable":
-        if os.path.isdir(metadata_location):
-            hint = os.path.join(metadata_location, "metadata", "version-hint.text")
-            with open(hint) as f:
-                v = f.read().strip()
+        from ..io import fileio
+
+        hint = posixpath.join(metadata_location, "metadata", "version-hint.text")
+        if not metadata_location.endswith(".json") and fileio.exists(hint, spark):
+            v = fileio.read_text(hint, spark).strip()
             # hint holds the metadata file basename (older layouts: a number)
             basename = v if v.endswith(".metadata.json") else f"v{v}.metadata.json"
-            metadata_location = os.path.join(metadata_location, "metadata", basename)
+            metadata_location = posixpath.join(metadata_location, "metadata", basename)
         metadata = TableMetadata.read(metadata_location)
         return cls(("static", os.path.basename(metadata.location)), metadata, metadata_location, _StaticCatalog(), spark)
 

@@ -51,11 +51,19 @@ UNASSIGNED_SEQ = -1
 
 
 def local_path(path: str) -> str:
-    """Strip a file:// scheme so driver-side opens work on URIs
-    (object-store schemes pass through for the Hadoop FS layer)."""
-    if path.startswith("file://"):
-        return path[len("file://") :]
-    return path
+    """Strip a file scheme for driver-side local opens; remote reads go
+    through :func:`..io.fileio.read_bytes` instead."""
+    from ..io.fileio import is_remote, to_local
+
+    return path if is_remote(path) else to_local(path)
+
+
+def _read_avro(path: str):
+    from ..io.fileio import is_remote, read_bytes
+
+    if is_remote(path):
+        return avro.read_file(read_bytes(path))
+    return avro.read_file(local_path(path))
 
 
 def _kv_map(v: Any) -> Dict[int, Any]:
@@ -84,7 +92,7 @@ def read_avro_manifest_list(
     path: str, spec_by_id: Callable[[int], PartitionSpec], schema: Schema
 ) -> List[Dict[str, Any]]:
     """Decode an Avro manifest list into the engine's manifest-file dicts."""
-    _, _, records = avro.read_file(local_path(path))
+    _, _, records = _read_avro(path)
     out = []
     for r in records:
         spec_id = int(_first(r, "partition_spec_id", default=0))
@@ -147,7 +155,7 @@ def read_avro_manifest(
     sequence-number / snapshot-id inheritance (reference
     manifest.py:869-905): a null sequence number on an ADDED entry means
     "the manifest's own sequence number"."""
-    _, meta, records = avro.read_file(local_path(path))
+    _, meta, records = _read_avro(path)
     # the manifest header carries its own spec + schema (authoritative for
     # partition decoding — the table's current spec may have evolved)
     spec_id = int(meta.get("partition-spec-id", b"%d" % spec.spec_id))

@@ -38,6 +38,33 @@ STATUS_DELETED = 2
 CONTENT_DATA = 0
 CONTENT_POSITION_DELETES = 1
 
+
+def _write_parquet(table: pa.Table, path: str) -> None:
+    """Scheme-aware manifest write: local direct; remote via an in-memory
+    buffer through the Hadoop FS (manifests are small metadata files)."""
+    from ..io import fileio
+
+    if fileio.is_remote(path):
+        import io as _io
+
+        buf = _io.BytesIO()
+        pq.write_table(table, buf)
+        fileio.write_bytes(path, buf.getvalue())
+        return
+    local = fileio.to_local(path)
+    os.makedirs(os.path.dirname(local), exist_ok=True)
+    pq.write_table(table, local)
+
+
+def _read_parquet(path: str) -> pa.Table:
+    from ..io import fileio
+
+    if fileio.is_remote(path):
+        import io as _io
+
+        return pq.read_table(_io.BytesIO(fileio.read_bytes(path)))
+    return pq.read_table(fileio.to_local(path))
+
 _MANIFEST_SCHEMA = pa.schema(
     [
         pa.field("status", pa.int32()),
@@ -153,8 +180,7 @@ def write_manifest(
         rows["record_count"].append(df.get("record_count", 0))
         rows["file_size_in_bytes"].append(df.get("file_size_in_bytes", 0))
         rows["stats_json"].append(_stats_to_json(df, schema))
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    pq.write_table(pa.table(rows, schema=_MANIFEST_SCHEMA), path)
+    _write_parquet(pa.table(rows, schema=_MANIFEST_SCHEMA), path)
 
     live = [e for e in entries if e["status"] != STATUS_DELETED]
     summaries = construct_partition_summaries([e["data_file"].get("partition", {}) for e in live], spec, schema)
@@ -188,7 +214,7 @@ def read_manifest(
         from .avro_manifests import read_avro_manifest
 
         return read_avro_manifest(path, schema, spec, manifest=manifest)
-    t = pq.read_table(path)
+    t = _read_parquet(path)
     cols = {name: t.column(name).to_pylist() for name in t.schema.names}
     out = []
     for i in range(t.num_rows):
@@ -273,8 +299,7 @@ def write_manifest_list(path: str, manifest_files: List[Dict[str, Any]], spec: P
         rows["added_rows_count"].append(m["added_rows_count"])
         rows["existing_rows_count"].append(m.get("existing_rows_count", 0))
         rows["partition_summaries_json"].append(enc_summaries(m.get("partition_summaries", {})))
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    pq.write_table(pa.table(rows, schema=_MANIFEST_LIST_SCHEMA), path)
+    _write_parquet(pa.table(rows, schema=_MANIFEST_LIST_SCHEMA), path)
 
 
 def read_manifest_list(path: str, spec_by_id, schema: Schema) -> List[Dict[str, Any]]:
@@ -282,7 +307,7 @@ def read_manifest_list(path: str, spec_by_id, schema: Schema) -> List[Dict[str, 
         from .avro_manifests import read_avro_manifest_list
 
         return read_avro_manifest_list(path, spec_by_id, schema)
-    t = pq.read_table(path)
+    t = _read_parquet(path)
     cols = {name: t.column(name).to_pylist() for name in t.schema.names}
     out = []
     for i in range(t.num_rows):

@@ -216,18 +216,15 @@ class TableMetadata:
         )
 
     def write(self, path: str) -> None:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.to_dict(), f)
-        os.replace(tmp, path)
+        from ..io.fileio import write_text
+
+        write_text(path, json.dumps(self.to_dict()))
 
     @classmethod
     def read(cls, path: str) -> "TableMetadata":
-        if path.startswith("file://"):
-            path = path[len("file://") :]
-        with open(path) as f:
-            return cls.from_dict(json.load(f))
+        from ..io.fileio import read_text
+
+        return cls.from_dict(json.loads(read_text(path)))
 
 
 def new_table_metadata(

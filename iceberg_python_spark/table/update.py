@@ -432,11 +432,10 @@ class ExpireSnapshots:
 
         live_data, live_manifests = files_of(survivors)
         dead_data, dead_manifests = files_of(expired)
+        from ..io.fileio import remove as _rm
+
         removed = []
         for p in (dead_data - live_data) | (dead_manifests - live_manifests):
-            try:
-                os.remove(p)
+            if _rm(p, self.table.spark):
                 removed.append(p)
-            except OSError:
-                pass
         return removed
