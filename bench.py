@@ -47,18 +47,44 @@ def main() -> None:
     load_sec = round(time.time() - t0, 2)
 
     qs = entry.queries()
+
+    def run_one(fn) -> float:
+        t1 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.time() - t1, 3)
+
+    # contention canary (VERDICT r2: a co-tenant arriving mid-run poisoned
+    # BENCH_r02 by 7-21x on unchanged queries): the cheapest stable query
+    # is re-run between every few heavy ones; if any canary sample blows
+    # past the first by >2.5x, the run records itself as contended so a
+    # poisoned bench is self-flagging instead of silently committed.
+    canary_fn = qs.get("dedup_exact")
+    canary_samples: list = []
+    loadavg: dict = {}
+
+    def sample_canary() -> None:
+        if canary_fn is not None:
+            canary_samples.append(run_one(canary_fn))
+            spark.catalog.clearCache()
+
+    sample_canary()
     times: dict = {}
-    for name, fn in qs.items():
+    for i, (name, fn) in enumerate(qs.items()):
         t1 = time.time()
         try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            times[name] = round(time.time() - t1, 3)
+            times[name] = run_one(fn)
         except Exception as e:  # a failing query must not hide the rest
             times[name] = -1.0
             print(f"# bench error {name}: {type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
+        loadavg[name] = round(os.getloadavg()[0], 2)
         spark.catalog.clearCache()  # no cross-query cache/memory interference
+        if (i + 1) % 10 == 0:
+            sample_canary()
+    sample_canary()
 
+    base = canary_samples[0] if canary_samples else 0.0
+    contended = bool(base > 0 and max(canary_samples) > 2.5 * max(base, 0.2))
     total = round(sum(v for v in times.values() if v >= 0), 3)
     print(
         json.dumps(
@@ -70,6 +96,9 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "load_sec": load_sec,
                 "n_queries": len(times),
+                "canary_sec": canary_samples,
+                "loadavg_1m": loadavg,
+                "contended": contended,
             }
         )
     )

@@ -180,41 +180,46 @@ def jaccard_prefix_join(
     prunes candidates without losing pairs: results are identical to the
     quadratic join (and therefore still SQL-oracle-checkable).
 
-    Shuffle pattern at scale: one groupBy(shingle) for doc frequency,
-    one window shuffle by doc id to rank shingles, one equi-join on
-    prefix shingle (buckets are *rare* shingles by construction, so no
-    hot keys), one candidate-distinct, one verify join. No quadratic
-    block anywhere. ``block_cols`` restricts pairs to equal block keys
-    (applied in the join condition).
+    Shuffle pattern at scale: one groupBy(block, shingle) for per-block
+    doc frequency, one window shuffle by doc id to rank shingles, one
+    equi-join on (prefix shingle, block) — buckets are shingles *rare
+    within their block* by construction, so no hot keys — one
+    candidate-distinct, one verify join. No quadratic block anywhere.
+
+    Plan-level notes (the constants that matter as much as the
+    complexity):
+    - the shingled frame is ``persist()``-ed: it feeds the token
+      explode, both candidate sides, and both verify sides, and Catalyst
+      would otherwise re-run the tokenizer+shingler regexes per branch
+      (~5x measured);
+    - doc frequency is computed per block key, so the frequency table,
+      the prefix ordering, and the candidate buckets all shrink to
+      block-local size, and the candidate join carries the block key as
+      an equi-join key instead of a post-join filter;
+    - ``prefix_len`` subtracts an epsilon before ceil so floating-point
+      error can only lengthen the prefix, never shorten it below the
+      safe bound (a short prefix would silently drop qualifying pairs).
     """
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     blocks = list(block_cols or [])
     sh = with_ngram_shingles(df, text_col, n=shingle_n).select(
         F.col(id_col), *[F.col(c) for c in blocks], F.col("shingles"), F.size("shingles").alias("_n")
     )
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     tok = sh.select(F.col(id_col), *[F.col(c) for c in blocks], "_n", F.explode("shingles").alias("_sh"))
-    doc_freq = tok.groupBy("_sh").agg(F.count("*").alias("_df"))
+    doc_freq = tok.groupBy("_sh", *blocks).agg(F.count("*").alias("_df"))
     w = Window.partitionBy(id_col).orderBy("_df", "_sh")
-    prefix_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    prefix_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9)) + 1
     idx = (
-        tok.join(doc_freq, "_sh")
+        tok.join(doc_freq, ["_sh", *blocks])
         .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= prefix_len)
         .select(F.col(id_col), *[F.col(c) for c in blocks], "_n", "_sh")
     )
-    a = idx.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(c).alias(f"_a_{c}") for c in blocks],
-        F.col("_n").alias("_na"),
-        "_sh",
-    )
-    b = idx.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(c).alias(f"_b_{c}") for c in blocks],
-        F.col("_n").alias("_nb"),
-        "_sh",
-    )
+    a = idx.select(F.col(id_col).alias("id_a"), *blocks, F.col("_n").alias("_na"), "_sh")
+    b = idx.select(F.col(id_col).alias("id_b"), *blocks, F.col("_n").alias("_nb"), "_sh")
     # size-ratio: J >= t requires t*|B| <= |A| <= |B|/t — cheap necessary
     # condition applied inside the candidate join
     cond = (
@@ -222,9 +227,7 @@ def jaccard_prefix_join(
         & (F.col("_na") >= threshold * F.col("_nb"))
         & (F.col("_nb") >= threshold * F.col("_na"))
     )
-    for c in blocks:
-        cond = cond & (F.col(f"_a_{c}") == F.col(f"_b_{c}"))
-    cands = a.join(b, on="_sh").where(cond).select("id_a", "id_b").distinct()
+    cands = a.join(b, on=["_sh", *blocks]).where(cond).select("id_a", "id_b").distinct()
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -274,14 +277,19 @@ def simhash_candidates(
     id_col: str,
     sim_col: str = "simhash",
     band_bits: int = 16,
-    max_bucket_size: Optional[int] = 1000,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Candidate pairs sharing any 16-bit band of the simhash (docs within
     Hamming distance 3 of each other share a band with high probability).
 
-    ``max_bucket_size`` is the same skew guard as minhash LSH: empty or
-    boilerplate docs collapse to identical simhashes, so one hot band
-    bucket of size k would cost k^2/2 pairs on a single reducer."""
+    ``max_bucket_size`` caps band buckets as a skew guard — but unlike
+    minhash LSH (where a doc dropped from one hot bucket usually still
+    pairs via other bands), IDENTICAL simhashes are identical in ALL
+    bands, so capping silently drops every pair of a duplicate cluster
+    larger than the cap. It therefore defaults to None (exact candidate
+    superset); set it only after exact/normalized dedup has removed
+    identical-content clusters, where it then guards against the k^2/2
+    single-reducer blowup of boilerplate collisions."""
     bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     b = df.select(
