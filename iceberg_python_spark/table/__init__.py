@@ -1378,8 +1378,9 @@ class IncrementalAppendScan:
             if self.from_id is not None and cur.snapshot_id == self.from_id:
                 break
             chain.append(cur)
-            if cur.parent_snapshot_id is None:
-                if self.from_id is not None and cur.snapshot_id != self.from_id:
+            pid = cur.parent_snapshot_id
+            if pid is None:
+                if self.from_id is not None:
                     # silent over-read is a correctness trap for CDC consumers
                     # (reference table/__init__.py:2516-2554 raises likewise)
                     raise ValueError(
@@ -1387,7 +1388,20 @@ class IncrementalAppendScan:
                         f"end snapshot {to_id}"
                     )
                 break
-            cur = meta.snapshot_by_id(cur.parent_snapshot_id)
+            nxt = meta.snapshot_by_id(pid)
+            if nxt is None:
+                # intermediate parent expired: the walk can't prove
+                # ancestry unless the unresolvable parent IS the exclusive
+                # start (an expired from_id is a valid exclusive bound —
+                # its descendants are all present in the chain)
+                if self.from_id is not None and pid != self.from_id:
+                    raise ValueError(
+                        f"Starting snapshot {self.from_id} is not an ancestor of "
+                        f"end snapshot {to_id} (ancestry chain broken at expired "
+                        f"snapshot {pid})"
+                    )
+                break
+            cur = nxt
         return [s for s in reversed(chain) if s.operation == Operation.APPEND]
 
     def plan_files(self) -> List[FileScanTask]:

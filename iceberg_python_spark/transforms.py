@@ -92,6 +92,36 @@ def murmur3_32(data: bytes, seed: int = 0) -> int:
     return h - (1 << 32) if h >= (1 << 31) else h
 
 
+def murmur3_32_longs(vals) -> "np.ndarray":
+    """Vectorized murmur3 of 8-byte little-endian longs (the bucket
+    transform's input form for int/long/date/time/timestamp sources).
+
+    For fixed length 8 the algorithm is exactly two body rounds and no
+    tail, so it unrolls into ~20 numpy uint32 ops per array — no per-row
+    Python. Matches :func:`murmur3_32` on ``struct.pack('<q', v)``
+    bit-for-bit (golden-tested)."""
+    import numpy as np
+
+    u = vals.astype(np.int64).view(np.uint64)
+    h = np.zeros(len(u), dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        for part in ((u & np.uint64(0xFFFFFFFF)), (u >> np.uint64(32))):
+            k = part.astype(np.uint32)
+            k = k * np.uint32(_C1)
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * np.uint32(_C2)
+            h ^= k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h ^= np.uint32(8)  # length
+        h ^= h >> np.uint32(16)
+        h = h * np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h = h * np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+    return h.view(np.int32)
+
+
 def _decimal_to_bytes(v: Decimal) -> bytes:
     """Minimal big-endian two's-complement of the unscaled value
     (reference transforms.py:369-374)."""
@@ -256,12 +286,15 @@ class BucketTransform(Transform):
 
             @pandas_udf(T.IntegerType())
             def bucket_long(s: pd.Series) -> pd.Series:
-                def one(v):
-                    if pd.isna(v):
-                        return None
-                    return (murmur3_32(struct.pack("<q", int(v))) & 0x7FFFFFFF) % n
+                import numpy as np
 
-                return s.map(one).astype("Int32")
+                mask = s.isna().to_numpy()
+                vals = s.fillna(0).to_numpy(dtype="int64")
+                h = murmur3_32_longs(vals)
+                out = (h.astype(np.int64) & 0x7FFFFFFF) % n
+                res = pd.array(out, dtype="Int32")
+                res[mask] = pd.NA
+                return pd.Series(res)
 
             return bucket_long(col)
 

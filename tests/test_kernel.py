@@ -286,3 +286,21 @@ def test_row_evaluator():
     assert fn({"price": 9.0, "name": "x"}) is False
     assert fn({"price": 11.0, "name": None}) is False
     assert fn({"price": None, "name": "x"}) is False
+
+
+def test_murmur3_32_longs_vectorized_matches_scalar():
+    """The numpy-vectorized 8-byte murmur3 (bucket write hot path) must
+    match the scalar spec implementation bit-for-bit."""
+    import struct
+
+    import numpy as np
+
+    from iceberg_python_spark.transforms import murmur3_32_longs
+
+    vals = [0, 1, -1, 34, -34, 2**62, -(2**62), 2**63 - 1, -(2**63)] + list(
+        np.random.default_rng(7).integers(-(2**63), 2**63 - 1, 5000)
+    )
+    arr = np.array(vals, dtype=np.int64)
+    vec = murmur3_32_longs(arr)
+    for v, h in zip(vals, vec):
+        assert murmur3_32(struct.pack("<q", int(v))) == int(h), v

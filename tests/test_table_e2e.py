@@ -198,6 +198,28 @@ def test_incremental_scan_non_ancestor_raises(lineitem_table, lineitem_df):
         ).plan_files()
 
 
+def test_incremental_scan_broken_chain_raises(lineitem_table, lineitem_df):
+    """An expired intermediate snapshot must not silently truncate the
+    range (ADVICE r2): unless the unresolvable parent IS the exclusive
+    start, the scan raises instead of over/under-reading."""
+    t = lineitem_table
+    snap1 = t.current_snapshot().snapshot_id
+    t.append(lineitem_df.limit(10))
+    mid = t.current_snapshot().snapshot_id
+    t.append(lineitem_df.limit(5))
+    snap3 = t.current_snapshot().snapshot_id
+    # simulate expiration of the middle snapshot
+    t.metadata.snapshots = [s for s in t.metadata.snapshots if s.snapshot_id != mid]
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.incremental_append_scan(
+            from_snapshot_id_exclusive=snap1, to_snapshot_id_inclusive=snap3
+        ).plan_files()
+    # the expired snapshot AS the exclusive start is a valid bound: all
+    # its descendants are still present
+    inc = t.incremental_append_scan(from_snapshot_id_exclusive=mid, to_snapshot_id_inclusive=snap3)
+    assert inc.to_df().count() == 5
+
+
 def test_commit_conflict(catalog, spark):
     df = spark.createDataFrame([(1,)], "id: long")
     schema = schema_from_spark(df.schema)
