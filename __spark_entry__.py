@@ -139,6 +139,18 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict:
     lc.refresh()
     env["lineitem_compact"] = lc
 
+    # equality deletes (the Flink/CDC MoR shape): delete keys %7==0 via
+    # an equality-delete file (no scan, no rewrite), then re-append
+    # %14==0 rows AFTER the delete — strictly-newer semantics must keep
+    # the re-appended rows
+    oeq = create("orders_eqdel", raw["orders"])
+    oeq.add_equality_deletes(
+        raw["orders"].where("o_orderkey % 7 = 0").select("o_orderkey"), ["o_orderkey"]
+    )
+    oeq.refresh()
+    oeq.append(raw["orders"].where("o_orderkey % 14 = 0"))
+    env["orders_eqdel"] = oeq
+
     # real-Iceberg interop: round-trip the customer table through
     # spec-conformant Avro metadata (Avro manifest list + manifests +
     # metadata.json) and reopen it catalog-free via StaticTable — the
@@ -488,6 +500,12 @@ def _q_multimodal(spark, env):
     return feats.select(F.col("id").alias("doc_id"), "n_bytes", "sha256")
 
 
+def _q_eq_delete_scan(spark, env):
+    """Scan with equality deletes applied at read (broadcast null-safe
+    anti-join per equality field set, strictly-newer sequence rule)."""
+    return env["orders_eqdel"].scan().to_df()
+
+
 def _q_avro_interop(spark, env):
     """Scan a table opened from REAL Iceberg metadata (Avro manifest list
     + Avro manifests, decoded by the pure-Python OCF reader): filter +
@@ -537,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mor_delete_scan": _q_mor_delete,
             "mor_compacted_scan": _q_mor_compacted,
             "avro_interop_scan": _q_avro_interop,
+            "eq_delete_scan": _q_eq_delete_scan,
             "tpch_q1_pricing_summary": _q_q1,
             "tpch_q4_order_priority": _q_q4_order_priority,
             "tpch_q14_promo_share": _q_q14_promo,
@@ -618,6 +637,10 @@ def oracle_sql() -> dict[str, str]:
         "mor_compacted_scan": "SELECT * FROM lineitem WHERE NOT (l_quantity > 45)",
         "avro_interop_scan": (
             "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 1000"
+        ),
+        "eq_delete_scan": (
+            "SELECT * FROM orders WHERE o_orderkey % 7 <> 0 "
+            "UNION ALL SELECT * FROM orders WHERE o_orderkey % 14 = 0"
         ),
         "tpch_q4_order_priority": (
             "SELECT o_orderpriority, count(*) AS order_count FROM orders "

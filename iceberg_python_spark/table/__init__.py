@@ -77,12 +77,16 @@ class CommitFailedException(Exception):
 @dataclass(frozen=True)
 class FileScanTask:
     """One pruned data file + its residual filter + applicable position
-    deletes (reference table/__init__.py:2052 FileScanTask)."""
+    and equality deletes (reference table/__init__.py:2052 FileScanTask,
+    delete matching table/delete_file_index.py:105: position deletes
+    apply at delete_seq >= data_seq, equality deletes STRICTLY newer,
+    delete_seq > data_seq)."""
 
     data_file: Dict[str, Any]
     residual: BooleanExpression
     delete_files: Tuple[str, ...] = ()
     sequence_number: int = 0
+    eq_delete_files: Tuple[Tuple[str, Tuple[int, ...]], ...] = ()
 
     @property
     def file_path(self) -> str:
@@ -113,6 +117,34 @@ class UpsertResult:
 
 def _new_snapshot_id() -> int:
     return random.getrandbits(62)
+
+
+def _apply_equality_deletes(
+    spark: SparkSession,
+    df: DataFrame,
+    eq_sets: Iterable[Tuple[str, Tuple[int, ...]]],
+    schema: Schema,
+) -> DataFrame:
+    """Drop rows matching any equality-delete file: one broadcast
+    null-safe anti-join per distinct equality-field set (reference read
+    path io/pyarrow.py applies these as Arrow filters; Spark-side this
+    is the natural left_anti). Delete keys are deduplicated before the
+    broadcast — CDC streams repeat keys heavily."""
+    by_fids: Dict[Tuple[int, ...], Set[str]] = {}
+    for path, fids in eq_sets:
+        if fids:
+            by_fids.setdefault(tuple(fids), set()).add(path)
+    for fids, paths in sorted(by_fids.items()):
+        fields = [schema.find_field(fid) for fid in fids]
+        cols = [f.name for f in fields]
+        del_schema = Schema(*fields).to_spark()
+        dels = spark.read.schema(del_schema).parquet(*sorted(paths)).dropDuplicates(cols)
+        cond = None
+        for c in cols:
+            clause = df[c].eqNullSafe(dels[c])
+            cond = clause if cond is None else cond & clause
+        df = df.join(F.broadcast(dels), cond, "left_anti")
+    return df
 
 
 def _read_paths(spark: SparkSession, spark_schema, fmt: str, paths: List[str]) -> DataFrame:
@@ -253,6 +285,15 @@ class Table:
     def compact(self, snapshot_properties: Optional[Dict[str, str]] = None) -> None:
         with self.transaction() as tx:
             tx.compact(snapshot_properties)
+
+    def add_equality_deletes(
+        self,
+        keys_df: DataFrame,
+        equality_fields: Sequence[str],
+        snapshot_properties: Optional[Dict[str, str]] = None,
+    ) -> None:
+        with self.transaction() as tx:
+            tx.add_equality_deletes(keys_df, equality_fields, snapshot_properties)
 
     def dynamic_partition_overwrite(self, df: DataFrame, snapshot_properties: Optional[Dict[str, str]] = None) -> None:
         with self.transaction() as tx:
@@ -620,7 +661,12 @@ class Transaction:
         existing_deletes = [
             (e["sequence_number"], e["data_file"]["file_path"])
             for e in all_entries
-            if e["data_file"].get("content", 0) != CONTENT_DATA
+            if e["data_file"].get("content", 0) == 1
+        ]
+        existing_eq_deletes = [
+            (e["sequence_number"], e["data_file"]["file_path"], tuple(e["data_file"].get("equality_ids") or ()))
+            for e in all_entries
+            if e["data_file"].get("content", 0) == 2
         ]
         inclusive = inclusive_metrics_evaluator(bound)
         strict = strict_metrics_evaluator(bound)
@@ -653,26 +699,26 @@ class Transaction:
             return
         if partial:
             paths = [d["file_path"] for d in partial]
-            spark_schema = schema.to_spark()
             spark = self._spark()
-            src = spark.read.schema(spark_schema).parquet(*paths)
-            n_before = sum(d["record_count"] for d in partial)
-            # apply pre-existing position deletes so the rewrite doesn't
-            # resurrect rows already deleted under merge-on-read
-            applicable = sorted({pth for dseq, pth in existing_deletes if dseq >= min(partial_seqs)})
-            if applicable:
-                dels = spark.read.schema(_pos_delete_schema().to_spark()).parquet(*applicable)
-                src = (
-                    src.withColumn("_ips_file", F.col("_metadata.file_path"))
-                    .withColumn("_ips_pos", F.col("_metadata.row_index"))
-                    .join(
-                        F.broadcast(dels),
-                        (F.col("_ips_file") == dels.file_path) & (F.col("_ips_pos") == dels.pos),
-                        "left_anti",
-                    )
-                    .drop("_ips_file", "_ips_pos")
+            # read the partial files with their pre-existing position AND
+            # equality deletes applied per-file (exact sequence-number
+            # applicability via the shared lineage reader), so the rewrite
+            # doesn't resurrect rows already deleted under merge-on-read
+            partial_tasks = [
+                FileScanTask(
+                    d,
+                    AlwaysTrue(),
+                    delete_files=tuple(pth for dseq, pth in existing_deletes if dseq >= s),
+                    sequence_number=s,
+                    eq_delete_files=tuple(
+                        (pth, fids) for dseq, pth, fids in existing_eq_deletes if dseq > s
+                    ),
                 )
-                n_before = src.count()
+                for d, s in zip(partial, partial_seqs)
+            ]
+            any_deletes = any(t.delete_files or t.eq_delete_files for t in partial_tasks)
+            src = self._lineage_df(partial_tasks).drop("_ips_file", "_ips_pos")
+            n_before = src.count() if any_deletes else sum(d["record_count"] for d in partial)
             pred = to_spark_column(bound)
             # keep rows where the predicate is NOT true (null-safe complement,
             # reference io/pyarrow.py:1093 _expression_to_complementary_pyarrow)
@@ -693,6 +739,61 @@ class Transaction:
         if not removed and not added:
             return  # no-op delete
         self._commit_snapshot(Operation.DELETE, added, removed_paths=removed, snapshot_properties=snapshot_properties)
+
+    def add_equality_deletes(
+        self,
+        keys_df: DataFrame,
+        equality_fields: Sequence[str],
+        snapshot_properties: Optional[Dict[str, str]] = None,
+    ) -> None:
+        """Commit equality-delete files: rows whose values match any key
+        row on ``equality_fields`` are deleted from all OLDER data files
+        (strictly lower sequence number) at read time.
+
+        This is the cheapest delete at scale — O(keys) written, no table
+        scan, no rewrite; the cost moves to scans as one broadcast
+        anti-join, reclaimed by compact(). Read-side parity: reference
+        plans these via table/delete_file_index.py:105 (Flink/CDC writers
+        produce them; the reference itself reads but does not write them).
+        """
+        schema = self._schema()
+        fields = [schema.find_field(name) for name in equality_fields]
+        fids = [f.field_id for f in fields]
+        key_schema = Schema(*fields)
+        spark = self._spark()
+        aligned = keys_df.select(
+            *[
+                F.col(f.name).cast(to_spark_type(f.field_type)).alias(
+                    f.name, metadata={"parquet.field.id": f.field_id}
+                )
+                for f in fields
+            ]
+        ).dropDuplicates([f.name for f in fields])
+        out_dir = posixpath.join(self.metadata.location, "data", f"{uuid.uuid4()}-eq-deletes")
+        aligned.write.mode("append").parquet(out_dir)
+        from ..io.write import _list_parquet_files, collect_file_stats
+
+        paths = _list_parquet_files(out_dir)
+        stats = collect_file_stats(spark, paths, key_schema)
+        files = []
+        for path in sorted(paths):
+            st = stats[path]
+            if st["record_count"] == 0:
+                continue
+            files.append(
+                {
+                    "content": 2,
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "spec_id": self._spec().spec_id,
+                    "schema_id": schema.schema_id,
+                    "partition": {},
+                    "equality_ids": fids,
+                    **st,
+                }
+            )
+        if files:
+            self._commit_snapshot(Operation.DELETE, files, snapshot_properties=snapshot_properties)
 
     def overwrite(
         self,
@@ -881,6 +982,27 @@ class Transaction:
                 (F.col("_ips_file") == dels.file_path) & (F.col("_ips_pos") == dels.pos),
                 "left_anti",
             )
+        eq_sets = {es for t in tasks for es in t.eq_delete_files}
+        if eq_sets:
+            # sound as a union: a file grouped here may see an eq delete
+            # that is not strictly newer only if another task's is — but
+            # upsert/delete rewrites re-apply live rows, so extra matches
+            # would drop rows; keep exactness by grouping
+            by_eq: Dict[Tuple, List[FileScanTask]] = {}
+            for t in tasks:
+                by_eq.setdefault(t.eq_delete_files, []).append(t)
+            if len(by_eq) == 1:
+                df = _apply_equality_deletes(spark, df, next(iter(by_eq)), schema)
+            else:
+                parts = []
+                for eq_set, grp in by_eq.items():
+                    sub = self._lineage_df(
+                        [_dc_replace(t, eq_delete_files=()) for t in grp], None
+                    )
+                    parts.append(_apply_equality_deletes(spark, sub, eq_set, schema))
+                df = parts[0]
+                for p in parts[1:]:
+                    df = df.unionByName(p)
         if row_filter is not None:
             bound = bind(row_filter, schema)
             if not isinstance(bound, AlwaysTrue):
@@ -1102,17 +1224,26 @@ class DataScan:
         if est_entries > threshold:
             return self._plan_files_distributed(metadata, schema, bound, manifest_files, part_filter, metrics_eval)
 
-        # position-delete index: (sequence_number, path) of live delete files
-        # (reference DeleteFileIndex, table/delete_file_index.py:105 — ours
-        # matches by sequence number; path disjointness makes the anti-join
+        # delete-file index: (sequence_number, path) of live position
+        # deletes plus (seq, path, fids) of equality deletes (reference
+        # DeleteFileIndex, table/delete_file_index.py:105 — ours matches
+        # by sequence number; path disjointness makes the pos anti-join
         # exact regardless)
         deletes: List[Tuple[int, str]] = []
+        eq_deletes: List[Tuple[int, str, Tuple[int, ...]]] = []
         for m in manifest_files:
             if m.get("content", CONTENT_DATA) != CONTENT_DATA:
                 spec = metadata.spec_by_id(m["spec_id"])
                 for e in read_manifest(m["manifest_path"], schema, spec, manifest=m):
-                    if e["status"] != STATUS_DELETED:
-                        deletes.append((e["sequence_number"], e["data_file"]["file_path"]))
+                    if e["status"] == STATUS_DELETED:
+                        continue
+                    d = e["data_file"]
+                    if d.get("content", 0) == 2:
+                        eq_deletes.append(
+                            (e["sequence_number"], d["file_path"], tuple(d.get("equality_ids") or ()))
+                        )
+                    else:
+                        deletes.append((e["sequence_number"], d["file_path"]))
 
         tasks: List[FileScanTask] = []
         for m in manifest_files:
@@ -1139,7 +1270,14 @@ class DataScan:
                     continue
                 seq = e["sequence_number"]
                 applicable = tuple(path for dseq, path in deletes if dseq >= seq)
-                tasks.append(FileScanTask(d, res, delete_files=applicable, sequence_number=seq))
+                applicable_eq = tuple(
+                    (path, fids) for dseq, path, fids in eq_deletes if dseq > seq
+                )
+                tasks.append(
+                    FileScanTask(
+                        d, res, delete_files=applicable, sequence_number=seq, eq_delete_files=applicable_eq
+                    )
+                )
         return tasks
 
     def _plan_files_distributed(
@@ -1156,13 +1294,21 @@ class DataScan:
         spark = self.table.spark
         # delete manifests stay driver-side (orders of magnitude fewer)
         deletes: List[Tuple[int, str]] = []
+        eq_deletes: List[Tuple[int, str, Tuple[int, ...]]] = []
         by_spec: Dict[int, List[Dict[str, Any]]] = {}
         for m in manifest_files:
             if m.get("content", CONTENT_DATA) != CONTENT_DATA:
                 spec = metadata.spec_by_id(m["spec_id"])
                 for e in read_manifest(m["manifest_path"], schema, spec, manifest=m):
-                    if e["status"] != STATUS_DELETED:
-                        deletes.append((e["sequence_number"], e["data_file"]["file_path"]))
+                    if e["status"] == STATUS_DELETED:
+                        continue
+                    d_ = e["data_file"]
+                    if d_.get("content", 0) == 2:
+                        eq_deletes.append(
+                            (e["sequence_number"], d_["file_path"], tuple(d_.get("equality_ids") or ()))
+                        )
+                    else:
+                        deletes.append((e["sequence_number"], d_["file_path"]))
             else:
                 by_spec.setdefault(m["spec_id"], []).append(m)
 
@@ -1223,7 +1369,18 @@ class DataScan:
                 if isinstance(res, AlwaysFalse):
                     continue
                 applicable = tuple(path for dseq, path in deletes if dseq >= r.sequence_number)
-                tasks.append(FileScanTask(d, res, delete_files=applicable, sequence_number=r.sequence_number))
+                applicable_eq = tuple(
+                    (path, fids) for dseq, path, fids in eq_deletes if dseq > r.sequence_number
+                )
+                tasks.append(
+                    FileScanTask(
+                        d,
+                        res,
+                        delete_files=applicable,
+                        sequence_number=r.sequence_number,
+                        eq_delete_files=applicable_eq,
+                    )
+                )
         return tasks
 
     # -- execution ----------------------------------------------------------
@@ -1239,19 +1396,27 @@ class DataScan:
         if not tasks:
             return spark.createDataFrame([], schema=projected.to_spark())
 
-        # group by (file schema, format) for field-ID-correct reads (schema
-        # evolution: renamed/added columns resolved per group, reference
-        # ArrowProjectionVisitor io/pyarrow.py:1931)
-        groups: Dict[Tuple[int, str], List[FileScanTask]] = {}
+        # group by (file schema, format, applicable equality deletes) for
+        # field-ID-correct reads (schema evolution: renamed/added columns
+        # resolved per group, reference ArrowProjectionVisitor
+        # io/pyarrow.py:1931). Equality deletes are part of the key
+        # because they apply to a file only when strictly newer; the
+        # position-delete anti-join is exact under any grouping (file
+        # paths are disjoint) so it stays group-unioned.
+        groups: Dict[Tuple, List[FileScanTask]] = {}
         for t in tasks:
-            key = (t.data_file.get("schema_id", schema.schema_id), t.data_file.get("file_format", "PARQUET"))
+            key = (
+                t.data_file.get("schema_id", schema.schema_id),
+                t.data_file.get("file_format", "PARQUET"),
+                t.eq_delete_files,
+            )
             groups.setdefault(key, []).append(t)
 
         need_filter = not all(isinstance(t.residual, AlwaysTrue) for t in tasks)
         bound = bind(self.row_filter, schema, self.case_sensitive) if need_filter else None
 
         dfs = []
-        for (schema_id, fmt), group in groups.items():
+        for (schema_id, fmt, eq_set), group in groups.items():
             file_schema = metadata.schema_by_id(schema_id)
             df = _read_paths(spark, file_schema.to_spark(), fmt, [t.file_path for t in group])
             delete_paths = sorted({p for t in group for p in t.delete_files})
@@ -1269,6 +1434,8 @@ class DataScan:
                     )
                     .drop("_ips_file", "_ips_pos")
                 )
+            if eq_set:
+                df = _apply_equality_deletes(spark, df, eq_set, file_schema)
             df = _align_to_schema(df, file_schema, schema)
             dfs.append(df)
         out = dfs[0]
@@ -1289,7 +1456,7 @@ class DataScan:
         total = 0
         to_read: List[FileScanTask] = []
         for t in tasks:
-            if isinstance(t.residual, AlwaysTrue) and not t.delete_files:
+            if isinstance(t.residual, AlwaysTrue) and not t.delete_files and not t.eq_delete_files:
                 total += t.data_file["record_count"]
             else:
                 to_read.append(t)
@@ -1299,31 +1466,28 @@ class DataScan:
             schema = self._scan_schema(metadata, snap)
             bound = bind(self.row_filter, schema, self.case_sensitive)
             spark = self.table.spark
-            by_fmt: Dict[str, List[FileScanTask]] = {}
+            by_grp: Dict[Tuple, List[FileScanTask]] = {}
             for t in to_read:
-                by_fmt.setdefault(t.data_file.get("file_format", "PARQUET"), []).append(t)
-            parts = [
-                _read_paths(spark, schema.to_spark(), fmt, [t.file_path for t in grp])
-                for fmt, grp in by_fmt.items()
-            ]
-            df = parts[0]
-            for d in parts[1:]:
-                df = df.unionByName(d)
-            delete_paths = sorted({p for t in to_read for p in t.delete_files})
-            if delete_paths:
-                dels = spark.read.schema(_pos_delete_schema().to_spark()).parquet(*delete_paths)
-                df = (
-                    df.withColumn("_ips_file", F.col("_metadata.file_path"))
-                    .withColumn("_ips_pos", F.col("_metadata.row_index"))
-                    .join(
-                        F.broadcast(dels),
-                        (F.col("_ips_file") == dels.file_path) & (F.col("_ips_pos") == dels.pos),
-                        "left_anti",
+                by_grp.setdefault((t.data_file.get("file_format", "PARQUET"), t.eq_delete_files), []).append(t)
+            for (fmt, eq_set), grp in by_grp.items():
+                df = _read_paths(spark, schema.to_spark(), fmt, [t.file_path for t in grp])
+                delete_paths = sorted({p for t in grp for p in t.delete_files})
+                if delete_paths:
+                    dels = spark.read.schema(_pos_delete_schema().to_spark()).parquet(*delete_paths)
+                    df = (
+                        df.withColumn("_ips_file", F.col("_metadata.file_path"))
+                        .withColumn("_ips_pos", F.col("_metadata.row_index"))
+                        .join(
+                            F.broadcast(dels),
+                            (F.col("_ips_file") == dels.file_path) & (F.col("_ips_pos") == dels.pos),
+                            "left_anti",
+                        )
                     )
-                )
-            if not isinstance(bound, AlwaysTrue):
-                df = df.where(to_spark_column(bound))
-            total += df.count()
+                if eq_set:
+                    df = _apply_equality_deletes(spark, df, eq_set, schema)
+                if not isinstance(bound, AlwaysTrue):
+                    df = df.where(to_spark_column(bound))
+                total += df.count()
         if self.limit is not None:
             total = min(total, self.limit)
         return total

@@ -37,6 +37,7 @@ STATUS_DELETED = 2
 
 CONTENT_DATA = 0
 CONTENT_POSITION_DELETES = 1
+CONTENT_EQUALITY_DELETES = 2
 
 
 def _write_parquet(table: pa.Table, path: str) -> None:
@@ -100,7 +101,9 @@ _MANIFEST_LIST_SCHEMA = pa.schema(
 
 
 def _stats_to_json(data_file: Mapping[str, Any], schema: Schema) -> str:
-    out: Dict[str, Dict[str, Any]] = {}
+    out: Dict[str, Any] = {}
+    if data_file.get("equality_ids"):
+        out["equality_ids"] = [int(x) for x in data_file["equality_ids"]]
     for key in ("value_counts", "null_value_counts", "nan_value_counts"):
         m = data_file.get(key) or {}
         out[key] = {str(k): int(v) for k, v in m.items()}
@@ -121,7 +124,9 @@ def _stats_from_json(s: Optional[str], schema: Schema) -> Dict[str, Dict[int, An
     if not s:
         return {}
     raw = json.loads(s)
-    out: Dict[str, Dict[int, Any]] = {}
+    out: Dict[str, Any] = {}
+    if raw.get("equality_ids"):
+        out["equality_ids"] = [int(x) for x in raw["equality_ids"]]
     for key in ("value_counts", "null_value_counts", "nan_value_counts"):
         out[key] = {int(k): int(v) for k, v in (raw.get(key) or {}).items()}
     for key in ("lower_bounds", "upper_bounds"):
