@@ -139,6 +139,26 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict:
     lc.refresh()
     env["lineitem_compact"] = lc
 
+    # partitioned add_files: nation written externally by plain Spark
+    # (one file per n_regionkey), registered without rewrite — partition
+    # values derived from footer bounds, name-mapped stats
+    from iceberg_python_spark.name_mapping import PROPERTY_KEY, NameMapping
+
+    nat_schema = schema_from_spark(raw["nation"].schema)
+    nat_t = cat.create_table(
+        "db.nation_addf",
+        nat_schema,
+        partition_spec=spec_from_names(nat_schema, "n_regionkey"),
+        properties={PROPERTY_KEY: NameMapping.from_schema(nat_schema).to_json()},
+    )
+    addf_paths = []
+    for rk in [r[0] for r in raw["nation"].select("n_regionkey").distinct().collect()]:
+        d = os.path.join(wh_dir, "nation_ext", str(rk))
+        raw["nation"].where(F.col("n_regionkey") == rk).coalesce(1).write.mode("overwrite").parquet(d)
+        addf_paths += [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+    nat_t.add_files(addf_paths)
+    env["nation_addf"] = nat_t
+
     # equality deletes (the Flink/CDC MoR shape): delete keys %7==0 via
     # an equality-delete file (no scan, no rewrite), then re-append
     # %14==0 rows AFTER the delete — strictly-newer semantics must keep
@@ -500,6 +520,13 @@ def _q_multimodal(spark, env):
     return feats.select(F.col("id").alias("doc_id"), "n_bytes", "sha256")
 
 
+def _q_add_files_scan(spark, env):
+    """Scan a partitioned table populated purely by add_files (no
+    rewrite): partition values derived from footer bounds; the filter
+    prunes to the registered per-partition files."""
+    return env["nation_addf"].scan(row_filter="n_regionkey >= 2").to_df()
+
+
 def _q_eq_delete_scan(spark, env):
     """Scan with equality deletes applied at read (broadcast null-safe
     anti-join per equality field set, strictly-newer sequence rule)."""
@@ -556,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mor_compacted_scan": _q_mor_compacted,
             "avro_interop_scan": _q_avro_interop,
             "eq_delete_scan": _q_eq_delete_scan,
+            "add_files_partitioned_scan": _q_add_files_scan,
             "tpch_q1_pricing_summary": _q_q1,
             "tpch_q4_order_priority": _q_q4_order_priority,
             "tpch_q14_promo_share": _q_q14_promo,
@@ -642,6 +670,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM orders WHERE o_orderkey % 7 <> 0 "
             "UNION ALL SELECT * FROM orders WHERE o_orderkey % 14 = 0"
         ),
+        "add_files_partitioned_scan": "SELECT * FROM nation WHERE n_regionkey >= 2",
         "tpch_q4_order_priority": (
             "SELECT o_orderpriority, count(*) AS order_count FROM orders "
             "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-10-01' "

@@ -238,8 +238,13 @@ def _truncate_bounds(lo: Any, hi: Any, t: IcebergType) -> Tuple[Any, Any]:
     return lo, hi
 
 
-def _file_stats_fn(schema_json: str):
-    """Returns a picklable per-file footer reader for use in an RDD map."""
+def _file_stats_fn(schema_json: str, extra_names_json: Optional[str] = None):
+    """Returns a picklable per-file footer reader for use in an RDD map.
+
+    ``extra_names_json``: optional {file_column_name: field_id} from a
+    name mapping — lets ID-less foreign parquet with aliased column
+    names resolve to schema fields (reference io/pyarrow.py:2887
+    parquet_file_to_data_file + name mapping)."""
     import json as _json
 
     def read_one(path: str) -> Tuple[str, Dict[str, Any]]:
@@ -252,6 +257,11 @@ def _file_stats_fn(schema_json: str):
         md = pf.metadata
         n = md.num_rows
         name_to_field = {f.name: f for f in schema.fields}
+        for fname, fid in (_json.loads(extra_names_json) if extra_names_json else {}).items():
+            try:
+                name_to_field.setdefault(fname, schema.find_field(int(fid)))
+            except ValueError:
+                pass
         value_counts: Dict[int, int] = {}
         null_counts: Dict[int, int] = {}
         lowers: Dict[int, Any] = {}
@@ -303,12 +313,14 @@ def _file_stats_fn(schema_json: str):
     return read_one
 
 
-def collect_file_stats(spark: SparkSession, paths: List[str], schema: Schema) -> Dict[str, Dict[str, Any]]:
+def collect_file_stats(
+    spark: SparkSession, paths: List[str], schema: Schema, extra_names: Optional[Dict[str, int]] = None
+) -> Dict[str, Dict[str, Any]]:
     """Footer-only stats for each file, read on executors (an RDD is
     justified here: per-file imperative metadata reads, no row data)."""
     import json as _json
 
-    fn = _file_stats_fn(_json.dumps(schema.to_dict()))
+    fn = _file_stats_fn(_json.dumps(schema.to_dict()), _json.dumps(extra_names) if extra_names else None)
     if len(paths) <= 4:  # not worth a job
         return dict(fn(p) for p in paths)
     sc = spark.sparkContext

@@ -1052,43 +1052,114 @@ class Transaction:
         return UpsertResult(rows_updated=rows_updated, rows_inserted=rows_inserted)
 
     def add_files(self, file_paths: List[str], snapshot_properties: Optional[Dict[str, str]] = None) -> None:
-        """Register existing parquet files without rewriting them
+        """Register existing parquet/ORC files without rewriting them
         (reference table/__init__.py:972-1007; stats via footer reads on
-        executors, io/pyarrow.py:2887 parquet_file_to_data_file)."""
-        from ..io.write import collect_file_stats
+        executors, io/pyarrow.py:2887 parquet_file_to_data_file).
 
+        - ID-less foreign parquet (no embedded field ids) requires the
+          ``schema.name-mapping.default`` table property, which also lets
+          aliased column names resolve (reference name_mapping.py; files
+          whose physical names differ from the schema are read through a
+          per-file rename recorded in the manifest entry).
+        - Partitioned tables: each file's partition tuple is derived from
+          its footer bounds — the transformed lower and upper bound of
+          every partition source must agree, else the file genuinely
+          spans partitions and is rejected (reference
+          table/__init__.py:990-1007)."""
+        from ..io.write import collect_file_stats
+        from ..name_mapping import load_name_mapping
+
+        schema = self._schema()
+        spec = self._spec()
         existing = {
             e["data_file"]["file_path"] for e in self.table._live_entries(self.metadata.current_snapshot())
         }
         dupes = existing & set(file_paths)
         if dupes:
             raise ValueError(f"files already referenced by table: {sorted(dupes)[:3]}...")
-        spec = self._spec()
-        if not spec.is_unpartitioned:
-            raise NotImplementedError("add_files currently supports unpartitioned tables")
         parquet_paths = [p for p in file_paths if not p.endswith(".orc")]
         orc_paths = [p for p in file_paths if p.endswith(".orc")]
-        stats = collect_file_stats(self._spark(), parquet_paths, self._schema()) if parquet_paths else {}
+
+        mapping = load_name_mapping(self.metadata.properties)
+        extra_names: Dict[str, int] = {}
+        name_maps: Dict[str, Dict[int, str]] = {}  # per-file {field_id: file_column}
+        if parquet_paths:
+            import pyarrow.parquet as _pq
+
+            from ..io.fileio import to_local
+
+            schema_names = {f.name.lower() for f in schema.fields}
+            for p in parquet_paths:
+                file_schema = _pq.read_schema(to_local(p))
+                has_ids = any(
+                    (f.metadata or {}).get(b"PARQUET:field_id") is not None for f in file_schema
+                )
+                renames: Dict[int, str] = {}
+                for f in file_schema:
+                    if f.name.lower() in schema_names:
+                        continue
+                    fid = mapping.id_for(f.name) if mapping else None
+                    if fid is None:
+                        if has_ids:
+                            continue  # resolved by embedded id at read time
+                        raise ValueError(
+                            f"cannot add {p!r}: column {f.name!r} has no field id and no "
+                            f"name mapping (set {'schema.name-mapping.default'!r})"
+                        )
+                    renames[fid] = f.name
+                    extra_names[f.name] = fid
+                if renames:
+                    name_maps[p] = renames
+
+        stats = (
+            collect_file_stats(self._spark(), parquet_paths, schema, extra_names or None)
+            if parquet_paths
+            else {}
+        )
         if orc_paths:
             # ORC footers aren't exposed by the footer reader; one Spark agg
             # job over the files computes the stats instead
             from ..io.write import spark_stats_for_files
 
-            stats.update(spark_stats_for_files(self._spark(), orc_paths, self._schema(), fmt="ORC"))
+            stats.update(spark_stats_for_files(self._spark(), orc_paths, schema, fmt="ORC"))
+
+        def derive_partition(p: str, st: Dict[str, Any]) -> Dict[str, Any]:
+            if spec.is_unpartitioned:
+                return {}
+            values: Dict[str, Any] = {}
+            for pf in spec.fields:
+                src = schema.find_field(pf.source_id)
+                lo = st["lower_bounds"].get(pf.source_id)
+                hi = st["upper_bounds"].get(pf.source_id)
+                if lo is None and hi is None:
+                    values[pf.name] = None  # all-null source column
+                    continue
+                fn = pf.transform.transform(src.field_type)
+                t_lo, t_hi = fn(lo), fn(hi)
+                if t_lo != t_hi:
+                    raise ValueError(
+                        f"cannot add {p!r}: it spans partition values for "
+                        f"{pf.name!r} ({t_lo!r} != {t_hi!r}) — rewrite it or "
+                        f"split it per partition"
+                    )
+                values[pf.name] = t_lo
+            return values
+
         files = []
         for p in file_paths:
             st = stats[p]
-            files.append(
-                {
-                    "content": CONTENT_DATA,
-                    "file_path": p,
-                    "file_format": "ORC" if p.endswith(".orc") else "PARQUET",
-                    "spec_id": spec.spec_id,
-                    "schema_id": self._schema().schema_id,
-                    "partition": {},
-                    **st,
-                }
-            )
+            d = {
+                "content": CONTENT_DATA,
+                "file_path": p,
+                "file_format": "ORC" if p.endswith(".orc") else "PARQUET",
+                "spec_id": spec.spec_id,
+                "schema_id": schema.schema_id,
+                "partition": derive_partition(p, st),
+                **st,
+            }
+            if p in name_maps:
+                d["name_map"] = name_maps[p]
+            files.append(d)
         self._commit_snapshot(Operation.APPEND, files, snapshot_properties=snapshot_properties)
 
     # -- commit -------------------------------------------------------------------
@@ -1409,6 +1480,7 @@ class DataScan:
                 t.data_file.get("schema_id", schema.schema_id),
                 t.data_file.get("file_format", "PARQUET"),
                 t.eq_delete_files,
+                tuple(sorted((t.data_file.get("name_map") or {}).items())),
             )
             groups.setdefault(key, []).append(t)
 
@@ -1416,8 +1488,20 @@ class DataScan:
         bound = bind(self.row_filter, schema, self.case_sensitive) if need_filter else None
 
         dfs = []
-        for (schema_id, fmt, eq_set), group in groups.items():
+        for (schema_id, fmt, eq_set, name_map), group in groups.items():
             file_schema = metadata.schema_by_id(schema_id)
+            if name_map:
+                # name-mapped foreign files: physical column names differ;
+                # read under the file's names (same ids/types), then
+                # _align_to_schema renames back by field id
+                renames = dict(name_map)
+                file_schema = Schema(
+                    *[
+                        _dc_replace(f, name=renames.get(f.field_id, f.name))
+                        for f in file_schema.fields
+                    ],
+                    schema_id=file_schema.schema_id,
+                )
             df = _read_paths(spark, file_schema.to_spark(), fmt, [t.file_path for t in group])
             delete_paths = sorted({p for t in group for p in t.delete_files})
             if delete_paths:
@@ -1468,9 +1552,23 @@ class DataScan:
             spark = self.table.spark
             by_grp: Dict[Tuple, List[FileScanTask]] = {}
             for t in to_read:
-                by_grp.setdefault((t.data_file.get("file_format", "PARQUET"), t.eq_delete_files), []).append(t)
-            for (fmt, eq_set), grp in by_grp.items():
-                df = _read_paths(spark, schema.to_spark(), fmt, [t.file_path for t in grp])
+                by_grp.setdefault(
+                    (
+                        t.data_file.get("file_format", "PARQUET"),
+                        t.eq_delete_files,
+                        tuple(sorted((t.data_file.get("name_map") or {}).items())),
+                    ),
+                    [],
+                ).append(t)
+            for (fmt, eq_set, name_map), grp in by_grp.items():
+                read_schema = schema
+                if name_map:
+                    renames = dict(name_map)
+                    read_schema = Schema(
+                        *[_dc_replace(f, name=renames.get(f.field_id, f.name)) for f in schema.fields],
+                        schema_id=schema.schema_id,
+                    )
+                df = _read_paths(spark, read_schema.to_spark(), fmt, [t.file_path for t in grp])
                 delete_paths = sorted({p for t in grp for p in t.delete_files})
                 if delete_paths:
                     dels = spark.read.schema(_pos_delete_schema().to_spark()).parquet(*delete_paths)
@@ -1484,7 +1582,9 @@ class DataScan:
                         )
                     )
                 if eq_set:
-                    df = _apply_equality_deletes(spark, df, eq_set, schema)
+                    df = _apply_equality_deletes(spark, df, eq_set, read_schema)
+                if name_map:
+                    df = _align_to_schema(df, read_schema, schema)
                 if not isinstance(bound, AlwaysTrue):
                     df = df.where(to_spark_column(bound))
                 total += df.count()

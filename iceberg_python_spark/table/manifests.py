@@ -104,6 +104,8 @@ def _stats_to_json(data_file: Mapping[str, Any], schema: Schema) -> str:
     out: Dict[str, Any] = {}
     if data_file.get("equality_ids"):
         out["equality_ids"] = [int(x) for x in data_file["equality_ids"]]
+    if data_file.get("name_map"):
+        out["name_map"] = {str(k): v for k, v in data_file["name_map"].items()}
     for key in ("value_counts", "null_value_counts", "nan_value_counts"):
         m = data_file.get(key) or {}
         out[key] = {str(k): int(v) for k, v in m.items()}
@@ -127,6 +129,8 @@ def _stats_from_json(s: Optional[str], schema: Schema) -> Dict[str, Dict[int, An
     out: Dict[str, Any] = {}
     if raw.get("equality_ids"):
         out["equality_ids"] = [int(x) for x in raw["equality_ids"]]
+    if raw.get("name_map"):
+        out["name_map"] = {int(k): v for k, v in raw["name_map"].items()}
     for key in ("value_counts", "null_value_counts", "nan_value_counts"):
         out[key] = {int(k): int(v) for k, v in (raw.get(key) or {}).items()}
     for key in ("lower_bounds", "upper_bounds"):
