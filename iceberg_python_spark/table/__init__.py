@@ -385,6 +385,12 @@ class Transaction:
         self.table = table
         self.metadata = table.metadata  # evolving copy
         self._dirty = False
+        # staged-commit log for CAS-retry rebase (reference
+        # table/update/validate.py:41-357): what this transaction did, in
+        # terms replayable against a refreshed base
+        self._base_snapshot_id = table.metadata.current_snapshot_id
+        self._staged: List[Dict[str, Any]] = []
+        self._replaying = False
 
     def __enter__(self) -> "Transaction":
         return self
@@ -497,9 +503,25 @@ class Transaction:
         added_files: List[Dict[str, Any]],
         removed_paths: Optional[Set[str]] = None,
         snapshot_properties: Optional[Dict[str, str]] = None,
+        conflict_filter: Optional[BooleanExpression] = None,
     ) -> None:
         """Produce a snapshot: new manifest for added files, carry forward /
-        rewrite existing manifests (reference table/update/snapshot.py:94-733)."""
+        rewrite existing manifests (reference table/update/snapshot.py:94-733).
+
+        ``conflict_filter``: for filter-based deletes, the bound predicate
+        whose matching rows this commit claims — used by the CAS-retry
+        rebase to detect concurrent appends that would semantically
+        conflict."""
+        if not self._replaying:
+            self._staged.append(
+                {
+                    "operation": operation,
+                    "added_files": added_files,
+                    "removed_paths": set(removed_paths or ()),
+                    "snapshot_properties": snapshot_properties,
+                    "conflict_filter": conflict_filter,
+                }
+            )
         meta = self.metadata
         schema = meta.schema()
         parent = meta.current_snapshot()
@@ -694,7 +716,11 @@ class Transaction:
             if not removed and not delete_files:
                 return
             self._commit_snapshot(
-                Operation.DELETE, delete_files, removed_paths=removed, snapshot_properties=snapshot_properties
+                Operation.DELETE,
+                delete_files,
+                removed_paths=removed,
+                snapshot_properties=snapshot_properties,
+                conflict_filter=bound,
             )
             return
         if partial:
@@ -738,7 +764,9 @@ class Transaction:
         removed = {d["file_path"] for d in full_delete} | rewritten_paths
         if not removed and not added:
             return  # no-op delete
-        self._commit_snapshot(Operation.DELETE, added, removed_paths=removed, snapshot_properties=snapshot_properties)
+        self._commit_snapshot(
+            Operation.DELETE, added, removed_paths=removed, snapshot_properties=snapshot_properties, conflict_filter=bound
+        )
 
     def add_equality_deletes(
         self,
@@ -1164,10 +1192,113 @@ class Transaction:
 
     # -- commit -------------------------------------------------------------------
     def commit_transaction(self) -> None:
+        """CAS commit with validated retry (reference Transaction +
+        table/update/validate.py): when the metadata pointer moved
+        concurrently, refresh, check the staged operations for semantic
+        conflicts against the snapshots that landed in between, and
+        replay them on the new base. Appends always rebase; filter-based
+        deletes rebase unless a concurrent append matches the delete
+        filter; removed files must still be live (no double-delete)."""
         if not self._dirty:
             return
-        self.table.catalog._commit_table(self.table, self.metadata)
-        self._dirty = False
+        attempts = int(self.metadata.properties.get("commit.retry.num-retries", "3"))
+        for attempt in range(attempts + 1):
+            try:
+                self.table.catalog._commit_table(self.table, self.metadata)
+                self._dirty = False
+                return
+            except CommitFailedException:
+                if attempt >= attempts or not self._staged:
+                    raise
+                fresh = self.table.catalog.load_table(self.table.identifier)
+                self._validate_against(fresh.metadata)
+                # rebase: replay the staged commits on the fresh base
+                import copy as _copy
+
+                self.table.metadata = fresh.metadata
+                self.table.metadata_location = fresh.metadata_location
+                self.metadata = _copy.deepcopy(fresh.metadata)
+                self._replaying = True
+                try:
+                    for s in self._staged:
+                        self._commit_snapshot(
+                            s["operation"],
+                            s["added_files"],
+                            removed_paths=s["removed_paths"],
+                            snapshot_properties=s["snapshot_properties"],
+                        )
+                finally:
+                    self._replaying = False
+
+    def _validate_against(self, fresh: TableMetadata) -> None:
+        """Semantic conflict checks between our base snapshot and the
+        refreshed current (reference validate.py:41-357)."""
+        # snapshots added since our base, newest->oldest
+        chain: List[Snapshot] = []
+        cur = fresh.current_snapshot()
+        while cur is not None and cur.snapshot_id != self._base_snapshot_id:
+            chain.append(cur)
+            if cur.parent_snapshot_id is None:
+                if self._base_snapshot_id is not None:
+                    raise CommitFailedException(
+                        f"base snapshot {self._base_snapshot_id} is no longer an "
+                        f"ancestor of the current table state (history rewritten)"
+                    )
+                break
+            cur = fresh.snapshot_by_id(cur.parent_snapshot_id)
+            if cur is None and self._base_snapshot_id is not None:
+                raise CommitFailedException("ancestry chain broken by concurrent expiration")
+
+        needs_live_check = any(s["removed_paths"] for s in self._staged)
+        live_paths: Set[str] = set()
+        if needs_live_check:
+            live_paths = {
+                e["data_file"]["file_path"] for e in self.table._live_entries(fresh.current_snapshot())
+            }
+        # data files added by the concurrent snapshots
+        concurrent_added: List[Dict[str, Any]] = []
+        if chain:
+            schema = fresh.schema()
+            snapshot_ids = {s.snapshot_id for s in chain}
+            for s in chain:
+                for m in read_manifest_list(s.manifest_list, fresh.spec_by_id, schema):
+                    if m["added_snapshot_id"] not in snapshot_ids:
+                        continue
+                    spec = fresh.spec_by_id(m["spec_id"])
+                    for e in read_manifest(m["manifest_path"], schema, spec, manifest=m):
+                        if (
+                            e["status"] == STATUS_ADDED
+                            and e["snapshot_id"] in snapshot_ids
+                            and e["data_file"].get("content", 0) == CONTENT_DATA
+                        ):
+                            concurrent_added.append(e["data_file"])
+
+        for s in self._staged:
+            removed = s["removed_paths"]
+            if removed:
+                gone = removed - live_paths
+                if gone:
+                    raise CommitFailedException(
+                        f"conflict: files this {s['operation']} removes were concurrently "
+                        f"deleted/rewritten: {sorted(gone)[:3]}"
+                    )
+            flt = s["conflict_filter"]
+            if flt is not None and concurrent_added:
+                matches = inclusive_metrics_evaluator(flt)
+                hits = [d["file_path"] for d in concurrent_added if matches(d)]
+                if hits:
+                    raise CommitFailedException(
+                        f"conflict: concurrently appended files may match this "
+                        f"{s['operation']}'s filter: {hits[:3]}"
+                    )
+            elif removed and s["conflict_filter"] is None and concurrent_added:
+                # upsert/DPO/compact: claims whole-table/partition state;
+                # without a recorded predicate any concurrent append is a
+                # potential semantic conflict — fail conservatively
+                raise CommitFailedException(
+                    f"conflict: {s['operation']} staged against a table state that "
+                    f"gained {len(concurrent_added)} concurrent data files"
+                )
 
 
 # ---------------------------------------------------------------------------

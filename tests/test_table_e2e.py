@@ -220,17 +220,62 @@ def test_incremental_scan_broken_chain_raises(lineitem_table, lineitem_df):
     assert inc.to_df().count() == 5
 
 
-def test_commit_conflict(catalog, spark):
-    df = spark.createDataFrame([(1,)], "id: long")
-    schema = schema_from_spark(df.schema)
+def test_concurrent_appends_rebase(catalog, spark):
+    """Two writers appending from the same base: the CAS loser validates
+    (appends never conflict) and replays on the winner's snapshot
+    (reference Transaction retry + update/validate.py)."""
+    df1 = spark.createDataFrame([(1,)], "id: long")
+    df2 = spark.createDataFrame([(2,)], "id: long")
+    schema = schema_from_spark(df1.schema)
     catalog.create_table("db.conflict_t", schema)
     t1 = catalog.load_table("db.conflict_t")
     t2 = catalog.load_table("db.conflict_t")
-    t1.append(df)
+    t1.append(df1)
+    t2.append(df2)  # stale pointer -> validated rebase, not failure
+    t1.refresh()
+    assert {r.id for r in t1.scan().to_df().collect()} == {1, 2}
+    assert len(t1.snapshots()) == 2
+
+
+def test_concurrent_delete_append_conflict_detected(catalog, spark):
+    """A filter-based delete staged against a base that concurrently
+    gained matching rows must FAIL, not silently under-delete."""
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "id: long, val: double")
+    schema = schema_from_spark(df.schema)
+    t0 = catalog.create_table("db.conflict_d", schema)
+    t0.append(df)
+    t1 = catalog.load_table("db.conflict_d")
+    t2 = catalog.load_table("db.conflict_d")
+    # t1 appends rows that match t2's delete filter; t1 wins the CAS
+    t1.append(spark.createDataFrame([(100, 100.0)], "id: long, val: double"))
     from iceberg_python_spark import CommitFailedException
 
-    with pytest.raises(CommitFailedException):
-        t2.append(df)  # stale metadata pointer
+    with pytest.raises(CommitFailedException, match="conflict"):
+        t2.delete("id >= 5")
+    # non-matching concurrent append: delete rebases cleanly
+    t3 = catalog.load_table("db.conflict_d")
+    t4 = catalog.load_table("db.conflict_d")
+    t3.append(spark.createDataFrame([(-1, -1.0)], "id: long, val: double"))
+    t4.delete("id >= 5")  # -1 doesn't match -> rebase succeeds
+    t3.refresh()
+    ids = {r.id for r in t3.scan().to_df().collect()}
+    assert ids == {-1, 0, 1, 2, 3, 4}
+
+
+def test_concurrent_double_delete_conflict_detected(catalog, spark):
+    """Two writers deleting overlapping files from the same base: the
+    loser detects its removed files are already gone."""
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "id: long, val: double")
+    schema = schema_from_spark(df.schema)
+    t0 = catalog.create_table("db.conflict_dd", schema)
+    t0.append(df)
+    t1 = catalog.load_table("db.conflict_dd")
+    t2 = catalog.load_table("db.conflict_dd")
+    t1.delete("id >= 0")  # removes everything; wins
+    from iceberg_python_spark import CommitFailedException
+
+    with pytest.raises(CommitFailedException, match="conflict"):
+        t2.delete("id >= 5")  # its target files were rewritten/deleted
 
 
 def test_static_table(lineitem_table, spark):
