@@ -7,6 +7,7 @@ Python mirroring the Iceberg spec; the data plane is Spark DataFrames
 """
 
 from .catalog import InMemoryCatalog, NoSuchTableError, SqliteCatalog, TableAlreadyExistsError
+from .catalog_rest import RestCatalog
 from .partitioning import UNPARTITIONED, PartitionField, PartitionSpec, spec_from_names
 from .schema import Schema, schema_from_spark
 from .table import CommitFailedException, DataScan, StaticTable, Table, Transaction, UpsertResult
@@ -14,6 +15,7 @@ from .table import CommitFailedException, DataScan, StaticTable, Table, Transact
 __all__ = [
     "SqliteCatalog",
     "InMemoryCatalog",
+    "RestCatalog",
     "NoSuchTableError",
     "TableAlreadyExistsError",
     "CommitFailedException",

@@ -1,0 +1,293 @@
+"""REST catalog client — the Iceberg REST Catalog Open API surface
+(reference pyiceberg/catalog/rest/__init__.py:405; spec
+rest-catalog-open-api.yaml).
+
+Wire shape:
+- ``GET  {uri}/v1/config``                       — server defaults/overrides
+- ``GET/POST /v1/{prefix}/namespaces``            — namespace CRUD
+- ``GET/POST /v1/{prefix}/namespaces/{ns}/tables``— list/create
+- ``GET/DELETE .../tables/{name}``                — load/drop
+- ``POST /v1/{prefix}/tables/rename``             — rename
+- ``POST .../tables/{name}``                      — CommitTableRequest:
+  requirement objects (assert-table-uuid, assert-ref-snapshot-id) +
+  update objects (add-snapshot, set-snapshot-ref, add-schema, …);
+  409 -> CommitFailedException, which the Transaction retry/rebase
+  layer (table/__init__.py commit_transaction) already handles.
+
+The commit body is computed as a DIFF between the transaction's base
+metadata and its result, so the server applies semantic updates rather
+than a blind metadata swap — the same optimistic protocol real servers
+(Polaris, Nessie, Tabular, Gravitino) speak. Multi-part namespaces are
+encoded with the spec's 0x1F unit separator.
+"""
+
+from __future__ import annotations
+
+import posixpath
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import requests
+
+from .partitioning import UNPARTITIONED, PartitionSpec
+from .schema import Schema, schema_from_spark
+from .table import CommitFailedException, Table
+from .table.metadata import SortOrder, TableMetadata, new_table_metadata
+
+Identifier = Tuple[str, ...]
+
+NS_SEP = "\x1f"
+
+
+class NoSuchTableError(Exception):
+    pass
+
+
+class NoSuchNamespaceError(Exception):
+    pass
+
+
+class TableAlreadyExistsError(Exception):
+    pass
+
+
+def _to_identifier(identifier: Union[str, Identifier]) -> Identifier:
+    if isinstance(identifier, str):
+        return tuple(identifier.split("."))
+    return tuple(identifier)
+
+
+class RestCatalog:
+    def __init__(
+        self,
+        name: str,
+        uri: str,
+        spark,
+        warehouse: Optional[str] = None,
+        token: Optional[str] = None,
+        properties: Optional[Dict[str, str]] = None,
+    ):
+        self.name = name
+        self.uri = uri.rstrip("/")
+        self.spark = spark
+        self.warehouse = warehouse
+        self._session = requests.Session()
+        if token:
+            self._session.headers["Authorization"] = f"Bearer {token}"
+        self._session.headers["Content-Type"] = "application/json"
+        cfg = self._get("/v1/config", params={"warehouse": warehouse} if warehouse else None)
+        merged: Dict[str, str] = dict(cfg.get("defaults") or {})
+        merged.update(properties or {})
+        merged.update(cfg.get("overrides") or {})
+        self.properties = merged
+        self.prefix = merged.get("prefix", "")
+        if self.warehouse is None:
+            self.warehouse = merged.get("warehouse")
+
+    # -- http plumbing -------------------------------------------------------
+    def _url(self, path: str) -> str:
+        base = f"{self.uri}/v1"
+        if self.prefix:
+            base = f"{base}/{self.prefix}"
+        return base + path
+
+    def _check(self, r: requests.Response) -> Dict[str, Any]:
+        if r.status_code == 404:
+            raise NoSuchTableError(r.text) if "/tables" in r.url else NoSuchNamespaceError(r.text)
+        if r.status_code == 409:
+            raise (
+                TableAlreadyExistsError(r.text)
+                if r.request.method == "POST" and r.url.endswith("/tables")
+                else CommitFailedException(r.text)
+            )
+        r.raise_for_status()
+        return r.json() if r.content else {}
+
+    def _get(self, path: str, params=None) -> Dict[str, Any]:
+        return self._check(self._session.get(f"{self.uri}{path}" if path.startswith("/v1/config") else self._url(path), params=params))
+
+    def _post(self, path: str, body: Dict[str, Any]) -> Dict[str, Any]:
+        return self._check(self._session.post(self._url(path), json=body))
+
+    def _delete(self, path: str, params=None) -> None:
+        self._check(self._session.delete(self._url(path), params=params))
+
+    # -- namespaces ----------------------------------------------------------
+    def create_namespace(self, namespace: Union[str, Identifier], properties: Optional[Dict[str, str]] = None) -> None:
+        ns = list(_to_identifier(namespace))
+        self._post("/namespaces", {"namespace": ns, "properties": properties or {}})
+
+    def list_namespaces(self) -> List[Identifier]:
+        out = self._get("/namespaces")
+        return [tuple(n) for n in out.get("namespaces", [])]
+
+    def namespace_exists(self, namespace: Union[str, Identifier]) -> bool:
+        try:
+            self._get(f"/namespaces/{NS_SEP.join(_to_identifier(namespace))}")
+            return True
+        except NoSuchNamespaceError:
+            return False
+
+    def drop_namespace(self, namespace: Union[str, Identifier]) -> None:
+        self._delete(f"/namespaces/{NS_SEP.join(_to_identifier(namespace))}")
+
+    # -- tables --------------------------------------------------------------
+    def _ns_and_name(self, identifier: Union[str, Identifier]) -> Tuple[str, str]:
+        ident = _to_identifier(identifier)
+        return NS_SEP.join(ident[:-1]), ident[-1]
+
+    def list_tables(self, namespace: Union[str, Identifier]) -> List[Identifier]:
+        ns = NS_SEP.join(_to_identifier(namespace))
+        out = self._get(f"/namespaces/{ns}/tables")
+        return [tuple(i["namespace"]) + (i["name"],) for i in out.get("identifiers", [])]
+
+    def create_table(
+        self,
+        identifier: Union[str, Identifier],
+        schema: Union[Schema, Any],
+        partition_spec: PartitionSpec = UNPARTITIONED,
+        sort_order: Optional[SortOrder] = None,
+        properties: Optional[Dict[str, str]] = None,
+        location: Optional[str] = None,
+    ) -> Table:
+        from pyspark.sql import types as T
+
+        if isinstance(schema, T.StructType):
+            schema = schema_from_spark(schema)
+        ident = _to_identifier(identifier)
+        ns, name = self._ns_and_name(ident)
+        if not self.namespace_exists(ident[:-1]):
+            self.create_namespace(ident[:-1])
+        if location is None and self.warehouse:
+            location = posixpath.join(self.warehouse, *ident)
+        body = {
+            "name": name,
+            "schema": schema.to_dict(),
+            "partition-spec": partition_spec.to_dict(),
+            "write-order": (sort_order or SortOrder(0, [])).to_dict(),
+            "properties": properties or {},
+        }
+        if location:
+            body["location"] = location
+        out = self._post(f"/namespaces/{ns}/tables", body)
+        return self._table_from(ident, out)
+
+    def create_table_if_not_exists(self, identifier, schema, **kw) -> Table:
+        try:
+            return self.create_table(identifier, schema, **kw)
+        except TableAlreadyExistsError:
+            return self.load_table(identifier)
+
+    def load_table(self, identifier: Union[str, Identifier]) -> Table:
+        ident = _to_identifier(identifier)
+        ns, name = self._ns_and_name(ident)
+        out = self._get(f"/namespaces/{ns}/tables/{name}")
+        return self._table_from(ident, out)
+
+    def table_exists(self, identifier: Union[str, Identifier]) -> bool:
+        try:
+            self.load_table(identifier)
+            return True
+        except NoSuchTableError:
+            return False
+
+    def drop_table(self, identifier: Union[str, Identifier]) -> None:
+        ns, name = self._ns_and_name(identifier)
+        self._delete(f"/namespaces/{ns}/tables/{name}")
+
+    def purge_table(self, identifier: Union[str, Identifier]) -> None:
+        ns, name = self._ns_and_name(identifier)
+        self._delete(f"/namespaces/{ns}/tables/{name}", params={"purgeRequested": "true"})
+
+    def rename_table(self, from_identifier, to_identifier) -> Table:
+        src, dst = _to_identifier(from_identifier), _to_identifier(to_identifier)
+        self._post(
+            "/tables/rename",
+            {
+                "source": {"namespace": list(src[:-1]), "name": src[-1]},
+                "destination": {"namespace": list(dst[:-1]), "name": dst[-1]},
+            },
+        )
+        return self.load_table(dst)
+
+    def _table_from(self, ident: Identifier, load_result: Dict[str, Any]) -> Table:
+        metadata = TableMetadata.from_dict(load_result["metadata"])
+        return Table(ident, metadata, load_result.get("metadata-location", ""), self, self.spark)
+
+    # -- commit protocol -----------------------------------------------------
+    def _commit_table(self, table: Table, new_metadata: TableMetadata) -> None:
+        ns, name = self._ns_and_name(table.identifier)
+        base = table.metadata
+        body = {
+            "identifier": {"namespace": list(table.identifier[:-1]), "name": name},
+            "requirements": _requirements(base),
+            "updates": _updates_diff(base, new_metadata),
+        }
+        out = self._post(f"/namespaces/{ns}/tables/{name}", body)
+        table.metadata = TableMetadata.from_dict(out["metadata"])
+        table.metadata_location = out.get("metadata-location", table.metadata_location)
+
+
+def _requirements(base: TableMetadata) -> List[Dict[str, Any]]:
+    reqs: List[Dict[str, Any]] = [{"type": "assert-table-uuid", "uuid": base.table_uuid}]
+    main = base.refs.get("main")
+    reqs.append(
+        {
+            "type": "assert-ref-snapshot-id",
+            "ref": "main",
+            "snapshot-id": main.snapshot_id if main else None,
+        }
+    )
+    return reqs
+
+
+def _updates_diff(base: TableMetadata, new: TableMetadata) -> List[Dict[str, Any]]:
+    """Semantic update list from base -> new (spec TableUpdate objects)."""
+    ups: List[Dict[str, Any]] = []
+    base_schema_ids = {s.schema_id for s in base.schemas}
+    for s in new.schemas:
+        if s.schema_id not in base_schema_ids:
+            ups.append({"action": "add-schema", "schema": s.to_dict(), "last-column-id": new.last_column_id})
+    if new.current_schema_id != base.current_schema_id:
+        ups.append({"action": "set-current-schema", "schema-id": new.current_schema_id})
+    base_spec_ids = {s.spec_id for s in base.partition_specs}
+    for s in new.partition_specs:
+        if s.spec_id not in base_spec_ids:
+            ups.append({"action": "add-spec", "spec": s.to_dict()})
+    if new.default_spec_id != base.default_spec_id:
+        ups.append({"action": "set-default-spec", "spec-id": new.default_spec_id})
+    base_order_ids = {o.order_id for o in base.sort_orders}
+    for o in new.sort_orders:
+        if o.order_id not in base_order_ids:
+            ups.append({"action": "add-sort-order", "sort-order": o.to_dict()})
+    if new.default_sort_order_id != base.default_sort_order_id:
+        ups.append({"action": "set-default-sort-order", "sort-order-id": new.default_sort_order_id})
+    base_snap_ids = {s.snapshot_id for s in base.snapshots}
+    new_snap_ids = {s.snapshot_id for s in new.snapshots}
+    for s in new.snapshots:
+        if s.snapshot_id not in base_snap_ids:
+            ups.append({"action": "add-snapshot", "snapshot": s.to_dict()})
+    removed = base_snap_ids - new_snap_ids
+    if removed:
+        ups.append({"action": "remove-snapshots", "snapshot-ids": sorted(removed)})
+    for ref_name, ref in new.refs.items():
+        old = base.refs.get(ref_name)
+        if old is None or old.snapshot_id != ref.snapshot_id or old.type != ref.type:
+            ups.append(
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": ref_name,
+                    "snapshot-id": ref.snapshot_id,
+                    "type": ref.type,
+                }
+            )
+    for ref_name in set(base.refs) - set(new.refs):
+        ups.append({"action": "remove-snapshot-ref", "ref-name": ref_name})
+    set_props = {k: v for k, v in new.properties.items() if base.properties.get(k) != v}
+    if set_props:
+        ups.append({"action": "set-properties", "updates": set_props})
+    removed_props = sorted(set(base.properties) - set(new.properties))
+    if removed_props:
+        ups.append({"action": "remove-properties", "removals": removed_props})
+    if new.location != base.location:
+        ups.append({"action": "set-location", "location": new.location})
+    return ups

@@ -1,0 +1,203 @@
+"""In-process mock of an Iceberg REST catalog server (spec
+rest-catalog-open-api.yaml) for exercising the RestCatalog client: it
+validates commit requirements (assert-table-uuid /
+assert-ref-snapshot-id -> 409) and applies semantic TableUpdate objects
+to stored metadata, like a real server (Polaris/Nessie/Tabular) would."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Tuple
+from urllib.parse import unquote, urlparse
+
+NS_SEP = "\x1f"
+
+
+class _State:
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.namespaces: Dict[str, Dict[str, str]] = {}
+        self.tables: Dict[Tuple[str, str], Dict[str, Any]] = {}  # -> {"location": str, "metadata": dict}
+        self.versions: Dict[Tuple[str, str], int] = {}
+
+
+def _apply_updates(meta: Dict[str, Any], updates) -> Dict[str, Any]:
+    for u in updates:
+        a = u["action"]
+        if a == "add-schema":
+            meta["schemas"] = [s for s in meta.get("schemas", []) if s.get("schema-id") != u["schema"].get("schema-id")] + [u["schema"]]
+            meta["last-column-id"] = max(meta.get("last-column-id", 0), u.get("last-column-id", 0))
+        elif a == "set-current-schema":
+            meta["current-schema-id"] = u["schema-id"]
+        elif a == "add-spec":
+            meta["partition-specs"] = [s for s in meta.get("partition-specs", []) if s.get("spec-id") != u["spec"].get("spec-id")] + [u["spec"]]
+        elif a == "set-default-spec":
+            meta["default-spec-id"] = u["spec-id"]
+        elif a == "add-sort-order":
+            meta["sort-orders"] = [s for s in meta.get("sort-orders", []) if s.get("order-id") != u["sort-order"].get("order-id")] + [u["sort-order"]]
+        elif a == "set-default-sort-order":
+            meta["default-sort-order-id"] = u["sort-order-id"]
+        elif a == "add-snapshot":
+            meta.setdefault("snapshots", []).append(u["snapshot"])
+            meta["last-sequence-number"] = max(
+                meta.get("last-sequence-number", 0), u["snapshot"].get("sequence-number", 0)
+            )
+        elif a == "remove-snapshots":
+            ids = set(u["snapshot-ids"])
+            meta["snapshots"] = [s for s in meta.get("snapshots", []) if s["snapshot-id"] not in ids]
+            meta["snapshot-log"] = [e for e in meta.get("snapshot-log", []) if e["snapshot-id"] not in ids]
+        elif a == "set-snapshot-ref":
+            meta.setdefault("refs", {})[u["ref-name"]] = {
+                "snapshot-id": u["snapshot-id"],
+                "type": u.get("type", "branch"),
+            }
+            if u["ref-name"] == "main":
+                meta["current-snapshot-id"] = u["snapshot-id"]
+                meta.setdefault("snapshot-log", []).append(
+                    {"snapshot-id": u["snapshot-id"], "timestamp-ms": int(time.time() * 1000)}
+                )
+        elif a == "remove-snapshot-ref":
+            meta.get("refs", {}).pop(u["ref-name"], None)
+        elif a == "set-properties":
+            meta.setdefault("properties", {}).update(u["updates"])
+        elif a == "remove-properties":
+            for k in u["removals"]:
+                meta.get("properties", {}).pop(k, None)
+        elif a == "set-location":
+            meta["location"] = u["location"]
+        else:
+            raise ValueError(f"mock server: unsupported update {a}")
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    return meta
+
+
+def _check_requirements(meta: Dict[str, Any], reqs) -> bool:
+    for r in reqs:
+        if r["type"] == "assert-table-uuid":
+            if meta.get("table-uuid") != r["uuid"]:
+                return False
+        elif r["type"] == "assert-ref-snapshot-id":
+            cur = (meta.get("refs") or {}).get(r["ref"])
+            cur_id = cur["snapshot-id"] if cur else None
+            if cur_id != r.get("snapshot-id"):
+                return False
+    return True
+
+
+def make_server(warehouse: str):
+    state = _State()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code: int, body: Any = None):
+            data = json.dumps(body).encode() if body is not None else b""
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _body(self) -> Dict[str, Any]:
+            n = int(self.headers.get("Content-Length") or 0)
+            return json.loads(self.rfile.read(n)) if n else {}
+
+        def _parts(self):
+            return [unquote(p) for p in urlparse(self.path).path.strip("/").split("/")]
+
+        def do_GET(self):
+            p = self._parts()
+            if p[:2] == ["v1", "config"]:
+                return self._send(200, {"defaults": {"warehouse": warehouse}, "overrides": {}})
+            if p[:2] == ["v1", "namespaces"]:
+                if len(p) == 2:
+                    return self._send(200, {"namespaces": [ns.split(NS_SEP) for ns in state.namespaces]})
+                ns = p[2]
+                if len(p) == 3:
+                    if ns not in state.namespaces:
+                        return self._send(404, {"error": "no such namespace"})
+                    return self._send(200, {"namespace": ns.split(NS_SEP), "properties": state.namespaces[ns]})
+                if len(p) == 4 and p[3] == "tables":
+                    idents = [
+                        {"namespace": k[0].split(NS_SEP), "name": k[1]} for k in state.tables if k[0] == ns
+                    ]
+                    return self._send(200, {"identifiers": idents})
+                if len(p) == 5 and p[3] == "tables":
+                    t = state.tables.get((ns, p[4]))
+                    if t is None:
+                        return self._send(404, {"error": "no such table"})
+                    return self._send(
+                        200,
+                        {"metadata-location": t["location"], "metadata": t["metadata"], "config": {}},
+                    )
+            return self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            p = self._parts()
+            body = self._body()
+            with state.lock:
+                if p[:2] == ["v1", "namespaces"] and len(p) == 2:
+                    ns = NS_SEP.join(body["namespace"])
+                    state.namespaces.setdefault(ns, body.get("properties") or {})
+                    return self._send(200, {"namespace": body["namespace"], "properties": {}})
+                if p[:2] == ["v1", "tables"] and len(p) == 3 and p[2] == "rename":
+                    src = (NS_SEP.join(body["source"]["namespace"]), body["source"]["name"])
+                    dst = (NS_SEP.join(body["destination"]["namespace"]), body["destination"]["name"])
+                    if src not in state.tables:
+                        return self._send(404, {"error": "no such table"})
+                    state.tables[dst] = state.tables.pop(src)
+                    return self._send(200, {})
+                if len(p) == 4 and p[3] == "tables":  # create
+                    ns, name = p[2], body["name"]
+                    if ns not in state.namespaces:
+                        return self._send(404, {"error": "no such namespace"})
+                    if (ns, name) in state.tables:
+                        return self._send(409, {"error": "table exists"})
+                    from iceberg_python_spark.partitioning import PartitionSpec
+                    from iceberg_python_spark.schema import Schema
+                    from iceberg_python_spark.table.metadata import SortOrder, new_table_metadata
+
+                    schema = Schema.from_dict(body["schema"])
+                    spec = PartitionSpec.from_dict(body.get("partition-spec") or {"spec-id": 0, "fields": []})
+                    order = SortOrder.from_dict(body.get("write-order") or {"order-id": 0, "fields": []})
+                    location = body.get("location") or f"{warehouse}/{ns.replace(NS_SEP, '/')}/{name}"
+                    meta = new_table_metadata(schema, spec, location, body.get("properties") or {}, order).to_dict()
+                    state.tables[(ns, name)] = {"location": f"mock://{ns}/{name}/v1", "metadata": meta}
+                    state.versions[(ns, name)] = 1
+                    return self._send(
+                        200, {"metadata-location": f"mock://{ns}/{name}/v1", "metadata": meta}
+                    )
+                if len(p) == 5 and p[3] == "tables":  # commit
+                    key = (p[2], p[4])
+                    t = state.tables.get(key)
+                    if t is None:
+                        return self._send(404, {"error": "no such table"})
+                    if not _check_requirements(t["metadata"], body.get("requirements", [])):
+                        return self._send(409, {"error": "requirement failed"})
+                    meta = _apply_updates(json.loads(json.dumps(t["metadata"])), body.get("updates", []))
+                    v = state.versions[key] = state.versions.get(key, 1) + 1
+                    loc = f"mock://{key[0]}/{key[1]}/v{v}"
+                    state.tables[key] = {"location": loc, "metadata": meta}
+                    return self._send(200, {"metadata-location": loc, "metadata": meta})
+            return self._send(404, {"error": "not found"})
+
+        def do_DELETE(self):
+            p = self._parts()
+            with state.lock:
+                if p[:2] == ["v1", "namespaces"] and len(p) == 3:
+                    state.namespaces.pop(p[2], None)
+                    return self._send(204)
+                if len(p) == 5 and p[3] == "tables":
+                    if state.tables.pop((p[2], p[4]), None) is None:
+                        return self._send(404, {"error": "no such table"})
+                    return self._send(204)
+            return self._send(404, {"error": "not found"})
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, f"http://127.0.0.1:{server.server_address[1]}"

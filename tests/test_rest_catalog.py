@@ -1,0 +1,88 @@
+"""RestCatalog client against a spec-shaped mock server (reference
+pyiceberg/catalog/rest/__init__.py; the mock validates requirements and
+applies TableUpdate objects like a real server)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_python_spark.catalog_rest import NoSuchTableError, RestCatalog
+from iceberg_python_spark.schema import schema_from_spark
+
+from .rest_mock import make_server
+
+
+@pytest.fixture()
+def rest(tmp_path, spark):
+    server, uri = make_server(str(tmp_path / "wh"))
+    cat = RestCatalog("rest-test", uri, spark)
+    yield cat
+    server.shutdown()
+
+
+def test_namespaces(rest):
+    rest.create_namespace("db")
+    assert ("db",) in rest.list_namespaces()
+    assert rest.namespace_exists("db")
+    rest.drop_namespace("db")
+    assert not rest.namespace_exists("db")
+
+
+def test_create_append_scan_round_trip(rest, spark):
+    df = spark.createDataFrame([(i, f"g{i % 3}", float(i)) for i in range(100)], "id: long, grp: string, val: double")
+    t = rest.create_table("db.rest_t", schema_from_spark(df.schema))
+    t.append(df)
+    assert t.scan().to_df().count() == 100
+    # reload through the server: snapshot survived the commit protocol
+    t2 = rest.load_table("db.rest_t")
+    assert t2.current_snapshot() is not None
+    assert t2.scan(row_filter="id < 10").to_df().count() == 10
+    assert ("db", "rest_t") in rest.list_tables("db")
+
+
+def test_concurrent_append_409_then_rebase(rest, spark):
+    """The mock returns 409 on a failed assert-ref-snapshot-id; the
+    Transaction retry layer validates + replays over REST."""
+    df = spark.createDataFrame([(1,)], "id: long")
+    rest.create_table("db.rest_c", schema_from_spark(df.schema))
+    t1 = rest.load_table("db.rest_c")
+    t2 = rest.load_table("db.rest_c")
+    t1.append(df)
+    t2.append(spark.createDataFrame([(2,)], "id: long"))  # 409 -> rebase
+    t3 = rest.load_table("db.rest_c")
+    assert {r.id for r in t3.scan().to_df().collect()} == {1, 2}
+    assert len(t3.snapshots()) == 2
+
+
+def test_schema_evolution_over_rest(rest, spark):
+    from iceberg_python_spark.types import StringType
+
+    df = spark.createDataFrame([(1,)], "id: long")
+    t = rest.create_table("db.rest_evo", schema_from_spark(df.schema))
+    t.append(df)
+    t.update_schema().add_column("note", StringType()).commit()
+    t2 = rest.load_table("db.rest_evo")
+    assert "note" in t2.schema().column_names
+    t2.append(spark.createDataFrame([(2, "hi")], "id: long, note: string"))
+    rows = {(r.id, r.note) for r in t2.scan().to_df().collect()}
+    assert rows == {(1, None), (2, "hi")}
+
+
+def test_delete_and_time_travel_over_rest(rest, spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "id: long")
+    t = rest.create_table("db.rest_d", schema_from_spark(df.schema))
+    t.append(df)
+    snap1 = t.current_snapshot().snapshot_id
+    t.delete("id >= 5")
+    t.refresh()
+    assert t.scan().to_df().count() == 5
+    assert t.scan(snapshot_id=snap1).to_df().count() == 10
+
+
+def test_rename_drop(rest, spark):
+    df = spark.createDataFrame([(1,)], "id: long")
+    rest.create_table("db.rest_r", schema_from_spark(df.schema))
+    t = rest.rename_table("db.rest_r", "db.rest_r2")
+    assert t.scan().to_df().count() == 0
+    rest.drop_table("db.rest_r2")
+    with pytest.raises(NoSuchTableError):
+        rest.load_table("db.rest_r2")
