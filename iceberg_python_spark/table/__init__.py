@@ -1486,12 +1486,19 @@ class DataScan:
         self, metadata, schema, bound, manifest_files, part_filter, metrics_eval
     ) -> List[FileScanTask]:
         """Manifest pruning as a Spark job: read all (summary-surviving)
-        manifests as one DataFrame per spec, evaluate the projected
-        partition filter on the JSON-parsed partition tuple JVM-side, and
-        collect only surviving entries for metrics/residual evaluation."""
+        manifests as one DataFrame per spec, evaluate BOTH the projected
+        partition filter (on the JSON-parsed partition tuple) and the
+        inclusive metrics condition (on stats_json bounds) JVM-side, and
+        collect only the surviving (path, seq, partition) rows — the
+        stats blobs never cross to the driver, so the collect is
+        O(surviving files x ~100 bytes), the floor for feeding
+        spark.read.parquet(*paths)."""
         from pyspark.sql import types as T
 
-        from ..manifests_distributed import json_storage_spark_type  # local import avoids cycle
+        from ..manifests_distributed import (  # local import avoids cycle
+            json_storage_spark_type,
+            metrics_spark_predicate,
+        )
 
         spark = self.table.spark
         # delete manifests stay driver-side (orders of magnitude fewer)
@@ -1542,16 +1549,17 @@ class DataScan:
                     pf, column_for=lambda p: F.col(f"_part.{p.field.name}"), keep_internal=True
                 )
                 df = df.where(pred)
+            if not isinstance(bound, AlwaysTrue):
+                df = df.where(metrics_spark_predicate(bound, "stats_json"))
             rows = df.select(
                 "file_path",
                 "sequence_number",
                 "record_count",
                 "file_size_in_bytes",
                 "partition_json",
-                "stats_json",
                 "schema_id",
             ).collect()
-            from .manifests import _partition_from_json, _stats_from_json
+            from .manifests import _partition_from_json
 
             for r in rows:
                 d = {
@@ -1563,10 +1571,7 @@ class DataScan:
                     "partition": _partition_from_json(r.partition_json, spec, schema),
                     "record_count": r.record_count,
                     "file_size_in_bytes": r.file_size_in_bytes,
-                    **_stats_from_json(r.stats_json, schema),
                 }
-                if not metrics_eval(d):
-                    continue
                 res = compute_residual(spec, schema, bound, d["partition"])
                 if isinstance(res, AlwaysFalse):
                     continue

