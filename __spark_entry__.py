@@ -39,7 +39,9 @@ def _read_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in ns_cols:
         if isinstance(df.schema[c].dataType, T.LongType):
-            df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+            # integer division — float division rounds at 2^53 and shifts
+            # ns-precision timestamps by 1µs
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 
@@ -399,6 +401,15 @@ def _q_events_windowed(spark, env):
     return windowed_event_counts(ev, "ts", "event_type", "1 hour")
 
 
+def _q_events_sessionize(spark, env):
+    """Gap sessionization (30-min) per user: lag-window break detection +
+    running-sum session ids + one groupBy (single shuffle by user)."""
+    from iceberg_python_spark.streaming import sessionize
+
+    ev = env["events"].scan().to_df()
+    return sessionize(ev, gap_minutes=30)
+
+
 def _q_dedup_exact(spark, env):
     from iceberg_python_spark.operators.dedup import exact_dedup
 
@@ -595,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q6_revenue": _q_q6,
             "window_topk_per_group": _q_window_topk,
             "events_windowed_agg": _q_events_windowed,
+            "events_sessionize": _q_events_sessionize,
             "dedup_exact": _q_dedup_exact,
             "dedup_normalized": _q_dedup_normalized,
             "dedup_minhash_lsh": _q_dedup_minhash,
@@ -734,6 +746,15 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed_agg": (
             "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, "
             "count(*) AS n_events, round(sum(value), 4) AS sum_value FROM events GROUP BY 1, 2"
+        ),
+        "events_sessionize": (
+            "WITH b AS (SELECT user_id, event_id, ts, epoch_us(ts) AS eus, "
+            "CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT user_id, eus, CAST(SUM(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM b) "
+            "SELECT user_id, session_id, min(eus) AS session_start_us, max(eus) AS session_end_us, "
+            "count(*) AS n_events FROM s GROUP BY 1, 2"
         ),
         "dedup_exact": (
             f"{docs_dup_cte} SELECT d.* FROM docs_dup d JOIN ("

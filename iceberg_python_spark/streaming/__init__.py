@@ -55,6 +55,124 @@ def incremental_source(table: Table, cursor: Optional[int] = None) -> Tuple[Data
     return df, new_cursor
 
 
+def sessionize(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_minutes: int = 30,
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization (batch): consecutive events of a key
+    belong to one session while the gap stays under ``gap_minutes``.
+
+    Spark shape: one window shuffle by key — lag() marks session breaks,
+    a running sum numbers sessions, one groupBy aggregates them. Returns
+    (key, session_id, session_start_us, session_end_us, n_events).
+    Timestamps are emitted as epoch-µs longs so results are exact across
+    engines. For the streaming equivalent see
+    :func:`sessionize_stream`."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(order_tiebreak).asc())
+    gap_us = gap_minutes * 60 * 1_000_000
+    brk = (
+        F.when(
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w)) > gap_us, 1
+        )
+        .otherwise(0)
+    )
+    with_sid = events.withColumn("_brk", brk).withColumn(
+        "session_id", F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_sid.groupBy(key_col, "session_id")
+        .agg(
+            F.min(F.unix_micros(F.col(ts_col))).alias("session_start_us"),
+            F.max(F.unix_micros(F.col(ts_col))).alias("session_end_us"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def sessionize_stream(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based sessionization on a STREAM via a custom stateful
+    operator (``applyInPandasWithState``): per-key state holds the open
+    session (start, last-event, count); a batch's events extend or close
+    it, and event-time timeout flushes sessions the watermark has passed.
+
+    Emits one row per CLOSED session: (key, session_start_us,
+    session_end_us, n_events). State per key is O(1) — this is the
+    bounded-state custom operator the built-in window aggregation can't
+    express (session windows with per-key gap + incremental emission)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("session_start_us", T.LongType()),
+            T.StructField("session_end_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("count", T.LongType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state):
+        k = key[0]
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n = state.get
+                closed.append((k, start_us, last_us, n))
+                state.remove()
+        else:
+            ts_us: list = []
+            for pdf in pdf_iter:
+                # normalize to epoch-µs regardless of pandas datetime unit
+                ts_us.extend(pdf[ts_col].values.astype("datetime64[us]").astype("int64").tolist())
+            ts_us.sort()
+            if state.exists:
+                start_us, last_us, n = state.get
+            else:
+                start_us = last_us = None
+                n = 0
+            for t in ts_us:
+                if last_us is not None and t - last_us > gap_us:
+                    closed.append((k, start_us, last_us, n))
+                    start_us, n = t, 0
+                if start_us is None:
+                    start_us = t
+                last_us = t
+                n += 1
+            if start_us is not None:
+                state.update((start_us, last_us, n))
+                # close when the watermark passes the gap after the last event
+                state.setTimeoutTimestamp(last_us // 1000 + gap_minutes * 60 * 1000)
+        yield pd.DataFrame(closed, columns=["key", "session_start_us", "session_end_us", "n_events"])
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

@@ -1,0 +1,79 @@
+"""Gap sessionization: batch (window-function) and streaming
+(applyInPandasWithState custom stateful operator) must agree."""
+
+import datetime
+import time
+
+from pyspark.sql import functions as F
+
+
+def _ev(uid, minute, eid):
+    return (eid, datetime.datetime(2024, 1, 1, 10, minute, 0), uid)
+
+
+def test_sessionize_batch(spark):
+    from iceberg_python_spark.streaming import sessionize
+
+    rows = [
+        # user 1: two sessions (gap > 30min between minute 20 and 55+31)
+        _ev(1, 0, 1),
+        _ev(1, 10, 2),
+        _ev(1, 20, 3),
+        _ev(1, 55, 4),  # 35min gap -> new session
+        # user 2: one session
+        _ev(2, 5, 5),
+        _ev(2, 6, 6),
+    ]
+    df = spark.createDataFrame(rows, "event_id: long, ts: timestamp, user_id: long")
+    out = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start_us, r.session_end_us)
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    us = lambda m: int(datetime.datetime(2024, 1, 1, 10, m, tzinfo=datetime.timezone.utc).timestamp() * 1e6)  # noqa: E731
+    assert out[(1, 0)] == (3, us(0), us(20))
+    assert out[(1, 1)] == (1, us(55), us(55))
+    assert out[(2, 0)] == (2, us(5), us(6))
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Feed the same events through the stateful streaming operator in
+    two micro-batches; closed sessions must match the batch operator."""
+    from iceberg_python_spark.streaming import sessionize, sessionize_stream
+
+    batch1 = [_ev(1, 0, 1), _ev(1, 10, 2), _ev(1, 20, 3), _ev(2, 5, 5), _ev(2, 6, 6)]
+    # batch 2: user1 re-appears after the gap; a far-future event pushes
+    # the watermark past every session's timeout so all of them close
+    batch2 = [_ev(1, 55, 4), (99, datetime.datetime(2024, 1, 2, 10, 0, 0), 9)]
+    src = str(tmp_path / "stream_src")
+    schema = "event_id: long, ts: timestamp, user_id: long"
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(spark.createDataFrame([], schema).schema).parquet(src)
+    sessions = sessionize_stream(stream, gap_minutes=30, watermark="0 seconds")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # one more empty-ish pass lets event-time timeouts fire
+        spark.createDataFrame([(100, datetime.datetime(2024, 1, 3), 9)], schema).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {
+            (r.key, r.session_start_us): (r.session_end_us, r.n_events)
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+    finally:
+        q.stop()
+    full = spark.createDataFrame(batch1 + batch2[:1], schema)
+    want = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events)
+        for r in sessionize(full, gap_minutes=30).collect()
+    }
+    for k, v in want.items():
+        assert got.get(k) == v, (k, v, got)
