@@ -65,11 +65,14 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict:
     raw = {t: _read_raw(spark, sf_dir, t) for t in _TABLES}
     env["raw"] = raw
 
-    def create(name, df, parts=()):
+    def create(name, df, parts=(), properties=None):
         schema = schema_from_spark(df.schema)
         spec = spec_from_names(schema, *parts) if parts else None
         t = cat.create_table(
-            f"db.{name}", schema, partition_spec=spec if spec else __import__("iceberg_python_spark").UNPARTITIONED
+            f"db.{name}",
+            schema,
+            partition_spec=spec if spec else __import__("iceberg_python_spark").UNPARTITIONED,
+            properties=properties,
         )
         t.append(df)
         return t
@@ -132,6 +135,19 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict:
     lm.delete("l_quantity > 45", mode="merge-on-read")
     lm.refresh()
     env["lineitem_mor"] = lm
+
+    # merge-on-read via v3 deletion vectors: same delete committed as one
+    # Puffin file (roaring bitmap per data file) instead of pos-delete
+    # parquet; scan expands DVs on executors and applies the same anti-join
+    lv = create(
+        "lineitem_dv",
+        raw["lineitem"],
+        parts=[("l_shipdate", "month")],
+        properties={"write.delete.mode": "merge-on-read", "write.delete.format": "puffin"},
+    )
+    lv.delete("l_quantity > 45")
+    lv.refresh()
+    env["lineitem_dv"] = lv
 
     # MoR + compaction: same state rewritten into clean files
     lc = create("lineitem_compact", raw["lineitem"], parts=[("l_shipdate", "month")])
@@ -269,6 +285,10 @@ def _q_mor_delete(spark, env):
 
 def _q_mor_compacted(spark, env):
     return env["lineitem_compact"].scan().to_df()
+
+
+def _q_mor_dv(spark, env):
+    return env["lineitem_dv"].scan().to_df()
 
 
 def _q_q4_order_priority(spark, env):
@@ -592,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "schema_evolution_read": _q_schema_evolution,
             "mor_delete_scan": _q_mor_delete,
             "mor_compacted_scan": _q_mor_compacted,
+            "mor_dv_scan": _q_mor_dv,
             "avro_interop_scan": _q_avro_interop,
             "eq_delete_scan": _q_eq_delete_scan,
             "add_files_partitioned_scan": _q_add_files_scan,
@@ -674,6 +695,7 @@ def oracle_sql() -> dict[str, str]:
             "o_orderpriority AS priority, CASE WHEN o_orderkey % 2 = 1 THEN 'new' END AS note FROM orders"
         ),
         "mor_delete_scan": "SELECT * FROM lineitem WHERE NOT (l_quantity > 45)",
+        "mor_dv_scan": "SELECT * FROM lineitem WHERE NOT (l_quantity > 45)",
         "mor_compacted_scan": "SELECT * FROM lineitem WHERE NOT (l_quantity > 45)",
         "avro_interop_scan": (
             "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 1000"

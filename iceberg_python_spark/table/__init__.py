@@ -109,6 +109,26 @@ def _pos_delete_schema() -> Schema:
     return POS_DELETE_SCHEMA
 
 
+def _pos_deletes_df(spark, delete_paths) -> DataFrame:
+    """All position-delete rows from a mixed set of delete files: parquet
+    position deletes and/or v3 deletion-vector Puffin files, unioned to
+    one (file_path, pos) DataFrame. Puffin expansion runs on executors
+    (binaryFile + mapInPandas, see puffin.dv_positions_df)."""
+    puffin_paths = [p for p in delete_paths if p.endswith(".puffin")]
+    parquet_paths = [p for p in delete_paths if not p.endswith(".puffin")]
+    parts = []
+    if parquet_paths:
+        parts.append(spark.read.schema(_pos_delete_schema().to_spark()).parquet(*parquet_paths))
+    if puffin_paths:
+        from .puffin import dv_positions_df
+
+        parts.append(dv_positions_df(spark, puffin_paths))
+    df = parts[0]
+    for extra in parts[1:]:
+        df = df.unionByName(extra)
+    return df
+
+
 @dataclass
 class UpsertResult:
     rows_updated: int
@@ -450,11 +470,19 @@ class Transaction:
         return self._write_pos_delete_rows(matched)
 
     def _write_pos_delete_rows(self, matched: DataFrame) -> List[Dict[str, Any]]:
-        """Write a (file_path, pos) DataFrame as position-delete files."""
+        """Write a (file_path, pos) DataFrame as position-delete files.
+
+        Format resolves from the table property ``write.delete.format``:
+        ``parquet`` (default) writes sorted position-delete parquet;
+        ``puffin`` writes one v3 deletion-vector Puffin file (roaring
+        bitmap per referenced data file, reference
+        table/deletion_vector.py:40-93 read-side semantics)."""
         from ..io.write import collect_file_stats, _list_parquet_files
 
         spark = self._spark()
         schema = self._schema()
+        if self.metadata.properties.get("write.delete.format", "parquet") == "puffin":
+            return self._write_deletion_vectors(matched)
         out_dir = posixpath.join(self.metadata.location, "data", f"{uuid.uuid4()}-deletes")
         (
             matched.repartition("file_path")
@@ -483,6 +511,83 @@ class Transaction:
                 }
             )
         return out
+
+    def _write_deletion_vectors(self, matched: DataFrame) -> List[Dict[str, Any]]:
+        """Write a (file_path, pos) DataFrame as ONE v3 deletion-vector
+        Puffin file: bitmaps are built per referenced data file on
+        executors (``applyInPandas``) so only compact serialized blobs —
+        never row positions — reach the driver, then assembled into a
+        single container whose blobs become content=1 DataFile entries
+        carrying referenced_data_file/content_offset/content_size_in_bytes
+        (spec data_file fields 143-145)."""
+        import numpy as np
+        import pandas as pd
+
+        from ..io import fileio
+        from .puffin import (
+            BLOB_TYPE_DV,
+            PROPERTY_CARDINALITY,
+            PROPERTY_REFERENCED_DATA_FILE,
+            PuffinWriter,
+            dv_blob_payload,
+        )
+
+        def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            positions = np.unique(pdf["pos"].to_numpy(dtype="int64"))
+            return pd.DataFrame(
+                {
+                    "file_path": [pdf["file_path"].iloc[0]],
+                    "blob": [dv_blob_payload(positions)],
+                    "card": [len(positions)],
+                }
+            )
+
+        blobs = (
+            matched.repartition("file_path")
+            .groupBy("file_path")
+            .applyInPandas(build, "file_path string, blob binary, card long")
+            .collect()
+        )
+        if not blobs:
+            return []
+        writer = PuffinWriter(properties={"created-by": "iceberg_python_spark"})
+        metas = []
+        for row in sorted(blobs, key=lambda r: r["file_path"]):
+            metas.append(
+                (
+                    row["file_path"],
+                    int(row["card"]),
+                    writer.add_blob(
+                        BLOB_TYPE_DV,
+                        bytes(row["blob"]),
+                        properties={
+                            PROPERTY_REFERENCED_DATA_FILE: row["file_path"],
+                            PROPERTY_CARDINALITY: str(int(row["card"])),
+                        },
+                    ),
+                )
+            )
+        data = writer.finish()
+        spark = self._spark()
+        schema = self._schema()
+        path = posixpath.join(self.metadata.location, "data", f"{uuid.uuid4()}-deletes.puffin")
+        fileio.write_bytes(path, data, spark)
+        return [
+            {
+                "content": 1,
+                "file_path": path,
+                "file_format": "PUFFIN",
+                "spec_id": self._spec().spec_id,
+                "schema_id": schema.schema_id,
+                "partition": {},
+                "record_count": card,
+                "file_size_in_bytes": len(data),
+                "referenced_data_file": ref,
+                "content_offset": meta.offset,
+                "content_size_in_bytes": meta.length,
+            }
+            for ref, card, meta in metas
+        ]
 
     def compact(self, snapshot_properties: Optional[Dict[str, str]] = None) -> None:
         """Rewrite the table's current state into fresh bin-packed files
@@ -1004,7 +1109,7 @@ class Transaction:
         )
         delete_paths = sorted({p for t in tasks for p in t.delete_files})
         if delete_paths:
-            dels = spark.read.schema(_pos_delete_schema().to_spark()).parquet(*delete_paths)
+            dels = _pos_deletes_df(spark, delete_paths)
             df = df.join(
                 F.broadcast(dels),
                 (F.col("_ips_file") == dels.file_path) & (F.col("_ips_pos") == dels.pos),
@@ -1643,7 +1748,7 @@ class DataScan:
             if delete_paths:
                 # MoR: drop positions listed in delete files via a
                 # broadcast-able anti-join on (_metadata.file_path, row_index)
-                dels = spark.read.schema(_pos_delete_schema().to_spark()).parquet(*delete_paths)
+                dels = _pos_deletes_df(spark, delete_paths)
                 df = (
                     df.withColumn("_ips_file", F.col("_metadata.file_path"))
                     .withColumn("_ips_pos", F.col("_metadata.row_index"))
@@ -1707,7 +1812,7 @@ class DataScan:
                 df = _read_paths(spark, read_schema.to_spark(), fmt, [t.file_path for t in grp])
                 delete_paths = sorted({p for t in grp for p in t.delete_files})
                 if delete_paths:
-                    dels = spark.read.schema(_pos_delete_schema().to_spark()).parquet(*delete_paths)
+                    dels = _pos_deletes_df(spark, delete_paths)
                     df = (
                         df.withColumn("_ips_file", F.col("_metadata.file_path"))
                         .withColumn("_ips_pos", F.col("_metadata.row_index"))

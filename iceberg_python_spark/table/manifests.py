@@ -106,6 +106,12 @@ def _stats_to_json(data_file: Mapping[str, Any], schema: Schema) -> str:
         out["equality_ids"] = [int(x) for x in data_file["equality_ids"]]
     if data_file.get("name_map"):
         out["name_map"] = {str(k): v for k, v in data_file["name_map"].items()}
+    if data_file.get("referenced_data_file"):
+        # v3 deletion-vector entries (spec data_file fields 143-145)
+        out["referenced_data_file"] = data_file["referenced_data_file"]
+        for k in ("content_offset", "content_size_in_bytes"):
+            if data_file.get(k) is not None:
+                out[k] = int(data_file[k])
     for key in ("value_counts", "null_value_counts", "nan_value_counts"):
         m = data_file.get(key) or {}
         out[key] = {str(k): int(v) for k, v in m.items()}
@@ -131,6 +137,11 @@ def _stats_from_json(s: Optional[str], schema: Schema) -> Dict[str, Dict[int, An
         out["equality_ids"] = [int(x) for x in raw["equality_ids"]]
     if raw.get("name_map"):
         out["name_map"] = {int(k): v for k, v in raw["name_map"].items()}
+    if raw.get("referenced_data_file"):
+        out["referenced_data_file"] = raw["referenced_data_file"]
+        for key in ("content_offset", "content_size_in_bytes"):
+            if raw.get(key) is not None:
+                out[key] = int(raw[key])
     for key in ("value_counts", "null_value_counts", "nan_value_counts"):
         out[key] = {int(k): int(v) for k, v in (raw.get(key) or {}).items()}
     for key in ("lower_bounds", "upper_bounds"):

@@ -1,0 +1,355 @@
+"""Puffin file format (spec: https://iceberg.apache.org/puffin-spec/) with
+v3 deletion-vector blobs.
+
+Spark-first division of labor: Puffin *containers* are tiny metadata files
+(one per delete commit; a few KB-MB), so the container codec is plain
+Python; the *positions* they expand to can be millions of rows, so
+expansion to a (file_path, pos) DataFrame runs on executors via the
+``binaryFile`` source + ``mapInPandas`` (`dv_positions_df`), and bitmap
+construction on the write path runs as a per-file ``applyInPandas`` so
+only compact serialized bitmaps — never row lists — reach the driver.
+
+Parity (no code reuse — formats re-derived from the public specs):
+  - container framing: reference ``pyiceberg/table/puffin.py:48-78``
+  - DV blob framing + 64-bit roaring: reference
+    ``pyiceberg/table/deletion_vector.py:40-93`` (which delegates the
+    32-bit codec to the ``pyroaring`` C library; here it is a
+    numpy-vectorized pure-Python implementation of the portable format,
+    https://github.com/RoaringBitmap/RoaringFormatSpec).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+MAGIC = b"PFA1"
+DV_MAGIC = b"\xd1\xd3\x39\x64"
+BLOB_TYPE_DV = "deletion-vector-v1"
+BLOB_TYPE_THETA = "apache-datasketches-theta-v1"
+PROPERTY_REFERENCED_DATA_FILE = "referenced-data-file"
+PROPERTY_CARDINALITY = "cardinality"
+
+# RoaringFormatSpec constants
+_SERIAL_COOKIE_NO_RUN = 12346
+_SERIAL_COOKIE = 12347
+_NO_OFFSET_THRESHOLD = 4
+_ARRAY_MAX = 4096
+_MAX_JAVA_SIGNED = (1 << 31) - 1
+
+
+# -- 32-bit portable roaring ------------------------------------------------
+
+
+def roaring32_serialize(values: np.ndarray) -> bytes:
+    """Serialize sorted-unique uint32 values in the portable no-run format
+    (cookie 12346: readable by Java RoaringBitmap and pyroaring alike)."""
+    values = np.asarray(values, dtype=np.uint64).astype(np.uint32)
+    keys = (values >> np.uint32(16)).astype(np.uint16)
+    lows = (values & np.uint32(0xFFFF)).astype(np.uint16)
+    uniq_keys, starts = np.unique(keys, return_index=True)
+    bounds = list(starts) + [len(values)]
+    n = len(uniq_keys)
+    header = struct.pack("<ii", _SERIAL_COOKIE_NO_RUN, n)
+    desc = bytearray()
+    payloads: List[bytes] = []
+    for i, k in enumerate(uniq_keys):
+        chunk = lows[bounds[i] : bounds[i + 1]]
+        card = len(chunk)
+        desc += struct.pack("<HH", int(k), card - 1)
+        if card <= _ARRAY_MAX:
+            payloads.append(chunk.astype("<u2").tobytes())
+        else:
+            bits = np.zeros(65536, dtype=bool)
+            bits[chunk] = True
+            payloads.append(np.packbits(bits, bitorder="little").tobytes())
+    # offsets are mandatory with the no-run cookie
+    off = len(header) + len(desc) + 4 * n
+    offsets = bytearray()
+    for p in payloads:
+        offsets += struct.pack("<I", off)
+        off += len(p)
+    return bytes(header) + bytes(desc) + bytes(offsets) + b"".join(payloads)
+
+
+def roaring32_deserialize(buf: bytes, offset: int = 0) -> Tuple[np.ndarray, int]:
+    """Parse one portable 32-bit roaring bitmap at ``offset``; handles both
+    cookies and all three container kinds. Returns (sorted uint32 values,
+    bytes consumed)."""
+    start = offset
+    cookie = struct.unpack_from("<I", buf, offset)[0]
+    if (cookie & 0xFFFF) == _SERIAL_COOKIE:
+        n = (cookie >> 16) + 1
+        offset += 4
+        run_flags = np.frombuffer(buf, np.uint8, (n + 7) // 8, offset)
+        run_flag_bits = np.unpackbits(run_flags, bitorder="little")[:n].astype(bool)
+        offset += (n + 7) // 8
+        has_offsets = n >= _NO_OFFSET_THRESHOLD
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        n = struct.unpack_from("<i", buf, offset + 4)[0]
+        run_flag_bits = np.zeros(n, dtype=bool)
+        offset += 8
+        has_offsets = True
+    else:
+        raise ValueError(f"not a portable roaring bitmap (cookie={cookie & 0xFFFF})")
+    desc = np.frombuffer(buf, "<u2", 2 * n, offset).reshape(n, 2)
+    offset += 4 * n
+    if has_offsets:
+        offset += 4 * n  # container payloads follow in order; skip the index
+    out: List[np.ndarray] = []
+    for i in range(n):
+        key, card = int(desc[i, 0]), int(desc[i, 1]) + 1
+        base = np.uint32(key) << np.uint32(16)
+        if run_flag_bits[i]:
+            n_runs = struct.unpack_from("<H", buf, offset)[0]
+            offset += 2
+            runs = np.frombuffer(buf, "<u2", 2 * n_runs, offset).reshape(n_runs, 2)
+            offset += 4 * n_runs
+            vals = np.concatenate(
+                [np.arange(int(s), int(s) + int(l) + 1, dtype=np.uint32) for s, l in runs]
+            ) if n_runs else np.empty(0, np.uint32)
+        elif card <= _ARRAY_MAX:
+            vals = np.frombuffer(buf, "<u2", card, offset).astype(np.uint32)
+            offset += 2 * card
+        else:
+            bits = np.frombuffer(buf, np.uint8, 8192, offset)
+            vals = np.nonzero(np.unpackbits(bits, bitorder="little"))[0].astype(np.uint32)
+            offset += 8192
+        out.append(base | vals)
+    values = np.concatenate(out) if out else np.empty(0, np.uint32)
+    return values, offset - start
+
+
+# -- 64-bit DV bitmap (vector of 32-bit maps keyed by high bytes) ----------
+
+
+def dv_serialize_positions(positions: np.ndarray) -> bytes:
+    """Serialize sorted-unique uint64 row positions as the 64-bit roaring
+    layout the DV spec uses: u64-LE map count, then per map u32-LE key +
+    portable 32-bit bitmap. Keys above 2^31-1 are rejected (Java compat,
+    same bound as the reference)."""
+    positions = np.unique(np.asarray(positions, dtype=np.uint64))
+    high = (positions >> np.uint64(32)).astype(np.uint32)
+    if len(high) and int(high[-1]) > _MAX_JAVA_SIGNED:
+        raise ValueError(f"position key {int(high[-1])} exceeds {_MAX_JAVA_SIGNED}")
+    uniq, starts = np.unique(high, return_index=True)
+    bounds = list(starts) + [len(positions)]
+    parts = [struct.pack("<Q", len(uniq))]
+    for i, k in enumerate(uniq):
+        low = (positions[bounds[i] : bounds[i + 1]] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        parts.append(struct.pack("<I", int(k)))
+        parts.append(roaring32_serialize(low))
+    return b"".join(parts)
+
+
+def dv_deserialize_positions(buf: bytes) -> np.ndarray:
+    """Inverse of :func:`dv_serialize_positions` → sorted uint64 positions."""
+    n_maps = struct.unpack_from("<Q", buf, 0)[0]
+    offset, out = 8, []
+    last_key = -1
+    for _ in range(n_maps):
+        key = struct.unpack_from("<I", buf, offset)[0]
+        if key <= last_key:
+            raise ValueError("bitmap keys must be ascending")
+        if key > _MAX_JAVA_SIGNED:
+            raise ValueError(f"key {key} exceeds {_MAX_JAVA_SIGNED}")
+        last_key = key
+        offset += 4
+        vals, consumed = roaring32_deserialize(buf, offset)
+        offset += consumed
+        out.append((np.uint64(key) << np.uint64(32)) | vals.astype(np.uint64))
+    return np.concatenate(out) if out else np.empty(0, np.uint64)
+
+
+def dv_blob_payload(positions: np.ndarray) -> bytes:
+    """Frame a position bitmap as a deletion-vector-v1 blob: u32-BE length
+    of (magic+vector), DV magic, vector, u32-BE CRC-32 of magic+vector."""
+    vector = dv_serialize_positions(positions)
+    body = DV_MAGIC + vector
+    return struct.pack(">I", len(body)) + body + struct.pack(">I", zlib.crc32(body))
+
+
+def dv_blob_positions(payload: bytes, verify_crc: bool = True) -> np.ndarray:
+    length = struct.unpack_from(">I", payload, 0)[0]
+    body = payload[4 : 4 + length]
+    if body[:4] != DV_MAGIC:
+        raise ValueError(f"bad deletion-vector magic {body[:4]!r}")
+    if verify_crc:
+        (crc,) = struct.unpack_from(">I", payload, 4 + length)
+        if crc != zlib.crc32(body):
+            raise ValueError("deletion-vector CRC mismatch")
+    return dv_deserialize_positions(body[4:])
+
+
+# -- Puffin container ------------------------------------------------------
+
+
+@dataclass
+class BlobMetadata:
+    type: str
+    fields: List[int]
+    snapshot_id: int
+    sequence_number: int
+    offset: int
+    length: int
+    compression_codec: Optional[str] = None
+    properties: Dict[str, str] = field(default_factory=dict)
+
+    def to_json(self) -> Dict[str, object]:
+        d: Dict[str, object] = {
+            "type": self.type,
+            "fields": self.fields,
+            "snapshot-id": self.snapshot_id,
+            "sequence-number": self.sequence_number,
+            "offset": self.offset,
+            "length": self.length,
+        }
+        if self.compression_codec:
+            d["compression-codec"] = self.compression_codec
+        if self.properties:
+            d["properties"] = self.properties
+        return d
+
+
+class PuffinFile:
+    """Parsed Puffin container: footer metadata + random blob access."""
+
+    def __init__(self, data: bytes) -> None:
+        if data[:4] != MAGIC or data[-4:] != MAGIC:
+            raise ValueError("not a Puffin file (bad magic)")
+        flags = data[-8:-4]
+        if flags[0] & 0x01:
+            raise ValueError("compressed Puffin footers are not supported")
+        payload_size = struct.unpack("<i", data[-12:-8])[0]
+        footer = json.loads(data[-(payload_size + 12) : -12])
+        self.properties: Dict[str, str] = footer.get("properties", {})
+        self.blobs: List[BlobMetadata] = [
+            BlobMetadata(
+                type=b["type"],
+                fields=b.get("fields", []),
+                snapshot_id=b.get("snapshot-id", -1),
+                sequence_number=b.get("sequence-number", -1),
+                offset=b["offset"],
+                length=b["length"],
+                compression_codec=b.get("compression-codec"),
+                properties=b.get("properties", {}),
+            )
+            for b in footer.get("blobs", [])
+        ]
+        self._data = data
+
+    def blob_payload(self, blob: BlobMetadata) -> bytes:
+        raw = self._data[blob.offset : blob.offset + blob.length]
+        if blob.compression_codec in (None, ""):
+            return raw
+        raise ValueError(f"unsupported blob compression {blob.compression_codec!r}")
+
+    def deletion_vectors(self) -> Dict[str, np.ndarray]:
+        """{referenced data file path: sorted uint64 deleted positions}."""
+        out: Dict[str, np.ndarray] = {}
+        for b in self.blobs:
+            if b.type == BLOB_TYPE_DV:
+                out[b.properties[PROPERTY_REFERENCED_DATA_FILE]] = dv_blob_positions(
+                    self.blob_payload(b)
+                )
+        return out
+
+
+class PuffinWriter:
+    """Append blobs, then ``finish()`` → container bytes. Footer is written
+    uncompressed (flags=0) and blobs carry absolute file offsets."""
+
+    def __init__(self, properties: Optional[Dict[str, str]] = None) -> None:
+        self._parts: List[bytes] = [MAGIC]
+        self._size = 4
+        self._blobs: List[BlobMetadata] = []
+        self._properties = dict(properties or {})
+
+    def add_blob(
+        self,
+        blob_type: str,
+        payload: bytes,
+        fields: Sequence[int] = (),
+        snapshot_id: int = -1,
+        sequence_number: int = -1,
+        properties: Optional[Dict[str, str]] = None,
+    ) -> BlobMetadata:
+        meta = BlobMetadata(
+            type=blob_type,
+            fields=list(fields),
+            snapshot_id=snapshot_id,
+            sequence_number=sequence_number,
+            offset=self._size,
+            length=len(payload),
+            properties=dict(properties or {}),
+        )
+        self._parts.append(payload)
+        self._size += len(payload)
+        self._blobs.append(meta)
+        return meta
+
+    def add_deletion_vector(
+        self,
+        referenced_data_file: str,
+        positions: np.ndarray,
+        snapshot_id: int = -1,
+        sequence_number: int = -1,
+    ) -> BlobMetadata:
+        payload = dv_blob_payload(positions)
+        return self.add_blob(
+            BLOB_TYPE_DV,
+            payload,
+            snapshot_id=snapshot_id,
+            sequence_number=sequence_number,
+            properties={
+                PROPERTY_REFERENCED_DATA_FILE: referenced_data_file,
+                PROPERTY_CARDINALITY: str(len(np.unique(np.asarray(positions, np.uint64)))),
+            },
+        )
+
+    def finish(self) -> bytes:
+        payload = json.dumps(
+            {"blobs": [b.to_json() for b in self._blobs], "properties": self._properties}
+        ).encode()
+        footer = MAGIC + payload + struct.pack("<i", len(payload)) + b"\x00\x00\x00\x00" + MAGIC
+        self._parts.append(footer)
+        return b"".join(self._parts)
+
+    @property
+    def footer_size(self) -> int:
+        """Size in bytes the footer will occupy (for StatisticsFile)."""
+        payload = json.dumps(
+            {"blobs": [b.to_json() for b in self._blobs], "properties": self._properties}
+        ).encode()
+        return 4 + len(payload) + 4 + 4 + 4
+
+
+# -- Spark-side expansion ---------------------------------------------------
+
+
+def dv_positions_df(spark, puffin_paths: Sequence[str]):
+    """Expand deletion-vector Puffin files to a (file_path, pos) DataFrame
+    matching the position-delete schema — parsed on EXECUTORS via the
+    binaryFile source so a snapshot with many DV files never serializes
+    row positions through the driver."""
+    import pandas as pd
+
+    def parse(batches):
+        for pdf in batches:
+            frames = []
+            for content in pdf["content"]:
+                for ref, positions in PuffinFile(bytes(content)).deletion_vectors().items():
+                    frames.append(
+                        pd.DataFrame({"file_path": ref, "pos": positions.astype("int64")})
+                    )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {"file_path": pd.Series(dtype="object"), "pos": pd.Series(dtype="int64")}
+            )
+
+    bin_df = spark.read.format("binaryFile").load(list(puffin_paths))
+    return bin_df.select("content").mapInPandas(parse, "file_path string, pos long")
