@@ -290,4 +290,11 @@ def _updates_diff(base: TableMetadata, new: TableMetadata) -> List[Dict[str, Any
         ups.append({"action": "remove-properties", "removals": removed_props})
     if new.location != base.location:
         ups.append({"action": "set-location", "location": new.location})
+    base_stats = {s.get("snapshot-id"): s for s in base.statistics}
+    new_stats = {s.get("snapshot-id"): s for s in new.statistics}
+    for sid, sf in new_stats.items():
+        if base_stats.get(sid) != sf:
+            ups.append({"action": "set-statistics", "snapshot-id": sid, "statistics": sf})
+    for sid in set(base_stats) - set(new_stats):
+        ups.append({"action": "remove-statistics", "snapshot-id": sid})
     return ups

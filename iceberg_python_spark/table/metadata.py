@@ -95,6 +95,10 @@ class TableMetadata:
     snapshot_log: List[SnapshotLogEntry]
     metadata_log: List[Dict[str, Any]]
     refs: Dict[str, SnapshotRef]
+    # spec-shaped raw dicts (snapshot-id, statistics-path,
+    # file-size-in-bytes, file-footer-size-in-bytes, blob-metadata);
+    # reference table/statistics.py StatisticsFile
+    statistics: List[Dict[str, Any]] = field(default_factory=list)
 
     # -- lookups -----------------------------------------------------------
     def schema(self) -> Schema:
@@ -165,6 +169,7 @@ class TableMetadata:
             "snapshot-log": [e.to_dict() for e in self.snapshot_log],
             "metadata-log": self.metadata_log,
             "refs": {k: v.to_dict() for k, v in self.refs.items()},
+            "statistics": self.statistics,
         }
 
     @classmethod
@@ -213,6 +218,7 @@ class TableMetadata:
             snapshot_log=[SnapshotLogEntry.from_dict(e) for e in d.get("snapshot-log", [])],
             metadata_log=d.get("metadata-log", []),
             refs={k: SnapshotRef.from_dict(v) for k, v in d.get("refs", {}).items()},
+            statistics=d.get("statistics", []),
         )
 
     def write(self, path: str) -> None:

@@ -329,6 +329,62 @@ class PuffinWriter:
         return 4 + len(payload) + 4 + 4 + 4
 
 
+# -- theta sketch (NDV statistics blobs) -----------------------------------
+
+# computeSeedHash(DEFAULT_UPDATE_SEED=9001) — Apache DataSketches constant
+_THETA_SEED_HASH = 0x93CC
+_THETA_MAX = (1 << 63) - 1
+_THETA_EXACT_LIMIT = 4096
+_FLAG_READ_ONLY, _FLAG_EMPTY, _FLAG_COMPACT, _FLAG_ORDERED = 0x02, 0x04, 0x08, 0x10
+
+
+def theta_sketch_bytes(ndv: int) -> bytes:
+    """Serialize a compact ordered theta sketch (DataSketches serial v3)
+    whose ``getEstimate()`` equals ``ndv``.
+
+    The retained hash values are synthesized (evenly spaced below theta),
+    not murmur3 of real column values: the NDV estimate — the only thing
+    Iceberg's ``apache-datasketches-theta-v1`` blob is read for — is
+    exact by construction, but cross-sketch set operations (union /
+    intersection with sketches of other columns) are not meaningful.
+    ndv ≤ 4096 produces an exact-mode sketch; larger values an
+    estimation-mode sketch with 1024 retained hashes and theta chosen so
+    the estimate rounds to ``ndv``. Readable by datasketches-java (test
+    cross-validates via Spark's JVM classpath)."""
+    if ndv < 0:
+        raise ValueError("ndv must be >= 0")
+    if ndv == 0:
+        flags = _FLAG_READ_ONLY | _FLAG_EMPTY | _FLAG_COMPACT | _FLAG_ORDERED
+        return struct.pack("<BBBBBBH", 1, 3, 3, 0, 0, flags, _THETA_SEED_HASH)
+    flags = _FLAG_READ_ONLY | _FLAG_COMPACT | _FLAG_ORDERED
+    if ndv <= _THETA_EXACT_LIMIT:
+        count, theta = ndv, _THETA_MAX
+        pre_longs = 2
+    else:
+        count = 1024
+        theta = _THETA_MAX * count // ndv
+        pre_longs = 3
+    header = struct.pack("<BBBBBBH", pre_longs, 3, 3, 0, 0, flags, _THETA_SEED_HASH)
+    header += struct.pack("<iI", count, 0)
+    if pre_longs == 3:
+        header += struct.pack("<q", theta)
+    step = theta // (count + 1)
+    hashes = (np.arange(1, count + 1, dtype=np.uint64) * np.uint64(step)).astype("<u8")
+    return header + hashes.tobytes()
+
+
+def theta_sketch_estimate(buf: bytes) -> float:
+    """Estimate from a serialized compact theta sketch (read side)."""
+    pre_longs, ser_ver, family = buf[0], buf[1], buf[2]
+    if ser_ver != 3 or family != 3:
+        raise ValueError(f"unsupported theta sketch (serVer={ser_ver}, family={family})")
+    if buf[5] & _FLAG_EMPTY or pre_longs == 1:
+        return 0.0
+    count = struct.unpack_from("<i", buf, 8)[0]
+    theta = struct.unpack_from("<q", buf, 16)[0] if pre_longs >= 3 else _THETA_MAX
+    return count * _THETA_MAX / theta
+
+
 # -- Spark-side expansion ---------------------------------------------------
 
 

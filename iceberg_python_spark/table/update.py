@@ -254,13 +254,18 @@ class UpdateSortOrder:
 
 
 class UpdateStatistics:
-    """Table statistics (reference table/update/statistics.py:74 — Puffin
-    NDV blobs; ours stores NDV sketches computed by a Spark job directly
-    in the metadata JSON, keyed by snapshot)."""
+    """Table statistics (reference table/update/statistics.py:74 +
+    table/statistics.py StatisticsFile): NDV per column computed by one
+    Spark job, written as a Puffin statistics file with one
+    apache-datasketches-theta-v1 blob per column (real compact theta
+    bytes, datasketches-java-readable — see puffin.theta_sketch_bytes)
+    and registered under ``statistics`` in the metadata JSON. The legacy
+    ``statistics.ndv`` property is kept for compatibility."""
 
     def __init__(self, table):
         self.table = table
         self._ndv: Dict[int, int] = {}
+        self._removed_snapshot_ids: List[int] = []
 
     def compute(self, *columns: str) -> "UpdateStatistics":
         """approx_count_distinct over the current snapshot (one Spark job)."""
@@ -278,18 +283,63 @@ class UpdateStatistics:
         self._ndv[self.table.metadata.schema().find_field(column).field_id] = ndv
         return self
 
+    def remove_statistics(self, snapshot_id: int) -> "UpdateStatistics":
+        """Drop the statistics file entry for a snapshot (reference
+        update/statistics.py RemoveStatisticsUpdate)."""
+        self._removed_snapshot_ids.append(snapshot_id)
+        return self
+
     def commit(self) -> None:
+        import json as _json
+        import posixpath
+        import uuid as _uuid
+
+        from ..io import fileio
+        from .puffin import BLOB_TYPE_THETA, PuffinWriter, theta_sketch_bytes
+
         meta = copy.deepcopy(self.table.metadata)
         snap = meta.current_snapshot()
-        entry = {
-            "snapshot-id": snap.snapshot_id if snap else None,
-            "ndv": {str(k): v for k, v in self._ndv.items()},
-        }
-        # stored under properties as JSON (metadata shape kept simple)
-        import json as _json
-
-        meta.properties = dict(meta.properties)
-        meta.properties["statistics.ndv"] = _json.dumps(entry)
+        meta.statistics = [
+            s for s in meta.statistics if s.get("snapshot-id") not in self._removed_snapshot_ids
+        ]
+        if self._ndv and snap is not None:
+            writer = PuffinWriter(properties={"created-by": "iceberg_python_spark"})
+            for fid in sorted(self._ndv):
+                writer.add_blob(
+                    BLOB_TYPE_THETA,
+                    theta_sketch_bytes(self._ndv[fid]),
+                    fields=[fid],
+                    snapshot_id=snap.snapshot_id,
+                    sequence_number=snap.sequence_number,
+                    properties={"ndv": str(self._ndv[fid])},
+                )
+            blob_meta = [b.to_json() for b in writer._blobs]
+            footer_size = writer.footer_size
+            data = writer.finish()
+            path = posixpath.join(
+                meta.location, "metadata", f"{_uuid.uuid4()}.stats.puffin"
+            )
+            fileio.write_bytes(path, data, self.table.spark)
+            # one StatisticsFile per snapshot (reference set_statistics
+            # replaces any previous entry for the same snapshot id)
+            meta.statistics = [
+                s for s in meta.statistics if s.get("snapshot-id") != snap.snapshot_id
+            ] + [
+                {
+                    "snapshot-id": snap.snapshot_id,
+                    "statistics-path": path,
+                    "file-size-in-bytes": len(data),
+                    "file-footer-size-in-bytes": footer_size,
+                    "blob-metadata": blob_meta,
+                }
+            ]
+        if self._ndv:
+            entry = {
+                "snapshot-id": snap.snapshot_id if snap else None,
+                "ndv": {str(k): v for k, v in self._ndv.items()},
+            }
+            meta.properties = dict(meta.properties)
+            meta.properties["statistics.ndv"] = _json.dumps(entry)
         meta.last_updated_ms = int(time.time() * 1000)
         self.table.catalog._commit_table(self.table, meta)
 
@@ -397,12 +447,21 @@ class ExpireSnapshots:
         expired = [s for s in meta.snapshots if s.snapshot_id in to_expire]
         meta.snapshots = survivors
         meta.snapshot_log = [e for e in meta.snapshot_log if e.snapshot_id not in to_expire]
+        # statistics files follow their snapshot (reference
+        # table/statistics.py filter_statistics_by_snapshot_id)
+        expired_stats = [s for s in meta.statistics if s.get("snapshot-id") in to_expire]
+        meta.statistics = [s for s in meta.statistics if s.get("snapshot-id") not in to_expire]
         meta.last_updated_ms = int(time.time() * 1000)
         self.table.catalog._commit_table(self.table, meta)
 
         removed: List[str] = []
         if clean_files:
             removed = self._clean_orphaned(survivors, expired)
+            from ..io.fileio import remove as _rm
+
+            for s in expired_stats:
+                if s.get("statistics-path") and _rm(s["statistics-path"], self.table.spark):
+                    removed.append(s["statistics-path"])
         return removed
 
     def _clean_orphaned(self, survivors, expired) -> List[str]:

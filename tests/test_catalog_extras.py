@@ -58,6 +58,32 @@ def test_statistics(table):
     assert abs(ndv[schema.find_field("id").field_id] - 30) <= 2  # approx
     assert abs(ndv[schema.find_field("grp").field_id] - 3) <= 1
 
+    # a real Puffin statistics file is registered in the metadata and its
+    # theta blobs decode back to the same NDVs
+    from iceberg_python_spark.table.puffin import (
+        PuffinFile,
+        theta_sketch_estimate,
+    )
+    from iceberg_python_spark.io.fileio import read_bytes
+
+    assert len(t.metadata.statistics) == 1
+    sf = t.metadata.statistics[0]
+    assert sf["snapshot-id"] == t.current_snapshot().snapshot_id
+    pf = PuffinFile(read_bytes(sf["statistics-path"]))
+    assert len(pf.blobs) == 2
+    for blob in pf.blobs:
+        assert blob.type == "apache-datasketches-theta-v1"
+        (fid,) = blob.fields
+        assert round(theta_sketch_estimate(pf.blob_payload(blob))) == ndv[fid]
+        assert int(blob.properties["ndv"]) == ndv[fid]
+    # replacing statistics for the same snapshot keeps one entry; removal drops it
+    t.update_statistics().set_ndv("id", 30).commit()
+    t.refresh()
+    assert len(t.metadata.statistics) == 1
+    t.update_statistics().remove_statistics(t.current_snapshot().snapshot_id).commit()
+    t.refresh()
+    assert t.metadata.statistics == []
+
 
 def test_namespaces_and_rename(catalog, table):
     assert ("db",) in catalog.list_namespaces()

@@ -107,6 +107,21 @@ def test_writer_bitmap_readable_by_java_roaring(spark):
     assert np.array_equal(back, vals)
 
 
+def test_theta_sketch_readable_by_datasketches_java(spark):
+    """The NDV blobs must be genuine DataSketches compact theta bytes:
+    datasketches-java (on Spark's classpath) wraps them and returns the
+    exact NDV for empty, exact-mode, and estimation-mode sketches."""
+    from iceberg_python_spark.table.puffin import theta_sketch_bytes, theta_sketch_estimate
+
+    jvm = spark.sparkContext._jvm
+    for ndv in [0, 1, 4096, 5000, 123_456_789]:
+        buf = theta_sketch_bytes(ndv)
+        mem = jvm.org.apache.datasketches.memory.Memory.wrap(bytearray(buf))
+        sk = jvm.org.apache.datasketches.theta.Sketches.wrapCompactSketch(mem)
+        assert round(sk.getEstimate()) == ndv
+        assert round(theta_sketch_estimate(buf)) == ndv
+
+
 def test_container_roundtrip_with_dvs():
     w = PuffinWriter(properties={"created-by": "iceberg_python_spark"})
     w.add_deletion_vector("wh/data/a.parquet", np.array([1, 2, 3, 10_000_000_000], np.uint64))
