@@ -213,6 +213,60 @@ class RestCatalog:
         metadata = TableMetadata.from_dict(load_result["metadata"])
         return Table(ident, metadata, load_result.get("metadata-location", ""), self, self.spark)
 
+    # -- server-side scan planning (spec planTableScan / fetchPlanningResult
+    # / fetchScanTasks; reference catalog/rest/__init__.py:502-552 +
+    # rest/scan_planning.py models) ------------------------------------------
+    def plan_table_scan(
+        self,
+        identifier: Union[str, Identifier],
+        snapshot_id: Optional[int] = None,
+        select: Optional[List[str]] = None,
+        row_filter=None,
+        case_sensitive: bool = True,
+        poll_interval_s: float = 0.2,
+        timeout_s: float = 60.0,
+    ) -> List[Dict[str, Any]]:
+        """Submit a scan plan to the server and return the file-scan-task
+        JSON objects, transparently following async submission
+        (plan-status=submitted → poll fetchPlanningResult) and plan-task
+        pagination (fetchScanTasks). Each returned dict has the response's
+        ``data-file`` plus resolved ``delete-files`` (references are
+        per-response indices, resolved here)."""
+        import time as _time
+
+        from .expressions import AlwaysTrue
+        from .expressions.rest import expression_to_rest
+
+        ns, name = self._ns_and_name(identifier)
+        body: Dict[str, Any] = {"case-sensitive": case_sensitive}
+        if snapshot_id is not None:
+            body["snapshot-id"] = snapshot_id
+        if select is not None and tuple(select) != ("*",):
+            body["select"] = list(select)
+        if row_filter is not None and not isinstance(row_filter, AlwaysTrue):
+            body["filter"] = expression_to_rest(row_filter)
+        resp = self._post(f"/namespaces/{ns}/tables/{name}/plan", body)
+        deadline = _time.monotonic() + timeout_s
+        while resp.get("status") == "submitted":
+            if _time.monotonic() > deadline:
+                raise TimeoutError(f"scan planning for {ns}.{name} still pending after {timeout_s}s")
+            _time.sleep(poll_interval_s)
+            resp = self._get(f"/namespaces/{ns}/tables/{name}/plan/{resp['plan-id']}")
+        if resp.get("status") in ("cancelled", "failed"):
+            raise RuntimeError(f"server-side scan planning {resp['status']}: {resp.get('error')}")
+
+        tasks: List[Dict[str, Any]] = []
+        pending = [resp]
+        while pending:
+            chunk = pending.pop()
+            delete_files = chunk.get("delete-files", [])
+            for t in chunk.get("file-scan-tasks", []):
+                refs = t.get("delete-file-references") or []
+                tasks.append({**t, "delete-files": [delete_files[i] for i in refs]})
+            for token in chunk.get("plan-tasks", []):
+                pending.append(self._post(f"/namespaces/{ns}/tables/{name}/tasks", {"plan-task": token}))
+        return tasks
+
     # -- commit protocol -----------------------------------------------------
     def _commit_table(self, table: Table, new_metadata: TableMetadata) -> None:
         ns, name = self._ns_and_name(table.identifier)

@@ -302,9 +302,14 @@ class Table:
         with self.transaction() as tx:
             tx.delete(delete_filter, snapshot_properties, mode=mode)
 
-    def compact(self, snapshot_properties: Optional[Dict[str, str]] = None) -> None:
+    def compact(
+        self,
+        snapshot_properties: Optional[Dict[str, str]] = None,
+        target_file_size_bytes: Optional[int] = None,
+        min_input_files: int = 2,
+    ) -> None:
         with self.transaction() as tx:
-            tx.compact(snapshot_properties)
+            tx.compact(snapshot_properties, target_file_size_bytes, min_input_files)
 
     def add_equality_deletes(
         self,
@@ -589,17 +594,115 @@ class Transaction:
             for ref, card, meta in metas
         ]
 
-    def compact(self, snapshot_properties: Optional[Dict[str, str]] = None) -> None:
-        """Rewrite the table's current state into fresh bin-packed files
-        with all position deletes applied, as one REPLACE snapshot
-        (rewrite_data_files maintenance; removes accumulated MoR debt)."""
+    def compact(
+        self,
+        snapshot_properties: Optional[Dict[str, str]] = None,
+        target_file_size_bytes: Optional[int] = None,
+        min_input_files: int = 2,
+    ) -> None:
+        """Rewrite fragmented/delete-laden files into fresh bin-packed
+        files, as one REPLACE snapshot (rewrite_data_files maintenance;
+        removes accumulated MoR debt).
+
+        Selective BinPack strategy (reference utils/bin_packing.py +
+        Iceberg's rewrite_data_files): files are lookback-packed into
+        ``write.target-file-size-bytes`` bins per partition; only bins
+        holding ≥ ``min_input_files`` files — or files with deletes to
+        absorb — are rewritten. Right-sized clean files carry forward
+        untouched, so compacting a 100 TB table with 1% small files
+        rewrites ~1% of the data, not all of it. Delete files still
+        referenced by a kept file survive; fully-absorbed ones are
+        removed. ``min_input_files=1`` forces a full rewrite."""
+        from ..io.bin_packing import ListPacker
+
         parent = self.metadata.current_snapshot()
-        entries = self.table._live_entries(parent)
-        if not entries:
+        if parent is None:
             return
-        current = DataScan(self.table, AlwaysTrue(), ("*",), True, None, None, None)._to_df_of(self.metadata)
+        tasks = DataScan(self.table, AlwaysTrue(), ("*",), True, None, None, None).plan_files(
+            self.metadata
+        )
+        if not tasks:
+            return
+        target = target_file_size_bytes or int(
+            self.metadata.properties.get("write.target-file-size-bytes", str(512 * 1024 * 1024))
+        )
+        packer = ListPacker(target, lookback=20)
+        by_part: Dict[str, List[FileScanTask]] = {}
+        for t in tasks:
+            key = json.dumps(
+                {"s": t.data_file.get("spec_id", 0), "p": t.data_file.get("partition", {})},
+                sort_keys=True,
+                default=str,
+            )
+            by_part.setdefault(key, []).append(t)
+        rewrite: List[FileScanTask] = []
+        keep: List[FileScanTask] = []
+        for group in by_part.values():
+            for b in packer.pack(group, lambda t: t.data_file.get("file_size_in_bytes", 0)):
+                if (
+                    min_input_files <= 1
+                    or len(b) >= min_input_files
+                    or any(t.delete_files or t.eq_delete_files for t in b)
+                ):
+                    rewrite.extend(b)
+                else:
+                    keep.extend(b)
+        if not rewrite:
+            return
+        current = self._lineage_df(rewrite).drop("_ips_file", "_ips_pos")
+        # merge toward target size: without this the write keeps the input
+        # split count and fragments survive (coalesce, not repartition —
+        # no shuffle, compaction is supposed to be IO-shaped)
+        total_bytes = sum(t.data_file.get("file_size_in_bytes", 0) for t in rewrite)
+        n_out = max(1, -(-total_bytes // target))
+        current = current.coalesce(int(n_out))
         files = self._write_files(current)
-        removed = {e["data_file"]["file_path"] for e in entries}
+        removed = {t.file_path for t in rewrite}
+        kept_paths = {t.file_path for t in keep}
+        # A delete file is absorbed (droppable) iff no KEPT data file can
+        # still need it. Rewritten files get fresh paths and a higher
+        # sequence number, so surviving delete rows cannot re-apply to
+        # them. Evidence per kind:
+        #  - DV entries name referenced_data_file exactly;
+        #  - parquet pos-delete files are probed with one small Spark job
+        #    (do any rows reference a kept path?);
+        #  - equality deletes reference values, not files → only
+        #    droppable when nothing is kept.
+        delete_entries = [
+            e["data_file"]
+            for e in self.table._live_entries(parent)
+            if e["data_file"].get("content", 0) != CONTENT_DATA
+        ]
+        by_path: Dict[str, List[Dict[str, Any]]] = {}
+        for d in delete_entries:
+            by_path.setdefault(d["file_path"], []).append(d)
+        pos_parquet: List[str] = []
+        for path, ents in by_path.items():
+            if any(d.get("content", 0) == 2 for d in ents):
+                if not kept_paths:
+                    removed.add(path)
+            elif all(d.get("referenced_data_file") for d in ents):
+                if not any(d["referenced_data_file"] in kept_paths for d in ents):
+                    removed.add(path)
+            else:
+                pos_parquet.append(path)
+        if pos_parquet:
+            if not kept_paths:
+                removed |= set(pos_parquet)
+            else:
+                spark = self._spark()
+                dels = _pos_deletes_df(spark, sorted(pos_parquet)).withColumn(
+                    "_src", F.col("_metadata.file_path")
+                )
+                kept_df = spark.createDataFrame([(p,) for p in sorted(kept_paths)], "file_path string")
+                still_needed = {
+                    r._src
+                    for r in dels.join(F.broadcast(kept_df), "file_path")
+                    .select("_src")
+                    .distinct()
+                    .collect()
+                }
+                removed |= set(pos_parquet) - still_needed
         self._commit_snapshot(Operation.REPLACE, files, removed_paths=removed, snapshot_properties=snapshot_properties)
 
     def _commit_snapshot(
@@ -1490,6 +1593,47 @@ class DataScan:
         schema = self._scan_schema(metadata, snap)
         return schema.select(*self.selected_fields, case_sensitive=self.case_sensitive)
 
+    def _plan_files_server(self, snap: Snapshot, bound: BooleanExpression) -> List[FileScanTask]:
+        """Server-side scan planning (REST spec planTableScan; reference
+        catalog/rest/__init__.py:502): the catalog plans the scan and
+        returns file-scan-tasks; the local engine only reads. The bound
+        row filter becomes each task's residual so row-level filtering
+        still happens at read time."""
+        raw = self.table.catalog.plan_table_scan(
+            self.table.identifier,
+            snapshot_id=snap.snapshot_id,
+            select=list(self.selected_fields),
+            row_filter=None if isinstance(self.row_filter, AlwaysTrue) else self.row_filter,
+            case_sensitive=self.case_sensitive,
+        )
+        tasks: List[FileScanTask] = []
+        for t in raw:
+            f = t["data-file"]
+            entry = {
+                "content": CONTENT_DATA,
+                "file_path": f["file-path"],
+                "file_format": str(f.get("file-format", "PARQUET")).upper(),
+                "spec_id": f.get("spec-id", self.table.metadata.default_spec_id),
+                "partition": {},
+                "record_count": f.get("record-count", 0),
+                "file_size_in_bytes": f.get("file-size-in-bytes", 0),
+            }
+            pos, eq = [], []
+            for d in t.get("delete-files", []):
+                if d.get("content") == "equality-deletes":
+                    eq.append((d["file-path"], tuple(d.get("equality-ids") or ())))
+                else:
+                    pos.append(d["file-path"])
+            tasks.append(
+                FileScanTask(
+                    entry,
+                    bound,
+                    delete_files=tuple(sorted(pos)),
+                    eq_delete_files=tuple(eq),
+                )
+            )
+        return tasks
+
     def plan_files(self, metadata: Optional[TableMetadata] = None) -> List[FileScanTask]:
         """Snapshot -> manifest-list -> manifest -> file pruning
         (reference ManifestGroupPlanner.plan_files :2622-2667):
@@ -1506,6 +1650,10 @@ class DataScan:
         bound = bind(self.row_filter, schema, self.case_sensitive)
         if isinstance(bound, AlwaysFalse):
             return []
+        if metadata.properties.get("scan-planning-mode", "client") == "server" and hasattr(
+            self.table.catalog, "plan_table_scan"
+        ):
+            return self._plan_files_server(snap, bound)
         manifest_files = read_manifest_list(snap.manifest_list, metadata.spec_by_id, schema)
 
         # cache per-spec projections/evaluators (reference :2669-2686)

@@ -449,6 +449,44 @@ class VoidTransform(Transform):
         return None
 
 
+class UnknownTransform(Transform):
+    """Placeholder for a transform this engine does not recognize
+    (reference transforms.py:970 UnknownTransform): metadata naming a
+    future/unknown transform still loads; partition pruning degrades to
+    none for that field (project -> None is always sound), and applying
+    the transform on the write path raises."""
+
+    def __init__(self, transform: str):
+        self._transform = transform
+        self.name = transform  # round-trips verbatim through metadata
+
+    def __repr__(self) -> str:
+        return f"UnknownTransform({self._transform!r})"
+
+    def __eq__(self, o):
+        return isinstance(o, UnknownTransform) and o._transform == self._transform
+
+    def __str__(self) -> str:
+        return self._transform
+
+    def transform(self, source: IcebergType) -> Callable[[Any], Any]:
+        raise ValueError(f"cannot apply unsupported transform {self._transform!r}")
+
+    def spark_expr(self, col: Column, source: IcebergType) -> Column:
+        raise ValueError(f"cannot apply unsupported transform {self._transform!r}")
+
+    def result_type(self, source: IcebergType) -> IcebergType:
+        from .types import StringType as _Str
+
+        return _Str()
+
+    def project(self, name, pred):
+        return None
+
+    def strict_project(self, name, pred):
+        return None
+
+
 def parse_transform(s: str) -> Transform:
     s = s.strip().lower()
     simple = {
@@ -469,4 +507,4 @@ def parse_transform(s: str) -> Transform:
         return BucketTransform(int(s[s.index("[") + 1 : s.rindex("]")]))
     if s.startswith("truncate"):
         return TruncateTransform(int(s[s.index("[") + 1 : s.rindex("]")]))
-    raise ValueError(f"unknown transform: {s}")
+    return UnknownTransform(s)

@@ -68,6 +68,14 @@ def _apply_updates(meta: Dict[str, Any], updates) -> Dict[str, Any]:
                 meta.get("properties", {}).pop(k, None)
         elif a == "set-location":
             meta["location"] = u["location"]
+        elif a == "set-statistics":
+            meta["statistics"] = [
+                s for s in meta.get("statistics", []) if s.get("snapshot-id") != u["snapshot-id"]
+            ] + [u["statistics"]]
+        elif a == "remove-statistics":
+            meta["statistics"] = [
+                s for s in meta.get("statistics", []) if s.get("snapshot-id") != u["snapshot-id"]
+            ]
         else:
             raise ValueError(f"mock server: unsupported update {a}")
     meta["last-updated-ms"] = int(time.time() * 1000)
@@ -87,8 +95,100 @@ def _check_requirements(meta: Dict[str, Any], reqs) -> bool:
     return True
 
 
+def _plan_file_scan_tasks(meta_dict: Dict[str, Any], body: Dict[str, Any]):
+    """Server-side planning: the mock plans with its own engine instance
+    (a real REST server does the same with its Iceberg library) and
+    serializes the tasks to REST FileScanTask JSON."""
+    from iceberg_python_spark.expressions import AlwaysTrue
+    from iceberg_python_spark.expressions.rest import expression_from_rest
+    from iceberg_python_spark.table import DataScan, Table
+    from iceberg_python_spark.table.metadata import TableMetadata
+
+    md = TableMetadata.from_dict(json.loads(json.dumps(meta_dict)))
+    md.properties = dict(md.properties)
+    md.properties.pop("scan-planning-mode", None)  # the server itself plans client-side
+    tbl = Table(("mock", "t"), md, "", None, None)
+    filt = expression_from_rest(body["filter"]) if body.get("filter") else AlwaysTrue()
+    scan = DataScan(
+        tbl,
+        filt,
+        tuple(body.get("select") or ("*",)),
+        body.get("case-sensitive", True),
+        body.get("snapshot-id"),
+        None,
+        None,
+    )
+    out = []
+    for t in scan.plan_files():
+        f = t.data_file
+        deletes = [
+            {
+                "content": "position-deletes",
+                "file-path": p,
+                "file-format": "PUFFIN" if p.endswith(".puffin") else "PARQUET",
+                "spec-id": f.get("spec_id", 0),
+                "file-size-in-bytes": 0,
+                "record-count": 0,
+            }
+            for p in t.delete_files
+        ] + [
+            {
+                "content": "equality-deletes",
+                "file-path": p,
+                "file-format": "PARQUET",
+                "spec-id": f.get("spec_id", 0),
+                "file-size-in-bytes": 0,
+                "record-count": 0,
+                "equality-ids": list(fids),
+            }
+            for p, fids in t.eq_delete_files
+        ]
+        out.append(
+            {
+                "data-file": {
+                    "content": "data",
+                    "file-path": f["file_path"],
+                    "file-format": f.get("file_format", "PARQUET"),
+                    "spec-id": f.get("spec_id", 0),
+                    "record-count": f.get("record_count", 0),
+                    "file-size-in-bytes": f.get("file_size_in_bytes", 0),
+                },
+                "deletes": deletes,
+            }
+        )
+    return out
+
+
+def _chunk_to_rest(chunk) -> Dict[str, Any]:
+    """One ScanTasks payload: per-response delete-files with local
+    delete-file-references indices, as the spec requires."""
+    delete_files: list = []
+    index: Dict[str, int] = {}
+    tasks = []
+    for t in chunk:
+        refs = []
+        for d in t["deletes"]:
+            key = d["file-path"] + "|" + d["content"]
+            if key not in index:
+                index[key] = len(delete_files)
+                delete_files.append(d)
+            refs.append(index[key])
+        task = {"data-file": t["data-file"]}
+        if refs:
+            task["delete-file-references"] = refs
+        tasks.append(task)
+    out: Dict[str, Any] = {"file-scan-tasks": tasks}
+    if delete_files:
+        out["delete-files"] = delete_files
+    return out
+
+
 def make_server(warehouse: str):
     state = _State()
+    state.plan_mode = "sync"  # or "async": plan -> submitted -> poll
+    state.page_size = None  # tasks per chunk; None = single response
+    state.plans: Dict[str, Any] = {}
+    state.task_chunks: Dict[str, Any] = {}
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -134,6 +234,11 @@ def make_server(warehouse: str):
                         200,
                         {"metadata-location": t["location"], "metadata": t["metadata"], "config": {}},
                     )
+                if len(p) == 7 and p[3] == "tables" and p[5] == "plan":  # fetchPlanningResult
+                    resp = state.plans.get(p[6])
+                    if resp is None:
+                        return self._send(404, {"error": "no such plan"})
+                    return self._send(200, resp)
             return self._send(404, {"error": "not found"})
 
         def do_POST(self):
@@ -171,6 +276,32 @@ def make_server(warehouse: str):
                     return self._send(
                         200, {"metadata-location": f"mock://{ns}/{name}/v1", "metadata": meta}
                     )
+                if len(p) == 6 and p[3] == "tables" and p[5] == "plan":  # planTableScan
+                    t = state.tables.get((p[2], p[4]))
+                    if t is None:
+                        return self._send(404, {"error": "no such table"})
+                    tasks = _plan_file_scan_tasks(t["metadata"], body)
+                    page = state.page_size or max(len(tasks), 1)
+                    chunks = [tasks[i : i + page] for i in range(0, len(tasks), page)] or [[]]
+                    first = _chunk_to_rest(chunks[0])
+                    tokens = []
+                    for i, c in enumerate(chunks[1:]):
+                        tok = f"pt-{len(state.task_chunks)}-{i}"
+                        state.task_chunks[tok] = _chunk_to_rest(c)
+                        tokens.append(tok)
+                    if tokens:
+                        first["plan-tasks"] = tokens
+                    completed = {"status": "completed", **first}
+                    if state.plan_mode == "async":
+                        pid = f"plan-{len(state.plans)}"
+                        state.plans[pid] = completed
+                        return self._send(200, {"status": "submitted", "plan-id": pid})
+                    return self._send(200, completed)
+                if len(p) == 6 and p[3] == "tables" and p[5] == "tasks":  # fetchScanTasks
+                    chunk = state.task_chunks.get(body.get("plan-task", ""))
+                    if chunk is None:
+                        return self._send(404, {"error": "no such plan task"})
+                    return self._send(200, chunk)
                 if len(p) == 5 and p[3] == "tables":  # commit
                     key = (p[2], p[4])
                     t = state.tables.get(key)
@@ -198,6 +329,7 @@ def make_server(warehouse: str):
             return self._send(404, {"error": "not found"})
 
     server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    server.mock_state = state  # test knobs: plan_mode, page_size
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server, f"http://127.0.0.1:{server.server_address[1]}"

@@ -304,3 +304,21 @@ def test_murmur3_32_longs_vectorized_matches_scalar():
     vec = murmur3_32_longs(arr)
     for v, h in zip(vals, vec):
         assert murmur3_32(struct.pack("<q", int(v))) == int(h), v
+
+
+def test_unknown_transform():
+    """Metadata naming an unrecognized transform still loads (reference
+    transforms.py UnknownTransform): pruning degrades to no-projection,
+    write-path application raises, and the name round-trips."""
+    from iceberg_python_spark.partitioning import PartitionField, PartitionSpec
+    from iceberg_python_spark.transforms import UnknownTransform, parse_transform
+
+    t = parse_transform("zorder[4]")
+    assert isinstance(t, UnknownTransform)
+    pf = PartitionField(1, 1000, t, "zp")
+    assert PartitionField.from_dict(pf.to_dict()) == pf
+    assert t.project("zp", None) is None and t.strict_project("zp", None) is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported transform"):
+        t.transform(None)

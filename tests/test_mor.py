@@ -122,3 +122,55 @@ def test_upsert_merge_on_read(catalog, spark):
     assert res2.rows_updated == 1
     rows2 = {r.id: r.val for r in t.scan().to_df().collect()}
     assert rows2[10] == -2.0 and len(rows2) == 101
+
+
+def test_list_packer():
+    from iceberg_python_spark.io.bin_packing import ListPacker
+
+    bins = ListPacker(10, lookback=2).pack([6, 4, 7, 1, 2, 9], lambda x: x)
+    # every bin within target; all items preserved
+    assert sorted(x for b in bins for x in b) == [1, 2, 4, 6, 7, 9]
+    assert all(sum(b) <= 10 for b in bins)
+    # lookback backfill: the 4 and 1/2 join earlier bins
+    assert [6, 4] in bins and [7, 1, 2] in bins
+
+
+def test_selective_compact_keeps_clean_files(catalog, spark):
+    """BinPack compaction: small fragments merge, a clean right-sized
+    file carries forward untouched, absorbed delete files are dropped."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(1000)], "id: long, val: double")
+    t = catalog.create_table("db.binpack", __import__("iceberg_python_spark").schema_from_spark(df.schema))
+    # 5 small appends -> 5+ small files
+    for k in range(5):
+        t.append(df.where((F.col("id") % 5) == k).coalesce(1))
+    t.refresh()
+    paths_before = {x.file_path for x in t.scan().plan_files()}
+    assert len(paths_before) == 5
+    t.delete("id < 100", mode="merge-on-read")
+    t.refresh()
+    t.compact()
+    t.refresh()
+    assert t.scan().to_df().count() == 900
+    assert {r.id for r in t.scan().to_df().collect()} == set(range(100, 1000))
+    tasks = t.scan().plan_files()
+    # fragments merged: fewer files, no delete debt
+    assert len(tasks) < 5
+    assert not any(x.delete_files for x in tasks)
+    # append one right-sized clean file plus two fragments; selective
+    # compact must leave the clean file's path untouched
+    t.append(spark.createDataFrame([(i, 0.0) for i in range(2000, 9000)], "id: long, val: double").coalesce(1))
+    t.refresh()
+    big = {x.file_path for x in t.scan().plan_files()} - {x.file_path for x in tasks}
+    t.append(spark.createDataFrame([(1500, 1.0)], "id: long, val: double"))
+    t.append(spark.createDataFrame([(1501, 1.0)], "id: long, val: double"))
+    t.refresh()
+    big_size = max(
+        x.data_file["file_size_in_bytes"] for x in t.scan().plan_files() if x.file_path in big
+    )
+    t.compact(target_file_size_bytes=big_size)  # big file fills a bin alone -> kept
+    t.refresh()
+    after = {x.file_path for x in t.scan().plan_files()}
+    assert big <= after  # clean oversized file not rewritten
+    assert t.scan().to_df().count() == 900 + 7000 + 2

@@ -86,3 +86,62 @@ def test_rename_drop(rest, spark):
     rest.drop_table("db.rest_r2")
     with pytest.raises(NoSuchTableError):
         rest.load_table("db.rest_r2")
+
+
+@pytest.fixture()
+def rest_srv(tmp_path, spark):
+    server, uri = make_server(str(tmp_path / "wh"))
+    cat = RestCatalog("rest-test", uri, spark)
+    yield server, cat
+    server.shutdown()
+
+
+def _planned_table(cat, spark, name="db.rest_plan"):
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(200)], "id: long, grp: string, val: double"
+    )
+    t = cat.create_table(name, schema_from_spark(df.schema))
+    t.append(df)
+    t.delete("id >= 150", mode="merge-on-read")
+    t.refresh()
+    return t
+
+
+def test_server_side_scan_planning(rest_srv, spark):
+    """scan-planning-mode=server routes planning through the REST plan
+    endpoint; results (incl. MoR deletes) must match client planning."""
+    server, cat = rest_srv
+    t = _planned_table(cat, spark)
+    expected = sorted(r.id for r in t.scan(row_filter="id < 40 or id >= 100").to_df().collect())
+    raw = cat.plan_table_scan(("db", "rest_plan"))
+    assert raw and all("data-file" in x for x in raw)
+
+    t.metadata.properties["scan-planning-mode"] = "server"
+    got = sorted(r.id for r in t.scan(row_filter="id < 40 or id >= 100").to_df().collect())
+    assert got == expected == list(range(40)) + list(range(100, 150))
+
+
+def test_server_side_planning_async_and_paginated(rest_srv, spark):
+    """Async submission (submitted -> poll) + plan-task pagination."""
+    server, cat = rest_srv
+    t = _planned_table(cat, spark, "db.rest_plan2")
+    srv_state = server.mock_state
+    srv_state.plan_mode = "async"
+    srv_state.page_size = 1
+    t.metadata.properties["scan-planning-mode"] = "server"
+    got = sorted(r.id for r in t.scan().to_df().collect())
+    assert got == list(range(150))
+
+
+def test_rest_expression_serde_roundtrip():
+    from iceberg_python_spark.expressions.parser import parse as parse_filter
+    from iceberg_python_spark.expressions.rest import expression_from_rest, expression_to_rest
+
+    for s in [
+        "id < 10 and grp = 'a'",
+        "id >= 5 or not (val is null)",
+        "grp in ('a', 'b') and id != 3",
+        "name like 'pre%' and f is not nan",
+    ]:
+        e = parse_filter(s)
+        assert expression_from_rest(expression_to_rest(e)) == e
