@@ -506,6 +506,16 @@ def _q_ann_lsh(spark, env):
     return lsh_ann_topk(emb, q, "vec_id", "embedding", k=10)
 
 
+def _q_ann_ivf(spark, env):
+    """IVF-partitioned ANN (rows-only: approximate by design; the unit
+    test proves nprobe=n_centroids reproduces brute force exactly)."""
+    from iceberg_python_spark.operators.similarity import ivf_ann_topk
+
+    emb = env["embeddings"].scan().to_df()
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_ann_topk(emb, q, "vec_id", "embedding", k=10, n_centroids=32, nprobe=8, sample_size=5000)
+
+
 def _q_text_tokens(spark, env):
     from iceberg_python_spark.operators.text import token_stats
 
@@ -637,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_embedding_cosine": _q_embedding_neardup,
             "ann_cosine_topk": _q_ann_brute,
             "ann_lsh_topk": _q_ann_lsh,
+            "ann_ivf_topk": _q_ann_ivf,
             "text_token_stats": _q_text_tokens,
             "text_quality_score": _q_text_quality,
             "text_language_id": _q_text_lang,

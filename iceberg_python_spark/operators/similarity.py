@@ -7,6 +7,11 @@
   (seeded), candidates share a bucket (with multiprobe on 1-bit flips),
   exact re-rank on candidates only. The 100TB path: the bucket join
   touches a small fraction of the corpus per query.
+- ivf_ann_topk — inverted-file index: spherical k-means centroids trained
+  on a driver-side sample (IVF training is sample-based by construction),
+  corpus assigned to cells in one vectorized Arrow pass, queries probe
+  their nprobe nearest cells, exact re-rank on the joined candidates.
+  Scans ~nprobe/n_centroids of the corpus per query.
 """
 
 from __future__ import annotations
@@ -14,6 +19,7 @@ from __future__ import annotations
 from typing import List, Optional
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -92,6 +98,115 @@ def lsh_ann_topk(
     return (
         scored.select(query_id_col, F.col(id_col), "cos")
         .dropDuplicates([query_id_col, id_col])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_centroids: int = 64,
+    sample_size: int = 20000,
+    iters: int = 10,
+    seed: int = 13,
+) -> np.ndarray:
+    """Spherical k-means centroids from a deterministic corpus sample.
+
+    Driver-side Lloyd iterations on <= sample_size vectors: IVF training
+    is sample-based by construction (a 100 TB corpus trains on the same
+    few-10k sample; only assignment touches every row). Vectors and
+    centroids are L2-normalized so nearest-by-dot == nearest-by-cosine.
+    Returns an (n_centroids, dim) float64 array; empty clusters keep
+    their previous centroid so the count is stable."""
+    n = corpus.count()
+    frac = min(1.0, (sample_size * 1.2) / max(n, 1))
+    sample = corpus.select(vec_col).sample(False, frac, seed).limit(sample_size).collect()
+    X = np.asarray([r[0] for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(n_centroids, len(X))
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def with_ivf_cell(df: DataFrame, vec_col: str, centroids: np.ndarray, nprobe: int = 1, out: str = "cell") -> DataFrame:
+    """Attach the nprobe nearest centroid ids (array<int>) in one
+    vectorized Arrow pass: each batch is a (rows, dim) matmul against the
+    centroid matrix — no per-row Python."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    np_ = min(nprobe, len(C))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def nearest_cells(vs: pd.Series) -> pd.Series:
+        M = np.asarray(vs.tolist(), dtype=np.float64)
+        if M.size == 0:
+            return pd.Series([], dtype=object)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ C.T
+        top = np.argpartition(-sims, np_ - 1, axis=1)[:, :np_] if np_ < sims.shape[1] else np.argsort(-sims, axis=1)
+        # order probes best-first (argpartition is unordered)
+        rows = np.take_along_axis(sims, top, axis=1)
+        order = np.argsort(-rows, axis=1)
+        top = np.take_along_axis(top, order, axis=1)
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    return df.withColumn(out, nearest_cells(F.col(vec_col)))
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    sample_size: int = 20000,
+    seed: int = 13,
+    centroids: Optional[np.ndarray] = None,
+) -> DataFrame:
+    """IVF approximate top-k (FAISS IVF-flat shape, Spark-native):
+
+    1. train centroids on a sample (or reuse a passed-in index),
+    2. assign each corpus row to its single nearest cell (narrow pass),
+    3. explode each query to its nprobe nearest cells,
+    4. equi-join on cell id — candidates are ~nprobe/n_centroids of the
+       corpus — and re-rank exactly (JVM-side cosine, same rounding and
+       tiebreak as brute_force_cosine_topk, so nprobe=n_centroids
+       reproduces the exact result).
+
+    Returns (query_id, id, cos, rank). The cell equi-join broadcasts the
+    exploded queries; corpus cells stay partitioned, so the probe scales
+    out with executors. Hot cells (skewed data) bound the candidate set
+    per query at cell granularity — lower n_centroids/raise nprobe to
+    trade recall for balance."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, vec_col, n_centroids=n_centroids, sample_size=sample_size, seed=seed
+        )
+    c = with_ivf_cell(corpus.select(F.col(id_col), F.col(vec_col).alias("_cv")), "_cv", centroids, nprobe=1)
+    c = c.select(id_col, "_cv", F.col("cell")[0].alias("cell")).withColumn("_cn", _norm("_cv"))
+    q = with_ivf_cell(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv")), "_qv", centroids, nprobe=nprobe
+    )
+    q = q.select(query_id_col, "_qv", F.explode("cell").alias("cell")).withColumn("_qn", _norm("_qv"))
+    scored = F.broadcast(q).join(c, "cell").withColumn(
+        "cos", F.round(_dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")), 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.select(query_id_col, F.col(id_col), "cos")
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )

@@ -227,3 +227,42 @@ def test_streaming_append_foreachbatch(spark, catalog, tmp_path):
     t.refresh()
     assert t.scan().count() == 100
     assert t.current_snapshot().summary.get("streaming-batch-id") == "0"
+
+
+def test_ivf_ann_full_probe_exact_and_recall(spark):
+    """nprobe == n_centroids makes IVF scan every cell -> must reproduce
+    brute force exactly (same rounding + tiebreak); a partial probe keeps
+    high recall and always finds the self-match (its own cell is probed
+    first)."""
+    from iceberg_python_spark.operators.similarity import (
+        brute_force_cosine_topk,
+        ivf_ann_topk,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where("vec_id < 3").select(F.col("vec_id").alias("query_id"), "embedding")
+    cents = train_ivf_centroids(emb, "embedding", n_centroids=16, sample_size=500, seed=13)
+    assert cents.shape[0] == 16
+
+    exact = brute_force_cosine_topk(emb, q, "vec_id", "embedding", k=5).collect()
+    full = ivf_ann_topk(
+        emb, q, "vec_id", "embedding", k=5, nprobe=16, centroids=cents
+    ).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted((r.query_id, r.rank, r.vec_id, r.cos) for r in exact) == sorted(
+        (r.query_id, r.rank, r.vec_id, r.cos) for r in full
+    )
+
+    approx = ivf_ann_topk(emb, q, "vec_id", "embedding", k=5, nprobe=4, centroids=cents).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = total = 0
+    for qid, s in exact_sets.items():
+        assert qid in approx_sets[qid]  # self-match always found
+        hits += len(approx_sets[qid] & s)
+        total += len(s)
+    assert hits / total >= 0.5, (hits, total)
