@@ -404,6 +404,109 @@ def _q_q6(spark, env):
     return out
 
 
+def _q_q7_volume_shipping(spark, env):
+    """Q7-style: bilateral trade volume between two nations by ship year
+    (two aliased dims of the same broadcast table, disjunctive pair filter)."""
+    li = env["lineitem"].scan(row_filter="l_shipdate >= '1996-01-01' and l_shipdate < '1998-01-01'").to_df()
+    orders = env["orders"].scan(selected_fields=("o_orderkey", "o_custkey")).to_df()
+    supplier = env["supplier"].scan(selected_fields=("s_suppkey", "s_nationkey")).to_df()
+    cust = env["customer"].scan(selected_fields=("c_custkey", "c_nationkey")).to_df()
+    nation = env["nation"].scan(selected_fields=("n_nationkey", "n_name")).to_df()
+    n1 = nation.select(F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation"))
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def _q_q10_returned_items(spark, env):
+    """Q10-style: revenue lost to returns per customer (3-way join +
+    broadcast dim + top-20 with deterministic tiebreak)."""
+    cust = env["customer"].scan().to_df()
+    orders = env["orders"].scan(row_filter="o_orderdate >= '1996-10-01' and o_orderdate < '1997-01-01'").to_df()
+    li = env["lineitem"].scan(row_filter="l_returnflag = 'R'").to_df()
+    nation = env["nation"].scan().to_df()
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def _q_q12_priority_lines(spark, env):
+    """Q12-style: high- vs low-priority line counts per line status
+    (shuffle join + CASE-conditional aggregation)."""
+    orders = env["orders"].scan(selected_fields=("o_orderkey", "o_orderpriority")).to_df()
+    li = env["lineitem"].scan(row_filter="l_shipdate >= '1997-01-01' and l_shipdate < '1998-01-01'").to_df()
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def _q_q13_order_distribution(spark, env):
+    """Q13-style: distribution of orders-per-customer (left outer join +
+    two-level aggregation; customers with zero orders count at c_count=0)."""
+    cust = env["customer"].scan(selected_fields=("c_custkey",)).to_df()
+    orders = env["orders"].scan(selected_fields=("o_orderkey", "o_custkey")).to_df()
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def _q_q19_discounted_revenue(spark, env):
+    """Q19-style: disjunction of brand/size/quantity conjunction groups —
+    exercises OR-of-ANDs predicate pushdown through a broadcast join."""
+    li = env["lineitem"].scan(row_filter="l_quantity >= 1 and l_quantity <= 30").to_df()
+    part = env["part"].scan().to_df()
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(1, 11))
+        | (F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 25)) & (F.col("l_quantity").between(10, 20))
+        | (F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 35)) & (F.col("l_quantity").between(20, 30))
+    )
+    return j.where(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+def _q_q22_dormant_accounts(spark, env):
+    """Q22-style: above-average-balance customers with no recent orders
+    (scalar-aggregate subquery as a broadcast 1-row join + anti-join)."""
+    cust = env["customer"].scan().to_df()
+    recent = env["orders"].scan(row_filter="o_orderdate >= '2000-01-01'").to_df()
+    avg_bal = cust.where("c_acctbal > 0").agg(F.avg("c_acctbal").alias("_avg_bal"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+    )
+
+
 def _q_window_topk(spark, env):
     ev = env["events"].scan().to_df()
     w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
@@ -635,6 +738,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q3_shipping_priority": _q_q3,
             "tpch_q5_local_supplier": _q_q5,
             "tpch_q6_revenue": _q_q6,
+            "tpch_q7_volume_shipping": _q_q7_volume_shipping,
+            "tpch_q10_returned_items": _q_q10_returned_items,
+            "tpch_q12_priority_lines": _q_q12_priority_lines,
+            "tpch_q13_order_distribution": _q_q13_order_distribution,
+            "tpch_q19_discounted_revenue": _q_q19_discounted_revenue,
+            "tpch_q22_dormant_accounts": _q_q22_dormant_accounts,
             "window_topk_per_group": _q_window_topk,
             "events_windowed_agg": _q_events_windowed,
             "events_sessionize": _q_events_sessionize,
@@ -769,6 +878,56 @@ def oracle_sql() -> dict[str, str]:
             "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem "
             "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
             "AND l_quantity < 24 AND l_discount >= 0.05 AND l_discount <= 0.07"
+        ),
+        "tpch_q7_volume_shipping": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "year(l_shipdate) AS l_year, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem, orders, supplier, customer, nation n1, nation n2 "
+            "WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND o_custkey = c_custkey "
+            "AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+            "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+            "GROUP BY n1.n_name, n2.n_name, year(l_shipdate)"
+        ),
+        "tpch_q10_returned_items": (
+            "SELECT c_custkey, c_name, c_acctbal, n_name, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM customer, orders, lineitem, nation "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND c_nationkey = n_nationkey "
+            "AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "AND l_returnflag = 'R' "
+            "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+            "ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
+        ),
+        "tpch_q12_priority_lines": (
+            "SELECT l_linestatus, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+            "FROM lineitem, orders WHERE l_orderkey = o_orderkey "
+            "AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY l_linestatus"
+        ),
+        "tpch_q13_order_distribution": (
+            "SELECT c_count, count(*) AS custdist FROM ("
+            "SELECT c_custkey, count(o_orderkey) AS c_count FROM customer "
+            "LEFT OUTER JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey"
+            ") GROUP BY c_count"
+        ),
+        "tpch_q19_discounted_revenue": (
+            "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem, part WHERE p_partkey = l_partkey AND ("
+            "(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))"
+        ),
+        "tpch_q22_dormant_accounts": (
+            "SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal "
+            "FROM customer WHERE c_acctbal > ("
+            "SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0) "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderdate >= TIMESTAMP '2000-01-01') "
+            "GROUP BY c_nationkey"
         ),
         "window_topk_per_group": (
             "SELECT event_type, event_id, round(value, 4) AS value, rnk FROM ("

@@ -70,10 +70,21 @@ def main() -> None:
 
     sample_canary()
     times: dict = {}
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # min-of-N per query: co-tenant contention on this host arrives and
+    # leaves mid-run (r02 recorded 7-21x inflation on unchanged queries;
+    # two consecutive "clean" r03 runs each inflated a *different* subset
+    # 4-6x), so a single shot is noise-dominated. The minimum of two
+    # back-to-back shots is the honest estimate of the query's cost —
+    # both are full real executions with caches cleared in between.
     for i, (name, fn) in enumerate(qs.items()):
-        t1 = time.time()
         try:
-            times[name] = run_one(fn)
+            best = None
+            for _ in range(max(reps, 1)):
+                t = run_one(fn)
+                spark.catalog.clearCache()  # no cross-rep cache reuse
+                best = t if best is None else min(best, t)
+            times[name] = best
         except Exception as e:  # a failing query must not hide the rest
             times[name] = -1.0
             print(f"# bench error {name}: {type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
@@ -99,6 +110,8 @@ def main() -> None:
                 "canary_sec": canary_samples,
                 "loadavg_1m": loadavg,
                 "contended": contended,
+                "reps": reps,
+                "agg": "min",
             }
         )
     )
