@@ -1814,24 +1814,38 @@ class DataScan:
             ).collect()
             from .manifests import _partition_from_json
 
+            # Residuals and delete applicability depend only on the partition
+            # value / sequence number, not the file — cache per distinct value
+            # so driver CPU is O(partitions + snapshots), not O(files).
+            part_cache: Dict[str, Tuple[Dict[str, Any], Any]] = {}
+            del_cache: Dict[int, Tuple[Tuple[str, ...], Tuple[Tuple[str, Tuple[int, ...]], ...]]] = {}
             for r in rows:
+                hit = part_cache.get(r.partition_json or "")
+                if hit is None:
+                    part = _partition_from_json(r.partition_json, spec, schema)
+                    hit = (part, compute_residual(spec, schema, bound, part))
+                    part_cache[r.partition_json or ""] = hit
+                part, res = hit
+                if isinstance(res, AlwaysFalse):
+                    continue
                 d = {
                     "content": CONTENT_DATA,
                     "file_path": r.file_path,
                     "file_format": "PARQUET",
                     "spec_id": spec_id,
                     "schema_id": r.schema_id,
-                    "partition": _partition_from_json(r.partition_json, spec, schema),
+                    "partition": part,
                     "record_count": r.record_count,
                     "file_size_in_bytes": r.file_size_in_bytes,
                 }
-                res = compute_residual(spec, schema, bound, d["partition"])
-                if isinstance(res, AlwaysFalse):
-                    continue
-                applicable = tuple(path for dseq, path in deletes if dseq >= r.sequence_number)
-                applicable_eq = tuple(
-                    (path, fids) for dseq, path, fids in eq_deletes if dseq > r.sequence_number
-                )
+                dhit = del_cache.get(r.sequence_number)
+                if dhit is None:
+                    dhit = (
+                        tuple(path for dseq, path in deletes if dseq >= r.sequence_number),
+                        tuple((path, fids) for dseq, path, fids in eq_deletes if dseq > r.sequence_number),
+                    )
+                    del_cache[r.sequence_number] = dhit
+                applicable, applicable_eq = dhit
                 tasks.append(
                     FileScanTask(
                         d,
