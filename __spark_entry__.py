@@ -507,6 +507,92 @@ def _q_q22_dormant_accounts(spark, env):
     )
 
 
+def _q_q8_market_share(spark, env):
+    """Q8-style: NATION_1's share of EUROPE's ECONOMY-part import volume by
+    order year (adapted: reduced schema has no ps_supplycost, so volume =
+    discounted revenue). 7-way join, all dims broadcast; the share is a
+    conditional-sum / sum ratio computed in one aggregation pass."""
+    part = env["part"].scan(row_filter="p_type = 'ECONOMY'", selected_fields=("p_partkey",)).to_df()
+    li = env["lineitem"].scan().to_df()
+    orders = env["orders"].scan(
+        row_filter="o_orderdate >= '1995-01-01' and o_orderdate < '1997-01-01'",
+        selected_fields=("o_orderkey", "o_custkey", "o_orderdate"),
+    ).to_df()
+    cust = env["customer"].scan(selected_fields=("c_custkey", "c_nationkey")).to_df()
+    supplier = env["supplier"].scan(selected_fields=("s_suppkey", "s_nationkey")).to_df()
+    nation = env["nation"].scan(selected_fields=("n_nationkey", "n_regionkey", "n_name")).to_df()
+    region = env["region"].scan(row_filter="r_name = 'EUROPE'").to_df()
+    n1 = nation.select(F.col("n_nationkey").alias("_cn"), F.col("n_regionkey").alias("_crk"))
+    n2 = nation.select(F.col("n_nationkey").alias("_sn"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_cn"))
+        .join(F.broadcast(region), F.col("_crk") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_sn"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0.0))) / F.sum(vol), 4
+            ).alias("mkt_share")
+        )
+    )
+
+
+def _q_q9_product_profit(spark, env):
+    """Q9-style: profit by supplier nation and order year for parts whose
+    name contains 'widget' (adapted: no ps_supplycost in the reduced
+    schema, so profit = discounted revenue)."""
+    part = env["part"].scan(selected_fields=("p_partkey", "p_name")).to_df()
+    part = part.where(F.col("p_name").contains("widget")).select("p_partkey")
+    li = env["lineitem"].scan().to_df()
+    orders = env["orders"].scan(selected_fields=("o_orderkey", "o_orderdate")).to_df()
+    supplier = env["supplier"].scan(selected_fields=("s_suppkey", "s_nationkey")).to_df()
+    nation = env["nation"].scan(selected_fields=("n_nationkey", "n_name")).to_df()
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            # exact decimal arithmetic end-to-end (money semantics): both
+            # engines round decimal ties half-away-from-zero, so the result
+            # is deterministic regardless of summation order; cast to double
+            # only at the very end for a dtype-stable comparison
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("profit")
+        )
+    )
+
+
+def _q_q15_top_supplier(spark, env):
+    """Q15-style: supplier(s) with max quarterly revenue — revenue CTE +
+    scalar-max subquery expressed as a 1-row broadcast join (no second
+    scan of lineitem, no driver collect)."""
+    li = env["lineitem"].scan(row_filter="l_shipdate >= '1996-01-01' and l_shipdate < '1996-04-01'").to_df()
+    supplier = env["supplier"].scan(selected_fields=("s_suppkey", "s_name")).to_df()
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 def _q_window_topk(spark, env):
     ev = env["events"].scan().to_df()
     w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
@@ -744,6 +830,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q13_order_distribution": _q_q13_order_distribution,
             "tpch_q19_discounted_revenue": _q_q19_discounted_revenue,
             "tpch_q22_dormant_accounts": _q_q22_dormant_accounts,
+            "tpch_q8_market_share": _q_q8_market_share,
+            "tpch_q9_product_profit": _q_q9_product_profit,
+            "tpch_q15_top_supplier": _q_q15_top_supplier,
             "window_topk_per_group": _q_window_topk,
             "events_windowed_agg": _q_events_windowed,
             "events_sessionize": _q_events_sessionize,
@@ -928,6 +1017,35 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_orderdate >= TIMESTAMP '2000-01-01') "
             "GROUP BY c_nationkey"
+        ),
+        "tpch_q8_market_share": (
+            "SELECT year(o_orderdate) AS o_year, "
+            "round(sum(CASE WHEN n2.n_name = 'NATION_1' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+            "/ sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share "
+            "FROM part, lineitem, orders, customer, supplier, nation n1, nation n2, region "
+            "WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey AND o_custkey = c_custkey "
+            "AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey AND r_name = 'EUROPE' "
+            "AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey "
+            "AND p_type = 'ECONOMY' AND o_orderdate >= TIMESTAMP '1995-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY year(o_orderdate)"
+        ),
+        "tpch_q9_product_profit": (
+            "SELECT n_name AS nation, year(o_orderdate) AS o_year, "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+            "* (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS profit "
+            "FROM part, lineitem, orders, supplier, nation "
+            "WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey "
+            "AND s_nationkey = n_nationkey AND p_name LIKE '%widget%' "
+            "GROUP BY n_name, year(o_orderdate)"
+        ),
+        "tpch_q15_top_supplier": (
+            "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01' "
+            "GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, total_revenue FROM supplier, revenue "
+            "WHERE s_suppkey = supplier_no AND total_revenue = (SELECT max(total_revenue) FROM revenue)"
         ),
         "window_topk_per_group": (
             "SELECT event_type, event_id, round(value, 4) AS value, rnk FROM ("
