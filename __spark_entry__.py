@@ -593,6 +593,63 @@ def _q_q15_top_supplier(spark, env):
     )
 
 
+def _q_agg_rollup(spark, env):
+    """ROLLUP aggregation: subtotals per (returnflag, linestatus), per
+    returnflag, and a grand total in one partial-agg-friendly pass; null
+    grouping keys mark the subtotal rows."""
+    li = env["lineitem"].scan(selected_fields=("l_returnflag", "l_linestatus", "l_quantity")).to_df()
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n_rows")
+    )
+
+
+def _q_agg_cube(spark, env):
+    """CUBE aggregation over orders: all four grouping combinations of
+    (status, priority) computed in one pass."""
+    o = env["orders"].scan(selected_fields=("o_orderstatus", "o_orderpriority", "o_totalprice")).to_df()
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price")
+    )
+
+
+def _q_agg_grouping_sets(spark, env):
+    """Explicit GROUPING SETS via the SQL surface: per-nation and
+    per-segment customer stats plus a grand total, one shuffle."""
+    c = env["customer"].scan(selected_fields=("c_nationkey", "c_mktsegment", "c_acctbal")).to_df()
+    c.createOrReplaceTempView("gs_customer")
+    return spark.sql(
+        "SELECT c_nationkey, c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS total_bal "
+        "FROM gs_customer GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment), ())"
+    )
+
+
+def _q_pivot_order_status(spark, env):
+    """Pivot: order counts per priority × status as columns. The explicit
+    value list avoids the extra distinct-values job Spark otherwise runs."""
+    o = env["orders"].scan(selected_fields=("o_orderstatus", "o_orderpriority", "o_orderkey")).to_df()
+    p = o.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).agg(F.count("o_orderkey"))
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("f_cnt"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("o_cnt"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("p_cnt"),
+    )
+
+
+def _q_window_rank_family(spark, env):
+    """Rank-family window functions — ntile / percent_rank / cume_dist over
+    a deterministic (value, event_id) ordering per event_type."""
+    ev = env["events"].scan(selected_fields=("event_id", "event_type", "value")).to_df()
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
 def _q_window_topk(spark, env):
     ev = env["events"].scan().to_df()
     w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
@@ -833,6 +890,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q8_market_share": _q_q8_market_share,
             "tpch_q9_product_profit": _q_q9_product_profit,
             "tpch_q15_top_supplier": _q_q15_top_supplier,
+            "agg_rollup": _q_agg_rollup,
+            "agg_cube": _q_agg_cube,
+            "agg_grouping_sets": _q_agg_grouping_sets,
+            "pivot_order_status": _q_pivot_order_status,
+            "window_rank_family": _q_window_rank_family,
             "window_topk_per_group": _q_window_topk,
             "events_windowed_agg": _q_events_windowed,
             "events_sessionize": _q_events_sessionize,
@@ -1046,6 +1108,33 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY l_suppkey) "
             "SELECT s_suppkey, s_name, total_revenue FROM supplier, revenue "
             "WHERE s_suppkey = supplier_no AND total_revenue = (SELECT max(total_revenue) FROM revenue)"
+        ),
+        "agg_rollup": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "agg_cube": (
+            "SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders, "
+            "round(sum(o_totalprice), 2) AS total_price "
+            "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+        ),
+        "agg_grouping_sets": (
+            "SELECT c_nationkey, c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS total_bal "
+            "FROM customer GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment), ())"
+        ),
+        "pivot_order_status": (
+            "SELECT o_orderpriority, "
+            "count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_cnt, "
+            "count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt, "
+            "count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_cnt "
+            "FROM orders GROUP BY o_orderpriority"
+        ),
+        "window_rank_family": (
+            "SELECT event_type, event_id, "
+            "CAST(ntile(4) OVER w AS BIGINT) AS quartile, "
+            "round(percent_rank() OVER w, 6) AS pct_rank, "
+            "round(cume_dist() OVER w, 6) AS cum_dist "
+            "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)"
         ),
         "window_topk_per_group": (
             "SELECT event_type, event_id, round(value, 4) AS value, rnk FROM ("
