@@ -58,6 +58,11 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # pyspark 4.1 flipped inferTimestampNTZ on by default; naive parquet
+    # timestamps then surface as TIMESTAMP_NTZ and every epoch/tz function
+    # behaves differently. Pin the pre-4.1 reading (UTC instants) so query
+    # results are stable across pyspark versions (r04 regression).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
     wh_dir = tempfile.mkdtemp(prefix="ips_wh_")
     cat = SqliteCatalog("entry", wh_dir, spark)

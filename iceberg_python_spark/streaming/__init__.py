@@ -55,6 +55,21 @@ def incremental_source(table: Table, cursor: Optional[int] = None) -> Tuple[Data
     return df, new_cursor
 
 
+def _epoch_us(df: DataFrame, ts_col: str):
+    """Epoch-µs long for a timestamp column, robust to both TIMESTAMP and
+    TIMESTAMP_NTZ inputs (parquet naive timestamps read as NTZ when
+    ``spark.sql.parquet.inferTimestampNTZ.enabled`` is on — ``unix_micros``
+    rejects NTZ, so the NTZ path diffs against the NTZ epoch literal,
+    which is timezone-independent)."""
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+        )
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
 def sessionize(
     events: DataFrame,
     ts_col: str = "ts",
@@ -73,22 +88,19 @@ def sessionize(
     :func:`sessionize_stream`."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(order_tiebreak).asc())
     gap_us = gap_minutes * 60 * 1_000_000
-    brk = (
-        F.when(
-            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w)) > gap_us, 1
-        )
-        .otherwise(0)
-    )
-    with_sid = events.withColumn("_brk", brk).withColumn(
+    # materialize epoch-µs once; every downstream expression reuses it
+    ev = events.withColumn("_ts_us", _epoch_us(events, ts_col))
+    w = Window.partitionBy(key_col).orderBy(F.col("_ts_us").asc(), F.col(order_tiebreak).asc())
+    brk = F.when(F.col("_ts_us") - F.lag("_ts_us").over(w) > gap_us, 1).otherwise(0)
+    with_sid = ev.withColumn("_brk", brk).withColumn(
         "session_id", F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
     return (
         with_sid.groupBy(key_col, "session_id")
         .agg(
-            F.min(F.unix_micros(F.col(ts_col))).alias("session_start_us"),
-            F.max(F.unix_micros(F.col(ts_col))).alias("session_end_us"),
+            F.min("_ts_us").alias("session_start_us"),
+            F.max("_ts_us").alias("session_end_us"),
             F.count("*").alias("n_events"),
         )
     )

@@ -35,6 +35,21 @@ def test_sessionize_batch(spark):
     assert out[(2, 0)] == (2, us(5), us(6))
 
 
+def test_sessionize_batch_ntz(spark):
+    """TIMESTAMP_NTZ input (pyspark 4.1 reads naive parquet timestamps as
+    NTZ by default) must produce identical epoch-µs sessions — the r04
+    regression: unix_micros rejects NTZ."""
+    from iceberg_python_spark.streaming import sessionize
+
+    rows = [_ev(1, 0, 1), _ev(1, 10, 2), _ev(1, 55, 4), _ev(2, 5, 5)]
+    ltz = spark.createDataFrame(rows, "event_id: long, ts: timestamp, user_id: long")
+    ntz = spark.createDataFrame(rows, "event_id: long, ts: timestamp_ntz, user_id: long")
+    key = lambda r: (r.user_id, r.session_id)  # noqa: E731
+    want = {key(r): (r.n_events, r.session_start_us, r.session_end_us) for r in sessionize(ltz, gap_minutes=30).collect()}
+    got = {key(r): (r.n_events, r.session_start_us, r.session_end_us) for r in sessionize(ntz, gap_minutes=30).collect()}
+    assert want == got and len(want) == 3
+
+
 def test_sessionize_stream_matches_batch(spark, tmp_path):
     """Feed the same events through the stateful streaming operator in
     two micro-batches; closed sessions must match the batch operator."""
