@@ -598,6 +598,172 @@ def _q_q15_top_supplier(spark, env):
     )
 
 
+def _q_q2_min_cost_supplier(spark, env):
+    """Q2-style: cheapest supplier per part in a region (adapted: no
+    partsupp table — lineitem (partkey, suppkey, min unit price) is the
+    part-supplier catalog). The correlated min subquery becomes a window
+    min over the partition key — one shuffle, no re-scan."""
+    from pyspark.sql import Window
+
+    li = env["lineitem"].scan(selected_fields=("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")).to_df()
+    part = env["part"].scan(row_filter="p_size = 15 and p_type = 'ECONOMY'", selected_fields=("p_partkey", "p_size", "p_type")).to_df()
+    supplier = env["supplier"].scan().to_df()
+    nation = env["nation"].scan().to_df()
+    region = env["region"].scan(row_filter="r_name = 'EUROPE'").to_df()
+    eu_sup = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("_cost")
+    )
+    ps_eu = ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey).join(
+        F.broadcast(eu_sup), ps.l_suppkey == F.col("s_suppkey")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        ps_eu.withColumn("_mn", F.min("_cost").over(w))
+        .where(F.col("_cost") == F.col("_mn"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", F.round("_cost", 2).alias("cost")
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def _q_q11_important_parts(spark, env):
+    """Q11-style: parts whose inventory value from one nation's suppliers
+    exceeds a fraction of the total (adapted: value = discounted revenue
+    over lineitem). Scalar threshold subquery = 1-row broadcast join;
+    decimal money arithmetic end-to-end so both engines agree exactly."""
+    li = env["lineitem"].scan(selected_fields=("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")).to_df()
+    supplier = env["supplier"].scan(selected_fields=("s_suppkey", "s_nationkey")).to_df()
+    nation = env["nation"].scan(row_filter="n_name = 'NATION_7'", selected_fields=("n_nationkey", "n_name")).to_df()
+    nat_sup = supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey).select("s_suppkey")
+    money = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    v = (
+        li.join(F.broadcast(nat_sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(money).alias("_value"))
+    )
+    # threshold compare in double: sum(_value) is exact decimal in both
+    # engines, decimal→double is correctly rounded in both, and /1000.0 is
+    # IEEE — so the threshold double is bit-identical (a decimal 0.001
+    # multiply would overflow Spark's 38-digit cap and round differently)
+    thresh = v.agg((F.sum("_value").cast("double") / F.lit(1000.0)).alias("_th"))
+    return (
+        v.crossJoin(F.broadcast(thresh))
+        .where(F.col("_value").cast("double") > F.col("_th"))
+        .select("l_partkey", F.round("_value", 2).cast("double").alias("value"))
+    )
+
+
+def _q_q16_supplier_part_counts(spark, env):
+    """Q16-style: distinct-supplier counts per (brand, type, size) bucket,
+    excluding a supplier blocklist (adapted: lineitem is the part-supplier
+    relation; blocklist by name pattern instead of complaints). NOT IN
+    subquery = broadcast anti-join; countDistinct shuffles once on the
+    group key with partial dedup map-side."""
+    li = env["lineitem"].scan(selected_fields=("l_partkey", "l_suppkey")).to_df()
+    part = env["part"].scan(
+        row_filter="p_brand != 'Brand#5' and p_type != 'PROMO'",
+        selected_fields=("p_partkey", "p_brand", "p_type", "p_size"),
+    ).to_df()
+    part = part.where(F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    # infix LIKE is applied on the DataFrame (the scan DSL is prefix-only,
+    # reference parser parity) — Catalyst still pushes the Contains down
+    excluded = (
+        env["supplier"].scan(selected_fields=("s_suppkey", "s_name")).to_df()
+        .where(F.col("s_name").contains("7"))
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def _q_q20_dominant_suppliers(spark, env):
+    """Q20-style: suppliers in one nation who shipped more than half of a
+    widget part's 1996 volume (adapted: dominance over shipped quantity
+    stands in for availqty vs demand). IN-subquery = distinct semi-join;
+    the per-part total reuses the (part, supplier) partial aggregate."""
+    li = env["lineitem"].scan(
+        row_filter="l_shipdate >= '1996-01-01' and l_shipdate < '1997-01-01'",
+        selected_fields=("l_partkey", "l_suppkey", "l_quantity"),
+    ).to_df()
+    widget = (
+        env["part"].scan(selected_fields=("p_partkey", "p_name")).to_df()
+        .where(F.col("p_name").contains("widget"))
+        .select("p_partkey")
+    )
+    pq = (
+        li.join(F.broadcast(widget), li.l_partkey == widget.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+    )
+    pt = pq.groupBy("l_partkey").agg(F.sum("_sq").alias("_tq"))
+    dominant = (
+        pq.join(pt.withColumnRenamed("l_partkey", "_pk"), pq.l_partkey == F.col("_pk"))
+        .where(F.col("_sq") > F.lit(0.5) * F.col("_tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supplier = env["supplier"].scan().to_df()
+    nation = env["nation"].scan(row_filter="n_name = 'NATION_2'", selected_fields=("n_nationkey",)).to_df()
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(dominant, supplier.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+def _q_q21_waiting_suppliers(spark, env):
+    """Q21-style: suppliers whose returned lines were the ONLY returns on
+    multi-supplier finished orders (adapted: l_returnflag = 'R' stands in
+    for receipt-after-commit lateness — the schema has no commit/receipt
+    dates). EXISTS → left-semi join, NOT EXISTS → left-anti join, both on
+    the order key with an inequality residual — exactly Catalyst's own
+    decorrelation of the canonical Q21, one shuffle per join, all keyed on
+    l_orderkey so AQE can reuse the exchange."""
+    li = env["lineitem"].scan(selected_fields=("l_orderkey", "l_suppkey", "l_returnflag")).to_df()
+    orders = env["orders"].scan(row_filter="o_orderstatus = 'F'", selected_fields=("o_orderkey",)).to_df()
+    supplier = env["supplier"].scan(selected_fields=("s_suppkey", "s_name", "s_nationkey")).to_df()
+    nation = env["nation"].scan(row_filter="n_name = 'NATION_3'", selected_fields=("n_nationkey",)).to_df()
+    l1 = li.where(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").alias("l3")
+    waiting = (
+        l1.join(orders, F.col("l1.l_orderkey") == orders.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supplier), F.col("l1.l_suppkey") == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey, "left_semi")
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
 def _q_agg_rollup(spark, env):
     """ROLLUP aggregation: subtotals per (returnflag, linestatus), per
     returnflag, and a grand total in one partial-agg-friendly pass; null
@@ -895,6 +1061,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q8_market_share": _q_q8_market_share,
             "tpch_q9_product_profit": _q_q9_product_profit,
             "tpch_q15_top_supplier": _q_q15_top_supplier,
+            "tpch_q2_min_cost_supplier": _q_q2_min_cost_supplier,
+            "tpch_q11_important_parts": _q_q11_important_parts,
+            "tpch_q16_supplier_part_counts": _q_q16_supplier_part_counts,
+            "tpch_q20_dominant_suppliers": _q_q20_dominant_suppliers,
+            "tpch_q21_waiting_suppliers": _q_q21_waiting_suppliers,
             "agg_rollup": _q_agg_rollup,
             "agg_cube": _q_agg_cube,
             "agg_grouping_sets": _q_agg_grouping_sets,
@@ -1113,6 +1284,56 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY l_suppkey) "
             "SELECT s_suppkey, s_name, total_revenue FROM supplier, revenue "
             "WHERE s_suppkey = supplier_no AND total_revenue = (SELECT max(total_revenue) FROM revenue)"
+        ),
+        "tpch_q2_min_cost_supplier": (
+            "WITH ps AS (SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost "
+            "FROM lineitem GROUP BY 1, 2) "
+            "SELECT s_acctbal, s_name, n_name, p_partkey, round(ps.cost, 2) AS cost "
+            "FROM part, ps, supplier, nation, region "
+            "WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey "
+            "AND p_size = 15 AND p_type = 'ECONOMY' "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE' "
+            "AND ps.cost = (SELECT min(ps2.cost) FROM ps ps2, supplier s2, nation n2, region r2 "
+            "WHERE p_partkey = ps2.l_partkey AND s2.s_suppkey = ps2.l_suppkey "
+            "AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE') "
+            "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"
+        ),
+        "tpch_q11_important_parts": (
+            "WITH v AS (SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+            "* (1 - CAST(l_discount AS DECIMAL(18,2)))) AS value FROM lineitem, supplier, nation "
+            "WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7' "
+            "GROUP BY 1) "
+            "SELECT l_partkey, CAST(round(value, 2) AS DOUBLE) AS value FROM v "
+            "WHERE CAST(value AS DOUBLE) > (SELECT CAST(sum(value) AS DOUBLE) / 1000.0 FROM v)"
+        ),
+        "tpch_q16_supplier_part_counts": (
+            "SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt "
+            "FROM lineitem, part WHERE p_partkey = l_partkey "
+            "AND p_brand <> 'Brand#5' AND p_type <> 'PROMO' AND p_size IN (1, 4, 9, 16, 25, 36, 49) "
+            "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%') "
+            "GROUP BY 1, 2, 3"
+        ),
+        "tpch_q20_dominant_suppliers": (
+            "WITH pq AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq FROM lineitem, part "
+            "WHERE l_partkey = p_partkey AND p_name LIKE '%widget%' "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY 1, 2), "
+            "pt AS (SELECT l_partkey, sum(sq) AS tq FROM pq GROUP BY 1) "
+            "SELECT s_name, round(s_acctbal, 2) AS s_acctbal FROM supplier, nation "
+            "WHERE s_nationkey = n_nationkey AND n_name = 'NATION_2' "
+            "AND s_suppkey IN (SELECT pq.l_suppkey FROM pq, pt "
+            "WHERE pq.l_partkey = pt.l_partkey AND pq.sq > 0.5 * pt.tq)"
+        ),
+        "tpch_q21_waiting_suppliers": (
+            "SELECT s_name, count(*) AS numwait FROM supplier, lineitem l1, orders, nation "
+            "WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey "
+            "AND o_orderstatus = 'F' AND l1.l_returnflag = 'R' "
+            "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey "
+            "AND l2.l_suppkey <> l1.l_suppkey) "
+            "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey "
+            "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') "
+            "AND s_nationkey = n_nationkey AND n_name = 'NATION_3' "
+            "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"
         ),
         "agg_rollup": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows "
