@@ -728,34 +728,34 @@ def _q_q21_waiting_suppliers(spark, env):
     """Q21-style: suppliers whose returned lines were the ONLY returns on
     multi-supplier finished orders (adapted: l_returnflag = 'R' stands in
     for receipt-after-commit lateness — the schema has no commit/receipt
-    dates). EXISTS → left-semi join, NOT EXISTS → left-anti join, both on
-    the order key with an inequality residual — exactly Catalyst's own
-    decorrelation of the canonical Q21, one shuffle per join, all keyed on
-    l_orderkey so AQE can reuse the exchange."""
+    dates). The correlated EXISTS/NOT EXISTS pair is decorrelated into ONE
+    aggregation pass over lineitem: per (order, supplier) dedup with an
+    any-R flag, then per-order supplier/R-supplier counts — EXISTS(other
+    supplier) ⇔ n_sup > 1, NOT EXISTS(other R supplier) ⇔ n_r_sup == 1
+    (l1 itself is an R line). Three lineitem scans + two semi/anti
+    self-joins collapse to one scan + two keyed aggregations, the form
+    that survives a 100× fact-table scale-up."""
     li = env["lineitem"].scan(selected_fields=("l_orderkey", "l_suppkey", "l_returnflag")).to_df()
     orders = env["orders"].scan(row_filter="o_orderstatus = 'F'", selected_fields=("o_orderkey",)).to_df()
     supplier = env["supplier"].scan(selected_fields=("s_suppkey", "s_name", "s_nationkey")).to_df()
     nation = env["nation"].scan(row_filter="n_name = 'NATION_3'", selected_fields=("n_nationkey",)).to_df()
-    l1 = li.where(F.col("l_returnflag") == "R").alias("l1")
-    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").alias("l3")
+    # distinct suppliers per order with an any-R flag (map-side combine),
+    # then per-order counts — no Expand, no countDistinct shuffle blowup
+    sup_per_ord = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("_has_r"))
+    )
+    ord_stats = sup_per_ord.groupBy("l_orderkey").agg(
+        F.count("*").alias("_n_sup"), F.sum("_has_r").alias("_n_r_sup")
+    )
+    qualifying = ord_stats.where((F.col("_n_sup") > 1) & (F.col("_n_r_sup") == 1)).select("l_orderkey")
+    l1 = li.where(F.col("l_returnflag") == "R")
     waiting = (
-        l1.join(orders, F.col("l1.l_orderkey") == orders.o_orderkey, "left_semi")
-        .join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-            "left_anti",
-        )
+        l1.join(orders, l1.l_orderkey == orders.o_orderkey, "left_semi")
+        .join(qualifying.withColumnRenamed("l_orderkey", "_ok"), F.col("l_orderkey") == F.col("_ok"), "left_semi")
     )
     return (
-        waiting.join(F.broadcast(supplier), F.col("l1.l_suppkey") == supplier.s_suppkey)
+        waiting.join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey, "left_semi")
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
