@@ -847,6 +847,52 @@ def _q_events_sessionize(spark, env):
     return sessionize(ev, gap_minutes=30)
 
 
+_SAMPLE_RATES = {"en": 0.2, "zh": 0.8, "fr": 0.8, "de": 0.8, "es": 0.8}
+_SAMPLE_DEFAULT_RATE = 0.5
+
+
+def _q_sample_stratified(spark, env):
+    """Deterministic hash-threshold sampling stratified by language:
+    keep-rate per stratum, decided by md5(doc_id) — reproducible across
+    engines/partitionings, pushed into the scan as a narrow filter."""
+    from iceberg_python_spark.operators.sampling import hash_stratified_sample
+
+    docs = env["documents"].scan(selected_fields=("doc_id", "lang", "source", "n_chars")).to_df()
+    return hash_stratified_sample(
+        docs, "lang", "doc_id", rates=_SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT_RATE
+    )
+
+
+def _sample_stratified_oracle() -> str:
+    from iceberg_python_spark.operators.sampling import rate_to_hex_threshold as _thr
+
+    case = (
+        "CASE lang "
+        + " ".join(f"WHEN '{k}' THEN '{_thr(r)}'" for k, r in sorted(_SAMPLE_RATES.items()))
+        + f" ELSE '{_thr(_SAMPLE_DEFAULT_RATE)}' END"
+    )
+    return (
+        "SELECT doc_id, lang, source, n_chars FROM documents "
+        f"WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < {case}"
+    )
+
+
+def _q_dedup_clusters(spark, env):
+    """Near-dup clustering: exact Jaccard pairs (prefix-filter join) →
+    connected components (hash-min label propagation). The DuckDB oracle
+    recomputes the same edge set and closes it with a recursive CTE —
+    an iterative Spark algorithm checked against a SQL fixpoint."""
+    from iceberg_python_spark.operators.dedup import connected_components, jaccard_prefix_join
+
+    docs = env["docs_dup"].scan().to_df().select(
+        "doc_id", "text", "lang", (F.floor(F.col("n_chars") / 64)).alias("_lb")
+    )
+    pairs = jaccard_prefix_join(docs, "doc_id", "text", threshold=0.8, block_cols=["lang", "_lb"])
+    return connected_components(pairs.select("id_a", "id_b")).select(
+        F.col("node").alias("doc_id"), "component_id"
+    )
+
+
 def _q_dedup_exact(spark, env):
     from iceberg_python_spark.operators.dedup import exact_dedup
 
@@ -1074,6 +1120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "window_topk_per_group": _q_window_topk,
             "events_windowed_agg": _q_events_windowed,
             "events_sessionize": _q_events_sessionize,
+            "sample_stratified": _q_sample_stratified,
+            "dedup_neardup_clusters": _q_dedup_clusters,
             "dedup_exact": _q_dedup_exact,
             "dedup_normalized": _q_dedup_normalized,
             "dedup_minhash_lsh": _q_dedup_minhash,
@@ -1390,6 +1438,28 @@ def oracle_sql() -> dict[str, str]:
             f"{docs_dup_cte} SELECT d.* FROM docs_dup d JOIN ("
             "SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS nrm, "
             "min(doc_id) AS keep FROM docs_dup GROUP BY 1) k ON d.doc_id = k.keep"
+        ),
+        "sample_stratified": _sample_stratified_oracle(),
+        "dedup_neardup_clusters": (
+            # same docs_dup + shingle + exact-Jaccard-pair CTEs as
+            # dedup_jaccard_blocked, then a recursive-CTE fixpoint closes
+            # the undirected edges; component_id = min reachable doc_id
+            f"{docs_dup_cte.replace('WITH ', 'WITH RECURSIVE ', 1)}, sh AS ("
+            "SELECT doc_id, lang, floor(n_chars / 64) AS lb, "
+            "list_distinct(list_transform(generate_series(1, greatest(len(regexp_split_to_array(trim("
+            "regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+')) - 2, 1)), "
+            "i -> array_to_string((regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), "
+            "'\\s+'))[i:i+2], ' '))) AS shingles FROM docs_dup), "
+            "pairs AS (SELECT id_a, id_b FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.shingles, b.shingles)) / len(list_distinct(a.shingles || b.shingles)) AS j "
+            "FROM sh a JOIN sh b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id "
+            "AND len(a.shingles) >= 0.8 * len(b.shingles) AND len(b.shingles) >= 0.8 * len(a.shingles)) "
+            "WHERE j >= 0.8), "
+            "e AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs), "
+            "reach(node, lbl) AS ("
+            "SELECT u, u FROM (SELECT DISTINCT u FROM e) "
+            "UNION SELECT e.u, r.lbl FROM e JOIN reach r ON e.v = r.node) "
+            "SELECT node AS doc_id, min(lbl) AS component_id FROM reach GROUP BY 1"
         ),
         "dedup_jaccard_blocked": (
             f"{docs_dup_cte}, sh AS ("

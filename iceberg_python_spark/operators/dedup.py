@@ -362,3 +362,54 @@ def embedding_neardup_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected edge list — the clustering
+    step after any near-dup pair generator (keep one doc per component).
+    Returns (node, component_id) where component_id is the minimum node
+    id reachable from ``node``.
+
+    Spark shape: hash-min label propagation. Each round is one keyed
+    aggregation (min neighbor label) plus one join — both shuffled on the
+    node id so AQE reuses the exchange — and the lineage is cut with an
+    eager ``localCheckpoint`` so the plan stays constant-size across
+    rounds. Rounds needed = eccentricity of the component's min node;
+    near-dup clusters are shallow (pairs come from a similarity
+    threshold, so components are dense and tiny). For adversarial
+    long-chain graphs swap the propagation step for alternating
+    large-star/small-star (O(log d) rounds) — identical join shape.
+    No reference counterpart (pyiceberg has no graph ops); semantics per
+    Kiveris et al., "Connected Components in MapReduce and Beyond"."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    labels = labels.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("_nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("_nbr_lbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("lbl").alias("component_id"))

@@ -266,3 +266,43 @@ def test_ivf_ann_full_probe_exact_and_recall(spark):
         hits += len(approx_sets[qid] & s)
         total += len(s)
     assert hits / total >= 0.5, (hits, total)
+
+
+def test_connected_components(spark):
+    """Hash-min propagation: two chains + a singleton-free edge set;
+    component label = min reachable node, matching a hand fixpoint."""
+    from iceberg_python_spark.operators.dedup import connected_components
+
+    # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a: long, id_b: long",
+    )
+    got = {r.node: r.component_id for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_hash_stratified_sample(spark):
+    """Deterministic: same sample twice; rates roughly honored; salt
+    decorrelates; rate mapping matches the hex-threshold helper."""
+    from iceberg_python_spark.operators.sampling import (
+        hash_stratified_sample,
+        rate_to_hex_threshold,
+    )
+
+    assert rate_to_hex_threshold(0.0) == "00000000"
+    assert rate_to_hex_threshold(1.0) == "ffffffff"
+    df = spark.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") % 2 == 0).cast("string").alias("s")
+    )
+    rates = {"true": 0.5, "false": 0.1}
+    s1 = hash_stratified_sample(df, "s", "k", rates)
+    s2 = hash_stratified_sample(df, "s", "k", rates)
+    ids1 = sorted(r.k for r in s1.collect())
+    assert ids1 == sorted(r.k for r in s2.collect())  # deterministic
+    n_true = s1.where("s = 'true'").count()
+    n_false = s1.where("s = 'false'").count()
+    assert abs(n_true / 2000 - 0.5) < 0.05, n_true
+    assert abs(n_false / 2000 - 0.1) < 0.05, n_false
+    salted = sorted(r.k for r in hash_stratified_sample(df, "s", "k", rates, salt="v2").collect())
+    assert salted != ids1  # different split under a different salt
