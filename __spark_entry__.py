@@ -893,6 +893,15 @@ def _q_dedup_clusters(spark, env):
     )
 
 
+def _q_text_top_ngrams(spark, env):
+    """Corpus top-50 3-grams by document frequency (boilerplate /
+    contamination statistics) — explode + one map-side-combined count
+    groupBy + merged per-partition top-k."""
+    from iceberg_python_spark.operators.text import ngram_doc_freq_topk
+
+    return ngram_doc_freq_topk(env["documents"].scan().to_df(), "text", "doc_id", n=3, k=50)
+
+
 def _q_dedup_exact(spark, env):
     from iceberg_python_spark.operators.dedup import exact_dedup
 
@@ -1121,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_windowed_agg": _q_events_windowed,
             "events_sessionize": _q_events_sessionize,
             "sample_stratified": _q_sample_stratified,
+            "text_top_ngrams": _q_text_top_ngrams,
             "dedup_neardup_clusters": _q_dedup_clusters,
             "dedup_exact": _q_dedup_exact,
             "dedup_normalized": _q_dedup_normalized,
@@ -1440,6 +1450,17 @@ def oracle_sql() -> dict[str, str]:
             "min(doc_id) AS keep FROM docs_dup GROUP BY 1) k ON d.doc_id = k.keep"
         ),
         "sample_stratified": _sample_stratified_oracle(),
+        "text_top_ngrams": (
+            # shingle construction identical to the dedup oracles (proven
+            # equivalent to with_ngram_shingles by their hash matches)
+            "WITH sh AS (SELECT doc_id, "
+            "list_distinct(list_transform(generate_series(1, greatest(len(regexp_split_to_array(trim("
+            "regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+')) - 2, 1)), "
+            "i -> array_to_string((regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), "
+            "'\\s+'))[i:i+2], ' '))) AS shingles FROM documents) "
+            "SELECT ngram, count(*) AS doc_freq FROM (SELECT unnest(shingles) AS ngram FROM sh) "
+            "WHERE ngram <> '' GROUP BY 1 ORDER BY doc_freq DESC, ngram ASC LIMIT 50"
+        ),
         "dedup_neardup_clusters": (
             # same docs_dup + shingle + exact-Jaccard-pair CTEs as
             # dedup_jaccard_blocked, then a recursive-CTE fixpoint closes

@@ -12,6 +12,7 @@ cluster: the only shuffles are the groupBys/joins stated per function.
                            Hamming candidates
 - ngram_jaccard_pairs    — exact n-gram Jaccard on candidate pairs
 - embedding_neardup      — cosine near-duplicates within blocking keys
+- connected_components   — cluster near-dup pairs (hash-min propagation)
 """
 
 from __future__ import annotations

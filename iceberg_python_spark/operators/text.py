@@ -8,6 +8,7 @@ projections with no shuffle, so they stream at scan speed at any scale.
 - language_id    — stopword-hit n-gram heuristic over a small built-in
                    lexicon (en/fr/de/es) + CJK character ratio (zh)
 - fingerprint    — md5 content digest + 64-bit rolling-hash winnowing set
+- ngram_doc_freq_topk — corpus top-k n-grams by document frequency
 """
 
 from __future__ import annotations
@@ -121,4 +122,28 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 5, window: i
             F.md5(F.col(text_col)).alias("md5"),
             F.array_sort(F.array_distinct(minima)).alias("winnow_fp"),
         )
+    )
+
+
+def ngram_doc_freq_topk(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 50
+) -> DataFrame:
+    """Top-k word n-grams by document frequency — the corpus-statistics
+    pass behind boilerplate detection and benchmark-contamination checks.
+
+    Spark shape: shingle (distinct per doc) → explode → one count
+    groupBy (map-side combined) → global top-k via sort+limit (Spark
+    runs it as per-partition top-k + a k-row merge on one reducer, not a
+    full sort). Ties broken by ngram text so the result is a total
+    order."""
+    from .dedup import with_ngram_shingles
+
+    sh = with_ngram_shingles(df.select(F.col(id_col), F.col(text_col)), text_col, n=n)
+    return (
+        sh.select(F.explode("shingles").alias("ngram"))
+        .where(F.col("ngram") != "")
+        .groupBy("ngram")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
+        .limit(k)
     )

@@ -43,6 +43,57 @@ def append_stream(stream_df: DataFrame, table: Table, checkpoint_dir: str, trigg
     return writer.start()
 
 
+def upsert_stream(
+    stream_df: DataFrame,
+    table: Table,
+    checkpoint_dir: str,
+    join_cols: Optional[list] = None,
+    mode: Optional[str] = None,
+    dedupe_keep_last_by: Optional[str] = None,
+    trigger_seconds: Optional[int] = None,
+):
+    """CDC apply: MERGE each micro-batch into an engine table (update
+    matched rows, insert unmatched) — one upsert commit per batch, so the
+    batch is the exactly-once unit just like :func:`append_stream`.
+
+    A CDC feed can carry several updates for one key inside a batch;
+    ``dedupe_keep_last_by`` names an ordering column (e.g. the change
+    LSN / event time) and keeps only the latest row per key before the
+    merge — without it the upsert's duplicate-key guard would abort.
+    ``mode`` picks copy-on-write or merge-on-read, defaulting to the
+    table's ``write.merge.mode`` (merge-on-read is the 100 TB path:
+    matched rows become position deletes, no file rewrite)."""
+
+    def _keys() -> list:
+        if join_cols:
+            return list(join_cols)
+        sch = table.metadata.schema()
+        keys = [sch.find_column_name(fid) for fid in sch.identifier_field_ids]
+        if not keys:
+            raise ValueError("upsert_stream needs join_cols or identifier_field_ids on the schema")
+        return keys
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if dedupe_keep_last_by is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*_keys()).orderBy(F.col(dedupe_keep_last_by).desc())
+            batch_df = (
+                batch_df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+            )
+        if batch_df.isEmpty():
+            return
+        fresh = table.refresh()
+        fresh.upsert(batch_df, join_cols=join_cols, mode=mode)
+
+    writer = stream_df.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def incremental_source(table: Table, cursor: Optional[int] = None) -> Tuple[DataFrame, Optional[int]]:
     """Rows appended since ``cursor`` (a snapshot id), plus the new cursor.
     Poll in a loop (or from foreachBatch) for CDC-style pipelines."""

@@ -92,3 +92,32 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     }
     for k, v in want.items():
         assert got.get(k) == v, (k, v, got)
+
+
+def test_upsert_stream_cdc_apply(spark, tmp_path):
+    """Two CDC micro-batches (with an intra-batch duplicate key) merge
+    into the table; final state = last-write-wins per key."""
+    import iceberg_python_spark as ips
+    from iceberg_python_spark.schema import schema_from_spark
+    from iceberg_python_spark.streaming import upsert_stream
+
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "id: long, v: string, seq: long"
+    )
+    cat = ips.SqliteCatalog("cdc", str(tmp_path / "wh"), spark)
+    t = cat.create_table("db.cdc_target", schema_from_spark(base.schema))
+    t.append(base)
+
+    src = str(tmp_path / "cdc_src")
+    # batch: update id=2 twice (seq 2 then 3 must win), insert id=4
+    batch = spark.createDataFrame(
+        [(2, "b2", 2), (2, "b3", 3), (4, "d", 2)], "id: long, v: string, seq: long"
+    )
+    batch.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    q = upsert_stream(
+        stream, t, str(tmp_path / "cdc_ckpt"), join_cols=["id"], dedupe_keep_last_by="seq"
+    )
+    q.awaitTermination(60)
+    got = {r.id: (r.v, r.seq) for r in t.refresh().scan().to_df().collect()}
+    assert got == {1: ("a", 1), 2: ("b3", 3), 3: ("c", 1), 4: ("d", 2)}
