@@ -384,8 +384,11 @@ def connected_components(
     large-star/small-star (O(log d) rounds) — identical join shape.
     No reference counterpart (pyiceberg has no graph ops); semantics per
     Kiveris et al., "Connected Components in MapReduce and Beyond"."""
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # materialize the edge list FIRST: everything below references it 2+
+    # times (symmetrize + node seed), and the upstream plan is typically
+    # an expensive similarity join that must not be re-run per reference
+    edges = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(eager=True)
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
     labels = labels.localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)

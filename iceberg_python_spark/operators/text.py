@@ -135,13 +135,32 @@ def ngram_doc_freq_topk(
     groupBy (map-side combined) → global top-k via sort+limit (Spark
     runs it as per-partition top-k + a k-row merge on one reducer, not a
     full sort). Ties broken by ngram text so the result is a total
-    order."""
-    from .dedup import with_ngram_shingles
+    order.
 
-    sh = with_ngram_shingles(df.select(F.col(id_col), F.col(text_col)), text_col, n=n)
+    Unlike the dedup path this does NOT build per-doc shingle arrays:
+    tokens are exploded once and n-grams assembled with window lead()s
+    keyed on the doc id. Crucially every post-explode expression
+    references only attributes the Generate/Window already materialized —
+    a filter on e.g. ``size(tokens)`` would be inlined by CollapseProject
+    and re-run the regex tokenizer once per exploded row (measured 20×
+    slower). The shingle-boundary condition is therefore written as
+    ``lead(tok, n-1) IS NOT NULL OR pos == 0`` (short docs keep their
+    single truncated shingle, matching with_ngram_shingles)."""
+    from pyspark.sql import Window
+
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")), r"\s+"
+    )
+    t = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, n)]
+    ngram = F.concat_ws(" ", F.col("tok"), *leads)
+    complete = leads[-1].isNotNull() | (F.col("pos") == 0) if leads else F.lit(True)
     return (
-        sh.select(F.explode("shingles").alias("ngram"))
-        .where(F.col("ngram") != "")
+        t.select(F.col(id_col), ngram.alias("ngram"), complete.alias("_keep"))
+        .where(F.col("_keep") & (F.col("ngram") != ""))
+        .select(id_col, "ngram")
+        .distinct()
         .groupBy("ngram")
         .agg(F.count("*").alias("doc_freq"))
         .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())

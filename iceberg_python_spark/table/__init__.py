@@ -339,6 +339,14 @@ class Table:
         with self.transaction() as tx:
             tx.add_files(file_paths, snapshot_properties)
 
+    def set_properties(self, properties: Optional[Dict[str, str]] = None, **kwargs: str) -> None:
+        with self.transaction() as tx:
+            tx.set_properties(properties, **kwargs)
+
+    def remove_properties(self, *removals: str) -> None:
+        with self.transaction() as tx:
+            tx.remove_properties(*removals)
+
     def manage_snapshots(self) -> "ManageSnapshots":
         from .update import ManageSnapshots
 
@@ -416,6 +424,8 @@ class Transaction:
         self._base_snapshot_id = table.metadata.current_snapshot_id
         self._staged: List[Dict[str, Any]] = []
         self._replaying = False
+        self._prop_updates: Dict[str, str] = {}
+        self._prop_removals: set = set()
 
     def __enter__(self) -> "Transaction":
         return self
@@ -423,6 +433,44 @@ class Transaction:
     def __exit__(self, exc_type, exc, tb) -> None:
         if exc_type is None:
             self.commit_transaction()
+
+    # -- table properties (reference table/__init__.py Transaction
+    # set_properties/remove_properties) -----------------------------------------
+    def set_properties(self, properties: Optional[Dict[str, str]] = None, **kwargs: str) -> "Transaction":
+        """Set/overwrite table properties. Staged like every other update
+        and re-applied after a CAS-retry rebase (last writer wins per
+        key, matching the reference's commit semantics)."""
+        updates = {**(properties or {}), **kwargs}
+        bad = [k for k, v in updates.items() if not isinstance(k, str) or not isinstance(v, str)]
+        if bad:
+            raise ValueError(f"table properties must be str -> str, got invalid keys {bad}")
+        self.metadata = _dc_replace(
+            self.metadata, properties={**self.metadata.properties, **updates}
+        )
+        self._prop_updates.update(updates)
+        self._prop_removals -= set(updates)
+        self._dirty = True
+        return self
+
+    def remove_properties(self, *removals: str) -> "Transaction":
+        """Remove table properties (missing keys are ignored, like the
+        reference)."""
+        self.metadata = _dc_replace(
+            self.metadata,
+            properties={k: v for k, v in self.metadata.properties.items() if k not in removals},
+        )
+        self._prop_removals.update(removals)
+        for k in removals:
+            self._prop_updates.pop(k, None)
+        self._dirty = True
+        return self
+
+    def _reapply_property_changes(self) -> None:
+        if not (self._prop_updates or self._prop_removals):
+            return
+        props = {k: v for k, v in self.metadata.properties.items() if k not in self._prop_removals}
+        props.update(self._prop_updates)
+        self.metadata = _dc_replace(self.metadata, properties=props)
 
     # -- snapshot producers ----------------------------------------------------
     def _spark(self) -> SparkSession:
@@ -1416,7 +1464,8 @@ class Transaction:
                 self._dirty = False
                 return
             except CommitFailedException:
-                if attempt >= attempts or not self._staged:
+                has_replayable = bool(self._staged or self._prop_updates or self._prop_removals)
+                if attempt >= attempts or not has_replayable:
                     raise
                 fresh = self.table.catalog.load_table(self.table.identifier)
                 self._validate_against(fresh.metadata)
@@ -1437,6 +1486,7 @@ class Transaction:
                         )
                 finally:
                     self._replaying = False
+                self._reapply_property_changes()
 
     def _validate_against(self, fresh: TableMetadata) -> None:
         """Semantic conflict checks between our base snapshot and the
