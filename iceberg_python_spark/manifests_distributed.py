@@ -105,28 +105,34 @@ def metrics_spark_predicate(bound: BooleanExpression, stats_col: str = "stats_js
             return F.lit(True)  # not expressible -> keep
         lower = stat("lower_bounds", fid).cast(cast_to)
         upper = stat("upper_bounds", fid).cast(cast_to)
-        # floats: NaN may fall outside [lower, upper]; only bound-prune
-        # non-float types the same way the Python evaluator does
-        if isinstance(e.field.field_type, (FloatType, DoubleType)):
-            return F.lit(True)
+        # float bounds need a NaN keep-guard: the Python evaluator's
+        # `NaN <op> v` comparisons are all False (file kept), but Spark
+        # ORDERS NaN above every double, so an unguarded `lower < v`
+        # would wrongly prune a NaN-bounded file. Guard = bound missing,
+        # unparseable, or NaN -> keep (necessary-condition superset).
+        is_float = isinstance(e.field.field_type, (FloatType, DoubleType))
+
+        def guard(b: Column) -> Column:
+            return (b.isNull() | F.isnan(b)) if is_float else b.isNull()
+
         def lit(v):
             return F.lit(v)
 
         if op == "eq":
             v = lit(e.value)
-            return (lower.isNull() | (lower <= v)) & (upper.isNull() | (upper >= v))
+            return (guard(lower) | (lower <= v)) & (guard(upper) | (upper >= v))
         if op == "in":
             vmax = lit(max(e.values))
             vmin = lit(min(e.values))
-            return (lower.isNull() | (lower <= vmax)) & (upper.isNull() | (upper >= vmin))
+            return (guard(lower) | (lower <= vmax)) & (guard(upper) | (upper >= vmin))
         if op == "lt":
-            return lower.isNull() | (lower < lit(e.value))
+            return guard(lower) | (lower < lit(e.value))
         if op == "lt_eq":
-            return lower.isNull() | (lower <= lit(e.value))
+            return guard(lower) | (lower <= lit(e.value))
         if op == "gt":
-            return upper.isNull() | (upper > lit(e.value))
+            return guard(upper) | (upper > lit(e.value))
         if op == "gt_eq":
-            return upper.isNull() | (upper >= lit(e.value))
+            return guard(upper) | (upper >= lit(e.value))
         return F.lit(True)
 
     return walk(bound) & (F.col("record_count") > 0)

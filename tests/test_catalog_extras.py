@@ -111,3 +111,35 @@ def test_cli(catalog, table, warehouse):
     assert "DATA" in out.stdout
     out = run("describe", "db.extras")
     assert json.loads(out.stdout)["name"] == "db.extras"
+
+
+def test_set_remove_properties(spark, tmp_path):
+    """Transaction/table property updates: set, overwrite, remove,
+    persisted through commit + reload (reference Transaction
+    set_properties/remove_properties)."""
+    import iceberg_python_spark as ips
+    from iceberg_python_spark.schema import schema_from_spark
+
+    df = spark.createDataFrame([(1, "a")], "id: long, v: string")
+    cat = ips.SqliteCatalog("props", str(tmp_path / "wh"), spark)
+    t = cat.create_table("db.props_t", schema_from_spark(df.schema), properties={"k0": "v0"})
+    t.set_properties({"k1": "v1"}, k2="v2")
+    t = t.refresh()
+    assert t.metadata.properties.get("k1") == "v1" and t.metadata.properties.get("k2") == "v2"
+    assert t.metadata.properties.get("k0") == "v0"
+    t.set_properties(k1="v1b")
+    t.remove_properties("k2", "missing-key")
+    t = cat.load_table("db.props_t")
+    assert t.metadata.properties.get("k1") == "v1b"
+    assert "k2" not in t.metadata.properties
+    # non-string values rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.set_properties({"n": 1})  # type: ignore[dict-item]
+    # property change + data change in one transaction commit together
+    with t.transaction() as tx:
+        tx.set_properties(k3="v3")
+        tx.append(df)
+    t = t.refresh()
+    assert t.metadata.properties.get("k3") == "v3" and t.scan().count() == 1

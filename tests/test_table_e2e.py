@@ -306,8 +306,10 @@ def test_distributed_planning_matches_driver_side(catalog, spark, lineitem_df):
     assert t.scan(row_filter=flt).to_df().count() == lineitem_df.where(
         "l_shipdate >= timestamp'1996-01-01' and l_shipdate < timestamp'1997-01-01' and l_quantity > 30"
     ).count()
-    # long-typed bounds ARE pruned JVM-side, matching the driver evaluator
-    for f in ["l_orderkey < 0", "l_orderkey >= 1"]:
+    # long AND double bounds are pruned JVM-side, matching the driver
+    # evaluator (double path is NaN-guarded: Spark orders NaN above every
+    # double, so unguarded bounds would over-prune — round-5 fix)
+    for f in ["l_orderkey < 0", "l_orderkey >= 1", "l_quantity > 49.5", "l_quantity < 1.5", "l_extendedprice < 0.0"]:
         t.metadata.properties["read.plan.distributed-threshold"] = "1000000"
         drv = {x.file_path for x in t.scan(row_filter=f).plan_files()}
         t.metadata.properties["read.plan.distributed-threshold"] = "0"

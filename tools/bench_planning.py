@@ -48,7 +48,7 @@ def main() -> None:
     raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     n_rows = raw.count()
     schema = schema_from_spark(raw.schema)
-    spec = spec_from_names(schema, ("l_shipdate", "month"), ("l_suppkey", "bucket", 8))
+    spec = spec_from_names(schema, ("l_shipdate", "month"), ("l_suppkey", "bucket[8]"))
     t = cat.create_table(
         "db.lineitem_many_files",
         schema,
