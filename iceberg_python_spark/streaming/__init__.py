@@ -50,19 +50,27 @@ def upsert_stream(
     join_cols: Optional[list] = None,
     mode: Optional[str] = None,
     dedupe_keep_last_by: Optional[str] = None,
+    op_col: Optional[str] = None,
+    delete_values: Tuple[str, ...] = ("D", "d", "delete"),
     trigger_seconds: Optional[int] = None,
 ):
     """CDC apply: MERGE each micro-batch into an engine table (update
-    matched rows, insert unmatched) — one upsert commit per batch, so the
-    batch is the exactly-once unit just like :func:`append_stream`.
+    matched rows, insert unmatched) — one commit per batch, so the batch
+    is the exactly-once unit just like :func:`append_stream`.
 
     A CDC feed can carry several updates for one key inside a batch;
     ``dedupe_keep_last_by`` names an ordering column (e.g. the change
     LSN / event time) and keeps only the latest row per key before the
     merge — without it the upsert's duplicate-key guard would abort.
-    ``mode`` picks copy-on-write or merge-on-read, defaulting to the
-    table's ``write.merge.mode`` (merge-on-read is the 100 TB path:
-    matched rows become position deletes, no file rewrite)."""
+
+    ``op_col`` turns the sink into a full changefeed apply: rows whose
+    ``op_col`` value is in ``delete_values`` delete their key (written as
+    EQUALITY DELETES — pure metadata, no target scan or rewrite, the
+    100 TB delete path), every other row upserts; both land in ONE
+    transaction. Dedup runs before the split, so a delete+reinsert of the
+    same key within a batch resolves to whichever change is latest.
+    ``mode`` picks copy-on-write or merge-on-read for the upsert half,
+    defaulting to the table's ``write.merge.mode``."""
 
     def _keys() -> list:
         if join_cols:
@@ -84,7 +92,17 @@ def upsert_stream(
         if batch_df.isEmpty():
             return
         fresh = table.refresh()
-        fresh.upsert(batch_df, join_cols=join_cols, mode=mode)
+        if op_col is None:
+            fresh.upsert(batch_df, join_cols=join_cols, mode=mode)
+            return
+        is_delete = F.col(op_col).isin(list(delete_values))
+        dels = batch_df.where(is_delete).select(*_keys())
+        ups = batch_df.where(~is_delete).drop(op_col)
+        with fresh.transaction() as tx:
+            if not dels.isEmpty():
+                tx.add_equality_deletes(dels, _keys())
+            if not ups.isEmpty():
+                tx.upsert(ups, join_cols=join_cols, mode=mode)
 
     writer = stream_df.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
     if trigger_seconds:

@@ -121,3 +121,41 @@ def test_upsert_stream_cdc_apply(spark, tmp_path):
     q.awaitTermination(60)
     got = {r.id: (r.v, r.seq) for r in t.refresh().scan().to_df().collect()}
     assert got == {1: ("a", 1), 2: ("b3", 3), 3: ("c", 1), 4: ("d", 2)}
+
+
+def test_upsert_stream_with_deletes(spark, tmp_path):
+    """Changefeed apply: one batch carrying updates, deletes, inserts,
+    and a delete+reinsert conflict — deletes land as equality deletes,
+    upserts merge, all in one transaction; latest change per key wins."""
+    import iceberg_python_spark as ips
+    from iceberg_python_spark.schema import schema_from_spark
+    from iceberg_python_spark.streaming import upsert_stream
+
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 0), (5, "e", 0)], "id: long, v: string, seq: long"
+    )
+    cat = ips.SqliteCatalog("cdc2", str(tmp_path / "wh"), spark)
+    t = cat.create_table("db.cdc_del_target", schema_from_spark(base.schema))
+    t.append(base)
+
+    cdc_schema = "id: long, v: string, seq: long, op: string"
+    batch = [
+        (1, "a2", 1, "U"),        # plain update
+        (2, None, 1, "D"),        # delete existing key
+        (4, "d", 1, "I"),         # insert new key
+        (3, None, 1, "D"),        # delete...
+        (3, "c2", 2, "I"),        # ...then reinsert (latest wins -> row kept)
+        (5, "e2", 1, "U"),        # update...
+        (5, None, 2, "D"),        # ...then delete (latest wins -> gone)
+        (9, None, 1, "D"),        # delete of a key that never existed: no-op
+    ]
+    src = str(tmp_path / "cdc_del_src")
+    spark.createDataFrame(batch, cdc_schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(spark.createDataFrame([], cdc_schema).schema).parquet(src)
+    q = upsert_stream(
+        stream, t, str(tmp_path / "cdc_del_ckpt"),
+        join_cols=["id"], dedupe_keep_last_by="seq", op_col="op",
+    )
+    q.awaitTermination(60)
+    got = {r.id: r.v for r in t.refresh().scan().to_df().collect()}
+    assert got == {1: "a2", 3: "c2", 4: "d"}, got
