@@ -888,7 +888,11 @@ def _q_dedup_clusters(spark, env):
         "doc_id", "text", "lang", (F.floor(F.col("n_chars") / 64)).alias("_lb")
     )
     pairs = jaccard_prefix_join(docs, "doc_id", "text", threshold=0.8, block_cols=["lang", "_lb"])
-    return connected_components(pairs.select("id_a", "id_b")).select(
+    # driver_threshold=0 pins the DISTRIBUTED hash-min loop so the oracle
+    # gate validates the iterative Spark algorithm itself each round (the
+    # operator's default would take the driver union-find fast path at
+    # this edge count — see SCALE.md)
+    return connected_components(pairs.select("id_a", "id_b"), driver_threshold=0).select(
         F.col("node").alias("doc_id"), "component_id"
     )
 

@@ -366,14 +366,24 @@ def embedding_neardup_pairs(
 
 
 def connected_components(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list — the clustering
     step after any near-dup pair generator (keep one doc per component).
     Returns (node, component_id) where component_id is the minimum node
     id reachable from ``node``.
 
-    Spark shape: hash-min label propagation. Each round is one keyed
+    Hybrid execution: an edge list at or under ``driver_threshold`` is
+    collected and solved with a driver union-find (near-dup edges are
+    threshold-pruned and tiny relative to the corpus; microseconds beat
+    rounds of shuffle jobs). Larger graphs run the distributed hash-min
+    loop below — set ``driver_threshold=0`` to force it.
+
+    Distributed shape: hash-min label propagation. Each round is one keyed
     aggregation (min neighbor label) plus one join — both shuffled on the
     node id so AQE reuses the exchange — and the lineage is cut with an
     eager ``localCheckpoint`` so the plan stays constant-size across
@@ -388,6 +398,41 @@ def connected_components(
     # times (symmetrize + node seed), and the upstream plan is typically
     # an expensive similarity join that must not be re-run per reference
     edges = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(eager=True)
+    n_edges = edges.count()  # free: checkpointed
+    if n_edges <= driver_threshold:
+        # small-graph fast path: near-dup edge lists are threshold-pruned
+        # and usually tiny relative to the corpus, so a driver union-find
+        # beats 3+ rounds of shuffle jobs — the same kind of size-based
+        # switch AQE makes for broadcast joins. The distributed loop below
+        # remains the path for graphs that don't fit one machine.
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        rows = edges.collect()
+        for row in rows:
+            a, b = find(row[0]), find(row[1])
+            if a != b:
+                # union by min so the root IS the component id
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        out = sorted({x for row in rows for x in (row[0], row[1])})
+        spark = edges.sparkSession
+        from pyspark.sql import types as T
+
+        ntype = edges.schema["u"].dataType
+        return spark.createDataFrame(
+            [(x, find(x)) for x in out],
+            schema=T.StructType(
+                [T.StructField("node", ntype), T.StructField("component_id", ntype)]
+            ),
+        )
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
     labels = labels.localCheckpoint(eager=True)

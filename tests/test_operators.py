@@ -269,8 +269,9 @@ def test_ivf_ann_full_probe_exact_and_recall(spark):
 
 
 def test_connected_components(spark):
-    """Hash-min propagation: two chains + a singleton-free edge set;
-    component label = min reachable node, matching a hand fixpoint."""
+    """Two chains + a triangle; component label = min reachable node.
+    Both execution paths (driver union-find fast path and distributed
+    hash-min propagation) must agree with the hand fixpoint."""
     from iceberg_python_spark.operators.dedup import connected_components
 
     # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle)
@@ -278,8 +279,13 @@ def test_connected_components(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
         "id_a: long, id_b: long",
     )
-    got = {r.node: r.component_id for r in connected_components(edges).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    fast = {r.node: r.component_id for r in connected_components(edges).collect()}
+    dist = {
+        r.node: r.component_id
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert fast == want and dist == want
 
 
 def test_hash_stratified_sample(spark):
