@@ -906,6 +906,31 @@ def _q_text_top_ngrams(spark, env):
     return ngram_doc_freq_topk(env["documents"].scan().to_df(), "text", "doc_id", n=3, k=50)
 
 
+def _q_text_contamination(spark, env):
+    """Benchmark decontamination: flag docs sharing any word 4-gram with
+    the 'src0'-sourced benchmark slice — exploded n-grams, benchmark side
+    collapsed to distinct grams, one semi-join keyed on the gram."""
+    from iceberg_python_spark.operators.text import contamination_flags
+
+    docs = env["documents"].scan(selected_fields=("doc_id", "text", "source")).to_df()
+    corpus = docs.where(F.col("source") != "src0").select("doc_id", "text")
+    benchmark = docs.where(F.col("source") == "src0").select("doc_id", "text")
+    return contamination_flags(corpus, benchmark, "text", "doc_id", n=4)
+
+
+def _q_set_ops(spark, env):
+    """Set operations (INTERSECT / EXCEPT): nations having both customers
+    and suppliers, minus region-0 nations — Spark's intersect/subtract
+    are the distinct set semantics SQL defines."""
+    cust = env["customer"].scan(selected_fields=("c_nationkey",)).to_df().select(F.col("c_nationkey").alias("nationkey"))
+    supp = env["supplier"].scan(selected_fields=("s_nationkey",)).to_df().select(F.col("s_nationkey").alias("nationkey"))
+    r0 = (
+        env["nation"].scan(row_filter="n_regionkey = 0", selected_fields=("n_nationkey",)).to_df()
+        .select(F.col("n_nationkey").alias("nationkey"))
+    )
+    return cust.intersect(supp).subtract(r0)
+
+
 def _q_dedup_exact(spark, env):
     from iceberg_python_spark.operators.dedup import exact_dedup
 
@@ -1135,6 +1160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_sessionize": _q_events_sessionize,
             "sample_stratified": _q_sample_stratified,
             "text_top_ngrams": _q_text_top_ngrams,
+            "text_contamination": _q_text_contamination,
+            "set_ops_nations": _q_set_ops,
             "dedup_neardup_clusters": _q_dedup_clusters,
             "dedup_exact": _q_dedup_exact,
             "dedup_normalized": _q_dedup_normalized,
@@ -1454,6 +1481,21 @@ def oracle_sql() -> dict[str, str]:
             "min(doc_id) AS keep FROM docs_dup GROUP BY 1) k ON d.doc_id = k.keep"
         ),
         "sample_stratified": _sample_stratified_oracle(),
+        "text_contamination": (
+            "WITH toks AS (SELECT doc_id, source, "
+            "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS tk "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, source, list_distinct(list_transform("
+            "generate_series(1, greatest(len(tk) - 3, 1)), i -> array_to_string(tk[i:i+3], ' '))) AS grams FROM toks), "
+            "bench AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE source = 'src0'), "
+            "corpus AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE source <> 'src0') "
+            "SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b ON c.g = b.g WHERE c.g <> ''"
+        ),
+        "set_ops_nations": (
+            "SELECT * FROM ("
+            "(SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier) "
+            "EXCEPT SELECT n_nationkey FROM nation WHERE n_regionkey = 0)"
+        ),
         "text_top_ngrams": (
             # shingle construction identical to the dedup oracles (proven
             # equivalent to with_ngram_shingles by their hash matches)

@@ -166,3 +166,43 @@ def ngram_doc_freq_topk(
         .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+def contamination_flags(
+    df: DataFrame,
+    benchmark_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ANY word
+    n-gram with a benchmark set (the exact-overlap check run before
+    training on scraped data).
+
+    Spark shape: both sides tokenize+explode into (id, ngram) pairs via
+    the window-lead path (no per-doc arrays, no generator-inlining trap
+    — see ngram_doc_freq_topk); the benchmark side collapses to distinct
+    n-grams and the corpus side left-semi joins against it — one
+    shuffle keyed on the n-gram, map-side combinable, and the benchmark
+    side is broadcastable whenever the benchmark is small (AQE decides).
+    Returns distinct flagged (id) rows."""
+    from pyspark.sql import Window
+
+    def ngrams(d: DataFrame, ident: str) -> DataFrame:
+        toks = F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")), r"\s+"
+        )
+        t = d.select(F.col(ident), F.posexplode(toks).alias("pos", "tok"))
+        w = Window.partitionBy(ident).orderBy("pos")
+        leads = [F.lead("tok", i).over(w) for i in range(1, n)]
+        ngram = F.concat_ws(" ", F.col("tok"), *leads)
+        complete = leads[-1].isNotNull() | (F.col("pos") == 0) if leads else F.lit(True)
+        return (
+            t.select(F.col(ident), ngram.alias("ngram"), complete.alias("_keep"))
+            .where(F.col("_keep") & (F.col("ngram") != ""))
+            .select(ident, "ngram")
+        )
+
+    bench_ngrams = ngrams(benchmark_df, id_col).select("ngram").distinct()
+    corpus = ngrams(df, id_col)
+    return corpus.join(bench_ngrams, "ngram", "left_semi").select(id_col).distinct()
