@@ -320,6 +320,16 @@ class Table:
         with self.transaction() as tx:
             tx.add_equality_deletes(keys_df, equality_fields, snapshot_properties)
 
+    def rewrite_zorder(
+        self,
+        cols: List[str],
+        bits: int = 16,
+        target_file_size_bytes: Optional[int] = None,
+        snapshot_properties: Optional[Dict[str, str]] = None,
+    ) -> None:
+        with self.transaction() as tx:
+            tx.rewrite_zorder(cols, bits, target_file_size_bytes, snapshot_properties)
+
     def dynamic_partition_overwrite(self, df: DataFrame, snapshot_properties: Optional[Dict[str, str]] = None) -> None:
         with self.transaction() as tx:
             tx.dynamic_partition_overwrite(df, snapshot_properties)
@@ -752,6 +762,70 @@ class Transaction:
                 }
                 removed |= set(pos_parquet) - still_needed
         self._commit_snapshot(Operation.REPLACE, files, removed_paths=removed, snapshot_properties=snapshot_properties)
+
+    def rewrite_zorder(
+        self,
+        cols: List[str],
+        bits: int = 16,
+        target_file_size_bytes: Optional[int] = None,
+        snapshot_properties: Optional[Dict[str, str]] = None,
+    ) -> None:
+        """Cluster the table's live rows on a Z-order (Morton) curve over
+        ``cols`` and rewrite them as one REPLACE snapshot — Iceberg's
+        ``rewrite_data_files(strategy=sort, sort_order=zorder(...))``
+        maintenance action (the reference records sort orders but has no
+        clustering rewrite).
+
+        Spark shape: one full MoR-applied scan → one min/max aggregate
+        (2·n scalars to the driver) → bit-interleaved ``_zkey`` built
+        from Spark shift/or built-ins → ``repartitionByRange`` on
+        (partition transforms, _zkey) + sortWithinPartitions → fan-out
+        write with distribution-mode none so the range shaping survives.
+        Every output file then covers a compact curve segment, keeping
+        min/max footer stats tight on EVERY clustered column — scans
+        filtering any of them prune files (verified in tests). All prior
+        data files and all delete files are replaced/absorbed."""
+        from ..zorder import zorder_shape
+
+        parent = self.metadata.current_snapshot()
+        if parent is None:
+            return
+        tasks = DataScan(self.table, AlwaysTrue(), ("*",), True, None, None, None).plan_files(
+            self.metadata
+        )
+        if not tasks:
+            return
+        target = target_file_size_bytes or int(
+            self.metadata.properties.get("write.target-file-size-bytes", str(512 * 1024 * 1024))
+        )
+        total_bytes = sum(t.data_file.get("file_size_in_bytes", 0) for t in tasks)
+        n_out = max(1, -(-total_bytes // target))
+        current = self._lineage_df(tasks).drop("_ips_file", "_ips_pos")
+        schema = self._schema()
+        spec = self._spec()
+        extra = [col for _name, col in spec.spark_partition_columns(schema)] if not spec.is_unpartitioned else []
+        shaped = zorder_shape(current, cols, int(n_out), bits, extra_partition_cols=extra)
+        files = write_data_files(
+            self._spark(),
+            shaped,
+            schema,
+            spec,
+            self.metadata.location,
+            commit_uuid=str(uuid.uuid4()),
+            # distribution-mode none: write_data_files must not reshuffle
+            # away the range clustering; sort order handled by the curve
+            properties={**self.metadata.properties, "write.distribution-mode": "none"},
+            sort_columns=None,
+        )
+        removed = {t.file_path for t in tasks}
+        removed |= {
+            e["data_file"]["file_path"]
+            for e in self.table._live_entries(parent)
+            if e["data_file"].get("content", 0) != CONTENT_DATA
+        }
+        self._commit_snapshot(
+            Operation.REPLACE, files, removed_paths=removed, snapshot_properties=snapshot_properties
+        )
 
     def _commit_snapshot(
         self,

@@ -331,3 +331,53 @@ def test_add_files_orc(catalog, spark, tmp_path):
     assert t.scan(row_filter="id > 100").plan_files() == []
     assert t.scan(row_filter="id < 10").to_df().count() == 10
     assert t.scan(row_filter="id >= 25").count() == 25
+
+
+def test_rewrite_zorder_multi_column_pruning(catalog, spark):
+    """Z-order rewrite: an unsorted table prunes nothing on either
+    column; after rewrite_zorder(x, y) BOTH columns' range filters prune
+    files, and the data is byte-identical."""
+    import pyspark.sql.functions as F
+
+    # two independent uniform dims, written unsorted (random row order)
+    df = (
+        spark.range(40_000)
+        .select(
+            F.col("id"),
+            (F.xxhash64(F.col("id")) % 1000).alias("x"),
+            (F.xxhash64(F.col("id"), F.lit(7)) % 1000).alias("y"),
+        )
+        .withColumn("x", F.abs("x"))
+        .withColumn("y", F.abs("y"))
+    )
+    schema = schema_from_spark(df.schema)
+    t = catalog.create_table(
+        "db.zorder_t", schema,
+        properties={"write.parquet.max-records-per-file": "2500"},
+    )
+    t.append(df)
+    t = t.refresh()
+    n_files = len(t.scan().plan_files())
+    assert n_files >= 8, n_files
+    flt_x, flt_y = "x >= 100 and x < 200", "y >= 500 and y < 600"
+    # unsorted: every file spans ~full range on both dims -> no pruning
+    assert len(t.scan(row_filter=flt_x).plan_files()) == n_files
+    assert len(t.scan(row_filter=flt_y).plan_files()) == n_files
+    before = t.scan().to_df().agg(
+        F.count("*"), F.sum("id"), F.sum("x"), F.sum("y")
+    ).collect()[0]
+
+    t.rewrite_zorder(["x", "y"], target_file_size_bytes=40_000)
+    t = t.refresh()
+    after_files = len(t.scan().plan_files())
+    assert after_files >= 8, after_files
+    after = t.scan().to_df().agg(
+        F.count("*"), F.sum("id"), F.sum("x"), F.sum("y")
+    ).collect()[0]
+    assert tuple(before) == tuple(after)
+    # clustered: a 10% range filter on EITHER dim must skip most files
+    for flt in (flt_x, flt_y):
+        matched = len(t.scan(row_filter=flt).plan_files())
+        assert matched <= after_files // 2, (flt, matched, after_files)
+    # row-level results still exact
+    assert t.scan(row_filter=flt_x).to_df().count() == df.where("x >= 100 and x < 200").count()
