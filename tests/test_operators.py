@@ -312,3 +312,51 @@ def test_hash_stratified_sample(spark):
     assert abs(n_false / 2000 - 0.1) < 0.05, n_false
     salted = sorted(r.k for r in hash_stratified_sample(df, "s", "k", rates, salt="v2").collect())
     assert salted != ids1  # different split under a different salt
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _edge_lists(draw):
+    n_nodes = draw(st.integers(min_value=2, max_value=12))
+    n_edges = draw(st.integers(min_value=1, max_value=18))
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=n_nodes - 1),
+        st.integers(min_value=0, max_value=n_nodes - 1),
+    )
+    return [e for e in draw(st.lists(edge, min_size=n_edges, max_size=n_edges)) if e[0] != e[1]]
+
+
+def _bfs_components(edges):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label = {}
+    for start in sorted(adj):
+        if start in label:
+            continue
+        comp, frontier = {start}, [start]
+        while frontier:
+            nxt = [v for u in frontier for v in adj[u] if v not in comp]
+            comp.update(nxt)
+            frontier = nxt
+        root = min(comp)
+        for v in comp:
+            label[v] = root
+    return label
+
+
+@given(_edge_lists())
+@settings(max_examples=15, deadline=None)
+def test_connected_components_matches_bfs(spark, edges):
+    """Property: union-find fast path == plain BFS reference on random
+    graphs (self-loops removed; duplicate and reversed edges allowed)."""
+    from iceberg_python_spark.operators.dedup import connected_components
+
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {r.node: r.component_id for r in connected_components(df).collect()}
+    assert got == _bfs_components(edges)
