@@ -52,6 +52,19 @@ def _main(argv=None) -> int:
     p = sub.add_parser("rename")
     p.add_argument("src")
     p.add_argument("dst")
+    p = sub.add_parser("set-property")
+    p.add_argument("identifier")
+    p.add_argument("key")
+    p.add_argument("value")
+    p = sub.add_parser("remove-property")
+    p.add_argument("identifier")
+    p.add_argument("key")
+    p = sub.add_parser("compact")
+    p.add_argument("identifier")
+    p = sub.add_parser("zorder")
+    p.add_argument("identifier")
+    p.add_argument("columns", help="comma-separated column list to cluster on")
+    p.add_argument("--bits", type=int, default=16)
 
     args = ap.parse_args(argv)
 
@@ -118,6 +131,21 @@ def _main(argv=None) -> int:
     elif args.cmd == "rename":
         cat.rename_table(args.src, args.dst)
         print(f"renamed {args.src} -> {args.dst}")
+    elif args.cmd == "set-property":
+        table().set_properties({args.key: args.value})
+        print(f"set {args.key}={args.value}")
+    elif args.cmd == "remove-property":
+        table().remove_properties(args.key)
+        print(f"removed {args.key}")
+    elif args.cmd == "compact":
+        spark_cat = SqliteCatalog(args.catalog, args.warehouse, spark=_spark())
+        spark_cat.load_table(args.identifier).compact()
+        print(f"compacted {args.identifier}")
+    elif args.cmd == "zorder":
+        spark_cat = SqliteCatalog(args.catalog, args.warehouse, spark=_spark())
+        cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+        spark_cat.load_table(args.identifier).rewrite_zorder(cols, bits=args.bits)
+        print(f"z-ordered {args.identifier} on {cols}")
     return 0
 
 
