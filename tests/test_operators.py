@@ -360,3 +360,19 @@ def test_connected_components_matches_bfs(spark, edges):
     df = spark.createDataFrame(edges, "id_a: long, id_b: long")
     got = {r.node: r.component_id for r in connected_components(df).collect()}
     assert got == _bfs_components(edges)
+
+
+def test_hash_sample_monotone_nesting(spark):
+    """Raising the keep-rate only ADDS rows (threshold monotonicity):
+    the r=0.1 sample is a subset of r=0.3 which is a subset of r=0.8 —
+    the property that makes deterministic train/holdout splits stable
+    as sampling budgets change."""
+    from iceberg_python_spark.operators.sampling import hash_stratified_sample
+
+    df = spark.range(3000).select(F.col("id").alias("k"), F.lit("s").alias("g"))
+    prev: set = set()
+    for rate in (0.1, 0.3, 0.8):
+        cur = {r.k for r in hash_stratified_sample(df, "g", "k", {"s": rate}).collect()}
+        assert prev <= cur, f"rate {rate} lost rows from a smaller sample"
+        prev = cur
+    assert 0 < len(prev) < 3000
