@@ -461,4 +461,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # labels were still moving on the last round: a component's
+        # min-label eccentricity exceeds max_iter and the ids below would
+        # be silently wrong — fail loudly; rounds needed = eccentricity
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} rounds; "
+            "raise max_iter for long-chain graphs (or pre-contract with union-find)"
+        )
     return labels.select(F.col("node"), F.col("lbl").alias("component_id"))

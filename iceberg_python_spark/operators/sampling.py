@@ -29,6 +29,10 @@ def rate_to_hex_threshold(rate: float) -> str:
     numeric compare on the first 32 bits of the digest)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate == 1.0:
+        # 'g' sorts above every hex digest, making the strict '<' a
+        # keep-all — 'ffffffff' would drop the ~2^-32 keys hashing there
+        return "g"
     return format(min(int(rate * 2**32), 2**32 - 1), "08x")
 
 

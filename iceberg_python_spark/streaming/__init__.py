@@ -95,7 +95,10 @@ def upsert_stream(
         if op_col is None:
             fresh.upsert(batch_df, join_cols=join_cols, mode=mode)
             return
-        is_delete = F.col(op_col).isin(list(delete_values))
+        # null-guard: isin() is NULL for NULL ops, which would fail BOTH
+        # branches below and silently drop the row from the apply — treat
+        # a missing op as an upsert so no change is ever lost
+        is_delete = F.coalesce(F.col(op_col).isin(list(delete_values)), F.lit(False))
         dels = batch_df.where(is_delete).select(*_keys())
         ups = batch_df.where(~is_delete).drop(op_col)
         with fresh.transaction() as tx:

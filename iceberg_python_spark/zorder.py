@@ -62,8 +62,14 @@ def with_zorder_key(
         raise ValueError(f"bits*len(cols) = {bits * len(cols)} exceeds a signed long")
     aggs = []
     for c in cols:
+        # NaN-free bounds: Spark's min/max order NaN above every double,
+        # so a single NaN row would poison mx (NaN), make the scale factor
+        # NaN, and collapse every rank to one bucket with no error
         v = _as_double(df, c)
-        aggs += [F.min(v).alias(f"_mn_{c}"), F.max(v).alias(f"_mx_{c}")]
+        aggs += [
+            F.min(F.when(~F.isnan(v), v)).alias(f"_mn_{c}"),
+            F.max(F.when(~F.isnan(v), v)).alias(f"_mx_{c}"),
+        ]
     row = df.agg(*aggs).collect()[0]
     max_rank = (1 << bits) - 1
     ranks: List[Column] = []
@@ -74,7 +80,10 @@ def with_zorder_key(
             ranks.append(F.lit(0).cast("long"))
         else:
             scaled = F.floor((v - F.lit(float(mn))) / F.lit(float(mx - mn)) * max_rank)
-            ranks.append(F.coalesce(F.least(F.greatest(scaled, F.lit(0)), F.lit(max_rank)), F.lit(0)).cast("long"))
+            rank = F.coalesce(F.least(F.greatest(scaled, F.lit(0)), F.lit(max_rank)), F.lit(0))
+            # NaN sorts above all doubles, so NaN rows rank to the top
+            # bucket — consistent with the sort order file stats will see
+            ranks.append(F.when(F.isnan(v), F.lit(max_rank)).otherwise(rank).cast("long"))
     z: Column = F.lit(0).cast("long")
     for i in range(bits):
         for j, r in enumerate(ranks):

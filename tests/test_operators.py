@@ -297,7 +297,10 @@ def test_hash_stratified_sample(spark):
     )
 
     assert rate_to_hex_threshold(0.0) == "00000000"
-    assert rate_to_hex_threshold(1.0) == "ffffffff"
+    # rate 1.0 must be keep-ALL under the strict '<' — 'g' sorts above
+    # every hex digest ('ffffffff' would drop keys hashing exactly there)
+    assert rate_to_hex_threshold(1.0) == "g"
+    assert rate_to_hex_threshold(0.999999999) <= "ffffffff"
     df = spark.range(4000).select(
         F.col("id").alias("k"), (F.col("id") % 2 == 0).cast("string").alias("s")
     )
@@ -360,6 +363,48 @@ def test_connected_components_matches_bfs(spark, edges):
     df = spark.createDataFrame(edges, "id_a: long, id_b: long")
     got = {r.node: r.component_id for r in connected_components(df).collect()}
     assert got == _bfs_components(edges)
+
+
+def test_hash_sample_rate_one_keeps_all(spark):
+    """rate=1.0 is exactly keep-all (ADVICE r5: the strict '<' against
+    'ffffffff' silently dropped ~2^-32 of keys)."""
+    from iceberg_python_spark.operators.sampling import hash_stratified_sample
+
+    df = spark.range(5000).select(F.col("id").alias("k"), F.lit("s").alias("s"))
+    assert hash_stratified_sample(df, "s", "k", {"s": 1.0}).count() == 5000
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain longer than max_iter must fail loudly, not return wrong
+    component ids (ADVICE r5)."""
+    import pytest
+
+    from iceberg_python_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(6)], "id_a: long, id_b: long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, driver_threshold=0, max_iter=2).collect()
+    # and a max_iter that covers the eccentricity still converges
+    got = {
+        r.node: r.component_id
+        for r in connected_components(chain, driver_threshold=0, max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(7)}
+
+
+def test_zorder_nan_column(spark):
+    """NaN rows rank to the top bucket instead of poisoning the scale
+    (ADVICE r5: NaN min/max made every rank collapse to max_rank)."""
+    from iceberg_python_spark.zorder import with_zorder_key
+
+    df = spark.createDataFrame(
+        [(0.0, 1.0), (50.0, 2.0), (100.0, 3.0), (float("nan"), 4.0)], "x: double, y: double"
+    )
+    rows = {r.y: r._zkey for r in with_zorder_key(df, ["x", "y"], bits=8).collect()}
+    # non-NaN x values must still spread across distinct z-keys
+    assert len({rows[1.0], rows[2.0], rows[3.0]}) == 3
+    # the NaN row ranks x to the top bucket: its key is the largest
+    assert rows[4.0] == max(rows.values())
 
 
 def test_hash_sample_monotone_nesting(spark):

@@ -159,3 +159,32 @@ def test_upsert_stream_with_deletes(spark, tmp_path):
     q.awaitTermination(60)
     got = {r.id: r.v for r in t.refresh().scan().to_df().collect()}
     assert got == {1: "a2", 3: "c2", 4: "d"}, got
+
+
+def test_upsert_stream_null_op_not_dropped(spark, tmp_path):
+    """Rows with a NULL op_col must apply as upserts, not vanish
+    (ADVICE r5: NULL fails both isin branches -> silent data loss)."""
+    import iceberg_python_spark as ips
+    from iceberg_python_spark.schema import schema_from_spark
+    from iceberg_python_spark.streaming import upsert_stream
+
+    base = spark.createDataFrame([(1, "a", 0)], "id: long, v: string, seq: long")
+    cat = ips.SqliteCatalog("cdc3", str(tmp_path / "wh"), spark)
+    t = cat.create_table("db.cdc_null_op", schema_from_spark(base.schema))
+    t.append(base)
+
+    cdc_schema = "id: long, v: string, seq: long, op: string"
+    batch = [
+        (1, "a2", 1, None),  # malformed feed: missing op -> upsert, not dropped
+        (2, "b", 1, "I"),
+    ]
+    src = str(tmp_path / "cdc_null_src")
+    spark.createDataFrame(batch, cdc_schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(spark.createDataFrame([], cdc_schema).schema).parquet(src)
+    q = upsert_stream(
+        stream, t, str(tmp_path / "cdc_null_ckpt"),
+        join_cols=["id"], dedupe_keep_last_by="seq", op_col="op",
+    )
+    q.awaitTermination(60)
+    got = {r.id: r.v for r in t.refresh().scan().to_df().collect()}
+    assert got == {1: "a2", 2: "b"}, got
