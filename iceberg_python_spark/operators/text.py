@@ -100,14 +100,31 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), guess.alias("lang_guess"))
 
 
-def fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 5, window: int = 4) -> DataFrame:
+def fingerprint(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5, window: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
     """Content fingerprints: md5 digest + winnowing — the minimum
-    xxhash64 of each sliding window of k-gram hashes, deduplicated
-    (Schleimer et al., SIGMOD'03). All built-ins: two array transforms."""
+    k-gram hash of each sliding window, deduplicated (Schleimer et al.,
+    SIGMOD'03). All built-ins: two array transforms.
+
+    ``hash_fn`` picks the gram hash: ``"md5"`` (default) uses the first
+    16 hex chars of md5 — fixed-width lowercase hex, so lexicographic
+    min == numeric min and ANY engine (DuckDB included) reproduces the
+    fingerprint set bit-for-bit; ``"xxhash64"`` is the faster JVM-only
+    variant for production pipelines that don't need cross-engine
+    reproducibility."""
+    if hash_fn == "md5":
+        def gram_hash(s):
+            return F.substring(F.md5(s), 1, 16)
+    elif hash_fn == "xxhash64":
+        gram_hash = F.xxhash64
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     toks = _ws_tokens(F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", " ")))
     n_grams = F.greatest(F.size(F.col("_toks")) - k + 1, F.lit(1))
     grams = F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: F.xxhash64(F.array_join(F.slice(F.col("_toks"), i, k), " "))
+        F.sequence(F.lit(1), n_grams), lambda i: gram_hash(F.array_join(F.slice(F.col("_toks"), i, k), " "))
     )
     n_windows = F.greatest(F.size(F.col("_grams")) - window + 1, F.lit(1))
     minima = F.transform(F.sequence(F.lit(1), n_windows), lambda i: F.array_min(F.slice(F.col("_grams"), i, window)))

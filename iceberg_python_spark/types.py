@@ -86,6 +86,22 @@ class TimestamptzType(PrimitiveType):
     _name = "timestamptz"
 
 
+class TimestampNanoType(TimestampType):
+    """v3 nanosecond timestamp (reference types.py:860). Subclasses the
+    µs type so Spark-column code paths (which see the µs-downcast read
+    representation) treat it as a timestamp, while metadata paths that
+    hold raw internal longs (stats bounds, literals, temporal transforms)
+    branch on the subclass FIRST and work in ns."""
+
+    _name = "timestamp_ns"
+
+
+class TimestamptzNanoType(TimestamptzType):
+    """v3 nanosecond timestamptz (reference types.py:879)."""
+
+    _name = "timestamptz_ns"
+
+
 class StringType(PrimitiveType):
     _name = "string"
 
@@ -96,6 +112,42 @@ class UUIDType(PrimitiveType):
 
 class BinaryType(PrimitiveType):
     _name = "binary"
+
+
+class UnknownType(PrimitiveType):
+    """v3 ``unknown`` (reference types.py:946): a column whose type is
+    not known to the writer. Values are always null; files store no data
+    for it — reads project NULL, writes drop the column."""
+
+    _name = "unknown"
+
+
+class GeometryType(PrimitiveType):
+    """v3 geometry, carried as WKB binary (reference types.py:965).
+    Spark has no native geo type; the engine passes WKB through as
+    ``binary`` and preserves the CRS in the type string."""
+
+    def __init__(self, crs: str = "OGC:CRS84"):
+        self.crs = crs
+
+    def __repr__(self) -> str:
+        return "geometry" if self.crs == "OGC:CRS84" else f"geometry({self.crs})"
+
+
+class GeographyType(PrimitiveType):
+    """v3 geography: WKB binary + CRS + edge-interpolation algorithm
+    (reference types.py:1031)."""
+
+    def __init__(self, crs: str = "OGC:CRS84", algorithm: str = "spherical"):
+        self.crs = crs
+        self.algorithm = algorithm
+
+    def __repr__(self) -> str:
+        if self.crs == "OGC:CRS84" and self.algorithm == "spherical":
+            return "geography"
+        if self.algorithm == "spherical":
+            return f"geography({self.crs})"
+        return f"geography({self.crs}, {self.algorithm})"
 
 
 class DecimalType(PrimitiveType):
