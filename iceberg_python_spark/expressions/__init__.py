@@ -34,6 +34,8 @@ from ..types import (
     IntegerType,
     LongType,
     StringType,
+    TimestampNanoType,
+    TimestamptzNanoType,
     TimestamptzType,
     TimestampType,
     TimeType,
@@ -108,6 +110,9 @@ def to_internal(value: Any, t: IcebergType) -> Any:
             return ((value.hour * 60 + value.minute) * 60 + value.second) * 1_000_000 + value.microsecond
         return int(value)
     if isinstance(t, (TimestampType, TimestamptzType)):
+        # ns subtypes share the parse but land in the ns domain — their
+        # internal longs (and file stats bounds) are ns since epoch
+        scale = 1000 if isinstance(t, (TimestampNanoType, TimestamptzNanoType)) else 1
         if isinstance(value, str):
             v = value.replace(" ", "T")
             try:
@@ -116,10 +121,10 @@ def to_internal(value: Any, t: IcebergType) -> Any:
                 value = _dt.date.fromisoformat(value)
         if isinstance(value, _dt.datetime):
             if value.tzinfo is not None:
-                return int((value - EPOCH_TSTZ).total_seconds() * 1_000_000)
-            return (value - EPOCH_TS) // _dt.timedelta(microseconds=1)
+                return int((value - EPOCH_TSTZ).total_seconds() * 1_000_000) * scale
+            return ((value - EPOCH_TS) // _dt.timedelta(microseconds=1)) * scale
         if isinstance(value, _dt.date):
-            return (value - EPOCH_DATE).days * 86_400_000_000
+            return (value - EPOCH_DATE).days * 86_400_000_000 * scale
         return int(value)
     raise TypeError(f"cannot coerce literal {value!r} to {t}")
 
@@ -130,6 +135,11 @@ def internal_to_python(value: Any, t: IcebergType) -> Any:
         return None
     if isinstance(t, DateType):
         return EPOCH_DATE + _dt.timedelta(days=value)
+    if isinstance(t, TimestampNanoType):
+        # µs truncation — the ns table's Spark representation is µs
+        return EPOCH_TS + _dt.timedelta(microseconds=value // 1000)
+    if isinstance(t, TimestamptzNanoType):
+        return EPOCH_TSTZ + _dt.timedelta(microseconds=value // 1000)
     if isinstance(t, TimestampType):
         return EPOCH_TS + _dt.timedelta(microseconds=value)
     if isinstance(t, TimestamptzType):

@@ -140,6 +140,28 @@ def remove(path: str, spark=None) -> bool:
         return False
 
 
+def rename(src: str, dst: str, spark=None) -> None:
+    """Move a file, creating destination parents. Local: os.replace
+    (atomic). Remote: Hadoop FileSystem.rename — metadata-only on
+    HDFS/ABFS; note S3A implements rename as copy+delete, which is why
+    object-store layouts are applied before first use of a file."""
+    if not is_remote(src) and not is_remote(dst):
+        local_dst = to_local(dst)
+        d = os.path.dirname(local_dst)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        os.replace(to_local(src), local_dst)
+        return
+    spark = _active_spark(spark)
+    fs, jsrc, jvm = _hadoop_fs(spark, src)
+    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    parent = jdst.getParent()
+    if parent is not None:
+        fs.mkdirs(parent)
+    if not fs.rename(jsrc, jdst):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
 def read_bytes(path: str, spark=None) -> bytes:
     if not is_remote(path):
         with open(to_local(path), "rb") as f:

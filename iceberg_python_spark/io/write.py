@@ -59,9 +59,23 @@ def coerce_to_table_schema(df: DataFrame, schema: Schema) -> DataFrame:
     """Align an input DataFrame to the table schema by name: reorder, cast,
     and attach parquet field IDs (write-side analogue of reference
     io/pyarrow.py:2846 _check_pyarrow_schema_compatible)."""
+    from ..types import TimestampNanoType, TimestamptzNanoType, UnknownType
+
     by_name = {f.name.lower(): f for f in df.schema.fields}
     cols = []
     for field in schema.fields:
+        if isinstance(field.field_type, (TimestampNanoType, TimestamptzNanoType)):
+            # Spark writes µs parquet; silently storing µs under an
+            # ns-typed column would corrupt the ns read path's long
+            # decode. ns tables are read-interop (StaticTable/add_files);
+            # evolve the column to `timestamp` to write with this engine.
+            raise ValueError(
+                f"cannot write column {field.name!r}: {field.field_type} is "
+                "read-only in this engine (Spark has no ns timestamp; µs is "
+                "the native write precision)"
+            )
+        if isinstance(field.field_type, UnknownType):
+            continue  # v3 unknown: files store no data for the column
         src = by_name.get(field.name.lower())
         if src is None:
             if field.required:
@@ -130,11 +144,17 @@ def write_data_files(
     paths = _list_parquet_files(out_dir)
     if not paths:
         return []
+    # partition values parse from the hive dirs Spark wrote; capture them
+    # BEFORE any object-store relocation rewrites the directory shape
+    partitions = {p: _partition_values_from_path(p, out_dir, spec, schema) for p in paths}
+    paths, partitions = _apply_location_provider(
+        spark, paths, partitions, out_dir, location, properties
+    )
     stats = collect_file_stats(spark, paths, schema)
     data_files = []
     for path in sorted(paths):
         st = stats[path]
-        partition = _partition_values_from_path(path, out_dir, spec, schema)
+        partition = partitions[path]
         data_files.append(
             {
                 "content": 0,
@@ -153,6 +173,40 @@ def write_data_files(
             }
         )
     return data_files
+
+
+def _apply_location_provider(
+    spark: SparkSession,
+    paths: List[str],
+    partitions: Dict[str, Dict[str, Any]],
+    out_dir: str,
+    location: str,
+    properties: Dict[str, str],
+) -> Tuple[List[str], Dict[str, Dict[str, Any]]]:
+    """Relocate freshly written files per the table's location provider
+    (reference table/locations.py). Spark's writer owns file naming, so
+    the entropy layout is applied as a post-write move: local/HDFS
+    renames are metadata-only, and the move happens before the files are
+    referenced by any manifest, so a crash mid-move leaves only orphans
+    that GC already sweeps. No-op under the default SimpleLocationProvider
+    (files already sit at <location>/data/<commit>/<hive dirs>)."""
+    from ..locations import ObjectStoreLocationProvider, load_location_provider
+    from .fileio import path_only, rename
+
+    provider = load_location_provider(location, properties)
+    if not isinstance(provider, ObjectStoreLocationProvider):
+        return paths, partitions
+    new_paths: List[str] = []
+    new_parts: Dict[str, Dict[str, Any]] = {}
+    root = path_only(out_dir)
+    for p in paths:
+        rel = path_only(p)[len(root):].lstrip("/") if path_only(p).startswith(root) else posixpath.basename(p)
+        part_dir, fname = posixpath.split(rel)
+        dst = provider.new_data_location(fname, part_dir or None)
+        rename(p, dst, spark)
+        new_paths.append(dst)
+        new_parts[dst] = partitions[p]
+    return new_paths, new_parts
 
 
 def _list_parquet_files(root: str) -> List[str]:

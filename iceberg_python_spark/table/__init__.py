@@ -175,6 +175,50 @@ def _read_paths(spark: SparkSession, spark_schema, fmt: str, paths: List[str]) -
     return reader.parquet(*paths)
 
 
+def _read_data(spark: SparkSession, file_schema: Schema, fmt: str, paths: List[str]) -> DataFrame:
+    """Data-file read honoring v3 read semantics:
+
+    - ``timestamp_ns``/``timestamptz_ns`` columns are stored as parquet
+      TIMESTAMP(NANOS), which Spark cannot read natively: they're read
+      as raw ns longs (``spark.sql.legacy.parquet.nanosAsLong``) and
+      downcast to µs timestamps JVM-side — the same µs-downcast read
+      the reference applies (io/pyarrow.py:1652-1657). Sub-µs precision
+      is truncated, matching the reference.
+    - ``unknown`` columns store no data and are never read;
+      ``_align_to_schema`` projects NULL for them."""
+    from ..types import TimestampNanoType, TimestamptzNanoType, UnknownType
+
+    readable_fields = [f for f in file_schema.fields if not isinstance(f.field_type, UnknownType)]
+    if len(readable_fields) != len(file_schema.fields):
+        file_schema = Schema(*readable_fields, schema_id=file_schema.schema_id)
+    ns_fields = {
+        f.name: f.field_type
+        for f in file_schema.fields
+        if isinstance(f.field_type, (TimestampNanoType, TimestamptzNanoType))
+    }
+    if not ns_fields:
+        return _read_paths(spark, file_schema.to_spark(), fmt, paths)
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    base = file_schema.to_spark()
+    patched = T.StructType(
+        [
+            T.StructField(f.name, T.LongType(), f.nullable, f.metadata) if f.name in ns_fields else f
+            for f in base.fields
+        ]
+    )
+    df = _read_paths(spark, patched, fmt, paths)
+    for name, t in ns_fields.items():
+        # integer div — float division rounds at 2^53 and shifts
+        # ns-precision timestamps by 1µs
+        us = F.timestamp_micros(F.expr(f"`{name}` div 1000"))
+        if isinstance(t, TimestampNanoType):
+            us = us.cast("timestamp_ntz")
+        df = df.withColumn(name, us)
+    return df
+
+
 class Table:
     def __init__(self, identifier: Tuple[str, ...], metadata: TableMetadata, metadata_location: str, catalog, spark: SparkSession):
         self.identifier = identifier
@@ -2029,7 +2073,7 @@ class DataScan:
                     ],
                     schema_id=file_schema.schema_id,
                 )
-            df = _read_paths(spark, file_schema.to_spark(), fmt, [t.file_path for t in group])
+            df = _read_data(spark, file_schema, fmt, [t.file_path for t in group])
             delete_paths = sorted({p for t in group for p in t.delete_files})
             if delete_paths:
                 # MoR: drop positions listed in delete files via a
@@ -2095,7 +2139,7 @@ class DataScan:
                         *[_dc_replace(f, name=renames.get(f.field_id, f.name)) for f in schema.fields],
                         schema_id=schema.schema_id,
                     )
-                df = _read_paths(spark, read_schema.to_spark(), fmt, [t.file_path for t in grp])
+                df = _read_data(spark, read_schema, fmt, [t.file_path for t in grp])
                 delete_paths = sorted({p for t in grp for p in t.delete_files})
                 if delete_paths:
                     dels = _pos_deletes_df(spark, delete_paths)
@@ -2124,8 +2168,14 @@ def _align_to_schema(df: DataFrame, file_schema: Schema, target: Schema) -> Data
     """Project a file-schema DataFrame to the target schema by field ID:
     rename, cast (promotion), fill initial-default/null for added columns
     (reference ArrowProjectionVisitor io/pyarrow.py:1931-2104)."""
+    from ..types import UnknownType as _UnknownType
+
     cols = []
     for field in target.fields:
+        # v3 unknown: no data is ever stored or read — always NULL
+        if isinstance(field.field_type, _UnknownType):
+            cols.append(F.lit(None).alias(field.name))
+            continue
         old = file_schema.find_column_name(field.field_id)
         spark_t = to_spark_type(field.field_type)
         if old is None:
@@ -2235,7 +2285,7 @@ class IncrementalAppendScan:
         spark = self.table.spark
         if not tasks:
             return spark.createDataFrame([], schema=projected.to_spark())
-        df = spark.read.schema(schema.to_spark()).parquet(*[t.file_path for t in tasks])
+        df = _read_data(spark, schema, "PARQUET", [t.file_path for t in tasks])
         bound = bind(self.row_filter, schema)
         if not isinstance(bound, AlwaysTrue):
             df = df.where(to_spark_column(bound))

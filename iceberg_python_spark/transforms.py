@@ -369,6 +369,13 @@ def _us_to_dt(us: int) -> _dt.datetime:
     return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
 
 
+def _ts_scale(source: IcebergType) -> int:
+    """Internal-value divisor to reach µs: ns types store ns longs."""
+    from .types import TimestampNanoType, TimestamptzNanoType
+
+    return 1000 if isinstance(source, (TimestampNanoType, TimestamptzNanoType)) else 1
+
+
 class _TemporalTransform(Transform):
     @property
     def preserves_order(self) -> bool:
@@ -381,7 +388,8 @@ class YearTransform(_TemporalTransform):
     def transform(self, source: IcebergType) -> Callable[[Any], Any]:
         if isinstance(source, DateType):
             return lambda v: None if v is None else _days_to_date(v).year - 1970
-        return lambda v: None if v is None else _us_to_dt(v).year - 1970
+        scale = _ts_scale(source)
+        return lambda v: None if v is None else _us_to_dt(v // scale).year - 1970
 
     def spark_expr(self, col: Column, source: IcebergType) -> Column:
         return (F.year(col) - F.lit(1970)).cast("int")
@@ -396,7 +404,8 @@ class MonthTransform(_TemporalTransform):
 
         if isinstance(source, DateType):
             return lambda v: None if v is None else months(_days_to_date(v))
-        return lambda v: None if v is None else months(_us_to_dt(v))
+        scale = _ts_scale(source)
+        return lambda v: None if v is None else months(_us_to_dt(v // scale))
 
     def spark_expr(self, col: Column, source: IcebergType) -> Column:
         return ((F.year(col) - F.lit(1970)) * F.lit(12) + F.month(col) - F.lit(1)).cast("int")
@@ -411,7 +420,8 @@ class DayTransform(_TemporalTransform):
     def transform(self, source: IcebergType) -> Callable[[Any], Any]:
         if isinstance(source, DateType):
             return lambda v: v
-        return lambda v: None if v is None else v // _US_PER_DAY
+        scale = _ts_scale(source)
+        return lambda v: None if v is None else v // scale // _US_PER_DAY
 
     def spark_expr(self, col: Column, source: IcebergType) -> Column:
         return F.datediff(col.cast("date"), F.lit("1970-01-01")).cast("int")
@@ -424,7 +434,8 @@ class HourTransform(_TemporalTransform):
     name = "hour"
 
     def transform(self, source: IcebergType) -> Callable[[Any], Any]:
-        return lambda v: None if v is None else v // _US_PER_HOUR
+        scale = _ts_scale(source)
+        return lambda v: None if v is None else v // scale // _US_PER_HOUR
 
     def spark_expr(self, col: Column, source: IcebergType) -> Column:
         return F.floor(F.unix_micros(col.cast("timestamp")) / F.lit(_US_PER_HOUR)).cast("int")

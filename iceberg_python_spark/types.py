@@ -122,10 +122,13 @@ class UnknownType(PrimitiveType):
     _name = "unknown"
 
 
-class GeometryType(PrimitiveType):
+class GeometryType(BinaryType):
     """v3 geometry, carried as WKB binary (reference types.py:965).
     Spark has no native geo type; the engine passes WKB through as
-    ``binary`` and preserves the CRS in the type string."""
+    ``binary`` and preserves the CRS in the type string. Subclassing
+    BinaryType routes stats bounds / literals / truncation through the
+    binary domain (byte-prefix bounds, not the spec's geo bounding box —
+    sound for equality/null pruning, no range pruning)."""
 
     def __init__(self, crs: str = "OGC:CRS84"):
         self.crs = crs
@@ -134,7 +137,7 @@ class GeometryType(PrimitiveType):
         return "geometry" if self.crs == "OGC:CRS84" else f"geometry({self.crs})"
 
 
-class GeographyType(PrimitiveType):
+class GeographyType(BinaryType):
     """v3 geography: WKB binary + CRS + edge-interpolation algorithm
     (reference types.py:1031)."""
 
@@ -246,6 +249,11 @@ _SIMPLE_TYPES: Dict[str, PrimitiveType] = {
     "time": TimeType(),
     "timestamp": TimestampType(),
     "timestamptz": TimestamptzType(),
+    "timestamp_ns": TimestampNanoType(),
+    "timestamptz_ns": TimestamptzNanoType(),
+    "unknown": UnknownType(),
+    "geometry": GeometryType(),
+    "geography": GeographyType(),
     "string": StringType(),
     "uuid": UUIDType(),
     "binary": BinaryType(),
@@ -263,6 +271,12 @@ def primitive_from_string(s: str) -> PrimitiveType:
     if s.startswith("fixed"):
         inner = s[s.index("[") + 1 : s.rindex("]")]
         return FixedType(int(inner))
+    if s.startswith("geometry("):
+        return GeometryType(s[s.index("(") + 1 : s.rindex(")")].strip())
+    if s.startswith("geography("):
+        inner = s[s.index("(") + 1 : s.rindex(")")]
+        parts = [p.strip() for p in inner.split(",")]
+        return GeographyType(*parts)
     raise ValueError(f"unknown primitive type string: {s}")
 
 
@@ -351,6 +365,12 @@ _TO_SPARK: Dict[type, T.DataType] = {
     TimeType: T.LongType(),  # µs since midnight
     TimestampType: T.TimestampNTZType(),
     TimestamptzType: T.TimestampType(),
+    # v3 ns timestamps surface as µs in Spark (µs-downcast read — the
+    # same semantics the reference applies, io/pyarrow.py:1652-1657)
+    TimestampNanoType: T.TimestampNTZType(),
+    TimestamptzNanoType: T.TimestampType(),
+    # v3 unknown: always-null column; files store nothing for it
+    UnknownType: T.NullType(),
     StringType: T.StringType(),
     UUIDType: T.StringType(),
     BinaryType: T.BinaryType(),
@@ -364,6 +384,8 @@ def to_spark_type(t: IcebergType) -> T.DataType:
         return T.DecimalType(t.precision, t.scale)
     if isinstance(t, FixedType):
         return T.BinaryType()
+    if isinstance(t, (GeometryType, GeographyType)):
+        return T.BinaryType()  # WKB passthrough
     if isinstance(t, StructType):
         return T.StructType([_to_spark_field(f) for f in t.fields])
     if isinstance(t, ListType):
@@ -409,4 +431,6 @@ def from_spark_type(dt: T.DataType) -> IcebergType:
         return StringType()
     if isinstance(dt, T.BinaryType):
         return BinaryType()
+    if isinstance(dt, T.NullType):
+        return UnknownType()
     raise ValueError(f"cannot convert Spark type {dt} (use explicit nested conversion)")

@@ -1,0 +1,104 @@
+"""Object-store location provider (reference table/locations.py):
+entropy-prefix data paths under write.object-storage.enabled."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_python_spark.locations import (
+    ObjectStoreLocationProvider,
+    SimpleLocationProvider,
+    entropy_dirs,
+    load_location_provider,
+)
+
+ENTROPY_RE = r"[01]{4}/[01]{4}/[01]{4}/[01]{8}"
+
+
+def test_provider_selection_and_shapes():
+    assert isinstance(load_location_provider("/t", {}), SimpleLocationProvider)
+    p = load_location_provider("/t", {"write.object-storage.enabled": "true"})
+    assert isinstance(p, ObjectStoreLocationProvider)
+    # deterministic, fixed shape: 3 x 4-bit dirs + 8-bit leaf
+    e = entropy_dirs("part-00000.parquet")
+    assert re.fullmatch(ENTROPY_RE, e)
+    assert entropy_dirs("part-00000.parquet") == e
+    assert entropy_dirs("part-00001.parquet") != e
+    loc = p.new_data_location("f.parquet")
+    assert re.fullmatch(rf"/t/data/{ENTROPY_RE}/f\.parquet", loc)
+    # partitioned: hash covers the partition-qualified name, dirs kept
+    locp = p.new_data_location("f.parquet", "k=1")
+    assert re.fullmatch(rf"/t/data/{ENTROPY_RE}/k=1/f\.parquet", locp)
+    # partitioned-paths=false: flat keyspace, dash-joined
+    flat = ObjectStoreLocationProvider(
+        "/t",
+        {"write.object-storage.enabled": "true", "write.object-storage.partitioned-paths": "false"},
+    )
+    assert re.fullmatch(rf"/t/data/{ENTROPY_RE}-f\.parquet", flat.new_data_location("f.parquet", "k=1"))
+    # write.data.path override
+    custom = ObjectStoreLocationProvider(
+        "/t", {"write.object-storage.enabled": "true", "write.data.path": "/bucket/prefix"}
+    )
+    assert custom.new_data_location("f.parquet").startswith("/bucket/prefix/")
+
+
+def test_object_store_write_scan_roundtrip(catalog, spark):
+    """Entropy paths land in manifests; scan / delete / compact / GC all
+    operate on manifest paths, so the layout is transparent to them."""
+    from iceberg_python_spark.schema import schema_from_spark
+
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 4).alias("bucket"), (F.col("id") * 2.5).alias("v")
+    )
+    t = catalog.create_table(
+        "db.objstore_t",
+        schema_from_spark(df.schema),
+        properties={"write.object-storage.enabled": "true"},
+    )
+    t.append(df)
+    t.refresh()
+    files = [e["data_file"]["file_path"] for e in t._live_entries(t.current_snapshot())]
+    assert files and all(re.search(rf"/data/{ENTROPY_RE}/", f) for f in files), files[:3]
+    assert t.scan().count() == 2000
+    got = sorted(r.id for r in t.scan(row_filter="id < 5").to_df().collect())
+    assert got == [0, 1, 2, 3, 4]
+    # delete rewrites files -> rewritten files also carry entropy paths
+    t.delete("id >= 1000")
+    t.refresh()
+    assert t.scan().count() == 1000
+    files2 = [e["data_file"]["file_path"] for e in t._live_entries(t.current_snapshot())]
+    assert all(re.search(rf"/data/{ENTROPY_RE}/", f) for f in files2)
+    # compaction + snapshot expiry GC still resolve every path
+    t.compact()
+    t.refresh()
+    assert t.scan().count() == 1000
+    exp = t.expire_snapshots()
+    for s in t.snapshots()[:-1]:
+        exp.expire_snapshot_id(s.snapshot_id)
+    exp.commit()
+    t.refresh()
+    assert t.scan().count() == 1000
+
+
+def test_object_store_partitioned_write(catalog, spark):
+    from iceberg_python_spark import spec_from_names
+    from iceberg_python_spark.schema import schema_from_spark
+
+    df = spark.range(400).select(F.col("id"), (F.col("id") % 3).alias("k"))
+    schema = schema_from_spark(df.schema)
+    t = catalog.create_table(
+        "db.objstore_part_t",
+        schema,
+        partition_spec=spec_from_names(schema, "k"),
+        properties={"write.object-storage.enabled": "true"},
+    )
+    t.append(df)
+    t.refresh()
+    files = [e["data_file"]["file_path"] for e in t._live_entries(t.current_snapshot())]
+    # hive partition dir preserved BEHIND the entropy prefix
+    assert all(re.search(rf"/data/{ENTROPY_RE}/_p_k=\d/", f) for f in files), files[:3]
+    # partition pruning still works (partition values parsed pre-move)
+    pruned = t.scan(row_filter="k = 1")
+    assert pruned.count() == 133 or pruned.count() == len([i for i in range(400) if i % 3 == 1])
+    assert sorted(r.id for r in pruned.to_df().limit(3).collect())
