@@ -150,7 +150,7 @@ def write_data_files(
     paths, partitions = _apply_location_provider(
         spark, paths, partitions, out_dir, location, properties
     )
-    stats = collect_file_stats(spark, paths, schema)
+    stats = collect_file_stats(spark, paths, schema, properties=properties)
     data_files = []
     for path in sorted(paths):
         st = stats[path]
@@ -271,13 +271,13 @@ def _partition_values_from_path(path: str, root: str, spec: PartitionSpec, schem
 # ---------------------------------------------------------------------------
 
 
-def _truncate_bounds(lo: Any, hi: Any, t: IcebergType) -> Tuple[Any, Any]:
-    """16-char truncation with upper-bound increment (reference
+def _truncate_bounds(lo: Any, hi: Any, t: IcebergType, width: int = BOUND_TRUNCATE) -> Tuple[Any, Any]:
+    """Width-char truncation with upper-bound increment (reference
     utils/truncate.py:47 + io/pyarrow.py:2271-2303)."""
     if isinstance(t, StringType) and isinstance(lo, str) and isinstance(hi, str):
-        lo_t = lo[:BOUND_TRUNCATE]
-        if len(hi) > BOUND_TRUNCATE:
-            head = hi[:BOUND_TRUNCATE]
+        lo_t = lo[:width]
+        if len(hi) > width:
+            head = hi[:width]
             # increment last codepoint that can be incremented
             for i in range(len(head) - 1, -1, -1):
                 cp = ord(head[i])
@@ -289,16 +289,64 @@ def _truncate_bounds(lo: Any, hi: Any, t: IcebergType) -> Tuple[Any, Any]:
         else:
             hi_t = hi
         return lo_t, hi_t
+    if isinstance(t, BinaryType) and isinstance(lo, bytes) and isinstance(hi, bytes):
+        lo_t = lo[:width]
+        if len(hi) > width:
+            head = bytearray(hi[:width])
+            for i in range(len(head) - 1, -1, -1):
+                if head[i] < 0xFF:
+                    head[i] += 1
+                    hi_t = bytes(head[: i + 1])
+                    break
+            else:
+                hi_t = hi  # all 0xff prefix; keep full upper
+        else:
+            hi_t = hi
+        return lo_t, hi_t
     return lo, hi
 
 
-def _file_stats_fn(schema_json: str, extra_names_json: Optional[str] = None):
+# -- per-column metrics modes (reference io/pyarrow.py:2305-2338) -----------
+
+METRICS_DEFAULT_KEY = "write.metadata.metrics.default"
+METRICS_COLUMN_PREFIX = "write.metadata.metrics.column."
+_DEFAULT_METRICS_MODE = f"truncate({BOUND_TRUNCATE})"
+
+
+def parse_metrics_mode(s: str) -> Tuple[str, int]:
+    """'none' | 'counts' | 'full' | 'truncate(N)' -> (kind, width)."""
+    s = (s or "").strip().lower()
+    if s in ("none", "counts", "full"):
+        return s, 0
+    if s.startswith("truncate(") and s.endswith(")"):
+        n = int(s[len("truncate(") : -1])
+        if n <= 0:
+            raise ValueError(f"truncate length must be positive: {s!r}")
+        return "truncate", n
+    raise ValueError(f"unknown metrics mode {s!r} (none|counts|truncate(N)|full)")
+
+
+def metrics_modes_for_schema(schema: Schema, properties: Optional[Dict[str, str]]) -> Dict[int, Tuple[str, int]]:
+    """field_id -> metrics mode, resolving write.metadata.metrics.column.<name>
+    over write.metadata.metrics.default over truncate(16)."""
+    properties = properties or {}
+    default = parse_metrics_mode(properties.get(METRICS_DEFAULT_KEY, _DEFAULT_METRICS_MODE))
+    out: Dict[int, Tuple[str, int]] = {}
+    for f in schema.fields:
+        override = properties.get(METRICS_COLUMN_PREFIX + f.name)
+        out[f.field_id] = parse_metrics_mode(override) if override else default
+    return out
+
+
+def _file_stats_fn(schema_json: str, extra_names_json: Optional[str] = None, modes_json: Optional[str] = None):
     """Returns a picklable per-file footer reader for use in an RDD map.
 
     ``extra_names_json``: optional {file_column_name: field_id} from a
     name mapping — lets ID-less foreign parquet with aliased column
     names resolve to schema fields (reference io/pyarrow.py:2887
-    parquet_file_to_data_file + name mapping)."""
+    parquet_file_to_data_file + name mapping).
+    ``modes_json``: {field_id: [kind, width]} per-column metrics modes
+    (reference io/pyarrow.py:2305-2338)."""
     import json as _json
 
     def read_one(path: str) -> Tuple[str, Dict[str, Any]]:
@@ -307,6 +355,7 @@ def _file_stats_fn(schema_json: str, extra_names_json: Optional[str] = None):
         from .fileio import executor_footer_and_size as _footer
 
         schema = _Schema.from_dict(_json.loads(schema_json))
+        modes = {int(k): tuple(v) for k, v in (_json.loads(modes_json) or {}).items()} if modes_json else {}
         pf, file_size = _footer(path)
         md = pf.metadata
         n = md.num_rows
@@ -330,6 +379,9 @@ def _file_stats_fn(schema_json: str, extra_names_json: Optional[str] = None):
                 if field is None or not field.field_type.is_primitive:
                     continue
                 fid = field.field_id
+                kind = modes.get(fid, ("truncate", BOUND_TRUNCATE))[0]
+                if kind == "none":
+                    continue
                 value_counts[fid] = value_counts.get(fid, 0) + g.num_rows
                 st = col.statistics
                 if st is None:
@@ -337,6 +389,8 @@ def _file_stats_fn(schema_json: str, extra_names_json: Optional[str] = None):
                     continue
                 if st.null_count is not None:
                     null_counts[fid] = null_counts.get(fid, 0) + st.null_count
+                if kind == "counts":
+                    continue
                 if st.has_min_max:
                     lo = _to_internal(st.min, field.field_type)
                     hi = _to_internal(st.max, field.field_type)
@@ -353,7 +407,12 @@ def _file_stats_fn(schema_json: str, extra_names_json: Optional[str] = None):
                 uppers.pop(fid, None)
         for fid in list(lowers.keys()):
             f = schema.find_field(fid)
-            lowers[fid], uppers[fid] = _truncate_bounds(lowers[fid], uppers[fid], f.field_type)
+            kind, width = modes.get(fid, ("truncate", BOUND_TRUNCATE))
+            if kind == "full":
+                continue
+            lowers[fid], uppers[fid] = _truncate_bounds(
+                lowers[fid], uppers[fid], f.field_type, width or BOUND_TRUNCATE
+            )
         return path, {
             "record_count": n,
             "file_size_in_bytes": file_size,
@@ -368,13 +427,22 @@ def _file_stats_fn(schema_json: str, extra_names_json: Optional[str] = None):
 
 
 def collect_file_stats(
-    spark: SparkSession, paths: List[str], schema: Schema, extra_names: Optional[Dict[str, int]] = None
+    spark: SparkSession,
+    paths: List[str],
+    schema: Schema,
+    extra_names: Optional[Dict[str, int]] = None,
+    properties: Optional[Dict[str, str]] = None,
 ) -> Dict[str, Dict[str, Any]]:
     """Footer-only stats for each file, read on executors (an RDD is
     justified here: per-file imperative metadata reads, no row data)."""
     import json as _json
 
-    fn = _file_stats_fn(_json.dumps(schema.to_dict()), _json.dumps(extra_names) if extra_names else None)
+    modes = metrics_modes_for_schema(schema, properties) if properties else None
+    fn = _file_stats_fn(
+        _json.dumps(schema.to_dict()),
+        _json.dumps(extra_names) if extra_names else None,
+        _json.dumps({str(k): list(v) for k, v in modes.items()}) if modes else None,
+    )
     if len(paths) <= 4:  # not worth a job
         return dict(fn(p) for p in paths)
     sc = spark.sparkContext
@@ -382,22 +450,33 @@ def collect_file_stats(
     return dict(sc.parallelize(paths, n_slices).map(fn).collect())
 
 
-def spark_stats_for_files(spark: SparkSession, paths: List[str], schema: Schema, fmt: str = "ORC") -> Dict[str, Dict[str, Any]]:
+def spark_stats_for_files(
+    spark: SparkSession,
+    paths: List[str],
+    schema: Schema,
+    fmt: str = "ORC",
+    properties: Optional[Dict[str, str]] = None,
+) -> Dict[str, Dict[str, Any]]:
     """Per-file stats via a Spark agg job grouped by _metadata.file_path —
     for formats whose footers the driver-side reader doesn't parse (ORC).
     O(rows) of the given files, still fully distributed."""
     from pyspark.sql import functions as F
 
+    modes = metrics_modes_for_schema(schema, properties)
     reader = spark.read.schema(schema.to_spark())
     df = reader.orc(*paths) if fmt.upper() == "ORC" else reader.parquet(*paths)
-    prim = [f for f in schema.fields if f.field_type.is_primitive]
+    prim = [
+        f for f in schema.fields
+        if f.field_type.is_primitive and modes[f.field_id][0] != "none"
+    ]
     aggs = [F.count(F.lit(1)).alias("_n")]
     for f in prim:
-        aggs += [
-            F.min(f.name).alias(f"_min_{f.field_id}"),
-            F.max(f.name).alias(f"_max_{f.field_id}"),
-            F.sum(F.when(F.col(f.name).isNull(), 1).otherwise(0)).alias(f"_null_{f.field_id}"),
-        ]
+        aggs.append(F.sum(F.when(F.col(f.name).isNull(), 1).otherwise(0)).alias(f"_null_{f.field_id}"))
+        if modes[f.field_id][0] != "counts":
+            aggs += [
+                F.min(f.name).alias(f"_min_{f.field_id}"),
+                F.max(f.name).alias(f"_max_{f.field_id}"),
+            ]
     rows = df.groupBy(F.col("_metadata.file_path").alias("_fp")).agg(*aggs).collect()
     from ..expressions import to_internal
 
@@ -410,13 +489,20 @@ def spark_stats_for_files(spark: SparkSession, paths: List[str], schema: Schema,
         p = by_tail.get(os.path.basename(r["_fp"]), r["_fp"])
         lowers, uppers, nulls, counts = {}, {}, {}, {}
         for f in prim:
+            kind, width = modes[f.field_id]
             counts[f.field_id] = r["_n"]
             nulls[f.field_id] = r[f"_null_{f.field_id}"] or 0
+            if kind == "counts":
+                continue
             lo, hi = r[f"_min_{f.field_id}"], r[f"_max_{f.field_id}"]
             if lo is not None:
-                lowers[f.field_id], uppers[f.field_id] = _truncate_bounds(
-                    to_internal(lo, f.field_type), to_internal(hi, f.field_type), f.field_type
-                )
+                lo_i, hi_i = to_internal(lo, f.field_type), to_internal(hi, f.field_type)
+                if kind == "full":
+                    lowers[f.field_id], uppers[f.field_id] = lo_i, hi_i
+                else:
+                    lowers[f.field_id], uppers[f.field_id] = _truncate_bounds(
+                        lo_i, hi_i, f.field_type, width or BOUND_TRUNCATE
+                    )
         from .fileio import exists as _exists, file_size as _fsize
 
         out[p] = {

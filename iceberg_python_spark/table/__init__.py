@@ -1514,7 +1514,10 @@ class Transaction:
                     name_maps[p] = renames
 
         stats = (
-            collect_file_stats(self._spark(), parquet_paths, schema, extra_names or None)
+            collect_file_stats(
+                self._spark(), parquet_paths, schema, extra_names or None,
+                properties=self.metadata.properties,
+            )
             if parquet_paths
             else {}
         )
@@ -1523,7 +1526,27 @@ class Transaction:
             # job over the files computes the stats instead
             from ..io.write import spark_stats_for_files
 
-            stats.update(spark_stats_for_files(self._spark(), orc_paths, schema, fmt="ORC"))
+            stats.update(
+                spark_stats_for_files(
+                    self._spark(), orc_paths, schema, fmt="ORC",
+                    properties=self.metadata.properties,
+                )
+            )
+
+        if not spec.is_unpartitioned:
+            # partition values derive from footer bounds — a metrics mode
+            # that suppresses bounds on a partition source column would
+            # silently misregister every file as all-null
+            from ..io.write import metrics_modes_for_schema
+
+            modes = metrics_modes_for_schema(schema, self.metadata.properties)
+            for pf in spec.fields:
+                if modes[pf.source_id][0] in ("none", "counts"):
+                    name = schema.find_field(pf.source_id).name
+                    raise ValueError(
+                        f"add_files needs min/max metrics on partition source column "
+                        f"{name!r}; its metrics mode is {modes[pf.source_id][0]!r}"
+                    )
 
         def derive_partition(p: str, st: Dict[str, Any]) -> Dict[str, Any]:
             if spec.is_unpartitioned:

@@ -1,0 +1,137 @@
+"""Per-column metrics modes: write.metadata.metrics.default /
+write.metadata.metrics.column.<name> = none | counts | truncate(N) |
+full (reference io/pyarrow.py:2305-2338)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_python_spark.io.write import (
+    _truncate_bounds,
+    metrics_modes_for_schema,
+    parse_metrics_mode,
+)
+from iceberg_python_spark.schema import schema_from_spark
+from iceberg_python_spark.types import BinaryType, StringType
+
+
+def test_parse_metrics_mode():
+    assert parse_metrics_mode("none") == ("none", 0)
+    assert parse_metrics_mode("Counts") == ("counts", 0)
+    assert parse_metrics_mode("full") == ("full", 0)
+    assert parse_metrics_mode("truncate(8)") == ("truncate", 8)
+    with pytest.raises(ValueError):
+        parse_metrics_mode("truncate(0)")
+    with pytest.raises(ValueError):
+        parse_metrics_mode("bogus")
+
+
+def test_binary_truncate_upper_increment():
+    lo, hi = _truncate_bounds(b"aaaa", b"ab\xff\xff", BinaryType(), width=2)
+    assert lo == b"aa"
+    assert hi == b"ac" and hi > b"ab\xff\xff"[:2]
+    # all-0xff prefix cannot increment: keep the full upper (still sound)
+    _, hi2 = _truncate_bounds(b"\x00", b"\xff\xff\x01", BinaryType(), width=2)
+    assert hi2 == b"\xff\xff\x01"
+    # string upper increment (existing behavior, now width-aware)
+    lo3, hi3 = _truncate_bounds("apple", "applesauce", StringType(), width=4)
+    assert lo3 == "appl" and hi3 == "appm"
+
+
+def _file_stats(t):
+    [entry] = t._live_entries(t.current_snapshot())
+    return entry["data_file"]
+
+
+def _ids(t):
+    return {f.name: f.field_id for f in t.schema().fields}
+
+
+def test_modes_honored_on_write(catalog, spark):
+    df = spark.createDataFrame(
+        [(1, "a" * 40, "x" * 40, "k" * 40, 5.0)],
+        "id: long, wide: string, hidden: string, counted: string, v: double",
+    )
+    t = catalog.create_table(
+        "db.metrics_t",
+        schema_from_spark(df.schema),
+        properties={
+            "write.metadata.metrics.default": "truncate(4)",
+            "write.metadata.metrics.column.hidden": "none",
+            "write.metadata.metrics.column.counted": "counts",
+            "write.metadata.metrics.column.wide": "full",
+            "write.metadata.metrics.column.v": "truncate(16)",
+        },
+    )
+    t.append(df.coalesce(1))
+    t.refresh()
+    st = _file_stats(t)
+    ids = _ids(t)
+    # none: no stats at all
+    assert ids["hidden"] not in st["value_counts"]
+    assert ids["hidden"] not in st["lower_bounds"]
+    # counts: counts but no bounds
+    assert st["value_counts"][ids["counted"]] == 1
+    assert ids["counted"] not in st["lower_bounds"]
+    # full: untruncated 40-char bound
+    assert st["lower_bounds"][ids["wide"]] == "a" * 40
+    # default truncate(4) applies to nothing else here; numeric bounds intact
+    assert st["lower_bounds"][ids["v"]] == 5.0
+    assert st["value_counts"][ids["id"]] == 1
+
+
+def test_default_truncate_width(catalog, spark):
+    df = spark.createDataFrame([(1, "m" * 40)], "id: long, s: string")
+    t = catalog.create_table(
+        "db.metrics_trunc_t",
+        schema_from_spark(df.schema),
+        properties={"write.metadata.metrics.default": "truncate(4)"},
+    )
+    t.append(df.coalesce(1))
+    t.refresh()
+    st = _file_stats(t)
+    ids = _ids(t)
+    assert st["lower_bounds"][ids["s"]] == "m" * 4
+    assert st["upper_bounds"][ids["s"]] == "mmmn"  # incremented upper
+
+
+def test_scans_stay_correct_with_suppressed_stats(catalog, spark):
+    """Pruning must degrade to reading, never to wrong answers, when
+    bounds are absent (none/counts) or coarse (truncate(1))."""
+    df = spark.range(1000).select(
+        F.col("id"), F.concat(F.lit("name_"), F.col("id").cast("string")).alias("name")
+    )
+    for mode in ("none", "counts", "truncate(1)"):
+        t = catalog.create_table(
+            f"db.metrics_scan_{mode.replace('(', '_').replace(')', '')}",
+            schema_from_spark(df.schema),
+            properties={"write.metadata.metrics.default": mode},
+        )
+        t.append(df)
+        t.refresh()
+        assert t.scan(row_filter="id >= 990").count() == 10, mode
+        got = sorted(r.id for r in t.scan(row_filter="name = 'name_7'").to_df().collect())
+        assert got == [7], (mode, got)
+        # filter-based CoW delete relies on the same evaluators
+        t.delete("id < 100")
+        t.refresh()
+        assert t.scan().count() == 900, mode
+
+
+def test_add_files_rejects_statless_partition_source(catalog, spark, tmp_path):
+    from iceberg_python_spark import spec_from_names
+
+    df = spark.range(10).select(F.col("id"), (F.col("id") % 2).alias("k"))
+    schema = schema_from_spark(df.schema)
+    t = catalog.create_table(
+        "db.metrics_addf_t",
+        schema,
+        partition_spec=spec_from_names(schema, "k"),
+        properties={"write.metadata.metrics.column.k": "counts"},
+    )
+    p = str(tmp_path / "ext")
+    df.where("k = 0").coalesce(1).write.parquet(p)
+    import os
+
+    files = [os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")]
+    with pytest.raises(ValueError, match="partition source"):
+        t.add_files(files)
