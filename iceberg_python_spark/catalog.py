@@ -45,6 +45,18 @@ def _to_identifier(identifier: Union[str, Identifier]) -> Identifier:
     return tuple(identifier)
 
 
+_VIEW_VERSIONS_DDL = """CREATE TABLE IF NOT EXISTS iceberg_view_versions (
+    catalog_name TEXT NOT NULL,
+    view_namespace TEXT NOT NULL,
+    view_name TEXT NOT NULL,
+    version_id INTEGER NOT NULL,
+    sql TEXT NOT NULL,
+    comment TEXT,
+    operation TEXT NOT NULL,
+    timestamp_ms INTEGER NOT NULL,
+    PRIMARY KEY (catalog_name, view_namespace, view_name, version_id))"""
+
+
 class SqliteCatalog:
     """A durable catalog holding metadata-location pointers in SQLite.
 
@@ -95,6 +107,7 @@ class SqliteCatalog:
                     PRIMARY KEY (catalog_name, view_namespace, view_name)
                 )"""
             )
+            con.execute(_VIEW_VERSIONS_DDL)
 
     def _conn(self) -> sqlite3.Connection:
         con = sqlite3.connect(self.db_path, timeout=30)
@@ -284,17 +297,72 @@ class SqliteCatalog:
         return self.load_table(ident)
 
     # -- views (reference catalog/__init__.py:712-760, REST-only there;
-    # ours stores SQL text and resolves table names against this catalog) --
+    # ours stores SQL text and resolves table names against this catalog.
+    # Versions are append-only per replace — the reference's ViewVersion /
+    # version-log model, view/__init__.py:27-160) --
     def create_view(self, identifier: Union[str, Identifier], sql: str, comment: Optional[str] = None) -> None:
         ident = _to_identifier(identifier)
         ns, name = ".".join(ident[:-1]), ident[-1]
         if not self.namespace_exists(ns):
             self.create_namespace(ns)
         with self._conn() as con:
+            existed = (
+                con.execute(
+                    "SELECT 1 FROM iceberg_views WHERE catalog_name=? AND view_namespace=? AND view_name=?",
+                    (self.name, ns, name),
+                ).fetchone()
+                is not None
+            )
             con.execute(
                 "INSERT OR REPLACE INTO iceberg_views VALUES (?, ?, ?, ?, ?)",
                 (self.name, ns, name, sql, comment),
             )
+            self._append_view_version(con, ns, name, sql, comment, "replace" if existed else "create")
+
+    def replace_view(self, identifier: Union[str, Identifier], sql: str, comment: Optional[str] = None) -> None:
+        """Replace an EXISTING view's SQL, appending a new version."""
+        ident = _to_identifier(identifier)
+        ns, name = ".".join(ident[:-1]), ident[-1]
+        with self._conn() as con:
+            cur = con.execute(
+                "UPDATE iceberg_views SET sql=?, comment=? "
+                "WHERE catalog_name=? AND view_namespace=? AND view_name=?",
+                (sql, comment, self.name, ns, name),
+            )
+            if cur.rowcount == 0:
+                raise NoSuchTableError(".".join(ident))
+            self._append_view_version(con, ns, name, sql, comment, "replace")
+
+    def _append_view_version(self, con, ns: str, name: str, sql: str, comment, operation: str) -> None:
+        import time as _time
+
+        row = con.execute(
+            "SELECT COALESCE(MAX(version_id), 0) FROM iceberg_view_versions "
+            "WHERE catalog_name=? AND view_namespace=? AND view_name=?",
+            (self.name, ns, name),
+        ).fetchone()
+        con.execute(
+            "INSERT INTO iceberg_view_versions VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
+            (self.name, ns, name, row[0] + 1, sql, comment, operation, int(_time.time() * 1000)),
+        )
+
+    def view_history(self, identifier: Union[str, Identifier]) -> List[Dict[str, Any]]:
+        """All versions of a view, oldest first: version_id / sql /
+        comment / operation (create|replace) / timestamp_ms — the
+        reference's versions + version-log surface (view/__init__.py:27)."""
+        ident = _to_identifier(identifier)
+        with self._conn() as con:
+            rows = con.execute(
+                "SELECT version_id, sql, comment, operation, timestamp_ms FROM iceberg_view_versions "
+                "WHERE catalog_name=? AND view_namespace=? AND view_name=? ORDER BY version_id",
+                (self.name, ".".join(ident[:-1]), ident[-1]),
+            ).fetchall()
+        if not rows:
+            raise NoSuchTableError(".".join(ident))
+        return [
+            {"version_id": r[0], "sql": r[1], "comment": r[2], "operation": r[3], "timestamp_ms": r[4]}
+            for r in rows
+        ]
 
     def view_exists(self, identifier: Union[str, Identifier]) -> bool:
         ident = _to_identifier(identifier)
@@ -316,23 +384,35 @@ class SqliteCatalog:
             )
             if cur.rowcount == 0:
                 raise NoSuchTableError(".".join(ident))
+            con.execute(
+                "DELETE FROM iceberg_view_versions WHERE catalog_name=? AND view_namespace=? AND view_name=?",
+                (self.name, ".".join(ident[:-1]), ident[-1]),
+            )
 
-    def view_sql(self, identifier: Union[str, Identifier]) -> str:
+    def view_sql(self, identifier: Union[str, Identifier], version_id: Optional[int] = None) -> str:
         ident = _to_identifier(identifier)
         with self._conn() as con:
-            row = con.execute(
-                "SELECT sql FROM iceberg_views WHERE catalog_name=? AND view_namespace=? AND view_name=?",
-                (self.name, ".".join(ident[:-1]), ident[-1]),
-            ).fetchone()
+            if version_id is not None:
+                row = con.execute(
+                    "SELECT sql FROM iceberg_view_versions "
+                    "WHERE catalog_name=? AND view_namespace=? AND view_name=? AND version_id=?",
+                    (self.name, ".".join(ident[:-1]), ident[-1], version_id),
+                ).fetchone()
+            else:
+                row = con.execute(
+                    "SELECT sql FROM iceberg_views WHERE catalog_name=? AND view_namespace=? AND view_name=?",
+                    (self.name, ".".join(ident[:-1]), ident[-1]),
+                ).fetchone()
         if row is None:
             raise NoSuchTableError(".".join(ident))
         return row[0]
 
-    def read_view(self, identifier: Union[str, Identifier]) -> DataFrame:
+    def read_view(self, identifier: Union[str, Identifier], version_id: Optional[int] = None) -> DataFrame:
         """Run the view SQL with every table of its namespace registered
-        as a temp view (engine scans, so snapshots/deletes apply)."""
+        as a temp view (engine scans, so snapshots/deletes apply).
+        ``version_id`` time-travels to an older view definition."""
         ident = _to_identifier(identifier)
-        sql = self.view_sql(ident)
+        sql = self.view_sql(ident, version_id)
         ns = ident[:-1]
         for t_ident in self.list_tables(".".join(ns)):
             self.load_table(t_ident).scan().to_df().createOrReplaceTempView(t_ident[-1])
@@ -430,3 +510,4 @@ class InMemoryCatalog(SqliteCatalog):
                     view_name TEXT NOT NULL, sql TEXT NOT NULL, comment TEXT,
                     PRIMARY KEY (catalog_name, view_namespace, view_name))"""
             )
+            con.execute(_VIEW_VERSIONS_DDL)

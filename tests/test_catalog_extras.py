@@ -27,6 +27,36 @@ def test_views(catalog, table, spark):
     assert not catalog.view_exists("db.big_vals")
 
 
+def test_view_version_history(catalog, table, spark):
+    """create -> replace -> replace keeps a full version log; old
+    versions stay readable by version_id (reference view/__init__.py:27)."""
+    catalog.create_view("db.v_hist", "SELECT id FROM extras WHERE val > 20", comment="v1")
+    catalog.replace_view("db.v_hist", "SELECT id FROM extras WHERE val > 25", comment="v2")
+    catalog.replace_view("db.v_hist", "SELECT id, grp FROM extras WHERE val > 28")
+    hist = catalog.view_history("db.v_hist")
+    assert [h["version_id"] for h in hist] == [1, 2, 3]
+    assert [h["operation"] for h in hist] == ["create", "replace", "replace"]
+    assert hist[0]["comment"] == "v1" and "val > 20" in hist[0]["sql"]
+    assert all(h["timestamp_ms"] > 0 for h in hist)
+    # current read uses the latest definition; version_id time-travels
+    assert catalog.read_view("db.v_hist").count() == 1
+    assert catalog.read_view("db.v_hist", version_id=1).count() == 9
+    assert catalog.read_view("db.v_hist", version_id=2).count() == 4
+    # create-over-existing is recorded as a replace, not a fresh log
+    catalog.create_view("db.v_hist", "SELECT grp FROM extras")
+    assert [h["version_id"] for h in catalog.view_history("db.v_hist")] == [1, 2, 3, 4]
+    # replace of a missing view fails; history of dropped view is gone
+    import pytest as _pytest
+
+    from iceberg_python_spark.catalog import NoSuchTableError
+
+    with _pytest.raises(NoSuchTableError):
+        catalog.replace_view("db.nope", "SELECT 1")
+    catalog.drop_view("db.v_hist")
+    with _pytest.raises(NoSuchTableError):
+        catalog.view_history("db.v_hist")
+
+
 def test_sort_order_applied_on_write(catalog, table, spark):
     t = table
     t.update_sort_order().asc("grp").desc("val").commit()
