@@ -6,14 +6,23 @@ Python mirroring the Iceberg spec; the data plane is Spark DataFrames
 (SURVEY.md §7 architecture stance).
 """
 
-from .catalog import InMemoryCatalog, NoSuchTableError, SqliteCatalog, TableAlreadyExistsError
+from .catalog import (
+    DuckDBCatalog,
+    InMemoryCatalog,
+    NoSuchTableError,
+    SqlCatalog,
+    SqliteCatalog,
+    TableAlreadyExistsError,
+)
 from .catalog_rest import RestCatalog
 from .partitioning import UNPARTITIONED, PartitionField, PartitionSpec, spec_from_names
 from .schema import Schema, schema_from_spark
 from .table import CommitFailedException, DataScan, StaticTable, Table, Transaction, UpsertResult
 
 __all__ = [
+    "SqlCatalog",
     "SqliteCatalog",
+    "DuckDBCatalog",
     "InMemoryCatalog",
     "RestCatalog",
     "NoSuchTableError",

@@ -1,11 +1,19 @@
-"""Catalogs: SQLite-backed (durable, concurrent CAS) and in-memory.
+"""Catalogs: engine-agnostic SQL catalog (SQLite / DuckDB) and in-memory.
 
 Reference: pyiceberg/catalog/__init__.py:347 (Catalog ABC),
-pyiceberg/catalog/sql.py:115 (SqlCatalog). The commit protocol is
-optimistic concurrency: write the new metadata JSON, then compare-and-swap
-the catalog's metadata-location pointer inside a SQLite transaction
-(reference catalog/__init__.py:554 commit_table; SURVEY.md §7 watch-list
-item 5 — the file catalog needs a real CAS to survive concurrent writers).
+pyiceberg/catalog/sql.py:115 (SqlCatalog — SQLAlchemy-generic there; here
+generic at the DB-API level via `catalog_engines.SqlEngine`, proven on two
+real engines since SQLAlchemy isn't installable in this sandbox). The commit
+protocol is optimistic concurrency: write the new metadata JSON, then
+compare-and-swap the catalog's metadata-location pointer inside a write
+transaction (reference catalog/__init__.py:554 commit_table; SURVEY.md §7
+watch-list item 5 — the file catalog needs a real CAS to survive concurrent
+writers).
+
+All SQL is ANSI + `ON CONFLICT` with qmark params, and affected-row checks
+are SELECT-then-act inside the engine's serialized write transaction — no
+cursor.rowcount, no RETURNING — so a new backend (e.g. Postgres through a
+DB-API driver) only needs a `SqlEngine` subclass.
 """
 
 from __future__ import annotations
@@ -13,12 +21,13 @@ from __future__ import annotations
 import json
 import os
 import posixpath
-import sqlite3
 import uuid
-from typing import Any, Dict, List, Optional, Tuple, Union
+from contextlib import contextmanager
+from typing import Any, Dict, Iterator, List, Optional, Tuple, Union
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .catalog_engines import DuckDBEngine, SqlEngine, SqliteEngine
 from .partitioning import UNPARTITIONED, PartitionSpec
 from .schema import Schema, assign_fresh_ids, schema_from_spark
 from .table import CommitFailedException, StaticTable, Table
@@ -45,26 +54,51 @@ def _to_identifier(identifier: Union[str, Identifier]) -> Identifier:
     return tuple(identifier)
 
 
-_VIEW_VERSIONS_DDL = """CREATE TABLE IF NOT EXISTS iceberg_view_versions (
-    catalog_name TEXT NOT NULL,
-    view_namespace TEXT NOT NULL,
-    view_name TEXT NOT NULL,
-    version_id INTEGER NOT NULL,
-    sql TEXT NOT NULL,
-    comment TEXT,
-    operation TEXT NOT NULL,
-    timestamp_ms INTEGER NOT NULL,
-    PRIMARY KEY (catalog_name, view_namespace, view_name, version_id))"""
+_DDL = [
+    """CREATE TABLE IF NOT EXISTS iceberg_tables (
+        catalog_name TEXT NOT NULL,
+        table_namespace TEXT NOT NULL,
+        table_name TEXT NOT NULL,
+        metadata_location TEXT,
+        previous_metadata_location TEXT,
+        PRIMARY KEY (catalog_name, table_namespace, table_name)
+    )""",
+    """CREATE TABLE IF NOT EXISTS iceberg_namespace_properties (
+        catalog_name TEXT NOT NULL,
+        namespace TEXT NOT NULL,
+        properties TEXT,
+        PRIMARY KEY (catalog_name, namespace)
+    )""",
+    """CREATE TABLE IF NOT EXISTS iceberg_views (
+        catalog_name TEXT NOT NULL,
+        view_namespace TEXT NOT NULL,
+        view_name TEXT NOT NULL,
+        sql TEXT NOT NULL,
+        comment TEXT,
+        PRIMARY KEY (catalog_name, view_namespace, view_name)
+    )""",
+    """CREATE TABLE IF NOT EXISTS iceberg_view_versions (
+        catalog_name TEXT NOT NULL,
+        view_namespace TEXT NOT NULL,
+        view_name TEXT NOT NULL,
+        version_id INTEGER NOT NULL,
+        sql TEXT NOT NULL,
+        comment TEXT,
+        operation TEXT NOT NULL,
+        timestamp_ms BIGINT NOT NULL,
+        PRIMARY KEY (catalog_name, view_namespace, view_name, version_id))""",
+]
+
+_TBL_PK = ("catalog_name", "table_namespace", "table_name")
 
 
-class SqliteCatalog:
-    """A durable catalog holding metadata-location pointers in SQLite.
-
-    Matches the shape of the reference's SqlCatalog tables
+class SqlCatalog:
+    """A durable catalog holding metadata-location pointers behind a
+    `SqlEngine`. Matches the shape of the reference's SqlCatalog tables
     (iceberg_tables / iceberg_namespace_properties, catalog/sql.py:62-113).
     """
 
-    def __init__(self, name: str, warehouse: str, spark: SparkSession, db_path: Optional[str] = None):
+    def __init__(self, name: str, warehouse: str, spark: SparkSession, engine: SqlEngine):
         from .io.fileio import is_remote, to_local
 
         self.name = name
@@ -72,54 +106,42 @@ class SqliteCatalog:
         self.spark = spark
         if not is_remote(self.warehouse):
             os.makedirs(to_local(self.warehouse), exist_ok=True)
-        elif db_path is None:
-            raise ValueError(
-                "remote warehouse needs a local db_path for the SQLite pointer store "
-                "(table data/metadata go to the warehouse; the catalog db stays local)"
-            )
-        self.db_path = db_path or os.path.join(to_local(self.warehouse), f"{name}.catalog.db")
-        with self._conn() as con:
-            con.execute(
-                """CREATE TABLE IF NOT EXISTS iceberg_tables (
-                    catalog_name TEXT NOT NULL,
-                    table_namespace TEXT NOT NULL,
-                    table_name TEXT NOT NULL,
-                    metadata_location TEXT,
-                    previous_metadata_location TEXT,
-                    PRIMARY KEY (catalog_name, table_namespace, table_name)
-                )"""
-            )
-            con.execute(
-                """CREATE TABLE IF NOT EXISTS iceberg_namespace_properties (
-                    catalog_name TEXT NOT NULL,
-                    namespace TEXT NOT NULL,
-                    properties TEXT,
-                    PRIMARY KEY (catalog_name, namespace)
-                )"""
-            )
-            con.execute(
-                """CREATE TABLE IF NOT EXISTS iceberg_views (
-                    catalog_name TEXT NOT NULL,
-                    view_namespace TEXT NOT NULL,
-                    view_name TEXT NOT NULL,
-                    sql TEXT NOT NULL,
-                    comment TEXT,
-                    PRIMARY KEY (catalog_name, view_namespace, view_name)
-                )"""
-            )
-            con.execute(_VIEW_VERSIONS_DDL)
+        self.engine = engine
+        self.engine.init_schema(_DDL)
 
-    def _conn(self) -> sqlite3.Connection:
-        con = sqlite3.connect(self.db_path, timeout=30)
-        con.isolation_level = None  # manual transactions
-        return con
+    @contextmanager
+    def _conn(self) -> Iterator[Any]:
+        """Autocommit session (single-statement reads/writes)."""
+        con = self.engine.connect()
+        try:
+            yield con
+        finally:
+            self.engine.close(con)
+
+    @contextmanager
+    def _write_txn(self) -> Iterator[Any]:
+        """Writer-serialized transaction: SELECT-then-act inside is race-free."""
+        con = self.engine.connect()
+        try:
+            self.engine.begin_write(con)
+            try:
+                yield con
+                self.engine.commit(con)
+            except BaseException:
+                self.engine.rollback(con)
+                raise
+            finally:
+                self.engine.end_write(con)
+        finally:
+            self.engine.close(con)
 
     # -- namespaces ------------------------------------------------------------
     def create_namespace(self, namespace: Union[str, Identifier], properties: Optional[Dict[str, str]] = None) -> None:
         ns = ".".join(_to_identifier(namespace))
+        suffix = self.engine.insert_ignore_suffix(("catalog_name", "namespace"))
         with self._conn() as con:
             con.execute(
-                "INSERT OR IGNORE INTO iceberg_namespace_properties VALUES (?, ?, ?)",
+                f"INSERT INTO iceberg_namespace_properties VALUES (?, ?, ?){suffix}",
                 (self.name, ns, json.dumps(properties or {})),
             )
 
@@ -182,23 +204,17 @@ class SqliteCatalog:
         location = location or posixpath.join(self.warehouse, *ident)
         metadata = new_table_metadata(schema, partition_spec, location, properties, sort_order)
         metadata_location = self._write_metadata(metadata, version=1)
-        with self._conn() as con:
-            con.execute("BEGIN IMMEDIATE")
-            try:
-                cur = con.execute(
-                    "SELECT 1 FROM iceberg_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
-                    (self.name, ns, table_name),
-                )
-                if cur.fetchone() is not None:
-                    raise TableAlreadyExistsError(".".join(ident))
-                con.execute(
-                    "INSERT INTO iceberg_tables VALUES (?, ?, ?, ?, NULL)",
-                    (self.name, ns, table_name, metadata_location),
-                )
-                con.execute("COMMIT")
-            except BaseException:
-                con.execute("ROLLBACK")
-                raise
+        with self._write_txn() as con:
+            cur = con.execute(
+                "SELECT 1 FROM iceberg_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+                (self.name, ns, table_name),
+            )
+            if cur.fetchone() is not None:
+                raise TableAlreadyExistsError(".".join(ident))
+            con.execute(
+                "INSERT INTO iceberg_tables VALUES (?, ?, ?, ?, NULL)",
+                (self.name, ns, table_name, metadata_location),
+            )
         self._write_version_hint(metadata_location)
         return Table(ident, metadata, metadata_location, self, self.spark)
 
@@ -240,13 +256,17 @@ class SqliteCatalog:
     def drop_table(self, identifier: Union[str, Identifier]) -> None:
         ident = _to_identifier(identifier)
         ns, table_name = ".".join(ident[:-1]), ident[-1]
-        with self._conn() as con:
-            cur = con.execute(
+        with self._write_txn() as con:
+            row = con.execute(
+                "SELECT 1 FROM iceberg_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+                (self.name, ns, table_name),
+            ).fetchone()
+            if row is None:
+                raise NoSuchTableError(".".join(ident))
+            con.execute(
                 "DELETE FROM iceberg_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
                 (self.name, ns, table_name),
             )
-            if cur.rowcount == 0:
-                raise NoSuchTableError(".".join(ident))
 
     def purge_table(self, identifier: Union[str, Identifier]) -> None:
         from .io.fileio import is_remote, to_local
@@ -265,20 +285,18 @@ class SqliteCatalog:
 
     def rename_table(self, from_identifier: Union[str, Identifier], to_identifier: Union[str, Identifier]) -> Table:
         src, dst = _to_identifier(from_identifier), _to_identifier(to_identifier)
-        with self._conn() as con:
-            con.execute("BEGIN IMMEDIATE")
-            try:
-                cur = con.execute(
-                    "UPDATE iceberg_tables SET table_namespace=?, table_name=? "
-                    "WHERE catalog_name=? AND table_namespace=? AND table_name=?",
-                    (".".join(dst[:-1]), dst[-1], self.name, ".".join(src[:-1]), src[-1]),
-                )
-                if cur.rowcount == 0:
-                    raise NoSuchTableError(".".join(src))
-                con.execute("COMMIT")
-            except BaseException:
-                con.execute("ROLLBACK")
-                raise
+        with self._write_txn() as con:
+            row = con.execute(
+                "SELECT 1 FROM iceberg_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+                (self.name, ".".join(src[:-1]), src[-1]),
+            ).fetchone()
+            if row is None:
+                raise NoSuchTableError(".".join(src))
+            con.execute(
+                "UPDATE iceberg_tables SET table_namespace=?, table_name=? "
+                "WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+                (".".join(dst[:-1]), dst[-1], self.name, ".".join(src[:-1]), src[-1]),
+            )
         return self.load_table(dst)
 
     def register_table(self, identifier: Union[str, Identifier], metadata_location: str) -> Table:
@@ -305,7 +323,10 @@ class SqliteCatalog:
         ns, name = ".".join(ident[:-1]), ident[-1]
         if not self.namespace_exists(ns):
             self.create_namespace(ns)
-        with self._conn() as con:
+        upsert = self.engine.upsert_suffix(
+            ("catalog_name", "view_namespace", "view_name"), ("sql", "comment")
+        )
+        with self._write_txn() as con:
             existed = (
                 con.execute(
                     "SELECT 1 FROM iceberg_views WHERE catalog_name=? AND view_namespace=? AND view_name=?",
@@ -314,7 +335,7 @@ class SqliteCatalog:
                 is not None
             )
             con.execute(
-                "INSERT OR REPLACE INTO iceberg_views VALUES (?, ?, ?, ?, ?)",
+                f"INSERT INTO iceberg_views VALUES (?, ?, ?, ?, ?){upsert}",
                 (self.name, ns, name, sql, comment),
             )
             self._append_view_version(con, ns, name, sql, comment, "replace" if existed else "create")
@@ -323,14 +344,18 @@ class SqliteCatalog:
         """Replace an EXISTING view's SQL, appending a new version."""
         ident = _to_identifier(identifier)
         ns, name = ".".join(ident[:-1]), ident[-1]
-        with self._conn() as con:
-            cur = con.execute(
+        with self._write_txn() as con:
+            row = con.execute(
+                "SELECT 1 FROM iceberg_views WHERE catalog_name=? AND view_namespace=? AND view_name=?",
+                (self.name, ns, name),
+            ).fetchone()
+            if row is None:
+                raise NoSuchTableError(".".join(ident))
+            con.execute(
                 "UPDATE iceberg_views SET sql=?, comment=? "
                 "WHERE catalog_name=? AND view_namespace=? AND view_name=?",
                 (sql, comment, self.name, ns, name),
             )
-            if cur.rowcount == 0:
-                raise NoSuchTableError(".".join(ident))
             self._append_view_version(con, ns, name, sql, comment, "replace")
 
     def _append_view_version(self, con, ns: str, name: str, sql: str, comment, operation: str) -> None:
@@ -377,13 +402,17 @@ class SqliteCatalog:
 
     def drop_view(self, identifier: Union[str, Identifier]) -> None:
         ident = _to_identifier(identifier)
-        with self._conn() as con:
-            cur = con.execute(
+        with self._write_txn() as con:
+            row = con.execute(
+                "SELECT 1 FROM iceberg_views WHERE catalog_name=? AND view_namespace=? AND view_name=?",
+                (self.name, ".".join(ident[:-1]), ident[-1]),
+            ).fetchone()
+            if row is None:
+                raise NoSuchTableError(".".join(ident))
+            con.execute(
                 "DELETE FROM iceberg_views WHERE catalog_name=? AND view_namespace=? AND view_name=?",
                 (self.name, ".".join(ident[:-1]), ident[-1]),
             )
-            if cur.rowcount == 0:
-                raise NoSuchTableError(".".join(ident))
             con.execute(
                 "DELETE FROM iceberg_view_versions WHERE catalog_name=? AND view_namespace=? AND view_name=?",
                 (self.name, ".".join(ident[:-1]), ident[-1]),
@@ -454,60 +483,65 @@ class SqliteCatalog:
             {"timestamp-ms": new_metadata.last_updated_ms, "metadata-file": old_location}
         ]
         new_location = self._write_metadata(new_metadata, version)
-        with self._conn() as con:
-            con.execute("BEGIN IMMEDIATE")
-            try:
-                cur = con.execute(
-                    "UPDATE iceberg_tables SET metadata_location=?, previous_metadata_location=? "
-                    "WHERE catalog_name=? AND table_namespace=? AND table_name=? AND metadata_location=?",
-                    (new_location, old_location, self.name, ns, table_name, old_location),
+        with self._write_txn() as con:
+            row = con.execute(
+                "SELECT metadata_location FROM iceberg_tables "
+                "WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+                (self.name, ns, table_name),
+            ).fetchone()
+            if row is None or row[0] != old_location:
+                raise CommitFailedException(
+                    f"metadata location for {table.name} changed concurrently (expected {old_location})"
                 )
-                if cur.rowcount != 1:
-                    raise CommitFailedException(
-                        f"metadata location for {table.name} changed concurrently (expected {old_location})"
-                    )
-                con.execute("COMMIT")
-            except BaseException:
-                con.execute("ROLLBACK")
-                raise
+            con.execute(
+                "UPDATE iceberg_tables SET metadata_location=?, previous_metadata_location=? "
+                "WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+                (new_location, old_location, self.name, ns, table_name),
+            )
         self._write_version_hint(new_location)  # advisory, after the CAS won
         table.metadata = new_metadata
         table.metadata_location = new_location
+
+
+class SqliteCatalog(SqlCatalog):
+    """SQL catalog on the stdlib SQLite driver (multi-process safe)."""
+
+    def __init__(self, name: str, warehouse: str, spark: SparkSession, db_path: Optional[str] = None):
+        from .io.fileio import is_remote, to_local
+
+        if is_remote(warehouse.rstrip("/")) and db_path is None:
+            raise ValueError(
+                "remote warehouse needs a local db_path for the SQLite pointer store "
+                "(table data/metadata go to the warehouse; the catalog db stays local)"
+            )
+        if db_path is None:
+            os.makedirs(to_local(warehouse.rstrip("/")), exist_ok=True)
+            db_path = os.path.join(to_local(warehouse.rstrip("/")), f"{name}.catalog.db")
+        self.db_path = db_path
+        super().__init__(name, warehouse, spark, SqliteEngine(db_path))
+
+
+class DuckDBCatalog(SqlCatalog):
+    """SQL catalog on DuckDB's DB-API driver — the proof that SqlCatalog's
+    SQL is engine-agnostic (reference catalog/sql.py:115 achieves the same
+    via SQLAlchemy). Single-process; writers serialize on an engine lock."""
+
+    def __init__(self, name: str, warehouse: str, spark: SparkSession, db_path: Optional[str] = None):
+        from .io.fileio import is_remote, to_local
+
+        if db_path is None:
+            if is_remote(warehouse.rstrip("/")):
+                raise ValueError("remote warehouse needs a local db_path for the DuckDB pointer store")
+            os.makedirs(to_local(warehouse.rstrip("/")), exist_ok=True)
+            db_path = os.path.join(to_local(warehouse.rstrip("/")), f"{name}.catalog.duckdb")
+        self.db_path = db_path
+        super().__init__(name, warehouse, spark, DuckDBEngine(db_path))
 
 
 class InMemoryCatalog(SqliteCatalog):
     """Ephemeral catalog for tests (reference catalog/memory.py:22)."""
 
     def __init__(self, name: str, warehouse: str, spark: SparkSession):
-        super().__init__(name, warehouse, spark, db_path=":memory:")
-        # sqlite :memory: is per-connection; use a shared in-memory db URI
-        self.db_path = f"file:{name}_{uuid.uuid4().hex}?mode=memory&cache=shared"
-        self._keepalive = sqlite3.connect(self.db_path, uri=True)
-        self._init_tables()
-
-    def _conn(self) -> sqlite3.Connection:
-        con = sqlite3.connect(self.db_path, uri=True, timeout=30)
-        con.isolation_level = None
-        return con
-
-    def _init_tables(self) -> None:
-        with self._conn() as con:
-            con.execute(
-                """CREATE TABLE IF NOT EXISTS iceberg_tables (
-                    catalog_name TEXT NOT NULL, table_namespace TEXT NOT NULL,
-                    table_name TEXT NOT NULL, metadata_location TEXT,
-                    previous_metadata_location TEXT,
-                    PRIMARY KEY (catalog_name, table_namespace, table_name))"""
-            )
-            con.execute(
-                """CREATE TABLE IF NOT EXISTS iceberg_namespace_properties (
-                    catalog_name TEXT NOT NULL, namespace TEXT NOT NULL, properties TEXT,
-                    PRIMARY KEY (catalog_name, namespace))"""
-            )
-            con.execute(
-                """CREATE TABLE IF NOT EXISTS iceberg_views (
-                    catalog_name TEXT NOT NULL, view_namespace TEXT NOT NULL,
-                    view_name TEXT NOT NULL, sql TEXT NOT NULL, comment TEXT,
-                    PRIMARY KEY (catalog_name, view_namespace, view_name))"""
-            )
-            con.execute(_VIEW_VERSIONS_DDL)
+        engine = SqliteEngine.memory(name)
+        self.db_path = engine.db_path
+        SqlCatalog.__init__(self, name, warehouse, spark, engine)

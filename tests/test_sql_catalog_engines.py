@@ -1,0 +1,120 @@
+"""The SQL-catalog behavior suite, parametrized over both DB-API engines.
+
+Proves the engine-agnostic claim (reference catalog/sql.py:115 is
+SQLAlchemy-generic; ours is DB-API-generic): identical behavior on SQLite
+and DuckDB, including the optimistic-concurrency commit path.
+"""
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+import iceberg_python_spark as ips
+from iceberg_python_spark import DuckDBCatalog, SqliteCatalog
+from iceberg_python_spark.table import CommitFailedException
+
+
+@pytest.fixture(params=["sqlite", "duckdb"])
+def cat(request, spark, tmp_path):
+    wh = str(tmp_path / f"wh_{request.param}")
+    if request.param == "sqlite":
+        return SqliteCatalog("eng", wh, spark)
+    return DuckDBCatalog("eng", wh, spark)
+
+
+def _mk(cat, spark, name="db.t"):
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    t = cat.create_table(name, df.schema)
+    t.append(df)
+    return t
+
+
+def test_table_crud(cat, spark):
+    t = _mk(cat, spark)
+    assert t.scan().to_df().count() == 10
+    assert cat.table_exists("db.t")
+    assert ("db", "t") in cat.list_tables("db")
+    with pytest.raises(ips.TableAlreadyExistsError):
+        cat.create_table("db.t", t.schema())
+    cat.rename_table("db.t", "db.t2")
+    assert cat.load_table("db.t2").scan().to_df().count() == 10
+    assert not cat.table_exists("db.t")
+    cat.drop_table("db.t2")
+    with pytest.raises(ips.NoSuchTableError):
+        cat.load_table("db.t2")
+    with pytest.raises(ips.NoSuchTableError):
+        cat.drop_table("db.t2")
+
+
+def test_namespaces(cat):
+    cat.create_namespace("ns1", {"owner": "me"})
+    assert cat.namespace_exists("ns1")
+    assert cat.load_namespace_properties("ns1") == {"owner": "me"}
+    # idempotent create keeps original properties
+    cat.create_namespace("ns1", {"owner": "other"})
+    assert cat.load_namespace_properties("ns1") == {"owner": "me"}
+    cat.drop_namespace("ns1")
+    assert not cat.namespace_exists("ns1")
+
+
+def test_views_and_history(cat, spark):
+    _mk(cat, spark)
+    cat.create_view("db.v", "SELECT id FROM t WHERE id < 5")
+    assert cat.read_view("db.v").count() == 5
+    cat.replace_view("db.v", "SELECT id FROM t WHERE id < 3")
+    assert cat.read_view("db.v").count() == 3
+    hist = cat.view_history("db.v")
+    assert [h["operation"] for h in hist] == ["create", "replace"]
+    assert cat.read_view("db.v", version_id=1).count() == 5
+    cat.drop_view("db.v")
+    with pytest.raises(ips.NoSuchTableError):
+        cat.view_sql("db.v")
+
+
+def test_commit_cas_and_refresh(cat, spark):
+    """Overlapping deletes from the same base: loser must fail the CAS
+    rebase (same surface as test_table_e2e's conflict tests, here proving
+    the CAS works identically on both engines)."""
+    t = _mk(cat, spark)
+    t1 = cat.load_table("db.t")
+    t2 = cat.load_table("db.t")
+    t1.delete("id >= 0")  # removes everything; wins
+    with pytest.raises(CommitFailedException):
+        t2.delete("id >= 5")  # its target files were rewritten/deleted
+    t2.refresh()
+    assert t2.scan().to_df().count() == 0
+
+
+def test_concurrent_appends_all_land(cat, spark):
+    """N threads appending concurrently: CAS + retry must land all rows."""
+    t = _mk(cat, spark)
+    errors = []
+
+    def worker(i):
+        try:
+            h = cat.load_table("db.t")
+            h.append(spark.range(i * 100, i * 100 + 3).withColumn("v", F.col("id")))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    t.refresh()
+    assert t.scan().to_df().count() == 10 + 4 * 3
+
+
+def test_register_table_cross_engine(cat, spark, tmp_path):
+    """Metadata written under one engine's catalog loads in the other."""
+    t = _mk(cat, spark)
+    other = (
+        SqliteCatalog("other", str(tmp_path / "wh_other"), spark)
+        if isinstance(cat, DuckDBCatalog)
+        else DuckDBCatalog("other", str(tmp_path / "wh_other"), spark)
+    )
+    reg = other.register_table("mirror.t", t.metadata_location)
+    assert reg.scan().to_df().count() == 10
