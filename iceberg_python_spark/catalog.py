@@ -299,6 +299,51 @@ class SqlCatalog:
             )
         return self.load_table(dst)
 
+    def clone_table(
+        self,
+        src_identifier: Union[str, Identifier],
+        dst_identifier: Union[str, Identifier],
+        snapshot_id: Optional[int] = None,
+        properties: Optional[Dict[str, str]] = None,
+    ) -> Table:
+        """Snapshot-clone: a new independent table over the SOURCE's current
+        (or given) snapshot's data files — metadata only, zero data copied
+        (the Iceberg "snapshot table" action; Spark's
+        SnapshotTableSparkAction has the same shape). The clone shares file
+        paths but owns its metadata: later writes/deletes/compactions on
+        either side produce new files in that table's own location and
+        never touch the shared ones. Do NOT ``purge_table`` a clone whose
+        source is still live — purge removes the shared data directory.
+
+        Requires a delete-free source snapshot (position/equality deletes
+        and DVs reference data files by path and sequence number; cloning
+        them would pin cross-table sequence semantics — compact first)."""
+        src = self.load_table(src_identifier)
+        snap = src.snapshot_by_id(snapshot_id) if snapshot_id else src.current_snapshot()
+        entries = src._live_entries(snap) if snap else []
+        if any(e["data_file"].get("content", 0) != 0 for e in entries):
+            raise ValueError(
+                f"clone_table: source snapshot of {src.name} carries delete files; "
+                "run compact() first so the snapshot is delete-free"
+            )
+        dst = self.create_table(
+            dst_identifier,
+            src.schema(),
+            partition_spec=src.metadata.spec(),
+            sort_order=src.metadata.sort_order(),
+            properties={**src.metadata.properties, **(properties or {})},
+        )
+        if entries:
+            dst.register_data_files(
+                [e["data_file"] for e in entries],
+                snapshot_properties={
+                    "cloned-from": src.name,
+                    "cloned-snapshot-id": str(snap.snapshot_id),
+                },
+            )
+            dst.refresh()
+        return dst
+
     def register_table(self, identifier: Union[str, Identifier], metadata_location: str) -> Table:
         """Register an existing metadata JSON under a new name
         (reference catalog/__init__.py:521)."""

@@ -70,6 +70,20 @@ from .metadata import MAIN_BRANCH, SnapshotRef, SortOrder, TableMetadata, new_ta
 from .snapshots import Operation, Snapshot, SnapshotLogEntry, build_summary
 
 
+def _strip_uri_scheme(p: str) -> str:
+    """Canonicalize a file path for identity comparison across the two
+    forms Spark surfaces: `_metadata.file_path` URIs (file:/a, file:///a)
+    vs the plain paths manifests store."""
+    if p.startswith("file:"):
+        rest = p[5:]
+        if rest.startswith("///"):
+            return rest[2:]
+        if rest.startswith("//"):
+            return rest[1:]
+        return rest
+    return p
+
+
 class CommitFailedException(Exception):
     """Optimistic-concurrency conflict (reference exceptions.py)."""
 
@@ -392,6 +406,12 @@ class Table:
     def add_files(self, file_paths: List[str], snapshot_properties: Optional[Dict[str, str]] = None) -> None:
         with self.transaction() as tx:
             tx.add_files(file_paths, snapshot_properties)
+
+    def register_data_files(
+        self, data_files: List[Dict[str, Any]], snapshot_properties: Optional[Dict[str, str]] = None
+    ) -> None:
+        with self.transaction() as tx:
+            tx.register_data_files(data_files, snapshot_properties)
 
     def set_properties(self, properties: Optional[Dict[str, str]] = None, **kwargs: str) -> None:
         with self.transaction() as tx:
@@ -1298,8 +1318,13 @@ class Transaction:
         tasks, tgt = self._target_with_lineage(match_filter)
         tgt = tgt.cache()
         # _metadata.file_path is a URI (file:/…); manifests store the plan
-        # path — map back by basename (unique per-commit UUID file names)
-        path_by_tail = {posixpath.basename(t.file_path): t.file_path for t in tasks}
+        # path — map back by scheme-normalized FULL path. Basenames are NOT
+        # unique here: a partitioned fan-out write reuses one task's
+        # part-file name across every partition directory it writes, so a
+        # basename map would collapse all of a task's files into one and
+        # the overwrite would miss rewritten files (dup rows on bucketed
+        # tables — caught by the r06 clone bootstrap).
+        path_by_norm = {_strip_uri_scheme(t.file_path): t.file_path for t in tasks}
 
         non_key = [c for c in schema.column_names if c not in join_cols]
         rows_updated = rows_inserted = 0
@@ -1317,7 +1342,7 @@ class Transaction:
                 # only the affected FILE LIST reaches the driver (bounded by
                 # file count, like the scan plan itself) — never row keys
                 affected = {
-                    path_by_tail.get(posixpath.basename(r[0]), r[0])
+                    path_by_norm.get(_strip_uri_scheme(r[0]), r[0])
                     for r in updated.select("_ips_file").distinct().collect()
                 }
                 upd_keys = updated.select(*[src[k] for k in join_cols])
@@ -1585,6 +1610,23 @@ class Transaction:
             if p in name_maps:
                 d["name_map"] = name_maps[p]
             files.append(d)
+        self._commit_snapshot(Operation.APPEND, files, snapshot_properties=snapshot_properties)
+
+    def register_data_files(
+        self,
+        data_files: List[Dict[str, Any]],
+        snapshot_properties: Optional[Dict[str, str]] = None,
+    ) -> None:
+        """Metadata-only append of fully-described data files (stats and
+        partition tuples already known — e.g. lifted from another table's
+        manifests by ``catalog.clone_table``). Unlike ``add_files`` this
+        touches no data file and runs no Spark job: one manifest write.
+        The files' partition dicts must match this table's default spec."""
+        files = []
+        for f in data_files:
+            f = dict(f)
+            f["spec_id"] = self.metadata.default_spec_id
+            files.append(f)
         self._commit_snapshot(Operation.APPEND, files, snapshot_properties=snapshot_properties)
 
     # -- commit -------------------------------------------------------------------

@@ -113,6 +113,33 @@ def test_upsert(catalog, spark):
     assert rows == {1: 10.0, 2: 21.0, 3: 30.0, 4: 40.0}
 
 
+def test_upsert_cow_partitioned_no_duplicates(catalog, spark):
+    """Regression: a partitioned fan-out write reuses one Spark task's
+    part-file NAME across every partition directory, so mapping lineage
+    paths by basename collapsed distinct files — the overwrite then missed
+    rewritten files and kept stale row versions (dup keys)."""
+    from iceberg_python_spark import spec_from_names
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(2000)], "id: long, val: double")
+    schema = schema_from_spark(df.schema)
+    t = catalog.create_table(
+        "db.upsert_bkt", schema, partition_spec=spec_from_names(schema, ("id", "bucket[8]"))
+    )
+    t.append(df)
+    changes = spark.createDataFrame(
+        [(i, float(i) + 0.5) for i in range(0, 2000, 10)] + [(9991, 1.0), (9992, 2.0)],
+        "id: long, val: double",
+    )
+    res = t.upsert(changes, join_cols=["id"])
+    assert res.rows_updated == 200 and res.rows_inserted == 2
+    t.refresh()
+    out = t.scan().to_df()
+    assert out.count() == 2002
+    assert out.groupBy("id").count().where("count > 1").count() == 0
+    rows = {r.id: r.val for r in out.where("id in (0, 10, 5, 9991)").collect()}
+    assert rows == {0: 0.5, 10: 10.5, 5: 5.0, 9991: 1.0}
+
+
 def test_upsert_cow_collects_no_unbounded_keys(catalog, spark, monkeypatch):
     """Scale regression: CoW upsert must never .collect() row keys —
     only the affected-file list (and the bounded ≤10001-key scan
