@@ -63,15 +63,49 @@ MAIN_BRANCH = "main"
 
 @dataclass
 class SnapshotRef:
+    """Branch/tag pointer with optional retention policy (reference
+    table/refs.py:41; spec: min-snapshots-to-keep and max-snapshot-age-ms
+    govern branch-ancestor expiration, max-ref-age-ms expires the ref
+    itself — branch-only fields rejected on tags like the reference's
+    validators, refs.py:49-60)."""
+
     snapshot_id: int
     type: str = "branch"  # "branch" | "tag"
+    min_snapshots_to_keep: Optional[int] = None
+    max_snapshot_age_ms: Optional[int] = None
+    max_ref_age_ms: Optional[int] = None
+
+    def __post_init__(self) -> None:
+        if self.min_snapshots_to_keep is not None and self.min_snapshots_to_keep <= 0:
+            raise ValueError("min-snapshots-to-keep must be positive")
+        if self.max_snapshot_age_ms is not None and self.max_snapshot_age_ms <= 0:
+            raise ValueError("max-snapshot-age-ms must be positive")
+        if self.max_ref_age_ms is not None and self.max_ref_age_ms <= 0:
+            raise ValueError("max-ref-age-ms must be positive")
+        if self.type == "tag" and (
+            self.min_snapshots_to_keep is not None or self.max_snapshot_age_ms is not None
+        ):
+            raise ValueError("tags only support max-ref-age-ms retention")
 
     def to_dict(self) -> Dict[str, Any]:
-        return {"snapshot-id": self.snapshot_id, "type": self.type}
+        d: Dict[str, Any] = {"snapshot-id": self.snapshot_id, "type": self.type}
+        if self.min_snapshots_to_keep is not None:
+            d["min-snapshots-to-keep"] = self.min_snapshots_to_keep
+        if self.max_snapshot_age_ms is not None:
+            d["max-snapshot-age-ms"] = self.max_snapshot_age_ms
+        if self.max_ref_age_ms is not None:
+            d["max-ref-age-ms"] = self.max_ref_age_ms
+        return d
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "SnapshotRef":
-        return cls(d["snapshot-id"], d.get("type", "branch"))
+        return cls(
+            d["snapshot-id"],
+            d.get("type", "branch"),
+            d.get("min-snapshots-to-keep"),
+            d.get("max-snapshot-age-ms"),
+            d.get("max-ref-age-ms"),
+        )
 
 
 @dataclass

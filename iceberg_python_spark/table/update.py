@@ -360,12 +360,27 @@ class ManageSnapshots:
         if exc_type is None:
             self.commit()
 
-    def create_tag(self, snapshot_id: int, tag_name: str) -> "ManageSnapshots":
-        self._new_refs[tag_name] = SnapshotRef(snapshot_id, "tag")
+    def create_tag(
+        self, snapshot_id: int, tag_name: str, max_ref_age_ms: Optional[int] = None
+    ) -> "ManageSnapshots":
+        self._new_refs[tag_name] = SnapshotRef(snapshot_id, "tag", max_ref_age_ms=max_ref_age_ms)
         return self
 
-    def create_branch(self, snapshot_id: int, branch_name: str) -> "ManageSnapshots":
-        self._new_refs[branch_name] = SnapshotRef(snapshot_id, "branch")
+    def create_branch(
+        self,
+        snapshot_id: int,
+        branch_name: str,
+        max_ref_age_ms: Optional[int] = None,
+        max_snapshot_age_ms: Optional[int] = None,
+        min_snapshots_to_keep: Optional[int] = None,
+    ) -> "ManageSnapshots":
+        self._new_refs[branch_name] = SnapshotRef(
+            snapshot_id,
+            "branch",
+            min_snapshots_to_keep=min_snapshots_to_keep,
+            max_snapshot_age_ms=max_snapshot_age_ms,
+            max_ref_age_ms=max_ref_age_ms,
+        )
         return self
 
     def remove_tag(self, tag_name: str) -> "ManageSnapshots":
@@ -432,16 +447,54 @@ class ExpireSnapshots:
         self._older_than_ms = timestamp_ms
         return self
 
-    def commit(self, clean_files: bool = True) -> List[str]:
+    def commit(self, clean_files: bool = True, now_ms: Optional[int] = None) -> List[str]:
         meta = copy.deepcopy(self.table.metadata)
+        now_ms = now_ms if now_ms is not None else int(time.time() * 1000)
+        # 1. retire refs past their max-ref-age (reference
+        #    update/snapshot.py:1049-1060; main never retires)
+        for name, ref in list(meta.refs.items()):
+            if name == MAIN_BRANCH or ref.max_ref_age_ms is None:
+                continue
+            snap = meta.snapshot_by_id(ref.snapshot_id)
+            ref_age = now_ms - (snap.timestamp_ms if snap else 0)
+            if ref_age > ref.max_ref_age_ms:
+                meta.refs.pop(name)
+        # 2. protection: every surviving ref head, the current snapshot,
+        #    and each branch's ancestors per its retention policy — the
+        #    newest min-snapshots-to-keep (default 1 = head only) plus any
+        #    ancestor younger than max-snapshot-age-ms
         protected = {ref.snapshot_id for ref in meta.refs.values()}
         if meta.current_snapshot_id is not None:
             protected.add(meta.current_snapshot_id)
+        for ref in meta.refs.values():
+            if ref.type != "branch":
+                continue
+            keep_n = ref.min_snapshots_to_keep or 1
+            count = 0
+            sid = ref.snapshot_id
+            while sid is not None:
+                snap = meta.snapshot_by_id(sid)
+                if snap is None:
+                    break
+                count += 1
+                within_count = count <= keep_n
+                within_age = (
+                    ref.max_snapshot_age_ms is not None
+                    and (now_ms - snap.timestamp_ms) <= ref.max_snapshot_age_ms
+                )
+                if not (within_count or within_age):
+                    break  # older ancestors are not protected by this branch
+                protected.add(sid)
+                sid = snap.parent_snapshot_id
         to_expire = set(self._expire_ids)
         if self._older_than_ms is not None:
             to_expire |= {s.snapshot_id for s in meta.snapshots if s.timestamp_ms < self._older_than_ms}
         to_expire -= protected
+        refs_changed = set(meta.refs) != set(self.table.metadata.refs)
         if not to_expire:
+            if refs_changed:  # aged-out refs still need committing
+                meta.last_updated_ms = int(time.time() * 1000)
+                self.table.catalog._commit_table(self.table, meta)
             return []
         survivors = [s for s in meta.snapshots if s.snapshot_id not in to_expire]
         expired = [s for s in meta.snapshots if s.snapshot_id in to_expire]
