@@ -1128,6 +1128,33 @@ def _q_ann_ivf(spark, env):
     return ivf_ann_topk(emb, q, "vec_id", "embedding", k=10, n_centroids=32, nprobe=8, sample_size=5000)
 
 
+def _q_text_pii_redact(spark, env):
+    from iceberg_python_spark.operators.text import pii_redact
+
+    # seed deterministic synthetic PII from the doc id so the redactor has
+    # real matches at every scale (the synthetic corpus contains none);
+    # the oracle mirrors the same seeding in SQL
+    docs = env["documents"].scan(selected_fields=("doc_id", "text")).to_df()
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-123-4567 from 10.0.0.1"),
+        ).alias("text"),
+    )
+    return pii_redact(seeded, "text", "doc_id")
+
+
+def _q_text_repetition(spark, env):
+    from iceberg_python_spark.operators.text import repetition_stats
+
+    return repetition_stats(
+        env["documents"].scan(selected_fields=("doc_id", "text")).to_df(), "text", "doc_id"
+    )
+
+
 def _q_text_tokens(spark, env):
     from iceberg_python_spark.operators.text import token_stats
 
@@ -1275,6 +1302,16 @@ def _q_meta_partitions(spark, env):
     return env["lineitem"].inspect.partitions()
 
 
+def _q_meta_partition_stats(spark, env):
+    # partition-statistics file: compute once for the current snapshot,
+    # then read back the registered parquet (spec PartitionStatisticsFile)
+    t = env["lineitem"]
+    if not t.metadata.partition_statistics:
+        t.update_statistics().compute_partition_statistics().commit()
+        t.refresh()
+    return t.inspect.partition_statistics()
+
+
 def _q_scan_limit(spark, env):
     return env["lineitem"].scan(selected_fields=("l_orderkey",), limit=100).to_df()
 
@@ -1310,6 +1347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_ivf_topk": _q_ann_ivf,
             "ann_lsh_recall": _q_ann_lsh_recall,
             "ann_ivf_recall": _q_ann_ivf_recall,
+            "text_pii_redact": _q_text_pii_redact,
+            "text_repetition": _q_text_repetition,
             "text_token_stats": _q_text_tokens,
             "text_quality_score": _q_text_quality,
             "text_language_id": _q_text_lang,
@@ -1350,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "meta_snapshots": _q_meta_snapshots,
             "meta_files": _q_meta_files,
             "meta_partitions": _q_meta_partitions,
+            "meta_partition_stats": _q_meta_partition_stats,
             "tpch_q1_pricing_summary": _q_q1,
             "tpch_q2_min_cost_supplier": _q_q2_min_cost_supplier,
             "tpch_q3_shipping_priority": _q_q3,
@@ -1789,6 +1829,35 @@ def oracle_sql() -> dict[str, str]:
             "WHEN fr > en AND fr >= de AND fr >= es THEN 'fr' "
             "WHEN de > en AND de > fr AND de >= es THEN 'de' "
             "ELSE 'es' END AS lang_guess FROM h"
+        ),
+        "text_pii_redact": (
+            "WITH seeded AS (SELECT doc_id, text || ' contact user' || doc_id || "
+            "'@example.com call 555-123-4567 from 10.0.0.1' AS text FROM documents) "
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'), "
+            "'\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g'), "
+            "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS text, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email, "
+            "len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS n_ssn, "
+            "len(regexp_extract_all(text, '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b')) AS n_phone, "
+            "len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ipv4 "
+            "FROM seeded"
+        ),
+        "text_repetition": (
+            "WITH base AS (SELECT doc_id, "
+            "list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines, "
+            "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS toks "
+            "FROM documents), "
+            "g AS (SELECT doc_id, lines, "
+            "list_transform(range(1, greatest(len(toks), 1)), i -> toks[i] || ' ' || toks[i+1]) AS grams FROM base), "
+            "tc AS (SELECT doc_id, lines, grams, "
+            "coalesce(list_max(list_transform(list_distinct(grams), x -> len(list_filter(grams, y -> y = x)))), 0) AS top_bigram_count FROM g) "
+            "SELECT doc_id, "
+            "floor((len(lines) - len(list_distinct(lines))) * 10000.0 / greatest(len(lines), 1)) / 10000 AS dup_line_ratio, "
+            "len(grams) AS n_bigrams, top_bigram_count, "
+            "floor(top_bigram_count * 10000.0 / greatest(len(grams), 1)) / 10000 AS top_bigram_frac FROM tc"
         ),
         "text_fingerprint_md5": "SELECT doc_id, md5(text) AS md5 FROM documents",
         "text_fingerprint_winnow": (

@@ -223,3 +223,77 @@ def contamination_flags(
     bench_ngrams = ngrams(benchmark_df, id_col).select("ngram").distinct()
     corpus = ngrams(df, id_col)
     return corpus.join(bench_ngrams, "ngram", "left_semi").select(id_col).distinct()
+
+
+# Each (label, pattern, replacement); applied in order, so more-specific
+# patterns (SSN) run before broader ones (phone). RE2-compatible — no
+# lookaround — so a DuckDB/Trino oracle reproduces the redaction exactly.
+PII_PATTERNS: List[tuple] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def pii_redact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """PII scrubbing for training corpora: mask emails / SSNs / phone
+    numbers / IPv4s with typed placeholders and report per-category hit
+    counts. Pure JVM regexp_replace chain — narrow, no shuffle, streams
+    at scan speed; patterns are RE2-safe so any engine reproduces them.
+
+    Returns (id, redacted text, n_email, n_ssn, n_phone, n_ipv4)."""
+    t = F.col(text_col)
+    counts = []
+    red = t
+    for label, pat, repl in PII_PATTERNS:
+        # count BEFORE masking (earlier replacements can't create matches:
+        # placeholders contain no digits or @). Escape backslashes: the
+        # pattern passes through a SQL string literal
+        sql_pat = pat.replace(chr(92), chr(92) * 2)
+        counts.append(F.size(F.expr(f"regexp_extract_all({text_col}, '{sql_pat}', 0)")).alias(f"n_{label}"))
+        red = F.regexp_replace(red, pat, repl)
+    return df.select(F.col(id_col), red.alias(text_col), *counts)
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Repetition quality signals (the CCNet/Gopher-rules family): the
+    fraction of duplicate lines and the share of all word bigrams taken
+    by the single most frequent bigram — high values flag boilerplate,
+    spam, and degenerate generations.
+
+    All array built-ins, no shuffle. The top-bigram count is a per-doc
+    array fold (distinct grams × grams comparisons); documents are
+    bounded (~KBs), so this stays cheap and JVM-side — the alternative
+    explode+groupBy costs a corpus-wide shuffle for a per-doc statistic."""
+    lines = F.filter(F.split(F.col(text_col), r"\n"), lambda s: F.trim(s) != "")
+    n_lines = F.greatest(F.size(F.col("_lines")), F.lit(1))
+    dup_line_ratio = (F.size(F.col("_lines")) - F.size(F.array_distinct(F.col("_lines")))) / n_lines
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")), r"\s+"
+    )
+    grams = F.transform(
+        F.slice(F.col("_toks"), 1, F.greatest(F.size(F.col("_toks")) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(F.col("_toks"), i + 2)),
+    )
+    n_grams = F.greatest(F.size(F.col("_grams")), F.lit(1))
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("_grams")),
+            lambda g: F.size(F.filter(F.col("_grams"), lambda x: x == g)),
+        )
+    )
+    return (
+        df.withColumn("_lines", lines)
+        .withColumn("_toks", toks)
+        .withColumn("_grams", grams)
+        .select(
+            F.col(id_col),
+            (F.floor(dup_line_ratio * 10000) / 10000).alias("dup_line_ratio"),
+            F.size(F.col("_grams")).alias("n_bigrams"),
+            F.coalesce(top_count, F.lit(0)).alias("top_bigram_count"),
+            (F.floor(F.coalesce(top_count, F.lit(0)) / n_grams * 10000) / 10000).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )

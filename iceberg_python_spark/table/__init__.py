@@ -441,6 +441,12 @@ class Table:
 
         return ExpireSnapshots(self)
 
+    @property
+    def maintenance(self) -> "MaintenanceTable":
+        """Reference table/maintenance.py:30 MaintenanceTable shape:
+        ``table.maintenance.expire_snapshots()``."""
+        return MaintenanceTable(self)
+
     def update_sort_order(self) -> "UpdateSortOrder":
         from .update import UpdateSortOrder
 
@@ -482,6 +488,16 @@ class Table:
                 if e["status"] != STATUS_DELETED:
                     out.append(e)
         return out
+
+
+class MaintenanceTable:
+    """Maintenance entry point (reference table/maintenance.py:30)."""
+
+    def __init__(self, tbl: "Table"):
+        self.tbl = tbl
+
+    def expire_snapshots(self) -> "ExpireSnapshots":
+        return self.tbl.expire_snapshots()
 
 
 class Transaction:

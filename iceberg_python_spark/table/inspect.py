@@ -157,6 +157,19 @@ class InspectTable:
             )
         )
 
+    def partition_statistics(self, snapshot_id: Optional[int] = None) -> DataFrame:
+        """Read the registered partition-statistics file for a snapshot
+        (reference table/statistics.py:46 PartitionStatisticsFile; written
+        by ``update_statistics().compute_partition_statistics()``). Falls
+        back to the current snapshot's entry."""
+        sid = snapshot_id if snapshot_id is not None else self.table.metadata.current_snapshot_id
+        for s in self.table.metadata.partition_statistics:
+            if s.get("snapshot-id") == sid:
+                from ..io.fileio import to_local
+
+                return self._spark.read.parquet(to_local(s["statistics-path"]))
+        raise ValueError(f"no partition statistics registered for snapshot {sid}")
+
     def all_files(self) -> DataFrame:
         """Files across every snapshot (reference inspect.py all_files)."""
         dfs = [self.files(s.snapshot_id) for s in self.table.metadata.snapshots]

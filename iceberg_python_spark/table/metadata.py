@@ -133,6 +133,10 @@ class TableMetadata:
     # file-size-in-bytes, file-footer-size-in-bytes, blob-metadata);
     # reference table/statistics.py StatisticsFile
     statistics: List[Dict[str, Any]] = field(default_factory=list)
+    # spec-shaped raw dicts (snapshot-id, statistics-path,
+    # file-size-in-bytes); reference table/statistics.py
+    # PartitionStatisticsFile
+    partition_statistics: List[Dict[str, Any]] = field(default_factory=list)
 
     # -- lookups -----------------------------------------------------------
     def schema(self) -> Schema:
@@ -204,6 +208,7 @@ class TableMetadata:
             "metadata-log": self.metadata_log,
             "refs": {k: v.to_dict() for k, v in self.refs.items()},
             "statistics": self.statistics,
+            "partition-statistics": self.partition_statistics,
         }
 
     @classmethod
@@ -253,6 +258,7 @@ class TableMetadata:
             metadata_log=d.get("metadata-log", []),
             refs={k: SnapshotRef.from_dict(v) for k, v in d.get("refs", {}).items()},
             statistics=d.get("statistics", []),
+            partition_statistics=d.get("partition-statistics", []),
         )
 
     def write(self, path: str) -> None:

@@ -266,6 +266,8 @@ class UpdateStatistics:
         self.table = table
         self._ndv: Dict[int, int] = {}
         self._removed_snapshot_ids: List[int] = []
+        self._compute_partition_stats = False
+        self._removed_partition_snapshot_ids: List[int] = []
 
     def compute(self, *columns: str) -> "UpdateStatistics":
         """approx_count_distinct over the current snapshot (one Spark job)."""
@@ -289,6 +291,78 @@ class UpdateStatistics:
         self._removed_snapshot_ids.append(snapshot_id)
         return self
 
+    def compute_partition_statistics(self) -> "UpdateStatistics":
+        """Stage a partition-statistics file for the current snapshot
+        (reference table/statistics.py:46 PartitionStatisticsFile +
+        SetPartitionStatisticsUpdate; the Iceberg compute-partition-stats
+        action). One Spark aggregation over the manifest entries produces
+        the spec's partition-stats rows — per (partition, spec_id):
+        data/position-delete/equality-delete record and file counts, total
+        data size, last-updated snapshot — written as ONE parquet file."""
+        self._compute_partition_stats = True
+        return self
+
+    def remove_partition_statistics(self, snapshot_id: int) -> "UpdateStatistics":
+        """Reference update/statistics.py RemovePartitionStatisticsUpdate."""
+        self._removed_partition_snapshot_ids.append(snapshot_id)
+        return self
+
+    def _write_partition_stats(self, meta) -> Optional[Dict[str, Any]]:
+        import posixpath
+        import uuid as _uuid
+
+        from pyspark.sql import functions as F
+
+        snap = meta.current_snapshot()
+        if snap is None:
+            return None
+        entries = self.table.inspect.entries(snap.snapshot_id).where(F.col("status") != 2)
+        data = F.col("content") == 0
+        pos = F.col("content") == 1
+        eq = F.col("content") == 2
+        stats = (
+            entries.groupBy("partition_json", "spec_id")
+            .agg(
+                F.sum(F.when(data, F.col("record_count")).otherwise(0)).alias("data_record_count"),
+                F.sum(F.when(data, 1).otherwise(0)).alias("data_file_count"),
+                F.sum(F.when(data, F.col("file_size_in_bytes")).otherwise(0)).alias(
+                    "total_data_file_size_in_bytes"
+                ),
+                F.sum(F.when(pos, F.col("record_count")).otherwise(0)).alias(
+                    "position_delete_record_count"
+                ),
+                F.sum(F.when(pos, 1).otherwise(0)).alias("position_delete_file_count"),
+                F.sum(F.when(eq, F.col("record_count")).otherwise(0)).alias(
+                    "equality_delete_record_count"
+                ),
+                F.sum(F.when(eq, 1).otherwise(0)).alias("equality_delete_file_count"),
+                F.max("snapshot_id").alias("last_updated_snapshot_id"),
+            )
+            .withColumn("partition", F.col("partition_json"))
+            .drop("partition_json")
+        )
+        # the rollup is O(partitions) — metadata scale (SCALE.md) — and the
+        # spec wants ONE stats file, so materialize via Arrow and write once
+        import io as _io
+
+        import pyarrow.parquet as _pq
+
+        from ..io.fileio import write_bytes
+
+        arrow = stats.toArrow()
+        buf = _io.BytesIO()
+        _pq.write_table(arrow, buf, compression="zstd")
+        data_bytes = buf.getvalue()
+        path = posixpath.join(
+            meta.location, "metadata", f"partition-stats-{snap.snapshot_id}-{_uuid.uuid4()}.parquet"
+        )
+        write_bytes(path, data_bytes, self.table.spark)
+        return {
+            "snapshot-id": snap.snapshot_id,
+            "statistics-path": path,
+            "file-size-in-bytes": len(data_bytes),
+        }
+
     def commit(self) -> None:
         import json as _json
         import posixpath
@@ -302,6 +376,21 @@ class UpdateStatistics:
         meta.statistics = [
             s for s in meta.statistics if s.get("snapshot-id") not in self._removed_snapshot_ids
         ]
+        meta.partition_statistics = [
+            s
+            for s in meta.partition_statistics
+            if s.get("snapshot-id") not in self._removed_partition_snapshot_ids
+        ]
+        if self._compute_partition_stats:
+            entry = self._write_partition_stats(meta)
+            if entry is not None:
+                # one PartitionStatisticsFile per snapshot (reference
+                # SetPartitionStatisticsUpdate replaces same-snapshot entry)
+                meta.partition_statistics = [
+                    s
+                    for s in meta.partition_statistics
+                    if s.get("snapshot-id") != entry["snapshot-id"]
+                ] + [entry]
         if self._ndv and snap is not None:
             writer = PuffinWriter(properties={"created-by": "iceberg_python_spark"})
             for fid in sorted(self._ndv):
@@ -504,6 +593,10 @@ class ExpireSnapshots:
         # table/statistics.py filter_statistics_by_snapshot_id)
         expired_stats = [s for s in meta.statistics if s.get("snapshot-id") in to_expire]
         meta.statistics = [s for s in meta.statistics if s.get("snapshot-id") not in to_expire]
+        expired_stats += [s for s in meta.partition_statistics if s.get("snapshot-id") in to_expire]
+        meta.partition_statistics = [
+            s for s in meta.partition_statistics if s.get("snapshot-id") not in to_expire
+        ]
         meta.last_updated_ms = int(time.time() * 1000)
         self.table.catalog._commit_table(self.table, meta)
 

@@ -421,3 +421,45 @@ def test_hash_sample_monotone_nesting(spark):
         assert prev <= cur, f"rate {rate} lost rows from a smaller sample"
         prev = cur
     assert 0 < len(prev) < 3000
+
+
+def test_pii_redact(spark):
+    from iceberg_python_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c_d@sub.example.org now"),
+            (2, "ssn 123-45-6789 phone 555 123 4567 ip 192.168.1.254"),
+            (3, "no pii; placeholder <EMAIL> stays untouched"),
+            (4, "two mails x@y.io z@w.co and 1.2.3.4"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r for r in pii_redact(df, "text", "doc_id").collect()}
+    assert out[1].text == "mail <EMAIL> now" and out[1].n_email == 1
+    assert out[2].text == "ssn <SSN> phone <PHONE> ip <IP>"
+    assert (out[2].n_ssn, out[2].n_phone, out[2].n_ipv4) == (1, 1, 1)
+    assert out[3].text == "no pii; placeholder <EMAIL> stays untouched"
+    assert out[4].n_email == 2 and out[4].n_ipv4 == 1
+    # SSN pattern wins over phone on the dashed form (applied first)
+    assert out[2].n_phone == 1
+
+
+def test_repetition_stats(spark):
+    from iceberg_python_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),            # bigram "a b" 3x of 5 -> 0.6
+            (2, "x\nx\nx\ny"),             # 4 lines, 2 distinct
+            (3, "all distinct words here"),
+            (4, ""),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(df, "text", "doc_id").collect()}
+    assert out[1].top_bigram_count == 3 and out[1].n_bigrams == 5
+    assert abs(out[1].top_bigram_frac - 0.6) < 1e-9
+    assert abs(out[2].dup_line_ratio - 0.5) < 1e-9
+    assert out[3].top_bigram_count == 1
+    assert out[4].n_bigrams == 0 and out[4].top_bigram_count == 0
