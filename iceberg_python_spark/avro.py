@@ -351,16 +351,78 @@ def read_file(source: Union[str, bytes, BinaryIO]) -> Tuple[Any, Dict[str, bytes
         count = r.read_long()
         size = r.read_long()
         payload = r.read(size)
-        if codec == "deflate":
-            payload = zlib.decompress(payload, -15)
-        elif codec != "null":
-            raise ValueError(f"unsupported Avro codec {codec!r}")
+        payload = _decompress_block(codec, payload)
         br = _Reader(payload)
         for _ in range(count):
             records.append(_decode(schema, br))
         if r.read(SYNC_SIZE) != sync:
             raise ValueError("sync marker mismatch (corrupt Avro block)")
     return schema, meta, records
+
+
+def _compress_block(codec: str, payload: bytes) -> bytes:
+    """Avro block compression (reference avro/codecs/: deflate, bzip2,
+    zstandard, snappy — snappy carries a 4-byte big-endian CRC32 of the
+    UNCOMPRESSED data after the block, avro spec §codecs)."""
+    if codec == "null":
+        return payload
+    if codec == "deflate":
+        c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        return c.compress(payload) + c.flush()
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.compress(payload)
+    if codec == "zstandard":
+        import pyarrow as pa
+
+        return pa.Codec("zstd").compress(payload, asbytes=True)
+    if codec == "snappy":
+        import binascii
+        import struct
+
+        import pyarrow as pa
+
+        comp = pa.Codec("snappy").compress(payload, asbytes=True)
+        return comp + struct.pack(">I", binascii.crc32(payload) & 0xFFFFFFFF)
+    raise ValueError(f"unsupported Avro codec {codec!r}")
+
+
+def _decompress_block(codec: str, payload: bytes) -> bytes:
+    if codec == "null":
+        return payload
+    if codec == "deflate":
+        return zlib.decompress(payload, -15)
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.decompress(payload)
+    if codec == "zstandard":
+        import pyarrow as pa
+
+        # zstd frames don't always carry the content size; stream it
+        stream = pa.input_stream(pa.BufferReader(payload), compression="zstd")
+        return stream.read()
+    if codec == "snappy":
+        import binascii
+        import struct
+
+        import pyarrow as pa
+
+        comp, crc = payload[:-4], payload[-4:]
+        # raw snappy leads with the uncompressed length as a uvarint —
+        # decode it so pyarrow's one-shot decompress knows the output size
+        size = shift = 0
+        for i, b in enumerate(comp):
+            size |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        out = pa.Codec("snappy").decompress(comp, decompressed_size=size, asbytes=True)
+        if binascii.crc32(out) & 0xFFFFFFFF != struct.unpack(">I", crc)[0]:
+            raise ValueError("Avro snappy block CRC mismatch")
+        return out
+    raise ValueError(f"unsupported Avro codec {codec!r}")
 
 
 def write_file(
@@ -379,12 +441,7 @@ def write_file(
     for rec in records:
         _encode(parsed, rec, body)
         n += 1
-    payload = bytes(body)
-    if codec == "deflate":
-        c = zlib.compressobj(6, zlib.DEFLATED, -15)
-        payload = c.compress(payload) + c.flush()
-    elif codec != "null":
-        raise ValueError(f"unsupported Avro codec {codec!r}")
+    payload = _compress_block(codec, bytes(body))
     meta: Dict[str, bytes] = {
         "avro.schema": schema_json.encode("utf-8"),
         "avro.codec": codec.encode("ascii"),

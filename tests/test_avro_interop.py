@@ -64,7 +64,7 @@ RECS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "bzip2", "zstandard", "snappy"])
 def test_ocf_round_trip(tmp_path, codec):
     p = str(tmp_path / "t.avro")
     avro.write_file(p, SCHEMA, RECS, metadata={"m1": "v1"}, codec=codec)
@@ -74,11 +74,12 @@ def test_ocf_round_trip(tmp_path, codec):
     assert meta["avro.codec"] == codec.encode()
 
 
-def test_java_avro_reads_ours(tmp_path, spark):
+@pytest.mark.parametrize("codec", ["deflate", "bzip2", "zstandard", "snappy"])
+def test_java_avro_reads_ours(tmp_path, spark, codec):
     """Cross-implementation: the canonical Java Avro reader must accept
-    our container files byte-for-byte."""
+    our container files byte-for-byte, for every codec we emit."""
     p = str(tmp_path / "x.avro")
-    avro.write_file(p, SCHEMA, RECS, codec="deflate")
+    avro.write_file(p, SCHEMA, RECS, codec=codec)
     jvm = spark._jvm
     reader = jvm.org.apache.avro.file.DataFileReader(
         jvm.java.io.File(p), jvm.org.apache.avro.generic.GenericDatumReader()
