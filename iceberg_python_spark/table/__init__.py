@@ -335,11 +335,16 @@ class Table:
         return con
 
     # -- writes ----------------------------------------------------------------
-    def transaction(self) -> "Transaction":
-        return Transaction(self)
+    def transaction(self, branch: Optional[str] = None) -> "Transaction":
+        return Transaction(self, branch or MAIN_BRANCH)
 
-    def append(self, df: DataFrame, snapshot_properties: Optional[Dict[str, str]] = None) -> None:
-        with self.transaction() as tx:
+    def append(
+        self,
+        df: DataFrame,
+        snapshot_properties: Optional[Dict[str, str]] = None,
+        branch: Optional[str] = None,
+    ) -> None:
+        with self.transaction(branch) as tx:
             tx.append(df, snapshot_properties)
 
     def overwrite(
@@ -347,8 +352,9 @@ class Table:
         df: DataFrame,
         overwrite_filter: Union[str, BooleanExpression] = AlwaysTrue(),
         snapshot_properties: Optional[Dict[str, str]] = None,
+        branch: Optional[str] = None,
     ) -> None:
-        with self.transaction() as tx:
+        with self.transaction(branch) as tx:
             tx.overwrite(df, overwrite_filter, snapshot_properties)
 
     def delete(
@@ -356,8 +362,9 @@ class Table:
         delete_filter: Union[str, BooleanExpression],
         snapshot_properties: Optional[Dict[str, str]] = None,
         mode: Optional[str] = None,
+        branch: Optional[str] = None,
     ) -> None:
-        with self.transaction() as tx:
+        with self.transaction(branch) as tx:
             tx.delete(delete_filter, snapshot_properties, mode=mode)
 
     def compact(
@@ -388,8 +395,13 @@ class Table:
         with self.transaction() as tx:
             tx.rewrite_zorder(cols, bits, target_file_size_bytes, snapshot_properties)
 
-    def dynamic_partition_overwrite(self, df: DataFrame, snapshot_properties: Optional[Dict[str, str]] = None) -> None:
-        with self.transaction() as tx:
+    def dynamic_partition_overwrite(
+        self,
+        df: DataFrame,
+        snapshot_properties: Optional[Dict[str, str]] = None,
+        branch: Optional[str] = None,
+    ) -> None:
+        with self.transaction(branch) as tx:
             tx.dynamic_partition_overwrite(df, snapshot_properties)
 
     def upsert(
@@ -399,8 +411,9 @@ class Table:
         when_matched_update_all: bool = True,
         when_not_matched_insert_all: bool = True,
         mode: Optional[str] = None,
+        branch: Optional[str] = None,
     ) -> UpsertResult:
-        with self.transaction() as tx:
+        with self.transaction(branch) as tx:
             return tx.upsert(df, join_cols, when_matched_update_all, when_not_matched_insert_all, mode=mode)
 
     def add_files(self, file_paths: List[str], snapshot_properties: Optional[Dict[str, str]] = None) -> None:
@@ -502,20 +515,53 @@ class MaintenanceTable:
 
 class Transaction:
     """Groups staged snapshot commits; writes metadata once on exit
-    (reference table/__init__.py:216; CAS via the catalog)."""
+    (reference table/__init__.py:216; CAS via the catalog).
 
-    def __init__(self, table: Table):
+    ``branch`` scopes every write to that ref (reference
+    table/__init__.py:464 — append/overwrite/delete take ``branch``): the
+    write's parent is the branch head, the commit advances only the branch
+    ref, and main / the snapshot log are untouched — the WAP
+    (write-audit-publish) pattern, published later via
+    ``manage_snapshots().set_current_snapshot(ref_name=...)``."""
+
+    def __init__(self, table: Table, branch: str = MAIN_BRANCH):
         self.table = table
         self.metadata = table.metadata  # evolving copy
+        self._branch = branch
+        if branch != MAIN_BRANCH:
+            ref = table.metadata.refs.get(branch)
+            if ref is None:
+                raise ValueError(
+                    f"unknown branch {branch!r} — create it first with "
+                    f"manage_snapshots().create_branch(snapshot_id, {branch!r})"
+                )
+            if ref.type != "branch":
+                raise ValueError(f"ref {branch!r} is a tag; writes need a branch")
         self._dirty = False
         # staged-commit log for CAS-retry rebase (reference
         # table/update/validate.py:41-357): what this transaction did, in
         # terms replayable against a refreshed base
-        self._base_snapshot_id = table.metadata.current_snapshot_id
+        self._base_snapshot_id = self._branch_head_id(table.metadata)
         self._staged: List[Dict[str, Any]] = []
         self._replaying = False
         self._prop_updates: Dict[str, str] = {}
         self._prop_removals: set = set()
+
+    def _branch_head_id(self, meta: TableMetadata) -> Optional[int]:
+        if self._branch == MAIN_BRANCH:
+            return meta.current_snapshot_id
+        ref = meta.refs.get(self._branch)
+        return ref.snapshot_id if ref else None
+
+    def _parent(self) -> Optional[Snapshot]:
+        """The snapshot this transaction's next write builds on: the
+        target branch's head in the evolving txn metadata."""
+        head = self._branch_head_id(self.metadata)
+        return self.metadata.snapshot_by_id(head) if head is not None else None
+
+    def _scan_ref(self) -> Optional[str]:
+        """use_ref for scans that feed writes (None = current/main)."""
+        return None if self._branch == MAIN_BRANCH else self._branch
 
     def __enter__(self) -> "Transaction":
         return self
@@ -753,10 +799,10 @@ class Transaction:
         removed. ``min_input_files=1`` forces a full rewrite."""
         from ..io.bin_packing import ListPacker
 
-        parent = self.metadata.current_snapshot()
+        parent = self._parent()
         if parent is None:
             return
-        tasks = DataScan(self.table, AlwaysTrue(), ("*",), True, None, None, None).plan_files(
+        tasks = DataScan(self.table, AlwaysTrue(), ("*",), True, None, None, self._scan_ref()).plan_files(
             self.metadata
         )
         if not tasks:
@@ -867,10 +913,10 @@ class Transaction:
         data files and all delete files are replaced/absorbed."""
         from ..zorder import zorder_shape
 
-        parent = self.metadata.current_snapshot()
+        parent = self._parent()
         if parent is None:
             return
-        tasks = DataScan(self.table, AlwaysTrue(), ("*",), True, None, None, None).plan_files(
+        tasks = DataScan(self.table, AlwaysTrue(), ("*",), True, None, None, self._scan_ref()).plan_files(
             self.metadata
         )
         if not tasks:
@@ -934,7 +980,7 @@ class Transaction:
             )
         meta = self.metadata
         schema = meta.schema()
-        parent = meta.current_snapshot()
+        parent = self._parent()
         snapshot_id = _new_snapshot_id()
         seq = meta.last_sequence_number + 1
         removed_paths = removed_paths or set()
@@ -1018,11 +1064,23 @@ class Transaction:
             schema_id=schema.schema_id,
         )
         meta.snapshots.append(snapshot)
-        meta.current_snapshot_id = snapshot_id
         meta.last_sequence_number = seq
         meta.last_updated_ms = now_ms
-        meta.refs[MAIN_BRANCH] = SnapshotRef(snapshot_id, "branch")
-        meta.snapshot_log.append(SnapshotLogEntry(snapshot_id, now_ms))
+        if self._branch == MAIN_BRANCH:
+            meta.current_snapshot_id = snapshot_id
+            meta.refs[MAIN_BRANCH] = SnapshotRef(snapshot_id, "branch")
+            # the snapshot log tracks only the main lineage (spec: it is
+            # the current-snapshot history used by timestamp time travel)
+            meta.snapshot_log.append(SnapshotLogEntry(snapshot_id, now_ms))
+        else:
+            old = meta.refs[self._branch]
+            meta.refs[self._branch] = SnapshotRef(
+                snapshot_id,
+                "branch",
+                old.min_snapshots_to_keep,
+                old.max_snapshot_age_ms,
+                old.max_ref_age_ms,
+            )
         self._dirty = True
 
     def _merge_manifests(
@@ -1087,7 +1145,7 @@ class Transaction:
         bound = bind(delete_filter, schema)
         if isinstance(bound, AlwaysFalse):
             return
-        parent = self.metadata.current_snapshot()
+        parent = self._parent()
         all_entries = self.table._live_entries(parent)
         entries = [e for e in all_entries if e["data_file"].get("content", 0) == CONTENT_DATA]
         existing_deletes = [
@@ -1269,7 +1327,7 @@ class Transaction:
             return None if v is None else to_internal(v, part_schema.find_field(name).field_type)
 
         incoming = {tuple(norm(n, v) for n, v in zip(spec.field_names(), t)) for t in incoming}
-        parent = self.metadata.current_snapshot()
+        parent = self._parent()
         removed: Set[str] = set()
         for e in self.table._live_entries(parent):
             d = e["data_file"]
@@ -1395,7 +1453,7 @@ class Transaction:
         """Plan + read the pruned target WITH ``_ips_file``/``_ips_pos``
         row lineage, existing position deletes applied (shared by the CoW
         and MoR upsert paths)."""
-        scan = DataScan(self.table, match_filter, ("*",), True, None, None, None)
+        scan = DataScan(self.table, match_filter, ("*",), True, None, None, self._scan_ref())
         tasks = scan.plan_files(self.metadata)
         return tasks, self._lineage_df(tasks, match_filter)
 
@@ -1515,7 +1573,7 @@ class Transaction:
         schema = self._schema()
         spec = self._spec()
         existing = {
-            e["data_file"]["file_path"] for e in self.table._live_entries(self.metadata.current_snapshot())
+            e["data_file"]["file_path"] for e in self.table._live_entries(self._parent())
         }
         dupes = existing & set(file_paths)
         if dupes:
@@ -1690,9 +1748,10 @@ class Transaction:
     def _validate_against(self, fresh: TableMetadata) -> None:
         """Semantic conflict checks between our base snapshot and the
         refreshed current (reference validate.py:41-357)."""
-        # snapshots added since our base, newest->oldest
+        # snapshots added since our base ON OUR TARGET BRANCH, newest->oldest
         chain: List[Snapshot] = []
-        cur = fresh.current_snapshot()
+        head = self._branch_head_id(fresh)
+        cur = fresh.snapshot_by_id(head) if head is not None else None
         while cur is not None and cur.snapshot_id != self._base_snapshot_id:
             chain.append(cur)
             if cur.parent_snapshot_id is None:
@@ -1709,8 +1768,9 @@ class Transaction:
         needs_live_check = any(s["removed_paths"] for s in self._staged)
         live_paths: Set[str] = set()
         if needs_live_check:
+            head_snap = fresh.snapshot_by_id(head) if head is not None else None
             live_paths = {
-                e["data_file"]["file_path"] for e in self.table._live_entries(fresh.current_snapshot())
+                e["data_file"]["file_path"] for e in self.table._live_entries(head_snap)
             }
         # data files added by the concurrent snapshots
         concurrent_added: List[Dict[str, Any]] = []
