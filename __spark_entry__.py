@@ -239,6 +239,23 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict:
         avro_json = export_avro_metadata(env["customer"], os.path.join(wh_dir, "avro_export_customer"))
         env["customer_avro"] = StaticTable.from_metadata(avro_json, spark)
 
+    def build_wap():
+        # write-audit-publish on a branch: stage an append + delete on the
+        # "audit" branch while main stays pristine, then publish by
+        # fast-forwarding main to the audited branch head
+        nw = create("nation_wap", raw["nation"])
+        nw.manage_snapshots().create_branch(nw.current_snapshot().snapshot_id, "audit").commit()
+        nw.refresh()
+        nw.append(
+            raw["nation"].withColumn("n_nationkey", F.col("n_nationkey") + 100), branch="audit"
+        )
+        nw.refresh()
+        nw.delete("n_nationkey >= 100 and n_nationkey < 110", branch="audit")
+        nw.refresh()
+        nw.manage_snapshots().set_current_snapshot(ref_name="audit").commit()
+        nw.refresh()
+        env["nation_wap"] = nw
+
     def build_docs_dup():
         # duplicated-documents corpus for dedup ops
         docs = raw["documents"]
@@ -249,7 +266,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict:
     builders = [
         build_tt, build_del, build_ups, build_ups_mor, build_dpo, build_inc,
         build_evo, build_mor, build_dv, build_compact, build_addf,
-        build_eqdel, build_avro, build_docs_dup,
+        build_eqdel, build_avro, build_wap, build_docs_dup,
     ]
     with ThreadPoolExecutor(max_workers=8) as pool:
         futs = [pool.submit(b) for b in builders]
@@ -1312,6 +1329,11 @@ def _q_meta_partition_stats(spark, env):
     return t.inspect.partition_statistics()
 
 
+def _q_branch_wap_scan(spark, env):
+    # reads MAIN after the WAP publish: the audited branch state
+    return env["nation_wap"].scan().to_df()
+
+
 def _q_scan_limit(spark, env):
     return env["lineitem"].scan(selected_fields=("l_orderkey",), limit=100).to_df()
 
@@ -1376,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "avro_interop_scan": _q_avro_interop,
             "eq_delete_scan": _q_eq_delete_scan,
             "add_files_partitioned_scan": _q_add_files_scan,
+            "branch_wap_scan": _q_branch_wap_scan,
             "anti_join_customers_no_orders": _q_anti_join_customers,
             # --- aggregation / window surfaces (slots 45-50) ---
             "agg_rollup": _q_agg_rollup,
@@ -1496,6 +1519,11 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT * FROM orders WHERE o_orderkey % 14 = 0"
         ),
         "add_files_partitioned_scan": "SELECT * FROM nation WHERE n_regionkey >= 2",
+        "branch_wap_scan": (
+            "SELECT * FROM (SELECT * FROM nation "
+            "UNION ALL SELECT n_nationkey + 100, n_name, n_regionkey FROM nation) "
+            "WHERE NOT (n_nationkey >= 100 AND n_nationkey < 110)"
+        ),
         "tpch_q4_order_priority": (
             "SELECT o_orderpriority, count(*) AS order_count FROM orders "
             "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-10-01' "
