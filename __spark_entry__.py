@@ -1334,6 +1334,18 @@ def _q_branch_wap_scan(spark, env):
     return env["nation_wap"].scan().to_df()
 
 
+def _q_changelog_scan(spark, env):
+    # row-level CDC over lineitem_mor's history: snapshot 0 appends the
+    # full table, snapshot 1 MoR-deletes l_quantity > 45 (full-file drops
+    # + position deletes — both recovered as 'delete' rows)
+    return (
+        env["lineitem_mor"]
+        .incremental_changelog_scan()
+        .to_df()
+        .drop("_change_snapshot_id")  # engine-generated id; not oracle-comparable
+    )
+
+
 def _q_scan_limit(spark, env):
     return env["lineitem"].scan(selected_fields=("l_orderkey",), limit=100).to_df()
 
@@ -1399,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "eq_delete_scan": _q_eq_delete_scan,
             "add_files_partitioned_scan": _q_add_files_scan,
             "branch_wap_scan": _q_branch_wap_scan,
+            "changelog_scan": _q_changelog_scan,
             "anti_join_customers_no_orders": _q_anti_join_customers,
             # --- aggregation / window surfaces (slots 45-50) ---
             "agg_rollup": _q_agg_rollup,
@@ -1523,6 +1536,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM (SELECT * FROM nation "
             "UNION ALL SELECT n_nationkey + 100, n_name, n_regionkey FROM nation) "
             "WHERE NOT (n_nationkey >= 100 AND n_nationkey < 110)"
+        ),
+        "changelog_scan": (
+            "SELECT *, 'insert' AS _change_type, 0 AS _change_ordinal FROM lineitem "
+            "UNION ALL "
+            "SELECT *, 'delete' AS _change_type, 1 AS _change_ordinal FROM lineitem "
+            "WHERE l_quantity > 45"
         ),
         "tpch_q4_order_priority": (
             "SELECT o_orderpriority, count(*) AS order_count FROM orders "

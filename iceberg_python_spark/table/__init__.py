@@ -317,6 +317,14 @@ class Table:
     ) -> "IncrementalAppendScan":
         return IncrementalAppendScan(self, from_snapshot_id_exclusive, to_snapshot_id_inclusive, row_filter, selected_fields)
 
+    def incremental_changelog_scan(
+        self,
+        from_snapshot_id_exclusive: Optional[int] = None,
+        to_snapshot_id_inclusive: Optional[int] = None,
+        selected_fields: Tuple[str, ...] = ("*",),
+    ) -> "IncrementalChangelogScan":
+        return IncrementalChangelogScan(self, from_snapshot_id_exclusive, to_snapshot_id_inclusive, selected_fields)
+
     def to_df(self) -> DataFrame:
         return self.scan().to_df()
 
@@ -2304,6 +2312,60 @@ class DataScan:
             total = min(total, self.limit)
         return total
 
+    # -- exports (reference table/__init__.py:2300-2503) ----------------------
+    def to_arrow(self):
+        return self.to_df().toArrow()
+
+    def to_arrow_batch_reader(self, batch_size: int = 1 << 16):
+        """Stream the scan as a pyarrow RecordBatchReader (reference
+        table/__init__.py:2318) — batches arrive via Spark's Arrow
+        collect without materializing the whole result driver-side."""
+        import pyarrow as pa
+
+        df = self.to_df()
+        batches = df._collect_as_arrow()  # Arrow-serialized partitions
+        if not batches:
+            empty = df.toArrow()
+            return pa.RecordBatchReader.from_batches(empty.schema, [])
+        schema = batches[0].schema
+
+        def gen():
+            for b in batches:
+                # re-chunk to the requested batch size
+                if b.num_rows <= batch_size:
+                    yield b
+                else:
+                    tbl = pa.Table.from_batches([b])
+                    for chunk in tbl.to_batches(max_chunksize=batch_size):
+                        yield chunk
+
+        return pa.RecordBatchReader.from_batches(schema, gen())
+
+    def to_pandas(self):
+        return self.to_df().toPandas()
+
+    def to_duckdb(self, table_name: str, connection=None):
+        import duckdb
+
+        con = connection or duckdb.connect()
+        arrow_table = self.to_arrow()  # noqa: F841 — registered by name below
+        con.register(table_name, arrow_table)
+        return con
+
+    def to_polars(self):
+        try:
+            import polars  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError("polars is not installed in this environment") from e
+        return polars.from_arrow(self.to_arrow())
+
+    def to_ray(self):
+        try:
+            import ray  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError("ray is not installed in this environment") from e
+        return ray.data.from_arrow(self.to_arrow())
+
 
 def _align_to_schema(df: DataFrame, file_schema: Schema, target: Schema) -> DataFrame:
     """Project a file-schema DataFrame to the target schema by field ID:
@@ -2331,6 +2393,45 @@ def _align_to_schema(df: DataFrame, file_schema: Schema, target: Schema) -> Data
     return df.select(*cols)
 
 
+def _ancestor_chain(
+    meta: TableMetadata, from_id: Optional[int], to_id: Optional[int]
+) -> List[Snapshot]:
+    """Snapshots from ``from_id`` (exclusive) to ``to_id`` (inclusive,
+    default current), oldest first, with strict ancestry validation —
+    silent over-read is a correctness trap for CDC consumers (reference
+    table/__init__.py:2516-2554 raises likewise)."""
+    to_id = to_id if to_id is not None else meta.current_snapshot_id
+    if to_id is None:
+        return []
+    chain: List[Snapshot] = []
+    cur = meta.snapshot_by_id(to_id)
+    while cur is not None:
+        if from_id is not None and cur.snapshot_id == from_id:
+            break
+        chain.append(cur)
+        pid = cur.parent_snapshot_id
+        if pid is None:
+            if from_id is not None:
+                raise ValueError(
+                    f"Starting snapshot {from_id} is not an ancestor of end snapshot {to_id}"
+                )
+            break
+        nxt = meta.snapshot_by_id(pid)
+        if nxt is None:
+            # intermediate parent expired: the walk can't prove ancestry
+            # unless the unresolvable parent IS the exclusive start (an
+            # expired from_id is a valid exclusive bound — its descendants
+            # are all present in the chain)
+            if from_id is not None and pid != from_id:
+                raise ValueError(
+                    f"Starting snapshot {from_id} is not an ancestor of end snapshot "
+                    f"{to_id} (ancestry chain broken at expired snapshot {pid})"
+                )
+            break
+        cur = nxt
+    return list(reversed(chain))
+
+
 class IncrementalAppendScan:
     """Rows appended between two snapshots — append snapshots only,
     ADDED entries only (reference table/__init__.py:2372-2554)."""
@@ -2350,41 +2451,8 @@ class IncrementalAppendScan:
         self.selected_fields = selected_fields
 
     def _snapshot_range(self) -> List[Snapshot]:
-        meta = self.table.metadata
-        to_id = self.to_id if self.to_id is not None else meta.current_snapshot_id
-        if to_id is None:
-            return []
-        chain = []
-        cur = meta.snapshot_by_id(to_id)
-        while cur is not None:
-            if self.from_id is not None and cur.snapshot_id == self.from_id:
-                break
-            chain.append(cur)
-            pid = cur.parent_snapshot_id
-            if pid is None:
-                if self.from_id is not None:
-                    # silent over-read is a correctness trap for CDC consumers
-                    # (reference table/__init__.py:2516-2554 raises likewise)
-                    raise ValueError(
-                        f"Starting snapshot {self.from_id} is not an ancestor of "
-                        f"end snapshot {to_id}"
-                    )
-                break
-            nxt = meta.snapshot_by_id(pid)
-            if nxt is None:
-                # intermediate parent expired: the walk can't prove
-                # ancestry unless the unresolvable parent IS the exclusive
-                # start (an expired from_id is a valid exclusive bound —
-                # its descendants are all present in the chain)
-                if self.from_id is not None and pid != self.from_id:
-                    raise ValueError(
-                        f"Starting snapshot {self.from_id} is not an ancestor of "
-                        f"end snapshot {to_id} (ancestry chain broken at expired "
-                        f"snapshot {pid})"
-                    )
-                break
-            cur = nxt
-        return [s for s in reversed(chain) if s.operation == Operation.APPEND]
+        chain = _ancestor_chain(self.table.metadata, self.from_id, self.to_id)
+        return [s for s in chain if s.operation == Operation.APPEND]
 
     def plan_files(self) -> List[FileScanTask]:
         meta = self.table.metadata
@@ -2431,6 +2499,131 @@ class IncrementalAppendScan:
         if not isinstance(bound, AlwaysTrue):
             df = df.where(to_spark_column(bound))
         return df.select(*[F.col(f.name) for f in projected.fields])
+
+
+class IncrementalChangelogScan:
+    """Row-level changelog between two snapshots — each snapshot's changes
+    tagged ``_change_type`` (insert|delete), ``_change_ordinal``, and
+    ``_change_snapshot_id`` (Iceberg's changelog scan / Spark's
+    ``table_changes``; beyond the reference, which stops at the
+    append-only incremental scan, table/__init__.py:2372).
+
+    Per non-REPLACE snapshot in the range (REPLACE = compaction/clustering
+    rewrites carry no logical change and are skipped):
+
+    - data files added   -> their rows as inserts
+    - data files removed -> their rows as deletes (a CoW rewrite therefore
+      emits delete+insert for carried rows, matching Iceberg's default
+      changelog; consumers wanting net rows aggregate by key downstream)
+    - position-delete files / DVs added -> exactly the deleted rows,
+      recovered by joining the (file, pos) pairs back onto the referenced
+      data files
+
+    Equality deletes in the range raise NotImplementedError (same
+    limitation as Iceberg's changelog reader)."""
+
+    def __init__(
+        self,
+        table: Table,
+        from_snapshot_id_exclusive: Optional[int],
+        to_snapshot_id_inclusive: Optional[int],
+        selected_fields: Tuple[str, ...] = ("*",),
+    ):
+        self.table = table
+        self.from_id = from_snapshot_id_exclusive
+        self.to_id = to_snapshot_id_inclusive
+        self.selected_fields = selected_fields
+
+    def to_df(self) -> DataFrame:
+        meta = self.table.metadata
+        schema = meta.schema()
+        projected = schema.select(*self.selected_fields)
+        spark = self.table.spark
+        chain = _ancestor_chain(meta, self.from_id, self.to_id)
+
+        from pyspark.sql import types as T
+
+        empty_schema = T.StructType(
+            projected.to_spark().fields
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_change_ordinal", T.IntegerType()),
+                T.StructField("_change_snapshot_id", T.LongType()),
+            ]
+        )
+
+        def tag(df: DataFrame, change: str, ordinal: int, snap_id: int) -> DataFrame:
+            return df.select(
+                *[F.col(f.name) for f in projected.fields],
+                F.lit(change).alias("_change_type"),
+                F.lit(ordinal).cast("int").alias("_change_ordinal"),
+                F.lit(snap_id).cast("long").alias("_change_snapshot_id"),
+            )
+
+        def by_content(snap: Optional[Snapshot]):
+            out = {0: {}, 1: {}, 2: {}}
+            if snap is not None:
+                for e in self.table._live_entries(snap):
+                    d = e["data_file"]
+                    out[d.get("content", 0)][d["file_path"]] = d
+            return out
+
+        parts: List[DataFrame] = []
+        prev = by_content(
+            meta.snapshot_by_id(chain[0].parent_snapshot_id)
+            if chain and chain[0].parent_snapshot_id is not None
+            else None
+        )
+        for ordinal, snap in enumerate(chain):
+            cur = by_content(snap)
+            if snap.operation == Operation.REPLACE:
+                prev = cur
+                continue
+            added_data = sorted(set(cur[0]) - set(prev[0]))
+            removed_data = sorted(set(prev[0]) - set(cur[0]))
+            added_pos = sorted(set(cur[1]) - set(prev[1]))
+            added_eq = set(cur[2]) - set(prev[2])
+            if added_eq:
+                raise NotImplementedError(
+                    "changelog over equality-delete snapshots is not supported "
+                    "(same limitation as Iceberg's changelog reader)"
+                )
+            if added_data:
+                parts.append(
+                    tag(_read_data(spark, schema, "PARQUET", added_data), "insert", ordinal, snap.snapshot_id)
+                )
+            if removed_data:
+                parts.append(
+                    tag(_read_data(spark, schema, "PARQUET", removed_data), "delete", ordinal, snap.snapshot_id)
+                )
+            if added_pos:
+                dels = _pos_deletes_df(spark, added_pos)
+                # the (file, pos) pairs reference data files live in the
+                # parent; only the FILE LIST reaches the driver (metadata
+                # scale, like the scan plan itself)
+                ref_paths = sorted(
+                    {r[0] for r in dels.select("file_path").distinct().collect()}
+                )
+                if ref_paths:
+                    src = (
+                        _read_data(spark, schema, "PARQUET", ref_paths)
+                        .withColumn("_ips_file", F.col("_metadata.file_path"))
+                        .withColumn("_ips_pos", F.col("_metadata.row_index"))
+                    )
+                    deleted_rows = src.join(
+                        F.broadcast(dels),
+                        (F.col("_ips_file") == dels.file_path) & (F.col("_ips_pos") == dels.pos),
+                        "inner",
+                    )
+                    parts.append(tag(deleted_rows, "delete", ordinal, snap.snapshot_id))
+            prev = cur
+
+        if not parts:
+            return spark.createDataFrame([], empty_schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
 
 class StaticTable(Table):

@@ -1,0 +1,91 @@
+"""Incremental changelog scan: row-level insert/delete stream between
+snapshots (Iceberg changelog / Spark table_changes shape; beyond the
+reference's append-only incremental scan)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_python_spark.schema import schema_from_spark
+
+
+@pytest.fixture()
+def tbl(catalog, spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "id: long, val: double")
+    t = catalog.create_table("db.chlog", schema_from_spark(df.schema))
+    t.append(df)
+    return t
+
+
+def _changes(t, **kw):
+    rows = t.incremental_changelog_scan(**kw).to_df().collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r._change_ordinal, r._change_type), set()).add(r.id)
+    return by
+
+
+def test_appends_and_mor_delete(tbl, spark):
+    s1 = tbl.current_snapshot().snapshot_id
+    tbl.append(spark.createDataFrame([(100, 1.0), (101, 2.0)], "id: long, val: double"))
+    tbl.refresh()
+    tbl.delete("id >= 98 and id <= 100", mode="merge-on-read")
+    tbl.refresh()
+    by = _changes(tbl, from_snapshot_id_exclusive=s1)
+    assert by[(0, "insert")] == {100, 101}
+    assert by[(1, "delete")] == {98, 99, 100}
+    # full-range scan starts with the initial 100-row insert
+    all_by = _changes(tbl)
+    assert all_by[(0, "insert")] == set(range(100))
+
+
+def test_cow_delete_emits_rewrite_pairs(tbl):
+    s1 = tbl.current_snapshot().snapshot_id
+    tbl.delete("id < 10")  # CoW: rewrites the file(s) holding 0..9
+    tbl.refresh()
+    by = _changes(tbl, from_snapshot_id_exclusive=s1)
+    deleted = by[(0, "delete")]
+    kept_reinserts = by.get((0, "insert"), set())
+    # every dropped row appears as a delete; carried rows appear as
+    # delete+insert pairs (Iceberg default changelog semantics) — net
+    # effect: deletes minus reinserts == rows 0..9
+    assert set(range(10)) <= deleted
+    assert deleted - kept_reinserts == set(range(10))
+
+
+def test_replace_snapshot_skipped(tbl, spark):
+    tbl.delete("id < 5", mode="merge-on-read")
+    tbl.refresh()
+    s2 = tbl.current_snapshot().snapshot_id
+    tbl.compact()
+    tbl.refresh()
+    assert tbl.current_snapshot().operation == "replace"
+    by = _changes(tbl, from_snapshot_id_exclusive=s2)
+    assert by == {}  # compaction is not a logical change
+
+
+def test_dv_delete_rows_recovered(catalog, spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(50)], "id: long, val: double")
+    t = catalog.create_table(
+        "db.chlog_dv",
+        schema_from_spark(df.schema),
+        properties={"write.delete.mode": "merge-on-read", "write.delete.format": "puffin"},
+    )
+    t.append(df)
+    s1 = t.current_snapshot().snapshot_id
+    t.delete("id in (7, 13, 42)")
+    t.refresh()
+    by = _changes(t, from_snapshot_id_exclusive=s1)
+    assert by[(0, "delete")] == {7, 13, 42}
+
+
+def test_eq_delete_raises(tbl, spark):
+    s1 = tbl.current_snapshot().snapshot_id
+    tbl.add_equality_deletes(spark.createDataFrame([(3,)], "id: long"), ["id"])
+    tbl.refresh()
+    with pytest.raises(NotImplementedError, match="equality"):
+        tbl.incremental_changelog_scan(from_snapshot_id_exclusive=s1).to_df()
+
+
+def test_non_ancestor_raises(tbl, spark):
+    with pytest.raises(ValueError, match="not an ancestor"):
+        tbl.incremental_changelog_scan(from_snapshot_id_exclusive=12345).to_df()
