@@ -127,6 +127,23 @@ def incremental_source(table: Table, cursor: Optional[int] = None) -> Tuple[Data
     return df, new_cursor
 
 
+def changelog_source(table: Table, cursor: Optional[int] = None) -> Tuple[DataFrame, Optional[int]]:
+    """Row-level changes (inserts AND deletes) since ``cursor``, plus the
+    new cursor — the full-CDC sibling of :func:`incremental_source`,
+    backed by ``incremental_changelog_scan``. The emitted frame carries
+    ``_change_type`` / ``_change_ordinal`` / ``_change_snapshot_id``, so a
+    downstream ``upsert_stream`` (op_col=\"_change_type\",
+    delete_values=(\"delete\",)) replicates this table into another —
+    table-to-table CDC without an external log."""
+    table.refresh()
+    current = table.current_snapshot()
+    new_cursor = current.snapshot_id if current else cursor
+    df = table.incremental_changelog_scan(
+        from_snapshot_id_exclusive=cursor, to_snapshot_id_inclusive=new_cursor
+    ).to_df()
+    return df, new_cursor
+
+
 def _epoch_us(df: DataFrame, ts_col: str):
     """Epoch-µs long for a timestamp column, robust to both TIMESTAMP and
     TIMESTAMP_NTZ inputs (parquet naive timestamps read as NTZ when

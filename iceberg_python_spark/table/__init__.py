@@ -434,6 +434,10 @@ class Table:
         with self.transaction() as tx:
             tx.register_data_files(data_files, snapshot_properties)
 
+    def rewrite_manifests(self, target_entries: Optional[int] = None) -> int:
+        with self.transaction() as tx:
+            return tx.rewrite_manifests(target_entries)
+
     def set_properties(self, properties: Optional[Dict[str, str]] = None, **kwargs: str) -> None:
         with self.transaction() as tx:
             tx.set_properties(properties, **kwargs)
@@ -1071,6 +1075,12 @@ class Transaction:
             summary=summary,
             schema_id=schema.schema_id,
         )
+        self._register_snapshot(meta, snapshot)
+
+    def _register_snapshot(self, meta: TableMetadata, snapshot: Snapshot) -> None:
+        """Attach a produced snapshot to the txn metadata and advance the
+        target branch ref (main also advances current + the snapshot log)."""
+        snapshot_id, seq, now_ms = snapshot.snapshot_id, snapshot.sequence_number, snapshot.timestamp_ms
         meta.snapshots.append(snapshot)
         meta.last_sequence_number = seq
         meta.last_updated_ms = now_ms
@@ -1090,6 +1100,57 @@ class Transaction:
                 old.max_ref_age_ms,
             )
         self._dirty = True
+
+    def rewrite_manifests(self, target_entries: Optional[int] = None) -> int:
+        """Consolidate small manifests into few large ones WITHOUT touching
+        data files (Iceberg's rewrite_manifests maintenance action — absent
+        from the reference; our commit-time merge covers appends, this
+        covers tables whose manifest count grew through deletes/rewrites).
+        Planning cost is O(manifests), so keeping manifests packed keeps
+        scan planning fast as commit count grows. Returns the number of
+        manifests after the rewrite (0 = nothing to do)."""
+        meta = self.metadata
+        parent = self._parent()
+        if parent is None:
+            return 0
+        schema = meta.schema()
+        manifests_dir = posixpath.join(meta.location, "metadata", "manifests")
+        live = self.table._live_manifests(parent)
+        if target_entries is not None:
+            meta = _dc_replace(
+                meta,
+                properties={**meta.properties, "commit.manifest.target-entries": str(target_entries)},
+            )
+        merged = self._merge_manifests(live, schema, meta, manifests_dir)
+        if len(merged) >= len(live):
+            return 0  # already consolidated
+        snapshot_id = _new_snapshot_id()
+        seq = self.metadata.last_sequence_number + 1
+        manifest_list_path = posixpath.join(manifests_dir, f"snap-{snapshot_id}.parquet")
+        write_manifest_list(manifest_list_path, merged, self.metadata.spec(), schema)
+        total_files = sum(m["added_files_count"] + m["existing_files_count"] for m in merged)
+        total_records = sum(m["added_rows_count"] + m.get("existing_rows_count", 0) for m in merged)
+        summary = build_summary(
+            Operation.REPLACE,
+            added_files=0, added_records=0, added_size=0,
+            deleted_files=0, deleted_records=0, deleted_size=0,
+            total_files=total_files, total_records=total_records,
+            extra={"manifests-replaced": str(len(live)), "manifests-created": str(len(merged))},
+        )
+        now_ms = int(time.time() * 1000)
+        self._register_snapshot(
+            self.metadata,
+            Snapshot(
+                snapshot_id=snapshot_id,
+                parent_snapshot_id=parent.snapshot_id,
+                sequence_number=seq,
+                timestamp_ms=now_ms,
+                manifest_list=manifest_list_path,
+                summary=summary,
+                schema_id=schema.schema_id,
+            ),
+        )
+        return len(merged)
 
     def _merge_manifests(
         self, manifest_files: List[Dict[str, Any]], schema: Schema, meta: TableMetadata, manifests_dir: str

@@ -89,3 +89,45 @@ def test_eq_delete_raises(tbl, spark):
 def test_non_ancestor_raises(tbl, spark):
     with pytest.raises(ValueError, match="not an ancestor"):
         tbl.incremental_changelog_scan(from_snapshot_id_exclusive=12345).to_df()
+
+
+def test_table_to_table_cdc_replication(catalog, spark, tmp_path):
+    """changelog_source -> upsert_stream replicates one engine table into
+    another (inserts + MoR deletes), no external change log."""
+    from iceberg_python_spark.schema import schema_from_spark
+    from iceberg_python_spark.streaming import changelog_source, upsert_stream
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(30)], "id: long, val: double")
+    src = catalog.create_table("db.cdc_src_t", schema_from_spark(df.schema))
+    src.append(df)
+    src.append(spark.createDataFrame([(100, 1.0)], "id: long, val: double"))
+    src.refresh()
+    src.delete("id < 5", mode="merge-on-read")
+    src.refresh()
+
+    changes, cursor = changelog_source(src)
+    assert cursor == src.current_snapshot().snapshot_id
+    # replay the changelog into a replica via the changefeed sink
+    replica = catalog.create_table("db.cdc_replica", schema_from_spark(df.schema))
+    feed_dir = str(tmp_path / "feed")
+    changes.drop("_change_snapshot_id").write.mode("append").parquet(feed_dir)
+    stream = spark.readStream.schema(
+        "id long, val double, _change_type string, _change_ordinal int"
+    ).parquet(feed_dir)
+    q = upsert_stream(
+        stream,
+        replica,
+        str(tmp_path / "ckpt"),
+        join_cols=["id"],
+        dedupe_keep_last_by="_change_ordinal",
+        op_col="_change_type",
+        delete_values=("delete",),
+    )
+    q.awaitTermination(120)
+    replica.refresh()
+    want = {r.id: r.val for r in src.scan().to_df().collect()}
+    got = {r.id: r.val for r in replica.scan().to_df().collect()}
+    assert got == want
+    # incremental poll from the cursor: no further changes
+    more, cursor2 = changelog_source(src, cursor)
+    assert more.count() == 0 and cursor2 == cursor

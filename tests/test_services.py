@@ -141,3 +141,36 @@ def test_manifest_merge_on_append(catalog, spark):
     inc = t.incremental_append_scan(from_snapshot_id_exclusive=snaps[3], to_snapshot_id_inclusive=snaps[4])
     assert inc.to_df().count() == 10
     assert {r.id for r in inc.to_df().collect()} == {400 + i for i in range(10)}
+
+
+def test_rewrite_manifests(catalog, spark):
+    """Manifest consolidation: many per-commit manifests collapse to one
+    without touching data files; scans and incremental history unaffected."""
+    from iceberg_python_spark.schema import schema_from_spark
+    from pyspark.sql import functions as F
+
+    df0 = spark.range(10).withColumn("v", F.col("id"))
+    t = catalog.create_table("db.rwm", schema_from_spark(df0.schema))
+    snaps = []
+    for i in range(5):
+        t.append(spark.range(i * 10, i * 10 + 10).withColumn("v", F.col("id")))
+        t.refresh()
+        snaps.append(t.current_snapshot().snapshot_id)
+    before_files = {e["data_file"]["file_path"] for e in t._live_entries(t.current_snapshot())}
+    n_manifests_before = len(t._live_manifests(t.current_snapshot()))
+    assert n_manifests_before == 5
+    n_after = t.rewrite_manifests()
+    t.refresh()
+    assert n_after == 1
+    assert len(t.metadata.snapshots) == 6
+    assert t.current_snapshot().operation == "replace"
+    # identical data files, identical rows
+    after_files = {e["data_file"]["file_path"] for e in t._live_entries(t.current_snapshot())}
+    assert after_files == before_files
+    assert t.scan().to_df().count() == 50
+    # incremental scan over the historical range still works (old
+    # snapshots keep their own manifest lists)
+    inc = t.incremental_append_scan(from_snapshot_id_exclusive=snaps[2]).to_df()
+    assert inc.count() == 20
+    # idempotent: second call is a no-op
+    assert t.rewrite_manifests() == 0
