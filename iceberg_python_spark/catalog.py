@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .catalog_engines import DuckDBEngine, SqlEngine, SqliteEngine
 from .partitioning import UNPARTITIONED, PartitionSpec
 from .schema import Schema, assign_fresh_ids, schema_from_spark
-from .table import CommitFailedException, StaticTable, Table
+from .table import CommitFailedException, StaticTable, Table, Transaction
 from .table.metadata import SortOrder, TableMetadata, new_table_metadata
 
 Identifier = Tuple[str, ...]
@@ -217,6 +217,36 @@ class SqlCatalog:
             )
         self._write_version_hint(metadata_location)
         return Table(ident, metadata, metadata_location, self, self.spark)
+
+    def create_table_transaction(
+        self,
+        identifier: Union[str, Identifier],
+        schema: Union[Schema, "pyspark.sql.types.StructType"],
+        partition_spec: PartitionSpec = UNPARTITIONED,
+        sort_order: Optional[SortOrder] = None,
+        properties: Optional[Dict[str, str]] = None,
+        location: Optional[str] = None,
+    ) -> "CreateTableTransaction":
+        """Stage a table creation plus writes, committed atomically
+        (reference catalog/__init__.py:396): nothing is visible in the
+        catalog until ``commit_transaction()``; an abandoned transaction
+        leaves no catalog entry. Usage::
+
+            with catalog.create_table_transaction("db.t", schema) as tx:
+                tx.append(df)
+        """
+        from pyspark.sql import types as T
+
+        ident = _to_identifier(identifier)
+        if isinstance(schema, T.StructType):
+            schema = schema_from_spark(schema)
+        location = location or posixpath.join(self.warehouse, *ident)
+        metadata = new_table_metadata(schema, partition_spec, location, properties, sort_order)
+        # no metadata file and no catalog row yet — the sentinel location
+        # only seeds the committed file's version numbering
+        sentinel = posixpath.join(location, "metadata", "00000-staged.metadata.json")
+        table = Table(ident, metadata, sentinel, _StagedCreateCatalog(self), self.spark)
+        return CreateTableTransaction(table)
 
     def create_table_if_not_exists(self, identifier, schema, **kw) -> Table:
         try:
@@ -546,6 +576,60 @@ class SqlCatalog:
         self._write_version_hint(new_location)  # advisory, after the CAS won
         table.metadata = new_metadata
         table.metadata_location = new_location
+
+
+class _StagedCreateCatalog:
+    """Catalog facade for a staged create: the one-and-only commit both
+    registers the table (insert-if-absent) and publishes its metadata."""
+
+    def __init__(self, real: SqlCatalog):
+        self.real = real
+
+    def _commit_table(self, table: Table, new_metadata: "TableMetadata") -> None:
+        real = self.real
+        ident = table.identifier
+        ns, table_name = ".".join(ident[:-1]), ident[-1]
+        if not real.namespace_exists(ns):
+            real.create_namespace(ns)
+        new_location = real._write_metadata(new_metadata, version=1)
+        with real._write_txn() as con:
+            row = con.execute(
+                "SELECT 1 FROM iceberg_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+                (real.name, ns, table_name),
+            ).fetchone()
+            if row is not None:
+                raise TableAlreadyExistsError(".".join(ident))
+            con.execute(
+                "INSERT INTO iceberg_tables VALUES (?, ?, ?, ?, NULL)",
+                (real.name, ns, table_name, new_location),
+            )
+        real._write_version_hint(new_location)
+        table.metadata = new_metadata
+        table.metadata_location = new_location
+        table.catalog = real  # subsequent commits go through the real CAS
+
+    def load_table(self, identifier):
+        raise NoSuchTableError(
+            "staged create: the table is not visible until commit_transaction()"
+        )
+
+
+class CreateTableTransaction(Transaction):
+    """Transaction over a staged (not-yet-registered) table; the commit
+    registers it atomically with every staged write applied (reference
+    CreateTableTransaction, table/__init__.py)."""
+
+    @property
+    def staged_table(self) -> Table:
+        return self.table
+
+    def commit_transaction(self) -> Table:
+        if self._dirty:
+            super().commit_transaction()
+        else:
+            # writeless create: still register the (empty) table
+            self.table.catalog._commit_table(self.table, self.metadata)
+        return self.table
 
 
 class SqliteCatalog(SqlCatalog):

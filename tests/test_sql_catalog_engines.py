@@ -118,3 +118,29 @@ def test_register_table_cross_engine(cat, spark, tmp_path):
     )
     reg = other.register_table("mirror.t", t.metadata_location)
     assert reg.scan().to_df().count() == 10
+
+
+def test_create_table_transaction(cat, spark):
+    """Staged create (reference catalog/__init__.py:396): writes stage
+    against an unregistered table; commit registers it atomically."""
+    df = spark.range(20).withColumn("v", F.col("id") * 3)
+    tx = cat.create_table_transaction("db.staged", df.schema)
+    tx.append(df)
+    tx.append(df.withColumn("id", F.col("id") + 100))
+    # not visible before commit
+    assert not cat.table_exists("db.staged")
+    t = tx.commit_transaction()
+    assert cat.table_exists("db.staged")
+    assert t.scan().to_df().count() == 40
+    assert cat.load_table("db.staged").scan().to_df().count() == 40
+    # duplicate name: staged commit fails, catalog unchanged
+    tx2 = cat.create_table_transaction("db.staged", df.schema)
+    tx2.append(df)
+    with pytest.raises(ips.TableAlreadyExistsError):
+        tx2.commit_transaction()
+    assert cat.load_table("db.staged").scan().to_df().count() == 40
+    # abandoned staged create leaves no catalog entry
+    tx3 = cat.create_table_transaction("db.ghost", df.schema)
+    tx3.append(df)
+    del tx3
+    assert not cat.table_exists("db.ghost")
