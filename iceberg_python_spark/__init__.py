@@ -13,6 +13,7 @@ from .catalog import (
     SqlCatalog,
     SqliteCatalog,
     TableAlreadyExistsError,
+    load_catalog,
 )
 from .catalog_rest import RestCatalog
 from .partitioning import UNPARTITIONED, PartitionField, PartitionSpec, spec_from_names
@@ -20,6 +21,7 @@ from .schema import Schema, schema_from_spark
 from .table import CommitFailedException, DataScan, StaticTable, Table, Transaction, UpsertResult
 
 __all__ = [
+    "load_catalog",
     "SqlCatalog",
     "SqliteCatalog",
     "DuckDBCatalog",

@@ -23,7 +23,7 @@ import os
 import posixpath
 import uuid
 from contextlib import contextmanager
-from typing import Any, Dict, Iterator, List, Optional, Tuple, Union
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple, Union
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -144,6 +144,45 @@ class SqlCatalog:
                 f"INSERT INTO iceberg_namespace_properties VALUES (?, ?, ?){suffix}",
                 (self.name, ns, json.dumps(properties or {})),
             )
+
+    def create_namespace_if_not_exists(
+        self, namespace: Union[str, Identifier], properties: Optional[Dict[str, str]] = None
+    ) -> None:
+        self.create_namespace(namespace, properties)  # create is already idempotent
+
+    def update_namespace_properties(
+        self,
+        namespace: Union[str, Identifier],
+        removals: Optional[Sequence[str]] = None,
+        updates: Optional[Dict[str, str]] = None,
+    ) -> Dict[str, List[str]]:
+        """Merge-update namespace properties (reference
+        catalog/__init__.py update_namespace_properties); returns the
+        reference's summary shape {updated, removed, missing}."""
+        ns = ".".join(_to_identifier(namespace))
+        removals = list(removals or [])
+        updates = dict(updates or {})
+        overlap = set(removals) & set(updates)
+        if overlap:
+            raise ValueError(f"properties in both removals and updates: {sorted(overlap)}")
+        with self._write_txn() as con:
+            row = con.execute(
+                "SELECT properties FROM iceberg_namespace_properties WHERE catalog_name=? AND namespace=?",
+                (self.name, ns),
+            ).fetchone()
+            if row is None:
+                raise NoSuchNamespaceError(ns)
+            props = json.loads(row[0] or "{}")
+            removed = [k for k in removals if k in props]
+            missing = [k for k in removals if k not in props]
+            for k in removed:
+                del props[k]
+            props.update(updates)
+            con.execute(
+                "UPDATE iceberg_namespace_properties SET properties=? WHERE catalog_name=? AND namespace=?",
+                (json.dumps(props), self.name, ns),
+            )
+        return {"updated": sorted(updates), "removed": removed, "missing": missing}
 
     def list_namespaces(self) -> List[Identifier]:
         with self._conn() as con:
@@ -576,6 +615,36 @@ class SqlCatalog:
         self._write_version_hint(new_location)  # advisory, after the CAS won
         table.metadata = new_metadata
         table.metadata_location = new_location
+
+
+def load_catalog(name: str, spark: SparkSession, **properties: str) -> "SqlCatalog":
+    """Catalog factory keyed on the ``type`` property (reference
+    catalog/__init__.py load_catalog / infer_catalog_type): ``sql`` /
+    ``sqlite`` (default), ``duckdb``, ``in-memory``, ``rest`` (needs
+    ``uri``). ``warehouse`` names the data/metadata root. Hive / Glue /
+    DynamoDB / BigQuery types raise — their SDKs and services are not
+    available in this environment."""
+    ctype = properties.get("type")
+    uri = properties.get("uri")
+    if ctype is None:
+        ctype = "rest" if uri and uri.startswith("http") else "sql"
+    warehouse = properties.get("warehouse", f"/tmp/{name}_warehouse")
+    if ctype in ("sql", "sqlite"):
+        return SqliteCatalog(name, warehouse, spark, db_path=properties.get("db_path"))
+    if ctype == "duckdb":
+        return DuckDBCatalog(name, warehouse, spark, db_path=properties.get("db_path"))
+    if ctype in ("in-memory", "memory"):
+        return InMemoryCatalog(name, warehouse, spark)
+    if ctype == "rest":
+        from .catalog_rest import RestCatalog
+
+        return RestCatalog(name, uri, spark, warehouse=properties.get("warehouse"), properties=properties)
+    if ctype in ("hive", "glue", "dynamodb", "bigquery"):
+        raise NotImplementedError(
+            f"catalog type {ctype!r} needs a live service and an SDK not available here; "
+            "use 'sql', 'duckdb', 'in-memory', or 'rest'"
+        )
+    raise ValueError(f"unknown catalog type {ctype!r}")
 
 
 class _StagedCreateCatalog:

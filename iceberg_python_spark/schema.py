@@ -143,6 +143,21 @@ class Schema:
     def to_spark(self) -> T.StructType:
         return T.StructType([_to_spark_field(f) for f in self.fields])
 
+    def as_arrow(self) -> "pyarrow.Schema":
+        """The schema as a pyarrow Schema (reference schema.py
+        ``Schema.as_arrow`` / pyarrow_schema visitor), via Spark's own
+        Arrow type mapping so exports agree with ``to_arrow`` outputs."""
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(self.to_spark())
+
+    def name_mapping(self) -> "NameMapping":
+        """Default name mapping for this schema (reference schema.py
+        name_mapping property)."""
+        from .name_mapping import NameMapping
+
+        return NameMapping.from_schema(self)
+
 
 def promote(file_type: IcebergType, read_type: IcebergType) -> bool:
     """True if a value of file_type may be read as read_type

@@ -144,3 +144,29 @@ def test_create_table_transaction(cat, spark):
     tx3.append(df)
     del tx3
     assert not cat.table_exists("db.ghost")
+
+
+def test_load_catalog_factory_and_ns_properties(spark, tmp_path):
+    from iceberg_python_spark.catalog import load_catalog
+
+    for ctype in ("sql", "duckdb", "in-memory"):
+        c = load_catalog(f"lc_{ctype.replace('-','_')}", spark, type=ctype, warehouse=str(tmp_path / ctype))
+        c.create_namespace("db", {"a": "1", "b": "2"})
+        summary = c.update_namespace_properties("db", removals=["b", "zz"], updates={"c": "3"})
+        assert summary == {"updated": ["c"], "removed": ["b"], "missing": ["zz"]}
+        assert c.load_namespace_properties("db") == {"a": "1", "c": "3"}
+        c.create_namespace_if_not_exists("db")
+        assert c.load_namespace_properties("db") == {"a": "1", "c": "3"}
+    with pytest.raises(NotImplementedError, match="hive"):
+        load_catalog("h", spark, type="hive")
+
+
+def test_schema_as_arrow_and_name_mapping(spark):
+    from iceberg_python_spark.schema import schema_from_spark
+
+    df = spark.range(1).withColumn("s", F.lit("x"))
+    sch = schema_from_spark(df.schema)
+    pa_schema = sch.as_arrow()
+    assert [f.name for f in pa_schema] == ["id", "s"]
+    nm = sch.name_mapping()
+    assert nm.id_for("id") == sch.find_field("id").field_id
