@@ -1022,6 +1022,19 @@ class Transaction:
                 path = posixpath.join(manifests_dir, f"manifest-{uuid.uuid4()}.parquet")
                 new_manifest_files.append(write_manifest(path, keep, schema, spec))
 
+        # v3 row lineage (spec first-row-id; reference update/__init__.py:
+        # 447-468): each committed data file gets the base of its implicit
+        # _row_id range; the table's next-row-id advances by rows assigned
+        snapshot_first_row_id: Optional[int] = None
+        if meta.format_version >= 3:
+            cursor = meta.next_row_id or 0
+            snapshot_first_row_id = cursor
+            for f in added_files:
+                if f.get("content", CONTENT_DATA) == CONTENT_DATA:
+                    f["first_row_id"] = cursor
+                    cursor += f.get("record_count", 0)
+            meta.next_row_id = cursor
+
         if added_files:
             # one manifest per (spec, content): a manifest must be all-data
             # or all-deletes — its descriptor carries a single content flag
@@ -1074,6 +1087,7 @@ class Transaction:
             manifest_list=manifest_list_path,
             summary=summary,
             schema_id=schema.schema_id,
+            first_row_id=snapshot_first_row_id,
         )
         self._register_snapshot(meta, snapshot)
 
@@ -2236,17 +2250,30 @@ class DataScan:
         return tasks
 
     # -- execution ----------------------------------------------------------
-    def to_df(self) -> DataFrame:
-        return self._to_df_of(self.table.metadata)
+    def to_df(self, row_lineage: bool = False) -> DataFrame:
+        return self._to_df_of(self.table.metadata, row_lineage=row_lineage)
 
-    def _to_df_of(self, metadata: TableMetadata) -> DataFrame:
+    def _to_df_of(self, metadata: TableMetadata, row_lineage: bool = False) -> DataFrame:
         spark = self.table.spark
         snap = self._snapshot(metadata)
         schema = self._scan_schema(metadata, snap)
         projected = self.projection(metadata)
+        if row_lineage and metadata.format_version < 3:
+            raise ValueError("row lineage needs a format-version 3 table (next-row-id)")
         tasks = self.plan_files(metadata)
         if not tasks:
-            return spark.createDataFrame([], schema=projected.to_spark())
+            out_schema = projected.to_spark()
+            if row_lineage:
+                from pyspark.sql import types as T
+
+                out_schema = T.StructType(
+                    out_schema.fields
+                    + [
+                        T.StructField("_row_id", T.LongType()),
+                        T.StructField("_last_updated_sequence_number", T.LongType()),
+                    ]
+                )
+            return spark.createDataFrame([], schema=out_schema)
 
         # group by (file schema, format, applicable equality deletes) for
         # field-ID-correct reads (schema evolution: renamed/added columns
@@ -2284,6 +2311,12 @@ class DataScan:
                     schema_id=file_schema.schema_id,
                 )
             df = _read_data(spark, file_schema, fmt, [t.file_path for t in group])
+            if row_lineage:
+                # capture physical lineage BEFORE joins/projections lose
+                # the _metadata pseudo-column
+                df = df.withColumn("_ips_lineage_file", F.col("_metadata.file_path")).withColumn(
+                    "_ips_lineage_pos", F.col("_metadata.row_index")
+                )
             delete_paths = sorted({p for t in group for p in t.delete_files})
             if delete_paths:
                 # MoR: drop positions listed in delete files via a
@@ -2301,14 +2334,44 @@ class DataScan:
                 )
             if eq_set:
                 df = _apply_equality_deletes(spark, df, eq_set, file_schema)
-            df = _align_to_schema(df, file_schema, schema)
+            df = _align_to_schema(
+                df,
+                file_schema,
+                schema,
+                passthrough=("_ips_lineage_file", "_ips_lineage_pos") if row_lineage else (),
+            )
             dfs.append(df)
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
         if bound is not None and not isinstance(bound, AlwaysTrue):
             out = out.where(to_spark_column(bound))
-        out = out.select(*[F.col(f.name) for f in projected.fields])
+        sel = [F.col(f.name) for f in projected.fields]
+        if row_lineage:
+            # v3 row lineage: _row_id = the file's assigned first-row-id +
+            # physical position; _last_updated_sequence_number = the file's
+            # data sequence number (spec implicit lineage columns). The
+            # per-file bases broadcast-join on the scheme-normalized path.
+            lineage_rows = [
+                (
+                    _strip_uri_scheme(t.file_path),
+                    t.data_file.get("first_row_id"),
+                    t.sequence_number,
+                )
+                for t in tasks
+            ]
+            lmap = spark.createDataFrame(lineage_rows, "lfile: string, lfirst: long, lseq: long")
+            lf = F.col("_ips_lineage_file")
+            norm = F.when(
+                lf.startswith("file:"),
+                F.concat(F.lit("/"), F.regexp_replace(lf, "^file:/*", "")),
+            ).otherwise(lf)
+            out = out.join(F.broadcast(lmap), norm == F.col("lfile"), "left")
+            sel += [
+                (F.col("lfirst") + F.col("_ips_lineage_pos")).alias("_row_id"),
+                F.col("lseq").alias("_last_updated_sequence_number"),
+            ]
+        out = out.select(*sel)
         if self.limit is not None:
             out = out.limit(self.limit)
         return out
@@ -2428,7 +2491,7 @@ class DataScan:
         return ray.data.from_arrow(self.to_arrow())
 
 
-def _align_to_schema(df: DataFrame, file_schema: Schema, target: Schema) -> DataFrame:
+def _align_to_schema(df: DataFrame, file_schema: Schema, target: Schema, passthrough: Sequence[str] = ()) -> DataFrame:
     """Project a file-schema DataFrame to the target schema by field ID:
     rename, cast (promotion), fill initial-default/null for added columns
     (reference ArrowProjectionVisitor io/pyarrow.py:1931-2104)."""
@@ -2451,6 +2514,7 @@ def _align_to_schema(df: DataFrame, file_schema: Schema, target: Schema) -> Data
             if old_field.field_type != field.field_type:
                 c = c.cast(spark_t)
             cols.append(c.alias(field.name))
+    cols += [F.col(name) for name in passthrough]
     return df.select(*cols)
 
 

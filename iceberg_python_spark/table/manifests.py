@@ -112,6 +112,9 @@ def _stats_to_json(data_file: Mapping[str, Any], schema: Schema) -> str:
         for k in ("content_offset", "content_size_in_bytes"):
             if data_file.get(k) is not None:
                 out[k] = int(data_file[k])
+    if data_file.get("first_row_id") is not None:
+        # v3 row lineage (spec data_file field 142)
+        out["first_row_id"] = int(data_file["first_row_id"])
     for key in ("value_counts", "null_value_counts", "nan_value_counts"):
         m = data_file.get(key) or {}
         out[key] = {str(k): int(v) for k, v in m.items()}
@@ -142,6 +145,8 @@ def _stats_from_json(s: Optional[str], schema: Schema) -> Dict[str, Dict[int, An
         for key in ("content_offset", "content_size_in_bytes"):
             if raw.get(key) is not None:
                 out[key] = int(raw[key])
+    if raw.get("first_row_id") is not None:
+        out["first_row_id"] = int(raw["first_row_id"])
     for key in ("value_counts", "null_value_counts", "nan_value_counts"):
         out[key] = {int(k): int(v) for k, v in (raw.get(key) or {}).items()}
     for key in ("lower_bounds", "upper_bounds"):

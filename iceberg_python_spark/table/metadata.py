@@ -137,6 +137,9 @@ class TableMetadata:
     # file-size-in-bytes); reference table/statistics.py
     # PartitionStatisticsFile
     partition_statistics: List[Dict[str, Any]] = field(default_factory=list)
+    # v3 row lineage: the next unassigned implicit row id (reference
+    # table/metadata.py:574; commits assign snapshot.first-row-id from it)
+    next_row_id: Optional[int] = None
 
     # -- lookups -----------------------------------------------------------
     def schema(self) -> Schema:
@@ -209,6 +212,7 @@ class TableMetadata:
             "refs": {k: v.to_dict() for k, v in self.refs.items()},
             "statistics": self.statistics,
             "partition-statistics": self.partition_statistics,
+            **({"next-row-id": self.next_row_id} if self.next_row_id is not None else {}),
         }
 
     @classmethod
@@ -259,6 +263,7 @@ class TableMetadata:
             refs={k: SnapshotRef.from_dict(v) for k, v in d.get("refs", {}).items()},
             statistics=d.get("statistics", []),
             partition_statistics=d.get("partition-statistics", []),
+            next_row_id=d.get("next-row-id"),
         )
 
     def write(self, path: str) -> None:
@@ -281,8 +286,14 @@ def new_table_metadata(
     sort_order: Optional[SortOrder] = None,
 ) -> TableMetadata:
     last_partition_id = max([f.field_id for f in spec.fields], default=999)
+    # "format-version" table property picks the spec version at create
+    # time (2 = default; 3 enables row lineage — next-row-id starts at 0)
+    fv = int((properties or {}).get("format-version", "2"))
+    if fv not in (1, 2, 3):
+        raise ValueError(f"unsupported format-version {fv}")
     return TableMetadata(
-        format_version=2,
+        format_version=fv,
+        next_row_id=0 if fv >= 3 else None,
         table_uuid=str(uuid.uuid4()),
         location=location,
         last_sequence_number=0,

@@ -27,13 +27,17 @@ class Snapshot:
     manifest_list: str  # path to the manifest-list parquet
     summary: Dict[str, Any]
     schema_id: int
+    # v3 row lineage (spec: first-row-id; reference table/metadata.py:574
+    # next-row-id and update/__init__.py:447-468 assignment): the base of
+    # the implicit _row_id range this snapshot's new rows occupy
+    first_row_id: Optional[int] = None
 
     @property
     def operation(self) -> str:
         return self.summary.get("operation", Operation.APPEND)
 
     def to_dict(self) -> Dict[str, Any]:
-        return {
+        d = {
             "snapshot-id": self.snapshot_id,
             "parent-snapshot-id": self.parent_snapshot_id,
             "sequence-number": self.sequence_number,
@@ -42,6 +46,9 @@ class Snapshot:
             "summary": self.summary,
             "schema-id": self.schema_id,
         }
+        if self.first_row_id is not None:
+            d["first-row-id"] = self.first_row_id
+        return d
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "Snapshot":
@@ -53,6 +60,7 @@ class Snapshot:
             manifest_list=d["manifest-list"],
             summary=d.get("summary", {}),
             schema_id=d.get("schema-id", 0),
+            first_row_id=d.get("first-row-id"),
         )
 
 

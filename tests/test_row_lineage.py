@@ -1,0 +1,66 @@
+"""v3 row lineage: next-row-id / first-row-id assignment at commit
+(reference table/metadata.py:574 + update/__init__.py:447-468) and the
+implicit _row_id / _last_updated_sequence_number scan columns."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_python_spark.schema import schema_from_spark
+from iceberg_python_spark.table.metadata import TableMetadata
+
+
+@pytest.fixture()
+def v3(catalog, spark):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    return catalog.create_table(
+        "db.v3lineage", schema_from_spark(df.schema), properties={"format-version": "3"}
+    ), df
+
+
+def test_assignment_and_scan(v3, spark):
+    t, df = v3
+    assert t.metadata.format_version == 3 and t.metadata.next_row_id == 0
+    t.append(df)
+    t.refresh()
+    s1 = t.current_snapshot()
+    assert s1.first_row_id == 0
+    assert t.metadata.next_row_id == 100
+    t.append(spark.range(100, 130).withColumn("v", F.col("id")))
+    t.refresh()
+    s2 = t.current_snapshot()
+    assert s2.first_row_id == 100
+    assert t.metadata.next_row_id == 130
+    out = t.scan().to_df(row_lineage=True)
+    rows = out.collect()
+    ids = sorted(r._row_id for r in rows)
+    # 130 rows, globally unique contiguous row ids
+    assert ids == list(range(130))
+    # batch-2 rows carry the later sequence number
+    seq_by_batch = {r.id >= 100 for r in rows}
+    by_new = {r._row_id for r in rows if r._last_updated_sequence_number == s2.sequence_number}
+    assert by_new == set(range(100, 130))
+    # metadata JSON round-trips next-row-id and first-row-id
+    again = TableMetadata.read(t.metadata_location)
+    assert again.next_row_id == 130
+    assert again.current_snapshot().first_row_id == 100
+
+
+def test_row_ids_stable_under_mor_delete(v3, spark):
+    t, df = v3
+    t.append(df)
+    t.refresh()
+    before = {r.id: r._row_id for r in t.scan().to_df(row_lineage=True).collect()}
+    t.delete("id < 10", mode="merge-on-read")
+    t.refresh()
+    after = {r.id: r._row_id for r in t.scan().to_df(row_lineage=True).collect()}
+    assert set(after) == set(range(10, 100))
+    for k, v in after.items():
+        assert before[k] == v  # surviving rows keep their row ids
+
+
+def test_v2_table_rejects_lineage(catalog, spark):
+    df = spark.range(5).withColumn("v", F.col("id"))
+    t = catalog.create_table("db.v2nolineage", schema_from_spark(df.schema))
+    t.append(df)
+    with pytest.raises(ValueError, match="format-version 3"):
+        t.scan().to_df(row_lineage=True)
