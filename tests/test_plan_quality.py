@@ -69,3 +69,44 @@ def test_broadcast_join_on_small_dim(table, spark):
     li = table.scan().to_df()
     joined = li.join(F.broadcast(nation), li.l_suppkey == nation.s_suppkey)
     assert "BroadcastHashJoin" in _plan(joined)
+
+
+def _fresh_li(spark, tmp_path_factory, name):
+    """Own table per test: the module `table` fixture is mutated (MoR
+    delete) by earlier tests, and clone_table needs a delete-free source."""
+    from iceberg_python_spark import SqliteCatalog
+
+    cat = SqliteCatalog(name, str(tmp_path_factory.mktemp(f"wh_{name}")), spark)
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    schema = schema_from_spark(df.schema)
+    t = cat.create_table("db.li", schema, partition_spec=spec_from_names(schema, ("l_shipdate", "month")))
+    t.append(df)
+    return cat, t
+
+
+def test_clone_preserves_plan_quality(spark, tmp_path_factory):
+    """A metadata-only clone must plan exactly like its source: partition
+    pruning (file-count drop) and pushed filters both survive the clone."""
+    cat, table = _fresh_li(spark, tmp_path_factory, "cloneplan")
+    clone = cat.clone_table("db.li", "db.li_clone")
+    full = clone.scan().plan_files(clone.metadata)
+    pruned = clone.scan(row_filter="l_shipdate < '1996-01-01'").plan_files(clone.metadata)
+    assert 0 < len(pruned) < len(full)
+    src_pruned = table.scan(row_filter="l_shipdate < '1996-01-01'").plan_files(table.metadata)
+    assert {t.file_path for t in pruned} == {t.file_path for t in src_pruned}
+    plan = _plan(clone.scan(row_filter="l_quantity > 45", selected_fields=("l_orderkey", "l_quantity")).to_df())
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema
+
+
+def test_changelog_scan_no_shuffle_for_appends(spark, tmp_path_factory):
+    """Append-only changelog ranges read files directly — no join, no
+    shuffle (Exchange) in the plan."""
+    cat, table = _fresh_li(spark, tmp_path_factory, "chlogplan")
+    df = table.scan().to_df()
+    t = cat.clone_table("db.li", "db.li_chlog")
+    t.append(df.limit(100))
+    t.refresh()
+    out = t.incremental_changelog_scan().to_df()
+    plan = _plan(out.select("l_orderkey", "_change_type"))
+    assert "Exchange" not in plan, plan
