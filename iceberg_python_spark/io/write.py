@@ -27,7 +27,7 @@ import datetime as _dt
 import os
 import posixpath
 import urllib.parse
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,7 +55,7 @@ HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 BOUND_TRUNCATE = 16
 
 
-def coerce_to_table_schema(df: DataFrame, schema: Schema) -> DataFrame:
+def coerce_to_table_schema(df: DataFrame, schema: Schema, keep_extra: Sequence[str] = ()) -> DataFrame:
     """Align an input DataFrame to the table schema by name: reorder, cast,
     and attach parquet field IDs (write-side analogue of reference
     io/pyarrow.py:2846 _check_pyarrow_schema_compatible)."""
@@ -91,6 +91,8 @@ def coerce_to_table_schema(df: DataFrame, schema: Schema) -> DataFrame:
                 .cast(to_spark_type(field.field_type))
                 .alias(field.name, metadata={"parquet.field.id": field.field_id})
             )
+    df_names = {f.name for f in df.schema.fields}
+    cols += [F.col(n) for n in keep_extra if n in df_names]
     return df.select(*cols)
 
 
@@ -103,15 +105,19 @@ def write_data_files(
     commit_uuid: str,
     properties: Optional[Dict[str, str]] = None,
     sort_columns: Optional[List[Tuple[str, bool, bool]]] = None,
+    extra_columns: Sequence[str] = (),
 ) -> List[Dict[str, Any]]:
     """Write ``df`` as new parquet data files; return DataFile dicts.
+
+    ``extra_columns``: physical passthrough columns outside the table
+    schema (v3 materialized ``_row_id``) written alongside the data.
 
     ``sort_columns``: (name, ascending, nulls_first) honored via
     sortWithinPartitions (improves on the reference, which records sort
     orders but does not yet sort on write — io/pyarrow.py:2768).
     """
     properties = properties or {}
-    df = coerce_to_table_schema(df, schema)
+    df = coerce_to_table_schema(df, schema, keep_extra=extra_columns)
     out_dir = posixpath.join(location, "data", commit_uuid)
 
     writer_df = df

@@ -123,6 +123,35 @@ def _pos_delete_schema() -> Schema:
     return POS_DELETE_SCHEMA
 
 
+def _norm_lineage_file(col: Column) -> Column:
+    """Scheme-normalize a `_metadata.file_path` URI Spark-side so it
+    compares equal to the plain paths manifests store (file:/a and
+    file:///a both become /a; other schemes pass through)."""
+    return F.when(
+        col.startswith("file:"),
+        F.concat(F.lit("/"), F.regexp_replace(col, "^file:/*", "")),
+    ).otherwise(col)
+
+
+def _with_materialized_row_ids(
+    spark: SparkSession, src: DataFrame, data_files: List[Dict[str, Any]], seqs: List[int]
+) -> DataFrame:
+    """Resolve each row's v3 _row_id on a lineage read: an already-
+    materialized _row_id column wins, else the row inherits
+    file.first_row_id + physical position (spec row-lineage inheritance).
+    ``src`` must carry _ips_file/_ips_pos and a (possibly-null) _row_id."""
+    rows = [
+        (_strip_uri_scheme(d["file_path"]), d.get("first_row_id"), int(s))
+        for d, s in zip(data_files, seqs)
+    ]
+    lmap = spark.createDataFrame(rows, "lfile: string, lfirst: long, lseq: long")
+    joined = src.join(
+        F.broadcast(lmap), _norm_lineage_file(F.col("_ips_file")) == F.col("lfile"), "left"
+    )
+    resolved = F.coalesce(F.col("_row_id"), F.col("lfirst") + F.col("_ips_pos"))
+    return joined.withColumn("_row_id", resolved).drop("lfile", "lfirst", "lseq")
+
+
 def _pos_deletes_df(spark, delete_paths) -> DataFrame:
     """All position-delete rows from a mixed set of delete files: parquet
     position deletes and/or v3 deletion-vector Puffin files, unioned to
@@ -189,7 +218,13 @@ def _read_paths(spark: SparkSession, spark_schema, fmt: str, paths: List[str]) -
     return reader.parquet(*paths)
 
 
-def _read_data(spark: SparkSession, file_schema: Schema, fmt: str, paths: List[str]) -> DataFrame:
+def _read_data(
+    spark: SparkSession,
+    file_schema: Schema,
+    fmt: str,
+    paths: List[str],
+    extra_spark_fields: Sequence["T.StructField"] = (),
+) -> DataFrame:
     """Data-file read honoring v3 read semantics:
 
     - ``timestamp_ns``/``timestamptz_ns`` columns are stored as parquet
@@ -205,14 +240,20 @@ def _read_data(spark: SparkSession, file_schema: Schema, fmt: str, paths: List[s
     readable_fields = [f for f in file_schema.fields if not isinstance(f.field_type, UnknownType)]
     if len(readable_fields) != len(file_schema.fields):
         file_schema = Schema(*readable_fields, schema_id=file_schema.schema_id)
+    from pyspark.sql import types as T
+
     ns_fields = {
         f.name: f.field_type
         for f in file_schema.fields
         if isinstance(f.field_type, (TimestampNanoType, TimestamptzNanoType))
     }
     if not ns_fields:
-        return _read_paths(spark, file_schema.to_spark(), fmt, paths)
-    from pyspark.sql import types as T
+        base = file_schema.to_spark()
+        if extra_spark_fields:
+            # optional physical columns (e.g. materialized v3 _row_id);
+            # files lacking them read as NULL
+            base = T.StructType(list(base.fields) + list(extra_spark_fields))
+        return _read_paths(spark, base, fmt, paths)
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     base = file_schema.to_spark()
@@ -221,6 +262,7 @@ def _read_data(spark: SparkSession, file_schema: Schema, fmt: str, paths: List[s
             T.StructField(f.name, T.LongType(), f.nullable, f.metadata) if f.name in ns_fields else f
             for f in base.fields
         ]
+        + list(extra_spark_fields)
     )
     df = _read_paths(spark, patched, fmt, paths)
     for name, t in ns_fields.items():
@@ -641,7 +683,7 @@ class Transaction:
                 out.append((name, f.direction == "asc", f.null_order == "nulls-first"))
         return out or None
 
-    def _write_files(self, df: DataFrame) -> List[Dict[str, Any]]:
+    def _write_files(self, df: DataFrame, extra_columns: Sequence[str] = ()) -> List[Dict[str, Any]]:
         return write_data_files(
             self._spark(),
             df,
@@ -651,6 +693,7 @@ class Transaction:
             commit_uuid=str(uuid.uuid4()),
             properties=self.metadata.properties,
             sort_columns=self._sort_columns(),
+            extra_columns=extra_columns,
         )
 
     def _write_position_deletes(self, data_paths: List[str], bound: BooleanExpression) -> List[Dict[str, Any]]:
@@ -845,14 +888,16 @@ class Transaction:
                     keep.extend(b)
         if not rewrite:
             return
-        current = self._lineage_df(rewrite).drop("_ips_file", "_ips_pos")
+        current = self._rewrite_source_df(rewrite)
         # merge toward target size: without this the write keeps the input
         # split count and fragments survive (coalesce, not repartition —
         # no shuffle, compaction is supposed to be IO-shaped)
         total_bytes = sum(t.data_file.get("file_size_in_bytes", 0) for t in rewrite)
         n_out = max(1, -(-total_bytes // target))
         current = current.coalesce(int(n_out))
-        files = self._write_files(current)
+        files = self._write_files(
+            current, extra_columns=("_row_id",) if self.metadata.format_version >= 3 else ()
+        )
         removed = {t.file_path for t in rewrite}
         kept_paths = {t.file_path for t in keep}
         # A delete file is absorbed (droppable) iff no KEPT data file can
@@ -938,7 +983,7 @@ class Transaction:
         )
         total_bytes = sum(t.data_file.get("file_size_in_bytes", 0) for t in tasks)
         n_out = max(1, -(-total_bytes // target))
-        current = self._lineage_df(tasks).drop("_ips_file", "_ips_pos")
+        current = self._rewrite_source_df(tasks)
         schema = self._schema()
         spec = self._spec()
         extra = [col for _name, col in spec.spark_partition_columns(schema)] if not spec.is_unpartitioned else []
@@ -954,6 +999,7 @@ class Transaction:
             # away the range clustering; sort order handled by the curve
             properties={**self.metadata.properties, "write.distribution-mode": "none"},
             sort_columns=None,
+            extra_columns=("_row_id",) if self.metadata.format_version >= 3 else (),
         )
         removed = {t.file_path for t in tasks}
         removed |= {
@@ -1294,13 +1340,29 @@ class Transaction:
                 for d, s in zip(partial, partial_seqs)
             ]
             any_deletes = any(t.delete_files or t.eq_delete_files for t in partial_tasks)
-            src = self._lineage_df(partial_tasks).drop("_ips_file", "_ips_pos")
+            v3_lineage = self.metadata.format_version >= 3
+            if v3_lineage:
+                # v3 rewrites must PRESERVE row ids (spec: materialize
+                # _row_id into rewritten files; null = inherit from the
+                # new file's base, so already-materialized ids win)
+                from pyspark.sql import types as T
+
+                src = self._lineage_df(
+                    partial_tasks,
+                    extra_spark_fields=[T.StructField("_row_id", T.LongType())],
+                )
+                src = _with_materialized_row_ids(spark, src, partial, partial_seqs)
+                src = src.drop("_ips_file", "_ips_pos")
+            else:
+                src = self._lineage_df(partial_tasks).drop("_ips_file", "_ips_pos")
             n_before = src.count() if any_deletes else sum(d["record_count"] for d in partial)
             pred = to_spark_column(bound)
             # keep rows where the predicate is NOT true (null-safe complement,
             # reference io/pyarrow.py:1093 _expression_to_complementary_pyarrow)
             remaining = src.where(~F.coalesce(pred, F.lit(False)))
-            added = self._write_files(remaining)
+            added = self._write_files(
+                remaining, extra_columns=("_row_id",) if v3_lineage else ()
+            )
             n_after = sum(f["record_count"] for f in added)
             if n_after == n_before:
                 # nothing actually matched in the partial files; drop rewrite
@@ -1472,7 +1534,8 @@ class Transaction:
         if mode == "merge-on-read":
             return self._upsert_mor(src, join_cols, match_filter, when_matched_update_all, when_not_matched_insert_all)
 
-        tasks, tgt = self._target_with_lineage(match_filter)
+        v3_lineage = self.metadata.format_version >= 3
+        tasks, tgt = self._target_with_lineage(match_filter, with_row_ids=v3_lineage)
         tgt = tgt.cache()
         # _metadata.file_path is a URI (file:/…); manifests store the plan
         # path — map back by scheme-normalized FULL path. Basenames are NOT
@@ -1507,54 +1570,110 @@ class Transaction:
                 # filter: their non-matching rows must be carried into the
                 # rewrite (tgt is key-pruned, so it can't provide them)
                 aff_tasks = [t for t in tasks if t.file_path in affected]
-                keep = (
-                    self._lineage_df(aff_tasks)
-                    .join(upd_keys, join_cols, "left_anti")
-                    .select(*schema.column_names)
-                )
+                keep_cols = list(schema.column_names) + (["_row_id"] if v3_lineage else [])
+                if v3_lineage:
+                    from pyspark.sql import types as T
+
+                    keep_src = self._lineage_df(
+                        aff_tasks, extra_spark_fields=[T.StructField("_row_id", T.LongType())]
+                    )
+                    keep_src = _with_materialized_row_ids(
+                        self._spark(),
+                        keep_src,
+                        [t.data_file for t in aff_tasks],
+                        [t.sequence_number for t in aff_tasks],
+                    )
+                else:
+                    keep_src = self._lineage_df(aff_tasks)
+                keep = keep_src.join(upd_keys, join_cols, "left_anti").select(*keep_cols)
                 parts.append(keep)
-                parts.append(updated.select(*[src[c] for c in schema.column_names]))
+                upd_cols = [src[c] for c in schema.column_names]
+                if v3_lineage:
+                    # an UPDATE preserves the row's identity: the target's
+                    # resolved _row_id rides with the new values (spec)
+                    upd_cols.append(tgt["_row_id"])
+                parts.append(updated.select(*upd_cols))
         if when_not_matched_insert_all:
             inserts = src.join(tgt.select(*join_cols), join_cols, "left_anti").cache()
             rows_inserted = inserts.count()
             if rows_inserted:
-                parts.append(inserts.select(*schema.column_names))
+                ins_cols = [F.col(c) for c in schema.column_names]
+                if v3_lineage:
+                    ins_cols.append(F.lit(None).cast("long").alias("_row_id"))
+                parts.append(inserts.select(*ins_cols))
         if parts:
             to_write = parts[0]
             for p in parts[1:]:
                 to_write = to_write.unionByName(p)
-            files = self._write_files(to_write)
+            files = self._write_files(
+                to_write, extra_columns=("_row_id",) if v3_lineage else ()
+            )
             op = Operation.OVERWRITE if affected else Operation.APPEND
             self._commit_snapshot(op, files, removed_paths=affected)
         for cached in (src, tgt) + ((updated,) if updated is not None else ()):
             cached.unpersist()
         return UpsertResult(rows_updated=rows_updated, rows_inserted=rows_inserted)
 
+    def _rewrite_source_df(self, tasks: List["FileScanTask"]) -> DataFrame:
+        """Rows of the given tasks for a rewrite (compaction/z-order):
+        on v3 tables the resolved _row_id rides along so rewrites
+        preserve row identity (spec: rewritten files materialize ids)."""
+        if self.metadata.format_version >= 3:
+            from pyspark.sql import types as T
+
+            df = self._lineage_df(
+                tasks, extra_spark_fields=[T.StructField("_row_id", T.LongType())]
+            )
+            df = _with_materialized_row_ids(
+                self._spark(), df, [t.data_file for t in tasks], [t.sequence_number for t in tasks]
+            )
+            return df.drop("_ips_file", "_ips_pos")
+        return self._lineage_df(tasks).drop("_ips_file", "_ips_pos")
+
     def _target_with_lineage(
-        self, match_filter: BooleanExpression
+        self, match_filter: BooleanExpression, with_row_ids: bool = False
     ) -> Tuple[List["FileScanTask"], DataFrame]:
         """Plan + read the pruned target WITH ``_ips_file``/``_ips_pos``
         row lineage, existing position deletes applied (shared by the CoW
-        and MoR upsert paths)."""
+        and MoR upsert paths). ``with_row_ids`` adds a resolved v3
+        ``_row_id`` column (materialized-or-inherited)."""
         scan = DataScan(self.table, match_filter, ("*",), True, None, None, self._scan_ref())
         tasks = scan.plan_files(self.metadata)
-        return tasks, self._lineage_df(tasks, match_filter)
+        if not with_row_ids:
+            return tasks, self._lineage_df(tasks, match_filter)
+        from pyspark.sql import types as T
 
-    def _lineage_df(self, tasks: List["FileScanTask"], row_filter: Optional[BooleanExpression] = None) -> DataFrame:
+        df = self._lineage_df(
+            tasks, match_filter, extra_spark_fields=[T.StructField("_row_id", T.LongType())]
+        )
+        df = _with_materialized_row_ids(
+            self._spark(), df, [t.data_file for t in tasks], [t.sequence_number for t in tasks]
+        )
+        return tasks, df
+
+    def _lineage_df(
+        self,
+        tasks: List["FileScanTask"],
+        row_filter: Optional[BooleanExpression] = None,
+        extra_spark_fields: Sequence["T.StructField"] = (),
+    ) -> DataFrame:
         """Read the given tasks with ``_ips_file``/``_ips_pos`` lineage
         columns, applicable position deletes anti-joined away, and an
-        optional row filter."""
+        optional row filter. ``extra_spark_fields``: optional physical
+        columns (v3 materialized ``_row_id``; NULL where absent)."""
         schema = self._schema()
         spark = self._spark()
-        if not tasks:
-            from pyspark.sql import types as T
+        from pyspark.sql import types as T
 
+        if not tasks:
             empty = T.StructType(
                 schema.to_spark().fields
+                + list(extra_spark_fields)
                 + [T.StructField("_ips_file", T.StringType()), T.StructField("_ips_pos", T.LongType())]
             )
             return spark.createDataFrame([], empty)
-        df = spark.read.schema(schema.to_spark()).parquet(*[t.file_path for t in tasks])
+        read_schema = T.StructType(list(schema.to_spark().fields) + list(extra_spark_fields))
+        df = spark.read.schema(read_schema).parquet(*[t.file_path for t in tasks])
         df = df.withColumn("_ips_file", F.col("_metadata.file_path")).withColumn(
             "_ips_pos", F.col("_metadata.row_index")
         )
@@ -1581,7 +1700,9 @@ class Transaction:
                 parts = []
                 for eq_set, grp in by_eq.items():
                     sub = self._lineage_df(
-                        [_dc_replace(t, eq_delete_files=()) for t in grp], None
+                        [_dc_replace(t, eq_delete_files=()) for t in grp],
+                        None,
+                        extra_spark_fields=extra_spark_fields,
                     )
                     parts.append(_apply_equality_deletes(spark, sub, eq_set, schema))
                 df = parts[0]
@@ -2310,13 +2431,27 @@ class DataScan:
                     ],
                     schema_id=file_schema.schema_id,
                 )
-            df = _read_data(spark, file_schema, fmt, [t.file_path for t in group])
             if row_lineage:
-                # capture physical lineage BEFORE joins/projections lose
-                # the _metadata pseudo-column
-                df = df.withColumn("_ips_lineage_file", F.col("_metadata.file_path")).withColumn(
-                    "_ips_lineage_pos", F.col("_metadata.row_index")
+                from pyspark.sql import types as T
+
+                # read any materialized _row_id (v3 rewrites preserve row
+                # ids by writing them; NULL where absent) and capture
+                # physical lineage BEFORE joins/projections lose the
+                # _metadata pseudo-column
+                df = _read_data(
+                    spark,
+                    file_schema,
+                    fmt,
+                    [t.file_path for t in group],
+                    extra_spark_fields=[T.StructField("_row_id", T.LongType())],
                 )
+                df = (
+                    df.withColumnRenamed("_row_id", "_ips_mat_row_id")
+                    .withColumn("_ips_lineage_file", F.col("_metadata.file_path"))
+                    .withColumn("_ips_lineage_pos", F.col("_metadata.row_index"))
+                )
+            else:
+                df = _read_data(spark, file_schema, fmt, [t.file_path for t in group])
             delete_paths = sorted({p for t in group for p in t.delete_files})
             if delete_paths:
                 # MoR: drop positions listed in delete files via a
@@ -2338,7 +2473,11 @@ class DataScan:
                 df,
                 file_schema,
                 schema,
-                passthrough=("_ips_lineage_file", "_ips_lineage_pos") if row_lineage else (),
+                passthrough=(
+                    ("_ips_mat_row_id", "_ips_lineage_file", "_ips_lineage_pos")
+                    if row_lineage
+                    else ()
+                ),
             )
             dfs.append(df)
         out = dfs[0]
@@ -2361,14 +2500,17 @@ class DataScan:
                 for t in tasks
             ]
             lmap = spark.createDataFrame(lineage_rows, "lfile: string, lfirst: long, lseq: long")
-            lf = F.col("_ips_lineage_file")
-            norm = F.when(
-                lf.startswith("file:"),
-                F.concat(F.lit("/"), F.regexp_replace(lf, "^file:/*", "")),
-            ).otherwise(lf)
-            out = out.join(F.broadcast(lmap), norm == F.col("lfile"), "left")
+            out = out.join(
+                F.broadcast(lmap),
+                _norm_lineage_file(F.col("_ips_lineage_file")) == F.col("lfile"),
+                "left",
+            )
             sel += [
-                (F.col("lfirst") + F.col("_ips_lineage_pos")).alias("_row_id"),
+                # materialized ids (v3 rewrite preservation) win; null
+                # inherits file base + physical position (spec)
+                F.coalesce(
+                    F.col("_ips_mat_row_id"), F.col("lfirst") + F.col("_ips_lineage_pos")
+                ).alias("_row_id"),
                 F.col("lseq").alias("_last_updated_sequence_number"),
             ]
         out = out.select(*sel)

@@ -64,3 +64,54 @@ def test_v2_table_rejects_lineage(catalog, spark):
     t.append(df)
     with pytest.raises(ValueError, match="format-version 3"):
         t.scan().to_df(row_lineage=True)
+
+
+def test_cow_delete_preserves_row_ids(v3, spark):
+    t, df = v3
+    t.append(df)
+    t.refresh()
+    before = {r.id: r._row_id for r in t.scan().to_df(row_lineage=True).collect()}
+    t.delete("id < 10")  # CoW rewrite
+    t.refresh()
+    after = {r.id: r._row_id for r in t.scan().to_df(row_lineage=True).collect()}
+    assert set(after) == set(range(10, 100))
+    for k, v in after.items():
+        assert before[k] == v  # carried rows keep their identity
+
+
+def test_upsert_preserves_updated_row_ids(v3, spark):
+    t, df = v3
+    t.append(df)
+    t.refresh()
+    before = {r.id: r._row_id for r in t.scan().to_df(row_lineage=True).collect()}
+    src = spark.createDataFrame([(5, 999), (7, 888), (500, 1)], "id: long, v: long")
+    res = t.upsert(src, join_cols=["id"])
+    assert res.rows_updated == 2 and res.rows_inserted == 1
+    t.refresh()
+    rows = {r.id: r for r in t.scan().to_df(row_lineage=True).collect()}
+    # updated rows keep their row id with the new values
+    assert rows[5]._row_id == before[5] and rows[5].v == 999
+    assert rows[7]._row_id == before[7] and rows[7].v == 888
+    # carried rows untouched; the insert got a fresh id beyond the old range
+    assert rows[3]._row_id == before[3]
+    assert rows[500]._row_id not in set(before.values())
+    # ids stay globally unique
+    ids = [r._row_id for r in rows.values()]
+    assert len(ids) == len(set(ids))
+
+
+def test_compaction_preserves_row_ids(v3, spark):
+    t, df = v3
+    t.append(df.where("id < 50"))
+    t.refresh()
+    t.append(df.where("id >= 50"))
+    t.refresh()
+    before = {r.id: r._row_id for r in t.scan().to_df(row_lineage=True).collect()}
+    t.delete("id in (1, 2)", mode="merge-on-read")
+    t.refresh()
+    t.compact(min_input_files=1)
+    t.refresh()
+    after = {r.id: r._row_id for r in t.scan().to_df(row_lineage=True).collect()}
+    assert set(after) == set(range(100)) - {1, 2}
+    for k, v in after.items():
+        assert before[k] == v
