@@ -256,6 +256,14 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict:
         nw.refresh()
         env["nation_wap"] = nw
 
+    def build_v3_lineage():
+        # v3 row lineage: ids assigned at append, preserved through a CoW
+        # delete rewrite (rewritten files materialize _row_id)
+        nl = create("nation_v3", raw["nation"], properties={"format-version": "3"})
+        nl.delete("n_regionkey == 2")
+        nl.refresh()
+        env["nation_v3"] = nl
+
     def build_docs_dup():
         # duplicated-documents corpus for dedup ops
         docs = raw["documents"]
@@ -266,7 +274,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict:
     builders = [
         build_tt, build_del, build_ups, build_ups_mor, build_dpo, build_inc,
         build_evo, build_mor, build_dv, build_compact, build_addf,
-        build_eqdel, build_avro, build_wap, build_docs_dup,
+        build_eqdel, build_avro, build_wap, build_v3_lineage, build_docs_dup,
     ]
     with ThreadPoolExecutor(max_workers=8) as pool:
         futs = [pool.submit(b) for b in builders]
@@ -1334,6 +1342,21 @@ def _q_branch_wap_scan(spark, env):
     return env["nation_wap"].scan().to_df()
 
 
+def _q_row_lineage_invariants(spark, env):
+    # v3 _row_id invariants after append + CoW delete: every surviving row
+    # keeps a unique id from the original assignment range. (The exact
+    # row->id mapping depends on file order, so the oracle pins the
+    # INVARIANTS — count, uniqueness, range — which are deterministic.)
+    t = env["nation_v3"]
+    out = t.scan().to_df(row_lineage=True)
+    n_total = env["raw"]["nation"].count()
+    return out.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (F.countDistinct("_row_id") == F.count("*")).alias("ids_unique"),
+        ((F.min("_row_id") >= 0) & (F.max("_row_id") < n_total)).alias("ids_in_range"),
+    )
+
+
 def _q_changelog_scan(spark, env):
     # row-level CDC over lineitem_mor's history: snapshot 0 appends the
     # full table, snapshot 1 MoR-deletes l_quantity > 45 (full-file drops
@@ -1412,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "add_files_partitioned_scan": _q_add_files_scan,
             "branch_wap_scan": _q_branch_wap_scan,
             "changelog_scan": _q_changelog_scan,
+            "row_lineage_invariants": _q_row_lineage_invariants,
             "anti_join_customers_no_orders": _q_anti_join_customers,
             # --- aggregation / window surfaces (slots 45-50) ---
             "agg_rollup": _q_agg_rollup,
@@ -1542,6 +1566,10 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT *, 'delete' AS _change_type, 1 AS _change_ordinal FROM lineitem "
             "WHERE l_quantity > 45"
+        ),
+        "row_lineage_invariants": (
+            "SELECT count(*) AS n_rows, true AS ids_unique, true AS ids_in_range "
+            "FROM nation WHERE NOT (n_regionkey = 2)"
         ),
         "tpch_q4_order_priority": (
             "SELECT o_orderpriority, count(*) AS order_count FROM orders "
