@@ -1727,7 +1727,8 @@ class Transaction:
         position deletes + re-appended rows; all files land in ONE
         OVERWRITE snapshot."""
         schema = self._schema()
-        _tasks, tgt = self._target_with_lineage(match_filter)
+        v3_lineage = self.metadata.format_version >= 3
+        _tasks, tgt = self._target_with_lineage(match_filter, with_row_ids=v3_lineage)
         tgt = tgt.cache()
 
         non_key = [c for c in schema.column_names if c not in join_cols]
@@ -1744,7 +1745,14 @@ class Transaction:
                 added_files += self._write_pos_delete_rows(
                     joined.select(F.col("_ips_file").alias("file_path"), F.col("_ips_pos").alias("pos"))
                 )
-                added_files += self._write_files(joined.select(*[src[c] for c in schema.column_names]))
+                upd_cols = [src[c] for c in schema.column_names]
+                if v3_lineage:
+                    # re-appended updated rows keep the target row's id
+                    upd_cols.append(tgt["_row_id"])
+                added_files += self._write_files(
+                    joined.select(*upd_cols),
+                    extra_columns=("_row_id",) if v3_lineage else (),
+                )
         if when_not_matched_insert_all:
             inserts = src.join(tgt.select(*join_cols), join_cols, "left_anti").cache()
             rows_inserted = inserts.count()

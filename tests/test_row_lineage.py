@@ -115,3 +115,19 @@ def test_compaction_preserves_row_ids(v3, spark):
     assert set(after) == set(range(100)) - {1, 2}
     for k, v in after.items():
         assert before[k] == v
+
+
+def test_mor_upsert_preserves_updated_row_ids(v3, spark):
+    t, df = v3
+    t.append(df)
+    t.refresh()
+    before = {r.id: r._row_id for r in t.scan().to_df(row_lineage=True).collect()}
+    src = spark.createDataFrame([(11, 111), (600, 6)], "id: long, v: long")
+    res = t.upsert(src, join_cols=["id"], mode="merge-on-read")
+    assert res.rows_updated == 1 and res.rows_inserted == 1
+    t.refresh()
+    rows = {r.id: r for r in t.scan().to_df(row_lineage=True).collect()}
+    assert rows[11]._row_id == before[11] and rows[11].v == 111
+    assert rows[600]._row_id not in set(before.values())
+    ids = [r._row_id for r in rows.values()]
+    assert len(ids) == len(set(ids))
