@@ -65,6 +65,26 @@ def _main(argv=None) -> int:
     p.add_argument("identifier")
     p.add_argument("columns", help="comma-separated column list to cluster on")
     p.add_argument("--bits", type=int, default=16)
+    p = sub.add_parser("clone")
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--snapshot-id", type=int, default=None)
+    p = sub.add_parser("create-branch")
+    p.add_argument("identifier")
+    p.add_argument("branch")
+    p.add_argument("--snapshot-id", type=int, default=None)
+    p = sub.add_parser("create-tag")
+    p.add_argument("identifier")
+    p.add_argument("tag")
+    p.add_argument("--snapshot-id", type=int, default=None)
+    p = sub.add_parser("publish")
+    p.add_argument("identifier")
+    p.add_argument("branch", help="fast-forward main to this ref")
+    p = sub.add_parser("rewrite-manifests")
+    p.add_argument("identifier")
+    p = sub.add_parser("expire-snapshots")
+    p.add_argument("identifier")
+    p.add_argument("--older-than-ms", type=int, required=True)
 
     args = ap.parse_args(argv)
 
@@ -75,6 +95,9 @@ def _main(argv=None) -> int:
     def table():
         t = cat.load_table(args.identifier)
         return t
+
+    def table_for(ident):
+        return cat.load_table(ident)
 
     if args.cmd == "list-namespaces":
         for ns in cat.list_namespaces():
@@ -146,6 +169,33 @@ def _main(argv=None) -> int:
         cols = [c.strip() for c in args.columns.split(",") if c.strip()]
         spark_cat.load_table(args.identifier).rewrite_zorder(cols, bits=args.bits)
         print(f"z-ordered {args.identifier} on {cols}")
+    elif args.cmd == "clone":
+        cat.clone_table(args.src, args.dst, snapshot_id=args.snapshot_id)
+        print(f"cloned {args.src} -> {args.dst} (metadata only)")
+    elif args.cmd == "create-branch":
+        t = table_for(args.identifier)
+        sid = args.snapshot_id or t.current_snapshot().snapshot_id
+        t.manage_snapshots().create_branch(sid, args.branch).commit()
+        print(f"branch {args.branch} -> {sid}")
+    elif args.cmd == "create-tag":
+        t = table_for(args.identifier)
+        sid = args.snapshot_id or t.current_snapshot().snapshot_id
+        t.manage_snapshots().create_tag(sid, args.tag).commit()
+        print(f"tag {args.tag} -> {sid}")
+    elif args.cmd == "publish":
+        t = table_for(args.identifier)
+        t.manage_snapshots().set_current_snapshot(ref_name=args.branch).commit()
+        print(f"published {args.branch} to main")
+    elif args.cmd == "rewrite-manifests":
+        t = table_for(args.identifier)
+        n = t.rewrite_manifests()
+        print(f"rewrote manifests: {n if n else 'already consolidated'}")
+    elif args.cmd == "expire-snapshots":
+        spark_cat = SqliteCatalog(args.catalog, args.warehouse, spark=_spark())
+        removed = spark_cat.load_table(args.identifier).expire_snapshots().expire_older_than(
+            args.older_than_ms
+        ).commit()
+        print(f"expired; removed {len(removed)} orphaned files")
     return 0
 
 

@@ -141,6 +141,21 @@ def test_cli(catalog, table, warehouse):
     assert "DATA" in out.stdout
     out = run("describe", "db.extras")
     assert json.loads(out.stdout)["name"] == "db.extras"
+    # round-6 verbs: clone / branch / tag / publish / rewrite-manifests
+    out = run("clone", "db.extras", "db.extras_clone")
+    assert out.returncode == 0, out.stderr
+    out = run("files", "db.extras_clone")
+    assert "DATA" in out.stdout
+    out = run("create-branch", "db.extras", "dev")
+    assert out.returncode == 0, out.stderr
+    out = run("create-tag", "db.extras", "v1")
+    assert out.returncode == 0, out.stderr
+    out = run("list-refs", "db.extras")
+    assert "dev\tbranch" in out.stdout and "v1\ttag" in out.stdout
+    out = run("publish", "db.extras", "dev")
+    assert out.returncode == 0, out.stderr
+    out = run("rewrite-manifests", "db.extras")
+    assert out.returncode == 0, out.stderr
 
 
 def test_set_remove_properties(spark, tmp_path):
