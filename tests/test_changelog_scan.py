@@ -131,3 +131,58 @@ def test_table_to_table_cdc_replication(catalog, spark, tmp_path):
     # incremental poll from the cursor: no further changes
     more, cursor2 = changelog_source(src, cursor)
     assert more.count() == 0 and cursor2 == cursor
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_changelog_replay_reconstructs_state(catalog, spark, seed):
+    """Property: replaying the full changelog (last change per key wins,
+    deletes drop the key) reconstructs the table's current state, for a
+    randomized append/MoR-delete/MoR-upsert history."""
+    import random
+
+    rng = random.Random(seed)
+    t = catalog.create_table(
+        f"db.chprop_{seed}",
+        schema_from_spark(spark.createDataFrame([(0, 0)], "id: long, v: long").schema),
+    )
+    next_id = 0
+    live = set()
+    for step in range(5):
+        op = rng.choice(["append", "delete", "upsert"]) if live else "append"
+        if op == "append":
+            n = rng.randint(3, 8)
+            rows = [(next_id + i, rng.randint(0, 99)) for i in range(n)]
+            next_id += n
+            t.append(spark.createDataFrame(rows, "id: long, v: long"))
+            live |= {r[0] for r in rows}
+        elif op == "delete":
+            victims = sorted(rng.sample(sorted(live), min(3, len(live))))
+            t.delete(f"id in ({', '.join(map(str, victims))})", mode="merge-on-read")
+            live -= set(victims)
+        else:
+            keys = sorted(rng.sample(sorted(live), min(2, len(live))))
+            rows = [(k, rng.randint(100, 199)) for k in keys] + [(next_id, 1)]
+            live.add(next_id)
+            next_id += 1
+            t.upsert(spark.createDataFrame(rows, "id: long, v: long"),
+                     join_cols=["id"], mode="merge-on-read")
+        t.refresh()
+
+    changes = t.incremental_changelog_scan().to_df()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(
+        F.col("_change_ordinal").desc(),
+        # within one ordinal an upsert emits delete(old)+insert(new):
+        # the insert is the final state
+        F.when(F.col("_change_type") == "insert", 1).otherwise(0).desc(),
+    )
+    final = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1 AND _change_type = 'insert'")
+        .select("id", "v")
+    )
+    want = {(r.id, r.v) for r in t.scan().to_df().collect()}
+    got = {(r.id, r.v) for r in final.collect()}
+    assert got == want
+    assert {r[0] for r in want} == live
