@@ -1327,6 +1327,16 @@ def _q_meta_partitions(spark, env):
     return env["lineitem"].inspect.partitions()
 
 
+def _q_meta_partitions_rowcounts(spark, env):
+    # HARD cross-check: partition-level record counts from MANIFEST
+    # METADATA must equal counts computed from the data itself (the
+    # oracle rebuilds the month-transform key from raw lineitem)
+    return (
+        env["lineitem"].inspect.partitions()
+        .select("partition_json", F.col("record_count").cast("long").alias("record_count"))
+    )
+
+
 def _q_meta_partition_stats(spark, env):
     # partition-statistics file: compute once for the current snapshot,
     # then read back the registered parquet (spec PartitionStatisticsFile)
@@ -1436,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "branch_wap_scan": _q_branch_wap_scan,
             "changelog_scan": _q_changelog_scan,
             "row_lineage_invariants": _q_row_lineage_invariants,
+            "meta_partitions_rowcounts": _q_meta_partitions_rowcounts,
             "anti_join_customers_no_orders": _q_anti_join_customers,
             # --- aggregation / window surfaces (slots 45-50) ---
             "agg_rollup": _q_agg_rollup,
@@ -1570,6 +1581,12 @@ def oracle_sql() -> dict[str, str]:
         "row_lineage_invariants": (
             "SELECT count(*) AS n_rows, true AS ids_unique, true AS ids_in_range "
             "FROM nation WHERE NOT (n_regionkey = 2)"
+        ),
+        "meta_partitions_rowcounts": (
+            "SELECT '{\"l_shipdate_month\": ' || "
+            "((year(l_shipdate) - 1970) * 12 + month(l_shipdate) - 1) || '}' AS partition_json, "
+            "count(*) AS record_count FROM lineitem "
+            "GROUP BY (year(l_shipdate) - 1970) * 12 + month(l_shipdate) - 1"
         ),
         "tpch_q4_order_priority": (
             "SELECT o_orderpriority, count(*) AS order_count FROM orders "
