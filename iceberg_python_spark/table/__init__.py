@@ -23,6 +23,7 @@ parquet), joins for upsert chosen by Catalyst/AQE.
 
 from __future__ import annotations
 
+import copy
 import json
 import os
 import posixpath
@@ -483,6 +484,34 @@ class Table:
     def set_properties(self, properties: Optional[Dict[str, str]] = None, **kwargs: str) -> None:
         with self.transaction() as tx:
             tx.set_properties(properties, **kwargs)
+
+    def upgrade_format_version(self, version: int) -> None:
+        """Upgrade the table's spec version (reference
+        UpgradeFormatVersionUpdate, table/update/__init__.py:90;
+        downgrades rejected). v3 initializes row-lineage next-row-id —
+        existing rows inherit ids from each file's base on first
+        assignment-bearing commit."""
+        cur = self.metadata.format_version
+        if version < cur:
+            raise ValueError(f"cannot downgrade format version {cur} -> {version}")
+        if version == cur:
+            return
+        if version not in (2, 3):
+            raise ValueError(f"unsupported format version {version}")
+        meta = copy.deepcopy(self.metadata)
+        meta.format_version = version
+        if version >= 3 and meta.next_row_id is None:
+            # existing data files have no first-row-id; start the counter
+            # past the current row count so future assignment never
+            # collides with ids later backfilled for old files
+            total = sum(
+                e["data_file"].get("record_count", 0)
+                for e in self._live_entries(meta.current_snapshot())
+                if e["data_file"].get("content", 0) == 0
+            )
+            meta.next_row_id = total
+        meta.last_updated_ms = int(time.time() * 1000)
+        self.catalog._commit_table(self, meta)
 
     def remove_properties(self, *removals: str) -> None:
         with self.transaction() as tx:

@@ -170,6 +170,23 @@ class InspectTable:
                 return self._spark.read.parquet(to_local(s["statistics-path"]))
         raise ValueError(f"no partition statistics registered for snapshot {sid}")
 
+    def position_deletes(self, snapshot_id: Optional[int] = None) -> DataFrame:
+        """The live position-delete rows (file_path, pos) of a snapshot —
+        Iceberg's position_deletes metadata table (Spark exposes it as
+        db.table.position_deletes). Parquet pos-delete files and Puffin
+        deletion vectors both expand into the same shape."""
+        from . import _pos_deletes_df
+
+        snap = self._snap(snapshot_id)
+        paths = sorted(
+            e["data_file"]["file_path"]
+            for e in (self.table._live_entries(snap) if snap else [])
+            if e["data_file"].get("content", 0) == 1
+        )
+        if not paths:
+            return self._spark.createDataFrame([], "file_path: string, pos: long")
+        return _pos_deletes_df(self._spark, paths)
+
     def all_files(self) -> DataFrame:
         """Files across every snapshot (reference inspect.py all_files)."""
         dfs = [self.files(s.snapshot_id) for s in self.table.metadata.snapshots]

@@ -174,3 +174,33 @@ def test_rewrite_manifests(catalog, spark):
     assert inc.count() == 20
     # idempotent: second call is a no-op
     assert t.rewrite_manifests() == 0
+
+
+def test_upgrade_format_version_and_position_deletes(catalog, spark):
+    from iceberg_python_spark.schema import schema_from_spark
+    from pyspark.sql import functions as F
+    import pytest as _pytest
+
+    df = spark.range(50).withColumn("v", F.col("id"))
+    t = catalog.create_table("db.upgr", schema_from_spark(df.schema))
+    t.append(df)
+    assert t.metadata.format_version == 2
+    t.delete("id < 5", mode="merge-on-read")
+    t.refresh()
+    # position_deletes metadata table exposes the live (file, pos) rows
+    pd_rows = t.inspect.position_deletes().collect()
+    assert len(pd_rows) == 5
+    # upgrade to v3: next-row-id starts past the current row count
+    t.upgrade_format_version(3)
+    t.refresh()
+    assert t.metadata.format_version == 3
+    assert t.metadata.next_row_id == 50
+    # pre-upgrade rows have no ids (never assigned); new appends do
+    out = {r.id: r._row_id for r in t.scan().to_df(row_lineage=True).collect()}
+    assert all(v is None for k, v in out.items() if k < 50)
+    t.append(spark.createDataFrame([(100, 1)], "id: long, v: long"))
+    t.refresh()
+    out2 = {r.id: r._row_id for r in t.scan().to_df(row_lineage=True).collect()}
+    assert out2[100] == 50
+    with _pytest.raises(ValueError, match="downgrade"):
+        t.upgrade_format_version(2)
