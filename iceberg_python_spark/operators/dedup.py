@@ -443,11 +443,21 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("lbl").alias("_nbr_lbl"))
         )
+        # pointer doubling (shortcutting): fold in the label OF the
+        # current label as well — chains halve every round, so
+        # convergence is O(log eccentricity) instead of O(eccentricity)
+        # (the hash-min + jumping hybrid of Kiveris et al. §3)
+        lbl2 = labels.select(F.col("node").alias("_ln"), F.col("lbl").alias("_ll"))
         new_labels = (
             labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .join(lbl2, labels.lbl == lbl2._ln, "left")
             .select(
                 "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("_nbr_lbl"), F.col("lbl"))).alias("lbl"),
+                F.least(
+                    F.col("lbl"),
+                    F.coalesce(F.col("_nbr_lbl"), F.col("lbl")),
+                    F.coalesce(F.col("_ll"), F.col("lbl")),
+                ).alias("lbl"),
             )
             .localCheckpoint(eager=True)
         )

@@ -463,3 +463,17 @@ def test_repetition_stats(spark):
     assert abs(out[2].dup_line_ratio - 0.5) < 1e-9
     assert out[3].top_bigram_count == 1
     assert out[4].n_bigrams == 0 and out[4].top_bigram_count == 0
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    """Pointer doubling: a 200-node path graph must converge in O(log n)
+    rounds — plain hash-min would need ~200 and hit max_iter."""
+    from iceberg_python_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a: long, id_b: long"
+    )
+    out = connected_components(edges, max_iter=12, driver_threshold=0)
+    rows = out.collect()
+    assert len(rows) == 201
+    assert {r.component_id for r in rows} == {0}
