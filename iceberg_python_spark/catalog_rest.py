@@ -209,6 +209,68 @@ class RestCatalog:
         )
         return self.load_table(dst)
 
+    # -- views (REST view spec: namespaces/{ns}/views; reference
+    # catalog/rest/__init__.py:972 create_view / 1186 list_views) --------------
+    def create_view(self, identifier: Union[str, Identifier], sql: str, comment: Optional[str] = None) -> None:
+        import time as _time
+        import uuid as _uuid
+
+        ns, name = self._ns_and_name(identifier)
+        version = {
+            "version-id": 1,
+            "schema-id": 0,
+            "timestamp-ms": int(_time.time() * 1000),
+            "summary": {"engine-name": "iceberg_python_spark", **({"comment": comment} if comment else {})},
+            "representations": [{"type": "sql", "sql": sql, "dialect": "spark"}],
+            "default-namespace": ns.split(NS_SEP),
+        }
+        body = {
+            "name": name,
+            "location": f"{self.warehouse or ''}/{ns}/{name}",
+            "schema": {"type": "struct", "schema-id": 0, "fields": []},
+            "view-version": version,
+            "properties": {},
+        }
+        self._post(f"/namespaces/{ns}/views", body)
+
+    def view_sql(self, identifier: Union[str, Identifier]) -> str:
+        ns, name = self._ns_and_name(identifier)
+        out = self._get(f"/namespaces/{ns}/views/{name}")
+        meta = out.get("metadata", {})
+        current = meta.get("current-version-id")
+        for v in meta.get("versions", []):
+            if v.get("version-id") == current:
+                for rep in v.get("representations", []):
+                    if rep.get("type") == "sql":
+                        return rep["sql"]
+        raise NoSuchTableError(f"view {name} has no SQL representation")
+
+    def view_exists(self, identifier: Union[str, Identifier]) -> bool:
+        ns, name = self._ns_and_name(identifier)
+        try:
+            self._get(f"/namespaces/{ns}/views/{name}")
+            return True
+        except (NoSuchTableError, NoSuchNamespaceError):
+            return False
+
+    def list_views(self, namespace: Union[str, Identifier]) -> List[Identifier]:
+        ns = NS_SEP.join(_to_identifier(namespace))
+        out = self._get(f"/namespaces/{ns}/views")
+        return [tuple(i["namespace"]) + (i["name"],) for i in out.get("identifiers", [])]
+
+    def drop_view(self, identifier: Union[str, Identifier]) -> None:
+        ns, name = self._ns_and_name(identifier)
+        self._delete(f"/namespaces/{ns}/views/{name}")
+
+    def read_view(self, identifier: Union[str, Identifier]):
+        """Run the view SQL with the namespace's tables registered as
+        temp views (same resolution the SQL catalog's read_view does)."""
+        ident = _to_identifier(identifier)
+        sql = self.view_sql(ident)
+        for t_ident in self.list_tables(NS_SEP.join(ident[:-1])):
+            self.load_table(t_ident).scan().to_df().createOrReplaceTempView(t_ident[-1])
+        return self.spark.sql(sql)
+
     def _table_from(self, ident: Identifier, load_result: Dict[str, Any]) -> Table:
         metadata = TableMetadata.from_dict(load_result["metadata"])
         return Table(ident, metadata, load_result.get("metadata-location", ""), self, self.spark)

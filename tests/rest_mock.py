@@ -22,6 +22,7 @@ class _State:
         self.namespaces: Dict[str, Dict[str, str]] = {}
         self.tables: Dict[Tuple[str, str], Dict[str, Any]] = {}  # -> {"location": str, "metadata": dict}
         self.versions: Dict[Tuple[str, str], int] = {}
+        self.views: Dict[Tuple[str, str], Dict[str, Any]] = {}  # -> spec view metadata
 
 
 def _apply_updates(meta: Dict[str, Any], updates) -> Dict[str, Any]:
@@ -226,6 +227,16 @@ def make_server(warehouse: str):
                         {"namespace": k[0].split(NS_SEP), "name": k[1]} for k in state.tables if k[0] == ns
                     ]
                     return self._send(200, {"identifiers": idents})
+                if len(p) == 4 and p[3] == "views":
+                    idents = [
+                        {"namespace": k[0].split(NS_SEP), "name": k[1]} for k in state.views if k[0] == ns
+                    ]
+                    return self._send(200, {"identifiers": idents})
+                if len(p) == 5 and p[3] == "views":
+                    v = state.views.get((ns, p[4]))
+                    if v is None:
+                        return self._send(404, {"error": "no such view"})
+                    return self._send(200, {"metadata-location": f"mock://{ns}/{p[4]}/view", "metadata": v})
                 if len(p) == 5 and p[3] == "tables":
                     t = state.tables.get((ns, p[4]))
                     if t is None:
@@ -276,6 +287,29 @@ def make_server(warehouse: str):
                     return self._send(
                         200, {"metadata-location": f"mock://{ns}/{name}/v1", "metadata": meta}
                     )
+                if len(p) == 4 and p[3] == "views":  # create view
+                    ns, name = p[2], body["name"]
+                    if ns not in state.namespaces:
+                        return self._send(404, {"error": "no such namespace"})
+                    if (ns, name) in state.views:
+                        return self._send(409, {"error": "view exists"})
+                    import uuid as _uuid
+
+                    version = body["view-version"]
+                    meta = {
+                        "view-uuid": str(_uuid.uuid4()),
+                        "format-version": 1,
+                        "location": body.get("location", ""),
+                        "current-version-id": version["version-id"],
+                        "versions": [version],
+                        "version-log": [
+                            {"version-id": version["version-id"], "timestamp-ms": version["timestamp-ms"]}
+                        ],
+                        "schemas": [body.get("schema", {})],
+                        "properties": body.get("properties") or {},
+                    }
+                    state.views[(ns, name)] = meta
+                    return self._send(200, {"metadata-location": f"mock://{ns}/{name}/view", "metadata": meta})
                 if len(p) == 6 and p[3] == "tables" and p[5] == "plan":  # planTableScan
                     t = state.tables.get((p[2], p[4]))
                     if t is None:
@@ -325,6 +359,10 @@ def make_server(warehouse: str):
                 if len(p) == 5 and p[3] == "tables":
                     if state.tables.pop((p[2], p[4]), None) is None:
                         return self._send(404, {"error": "no such table"})
+                    return self._send(204)
+                if len(p) == 5 and p[3] == "views":
+                    if state.views.pop((p[2], p[4]), None) is None:
+                        return self._send(404, {"error": "no such view"})
                     return self._send(204)
             return self._send(404, {"error": "not found"})
 

@@ -145,3 +145,19 @@ def test_rest_expression_serde_roundtrip():
     ]:
         e = parse_filter(s)
         assert expression_from_rest(expression_to_rest(e)) == e
+
+
+def test_views_over_rest(rest, spark):
+    """REST view spec round-trip: create (view-version + sql
+    representation), load, list, read (SQL resolved against catalog
+    tables), drop."""
+    df = spark.createDataFrame([(i, float(i)) for i in range(20)], "id: long, val: double")
+    t = rest.create_table("db.vt", schema_from_spark(df.schema))
+    t.append(df)
+    rest.create_view("db.big_vals", "SELECT id FROM vt WHERE val >= 10", comment="top half")
+    assert rest.view_exists("db.big_vals")
+    assert rest.view_sql("db.big_vals") == "SELECT id FROM vt WHERE val >= 10"
+    assert ("db", "big_vals") in rest.list_views("db")
+    assert rest.read_view("db.big_vals").count() == 10
+    rest.drop_view("db.big_vals")
+    assert not rest.view_exists("db.big_vals")
