@@ -1180,6 +1180,32 @@ def _q_text_repetition(spark, env):
     )
 
 
+def _q_text_strip_html(spark, env):
+    from iceberg_python_spark.operators.text import strip_html
+
+    # seed markup deterministically (the synthetic corpus is plain text)
+    docs = env["documents"].scan(selected_fields=("doc_id", "text")).to_df()
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><style>p {}</style><p>"),
+            F.col("text"),
+            F.lit("</p><script>track();</script></html>"),
+        ).alias("text"),
+    )
+    return strip_html(seeded, "text", "doc_id")
+
+
+def _q_text_paragraph_dedup(spark, env):
+    from iceberg_python_spark.operators.text import paragraph_dedup
+
+    # docs_dup carries exact duplicate documents: the second copy's
+    # paragraphs dedupe away corpus-wide (C4-style repeated-span removal)
+    return paragraph_dedup(
+        env["docs_dup"].scan(selected_fields=("doc_id", "text")).to_df(), "text", "doc_id"
+    )
+
+
 def _q_text_tokens(spark, env):
     from iceberg_python_spark.operators.text import token_stats
 
@@ -1416,13 +1442,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_ivf_recall": _q_ann_ivf_recall,
             "text_pii_redact": _q_text_pii_redact,
             "text_repetition": _q_text_repetition,
+            "text_strip_html": _q_text_strip_html,
+            "text_paragraph_dedup": _q_text_paragraph_dedup,
             "text_token_stats": _q_text_tokens,
             "text_quality_score": _q_text_quality,
             "text_language_id": _q_text_lang,
             "text_fingerprint_md5": _q_text_fingerprint,
             "text_fingerprint_winnow": _q_text_winnow,
             "multimodal_features": _q_multimodal,
-            "sample_stratified": _q_sample_stratified,
             "events_windowed_agg": _q_events_windowed,
             "events_sessionize": _q_events_sessionize,
             # --- core engine ops (window slots 27-44) ---
@@ -1447,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "changelog_scan": _q_changelog_scan,
             "row_lineage_invariants": _q_row_lineage_invariants,
             "meta_partitions_rowcounts": _q_meta_partitions_rowcounts,
+            "sample_stratified": _q_sample_stratified,
             "anti_join_customers_no_orders": _q_anti_join_customers,
             # --- aggregation / window surfaces (slots 45-50) ---
             "agg_rollup": _q_agg_rollup,
@@ -1950,6 +1978,26 @@ def oracle_sql() -> dict[str, str]:
             "floor((len(lines) - len(list_distinct(lines))) * 10000.0 / greatest(len(lines), 1)) / 10000 AS dup_line_ratio, "
             "len(grams) AS n_bigrams, top_bigram_count, "
             "floor(top_bigram_count * 10000.0 / greatest(len(grams), 1)) / 10000 AS top_bigram_frac FROM tc"
+        ),
+        "text_strip_html": (
+            "WITH s0 AS (SELECT doc_id, '<html><style>p {}</style><p>' || text || "
+            "'</p><script>track();</script></html>' AS t FROM documents), "
+            "s1 AS (SELECT doc_id, regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM s0), "
+            "s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1), "
+            "s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]+>', ' ', 'g') AS t FROM s2), "
+            "s4 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t, "
+            "'&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '\"', 'g'), '&#39;', chr(39), 'g'), '&amp;', '&', 'g') AS t FROM s3) "
+            "SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text FROM s4"
+        ),
+        "text_paragraph_dedup": (
+            docs_dup_cte + ", ex AS ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(ps)+1), i -> {'pos': i, 'para': ps[i]})) AS e "
+            "FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM docs_dup)), "
+            "flat AS (SELECT doc_id, e.pos AS pos, e.para AS para FROM ex), "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rk FROM flat), "
+            "kept AS (SELECT * FROM ranked WHERE length(para) < 20 OR rk = 1), "
+            "rebuilt AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text FROM kept GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(r.text, '') AS text FROM docs_dup d LEFT JOIN rebuilt r USING (doc_id)"
         ),
         "text_fingerprint_md5": "SELECT doc_id, md5(text) AS md5 FROM documents",
         "text_fingerprint_winnow": (

@@ -236,6 +236,58 @@ PII_PATTERNS: List[tuple] = [
 ]
 
 
+def strip_html(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Boilerplate-lite HTML cleanup for scraped corpora: drop script
+    and style blocks wholesale, strip the remaining tags, decode the
+    five XML entities, collapse runs of whitespace. Pure JVM
+    regexp_replace chain — RE2-safe patterns, so any engine reproduces
+    the output bit-for-bit. Returns (id, text)."""
+    t = F.col(text_col)
+    # (?is) case-insensitive + dot-matches-newline; RE2 supports inline flags
+    t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
+        t = F.regexp_replace(t, ent, ch)
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return df.select(F.col(id_col), t.alias(text_col))
+
+
+def paragraph_dedup(df: DataFrame, text_col: str, id_col: str, min_chars: int = 20) -> DataFrame:
+    """Corpus-level exact paragraph dedup (the C4/RefinedWeb pass that
+    removes boilerplate repeated across documents): a paragraph kept in
+    exactly ONE place — its first occurrence in (doc id, position)
+    order — and dropped everywhere else; paragraphs under ``min_chars``
+    are never treated as duplicates (short lines repeat legitimately).
+    Returns (id, text) with each doc's surviving paragraphs rejoined.
+
+    Spark shape: posexplode -> one window over md5(paragraph) ranked by
+    (id, pos) -> filter rank 1 or short -> re-assemble with
+    collect-list sorted by position. One shuffle on the paragraph hash,
+    one on the doc id — both map-side combinable, no driver state."""
+    from pyspark.sql import Window
+
+    paras = F.split(F.col(text_col), r"\n")
+    ex = df.select(F.col(id_col), F.posexplode(paras).alias("pos", "para"))
+    w = Window.partitionBy(F.md5("para")).orderBy(F.col(id_col), F.col("pos"))
+    ranked = ex.withColumn("_rk", F.row_number().over(w))
+    kept = ranked.where((F.length("para") < min_chars) | (F.col("_rk") == 1))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))), lambda s: s.para
+            ),
+            "\n",
+        ).alias(text_col)
+    )
+    # docs whose every paragraph deduplicated away still come back (empty)
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )
+
+
 def pii_redact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """PII scrubbing for training corpora: mask emails / SSNs / phone
     numbers / IPv4s with typed placeholders and report per-category hit

@@ -477,3 +477,38 @@ def test_connected_components_long_chain_converges_fast(spark):
     rows = out.collect()
     assert len(rows) == 201
     assert {r.component_id for r in rows} == {0}
+
+
+def test_strip_html(spark):
+    from iceberg_python_spark.operators.text import strip_html
+
+    df = spark.createDataFrame(
+        [
+            (1, "<html><style>p{c:red}</style><p>Hello &amp; welcome</p><script>var x=1;</script><b>bold</b></html>"),
+            (2, "no markup &lt;kept&gt; here"),
+            (3, "<SCRIPT a=b>nested <b>tags</b> die</SCRIPT>after"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r.text for r in strip_html(df, "text", "doc_id").collect()}
+    assert out[1] == "Hello & welcome bold"
+    assert out[2] == "no markup <kept> here"
+    assert out[3] == "after"
+
+
+def test_paragraph_dedup(spark):
+    from iceberg_python_spark.operators.text import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique paragraph one is long enough\nCOMMON FOOTER REPEATED EVERYWHERE HERE\nok"),
+            (2, "another unique paragraph also long\nCOMMON FOOTER REPEATED EVERYWHERE HERE\nok"),
+            (3, "COMMON FOOTER REPEATED EVERYWHERE HERE"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r.text for r in paragraph_dedup(docs, "text", "doc_id").collect()}
+    # footer survives only at its first occurrence; short 'ok' is exempt
+    assert out[1].count("COMMON FOOTER") == 1
+    assert "COMMON FOOTER" not in out[2] and out[2].endswith("ok")
+    assert out[3] == ""  # fully deduplicated doc still present
