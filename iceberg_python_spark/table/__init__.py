@@ -423,8 +423,9 @@ class Table:
         snapshot_properties: Optional[Dict[str, str]] = None,
         target_file_size_bytes: Optional[int] = None,
         min_input_files: int = 2,
+        branch: Optional[str] = None,
     ) -> None:
-        with self.transaction() as tx:
+        with self.transaction(branch) as tx:
             tx.compact(snapshot_properties, target_file_size_bytes, min_input_files)
 
     def add_equality_deletes(
@@ -432,8 +433,9 @@ class Table:
         keys_df: DataFrame,
         equality_fields: Sequence[str],
         snapshot_properties: Optional[Dict[str, str]] = None,
+        branch: Optional[str] = None,
     ) -> None:
-        with self.transaction() as tx:
+        with self.transaction(branch) as tx:
             tx.add_equality_deletes(keys_df, equality_fields, snapshot_properties)
 
     def rewrite_zorder(
@@ -442,8 +444,9 @@ class Table:
         bits: int = 16,
         target_file_size_bytes: Optional[int] = None,
         snapshot_properties: Optional[Dict[str, str]] = None,
+        branch: Optional[str] = None,
     ) -> None:
-        with self.transaction() as tx:
+        with self.transaction(branch) as tx:
             tx.rewrite_zorder(cols, bits, target_file_size_bytes, snapshot_properties)
 
     def dynamic_partition_overwrite(
@@ -467,8 +470,13 @@ class Table:
         with self.transaction(branch) as tx:
             return tx.upsert(df, join_cols, when_matched_update_all, when_not_matched_insert_all, mode=mode)
 
-    def add_files(self, file_paths: List[str], snapshot_properties: Optional[Dict[str, str]] = None) -> None:
-        with self.transaction() as tx:
+    def add_files(
+        self,
+        file_paths: List[str],
+        snapshot_properties: Optional[Dict[str, str]] = None,
+        branch: Optional[str] = None,
+    ) -> None:
+        with self.transaction(branch) as tx:
             tx.add_files(file_paths, snapshot_properties)
 
     def register_data_files(

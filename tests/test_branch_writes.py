@@ -100,3 +100,18 @@ def test_concurrent_branch_vs_main_appends_both_land(catalog, spark):
     t.refresh()
     assert t.scan().to_df().count() == 13
     assert t.scan(use_ref="b").to_df().count() == 15
+
+
+def test_compact_and_eq_deletes_on_branch(wap, spark):
+    wap.delete("id < 20", branch="audit", mode="merge-on-read")
+    wap.refresh()
+    wap.add_equality_deletes(
+        spark.createDataFrame([(25,)], "id: long"), ["id"], branch="audit"
+    )
+    wap.refresh()
+    assert wap.scan(use_ref="audit").to_df().count() == 79
+    wap.compact(branch="audit")
+    wap.refresh()
+    assert wap.scan(use_ref="audit").to_df().count() == 79
+    # main never saw any of it
+    assert wap.scan().to_df().count() == 100
