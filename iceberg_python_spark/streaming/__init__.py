@@ -20,7 +20,7 @@ custom watermark machinery (§7 watch-list item 7):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -125,6 +125,30 @@ def incremental_source(table: Table, cursor: Optional[int] = None) -> Tuple[Data
         from_snapshot_id_exclusive=cursor, to_snapshot_id_inclusive=new_cursor
     ).to_df()
     return df, new_cursor
+
+
+def net_changes(changes: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Collapse a changelog frame (from ``incremental_changelog_scan`` /
+    :func:`changelog_source`) to the NET effect per key: the last change
+    wins, an upsert's delete+insert pair within one ordinal resolves to
+    the insert, and keys whose final change is a delete drop out.
+    Returns the key's final row (data columns only) — feeding this to a
+    plain upsert-with-deletes sink applies a whole range in one shot
+    instead of per-snapshot.
+
+    One window shuffle on the key columns; no driver state."""
+    from pyspark.sql import Window
+
+    data_cols = [c for c in changes.columns if not c.startswith("_change_")]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("_change_ordinal").desc(),
+        F.when(F.col("_change_type") == "insert", 1).otherwise(0).desc(),
+    )
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("_change_type") == "insert"))
+        .select(*data_cols)
+    )
 
 
 def changelog_source(table: Table, cursor: Optional[int] = None) -> Tuple[DataFrame, Optional[int]]:

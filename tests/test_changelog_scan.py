@@ -168,20 +168,10 @@ def test_changelog_replay_reconstructs_state(catalog, spark, seed):
                      join_cols=["id"], mode="merge-on-read")
         t.refresh()
 
-    changes = t.incremental_changelog_scan().to_df()
-    from pyspark.sql import Window
+    from iceberg_python_spark.streaming import net_changes
 
-    w = Window.partitionBy("id").orderBy(
-        F.col("_change_ordinal").desc(),
-        # within one ordinal an upsert emits delete(old)+insert(new):
-        # the insert is the final state
-        F.when(F.col("_change_type") == "insert", 1).otherwise(0).desc(),
-    )
-    final = (
-        changes.withColumn("_rn", F.row_number().over(w))
-        .where("_rn = 1 AND _change_type = 'insert'")
-        .select("id", "v")
-    )
+    changes = t.incremental_changelog_scan().to_df()
+    final = net_changes(changes, ["id"]).select("id", "v")
     want = {(r.id, r.v) for r in t.scan().to_df().collect()}
     got = {(r.id, r.v) for r in final.collect()}
     assert got == want
