@@ -258,3 +258,23 @@ def test_v1_metadata_fallback(tmp_path):
     assert meta.schema().find_field(1).name == "x"
     assert meta.spec().fields[0].name == "x"
     assert meta.spec().fields[0].transform.name == "identity"
+
+
+def test_reference_pyiceberg_reads_our_export():
+    """The ultimate interop proof: the actual reference pyiceberg library
+    (at /root/reference, its own metadata/Avro/scan code) opens a table
+    this engine exported and reads identical values. Runs in a
+    subprocess because the check shims the reference's uninstallable
+    deps in sys.modules."""
+    import subprocess
+    import sys as _sys
+
+    out = subprocess.run(
+        [_sys.executable, "tools/reference_interop_check.py"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "REFERENCE-INTEROP-OK" in out.stdout
