@@ -278,3 +278,4 @@ def test_reference_pyiceberg_reads_our_export():
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "REFERENCE-INTEROP-OK" in out.stdout
+    assert "REVERSE-INTEROP-OK" in out.stdout

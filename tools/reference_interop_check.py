@@ -65,6 +65,22 @@ def install_reference_shims() -> None:
 
     shim("zstandard", ZstdCompressor=ZstdCompressor, ZstdDecompressor=ZstdDecompressor)
 
+    # rich is used only for schema-mismatch error pretty-printing
+    class _Console:
+        def __init__(self, *a, **k): ...
+        def print(self, *a, **k): ...
+
+    class _Table:
+        def __init__(self, *a, **k): ...
+        def add_column(self, *a, **k): ...
+        def add_row(self, *a, **k): ...
+
+    shim("rich")
+    shim("rich.console", Console=_Console)
+    shim("rich.table", Table=_Table)
+    sys.modules["rich"].console = sys.modules["rich.console"]
+    sys.modules["rich"].table = sys.modules["rich.table"]
+
 
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -124,6 +140,136 @@ def main() -> int:
     assert len(part_files) <= len(files)
 
     print(f"REFERENCE-INTEROP-OK files={len(files)} rows={arrow.num_rows} filtered={flt.num_rows}")
+
+    # ---- reverse direction: the REFERENCE writes a table (its own
+    # pyarrow write path, Avro manifests, metadata JSON) and OUR engine
+    # opens and reads it ---------------------------------------------------
+    from pyiceberg.catalog import Catalog as RefCatalog, MetastoreCatalog
+    from pyiceberg.exceptions import NoSuchTableError as RefNoSuchTable
+    from pyiceberg.io import load_file_io
+    from pyiceberg.table import CommitTableResponse, Table as RefTable
+
+    class MiniCatalog(MetastoreCatalog):
+        """Smallest possible reference-side catalog: in-process pointer
+        map, real metadata/manifest/data writes via reference code."""
+
+        def __init__(self, name, **props):
+            super().__init__(name, **props)
+            self._meta = {}
+
+        def commit_table(self, table, requirements, updates):
+            ident = table.name()
+            current = None
+            if ident in self._meta:
+                current = self.load_table(ident)
+            staged = self._update_and_stage_table(current, ident, requirements, updates)
+            self._write_metadata(staged.metadata, staged.io, staged.metadata_location)
+            self._meta[ident] = staged.metadata_location
+            return CommitTableResponse(
+                metadata=staged.metadata, metadata_location=staged.metadata_location
+            )
+
+        def load_table(self, identifier):
+            ident = self._identifier_to_tuple_without_catalog(identifier) if hasattr(
+                self, "_identifier_to_tuple_without_catalog"
+            ) else RefCatalog.identifier_to_tuple(identifier)
+            if ident not in self._meta:
+                raise RefNoSuchTable(str(identifier))
+            loc = self._meta[ident]
+            io = load_file_io(self.properties, loc)
+            from pyiceberg.serializers import FromInputFile
+
+            metadata = FromInputFile.table_metadata(io.new_input(loc))
+            return RefTable(ident, metadata, loc, io, self)
+
+        # unused abstract surface
+        def create_table(self, *a, **k):  # pragma: no cover
+            raise NotImplementedError
+
+        def register_table(self, *a, **k):  # pragma: no cover
+            raise NotImplementedError
+
+        def drop_table(self, *a, **k):  # pragma: no cover
+            raise NotImplementedError
+
+        def rename_table(self, *a, **k):  # pragma: no cover
+            raise NotImplementedError
+
+        def create_namespace(self, *a, **k):  # pragma: no cover
+            raise NotImplementedError
+
+        def drop_namespace(self, *a, **k):  # pragma: no cover
+            raise NotImplementedError
+
+        def list_tables(self, *a, **k):  # pragma: no cover
+            return []
+
+        def list_namespaces(self, *a, **k):  # pragma: no cover
+            return []
+
+        def list_views(self, *a, **k):  # pragma: no cover
+            return []
+
+        def load_view(self, *a, **k):  # pragma: no cover
+            raise NotImplementedError
+
+        def register_view(self, *a, **k):  # pragma: no cover
+            raise NotImplementedError
+
+        def load_namespace_properties(self, *a, **k):  # pragma: no cover
+            return {}
+
+        def update_namespace_properties(self, *a, **k):  # pragma: no cover
+            raise NotImplementedError
+
+        def drop_view(self, *a, **k):  # pragma: no cover
+            raise NotImplementedError
+
+        def view_exists(self, *a, **k):  # pragma: no cover
+            return False
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # the reference targets a newer pyarrow; drop the one writer kwarg
+    # this pyarrow doesn't know (irrelevant here: no decimal columns)
+    _OrigWriter = pq.ParquetWriter
+
+    class _CompatWriter(_OrigWriter):
+        def __init__(self, *a, **k):
+            k.pop("store_decimal_as_integer", None)
+            super().__init__(*a, **k)
+
+    pq.ParquetWriter = _CompatWriter
+
+    ref_wh = tempfile.mkdtemp(prefix="refwrite_wh_")
+    mini = MiniCatalog("mini", warehouse=f"file://{ref_wh}")
+    arrow_tbl = pa.table(
+        {
+            "id": pa.array(range(500), pa.int64()),
+            "v": pa.array([float(i) * 1.5 for i in range(500)], pa.float64()),
+            "s": pa.array([f"s{i % 7}" for i in range(500)]),
+        }
+    )
+    tx = mini.create_table_transaction(
+        ("db", "refmade"), arrow_tbl.schema, location=f"file://{ref_wh}/db/refmade"
+    )
+    tx.append(arrow_tbl)
+    tx.append(arrow_tbl.slice(0, 25))
+    ref_table = tx.commit_transaction()
+    ref_loc = ref_table.metadata_location
+    print("reference wrote:", ref_loc)
+
+    from iceberg_python_spark.table import StaticTable as OurStaticTable
+
+    ours = OurStaticTable.from_metadata(ref_loc.replace("file://", ""), spark)
+    got = ours.scan().to_df()
+    assert got.count() == 525, got.count()
+    sub = ours.scan(row_filter="id < 25", selected_fields=("id", "v")).to_df()
+    vals = sorted((r.id, r.v) for r in sub.collect())
+    want_vals = sorted([(i, i * 1.5) for i in range(25)] * 2)
+    assert vals == want_vals, "reverse-direction value mismatch"
+    print(f"REVERSE-INTEROP-OK rows={got.count()} filtered={sub.count()}")
     return 0
 
 
