@@ -394,6 +394,11 @@ class YearTransform(_TemporalTransform):
     def spark_expr(self, col: Column, source: IcebergType) -> Column:
         return (F.year(col) - F.lit(1970)).cast("int")
 
+    def to_human_string(self, source: IcebergType, value: Any) -> str:
+        # partition-path form is the calendar year, not the ordinal
+        # (reference transforms.py _year_to_human_string; conformance-checked)
+        return "null" if value is None else f"{value + 1970:0=4d}"
+
 
 class MonthTransform(_TemporalTransform):
     name = "month"
@@ -409,6 +414,11 @@ class MonthTransform(_TemporalTransform):
 
     def spark_expr(self, col: Column, source: IcebergType) -> Column:
         return ((F.year(col) - F.lit(1970)) * F.lit(12) + F.month(col) - F.lit(1)).cast("int")
+
+    def to_human_string(self, source: IcebergType, value: Any) -> str:
+        if value is None:
+            return "null"
+        return f"{value // 12 + 1970:0=4d}-{value % 12 + 1:0=2d}"
 
 
 class DayTransform(_TemporalTransform):
@@ -439,6 +449,12 @@ class HourTransform(_TemporalTransform):
 
     def spark_expr(self, col: Column, source: IcebergType) -> Column:
         return F.floor(F.unix_micros(col.cast("timestamp")) / F.lit(_US_PER_HOUR)).cast("int")
+
+    def to_human_string(self, source: IcebergType, value: Any) -> str:
+        if value is None:
+            return "null"
+        d = _us_to_dt(int(value) * _US_PER_HOUR)
+        return f"{d.year:0=4d}-{d.month:0=2d}-{d.day:0=2d}-{d.hour:0=2d}"
 
 
 class VoidTransform(Transform):

@@ -279,3 +279,22 @@ def test_reference_pyiceberg_reads_our_export():
     assert out.returncode == 0, out.stdout + out.stderr
     assert "REFERENCE-INTEROP-OK" in out.stdout
     assert "REVERSE-INTEROP-OK" in out.stdout
+
+
+def test_reference_transform_conformance():
+    """Function-level parity: our bucket/truncate/temporal transforms and
+    human partition strings agree with the reference implementation over
+    a deterministic value sweep, and our schema JSON parses through the
+    reference's models. Subprocess-isolated (reference-dep shims)."""
+    import subprocess
+    import sys as _sys
+
+    out = subprocess.run(
+        [_sys.executable, "tools/reference_conformance_check.py"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=200,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "CONFORMANCE-OK" in out.stdout

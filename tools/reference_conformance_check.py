@@ -1,0 +1,184 @@
+"""Transform/serde conformance against the REFERENCE implementation.
+
+Runs both engines' transform code side-by-side over a deterministic value
+sweep: bucket/truncate/year/month/day/hour outputs must agree value-for-
+value, and our schema/partition-spec JSON must parse through the
+reference's pydantic models. Complements tools/reference_interop_check.py
+(which proves file-level interop); this proves FUNCTION-level parity.
+
+Usage: python tools/reference_conformance_check.py
+Prints CONFORMANCE-OK on success; exits nonzero on any disagreement.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+from decimal import Decimal
+
+
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.reference_interop_check import install_reference_shims
+
+    install_reference_shims()
+    sys.path.insert(0, "/root/reference")
+
+    import pyiceberg.transforms as rt
+    import pyiceberg.types as rtypes
+
+    import iceberg_python_spark.transforms as ot
+    from iceberg_python_spark import types as otypes
+
+    failures = []
+
+    def check(name, ours, refs):
+        if ours != refs:
+            failures.append(f"{name}: ours={ours!r} reference={refs!r}")
+
+    # deterministic value sweep (no RNG: stable across runs)
+    ints = [0, 1, -1, 7, 34, -123, 2**31 - 1, -(2**31)]
+    longs = ints + [2**40, -(2**40), 2**62]
+    strings = ["", "a", "iceberg", "wörld", "abcdefghij" * 3, "中文"]
+    dates = [0, 1, 365, 19234, -365]  # days since epoch
+    tss = [0, 1_000_000, 1694822400000000, -86_400_000_000]  # micros
+    decimals = [Decimal("0.00"), Decimal("12.34"), Decimal("-7.10"), Decimal("99999.99")]
+
+    # -- bucket ---------------------------------------------------------------
+    for n in (2, 8, 16, 100):
+        ob = ot.BucketTransform(n)
+        rb = rt.BucketTransform(num_buckets=n)
+        f_int = ob.transform(otypes.IntegerType())
+        r_int = rb.transform(rtypes.IntegerType())
+        for v in ints:
+            check(f"bucket[{n}] int {v}", f_int(v), r_int(v))
+        f_long = ob.transform(otypes.LongType())
+        r_long = rb.transform(rtypes.LongType())
+        for v in longs:
+            check(f"bucket[{n}] long {v}", f_long(v), r_long(v))
+        f_str = ob.transform(otypes.StringType())
+        r_str = rb.transform(rtypes.StringType())
+        for v in strings:
+            check(f"bucket[{n}] str {v!r}", f_str(v), r_str(v))
+        f_date = ob.transform(otypes.DateType())
+        r_date = rb.transform(rtypes.DateType())
+        for v in dates:
+            check(f"bucket[{n}] date {v}", f_date(v), r_date(v))
+        f_ts = ob.transform(otypes.TimestampType())
+        r_ts = rb.transform(rtypes.TimestampType())
+        for v in tss:
+            check(f"bucket[{n}] ts {v}", f_ts(v), r_ts(v))
+        f_dec = ob.transform(otypes.DecimalType(7, 2))
+        r_dec = rb.transform(rtypes.DecimalType(7, 2))
+        for v in decimals:
+            check(f"bucket[{n}] dec {v}", f_dec(v), r_dec(v))
+
+    # -- truncate -------------------------------------------------------------
+    for w in (1, 3, 10):
+        otr = ot.TruncateTransform(w)
+        rtr = rt.TruncateTransform(width=w)
+        f_i, r_i = otr.transform(otypes.IntegerType()), rtr.transform(rtypes.IntegerType())
+        for v in ints:
+            check(f"truncate[{w}] int {v}", f_i(v), r_i(v))
+        f_l, r_l = otr.transform(otypes.LongType()), rtr.transform(rtypes.LongType())
+        for v in longs:
+            check(f"truncate[{w}] long {v}", f_l(v), r_l(v))
+        f_s, r_s = otr.transform(otypes.StringType()), rtr.transform(rtypes.StringType())
+        for v in strings:
+            check(f"truncate[{w}] str {v!r}", f_s(v), r_s(v))
+        f_d, r_d = otr.transform(otypes.DecimalType(7, 2)), rtr.transform(rtypes.DecimalType(7, 2))
+        for v in decimals:
+            check(f"truncate[{w}] dec {v}", f_d(v), r_d(v))
+
+    # -- temporal -------------------------------------------------------------
+    pairs = [
+        (ot.YearTransform(), rt.YearTransform()),
+        (ot.MonthTransform(), rt.MonthTransform()),
+        (ot.DayTransform(), rt.DayTransform()),
+    ]
+    for ours_t, ref_t in pairs:
+        f_d, r_d = ours_t.transform(otypes.DateType()), ref_t.transform(rtypes.DateType())
+        for v in dates:
+            check(f"{type(ours_t).__name__} date {v}", f_d(v), r_d(v))
+        f_ts, r_ts = ours_t.transform(otypes.TimestampType()), ref_t.transform(rtypes.TimestampType())
+        for v in tss:
+            check(f"{type(ours_t).__name__} ts {v}", f_ts(v), r_ts(v))
+    f_h, r_h = ot.HourTransform().transform(otypes.TimestampType()), rt.HourTransform().transform(
+        rtypes.TimestampType()
+    )
+    for v in tss:
+        check(f"hour ts {v}", f_h(v), r_h(v))
+
+    # -- human-readable partition values (to_human_string drives partition
+    # paths; ours must agree so directory layouts match) ----------------------
+    for ours_t, ref_t, v in [
+        (ot.YearTransform(), rt.YearTransform(), 54),
+        (ot.MonthTransform(), rt.MonthTransform(), 300),
+        (ot.DayTransform(), rt.DayTransform(), 19234),
+        (ot.HourTransform(), rt.HourTransform(), 470000),
+    ]:
+        if hasattr(ours_t, "to_human_string"):
+            check(
+                f"human {type(ours_t).__name__} {v}",
+                ours_t.to_human_string(otypes.DateType(), v)
+                if not isinstance(ours_t, ot.HourTransform)
+                else ours_t.to_human_string(otypes.TimestampType(), v),
+                ref_t.to_human_string(rtypes.DateType(), v)
+                if not isinstance(ref_t, rt.HourTransform)
+                else ref_t.to_human_string(rtypes.TimestampType(), v),
+            )
+
+    # -- schema JSON parses through the reference's pydantic models ----------
+    from pyiceberg.schema import Schema as RefSchema
+
+    from iceberg_python_spark.schema import Schema
+    from iceberg_python_spark.types import (
+        DecimalType,
+        DoubleType,
+        ListType,
+        LongType,
+        MapType,
+        NestedField,
+        StringType,
+        StructType,
+        TimestampType,
+    )
+
+    ours_schema = Schema(
+        NestedField(1, "id", LongType(), required=True),
+        NestedField(2, "name", StringType()),
+        NestedField(3, "price", DecimalType(10, 2)),
+        NestedField(4, "ts", TimestampType()),
+        NestedField(5, "tags", ListType(6, StringType())),
+        NestedField(7, "attrs", MapType(8, StringType(), 9, DoubleType())),
+        NestedField(
+            10,
+            "addr",
+            StructType(
+                NestedField(11, "street", StringType()), NestedField(12, "zip", LongType())
+            ),
+        ),
+        schema_id=0,
+        identifier_field_ids=[1],
+    )
+    import json
+
+    ref_parsed = RefSchema.model_validate_json(json.dumps(ours_schema.to_dict()))
+    check("schema field count", len(ours_schema.fields), len(ref_parsed.fields))
+    check("schema identifier ids", list(ours_schema.identifier_field_ids), list(ref_parsed.identifier_field_ids))
+    for f in ours_schema.fields:
+        rf = ref_parsed.find_field(f.field_id)
+        check(f"schema field {f.field_id} name", f.name, rf.name)
+
+    if failures:
+        print(f"{len(failures)} CONFORMANCE FAILURES:")
+        for f in failures[:25]:
+            print(" ", f)
+        return 1
+    print("CONFORMANCE-OK (bucket/truncate/temporal/human-string/schema-json vs reference)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
