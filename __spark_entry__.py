@@ -1101,6 +1101,118 @@ def _q_dedup_jaccard(spark, env):
     )
 
 
+def _q_dedup_minhash_invariants(spark, env):
+    """Deterministic invariant over the full minhash near-dup pipeline
+    (the raw survivor set depends on which probabilistic LSH candidates
+    fired, so it can't be SQL-oracled directly — this row pins what CAN
+    be guaranteed): docs whose *normalized* text equals a lower-id doc's
+    have identical shingle sets, hence identical minhash signatures,
+    hence share every LSH band — with the skew cap off they are ALWAYS
+    candidates, always verify at jaccard 1.0, and are always dropped.
+    Returns (n_docs, n_norm_dups, norm_dups_dropped): the counts are
+    DuckDB-recomputable, the boolean is the hard superset-of-drops claim."""
+    from iceberg_python_spark.operators.dedup import minhash_dedup
+
+    docs = env["docs_dup"].scan(selected_fields=("doc_id", "text")).to_df()
+    survivors = minhash_dedup(docs, "doc_id", "text", threshold=0.7, max_bucket_size=None)
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""), r"\s+", " ")
+    )
+    nd = docs.select("doc_id", norm.alias("_nrm"))
+    keep = nd.groupBy("_nrm").agg(F.min("doc_id").alias("_keep"))
+    dups = nd.join(keep, "_nrm").where(F.col("doc_id") != F.col("_keep")).select("doc_id")
+    surviving_dups = dups.join(survivors.select("doc_id"), "doc_id", "left_semi")
+    return (
+        docs.agg(F.count("*").cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(dups.agg(F.count("*").cast("long").alias("n_norm_dups"))))
+        .crossJoin(F.broadcast(surviving_dups.agg((F.count("*") == 0).alias("norm_dups_dropped"))))
+    )
+
+
+def _q_dedup_jaccard_invariants(spark, env):
+    """Deterministic invariant for the minhash-LSH -> exact-Jaccard-verify
+    pair pipeline, vs the EXACT blocked pair set (jaccard_prefix_join,
+    itself hash-proven against the DuckDB brute force by
+    dedup_jaccard_blocked): (a) precision — every LSH-verified pair whose
+    docs share a block is in the exact set (guaranteed: the verify step
+    computes the same exact jaccard); (b) recall >= 0.8 of the exact set
+    (at j >= 0.8 a pair misses all 8 bands w.p. (1-j^4)^8 <= 1.5%, and
+    the bulk of docs_dup's true pairs are identical-content at j = 1,
+    which with the skew cap off are candidates w.p. 1). n_exact is
+    DuckDB-recomputed; both booleans are hard claims."""
+    from iceberg_python_spark.operators.dedup import (
+        jaccard_prefix_join,
+        minhash_lsh_candidates,
+        minhash_signature,
+        ngram_jaccard_pairs,
+    )
+
+    docs = env["docs_dup"].scan(
+        selected_fields=("doc_id", "text", "lang", "n_chars")
+    ).to_df().select("doc_id", "text", "lang", (F.floor(F.col("n_chars") / 64)).alias("_lb"))
+    exact = jaccard_prefix_join(
+        docs, "doc_id", "text", threshold=0.8, block_cols=["lang", "_lb"]
+    ).select("id_a", "id_b")
+    cands = minhash_lsh_candidates(
+        minhash_signature(docs, "text"), "doc_id", max_bucket_size=None
+    )
+    verified = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.8, candidates=cands
+    ).select("id_a", "id_b")
+    blk = docs.select("doc_id", "lang", "_lb")
+    v_in = (
+        verified.join(blk.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .join(
+            blk.select(
+                F.col("doc_id").alias("id_b"), F.col("lang").alias("_lang_b"), F.col("_lb").alias("_lb_b")
+            ),
+            "id_b",
+        )
+        .where((F.col("lang") == F.col("_lang_b")) & (F.col("_lb") == F.col("_lb_b")))
+        .select("id_a", "id_b")
+    )
+    n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    n_hit = exact.join(v_in, ["id_a", "id_b"], "left_semi").agg(F.count("*").alias("n_hit"))
+    n_extra = v_in.join(exact, ["id_a", "id_b"], "left_anti").agg(F.count("*").alias("n_extra"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_hit))
+        .crossJoin(F.broadcast(n_extra))
+        .select(
+            "n_exact",
+            (F.col("n_extra") == 0).alias("precision_ok"),
+            (F.col("n_hit") >= 0.8 * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
+
+
+def _q_dedup_simhash_invariants(spark, env):
+    """Deterministic invariant for simhash banding: docs with identical
+    normalized text tokenize identically, so their 64-bit simhashes are
+    bit-identical and they share ALL four 16-bit bands — every
+    normalized-duplicate pair MUST appear in the candidate set (the
+    default skew cap is off, preserving the superset guarantee the
+    operator documents). n_norm_pairs is DuckDB-recomputed; superset_ok
+    is the hard claim."""
+    from iceberg_python_spark.operators.dedup import simhash, simhash_candidates
+
+    docs = env["docs_dup"].scan(selected_fields=("doc_id", "text")).to_df()
+    cands = simhash_candidates(simhash(docs, "text"), "doc_id")
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""), r"\s+", " ")
+    )
+    nd = docs.select("doc_id", norm.alias("_nrm"))
+    pairs = (
+        nd.alias("a")
+        .join(nd.alias("b"), (F.col("a._nrm") == F.col("b._nrm")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    missing = pairs.join(cands, ["id_a", "id_b"], "left_anti")
+    return (
+        pairs.agg(F.count("*").cast("long").alias("n_norm_pairs"))
+        .crossJoin(F.broadcast(missing.agg((F.count("*") == 0).alias("superset_ok"))))
+    )
+
+
 def _q_dedup_jaccard_blocked(spark, env):
     """Exact n-gram Jaccard with deterministic (lang, length-bucket)
     blocking — fully SQL-expressible, so unlike the LSH-candidate variant
@@ -1430,14 +1542,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "set_ops_nations": _q_set_ops,
             "dedup_exact": _q_dedup_exact,
             "dedup_normalized": _q_dedup_normalized,
-            "dedup_minhash_lsh": _q_dedup_minhash,
-            "dedup_simhash_candidates": _q_dedup_simhash,
-            "dedup_ngram_jaccard": _q_dedup_jaccard,
+            "dedup_minhash_invariants": _q_dedup_minhash_invariants,
+            "dedup_simhash_invariants": _q_dedup_simhash_invariants,
+            "dedup_jaccard_invariants": _q_dedup_jaccard_invariants,
             "dedup_jaccard_blocked": _q_dedup_jaccard_blocked,
             "dedup_embedding_cosine": _q_embedding_neardup,
             "ann_cosine_topk": _q_ann_brute,
-            "ann_lsh_topk": _q_ann_lsh,
-            "ann_ivf_topk": _q_ann_ivf,
             "ann_lsh_recall": _q_ann_lsh_recall,
             "ann_ivf_recall": _q_ann_ivf_recall,
             "text_pii_redact": _q_text_pii_redact,
@@ -1484,6 +1594,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "window_rank_family": _q_window_rank_family,
             "window_topk_per_group": _q_window_topk,
             # --- behind the window: rows-only + r05-established TPC-H ---
+            # raw approximate outputs (their quality is pinned by the
+            # in-window *_invariants / *_recall rows above)
+            "dedup_minhash_lsh": _q_dedup_minhash,
+            "dedup_simhash_candidates": _q_dedup_simhash,
+            "dedup_ngram_jaccard": _q_dedup_jaccard,
+            "ann_lsh_topk": _q_ann_lsh,
+            "ann_ivf_topk": _q_ann_ivf,
             "scan_limit": _q_scan_limit,
             "meta_snapshots": _q_meta_snapshots,
             "meta_files": _q_meta_files,
@@ -1882,6 +1999,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ngram, count(*) AS doc_freq FROM (SELECT unnest(shingles) AS ngram FROM sh) "
             "WHERE ngram <> '' GROUP BY 1 ORDER BY doc_freq DESC, ngram ASC LIMIT 50"
         ),
+        "dedup_minhash_invariants": (
+            # the normalized-duplicate counts are recomputed from scratch;
+            # the boolean pins the guaranteed behavior (identical
+            # normalized text -> identical signature -> always dropped)
+            f"{docs_dup_cte}, g AS ("
+            "SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), "
+            "'\\s+', ' ', 'g')) AS nrm, count(*) AS k FROM docs_dup GROUP BY 1) "
+            "SELECT CAST(sum(k) AS BIGINT) AS n_docs, CAST(sum(k - 1) AS BIGINT) AS n_norm_dups, "
+            "TRUE AS norm_dups_dropped FROM g"
+        ),
+        "dedup_jaccard_invariants": (
+            # n_exact = the blocked brute-force pair count (the same CTE
+            # dedup_jaccard_blocked hash-matches row-by-row); the booleans
+            # pin precision=1 and recall>=0.8 of the LSH-verified pairs
+            f"{docs_dup_cte}, sh AS ("
+            "SELECT doc_id, lang, floor(n_chars / 64) AS lb, "
+            "list_distinct(list_transform(generate_series(1, greatest(len(regexp_split_to_array(trim("
+            "regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+')) - 2, 1)), "
+            "i -> array_to_string((regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), "
+            "'\\s+'))[i:i+2], ' '))) AS shingles FROM docs_dup) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS precision_ok, TRUE AS recall_ok "
+            "FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.shingles, b.shingles)) / len(list_distinct(a.shingles || b.shingles)) AS j "
+            "FROM sh a JOIN sh b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id "
+            "AND len(a.shingles) >= 0.8 * len(b.shingles) AND len(b.shingles) >= 0.8 * len(a.shingles)) "
+            "WHERE j >= 0.8"
+        ),
+        "dedup_simhash_invariants": (
+            f"{docs_dup_cte}, g AS ("
+            "SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), "
+            "'\\s+', ' ', 'g')) AS nrm, count(*) AS k FROM docs_dup GROUP BY 1) "
+            "SELECT CAST(sum(k * (k - 1) // 2) AS BIGINT) AS n_norm_pairs, TRUE AS superset_ok FROM g"
+        ),
         "dedup_neardup_clusters": _neardup_clusters_oracle(docs_dup_cte),
         # identical expected result through the operator's DEFAULT
         # size-switch (driver union-find) — pins BOTH execution paths
@@ -2029,7 +2179,8 @@ def oracle_sql() -> dict[str, str]:
         # no oracle (rows-only checks): scan_limit (arbitrary row subset),
         # dedup_minhash_lsh / dedup_simhash_candidates / dedup_ngram_jaccard /
         # ann_lsh_topk / ann_ivf_topk (engine-specific bucket/cell ids — their
-        # quality is pinned by the ann_*_recall invariant rows above),
+        # quality is pinned by the in-window dedup_*_invariants and
+        # ann_*_recall rows, all behind the 50-slot window now),
         # meta_* (engine metadata).
     }
 

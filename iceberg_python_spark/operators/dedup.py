@@ -243,11 +243,21 @@ def jaccard_prefix_join(
     )
 
 
-def minhash_dedup(df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7) -> DataFrame:
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    max_bucket_size: Optional[int] = 1000,
+) -> DataFrame:
     """Full near-dup pipeline: minhash -> LSH candidates -> Jaccard verify
-    -> drop the higher id of each surviving pair (greedy)."""
+    -> drop the higher id of each surviving pair (greedy).
+
+    ``max_bucket_size`` is the LSH skew guard (see
+    :func:`minhash_lsh_candidates`); pass ``None`` for the deterministic
+    guarantee that identical-signature docs always become candidates."""
     sig = minhash_signature(df, text_col)
-    cands = minhash_lsh_candidates(sig, id_col)
+    cands = minhash_lsh_candidates(sig, id_col, max_bucket_size=max_bucket_size)
     dups = ngram_jaccard_pairs(df, id_col, text_col, threshold, candidates=cands)
     to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(to_drop, on=id_col, how="left_anti")
