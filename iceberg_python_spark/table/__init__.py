@@ -102,10 +102,69 @@ class FileScanTask:
     delete_files: Tuple[str, ...] = ()
     sequence_number: int = 0
     eq_delete_files: Tuple[Tuple[str, Tuple[int, ...]], ...] = ()
+    # on-disk bytes parallel to delete_files / eq_delete_files (from
+    # manifest file_size_in_bytes at plan time; -1 = unknown). Drives the
+    # size-guarded broadcast decision when deletes are applied.
+    delete_sizes: Tuple[int, ...] = ()
+    eq_delete_sizes: Tuple[int, ...] = ()
 
     @property
     def file_path(self) -> str:
         return self.data_file["file_path"]
+
+
+# Delete-application joins broadcast the delete-rows side only while its
+# total on-disk size (known from manifest metadata at plan time) stays
+# under this table property. An explicit broadcast() hint OVERRIDES
+# spark.sql.autoBroadcastJoinThreshold and Spark's 8 GB broadcast hard
+# limit fails the query outright — a heavy-churn CDC table can carry far
+# more than 8 GB of (file, pos) delete rows before compaction — so past
+# the threshold we emit NO hint and let AQE pick the join strategy from
+# observed runtime sizes.
+DELETE_BROADCAST_THRESHOLD_PROP = "read.delete.broadcast-bytes-threshold"
+DELETE_BROADCAST_THRESHOLD_DEFAULT = 256 * 1024 * 1024
+
+
+def _delete_broadcast_threshold(metadata) -> int:
+    try:
+        return int(metadata.properties.get(DELETE_BROADCAST_THRESHOLD_PROP, DELETE_BROADCAST_THRESHOLD_DEFAULT))
+    except (AttributeError, TypeError, ValueError):
+        return DELETE_BROADCAST_THRESHOLD_DEFAULT
+
+
+def _maybe_broadcast(df: DataFrame, total_bytes: Optional[int], threshold: int) -> DataFrame:
+    """Hint broadcast only when the delete side is provably small;
+    unknown size (None / negative) gets no hint (AQE decides)."""
+    if total_bytes is not None and 0 <= total_bytes <= threshold:
+        return F.broadcast(df)
+    return df
+
+
+def _pos_delete_total_bytes(tasks: Sequence["FileScanTask"]) -> Optional[int]:
+    """Total unique position-delete bytes across tasks, or None when any
+    task lacks size metadata (delete files are shared between tasks, so
+    sizes dedupe by path before summing)."""
+    sizes: Dict[str, int] = {}
+    for t in tasks:
+        if len(t.delete_sizes) != len(t.delete_files):
+            return None
+        sizes.update(zip(t.delete_files, t.delete_sizes))
+    if any(v < 0 for v in sizes.values()):
+        return None
+    return sum(sizes.values())
+
+
+def _eq_delete_size_map(tasks: Sequence["FileScanTask"]) -> Optional[Dict[str, int]]:
+    """path -> bytes for equality-delete files across tasks (None when
+    unknown), for the per-field-set broadcast decision."""
+    sizes: Dict[str, int] = {}
+    for t in tasks:
+        if len(t.eq_delete_sizes) != len(t.eq_delete_files):
+            return None
+        sizes.update(zip((p for p, _ in t.eq_delete_files), t.eq_delete_sizes))
+    if any(v < 0 for v in sizes.values()):
+        return None
+    return sizes
 
 
 # reserved field IDs for position-delete files (Iceberg spec)
@@ -188,12 +247,16 @@ def _apply_equality_deletes(
     df: DataFrame,
     eq_sets: Iterable[Tuple[str, Tuple[int, ...]]],
     schema: Schema,
+    sizes: Optional[Dict[str, int]] = None,
+    threshold: int = DELETE_BROADCAST_THRESHOLD_DEFAULT,
 ) -> DataFrame:
-    """Drop rows matching any equality-delete file: one broadcast
-    null-safe anti-join per distinct equality-field set (reference read
-    path io/pyarrow.py applies these as Arrow filters; Spark-side this
-    is the natural left_anti). Delete keys are deduplicated before the
-    broadcast — CDC streams repeat keys heavily."""
+    """Drop rows matching any equality-delete file: one null-safe
+    anti-join per distinct equality-field set (reference read path
+    io/pyarrow.py applies these as Arrow filters; Spark-side this is the
+    natural left_anti). Delete keys are deduplicated before the join —
+    CDC streams repeat keys heavily. The delete side is broadcast-hinted
+    only while its metadata size (``sizes``: path -> bytes) stays under
+    ``threshold``; past that AQE picks the strategy."""
     by_fids: Dict[Tuple[int, ...], Set[str]] = {}
     for path, fids in eq_sets:
         if fids:
@@ -207,7 +270,8 @@ def _apply_equality_deletes(
         for c in cols:
             clause = df[c].eqNullSafe(dels[c])
             cond = clause if cond is None else cond & clause
-        df = df.join(F.broadcast(dels), cond, "left_anti")
+        total = sum(sizes[p] for p in paths) if sizes is not None and all(p in sizes for p in paths) else None
+        df = df.join(_maybe_broadcast(dels, total, threshold), cond, "left_anti")
     return df
 
 
@@ -1315,12 +1379,17 @@ class Transaction:
         all_entries = self.table._live_entries(parent)
         entries = [e for e in all_entries if e["data_file"].get("content", 0) == CONTENT_DATA]
         existing_deletes = [
-            (e["sequence_number"], e["data_file"]["file_path"])
+            (e["sequence_number"], e["data_file"]["file_path"], e["data_file"].get("file_size_in_bytes", -1))
             for e in all_entries
             if e["data_file"].get("content", 0) == 1
         ]
         existing_eq_deletes = [
-            (e["sequence_number"], e["data_file"]["file_path"], tuple(e["data_file"].get("equality_ids") or ()))
+            (
+                e["sequence_number"],
+                e["data_file"]["file_path"],
+                tuple(e["data_file"].get("equality_ids") or ()),
+                e["data_file"].get("file_size_in_bytes", -1),
+            )
             for e in all_entries
             if e["data_file"].get("content", 0) == 2
         ]
@@ -1368,11 +1437,13 @@ class Transaction:
                 FileScanTask(
                     d,
                     AlwaysTrue(),
-                    delete_files=tuple(pth for dseq, pth in existing_deletes if dseq >= s),
+                    delete_files=tuple(pth for dseq, pth, _sz in existing_deletes if dseq >= s),
                     sequence_number=s,
                     eq_delete_files=tuple(
-                        (pth, fids) for dseq, pth, fids in existing_eq_deletes if dseq > s
+                        (pth, fids) for dseq, pth, fids, _sz in existing_eq_deletes if dseq > s
                     ),
+                    delete_sizes=tuple(sz for dseq, _pth, sz in existing_deletes if dseq >= s),
+                    eq_delete_sizes=tuple(sz for dseq, _pth, _f, sz in existing_eq_deletes if dseq > s),
                 )
                 for d, s in zip(partial, partial_seqs)
             ]
@@ -1715,10 +1786,11 @@ class Transaction:
             "_ips_pos", F.col("_metadata.row_index")
         )
         delete_paths = sorted({p for t in tasks for p in t.delete_files})
+        threshold = _delete_broadcast_threshold(self.metadata)
         if delete_paths:
             dels = _pos_deletes_df(spark, delete_paths)
             df = df.join(
-                F.broadcast(dels),
+                _maybe_broadcast(dels, _pos_delete_total_bytes(tasks), threshold),
                 (F.col("_ips_file") == dels.file_path) & (F.col("_ips_pos") == dels.pos),
                 "left_anti",
             )
@@ -1731,17 +1803,24 @@ class Transaction:
             by_eq: Dict[Tuple, List[FileScanTask]] = {}
             for t in tasks:
                 by_eq.setdefault(t.eq_delete_files, []).append(t)
+            eq_sizes = _eq_delete_size_map(tasks)
             if len(by_eq) == 1:
-                df = _apply_equality_deletes(spark, df, next(iter(by_eq)), schema)
+                df = _apply_equality_deletes(
+                    spark, df, next(iter(by_eq)), schema, sizes=eq_sizes, threshold=threshold
+                )
             else:
                 parts = []
                 for eq_set, grp in by_eq.items():
                     sub = self._lineage_df(
-                        [_dc_replace(t, eq_delete_files=()) for t in grp],
+                        [_dc_replace(t, eq_delete_files=(), eq_delete_sizes=()) for t in grp],
                         None,
                         extra_spark_fields=extra_spark_fields,
                     )
-                    parts.append(_apply_equality_deletes(spark, sub, eq_set, schema))
+                    parts.append(
+                        _apply_equality_deletes(
+                            spark, sub, eq_set, schema, sizes=eq_sizes, threshold=threshold
+                        )
+                    )
                 df = parts[0]
                 for p in parts[1:]:
                     df = df.unionByName(p)
@@ -2177,17 +2256,23 @@ class DataScan:
                 "file_size_in_bytes": f.get("file-size-in-bytes", 0),
             }
             pos, eq = [], []
+            pos_sz, eq_sz = [], []
             for d in t.get("delete-files", []):
                 if d.get("content") == "equality-deletes":
                     eq.append((d["file-path"], tuple(d.get("equality-ids") or ())))
+                    eq_sz.append(d.get("file-size-in-bytes", -1))
                 else:
                     pos.append(d["file-path"])
+                    pos_sz.append(d.get("file-size-in-bytes", -1))
+            pos_sorted = sorted(zip(pos, pos_sz))
             tasks.append(
                 FileScanTask(
                     entry,
                     bound,
-                    delete_files=tuple(sorted(pos)),
+                    delete_files=tuple(p for p, _ in pos_sorted),
                     eq_delete_files=tuple(eq),
+                    delete_sizes=tuple(s for _, s in pos_sorted),
+                    eq_delete_sizes=tuple(eq_sz),
                 )
             )
         return tasks
@@ -2242,8 +2327,8 @@ class DataScan:
         # DeleteFileIndex, table/delete_file_index.py:105 — ours matches
         # by sequence number; path disjointness makes the pos anti-join
         # exact regardless)
-        deletes: List[Tuple[int, str]] = []
-        eq_deletes: List[Tuple[int, str, Tuple[int, ...]]] = []
+        deletes: List[Tuple[int, str, int]] = []
+        eq_deletes: List[Tuple[int, str, Tuple[int, ...], int]] = []
         for m in manifest_files:
             if m.get("content", CONTENT_DATA) != CONTENT_DATA:
                 spec = metadata.spec_by_id(m["spec_id"])
@@ -2251,12 +2336,13 @@ class DataScan:
                     if e["status"] == STATUS_DELETED:
                         continue
                     d = e["data_file"]
+                    sz = d.get("file_size_in_bytes", -1)
                     if d.get("content", 0) == 2:
                         eq_deletes.append(
-                            (e["sequence_number"], d["file_path"], tuple(d.get("equality_ids") or ()))
+                            (e["sequence_number"], d["file_path"], tuple(d.get("equality_ids") or ()), sz)
                         )
                     else:
-                        deletes.append((e["sequence_number"], d["file_path"]))
+                        deletes.append((e["sequence_number"], d["file_path"], sz))
 
         tasks: List[FileScanTask] = []
         for m in manifest_files:
@@ -2282,13 +2368,19 @@ class DataScan:
                 if isinstance(res, AlwaysFalse):
                     continue
                 seq = e["sequence_number"]
-                applicable = tuple(path for dseq, path in deletes if dseq >= seq)
+                applicable = tuple(path for dseq, path, _sz in deletes if dseq >= seq)
                 applicable_eq = tuple(
-                    (path, fids) for dseq, path, fids in eq_deletes if dseq > seq
+                    (path, fids) for dseq, path, fids, _sz in eq_deletes if dseq > seq
                 )
                 tasks.append(
                     FileScanTask(
-                        d, res, delete_files=applicable, sequence_number=seq, eq_delete_files=applicable_eq
+                        d,
+                        res,
+                        delete_files=applicable,
+                        sequence_number=seq,
+                        eq_delete_files=applicable_eq,
+                        delete_sizes=tuple(sz for dseq, _p, sz in deletes if dseq >= seq),
+                        eq_delete_sizes=tuple(sz for dseq, _p, _f, sz in eq_deletes if dseq > seq),
                     )
                 )
         return tasks
@@ -2313,8 +2405,8 @@ class DataScan:
 
         spark = self.table.spark
         # delete manifests stay driver-side (orders of magnitude fewer)
-        deletes: List[Tuple[int, str]] = []
-        eq_deletes: List[Tuple[int, str, Tuple[int, ...]]] = []
+        deletes: List[Tuple[int, str, int]] = []
+        eq_deletes: List[Tuple[int, str, Tuple[int, ...], int]] = []
         by_spec: Dict[int, List[Dict[str, Any]]] = {}
         for m in manifest_files:
             if m.get("content", CONTENT_DATA) != CONTENT_DATA:
@@ -2323,12 +2415,13 @@ class DataScan:
                     if e["status"] == STATUS_DELETED:
                         continue
                     d_ = e["data_file"]
+                    sz = d_.get("file_size_in_bytes", -1)
                     if d_.get("content", 0) == 2:
                         eq_deletes.append(
-                            (e["sequence_number"], d_["file_path"], tuple(d_.get("equality_ids") or ()))
+                            (e["sequence_number"], d_["file_path"], tuple(d_.get("equality_ids") or ()), sz)
                         )
                     else:
-                        deletes.append((e["sequence_number"], d_["file_path"]))
+                        deletes.append((e["sequence_number"], d_["file_path"], sz))
             else:
                 by_spec.setdefault(m["spec_id"], []).append(m)
 
@@ -2376,7 +2469,7 @@ class DataScan:
             # value / sequence number, not the file — cache per distinct value
             # so driver CPU is O(partitions + snapshots), not O(files).
             part_cache: Dict[str, Tuple[Dict[str, Any], Any]] = {}
-            del_cache: Dict[int, Tuple[Tuple[str, ...], Tuple[Tuple[str, Tuple[int, ...]], ...]]] = {}
+            del_cache: Dict[int, Tuple[Tuple, ...]] = {}
             for r in rows:
                 hit = part_cache.get(r.partition_json or "")
                 if hit is None:
@@ -2399,11 +2492,13 @@ class DataScan:
                 dhit = del_cache.get(r.sequence_number)
                 if dhit is None:
                     dhit = (
-                        tuple(path for dseq, path in deletes if dseq >= r.sequence_number),
-                        tuple((path, fids) for dseq, path, fids in eq_deletes if dseq > r.sequence_number),
+                        tuple(path for dseq, path, _sz in deletes if dseq >= r.sequence_number),
+                        tuple((path, fids) for dseq, path, fids, _sz in eq_deletes if dseq > r.sequence_number),
+                        tuple(sz for dseq, _p, sz in deletes if dseq >= r.sequence_number),
+                        tuple(sz for dseq, _p, _f, sz in eq_deletes if dseq > r.sequence_number),
                     )
                     del_cache[r.sequence_number] = dhit
-                applicable, applicable_eq = dhit
+                applicable, applicable_eq, applicable_sz, applicable_eq_sz = dhit
                 tasks.append(
                     FileScanTask(
                         d,
@@ -2411,6 +2506,8 @@ class DataScan:
                         delete_files=applicable,
                         sequence_number=r.sequence_number,
                         eq_delete_files=applicable_eq,
+                        delete_sizes=applicable_sz,
+                        eq_delete_sizes=applicable_eq_sz,
                     )
                 )
         return tasks
@@ -2498,22 +2595,27 @@ class DataScan:
             else:
                 df = _read_data(spark, file_schema, fmt, [t.file_path for t in group])
             delete_paths = sorted({p for t in group for p in t.delete_files})
+            threshold = _delete_broadcast_threshold(metadata)
             if delete_paths:
-                # MoR: drop positions listed in delete files via a
-                # broadcast-able anti-join on (_metadata.file_path, row_index)
+                # MoR: drop positions listed in delete files via an
+                # anti-join on (_metadata.file_path, row_index) —
+                # broadcast-hinted only under the metadata size threshold
                 dels = _pos_deletes_df(spark, delete_paths)
                 df = (
                     df.withColumn("_ips_file", F.col("_metadata.file_path"))
                     .withColumn("_ips_pos", F.col("_metadata.row_index"))
                     .join(
-                        F.broadcast(dels),
+                        _maybe_broadcast(dels, _pos_delete_total_bytes(group), threshold),
                         (F.col("_ips_file") == dels.file_path) & (F.col("_ips_pos") == dels.pos),
                         "left_anti",
                     )
                     .drop("_ips_file", "_ips_pos")
                 )
             if eq_set:
-                df = _apply_equality_deletes(spark, df, eq_set, file_schema)
+                df = _apply_equality_deletes(
+                    spark, df, eq_set, file_schema,
+                    sizes=_eq_delete_size_map(group), threshold=threshold,
+                )
             df = _align_to_schema(
                 df,
                 file_schema,
@@ -2601,19 +2703,23 @@ class DataScan:
                     )
                 df = _read_data(spark, read_schema, fmt, [t.file_path for t in grp])
                 delete_paths = sorted({p for t in grp for p in t.delete_files})
+                threshold = _delete_broadcast_threshold(self.table.metadata)
                 if delete_paths:
                     dels = _pos_deletes_df(spark, delete_paths)
                     df = (
                         df.withColumn("_ips_file", F.col("_metadata.file_path"))
                         .withColumn("_ips_pos", F.col("_metadata.row_index"))
                         .join(
-                            F.broadcast(dels),
+                            _maybe_broadcast(dels, _pos_delete_total_bytes(grp), threshold),
                             (F.col("_ips_file") == dels.file_path) & (F.col("_ips_pos") == dels.pos),
                             "left_anti",
                         )
                     )
                 if eq_set:
-                    df = _apply_equality_deletes(spark, df, eq_set, read_schema)
+                    df = _apply_equality_deletes(
+                        spark, df, eq_set, read_schema,
+                        sizes=_eq_delete_size_map(grp), threshold=threshold,
+                    )
                 if name_map:
                     df = _align_to_schema(df, read_schema, schema)
                 if not isinstance(bound, AlwaysTrue):
@@ -2922,8 +3028,11 @@ class IncrementalChangelogScan:
                         .withColumn("_ips_file", F.col("_metadata.file_path"))
                         .withColumn("_ips_pos", F.col("_metadata.row_index"))
                     )
+                    del_bytes = sum(
+                        cur[1][p].get("file_size_in_bytes", -1) for p in added_pos
+                    ) if all(cur[1][p].get("file_size_in_bytes", -1) >= 0 for p in added_pos) else None
                     deleted_rows = src.join(
-                        F.broadcast(dels),
+                        _maybe_broadcast(dels, del_bytes, _delete_broadcast_threshold(meta)),
                         (F.col("_ips_file") == dels.file_path) & (F.col("_ips_pos") == dels.pos),
                         "inner",
                     )

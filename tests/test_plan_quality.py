@@ -64,6 +64,34 @@ def test_mor_delete_is_broadcast_anti_join(table):
     assert "SortMergeJoin" not in plan
 
 
+def test_mor_delete_broadcast_is_size_guarded(table):
+    """The broadcast hint is metadata-driven: above the byte threshold NO
+    hint is emitted (an explicit hint would override Spark's auto
+    threshold and hard-fail past 8 GB), so the planner is free to pick
+    SMJ; below it the hint forces the broadcast even when Spark's own
+    auto-broadcast is off. Same rows either way."""
+    t = table  # module fixture already carries the MoR delete
+    spark = t.spark
+    baseline = t.scan().to_df().count()
+    auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # isolate the HINT from Spark's stats-based auto-broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t.set_properties({"read.delete.broadcast-bytes-threshold": "0"})
+        t.refresh()
+        no_hint = t.scan().to_df()
+        plan = _plan(no_hint)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert no_hint.count() == baseline
+        t.set_properties({"read.delete.broadcast-bytes-threshold": str(256 << 20)})
+        t.refresh()
+        hinted = _plan(t.scan().to_df())
+        assert "BroadcastHashJoin" in hinted, hinted
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
+
+
 def test_broadcast_join_on_small_dim(table, spark):
     nation = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
     li = table.scan().to_df()
