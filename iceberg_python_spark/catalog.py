@@ -617,13 +617,36 @@ class SqlCatalog:
         table.metadata_location = new_location
 
 
-def load_catalog(name: str, spark: SparkSession, **properties: str) -> "SqlCatalog":
+def load_catalog(name: Optional[str] = None, spark: Optional[SparkSession] = None, **properties: str) -> "SqlCatalog":
     """Catalog factory keyed on the ``type`` property (reference
     catalog/__init__.py load_catalog / infer_catalog_type): ``sql`` /
     ``sqlite`` (default), ``duckdb``, ``in-memory``, ``rest`` (needs
     ``uri``). ``warehouse`` names the data/metadata root. Hive / Glue /
     DynamoDB / BigQuery types raise — their SDKs and services are not
-    available in this environment."""
+    available in this environment.
+
+    Config-file parity (reference utils/config.py): with no explicit
+    kwargs a catalog can be fully described by ``.pyiceberg.yaml``
+    (searched in $PYICEBERG_HOME, then home, then cwd) overlaid by
+    ``PYICEBERG_CATALOG__<name>__<key>`` environment variables; explicit
+    kwargs win over env, env wins over the file. ``name=None`` resolves
+    the file's ``default-catalog``. ``spark`` falls back to the active
+    SparkSession."""
+    from .config import Config, merge_config
+
+    conf = Config()
+    if name is None:
+        name = conf.get_default_catalog_name()
+    file_env_conf = conf.get_catalog_config(name)
+    if file_env_conf:
+        # config keys are dash-normalized (env: DB_PATH -> db-path);
+        # accept either spelling from any layer
+        merged = merge_config(file_env_conf, dict(properties))
+        properties = {k.replace("-", "_"): v for k, v in merged.items()}
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError("load_catalog needs a SparkSession (none active)")
     ctype = properties.get("type")
     uri = properties.get("uri")
     if ctype is None:
