@@ -264,6 +264,14 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict:
         nl.refresh()
         env["nation_v3"] = nl
 
+    def build_orc():
+        # ORC as the write format (write.format.default=orc): appended
+        # through the same fan-out writer, stats via the distributed ORC
+        # agg path, scanned format-aware
+        env["supplier_orc"] = create(
+            "supplier_orc", raw["supplier"], properties={"write.format.default": "orc"}
+        )
+
     def build_docs_dup():
         # duplicated-documents corpus for dedup ops
         docs = raw["documents"]
@@ -275,6 +283,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict:
         build_tt, build_del, build_ups, build_ups_mor, build_dpo, build_inc,
         build_evo, build_mor, build_dv, build_compact, build_addf,
         build_eqdel, build_avro, build_wap, build_v3_lineage, build_docs_dup,
+        build_orc,
     ]
     with ThreadPoolExecutor(max_workers=8) as pool:
         futs = [pool.submit(b) for b in builders]
@@ -1453,6 +1462,17 @@ def _q_avro_interop(spark, env):
     )
 
 
+def _q_orc_write_scan(spark, env):
+    """Scan a table WRITTEN as ORC (write.format.default=orc): filter +
+    projection over ORC data files registered with Spark-agg-derived
+    manifest stats."""
+    return (
+        env["supplier_orc"]
+        .scan(row_filter="s_acctbal > 2000", selected_fields=("s_suppkey", "s_name", "s_acctbal"))
+        .to_df()
+    )
+
+
 def _q_meta_snapshots(spark, env):
     return env["lineitem_tt"].inspect.snapshots().select("snapshot_id", "operation", "sequence_number")
 
@@ -1581,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "eq_delete_scan": _q_eq_delete_scan,
             "add_files_partitioned_scan": _q_add_files_scan,
             "branch_wap_scan": _q_branch_wap_scan,
+            "orc_write_scan": _q_orc_write_scan,
             "changelog_scan": _q_changelog_scan,
             "row_lineage_invariants": _q_row_lineage_invariants,
             "meta_partitions_rowcounts": _q_meta_partitions_rowcounts,
@@ -1592,8 +1613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "agg_grouping_sets": _q_agg_grouping_sets,
             "pivot_order_status": _q_pivot_order_status,
             "window_rank_family": _q_window_rank_family,
-            "window_topk_per_group": _q_window_topk,
             # --- behind the window: rows-only + r05-established TPC-H ---
+            "window_topk_per_group": _q_window_topk,
             # raw approximate outputs (their quality is pinned by the
             # in-window *_invariants / *_recall rows above)
             "dedup_minhash_lsh": _q_dedup_minhash,
@@ -1712,6 +1733,9 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT * FROM orders WHERE o_orderkey % 14 = 0"
         ),
         "add_files_partitioned_scan": "SELECT * FROM nation WHERE n_regionkey >= 2",
+        "orc_write_scan": (
+            "SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_acctbal > 2000"
+        ),
         "branch_wap_scan": (
             "SELECT * FROM (SELECT * FROM nation "
             "UNION ALL SELECT n_nationkey + 100, n_name, n_regionkey FROM nation) "

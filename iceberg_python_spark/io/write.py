@@ -107,7 +107,14 @@ def write_data_files(
     sort_columns: Optional[List[Tuple[str, bool, bool]]] = None,
     extra_columns: Sequence[str] = (),
 ) -> List[Dict[str, Any]]:
-    """Write ``df`` as new parquet data files; return DataFile dicts.
+    """Write ``df`` as new data files; return DataFile dicts.
+
+    The file format resolves from the table property
+    ``write.format.default`` (parquet | orc, reference
+    io/fileformat.py:147-191 FileFormatModel registry). Parquet stats
+    come from executor-side footer reads; ORC stats run as one
+    distributed Spark agg grouped by ``_metadata.file_path``
+    (spark_stats_for_files — the same path add_files uses).
 
     ``extra_columns``: physical passthrough columns outside the table
     schema (v3 materialized ``_row_id``) written alongside the data.
@@ -117,6 +124,9 @@ def write_data_files(
     orders but does not yet sort on write — io/pyarrow.py:2768).
     """
     properties = properties or {}
+    fmt = (properties.get("write.format.default") or "parquet").lower()
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported write.format.default {fmt!r} (parquet | orc)")
     df = coerce_to_table_schema(df, schema, keep_extra=extra_columns)
     out_dir = posixpath.join(location, "data", commit_uuid)
 
@@ -139,7 +149,7 @@ def write_data_files(
             sort_exprs.append(c)
         writer_df = writer_df.sortWithinPartitions(*sort_exprs)
 
-    writer = writer_df.write.mode("append").format("parquet")
+    writer = writer_df.write.mode("append").format(fmt)
     max_records = properties.get("write.parquet.max-records-per-file")
     if max_records:
         writer = writer.option("maxRecordsPerFile", int(max_records))
@@ -147,7 +157,9 @@ def write_data_files(
         writer = writer.partitionBy(*pnames)
     writer.save(out_dir)
 
-    paths = _list_parquet_files(out_dir)
+    from .fileio import list_files
+
+    paths = list_files(out_dir, f".{fmt}")
     if not paths:
         return []
     # partition values parse from the hive dirs Spark wrote; capture them
@@ -156,7 +168,10 @@ def write_data_files(
     paths, partitions = _apply_location_provider(
         spark, paths, partitions, out_dir, location, properties
     )
-    stats = collect_file_stats(spark, paths, schema, properties=properties)
+    if fmt == "orc":
+        stats = spark_stats_for_files(spark, paths, schema, fmt="ORC", properties=properties)
+    else:
+        stats = collect_file_stats(spark, paths, schema, properties=properties)
     data_files = []
     for path in sorted(paths):
         st = stats[path]
@@ -165,7 +180,7 @@ def write_data_files(
             {
                 "content": 0,
                 "file_path": path,
-                "file_format": "PARQUET",
+                "file_format": fmt.upper(),
                 "spec_id": spec.spec_id,
                 "schema_id": schema.schema_id,
                 "partition": partition,
@@ -470,7 +485,9 @@ def spark_stats_for_files(
 
     modes = metrics_modes_for_schema(schema, properties)
     reader = spark.read.schema(schema.to_spark())
-    df = reader.orc(*paths) if fmt.upper() == "ORC" else reader.parquet(*paths)
+    # DataFrameReader.orc takes ONE path-or-list arg (unlike parquet's
+    # *paths); splatting shifts extra paths into keyword slots
+    df = reader.orc(list(paths)) if fmt.upper() == "ORC" else reader.parquet(*paths)
     prim = [
         f for f in schema.fields
         if f.field_type.is_primitive and modes[f.field_id][0] != "none"
@@ -486,13 +503,16 @@ def spark_stats_for_files(
     rows = df.groupBy(F.col("_metadata.file_path").alias("_fp")).agg(*aggs).collect()
     from ..expressions import to_internal
 
-    # _metadata.file_path is a URI (file:/...); map back to the given paths
-    by_tail = {}
-    for p in paths:
-        by_tail[os.path.basename(p)] = p
+    # _metadata.file_path is a URI (file:/...); map back to the given
+    # paths by scheme-normalized FULL path — partitioned writes reuse
+    # one task's part-file basename across partition dirs, so a
+    # basename-keyed map would silently collapse distinct files
+    from .fileio import path_only
+
+    by_path = {path_only(p).lstrip("/"): p for p in paths}
     out: Dict[str, Dict[str, Any]] = {}
     for r in rows:
-        p = by_tail.get(os.path.basename(r["_fp"]), r["_fp"])
+        p = by_path.get(path_only(r["_fp"]).lstrip("/"), r["_fp"])
         lowers, uppers, nulls, counts = {}, {}, {}, {}
         for f in prim:
             kind, width = modes[f.field_id]

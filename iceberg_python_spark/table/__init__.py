@@ -279,7 +279,9 @@ def _read_paths(spark: SparkSession, spark_schema, fmt: str, paths: List[str]) -
     """Format-aware file read (PARQUET | ORC — reference manifest.py:114)."""
     reader = spark.read.schema(spark_schema)
     if fmt.upper() == "ORC":
-        return reader.orc(*paths)
+        # DataFrameReader.orc takes ONE path-or-list arg (unlike
+        # parquet's *paths); splatting shifts paths into keyword slots
+        return reader.orc(list(paths))
     return reader.parquet(*paths)
 
 
@@ -1414,6 +1416,13 @@ class Transaction:
         added: List[Dict[str, Any]] = []
         rewritten_paths: Set[str] = set()
         if partial and mode == "merge-on-read":
+            non_parquet = {d.get("file_format", "PARQUET") for d in partial} - {"PARQUET"}
+            if non_parquet:
+                raise NotImplementedError(
+                    f"merge-on-read delete over {sorted(non_parquet)} data files needs per-row "
+                    "positions, which Spark's reader only exposes for parquet "
+                    "(_metadata.row_index); use mode='copy-on-write'"
+                )
             delete_files = self._write_position_deletes([d["file_path"] for d in partial], bound)
             removed = {d["file_path"] for d in full_delete}
             if not removed and not delete_files:
@@ -1781,10 +1790,33 @@ class Transaction:
             )
             return spark.createDataFrame([], empty)
         read_schema = T.StructType(list(schema.to_spark().fields) + list(extra_spark_fields))
-        df = spark.read.schema(read_schema).parquet(*[t.file_path for t in tasks])
-        df = df.withColumn("_ips_file", F.col("_metadata.file_path")).withColumn(
-            "_ips_pos", F.col("_metadata.row_index")
-        )
+        by_fmt: Dict[str, List["FileScanTask"]] = {}
+        for t in tasks:
+            by_fmt.setdefault(t.data_file.get("file_format", "PARQUET").upper(), []).append(t)
+        fmt_dfs = []
+        for fmt, fmt_tasks in sorted(by_fmt.items()):
+            part = _read_paths(spark, read_schema, fmt, [t.file_path for t in fmt_tasks])
+            # capture lineage from the scan relation directly — the
+            # _metadata pseudo-column is not resolvable after a union.
+            # _metadata.row_index is PARQUET-ONLY in Spark: non-parquet
+            # files get a NULL position, which is fine until something
+            # position-based (a pos-delete apply or write) needs it —
+            # that case raises loudly instead of matching nothing.
+            if fmt == "PARQUET":
+                pos = F.col("_metadata.row_index")
+            else:
+                if any(t.delete_files for t in fmt_tasks):
+                    raise NotImplementedError(
+                        f"position deletes over {fmt} data files need per-row positions, "
+                        "which Spark's reader only exposes for parquet (_metadata.row_index)"
+                    )
+                pos = F.lit(None).cast("long")
+            fmt_dfs.append(
+                part.withColumn("_ips_file", F.col("_metadata.file_path")).withColumn("_ips_pos", pos)
+            )
+        df = fmt_dfs[0]
+        for extra in fmt_dfs[1:]:
+            df = df.unionByName(extra)
         delete_paths = sorted({p for t in tasks for p in t.delete_files})
         threshold = _delete_broadcast_threshold(self.metadata)
         if delete_paths:
@@ -1845,6 +1877,15 @@ class Transaction:
         schema = self._schema()
         v3_lineage = self.metadata.format_version >= 3
         _tasks, tgt = self._target_with_lineage(match_filter, with_row_ids=v3_lineage)
+        non_parquet = {
+            t.data_file.get("file_format", "PARQUET") for t in _tasks
+        } - {"PARQUET"}
+        if non_parquet:
+            raise NotImplementedError(
+                f"merge-on-read upsert over {sorted(non_parquet)} data files needs per-row "
+                "positions, which Spark's reader only exposes for parquet "
+                "(_metadata.row_index); use mode='copy-on-write'"
+            )
         tgt = tgt.cache()
 
         non_key = [c for c in schema.column_names if c not in join_cols]
@@ -2596,6 +2637,11 @@ class DataScan:
                 df = _read_data(spark, file_schema, fmt, [t.file_path for t in group])
             delete_paths = sorted({p for t in group for p in t.delete_files})
             threshold = _delete_broadcast_threshold(metadata)
+            if fmt.upper() != "PARQUET" and (delete_paths or row_lineage):
+                raise NotImplementedError(
+                    f"per-row positions over {fmt} data files (position deletes / row "
+                    "lineage) need Spark's parquet-only _metadata.row_index"
+                )
             if delete_paths:
                 # MoR: drop positions listed in delete files via an
                 # anti-join on (_metadata.file_path, row_index) —
@@ -2704,6 +2750,11 @@ class DataScan:
                 df = _read_data(spark, read_schema, fmt, [t.file_path for t in grp])
                 delete_paths = sorted({p for t in grp for p in t.delete_files})
                 threshold = _delete_broadcast_threshold(self.table.metadata)
+                if fmt.upper() != "PARQUET" and delete_paths:
+                    raise NotImplementedError(
+                        f"position deletes over {fmt} data files need Spark's "
+                        "parquet-only _metadata.row_index"
+                    )
                 if delete_paths:
                     dels = _pos_deletes_df(spark, delete_paths)
                     df = (
