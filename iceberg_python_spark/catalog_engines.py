@@ -131,18 +131,26 @@ class DuckDBEngine(SqlEngine):
         self.db_path = db_path
         self._root = duckdb.connect(db_path)
         self._write_lock = threading.Lock()
+        # owner-aware release: Lock.locked() is not thread-attributed, so
+        # a stray/double end_write from another thread must NOT release a
+        # lock it never acquired (that would silently break write-txn
+        # serialization)
+        self._write_owner = threading.local()
 
     def connect(self) -> _DuckCursor:
         return _DuckCursor(self._root.cursor())
 
     def begin_write(self, con: _DuckCursor) -> None:
         self._write_lock.acquire()
+        self._write_owner.held = True
         try:
             con.execute("BEGIN TRANSACTION")
         except BaseException:
+            self._write_owner.held = False
             self._write_lock.release()
             raise
 
     def end_write(self, con: _DuckCursor) -> None:
-        if self._write_lock.locked():
+        if getattr(self._write_owner, "held", False):
+            self._write_owner.held = False
             self._write_lock.release()

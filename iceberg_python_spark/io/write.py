@@ -92,7 +92,18 @@ def coerce_to_table_schema(df: DataFrame, schema: Schema, keep_extra: Sequence[s
                 .alias(field.name, metadata={"parquet.field.id": field.field_id})
             )
     df_names = {f.name for f in df.schema.fields}
-    cols += [F.col(n) for n in keep_extra if n in df_names]
+    # passthrough columns that carry spec-reserved field ids get them in
+    # the parquet footer so external readers recognize them (v3 row
+    # lineage: _row_id = 2147483540, _last_updated_sequence_number =
+    # 2147483539 — Iceberg spec reserved ids)
+    reserved_ids = {"_row_id": 2147483540, "_last_updated_sequence_number": 2147483539}
+    for n in keep_extra:
+        if n not in df_names:
+            continue
+        fid = reserved_ids.get(n)
+        cols.append(
+            F.col(n).alias(n, metadata={"parquet.field.id": fid}) if fid is not None else F.col(n)
+        )
     return df.select(*cols)
 
 

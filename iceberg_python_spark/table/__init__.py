@@ -1313,6 +1313,20 @@ class Transaction:
                 schema_id=schema.schema_id,
             ),
         )
+        if not self._replaying:
+            # stage a replayable marker: a CAS-retry rebase replays only
+            # _staged, and a bare _register_snapshot would silently drop
+            # this snapshot when mixed with other staged ops
+            self._staged.append(
+                {
+                    "operation": "rewrite_manifests",
+                    "target_entries": target_entries,
+                    "added_files": [],
+                    "removed_paths": set(),
+                    "snapshot_properties": None,
+                    "conflict_filter": None,
+                }
+            )
         return len(merged)
 
     def _merge_manifests(
@@ -2104,6 +2118,9 @@ class Transaction:
                 self._replaying = True
                 try:
                     for s in self._staged:
+                        if s["operation"] == "rewrite_manifests":
+                            self.rewrite_manifests(s["target_entries"])
+                            continue
                         self._commit_snapshot(
                             s["operation"],
                             s["added_files"],
@@ -2963,7 +2980,24 @@ class IncrementalAppendScan:
         spark = self.table.spark
         if not tasks:
             return spark.createDataFrame([], schema=projected.to_spark())
-        df = _read_data(spark, schema, "PARQUET", [t.file_path for t in tasks])
+        # group by commit-time (schema, format) and project by field id —
+        # files appended before a rename must not read as NULL
+        groups: Dict[Tuple[int, str], List[str]] = {}
+        for t in tasks:
+            groups.setdefault(
+                (
+                    t.data_file.get("schema_id", schema.schema_id),
+                    t.data_file.get("file_format", "PARQUET").upper(),
+                ),
+                [],
+            ).append(t.file_path)
+        dfs = []
+        for (sid, fmt), paths in sorted(groups.items()):
+            file_schema = meta.schema_by_id(sid)
+            dfs.append(_align_to_schema(_read_data(spark, file_schema, fmt, paths), file_schema, schema))
+        df = dfs[0]
+        for x in dfs[1:]:
+            df = df.unionByName(x)
         bound = bind(self.row_filter, schema)
         if not isinstance(bound, AlwaysTrue):
             df = df.where(to_spark_column(bound))
@@ -3037,6 +3071,41 @@ class IncrementalChangelogScan:
                     out[d.get("content", 0)][d["file_path"]] = d
             return out
 
+        def read_files(file_map, paths, with_lineage: bool = False) -> DataFrame:
+            """Read data files grouped by their COMMIT-TIME schema (and
+            format), each group projected to the current schema by field
+            id — a column renamed inside the scan range would otherwise
+            silently read as NULL (the same per-file-schema handling the
+            main DataScan does). ``with_lineage`` captures
+            (_ips_file, _ips_pos) on each scan relation before the union."""
+            groups: Dict[Tuple[int, str], List[str]] = {}
+            for p in paths:
+                d = file_map[p]
+                groups.setdefault(
+                    (d.get("schema_id", schema.schema_id), d.get("file_format", "PARQUET").upper()),
+                    [],
+                ).append(p)
+            out_parts: List[DataFrame] = []
+            for (sid, fmt), ps in sorted(groups.items()):
+                file_schema = meta.schema_by_id(sid)
+                df = _read_data(spark, file_schema, fmt, ps)
+                passthrough: Tuple[str, ...] = ()
+                if with_lineage:
+                    if fmt != "PARQUET":
+                        raise NotImplementedError(
+                            f"changelog position-delete recovery over {fmt} files needs "
+                            "Spark's parquet-only _metadata.row_index"
+                        )
+                    df = df.withColumn("_ips_file", F.col("_metadata.file_path")).withColumn(
+                        "_ips_pos", F.col("_metadata.row_index")
+                    )
+                    passthrough = ("_ips_file", "_ips_pos")
+                out_parts.append(_align_to_schema(df, file_schema, schema, passthrough=passthrough))
+            out = out_parts[0]
+            for x in out_parts[1:]:
+                out = out.unionByName(x)
+            return out
+
         parts: List[DataFrame] = []
         prev = by_content(
             meta.snapshot_by_id(chain[0].parent_snapshot_id)
@@ -3058,13 +3127,9 @@ class IncrementalChangelogScan:
                     "(same limitation as Iceberg's changelog reader)"
                 )
             if added_data:
-                parts.append(
-                    tag(_read_data(spark, schema, "PARQUET", added_data), "insert", ordinal, snap.snapshot_id)
-                )
+                parts.append(tag(read_files(cur[0], added_data), "insert", ordinal, snap.snapshot_id))
             if removed_data:
-                parts.append(
-                    tag(_read_data(spark, schema, "PARQUET", removed_data), "delete", ordinal, snap.snapshot_id)
-                )
+                parts.append(tag(read_files(prev[0], removed_data), "delete", ordinal, snap.snapshot_id))
             if added_pos:
                 dels = _pos_deletes_df(spark, added_pos)
                 # the (file, pos) pairs reference data files live in the
@@ -3074,11 +3139,15 @@ class IncrementalChangelogScan:
                     {r[0] for r in dels.select("file_path").distinct().collect()}
                 )
                 if ref_paths:
-                    src = (
-                        _read_data(spark, schema, "PARQUET", ref_paths)
-                        .withColumn("_ips_file", F.col("_metadata.file_path"))
-                        .withColumn("_ips_pos", F.col("_metadata.row_index"))
-                    )
+                    # delete files store URI-form paths (file:/...) while
+                    # manifests hold plain paths — match scheme-normalized
+                    by_norm = {
+                        _strip_uri_scheme(p): d for p, d in {**prev[0], **cur[0]}.items()
+                    }
+                    ref_map = {
+                        p: by_norm.get(_strip_uri_scheme(p), {"file_path": p}) for p in ref_paths
+                    }
+                    src = read_files(ref_map, ref_paths, with_lineage=True)
                     del_bytes = sum(
                         cur[1][p].get("file_size_in_bytes", -1) for p in added_pos
                     ) if all(cur[1][p].get("file_size_in_bytes", -1) >= 0 for p in added_pos) else None

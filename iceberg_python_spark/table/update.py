@@ -336,7 +336,10 @@ class UpdateStatistics:
                     "equality_delete_record_count"
                 ),
                 F.sum(F.when(eq, 1).otherwise(0)).alias("equality_delete_file_count"),
-                F.max("snapshot_id").alias("last_updated_snapshot_id"),
+                # snapshot ids are random 62-bit values, not monotonic —
+                # "last updated" must follow the commit order, which
+                # sequence_number carries
+                F.expr("max_by(snapshot_id, sequence_number)").alias("last_updated_snapshot_id"),
             )
             .withColumn("partition", F.col("partition_json"))
             .drop("partition_json")

@@ -176,3 +176,42 @@ def test_changelog_replay_reconstructs_state(catalog, spark, seed):
     got = {(r.id, r.v) for r in final.collect()}
     assert got == want
     assert {r[0] for r in want} == live
+
+
+def test_changelog_across_column_rename(tbl, spark):
+    """Files written BEFORE a rename must still populate the renamed
+    column (field-id projection, not name matching) in changelog rows."""
+    s1 = tbl.current_snapshot().snapshot_id
+    tbl.update_schema().rename_column("val", "value").commit()
+    tbl.refresh()
+    tbl.append(spark.createDataFrame([(200, 5.0)], "id: long, value: double"))
+    tbl.refresh()
+    tbl.delete("id < 2", mode="merge-on-read")  # pos-delete recovery reads pre-rename files
+    tbl.refresh()
+    rows = tbl.incremental_changelog_scan().to_df().collect()
+    # every row carries a non-null renamed value — including inserts from
+    # pre-rename files and delete rows recovered from them
+    assert all(r.value is not None for r in rows)
+    by = _changes(tbl, from_snapshot_id_exclusive=s1)
+    assert by[(0, "insert")] == {200}
+    assert by[(1, "delete")] == {0, 1}
+    deleted_vals = {
+        r.value for r in rows if r._change_type == "delete" and r.id in (0, 1)
+    }
+    assert deleted_vals == {0.0, 1.0}
+
+
+def test_changelog_multi_snapshot_accumulated_deletes(tbl, spark):
+    """Several MoR delete snapshots stack up (heavy-churn CDC shape):
+    each ordinal recovers exactly its own snapshot's deleted rows, and
+    replaying the log reconstructs the final state."""
+    s1 = tbl.current_snapshot().snapshot_id
+    for lo, hi in ((0, 10), (10, 25), (25, 30)):
+        tbl.delete(f"id >= {lo} and id < {hi}", mode="merge-on-read")
+        tbl.refresh()
+    by = _changes(tbl, from_snapshot_id_exclusive=s1)
+    assert by[(0, "delete")] == set(range(0, 10))
+    assert by[(1, "delete")] == set(range(10, 25))
+    assert by[(2, "delete")] == set(range(25, 30))
+    live = {r.id for r in tbl.scan().to_df().collect()}
+    assert live == set(range(30, 100))

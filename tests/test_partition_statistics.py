@@ -81,3 +81,21 @@ def test_remove_partition_statistics(ptable):
     ptable.update_statistics().remove_partition_statistics(snap).commit()
     ptable.refresh()
     assert ptable.metadata.partition_statistics == []
+
+
+def test_last_updated_follows_commit_order(ptable, spark):
+    """Snapshot ids are random 62-bit values, NOT monotonic — the rolled-up
+    last_updated_snapshot_id must track the entry with the highest
+    sequence number, never max(snapshot_id)."""
+    t = ptable
+    # second append touching every partition: its snapshot is the latest
+    # by commit order regardless of how its random id compares
+    t.append(spark.createDataFrame([(1000 + i, i % 4, 0.0) for i in range(8)],
+                                   "id: long, k: int, val: double"))
+    t.refresh()
+    latest = t.current_snapshot().snapshot_id
+    t.update_statistics().compute_partition_statistics().commit()
+    t.refresh()
+    stats = t.inspect.partition_statistics().collect()
+    assert stats
+    assert all(r.last_updated_snapshot_id == latest for r in stats)

@@ -131,3 +131,29 @@ def test_mor_upsert_preserves_updated_row_ids(v3, spark):
     assert rows[600]._row_id not in set(before.values())
     ids = [r._row_id for r in rows.values()]
     assert len(ids) == len(set(ids))
+
+
+def test_materialized_row_id_carries_reserved_field_id(catalog, spark):
+    """Rewritten v3 files materialize _row_id; spec-conformant external
+    readers identify it by the reserved field id 2147483540, so the
+    parquet footer must carry it like any table column's id."""
+    import pyarrow.parquet as pq
+
+    from iceberg_python_spark.schema import schema_from_spark
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(20)], "id: long, v: double")
+    t = catalog.create_table(
+        "db.rowid_fid", schema_from_spark(df.schema), properties={"format-version": "3"}
+    )
+    t.append(df)
+    t.delete("id < 5")  # CoW rewrite materializes surviving rows' ids
+    t.refresh()
+    paths = [e["data_file"]["file_path"] for e in t._live_entries(t.current_snapshot())]
+    found = False
+    for p in paths:
+        sch = pq.read_schema(p)
+        if "_row_id" in sch.names:
+            meta = sch.field("_row_id").metadata or {}
+            assert meta.get(b"PARQUET:field_id") == b"2147483540", meta
+            found = True
+    assert found, "no rewritten file materialized _row_id"

@@ -204,3 +204,29 @@ def test_upgrade_format_version_and_position_deletes(catalog, spark):
     assert out2[100] == 50
     with _pytest.raises(ValueError, match="downgrade"):
         t.upgrade_format_version(2)
+
+
+def test_rewrite_manifests_replayed_on_cas_retry(catalog, spark):
+    """A CAS-retry rebase replays only staged ops; rewrite_manifests must
+    stage a replayable marker or a mixed transaction silently drops its
+    consolidation snapshot."""
+    from iceberg_python_spark.schema import schema_from_spark
+    from pyspark.sql import functions as F
+
+    df0 = spark.range(10).withColumn("v", F.col("id"))
+    t = catalog.create_table("db.rwm_cas", schema_from_spark(df0.schema))
+    for i in range(5):
+        t.append(spark.range(i * 10, i * 10 + 10).withColumn("v", F.col("id")))
+        t.refresh()
+    t2 = catalog.load_table("db.rwm_cas")
+    with t.transaction() as tx:
+        assert tx.rewrite_manifests() == 1
+        # concurrent append lands first -> tx's commit CAS-fails and
+        # replays its staged ops on the fresh base
+        t2.append(spark.range(100, 110).withColumn("v", F.col("id")))
+    t.refresh()
+    ops = [s.operation for s in t.metadata.snapshots]
+    assert "replace" in ops, ops
+    assert t.scan().to_df().count() == 60  # 5x10 + concurrent 10
+    # the replayed consolidation really ran on the fresh base
+    assert len(t._live_manifests(t.current_snapshot())) == 1

@@ -170,3 +170,32 @@ def test_schema_as_arrow_and_name_mapping(spark):
     assert [f.name for f in pa_schema] == ["id", "s"]
     nm = sch.name_mapping()
     assert nm.id_for("id") == sch.find_field("id").field_id
+
+
+def test_duckdb_stray_end_write_keeps_lock(spark, tmp_path):
+    """end_write must be owner-aware: a stray end_write from a thread
+    that never acquired the write lock must NOT release another
+    writer's lock (that would break write-txn serialization)."""
+    import threading
+
+    from iceberg_python_spark.catalog_engines import DuckDBEngine
+
+    eng = DuckDBEngine(str(tmp_path / "lock.duckdb"))
+    con = eng.connect()
+    eng.begin_write(con)
+    try:
+        released_by_stranger = []
+
+        def stray():
+            c2 = eng.connect()
+            eng.end_write(c2)  # never acquired -> must be a no-op
+            released_by_stranger.append(eng._write_lock.locked())
+
+        th = threading.Thread(target=stray)
+        th.start()
+        th.join()
+        assert released_by_stranger == [True]  # still held by the owner
+    finally:
+        con.execute("ROLLBACK")
+        eng.end_write(con)
+    assert not eng._write_lock.locked()
