@@ -12,9 +12,13 @@ the same dispatch:
 - plain local paths (no scheme) and ``file:`` URIs use ``os``/builtin
   IO (fast path, no JVM round-trip);
 - any other scheme (``s3a:``, ``hdfs:``, ``gs:``, ``abfs:``, …) routes
-  through the driver's Hadoop FileSystem via ``spark._jvm`` — the same
-  connector stack Spark's own writes use, so any scheme Spark can write
-  is a scheme we can commit.
+  through the driver's Hadoop FileSystem via ``spark._jvm`` when a
+  SparkSession is active — the same connector stack Spark's own writes
+  use, so any scheme Spark can write is a scheme we can commit;
+- with NO active SparkSession, remote paths fall back to a pure-Python
+  ``pyarrow.fs`` FileSystem (reference io/fsspec.py:428 use-case:
+  metadata/Puffin reads without a JVM — StaticTable.from_metadata,
+  inspection tooling, GC scripts).
 
 Executor-side footer reads (no JVM access from Python workers) use
 pyarrow's FileSystem.from_uri with the conventional ``s3a:`` → ``s3:``
@@ -76,6 +80,25 @@ def _active_spark(spark=None):
     return s
 
 
+def _spark_or_none(spark=None):
+    if spark is not None:
+        return spark
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession()
+
+
+def _pa_fs(path: str):
+    """(pyarrow FileSystem, fs-relative path) for a remote URI — the
+    pure-Python fallback used when no SparkSession is active. Raises the
+    pyarrow error for schemes it can't resolve (informative: names the
+    scheme and the missing driver)."""
+    from pyarrow import fs as pafs
+
+    uri = path.replace("s3a://", "s3://", 1)
+    return pafs.FileSystem.from_uri(uri)
+
+
 def _hadoop_fs(spark, path: str):
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -94,7 +117,22 @@ def list_files(root: str, suffix: str = ".parquet", spark=None) -> List[str]:
                 if f.endswith(suffix):
                     out.append(os.path.join(dirpath, f))
         return out
-    spark = _active_spark(spark)
+    spark = _spark_or_none(spark)
+    if spark is None:
+        from pyarrow import fs as pafs
+
+        fs, rel = _pa_fs(root)
+        rel = rel.rstrip("/")
+        try:
+            infos = fs.get_file_info(pafs.FileSelector(rel, recursive=True))
+        except FileNotFoundError:
+            return []
+        prefix = root.rstrip("/")
+        return [
+            prefix + i.path[len(rel):]
+            for i in infos
+            if i.type == pafs.FileType.File and i.path.endswith(suffix)
+        ]
     fs, jpath, _jvm = _hadoop_fs(spark, root)
     if not fs.exists(jpath):
         return []
@@ -111,7 +149,10 @@ def list_files(root: str, suffix: str = ".parquet", spark=None) -> List[str]:
 def file_size(path: str, spark=None) -> int:
     if not is_remote(path):
         return os.path.getsize(to_local(path))
-    spark = _active_spark(spark)
+    spark = _spark_or_none(spark)
+    if spark is None:
+        fs, rel = _pa_fs(path)
+        return fs.get_file_info(rel).size
     fs, jpath, _ = _hadoop_fs(spark, path)
     return fs.getFileStatus(jpath).getLen()
 
@@ -119,7 +160,12 @@ def file_size(path: str, spark=None) -> int:
 def exists(path: str, spark=None) -> bool:
     if not is_remote(path):
         return os.path.exists(to_local(path))
-    spark = _active_spark(spark)
+    spark = _spark_or_none(spark)
+    if spark is None:
+        from pyarrow import fs as pafs
+
+        fs, rel = _pa_fs(path)
+        return fs.get_file_info(rel).type != pafs.FileType.NotFound
     fs, jpath, _ = _hadoop_fs(spark, path)
     return fs.exists(jpath)
 
@@ -132,7 +178,14 @@ def remove(path: str, spark=None) -> bool:
             return True
         except OSError:
             return False
-    spark = _active_spark(spark)
+    spark = _spark_or_none(spark)
+    if spark is None:
+        fs, rel = _pa_fs(path)
+        try:
+            fs.delete_file(rel)
+            return True
+        except (FileNotFoundError, OSError):
+            return False
     fs, jpath, _ = _hadoop_fs(spark, path)
     try:
         return bool(fs.delete(jpath, False))
@@ -152,7 +205,15 @@ def rename(src: str, dst: str, spark=None) -> None:
             os.makedirs(d, exist_ok=True)
         os.replace(to_local(src), local_dst)
         return
-    spark = _active_spark(spark)
+    spark = _spark_or_none(spark)
+    if spark is None:
+        fs, rel_src = _pa_fs(src)
+        _fs2, rel_dst = _pa_fs(dst)
+        parent = rel_dst.rsplit("/", 1)[0]
+        if parent:
+            fs.create_dir(parent, recursive=True)
+        fs.move(rel_src, rel_dst)
+        return
     fs, jsrc, jvm = _hadoop_fs(spark, src)
     jdst = jvm.org.apache.hadoop.fs.Path(dst)
     parent = jdst.getParent()
@@ -166,7 +227,11 @@ def read_bytes(path: str, spark=None) -> bytes:
     if not is_remote(path):
         with open(to_local(path), "rb") as f:
             return f.read()
-    spark = _active_spark(spark)
+    spark = _spark_or_none(spark)
+    if spark is None:
+        fs, rel = _pa_fs(path)
+        with fs.open_input_file(rel) as f:
+            return f.read()
     fs, jpath, jvm = _hadoop_fs(spark, path)
     stream = fs.open(jpath)
     try:
@@ -188,7 +253,15 @@ def write_bytes(path: str, data: bytes, spark=None) -> None:
             f.write(data)
         os.replace(tmp, local)
         return
-    spark = _active_spark(spark)
+    spark = _spark_or_none(spark)
+    if spark is None:
+        fs, rel = _pa_fs(path)
+        parent = rel.rsplit("/", 1)[0]
+        if parent:
+            fs.create_dir(parent, recursive=True)
+        with fs.open_output_stream(rel) as f:
+            f.write(data)
+        return
     fs, jpath, _jvm = _hadoop_fs(spark, path)
     stream = fs.create(jpath, True)
     try:

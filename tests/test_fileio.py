@@ -78,3 +78,49 @@ def test_table_flow_on_scheme_qualified_location(catalog, spark, tmp_path):
     assert removed, "GC removed nothing"
     assert t.scan().to_df().count() == 200
     assert t.current_snapshot() is not None
+
+def test_pyarrow_fallback_without_spark(tmp_path, monkeypatch):
+    """With NO active SparkSession, remote-scheme FileIO ops run through
+    pure-Python pyarrow.fs (reference io/fsspec.py use-case) — metadata
+    reads/writes, listing, rename, GC deletes all JVM-free. A fake
+    object-store scheme maps into a local pyarrow FileSystem so no real
+    network is involved."""
+    from pyarrow import fs as pafs
+
+    from iceberg_python_spark.io import fileio
+
+    root = tmp_path / "bucket"
+    root.mkdir()
+
+    def fake_pa_fs(path):
+        assert path.startswith("mock-s3://bucket/")
+        rel = path[len("mock-s3://bucket/"):]
+        return pafs.LocalFileSystem(), str(root / rel)
+
+    monkeypatch.setattr(fileio, "_pa_fs", fake_pa_fs)
+    monkeypatch.setattr(fileio, "_spark_or_none", lambda spark=None: None)
+    # any accidental JVM use must blow up loudly
+    monkeypatch.setattr(fileio, "_hadoop_fs", lambda *a: (_ for _ in ()).throw(AssertionError("JVM used")))
+
+    u = "mock-s3://bucket/meta/v1.metadata.json"
+    fileio.write_text(u, '{"format-version": 2}')
+    assert fileio.exists(u)
+    assert fileio.read_text(u) == '{"format-version": 2}'
+    assert fileio.file_size(u) == len('{"format-version": 2}')
+
+    fileio.write_bytes("mock-s3://bucket/data/a/x.parquet", b"pq1")
+    fileio.write_bytes("mock-s3://bucket/data/b/y.parquet", b"pq22")
+    listed = sorted(fileio.list_files("mock-s3://bucket/data", ".parquet"))
+    assert listed == [
+        "mock-s3://bucket/data/a/x.parquet",
+        "mock-s3://bucket/data/b/y.parquet",
+    ]
+    assert fileio.list_files("mock-s3://bucket/nope", ".parquet") == []
+
+    fileio.rename("mock-s3://bucket/data/a/x.parquet", "mock-s3://bucket/moved/x.parquet")
+    assert fileio.exists("mock-s3://bucket/moved/x.parquet")
+    assert not fileio.exists("mock-s3://bucket/data/a/x.parquet")
+
+    assert fileio.remove("mock-s3://bucket/moved/x.parquet") is True
+    assert fileio.remove("mock-s3://bucket/moved/x.parquet") is False
+
