@@ -48,6 +48,10 @@ class NoSuchNamespaceError(Exception):
     pass
 
 
+class NamespaceAlreadyExistsError(Exception):
+    pass
+
+
 def _to_identifier(identifier: Union[str, Identifier]) -> Identifier:
     if isinstance(identifier, str):
         return tuple(identifier.split("."))
@@ -92,13 +96,28 @@ _DDL = [
 _TBL_PK = ("catalog_name", "table_namespace", "table_name")
 
 
-class SqlCatalog:
-    """A durable catalog holding metadata-location pointers behind a
-    `SqlEngine`. Matches the shape of the reference's SqlCatalog tables
-    (iceberg_tables / iceberg_namespace_properties, catalog/sql.py:62-113).
+class MetastoreCatalog:
+    """Backend-independent catalog core (reference
+    catalog/__init__.py:347 Catalog ABC + MetastoreCatalog). The table
+    lifecycle — create / load / drop / register / clone / commit-CAS /
+    staged create-transaction — is implemented ONCE here against four
+    atomic pointer primitives a metastore must provide:
+
+    - ``_pointer_get(ns, name)`` -> metadata_location or None
+    - ``_pointer_put_if_absent(ns, name, location)`` — atomic
+      create-if-absent, raises TableAlreadyExistsError
+    - ``_pointer_cas(ns, name, expected, new)`` — atomic
+      compare-and-swap, raises CommitFailedException on mismatch
+    - ``_pointer_delete(ns, name)`` — raises NoSuchTableError
+
+    plus namespace/list surfaces each backend maps natively (SQL rows,
+    Glue databases, DynamoDB items). SqlCatalog, GlueCatalog and
+    DynamoDbCatalog are all thin primitive sets under this core, so the
+    commit protocol (and its concurrency semantics) is identical across
+    backends by construction.
     """
 
-    def __init__(self, name: str, warehouse: str, spark: SparkSession, engine: SqlEngine):
+    def __init__(self, name: str, warehouse: str, spark: SparkSession):
         from .io.fileio import is_remote, to_local
 
         self.name = name
@@ -106,6 +125,230 @@ class SqlCatalog:
         self.spark = spark
         if not is_remote(self.warehouse):
             os.makedirs(to_local(self.warehouse), exist_ok=True)
+
+    # -- pointer primitives (backend contract) --------------------------------
+    def _pointer_get(self, ns: str, table_name: str) -> Optional[str]:
+        raise NotImplementedError
+
+    def _pointer_put_if_absent(self, ns: str, table_name: str, metadata_location: str) -> None:
+        raise NotImplementedError
+
+    def _pointer_cas(self, ns: str, table_name: str, expected: str, new: str) -> None:
+        raise NotImplementedError
+
+    def _pointer_delete(self, ns: str, table_name: str) -> None:
+        raise NotImplementedError
+
+    def namespace_exists(self, namespace: Union[str, Identifier]) -> bool:
+        raise NotImplementedError
+
+    def create_namespace(self, namespace: Union[str, Identifier], properties: Optional[Dict[str, str]] = None) -> None:
+        raise NotImplementedError
+
+    def list_tables(self, namespace: Union[str, Identifier]) -> List[Identifier]:
+        raise NotImplementedError
+
+    def create_namespace_if_not_exists(
+        self, namespace: Union[str, Identifier], properties: Optional[Dict[str, str]] = None
+    ) -> None:
+        try:
+            self.create_namespace(namespace, properties)
+        except NamespaceAlreadyExistsError:
+            pass
+
+    # -- shared table lifecycle ------------------------------------------------
+    def create_table(
+        self,
+        identifier: Union[str, Identifier],
+        schema: Union[Schema, "pyspark.sql.types.StructType"],
+        partition_spec: PartitionSpec = UNPARTITIONED,
+        sort_order: Optional[SortOrder] = None,
+        properties: Optional[Dict[str, str]] = None,
+        location: Optional[str] = None,
+    ) -> Table:
+        ident = _to_identifier(identifier)
+        ns, table_name = ".".join(ident[:-1]), ident[-1]
+        if not self.namespace_exists(ns):
+            self.create_namespace(ns)
+        from pyspark.sql import types as T
+
+        if isinstance(schema, T.StructType):
+            schema = schema_from_spark(schema)
+        location = location or posixpath.join(self.warehouse, *ident)
+        metadata = new_table_metadata(schema, partition_spec, location, properties, sort_order)
+        metadata_location = self._write_metadata(metadata, version=1)
+        self._pointer_put_if_absent(ns, table_name, metadata_location)
+        self._write_version_hint(metadata_location)
+        return Table(ident, metadata, metadata_location, self, self.spark)
+
+    def create_table_transaction(
+        self,
+        identifier: Union[str, Identifier],
+        schema: Union[Schema, "pyspark.sql.types.StructType"],
+        partition_spec: PartitionSpec = UNPARTITIONED,
+        sort_order: Optional[SortOrder] = None,
+        properties: Optional[Dict[str, str]] = None,
+        location: Optional[str] = None,
+    ) -> "CreateTableTransaction":
+        """Stage a table creation plus writes, committed atomically
+        (reference catalog/__init__.py:396): nothing is visible in the
+        catalog until ``commit_transaction()``; an abandoned transaction
+        leaves no catalog entry. Usage::
+
+            with catalog.create_table_transaction("db.t", schema) as tx:
+                tx.append(df)
+        """
+        from pyspark.sql import types as T
+
+        ident = _to_identifier(identifier)
+        if isinstance(schema, T.StructType):
+            schema = schema_from_spark(schema)
+        location = location or posixpath.join(self.warehouse, *ident)
+        metadata = new_table_metadata(schema, partition_spec, location, properties, sort_order)
+        # no metadata file and no catalog row yet — the sentinel location
+        # only seeds the committed file's version numbering
+        sentinel = posixpath.join(location, "metadata", "00000-staged.metadata.json")
+        table = Table(ident, metadata, sentinel, _StagedCreateCatalog(self), self.spark)
+        return CreateTableTransaction(table)
+
+    def create_table_if_not_exists(self, identifier, schema, **kw) -> Table:
+        try:
+            return self.create_table(identifier, schema, **kw)
+        except TableAlreadyExistsError:
+            return self.load_table(identifier)
+
+    def load_table(self, identifier: Union[str, Identifier]) -> Table:
+        ident = _to_identifier(identifier)
+        ns, table_name = ".".join(ident[:-1]), ident[-1]
+        metadata_location = self._pointer_get(ns, table_name)
+        if metadata_location is None:
+            raise NoSuchTableError(".".join(ident))
+        metadata = TableMetadata.read(metadata_location)
+        return Table(ident, metadata, metadata_location, self, self.spark)
+
+    def table_exists(self, identifier: Union[str, Identifier]) -> bool:
+        try:
+            self.load_table(identifier)
+            return True
+        except NoSuchTableError:
+            return False
+
+    def drop_table(self, identifier: Union[str, Identifier]) -> None:
+        ident = _to_identifier(identifier)
+        self._pointer_delete(".".join(ident[:-1]), ident[-1])
+
+    def purge_table(self, identifier: Union[str, Identifier]) -> None:
+        from .io.fileio import is_remote, to_local
+
+        table = self.load_table(identifier)
+        self.drop_table(identifier)
+        if is_remote(table.location):
+            jvm = self.spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(table.location)
+            fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            fs.delete(jpath, True)  # recursive
+        else:
+            import shutil
+
+            shutil.rmtree(to_local(table.location), ignore_errors=True)
+
+    def clone_table(
+        self,
+        src_identifier: Union[str, Identifier],
+        dst_identifier: Union[str, Identifier],
+        snapshot_id: Optional[int] = None,
+        properties: Optional[Dict[str, str]] = None,
+    ) -> Table:
+        """Snapshot-clone: a new independent table over the SOURCE's current
+        (or given) snapshot's data files — metadata only, zero data copied
+        (the Iceberg "snapshot table" action; Spark's
+        SnapshotTableSparkAction has the same shape). The clone shares file
+        paths but owns its metadata: later writes/deletes/compactions on
+        either side produce new files in that table's own location and
+        never touch the shared ones. Do NOT ``purge_table`` a clone whose
+        source is still live — purge removes the shared data directory.
+
+        Requires a delete-free source snapshot (position/equality deletes
+        and DVs reference data files by path and sequence number; cloning
+        them would pin cross-table sequence semantics — compact first)."""
+        src = self.load_table(src_identifier)
+        snap = src.snapshot_by_id(snapshot_id) if snapshot_id else src.current_snapshot()
+        entries = src._live_entries(snap) if snap else []
+        if any(e["data_file"].get("content", 0) != 0 for e in entries):
+            raise ValueError(
+                f"clone_table: source snapshot of {src.name} carries delete files; "
+                "run compact() first so the snapshot is delete-free"
+            )
+        dst = self.create_table(
+            dst_identifier,
+            src.schema(),
+            partition_spec=src.metadata.spec(),
+            sort_order=src.metadata.sort_order(),
+            properties={**src.metadata.properties, **(properties or {})},
+        )
+        if entries:
+            dst.register_data_files(
+                [e["data_file"] for e in entries],
+                snapshot_properties={
+                    "cloned-from": src.name,
+                    "cloned-snapshot-id": str(snap.snapshot_id),
+                },
+            )
+            dst.refresh()
+        return dst
+
+    def register_table(self, identifier: Union[str, Identifier], metadata_location: str) -> Table:
+        """Register an existing metadata JSON under a new name
+        (reference catalog/__init__.py:521)."""
+        ident = _to_identifier(identifier)
+        ns, table_name = ".".join(ident[:-1]), ident[-1]
+        if not self.namespace_exists(ns):
+            self.create_namespace(ns)
+        TableMetadata.read(metadata_location)  # validate
+        self._pointer_put_if_absent(ns, table_name, metadata_location)
+        return self.load_table(ident)
+
+    # -- commit protocol -----------------------------------------------------------
+    def _write_metadata(self, metadata: TableMetadata, version: int) -> str:
+        # uuid suffix so concurrent commit attempts at the same version can
+        # NEVER overwrite each other's file — the CAS below picks the winner
+        # (same reason the spec names files 00001-<uuid>.metadata.json)
+        path = posixpath.join(metadata.location, "metadata", f"{version:05d}-{uuid.uuid4()}.metadata.json")
+        metadata.write(path)
+        return path
+
+    @staticmethod
+    def _write_version_hint(metadata_location: str) -> None:
+        from .io.fileio import write_text
+
+        base = posixpath.basename(metadata_location)
+        hint = posixpath.join(posixpath.dirname(metadata_location), "version-hint.text")
+        write_text(hint, base)
+
+    def _commit_table(self, table: Table, new_metadata: TableMetadata) -> None:
+        ns, table_name = ".".join(table.identifier[:-1]), table.identifier[-1]
+        old_location = table.metadata_location
+        # next version number from the current pointer
+        base = os.path.basename(old_location)
+        version = int(base.split("-")[0].lstrip("v").split(".")[0]) + 1
+        new_metadata.metadata_log = (new_metadata.metadata_log or []) + [
+            {"timestamp-ms": new_metadata.last_updated_ms, "metadata-file": old_location}
+        ]
+        new_location = self._write_metadata(new_metadata, version)
+        self._pointer_cas(ns, table_name, old_location, new_location)
+        self._write_version_hint(new_location)  # advisory, after the CAS won
+        table.metadata = new_metadata
+        table.metadata_location = new_location
+
+
+class SqlCatalog(MetastoreCatalog):
+    """A durable catalog holding metadata-location pointers behind a
+    `SqlEngine`. Matches the shape of the reference's SqlCatalog tables
+    (iceberg_tables / iceberg_namespace_properties, catalog/sql.py:62-113).
+    """
+
+    def __init__(self, name: str, warehouse: str, spark: SparkSession, engine: SqlEngine):
+        super().__init__(name, warehouse, spark)
         self.engine = engine
         self.engine.init_schema(_DDL)
 
@@ -222,96 +465,57 @@ class SqlCatalog:
             raise NoSuchNamespaceError(ns)
         return json.loads(row[0] or "{}")
 
-    # -- tables ------------------------------------------------------------------
-    def create_table(
-        self,
-        identifier: Union[str, Identifier],
-        schema: Union[Schema, "pyspark.sql.types.StructType"],
-        partition_spec: PartitionSpec = UNPARTITIONED,
-        sort_order: Optional[SortOrder] = None,
-        properties: Optional[Dict[str, str]] = None,
-        location: Optional[str] = None,
-    ) -> Table:
-        ident = _to_identifier(identifier)
-        ns, table_name = ".".join(ident[:-1]), ident[-1]
-        if not self.namespace_exists(ns):
-            self.create_namespace(ns)
-        from pyspark.sql import types as T
+    # -- pointer primitives (MetastoreCatalog contract) -------------------------
+    def _pointer_get(self, ns: str, table_name: str) -> Optional[str]:
+        with self._conn() as con:
+            row = con.execute(
+                "SELECT metadata_location FROM iceberg_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+                (self.name, ns, table_name),
+            ).fetchone()
+        return None if row is None else row[0]
 
-        if isinstance(schema, T.StructType):
-            schema = schema_from_spark(schema)
-        location = location or posixpath.join(self.warehouse, *ident)
-        metadata = new_table_metadata(schema, partition_spec, location, properties, sort_order)
-        metadata_location = self._write_metadata(metadata, version=1)
+    def _pointer_put_if_absent(self, ns: str, table_name: str, metadata_location: str) -> None:
         with self._write_txn() as con:
             cur = con.execute(
                 "SELECT 1 FROM iceberg_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
                 (self.name, ns, table_name),
             )
             if cur.fetchone() is not None:
-                raise TableAlreadyExistsError(".".join(ident))
+                raise TableAlreadyExistsError(f"{ns}.{table_name}")
             con.execute(
                 "INSERT INTO iceberg_tables VALUES (?, ?, ?, ?, NULL)",
                 (self.name, ns, table_name, metadata_location),
             )
-        self._write_version_hint(metadata_location)
-        return Table(ident, metadata, metadata_location, self, self.spark)
 
-    def create_table_transaction(
-        self,
-        identifier: Union[str, Identifier],
-        schema: Union[Schema, "pyspark.sql.types.StructType"],
-        partition_spec: PartitionSpec = UNPARTITIONED,
-        sort_order: Optional[SortOrder] = None,
-        properties: Optional[Dict[str, str]] = None,
-        location: Optional[str] = None,
-    ) -> "CreateTableTransaction":
-        """Stage a table creation plus writes, committed atomically
-        (reference catalog/__init__.py:396): nothing is visible in the
-        catalog until ``commit_transaction()``; an abandoned transaction
-        leaves no catalog entry. Usage::
-
-            with catalog.create_table_transaction("db.t", schema) as tx:
-                tx.append(df)
-        """
-        from pyspark.sql import types as T
-
-        ident = _to_identifier(identifier)
-        if isinstance(schema, T.StructType):
-            schema = schema_from_spark(schema)
-        location = location or posixpath.join(self.warehouse, *ident)
-        metadata = new_table_metadata(schema, partition_spec, location, properties, sort_order)
-        # no metadata file and no catalog row yet — the sentinel location
-        # only seeds the committed file's version numbering
-        sentinel = posixpath.join(location, "metadata", "00000-staged.metadata.json")
-        table = Table(ident, metadata, sentinel, _StagedCreateCatalog(self), self.spark)
-        return CreateTableTransaction(table)
-
-    def create_table_if_not_exists(self, identifier, schema, **kw) -> Table:
-        try:
-            return self.create_table(identifier, schema, **kw)
-        except TableAlreadyExistsError:
-            return self.load_table(identifier)
-
-    def load_table(self, identifier: Union[str, Identifier]) -> Table:
-        ident = _to_identifier(identifier)
-        ns, table_name = ".".join(ident[:-1]), ident[-1]
-        with self._conn() as con:
+    def _pointer_cas(self, ns: str, table_name: str, expected: str, new: str) -> None:
+        with self._write_txn() as con:
             row = con.execute(
-                "SELECT metadata_location FROM iceberg_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+                "SELECT metadata_location FROM iceberg_tables "
+                "WHERE catalog_name=? AND table_namespace=? AND table_name=?",
                 (self.name, ns, table_name),
             ).fetchone()
-        if row is None:
-            raise NoSuchTableError(".".join(ident))
-        metadata = TableMetadata.read(row[0])
-        return Table(ident, metadata, row[0], self, self.spark)
+            if row is None or row[0] != expected:
+                raise CommitFailedException(
+                    f"metadata location for {ns}.{table_name} changed concurrently (expected {expected})"
+                )
+            con.execute(
+                "UPDATE iceberg_tables SET metadata_location=?, previous_metadata_location=? "
+                "WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+                (new, expected, self.name, ns, table_name),
+            )
 
-    def table_exists(self, identifier: Union[str, Identifier]) -> bool:
-        try:
-            self.load_table(identifier)
-            return True
-        except NoSuchTableError:
-            return False
+    def _pointer_delete(self, ns: str, table_name: str) -> None:
+        with self._write_txn() as con:
+            row = con.execute(
+                "SELECT 1 FROM iceberg_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+                (self.name, ns, table_name),
+            ).fetchone()
+            if row is None:
+                raise NoSuchTableError(f"{ns}.{table_name}")
+            con.execute(
+                "DELETE FROM iceberg_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+                (self.name, ns, table_name),
+            )
 
     def list_tables(self, namespace: Union[str, Identifier]) -> List[Identifier]:
         ns = ".".join(_to_identifier(namespace))
@@ -321,36 +525,6 @@ class SqlCatalog:
                 (self.name, ns),
             ).fetchall()
         return [tuple(ns.split(".")) + (r[0],) for r in rows]
-
-    def drop_table(self, identifier: Union[str, Identifier]) -> None:
-        ident = _to_identifier(identifier)
-        ns, table_name = ".".join(ident[:-1]), ident[-1]
-        with self._write_txn() as con:
-            row = con.execute(
-                "SELECT 1 FROM iceberg_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
-                (self.name, ns, table_name),
-            ).fetchone()
-            if row is None:
-                raise NoSuchTableError(".".join(ident))
-            con.execute(
-                "DELETE FROM iceberg_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
-                (self.name, ns, table_name),
-            )
-
-    def purge_table(self, identifier: Union[str, Identifier]) -> None:
-        from .io.fileio import is_remote, to_local
-
-        table = self.load_table(identifier)
-        self.drop_table(identifier)
-        if is_remote(table.location):
-            jvm = self.spark._jvm
-            jpath = jvm.org.apache.hadoop.fs.Path(table.location)
-            fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-            fs.delete(jpath, True)  # recursive
-        else:
-            import shutil
-
-            shutil.rmtree(to_local(table.location), ignore_errors=True)
 
     def rename_table(self, from_identifier: Union[str, Identifier], to_identifier: Union[str, Identifier]) -> Table:
         src, dst = _to_identifier(from_identifier), _to_identifier(to_identifier)
@@ -367,66 +541,6 @@ class SqlCatalog:
                 (".".join(dst[:-1]), dst[-1], self.name, ".".join(src[:-1]), src[-1]),
             )
         return self.load_table(dst)
-
-    def clone_table(
-        self,
-        src_identifier: Union[str, Identifier],
-        dst_identifier: Union[str, Identifier],
-        snapshot_id: Optional[int] = None,
-        properties: Optional[Dict[str, str]] = None,
-    ) -> Table:
-        """Snapshot-clone: a new independent table over the SOURCE's current
-        (or given) snapshot's data files — metadata only, zero data copied
-        (the Iceberg "snapshot table" action; Spark's
-        SnapshotTableSparkAction has the same shape). The clone shares file
-        paths but owns its metadata: later writes/deletes/compactions on
-        either side produce new files in that table's own location and
-        never touch the shared ones. Do NOT ``purge_table`` a clone whose
-        source is still live — purge removes the shared data directory.
-
-        Requires a delete-free source snapshot (position/equality deletes
-        and DVs reference data files by path and sequence number; cloning
-        them would pin cross-table sequence semantics — compact first)."""
-        src = self.load_table(src_identifier)
-        snap = src.snapshot_by_id(snapshot_id) if snapshot_id else src.current_snapshot()
-        entries = src._live_entries(snap) if snap else []
-        if any(e["data_file"].get("content", 0) != 0 for e in entries):
-            raise ValueError(
-                f"clone_table: source snapshot of {src.name} carries delete files; "
-                "run compact() first so the snapshot is delete-free"
-            )
-        dst = self.create_table(
-            dst_identifier,
-            src.schema(),
-            partition_spec=src.metadata.spec(),
-            sort_order=src.metadata.sort_order(),
-            properties={**src.metadata.properties, **(properties or {})},
-        )
-        if entries:
-            dst.register_data_files(
-                [e["data_file"] for e in entries],
-                snapshot_properties={
-                    "cloned-from": src.name,
-                    "cloned-snapshot-id": str(snap.snapshot_id),
-                },
-            )
-            dst.refresh()
-        return dst
-
-    def register_table(self, identifier: Union[str, Identifier], metadata_location: str) -> Table:
-        """Register an existing metadata JSON under a new name
-        (reference catalog/__init__.py:521)."""
-        ident = _to_identifier(identifier)
-        ns, table_name = ".".join(ident[:-1]), ident[-1]
-        if not self.namespace_exists(ns):
-            self.create_namespace(ns)
-        TableMetadata.read(metadata_location)  # validate
-        with self._conn() as con:
-            con.execute(
-                "INSERT INTO iceberg_tables VALUES (?, ?, ?, ?, NULL)",
-                (self.name, ns, table_name, metadata_location),
-            )
-        return self.load_table(ident)
 
     # -- views (reference catalog/__init__.py:712-760, REST-only there;
     # ours stores SQL text and resolves table names against this catalog.
@@ -570,53 +684,6 @@ class SqlCatalog:
             ).fetchall()
         return [tuple(ns.split(".")) + (r[0],) for r in rows]
 
-    # -- commit protocol -----------------------------------------------------------
-    def _write_metadata(self, metadata: TableMetadata, version: int) -> str:
-        # uuid suffix so concurrent commit attempts at the same version can
-        # NEVER overwrite each other's file — the CAS below picks the winner
-        # (same reason the spec names files 00001-<uuid>.metadata.json)
-        path = posixpath.join(metadata.location, "metadata", f"{version:05d}-{uuid.uuid4()}.metadata.json")
-        metadata.write(path)
-        return path
-
-    @staticmethod
-    def _write_version_hint(metadata_location: str) -> None:
-        from .io.fileio import write_text
-
-        base = posixpath.basename(metadata_location)
-        hint = posixpath.join(posixpath.dirname(metadata_location), "version-hint.text")
-        write_text(hint, base)
-
-    def _commit_table(self, table: Table, new_metadata: TableMetadata) -> None:
-        ns, table_name = ".".join(table.identifier[:-1]), table.identifier[-1]
-        old_location = table.metadata_location
-        # next version number from the current pointer
-        base = os.path.basename(old_location)
-        version = int(base.split("-")[0].lstrip("v").split(".")[0]) + 1
-        new_metadata.metadata_log = (new_metadata.metadata_log or []) + [
-            {"timestamp-ms": new_metadata.last_updated_ms, "metadata-file": old_location}
-        ]
-        new_location = self._write_metadata(new_metadata, version)
-        with self._write_txn() as con:
-            row = con.execute(
-                "SELECT metadata_location FROM iceberg_tables "
-                "WHERE catalog_name=? AND table_namespace=? AND table_name=?",
-                (self.name, ns, table_name),
-            ).fetchone()
-            if row is None or row[0] != old_location:
-                raise CommitFailedException(
-                    f"metadata location for {table.name} changed concurrently (expected {old_location})"
-                )
-            con.execute(
-                "UPDATE iceberg_tables SET metadata_location=?, previous_metadata_location=? "
-                "WHERE catalog_name=? AND table_namespace=? AND table_name=?",
-                (new_location, old_location, self.name, ns, table_name),
-            )
-        self._write_version_hint(new_location)  # advisory, after the CAS won
-        table.metadata = new_metadata
-        table.metadata_location = new_location
-
-
 def load_catalog(name: Optional[str] = None, spark: Optional[SparkSession] = None, **properties: str) -> "SqlCatalog":
     """Catalog factory keyed on the ``type`` property (reference
     catalog/__init__.py load_catalog / infer_catalog_type): ``sql`` /
@@ -674,7 +741,7 @@ class _StagedCreateCatalog:
     """Catalog facade for a staged create: the one-and-only commit both
     registers the table (insert-if-absent) and publishes its metadata."""
 
-    def __init__(self, real: SqlCatalog):
+    def __init__(self, real: MetastoreCatalog):
         self.real = real
 
     def _commit_table(self, table: Table, new_metadata: "TableMetadata") -> None:
@@ -684,17 +751,7 @@ class _StagedCreateCatalog:
         if not real.namespace_exists(ns):
             real.create_namespace(ns)
         new_location = real._write_metadata(new_metadata, version=1)
-        with real._write_txn() as con:
-            row = con.execute(
-                "SELECT 1 FROM iceberg_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
-                (real.name, ns, table_name),
-            ).fetchone()
-            if row is not None:
-                raise TableAlreadyExistsError(".".join(ident))
-            con.execute(
-                "INSERT INTO iceberg_tables VALUES (?, ?, ?, ?, NULL)",
-                (real.name, ns, table_name, new_location),
-            )
+        real._pointer_put_if_absent(ns, table_name, new_location)
         real._write_version_hint(new_location)
         table.metadata = new_metadata
         table.metadata_location = new_location
