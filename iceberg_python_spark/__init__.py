@@ -9,6 +9,9 @@ Python mirroring the Iceberg spec; the data plane is Spark DataFrames
 from .catalog import (
     DuckDBCatalog,
     InMemoryCatalog,
+    MetastoreCatalog,
+    NamespaceAlreadyExistsError,
+    NoSuchNamespaceError,
     NoSuchTableError,
     SqlCatalog,
     SqliteCatalog,
@@ -27,7 +30,10 @@ __all__ = [
     "DuckDBCatalog",
     "InMemoryCatalog",
     "RestCatalog",
+    "MetastoreCatalog",
     "NoSuchTableError",
+    "NoSuchNamespaceError",
+    "NamespaceAlreadyExistsError",
     "TableAlreadyExistsError",
     "CommitFailedException",
     "Schema",

@@ -688,9 +688,10 @@ def load_catalog(name: Optional[str] = None, spark: Optional[SparkSession] = Non
     """Catalog factory keyed on the ``type`` property (reference
     catalog/__init__.py load_catalog / infer_catalog_type): ``sql`` /
     ``sqlite`` (default), ``duckdb``, ``in-memory``, ``rest`` (needs
-    ``uri``). ``warehouse`` names the data/metadata root. Hive / Glue /
-    DynamoDB / BigQuery types raise — their SDKs and services are not
-    available in this environment.
+    ``uri``), ``glue``, ``dynamodb`` (boto3; honor ``glue.*`` /
+    ``dynamodb.*`` client properties incl. ``endpoint``). ``warehouse``
+    names the data/metadata root. Hive / BigQuery types raise — their
+    SDKs are not available in this environment.
 
     Config-file parity (reference utils/config.py): with no explicit
     kwargs a catalog can be fully described by ``.pyiceberg.yaml``
@@ -729,10 +730,19 @@ def load_catalog(name: Optional[str] = None, spark: Optional[SparkSession] = Non
         from .catalog_rest import RestCatalog
 
         return RestCatalog(name, uri, spark, warehouse=properties.get("warehouse"), properties=properties)
-    if ctype in ("hive", "glue", "dynamodb", "bigquery"):
+    aws_props = {k: v for k, v in properties.items() if k not in ("type", "warehouse", "uri")}
+    if ctype == "glue":
+        from .catalog_aws import GlueCatalog
+
+        return GlueCatalog(name, warehouse, spark, **aws_props)
+    if ctype == "dynamodb":
+        from .catalog_aws import DynamoDbCatalog
+
+        return DynamoDbCatalog(name, warehouse, spark, **aws_props)
+    if ctype in ("hive", "bigquery"):
         raise NotImplementedError(
-            f"catalog type {ctype!r} needs a live service and an SDK not available here; "
-            "use 'sql', 'duckdb', 'in-memory', or 'rest'"
+            f"catalog type {ctype!r} needs an SDK not available here (thrift / "
+            "google-cloud); use 'sql', 'duckdb', 'in-memory', 'rest', 'glue', or 'dynamodb'"
         )
     raise ValueError(f"unknown catalog type {ctype!r}")
 
