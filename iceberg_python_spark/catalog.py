@@ -238,19 +238,11 @@ class MetastoreCatalog:
         self._pointer_delete(".".join(ident[:-1]), ident[-1])
 
     def purge_table(self, identifier: Union[str, Identifier]) -> None:
-        from .io.fileio import is_remote, to_local
+        from .io.fileio import remove_recursive
 
         table = self.load_table(identifier)
         self.drop_table(identifier)
-        if is_remote(table.location):
-            jvm = self.spark._jvm
-            jpath = jvm.org.apache.hadoop.fs.Path(table.location)
-            fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-            fs.delete(jpath, True)  # recursive
-        else:
-            import shutil
-
-            shutil.rmtree(to_local(table.location), ignore_errors=True)
+        remove_recursive(table.location, self.spark)
 
     def clone_table(
         self,

@@ -99,6 +99,62 @@ def _pa_fs(path: str):
     return pafs.FileSystem.from_uri(uri)
 
 
+# -- boto3 S3 adapter ---------------------------------------------------------
+# Pure-Python S3 IO for the driver-side metadata plane (reference
+# io/fsspec.py:428 serves the same role via s3fs). Used for s3:// paths
+# when (a) no SparkSession is active, or (b) the JVM has no s3a driver
+# (hadoop-aws not on the classpath — true in this sandbox, common in
+# slim client installs). Metadata files are small, so single-request
+# put_object/get_object beats a multipart dance; boto3 honors the
+# standard credential chain + AWS_ENDPOINT_URL. Data-plane parquet IO
+# still goes through Spark/Hadoop (executors never touch this path).
+
+_S3_SCHEMES = ("s3", "s3a", "s3n")
+_s3_client_cache: dict = {}
+_jvm_scheme_support: dict = {}
+
+
+def _s3_split(path: str) -> Tuple[str, str]:
+    rest = path.split("://", 1)[1]
+    bucket, _, key = rest.partition("/")
+    return bucket, key
+
+
+def _boto3_s3():
+    """Process-cached boto3 S3 client, or None when boto3 is absent."""
+    if "client" not in _s3_client_cache:
+        try:
+            import boto3
+
+            _s3_client_cache["client"] = boto3.client("s3")
+        except Exception:
+            _s3_client_cache["client"] = None
+    return _s3_client_cache["client"]
+
+
+def _jvm_handles(spark, scheme: str) -> bool:
+    """Whether the JVM Hadoop conf has a FileSystem for `scheme`
+    (hadoop-aws present). Probed once per scheme per process."""
+    if scheme not in _jvm_scheme_support:
+        try:
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(f"{scheme}://probe-bucket/probe")
+            jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            _jvm_scheme_support[scheme] = True
+        except Exception:
+            _jvm_scheme_support[scheme] = False
+    return _jvm_scheme_support[scheme]
+
+
+def _use_boto3(path: str, spark) -> bool:
+    scheme, _ = split_scheme(path)
+    if scheme not in _S3_SCHEMES:
+        return False
+    if _boto3_s3() is None:
+        return False
+    return spark is None or not _jvm_handles(spark, scheme)
+
+
 def _hadoop_fs(spark, path: str):
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -118,6 +174,17 @@ def list_files(root: str, suffix: str = ".parquet", spark=None) -> List[str]:
                     out.append(os.path.join(dirpath, f))
         return out
     spark = _spark_or_none(spark)
+    if _use_boto3(root, spark):
+        bucket, key = _s3_split(root.rstrip("/"))
+        s3 = _boto3_s3()
+        out = []
+        scheme = root.split("://", 1)[0]
+        paginator = s3.get_paginator("list_objects_v2")
+        for page in paginator.paginate(Bucket=bucket, Prefix=key + "/" if key else ""):
+            for obj in page.get("Contents", []):
+                if obj["Key"].endswith(suffix):
+                    out.append(f"{scheme}://{bucket}/{obj['Key']}")
+        return out
     if spark is None:
         from pyarrow import fs as pafs
 
@@ -150,6 +217,9 @@ def file_size(path: str, spark=None) -> int:
     if not is_remote(path):
         return os.path.getsize(to_local(path))
     spark = _spark_or_none(spark)
+    if _use_boto3(path, spark):
+        bucket, key = _s3_split(path)
+        return _boto3_s3().head_object(Bucket=bucket, Key=key)["ContentLength"]
     if spark is None:
         fs, rel = _pa_fs(path)
         return fs.get_file_info(rel).size
@@ -161,6 +231,16 @@ def exists(path: str, spark=None) -> bool:
     if not is_remote(path):
         return os.path.exists(to_local(path))
     spark = _spark_or_none(spark)
+    if _use_boto3(path, spark):
+        bucket, key = _s3_split(path)
+        s3 = _boto3_s3()
+        try:
+            s3.head_object(Bucket=bucket, Key=key)
+            return True
+        except s3.exceptions.ClientError:
+            # also a directory-ish prefix probe (warehouse roots)
+            resp = s3.list_objects_v2(Bucket=bucket, Prefix=key.rstrip("/") + "/", MaxKeys=1)
+            return resp.get("KeyCount", 0) > 0
     if spark is None:
         from pyarrow import fs as pafs
 
@@ -179,6 +259,15 @@ def remove(path: str, spark=None) -> bool:
         except OSError:
             return False
     spark = _spark_or_none(spark)
+    if _use_boto3(path, spark):
+        bucket, key = _s3_split(path)
+        s3 = _boto3_s3()
+        try:
+            s3.head_object(Bucket=bucket, Key=key)
+        except s3.exceptions.ClientError:
+            return False
+        s3.delete_object(Bucket=bucket, Key=key)
+        return True
     if spark is None:
         fs, rel = _pa_fs(path)
         try:
@@ -191,6 +280,34 @@ def remove(path: str, spark=None) -> bool:
         return bool(fs.delete(jpath, False))
     except Exception:
         return False
+
+
+def remove_recursive(root: str, spark=None) -> None:
+    """Delete a directory tree / object prefix (purge_table)."""
+    if not is_remote(root):
+        import shutil
+
+        shutil.rmtree(to_local(root), ignore_errors=True)
+        return
+    spark = _spark_or_none(spark)
+    if _use_boto3(root, spark):
+        bucket, key = _s3_split(root.rstrip("/"))
+        s3 = _boto3_s3()
+        paginator = s3.get_paginator("list_objects_v2")
+        for page in paginator.paginate(Bucket=bucket, Prefix=key + "/" if key else ""):
+            objs = [{"Key": o["Key"]} for o in page.get("Contents", [])]
+            if objs:
+                s3.delete_objects(Bucket=bucket, Delete={"Objects": objs})
+        return
+    if spark is None:
+        fs, rel = _pa_fs(root)
+        try:
+            fs.delete_dir(rel)
+        except FileNotFoundError:
+            pass
+        return
+    fs, jpath, _ = _hadoop_fs(spark, root)
+    fs.delete(jpath, True)
 
 
 def rename(src: str, dst: str, spark=None) -> None:
@@ -206,6 +323,13 @@ def rename(src: str, dst: str, spark=None) -> None:
         os.replace(to_local(src), local_dst)
         return
     spark = _spark_or_none(spark)
+    if _use_boto3(src, spark) and _use_boto3(dst, spark):
+        sb, sk = _s3_split(src)
+        db, dk = _s3_split(dst)
+        s3 = _boto3_s3()
+        s3.copy_object(Bucket=db, Key=dk, CopySource={"Bucket": sb, "Key": sk})
+        s3.delete_object(Bucket=sb, Key=sk)
+        return
     if spark is None:
         fs, rel_src = _pa_fs(src)
         _fs2, rel_dst = _pa_fs(dst)
@@ -228,6 +352,9 @@ def read_bytes(path: str, spark=None) -> bytes:
         with open(to_local(path), "rb") as f:
             return f.read()
     spark = _spark_or_none(spark)
+    if _use_boto3(path, spark):
+        bucket, key = _s3_split(path)
+        return _boto3_s3().get_object(Bucket=bucket, Key=key)["Body"].read()
     if spark is None:
         fs, rel = _pa_fs(path)
         with fs.open_input_file(rel) as f:
@@ -254,6 +381,12 @@ def write_bytes(path: str, data: bytes, spark=None) -> None:
         os.replace(tmp, local)
         return
     spark = _spark_or_none(spark)
+    if _use_boto3(path, spark):
+        bucket, key = _s3_split(path)
+        # single-request PUT: metadata files are small, and object stores
+        # have no directories to create
+        _boto3_s3().put_object(Bucket=bucket, Key=key, Body=data)
+        return
     if spark is None:
         fs, rel = _pa_fs(path)
         parent = rel.rsplit("/", 1)[0]
