@@ -1016,6 +1016,74 @@ def _sample_stratified_oracle() -> str:
     )
 
 
+_PACK_SEQ_LEN = 512
+_MIX_BUDGETS = {"src0": 700, "src1": 400, "src5": 1000}
+
+
+def _q_pack_sequences(spark, env):
+    """Sequence-packing layout (concatenate-and-chunk at 512 tokens):
+    every document gets its training-sequence id + offset via a
+    distributed prefix sum — per-bucket parallel windows + a 256-row
+    broadcast of bucket offsets, never a global serial window. The
+    oracle recomputes the layout with DuckDB's single serial cumsum."""
+    from iceberg_python_spark.operators.packing import pack_sequences
+
+    docs = env["documents"].scan(selected_fields=("doc_id", "text")).to_df()
+    return pack_sequences(docs, "text", "doc_id", seq_len=_PACK_SEQ_LEN)
+
+
+def _q_mixture_sample(spark, env):
+    """Corpus-mixture assembly: per-source token budgets filled in
+    deterministic hash order (kept docs form nested prefixes as budgets
+    grow). Unbudgeted sources drop out; each budgeted source overshoots
+    by at most its last document."""
+    from iceberg_python_spark.operators.packing import mixture_sample
+
+    docs = env["documents"].scan(
+        selected_fields=("doc_id", "text", "lang", "source", "n_chars")
+    ).to_df()
+    return mixture_sample(docs, "source", "doc_id", "text", _MIX_BUDGETS).select(
+        "doc_id", "lang", "source", "n_chars", "n_tokens"
+    )
+
+
+def _pack_mix_tokens_sql() -> str:
+    return (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+
+
+def _pack_sequences_oracle() -> str:
+    L = _PACK_SEQ_LEN
+    return (
+        f"WITH t AS (SELECT doc_id, {_pack_mix_tokens_sql()} AS n_tokens, "
+        "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), "
+        "c AS (SELECT doc_id, n_tokens, "
+        "SUM(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum_end FROM t) "
+        "SELECT doc_id, n_tokens, cum_end - n_tokens AS start_offset, "
+        f"CAST(floor((cum_end - n_tokens) / {L}) AS BIGINT) AS seq_id, "
+        f"CAST((cum_end - n_tokens) % {L} AS BIGINT) AS offset_in_seq, "
+        f"(n_tokens > 0 AND floor((cum_end - 1) / {L}) > floor((cum_end - n_tokens) / {L})) AS crosses_boundary "
+        "FROM c"
+    )
+
+
+def _mixture_sample_oracle() -> str:
+    srcs = ", ".join(f"'{s}'" for s in sorted(_MIX_BUDGETS))
+    case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {b}" for s, b in sorted(_MIX_BUDGETS.items())
+    ) + " END"
+    return (
+        f"WITH t AS (SELECT doc_id, lang, source, n_chars, {_pack_mix_tokens_sql()} AS n_tokens, "
+        f"md5(CAST(doc_id AS VARCHAR)) AS h FROM documents WHERE source IN ({srcs})), "
+        "c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id "
+        "ROWS UNBOUNDED PRECEDING) AS cum_end FROM t) "
+        "SELECT doc_id, lang, source, n_chars, n_tokens FROM c "
+        f"WHERE cum_end - n_tokens < {case}"
+    )
+
+
 def _q_dedup_clusters(spark, env):
     """Near-dup clustering: exact Jaccard pairs (prefix-filter join) →
     connected components (hash-min label propagation). The DuckDB oracle
@@ -1546,87 +1614,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lambda spark, sf_dir: fn(spark, _wh(spark, sf_dir))
 
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries. The LLM-pipeline family (dedup/ANN/text/multimodal) leads —
-    # r05 pushed it out of the window — followed by the core engine ops;
-    # rows-only queries (scan_limit, meta_*) and the TPC-H suite (all 22
-    # driver-greened in r05) sit behind the window and rotate back in a
-    # future round.
+    # entries. Round-7 rotation: the NEW rows lead (packing/mixture, the
+    # three approximate-dedup invariants, ORC write) so they earn their
+    # first driver evidence, then the TPC-H suite (last driver-greened
+    # r05 — due a refresh) and the agg/window/set-op surfaces, then a
+    # core-engine slice. The LLM text/dedup/ANN/events family greened in
+    # r06 rotates behind the window (rows 1 round old), as do the raw
+    # approximate outputs (pinned by the in-window invariants) and the
+    # rows-only meta_*/scan_limit queries.
     return {
         name: wrap(fn)
         for name, fn in {
-            # --- LLM-pipeline operators (window slots 1-26) ---
-            "dedup_neardup_clusters": _q_dedup_clusters,
-            "dedup_neardup_clusters_default": _q_dedup_clusters_default,
-            "text_top_ngrams": _q_text_top_ngrams,
-            "text_contamination": _q_text_contamination,
-            "set_ops_nations": _q_set_ops,
-            "dedup_exact": _q_dedup_exact,
-            "dedup_normalized": _q_dedup_normalized,
+            # --- new this round (slots 1-6) ---
+            "pack_sequences": _q_pack_sequences,
+            "mixture_sample": _q_mixture_sample,
             "dedup_minhash_invariants": _q_dedup_minhash_invariants,
             "dedup_simhash_invariants": _q_dedup_simhash_invariants,
             "dedup_jaccard_invariants": _q_dedup_jaccard_invariants,
-            "dedup_jaccard_blocked": _q_dedup_jaccard_blocked,
-            "dedup_embedding_cosine": _q_embedding_neardup,
-            "ann_cosine_topk": _q_ann_brute,
-            "ann_lsh_recall": _q_ann_lsh_recall,
-            "ann_ivf_recall": _q_ann_ivf_recall,
-            "text_pii_redact": _q_text_pii_redact,
-            "text_repetition": _q_text_repetition,
-            "text_strip_html": _q_text_strip_html,
-            "text_paragraph_dedup": _q_text_paragraph_dedup,
-            "text_token_stats": _q_text_tokens,
-            "text_quality_score": _q_text_quality,
-            "text_language_id": _q_text_lang,
-            "text_fingerprint_md5": _q_text_fingerprint,
-            "text_fingerprint_winnow": _q_text_winnow,
-            "multimodal_features": _q_multimodal,
-            "events_windowed_agg": _q_events_windowed,
-            "events_sessionize": _q_events_sessionize,
-            # --- core engine ops (window slots 27-44) ---
-            "scan_filter_project": _q_scan_filter_project,
-            "scan_partition_pruned": _q_scan_partition_pruned,
-            "scan_in_filter": _q_scan_in_filter,
-            "count_fast": _q_count_fast,
-            "time_travel": _q_time_travel,
-            "delete_cow": _q_delete_cow,
-            "upsert_merge": _q_upsert,
-            "upsert_merge_on_read": _q_upsert_mor,
-            "dynamic_partition_overwrite": _q_dpo,
-            "incremental_append_scan": _q_incremental,
-            "schema_evolution_read": _q_schema_evolution,
-            "mor_delete_scan": _q_mor_delete,
-            "mor_compacted_scan": _q_mor_compacted,
-            "mor_dv_scan": _q_mor_dv,
-            "avro_interop_scan": _q_avro_interop,
-            "eq_delete_scan": _q_eq_delete_scan,
-            "add_files_partitioned_scan": _q_add_files_scan,
-            "branch_wap_scan": _q_branch_wap_scan,
             "orc_write_scan": _q_orc_write_scan,
-            "changelog_scan": _q_changelog_scan,
-            "row_lineage_invariants": _q_row_lineage_invariants,
-            "meta_partitions_rowcounts": _q_meta_partitions_rowcounts,
-            "sample_stratified": _q_sample_stratified,
-            "anti_join_customers_no_orders": _q_anti_join_customers,
-            # --- aggregation / window surfaces (slots 45-50) ---
-            "agg_rollup": _q_agg_rollup,
-            "agg_cube": _q_agg_cube,
-            "agg_grouping_sets": _q_agg_grouping_sets,
-            "pivot_order_status": _q_pivot_order_status,
-            "window_rank_family": _q_window_rank_family,
-            # --- behind the window: rows-only + r05-established TPC-H ---
-            "window_topk_per_group": _q_window_topk,
-            # raw approximate outputs (their quality is pinned by the
-            # in-window *_invariants / *_recall rows above)
-            "dedup_minhash_lsh": _q_dedup_minhash,
-            "dedup_simhash_candidates": _q_dedup_simhash,
-            "dedup_ngram_jaccard": _q_dedup_jaccard,
-            "ann_lsh_topk": _q_ann_lsh,
-            "ann_ivf_topk": _q_ann_ivf,
-            "scan_limit": _q_scan_limit,
-            "meta_snapshots": _q_meta_snapshots,
-            "meta_files": _q_meta_files,
-            "meta_partitions": _q_meta_partitions,
-            "meta_partition_stats": _q_meta_partition_stats,
+            # --- TPC-H refresh (slots 7-28) ---
             "tpch_q1_pricing_summary": _q_q1,
             "tpch_q2_min_cost_supplier": _q_q2_min_cost_supplier,
             "tpch_q3_shipping_priority": _q_q3,
@@ -1649,6 +1655,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q20_dominant_suppliers": _q_q20_dominant_suppliers,
             "tpch_q21_waiting_suppliers": _q_q21_waiting_suppliers,
             "tpch_q22_dormant_accounts": _q_q22_dormant_accounts,
+            # --- sampling / joins / agg / window surfaces (29-38) ---
+            "sample_stratified": _q_sample_stratified,
+            "anti_join_customers_no_orders": _q_anti_join_customers,
+            "agg_rollup": _q_agg_rollup,
+            "agg_cube": _q_agg_cube,
+            "agg_grouping_sets": _q_agg_grouping_sets,
+            "pivot_order_status": _q_pivot_order_status,
+            "window_rank_family": _q_window_rank_family,
+            "window_topk_per_group": _q_window_topk,
+            "set_ops_nations": _q_set_ops,
+            "meta_partitions_rowcounts": _q_meta_partitions_rowcounts,
+            # --- core engine slice (39-50) ---
+            "scan_filter_project": _q_scan_filter_project,
+            "scan_partition_pruned": _q_scan_partition_pruned,
+            "scan_in_filter": _q_scan_in_filter,
+            "count_fast": _q_count_fast,
+            "time_travel": _q_time_travel,
+            "delete_cow": _q_delete_cow,
+            "upsert_merge": _q_upsert,
+            "upsert_merge_on_read": _q_upsert_mor,
+            "mor_delete_scan": _q_mor_delete,
+            "mor_dv_scan": _q_mor_dv,
+            "eq_delete_scan": _q_eq_delete_scan,
+            "changelog_scan": _q_changelog_scan,
+            # --- behind the window: r06-greened family (rows 1 round
+            # old) + raw approximate outputs + rows-only queries ---
+            "dedup_neardup_clusters": _q_dedup_clusters,
+            "dedup_neardup_clusters_default": _q_dedup_clusters_default,
+            "text_top_ngrams": _q_text_top_ngrams,
+            "text_contamination": _q_text_contamination,
+            "dedup_exact": _q_dedup_exact,
+            "dedup_normalized": _q_dedup_normalized,
+            "dedup_jaccard_blocked": _q_dedup_jaccard_blocked,
+            "dedup_embedding_cosine": _q_embedding_neardup,
+            "ann_cosine_topk": _q_ann_brute,
+            "ann_lsh_recall": _q_ann_lsh_recall,
+            "ann_ivf_recall": _q_ann_ivf_recall,
+            "text_pii_redact": _q_text_pii_redact,
+            "text_repetition": _q_text_repetition,
+            "text_strip_html": _q_text_strip_html,
+            "text_paragraph_dedup": _q_text_paragraph_dedup,
+            "text_token_stats": _q_text_tokens,
+            "text_quality_score": _q_text_quality,
+            "text_language_id": _q_text_lang,
+            "text_fingerprint_md5": _q_text_fingerprint,
+            "text_fingerprint_winnow": _q_text_winnow,
+            "multimodal_features": _q_multimodal,
+            "events_windowed_agg": _q_events_windowed,
+            "events_sessionize": _q_events_sessionize,
+            "dynamic_partition_overwrite": _q_dpo,
+            "incremental_append_scan": _q_incremental,
+            "schema_evolution_read": _q_schema_evolution,
+            "mor_compacted_scan": _q_mor_compacted,
+            "avro_interop_scan": _q_avro_interop,
+            "add_files_partitioned_scan": _q_add_files_scan,
+            "branch_wap_scan": _q_branch_wap_scan,
+            "row_lineage_invariants": _q_row_lineage_invariants,
+            # raw approximate outputs (their quality is pinned by the
+            # in-window *_invariants / behind-window *_recall rows)
+            "dedup_minhash_lsh": _q_dedup_minhash,
+            "dedup_simhash_candidates": _q_dedup_simhash,
+            "dedup_ngram_jaccard": _q_dedup_jaccard,
+            "ann_lsh_topk": _q_ann_lsh,
+            "ann_ivf_topk": _q_ann_ivf,
+            "scan_limit": _q_scan_limit,
+            "meta_snapshots": _q_meta_snapshots,
+            "meta_files": _q_meta_files,
+            "meta_partitions": _q_meta_partitions,
+            "meta_partition_stats": _q_meta_partition_stats,
         }.items()
     }
 
@@ -1997,6 +2072,8 @@ def oracle_sql() -> dict[str, str]:
             "min(doc_id) AS keep FROM docs_dup GROUP BY 1) k ON d.doc_id = k.keep"
         ),
         "sample_stratified": _sample_stratified_oracle(),
+        "pack_sequences": _pack_sequences_oracle(),
+        "mixture_sample": _mixture_sample_oracle(),
         "text_contamination": (
             "WITH toks AS (SELECT doc_id, source, "
             "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS tk "

@@ -512,3 +512,71 @@ def test_paragraph_dedup(spark):
     assert out[1].count("COMMON FOOTER") == 1
     assert "COMMON FOOTER" not in out[2] and out[2].endswith("ok")
     assert out[3] == ""  # fully deduplicated doc still present
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing layout: offsets are a dense token interval, sequence
+    assignment is consistent with offsets, and the plan is a pure
+    function of content — repartitioned input gives the identical
+    layout (distributed prefix sum == serial cumsum)."""
+    from iceberg_python_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(1 + (i * 7) % 23))) for i in range(200)],
+        "doc_id: long, text: string",
+    )
+    out = pack_sequences(docs, "text", "doc_id", seq_len=64).toPandas().sort_values("start_offset")
+    # dense interval: each doc starts where the previous ended
+    assert out.iloc[0].start_offset == 0
+    ends = (out.start_offset + out.n_tokens).tolist()
+    assert out.start_offset.tolist()[1:] == ends[:-1]
+    # seq assignment matches offsets
+    assert (out.seq_id == out.start_offset // 64).all()
+    assert (out.offset_in_seq == out.start_offset % 64).all()
+    crosses = (out.start_offset + out.n_tokens - 1) // 64 > out.seq_id
+    assert (out.crosses_boundary == (crosses & (out.n_tokens > 0))).all()
+    # determinism under physical reshuffle
+    out2 = (
+        pack_sequences(docs.repartition(13), "text", "doc_id", seq_len=64)
+        .toPandas()
+        .sort_values("start_offset")
+    )
+    assert out2.reset_index(drop=True).equals(out.reset_index(drop=True))
+
+
+def test_mixture_sample_budgets_and_nesting(spark):
+    """Budget semantics (overshoot at most one doc per stratum) and
+    monotone nesting: a larger budget keeps a superset."""
+    from iceberg_python_spark.operators.packing import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", " ".join("w" for _ in range(10 + i % 5))) for i in range(150)],
+        "doc_id: long, source: string, text: string",
+    )
+    small = mixture_sample(docs, "source", "doc_id", "text", {"s0": 100, "s1": 200}).toPandas()
+    # only budgeted strata present
+    assert set(small.source) <= {"s0", "s1"}
+    for src, budget in (("s0", 100), ("s1", 200)):
+        tok = small[small.source == src].n_tokens
+        assert tok.sum() >= budget  # budget filled
+        assert tok.sum() - tok.max() < budget  # minus its last doc it's under
+    big = mixture_sample(docs, "source", "doc_id", "text", {"s0": 300, "s1": 200}).toPandas()
+    assert set(small[small.source == "s0"].doc_id) <= set(big[big.source == "s0"].doc_id)
+    assert set(small[small.source == "s1"].doc_id) == set(big[big.source == "s1"].doc_id)
+
+
+def test_pack_sequences_plan_no_global_window(spark):
+    """The prefix sum must not run through a single unpartitioned window:
+    every Window node in the optimized plan carries a partition key."""
+    from iceberg_python_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame([(1, "a b c"), (2, "d e")], "doc_id: long, text: string")
+    plan = pack_sequences(docs, "text", "doc_id", seq_len=8)._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            # partition columns appear before the ORDER in the spec; an
+            # empty partition list renders as 'windowspecdefinition(_h'
+            # (order expr first) — reject that shape unless it's the
+            # 256-row bucket-offsets window (partitioned data is absent
+            # there: it orders by _bkt over the tiny aggregate)
+            assert "_bkt" in line
