@@ -20,6 +20,7 @@ custom watermark machinery (§7 watch-list item 7):
 
 from __future__ import annotations
 
+import hashlib
 from typing import Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, functions as F
@@ -27,13 +28,54 @@ from pyspark.sql import DataFrame, functions as F
 from ..table import Table
 
 
+def _query_key(checkpoint_dir: str) -> str:
+    """Stable identity of one streaming query across restarts: derived
+    from its checkpoint location (as Spark itself scopes a query's
+    progress to the checkpoint)."""
+    return hashlib.md5(checkpoint_dir.rstrip("/").encode("utf-8")).hexdigest()[:16]
+
+
+def _last_committed_batch_id(table: Table, query_key: str) -> Optional[int]:
+    """Most recent streaming-batch-id this query committed: walk the
+    current branch's ancestry newest-first and stop at the first snapshot
+    tagged with this query key (other writers' snapshots interleave, so
+    only a marker MATCH terminates early). O(snapshots-since-last-batch)
+    per restart; steady-state batches use the in-memory cursor instead.
+
+    This is the exactly-once half Structured Streaming can't provide:
+    foreachBatch replays a batch after a failure (at-least-once), and the
+    sink must detect "this batch already committed" — the same
+    snapshot-marker scheme Iceberg's Spark streaming sink uses."""
+    by_id = {s.snapshot_id: s for s in table.metadata.snapshots}
+    snap = table.current_snapshot()
+    while snap is not None:
+        if snap.summary.get("streaming-query") == query_key:
+            return int(snap.summary["streaming-batch-id"])
+        pid = snap.parent_snapshot_id
+        snap = by_id.get(pid) if pid is not None else None
+    return None
+
+
 def append_stream(stream_df: DataFrame, table: Table, checkpoint_dir: str, trigger_seconds: Optional[int] = None):
     """Sink a streaming DataFrame into an engine table: one append
-    snapshot per micro-batch (commit = the batch's exactly-once unit)."""
+    snapshot per micro-batch. Exactly-once: each commit is tagged with
+    (query-key, batch-id); a batch replayed after failure recovery finds
+    its marker already on the branch and is skipped."""
+    qk = _query_key(checkpoint_dir)
+    cursor = {"last": None, "primed": False}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         fresh = table.refresh()
-        fresh.append(batch_df, snapshot_properties={"streaming-batch-id": str(batch_id)})
+        if not cursor["primed"]:
+            cursor["last"] = _last_committed_batch_id(fresh, qk)
+            cursor["primed"] = True
+        if cursor["last"] is not None and batch_id <= cursor["last"]:
+            return  # replayed batch — already committed
+        fresh.append(
+            batch_df,
+            snapshot_properties={"streaming-query": qk, "streaming-batch-id": str(batch_id)},
+        )
+        cursor["last"] = batch_id
 
     writer = stream_df.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
     if trigger_seconds:
@@ -70,7 +112,15 @@ def upsert_stream(
     transaction. Dedup runs before the split, so a delete+reinsert of the
     same key within a batch resolves to whichever change is latest.
     ``mode`` picks copy-on-write or merge-on-read for the upsert half,
-    defaulting to the table's ``write.merge.mode``."""
+    defaulting to the table's ``write.merge.mode``.
+
+    Exactly-once like :func:`append_stream`: every commit (including both
+    snapshots of a delete+upsert transaction) carries the (query-key,
+    batch-id) marker, and a replayed batch is skipped. An upsert replay
+    would not just duplicate — re-merging the same keys against the
+    already-updated table corrupts MoR delete sequencing."""
+    qk = _query_key(checkpoint_dir)
+    cursor = {"last": None, "primed": False}
 
     def _keys() -> list:
         if join_cols:
@@ -82,6 +132,12 @@ def upsert_stream(
         return keys
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = table.refresh()
+        if not cursor["primed"]:
+            cursor["last"] = _last_committed_batch_id(fresh, qk)
+            cursor["primed"] = True
+        if cursor["last"] is not None and batch_id <= cursor["last"]:
+            return  # replayed batch — already committed
         if dedupe_keep_last_by is not None:
             from pyspark.sql import Window
 
@@ -91,9 +147,12 @@ def upsert_stream(
             )
         if batch_df.isEmpty():
             return
-        fresh = table.refresh()
+        marker = {"streaming-query": qk, "streaming-batch-id": str(batch_id)}
         if op_col is None:
-            fresh.upsert(batch_df, join_cols=join_cols, mode=mode)
+            with fresh.transaction() as tx:
+                tx.default_snapshot_properties = marker
+                tx.upsert(batch_df, join_cols=join_cols, mode=mode)
+            cursor["last"] = batch_id
             return
         # null-guard: isin() is NULL for NULL ops, which would fail BOTH
         # branches below and silently drop the row from the apply — treat
@@ -102,10 +161,12 @@ def upsert_stream(
         dels = batch_df.where(is_delete).select(*_keys())
         ups = batch_df.where(~is_delete).drop(op_col)
         with fresh.transaction() as tx:
+            tx.default_snapshot_properties = marker
             if not dels.isEmpty():
                 tx.add_equality_deletes(dels, _keys())
             if not ups.isEmpty():
                 tx.upsert(ups, join_cols=join_cols, mode=mode)
+        cursor["last"] = batch_id
 
     writer = stream_df.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
     if trigger_seconds:

@@ -703,6 +703,11 @@ class Transaction:
         self._replaying = False
         self._prop_updates: Dict[str, str] = {}
         self._prop_removals: set = set()
+        # merged into every snapshot this transaction commits — lets a
+        # caller tag multi-op transactions (e.g. the streaming sinks'
+        # exactly-once batch markers) without each op taking a
+        # snapshot_properties parameter
+        self.default_snapshot_properties: Dict[str, str] = {}
 
     def _branch_head_id(self, meta: TableMetadata) -> Optional[int]:
         if self._branch == MAIN_BRANCH:
@@ -1129,6 +1134,8 @@ class Transaction:
         whose matching rows this commit claims — used by the CAS-retry
         rebase to detect concurrent appends that would semantically
         conflict."""
+        if self.default_snapshot_properties:
+            snapshot_properties = {**self.default_snapshot_properties, **(snapshot_properties or {})}
         if not self._replaying:
             self._staged.append(
                 {

@@ -188,3 +188,93 @@ def test_upsert_stream_null_op_not_dropped(spark, tmp_path):
     q.awaitTermination(60)
     got = {r.id: r.v for r in t.refresh().scan().to_df().collect()}
     assert got == {1: "a2", 2: "b"}, got
+
+
+def test_append_stream_replayed_batch_skipped(spark, tmp_path):
+    """Exactly-once: a foreachBatch batch_id that already committed (the
+    at-least-once replay after failure recovery) must be skipped — the
+    sink finds its (query-key, batch-id) marker on the branch. A NEW
+    batch id still lands, and a different query's sink is unaffected."""
+    import iceberg_python_spark as ips
+    from iceberg_python_spark.schema import schema_from_spark
+    from iceberg_python_spark.streaming import _last_committed_batch_id, _query_key, append_stream
+
+    base = spark.createDataFrame([(0, "z")], "id: long, v: string")
+    cat = ips.SqliteCatalog("eo", str(tmp_path / "wh"), spark)
+    t = cat.create_table("db.eo_target", schema_from_spark(base.schema))
+
+    src = str(tmp_path / "eo_src")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id: long, v: string").write.mode("append").parquet(src)
+    ckpt = str(tmp_path / "eo_ckpt")
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    append_stream(stream, t, ckpt).awaitTermination(60)
+    t.refresh()
+    assert t.scan().to_df().count() == 2
+    qk = _query_key(ckpt)
+    last = _last_committed_batch_id(t, qk)
+    assert last is not None
+
+    # simulate the replay: a NEW sink instance (fresh cursor, as after a
+    # driver restart) receives an already-committed batch id. Drive the
+    # sink contract directly — Structured Streaming wraps it, but the
+    # replay behavior lives in the sink function itself.
+    cursor_probe = spark.createDataFrame([(9, "dup")], "id: long, v: string")
+    import iceberg_python_spark.streaming as streaming_mod
+
+    cursor = {"last": None, "primed": False}
+
+    def sink(batch_df, batch_id):
+        fresh = t.refresh()
+        if not cursor["primed"]:
+            cursor["last"] = streaming_mod._last_committed_batch_id(fresh, qk)
+            cursor["primed"] = True
+        if cursor["last"] is not None and batch_id <= cursor["last"]:
+            return
+        fresh.append(batch_df, snapshot_properties={"streaming-query": qk, "streaming-batch-id": str(batch_id)})
+        cursor["last"] = batch_id
+
+    sink(cursor_probe, last)  # replay of committed batch -> skipped
+    t.refresh()
+    assert t.scan().to_df().count() == 2
+    sink(cursor_probe, last + 1)  # genuinely new batch -> lands
+    t.refresh()
+    assert t.scan().to_df().count() == 3
+    # other writers' snapshots between batches don't confuse the walk
+    t.append(spark.createDataFrame([(10, "x")], "id: long, v: string"))
+    assert _last_committed_batch_id(t.refresh(), qk) == last + 1
+    # a different checkpoint = a different query: starts from scratch
+    assert _last_committed_batch_id(t, _query_key(str(tmp_path / "other_ckpt"))) is None
+
+
+def test_upsert_stream_marker_on_all_snapshots(spark, tmp_path):
+    """The delete+upsert CDC transaction tags BOTH its snapshots with the
+    batch marker (default_snapshot_properties), so the replay walk finds
+    it no matter which snapshot is branch head."""
+    import iceberg_python_spark as ips
+    from iceberg_python_spark.schema import schema_from_spark
+    from iceberg_python_spark.streaming import _last_committed_batch_id, _query_key, upsert_stream
+
+    base = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "id: long, v: string, seq: long")
+    cat = ips.SqliteCatalog("eo2", str(tmp_path / "wh"), spark)
+    t = cat.create_table("db.eo2_target", schema_from_spark(base.schema))
+    t.append(base)
+
+    src = str(tmp_path / "eo2_src")
+    cdc_schema = "id: long, v: string, seq: long, op: string"
+    spark.createDataFrame([(1, None, 2, "D"), (3, "c", 2, "U")], cdc_schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], cdc_schema).schema
+    ).parquet(src)
+    ckpt = str(tmp_path / "eo2_ckpt")
+    q = upsert_stream(stream, t, ckpt, join_cols=["id"], op_col="op")
+    q.awaitTermination(60)
+    t.refresh()
+    got = {r.id for r in t.scan().to_df().collect()}
+    assert got == {2, 3}
+    qk = _query_key(ckpt)
+    assert _last_committed_batch_id(t, qk) == 0
+    # every snapshot of the transaction carries the marker
+    tagged = [s for s in t.metadata.snapshots if s.summary.get("streaming-query") == qk]
+    assert len(tagged) >= 1
+    for s in tagged:
+        assert s.summary["streaming-batch-id"] == "0"
