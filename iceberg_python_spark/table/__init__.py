@@ -644,6 +644,27 @@ class Table:
             raise NotImplementedError("ray is not installed in this environment") from e
         return ray.data.from_arrow(self.to_arrow())
 
+    def to_daft(self):
+        """Export to a Daft DataFrame (reference table/__init__.py:1705,
+        which hands the table to daft.read_iceberg for a lazy scan; our
+        engine materializes through Arrow instead — Daft's Iceberg reader
+        binds to the reference's table class, not this one)."""
+        try:
+            import daft  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError("daft is not installed in this environment") from e
+        return daft.from_arrow(self.to_arrow())
+
+    def to_bodo(self):
+        """Export to a Bodo DataFrame (reference table/__init__.py:1715);
+        materializes through pandas (Bodo's lazy read_iceberg_table binds
+        to the reference's table class, not this one)."""
+        try:
+            import bodo.pandas as bd
+        except ImportError as e:
+            raise NotImplementedError("bodo is not installed in this environment") from e
+        return bd.from_pandas(self.to_pandas())
+
     # -- plumbing shared with Transaction -------------------------------------
     def _live_manifests(self, snapshot: Optional[Snapshot]) -> List[Dict[str, Any]]:
         if snapshot is None:

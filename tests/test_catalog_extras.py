@@ -188,3 +188,29 @@ def test_set_remove_properties(spark, tmp_path):
         tx.append(df)
     t = t.refresh()
     assert t.metadata.properties.get("k3") == "v3" and t.scan().count() == 1
+
+
+def test_export_connectors_gated(catalog, spark):
+    """Export connectors mirror the reference surface
+    (table/__init__.py:1705 to_daft, :1715 to_bodo, :1725 to_polars,
+    :1954 to_ray): present and honestly gated — uninstallable libraries
+    raise NotImplementedError naming the missing package; the installed
+    ones (duckdb, pandas, arrow) round-trip data."""
+    import pytest as _pytest
+
+    df = spark.range(5).toDF("id")
+    t = catalog.create_table("db.exports", df.schema)
+    t.append(df)
+    assert t.to_arrow().num_rows == 5
+    assert len(t.to_pandas()) == 5
+    con = t.to_duckdb("exports_t")
+    assert con.execute("SELECT COUNT(*) FROM exports_t").fetchone()[0] == 5
+    for name in ("to_polars", "to_ray", "to_daft", "to_bodo"):
+        try:
+            __import__({"to_polars": "polars", "to_ray": "ray", "to_daft": "daft", "to_bodo": "bodo"}[name])
+            installed = True
+        except ImportError:
+            installed = False
+        if not installed:
+            with _pytest.raises(NotImplementedError):
+                getattr(t, name)()

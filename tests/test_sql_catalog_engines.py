@@ -15,11 +15,82 @@ from iceberg_python_spark import DuckDBCatalog, SqliteCatalog
 from iceberg_python_spark.table import CommitFailedException
 
 
-@pytest.fixture(params=["sqlite", "duckdb"])
+class MinimalThirdEngine:
+    """Contract-conformance witness: a third engine implementing ONLY the
+    documented `SqlEngine` surface — nothing the catalog doesn't promise
+    to call. If the full behavior suite passes on this, the contract is
+    sufficient, and a server-side engine is exactly this much code:
+
+    - ``connect()`` → a DB-API connection in manual-transaction mode
+      (Postgres/psycopg2: ``conn.autocommit = True`` + explicit BEGIN,
+      plus a cursor shim if the driver's paramstyle isn't qmark —
+      translate ``?`` → ``%s`` before execute)
+    - ``begin_write(con)`` → enter a writer-serialized txn (Postgres:
+      ``BEGIN``; row locks + the UPDATE-after-SELECT pattern serialize,
+      or take ``pg_advisory_xact_lock`` for strictness)
+    - ``commit/rollback`` → SQL COMMIT/ROLLBACK (inherited default)
+    - ``end_write(con)`` → release any engine-level lock, owner-aware
+      (no-op for Postgres)
+    - ``insert_ignore_suffix`` / ``upsert_suffix`` → ON CONFLICT clauses
+      (inherited defaults are valid Postgres ≥ 9.5)
+    - ``init_schema`` → run DDL (inherited default)
+
+    This witness wraps sqlite3 but with DuckDB-style engine-level write
+    locking (a different serialization strategy than SqliteEngine's
+    BEGIN IMMEDIATE), so passing is not an artifact of reusing either
+    shipped engine's behavior."""
+
+    def __init__(self, db_path):
+        import threading
+
+        self.db_path = db_path
+        self._lock = threading.Lock()
+        self._owner = threading.local()
+        from iceberg_python_spark.catalog_engines import SqlEngine
+
+        self.insert_ignore_suffix = SqlEngine.insert_ignore_suffix.__get__(self)
+        self.upsert_suffix = SqlEngine.upsert_suffix.__get__(self)
+        self.init_schema = SqlEngine.init_schema.__get__(self)
+
+    def connect(self):
+        import sqlite3
+
+        con = sqlite3.connect(self.db_path, timeout=30)
+        con.isolation_level = None
+        return con
+
+    def close(self, con):
+        con.close()
+
+    def begin_write(self, con):
+        self._lock.acquire()
+        self._owner.held = True
+        con.execute("BEGIN")
+
+    def commit(self, con):
+        con.execute("COMMIT")
+
+    def rollback(self, con):
+        con.execute("ROLLBACK")
+
+    def end_write(self, con):
+        if getattr(self._owner, "held", False):
+            self._owner.held = False
+            self._lock.release()
+
+
+@pytest.fixture(params=["sqlite", "duckdb", "minimal-third"])
 def cat(request, spark, tmp_path):
     wh = str(tmp_path / f"wh_{request.param}")
     if request.param == "sqlite":
         return SqliteCatalog("eng", wh, spark)
+    if request.param == "minimal-third":
+        import os
+
+        from iceberg_python_spark.catalog import SqlCatalog
+
+        os.makedirs(wh, exist_ok=True)
+        return SqlCatalog("eng", wh, spark, MinimalThirdEngine(os.path.join(wh, "third.db")))
     return DuckDBCatalog("eng", wh, spark)
 
 
