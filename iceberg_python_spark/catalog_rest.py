@@ -64,6 +64,7 @@ class RestCatalog:
         spark,
         warehouse: Optional[str] = None,
         token: Optional[str] = None,
+        credential: Optional[str] = None,
         properties: Optional[Dict[str, str]] = None,
     ):
         self.name = name
@@ -71,8 +72,21 @@ class RestCatalog:
         self.spark = spark
         self.warehouse = warehouse
         self._session = requests.Session()
+        props = properties or {}
+        # OAuth2 client-credentials (reference catalog/rest/auth.py:70
+        # LegacyOAuth2AuthManager): `credential` = "client_id:secret" (or
+        # bare secret) is exchanged for a Bearer token at
+        # `oauth2-server-uri` (default <uri>/v1/oauth/tokens); a 401 on
+        # any later call refreshes the token once and retries (expired
+        # server-side tokens re-authenticate transparently).
+        self._credential = credential if credential is not None else props.get("credential")
+        self._oauth_uri = props.get("oauth2-server-uri") or f"{self.uri}/v1/oauth/tokens"
+        self._scope = props.get("scope", "catalog")
+        token = token if token is not None else props.get("token")
         if token:
             self._session.headers["Authorization"] = f"Bearer {token}"
+        elif self._credential:
+            self._refresh_token()
         self._session.headers["Content-Type"] = "application/json"
         cfg = self._get("/v1/config", params={"warehouse": warehouse} if warehouse else None)
         merged: Dict[str, str] = dict(cfg.get("defaults") or {})
@@ -102,14 +116,42 @@ class RestCatalog:
         r.raise_for_status()
         return r.json() if r.content else {}
 
+    def _refresh_token(self) -> None:
+        """client_credentials grant at the token endpoint (spec
+        OAuthTokenRequest, form-encoded; reference auth.py:98)."""
+        client_id, sep, secret = self._credential.partition(":")
+        if not sep:
+            client_id, secret = None, self._credential
+        r = requests.post(
+            self._oauth_uri,
+            data={
+                "grant_type": "client_credentials",
+                "client_id": client_id,
+                "client_secret": secret,
+                "scope": self._scope,
+            },
+        )
+        if r.status_code in (400, 401):
+            raise PermissionError(f"OAuth token request rejected: {r.text}")
+        r.raise_for_status()
+        self._session.headers["Authorization"] = f"Bearer {r.json()['access_token']}"
+
+    def _request(self, method: str, url: str, **kw) -> requests.Response:
+        r = self._session.request(method, url, **kw)
+        if r.status_code == 401 and self._credential:
+            self._refresh_token()
+            r = self._session.request(method, url, **kw)
+        return r
+
     def _get(self, path: str, params=None) -> Dict[str, Any]:
-        return self._check(self._session.get(f"{self.uri}{path}" if path.startswith("/v1/config") else self._url(path), params=params))
+        url = f"{self.uri}{path}" if path.startswith("/v1/config") else self._url(path)
+        return self._check(self._request("GET", url, params=params))
 
     def _post(self, path: str, body: Dict[str, Any]) -> Dict[str, Any]:
-        return self._check(self._session.post(self._url(path), json=body))
+        return self._check(self._request("POST", self._url(path), json=body))
 
     def _delete(self, path: str, params=None) -> None:
-        self._check(self._session.delete(self._url(path), params=params))
+        self._check(self._request("DELETE", self._url(path), params=params))
 
     # -- namespaces ----------------------------------------------------------
     def create_namespace(self, namespace: Union[str, Identifier], properties: Optional[Dict[str, str]] = None) -> None:

@@ -184,12 +184,21 @@ def _chunk_to_rest(chunk) -> Dict[str, Any]:
     return out
 
 
-def make_server(warehouse: str):
+def make_server(warehouse: str, require_auth: bool = False, clients: Dict[str, str] = None):
+    """``require_auth=True`` turns on the spec's OAuth2 client-credentials
+    flow: POST /v1/oauth/tokens exchanges a known (client_id, secret)
+    for a bearer token, and every other endpoint 401s without a valid
+    one. ``state.valid_tokens.clear()`` simulates server-side token
+    expiry (the client must transparently re-authenticate)."""
     state = _State()
     state.plan_mode = "sync"  # or "async": plan -> submitted -> poll
     state.page_size = None  # tasks per chunk; None = single response
     state.plans: Dict[str, Any] = {}
     state.task_chunks: Dict[str, Any] = {}
+    state.require_auth = require_auth
+    state.clients = dict(clients or {})
+    state.valid_tokens = set()
+    state.token_seq = [0]
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -210,7 +219,15 @@ def make_server(warehouse: str):
         def _parts(self):
             return [unquote(p) for p in urlparse(self.path).path.strip("/").split("/")]
 
+        def _authorized(self) -> bool:
+            if not state.require_auth:
+                return True
+            header = self.headers.get("Authorization") or ""
+            return header.startswith("Bearer ") and header[7:] in state.valid_tokens
+
         def do_GET(self):
+            if not self._authorized():
+                return self._send(401, {"error": "invalid or expired token"})
             p = self._parts()
             if p[:2] == ["v1", "config"]:
                 return self._send(200, {"defaults": {"warehouse": warehouse}, "overrides": {}})
@@ -254,6 +271,22 @@ def make_server(warehouse: str):
 
         def do_POST(self):
             p = self._parts()
+            if p[:3] == ["v1", "oauth", "tokens"]:
+                n = int(self.headers.get("Content-Length") or 0)
+                from urllib.parse import parse_qs
+
+                form = parse_qs(self.rfile.read(n).decode())
+                cid = (form.get("client_id") or [None])[0]
+                secret = (form.get("client_secret") or [""])[0]
+                if state.clients.get(cid) != secret:
+                    return self._send(401, {"error": "invalid_client"})
+                with state.lock:
+                    state.token_seq[0] += 1
+                    tok = f"mock-token-{state.token_seq[0]}"
+                    state.valid_tokens.add(tok)
+                return self._send(200, {"access_token": tok, "token_type": "bearer", "expires_in": 3600})
+            if not self._authorized():
+                return self._send(401, {"error": "invalid or expired token"})
             body = self._body()
             with state.lock:
                 if p[:2] == ["v1", "namespaces"] and len(p) == 2:
@@ -351,6 +384,8 @@ def make_server(warehouse: str):
             return self._send(404, {"error": "not found"})
 
         def do_DELETE(self):
+            if not self._authorized():
+                return self._send(401, {"error": "invalid or expired token"})
             p = self._parts()
             with state.lock:
                 if p[:2] == ["v1", "namespaces"] and len(p) == 3:

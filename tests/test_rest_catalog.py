@@ -161,3 +161,40 @@ def test_views_over_rest(rest, spark):
     assert rest.read_view("db.big_vals").count() == 10
     rest.drop_view("db.big_vals")
     assert not rest.view_exists("db.big_vals")
+
+
+def test_oauth2_client_credentials_flow(tmp_path, spark):
+    """OAuth2 client-credentials against an auth-enforcing server
+    (reference catalog/rest/auth.py:70 LegacyOAuth2AuthManager): the
+    `credential` property is exchanged for a bearer token before the
+    config fetch; expired tokens (server-side invalidation) refresh
+    transparently on the 401 retry; bad credentials fail loudly."""
+    from pyspark.sql import functions as F
+
+    server, uri = make_server(
+        str(tmp_path / "wh"), require_auth=True, clients={"svc": "s3cret"}
+    )
+    try:
+        # wrong secret: loud PermissionError, not a hang or silent retry
+        with pytest.raises(PermissionError, match="invalid_client"):
+            RestCatalog("rest-auth", uri, spark, properties={"credential": "svc:wrong"})
+        # no credential at all: the server 401s the config fetch
+        import requests as _rq
+
+        with pytest.raises(_rq.HTTPError):
+            RestCatalog("rest-auth", uri, spark)
+
+        cat = RestCatalog("rest-auth", uri, spark, properties={"credential": "svc:s3cret"})
+        cat.create_namespace("db")
+        df = spark.range(7).withColumn("v", F.col("id") * 2)
+        t = cat.create_table("db.t", df.schema)
+        t.append(df)
+        assert cat.load_table("db.t").scan().to_df().count() == 7
+
+        # server-side token expiry: every outstanding token is revoked;
+        # the next call 401s, the client re-authenticates and retries
+        server.mock_state.valid_tokens.clear()
+        assert cat.load_table("db.t").scan().to_df().count() == 7
+        assert ("db", "t") in cat.list_tables("db")
+    finally:
+        server.shutdown()
