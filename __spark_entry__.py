@@ -1198,6 +1198,7 @@ def _q_dedup_minhash_invariants(spark, env):
     nd = docs.select("doc_id", norm.alias("_nrm"))
     keep = nd.groupBy("_nrm").agg(F.min("doc_id").alias("_keep"))
     dups = nd.join(keep, "_nrm").where(F.col("doc_id") != F.col("_keep")).select("doc_id")
+    dups = dups.localCheckpoint(eager=True)  # referenced by both aggregates
     surviving_dups = dups.join(survivors.select("doc_id"), "doc_id", "left_semi")
     return (
         docs.agg(F.count("*").cast("long").alias("n_docs"))
@@ -1248,6 +1249,11 @@ def _q_dedup_jaccard_invariants(spark, env):
         .where((F.col("lang") == F.col("_lang_b")) & (F.col("_lb") == F.col("_lb_b")))
         .select("id_a", "id_b")
     )
+    # three aggregates below each reference `exact` / `v_in`: without a
+    # materialization point Spark recomputes the prefix join 3x and the
+    # whole LSH+verify pipeline 2x — checkpoint once, reuse thrice
+    exact = exact.localCheckpoint(eager=True)
+    v_in = v_in.localCheckpoint(eager=True)
     n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
     n_hit = exact.join(v_in, ["id_a", "id_b"], "left_semi").agg(F.count("*").alias("n_hit"))
     n_extra = v_in.join(exact, ["id_a", "id_b"], "left_anti").agg(F.count("*").alias("n_extra"))
@@ -1283,6 +1289,7 @@ def _q_dedup_simhash_invariants(spark, env):
         .join(nd.alias("b"), (F.col("a._nrm") == F.col("b._nrm")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
+    pairs = pairs.localCheckpoint(eager=True)  # referenced by both aggregates
     missing = pairs.join(cands, ["id_a", "id_b"], "left_anti")
     return (
         pairs.agg(F.count("*").cast("long").alias("n_norm_pairs"))
