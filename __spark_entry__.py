@@ -1465,6 +1465,7 @@ def _recall_invariant(exact: DataFrame, approx: DataFrame, bound: float) -> Data
     """One-row invariant: |approx ∩ exact| >= bound * |exact| over the
     (query_id, vec_id) result sets — a deterministic, hash-matchable
     statement about an approximate algorithm the oracle can't replay."""
+    exact = exact.localCheckpoint(eager=True)  # both aggregates reuse it
     hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").agg(
         F.count("*").alias("n_hit")
     )
