@@ -1047,6 +1047,47 @@ def _q_mixture_sample(spark, env):
     )
 
 
+_MIX_EPOCH_BUDGETS = {"src0": 3600, "src1": 700}
+
+
+def _q_mixture_epochs(spark, env):
+    """Upsampling mixture: src0's budget (3600) is ~2.5x its corpus
+    tokens, so it repeats for 2 full epochs plus a deterministic partial
+    third; src1 stays a sub-epoch prefix. Every row carries its epoch.
+    The oracle replays epochs with generate_series over per-stratum
+    totals + the same hash-order prefix rule."""
+    from iceberg_python_spark.operators.packing import mixture_sample
+
+    docs = env["documents"].scan(
+        selected_fields=("doc_id", "text", "source", "n_chars")
+    ).to_df()
+    return mixture_sample(
+        docs, "source", "doc_id", "text", _MIX_EPOCH_BUDGETS, allow_repeats=True
+    ).select("doc_id", "source", "n_chars", "n_tokens", "epoch")
+
+
+def _mixture_epochs_oracle() -> str:
+    srcs = ", ".join(f"'{s}'" for s in sorted(_MIX_EPOCH_BUDGETS))
+    case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {b}" for s, b in sorted(_MIX_EPOCH_BUDGETS.items())
+    ) + " END"
+    return (
+        f"WITH t AS (SELECT doc_id, source, n_chars, {_pack_mix_tokens_sql()} AS n_tokens, "
+        f"md5(CAST(doc_id AS VARCHAR)) AS h FROM documents WHERE source IN ({srcs})), "
+        "c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id "
+        "ROWS UNBOUNDED PRECEDING) AS cum_end FROM t), "
+        f"tot AS (SELECT source, MAX(cum_end) AS total, {case} AS budget FROM c GROUP BY source), "
+        "full_epochs AS (SELECT c.doc_id, c.source, c.n_chars, c.n_tokens, "
+        "CAST(gs.e AS BIGINT) AS epoch FROM c JOIN tot USING (source), "
+        "LATERAL (SELECT unnest(generate_series(0, CAST(floor(budget / total) AS BIGINT) - 1)) AS e) gs "
+        "WHERE floor(budget / total) > 0), "
+        "partial_epoch AS (SELECT c.doc_id, c.source, c.n_chars, c.n_tokens, "
+        "CAST(floor(budget / total) AS BIGINT) AS epoch FROM c JOIN tot USING (source) "
+        "WHERE c.cum_end - c.n_tokens < budget % total) "
+        "SELECT * FROM full_epochs UNION ALL SELECT * FROM partial_epoch"
+    )
+
+
 def _pack_mix_tokens_sql() -> str:
     return (
         "CASE WHEN length(trim(text)) = 0 THEN 0 "
@@ -1636,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # --- new this round (slots 1-6) ---
             "pack_sequences": _q_pack_sequences,
             "mixture_sample": _q_mixture_sample,
+            "mixture_epochs": _q_mixture_epochs,
             "dedup_minhash_invariants": _q_dedup_minhash_invariants,
             "dedup_simhash_invariants": _q_dedup_simhash_invariants,
             "dedup_jaccard_invariants": _q_dedup_jaccard_invariants,
@@ -1686,7 +1728,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mor_delete_scan": _q_mor_delete,
             "mor_dv_scan": _q_mor_dv,
             "eq_delete_scan": _q_eq_delete_scan,
-            "changelog_scan": _q_changelog_scan,
             # --- behind the window: r06-greened family (rows 1 round
             # old) + raw approximate outputs + rows-only queries ---
             "dedup_neardup_clusters": _q_dedup_clusters,
@@ -1719,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "avro_interop_scan": _q_avro_interop,
             "add_files_partitioned_scan": _q_add_files_scan,
             "branch_wap_scan": _q_branch_wap_scan,
+            "changelog_scan": _q_changelog_scan,
             "row_lineage_invariants": _q_row_lineage_invariants,
             # raw approximate outputs (their quality is pinned by the
             # in-window *_invariants / behind-window *_recall rows)
@@ -2082,6 +2124,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": _sample_stratified_oracle(),
         "pack_sequences": _pack_sequences_oracle(),
         "mixture_sample": _mixture_sample_oracle(),
+        "mixture_epochs": _mixture_epochs_oracle(),
         "text_contamination": (
             "WITH toks AS (SELECT doc_id, source, "
             "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS tk "

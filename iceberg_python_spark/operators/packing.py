@@ -123,6 +123,7 @@ def mixture_sample(
     text_col: str,
     token_budgets: Mapping[str, int],
     salt: str = "",
+    allow_repeats: bool = False,
 ) -> DataFrame:
     """Per-stratum token-budget sampling (the corpus-mixture step): for
     each stratum, keep documents in deterministic hash order until the
@@ -131,11 +132,18 @@ def mixture_sample(
     document (standard practice; exact-trim happens at tokenization).
     Strata without a budget are dropped.
 
+    ``allow_repeats=True`` handles budgets ABOVE a stratum's total token
+    count by repeating the stratum in whole epochs plus a deterministic
+    partial epoch (the standard upsampling recipe for scarce high-quality
+    sources); every output row then carries a 0-based ``epoch`` column.
+    With it False (default), a budget past the total just keeps the whole
+    stratum once.
+
     Deterministic in (keys, texts, budgets, salt): growing a 50B-token
     mixture to 100B keeps every previously selected document — hash-order
-    prefixes are nested, so mixtures are reproducible and monotonic.
-    Same distributed prefix sum as ``pack_sequences``; the per-stratum
-    budget comparison is a broadcast-size CASE expression.
+    prefixes are nested, so mixtures are reproducible and monotonic
+    (with repeats: epochs only extend). Same distributed prefix sum as
+    ``pack_sequences``; per-stratum totals are a strata-sized broadcast.
     """
     if not token_budgets:
         raise ValueError("token_budgets must name at least one stratum")
@@ -145,7 +153,25 @@ def mixture_sample(
     budget = F.lit(None).cast("long")
     for value, b in sorted(token_budgets.items()):
         budget = F.when(F.col(strata_col) == value, F.lit(int(b))).otherwise(budget)
-    return (
-        summed.where((F.col("_cum_end") - F.col("n_tokens")) < budget)
-        .drop("_h", "_bkt", "_cum_end")
+    if not allow_repeats:
+        return (
+            summed.where((F.col("_cum_end") - F.col("n_tokens")) < budget)
+            .drop("_h", "_bkt", "_cum_end")
+        )
+    totals = (
+        summed.groupBy(strata_col)
+        .agg(F.max("_cum_end").alias("_total"))
+        .withColumn("_budget", budget)
+        .withColumn("_n_full", F.floor(F.col("_budget") / F.col("_total")).cast("long"))
+        .withColumn("_rem", (F.col("_budget") % F.col("_total")).cast("long"))
     )
+    joined = summed.join(F.broadcast(totals), strata_col)
+    full = (
+        joined.where(F.col("_n_full") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0).cast("long"), F.col("_n_full") - 1)))
+    )
+    partial = joined.where((F.col("_cum_end") - F.col("n_tokens")) < F.col("_rem")).withColumn(
+        "epoch", F.col("_n_full")
+    )
+    drop = ["_h", "_bkt", "_cum_end", "_total", "_budget", "_n_full", "_rem"]
+    return full.unionByName(partial).drop(*drop)

@@ -580,3 +580,33 @@ def test_pack_sequences_plan_no_global_window(spark):
             # 256-row bucket-offsets window (partitioned data is absent
             # there: it orders by _bkt over the tiny aggregate)
             assert "_bkt" in line
+
+
+def test_mixture_sample_epochs(spark):
+    """allow_repeats: a budget above the stratum's total repeats it in
+    whole epochs + a deterministic partial; epoch 0 equals the
+    no-repeats selection at the same sub-total budget rule."""
+    from iceberg_python_spark.operators.packing import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, "s0" if i < 20 else "s1", " ".join("w" for _ in range(10))) for i in range(60)],
+        "doc_id: long, source: string, text: string",
+    )
+    # s0 total = 200 tokens; budget 520 = 2 full epochs + 120-token partial
+    out = mixture_sample(
+        docs, "source", "doc_id", "text", {"s0": 520, "s1": 100}, allow_repeats=True
+    ).toPandas()
+    s0 = out[out.source == "s0"]
+    assert set(s0.epoch) == {0, 1, 2}
+    # full epochs carry every s0 doc
+    assert len(s0[s0.epoch == 0]) == 20 and len(s0[s0.epoch == 1]) == 20
+    # partial epoch: 120 tokens -> 12 docs of 10 tokens
+    assert len(s0[s0.epoch == 2]) == 12
+    assert s0.n_tokens.sum() == 520
+    # partial-epoch docs are a prefix of the full-epoch ordering (nested)
+    assert set(s0[s0.epoch == 2].doc_id) <= set(s0[s0.epoch == 0].doc_id)
+    # s1: sub-epoch budget behaves exactly like allow_repeats=False + epoch 0
+    s1 = out[out.source == "s1"]
+    assert set(s1.epoch) == {0}
+    base = mixture_sample(docs, "source", "doc_id", "text", {"s1": 100}).toPandas()
+    assert set(s1.doc_id) == set(base.doc_id)
