@@ -320,6 +320,25 @@ def main() -> int:
         ours_reparsed.partition_statistics[0]["statistics-path"],
     )
 
+    # -- name-mapping JSON parses through the reference's models and
+    # resolves the same field ids (reference table/name_mapping.py:73,
+    # :149 parse_mapping_from_json) ------------------------------------------
+    from pyiceberg.table.name_mapping import parse_mapping_from_json
+
+    from iceberg_python_spark.name_mapping import NameMapping as OurNameMapping
+
+    ours_nm = OurNameMapping.from_schema(ours_schema)
+    ref_nm = parse_mapping_from_json(ours_nm.to_json())
+    for field_name in ("id", "name", "price", "ts", "tags", "attrs", "addr"):
+        ours_id = ours_nm.id_for(field_name)
+        ref_id = next((f.field_id for f in ref_nm.root if field_name in f.names), None)
+        if ours_id is None or ref_id is None:
+            failures.append(f"name-mapping id for {field_name!r} missing: ours={ours_id} ref={ref_id}")
+        check(f"name-mapping id for {field_name!r}", ours_id, ref_id)
+    # and the reference's serialization parses back through ours
+    ours_rt = OurNameMapping.from_json(ref_nm.model_dump_json())
+    check("name-mapping roundtrip id", ours_rt.id_for("id"), ours_nm.id_for("id"))
+
     if failures:
         print(f"{len(failures)} CONFORMANCE FAILURES:")
         for f in failures[:25]:
@@ -327,7 +346,7 @@ def main() -> int:
         return 1
     print(
         "CONFORMANCE-OK (bucket/truncate/temporal/human-string/schema-json/"
-        "conversions/v3-metadata vs reference)"
+        "conversions/v3-metadata/name-mapping vs reference)"
     )
     return 0
 
