@@ -88,6 +88,10 @@ class RestCatalog:
         elif self._credential:
             self._refresh_token()
         self._session.headers["Content-Type"] = "application/json"
+        # opt in to vended credentials (reference catalog/rest/__init__.py:881)
+        self._session.headers.setdefault(
+            "X-Iceberg-Access-Delegation", props.get("access-delegation", "vended-credentials")
+        )
         cfg = self._get("/v1/config", params={"warehouse": warehouse} if warehouse else None)
         merged: Dict[str, str] = dict(cfg.get("defaults") or {})
         merged.update(properties or {})
@@ -313,9 +317,46 @@ class RestCatalog:
             self.load_table(t_ident).scan().to_df().createOrReplaceTempView(t_ident[-1])
         return self.spark.sql(sql)
 
+    @staticmethod
+    def _resolve_storage_credentials(creds: list, location: Optional[str]) -> Dict[str, str]:
+        """Longest-prefix-match credential for `location` (reference
+        catalog/rest/__init__.py:470): each credential is
+        {prefix, config}; the most specific applicable prefix wins."""
+        if not creds or not location:
+            return {}
+        best, best_len = {}, -1
+        for cred in creds:
+            prefix = cred.get("prefix", "")
+            if location.startswith(prefix) and len(prefix) > best_len:
+                best, best_len = dict(cred.get("config", {})), len(prefix)
+        return best
+
     def _table_from(self, ident: Identifier, load_result: Dict[str, Any]) -> Table:
         metadata = TableMetadata.from_dict(load_result["metadata"])
-        return Table(ident, metadata, load_result.get("metadata-location", ""), self, self.spark)
+        table = Table(ident, metadata, load_result.get("metadata-location", ""), self, self.spark)
+        # vended credentials (X-Iceberg-Access-Delegation): the resolved
+        # config rides the table; apply_storage_credentials() maps it to
+        # per-bucket fs.s3a.* settings for the executors' data-plane IO
+        table.io_properties = {
+            **load_result.get("config", {}),
+            **self._resolve_storage_credentials(
+                load_result.get("storage-credentials", []),
+                metadata.location or load_result.get("metadata-location"),
+            ),
+        }
+        return table
+
+    def load_credentials(self, identifier: Union[str, Identifier]) -> Dict[str, str]:
+        """Re-vend credentials for a table without reloading it (spec
+        loadCredentials endpoint; reference catalog/rest/__init__.py:1127)
+        — the refresh path when vended tokens expire mid-job."""
+        ident = _to_identifier(identifier)
+        ns, name = self._ns_and_name(ident)
+        out = self._get(f"/namespaces/{ns}/tables/{name}/credentials")
+        t = self.load_table(ident)
+        return self._resolve_storage_credentials(
+            out.get("storage-credentials", []), t.location or t.metadata_location
+        )
 
     # -- server-side scan planning (spec planTableScan / fetchPlanningResult
     # / fetchScanTasks; reference catalog/rest/__init__.py:502-552 +

@@ -349,6 +349,43 @@ class Table:
         self.metadata_location = metadata_location
         self.catalog = catalog
         self.spark = spark
+        # per-table IO config a catalog may vend (REST storage
+        # credentials / LoadTableResponse config); empty elsewhere
+        self.io_properties: Dict[str, str] = {}
+
+    # s3.* vended-credential keys -> hadoop s3a option suffixes
+    _S3A_KEYS = {
+        "s3.access-key-id": "access.key",
+        "s3.secret-access-key": "secret.key",
+        "s3.session-token": "session.token",
+        "s3.endpoint": "endpoint",
+        "s3.path-style-access": "path.style.access",
+    }
+
+    def apply_storage_credentials(self) -> Dict[str, str]:
+        """Install this table's vended credentials into the Spark session
+        as PER-BUCKET ``fs.s3a.bucket.<bucket>.*`` settings, so executor
+        data-plane IO on this table's bucket uses the vended token while
+        every other bucket keeps the cluster's own credential chain
+        (hadoop-aws per-bucket configuration — the standard way to scope
+        short-lived table credentials on a shared cluster). Returns the
+        applied {hadoop-key: value} map. No-op without s3 credentials or
+        for non-s3 locations."""
+        loc = self.location
+        if not self.io_properties or "://" not in loc:
+            return {}
+        scheme, rest = loc.split("://", 1)
+        if scheme not in ("s3", "s3a", "s3n"):
+            return {}
+        bucket = rest.split("/", 1)[0]
+        conf = self.spark._jsc.hadoopConfiguration()
+        applied = {}
+        for prop, suffix in self._S3A_KEYS.items():
+            if prop in self.io_properties:
+                key = f"fs.s3a.bucket.{bucket}.{suffix}"
+                conf.set(key, self.io_properties[prop])
+                applied[key] = self.io_properties[prop]
+        return applied
 
     # -- metadata accessors -------------------------------------------------
     @property

@@ -199,6 +199,10 @@ def make_server(warehouse: str, require_auth: bool = False, clients: Dict[str, s
     state.clients = dict(clients or {})
     state.valid_tokens = set()
     state.token_seq = [0]
+    # optional vended storage credentials: list of {prefix, config}
+    # attached to every LoadTableResponse + served by the /credentials
+    # endpoint when the client sent X-Iceberg-Access-Delegation
+    state.storage_credentials = []
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -258,10 +262,14 @@ def make_server(warehouse: str, require_auth: bool = False, clients: Dict[str, s
                     t = state.tables.get((ns, p[4]))
                     if t is None:
                         return self._send(404, {"error": "no such table"})
-                    return self._send(
-                        200,
-                        {"metadata-location": t["location"], "metadata": t["metadata"], "config": {}},
-                    )
+                    body = {"metadata-location": t["location"], "metadata": t["metadata"], "config": {}}
+                    if state.storage_credentials and self.headers.get("X-Iceberg-Access-Delegation"):
+                        body["storage-credentials"] = state.storage_credentials
+                    return self._send(200, body)
+                if len(p) == 6 and p[3] == "tables" and p[5] == "credentials":
+                    if (ns, p[4]) not in state.tables:
+                        return self._send(404, {"error": "no such table"})
+                    return self._send(200, {"storage-credentials": state.storage_credentials})
                 if len(p) == 7 and p[3] == "tables" and p[5] == "plan":  # fetchPlanningResult
                     resp = state.plans.get(p[6])
                     if resp is None:

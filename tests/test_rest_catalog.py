@@ -198,3 +198,48 @@ def test_oauth2_client_credentials_flow(tmp_path, spark):
         assert ("db", "t") in cat.list_tables("db")
     finally:
         server.shutdown()
+
+
+def test_vended_storage_credentials(tmp_path, spark):
+    """Vended credentials (X-Iceberg-Access-Delegation): load_table
+    resolves the longest-prefix storage credential into
+    table.io_properties; apply_storage_credentials scopes them to the
+    table's bucket as per-bucket fs.s3a.* settings; loadCredentials
+    re-vends on demand (reference catalog/rest/__init__.py:470, :1127)."""
+    from pyspark.sql import functions as F
+
+    server, uri = make_server(str(tmp_path / "wh"))
+    try:
+        cat = RestCatalog("rest-vend", uri, spark)
+        cat.create_namespace("db")
+        df = spark.range(3).withColumn("v", F.col("id"))
+        cat.create_table("db.t", df.schema)
+        # two credentials: the longer prefix must win for this table
+        server.mock_state.storage_credentials = [
+            {"prefix": "file:", "config": {"s3.access-key-id": "WIDE"}},
+            {
+                "prefix": str(tmp_path / "wh"),
+                "config": {
+                    "s3.access-key-id": "AKVENDED",
+                    "s3.secret-access-key": "SECRETVENDED",
+                    "s3.session-token": "TOKVENDED",
+                },
+            },
+        ]
+        t = cat.load_table("db.t")
+        assert t.io_properties["s3.access-key-id"] == "AKVENDED"
+        # non-s3 location: apply is an honest no-op
+        assert t.apply_storage_credentials() == {}
+        # s3 location: credentials land as per-bucket s3a conf
+        t.metadata.location = "s3://vend-bucket/wh/db/t"
+        applied = t.apply_storage_credentials()
+        assert applied["fs.s3a.bucket.vend-bucket.access.key"] == "AKVENDED"
+        assert applied["fs.s3a.bucket.vend-bucket.session.token"] == "TOKVENDED"
+        conf = spark._jsc.hadoopConfiguration()
+        assert conf.get("fs.s3a.bucket.vend-bucket.secret.key") == "SECRETVENDED"
+        # refresh endpoint re-vends without reloading metadata
+        server.mock_state.storage_credentials[1]["config"]["s3.session-token"] = "TOKROTATED"
+        fresh = cat.load_credentials("db.t")
+        assert fresh["s3.session-token"] == "TOKROTATED"
+    finally:
+        server.shutdown()
