@@ -176,12 +176,41 @@ def upsert_stream(
     return writer.start()
 
 
-def incremental_source(table: Table, cursor: Optional[int] = None) -> Tuple[DataFrame, Optional[int]]:
-    """Rows appended since ``cursor`` (a snapshot id), plus the new cursor.
-    Poll in a loop (or from foreachBatch) for CDC-style pipelines."""
-    table.refresh()
+def _bounded_target(table: Table, cursor: Optional[int], max_snapshots: Optional[int]) -> Optional[int]:
+    """The snapshot id a poll should advance to: the branch head, or —
+    with ``max_snapshots`` — at most that many snapshots past ``cursor``
+    along the ancestry (Spark's maxFilesPerTrigger idea at snapshot
+    granularity: a reader that fell far behind catches up in bounded
+    batches instead of one giant read)."""
     current = table.current_snapshot()
-    new_cursor = current.snapshot_id if current else cursor
+    if current is None:
+        return cursor
+    if max_snapshots is None:
+        return current.snapshot_id
+    if max_snapshots <= 0:
+        raise ValueError(f"max_snapshots must be positive, got {max_snapshots}")
+    by_id = {s.snapshot_id: s for s in table.metadata.snapshots}
+    chain = []
+    s = current
+    while s is not None and s.snapshot_id != cursor:
+        chain.append(s.snapshot_id)
+        s = by_id.get(s.parent_snapshot_id) if s.parent_snapshot_id is not None else None
+    if not chain:
+        return cursor
+    chain.reverse()  # oldest-first, starting just past the cursor
+    return chain[min(max_snapshots, len(chain)) - 1]
+
+
+def incremental_source(
+    table: Table, cursor: Optional[int] = None, max_snapshots: Optional[int] = None
+) -> Tuple[DataFrame, Optional[int]]:
+    """Rows appended since ``cursor`` (a snapshot id), plus the new cursor.
+    Poll in a loop (or from foreachBatch) for CDC-style pipelines.
+    ``max_snapshots`` bounds each poll to that many snapshots of appends —
+    repeated polls walk the history in rate-limited steps until caught up
+    (cursor stops advancing)."""
+    table.refresh()
+    new_cursor = _bounded_target(table, cursor, max_snapshots)
     df = table.incremental_append_scan(
         from_snapshot_id_exclusive=cursor, to_snapshot_id_inclusive=new_cursor
     ).to_df()
@@ -212,17 +241,19 @@ def net_changes(changes: DataFrame, key_cols: Sequence[str]) -> DataFrame:
     )
 
 
-def changelog_source(table: Table, cursor: Optional[int] = None) -> Tuple[DataFrame, Optional[int]]:
+def changelog_source(
+    table: Table, cursor: Optional[int] = None, max_snapshots: Optional[int] = None
+) -> Tuple[DataFrame, Optional[int]]:
     """Row-level changes (inserts AND deletes) since ``cursor``, plus the
     new cursor — the full-CDC sibling of :func:`incremental_source`,
     backed by ``incremental_changelog_scan``. The emitted frame carries
     ``_change_type`` / ``_change_ordinal`` / ``_change_snapshot_id``, so a
     downstream ``upsert_stream`` (op_col=\"_change_type\",
     delete_values=(\"delete\",)) replicates this table into another —
-    table-to-table CDC without an external log."""
+    table-to-table CDC without an external log. ``max_snapshots`` bounds
+    each poll as in :func:`incremental_source`."""
     table.refresh()
-    current = table.current_snapshot()
-    new_cursor = current.snapshot_id if current else cursor
+    new_cursor = _bounded_target(table, cursor, max_snapshots)
     df = table.incremental_changelog_scan(
         from_snapshot_id_exclusive=cursor, to_snapshot_id_inclusive=new_cursor
     ).to_df()

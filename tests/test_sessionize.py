@@ -278,3 +278,40 @@ def test_upsert_stream_marker_on_all_snapshots(spark, tmp_path):
     assert len(tagged) >= 1
     for s in tagged:
         assert s.summary["streaming-batch-id"] == "0"
+
+
+def test_incremental_source_bounded_polling(spark, tmp_path):
+    """max_snapshots rate-limits each poll to N snapshots of history;
+    repeated polls walk to the head, and the union over bounded polls
+    equals one unbounded poll."""
+    import iceberg_python_spark as ips
+    from iceberg_python_spark.streaming import changelog_source, incremental_source
+
+    cat = ips.SqliteCatalog("bp", str(tmp_path / "wh"), spark)
+    df0 = spark.range(0, 10).toDF("id")
+    t = cat.create_table("db.bp_t", df0.schema)
+    cursor = None
+    t.append(df0)
+    start = t.refresh().current_snapshot().snapshot_id
+    for lo in (10, 20, 30):
+        t.append(spark.range(lo, lo + 10).toDF("id"))
+    # bounded: three polls of one snapshot each
+    seen = []
+    cur = start
+    for _ in range(3):
+        df, cur2 = incremental_source(t, cursor=cur, max_snapshots=1)
+        rows = sorted(r.id for r in df.collect())
+        assert len(rows) == 10  # exactly one append per poll
+        seen += rows
+        assert cur2 != cur
+        cur = cur2
+    # caught up: next poll is empty and the cursor stops moving
+    df, cur3 = incremental_source(t, cursor=cur, max_snapshots=1)
+    assert df.count() == 0 and cur3 == cur
+    # equivalence with the unbounded poll
+    df_all, _ = incremental_source(t, cursor=start)
+    assert sorted(r.id for r in df_all.collect()) == seen
+    # changelog source honors the same bound
+    ch, ccur = changelog_source(t, cursor=start, max_snapshots=2)
+    assert ch.count() == 20
+    assert ccur != t.current_snapshot().snapshot_id
