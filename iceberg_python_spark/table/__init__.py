@@ -242,6 +242,19 @@ def _new_snapshot_id() -> int:
     return random.getrandbits(62)
 
 
+def _metadata_format(meta: "TableMetadata") -> str:
+    """Manifest/manifest-list file format for commits:
+    ``write.metadata.format`` = parquet (engine-native, Spark-readable,
+    distributed-plannable) or avro (the spec's wire format — tables whose
+    metadata other Iceberg engines read natively, reference manifest.py).
+    The read path dispatches per file on extension, so a table may switch
+    formats mid-history."""
+    fmt = meta.properties.get("write.metadata.format", "parquet").lower()
+    if fmt not in ("parquet", "avro"):
+        raise ValueError(f"write.metadata.format must be parquet or avro, got {fmt!r}")
+    return fmt
+
+
 def _apply_equality_deletes(
     spark: SparkSession,
     df: DataFrame,
@@ -1211,6 +1224,10 @@ class Transaction:
         seq = meta.last_sequence_number + 1
         removed_paths = removed_paths or set()
         manifests_dir = posixpath.join(meta.location, "metadata", "manifests")
+        # write.metadata.format=avro emits the spec's Avro manifests so
+        # other Iceberg engines read this table natively (default:
+        # parquet — Spark-readable, enables the distributed planner)
+        mfmt = _metadata_format(meta)
 
         new_manifest_files: List[Dict[str, Any]] = []
         deleted_files = deleted_records = deleted_size = 0
@@ -1233,8 +1250,8 @@ class Transaction:
             if keep:
                 for e in keep:
                     e["status"] = STATUS_EXISTING
-                path = posixpath.join(manifests_dir, f"manifest-{uuid.uuid4()}.parquet")
-                new_manifest_files.append(write_manifest(path, keep, schema, spec))
+                path = posixpath.join(manifests_dir, f"manifest-{uuid.uuid4()}.{mfmt}")
+                new_manifest_files.append(write_manifest(path, keep, schema, spec, fmt=mfmt))
 
         # v3 row lineage (spec first-row-id; reference update/__init__.py:
         # 447-468): each committed data file gets the base of its implicit
@@ -1262,8 +1279,8 @@ class Transaction:
                     {"status": STATUS_ADDED, "snapshot_id": snapshot_id, "sequence_number": seq, "data_file": f}
                     for f in files
                 ]
-                path = posixpath.join(manifests_dir, f"manifest-{uuid.uuid4()}.parquet")
-                new_manifest_files.append(write_manifest(path, entries, schema, spec))
+                path = posixpath.join(manifests_dir, f"manifest-{uuid.uuid4()}.{mfmt}")
+                new_manifest_files.append(write_manifest(path, entries, schema, spec, fmt=mfmt))
 
         # manifest merging (reference _ManifestMergeManager, update/
         # snapshot.py:733-805): when enabled and the data-manifest count
@@ -1275,8 +1292,11 @@ class Transaction:
             if n_data >= min_count:
                 new_manifest_files = self._merge_manifests(new_manifest_files, schema, meta, manifests_dir)
 
-        manifest_list_path = posixpath.join(manifests_dir, f"snap-{snapshot_id}.parquet")
-        write_manifest_list(manifest_list_path, new_manifest_files, meta.spec(), schema)
+        manifest_list_path = posixpath.join(manifests_dir, f"snap-{snapshot_id}.{mfmt}")
+        write_manifest_list(
+            manifest_list_path, new_manifest_files, meta.spec(), schema,
+            fmt=mfmt, snapshot_id=snapshot_id, sequence_number=seq,
+        )
 
         total_files = sum(m["added_files_count"] + m["existing_files_count"] for m in new_manifest_files)
         total_records = sum(m["added_rows_count"] + m.get("existing_rows_count", 0) for m in new_manifest_files)
@@ -1354,8 +1374,12 @@ class Transaction:
             return 0  # already consolidated
         snapshot_id = _new_snapshot_id()
         seq = self.metadata.last_sequence_number + 1
-        manifest_list_path = posixpath.join(manifests_dir, f"snap-{snapshot_id}.parquet")
-        write_manifest_list(manifest_list_path, merged, self.metadata.spec(), schema)
+        mfmt = _metadata_format(self.metadata)
+        manifest_list_path = posixpath.join(manifests_dir, f"snap-{snapshot_id}.{mfmt}")
+        write_manifest_list(
+            manifest_list_path, merged, self.metadata.spec(), schema,
+            fmt=mfmt, snapshot_id=snapshot_id, sequence_number=seq,
+        )
         total_files = sum(m["added_files_count"] + m["existing_files_count"] for m in merged)
         total_records = sum(m["added_rows_count"] + m.get("existing_rows_count", 0) for m in merged)
         summary = build_summary(
@@ -1417,9 +1441,10 @@ class Transaction:
                         continue
                     e["status"] = STATUS_EXISTING
                     entries.append(e)
+            mfmt = _metadata_format(meta)
             for i in range(0, len(entries), target):
-                path = posixpath.join(manifests_dir, f"manifest-{uuid.uuid4()}.parquet")
-                out.append(write_manifest(path, entries[i : i + target], schema, spec))
+                path = posixpath.join(manifests_dir, f"manifest-{uuid.uuid4()}.{mfmt}")
+                out.append(write_manifest(path, entries[i : i + target], schema, spec, fmt=mfmt))
         return out
 
     # -- public write ops --------------------------------------------------------
@@ -2442,7 +2467,12 @@ class DataScan:
             for m in manifest_files
             if m.get("content", CONTENT_DATA) == CONTENT_DATA
         )
-        if est_entries > threshold:
+        # avro manifests (interop tables / write.metadata.format=avro)
+        # always plan driver-side: the distributed planner reads
+        # manifests as Spark parquet DataFrames
+        if est_entries > threshold and not any(
+            m["manifest_path"].endswith(".avro") for m in manifest_files
+        ):
             return self._plan_files_distributed(metadata, schema, bound, manifest_files, part_filter, metrics_eval)
 
         # delete-file index: (sequence_number, path) of live position

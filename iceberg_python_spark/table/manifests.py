@@ -187,9 +187,43 @@ def write_manifest(
     entries: List[Dict[str, Any]],
     schema: Schema,
     spec: PartitionSpec,
+    fmt: str = "parquet",
 ) -> Dict[str, Any]:
-    """Write manifest entries to a parquet file; return the ManifestFile
-    descriptor (with partition summaries) for the manifest list."""
+    """Write manifest entries; return the ManifestFile descriptor (with
+    partition summaries) for the manifest list.
+
+    ``fmt="parquet"`` (default) is the engine-native layout Spark reads
+    directly; ``fmt="avro"`` writes the spec's Avro manifest format so
+    OTHER Iceberg engines can read this table's metadata natively
+    (``write.metadata.format=avro`` table property; the read path
+    dispatches on extension either way)."""
+    if fmt == "avro":
+        from .avro_manifests import write_avro_manifest
+
+        length = write_avro_manifest(path, entries, schema, spec)
+        live = [e for e in entries if e["status"] != STATUS_DELETED]
+        summaries = construct_partition_summaries(
+            [e["data_file"].get("partition", {}) for e in live], spec, schema
+        )
+        return {
+            "manifest_path": path,
+            "manifest_length": length,
+            "added_snapshot_id": entries[0]["snapshot_id"] if entries else -1,
+            "sequence_number": max((e["sequence_number"] for e in entries), default=0),
+            "min_sequence_number": min((e["sequence_number"] for e in entries), default=0),
+            "spec_id": spec.spec_id,
+            "content": entries[0]["data_file"].get("content", CONTENT_DATA) if entries else CONTENT_DATA,
+            "added_files_count": sum(1 for e in entries if e["status"] == STATUS_ADDED),
+            "existing_files_count": sum(1 for e in entries if e["status"] == STATUS_EXISTING),
+            "deleted_files_count": sum(1 for e in entries if e["status"] == STATUS_DELETED),
+            "added_rows_count": sum(
+                e["data_file"].get("record_count", 0) for e in entries if e["status"] == STATUS_ADDED
+            ),
+            "existing_rows_count": sum(
+                e["data_file"].get("record_count", 0) for e in entries if e["status"] == STATUS_EXISTING
+            ),
+            "partition_summaries": summaries,
+        }
     rows = {name: [] for name in _MANIFEST_SCHEMA.names}
     for e in entries:
         df = e["data_file"]
@@ -296,7 +330,28 @@ def construct_partition_summaries(
     return summaries
 
 
-def write_manifest_list(path: str, manifest_files: List[Dict[str, Any]], spec: PartitionSpec, schema: Schema) -> None:
+def write_manifest_list(
+    path: str,
+    manifest_files: List[Dict[str, Any]],
+    spec: PartitionSpec,
+    schema: Schema,
+    fmt: str = "parquet",
+    snapshot_id: int = -1,
+    sequence_number: int = 0,
+) -> None:
+    if fmt == "avro":
+        from ..io.fileio import file_size
+        from .avro_manifests import write_avro_manifest_list
+
+        # carried-forward descriptors may predate the avro format switch
+        # (parquet-era manifests have no manifest_length recorded)
+        enriched = []
+        for m in manifest_files:
+            if not m.get("manifest_length"):
+                m = {**m, "manifest_length": file_size(m["manifest_path"])}
+            enriched.append(m)
+        write_avro_manifest_list(path, enriched, spec, schema, snapshot_id, sequence_number)
+        return
     part_schema = spec.partition_schema(schema)
 
     def enc_summaries(s: Dict[str, Dict[str, Any]]) -> str:

@@ -298,3 +298,49 @@ def test_reference_transform_conformance():
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "CONFORMANCE-OK" in out.stdout
+
+
+def test_native_avro_metadata_format(spark, tmp_path):
+    """write.metadata.format=avro: every commit emits spec Avro manifests
+    + manifest lists; scans, time travel, CoW delete, MoR delete, and
+    compaction all behave identically to a parquet-metadata twin."""
+    import iceberg_python_spark as ips
+    from pyspark.sql import functions as F
+
+    cat = ips.SqliteCatalog("amf", str(tmp_path / "wh"), spark)
+    df = spark.range(200).withColumn("v", F.col("id") % 7)
+    twins = {}
+    for fmt in ("parquet", "avro"):
+        t = cat.create_table(
+            f"db.t_{fmt}", df.schema, properties={"write.metadata.format": fmt}
+        )
+        t.append(df)
+        snap1 = t.current_snapshot().snapshot_id
+        t.delete("v = 3")
+        t.append(spark.range(200, 250).withColumn("v", F.col("id") % 7))
+        t.delete("v = 5", mode="merge-on-read")
+        twins[fmt] = (t, snap1)
+        assert t.current_snapshot().manifest_list.endswith(f".{fmt}")
+
+    tp, snap_p = twins["parquet"]
+    ta, snap_a = twins["avro"]
+    for flt in (None, "v = 1", "id >= 100"):
+        sa = ta.scan(row_filter=flt) if flt else ta.scan()
+        sp = tp.scan(row_filter=flt) if flt else tp.scan()
+        a = sorted((r.id, r.v) for r in sa.to_df().collect())
+        p = sorted((r.id, r.v) for r in sp.to_df().collect())
+        assert a == p, (flt, len(a), len(p))
+    # time travel across formats
+    assert ta.scan(snapshot_id=snap_a).to_df().count() == tp.scan(snapshot_id=snap_p).to_df().count() == 200
+    # compaction rewrites avro manifests too
+    ta.compact()
+    assert ta.refresh().current_snapshot().manifest_list.endswith(".avro")
+    a = sorted((r.id, r.v) for r in ta.scan().to_df().collect())
+    assert a == sorted((r.id, r.v) for r in tp.scan().to_df().collect())
+    # all live manifests of the avro twin really are avro files
+    from iceberg_python_spark.table.manifests import read_manifest_list
+
+    for m in read_manifest_list(
+        ta.current_snapshot().manifest_list, ta.metadata.spec_by_id, ta.schema()
+    ):
+        assert m["manifest_path"].endswith(".avro")

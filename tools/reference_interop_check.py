@@ -141,6 +141,29 @@ def main() -> int:
 
     print(f"REFERENCE-INTEROP-OK files={len(files)} rows={arrow.num_rows} filtered={flt.num_rows}")
 
+    # ---- native avro metadata: a table created with
+    # write.metadata.format=avro commits spec Avro manifests directly —
+    # the reference loads OUR live metadata.json with NO export step,
+    # across appends and a CoW delete (carried-forward manifests) -------------
+    t2 = cat.create_table(
+        "db.cust_native_avro",
+        schema,
+        properties={"write.metadata.format": "avro"},
+    )
+    t2.append(df)
+    t2.delete("c_acctbal < 0")  # CoW rewrite + carried-forward manifests
+    t2.append(df.limit(50).withColumn("c_custkey", df.c_custkey + 10_000_000))
+    want_native = df.where("c_acctbal >= 0").count() + 50
+    assert t2.scan().to_df().count() == want_native  # our own read agrees
+    assert t2.current_snapshot().manifest_list.endswith(".avro")
+    rt2 = RefStaticTable.from_metadata(t2.metadata_location)
+    arrow2 = rt2.scan().to_arrow()
+    assert arrow2.num_rows == want_native, (arrow2.num_rows, want_native)
+    flt2 = rt2.scan(row_filter=GreaterThan("c_acctbal", 1000.0)).to_arrow()
+    want2 = t2.scan(row_filter="c_acctbal > 1000").to_df().count()
+    assert flt2.num_rows == want2, (flt2.num_rows, want2)
+    print(f"NATIVE-AVRO-INTEROP-OK rows={arrow2.num_rows} filtered={flt2.num_rows}")
+
     # ---- reverse direction: the REFERENCE writes a table (its own
     # pyarrow write path, Avro manifests, metadata JSON) and OUR engine
     # opens and reads it ---------------------------------------------------
