@@ -681,9 +681,10 @@ def load_catalog(name: Optional[str] = None, spark: Optional[SparkSession] = Non
     catalog/__init__.py load_catalog / infer_catalog_type): ``sql`` /
     ``sqlite`` (default), ``duckdb``, ``in-memory``, ``rest`` (needs
     ``uri``), ``glue``, ``dynamodb`` (boto3; honor ``glue.*`` /
-    ``dynamodb.*`` client properties incl. ``endpoint``). ``warehouse``
-    names the data/metadata root. Hive / BigQuery types raise — their
-    SDKs are not available in this environment.
+    ``dynamodb.*`` client properties incl. ``endpoint``), ``hive``
+    (thrift metastore, needs ``uri``). ``warehouse`` names the
+    data/metadata root. BigQuery raises — its SDK is not available in
+    this environment.
 
     Config-file parity (reference utils/config.py): with no explicit
     kwargs a catalog can be fully described by ``.pyiceberg.yaml``
@@ -731,10 +732,14 @@ def load_catalog(name: Optional[str] = None, spark: Optional[SparkSession] = Non
         from .catalog_aws import DynamoDbCatalog
 
         return DynamoDbCatalog(name, warehouse, spark, **aws_props)
-    if ctype in ("hive", "bigquery"):
+    if ctype == "hive":
+        from .catalog_hive import HiveCatalog
+
+        return HiveCatalog(name, warehouse, spark, properties=properties)
+    if ctype == "bigquery":
         raise NotImplementedError(
-            f"catalog type {ctype!r} needs an SDK not available here (thrift / "
-            "google-cloud); use 'sql', 'duckdb', 'in-memory', 'rest', 'glue', or 'dynamodb'"
+            "catalog type 'bigquery' needs the google-cloud SDK, not available here; "
+            "use 'sql', 'duckdb', 'in-memory', 'rest', 'hive', 'glue', or 'dynamodb'"
         )
     raise ValueError(f"unknown catalog type {ctype!r}")
 
