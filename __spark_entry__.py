@@ -1409,6 +1409,24 @@ def _q_text_pii_redact(spark, env):
     return pii_redact(seeded, "text", "doc_id")
 
 
+def _q_text_lm_ppl(spark, env):
+    """Corpus-trained bigram-LM perplexity (CCNet-style quality signal).
+    Fully deterministic — counts are exact, and the per-doc cross-entropy
+    is floor-rounded at 1e-6 so the oracle's independently-ordered float
+    sums hash-match."""
+    from iceberg_python_spark.operators.text import ngram_lm_perplexity
+
+    r = ngram_lm_perplexity(
+        env["documents"].scan(selected_fields=("doc_id", "text")).to_df(), "text", "doc_id"
+    )
+    return r.select(
+        "doc_id",
+        "n_bigrams",
+        (F.floor(F.col("cross_entropy_bits") * 1000000) / 1000000).alias("cross_entropy_bits"),
+        (F.floor(F.col("ppl") * 1000000) / 1000000).alias("ppl"),
+    )
+
+
 def _q_text_repetition(spark, env):
     from iceberg_python_spark.operators.text import repetition_stats
 
@@ -1682,7 +1700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_simhash_invariants": _q_dedup_simhash_invariants,
             "dedup_jaccard_invariants": _q_dedup_jaccard_invariants,
             "orc_write_scan": _q_orc_write_scan,
-            # --- TPC-H refresh (slots 7-28) ---
+            "text_lm_perplexity": _q_text_lm_ppl,
+            # --- TPC-H refresh (slots 8-29) ---
             "tpch_q1_pricing_summary": _q_q1,
             "tpch_q2_min_cost_supplier": _q_q2_min_cost_supplier,
             "tpch_q3_shipping_priority": _q_q3,
@@ -2266,6 +2285,23 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_extract_all(text, '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b')) AS n_phone, "
             "len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ipv4 "
             "FROM seeded"
+        ),
+        "text_lm_perplexity": (
+            "WITH raw AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), "
+            "'[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS toks FROM documents), "
+            "ex AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1), i -> {'pos': i, 'tok': toks[i]})) AS e FROM raw), "
+            "tok AS (SELECT doc_id, e.pos AS pos, e.tok AS tok FROM ex WHERE e.tok <> ''), "
+            "big AS (SELECT doc_id, tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tok), "
+            "bg AS (SELECT * FROM big WHERE w2 IS NOT NULL), "
+            "c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2), "
+            "c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY 1), "
+            "v AS (SELECT count(DISTINCT tok) AS vs FROM tok), "
+            "lp AS (SELECT c2.w1, c2.w2, ln((n2 + 0.5) / (n1 + 0.5 * vs)) AS lpv "
+            "FROM c2 JOIN c1 ON c2.w1 = c1.w1 CROSS JOIN v) "
+            "SELECT bg.doc_id, count(*) AS n_bigrams, "
+            "floor((-avg(lpv) / ln(2)) * 1000000) / 1000000 AS cross_entropy_bits, "
+            "floor(pow(2.0, -avg(lpv) / ln(2)) * 1000000) / 1000000 AS ppl "
+            "FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2 GROUP BY 1"
         ),
         "text_repetition": (
             "WITH base AS (SELECT doc_id, "

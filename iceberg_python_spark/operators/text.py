@@ -353,3 +353,63 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ),
         )
     )
+
+
+def ngram_lm_perplexity(df: DataFrame, text_col: str, id_col: str, add_k: float = 0.5) -> DataFrame:
+    """Bigram language-model perplexity as a quality signal (the
+    CCNet/KenLM idea: score each document under an n-gram LM; documents
+    far from the corpus distribution — gibberish, boilerplate, wrong
+    language — score high). The LM here is trained on the corpus itself
+    in the same job: add-k-smoothed bigram MLE,
+    ``P(w2|w1) = (c(w1,w2)+k) / (c(w1)+k·V)``.
+
+    Spark shape (two aggregations + ONE scoring join):
+    - tokenize + posexplode once; the bigram stream (w1, w2) comes from
+      a per-doc ``lead()`` window, and is persisted — it feeds both the
+      count table and the scoring pass.
+    - the bigram count table carries its own context totals via a
+      ``sum() over (partition by w1)`` window on the *aggregated* table
+      (vocab-sized, not corpus-sized), so scoring needs a single shuffle
+      join on (w1, w2) instead of two.
+    - V (distinct tokens) is a 1-row aggregate, broadcast.
+
+    At scale the count table is O(distinct bigrams) — far smaller than
+    the corpus — and every shuffle is keyed on bigram text, which is
+    near-uniform; no skew guard needed. Documents with <2 tokens carry
+    no bigram and are excluded (same as the oracle).
+
+    Returns (id, n_bigrams, cross_entropy_bits, ppl)."""
+    from pyspark.sql import Window
+
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")), r"\s+"
+    )
+    t = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok")).where(F.col("tok") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bigrams = (
+        t.select(F.col(id_col), F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2"))
+        .where(F.col("w2").isNotNull())
+        .persist()
+    )
+    vocab = t.agg(F.countDistinct("tok").alias("v"))
+    counts = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n2"))
+        .withColumn("n1", F.sum("n2").over(Window.partitionBy("w1")))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.log((F.col("n2") + F.lit(add_k)) / (F.col("n1") + F.lit(add_k) * F.col("v"))).alias("_lp"),
+        )
+    )
+    ln2 = 0.6931471805599453
+    return (
+        bigrams.join(counts, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (-F.avg("_lp") / F.lit(ln2)).alias("cross_entropy_bits"),
+        )
+        .withColumn("ppl", F.pow(F.lit(2.0), F.col("cross_entropy_bits")))
+    )

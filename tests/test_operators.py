@@ -610,3 +610,31 @@ def test_mixture_sample_epochs(spark):
     assert set(s1.epoch) == {0}
     base = mixture_sample(docs, "source", "doc_id", "text", {"s1": 100}).toPandas()
     assert set(s1.doc_id) == set(base.doc_id)
+
+
+def test_ngram_lm_perplexity(spark):
+    """Hand-checkable corpus: 'a b' dominates, so docs made of 'a b'
+    bigrams score low perplexity; a doc with a one-off bigram scores
+    higher. Values verified against the closed-form add-k formula."""
+    from iceberg_python_spark.operators.text import ngram_lm_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b"), (3, "z q"), (4, "solo"), (5, "")],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r for r in ngram_lm_perplexity(df, "text", "doc_id").collect()}
+    # <2 tokens -> no bigram -> excluded
+    assert 4 not in out and 5 not in out
+    # corpus bigrams: (a,b)x4, (b,a)x2, (z,q)x1 ; vocab {a,b,z,q,solo} V=5
+    # contexts: c1(a)=4, c1(b)=2, c1(z)=1 ; k=0.5
+    p_b_a = (4 + 0.5) / (4 + 0.5 * 5)
+    p_a_b = (2 + 0.5) / (2 + 0.5 * 5)
+    p_q_z = (1 + 0.5) / (1 + 0.5 * 5)
+    h1 = -(3 * math.log(p_b_a) + 2 * math.log(p_a_b)) / 5 / math.log(2)
+    assert out[1].n_bigrams == 5
+    assert abs(out[1].cross_entropy_bits - h1) < 1e-9
+    assert abs(out[1].ppl - 2**h1) < 1e-6
+    h3 = -math.log(p_q_z) / math.log(2)
+    assert abs(out[3].cross_entropy_bits - h3) < 1e-9
+    # the common-bigram doc is more predictable than the rare-bigram doc
+    assert out[2].cross_entropy_bits < out[3].cross_entropy_bits
