@@ -413,3 +413,87 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def dedup_stream_exact(
+    stream_df: DataFrame,
+    key_cols: Optional[Sequence[str]] = None,
+    text_col: Optional[str] = None,
+    watermark_col: Optional[str] = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exact streaming deduplication — the ingestion-side twin of
+    ``operators.dedup.exact_dedup``: each arriving row is kept only the
+    first time its key (or content digest) is seen.
+
+    Spark-first: this is exactly what the built-in streaming
+    deduplication state store is for, so we compose rather than build:
+
+    - ``text_col`` given → dedup on a sha2-256 digest of the content
+      (same digest as the batch dedup family, so batch and stream agree
+      on identity);
+    - ``watermark_col`` given → ``dropDuplicatesWithinWatermark``:
+      state for a key is dropped once the watermark passes it, which is
+      the ONLY way streaming dedup state stays bounded on an unbounded
+      feed. 100 TB guidance: always pass one for continuous pipelines;
+      unbounded ``dropDuplicates`` state is a slow OOM.
+    - neither → plain ``dropDuplicates`` (exact global dedup; fine for
+      Trigger.AvailableNow backfills where the stream is finite).
+    """
+    df = stream_df
+    keys = list(key_cols or [])
+    if text_col is not None:
+        df = df.withColumn("_digest", F.sha2(F.col(text_col), 256))
+        keys.append("_digest")
+    if not keys:
+        raise ValueError("dedup_stream_exact needs key_cols and/or text_col")
+    if watermark_col is not None:
+        return df.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def append_stream_dedup(
+    stream_df: DataFrame,
+    table: Table,
+    checkpoint_dir: str,
+    key_cols: Sequence[str],
+    trigger_seconds: Optional[int] = None,
+):
+    """Idempotent dedup ingestion: append each micro-batch MINUS the
+    keys the table already holds — so replays, overlapping sources, and
+    in-feed duplicates all land exactly one row per key.
+
+    Per batch: (1) in-batch dropDuplicates on the keys, (2) left-anti
+    join against the target projected to the key columns (column-pruned
+    scan — at 100 TB the right side is the key column only, shuffled on
+    the same key as the join; no wide row ever moves), (3) append with
+    the (query-key, batch-id) exactly-once marker of
+    :func:`append_stream`, so a replayed batch is skipped wholesale
+    without re-scanning the target."""
+    qk = _query_key(checkpoint_dir)
+    cursor = {"last": None, "primed": False}
+    keys = list(key_cols)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = table.refresh()
+        if not cursor["primed"]:
+            cursor["last"] = _last_committed_batch_id(fresh, qk)
+            cursor["primed"] = True
+        if cursor["last"] is not None and batch_id <= cursor["last"]:
+            return  # replayed batch — already committed
+        batch = batch_df.dropDuplicates(keys)
+        if fresh.current_snapshot() is not None:
+            existing = fresh.scan(selected_fields=tuple(keys)).to_df()
+            batch = batch.join(existing, keys, "left_anti")
+        fresh.append(
+            batch,
+            snapshot_properties={"streaming-query": qk, "streaming-batch-id": str(batch_id)},
+        )
+        cursor["last"] = batch_id
+
+    writer = stream_df.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

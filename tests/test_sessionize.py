@@ -315,3 +315,71 @@ def test_incremental_source_bounded_polling(spark, tmp_path):
     ch, ccur = changelog_source(t, cursor=start, max_snapshots=2)
     assert ch.count() == 20
     assert ccur != t.current_snapshot().snapshot_id
+
+
+def test_dedup_stream_exact_matches_batch(spark, tmp_path):
+    """Content-digest streaming dedup across two micro-batches keeps
+    exactly the batch-dedup survivor set (first occurrence per digest)."""
+    from iceberg_python_spark.streaming import dedup_stream_exact
+
+    schema = "doc_id: long, text: string"
+    src = str(tmp_path / "dd_src")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], schema  # in-batch dup
+    ).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(spark.createDataFrame([], schema).schema).parquet(src)
+    out = dedup_stream_exact(stream, key_cols=None, text_col="text")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dd_out")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.sql("SELECT count(*) c FROM dd_out").first().c < 2:
+            time.sleep(0.5)
+        # batch 2: one cross-batch dup ("beta") + one new doc
+        spark.createDataFrame([(4, "beta"), (5, "gamma")], schema).write.mode("append").parquet(src)
+        while time.time() < deadline and spark.sql("SELECT count(*) c FROM dd_out").first().c < 3:
+            time.sleep(0.5)
+        rows = spark.sql("SELECT doc_id, text FROM dd_out").collect()
+    finally:
+        q.stop()
+    assert sorted((r.doc_id, r.text) for r in rows) == [(1, "alpha"), (2, "beta"), (5, "gamma")]
+
+
+def test_append_stream_dedup_idempotent_ingestion(spark, tmp_path):
+    """Dedup sink: in-batch dups collapse, keys already in the table are
+    skipped, fresh keys land — one row per key after both batches."""
+    import iceberg_python_spark as ips
+    from iceberg_python_spark.schema import schema_from_spark
+    from iceberg_python_spark.streaming import append_stream_dedup
+
+    schema = "id: long, v: string"
+    base = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    cat = ips.SqliteCatalog("ddsink", str(tmp_path / "wh"), spark)
+    t = cat.create_table("db.dd_target", schema_from_spark(base.schema))
+    t.append(base)
+
+    src = str(tmp_path / "sink_src")
+    # in-batch dup (3), table dup (2), fresh (3, 4)
+    spark.createDataFrame([(2, "b_again"), (3, "c"), (3, "c_dup"), (4, "d")], schema).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    q = append_stream_dedup(stream, t, str(tmp_path / "sink_ckpt"), key_cols=["id"])
+    q.awaitTermination(60)
+
+    got = sorted(r.id for r in t.refresh().scan().to_df().collect())
+    assert got == [1, 2, 3, 4]
+    # value for key 2 is the ORIGINAL row (dedup skips, not overwrites)
+    vals = {r.id: r.v for r in t.scan().to_df().collect()}
+    assert vals[2] == "b"
+
+    # replay-equivalent second run over the same source: no new rows
+    q2 = append_stream_dedup(stream, t, str(tmp_path / "sink_ckpt2"), key_cols=["id"])
+    q2.awaitTermination(60)
+    assert t.refresh().scan().to_df().count() == 4
