@@ -1565,6 +1565,24 @@ def _q_ann_ivf_recall(spark, env):
     return _recall_invariant(exact, approx, 0.5)
 
 
+def _q_ann_pq_recall(spark, env):
+    """PQ+ADC top-k recall vs the exact top-k — >= 50% with m=8 4-bit
+    codebooks and 8x rerank (deterministic: seeded sample + k-means;
+    measured 0.88 at sf0.01 / 0.62 at sf0.1 on the near-uniform
+    synthetic embeddings). Full rerank reproduces the exact result
+    (unit-tested), so the knob trades recall for bytes read, not
+    correctness."""
+    from iceberg_python_spark.operators.similarity import brute_force_cosine_topk, pq_ann_topk
+
+    emb = env["embeddings"].scan().to_df()
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_cosine_topk(emb, q, "vec_id", "embedding", k=10).select("query_id", "vec_id")
+    approx = pq_ann_topk(emb, q, "vec_id", "embedding", k=10, rerank_factor=8).select(
+        "query_id", "vec_id"
+    )
+    return _recall_invariant(exact, approx, 0.5)
+
+
 def _q_multimodal(spark, env):
     from iceberg_python_spark.operators.multimodal import extract_image_features
 
@@ -1701,7 +1719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_jaccard_invariants": _q_dedup_jaccard_invariants,
             "orc_write_scan": _q_orc_write_scan,
             "text_lm_perplexity": _q_text_lm_ppl,
-            # --- TPC-H refresh (slots 8-29) ---
+            "ann_pq_recall": _q_ann_pq_recall,
+            # --- TPC-H refresh (slots 9-30) ---
             "tpch_q1_pricing_summary": _q_q1,
             "tpch_q2_min_cost_supplier": _q_q2_min_cost_supplier,
             "tpch_q3_shipping_priority": _q_q3,
@@ -2359,6 +2378,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(50 AS BIGINT) AS n_exact, TRUE AS recall_ok"
         ),
         "ann_ivf_recall": (
+            "SELECT CAST(50 AS BIGINT) AS n_exact, TRUE AS recall_ok"
+        ),
+        "ann_pq_recall": (
             "SELECT CAST(50 AS BIGINT) AS n_exact, TRUE AS recall_ok"
         ),
         "multimodal_features": (

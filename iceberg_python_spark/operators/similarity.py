@@ -219,3 +219,152 @@ def ivf_ann_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    nbits: int = 4,
+    sample_size: int = 20000,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Product-quantization codebooks: split the (L2-normalized) vector
+    into ``m`` contiguous subvectors and k-means each subspace to
+    ``2**nbits`` codewords on a deterministic driver-side sample — PQ
+    training is sample-based by construction, like IVF. Returns an
+    (m, 2**nbits, dim/m) float64 array."""
+    n = corpus.count()
+    frac = min(1.0, (sample_size * 1.2) / max(n, 1))
+    sample = corpus.select(vec_col).sample(False, frac, seed).limit(sample_size).collect()
+    X = np.asarray([r[0] for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    ksub = min(2**nbits, len(X))
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[rng.choice(len(S), size=ksub, replace=False)]
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def with_pq_code(df: DataFrame, vec_col: str, codebooks: np.ndarray, out: str = "code") -> DataFrame:
+    """Attach the PQ code (array<int>, length m) in one vectorized Arrow
+    pass: per subspace, a (rows, ksub) distance matrix against the
+    codebook — no per-row Python. At 100 TB this is THE compression step:
+    a d-float embedding (d·4 bytes) becomes m small ints; candidate
+    generation then reads codes only, never raw vectors."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    B = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = B.shape
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(vs: pd.Series) -> pd.Series:
+        M = np.asarray(vs.tolist(), dtype=np.float64)
+        if M.size == 0:
+            return pd.Series([], dtype=object)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((M.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            S = M[:, j * dsub : (j + 1) * dsub]
+            # ||s-c||^2 = ||s||^2 - 2 s·c + ||c||^2 ; argmin over c
+            d2 = -2.0 * (S @ B[j].T) + (B[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return df.withColumn(out, encode(F.col(vec_col)))
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str = "query_id",
+    k: int = 10,
+    m: int = 8,
+    nbits: int = 4,
+    rerank_factor: int = 4,
+    sample_size: int = 20000,
+    seed: int = 7,
+    codebooks: Optional[np.ndarray] = None,
+) -> DataFrame:
+    """Product-quantization approximate top-k (FAISS PQ + ADC shape,
+    Spark-native):
+
+    1. train per-subspace codebooks on a sample (or reuse an index),
+    2. encode the corpus to m-byte codes (narrow Arrow pass),
+    3. ADC: each query precomputes an (m, ksub) lookup table of
+       subvector dot products; a corpus row's approximate cosine is the
+       sum of m table lookups on its code — computed for ALL queries in
+       one vectorized pass over the codes, raw vectors never touched,
+    4. keep the top k·rerank_factor per query by approximate score,
+       re-rank exactly (same rounding + tiebreak as
+       brute_force_cosine_topk), emit top-k.
+
+    Returns (query_id, id, cos, rank). The LUT batch is tiny
+    (n_queries · m · 2^nbits doubles, broadcast into the UDF closure);
+    the candidate explode is bounded by n_queries like the brute-force
+    baseline, but reads 16-64× fewer bytes per corpus row."""
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, vec_col, m=m, nbits=nbits, sample_size=sample_size, seed=seed
+        )
+    B = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m_, ksub, dsub = B.shape
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = [r[0] for r in qrows]
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # LUT[qi, j, c] = q_sub(j) · codeword(j, c); approx cos = sum_j LUT[qi, j, code_j]
+    lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m_, dsub), B)
+
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def adc_scores(codes: pd.Series) -> pd.Series:
+        Mc = np.asarray(codes.tolist(), dtype=np.int64)
+        if Mc.size == 0:
+            return pd.Series([], dtype=object)
+        cols = np.arange(m_)[None, :]
+        out = np.empty((Mc.shape[0], lut.shape[0]))
+        for qi in range(lut.shape[0]):
+            out[:, qi] = lut[qi][cols, Mc].sum(axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    coded = with_pq_code(corpus.select(F.col(id_col), F.col(vec_col).alias("_cv")), "_cv", B)
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    approx = (
+        coded.withColumn("_scores", adc_scores(F.col("code")))
+        .select(F.col(id_col), "_cv", F.posexplode("_scores").alias("_qi", "_approx"))
+        .withColumn(query_id_col, F.element_at(qid_arr, F.col("_qi") + 1))
+    )
+    wa = Window.partitionBy(query_id_col).orderBy(F.col("_approx").desc(), F.col(id_col).asc())
+    cand = approx.withColumn("_arank", F.row_number().over(wa)).where(
+        F.col("_arank") <= k * rerank_factor
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"), _norm(vec_col).alias("_qn"))
+    scored = cand.join(F.broadcast(q), query_id_col).withColumn(
+        "cos", F.round(_dot("_qv", "_cv") / (F.col("_qn") * _norm("_cv")), 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.select(query_id_col, F.col(id_col), "cos")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

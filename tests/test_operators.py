@@ -638,3 +638,49 @@ def test_ngram_lm_perplexity(spark):
     assert abs(out[3].cross_entropy_bits - h3) < 1e-9
     # the common-bigram doc is more predictable than the rare-bigram doc
     assert out[2].cross_entropy_bits < out[3].cross_entropy_bits
+
+
+def test_pq_ann_full_rerank_exact_and_recall(spark):
+    """A rerank window covering the whole corpus makes PQ a pure
+    candidate-reorder -> must reproduce brute force exactly (same
+    rounding + tiebreak). At the production rerank factor the recall
+    stays above the driver row's bound and every query finds itself
+    (a vector's own code maximizes its ADC score up to quantization)."""
+    from iceberg_python_spark.operators.similarity import (
+        brute_force_cosine_topk,
+        pq_ann_topk,
+        train_pq_codebooks,
+        with_pq_code,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    q = emb.where("vec_id < 3").select(F.col("vec_id").alias("query_id"), "embedding")
+    books = train_pq_codebooks(emb, "embedding", m=8, nbits=4, sample_size=500, seed=7)
+    assert books.shape == (8, 16, 8)
+
+    # codes are m ints in [0, 2^nbits)
+    codes = with_pq_code(emb.select("vec_id", "embedding"), "embedding", books).select("code").head(5)
+    for r in codes:
+        assert len(r.code) == 8 and all(0 <= c < 16 for c in r.code)
+
+    exact = brute_force_cosine_topk(emb, q, "vec_id", "embedding", k=5).collect()
+    full = pq_ann_topk(
+        emb, q, "vec_id", "embedding", k=5, rerank_factor=(n // 5) + 1, codebooks=books
+    ).collect()
+    assert sorted((r.query_id, r.rank, r.vec_id, r.cos) for r in exact) == sorted(
+        (r.query_id, r.rank, r.vec_id, r.cos) for r in full
+    )
+
+    approx = pq_ann_topk(emb, q, "vec_id", "embedding", k=5, rerank_factor=8, codebooks=books).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = total = 0
+    for qid, s in exact_sets.items():
+        assert qid in approx_sets[qid]
+        hits += len(s & approx_sets[qid])
+        total += len(s)
+    assert hits / total >= 0.5
