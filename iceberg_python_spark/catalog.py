@@ -682,9 +682,9 @@ def load_catalog(name: Optional[str] = None, spark: Optional[SparkSession] = Non
     ``sqlite`` (default), ``duckdb``, ``in-memory``, ``rest`` (needs
     ``uri``), ``glue``, ``dynamodb`` (boto3; honor ``glue.*`` /
     ``dynamodb.*`` client properties incl. ``endpoint``), ``hive``
-    (thrift metastore, needs ``uri``). ``warehouse`` names the
-    data/metadata root. BigQuery raises — its SDK is not available in
-    this environment.
+    (thrift metastore, needs ``uri``), ``bigquery`` (REST API v2, needs
+    ``gcp.project-id``; ``gcp.bigquery.endpoint`` points at emulators).
+    ``warehouse`` names the data/metadata root.
 
     Config-file parity (reference utils/config.py): with no explicit
     kwargs a catalog can be fully described by ``.pyiceberg.yaml``
@@ -736,11 +736,10 @@ def load_catalog(name: Optional[str] = None, spark: Optional[SparkSession] = Non
         from .catalog_hive import HiveCatalog
 
         return HiveCatalog(name, warehouse, spark, properties=properties)
-    if ctype == "bigquery":
-        raise NotImplementedError(
-            "catalog type 'bigquery' needs the google-cloud SDK, not available here; "
-            "use 'sql', 'duckdb', 'in-memory', 'rest', 'hive', 'glue', or 'dynamodb'"
-        )
+    if ctype in ("bigquery", "bigquery_metastore"):
+        from .catalog_bq import BigQueryMetastoreCatalog
+
+        return BigQueryMetastoreCatalog(name, warehouse, spark, properties=properties)
     raise ValueError(f"unknown catalog type {ctype!r}")
 
 

@@ -136,3 +136,71 @@ def metrics_spark_predicate(bound: BooleanExpression, stats_col: str = "stats_js
         return F.lit(True)
 
     return walk(bound) & (F.col("record_count") > 0)
+
+
+def avro_manifest_entries_df(spark, manifests, schema, spec):
+    """Decode spec Avro manifests into the parquet-manifest row layout
+    ON EXECUTORS (one task per manifest, ``mapInPandas``), so tables with
+    ``write.metadata.format=avro`` — and spec-native tables written by
+    other engines — plan distributed exactly like parquet-metadata
+    tables instead of falling back to a driver-side Python loop. At
+    100 TB a heavily-committed Avro table can carry thousands of
+    manifests; this keeps plan time O(manifests / executors).
+
+    Sequence-number / snapshot-id inheritance rides along as a JSON
+    descriptor column (reference manifest.py:869-905 semantics applied
+    by read_avro_manifest). The Schema/PartitionSpec are pickled into
+    the closure like every other executor job in the engine."""
+    import json as _json
+
+    import pandas as pd
+
+    rows = [
+        (
+            m["manifest_path"],
+            _json.dumps(
+                {
+                    "sequence_number": m.get("sequence_number", 0),
+                    "added_snapshot_id": m.get("added_snapshot_id"),
+                }
+            ),
+        )
+        for m in manifests
+    ]
+    out_ddl = (
+        "status int, snapshot_id long, sequence_number long, content int, "
+        "file_path string, file_format string, spec_id int, schema_id int, "
+        "partition_json string, record_count long, file_size_in_bytes long, "
+        "stats_json string"
+    )
+
+    def decode(batches):
+        from .table.manifests import CONTENT_DATA, _partition_to_json, _stats_to_json, read_manifest
+
+        cols = [
+            "status", "snapshot_id", "sequence_number", "content", "file_path",
+            "file_format", "spec_id", "schema_id", "partition_json",
+            "record_count", "file_size_in_bytes", "stats_json",
+        ]
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for path, desc in zip(pdf["manifest_path"], pdf["descriptor"]):
+                manifest = _json.loads(desc)
+                for e in read_manifest(path, schema, spec, manifest=manifest):
+                    d = e["data_file"]
+                    out["status"].append(e["status"])
+                    out["snapshot_id"].append(e["snapshot_id"])
+                    out["sequence_number"].append(e["sequence_number"])
+                    out["content"].append(d.get("content", CONTENT_DATA))
+                    out["file_path"].append(d["file_path"])
+                    out["file_format"].append(d.get("file_format", "PARQUET"))
+                    out["spec_id"].append(d.get("spec_id", spec.spec_id))
+                    out["schema_id"].append(d.get("schema_id", schema.schema_id))
+                    out["partition_json"].append(_partition_to_json(d.get("partition", {}), spec, schema))
+                    out["record_count"].append(d.get("record_count", 0))
+                    out["file_size_in_bytes"].append(d.get("file_size_in_bytes", 0))
+                    out["stats_json"].append(_stats_to_json(d, schema))
+            yield pd.DataFrame(out)
+
+    src = spark.createDataFrame(rows, "manifest_path: string, descriptor: string")
+    return src.repartition(min(len(rows), 64)).mapInPandas(decode, out_ddl)

@@ -2467,12 +2467,7 @@ class DataScan:
             for m in manifest_files
             if m.get("content", CONTENT_DATA) == CONTENT_DATA
         )
-        # avro manifests (interop tables / write.metadata.format=avro)
-        # always plan driver-side: the distributed planner reads
-        # manifests as Spark parquet DataFrames
-        if est_entries > threshold and not any(
-            m["manifest_path"].endswith(".avro") for m in manifest_files
-        ):
+        if est_entries > threshold:
             return self._plan_files_distributed(metadata, schema, bound, manifest_files, part_filter, metrics_eval)
 
         # delete-file index: (sequence_number, path) of live position
@@ -2585,15 +2580,30 @@ class DataScan:
                 continue
             spec = metadata.spec_by_id(spec_id)
             # manifest-level pruning by partition summaries first (driver, cheap)
-            paths = []
+            survivors = []
             for m in group:
                 if not isinstance(pf, AlwaysTrue) and m.get("partition_summaries"):
                     if not manifest_evaluator(m["partition_summaries"])(pf):
                         continue
-                paths.append(m["manifest_path"])
-            if not paths:
+                survivors.append(m)
+            if not survivors:
                 continue
-            df = spark.read.parquet(*paths).where(
+            # parquet manifests read natively; spec Avro manifests
+            # (write.metadata.format=avro / other-engine tables) decode
+            # on executors into the same row layout
+            pq_paths = [m["manifest_path"] for m in survivors if not m["manifest_path"].endswith(".avro")]
+            avro_manifests = [m for m in survivors if m["manifest_path"].endswith(".avro")]
+            parts = []
+            if pq_paths:
+                parts.append(spark.read.parquet(*pq_paths))
+            if avro_manifests:
+                from ..manifests_distributed import avro_manifest_entries_df
+
+                parts.append(avro_manifest_entries_df(spark, avro_manifests, schema, spec))
+            df = parts[0]
+            for extra in parts[1:]:
+                df = df.unionByName(extra)
+            df = df.where(
                 (F.col("status") != STATUS_DELETED) & (F.col("content") == CONTENT_DATA)
             )
             if not isinstance(pf, AlwaysTrue):

@@ -408,3 +408,45 @@ def test_rewrite_zorder_multi_column_pruning(catalog, spark):
         assert matched <= after_files // 2, (flt, matched, after_files)
     # row-level results still exact
     assert t.scan(row_filter=flt_x).to_df().count() == df.where("x >= 100 and x < 200").count()
+
+
+def test_distributed_planning_avro_metadata(catalog, spark, lineitem_df):
+    """An avro-metadata twin of the distributed-planning test: spec Avro
+    manifests decode ON EXECUTORS into the same row layout, and the
+    distributed planner prunes identically to the driver-side path."""
+    schema = schema_from_spark(lineitem_df.schema)
+    spec = spec_from_names(schema, ("l_shipdate", "month"))
+    t = catalog.create_table(
+        "db.li_dist_avro", schema, partition_spec=spec,
+        properties={
+            "read.plan.distributed-threshold": "1000000",
+            "write.metadata.format": "avro",
+        },
+    )
+    t.append(lineitem_df)
+    assert t.current_snapshot().manifest_list.endswith(".avro")
+    flt = "l_shipdate >= '1996-01-01' and l_shipdate < '1997-01-01' and l_quantity > 30"
+    driver_tasks = {x.file_path for x in t.scan(row_filter=flt).plan_files()}
+    all_files = {x.file_path for x in t.scan().plan_files()}
+    t.metadata.properties["read.plan.distributed-threshold"] = "0"
+    dist_tasks = {x.file_path for x in t.scan(row_filter=flt).plan_files()}
+    assert driver_tasks <= dist_tasks
+    assert len(dist_tasks) < len(all_files), "distributed planner pruned nothing"
+    assert t.scan(row_filter=flt).to_df().count() == lineitem_df.where(
+        "l_shipdate >= timestamp'1996-01-01' and l_shipdate < timestamp'1997-01-01' and l_quantity > 30"
+    ).count()
+    # bounds-pruning parity driver vs distributed on avro metadata
+    for f in ["l_orderkey < 0", "l_orderkey >= 1", "l_quantity > 49.5"]:
+        t.metadata.properties["read.plan.distributed-threshold"] = "1000000"
+        drv = {x.file_path for x in t.scan(row_filter=f).plan_files()}
+        t.metadata.properties["read.plan.distributed-threshold"] = "0"
+        dst = {x.file_path for x in t.scan(row_filter=f).plan_files()}
+        assert drv == dst, f
+    # MoR on the distributed avro path: deletes still apply
+    t.metadata.properties["read.plan.distributed-threshold"] = "0"
+    before = t.scan().to_df().count()
+    t.delete("l_quantity > 45", mode="merge-on-read")
+    t.metadata.properties["read.plan.distributed-threshold"] = "0"
+    got = t.scan().to_df().count()
+    want = lineitem_df.where("l_quantity <= 45 or l_quantity is null").count()
+    assert got == want and got < before
