@@ -1427,6 +1427,34 @@ def _q_text_lm_ppl(spark, env):
     )
 
 
+def _q_text_chunking(spark, env):
+    """Overlapping fixed-size chunking (RAG / context-window layout
+    prep): deterministic substring grid, exactly reproducible in SQL."""
+    from iceberg_python_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        env["documents"].scan(selected_fields=("doc_id", "text")).to_df(),
+        "text",
+        "doc_id",
+        max_chars=256,
+        overlap=32,
+    )
+
+
+def _q_quality_deciles(spark, env):
+    """Curriculum binning: decile buckets over the quality score — the
+    sampling-weight input for quality-mixed pretraining batches. NOT a
+    global-window ntile (single-task sort, the SCALE.md scale-killer):
+    one exact-percentile aggregate produces 9 thresholds, broadcast
+    back, bucket = count of thresholds strictly below the score."""
+    from iceberg_python_spark.operators.text import quality_deciles, quality_score
+
+    q = quality_score(
+        env["documents"].scan(selected_fields=("doc_id", "text")).to_df(), "text", "doc_id"
+    )
+    return quality_deciles(q, "quality", "doc_id")
+
+
 def _q_text_repetition(spark, env):
     from iceberg_python_spark.operators.text import repetition_stats
 
@@ -1720,7 +1748,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orc_write_scan": _q_orc_write_scan,
             "text_lm_perplexity": _q_text_lm_ppl,
             "ann_pq_recall": _q_ann_pq_recall,
-            # --- TPC-H refresh (slots 9-30) ---
+            "text_chunking": _q_text_chunking,
+            "quality_deciles": _q_quality_deciles,
+            # --- TPC-H refresh (slots 11-32) ---
             "tpch_q1_pricing_summary": _q_q1,
             "tpch_q2_min_cost_supplier": _q_q2_min_cost_supplier,
             "tpch_q3_shipping_priority": _q_q3,
@@ -2274,6 +2304,27 @@ def oracle_sql() -> dict[str, str]:
             "round(len(list_distinct(toks)) / greatest(len(toks), 1), 4) AS distinct_token_ratio FROM t) "
             "SELECT *, floor(greatest((1.0 - least(punct_ratio * 2, 0.5) - least(upper_ratio, 0.25)) "
             "* (0.5 + distinct_token_ratio / 2), 0.0) * 10000) / 10000 AS quality FROM f"
+        ),
+        "text_chunking": (
+            "WITH nz AS (SELECT doc_id, text FROM documents WHERE length(text) > 0), "
+            "st AS (SELECT doc_id, text, generate_series(0, greatest(length(text) - 1, 0), 224) AS starts FROM nz), "
+            "ex AS (SELECT doc_id, text, len(starts) AS n_chunks, "
+            "unnest(list_transform(range(1, len(starts) + 1), i -> {'cid': i - 1, 'cs': starts[i]})) AS e FROM st) "
+            "SELECT doc_id, e.cid AS chunk_id, e.cs AS chunk_start, "
+            "substring(text, e.cs + 1, 256) AS chunk_text, n_chunks FROM ex"
+        ),
+        "quality_deciles": (
+            "WITH t AS (SELECT doc_id, text, greatest(length(text), 1) AS n, "
+            "regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), "
+            "f AS (SELECT doc_id, "
+            "round(length(regexp_replace(text, '[^.,;:!?''\"()\\[\\]-]', '', 'g')) / n, 4) AS punct_ratio, "
+            "round(length(regexp_replace(text, '[^A-Z]', '', 'g')) / n, 4) AS upper_ratio, "
+            "round(len(list_distinct(toks)) / greatest(len(toks), 1), 4) AS distinct_token_ratio FROM t), "
+            "q AS (SELECT doc_id, floor(greatest((1.0 - least(punct_ratio * 2, 0.5) - least(upper_ratio, 0.25)) "
+            "* (0.5 + distinct_token_ratio / 2), 0.0) * 10000) / 10000 AS quality FROM f), "
+            "th AS (SELECT quantile_cont(quality, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS t FROM q) "
+            "SELECT doc_id, quality, CAST(1 + len(list_filter(th.t, x -> q.quality > x)) AS INTEGER) AS bucket "
+            "FROM q CROSS JOIN th"
         ),
         "text_language_id": (
             "WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), "

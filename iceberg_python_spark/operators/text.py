@@ -413,3 +413,64 @@ def ngram_lm_perplexity(df: DataFrame, text_col: str, id_col: str, add_k: float 
         )
         .withColumn("ppl", F.pow(F.lit(2.0), F.col("cross_entropy_bits")))
     )
+
+
+def chunk_documents(
+    df: DataFrame, text_col: str, id_col: str, max_chars: int = 1000, overlap: int = 100
+) -> DataFrame:
+    """Split documents into overlapping fixed-size chunks — the layout
+    step between a cleaned corpus and a RAG index / context-window
+    bounded consumer. Returns (id, chunk_id, chunk_start, chunk_text,
+    n_chunks); empty documents produce no chunks.
+
+    Pure built-ins, no shuffle: a ``sequence()`` of chunk starts is
+    posexploded and each chunk is a ``substring`` of the ORIGINAL text
+    column — every post-explode expression references only base or
+    Generate-materialized attributes, so CollapseProject inlining
+    re-evaluates nothing per row (the generator-inlining pitfall
+    SCALE.md documents). Chunk count per doc is
+    ceil((len - overlap) / stride), deterministic."""
+    if overlap >= max_chars:
+        raise ValueError(f"overlap {overlap} must be < max_chars {max_chars}")
+    stride = max_chars - overlap
+    starts = F.sequence(F.lit(0), F.greatest(F.length(F.col(text_col)) - 1, F.lit(0)), F.lit(stride))
+    n = F.size(starts)
+    exploded = df.where(F.length(F.col(text_col)) > 0).select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        n.alias("n_chunks"),
+        F.posexplode(starts).alias("chunk_id", "chunk_start"),
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        "chunk_start",
+        F.substring(F.col("_t"), F.col("chunk_start") + 1, max_chars).alias("chunk_text"),
+        "n_chunks",
+    )
+
+
+def quality_deciles(df: DataFrame, score_col: str, id_col: str, n_buckets: int = 10) -> DataFrame:
+    """Quantile-bucket a score column (curriculum / quality-mixture
+    binning) WITHOUT a global sort: the naive ``ntile() over (order by
+    score)`` is one single-task window at any scale. Instead: one exact
+    ``percentile`` aggregate (map-side combinable) produces the
+    n_buckets-1 cut points, broadcast back as a 1-row frame, and the
+    bucket is the count of cut points strictly below the score —
+    deterministic, one narrow pass + one tiny broadcast join.
+
+    Bucket populations are approximately equal (exact ntile guarantees
+    ±1; threshold binning puts boundary ties in the same bucket — the
+    correct behavior for curriculum weights, where equal scores should
+    never land in different bins). Returns (id, score, bucket 1..n)."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    th = df.agg(
+        F.expr(f"percentile({score_col}, array({','.join(str(p) for p in probs)}))").alias("_th")
+    )
+    bucket = F.lit(1)
+    for i in range(len(probs)):
+        bucket = bucket + F.when(F.col(score_col) > F.col("_th")[i], 1).otherwise(0)
+    return (
+        df.crossJoin(F.broadcast(th))
+        .select(F.col(id_col), F.col(score_col), bucket.cast("int").alias("bucket"))
+    )

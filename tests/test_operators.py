@@ -684,3 +684,48 @@ def test_pq_ann_full_rerank_exact_and_recall(spark):
         hits += len(s & approx_sets[qid])
         total += len(s)
     assert hits / total >= 0.5
+
+
+def test_chunk_documents(spark):
+    from iceberg_python_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy"), (3, "")], "doc_id: long, text: string"
+    )
+    out = chunk_documents(df, "text", "doc_id", max_chars=4, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_start, r.chunk_text, r.n_chunks))
+    # stride 2 over 10 chars -> starts 0,2,4,6,8
+    assert by_doc[1] == [
+        (0, 0, "abcd", 5), (1, 2, "cdef", 5), (2, 4, "efgh", 5), (3, 6, "ghij", 5), (4, 8, "ij", 5),
+    ]
+    assert by_doc[2] == [(0, 0, "xy", 1)]
+    assert 3 not in by_doc  # empty doc -> no chunks
+    # overlap property: consecutive chunks share `overlap` chars
+    for (c0, s0, t0, _), (c1, s1, t1, _) in zip(by_doc[1], by_doc[1][1:]):
+        assert t0[-2:] == t1[:2] or len(t1) < 2
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", max_chars=4, overlap=4)
+
+
+def test_quality_deciles(spark):
+    """Threshold binning over a known distribution: buckets are ordered
+    with approximately equal populations and identical scores always
+    share a bucket; the plan carries no global-order window."""
+    from iceberg_python_spark.operators.text import quality_deciles
+
+    df = spark.createDataFrame([(i, float(i % 100)) for i in range(1000)], "id: long, s: double")
+    out = quality_deciles(df, "s", "id", n_buckets=10).collect()
+    by_bucket = {}
+    score_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r.s)
+        assert score_bucket.setdefault(r.s, r.bucket) == r.bucket  # ties share buckets
+    assert set(by_bucket) == set(range(1, 11))
+    for b in range(1, 10):
+        assert max(by_bucket[b]) <= min(by_bucket[b + 1])
+    sizes = sorted(len(v) for v in by_bucket.values())
+    assert sizes[0] >= 50 and sizes[-1] <= 200  # roughly balanced
+    plan = quality_deciles(df, "s", "id")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "decile binning must not use a global-order window"
