@@ -1728,17 +1728,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries. Round-7 rotation: the NEW rows lead (packing/mixture, the
-    # three approximate-dedup invariants, ORC write) so they earn their
-    # first driver evidence, then the TPC-H suite (last driver-greened
-    # r05 — due a refresh) and the agg/window/set-op surfaces, then a
-    # core-engine slice. The LLM text/dedup/ANN/events family greened in
-    # r06 rotates behind the window (rows 1 round old), as do the raw
-    # approximate outputs (pinned by the in-window invariants) and the
-    # rows-only meta_*/scan_limit queries.
+    # three approximate-dedup invariants, ORC write, LM perplexity, PQ
+    # recall, chunking, quality deciles) so they earn their first driver
+    # evidence, then the TPC-H suite (last driver-greened r05 — due a
+    # refresh) and the agg/window/set-op surfaces, then a core-engine
+    # slice up to the window edge. The LLM text/dedup/ANN/events family
+    # greened in r06 rotates behind the window (rows 1 round old), as do
+    # the raw approximate outputs (pinned by the in-window invariants)
+    # and the rows-only meta_*/scan_limit queries.
     return {
         name: wrap(fn)
         for name, fn in {
-            # --- new this round (slots 1-6) ---
+            # --- new this round (slots 1-10) ---
             "pack_sequences": _q_pack_sequences,
             "mixture_sample": _q_mixture_sample,
             "mixture_epochs": _q_mixture_epochs,

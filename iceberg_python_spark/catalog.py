@@ -233,6 +233,33 @@ class MetastoreCatalog:
         except NoSuchTableError:
             return False
 
+    def sql(self, query: str) -> "pyspark.sql.DataFrame":
+        """Run Spark SQL over this catalog's tables: every ``ns.table``
+        token in the query that names a catalog table is registered as a
+        lazy temp view (``ns_table``) and the query rewritten to use it,
+        then handed to ``spark.sql``. The Spark-native counterpart of
+        the reference's to_duckdb + con.execute flow — but scans stay
+        lazy, so SQL filters/projections push down into the parquet
+        read instead of materializing the table first.
+
+        Resolution is textual (dotted identifiers outside of string
+        literals); tables are read at their CURRENT snapshot. For time
+        travel or branch reads, register views explicitly via
+        ``table.scan(...).to_df().createOrReplaceTempView(...)``."""
+        import re as _re
+
+        # strip string literals so dots inside them don't resolve
+        stripped = _re.sub(r"'(?:[^']|'')*'", "''", query)
+        rewritten = query
+        for ns, tbl in dict.fromkeys(_re.findall(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", stripped)):
+            try:
+                t = self.load_table(f"{ns}.{tbl}")
+            except (NoSuchTableError, NoSuchNamespaceError):
+                continue
+            view = t.create_or_replace_temp_view()
+            rewritten = _re.sub(rf"\b{_re.escape(ns)}\.{_re.escape(tbl)}\b", view, rewritten)
+        return self.spark.sql(rewritten)
+
     def drop_table(self, identifier: Union[str, Identifier]) -> None:
         ident = _to_identifier(identifier)
         self._pointer_delete(".".join(ident[:-1]), ident[-1])

@@ -501,6 +501,19 @@ class Table:
         con.register(table_name, arrow_table)
         return con
 
+    def create_or_replace_temp_view(self, name: Optional[str] = None) -> str:
+        """Register the table's current state as a Spark temp view so
+        ``spark.sql`` can query it — the Spark-native analog of the
+        reference's ``scan().to_duckdb(name)`` (table/__init__.py:1695):
+        where PyIceberg materializes Arrow into an embedded engine, we
+        hand Spark SQL the LAZY scan DataFrame, so filters/projections
+        in the SQL still push down into the parquet scan and nothing
+        materializes until the query runs. Default view name:
+        ``ns_table`` (dots are invalid in Spark temp-view names)."""
+        name = name or "_".join(self.identifier)
+        self.scan().to_df().createOrReplaceTempView(name)
+        return name
+
     # -- writes ----------------------------------------------------------------
     def transaction(self, branch: Optional[str] = None) -> "Transaction":
         return Transaction(self, branch or MAIN_BRANCH)

@@ -214,3 +214,38 @@ def test_export_connectors_gated(catalog, spark):
         if not installed:
             with _pytest.raises(NotImplementedError):
                 getattr(t, name)()
+
+
+def test_catalog_sql_surface(spark, tmp_path):
+    """Catalog.sql: ns.table identifiers resolve to lazy temp views;
+    joins across catalog tables work; string literals with dots are
+    untouched; pushdown reaches the scan (PushedFilters non-empty)."""
+    import iceberg_python_spark as ips
+    from pyspark.sql import functions as F
+
+    cat = ips.SqliteCatalog("sqlcat", str(tmp_path / "wh"), spark)
+    orders = spark.range(100).select(
+        F.col("id").alias("o_id"), (F.col("id") % 10).alias("cust"), (F.col("id") * 1.5).alias("amt")
+    )
+    custs = spark.range(10).select(F.col("id").alias("c_id"), F.concat(F.lit("c"), F.col("id")).alias("cname"))
+    cat.create_table("db.orders", orders.schema).append(orders)
+    cat.create_table("db.custs", custs.schema).append(custs)
+
+    out = cat.sql(
+        "SELECT cname, count(*) AS n, sum(amt) AS total "
+        "FROM db.orders JOIN db.custs ON db.orders.cust = db.custs.c_id "
+        "WHERE cname <> 'nobody.here' GROUP BY cname ORDER BY cname"
+    )
+    rows = out.collect()
+    assert len(rows) == 10 and rows[0].n == 10
+    assert abs(rows[0].total - sum(i * 1.5 for i in range(0, 100, 10))) < 1e-9
+
+    # filter pushdown reaches the parquet scan through the view
+    plan = cat.sql("SELECT o_id FROM db.orders WHERE o_id = 7")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_id" in plan.split("PushedFilters")[1][:80]
+
+    # temp view name is returned and usable directly
+    t = cat.load_table("db.orders")
+    v = t.create_or_replace_temp_view()
+    assert v == "db_orders"
+    assert spark.sql("SELECT count(*) c FROM db_orders").first().c == 100
