@@ -423,8 +423,11 @@ def dedup_stream_exact(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Exact streaming deduplication — the ingestion-side twin of
-    ``operators.dedup.exact_dedup``: each arriving row is kept only the
-    first time its key (or content digest) is seen.
+    ``operators.dedup.exact_dedup``: one row survives per key (or
+    content digest). Across micro-batches the FIRST batch's row wins
+    (later arrivals are dropped by the state store); within a single
+    batch Spark keeps an arbitrary representative of the duplicates —
+    standard ``dropDuplicates`` semantics.
 
     Spark-first: this is exactly what the built-in streaming
     deduplication state store is for, so we compose rather than build:

@@ -337,18 +337,41 @@ def test_dedup_stream_exact_matches_batch(spark, tmp_path):
         .trigger(processingTime="1 second")
         .start()
     )
+    def survivors():
+        rows = spark.sql("SELECT doc_id, text FROM dd_out").collect()
+        return sorted((r.doc_id, r.text) for r in rows)
+
+    def ok(rows):
+        # one survivor per content; in-batch duplicate picks an ARBITRARY
+        # representative (dropDuplicates semantics), cross-batch dups must
+        # lose to batch 1's row
+        by_text = {}
+        for d, t in rows:
+            if t in by_text:
+                return False
+            by_text[t] = d
+        return (
+            set(by_text) == {"alpha", "beta", "gamma"}
+            and by_text["alpha"] in (1, 3)  # either in-batch dup may survive
+            and by_text["beta"] == 2        # batch-1 row beats batch-2 dup
+            and by_text["gamma"] == 5
+        )
+
     try:
-        deadline = time.time() + 60
+        deadline = time.time() + 120
         while time.time() < deadline and spark.sql("SELECT count(*) c FROM dd_out").first().c < 2:
             time.sleep(0.5)
         # batch 2: one cross-batch dup ("beta") + one new doc
         spark.createDataFrame([(4, "beta"), (5, "gamma")], schema).write.mode("append").parquet(src)
-        while time.time() < deadline and spark.sql("SELECT count(*) c FROM dd_out").first().c < 3:
+        rows = []
+        while time.time() < deadline:
+            rows = survivors()
+            if ok(rows):
+                break
             time.sleep(0.5)
-        rows = spark.sql("SELECT doc_id, text FROM dd_out").collect()
     finally:
         q.stop()
-    assert sorted((r.doc_id, r.text) for r in rows) == [(1, "alpha"), (2, "beta"), (5, "gamma")]
+    assert ok(rows), rows
 
 
 def test_append_stream_dedup_idempotent_ingestion(spark, tmp_path):

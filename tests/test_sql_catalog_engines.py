@@ -228,8 +228,17 @@ def test_load_catalog_factory_and_ns_properties(spark, tmp_path):
         assert c.load_namespace_properties("db") == {"a": "1", "c": "3"}
         c.create_namespace_if_not_exists("db")
         assert c.load_namespace_properties("db") == {"a": "1", "c": "3"}
-    with pytest.raises(NotImplementedError, match="hive"):
-        load_catalog("h", spark, type="hive")
+    # hive / bigquery resolve to their dedicated backends (round 7);
+    # construction is config-only — no service contact until first call
+    from iceberg_python_spark.catalog_bq import BigQueryMetastoreCatalog
+    from iceberg_python_spark.catalog_hive import HiveCatalog
+
+    h = load_catalog("h", spark, type="hive", uri="thrift://localhost:9083")
+    assert isinstance(h, HiveCatalog)
+    b = load_catalog("b", spark, type="bigquery", **{"gcp.project-id": "p"})
+    assert isinstance(b, BigQueryMetastoreCatalog)
+    with pytest.raises(ValueError, match="unknown catalog type"):
+        load_catalog("x", spark, type="nope")
 
 
 def test_schema_as_arrow_and_name_mapping(spark):
