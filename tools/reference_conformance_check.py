@@ -339,6 +339,98 @@ def main() -> int:
     ours_rt = OurNameMapping.from_json(ref_nm.model_dump_json())
     check("name-mapping roundtrip id", ours_rt.id_for("id"), ours_nm.id_for("id"))
 
+    # -- filter-string parser conformance: both parsers over a corpus of
+    # filter strings, bound to the same schema, evaluated row-by-row
+    # (reference expressions/parser.py:308 parse; visitors.py:453
+    # expression_evaluator) --------------------------------------------------
+    import math
+
+    from pyiceberg.expressions.parser import parse as ref_parse
+    from pyiceberg.expressions.visitors import expression_evaluator as ref_evaluator
+    from pyiceberg.schema import Schema as RefSchema
+    from pyiceberg.typedef import Record as RefRecord
+    from pyiceberg.types import (
+        DoubleType as RDouble,
+        LongType as RLong,
+        NestedField as RField,
+        StringType as RString,
+    )
+
+    from iceberg_python_spark.expressions import bind as our_bind
+    from iceberg_python_spark.expressions.parser import parse as our_parse
+    from iceberg_python_spark.expressions.visitors import expression_evaluator as our_evaluator
+    from iceberg_python_spark.schema import Schema as OurSchema
+    from iceberg_python_spark.types import NestedField as OField, LongType as OLong, DoubleType as ODouble, StringType as OString
+
+    ref_fschema = RefSchema(
+        RField(1, "id", RLong(), required=False),
+        RField(2, "price", RDouble(), required=False),
+        RField(3, "name", RString(), required=False),
+    )
+    our_fschema = OurSchema(
+        OField(1, "id", OLong(), required=False),
+        OField(2, "price", ODouble(), required=False),
+        OField(3, "name", OString(), required=False),
+    )
+    filter_corpus = [
+        "id > 5",
+        "id >= 5 and id < 100",
+        "price <= 3.5 or price > 90.25",
+        "name == 'widget'",
+        "name != 'widget'",
+        "name is null",
+        "name is not null",
+        "price is nan",
+        "price is not nan",
+        "id in (1, 2, 3, 99)",
+        "id not in (4, 5)",
+        "name like 'wi%'",
+        "not (id < 10)",
+        "id == 7 and (price > 1.5 or name == 'x')",
+        "(id < 3 or id > 95) and name is not null",
+    ]
+    rows = [
+        {"id": i, "price": p, "name": n}
+        for i in (0, 3, 5, 7, 50, 99, None)
+        for p in (0.0, 1.5, 3.5, 90.25, 100.0, float("nan"), None)
+        for n in ("widget", "window", "x", "", None)
+    ]
+    # KNOWN, DELIBERATE divergence — negated predicates over NULL values:
+    # the reference's internal row evaluator is two-valued (visitors.py:
+    # 500-535: `value != literal` / `not in` / plain `not` are TRUE when
+    # the value is None), while its DATA plane (io/pyarrow.py:900-922,
+    # `~pc.field(...).isin(...)`, `!=`) follows Arrow/SQL Kleene logic
+    # and DROPS null rows — exactly like our Spark data plane. We keep
+    # our row evaluator consistent with our data plane (SQL semantics),
+    # because pruning decisions must agree with what the scan filter
+    # keeps; user-visible scan results match the reference either way.
+    # The sweep therefore asserts equality EVERYWHERE EXCEPT that exact
+    # pattern, and asserts every observed difference IS that pattern —
+    # any new divergence still fails the sweep.
+    def known_null_negation_divergence(fs: str, row: dict, got_ours: bool, got_ref: bool) -> bool:
+        return got_ref is True and got_ours is False and (row["id"] is None or row["name"] is None or row["price"] is None)
+
+    negated = ("!=", "not in", "not (", "not(")
+    for fs in filter_corpus:
+        try:
+            ref_expr = ref_parse(fs)
+        except Exception as e:  # parser surface difference is itself a finding
+            failures.append(f"reference parse failed for {fs!r}: {e}")
+            continue
+        ref_eval = ref_evaluator(ref_fschema, ref_expr, case_sensitive=True)
+        ours_eval = our_evaluator(our_bind(our_parse(fs), our_fschema))
+        mismatches = 0
+        for row in rows:
+            ref_row = RefRecord(row["id"], row["price"], row["name"])
+            got_ref = bool(ref_eval(ref_row))
+            got_ours = bool(ours_eval(row))
+            if got_ref != got_ours:
+                if any(tok in fs for tok in negated) and known_null_negation_divergence(fs, row, got_ours, got_ref):
+                    continue  # the documented two-valued-vs-SQL difference
+                mismatches += 1
+                if mismatches <= 2:
+                    failures.append(f"filter {fs!r} on {row}: ours={got_ours} reference={got_ref}")
+
     if failures:
         print(f"{len(failures)} CONFORMANCE FAILURES:")
         for f in failures[:25]:
@@ -346,7 +438,7 @@ def main() -> int:
         return 1
     print(
         "CONFORMANCE-OK (bucket/truncate/temporal/human-string/schema-json/"
-        "conversions/v3-metadata/name-mapping vs reference)"
+        "conversions/v3-metadata/name-mapping/filter-parser vs reference)"
     )
     return 0
 
