@@ -78,10 +78,12 @@ def coerce_to_table_schema(df: DataFrame, schema: Schema, keep_extra: Sequence[s
             continue  # v3 unknown: files store no data for the column
         src = by_name.get(field.name.lower())
         if src is None:
-            if field.required:
+            if field.required and field.write_default is None:
                 raise ValueError(f"input is missing required column {field.name!r}")
+            # absent column: the v3 write-default (spec `write-default`,
+            # reference types.py:422) fills in; NULL otherwise
             cols.append(
-                F.lit(None).cast(to_spark_type(field.field_type)).alias(
+                F.lit(field.write_default).cast(to_spark_type(field.field_type)).alias(
                     field.name, metadata={"parquet.field.id": field.field_id}
                 )
             )

@@ -44,6 +44,8 @@ class UpdateSchema:
         self._requirement_updates: Dict[int, bool] = {}
         self._moves: List[Tuple[int, str, Optional[int]]] = []
         self._identifier_names: Optional[List[str]] = None
+        self._doc_updates: Dict[int, str] = {}
+        self._write_default_updates: Dict[int, Any] = {}
 
     def __enter__(self) -> "UpdateSchema":
         return self
@@ -75,6 +77,39 @@ class UpdateSchema:
 
     def make_column_optional(self, name: str) -> "UpdateSchema":
         self._requirement_updates[self._field(name).field_id] = False
+        return self
+
+    def update_column(
+        self,
+        name: str,
+        field_type: Optional[IcebergType] = None,
+        required: Optional[bool] = None,
+        doc: Optional[str] = None,
+    ) -> "UpdateSchema":
+        """Combined column update (reference update/schema.py:439): any
+        of type (promotion rules apply), requiredness (only
+        required->optional — the reverse would invalidate existing
+        rows), and doc string."""
+        f = self._field(name)
+        if field_type is not None and field_type != f.field_type:
+            self.update_column_type(name, field_type)
+        if required is not None and required != f.required:
+            if required:
+                raise ValueError(f"cannot make optional column {name!r} required (existing rows may hold nulls)")
+            self._requirement_updates[f.field_id] = False
+        if doc is not None:
+            self._doc_updates[f.field_id] = doc
+        return self
+
+    def set_default_value(self, name: str, default_value: Any) -> "UpdateSchema":
+        """Set (or clear, with None) the column's WRITE default — the
+        value writers fill in when the column is absent from incoming
+        data (v3 defaults; reference update/schema.py:284). The
+        initial-default of existing rows is immutable after creation."""
+        f = self._field(name)
+        if default_value is None and f.required:
+            raise ValueError(f"cannot clear the write default of required column {name!r}")
+        self._write_default_updates[f.field_id] = default_value
         return self
 
     def move_first(self, name: str) -> "UpdateSchema":
@@ -125,9 +160,13 @@ class UpdateSchema:
                     self._renames.get(f.field_id, f.name),
                     self._type_updates.get(f.field_id, f.field_type),
                     required=self._requirement_updates.get(f.field_id, f.required),
-                    doc=f.doc,
+                    doc=self._doc_updates.get(f.field_id, f.doc),
                     initial_default=f.initial_default,
-                    write_default=f.write_default,
+                    write_default=(
+                        self._write_default_updates[f.field_id]
+                        if f.field_id in self._write_default_updates
+                        else f.write_default
+                    ),
                 )
             )
         for name, t, required, default in self._adds:

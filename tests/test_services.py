@@ -230,3 +230,36 @@ def test_rewrite_manifests_replayed_on_cas_retry(catalog, spark):
     assert t.scan().to_df().count() == 60  # 5x10 + concurrent 10
     # the replayed consolidation really ran on the fresh base
     assert len(t._live_manifests(t.current_snapshot())) == 1
+
+
+def test_update_column_and_write_default(catalog, spark):
+    """update_column (combined type/required/doc) and set_default_value:
+    the v3 write-default fills the column when absent from incoming data
+    (spec write-default; reference update/schema.py:284,:439), while
+    existing rows keep their values; initial-default stays immutable."""
+    from iceberg_python_spark.types import DoubleType, IntegerType, LongType, StringType
+
+    df = spark.createDataFrame([(1, 1.0, "a"), (2, 2.0, "b")], "id: long, v: double, s: string")
+    t = catalog.create_table("db.defaults_t", schema_from_spark(df.schema))
+    t.append(df)
+
+    t.update_schema().update_column("s", doc="label column").commit()
+    assert t.schema().find_field("s").doc == "label column"
+    with pytest.raises(ValueError, match="required"):
+        t.update_schema().update_column("s", required=True).commit()
+
+    t.update_schema().add_column("region", StringType()).commit()
+    t.update_schema().set_default_value("region", "unknown").commit()
+    assert t.schema().find_field("region").write_default == "unknown"
+
+    # incoming data WITHOUT the column gets the write default...
+    t.append(spark.createDataFrame([(3, 3.0, "c")], "id: long, v: double, s: string"))
+    rows = {r.id: r.region for r in t.scan().to_df().collect()}
+    assert rows[3] == "unknown"
+    # ...pre-default rows read as their stored value (null — the column
+    # was added with no initial default)
+    assert rows[1] is None and rows[2] is None
+    # explicit values still win over the default
+    t.append(spark.createDataFrame([(4, 4.0, "d", "emea")], "id: long, v: double, s: string, region: string"))
+    rows = {r.id: r.region for r in t.refresh().scan().to_df().collect()}
+    assert rows[4] == "emea" and rows[3] == "unknown"
