@@ -422,6 +422,41 @@ class Table:
     def sort_order(self) -> SortOrder:
         return self.metadata.sort_order()
 
+    # -- versioned-surface accessors (reference table/__init__.py:1240-1290) --
+    def schemas(self) -> Dict[int, Schema]:
+        return {s.schema_id: s for s in self.metadata.schemas}
+
+    def specs(self) -> Dict[int, PartitionSpec]:
+        return {s.spec_id: s for s in self.metadata.partition_specs}
+
+    def sort_orders(self) -> Dict[int, SortOrder]:
+        return {o.order_id: o for o in self.metadata.sort_orders}
+
+    @property
+    def format_version(self) -> int:
+        return self.metadata.format_version
+
+    @property
+    def last_partition_id(self) -> int:
+        return self.metadata.last_partition_id
+
+    @property
+    def last_sequence_number(self) -> int:
+        return self.metadata.last_sequence_number
+
+    def name_mapping(self):
+        """Parsed ``schema.name-mapping.default`` property, or None
+        (reference table/__init__.py name_mapping)."""
+        from ..name_mapping import PROPERTY_KEY, NameMapping
+
+        raw = self.metadata.properties.get(PROPERTY_KEY)
+        return NameMapping.from_json(raw) if raw else None
+
+    def location_provider(self):
+        from ..locations import load_location_provider
+
+        return load_location_provider(self.metadata.location, self.metadata.properties)
+
     def snapshots(self) -> List[Snapshot]:
         return self.metadata.snapshots
 

@@ -249,3 +249,40 @@ def test_catalog_sql_surface(spark, tmp_path):
     v = t.create_or_replace_temp_view()
     assert v == "db_orders"
     assert spark.sql("SELECT count(*) c FROM db_orders").first().c == 100
+
+
+def test_table_accessor_parity(spark, tmp_path):
+    """Thin accessors a porting reference user calls: schemas()/specs()/
+    sort_orders() dicts, format_version, last_* counters, name_mapping,
+    location_provider (reference table/__init__.py:1240-1290)."""
+    import iceberg_python_spark as ips
+    from iceberg_python_spark import spec_from_names
+    from iceberg_python_spark.schema import schema_from_spark
+    from pyspark.sql import functions as F
+
+    cat = ips.SqliteCatalog("acc", str(tmp_path / "wh"), spark)
+    df = spark.range(10).withColumn("v", F.col("id") % 3)
+    schema = schema_from_spark(df.schema)
+    t = cat.create_table("db.acc_t", schema, partition_spec=spec_from_names(schema, ("v", "identity")))
+    t.append(df)
+
+    assert set(t.schemas()) == {0}
+    assert t.schemas()[0].find_field("v").field_id == t.schema().find_field("v").field_id
+    assert list(t.specs()) == [t.spec().spec_id]
+    assert t.sort_orders()[t.sort_order().order_id] is not None
+    assert t.format_version in (2, 3)
+    assert t.last_sequence_number >= 1
+    assert t.last_partition_id >= 1000
+    assert t.name_mapping() is None  # no mapping property set
+    from iceberg_python_spark.name_mapping import NameMapping, PROPERTY_KEY
+
+    t.set_properties({PROPERTY_KEY: NameMapping.from_schema(t.schema()).to_json()})
+    nm = t.refresh().name_mapping()
+    assert nm is not None and nm.id_for("v") == t.schema().find_field("v").field_id
+    lp = t.location_provider()
+    path = lp.new_data_location("f.parquet")
+    assert path.startswith(t.location) and path.endswith("f.parquet")
+
+    # schema evolution adds a new entry to schemas()
+    t.update_schema().add_column("extra", ips.types.StringType()).commit()
+    assert set(t.schemas()) == {0, 1}
