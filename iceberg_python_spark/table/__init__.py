@@ -2382,6 +2382,16 @@ class DataScan:
         args.update(kw)
         return DataScan(**args)
 
+    def update(self, **overrides) -> "DataScan":
+        """Rebuild with replaced attributes (reference BaseScan.update) —
+        e.g. ``scan.update(row_filter=..., limit=10)``."""
+        if "row_filter" in overrides and isinstance(overrides["row_filter"], str):
+            overrides["row_filter"] = parse_filter(overrides["row_filter"])
+        return self._replace(**overrides)
+
+    def with_case_sensitive(self, case_sensitive: bool = True) -> "DataScan":
+        return self._replace(case_sensitive=case_sensitive)
+
     def filter(self, expr: Union[str, BooleanExpression]) -> "DataScan":
         new = parse_filter(expr) if isinstance(expr, str) else expr
         return self._replace(row_filter=And(self.row_filter, new))
@@ -3088,6 +3098,29 @@ class IncrementalAppendScan:
         self.to_id = to_snapshot_id_inclusive
         self.row_filter = parse_filter(row_filter) if isinstance(row_filter, str) else row_filter
         self.selected_fields = selected_fields
+
+    # -- fluent builders (reference IncrementalAppendScan:2372) --------------
+    def from_snapshot_id_exclusive(self, snapshot_id: Optional[int]) -> "IncrementalAppendScan":
+        return IncrementalAppendScan(self.table, snapshot_id, self.to_id, self.row_filter, self.selected_fields)
+
+    def from_snapshot_id_inclusive(self, snapshot_id: int) -> "IncrementalAppendScan":
+        """Inclusive start: the exclusive bound is that snapshot's parent."""
+        snap = self.table.metadata.snapshot_by_id(snapshot_id)
+        if snap is None:
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        return IncrementalAppendScan(
+            self.table, snap.parent_snapshot_id, self.to_id, self.row_filter, self.selected_fields
+        )
+
+    def to_snapshot_id_inclusive(self, snapshot_id: Optional[int]) -> "IncrementalAppendScan":
+        return IncrementalAppendScan(self.table, self.from_id, snapshot_id, self.row_filter, self.selected_fields)
+
+    # -- exports (delegate through the DataFrame plane) -----------------------
+    def to_arrow(self):
+        return self.to_df().toArrow()
+
+    def to_pandas(self):
+        return self.to_df().toPandas()
 
     def _snapshot_range(self) -> List[Snapshot]:
         chain = _ancestor_chain(self.table.metadata, self.from_id, self.to_id)

@@ -450,3 +450,28 @@ def test_distributed_planning_avro_metadata(catalog, spark, lineitem_df):
     got = t.scan().to_df().count()
     want = lineitem_df.where("l_quantity <= 45 or l_quantity is null").count()
     assert got == want and got < before
+
+
+def test_incremental_scan_fluent_builders_and_exports(catalog, spark):
+    """Fluent from/to builders mirror the reference's API; inclusive
+    start = exclusive parent; Arrow/pandas exports go through the lazy
+    DataFrame plane."""
+    df1 = spark.range(0, 10).withColumn("v", F.col("id"))
+    t = catalog.create_table("db.inc_fluent", schema_from_spark(df1.schema))
+    t.append(df1)
+    s1 = t.current_snapshot().snapshot_id
+    t.append(spark.range(10, 15).withColumn("v", F.col("id")))
+    s2 = t.current_snapshot().snapshot_id
+    t.append(spark.range(15, 18).withColumn("v", F.col("id")))
+
+    scan = t.incremental_append_scan().from_snapshot_id_exclusive(s1).to_snapshot_id_inclusive(s2)
+    assert sorted(r.id for r in scan.to_df().collect()) == list(range(10, 15))
+    # inclusive start: snapshot s2's own appends included
+    inc = t.incremental_append_scan().from_snapshot_id_inclusive(s2).to_snapshot_id_inclusive(s2)
+    assert sorted(r.id for r in inc.to_df().collect()) == list(range(10, 15))
+    assert scan.to_arrow().num_rows == 5
+    assert len(scan.to_pandas()) == 5
+    # DataScan.update / with_case_sensitive builders
+    base = t.scan()
+    assert base.update(row_filter="id < 5").to_df().count() == 5
+    assert base.with_case_sensitive(False).update(selected_fields=("ID",)).to_df().columns == ["id"]
