@@ -233,6 +233,11 @@ class MetastoreCatalog:
         except NoSuchTableError:
             return False
 
+    def close(self) -> None:
+        """Release backend resources (reference Catalog.close). The
+        pointer-primitive backends open connections per operation, so
+        the base is a no-op; engine-holding subclasses override."""
+
     def sql(self, query: str) -> "pyspark.sql.DataFrame":
         """Run Spark SQL over this catalog's tables: every ``ns.table``
         token in the query that names a catalog table is registered as a
@@ -370,6 +375,9 @@ class SqlCatalog(MetastoreCatalog):
         super().__init__(name, warehouse, spark)
         self.engine = engine
         self.engine.init_schema(_DDL)
+
+    def close(self) -> None:
+        self.engine.dispose()
 
     @contextmanager
     def _conn(self) -> Iterator[Any]:

@@ -59,6 +59,10 @@ class SqlEngine:
     def end_write(self, con: Any) -> None:
         """Called after commit/rollback (lock release for lock-based engines)."""
 
+    def dispose(self) -> None:
+        """Release engine-held resources (root connections). Per-op
+        connection engines are a no-op."""
+
     def init_schema(self, ddl_statements: Sequence[str]) -> None:
         con = self.connect()
         try:
@@ -154,3 +158,6 @@ class DuckDBEngine(SqlEngine):
         if getattr(self._write_owner, "held", False):
             self._write_owner.held = False
             self._write_lock.release()
+
+    def dispose(self) -> None:
+        self._root.close()

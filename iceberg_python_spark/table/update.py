@@ -218,6 +218,11 @@ class UpdateSpec:
         self._adds.append((source_column, transform, name))
         return self
 
+    def add_identity(self, source_column: str) -> "UpdateSpec":
+        """Convenience for identity partitioning (reference
+        update/spec.py add_identity)."""
+        return self.add_field(source_column, "identity")
+
     def remove_field(self, name: str) -> "UpdateSpec":
         self._removes.add(name)
         return self

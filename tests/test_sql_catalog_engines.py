@@ -279,3 +279,27 @@ def test_duckdb_stray_end_write_keeps_lock(spark, tmp_path):
         con.execute("ROLLBACK")
         eng.end_write(con)
     assert not eng._write_lock.locked()
+
+
+def test_catalog_close_and_add_identity(spark, tmp_path):
+    """Catalog.close releases engine-held resources (DuckDB root con);
+    UpdateSpec.add_identity is the reference's identity-partition sugar."""
+    import iceberg_python_spark as ips
+    from iceberg_python_spark.schema import schema_from_spark
+
+    cat = ips.DuckDBCatalog("closeme", str(tmp_path / "wh"), spark)
+    df = spark.range(6).withColumn("v", F.col("id") % 2)
+    t = cat.create_table("db.c_t", schema_from_spark(df.schema))
+    t.append(df)
+    t.update_spec().add_identity("v").commit()
+    assert [str(f.transform) for f in t.spec().fields] == ["identity"]
+    t.append(df)
+    assert t.scan(row_filter="v = 1").to_df().count() == 6
+    cat.close()
+    with pytest.raises(Exception):  # root connection is gone
+        cat.list_tables("db")
+    # sqlite close is a safe no-op (per-op connections)
+    cat2 = ips.SqliteCatalog("closeme2", str(tmp_path / "wh2"), spark)
+    cat2.create_namespace("db")
+    cat2.close()
+    assert cat2.list_tables("db") == []
