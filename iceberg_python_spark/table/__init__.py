@@ -853,6 +853,26 @@ class Transaction:
 
     # -- table properties (reference table/__init__.py Transaction
     # set_properties/remove_properties) -----------------------------------------
+    # -- transaction-scoped DDL (reference Transaction.update_schema /
+    # update_spec / update_sort_order): the builder mutates THIS
+    # transaction's evolving metadata on its commit(), so DDL and data
+    # ops land in one atomic metadata swap — subsequent writes in the
+    # same transaction already see the new schema/spec/order -------------
+    def update_schema(self, case_sensitive: bool = True) -> "UpdateSchema":
+        from .update import UpdateSchema
+
+        return UpdateSchema(self.table, case_sensitive=case_sensitive, transaction=self)
+
+    def update_spec(self) -> "UpdateSpec":
+        from .update import UpdateSpec
+
+        return UpdateSpec(self.table, transaction=self)
+
+    def update_sort_order(self) -> "UpdateSortOrder":
+        from .update import UpdateSortOrder
+
+        return UpdateSortOrder(self.table, transaction=self)
+
     def set_properties(self, properties: Optional[Dict[str, str]] = None, **kwargs: str) -> "Transaction":
         """Set/overwrite table properties. Staged like every other update
         and re-applied after a CAS-retry rebase (last writer wins per
@@ -2258,6 +2278,12 @@ class Transaction:
                     for s in self._staged:
                         if s["operation"] == "rewrite_manifests":
                             self.rewrite_manifests(s["target_entries"])
+                            continue
+                        if s["operation"] == "metadata_evolution":
+                            # transaction-scoped DDL: re-derive against
+                            # the refreshed base (raises on true schema
+                            # conflicts, which is the correct failure)
+                            self.metadata = s["replay"](self.metadata)
                             continue
                         self._commit_snapshot(
                             s["operation"],

@@ -30,12 +30,37 @@ from .metadata import MAIN_BRANCH, SnapshotRef, SortField, SortOrder
 from .snapshots import SnapshotLogEntry
 
 
+def _commit_evolution(table, transaction, new_meta, replay) -> None:
+    """Apply a metadata evolution either immediately (table-scoped: one
+    CAS commit) or into a live Transaction's evolving metadata
+    (reference Transaction.update_schema/update_spec — DDL batches
+    atomically with the transaction's data ops). ``replay`` re-derives
+    the evolution against a refreshed base for CAS-retry rebase."""
+    if transaction is not None:
+        transaction.metadata = new_meta
+        transaction._dirty = True
+        transaction._staged.append(
+            {
+                "operation": "metadata_evolution",
+                "replay": replay,
+                "added_files": [],
+                "removed_paths": (),
+                "conflict_filter": None,  # DDL never claims data files
+                "snapshot_properties": {},
+            }
+        )
+    else:
+        table.catalog._commit_table(table, new_meta)
+
+
 class UpdateSchema:
     """Stage add/drop/rename/update-type/make-optional column changes and
-    commit them as a new schema version (ID-aware)."""
+    commit them as a new schema version (ID-aware). ``transaction``
+    scopes the commit to a live Transaction instead of the table."""
 
-    def __init__(self, table, case_sensitive: bool = True):
+    def __init__(self, table, case_sensitive: bool = True, transaction=None):
         self.table = table
+        self._txn = transaction
         self.case_sensitive = case_sensitive
         self._adds: List[Tuple[str, IcebergType, bool, Any]] = []
         self._deletes: Set[int] = set()
@@ -137,17 +162,23 @@ class UpdateSchema:
 
         if isinstance(other, T.StructType):
             other = schema_from_spark(other)
-        mine = {f.name for f in self.table.metadata.schema().fields}
+        mine = {f.name for f in self._meta().schema().fields}
         for f in other.fields:
             if f.name not in mine:
                 self._adds.append((f.name, f.field_type, False, None))
         return self
 
+    def _meta(self):
+        return self._txn.metadata if self._txn is not None else self.table.metadata
+
     def _field(self, name: str) -> NestedField:
-        return self.table.metadata.schema().find_field(name, case_sensitive=self.case_sensitive)
+        return self._meta().schema().find_field(name, case_sensitive=self.case_sensitive)
 
     def commit(self) -> None:
-        meta = self.table.metadata
+        new_meta = self._apply(self._meta())
+        _commit_evolution(self.table, self._txn, new_meta, self._apply)
+
+    def _apply(self, meta) -> "TableMetadata":
         schema = meta.schema()
         next_id = meta.last_column_id
         fields: List[NestedField] = []
@@ -194,18 +225,23 @@ class UpdateSchema:
         new_meta.current_schema_id = new_schema.schema_id
         new_meta.last_column_id = max(next_id, new_schema.highest_field_id)
         new_meta.last_updated_ms = int(time.time() * 1000)
-        self.table.catalog._commit_table(self.table, new_meta)
+        return new_meta
 
 
 class UpdateSpec:
     """Partition evolution: add/remove partition fields; old data keeps its
-    old spec_id and the planner evaluates filters per spec."""
+    old spec_id and the planner evaluates filters per spec. ``transaction``
+    scopes the commit to a live Transaction instead of the table."""
 
-    def __init__(self, table):
+    def __init__(self, table, transaction=None):
         self.table = table
+        self._txn = transaction
         self._adds: List[Tuple[str, str, Optional[str]]] = []
         self._removes: Set[str] = set()
         self._renames: Dict[str, str] = {}
+
+    def _meta(self):
+        return self._txn.metadata if self._txn is not None else self.table.metadata
 
     def __enter__(self) -> "UpdateSpec":
         return self
@@ -232,7 +268,10 @@ class UpdateSpec:
         return self
 
     def commit(self) -> None:
-        meta = self.table.metadata
+        new_meta = self._apply(self._meta())
+        _commit_evolution(self.table, self._txn, new_meta, self._apply)
+
+    def _apply(self, meta) -> "TableMetadata":
         schema = meta.schema()
         spec = meta.spec()
         next_field_id = meta.last_partition_id
@@ -258,7 +297,7 @@ class UpdateSpec:
         new_meta.default_spec_id = new_spec.spec_id
         new_meta.last_partition_id = max(next_field_id, meta.last_partition_id)
         new_meta.last_updated_ms = int(time.time() * 1000)
-        self.table.catalog._commit_table(self.table, new_meta)
+        return new_meta
 
 
 class UpdateSortOrder:
@@ -267,9 +306,13 @@ class UpdateSortOrder:
     on write (io/pyarrow.py:2768) — our writer honors the active order via
     sortWithinPartitions, improving scan locality and min/max pruning."""
 
-    def __init__(self, table):
+    def __init__(self, table, transaction=None):
         self.table = table
+        self._txn = transaction
         self._fields: List[SortField] = []
+
+    def _meta(self):
+        return self._txn.metadata if self._txn is not None else self.table.metadata
 
     def __enter__(self) -> "UpdateSortOrder":
         return self
@@ -279,22 +322,26 @@ class UpdateSortOrder:
             self.commit()
 
     def asc(self, name: str, null_order: str = "nulls-first") -> "UpdateSortOrder":
-        f = self.table.metadata.schema().find_field(name)
+        f = self._meta().schema().find_field(name)
         self._fields.append(SortField(f.field_id, "identity", "asc", null_order))
         return self
 
     def desc(self, name: str, null_order: str = "nulls-last") -> "UpdateSortOrder":
-        f = self.table.metadata.schema().find_field(name)
+        f = self._meta().schema().find_field(name)
         self._fields.append(SortField(f.field_id, "identity", "desc", null_order))
         return self
 
     def commit(self) -> None:
-        meta = copy.deepcopy(self.table.metadata)
-        order = SortOrder(order_id=max((o.order_id for o in meta.sort_orders), default=0) + 1, fields=self._fields)
-        meta.sort_orders.append(order)
-        meta.default_sort_order_id = order.order_id
-        meta.last_updated_ms = int(time.time() * 1000)
-        self.table.catalog._commit_table(self.table, meta)
+        new_meta = self._apply(self._meta())
+        _commit_evolution(self.table, self._txn, new_meta, self._apply)
+
+    def _apply(self, meta) -> "TableMetadata":
+        new_meta = copy.deepcopy(meta)
+        order = SortOrder(order_id=max((o.order_id for o in new_meta.sort_orders), default=0) + 1, fields=self._fields)
+        new_meta.sort_orders.append(order)
+        new_meta.default_sort_order_id = order.order_id
+        new_meta.last_updated_ms = int(time.time() * 1000)
+        return new_meta
 
 
 class UpdateStatistics:

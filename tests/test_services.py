@@ -263,3 +263,45 @@ def test_update_column_and_write_default(catalog, spark):
     t.append(spark.createDataFrame([(4, 4.0, "d", "emea")], "id: long, v: double, s: string, region: string"))
     rows = {r.id: r.region for r in t.refresh().scan().to_df().collect()}
     assert rows[4] == "emea" and rows[3] == "unknown"
+
+
+def test_transaction_scoped_ddl(catalog, spark):
+    """Reference Transaction.update_schema/update_spec parity: DDL staged
+    inside a transaction lands in ONE atomic metadata swap with the data
+    ops; later writes in the same transaction already see the new
+    schema; nothing is visible before commit_transaction; a CAS-retry
+    rebase replays the DDL on the refreshed base."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id: long, s: string")
+    t = catalog.create_table("db.txn_ddl", schema_from_spark(df.schema))
+    t.append(df)
+    v0 = t.metadata_location
+
+    with t.transaction() as tx:
+        tx.update_schema().add_column("score", DoubleType()).commit()
+        tx.update_sort_order().asc("id").commit()
+        # the SAME transaction writes data carrying the new column
+        tx.append(spark.createDataFrame([(3, "c", 1.5)], "id: long, s: string, score: double"))
+        # nothing visible outside the transaction yet
+        outside = catalog.load_table("db.txn_ddl")
+        assert outside.metadata_location == v0
+        assert len(outside.schema().fields) == 2
+    t.refresh()
+    assert [f.name for f in t.schema().fields] == ["id", "s", "score"]
+    assert t.sort_order().fields and t.sort_order().fields[0].direction == "asc"
+    rows = {r.id: r.score for r in t.scan().to_df().collect()}
+    assert rows[3] == 1.5 and rows[1] is None
+
+    # CAS-retry: a concurrent commit lands between the transaction's read
+    # and its commit; staged DDL + append must replay onto the new base
+    t1 = catalog.load_table("db.txn_ddl")
+    tx2 = t1.transaction()
+    tx2.update_schema().add_column("extra", StringType()).commit()
+    tx2.append(spark.createDataFrame([(4, "d", 2.0, "x")], "id: long, s: string, score: double, extra: string"))
+    # concurrent writer wins first
+    t2 = catalog.load_table("db.txn_ddl")
+    t2.append(spark.createDataFrame([(9, "z", 9.0)], "id: long, s: string, score: double"))
+    tx2.commit_transaction()
+    t1.refresh()
+    assert {f.name for f in t1.schema().fields} == {"id", "s", "score", "extra"}
+    got = {r.id: r.extra for r in t1.scan().to_df().collect()}
+    assert got[4] == "x" and got[9] is None and len(got) == 5
