@@ -1,0 +1,264 @@
+"""Native Spark DataSource integration (PySpark 4 Python DataSource API).
+
+Registers the engine's tables as a first-class Spark format, so the
+DataFrame reader surfaces work with no library calls in between:
+
+    from iceberg_python_spark.spark_datasource import register_data_source
+    register_data_source(spark)
+    df = spark.read.format("iceberg_python_spark").option("table_location", loc).load()
+    stream = spark.readStream.format("iceberg_python_spark").option("table_location", loc).load()
+
+Why this exists alongside ``table.scan().to_df()`` (which remains the
+primary, fastest path — native JVM parquet scan with pushdown):
+
+- **batch**: one InputPartition per data file, each read by an
+  executor-side Python worker with pyarrow and yielded as Arrow record
+  batches — a fully distributed read that never touches ``spark._jvm``,
+  usable from environments where only the Python plane is available.
+- **streaming**: a real Structured Streaming source. Offsets are
+  SNAPSHOT IDS — each micro-batch is exactly the rows appended between
+  two snapshots (the incremental append scan semantics), so the source
+  composes with checkpoints/restarts for exactly-once pipelines without
+  the poll-based ``incremental_source`` helper.
+
+Table handle: ``table_location`` (the table root; the current metadata
+file is discovered via ``metadata/version-hint.text``, which every
+catalog commit writes) or an explicit ``metadata_location``. All IO in
+this module is pure Python (pyarrow + fileio's no-JVM paths) because
+DataSource code runs inside Python workers with no SparkSession.
+
+Scope (documented, loud): reads the CURRENT schema; data files only —
+a table carrying position/equality delete files raises (use
+table.scan(), which applies deletes; or compact() first). No filter
+pushdown (Spark filters after the source).
+
+Reference anchor: this surface has no pyiceberg equivalent — it is the
+Spark-native answer to pyiceberg's role of "library that hands your
+engine a table".
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+
+# ---------------------------------------------------------------------------
+# pure-Python planning helpers (no SparkSession anywhere in this module)
+# ---------------------------------------------------------------------------
+
+
+def _resolve_metadata_location(options: Dict[str, str]) -> str:
+    loc = options.get("metadata_location")
+    if loc:
+        return loc
+    root = options.get("table_location")
+    if not root:
+        raise ValueError(
+            "iceberg_python_spark source needs option 'table_location' (table root) "
+            "or 'metadata_location' (explicit metadata JSON)"
+        )
+    from .io import fileio
+
+    hint = posixpath.join(root, "metadata", "version-hint.text")
+    if not fileio.exists(hint):
+        raise ValueError(f"no metadata/version-hint.text under {root!r}")
+    base = fileio.read_text(hint).strip()
+    if not base.endswith(".metadata.json"):
+        base = f"v{base}.metadata.json"
+    return posixpath.join(root, "metadata", base)
+
+
+def _load_metadata(options: Dict[str, str]):
+    from .table.metadata import TableMetadata
+
+    return TableMetadata.read(_resolve_metadata_location(options))
+
+
+def _live_data_files(meta, snapshot) -> List[str]:
+    """Data-file paths of a snapshot; raises on delete content (scope)."""
+    from .table.manifests import CONTENT_DATA, STATUS_DELETED, read_manifest, read_manifest_list
+
+    if snapshot is None:
+        return []
+    schema = meta.schema()
+    paths: List[str] = []
+    for m in read_manifest_list(snapshot.manifest_list, meta.spec_by_id, schema):
+        spec = meta.spec_by_id(m["spec_id"])
+        for e in read_manifest(m["manifest_path"], schema, spec, manifest=m):
+            if e["status"] == STATUS_DELETED:
+                continue
+            d = e["data_file"]
+            if d.get("content", CONTENT_DATA) != CONTENT_DATA:
+                raise ValueError(
+                    "iceberg_python_spark source reads data files only; this table "
+                    "carries delete files — scan it via table.scan() (which applies "
+                    "deletes) or compact() first"
+                )
+            paths.append(d["file_path"])
+    return paths
+
+
+def _appended_files_between(meta, from_id: Optional[int], to_id: Optional[int]) -> List[str]:
+    """ADDED data files of append snapshots in (from_id, to_id] —
+    incremental-append-scan semantics, pure Python."""
+    from .table import Operation, _ancestor_chain
+    from .table.manifests import CONTENT_DATA, STATUS_ADDED, read_manifest, read_manifest_list
+
+    chain = [s for s in _ancestor_chain(meta, from_id, to_id) if s.operation == Operation.APPEND]
+    schema = meta.schema()
+    wanted = {s.snapshot_id for s in chain}
+    paths: List[str] = []
+    for s in chain:
+        for m in read_manifest_list(s.manifest_list, meta.spec_by_id, schema):
+            if m.get("added_snapshot_id") not in wanted:
+                continue
+            spec = meta.spec_by_id(m["spec_id"])
+            for e in read_manifest(m["manifest_path"], schema, spec, manifest=m):
+                d = e["data_file"]
+                if (
+                    e["status"] == STATUS_ADDED
+                    and e["snapshot_id"] in wanted
+                    and d.get("content", CONTENT_DATA) == CONTENT_DATA
+                ):
+                    paths.append(d["file_path"])
+    return paths
+
+
+def _arrow_batches_for_file(path: str, field_names: Sequence[str]) -> Iterator[Any]:
+    """Read one parquet file with pyarrow, projected+reordered to the
+    table schema by name (absent columns filled with nulls)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .io import fileio
+
+    if fileio.is_remote(path):
+        import io as _io
+
+        src = _io.BytesIO(fileio.read_bytes(path))
+    else:
+        src = fileio.to_local(path)
+    table = pq.read_table(src)
+    cols = []
+    n = table.num_rows
+    for name in field_names:
+        if name in table.column_names:
+            cols.append(table.column(name))
+        else:
+            cols.append(pa.nulls(n))
+    out = pa.table(dict(zip(field_names, cols)))
+    yield from out.to_batches(max_chunksize=1 << 16)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class IcebergBatchReader(DataSourceReader):
+    """One InputPartition per data file; each executor Python worker
+    reads its file with pyarrow and yields Arrow record batches."""
+
+    def __init__(self, options: Dict[str, str]):
+        self.options = dict(options)
+        meta = _load_metadata(self.options)
+        self._field_names = [f.name for f in meta.schema().fields]
+        snapshot_id = self.options.get("snapshot_id")
+        snap = (
+            meta.snapshot_by_id(int(snapshot_id))
+            if snapshot_id is not None
+            else meta.current_snapshot()
+        )
+        self._paths = _live_data_files(meta, snap)
+
+    def partitions(self) -> List[InputPartition]:
+        return [_FilePartition(p) for p in self._paths] or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return iter(())
+        return _arrow_batches_for_file(partition.path, self._field_names)
+
+
+class IcebergStreamReader(SimpleDataSourceStreamReader):
+    """Structured Streaming source over append snapshots. Offset =
+    {"snapshot_id": id} (-1 = before the first snapshot); each batch is
+    the rows appended between two offsets."""
+
+    def __init__(self, options: Dict[str, str]):
+        self.options = dict(options)
+        meta = _load_metadata(self.options)
+        self._field_names = [f.name for f in meta.schema().fields]
+        start = self.options.get("starting_snapshot_id", self.options.get("starting-snapshot-id"))
+        self._start = int(start) if start is not None else -1
+
+    def initialOffset(self) -> dict:
+        return {"snapshot_id": self._start}
+
+    def _rows_between(self, from_id: Optional[int], to_id: Optional[int]) -> List[Tuple]:
+        # a LIST, not a generator: Spark's prefetch cache copies the
+        # returned rows between planning and execution
+        meta = _load_metadata(self.options)
+        rows: List[Tuple] = []
+        for path in _appended_files_between(meta, from_id, to_id):
+            for batch in _arrow_batches_for_file(path, self._field_names):
+                for row in batch.to_pylist():
+                    rows.append(tuple(row[name] for name in self._field_names))
+        return rows
+
+    def read(self, start: dict):
+        # contract: return (ITERATOR, next_offset); the runner both
+        # next()s and copy.copy()s it, so a list_iterator (materialized
+        # rows) is the right shape — a generator is not copyable
+        meta = _load_metadata(self.options)
+        current = meta.current_snapshot_id
+        start_id = start.get("snapshot_id", -1)
+        if current is None or current == start_id:
+            return iter([]), dict(start)
+        from_id = None if start_id == -1 else start_id
+        return iter(self._rows_between(from_id, current)), {"snapshot_id": current}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        start_id = start.get("snapshot_id", -1)
+        from_id = None if start_id == -1 else start_id
+        return iter(self._rows_between(from_id, end.get("snapshot_id")))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint
+
+
+class IcebergDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_python_spark"
+
+    def schema(self):
+        from pyspark.sql import types as T
+
+        meta = _load_metadata(self.options)
+        base = meta.schema().to_spark()
+        # plain fields only: the streaming runner round-trips this schema
+        # through Arrow and asserts equality — our field-id metadata (and
+        # non-null flags the Python rows can't prove) would break it
+        return T.StructType([T.StructField(f.name, f.dataType, True) for f in base.fields])
+
+    def reader(self, schema) -> IcebergBatchReader:
+        return IcebergBatchReader(self.options)
+
+    def simpleStreamReader(self, schema) -> IcebergStreamReader:
+        return IcebergStreamReader(self.options)
+
+
+def register_data_source(spark) -> None:
+    """Register the format with a SparkSession:
+    ``spark.read.format("iceberg_python_spark")`` et al."""
+    spark.dataSource.register(IcebergDataSource)

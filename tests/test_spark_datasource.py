@@ -1,0 +1,122 @@
+"""Python DataSource integration: spark.read / spark.readStream with
+format("iceberg_python_spark") — distributed pyarrow batch reads (one
+partition per data file) and a Structured Streaming source with
+snapshot-id offsets."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+import iceberg_python_spark as ips
+from iceberg_python_spark.schema import schema_from_spark
+from iceberg_python_spark.spark_datasource import register_data_source
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return ips.SqliteCatalog("dsrc", str(tmp_path / "wh"), spark)
+
+
+def test_batch_read_format(cat, spark):
+    register_data_source(spark)
+    df = spark.range(100).withColumn("v", F.col("id") % 7).withColumn("s", F.concat(F.lit("r"), F.col("id")))
+    t = cat.create_table("db.src_t", schema_from_spark(df.schema))
+    t.append(df.where("id < 60"))
+    t.append(df.where("id >= 60"))
+
+    out = spark.read.format("iceberg_python_spark").option("table_location", t.location).load()
+    assert out.schema.fieldNames() == ["id", "v", "s"]
+    assert out.count() == 100
+    got = {r.id: (r.v, r.s) for r in out.collect()}
+    assert got[42] == (0, "r42")
+    # Spark-side filters/projections still work (applied above the source)
+    assert out.where("v = 0").count() == df.where("v = 0").count()
+
+    # snapshot pinning via explicit metadata_location (time travel)
+    first_meta = t.metadata.metadata_log[-1]["metadata-file"]
+    pinned = spark.read.format("iceberg_python_spark").option("metadata_location", first_meta).load()
+    assert pinned.count() == 60
+
+
+def test_batch_read_rejects_delete_files(cat, spark):
+    register_data_source(spark)
+    df = spark.range(20).withColumn("v", F.col("id"))
+    t = cat.create_table("db.src_mor", schema_from_spark(df.schema))
+    t.append(df)
+    # rows strictly inside files -> real position-delete files (a
+    # boundary-aligned delete would resolve metadata-only)
+    t.delete("id in (1, 7, 13)", mode="merge-on-read")
+    assert any(
+        task.delete_files for task in t.scan().plan_files()
+    ), "precondition: table must carry delete files"
+    reader = spark.read.format("iceberg_python_spark").option("table_location", t.location)
+    with pytest.raises(Exception, match="delete files"):
+        reader.load().count()
+
+
+def test_stream_read_snapshot_offsets(cat, spark, tmp_path):
+    """First micro-batch carries all existing appends; later appends
+    arrive as their own batches; offsets ride the query checkpoint."""
+    register_data_source(spark)
+    df = spark.range(0, 5).withColumn("v", F.col("id"))
+    t = cat.create_table("db.src_stream", schema_from_spark(df.schema))
+    t.append(df)
+
+    stream = (
+        spark.readStream.format("iceberg_python_spark")
+        .option("table_location", t.location)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dsrc_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and spark.sql("SELECT count(*) c FROM dsrc_out").first().c < 5:
+            time.sleep(0.5)
+        assert spark.sql("SELECT count(*) c FROM dsrc_out").first().c == 5
+        t.append(spark.range(5, 9).withColumn("v", F.col("id")))
+        while time.time() < deadline and spark.sql("SELECT count(*) c FROM dsrc_out").first().c < 9:
+            time.sleep(0.5)
+        rows = sorted(r.id for r in spark.sql("SELECT id FROM dsrc_out").collect())
+    finally:
+        q.stop()
+    assert rows == list(range(9))
+
+
+def test_stream_starting_snapshot(cat, spark, tmp_path):
+    """starting_snapshot_id skips history: only appends AFTER that
+    snapshot flow."""
+    register_data_source(spark)
+    df = spark.range(0, 4).withColumn("v", F.col("id"))
+    t = cat.create_table("db.src_from", schema_from_spark(df.schema))
+    t.append(df)
+    s1 = t.current_snapshot().snapshot_id
+    t.append(spark.range(4, 7).withColumn("v", F.col("id")))
+
+    stream = (
+        spark.readStream.format("iceberg_python_spark")
+        .option("table_location", t.location)
+        .option("starting_snapshot_id", str(s1))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dsrc_from_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and spark.sql("SELECT count(*) c FROM dsrc_from_out").first().c < 3:
+            time.sleep(0.5)
+        rows = sorted(r.id for r in spark.sql("SELECT id FROM dsrc_from_out").collect())
+    finally:
+        q.stop()
+    assert rows == [4, 5, 6]
