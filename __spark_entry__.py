@@ -1102,7 +1102,7 @@ def _pack_sequences_oracle() -> str:
         "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), "
         "c AS (SELECT doc_id, n_tokens, "
         "SUM(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum_end FROM t) "
-        "SELECT doc_id, n_tokens, cum_end - n_tokens AS start_offset, "
+        "SELECT doc_id, n_tokens, CAST(cum_end - n_tokens AS BIGINT) AS start_offset, "
         f"CAST(floor((cum_end - n_tokens) / {L}) AS BIGINT) AS seq_id, "
         f"CAST((cum_end - n_tokens) % {L} AS BIGINT) AS offset_in_seq, "
         f"(n_tokens > 0 AND floor((cum_end - 1) / {L}) > floor((cum_end - n_tokens) / {L})) AS crosses_boundary "

@@ -253,17 +253,22 @@ class MetastoreCatalog:
         ``table.scan(...).to_df().createOrReplaceTempView(...)``."""
         import re as _re
 
-        # strip string literals so dots inside them don't resolve
-        stripped = _re.sub(r"'(?:[^']|'')*'", "''", query)
-        rewritten = query
-        for ns, tbl in dict.fromkeys(_re.findall(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", stripped)):
+        # Split the query into literal and non-literal segments (single-
+        # and double-quoted, with doubled-quote escapes) so dotted names
+        # inside literals are neither resolved nor rewritten.
+        segments = _re.split(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")", query)
+        code = [s for i, s in enumerate(segments) if i % 2 == 0]
+        for ns, tbl in dict.fromkeys(
+            m for s in code for m in _re.findall(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", s)
+        ):
             try:
                 t = self.load_table(f"{ns}.{tbl}")
             except (NoSuchTableError, NoSuchNamespaceError):
                 continue
             view = t.create_or_replace_temp_view()
-            rewritten = _re.sub(rf"\b{_re.escape(ns)}\.{_re.escape(tbl)}\b", view, rewritten)
-        return self.spark.sql(rewritten)
+            pat = _re.compile(rf"\b{_re.escape(ns)}\.{_re.escape(tbl)}\b")
+            segments = [pat.sub(view, s) if i % 2 == 0 else s for i, s in enumerate(segments)]
+        return self.spark.sql("".join(segments))
 
     def drop_table(self, identifier: Union[str, Identifier]) -> None:
         ident = _to_identifier(identifier)

@@ -282,16 +282,24 @@ class GlueCatalog(MetastoreCatalog):
                 f"(expected {expected}, found {current})"
             )
         version_id = glue_table.get("VersionId")
+        if not version_id:
+            # The VersionId is the service-side half of the CAS: without
+            # it an update_table is unconditional, so two committers that
+            # both passed the read-then-compare above would silently
+            # overwrite each other (lost update). Refuse rather than
+            # degrade; the reference's commit path makes the same demand
+            # (glue.py:513-516 raises CommitFailedException when absent).
+            raise CommitFailedException(
+                f"Glue returned no VersionId for {ns}.{table_name}; "
+                "cannot commit without a conditional update"
+            )
         table_input = self._table_input(
             table_name, new, prev_metadata_location=expected, existing_params=glue_table.get("Parameters")
         )
-        kwargs: Dict[str, Any] = {"SkipArchive": self._skip_archive}
-        if version_id:
-            # Glue rejects the update if another writer bumped the version
-            # since our read — the service-side half of the CAS
-            kwargs["VersionId"] = version_id
         try:
-            self.glue.update_table(DatabaseName=ns, TableInput=table_input, **kwargs)
+            self.glue.update_table(
+                DatabaseName=ns, TableInput=table_input, SkipArchive=self._skip_archive, VersionId=version_id
+            )
         except self.glue.exceptions.EntityNotFoundException:
             raise NoSuchTableError(f"{ns}.{table_name}")
         except self.glue.exceptions.ConcurrentModificationException:

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import json
 import posixpath
-from typing import Any, Dict, List, Optional, Union
+from typing import Any, Dict, List, Optional, Tuple, Union
 
 import requests
 from pyspark.sql import SparkSession
@@ -97,6 +97,24 @@ class BigQueryMetastoreCatalog(MetastoreCatalog):
         return self._session.request(
             method, f"{self._base}{path}", json=json_body, headers=headers, params=params, timeout=60
         )
+
+    def _paged_get(self, path: str, items_key: str) -> Tuple[List[Dict[str, Any]], "requests.Response"]:
+        """GET a list endpoint, following nextPageToken until exhausted.
+        Real BigQuery defaults to 50-item pages; ignoring the token would
+        silently truncate list_tables/list_namespaces (and let
+        drop_namespace's emptiness check pass on a non-empty dataset)."""
+        items: List[Dict[str, Any]] = []
+        token: Optional[str] = None
+        while True:
+            params = {"pageToken": token} if token else None
+            r = self._req("GET", path, params=params)
+            if not r.ok:
+                return items, r  # caller maps the status code
+            body = r.json()
+            items.extend(body.get(items_key, []))
+            token = body.get("nextPageToken")
+            if not token:
+                return items, r
 
     @staticmethod
     def _err(resp: requests.Response) -> str:
@@ -240,13 +258,10 @@ class BigQueryMetastoreCatalog(MetastoreCatalog):
             raise RuntimeError(f"BigQuery datasets.delete failed: {self._err(r)}")
 
     def list_namespaces(self) -> List[Identifier]:
-        r = self._req("GET", "/datasets")
+        datasets, r = self._paged_get("/datasets", "datasets")
         if not r.ok:
             raise RuntimeError(f"BigQuery datasets.list failed: {self._err(r)}")
-        out = []
-        for d in r.json().get("datasets", []):
-            out.append((d["datasetReference"]["datasetId"],))
-        return sorted(out)
+        return sorted((d["datasetReference"]["datasetId"],) for d in datasets)
 
     def load_namespace_properties(self, namespace: Union[str, Identifier]) -> Dict[str, str]:
         ns = ".".join(_to_identifier(namespace))
@@ -286,13 +301,13 @@ class BigQueryMetastoreCatalog(MetastoreCatalog):
 
     def list_tables(self, namespace: Union[str, Identifier]) -> List[Identifier]:
         ns = ".".join(_to_identifier(namespace))
-        r = self._req("GET", f"/datasets/{ns}/tables")
+        tables, r = self._paged_get(f"/datasets/{ns}/tables", "tables")
         if r.status_code == 404:
             raise NoSuchNamespaceError(ns)
         if not r.ok:
             raise RuntimeError(f"BigQuery tables.list failed: {self._err(r)}")
         out = []
-        for t in r.json().get("tables", []):
+        for t in tables:
             name = t["tableReference"]["tableId"]
             try:
                 if self._pointer_get(ns, name):

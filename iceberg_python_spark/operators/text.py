@@ -386,10 +386,16 @@ def ngram_lm_perplexity(df: DataFrame, text_col: str, id_col: str, add_k: float 
     )
     t = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok")).where(F.col("tok") != "")
     w = Window.partitionBy(id_col).orderBy("pos")
+    # localCheckpoint (not persist): the materialized blocks are RDD-level
+    # and the ContextCleaner releases them once the returned DataFrame is
+    # garbage-collected, so repeated calls in a long-lived session don't
+    # accumulate CacheManager entries that only an explicit unpersist —
+    # which a lazy return value gives callers no safe point to issue —
+    # would remove.
     bigrams = (
         t.select(F.col(id_col), F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2"))
         .where(F.col("w2").isNotNull())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     vocab = t.agg(F.countDistinct("tok").alias("v"))
     counts = (

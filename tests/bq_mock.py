@@ -25,6 +25,9 @@ class _State:
         self.datasets: Dict[str, Dict[str, Any]] = {}
         # (dataset_id, table_id) -> resource dict (with "etag")
         self.tables: Dict[Tuple[str, str], Dict[str, Any]] = {}
+        # list-endpoint page size; small so tests exercise nextPageToken
+        # on every multi-item listing (real BigQuery defaults to 50)
+        self.page_size = 2
 
 
 def _new_etag() -> str:
@@ -59,6 +62,21 @@ class _Handler(BaseHTTPRequestHandler):
     _TABLES = re.compile(r"^/bigquery/v2/projects/([^/]+)/datasets/([^/]+)/tables$")
     _TABLE = re.compile(r"^/bigquery/v2/projects/([^/]+)/datasets/([^/]+)/tables/([^/]+)$")
 
+    def _paginate(self, rows, key):
+        """Apply real-BigQuery-style paging: at most ``state.page_size``
+        rows per response, with a ``nextPageToken`` (integer offset)
+        when more remain. Clients that ignore the token see silent
+        truncation, exactly like production (default page size 50)."""
+        from urllib.parse import parse_qs, urlsplit
+
+        q = parse_qs(urlsplit(self.path).query)
+        start = int(q.get("pageToken", ["0"])[0])
+        size = self.server.state.page_size
+        payload = {key: rows[start : start + size]}
+        if start + size < len(rows):
+            payload["nextPageToken"] = str(start + size)
+        return self._send(200, payload)
+
     def _route(self, method: str) -> None:
         path = self.path.split("?", 1)[0]
         st: _State = self.server.state
@@ -74,10 +92,11 @@ class _Handler(BaseHTTPRequestHandler):
                     st.datasets[ds_id] = body
                     return self._send(200, body)
                 if method == "GET":
-                    return self._send(
-                        200,
-                        {"datasets": [{"datasetReference": d["datasetReference"]} for d in st.datasets.values()]},
+                    rows = sorted(
+                        ({"datasetReference": d["datasetReference"]} for d in st.datasets.values()),
+                        key=lambda r: r["datasetReference"]["datasetId"],
                     )
+                    return self._paginate(rows, "datasets")
             m = self._DATASET.match(path)
             if m:
                 ds_id = m.group(2)
@@ -111,12 +130,15 @@ class _Handler(BaseHTTPRequestHandler):
                     st.tables[(ds_id, t_id)] = body
                     return self._send(200, body)
                 if method == "GET":
-                    rows = [
-                        {"tableReference": t["tableReference"]}
-                        for (d, _), t in st.tables.items()
-                        if d == ds_id
-                    ]
-                    return self._send(200, {"tables": rows})
+                    rows = sorted(
+                        (
+                            {"tableReference": t["tableReference"]}
+                            for (d, _), t in st.tables.items()
+                            if d == ds_id
+                        ),
+                        key=lambda r: r["tableReference"]["tableId"],
+                    )
+                    return self._paginate(rows, "tables")
             m = self._TABLE.match(path)
             if m:
                 ds_id, t_id = m.group(2), m.group(3)

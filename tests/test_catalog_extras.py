@@ -240,6 +240,16 @@ def test_catalog_sql_surface(spark, tmp_path):
     assert len(rows) == 10 and rows[0].n == 10
     assert abs(rows[0].total - sum(i * 1.5 for i in range(0, 100, 10))) < 1e-9
 
+    # table names INSIDE string literals must survive the rewrite:
+    # only the identifier use of db.orders becomes the view name, the
+    # single- and double-quoted literal spans are left byte-for-byte
+    # (Spark default treats "..." as a string literal too)
+    lit = cat.sql(
+        "SELECT count(*) AS n FROM db.orders "
+        "WHERE 'db.orders' = 'db.orders' AND \"db.orders\" = 'db.orders'"
+    )
+    assert lit.first().n == 100
+
     # filter pushdown reaches the parquet scan through the view
     plan = cat.sql("SELECT o_id FROM db.orders WHERE o_id = 7")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "o_id" in plan.split("PushedFilters")[1][:80]
