@@ -1445,14 +1445,17 @@ def _q_quality_deciles(spark, env):
     """Curriculum binning: decile buckets over the quality score — the
     sampling-weight input for quality-mixed pretraining batches. NOT a
     global-window ntile (single-task sort, the SCALE.md scale-killer):
-    one exact-percentile aggregate produces 9 thresholds, broadcast
-    back, bucket = count of thresholds strictly below the score."""
+    one quantile aggregate produces 9 thresholds, broadcast back,
+    bucket = count of thresholds strictly below the score. exact=True
+    here so the cut points reproduce DuckDB's quantile_cont for the
+    hash compare; the production default is the bounded-state
+    approx_percentile sketch (O(accuracy) state at any cardinality)."""
     from iceberg_python_spark.operators.text import quality_deciles, quality_score
 
     q = quality_score(
         env["documents"].scan(selected_fields=("doc_id", "text")).to_df(), "text", "doc_id"
     )
-    return quality_deciles(q, "quality", "doc_id")
+    return quality_deciles(q, "quality", "doc_id", exact=True)
 
 
 def _q_text_repetition(spark, env):

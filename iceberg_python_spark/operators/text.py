@@ -456,23 +456,46 @@ def chunk_documents(
     )
 
 
-def quality_deciles(df: DataFrame, score_col: str, id_col: str, n_buckets: int = 10) -> DataFrame:
+def quality_deciles(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
     """Quantile-bucket a score column (curriculum / quality-mixture
     binning) WITHOUT a global sort: the naive ``ntile() over (order by
-    score)`` is one single-task window at any scale. Instead: one exact
-    ``percentile`` aggregate (map-side combinable) produces the
-    n_buckets-1 cut points, broadcast back as a 1-row frame, and the
-    bucket is the count of cut points strictly below the score —
-    deterministic, one narrow pass + one tiny broadcast join.
+    score)`` is one single-task window at any scale. Instead: one
+    quantile aggregate (map-side combinable) produces the n_buckets-1
+    cut points, broadcast back as a 1-row frame, and the bucket is the
+    count of cut points strictly below the score — deterministic, one
+    narrow pass + one tiny broadcast join.
 
-    Bucket populations are approximately equal (exact ntile guarantees
-    ±1; threshold binning puts boundary ties in the same bucket — the
-    correct behavior for curriculum weights, where equal scores should
-    never land in different bins). Returns (id, score, bucket 1..n)."""
+    The default cut-point aggregate is ``approx_percentile`` — a
+    Greenwald-Khanna sketch whose merged state is O(accuracy) REGARDLESS
+    of cardinality, so it is safe over continuous double scores (e.g.
+    LM perplexities) at any scale; each returned quantile q is an
+    element whose true rank is within n/accuracy of q·n (rank error
+    1/accuracy, default 0.01%), so bucket populations deviate from
+    n/n_buckets by at most that fraction. ``exact=True`` switches to
+    Spark's exact ``percentile``, whose aggregation state is a
+    value→count map — O(distinct scores), unbounded on continuous
+    doubles — reserve it for modest-cardinality columns or oracle
+    comparisons that need reproducible cut points.
+
+    Bucket populations are approximately equal (threshold binning puts
+    boundary ties in the same bucket — the correct behavior for
+    curriculum weights, where equal scores should never land in
+    different bins). Returns (id, score, bucket 1..n)."""
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    th = df.agg(
-        F.expr(f"percentile({score_col}, array({','.join(str(p) for p in probs)}))").alias("_th")
+    arr = f"array({','.join(str(p) for p in probs)})"
+    fn = (
+        f"percentile({score_col}, {arr})"
+        if exact
+        else f"approx_percentile({score_col}, {arr}, {accuracy})"
     )
+    th = df.agg(F.expr(fn).alias("_th"))
     bucket = F.lit(1)
     for i in range(len(probs)):
         bucket = bucket + F.when(F.col(score_col) > F.col("_th")[i], 1).otherwise(0)

@@ -729,3 +729,17 @@ def test_quality_deciles(spark):
     assert sizes[0] >= 50 and sizes[-1] <= 200  # roughly balanced
     plan = quality_deciles(df, "s", "id")._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, "decile binning must not use a global-order window"
+
+    # default mode is the bounded-state GK sketch (safe on continuous
+    # scores at scale); exact=True switches to the value->count
+    # percentile aggregate (interpolated cut points, for oracle rows)
+    approx_plan = quality_deciles(df, "s", "id")._jdf.queryExecution().analyzed().toString()
+    assert "approx_percentile" in approx_plan
+    exact_plan = quality_deciles(df, "s", "id", exact=True)._jdf.queryExecution().analyzed().toString()
+    assert "percentile" in exact_plan and "approx_percentile" not in exact_plan
+    exact_rows = quality_deciles(df, "s", "id", exact=True).collect()
+    exact_sizes = {}
+    for r in exact_rows:
+        exact_sizes[r.bucket] = exact_sizes.get(r.bucket, 0) + 1
+    assert set(exact_sizes) == set(range(1, 11))
+    assert min(exact_sizes.values()) >= 50 and max(exact_sizes.values()) <= 200
