@@ -46,8 +46,8 @@ from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
 )
 
 
@@ -115,18 +115,22 @@ def _appended_files_between(meta, from_id: Optional[int], to_id: Optional[int]) 
 
     chain = [s for s in _ancestor_chain(meta, from_id, to_id) if s.operation == Operation.APPEND]
     schema = meta.schema()
-    wanted = {s.snapshot_id for s in chain}
     paths: List[str] = []
+    # Attribute each manifest to exactly ONE snapshot (the one that
+    # added it): a manifest carried forward into a later snapshot's
+    # manifest list still has its original added_snapshot_id and ADDED
+    # entries, so filtering against the whole chain would double-count
+    # files whenever the range spans multiple appends (backfill/restart).
     for s in chain:
         for m in read_manifest_list(s.manifest_list, meta.spec_by_id, schema):
-            if m.get("added_snapshot_id") not in wanted:
+            if m.get("added_snapshot_id") != s.snapshot_id:
                 continue
             spec = meta.spec_by_id(m["spec_id"])
             for e in read_manifest(m["manifest_path"], schema, spec, manifest=m):
                 d = e["data_file"]
                 if (
                     e["status"] == STATUS_ADDED
-                    and e["snapshot_id"] in wanted
+                    and e["snapshot_id"] == s.snapshot_id
                     and d.get("content", CONTENT_DATA) == CONTENT_DATA
                 ):
                     paths.append(d["file_path"])
@@ -189,10 +193,17 @@ class IcebergBatchReader(DataSourceReader):
         return _arrow_batches_for_file(partition.path, self._field_names)
 
 
-class IcebergStreamReader(SimpleDataSourceStreamReader):
-    """Structured Streaming source over append snapshots. Offset =
-    {"snapshot_id": id} (-1 = before the first snapshot); each batch is
-    the rows appended between two offsets."""
+class IcebergStreamReader(DataSourceStreamReader):
+    """Structured Streaming source over append snapshots, PARTITIONED:
+    offset = {"snapshot_id": id} (-1 = before the first snapshot), each
+    micro-batch covers the snapshots in (start, end], and
+    ``partitions(start, end)`` returns one InputPartition per data file
+    appended in that range. Only the manifest walk happens driver-side
+    (metadata-scale); the rows themselves are read by executor Python
+    workers as Arrow record batches — a large backfill batch (first
+    batch = every existing append) therefore fans out across the
+    cluster instead of materializing on the driver, matching the batch
+    reader's shape."""
 
     def __init__(self, options: Dict[str, str]):
         self.options = dict(options)
@@ -204,33 +215,25 @@ class IcebergStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"snapshot_id": self._start}
 
-    def _rows_between(self, from_id: Optional[int], to_id: Optional[int]) -> List[Tuple]:
-        # a LIST, not a generator: Spark's prefetch cache copies the
-        # returned rows between planning and execution
-        meta = _load_metadata(self.options)
-        rows: List[Tuple] = []
-        for path in _appended_files_between(meta, from_id, to_id):
-            for batch in _arrow_batches_for_file(path, self._field_names):
-                for row in batch.to_pylist():
-                    rows.append(tuple(row[name] for name in self._field_names))
-        return rows
-
-    def read(self, start: dict):
-        # contract: return (ITERATOR, next_offset); the runner both
-        # next()s and copy.copy()s it, so a list_iterator (materialized
-        # rows) is the right shape — a generator is not copyable
+    def latestOffset(self) -> dict:
         meta = _load_metadata(self.options)
         current = meta.current_snapshot_id
-        start_id = start.get("snapshot_id", -1)
-        if current is None or current == start_id:
-            return iter([]), dict(start)
-        from_id = None if start_id == -1 else start_id
-        return iter(self._rows_between(from_id, current)), {"snapshot_id": current}
+        return {"snapshot_id": self._start if current is None else current}
 
-    def readBetweenOffsets(self, start: dict, end: dict):
+    def partitions(self, start: dict, end: dict) -> List[InputPartition]:
         start_id = start.get("snapshot_id", -1)
         from_id = None if start_id == -1 else start_id
-        return iter(self._rows_between(from_id, end.get("snapshot_id")))
+        meta = _load_metadata(self.options)
+        paths = _appended_files_between(meta, from_id, end.get("snapshot_id"))
+        # Spark requires >=1 partition per planned batch (an equal
+        # start/end replay plans an empty range): a sentinel empty
+        # partition yields zero rows
+        return [_FilePartition(p) for p in paths] or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return iter(())
+        return _arrow_batches_for_file(partition.path, self._field_names)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the query checkpoint
@@ -254,7 +257,7 @@ class IcebergDataSource(DataSource):
     def reader(self, schema) -> IcebergBatchReader:
         return IcebergBatchReader(self.options)
 
-    def simpleStreamReader(self, schema) -> IcebergStreamReader:
+    def streamReader(self, schema) -> IcebergStreamReader:
         return IcebergStreamReader(self.options)
 
 

@@ -120,3 +120,60 @@ def test_stream_starting_snapshot(cat, spark, tmp_path):
     finally:
         q.stop()
     assert rows == [4, 5, 6]
+
+
+def test_stream_partitioned_multifile(cat, spark, tmp_path):
+    """The stream reader is PARTITIONED: partitions(start, end) plans
+    one InputPartition per appended data file (rows read executor-side
+    as Arrow batches, no driver materialization) and the streamed rows
+    over a multi-file append history equal the batch read."""
+    import pyarrow as pa
+
+    from iceberg_python_spark.spark_datasource import IcebergStreamReader
+
+    register_data_source(spark)
+    df = spark.range(0, 40).repartition(4).withColumn("v", F.col("id") * 2)
+    t = cat.create_table("db.src_part_stream", schema_from_spark(df.schema))
+    t.append(df)
+    t.append(spark.range(40, 60).repartition(2).withColumn("v", F.col("id") * 2))
+
+    # planning level: one partition per file across both appends
+    r = IcebergStreamReader({"table_location": t.location})
+    start, end = r.initialOffset(), r.latestOffset()
+    parts = r.partitions(start, end)
+    n_files = sum(1 for _ in t.inspect.files().collect())
+    assert len(parts) == n_files >= 6
+    assert all(p.path for p in parts)
+    batches = list(r.read(parts[0]))
+    assert batches and isinstance(batches[0], pa.RecordBatch)
+    # an equal-offset replay range plans the zero-row sentinel
+    assert [p.path for p in r.partitions(end, end)] == [""]
+
+    # end-to-end: streamed rows == batch-format rows
+    stream = (
+        spark.readStream.format("iceberg_python_spark")
+        .option("table_location", t.location)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dsrc_part_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and spark.sql("SELECT count(*) c FROM dsrc_part_out").first().c < 60:
+            time.sleep(0.5)
+        stream_rows = sorted((x.id, x.v) for x in spark.sql("SELECT id, v FROM dsrc_part_out").collect())
+    finally:
+        q.stop()
+    batch_rows = sorted(
+        (x.id, x.v)
+        for x in spark.read.format("iceberg_python_spark")
+        .option("table_location", t.location)
+        .load()
+        .collect()
+    )
+    assert stream_rows == batch_rows and len(stream_rows) == 60
