@@ -88,15 +88,56 @@ def _spark_or_none(spark=None):
     return SparkSession.getActiveSession()
 
 
+# Schemes pyarrow.fs resolves natively without any JVM connector:
+# GcsFileSystem (gs) and AzureFileSystem (abfs/abfss). For these the
+# pure-Python route is taken even with an ACTIVE SparkSession whenever
+# the JVM lacks the connector (gcs-connector / hadoop-azure not on the
+# classpath — the common slim-client install), mirroring what
+# _use_boto3 does for S3. This is the reference io/fsspec.py:428 role:
+# the driver-side metadata plane (StaticTable, catalog commits, GC)
+# works on gs:// and abfs:// with no Hadoop filesystem at all.
+_PYARROW_SCHEMES = ("gs", "gcs", "abfs", "abfss")
+
+# scheme -> pyarrow FileSystem override (tests mount a SubTreeFileSystem
+# as a fake bucket store; production can inject a configured
+# GcsFileSystem/AzureFileSystem with explicit credentials)
+_fs_overrides: dict = {}
+
+
+def register_filesystem(scheme: str, fs) -> None:
+    """Route ``scheme://bucket/key`` paths through an explicit pyarrow
+    FileSystem (fs path = ``bucket/key``). Pass None to unregister."""
+    if fs is None:
+        _fs_overrides.pop(scheme, None)
+    else:
+        _fs_overrides[scheme] = fs
+
+
 def _pa_fs(path: str):
     """(pyarrow FileSystem, fs-relative path) for a remote URI — the
-    pure-Python fallback used when no SparkSession is active. Raises the
-    pyarrow error for schemes it can't resolve (informative: names the
-    scheme and the missing driver)."""
+    pure-Python route. Registered overrides win; otherwise
+    FileSystem.from_uri (raises informatively for unresolvable
+    schemes)."""
     from pyarrow import fs as pafs
 
+    scheme, _ = split_scheme(path)
+    if scheme in _fs_overrides:
+        return _fs_overrides[scheme], path.split("://", 1)[1]
     uri = path.replace("s3a://", "s3://", 1)
     return pafs.FileSystem.from_uri(uri)
+
+
+def _route_pyarrow(path: str, spark) -> bool:
+    """True when this path should take the pure-Python pyarrow.fs route
+    even though a SparkSession is active: an explicitly registered
+    filesystem always wins; gs/abfs go pure-Python when the JVM has no
+    connector for them."""
+    scheme, _ = split_scheme(path)
+    if scheme in _fs_overrides:
+        return True
+    if scheme not in _PYARROW_SCHEMES:
+        return False
+    return spark is None or not _jvm_handles(spark, scheme)
 
 
 # -- boto3 S3 adapter ---------------------------------------------------------
@@ -185,7 +226,7 @@ def list_files(root: str, suffix: str = ".parquet", spark=None) -> List[str]:
                 if obj["Key"].endswith(suffix):
                     out.append(f"{scheme}://{bucket}/{obj['Key']}")
         return out
-    if spark is None:
+    if spark is None or _route_pyarrow(root, spark):
         from pyarrow import fs as pafs
 
         fs, rel = _pa_fs(root)
@@ -220,7 +261,7 @@ def file_size(path: str, spark=None) -> int:
     if _use_boto3(path, spark):
         bucket, key = _s3_split(path)
         return _boto3_s3().head_object(Bucket=bucket, Key=key)["ContentLength"]
-    if spark is None:
+    if spark is None or _route_pyarrow(path, spark):
         fs, rel = _pa_fs(path)
         return fs.get_file_info(rel).size
     fs, jpath, _ = _hadoop_fs(spark, path)
@@ -241,7 +282,7 @@ def exists(path: str, spark=None) -> bool:
             # also a directory-ish prefix probe (warehouse roots)
             resp = s3.list_objects_v2(Bucket=bucket, Prefix=key.rstrip("/") + "/", MaxKeys=1)
             return resp.get("KeyCount", 0) > 0
-    if spark is None:
+    if spark is None or _route_pyarrow(path, spark):
         from pyarrow import fs as pafs
 
         fs, rel = _pa_fs(path)
@@ -268,7 +309,7 @@ def remove(path: str, spark=None) -> bool:
             return False
         s3.delete_object(Bucket=bucket, Key=key)
         return True
-    if spark is None:
+    if spark is None or _route_pyarrow(path, spark):
         fs, rel = _pa_fs(path)
         try:
             fs.delete_file(rel)
@@ -299,7 +340,7 @@ def remove_recursive(root: str, spark=None) -> None:
             if objs:
                 s3.delete_objects(Bucket=bucket, Delete={"Objects": objs})
         return
-    if spark is None:
+    if spark is None or _route_pyarrow(root, spark):
         fs, rel = _pa_fs(root)
         try:
             fs.delete_dir(rel)
@@ -330,7 +371,7 @@ def rename(src: str, dst: str, spark=None) -> None:
         s3.copy_object(Bucket=db, Key=dk, CopySource={"Bucket": sb, "Key": sk})
         s3.delete_object(Bucket=sb, Key=sk)
         return
-    if spark is None:
+    if spark is None or (_route_pyarrow(src, spark) and _route_pyarrow(dst, spark)):
         fs, rel_src = _pa_fs(src)
         _fs2, rel_dst = _pa_fs(dst)
         parent = rel_dst.rsplit("/", 1)[0]
@@ -355,7 +396,7 @@ def read_bytes(path: str, spark=None) -> bytes:
     if _use_boto3(path, spark):
         bucket, key = _s3_split(path)
         return _boto3_s3().get_object(Bucket=bucket, Key=key)["Body"].read()
-    if spark is None:
+    if spark is None or _route_pyarrow(path, spark):
         fs, rel = _pa_fs(path)
         with fs.open_input_file(rel) as f:
             return f.read()
@@ -387,7 +428,7 @@ def write_bytes(path: str, data: bytes, spark=None) -> None:
         # have no directories to create
         _boto3_s3().put_object(Bucket=bucket, Key=key, Body=data)
         return
-    if spark is None:
+    if spark is None or _route_pyarrow(path, spark):
         fs, rel = _pa_fs(path)
         parent = rel.rsplit("/", 1)[0]
         if parent:

@@ -198,3 +198,68 @@ def test_metadata_plane_on_s3_via_moto(spark, tmp_path, monkeypatch):
         rt = TableMetadata.read(loc)
         assert rt.location == "s3://meta-bucket/wh/db/t"
         assert [f.name for f in rt.schema().fields] == ["id", "v"]
+
+
+@pytest.fixture()
+def gs_store(tmp_path):
+    """A fake GCS: pyarrow SubTreeFileSystem rooted at tmp_path mounted
+    as the gs:// filesystem (register_filesystem) — every fileio call on
+    gs://bucket/key resolves to tmp_path/bucket/key through REAL
+    pyarrow.fs calls, never the JVM."""
+    from pyarrow import fs as pafs
+
+    root = tmp_path / "gcs"
+    (root / "meta-bucket").mkdir(parents=True)
+    fileio.register_filesystem("gs", pafs.SubTreeFileSystem(str(root), pafs.LocalFileSystem()))
+    yield root
+    fileio.register_filesystem("gs", None)
+
+
+def test_gs_route_primitives(spark, gs_store):
+    """gs:// takes the pure-Python pyarrow route even with an ACTIVE
+    SparkSession: write/read/list/size/rename/remove round-trip without
+    spark._jvm (no GCS Hadoop connector exists in this JVM)."""
+    p = "gs://meta-bucket/wh/db/t/metadata/v1.metadata.json"
+    assert fileio._route_pyarrow(p, spark)
+    fileio.write_bytes(p, b'{"x": 1}', spark)
+    assert fileio.exists(p, spark)
+    assert fileio.read_bytes(p, spark) == b'{"x": 1}'
+    assert fileio.file_size(p, spark) == 8
+    listed = fileio.list_files("gs://meta-bucket/wh", suffix=".json", spark=spark)
+    assert listed == [p]
+    dst = "gs://meta-bucket/wh/db/t/metadata/v2.metadata.json"
+    fileio.rename(p, dst, spark)
+    assert not fileio.exists(p, spark) and fileio.exists(dst, spark)
+    assert fileio.remove(dst, spark) and not fileio.remove(dst, spark)
+    fileio.write_bytes(p, b"gc", spark)
+    fileio.remove_recursive("gs://meta-bucket/wh", spark)
+    assert not fileio.exists(p, spark)
+
+
+def test_gs_metadata_plane_and_catalog_commit(spark, gs_store, tmp_path):
+    """The reference io/fsspec.py:428 role for GCS/ADLS: table metadata
+    lives on gs://, and BOTH halves of the plane work with no JVM
+    filesystem — StaticTable-style metadata read-back, and a catalog
+    register -> load -> commit (set_properties) round-trip whose new
+    metadata JSON lands on gs:// through the pure-Python route."""
+    import iceberg_python_spark as ips
+    from iceberg_python_spark.partitioning import UNPARTITIONED
+    from iceberg_python_spark.table.metadata import TableMetadata, new_table_metadata
+    from pyspark.sql import functions as F
+
+    df = spark.range(5).withColumn("v", F.col("id") * 2)
+    schema = schema_from_spark(df.schema)
+    md = new_table_metadata(schema, UNPARTITIONED, "gs://meta-bucket/wh/db/t", None, None)
+    loc = "gs://meta-bucket/wh/db/t/metadata/00001-abc.metadata.json"
+    md.write(loc)
+    rt = TableMetadata.read(loc)
+    assert rt.location == "gs://meta-bucket/wh/db/t"
+    assert [f.name for f in rt.schema().fields] == ["id", "v"]
+
+    cat = ips.SqliteCatalog("gscat", str(tmp_path / "wh"), spark)
+    t = cat.register_table("db.gs_t", loc)
+    t.set_properties({"owner": "metadata-plane"})
+    t.refresh()
+    assert t.metadata.properties["owner"] == "metadata-plane"
+    assert t.metadata_location.startswith("gs://meta-bucket/wh/db/t/metadata/")
+    assert TableMetadata.read(t.metadata_location).properties["owner"] == "metadata-plane"
