@@ -763,6 +763,36 @@ class Table:
             raise NotImplementedError("bodo is not installed in this environment") from e
         return bd.from_pandas(self.to_pandas())
 
+    def to_datafusion(self, ctx, name: Optional[str] = None):
+        """Register this table's current snapshot in a DataFusion
+        SessionContext and return the resulting DataFusion DataFrame
+        (reference table/__init__.py:1735 exposes the same engine via
+        ``__datafusion_table_provider__``). The data is handed over as
+        Arrow record batches — a materializing export like ``to_daft``/
+        ``to_bodo``, suitable for metadata-scale and post-filter
+        results, not a lazy 100 TB scan."""
+        try:
+            import datafusion  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError("datafusion is not installed in this environment") from e
+        name = name or self.name.replace(".", "_")
+        ctx.register_record_batches(name, [self.to_arrow().to_batches()])
+        return ctx.table(name)
+
+    def __datafusion_table_provider__(self, session=None):
+        """The DataFusion FFI TableProvider contract (reference
+        table/__init__.py:1735: DataFusion's ``register_table`` probes
+        for this method and expects a PyCapsule wrapping a Rust FFI
+        provider with pushdown). A conforming capsule can only come
+        from a native extension (the reference gets it from its Rust
+        core via ``datafusion.IcebergDataFusionTable``); a pure-Python
+        engine cannot fabricate one, so this raises and points at
+        ``to_datafusion`` (Arrow-materializing, no capsule needed)."""
+        raise NotImplementedError(
+            "FFI TableProvider capsules require a native DataFusion provider; "
+            "use Table.to_datafusion(ctx) to register this table via Arrow"
+        )
+
     # -- plumbing shared with Transaction -------------------------------------
     def _live_manifests(self, snapshot: Optional[Snapshot]) -> List[Dict[str, Any]]:
         if snapshot is None:

@@ -211,3 +211,76 @@ def test_load_catalog_factory_aws(spark, tmp_path):
 def test_views_not_supported(cat):
     with pytest.raises(NotImplementedError):
         cat.create_view("db.v", "SELECT 1")
+
+
+def test_pointer_cas_torture(cat, spark):
+    """N writers race the raw pointer CAS across 20+ rounds: exactly one
+    winner per round (service-side conditional update — Glue VersionId,
+    DynamoDB conditional put), every loser raises CommitFailedException,
+    and after all rounds the pointer is the chain of winners with no
+    lost update. This is the interleaving the pairwise
+    test_commit_cas_and_refresh can't produce."""
+    from iceberg_python_spark.io import fileio
+
+    t = _mk(cat, spark)
+
+    if isinstance(cat, GlueCatalog):
+        # moto's update_table IGNORES VersionId (moto/glue/models.py
+        # update_table takes none), so the service-side half of the CAS
+        # is a no-op under the mock and two racers could both "win".
+        # Shim the DOCUMENTED Glue semantics at the client boundary:
+        # UpdateTable with a stale VersionId raises
+        # ConcurrentModificationException. DynamoDB runs unshimmed —
+        # moto enforces ConditionExpression correctly.
+        real_update, real_get = cat.glue.update_table, cat.glue.get_table
+        service_lock = threading.Lock()
+
+        def guarded_update(DatabaseName, TableInput, VersionId=None, **kw):
+            with service_lock:
+                if VersionId is not None:
+                    cur = real_get(DatabaseName=DatabaseName, Name=TableInput["Name"])["Table"].get("VersionId")
+                    if cur != VersionId:
+                        raise cat.glue.exceptions.ConcurrentModificationException(
+                            {"Error": {"Code": "ConcurrentModificationException",
+                                       "Message": f"version {VersionId} is stale (current {cur})"}},
+                            "UpdateTable",
+                        )
+                return real_update(DatabaseName=DatabaseName, TableInput=TableInput, **kw)
+
+        cat.glue.update_table = guarded_update
+
+    base_bytes = fileio.read_bytes(t.metadata_location, spark)
+    meta_dir = t.metadata_location.rsplit("/", 1)[0]
+    N, R = 5, 20
+    winners = []
+    for rnd in range(R):
+        expected = cat._pointer_get("db", "t")
+        proposals = {}
+        for i in range(N):
+            loc = f"{meta_dir}/torture-r{rnd}-w{i}.metadata.json"
+            fileio.write_bytes(loc, base_bytes, spark)
+            proposals[i] = loc
+        outcomes = {}
+        barrier = threading.Barrier(N)
+
+        def worker(i):
+            barrier.wait()
+            try:
+                cat._pointer_cas("db", "t", expected, proposals[i])
+                outcomes[i] = "won"
+            except CommitFailedException:
+                outcomes[i] = "lost"
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(N)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        won = [i for i, o in outcomes.items() if o == "won"]
+        assert len(won) == 1, f"round {rnd}: winners {won}, outcomes {outcomes}"
+        assert sorted(outcomes.values()) == ["lost"] * (N - 1) + ["won"]
+        current = cat._pointer_get("db", "t")
+        assert current == proposals[won[0]], f"round {rnd}: lost update"
+        winners.append(won[0])
+    # the table still loads from the final pointer
+    assert cat.load_table("db.t").scan().to_df().count() == 10

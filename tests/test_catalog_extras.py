@@ -214,6 +214,16 @@ def test_export_connectors_gated(catalog, spark):
         if not installed:
             with _pytest.raises(NotImplementedError):
                 getattr(t, name)()
+    # DataFusion (reference table/__init__.py:1735): to_datafusion is
+    # import-gated like the others; the FFI capsule dunder always raises
+    # in a pure-Python engine and names the Arrow-based alternative
+    try:
+        import datafusion  # noqa: F401
+    except ImportError:
+        with _pytest.raises(NotImplementedError):
+            t.to_datafusion(None)
+    with _pytest.raises(NotImplementedError, match="to_datafusion"):
+        t.__datafusion_table_provider__()
 
 
 def test_catalog_sql_surface(spark, tmp_path):
