@@ -39,15 +39,23 @@ def with_ngram_shingles(df: DataFrame, text_col: str, n: int = 3, out: str = "sh
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Keep the lowest-id row per exact content digest.
 
-    One shuffle (groupBy digest) + a semi-join back; at scale the digest
-    groupBy is the canonical map-side-combinable pattern."""
+    ONE exchange, skew-immune: ``min_by(struct(row), id)`` under a
+    digest groupBy is partially aggregated map-side, so each map task
+    ships at most one row per distinct digest — a mega-duplicated
+    boilerplate digest (empty docs, license headers) collapses before
+    the shuffle instead of landing every copy in one reduce task (the
+    row_number-window shape's failure mode). The old groupBy-then-
+    semi-join shape was also skew-safe but cost three exchanges moving
+    the same full-row payload; at 100 TB the keep set is far past
+    broadcast size, so that join cannot go BHJ either."""
     digest = F.md5(F.col(content_col).cast("string"))
-    keep = (
-        df.select(F.col(id_col), digest.alias("_digest"))
+    row = F.struct(*[F.col(c) for c in df.columns])
+    kept = (
+        df.withColumn("_digest", digest)
         .groupBy("_digest")
-        .agg(F.min(id_col).alias(id_col))
+        .agg(F.min_by(row, F.col(id_col)).alias("_row"))
     )
-    return df.join(keep, on=id_col, how="left_semi")
+    return kept.select(*[F.col(f"_row.{c}").alias(c) for c in df.columns])
 
 
 def normalized_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -29,6 +29,13 @@ def test_exact_dedup(docs):
 
     out = exact_dedup(docs, "text", "doc_id")
     assert sorted(r.doc_id for r in out.collect()) == [1, 3, 4, 5]
+    # plan shape: ONE exchange (on the digest) with a map-side
+    # partial_min_by — no join back, no window, and hot digests collapse
+    # before the shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1 and "partial_min_by" in final
+    assert "Join" not in final and "Window" not in final
 
 
 def test_normalized_dedup(docs):
