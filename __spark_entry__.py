@@ -1761,6 +1761,60 @@ def _q_changelog_scan(spark, env):
     )
 
 
+def _q_dataset_split(spark, env):
+    # Content-stable train/val/test assignment: split = pure function of
+    # md5(doc_id), so rows never migrate as the corpus grows and any
+    # engine reproduces the assignment bit-for-bit (the oracle recomputes
+    # it in DuckDB from the same thresholds). Narrow projection: no
+    # shuffle, evaluated at scan time.
+    from iceberg_python_spark.operators.sampling import dataset_split
+
+    docs = env["documents"].scan(selected_fields=("doc_id",)).to_df()
+    return dataset_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+def _q_dedup_substring_spans(spark, env):
+    # Exact duplicated-substring stats (Lee et al. 2022 signal): per doc,
+    # k-gram starts whose gram appears in ANOTHER doc + union token
+    # coverage of those windows (gaps-and-islands merge).
+    from iceberg_python_spark.operators.dedup import duplicated_span_stats
+
+    return duplicated_span_stats(
+        env["docs_dup"].scan(selected_fields=("doc_id", "text")).to_df(), "doc_id", "text", k=8
+    )
+
+
+def _q_text_token_sketch(spark, env):
+    # Bounded-state corpus stats: HLL++ distinct-token cardinality per
+    # source. The row cross-checks the sketch against the exact count at
+    # test scale (both computed here; the oracle recomputes the exact
+    # side and pins the <=5% relative-error claim).
+    from iceberg_python_spark.operators.text import source_token_sketch
+
+    docs = env["documents"].scan(selected_fields=("doc_id", "text", "source")).to_df()
+    sk = source_token_sketch(docs, "text", "source")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " ")), r"\s+"
+    )
+    exact = (
+        docs.select(F.col("source"), F.explode(toks).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("source")
+        .agg(F.countDistinct("tok").cast("long").alias("exact_distinct"))
+    )
+    return sk.join(exact, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct_tokens") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= 0.05
+        ).alias("sketch_within_5pct"),
+    )
+
+
 def _q_spark_datasource_scan(spark, env):
     # Native Python DataSource batch read of an existing scenario table:
     # spark.read.format("iceberg_python_spark") plans one InputPartition
@@ -1817,16 +1871,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle-side cast, fixed), quality_deciles and text_lm_perplexity
     # (both changed this round), then the r06-greened text/dedup/ANN/
     # events family (2 rounds old, the rotation edge), and the r07
-    # §2.12 invariant/ORC/chunking/mixture rows to the window edge.
-    # Behind the window: TPC-H (fresh r07), the agg/window/set-op and
-    # core-engine slices (fresh r07), and the raw approximate outputs
-    # (no oracle by design — pinned by the in-window invariant rows).
+    # §2.12 invariant/ORC rows to the window edge (slot 50 =
+    # orc_write_scan). Behind the window: chunking/mixture (fresh r07),
+    # TPC-H (fresh r07), the agg/window/set-op and core-engine slices
+    # (fresh r07), and the raw approximate outputs (no oracle by
+    # design — pinned by the in-window invariant rows).
     return {
         name: wrap(fn)
         for name, fn in {
-            # --- new this round (slots 1-2) ---
+            # --- new this round (slots 1-5) ---
             "spark_datasource_scan": _q_spark_datasource_scan,
             "changelog_schema_evolution": _q_changelog_schema_evolution,
+            "dataset_split": _q_dataset_split,
+            "dedup_substring_spans": _q_dedup_substring_spans,
+            "text_token_sketch": _q_text_token_sketch,
             # --- starving rows, now fully oracled (3-7) ---
             "meta_partition_stats": _q_meta_partition_stats,
             "meta_snapshots": _q_meta_snapshots,
@@ -1963,6 +2021,8 @@ def _neardup_clusters_oracle(docs_dup_cte: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from iceberg_python_spark.operators.sampling import rate_to_hex_threshold as _r2h
+
     docs_dup_cte = (
         "WITH docs_dup AS ("
         "SELECT * FROM documents "
@@ -2036,6 +2096,43 @@ def oracle_sql() -> dict[str, str]:
             "FROM nation WHERE NOT (n_regionkey = 2)"
         ),
         "spark_datasource_scan": "SELECT * FROM part",
+        "dataset_split": (
+            # thresholds are the engine's own rate_to_hex_threshold values
+            # (cumulative over sorted labels test=0.1, train=0.8, val=0.1)
+            "SELECT doc_id, CASE "
+            f"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_r2h(0.1)}' THEN 'test' "
+            f"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_r2h(0.9)}' THEN 'train' "
+            "ELSE 'val' END AS split FROM documents"
+        ),
+        "dedup_substring_spans": (
+            f"{docs_dup_cte}, "
+            "tk AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), "
+            "'[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS toks FROM docs_dup), "
+            "base AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 8), "
+            "grams AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram "
+            "FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i FROM base)), "
+            "cross_doc AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id)), "
+            "dup AS (SELECT doc_id, pos FROM grams WHERE gram IN (SELECT gram FROM cross_doc)), "
+            "m AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 AS prev_end FROM dup), "
+            "i2 AS (SELECT doc_id, pos, CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS ni FROM m), "
+            "g2 AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i2), "
+            "isl AS (SELECT doc_id, island, max(pos) + 8 - min(pos) AS len FROM g2 GROUP BY doc_id, island), "
+            "cov AS (SELECT doc_id, sum(len) AS covered FROM isl GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY doc_id), "
+            "dcnt AS (SELECT doc_id, count(*) AS nd FROM dup GROUP BY doc_id) "
+            "SELECT t.doc_id, t.n_grams, CAST(COALESCE(d.nd, 0) AS BIGINT) AS n_dup_grams, "
+            "CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens "
+            "FROM tot t LEFT JOIN dcnt d USING (doc_id) LEFT JOIN cov c USING (doc_id)"
+        ),
+        "text_token_sketch": (
+            "WITH t AS (SELECT source, unnest(regexp_split_to_array(trim(regexp_replace(lower(text), "
+            "'[^a-z0-9\\s]', ' ', 'g')), '\\s+')) AS tok FROM documents), "
+            "agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct FROM t WHERE tok <> '' GROUP BY source), "
+            "d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source) "
+            "SELECT d.source, d.n_docs, agg.n_tokens, agg.exact_distinct, true AS sketch_within_5pct "
+            "FROM d JOIN agg USING (source)"
+        ),
         "changelog_schema_evolution": (
             "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
             "o_orderpriority AS priority, CAST(NULL AS VARCHAR) AS note, "

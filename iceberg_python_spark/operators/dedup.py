@@ -503,3 +503,75 @@ def connected_components(
             "raise max_iter for long-chain graphs (or pre-contract with union-find)"
         )
     return labels.select(F.col("node"), F.col("lbl").alias("component_id"))
+
+
+def duplicated_span_stats(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
+    """Exact duplicated-substring signal (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" metric,
+    token-granular): per document, how much of it is covered by k-token
+    grams that ALSO appear in another document.
+
+    Spark shape, all built-ins:
+    - tokenize + posexplode the k-gram starts (narrow, O(tokens)/doc);
+    - groupBy(gram) with min(id)/max(id) — a gram is cross-document iff
+      min != max, O(1) aggregation state and map-side combinable (no
+      count-distinct sketch needed);
+    - semi-join the gram stream against the cross-doc grams (uniform
+      hash keys), then a per-doc gaps-and-islands pass merges the
+      overlapping [pos, pos+k) windows: with constant width, the
+      previous row's end is lag(pos)+k, so island starts are a lag
+      compare and coverage is sum(island_end - island_start).
+
+    At 100 TB every shuffle is keyed on gram text or doc id (uniform);
+    per-doc window state is bounded by positions-per-doc. Returns
+    (id, n_grams, n_dup_grams, covered_tokens) — covered_tokens is the
+    union length, so nested/overlapping duplicated windows never double
+    count."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("_toks")).where(F.size("_toks") >= k)
+    starts = F.sequence(F.lit(0), F.size("_toks") - k)
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("_i", "pos"),
+        F.col("_toks"),
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.array_join(F.slice("_toks", F.col("pos") + 1, k), " ").alias("gram"),
+    )
+    cross_doc = (
+        grams.groupBy("gram")
+        .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+        .where(F.col("_lo") != F.col("_hi"))
+        .select("gram")
+    )
+    dup = grams.join(cross_doc, "gram", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        dup.withColumn("_prev_end", F.lag("pos").over(w) + k)
+        .withColumn(
+            "_new_island",
+            F.when(F.col("_prev_end").isNull() | (F.col("pos") > F.col("_prev_end")), 1).otherwise(0),
+        )
+        .withColumn("_island", F.sum("_new_island").over(w))
+        .groupBy(id_col, "_island")
+        .agg((F.max("pos") + k - F.min("pos")).alias("_len"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_len").cast("long").alias("covered_tokens"),
+        )
+    )
+    totals = grams.groupBy(id_col).agg(F.count("*").cast("long").alias("n_grams"))
+    dup_counts = dup.groupBy(id_col).agg(F.count("*").cast("long").alias("n_dup_grams"))
+    return (
+        totals.join(dup_counts, id_col, "left")
+        .join(islands, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+        )
+    )

@@ -58,3 +58,37 @@ def hash_stratified_sample(
     for value, rate in sorted(rates.items()):
         thr = F.when(F.col(strata_col) == value, F.lit(rate_to_hex_threshold(rate))).otherwise(thr)
     return df.where(hash_bucket(F.col(key_col), salt) < thr)
+
+
+def dataset_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: Mapping[str, float],
+    salt: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic, content-stable train/val/test assignment.
+
+    Each row's split is a pure function of ``md5(key || salt)`` compared
+    against cumulative hex thresholds, so the assignment is reproducible
+    across runs, engines and partitionings, stable when the corpus grows
+    (existing rows never migrate between splits), and consistent across
+    derived tables keyed the same way — the properties an RNG-based
+    ``randomSplit`` cannot give a 100 TB pipeline. The label is a narrow
+    projection: no shuffle, evaluated at scan time.
+
+    ``fractions`` maps label -> fraction; they must sum to 1 (±1e-9).
+    Labels are assigned in sorted order over ascending hash ranges."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(key_col), salt)
+    expr = None
+    cum = 0.0
+    labels = sorted(fractions)
+    for label in labels[:-1]:
+        cum += fractions[label]
+        cond = bucket < F.lit(rate_to_hex_threshold(cum))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last = F.lit(labels[-1])
+    return df.withColumn(out, last if expr is None else expr.otherwise(last))

@@ -503,3 +503,26 @@ def quality_deciles(
         df.crossJoin(F.broadcast(th))
         .select(F.col(id_col), F.col(score_col), bucket.cast("int").alias("bucket"))
     )
+
+
+def source_token_sketch(df: DataFrame, text_col: str, source_col: str, rsd: float = 0.02) -> DataFrame:
+    """Per-source corpus statistics with BOUNDED aggregation state:
+    token totals exactly (a sum), distinct-token cardinality via
+    ``approx_count_distinct`` (HyperLogLog++, state O(1/rsd^2) per
+    group REGARDLESS of cardinality — the only viable shape for
+    distinct counts over a 100 TB corpus, where an exact
+    count-distinct shuffles every distinct token). rsd is the target
+    relative standard deviation (default 2%).
+
+    Returns (source, n_docs, n_tokens, approx_distinct_tokens). The
+    oracle row pairs this with an exact DuckDB count at test scale and
+    pins the relative error."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")), r"\s+")
+    t = df.select(F.col(source_col).alias("source"), F.explode(toks).alias("tok")).where(F.col("tok") != "")
+    return t.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.approx_count_distinct("tok", rsd).alias("approx_distinct_tokens"),
+    ).join(
+        df.groupBy(F.col(source_col).alias("source")).agg(F.count("*").cast("long").alias("n_docs")),
+        "source",
+    ).select("source", "n_docs", "n_tokens", "approx_distinct_tokens")

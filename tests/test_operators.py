@@ -750,3 +750,82 @@ def test_quality_deciles(spark):
         exact_sizes[r.bucket] = exact_sizes.get(r.bucket, 0) + 1
     assert set(exact_sizes) == set(range(1, 11))
     assert min(exact_sizes.values()) >= 50 and max(exact_sizes.values()) <= 200
+
+
+def test_dataset_split(spark):
+    """Content-stable splits: exhaustive + disjoint by construction,
+    proportions near the requested fractions, assignment a pure function
+    of the key (stable under re-computation and corpus growth), and a
+    narrow no-shuffle plan."""
+    from iceberg_python_spark.operators.sampling import dataset_split
+
+    df = spark.range(5000).toDF("id")
+    out = dataset_split(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"} and sum(counts.values()) == 5000
+    assert 0.75 <= counts["train"] / 5000 <= 0.85
+    assert 0.07 <= counts["val"] / 5000 <= 0.13
+    # stability: recomputing on a subset gives identical labels
+    first = {r.id: r["split"] for r in out.where("id < 100").collect()}
+    again = {
+        r.id: r["split"]
+        for r in dataset_split(df.where("id < 100"), "id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    }
+    assert first == again
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="sum to 1"):
+        dataset_split(df, "id", {"a": 0.5, "b": 0.6})
+
+
+def test_duplicated_span_stats(spark):
+    """Known geometry: doc 1 and 2 share an 8-token run (one island each,
+    coverage 8+); doc 3 shares nothing; within-doc repetition alone does
+    not count as duplication."""
+    from iceberg_python_spark.operators.dedup import duplicated_span_stats
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"{shared} one two three four five six seven eight"),
+        (2, f"zero {shared} nine ten eleven twelve thirteen"),
+        (3, "совсем other words " + " ".join(f"w{i}" for i in range(12))),
+        (4, "rep rep rep rep rep rep rep rep rep rep"),  # self-repeat only
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in duplicated_span_stats(df, "doc_id", "text", k=8).collect()}
+    assert out[1].n_dup_grams == 1 and out[1].covered_tokens == 8
+    assert out[2].n_dup_grams == 1 and out[2].covered_tokens == 8
+    assert out[3].n_dup_grams == 0 and out[3].covered_tokens == 0
+    assert out[4].n_dup_grams == 0  # same-doc repeats are not cross-doc
+    # overlap merge: two docs sharing a 10-token run have 3 dup gram
+    # starts but coverage 10 (union, not 3*8)
+    long_shared = " ".join(f"s{i}" for i in range(10))
+    df2 = spark.createDataFrame(
+        [(1, long_shared + " tail1 tail2"), (2, "head1 " + long_shared)],
+        "doc_id: long, text: string",
+    )
+    out2 = {r.doc_id: r for r in duplicated_span_stats(df2, "doc_id", "text", k=8).collect()}
+    assert out2[1].n_dup_grams == 3 and out2[1].covered_tokens == 10
+    assert out2[2].n_dup_grams == 3 and out2[2].covered_tokens == 10
+
+
+def test_source_token_sketch(spark):
+    """HLL++ distinct-token estimates land within the rsd bound of exact
+    per-source counts; token totals are exact."""
+    from iceberg_python_spark.operators.text import source_token_sketch
+
+    rows = [(i, f"src{i % 3}", " ".join(f"tok{j} common" for j in range(i % 50 + 1))) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    out = {r.source: r for r in source_token_sketch(df, "text", "source").collect()}
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    exact = {
+        r.source: (r.nt, r.nd)
+        for r in df.select("source", F.explode(toks).alias("tok"))
+        .groupBy("source")
+        .agg(F.count("*").alias("nt"), F.countDistinct("tok").alias("nd"))
+        .collect()
+    }
+    for src, (nt, nd) in exact.items():
+        assert out[src].n_tokens == nt
+        assert abs(out[src].approx_distinct_tokens - nd) / nd <= 0.05
+        assert out[src].n_docs == 100
