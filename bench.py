@@ -23,6 +23,17 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
+    # Idle-host protocol (VERDICT r7: a run labeled uncontended carried
+    # loadavg ~7.9 and a 4.2x canary spread — moderate contention hides
+    # below the >2.5x canary trip): record the 1-minute loadavg at start,
+    # and optionally wait for the host to go idle first.
+    # SPARK_GRAFT_WAIT_IDLE=<seconds> caps the wait (0 = don't wait).
+    wait_budget = float(os.environ.get("SPARK_GRAFT_WAIT_IDLE", "0"))
+    deadline = time.time() + wait_budget
+    while os.getloadavg()[0] >= 1.0 and time.time() < deadline:
+        time.sleep(5)
+    loadavg_start = round(os.getloadavg()[0], 2)
+
     from pyspark.sql import SparkSession
 
     spark = (
@@ -114,6 +125,7 @@ def main() -> None:
         "load_sec": load_sec,
         "n_queries": len(times),
         "canary_sec": canary_samples,
+        "loadavg_start": loadavg_start,
         "loadavg_1m": loadavg,
         "contended": contended,
         "reps": reps,
@@ -134,7 +146,14 @@ def main() -> None:
             "sf": sf_val,
         }
         if extras:
-            payload.update({"load_sec": load_sec, "contended": contended, "detail": "BENCH_DETAIL.json"})
+            payload.update(
+                {
+                    "load_sec": load_sec,
+                    "contended": contended,
+                    "loadavg_start": loadavg_start,
+                    "detail": "BENCH_DETAIL.json",
+                }
+            )
         return json.dumps(payload, separators=(",", ":"))
 
     out = line_for(2, True)
