@@ -1852,7 +1852,8 @@ def _q_scan_limit(spark, env):
     # count, validated row-by-row against the table.
     out = env["lineitem"].scan(selected_fields=("l_orderkey",), limit=100).to_df()
     full = env["lineitem"].scan(selected_fields=("l_orderkey",)).to_df()
-    return out.join(full.distinct(), "l_orderkey", "semi").agg(
+    # semi join ignores right-side duplicates — no distinct needed
+    return out.join(full, "l_orderkey", "semi").agg(
         F.count("*").cast("long").alias("n_valid_rows")
     )
 
