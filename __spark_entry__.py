@@ -1761,6 +1761,78 @@ def _q_changelog_scan(spark, env):
     )
 
 
+def _q_mixture_temperature(spark, env):
+    # Temperature (alpha=0.5) mixture: budgets derived from the corpus's
+    # own per-source token totals via integer-exact sqrt weights, then
+    # the deterministic hash-order prefix selection. The oracle
+    # recomputes the SAME integer budget arithmetic in SQL (sqrt is
+    # IEEE-correctly-rounded, weights are floored to ints, the
+    # normalizer is an integer sum), so the row is hash-matchable.
+    from iceberg_python_spark.operators.packing import mixture_temperature
+
+    docs = env["documents"].scan(
+        selected_fields=("doc_id", "lang", "source", "n_chars", "text")
+    ).to_df()
+    return mixture_temperature(docs, "source", "doc_id", "text", 5000, alpha=0.5).select(
+        "doc_id", "lang", "source", "n_chars", "n_tokens"
+    )
+
+
+def _q_semantic_dedup_invariants(spark, env):
+    # SemDeDup invariants: (1) kept+dropped partition the corpus,
+    # (2) every dropped doc is an endpoint of a >=threshold cosine pair
+    # (precision — dropped docs really have a near-duplicate),
+    # (3) no within-cluster near-dup pair survives with BOTH endpoints
+    # kept (the within-cluster recall claim), (4) dedup drops a
+    # minority. Cluster assignment and pairs are recomputed with the
+    # same deterministic seed for the checks.
+    from iceberg_python_spark.operators.dedup import embedding_neardup_pairs
+    from iceberg_python_spark.operators.similarity import kmeans_cluster, semantic_dedup
+
+    base = env["embeddings"].scan().to_df()
+    # The synthetic embeddings carry no natural near-dups at 0.97, so
+    # the scenario injects exact copies (vec_id%10==0, shifted ids) —
+    # identical vectors land in the same k-means cell by construction,
+    # each copy pairs with its original at cosine 1.0, and CC keeps the
+    # lower id: the dropped set must be EXACTLY the injected copies.
+    copies = base.where("vec_id % 10 = 0").withColumn("vec_id", F.col("vec_id") + 100000)
+    emb = base.unionByName(copies)
+    kept = semantic_dedup(emb, "vec_id", "embedding", n_clusters=16, threshold=0.97)
+    kept_ids = kept.select("vec_id").localCheckpoint(eager=True)
+    clustered = kmeans_cluster(emb, "vec_id", "embedding", n_clusters=16)
+    pairs = embedding_neardup_pairs(clustered, "vec_id", "embedding", ["cluster"], 0.97)
+    pairs = pairs.localCheckpoint(eager=True)
+    dropped = emb.select("vec_id").join(kept_ids, "vec_id", "left_anti")
+    paired_ids = (
+        pairs.select(F.col("id_a").alias("vec_id"))
+        .union(pairs.select(F.col("id_b").alias("vec_id")))
+        .distinct()
+    )
+    nk = kept_ids.agg(F.count("*").alias("_nk"))
+    nd = dropped.agg(
+        F.count("*").alias("_nd"),
+        F.sum(F.when(F.col("vec_id") >= 100000, 0).otherwise(1)).alias("_nd_orig"),
+    )
+    ud = dropped.join(paired_ids, "vec_id", "left_anti").agg(F.count("*").alias("_ud"))
+    bk = (
+        pairs.join(kept_ids.withColumnRenamed("vec_id", "id_a"), "id_a", "semi")
+        .join(kept_ids.withColumnRenamed("vec_id", "id_b"), "id_b", "semi")
+        .agg(F.count("*").alias("_bk"))
+    )
+    return (
+        nk.crossJoin(nd)
+        .crossJoin(ud)
+        .crossJoin(bk)
+        .select(
+            (F.col("_nk") + F.col("_nd")).cast("long").alias("n_docs"),
+            F.col("_nd").cast("long").alias("n_dropped"),
+            (F.coalesce(F.col("_nd_orig"), F.lit(0)) == 0).alias("dropped_are_the_copies"),
+            (F.col("_ud") == 0).alias("dropped_all_have_neardup"),
+            (F.col("_bk") == 0).alias("within_cluster_pairs_resolved"),
+        )
+    )
+
+
 def _q_dataset_split(spark, env):
     # Content-stable train/val/test assignment: split = pure function of
     # md5(doc_id), so rows never migrate as the corpus grows and any
@@ -1886,6 +1958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dataset_split": _q_dataset_split,
             "dedup_substring_spans": _q_dedup_substring_spans,
             "text_token_sketch": _q_text_token_sketch,
+            "mixture_temperature": _q_mixture_temperature,
+            "semantic_dedup_invariants": _q_semantic_dedup_invariants,
             # --- starving rows, now fully oracled (3-7) ---
             "meta_partition_stats": _q_meta_partition_stats,
             "meta_snapshots": _q_meta_snapshots,
@@ -2124,6 +2198,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id, t.n_grams, CAST(COALESCE(d.nd, 0) AS BIGINT) AS n_dup_grams, "
             "CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens "
             "FROM tot t LEFT JOIN dcnt d USING (doc_id) LEFT JOIN cov c USING (doc_id)"
+        ),
+        "mixture_temperature": (
+            f"WITH t AS (SELECT doc_id, lang, source, n_chars, {_pack_mix_tokens_sql()} AS n_tokens, "
+            "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), "
+            "tot AS (SELECT source, SUM(n_tokens) AS n FROM t GROUP BY source), "
+            "w AS (SELECT source, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w FROM tot), "
+            "z AS (SELECT SUM(w) AS z FROM w), "
+            "b AS (SELECT w.source, (5000 * w.w) // z.z AS budget FROM w, z), "
+            "c AS (SELECT t.*, SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS cum_end FROM t) "
+            "SELECT c.doc_id, c.lang, c.source, c.n_chars, CAST(c.n_tokens AS BIGINT) AS n_tokens "
+            "FROM c JOIN b ON c.source = b.source WHERE c.cum_end - c.n_tokens < b.budget"
+        ),
+        "semantic_dedup_invariants": (
+            "SELECT CAST(count(*) + count(*) FILTER (WHERE vec_id % 10 = 0) AS BIGINT) AS n_docs, "
+            "CAST(count(*) FILTER (WHERE vec_id % 10 = 0) AS BIGINT) AS n_dropped, "
+            "true AS dropped_are_the_copies, true AS dropped_all_have_neardup, "
+            "true AS within_cluster_pairs_resolved FROM embeddings"
         ),
         "text_token_sketch": (
             "WITH t AS (SELECT source, unnest(regexp_split_to_array(trim(regexp_replace(lower(text), "

@@ -175,3 +175,63 @@ def mixture_sample(
     )
     drop = ["_h", "_bkt", "_cum_end", "_total", "_budget", "_n_full", "_rem"]
     return full.unionByName(partial).drop(*drop)
+
+
+def temperature_budgets(
+    totals: Mapping[str, int], total_token_budget: int, alpha: float = 0.5
+) -> dict:
+    """Per-stratum token budgets from temperature-scaled corpus sizes —
+    the multilingual/multi-source LM recipe (alpha-sampling, mBERT/XLM-R
+    style): p_i ∝ n_i^alpha, alpha<1 upweights small sources.
+
+    INTEGER-EXACT so any engine reproduces the budgets bit-for-bit:
+    weights are floor(n_i^alpha * 1e6) (for the default alpha=0.5,
+    sqrt is IEEE-correctly-rounded, so the weight is identical in
+    Python, the JVM and DuckDB; other alphas go through pow, whose last
+    ulp may differ across libms), the normalizer is an INTEGER sum
+    (associative — no float-order sensitivity), and each budget is the
+    integer division (B * w_i) // Z."""
+    import math
+
+    if not totals:
+        raise ValueError("totals must name at least one stratum")
+    weights = {
+        s: int(math.floor((math.sqrt(n) if alpha == 0.5 else float(n) ** alpha) * 1_000_000))
+        for s, n in totals.items()
+    }
+    z = sum(weights.values())
+    if z <= 0:
+        raise ValueError("all strata are empty")
+    return {s: (int(total_token_budget) * w) // z for s, w in weights.items()}
+
+
+def mixture_temperature(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    text_col: str,
+    total_token_budget: int,
+    alpha: float = 0.5,
+    salt: str = "",
+    allow_repeats: bool = False,
+) -> DataFrame:
+    """Temperature-based mixture: derive per-stratum budgets from the
+    corpus's own size distribution (``temperature_budgets``) and select
+    with the deterministic hash-order prefix of ``mixture_sample``.
+
+    The per-stratum totals are a strata-sized aggregate collected to the
+    driver (metadata scale — same stance as IVF centroid training); the
+    selection pass stays fully distributed. Inherits mixture_sample's
+    monotonicity: growing the budget only extends each stratum's
+    prefix."""
+    totals = {
+        r[strata_col]: r["_n"]
+        for r in _with_tokens(df, text_col)
+        .groupBy(strata_col)
+        .agg(F.sum("n_tokens").alias("_n"))
+        .collect()
+    }
+    budgets = temperature_budgets(totals, total_token_budget, alpha)
+    return mixture_sample(
+        df, strata_col, key_col, text_col, budgets, salt=salt, allow_repeats=allow_repeats
+    )

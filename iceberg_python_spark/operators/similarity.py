@@ -368,3 +368,60 @@ def pq_ann_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def kmeans_cluster(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 64,
+    sample_size: int = 20000,
+    iters: int = 10,
+    seed: int = 42,
+    out: str = "cluster",
+) -> DataFrame:
+    """Semantic clustering: spherical k-means centroids trained on a
+    deterministic corpus sample (the same driver-side training stance
+    every IVF/PQ index takes — centroids are metadata, the corpus pass
+    is what must scale), then ONE vectorized Arrow assignment pass
+    attaches the nearest-centroid id. No shuffle: the assignment is a
+    narrow projection against a broadcast centroid matrix."""
+    centroids = train_ivf_centroids(
+        df, vec_col, n_centroids=n_clusters, sample_size=sample_size, iters=iters, seed=seed
+    )
+    clustered = with_ivf_cell(df, vec_col, centroids, nprobe=1, out="_cells")
+    return clustered.withColumn(out, F.col("_cells")[0]).drop("_cells")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 64,
+    threshold: float = 0.95,
+    sample_size: int = 20000,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space near-duplicate
+    removal at corpus scale — cluster with k-means, find cosine
+    near-duplicate pairs WITHIN each cluster, keep the lowest-id doc of
+    every near-dup component.
+
+    The cluster id is the blocking key, so the quadratic pair join is
+    bounded per cluster (n/k docs on average) instead of n² — the whole
+    point of the SemDeDup recipe; cross-cluster near-dups are the
+    documented approximation. Composition of existing scale-shaped
+    pieces: kmeans_cluster (narrow assignment), embedding_neardup_pairs
+    (blocked self-join, JVM-side dot products), connected_components
+    (union-find / hash-min). Returns the kept rows of ``df``."""
+    from .dedup import connected_components, embedding_neardup_pairs
+
+    clustered = kmeans_cluster(
+        df, id_col, vec_col, n_clusters=n_clusters, sample_size=sample_size, seed=seed
+    )
+    pairs = embedding_neardup_pairs(clustered, id_col, vec_col, ["cluster"], threshold)
+    comps = connected_components(pairs)
+    drop = comps.where(F.col("node") != F.col("component_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -829,3 +829,53 @@ def test_source_token_sketch(spark):
         assert out[src].n_tokens == nt
         assert abs(out[src].approx_distinct_tokens - nd) / nd <= 0.05
         assert out[src].n_docs == 100
+
+
+def test_temperature_budgets_and_mixture(spark):
+    """alpha<1 flattens the size distribution: the small source gets a
+    larger budget share than its token share; budgets are integer-exact
+    and sum to <= the total; the selection is the mixture_sample prefix."""
+    from iceberg_python_spark.operators.packing import mixture_temperature, temperature_budgets
+
+    totals = {"big": 90000, "small": 10000}
+    b = temperature_budgets(totals, 10000, alpha=0.5)
+    assert sum(b.values()) <= 10000
+    # token shares: big 90%; sqrt weights: 300/(300+100) = 75%
+    assert b["big"] / 10000 < 0.80 and b["small"] / 10000 > 0.20
+    with pytest.raises(ValueError):
+        temperature_budgets({}, 100)
+
+    rows = [(i, "big" if i < 180 else "small", "tok " * 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    out = mixture_temperature(df, "source", "doc_id", "text", 4000, alpha=0.5)
+    got = out.groupBy("source").agg(F.sum("n_tokens").alias("tok")).collect()
+    tok = {r.source: r.tok for r in got}
+    # each stratum lands within one doc (50 tokens) of its budget
+    eb = temperature_budgets({"big": 9000, "small": 1000}, 4000, alpha=0.5)
+    for s in ("big", "small"):
+        assert eb[s] <= tok[s] < eb[s] + 50
+
+
+def test_semantic_dedup(spark):
+    """SemDeDup composition: exact-duplicate embeddings collapse to one
+    kept doc; distinct directions all survive; kept ∪ dropped = all."""
+    from iceberg_python_spark.operators.similarity import kmeans_cluster, semantic_dedup
+
+    import math
+    rows = []
+    # 20 well-separated unit vectors + 3 exact copies of vector 0
+    for i in range(20):
+        a = i * math.pi / 40
+        rows.append((i, [math.cos(a), math.sin(a), 0.0, 0.0]))
+    for j, i in enumerate((100, 101, 102)):
+        rows.append((i, rows[0][1]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    kept = semantic_dedup(df, "vec_id", "embedding", n_clusters=4, threshold=0.999)
+    ids = sorted(r.vec_id for r in kept.collect())
+    assert 0 in ids and not any(i in ids for i in (100, 101, 102))
+    assert set(range(1, 20)) <= set(ids)
+    cl = kmeans_cluster(df, "vec_id", "embedding", n_clusters=4)
+    assert cl.select("cluster").distinct().count() <= 4
+    # identical embeddings share a cluster (so the blocked join sees them)
+    c0 = {r.cluster for r in cl.where("vec_id in (0, 100, 101, 102)").collect()}
+    assert len(c0) == 1
