@@ -1952,7 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: wrap(fn)
         for name, fn in {
-            # --- new this round (slots 1-5) ---
+            # --- new this round (slots 1-7) ---
             "spark_datasource_scan": _q_spark_datasource_scan,
             "changelog_schema_evolution": _q_changelog_schema_evolution,
             "dataset_split": _q_dataset_split,

@@ -431,6 +431,60 @@ def main() -> int:
                 if mismatches <= 2:
                     failures.append(f"filter {fs!r} on {row}: ours={got_ours} reference={got_ref}")
 
+    # -- config-file contract: yaml discovery + PYICEBERG_* env overlay
+    # through BOTH Config classes must merge to the same catalog dict
+    # (reference utils/config.py:59 Config; ours config.py:53) ---------------
+    import tempfile
+
+    from pyiceberg.utils.config import Config as RefConfig
+
+    from iceberg_python_spark.config import Config as OurConfig
+
+    with tempfile.TemporaryDirectory() as cfg_home:
+        yaml_text = (
+            "catalog:\n"
+            "  default:\n"
+            "    type: sql\n"
+            "    uri: sqlite:///wh/cat.db\n"
+            "    warehouse: file:///wh\n"
+            "  Prod:\n"
+            "    uri: https://rest.example/v1\n"
+            "    s3.region: us-west-2\n"
+        )
+        with open(os.path.join(cfg_home, ".pyiceberg.yaml"), "w") as f:
+            f.write(yaml_text)
+        env_overlay = {
+            "PYICEBERG_HOME": cfg_home,
+            # env wins over the file; double-underscore = nesting
+            "PYICEBERG_CATALOG__DEFAULT__URI": "sqlite:///override/cat.db",
+            "PYICEBERG_CATALOG__EXTRA__TYPE": "rest",
+        }
+        saved = {k: os.environ.get(k) for k in env_overlay}
+        os.environ.update(env_overlay)
+        try:
+            ref_cfg = RefConfig()
+            our_cfg = OurConfig()
+            for cat in ("default", "prod", "extra", "missing"):
+                r = ref_cfg.get_catalog_config(cat)
+                o = our_cfg.get_catalog_config(cat)
+                check(f"config catalog {cat!r}", o, dict(r) if r is not None else None)
+            check(
+                "config known catalogs",
+                sorted(our_cfg.get_known_catalogs()),
+                sorted(ref_cfg.get_known_catalogs()),
+            )
+            check(
+                "config default catalog name",
+                our_cfg.get_default_catalog_name(),
+                ref_cfg.get_default_catalog_name(),
+            )
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
     if failures:
         print(f"{len(failures)} CONFORMANCE FAILURES:")
         for f in failures[:25]:
@@ -438,7 +492,7 @@ def main() -> int:
         return 1
     print(
         "CONFORMANCE-OK (bucket/truncate/temporal/human-string/schema-json/"
-        "conversions/v3-metadata/name-mapping/filter-parser vs reference)"
+        "conversions/v3-metadata/name-mapping/filter-parser/config-contract vs reference)"
     )
     return 0
 

@@ -46,7 +46,22 @@ def install_reference_shims() -> None:
         def __init__(self, data=None):
             self.data = data or {}
 
-    shim("strictyaml", load=lambda *_a, **_k: _YAML(), YAML=_YAML)
+    def _strict_load(text, *_a, **_k):
+        # faithful enough for the config contract: strictyaml parses
+        # every scalar as a STRING; PyYAML's safe_load would coerce
+        # numbers/bools, so stringify leaves post-parse
+        import yaml as _yaml
+
+        def stringify(v):
+            if isinstance(v, dict):
+                return {k: stringify(x) for k, x in v.items()}
+            if isinstance(v, list):
+                return [stringify(x) for x in v]
+            return v if v is None else str(v)
+
+        return _YAML(stringify(_yaml.safe_load(text) or {}))
+
+    shim("strictyaml", load=_strict_load, YAML=_YAML)
 
     class _BitMap(set):
         pass
