@@ -29,8 +29,11 @@ DataSource code runs inside Python workers with no SparkSession.
 
 Scope (documented, loud): reads the CURRENT schema; data files only —
 a table carrying position/equality delete files raises (use
-table.scan(), which applies deletes; or compact() first). No filter
-pushdown (Spark filters after the source).
+table.scan(), which applies deletes; or compact() first). Filter
+pushdown prunes FILES (partition-tuple + min/max-metrics evaluation,
+the same pure-Python evaluator stack the native planner uses); row
+groups and rows are filtered by Spark after the source, so pruning is
+always sound.
 
 Reference anchor: this surface has no pyiceberg equivalent — it is the
 Spark-native answer to pyiceberg's role of "library that hands your
@@ -83,14 +86,15 @@ def _load_metadata(options: Dict[str, str]):
     return TableMetadata.read(_resolve_metadata_location(options))
 
 
-def _live_data_files(meta, snapshot) -> List[str]:
-    """Data-file paths of a snapshot; raises on delete content (scope)."""
+def _live_data_entries(meta, snapshot) -> List[Tuple[int, Dict[str, Any]]]:
+    """(spec_id, data_file) entries of a snapshot; raises on delete
+    content (scope)."""
     from .table.manifests import CONTENT_DATA, STATUS_DELETED, read_manifest, read_manifest_list
 
     if snapshot is None:
         return []
     schema = meta.schema()
-    paths: List[str] = []
+    entries: List[Tuple[int, Dict[str, Any]]] = []
     for m in read_manifest_list(snapshot.manifest_list, meta.spec_by_id, schema):
         spec = meta.spec_by_id(m["spec_id"])
         for e in read_manifest(m["manifest_path"], schema, spec, manifest=m):
@@ -103,8 +107,105 @@ def _live_data_files(meta, snapshot) -> List[str]:
                     "carries delete files — scan it via table.scan() (which applies "
                     "deletes) or compact() first"
                 )
-            paths.append(d["file_path"])
-    return paths
+            entries.append((m["spec_id"], d))
+    return entries
+
+
+def _live_data_files(meta, snapshot) -> List[str]:
+    """Data-file paths of a snapshot; raises on delete content (scope)."""
+    return [d["file_path"] for _sid, d in _live_data_entries(meta, snapshot)]
+
+
+def _spark_filters_to_expression(filters):
+    """Translate PySpark DataSource ``Filter`` dataclasses into the
+    engine's unbound expression tree. Returns (expression, supported):
+    any filter shape we can't express is left OUT of the expression —
+    sound, because file pruning only SKIPS files the expression proves
+    empty, and Spark re-applies every filter row-level after the scan."""
+    from pyspark.sql import datasource as pds
+
+    from .expressions import (
+        AlwaysTrue,
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+        Not,
+        NotNull,
+        StartsWith,
+        and_all,
+    )
+
+    def convert(f):
+        attr = getattr(f, "attribute", None)
+        if attr is not None and len(attr) != 1:
+            return None  # nested column — not addressable by our terms
+        name = attr[0] if attr else None
+        if isinstance(f, pds.EqualTo):
+            return EqualTo(name, f.value)
+        if isinstance(f, pds.GreaterThan):
+            return GreaterThan(name, f.value)
+        if isinstance(f, pds.GreaterThanOrEqual):
+            return GreaterThanOrEqual(name, f.value)
+        if isinstance(f, pds.LessThan):
+            return LessThan(name, f.value)
+        if isinstance(f, pds.LessThanOrEqual):
+            return LessThanOrEqual(name, f.value)
+        if isinstance(f, pds.In):
+            return In(name, list(f.values))
+        if isinstance(f, pds.IsNull):
+            return IsNull(name)
+        if isinstance(f, pds.IsNotNull):
+            return NotNull(name)
+        if isinstance(f, pds.StringStartsWith):
+            return StartsWith(name, f.value)
+        if isinstance(f, pds.Not):
+            child = convert(f.child)
+            return Not(child) if child is not None else None
+        return None
+
+    converted = [convert(f) for f in filters]
+    supported = [c for c in converted if c is not None]
+    return (and_all(supported) if supported else AlwaysTrue()), len(supported)
+
+
+def _prune_entries(meta, entries, expr):
+    """File-level pruning with the SAME pure-Python evaluator stack the
+    native scan's driver planner uses (plan_files): bind the filter to
+    the current schema, project it per-spec into partition space for
+    exact partition-tuple evaluation, and bound-check column min/max/
+    null metrics. Advisory-only: a kept file may still contain no
+    matching rows (Spark filters after the scan)."""
+    from .expressions import AlwaysFalse, AlwaysTrue, bind
+    from .expressions.visitors import expression_evaluator, inclusive_metrics_evaluator
+
+    bound = bind(expr, meta.schema())
+    if isinstance(bound, AlwaysTrue):
+        return entries
+    if isinstance(bound, AlwaysFalse):
+        return []
+    metrics_eval = inclusive_metrics_evaluator(bound)
+    part_eval_by_spec: Dict[int, Any] = {}
+    out = []
+    for spec_id, d in entries:
+        if spec_id not in part_eval_by_spec:
+            spec = meta.spec_by_id(spec_id)
+            pf = spec.inclusive_projection(meta.schema(), bound)
+            part_eval_by_spec[spec_id] = None if isinstance(pf, AlwaysTrue) else (
+                AlwaysFalse() if isinstance(pf, AlwaysFalse) else expression_evaluator(pf)
+            )
+        pe = part_eval_by_spec[spec_id]
+        if isinstance(pe, AlwaysFalse):
+            continue
+        if pe is not None and not pe(d.get("partition", {})):
+            continue
+        if not metrics_eval(d):
+            continue
+        out.append((spec_id, d))
+    return out
 
 
 def _appended_files_between(meta, from_id: Optional[int], to_id: Optional[int]) -> List[str]:
@@ -170,22 +271,34 @@ class _FilePartition(InputPartition):
 
 class IcebergBatchReader(DataSourceReader):
     """One InputPartition per data file; each executor Python worker
-    reads its file with pyarrow and yields Arrow record batches."""
+    reads its file with pyarrow and yields Arrow record batches.
+    ``pushFilters`` prunes FILES (partition tuples + min/max metrics,
+    the native planner's evaluator stack); every filter is returned to
+    Spark for row-level application, so pruning is advisory and always
+    sound."""
 
     def __init__(self, options: Dict[str, str]):
         self.options = dict(options)
-        meta = _load_metadata(self.options)
-        self._field_names = [f.name for f in meta.schema().fields]
+        self._meta = _load_metadata(self.options)
+        self._field_names = [f.name for f in self._meta.schema().fields]
         snapshot_id = self.options.get("snapshot_id")
         snap = (
-            meta.snapshot_by_id(int(snapshot_id))
+            self._meta.snapshot_by_id(int(snapshot_id))
             if snapshot_id is not None
-            else meta.current_snapshot()
+            else self._meta.current_snapshot()
         )
-        self._paths = _live_data_files(meta, snap)
+        self._entries = _live_data_entries(self._meta, snap)
+
+    def pushFilters(self, filters):
+        expr, n_supported = _spark_filters_to_expression(filters)
+        if n_supported:
+            self._entries = _prune_entries(self._meta, self._entries, expr)
+        # row-level filtering stays with Spark: file skipping is advisory
+        return filters
 
     def partitions(self) -> List[InputPartition]:
-        return [_FilePartition(p) for p in self._paths] or [_FilePartition("")]
+        paths = [d["file_path"] for _sid, d in self._entries]
+        return [_FilePartition(p) for p in paths] or [_FilePartition("")]
 
     def read(self, partition: _FilePartition):
         if not partition.path:
@@ -263,5 +376,13 @@ class IcebergDataSource(DataSource):
 
 def register_data_source(spark) -> None:
     """Register the format with a SparkSession:
-    ``spark.read.format("iceberg_python_spark")`` et al."""
+    ``spark.read.format("iceberg_python_spark")`` et al.
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` (a runtime
+    SQL conf, default false): Spark 4.1 refuses to plan a Python source
+    whose reader implements ``pushFilters`` while the conf is off, and
+    our batch reader implements it for file-level pruning. Sessions
+    registering the class manually must set the conf themselves (the
+    Spark error says exactly that)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(IcebergDataSource)
