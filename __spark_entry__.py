@@ -1761,6 +1761,17 @@ def _q_changelog_scan(spark, env):
     )
 
 
+def _q_text_gopher_flags(spark, env):
+    # Gopher rule-based quality gate (Rae et al. 2021 Appendix A):
+    # per-doc boolean flags + combined keep, row-level hash-matched
+    # against a DuckDB re-implementation of the same rules.
+    from iceberg_python_spark.operators.text import gopher_quality_flags
+
+    return gopher_quality_flags(
+        env["documents"].scan(selected_fields=("doc_id", "text")).to_df(), "text", "doc_id"
+    )
+
+
 def _q_mixture_temperature(spark, env):
     # Temperature (alpha=0.5) mixture: budgets derived from the corpus's
     # own per-source token totals via integer-exact sqrt weights, then
@@ -1960,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_token_sketch": _q_text_token_sketch,
             "mixture_temperature": _q_mixture_temperature,
             "semantic_dedup_invariants": _q_semantic_dedup_invariants,
+            "text_gopher_flags": _q_text_gopher_flags,
             # --- starving rows, now fully oracled (3-7) ---
             "meta_partition_stats": _q_meta_partition_stats,
             "meta_snapshots": _q_meta_snapshots,
@@ -2198,6 +2210,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id, t.n_grams, CAST(COALESCE(d.nd, 0) AS BIGINT) AS n_dup_grams, "
             "CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens "
             "FROM tot t LEFT JOIN dcnt d USING (doc_id) LEFT JOIN cov c USING (doc_id)"
+        ),
+        "text_gopher_flags": (
+            "WITH t AS (SELECT doc_id, text, "
+            "list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '') AS words, "
+            "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), w -> w <> '') AS lwords, "
+            "regexp_split_to_array(text, '\\n') AS lines FROM documents), "
+            "f AS (SELECT doc_id, len(words) AS n_words, greatest(len(words), 1) AS nw, "
+            "COALESCE(list_aggregate(list_transform(words, w -> length(w)), 'sum'), 0) AS wlen_sum, "
+            "(length(text) - length(replace(text, '#', ''))) "
+            "+ floor((length(text) - length(replace(text, '...', ''))) / 3) AS n_symbols, "
+            "greatest(len(lines), 1) AS n_lines, "
+            "len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS bullet_lines, "
+            "len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$'))) AS ellipsis_lines, "
+            "len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words, "
+            "len(list_intersect(lwords, ['the','be','is','to','of','and','that','have','with'])) AS stop_hits "
+            "FROM t), "
+            "g AS (SELECT doc_id, "
+            "(n_words >= 50 AND n_words <= 100000) AS word_count_ok, "
+            "(wlen_sum / nw >= 3 AND wlen_sum / nw <= 10) AS mean_word_len_ok, "
+            "(n_symbols / nw <= 0.1) AS symbol_ratio_ok, "
+            "(bullet_lines / n_lines < 0.9) AS bullet_ratio_ok, "
+            "(ellipsis_lines / n_lines < 0.3) AS ellipsis_ratio_ok, "
+            "(alpha_words / nw >= 0.8) AS alpha_ratio_ok, "
+            "(stop_hits >= 2) AS stopword_ok FROM f) "
+            "SELECT *, (word_count_ok AND mean_word_len_ok AND symbol_ratio_ok AND bullet_ratio_ok "
+            "AND ellipsis_ratio_ok AND alpha_ratio_ok AND stopword_ok) AS keep FROM g"
         ),
         "mixture_temperature": (
             f"WITH t AS (SELECT doc_id, lang, source, n_chars, {_pack_mix_tokens_sql()} AS n_tokens, "

@@ -526,3 +526,73 @@ def source_token_sketch(df: DataFrame, text_col: str, source_col: str, rsd: floa
         df.groupBy(F.col(source_col).alias("source")).agg(F.count("*").cast("long").alias("n_docs")),
         "source",
     ).select("source", "n_docs", "n_tokens", "approx_distinct_tokens")
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The Gopher (Rae et al. 2021, Appendix A) rule-based quality
+    filters, as per-document boolean flags plus the combined keep
+    decision — the standard first-pass heuristic gate before
+    model-based scoring. All built-ins, narrow projection, scan-speed.
+
+    Rules (published thresholds):
+    - word count in [50, 100000]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio (# or ...) <= 0.1
+    - lines starting with a bullet < 90%
+    - lines ending with an ellipsis < 30%
+    - >= 80% of words contain at least one alphabetic character
+    - >= 2 of the canonical stopwords (the, be/is, to, of, and, that,
+      have, with) appear
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    nw = F.greatest(n_words, F.lit(1))
+    mean_wlen = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    ) / nw
+    n_symbols = (
+        F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+        + F.floor((F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3)
+    )
+    lines = F.split(t, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_lines = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+    ellipsis_lines = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$")))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    low_words = F.filter(F.split(F.trim(F.lower(t)), r"\s+"), lambda w: w != "")
+    stop_hits = F.size(
+        F.array_intersect(
+            low_words,
+            F.array(*[F.lit(w) for w in ("the", "be", "is", "to", "of", "and", "that", "have", "with")]),
+        )
+    )
+    out = df.select(
+        F.col(id_col),
+        (n_words >= 50) & (n_words <= 100000),
+        (mean_wlen >= 3) & (mean_wlen <= 10),
+        (n_symbols / nw) <= 0.1,
+        (bullet_lines / n_lines) < 0.9,
+        (ellipsis_lines / n_lines) < 0.3,
+        (alpha_words / nw) >= 0.8,
+        stop_hits >= 2,
+    ).toDF(
+        id_col,
+        "word_count_ok",
+        "mean_word_len_ok",
+        "symbol_ratio_ok",
+        "bullet_ratio_ok",
+        "ellipsis_ratio_ok",
+        "alpha_ratio_ok",
+        "stopword_ok",
+    )
+    keep = (
+        F.col("word_count_ok")
+        & F.col("mean_word_len_ok")
+        & F.col("symbol_ratio_ok")
+        & F.col("bullet_ratio_ok")
+        & F.col("ellipsis_ratio_ok")
+        & F.col("alpha_ratio_ok")
+        & F.col("stopword_ok")
+    )
+    return out.withColumn("keep", keep)

@@ -879,3 +879,40 @@ def test_semantic_dedup(spark):
     # identical embeddings share a cluster (so the blocked join sees them)
     c0 = {r.cluster for r in cl.where("vec_id in (0, 100, 101, 102)").collect()}
     assert len(c0) == 1
+
+
+def test_gopher_quality_flags(spark):
+    """Each published Gopher rule trips on a crafted document; a normal
+    English paragraph passes all of them."""
+    from iceberg_python_spark.operators.text import gopher_quality_flags
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and runs far away. "
+        "It is a fine day to be out in the field with friends and family. "
+        "We have seen that simple sentences with common words pass these "
+        "filters easily because they look like natural prose text written "
+        "by people for people to read and enjoy every single day. "
+        "That is the point of the rules and of this tiny fixture."
+    )
+    rows = [
+        (1, good),
+        (2, "too short"),  # word count
+        (3, " ".join(["a"] * 80)),  # mean word len < 3
+        (4, " ".join(["####"] * 60)),  # symbol ratio + alpha ratio
+        (5, "\n".join(["- item one here"] * 20)),  # bullet lines
+        (6, "\n".join(["we kept going..."] * 20)),  # ellipsis lines
+        (7, " ".join(["12345"] * 80)),  # alpha ratio
+        (8, " ".join(["zebra"] * 80)),  # stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in gopher_quality_flags(df, "text", "doc_id").collect()}
+    assert out[1].keep, out[1]
+    assert not out[2].word_count_ok
+    assert not out[3].mean_word_len_ok
+    assert not out[4].symbol_ratio_ok and not out[4].alpha_ratio_ok
+    assert not out[5].bullet_ratio_ok
+    assert not out[6].ellipsis_ratio_ok
+    assert not out[7].alpha_ratio_ok
+    assert not out[8].stopword_ok
+    for i in range(2, 9):
+        assert not out[i].keep
