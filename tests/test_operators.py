@@ -916,3 +916,104 @@ def test_gopher_quality_flags(spark):
     assert not out[8].stopword_ok
     for i in range(2, 9):
         assert not out[i].keep
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdef", min_size=1, max_size=4),
+        st.integers(min_value=1, max_value=10**9),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=0, max_value=10**9),
+)
+@settings(max_examples=200, deadline=None)
+def test_temperature_budgets_properties(totals, budget):
+    """Properties: budgets are non-negative ints, never exceed the total,
+    are monotone in the total, and alpha=0.5 compresses size ratios
+    (the small source's SHARE never shrinks vs proportional)."""
+    from iceberg_python_spark.operators.packing import temperature_budgets
+
+    b = temperature_budgets(totals, budget, alpha=0.5)
+    assert set(b) == set(totals)
+    assert all(isinstance(v, int) and v >= 0 for v in b.values())
+    assert sum(b.values()) <= budget
+    bigger = temperature_budgets(totals, budget + 1000, alpha=0.5)
+    assert all(bigger[s] >= b[s] for s in totals)
+    if len(totals) >= 2 and budget > 0:
+        small = min(totals, key=totals.get)
+        total_n = sum(totals.values())
+        prop_share = totals[small] / total_n
+        temp_share = b[small] / budget
+        assert temp_share >= prop_share - 1 / budget - 1e-9
+
+
+@given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_rate_threshold_properties(rate):
+    """rate_to_hex_threshold is monotone and inverts to the rate within
+    2^-32; the keep-all sentinel sorts above every digest."""
+    from iceberg_python_spark.operators.sampling import rate_to_hex_threshold
+
+    thr = rate_to_hex_threshold(rate)
+    if rate == 1.0:
+        assert thr == "g" and thr > "f" * 8
+    else:
+        assert len(thr) == 8
+        assert abs(int(thr, 16) / 2**32 - rate) <= 2 / 2**32
+    for r2 in (rate / 2, rate):
+        assert rate_to_hex_threshold(r2) <= thr
+
+
+def _brute_span_stats(rows, k):
+    import re
+
+    grams = {}
+    per_doc = {}
+    for doc_id, text in rows:
+        toks = [t for t in re.sub(r"[^a-z0-9\s]", " ", text.lower()).split() if t]
+        if len(toks) < k:
+            continue
+        gs = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        per_doc[doc_id] = gs
+        for g in gs:
+            grams.setdefault(g, set()).add(doc_id)
+    out = {}
+    for doc_id, gs in per_doc.items():
+        dup_pos = [i for i, g in enumerate(gs) if len(grams[g]) > 1]
+        covered = 0
+        if dup_pos:
+            start = prev_end = None
+            for p in dup_pos:
+                if start is None or p > prev_end:
+                    if start is not None:
+                        covered += prev_end - start
+                    start = p
+                prev_end = p + k
+            covered += prev_end - start
+        out[doc_id] = (len(gs), len(dup_pos), covered)
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "x1"]), min_size=0, max_size=14),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_duplicated_span_stats_matches_bruteforce(spark, docs_tokens):
+    """Property: the distributed gaps-and-islands coverage equals a
+    plain-Python reference on random small corpora (shared runs arise
+    naturally from the tiny vocabulary)."""
+    from iceberg_python_spark.operators.dedup import duplicated_span_stats
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    want = _brute_span_stats(rows, k=3)
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_dup_grams, r.covered_tokens)
+        for r in duplicated_span_stats(df, "doc_id", "text", k=3).collect()
+    }
+    assert got == want
