@@ -248,6 +248,22 @@ def test_pointer_cas_torture(cat, spark):
                 return real_update(DatabaseName=DatabaseName, TableInput=TableInput, **kw)
 
         cat.glue.update_table = guarded_update
+    else:
+        # moto's DynamoDB backend has NO internal locking: its
+        # ConditionExpression evaluation is check-then-act, so
+        # barrier-synchronized threads can interleave inside the mock
+        # where the real service evaluates each conditional write
+        # atomically. Serialize the SERVICE CALL only — the client
+        # protocol's read-pointer -> conditional-update race stays fully
+        # concurrent, which is what this test exercises.
+        real_ddb_update = cat.dynamodb.update_item
+        ddb_lock = threading.Lock()
+
+        def atomic_update_item(**kw):
+            with ddb_lock:
+                return real_ddb_update(**kw)
+
+        cat.dynamodb.update_item = atomic_update_item
 
     base_bytes = fileio.read_bytes(t.metadata_location, spark)
     meta_dir = t.metadata_location.rsplit("/", 1)[0]
