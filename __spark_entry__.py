@@ -1798,7 +1798,7 @@ def _q_semantic_dedup_invariants(spark, env):
     # minority. Cluster assignment and pairs are recomputed with the
     # same deterministic seed for the checks.
     from iceberg_python_spark.operators.dedup import embedding_neardup_pairs
-    from iceberg_python_spark.operators.similarity import kmeans_cluster, semantic_dedup
+    from iceberg_python_spark.operators.similarity import kmeans_cluster
 
     base = env["embeddings"].scan().to_df()
     # The synthetic embeddings carry no natural near-dups at 0.97, so
@@ -1806,13 +1806,21 @@ def _q_semantic_dedup_invariants(spark, env):
     # identical vectors land in the same k-means cell by construction,
     # each copy pairs with its original at cosine 1.0, and CC keeps the
     # lower id: the dropped set must be EXACTLY the injected copies.
+    from iceberg_python_spark.operators.dedup import connected_components
+
     copies = base.where("vec_id % 10 = 0").withColumn("vec_id", F.col("vec_id") + 100000)
     emb = base.unionByName(copies)
-    kept = semantic_dedup(emb, "vec_id", "embedding", n_clusters=16, threshold=0.97)
-    kept_ids = kept.select("vec_id").localCheckpoint(eager=True)
+    # one clustering + one pair join serve BOTH the dedup and the checks
+    # (semantic_dedup composes exactly these pieces; recomputing them
+    # would run k-means and the blocked join twice for the same result)
     clustered = kmeans_cluster(emb, "vec_id", "embedding", n_clusters=16)
     pairs = embedding_neardup_pairs(clustered, "vec_id", "embedding", ["cluster"], 0.97)
     pairs = pairs.localCheckpoint(eager=True)
+    comps = connected_components(pairs)
+    drop_ids = comps.where(F.col("node") != F.col("component_id")).select(
+        F.col("node").alias("vec_id")
+    )
+    kept_ids = emb.select("vec_id").join(drop_ids, "vec_id", "left_anti").localCheckpoint(eager=True)
     dropped = emb.select("vec_id").join(kept_ids, "vec_id", "left_anti")
     paired_ids = (
         pairs.select(F.col("id_a").alias("vec_id"))
