@@ -1813,7 +1813,7 @@ def _q_semantic_dedup_invariants(spark, env):
     # one clustering + one pair join serve BOTH the dedup and the checks
     # (semantic_dedup composes exactly these pieces; recomputing them
     # would run k-means and the blocked join twice for the same result)
-    clustered = kmeans_cluster(emb, "vec_id", "embedding", n_clusters=16)
+    clustered = kmeans_cluster(emb, "embedding", n_clusters=16)
     pairs = embedding_neardup_pairs(clustered, "vec_id", "embedding", ["cluster"], 0.97)
     pairs = pairs.localCheckpoint(eager=True)
     comps = connected_components(pairs)
@@ -1954,24 +1954,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lambda spark, sf_dir: fn(spark, _wh(spark, sf_dir))
 
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries. Round-8 rotation: the NEW rows lead (DataSource batch
-    # read, changelog-across-rename), then the previously rows-only
-    # meta_*/scan_limit queries — re-shaped this round into hash-matched
-    # data cross-checks so they can finally earn full driver oracles
-    # (meta_partition_stats had never had a driver row; the others were
-    # last checked r02/r05) — then pack_sequences (red r07 on the
-    # oracle-side cast, fixed), quality_deciles and text_lm_perplexity
-    # (both changed this round), then the r06-greened text/dedup/ANN/
-    # events family (2 rounds old, the rotation edge), and the r07
-    # §2.12 invariant/ORC rows to the window edge (slot 50 =
-    # orc_write_scan). Behind the window: chunking/mixture (fresh r07),
-    # TPC-H (fresh r07), the agg/window/set-op and core-engine slices
-    # (fresh r07), and the raw approximate outputs (no oracle by
-    # design — pinned by the in-window invariant rows).
+    # entries. Round-8 rotation (slots verified by executing queries()):
+    # 1-8 the eight NEW rows (DataSource batch read, changelog-across-
+    # rename, dataset split, substring spans, token sketch, temperature
+    # mixture, semantic-dedup invariants, Gopher flags); 9-13 the
+    # previously rows-only meta_*/scan_limit queries — re-shaped this
+    # round into hash-matched data cross-checks so they finally earn
+    # full driver oracles (meta_partition_stats had never had a driver
+    # row; the others were last checked r02/r05); 14-16 pack_sequences
+    # (red r07 on the oracle-side cast, fixed), quality_deciles and
+    # text_lm_perplexity (both changed this round); 17-48 the
+    # r06-greened text/dedup/ANN/events family (2 rounds old, the
+    # rotation edge); 49-50 dedup_minhash/simhash_invariants. Behind
+    # the window (all fresh r07, 1 round old): the remaining §2.12 rows
+    # (jaccard invariants, PQ recall, ORC, chunking, mixtures), TPC-H,
+    # the agg/window/set-op and core-engine slices, and the raw
+    # approximate outputs (no oracle by design — pinned by the
+    # in-window invariant rows).
     return {
         name: wrap(fn)
         for name, fn in {
-            # --- new this round (slots 1-7) ---
+            # --- new this round (slots 1-8) ---
             "spark_datasource_scan": _q_spark_datasource_scan,
             "changelog_schema_evolution": _q_changelog_schema_evolution,
             "dataset_split": _q_dataset_split,
@@ -1980,17 +1983,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mixture_temperature": _q_mixture_temperature,
             "semantic_dedup_invariants": _q_semantic_dedup_invariants,
             "text_gopher_flags": _q_text_gopher_flags,
-            # --- starving rows, now fully oracled (3-7) ---
+            # --- starving rows, now fully oracled (9-13) ---
             "meta_partition_stats": _q_meta_partition_stats,
             "meta_snapshots": _q_meta_snapshots,
             "meta_files": _q_meta_files,
             "meta_partitions": _q_meta_partitions,
             "scan_limit": _q_scan_limit,
-            # --- red/changed this round (8-10) ---
+            # --- red/changed this round (14-16) ---
             "pack_sequences": _q_pack_sequences,
             "quality_deciles": _q_quality_deciles,
             "text_lm_perplexity": _q_text_lm_ppl,
-            # --- r06-greened family at the rotation edge (11-42) ---
+            # --- r06-greened family at the rotation edge (17-48) ---
             "dedup_neardup_clusters": _q_dedup_clusters,
             "dedup_neardup_clusters_default": _q_dedup_clusters_default,
             "text_top_ngrams": _q_text_top_ngrams,
@@ -2023,7 +2026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "branch_wap_scan": _q_branch_wap_scan,
             "changelog_scan": _q_changelog_scan,
             "row_lineage_invariants": _q_row_lineage_invariants,
-            # --- r07 §2.12 rows to the window edge (43-50) ---
+            # --- r07 §2.12 rows: minhash/simhash invariants fill 49-50;
+            # the rest are just past the window edge (fresh r07) ---
             "dedup_minhash_invariants": _q_dedup_minhash_invariants,
             "dedup_simhash_invariants": _q_dedup_simhash_invariants,
             "dedup_jaccard_invariants": _q_dedup_jaccard_invariants,

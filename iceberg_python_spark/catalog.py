@@ -254,9 +254,11 @@ class MetastoreCatalog:
         import re as _re
 
         # Split the query into literal and non-literal segments (single-
-        # and double-quoted, with doubled-quote escapes) so dotted names
-        # inside literals are neither resolved nor rewritten.
-        segments = _re.split(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")", query)
+        # and double-quoted, honoring both backslash escapes — Spark's
+        # default string-literal mode — and doubled-quote escapes) so
+        # dotted names inside literals are neither resolved nor
+        # rewritten.
+        segments = _re.split(r"('(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\")", query)
         code = [s for i, s in enumerate(segments) if i % 2 == 0]
         for ns, tbl in dict.fromkeys(
             m for s in code for m in _re.findall(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", s)

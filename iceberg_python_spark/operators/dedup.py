@@ -541,13 +541,20 @@ def duplicated_span_stats(df: DataFrame, id_col: str, text_col: str, k: int = 8)
         F.col("pos"),
         F.array_join(F.slice("_toks", F.col("pos") + 1, k), " ").alias("gram"),
     )
+    # three consumers (cross-doc groupBy, semi-join probe, per-doc
+    # totals) would each re-run the tokenize+explode over the full
+    # corpus; materialize the gram stream once (localCheckpoint blocks
+    # are GC-released with the result)
+    grams = grams.localCheckpoint(eager=True)
     cross_doc = (
         grams.groupBy("gram")
         .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
         .where(F.col("_lo") != F.col("_hi"))
         .select("gram")
     )
-    dup = grams.join(cross_doc, "gram", "left_semi")
+    # two consumers (counts + island merge) — materialize the (small,
+    # dup-bounded) stream so the semi join runs once
+    dup = grams.join(cross_doc, "gram", "left_semi").localCheckpoint(eager=True)
     w = Window.partitionBy(id_col).orderBy("pos")
     islands = (
         dup.withColumn("_prev_end", F.lag("pos").over(w) + k)

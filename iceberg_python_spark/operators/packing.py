@@ -224,9 +224,12 @@ def mixture_temperature(
     selection pass stays fully distributed. Inherits mixture_sample's
     monotonicity: growing the budget only extends each stratum's
     prefix."""
+    # NULL strata are dropped here (they'd get no budget and be dropped
+    # by mixture_sample anyway, and a None key breaks the deterministic
+    # sorted() ordering budgets rely on)
     totals = {
         r[strata_col]: r["_n"]
-        for r in _with_tokens(df, text_col)
+        for r in _with_tokens(df.where(F.col(strata_col).isNotNull()), text_col)
         .groupBy(strata_col)
         .agg(F.sum("n_tokens").alias("_n"))
         .collect()

@@ -79,6 +79,13 @@ def dataset_split(
 
     ``fractions`` maps label -> fraction; they must sum to 1 (±1e-9).
     Labels are assigned in sorted order over ascending hash ranges."""
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    bad = {k: v for k, v in fractions.items() if v <= 0}
+    if bad:
+        # a non-positive fraction would make the cumulative thresholds
+        # non-increasing and silently shadow a split with zero rows
+        raise ValueError(f"fractions must be positive, got {bad}")
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")

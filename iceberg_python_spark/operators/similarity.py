@@ -372,7 +372,6 @@ def pq_ann_topk(
 
 def kmeans_cluster(
     df: DataFrame,
-    id_col: str,
     vec_col: str,
     n_clusters: int = 64,
     sample_size: int = 20000,
@@ -417,7 +416,7 @@ def semantic_dedup(
     from .dedup import connected_components, embedding_neardup_pairs
 
     clustered = kmeans_cluster(
-        df, id_col, vec_col, n_clusters=n_clusters, sample_size=sample_size, seed=seed
+        df, vec_col, n_clusters=n_clusters, sample_size=sample_size, seed=seed
     )
     pairs = embedding_neardup_pairs(clustered, id_col, vec_col, ["cluster"], threshold)
     comps = connected_components(pairs)

@@ -519,13 +519,24 @@ def source_token_sketch(df: DataFrame, text_col: str, source_col: str, rsd: floa
     pins the relative error."""
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")), r"\s+")
     t = df.select(F.col(source_col).alias("source"), F.explode(toks).alias("tok")).where(F.col("tok") != "")
-    return t.groupBy("source").agg(
+    token_agg = t.groupBy("source").agg(
         F.count("*").cast("long").alias("n_tokens"),
         F.approx_count_distinct("tok", rsd).alias("approx_distinct_tokens"),
-    ).join(
-        df.groupBy(F.col(source_col).alias("source")).agg(F.count("*").cast("long").alias("n_docs")),
-        "source",
-    ).select("source", "n_docs", "n_tokens", "approx_distinct_tokens")
+    )
+    # LEFT join from the doc counts: a source whose documents are all
+    # empty/whitespace has no token rows but must still be reported
+    # (n_docs, 0, 0) rather than vanish
+    return (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .join(token_agg, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("approx_distinct_tokens", F.lit(0)).cast("long").alias("approx_distinct_tokens"),
+        )
+    )
 
 
 def gopher_quality_flags(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

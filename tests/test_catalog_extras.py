@@ -306,3 +306,17 @@ def test_table_accessor_parity(spark, tmp_path):
     # schema evolution adds a new entry to schemas()
     t.update_schema().add_column("extra", ips.types.StringType()).commit()
     assert set(t.schemas()) == {0, 1}
+
+
+def test_catalog_sql_backslash_escaped_literal(catalog, spark):
+    """Backslash-escaped quotes (Spark's default literal mode) must not
+    leak the literal span into the identifier rewrite."""
+    import iceberg_python_spark as ips
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).toDF("id")
+    catalog.create_table("db.esc", df.schema).append(df)
+    out = catalog.sql(
+        "SELECT count(*) AS n FROM db.esc WHERE 'it\\'s db.esc here' = 'it\\'s db.esc here'"
+    )
+    assert out.first().n == 3

@@ -874,7 +874,7 @@ def test_semantic_dedup(spark):
     ids = sorted(r.vec_id for r in kept.collect())
     assert 0 in ids and not any(i in ids for i in (100, 101, 102))
     assert set(range(1, 20)) <= set(ids)
-    cl = kmeans_cluster(df, "vec_id", "embedding", n_clusters=4)
+    cl = kmeans_cluster(df, "embedding", n_clusters=4)
     assert cl.select("cluster").distinct().count() <= 4
     # identical embeddings share a cluster (so the blocked join sees them)
     c0 = {r.cluster for r in cl.where("vec_id in (0, 100, 101, 102)").collect()}
