@@ -1761,6 +1761,56 @@ def _q_changelog_scan(spark, env):
     )
 
 
+def _q_pipeline_curation_invariants(spark, env):
+    # End-to-end curation pipeline (quality gate -> exact dedup ->
+    # near-dup -> split -> temperature mixture -> packing) with its
+    # composition invariants as a 1-row hash claim: filters only ever
+    # shrink the corpus, the split labels partition the survivors, the
+    # mixture is drawn from train within budget (+ at most one doc
+    # overshoot per source), and the packing plan is dense from 0.
+    from iceberg_python_spark.pipeline import curate_corpus
+
+    docs = env["documents"].scan(selected_fields=("doc_id", "text", "source")).to_df()
+    # the synthetic corpus is not English prose, so the stopword rule
+    # is (correctly) excluded from the gate; the length/symbol/alpha
+    # rules still drop ~45% of documents — a non-trivial gate
+    res = curate_corpus(
+        docs,
+        train_token_budget=20000,
+        seq_len=512,
+        quality_flags=("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok", "alpha_ratio_ok"),
+    )
+    st = res["stats"]
+    clean, mixture, packed = res["clean"], res["mixture"], res["packed"]
+
+    monotone = (
+        st["input"] >= st["after_quality"] >= st["after_exact_dedup"]
+        >= st["after_neardup"] >= st["after_decontamination"]
+    )
+    labels = {r["split"] for r in clean.select("split").distinct().collect()}
+    splits_partition = labels <= {"train", "val", "test"} and clean.count() == st["after_decontamination"]
+    train_ids = clean.where("split = 'train'").select("doc_id")
+    mixture_from_train = mixture.select("doc_id").join(train_ids, "doc_id", "left_anti").count() == 0
+    tok = mixture.agg(
+        F.sum("n_tokens").alias("_tot"), F.max("n_tokens").alias("_max"), F.countDistinct("source").alias("_ns")
+    ).first()
+    mixture_within_budget = (tok["_tot"] or 0) <= 20000 + (tok["_ns"] or 0) * (tok["_max"] or 0)
+    p = packed.agg(
+        F.min("start_offset").alias("_lo"),
+        (F.max(F.col("start_offset") + F.col("n_tokens")) == F.sum("n_tokens")).alias("_dense"),
+    ).first()
+    packing_dense = (p["_lo"] == 0) and bool(p["_dense"])
+
+    return spark.range(1).select(
+        F.lit(st["input"]).cast("long").alias("n_input"),
+        F.lit(bool(monotone)).alias("filters_monotone"),
+        F.lit(bool(splits_partition)).alias("splits_partition"),
+        F.lit(bool(mixture_from_train)).alias("mixture_from_train"),
+        F.lit(bool(mixture_within_budget)).alias("mixture_within_budget"),
+        F.lit(bool(packing_dense)).alias("packing_dense"),
+    )
+
+
 def _q_text_gopher_flags(spark, env):
     # Gopher rule-based quality gate (Rae et al. 2021 Appendix A):
     # per-doc boolean flags + combined keep, row-level hash-matched
@@ -1954,27 +2004,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lambda spark, sf_dir: fn(spark, _wh(spark, sf_dir))
 
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries. Round-8 rotation (slots verified by executing queries()):
-    # 1-8 the eight NEW rows (DataSource batch read, changelog-across-
-    # rename, dataset split, substring spans, token sketch, temperature
-    # mixture, semantic-dedup invariants, Gopher flags); 9-13 the
-    # previously rows-only meta_*/scan_limit queries — re-shaped this
-    # round into hash-matched data cross-checks so they finally earn
-    # full driver oracles (meta_partition_stats had never had a driver
-    # row; the others were last checked r02/r05); 14-16 pack_sequences
-    # (red r07 on the oracle-side cast, fixed), quality_deciles and
-    # text_lm_perplexity (both changed this round); 17-48 the
-    # r06-greened text/dedup/ANN/events family (2 rounds old, the
-    # rotation edge); 49-50 dedup_minhash/simhash_invariants. Behind
-    # the window (all fresh r07, 1 round old): the remaining §2.12 rows
-    # (jaccard invariants, PQ recall, ORC, chunking, mixtures), TPC-H,
-    # the agg/window/set-op and core-engine slices, and the raw
-    # approximate outputs (no oracle by design — pinned by the
-    # in-window invariant rows).
+    # entries. Round-8 rotation (verified by executing queries(): slot
+    # 50 = dedup_minhash_invariants, zero no-oracle rows in-window):
+    # slots 1-9 the NINE new rows (DataSource batch read, changelog-
+    # across-rename, dataset split, substring spans, token sketch,
+    # temperature mixture, semantic-dedup invariants, Gopher flags,
+    # curation-pipeline invariants); 10-14 the previously rows-only
+    # meta_*/scan_limit queries — re-shaped this round into hash-matched
+    # data cross-checks so they finally earn full driver oracles
+    # (meta_partition_stats had never had a driver row; the others were
+    # last checked r02/r05); 15-17 pack_sequences (red r07 on the
+    # oracle-side cast, fixed), quality_deciles and text_lm_perplexity
+    # (both changed this round); 18-49 the r06-greened text/dedup/ANN/
+    # events family (2 rounds old, the rotation edge); 50
+    # dedup_minhash_invariants. Behind the window (all fresh r07,
+    # 1 round old): the remaining §2.12 rows (simhash/jaccard
+    # invariants, PQ recall, ORC, chunking, mixtures), TPC-H, the
+    # agg/window/set-op and core-engine slices, and the raw approximate
+    # outputs (no oracle by design — pinned by invariant rows).
     return {
         name: wrap(fn)
         for name, fn in {
-            # --- new this round (slots 1-8) ---
+            # --- new this round (slots 1-9) ---
             "spark_datasource_scan": _q_spark_datasource_scan,
             "changelog_schema_evolution": _q_changelog_schema_evolution,
             "dataset_split": _q_dataset_split,
@@ -1983,17 +2034,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mixture_temperature": _q_mixture_temperature,
             "semantic_dedup_invariants": _q_semantic_dedup_invariants,
             "text_gopher_flags": _q_text_gopher_flags,
-            # --- starving rows, now fully oracled (9-13) ---
+            "pipeline_curation_invariants": _q_pipeline_curation_invariants,
+            # --- starving rows, now fully oracled (10-14) ---
             "meta_partition_stats": _q_meta_partition_stats,
             "meta_snapshots": _q_meta_snapshots,
             "meta_files": _q_meta_files,
             "meta_partitions": _q_meta_partitions,
             "scan_limit": _q_scan_limit,
-            # --- red/changed this round (14-16) ---
+            # --- red/changed this round (15-17) ---
             "pack_sequences": _q_pack_sequences,
             "quality_deciles": _q_quality_deciles,
             "text_lm_perplexity": _q_text_lm_ppl,
-            # --- r06-greened family at the rotation edge (17-48) ---
+            # --- r06-greened family at the rotation edge (18-49) ---
             "dedup_neardup_clusters": _q_dedup_clusters,
             "dedup_neardup_clusters_default": _q_dedup_clusters_default,
             "text_top_ngrams": _q_text_top_ngrams,
@@ -2026,7 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "branch_wap_scan": _q_branch_wap_scan,
             "changelog_scan": _q_changelog_scan,
             "row_lineage_invariants": _q_row_lineage_invariants,
-            # --- r07 §2.12 rows: minhash/simhash invariants fill 49-50;
+            # --- r07 §2.12 rows: minhash invariants fills slot 50;
             # the rest are just past the window edge (fresh r07) ---
             "dedup_minhash_invariants": _q_dedup_minhash_invariants,
             "dedup_simhash_invariants": _q_dedup_simhash_invariants,
@@ -2222,6 +2274,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id, t.n_grams, CAST(COALESCE(d.nd, 0) AS BIGINT) AS n_dup_grams, "
             "CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens "
             "FROM tot t LEFT JOIN dcnt d USING (doc_id) LEFT JOIN cov c USING (doc_id)"
+        ),
+        "pipeline_curation_invariants": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_input, true AS filters_monotone, "
+            "true AS splits_partition, true AS mixture_from_train, "
+            "true AS mixture_within_budget, true AS packing_dense FROM documents"
         ),
         "text_gopher_flags": (
             "WITH t AS (SELECT doc_id, text, "

@@ -1,0 +1,138 @@
+"""End-to-end corpus curation: the training-data operators composed
+into one auditable pipeline, with engine tables as stage lineage.
+
+``curate_corpus`` runs the standard pretraining preparation sequence —
+
+    raw documents
+      -> Gopher rule-based quality gate       (gopher_quality_flags)
+      -> exact/normalized dedup               (normalized_dedup)
+      -> MinHash near-dup removal             (minhash_dedup)
+      -> optional benchmark decontamination   (contamination_flags)
+      -> content-stable train/val/test split  (dataset_split)
+      -> temperature mixture over train       (mixture_temperature)
+      -> sequence packing plan                (pack_sequences)
+
+— and, when given a catalog, snapshots each stage's output as an
+engine table (``{prefix}_clean``, ``{prefix}_split``, ``{prefix}_mix``,
+``{prefix}_packed``) whose snapshot summaries carry the stage's row
+counts: the full curation run is time-travelable and diffable with the
+ordinary table machinery (incremental scans, changelogs) instead of a
+side-channel manifest.
+
+Every stage is one of the already-scale-shaped operators (SCALE.md
+rows); the composition adds NO new shuffle patterns. Determinism:
+every stage is a pure function of (content, salt), so re-running the
+pipeline over the same corpus reproduces byte-identical outputs, and
+growing the corpus only extends splits/mixtures monotonically.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from .operators.dedup import minhash_dedup, normalized_dedup
+from .operators.packing import mixture_temperature, pack_sequences
+from .operators.sampling import dataset_split
+from .operators.text import contamination_flags, gopher_quality_flags
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    benchmark_df: Optional[DataFrame] = None,
+    split_fractions: Optional[Mapping[str, float]] = None,
+    train_token_budget: int = 1_000_000,
+    mixture_alpha: float = 0.5,
+    seq_len: int = 2048,
+    neardup_threshold: float = 0.8,
+    quality_flags: Optional[Sequence[str]] = None,
+    salt: str = "",
+    catalog=None,
+    dest_prefix: Optional[str] = None,
+) -> Dict[str, Any]:
+    """Run the curation sequence; return its artifacts and counts.
+
+    Returns a dict with DataFrames ``clean`` (quality+dedup survivors,
+    with their split label), ``mixture`` (the temperature-sampled train
+    subset) and ``packed`` (the packing plan over the mixture), plus
+    ``stats`` (per-stage row counts, non-increasing through the
+    filters). With ``catalog`` and ``dest_prefix`` set, each artifact
+    is also committed as ``{dest_prefix}_clean`` / ``_mix`` /
+    ``_packed`` and the returned dict carries the table handles."""
+    fractions = dict(split_fractions or {"train": 0.9, "val": 0.05, "test": 0.05})
+    stats: Dict[str, int] = {"input": docs.count()}
+
+    # quality_flags selects WHICH Gopher rules gate the corpus (default:
+    # all of them via the combined `keep`). Corpora that legitimately
+    # fail a rule class — non-English text fails the English-stopword
+    # rule, code fails the symbol-ratio rule — pass the applicable
+    # subset instead of dropping the gate entirely.
+    flags_df = gopher_quality_flags(docs, text_col, id_col)
+    if quality_flags is None:
+        gate = F.col("keep")
+    else:
+        gate = F.lit(True)
+        for name in quality_flags:
+            gate = gate & F.col(name)
+    # Each stage is materialized ONCE (eager localCheckpoint, blocks
+    # GC-released with the result): the per-stage counts are part of
+    # the pipeline's contract, and without materialization every
+    # downstream count would re-execute the entire upstream chain (a
+    # recompute pyramid — the quality gate would run six times).
+    kept = flags_df.where(gate).select(id_col)
+    quality = docs.join(kept, id_col, "left_semi").localCheckpoint(eager=True)
+    stats["after_quality"] = quality.count()
+
+    exact = normalized_dedup(quality, text_col, id_col).localCheckpoint(eager=True)
+    stats["after_exact_dedup"] = exact.count()
+
+    neardup = minhash_dedup(exact, id_col, text_col, threshold=neardup_threshold).localCheckpoint(eager=True)
+    stats["after_neardup"] = neardup.count()
+
+    if benchmark_df is not None:
+        contaminated = contamination_flags(neardup, benchmark_df, text_col, id_col)
+        decontaminated = neardup.join(contaminated, id_col, "left_anti")
+    else:
+        decontaminated = neardup
+    stats["after_decontamination"] = decontaminated.count()
+
+    clean = dataset_split(decontaminated, id_col, fractions, salt=salt).localCheckpoint(eager=True)
+    train = clean.where(F.col("split") == "train")
+    stats["train"] = train.count()
+
+    if stats["train"] > 0:
+        mixture = mixture_temperature(
+            train.drop("split"),
+            source_col,
+            id_col,
+            text_col,
+            train_token_budget,
+            alpha=mixture_alpha,
+            salt=salt,
+        )
+    else:
+        # empty-train corpora produce empty (schema-correct) artifacts
+        # instead of crashing mid-pipeline
+        from .operators.packing import _with_tokens
+
+        mixture = _with_tokens(train.drop("split"), text_col).limit(0)
+    stats["mixture_docs"] = mixture.count()
+
+    packed = pack_sequences(
+        mixture.select(id_col, text_col), text_col, id_col, seq_len=seq_len, salt=salt
+    )
+
+    out: Dict[str, Any] = {"clean": clean, "mixture": mixture, "packed": packed, "stats": stats}
+    if catalog is not None and dest_prefix:
+        from .schema import schema_from_spark
+
+        for name, df in (("clean", clean), ("mix", mixture), ("packed", packed)):
+            ident = f"{dest_prefix}_{name}"
+            t = catalog.create_table_if_not_exists(ident, schema_from_spark(df.schema))
+            t.overwrite(df)
+            out[f"{name}_table"] = t
+    return out

@@ -1017,3 +1017,54 @@ def test_duplicated_span_stats_matches_bruteforce(spark, docs_tokens):
         for r in duplicated_span_stats(df, "doc_id", "text", k=3).collect()
     }
     assert got == want
+
+
+def test_curate_corpus_pipeline(spark, tmp_path):
+    """End-to-end curation: filters shrink monotonically, duplicates die
+    at the right stages, splits partition, the mixture respects the
+    budget, packing is dense — and with a catalog the artifacts land as
+    engine tables. An all-filtered corpus yields empty artifacts, not a
+    crash."""
+    import iceberg_python_spark as ips
+    from iceberg_python_spark.pipeline import curate_corpus
+
+    def doc(i):
+        # mostly-unique body (near-dup only when constructed) + enough
+        # canonical stopwords to pass the Gopher gate
+        return "the cat and dog is of note here " + " ".join(
+            f"word{i}x{j}" for j in range(55)
+        )
+
+    rows = [(i, "srcA" if i % 2 else "srcB", doc(i)) for i in range(40)]
+    rows.append((100, "srcA", doc(0)))  # exact duplicate of doc 0
+    rows.append((101, "srcA", doc(0).replace("word0x7", "changed")))  # near-dup of doc 0
+    rows.append((102, "srcA", "too short"))  # quality-gated
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+
+    cat = ips.SqliteCatalog("pipe", str(tmp_path / "wh"), spark)
+    res = curate_corpus(
+        df, train_token_budget=2000, seq_len=128, catalog=cat, dest_prefix="db.cur"
+    )
+    st = res["stats"]
+    assert st["input"] == 43
+    assert st["after_quality"] == 42  # doc 102 gated
+    assert st["after_exact_dedup"] == 41  # doc 100 deduped
+    assert st["after_neardup"] == 40  # doc 101 near-deduped
+    assert st["after_decontamination"] == 40
+    assert sum(1 for _ in res["clean"].collect()) == 40
+    toks = {r.doc_id: r.n_tokens for r in res["mixture"].collect()}
+    assert sum(toks.values()) <= 2000 + 2 * max(toks.values())
+    packed = res["packed"].collect()
+    assert min(r.start_offset for r in packed) == 0
+    assert max(r.start_offset + r.n_tokens for r in packed) == sum(r.n_tokens for r in packed)
+    # artifacts are real engine tables
+    assert cat.load_table("db.cur_clean").scan().to_df().count() == 40
+    assert cat.load_table("db.cur_packed").scan().to_df().count() == len(packed)
+    # determinism: re-running reproduces the mixture exactly
+    res2 = curate_corpus(df, train_token_budget=2000, seq_len=128)
+    assert {r.doc_id for r in res2["mixture"].collect()} == set(toks)
+
+    # an all-filtered corpus produces empty artifacts, not a crash
+    tiny = spark.createDataFrame([(1, "s", "nope")], "doc_id: long, source: string, text: string")
+    res3 = curate_corpus(tiny)
+    assert res3["stats"]["train"] == 0 and res3["packed"].count() == 0
