@@ -86,6 +86,17 @@ def _main(argv=None) -> int:
     p.add_argument("identifier")
     p.add_argument("--older-than-ms", type=int, required=True)
 
+    p = sub.add_parser("curate")
+    p.add_argument("identifier", help="source documents table (id/text/source columns)")
+    p.add_argument("dest_prefix", help="output prefix: writes <prefix>_clean/_mix/_packed")
+    p.add_argument("--token-budget", type=int, default=1_000_000)
+    p.add_argument("--seq-len", type=int, default=2048)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--source-col", default="source")
+    p.add_argument("--quality-flags", default=None,
+                   help="comma-separated Gopher rule subset (default: all rules)")
+
     args = ap.parse_args(argv)
 
     from .catalog import SqliteCatalog
@@ -196,6 +207,24 @@ def _main(argv=None) -> int:
             args.older_than_ms
         ).commit()
         print(f"expired; removed {len(removed)} orphaned files")
+    elif args.cmd == "curate":
+        from .pipeline import curate_corpus
+
+        spark_cat = SqliteCatalog(args.catalog, args.warehouse, spark=_spark())
+        docs = spark_cat.load_table(args.identifier).scan().to_df()
+        res = curate_corpus(
+            docs,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            source_col=args.source_col,
+            train_token_budget=args.token_budget,
+            seq_len=args.seq_len,
+            quality_flags=args.quality_flags.split(",") if args.quality_flags else None,
+            catalog=spark_cat,
+            dest_prefix=args.dest_prefix,
+        )
+        for k, v in res["stats"].items():
+            print(f"{k}\t{v}")
     return 0
 
 

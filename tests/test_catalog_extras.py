@@ -320,3 +320,25 @@ def test_catalog_sql_backslash_escaped_literal(catalog, spark):
         "SELECT count(*) AS n FROM db.esc WHERE 'it\\'s db.esc here' = 'it\\'s db.esc here'"
     )
     assert out.first().n == 3
+
+
+def test_cli_curate(catalog, spark, warehouse):
+    """CLI curate verb runs the pipeline end-to-end and writes the
+    artifact tables."""
+    df = spark.createDataFrame(
+        [
+            (i, "sA" if i % 2 else "sB", "the cat and dog is of note here " + " ".join(f"w{i}x{j}" for j in range(55)))
+            for i in range(20)
+        ],
+        "doc_id: long, source: string, text: string",
+    )
+    catalog.create_table("db.raw_docs", schema_from_spark(df.schema)).append(df)
+    out = subprocess.run(
+        [sys.executable, "-m", "iceberg_python_spark.cli", "--warehouse", warehouse, "--catalog", "test",
+         "curate", "db.raw_docs", "db.curated", "--token-budget", "2000", "--seq-len", "128"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "after_neardup\t20" in out.stdout
+    assert catalog.load_table("db.curated_clean").scan().to_df().count() == 20
+    assert catalog.load_table("db.curated_packed").scan().to_df().count() >= 1
