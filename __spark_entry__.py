@@ -1796,10 +1796,13 @@ def _q_pipeline_curation_invariants(spark, env):
     ).first()
     mixture_within_budget = (tok["_tot"] or 0) <= 20000 + (tok["_ns"] or 0) * (tok["_max"] or 0)
     p = packed.agg(
+        F.count("*").alias("_n"),
         F.min("start_offset").alias("_lo"),
         (F.max(F.col("start_offset") + F.col("n_tokens")) == F.sum("n_tokens")).alias("_dense"),
     ).first()
-    packing_dense = (p["_lo"] == 0) and bool(p["_dense"])
+    # an empty packing plan is vacuously dense (the pipeline defines an
+    # all-filtered corpus as a valid outcome, not an invariant breach)
+    packing_dense = p["_n"] == 0 or ((p["_lo"] == 0) and bool(p["_dense"]))
 
     return spark.range(1).select(
         F.lit(st["input"]).cast("long").alias("n_input"),

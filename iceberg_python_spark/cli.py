@@ -219,7 +219,7 @@ def _main(argv=None) -> int:
             source_col=args.source_col,
             train_token_budget=args.token_budget,
             seq_len=args.seq_len,
-            quality_flags=args.quality_flags.split(",") if args.quality_flags else None,
+            quality_flags=[f.strip() for f in args.quality_flags.split(",") if f.strip()] if args.quality_flags else None,
             catalog=spark_cat,
             dest_prefix=args.dest_prefix,
         )

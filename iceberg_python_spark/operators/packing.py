@@ -234,6 +234,14 @@ def mixture_temperature(
         .agg(F.sum("n_tokens").alias("_n"))
         .collect()
     }
+    if not totals:
+        # every row had a NULL stratum (or the input was empty): the
+        # mixture is empty, returned schema-correct rather than raising
+        # so pipeline compositions stay total
+        empty = _with_tokens(df, text_col).limit(0)
+        if allow_repeats:
+            empty = empty.withColumn("epoch", F.lit(0).cast("long"))
+        return empty
     budgets = temperature_budgets(totals, total_token_budget, alpha)
     return mixture_sample(
         df, strata_col, key_col, text_col, budgets, salt=salt, allow_repeats=allow_repeats

@@ -13,9 +13,9 @@ into one auditable pipeline, with engine tables as stage lineage.
       -> sequence packing plan                (pack_sequences)
 
 — and, when given a catalog, snapshots each stage's output as an
-engine table (``{prefix}_clean``, ``{prefix}_split``, ``{prefix}_mix``,
-``{prefix}_packed``) whose snapshot summaries carry the stage's row
-counts: the full curation run is time-travelable and diffable with the
+engine table (``{prefix}_clean`` — carrying the split label —
+``{prefix}_mix`` and ``{prefix}_packed``) whose snapshot summaries
+carry the stage's row counts: the full curation run is time-travelable and diffable with the
 ordinary table machinery (incremental scans, changelogs) instead of a
 side-channel manifest.
 
@@ -95,7 +95,9 @@ def curate_corpus(
 
     if benchmark_df is not None:
         contaminated = contamination_flags(neardup, benchmark_df, text_col, id_col)
-        decontaminated = neardup.join(contaminated, id_col, "left_anti")
+        # checkpointed: the corpus-vs-benchmark n-gram join is the most
+        # expensive stage and feeds both the count and the split
+        decontaminated = neardup.join(contaminated, id_col, "left_anti").localCheckpoint(eager=True)
     else:
         decontaminated = neardup
     stats["after_decontamination"] = decontaminated.count()
@@ -104,22 +106,19 @@ def curate_corpus(
     train = clean.where(F.col("split") == "train")
     stats["train"] = train.count()
 
-    if stats["train"] > 0:
-        mixture = mixture_temperature(
-            train.drop("split"),
-            source_col,
-            id_col,
-            text_col,
-            train_token_budget,
-            alpha=mixture_alpha,
-            salt=salt,
-        )
-    else:
-        # empty-train corpora produce empty (schema-correct) artifacts
-        # instead of crashing mid-pipeline
-        from .operators.packing import _with_tokens
-
-        mixture = _with_tokens(train.drop("split"), text_col).limit(0)
+    # mixture_temperature is total: an empty train split (or one whose
+    # strata are all NULL) yields an empty schema-correct mixture, so
+    # the pipeline never crashes mid-flight. Checkpointed: the mixture
+    # feeds the stats count, pack_sequences AND the _mix table write.
+    mixture = mixture_temperature(
+        train.drop("split"),
+        source_col,
+        id_col,
+        text_col,
+        train_token_budget,
+        alpha=mixture_alpha,
+        salt=salt,
+    ).localCheckpoint(eager=True)
     stats["mixture_docs"] = mixture.count()
 
     packed = pack_sequences(

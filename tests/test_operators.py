@@ -1068,3 +1068,25 @@ def test_curate_corpus_pipeline(spark, tmp_path):
     tiny = spark.createDataFrame([(1, "s", "nope")], "doc_id: long, source: string, text: string")
     res3 = curate_corpus(tiny)
     assert res3["stats"]["train"] == 0 and res3["packed"].count() == 0
+
+
+def test_mixture_temperature_null_strata_total(spark):
+    """mixture_temperature is total: all-NULL strata yield an empty
+    schema-correct mixture (with the epoch column under repeats), and
+    NULL-strata rows are dropped from a mixed corpus."""
+    from iceberg_python_spark.operators.packing import mixture_temperature
+
+    allnull = spark.createDataFrame(
+        [(1, None, "some words here"), (2, None, "more words")],
+        "doc_id: long, source: string, text: string",
+    )
+    out = mixture_temperature(allnull, "source", "doc_id", "text", 1000)
+    assert out.count() == 0 and "n_tokens" in out.columns
+    rep = mixture_temperature(allnull, "source", "doc_id", "text", 1000, allow_repeats=True)
+    assert rep.count() == 0 and "epoch" in rep.columns
+    mixed = spark.createDataFrame(
+        [(1, None, "null row words"), (2, "s", "kept words here"), (3, "s", "more kept words")],
+        "doc_id: long, source: string, text: string",
+    )
+    got = mixture_temperature(mixed, "source", "doc_id", "text", 1000)
+    assert sorted(r.doc_id for r in got.collect()) == [2, 3]
