@@ -388,12 +388,77 @@ def embedding_neardup_pairs(
     )
 
 
+def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14,
+    Algorithm 2) — O(log^2 n) rounds on ANY graph shape, including the
+    adversarial long chains where plain hash-min needs O(diameter).
+
+    Each half-round is one groupBy(node) -> min + explode — the exact
+    join shape of the hash-min loop, map-side combinable, keyed on node
+    id (uniform). The edge set only ever shrinks toward the star
+    forest, so per-round shuffle volume is monotonically bounded by the
+    input. Convergence = the directed edge multiset reaches a fixpoint
+    (exact exceptAll check, not a hash).
+
+    ``edges`` is a deduplicated (u, v) frame with u != v; returns
+    (node, component_id) with component_id = min node of the component.
+    """
+    e = edges.select("u", "v").where(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # large-star: every node attaches its STRICTLY GREATER neighbors
+        # to the minimum of its neighborhood (including itself). Shape:
+        # one min-groupBy (O(1) state, map-side combinable) + one join
+        # back on the SAME key (exchange reused) — no neighborhood
+        # collect_set, so a hub node never materializes its degree in
+        # one aggregation buffer.
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mv"))
+        m = F.least(F.col("_mv"), F.col("u"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient edges large->small; every node attaches its
+        # (all <=) neighbors AND itself to the neighborhood minimum
+        oriented = large.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        mins2 = oriented.groupBy("u").agg(F.min("v").alias("_m"))
+        small = (
+            oriented.join(mins2, "u")
+            .where(F.col("v") != F.col("_m"))
+            .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("_m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # cut lineage each round
+        )
+        converged = (
+            small.count() == e.count()
+            and small.exceptAll(e).limit(1).count() == 0
+        )
+        e = small
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"star connected_components did not converge in max_iter={max_iter} rounds"
+        )
+    # fixpoint edge set is a star forest oriented child -> root (root =
+    # component min); roots themselves map to themselves
+    roots = e.select(F.col("v").alias("node")).distinct().withColumn("component_id", F.col("node"))
+    return e.select(F.col("u").alias("node"), F.col("v").alias("component_id")).union(roots)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
     driver_threshold: int = 2_000_000,
+    algorithm: str = "hashmin",
 ) -> DataFrame:
     """Connected components over an undirected edge list — the clustering
     step after any near-dup pair generator (keep one doc per component).
@@ -413,15 +478,20 @@ def connected_components(
     rounds. Rounds needed = eccentricity of the component's min node;
     near-dup clusters are shallow (pairs come from a similarity
     threshold, so components are dense and tiny). For adversarial
-    long-chain graphs swap the propagation step for alternating
-    large-star/small-star (O(log d) rounds) — identical join shape.
+    long-chain graphs pass ``algorithm="star"``: alternating
+    large-star/small-star (:func:`_cc_star`, O(log^2 n) rounds on ANY
+    graph shape) with the same min-groupBy + join round shape.
     No reference counterpart (pyiceberg has no graph ops); semantics per
     Kiveris et al., "Connected Components in MapReduce and Beyond"."""
+    if algorithm not in ("hashmin", "star"):
+        raise ValueError(f"unknown connected-components algorithm {algorithm!r}")
     # materialize the edge list FIRST: everything below references it 2+
     # times (symmetrize + node seed), and the upstream plan is typically
     # an expensive similarity join that must not be re-run per reference
     edges = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(eager=True)
     n_edges = edges.count()  # free: checkpointed
+    if algorithm == "star" and n_edges > driver_threshold:
+        return _cc_star(edges, max_iter)
     if n_edges <= driver_threshold:
         # small-graph fast path: near-dup edge lists are threshold-pruned
         # and usually tiny relative to the corpus, so a driver union-find
@@ -505,6 +575,29 @@ def connected_components(
     return labels.select(F.col("node"), F.col("lbl").alias("component_id"))
 
 
+def _merge_dup_windows(dup: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Gaps-and-islands merge of constant-width duplicated windows:
+    ``dup`` is a (id, pos) stream of k-gram starts; overlapping/adjacent
+    [pos, pos+k) windows merge into islands. With constant width the
+    previous row's end is lag(pos)+k, so island starts are a lag compare
+    — per-doc window state bounded by positions-per-doc. Returns
+    (id, _s, _e) half-open token intervals."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        dup.withColumn("_prev_end", F.lag("pos").over(w) + k)
+        .withColumn(
+            "_new_island",
+            F.when(F.col("_prev_end").isNull() | (F.col("pos") > F.col("_prev_end")), 1).otherwise(0),
+        )
+        .withColumn("_island", F.sum("_new_island").over(w))
+        .groupBy(id_col, "_island")
+        .agg(F.min("pos").alias("_s"), (F.max("pos") + k).alias("_e"))
+        .drop("_island")
+    )
+
+
 def duplicated_span_stats(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
     """Exact duplicated-substring signal (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better" metric,
@@ -527,8 +620,6 @@ def duplicated_span_stats(df: DataFrame, id_col: str, text_col: str, k: int = 8)
     (id, n_grams, n_dup_grams, covered_tokens) — covered_tokens is the
     union length, so nested/overlapping duplicated windows never double
     count."""
-    from pyspark.sql import Window
-
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")), r"\s+")
     base = df.select(F.col(id_col), toks.alias("_toks")).where(F.size("_toks") >= k)
     starts = F.sequence(F.lit(0), F.size("_toks") - k)
@@ -555,19 +646,11 @@ def duplicated_span_stats(df: DataFrame, id_col: str, text_col: str, k: int = 8)
     # two consumers (counts + island merge) — materialize the (small,
     # dup-bounded) stream so the semi join runs once
     dup = grams.join(cross_doc, "gram", "left_semi").localCheckpoint(eager=True)
-    w = Window.partitionBy(id_col).orderBy("pos")
     islands = (
-        dup.withColumn("_prev_end", F.lag("pos").over(w) + k)
-        .withColumn(
-            "_new_island",
-            F.when(F.col("_prev_end").isNull() | (F.col("pos") > F.col("_prev_end")), 1).otherwise(0),
-        )
-        .withColumn("_island", F.sum("_new_island").over(w))
-        .groupBy(id_col, "_island")
-        .agg((F.max("pos") + k - F.min("pos")).alias("_len"))
+        _merge_dup_windows(dup, id_col, k)
         .groupBy(id_col)
         .agg(
-            F.sum("_len").cast("long").alias("covered_tokens"),
+            F.sum(F.col("_e") - F.col("_s")).cast("long").alias("covered_tokens"),
         )
     )
     totals = grams.groupBy(id_col).agg(F.count("*").cast("long").alias("n_grams"))
@@ -580,5 +663,119 @@ def duplicated_span_stats(df: DataFrame, id_col: str, text_col: str, k: int = 8)
             "n_grams",
             F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
             F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+        )
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_span: Optional[int] = None,
+) -> DataFrame:
+    """Cut cross-document duplicated spans OUT of every document — the
+    actual intervention of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better", ExactSubstr): any k-token
+    window that also appears in another document is removed from BOTH
+    occurrences. ``duplicated_span_stats`` measures this signal; this
+    operator applies it.
+
+    Token / matching semantics:
+    - tokens are RAW whitespace tokens, so kept tokens are spliced back
+      verbatim (content-preserving — unlike the stats operator's
+      punctuation-stripped tokens, which cannot be spliced);
+    - gram matching is case-insensitive (lowercased k-token windows);
+    - ``min_span`` (default k) removes only merged islands covering at
+      least that many tokens — Lee et al. cut spans >= 50 tokens;
+      the default removes every duplicated window.
+
+    Documents with no removed span keep their ORIGINAL text
+    byte-for-byte; rewritten documents are re-joined with single
+    spaces (token-granular splicing cannot reconstruct inner
+    whitespace runs). A fully-covered document becomes "".
+
+    Spark shape (same machinery as duplicated_span_stats — gram
+    stream, min!=max cross-doc test with O(1) map-side-combinable
+    state, semi-join, lag-based island merge):
+    - islands explode to covered positions (disjoint by construction,
+      no distinct needed; linear in covered tokens);
+    - ONLY affected docs (semi-join on islands) re-explode their token
+      stream for the anti-join + ordered re-assembly, so the rewrite
+      cost scales with the duplicated subset, not the corpus;
+    - re-assembly is collect_list per doc — state bounded by document
+      length, the same bound every per-doc operator carries.
+    Every shuffle keys on gram text or doc id (uniform); boilerplate
+    gram skew concentrates linearly (groupBy, never a pair join).
+
+    Returns the input columns (text rewritten in place) plus
+    ``n_tokens`` (pre-removal whitespace token count) and
+    ``n_removed_tokens``. No reference counterpart (pyiceberg has no
+    text operators); semantics per the paper.
+    """
+    if min_span is None:
+        min_span = k
+    raw_toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), raw_toks.alias("_toks"))
+    with_k = base.where(F.size("_toks") >= k)
+    starts = F.sequence(F.lit(0), F.size("_toks") - k)
+    grams = (
+        with_k.select(F.col(id_col), F.posexplode(starts).alias("_i", "pos"), F.col("_toks"))
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            F.lower(F.array_join(F.slice("_toks", F.col("pos") + 1, k), " ")).alias("gram"),
+        )
+        # two consumers (cross-doc groupBy + semi-join probe): materialize
+        # once; blocks are GC-released with the result
+        .localCheckpoint(eager=True)
+    )
+    cross_doc = (
+        grams.groupBy("gram")
+        .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+        .where(F.col("_lo") != F.col("_hi"))
+        .select("gram")
+    )
+    dup = grams.join(cross_doc, "gram", "left_semi")
+    islands = (
+        _merge_dup_windows(dup, id_col, k)
+        .where(F.col("_e") - F.col("_s") >= min_span)
+        .localCheckpoint(eager=True)  # feeds covered, affected, removed
+    )
+    covered = islands.select(
+        F.col(id_col), F.explode(F.sequence(F.col("_s"), F.col("_e") - 1)).alias("pos")
+    )
+    affected = islands.select(id_col).distinct()
+    tok_stream = base.join(affected, id_col, "left_semi").select(
+        F.col(id_col), F.posexplode("_toks").alias("pos", "_tok")
+    )
+    kept = tok_stream.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "_tok"))), lambda s: s["_tok"]),
+            " ",
+        ).alias("_new_text")
+    )
+    removed = islands.groupBy(id_col).agg(
+        F.sum(F.col("_e") - F.col("_s")).cast("long").alias("_nrem")
+    )
+    n_tokens = (
+        F.when(F.col(text_col).rlike(r"\S"), F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    # a doc is rewritten iff it has a removed island; a fully-covered doc
+    # has no surviving tokens (rebuilt NULL) and becomes ""
+    replaced = F.when(
+        F.col("_nrem").isNotNull(), F.coalesce(F.col("_new_text"), F.lit(""))
+    ).otherwise(F.col(text_col))
+    out_cols = [replaced.alias(c) if c == text_col else F.col(c) for c in df.columns]
+    return (
+        df.join(rebuilt, id_col, "left")
+        .join(removed, id_col, "left")
+        .select(
+            *out_cols,
+            n_tokens.alias("n_tokens"),
+            F.coalesce(F.col("_nrem"), F.lit(0)).cast("long").alias("n_removed_tokens"),
         )
     )

@@ -1090,3 +1090,112 @@ def test_mixture_temperature_null_strata_total(spark):
     )
     got = mixture_temperature(mixed, "source", "doc_id", "text", 1000)
     assert sorted(r.doc_id for r in got.collect()) == [2, 3]
+
+
+@given(_edge_lists())
+@settings(max_examples=10, deadline=None)
+def test_connected_components_star_matches_bfs(spark, edges):
+    """Property: the alternating large-star/small-star path (forced via
+    driver_threshold=0) == BFS reference on random graphs."""
+    from iceberg_python_spark.operators.dedup import connected_components
+
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {
+        r.node: r.component_id
+        for r in connected_components(df, driver_threshold=0, algorithm="star").collect()
+    }
+    assert got == _bfs_components(edges)
+
+
+def test_connected_components_star_long_chain(spark):
+    """A 60-node chain converges in O(log^2 n) star rounds — far under a
+    max_iter that plain per-round propagation could never meet without
+    pointer doubling — and labels the whole chain with its min."""
+    from iceberg_python_spark.operators.dedup import connected_components
+
+    n = 60
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "id_a: long, id_b: long")
+    got = {
+        r.node: r.component_id
+        for r in connected_components(
+            edges, driver_threshold=0, algorithm="star", max_iter=12
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_bad_algorithm(spark):
+    import pytest
+
+    from iceberg_python_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame([(1, 2)], "id_a: long, id_b: long")
+    with pytest.raises(ValueError, match="unknown connected-components algorithm"):
+        connected_components(df, algorithm="bogus")
+
+
+def test_remove_duplicated_spans(spark):
+    """Lee et al. removal: the shared 8-token run disappears from BOTH
+    docs, untouched docs keep their original text byte-for-byte
+    (including odd whitespace), and token counts are conserved
+    (n_after = n_tokens - n_removed_tokens)."""
+    from iceberg_python_spark.operators.dedup import remove_duplicated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"{shared} one two three four five six seven eight"),
+        (2, f"zero {shared} nine ten eleven twelve thirteen"),
+        (3, "untouched  doc   with   odd   spacing " + " ".join(f"w{i}" for i in range(8))),
+        (4, shared),  # fully covered -> becomes ""
+        (5, "ALPHA BETA GAMMA DELTA EPSILON ZETA ETA THETA tail"),  # case-insensitive match
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in remove_duplicated_spans(df, "doc_id", "text", k=8).collect()}
+    assert out[1].text == "one two three four five six seven eight"
+    assert out[2].text == "zero nine ten eleven twelve thirteen"
+    assert out[3].text == rows[2][1]  # original bytes, doubled spaces intact
+    assert out[4].text == ""
+    assert out[5].text == "tail"  # kept tokens spliced back verbatim...
+    assert out[5].n_removed_tokens == 8
+    for r in out.values():
+        n_after = len(r.text.split()) if r.text.strip() else 0
+        assert n_after == r.n_tokens - r.n_removed_tokens
+
+
+def test_remove_duplicated_spans_min_span(spark):
+    """min_span keeps islands below the cutoff: two docs sharing exactly
+    one 8-token window are untouched at min_span=20 but cut at the
+    default; a 25-token shared run is cut either way."""
+    from iceberg_python_spark.operators.dedup import remove_duplicated_spans
+
+    short = " ".join(f"s{i}" for i in range(8))
+    long = " ".join(f"L{i}" for i in range(25))
+    rows = [
+        (1, f"{short} filler1 filler2 filler3"),
+        (2, f"pre {short} post1 post2"),
+        (3, f"{long} end1 end2"),
+        (4, f"begin {long}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    strict = {r.doc_id: r for r in remove_duplicated_spans(df, "doc_id", "text", k=8, min_span=20).collect()}
+    assert strict[1].text == rows[0][1] and strict[1].n_removed_tokens == 0
+    assert strict[2].text == rows[1][1]
+    assert strict[3].text == "end1 end2" and strict[3].n_removed_tokens == 25
+    assert strict[4].text == "begin"
+    loose = {r.doc_id: r for r in remove_duplicated_spans(df, "doc_id", "text", k=8).collect()}
+    assert loose[1].n_removed_tokens == 8 and loose[2].n_removed_tokens == 8
+
+
+def test_remove_duplicated_spans_extra_columns_preserved(spark):
+    """Non-text columns ride through unchanged and in the original
+    column order; short docs (< k tokens) never match."""
+    from iceberg_python_spark.operators.dedup import remove_duplicated_spans
+
+    rows = [(1, "a b c", "s1"), (2, "a b c", "s2")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    out = remove_duplicated_spans(df, "doc_id", "text", k=8)
+    assert out.columns == ["doc_id", "text", "source", "n_tokens", "n_removed_tokens"]
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].text == "a b c" and got[1].source == "s1" and got[1].n_removed_tokens == 0
