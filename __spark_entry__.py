@@ -1762,20 +1762,33 @@ def _q_changelog_scan(spark, env):
 
 
 def _q_pipeline_curation_invariants(spark, env):
-    # End-to-end curation pipeline (quality gate -> exact dedup ->
-    # near-dup -> split -> temperature mixture -> packing) with its
-    # composition invariants as a 1-row hash claim: filters only ever
-    # shrink the corpus, the split labels partition the survivors, the
-    # mixture is drawn from train within budget (+ at most one doc
-    # overshoot per source), and the packing plan is dense from 0.
+    # End-to-end curation pipeline — now with ALL optional stages wired
+    # (model-based decile gate, span-level rewrite, benchmark
+    # decontamination at the 13-gram convention) — as a 1-row hash
+    # claim: filters only ever shrink the corpus, decile populations
+    # respect the documented rank-error bound, the split labels
+    # partition the survivors, NO surviving doc shares a 13-gram with
+    # the benchmark (the decontamination stage's own contract,
+    # re-checked over the pipeline OUTPUT), the mixture is drawn from
+    # train within budget, and the packing plan is dense from 0.
+    from iceberg_python_spark.operators.text import contamination_flags
     from iceberg_python_spark.pipeline import curate_corpus
 
     docs = env["documents"].scan(selected_fields=("doc_id", "text", "source")).to_df()
+    # a deterministic slice of the corpus itself is the benchmark: its
+    # docs share every one of their 13-grams with the corpus, so the
+    # decontamination stage must remove them (and any other doc
+    # overlapping them)
+    bench = docs.where(F.col("doc_id") % 37 == 0).select("doc_id", "text")
     # the synthetic corpus is not English prose, so the stopword rule
     # is (correctly) excluded from the gate; the length/symbol/alpha
     # rules still drop ~45% of documents — a non-trivial gate
     res = curate_corpus(
         docs,
+        benchmark_df=bench,
+        contamination_n=13,
+        quality_top_deciles=8,
+        span_removal_k=8,
         train_token_budget=20000,
         seq_len=512,
         quality_flags=("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok", "alpha_ratio_ok"),
@@ -1784,11 +1797,31 @@ def _q_pipeline_curation_invariants(spark, env):
     clean, mixture, packed = res["clean"], res["mixture"], res["packed"]
 
     monotone = (
-        st["input"] >= st["after_quality"] >= st["after_exact_dedup"]
-        >= st["after_neardup"] >= st["after_decontamination"]
+        st["input"] >= st["after_quality"] >= st["after_model_quality"]
+        >= st["after_exact_dedup"] >= st["after_neardup"] >= st["after_decontamination"]
     )
+    # decile populations: |pop - n/10| bounded by the approx_percentile
+    # rank error (2 * n/accuracy per bucket edge) plus the largest
+    # score tie-class (threshold binning sends an entire tie to one
+    # side) — quality_deciles' documented bound
+    bins = res["quality_bins"]
+    nb = bins.count()
+    tmax = (
+        bins.groupBy("ppl").agg(F.count("*").alias("_tc")).agg(F.max("_tc")).first()[0] or 0
+    )
+    present = {r["bucket"]: r["_c"] for r in bins.groupBy("bucket").agg(F.count("*").alias("_c")).collect()}
+    bound = 2.0 * nb / 10000 + tmax + 2
+    decile_balance = all(abs(present.get(b, 0) - nb / 10.0) <= bound for b in range(1, 11))
     labels = {r["split"] for r in clean.select("split").distinct().collect()}
     splits_partition = labels <= {"train", "val", "test"} and clean.count() == st["after_decontamination"]
+    # the decontamination claim, re-verified over the OUTPUT: zero
+    # surviving docs share any 13-gram with the benchmark
+    benchmark_disjoint = (
+        contamination_flags(
+            clean.select("doc_id", "text"), bench, "text", "doc_id", n=13
+        ).count()
+        == 0
+    )
     train_ids = clean.where("split = 'train'").select("doc_id")
     mixture_from_train = mixture.select("doc_id").join(train_ids, "doc_id", "left_anti").count() == 0
     tok = mixture.agg(
@@ -1807,7 +1840,9 @@ def _q_pipeline_curation_invariants(spark, env):
     return spark.range(1).select(
         F.lit(st["input"]).cast("long").alias("n_input"),
         F.lit(bool(monotone)).alias("filters_monotone"),
+        F.lit(bool(decile_balance)).alias("decile_balance_ok"),
         F.lit(bool(splits_partition)).alias("splits_partition"),
+        F.lit(bool(benchmark_disjoint)).alias("benchmark_disjoint"),
         F.lit(bool(mixture_from_train)).alias("mixture_from_train"),
         F.lit(bool(mixture_within_budget)).alias("mixture_within_budget"),
         F.lit(bool(packing_dense)).alias("packing_dense"),
@@ -1928,6 +1963,37 @@ def _q_dedup_substring_spans(spark, env):
     )
 
 
+def _q_dedup_span_removal(spark, env):
+    # The Lee et al. 2022 INTERVENTION (dedup_substring_spans measures,
+    # this rewrites): every cross-document duplicated 8-token span is
+    # cut out of every occurrence. Full value-hash oracle: DuckDB
+    # recomputes the gram/island machinery AND the token splice, so the
+    # rewritten text itself is matched byte-for-byte per doc.
+    from iceberg_python_spark.operators.dedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(
+        env["docs_dup"].scan(selected_fields=("doc_id", "text")).to_df(), "doc_id", "text", k=8
+    )
+
+
+def _q_dedup_clusters_star(spark, env):
+    # Same scenario as dedup_neardup_clusters, but the components run
+    # the alternating large-star/small-star algorithm (Kiveris et al.)
+    # instead of hash-min propagation — both checked against the same
+    # recursive-CTE fixpoint oracle.
+    from iceberg_python_spark.operators.dedup import connected_components, jaccard_prefix_join
+
+    docs = env["docs_dup"].scan(
+        selected_fields=("doc_id", "text", "lang", "n_chars")
+    ).to_df().select(
+        "doc_id", "text", "lang", (F.floor(F.col("n_chars") / 64)).alias("_lb")
+    )
+    pairs = jaccard_prefix_join(docs, "doc_id", "text", threshold=0.8, block_cols=["lang", "_lb"])
+    return connected_components(
+        pairs.select("id_a", "id_b"), driver_threshold=0, algorithm="star"
+    ).select(F.col("node").alias("doc_id"), "component_id")
+
+
 def _q_text_token_sketch(spark, env):
     # Bounded-state corpus stats: HLL++ distinct-token cardinality per
     # source. The row cross-checks the sketch against the exact count at
@@ -2028,7 +2094,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: wrap(fn)
         for name, fn in {
-            # --- new this round (slots 1-9) ---
+            # --- new in r09 (provisional slots; window re-designed at
+            # end of round) ---
+            "dedup_span_removal": _q_dedup_span_removal,
+            "dedup_neardup_clusters_star": _q_dedup_clusters_star,
+            # --- new in r08 ---
             "spark_datasource_scan": _q_spark_datasource_scan,
             "changelog_schema_evolution": _q_changelog_schema_evolution,
             "dataset_split": _q_dataset_split,
@@ -2280,8 +2350,35 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pipeline_curation_invariants": (
             "SELECT CAST(count(*) AS BIGINT) AS n_input, true AS filters_monotone, "
-            "true AS splits_partition, true AS mixture_from_train, "
+            "true AS decile_balance_ok, true AS splits_partition, "
+            "true AS benchmark_disjoint, true AS mixture_from_train, "
             "true AS mixture_within_budget, true AS packing_dense FROM documents"
+        ),
+        "dedup_span_removal": (
+            f"{docs_dup_cte}, "
+            "tk AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM docs_dup), "
+            "g AS (SELECT doc_id, i - 1 AS pos, lower(array_to_string(toks[i:i+7], ' ')) AS gram "
+            "FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i FROM tk "
+            "WHERE len(toks) >= 8)), "
+            "cd AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)), "
+            "dup AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM cd)), "
+            "m AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 AS prev_end FROM dup), "
+            "i2 AS (SELECT doc_id, pos, CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS ni FROM m), "
+            "g2 AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i2), "
+            "isl AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM g2 GROUP BY doc_id, island), "
+            "cov AS (SELECT doc_id, unnest(generate_series(s, e - 1)) AS cpos FROM isl), "
+            "tox AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok "
+            "FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM tk "
+            "WHERE doc_id IN (SELECT DISTINCT doc_id FROM isl))), "
+            "kept AS (SELECT x.doc_id, x.pos, x.tok FROM tox x LEFT JOIN cov c "
+            "ON x.doc_id = c.doc_id AND x.pos = c.cpos WHERE c.cpos IS NULL), "
+            "reb AS (SELECT doc_id, COALESCE(string_agg(tok, ' ' ORDER BY pos), '') AS new_text FROM kept GROUP BY doc_id), "
+            "rem AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS n_removed FROM isl GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "CASE WHEN rem.n_removed IS NOT NULL THEN COALESCE(reb.new_text, '') ELSE d.text END AS text, "
+            "CAST(CASE WHEN regexp_matches(d.text, '\\S') THEN len(tk.toks) ELSE 0 END AS BIGINT) AS n_tokens, "
+            "CAST(COALESCE(rem.n_removed, 0) AS BIGINT) AS n_removed_tokens "
+            "FROM docs_dup d JOIN tk USING (doc_id) LEFT JOIN reb USING (doc_id) LEFT JOIN rem USING (doc_id)"
         ),
         "text_gopher_flags": (
             "WITH t AS (SELECT doc_id, text, "
@@ -2678,6 +2775,9 @@ def oracle_sql() -> dict[str, str]:
         # identical expected result through the operator's DEFAULT
         # size-switch (driver union-find) — pins BOTH execution paths
         "dedup_neardup_clusters_default": _neardup_clusters_oracle(docs_dup_cte),
+        # and through the alternating large-star/small-star rounds —
+        # three algorithms, one fixpoint oracle
+        "dedup_neardup_clusters_star": _neardup_clusters_oracle(docs_dup_cte),
         "dedup_jaccard_blocked": (
             f"{docs_dup_cte}, sh AS ("
             "SELECT doc_id, lang, floor(n_chars / 64) AS lb, "

@@ -32,10 +32,15 @@ from typing import Any, Dict, Mapping, Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-from .operators.dedup import minhash_dedup, normalized_dedup
+from .operators.dedup import minhash_dedup, normalized_dedup, remove_duplicated_spans
 from .operators.packing import mixture_temperature, pack_sequences
 from .operators.sampling import dataset_split
-from .operators.text import contamination_flags, gopher_quality_flags
+from .operators.text import (
+    contamination_flags,
+    gopher_quality_flags,
+    ngram_lm_perplexity,
+    quality_deciles,
+)
 
 
 def curate_corpus(
@@ -44,25 +49,46 @@ def curate_corpus(
     text_col: str = "text",
     source_col: str = "source",
     benchmark_df: Optional[DataFrame] = None,
+    contamination_n: int = 13,
     split_fractions: Optional[Mapping[str, float]] = None,
     train_token_budget: int = 1_000_000,
     mixture_alpha: float = 0.5,
     seq_len: int = 2048,
     neardup_threshold: float = 0.8,
     quality_flags: Optional[Sequence[str]] = None,
+    quality_top_deciles: Optional[int] = None,
+    span_removal_k: Optional[int] = None,
+    span_removal_min: Optional[int] = None,
     salt: str = "",
     catalog=None,
     dest_prefix: Optional[str] = None,
 ) -> Dict[str, Any]:
     """Run the curation sequence; return its artifacts and counts.
 
+    Optional stages (off by default, enabled by their parameter):
+    - ``quality_top_deciles=k``: model-based quality gate between the
+      rule gate and dedup — score every survivor under the corpus's own
+      add-k bigram LM (``ngram_lm_perplexity``), decile-bin the scores
+      with the bounded-state ``quality_deciles`` path, keep the k
+      LOWEST-perplexity deciles (low ppl = close to the corpus
+      distribution = keep). Deciles, not a ppl threshold, so the gate
+      is scale-free.
+    - ``span_removal_k=k``: after near-dup removal, cut cross-document
+      duplicated spans >= ``span_removal_min`` (default k) tokens out
+      of the surviving docs (``remove_duplicated_spans`` — rewrites
+      text, never drops rows).
+    - ``benchmark_df``: decontamination — drop docs sharing any
+      ``contamination_n``-gram (default 13, the GPT-3/PaLM convention)
+      with the benchmark set.
+
     Returns a dict with DataFrames ``clean`` (quality+dedup survivors,
     with their split label), ``mixture`` (the temperature-sampled train
     subset) and ``packed`` (the packing plan over the mixture), plus
     ``stats`` (per-stage row counts, non-increasing through the
-    filters). With ``catalog`` and ``dest_prefix`` set, each artifact
-    is also committed as ``{dest_prefix}_clean`` / ``_mix`` /
-    ``_packed`` and the returned dict carries the table handles."""
+    filters; ``span_tokens_removed`` when span removal ran). With
+    ``catalog`` and ``dest_prefix`` set, each artifact is also
+    committed as ``{dest_prefix}_clean`` / ``_mix`` / ``_packed`` and
+    the returned dict carries the table handles."""
     fractions = dict(split_fractions or {"train": 0.9, "val": 0.05, "test": 0.05})
     stats: Dict[str, int] = {"input": docs.count()}
 
@@ -87,14 +113,46 @@ def curate_corpus(
     quality = docs.join(kept, id_col, "left_semi").localCheckpoint(eager=True)
     stats["after_quality"] = quality.count()
 
+    if quality_top_deciles is not None:
+        # model-based gate: bigram-LM perplexity deciles over the
+        # rule-gate survivors; keep the quality_top_deciles LOWEST
+        # deciles. Bounded state end to end (the LM table is
+        # O(distinct bigrams); the decile cuts are an approx_percentile
+        # sketch), so the stage composes at any corpus size.
+        scored = ngram_lm_perplexity(quality, text_col, id_col)
+        # checkpointed: feeds the keep filter AND is returned for
+        # decile-population audits (out["quality_bins"])
+        binned = quality_deciles(scored, "ppl", id_col).localCheckpoint(eager=True)
+        quality_bins = binned
+        keep_ids = binned.where(F.col("bucket") <= int(quality_top_deciles)).select(id_col)
+        quality = quality.join(keep_ids, id_col, "left_semi").localCheckpoint(eager=True)
+    else:
+        quality_bins = None
+    stats["after_model_quality"] = quality.count()
+
     exact = normalized_dedup(quality, text_col, id_col).localCheckpoint(eager=True)
     stats["after_exact_dedup"] = exact.count()
 
     neardup = minhash_dedup(exact, id_col, text_col, threshold=neardup_threshold).localCheckpoint(eager=True)
     stats["after_neardup"] = neardup.count()
 
+    if span_removal_k is not None:
+        # span-level rewrite (Lee et al. ExactSubstr): cuts duplicated
+        # cross-doc spans out of the surviving text — row count is
+        # unchanged (monotone counts unaffected); the removed token
+        # total is reported instead
+        rewritten = remove_duplicated_spans(
+            neardup, id_col, text_col, k=int(span_removal_k), min_span=span_removal_min
+        ).localCheckpoint(eager=True)
+        stats["span_tokens_removed"] = (
+            rewritten.agg(F.sum("n_removed_tokens")).first()[0] or 0
+        )
+        neardup = rewritten.drop("n_tokens", "n_removed_tokens")
+
     if benchmark_df is not None:
-        contaminated = contamination_flags(neardup, benchmark_df, text_col, id_col)
+        contaminated = contamination_flags(
+            neardup, benchmark_df, text_col, id_col, n=contamination_n
+        )
         # checkpointed: the corpus-vs-benchmark n-gram join is the most
         # expensive stage and feeds both the count and the split
         decontaminated = neardup.join(contaminated, id_col, "left_anti").localCheckpoint(eager=True)
@@ -126,6 +184,8 @@ def curate_corpus(
     )
 
     out: Dict[str, Any] = {"clean": clean, "mixture": mixture, "packed": packed, "stats": stats}
+    if quality_bins is not None:
+        out["quality_bins"] = quality_bins
     if catalog is not None and dest_prefix:
         from .schema import schema_from_spark
 

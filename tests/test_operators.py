@@ -1199,3 +1199,48 @@ def test_remove_duplicated_spans_extra_columns_preserved(spark):
     assert out.columns == ["doc_id", "text", "source", "n_tokens", "n_removed_tokens"]
     got = {r.doc_id: r for r in out.collect()}
     assert got[1].text == "a b c" and got[1].source == "s1" and got[1].n_removed_tokens == 0
+
+
+def test_curate_corpus_optional_stages(spark):
+    """The three optional stages compose: model-based decile gate,
+    span-level rewrite (row-preserving), benchmark decontamination at
+    the 13-gram convention."""
+    from iceberg_python_spark.pipeline import curate_corpus
+
+    def doc(i):
+        return "the cat and dog is of note here " + " ".join(
+            f"word{i}x{j}" for j in range(55)
+        )
+
+    rows = [(i, "srcA" if i % 2 else "srcB", doc(i)) for i in range(40)]
+    rows.append((100, "srcA", doc(0)))  # exact duplicate
+    rows.append((101, "srcA", doc(0).replace("word0x7", "changed")))  # near-dup
+    rows.append((102, "srcA", "too short"))  # rule-gated
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    bench = spark.createDataFrame([(9000, doc(5))], "doc_id: long, text: string")
+
+    res = curate_corpus(
+        df,
+        benchmark_df=bench,
+        quality_top_deciles=10,  # all deciles -> gate is a no-op
+        span_removal_k=8,
+        train_token_budget=2000,
+        seq_len=128,
+    )
+    st = res["stats"]
+    assert st["after_quality"] == 42 and st["after_model_quality"] == 42
+    assert st["after_exact_dedup"] == 41 and st["after_neardup"] == 40
+    # every surviving doc shared the exact 8-token stopword prefix ->
+    # one 8-token island each, removed from all 40
+    assert st["span_tokens_removed"] == 8 * 40
+    # doc 5 shares 13-grams with the benchmark even after the rewrite
+    assert st["after_decontamination"] == 39
+    texts = {r.doc_id: r.text for r in res["clean"].collect()}
+    assert 5 not in texts
+    assert not texts[6].startswith("the cat") and texts[6].startswith("word6x0")
+
+    # a selective decile gate actually drops docs and stays monotone
+    res5 = curate_corpus(df, quality_top_deciles=5, train_token_budget=2000, seq_len=128)
+    st5 = res5["stats"]
+    assert 0 < st5["after_model_quality"] <= st5["after_quality"]
+    assert st5["after_model_quality"] >= st5["after_exact_dedup"] >= st5["after_neardup"]
