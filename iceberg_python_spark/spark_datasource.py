@@ -238,9 +238,14 @@ def _appended_files_between(meta, from_id: Optional[int], to_id: Optional[int]) 
     return paths
 
 
-def _arrow_batches_for_file(path: str, field_names: Sequence[str]) -> Iterator[Any]:
+def _arrow_batches_for_file(
+    path: str, field_names: Sequence[str], target: Optional[Any] = None
+) -> Iterator[Any]:
     """Read one parquet file with pyarrow, projected+reordered to the
-    table schema by name (absent columns filled with nulls)."""
+    table schema by name (absent columns filled with nulls). ``target``
+    (a pyarrow schema over exactly ``field_names``) types the null fill
+    and casts mismatched physical types — needed when the file set
+    spans added-column schema evolution."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -252,14 +257,21 @@ def _arrow_batches_for_file(path: str, field_names: Sequence[str]) -> Iterator[A
         src = _io.BytesIO(fileio.read_bytes(path))
     else:
         src = fileio.to_local(path)
-    table = pq.read_table(src)
+    # project at the parquet reader: only the requested columns decode
+    present = pq.ParquetFile(src).schema_arrow.names
+    want = [n for n in field_names if n in present]
+    table = pq.read_table(src, columns=want)
     cols = []
     n = table.num_rows
     for name in field_names:
+        t = target.field(name).type if target is not None else None
         if name in table.column_names:
-            cols.append(table.column(name))
+            col = table.column(name)
+            if t is not None and col.type != t:
+                col = col.cast(t)
+            cols.append(col)
         else:
-            cols.append(pa.nulls(n))
+            cols.append(pa.nulls(n, type=t) if t is not None else pa.nulls(n))
     out = pa.table(dict(zip(field_names, cols)))
     yield from out.to_batches(max_chunksize=1 << 16)
 
@@ -304,6 +316,82 @@ class IcebergBatchReader(DataSourceReader):
         if not partition.path:
             return iter(())
         return _arrow_batches_for_file(partition.path, self._field_names)
+
+
+class _ManifestChunkPartition(InputPartition):
+    """A slice of ONE path-manifest part file: rows [offset, offset+count).
+    The partition handle carries the manifest part path, never the data
+    file paths themselves — the driver's memory stays O(task count)."""
+
+    def __init__(self, manifest_part: str, offset: int, count: int):
+        self.manifest_part = manifest_part
+        self.offset = offset
+        self.count = count
+
+
+class IcebergPlannedReader(DataSourceReader):
+    """Executor-side read of a PRE-PLANNED file set: ``path_manifest_dir``
+    points at a parquet directory (written by the engine's distributed
+    planner as a Spark job) whose rows carry ``file_path``. The driver
+    reads ONLY the part-file footers (row counts, O(part files)) to cut
+    chunk handles; each executor task opens its manifest slice and
+    streams the listed data files as Arrow batches. This is how a scan
+    over 10^7 surviving files avoids materializing the path list on the
+    driver — the known limit of the collect-based distributed planner
+    (SCALE.md r08)."""
+
+    def __init__(self, options: Dict[str, str]):
+        self.options = dict(options)
+        self._dir = self.options["path_manifest_dir"]
+        self._fields = [f["name"] for f in json.loads(self.options["schema_json"])["fields"]]
+        self._files_per_task = max(1, int(self.options.get("files_per_task", "1")))
+
+    def partitions(self) -> List[InputPartition]:
+        import pyarrow.parquet as pq
+
+        from .io import fileio
+
+        parts: List[InputPartition] = []
+        for part in sorted(fileio.list_files(self._dir, suffix=".parquet", spark=None)):
+            if fileio.is_remote(part):
+                import io as _io
+
+                n = pq.ParquetFile(_io.BytesIO(fileio.read_bytes(part))).metadata.num_rows
+            else:
+                n = pq.ParquetFile(fileio.to_local(part)).metadata.num_rows
+            for off in range(0, n, self._files_per_task):
+                parts.append(
+                    _ManifestChunkPartition(part, off, min(self._files_per_task, n - off))
+                )
+        return parts or [_ManifestChunkPartition("", 0, 0)]
+
+    def read(self, partition: _ManifestChunkPartition):
+        if not partition.manifest_part:
+            return iter(())
+
+        def gen():
+            import pyarrow.parquet as pq
+            from pyspark.sql import types as T
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            from .io import fileio
+
+            target = to_arrow_schema(
+                T.StructType.fromJson(json.loads(self.options["schema_json"]))
+            )
+            if fileio.is_remote(partition.manifest_part):
+                import io as _io
+
+                src = _io.BytesIO(fileio.read_bytes(partition.manifest_part))
+            else:
+                src = fileio.to_local(partition.manifest_part)
+            chunk = pq.read_table(src, columns=["file_path"]).slice(
+                partition.offset, partition.count
+            )
+            for path in chunk.column("file_path").to_pylist():
+                yield from _arrow_batches_for_file(path, self._fields, target=target)
+
+        return gen()
 
 
 class IcebergStreamReader(DataSourceStreamReader):
@@ -360,6 +448,10 @@ class IcebergDataSource(DataSource):
     def schema(self):
         from pyspark.sql import types as T
 
+        if "path_manifest_dir" in self.options:
+            # planned-read mode: the scan ships the (projected) schema
+            # explicitly — there is no table handle to derive it from
+            return T.StructType.fromJson(json.loads(self.options["schema_json"]))
         meta = _load_metadata(self.options)
         base = meta.schema().to_spark()
         # plain fields only: the streaming runner round-trips this schema
@@ -367,7 +459,9 @@ class IcebergDataSource(DataSource):
         # non-null flags the Python rows can't prove) would break it
         return T.StructType([T.StructField(f.name, f.dataType, True) for f in base.fields])
 
-    def reader(self, schema) -> IcebergBatchReader:
+    def reader(self, schema) -> DataSourceReader:
+        if "path_manifest_dir" in self.options:
+            return IcebergPlannedReader(self.options)
         return IcebergBatchReader(self.options)
 
     def streamReader(self, schema) -> IcebergStreamReader:

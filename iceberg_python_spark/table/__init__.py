@@ -41,7 +41,10 @@ from ..expressions import (
     AlwaysTrue,
     And,
     BooleanExpression,
+    BoundPredicate,
     In,
+    Not,
+    Or,
     bind,
 )
 from ..expressions.parser import parse as parse_filter
@@ -2403,6 +2406,24 @@ class Transaction:
 # ---------------------------------------------------------------------------
 
 
+def _bound_refs(expr: BooleanExpression) -> Set[str]:
+    """Field NAMES a bound expression references (for read-side column
+    sets: the post-scan filter needs its columns in the projection)."""
+    out: Set[str] = set()
+
+    def walk(e: BooleanExpression) -> None:
+        if isinstance(e, (And, Or)):
+            walk(e.left)
+            walk(e.right)
+        elif isinstance(e, Not):
+            walk(e.child)
+        elif isinstance(e, BoundPredicate):
+            out.add(e.field.name)
+
+    walk(expr)
+    return out
+
+
 class DataScan:
     """Immutable scan builder (reference table/__init__.py:1876 BaseScan,
     :2227 DataScan)."""
@@ -2688,50 +2709,7 @@ class DataScan:
                 by_spec.setdefault(m["spec_id"], []).append(m)
 
         tasks: List[FileScanTask] = []
-        for spec_id, group in by_spec.items():
-            pf = part_filter(spec_id)
-            if isinstance(pf, AlwaysFalse):
-                continue
-            spec = metadata.spec_by_id(spec_id)
-            # manifest-level pruning by partition summaries first (driver, cheap)
-            survivors = []
-            for m in group:
-                if not isinstance(pf, AlwaysTrue) and m.get("partition_summaries"):
-                    if not manifest_evaluator(m["partition_summaries"])(pf):
-                        continue
-                survivors.append(m)
-            if not survivors:
-                continue
-            # parquet manifests read natively; spec Avro manifests
-            # (write.metadata.format=avro / other-engine tables) decode
-            # on executors into the same row layout
-            pq_paths = [m["manifest_path"] for m in survivors if not m["manifest_path"].endswith(".avro")]
-            avro_manifests = [m for m in survivors if m["manifest_path"].endswith(".avro")]
-            parts = []
-            if pq_paths:
-                parts.append(spark.read.parquet(*pq_paths))
-            if avro_manifests:
-                from ..manifests_distributed import avro_manifest_entries_df
-
-                parts.append(avro_manifest_entries_df(spark, avro_manifests, schema, spec))
-            df = parts[0]
-            for extra in parts[1:]:
-                df = df.unionByName(extra)
-            df = df.where(
-                (F.col("status") != STATUS_DELETED) & (F.col("content") == CONTENT_DATA)
-            )
-            if not isinstance(pf, AlwaysTrue):
-                part_schema = spec.partition_schema(schema)
-                struct = T.StructType(
-                    [T.StructField(f.name, json_storage_spark_type(f.field_type)) for f in part_schema.fields]
-                )
-                df = df.withColumn("_part", F.from_json("partition_json", struct))
-                pred = to_spark_column(
-                    pf, column_for=lambda p: F.col(f"_part.{p.field.name}"), keep_internal=True
-                )
-                df = df.where(pred)
-            if not isinstance(bound, AlwaysTrue):
-                df = df.where(metrics_spark_predicate(bound, "stats_json"))
+        for spec_id, spec, df in self._pruned_entry_dfs(metadata, schema, bound, by_spec, part_filter):
             rows = df.select(
                 "file_path",
                 "sequence_number",
@@ -2789,6 +2767,224 @@ class DataScan:
                 )
         return tasks
 
+    def _pruned_entry_dfs(self, metadata, schema, bound, by_spec, part_filter):
+        """Per-spec DataFrames of SURVIVING manifest entries — manifest
+        summary pruning driver-side (cheap, O(manifests)), then
+        partition-tuple + metrics pruning as Catalyst predicates on
+        executors. Shared by the collect-based distributed planner and
+        the streaming distributed read (which never collects)."""
+        from pyspark.sql import types as T
+
+        from ..manifests_distributed import (  # local import avoids cycle
+            json_storage_spark_type,
+            metrics_spark_predicate,
+        )
+
+        spark = self.table.spark
+        for spec_id, group in by_spec.items():
+            pf = part_filter(spec_id)
+            if isinstance(pf, AlwaysFalse):
+                continue
+            spec = metadata.spec_by_id(spec_id)
+            # manifest-level pruning by partition summaries first (driver, cheap)
+            survivors = []
+            for m in group:
+                if not isinstance(pf, AlwaysTrue) and m.get("partition_summaries"):
+                    if not manifest_evaluator(m["partition_summaries"])(pf):
+                        continue
+                survivors.append(m)
+            if not survivors:
+                continue
+            # parquet manifests read natively; spec Avro manifests
+            # (write.metadata.format=avro / other-engine tables) decode
+            # on executors into the same row layout
+            pq_paths = [m["manifest_path"] for m in survivors if not m["manifest_path"].endswith(".avro")]
+            avro_manifests = [m for m in survivors if m["manifest_path"].endswith(".avro")]
+            parts = []
+            if pq_paths:
+                parts.append(spark.read.parquet(*pq_paths))
+            if avro_manifests:
+                from ..manifests_distributed import avro_manifest_entries_df
+
+                parts.append(avro_manifest_entries_df(spark, avro_manifests, schema, spec))
+            df = parts[0]
+            for extra in parts[1:]:
+                df = df.unionByName(extra)
+            df = df.where(
+                (F.col("status") != STATUS_DELETED) & (F.col("content") == CONTENT_DATA)
+            )
+            if not isinstance(pf, AlwaysTrue):
+                part_schema = spec.partition_schema(schema)
+                struct = T.StructType(
+                    [T.StructField(f.name, json_storage_spark_type(f.field_type)) for f in part_schema.fields]
+                )
+                df = df.withColumn("_part", F.from_json("partition_json", struct))
+                pred = to_spark_column(
+                    pf, column_for=lambda p: F.col(f"_part.{p.field.name}"), keep_internal=True
+                )
+                df = df.where(pred)
+            if not isinstance(bound, AlwaysTrue):
+                df = df.where(metrics_spark_predicate(bound, "stats_json"))
+            yield spec_id, spec, df
+
+    def _to_df_streaming_distributed(self, metadata, snap, schema, projected):
+        """Distributed planning that STAYS distributed into the read
+        (SCALE.md r08 known limit; VERDICT r08 #2): above the
+        distributed-planning threshold, the pruning job's surviving
+        entries are written to a transient parquet path-manifest under
+        ``{table}/metadata/scan-plans/`` (a distributed write — the
+        file list NEVER materializes on the driver), and the scan reads
+        through the Python DataSource's planned-manifest mode, whose
+        InputPartitions are (manifest part, row-chunk) handles: driver
+        memory is O(task count), not O(files). This is the engine's
+        answer to the reference's ManifestGroupPlanner.plan_files
+        (table/__init__.py:2622-2667) at file counts where even a
+        compact path collect is a driver bottleneck.
+
+        Returns None (-> caller falls back to the exact task-list path)
+        when the scan needs per-task state the streamed shape cannot
+        carry: delete files (MoR), non-parquet data, schema evolution
+        that name-projection cannot express (renames / type
+        promotions), server-side planning, or an explicit
+        ``read.plan.distributed-read=false``. Row-level filters are
+        re-applied post-scan, so skipping residual-based file pruning
+        is sound (residuals only skip work, never change results).
+
+        The path manifest is transient scan state: cleaned by
+        ``remove_orphan_files`` (age-guarded, so in-flight reads are
+        safe) like any other unreferenced metadata artifact."""
+        import math
+        import posixpath
+        import uuid as _uuid
+
+        props = metadata.properties
+        if str(props.get("read.plan.distributed-read", "true")).lower() != "true":
+            return None
+        if props.get("scan-planning-mode", "client") == "server" and hasattr(
+            self.table.catalog, "plan_table_scan"
+        ):
+            return None
+        bound = bind(self.row_filter, schema, self.case_sensitive)
+        if isinstance(bound, AlwaysFalse):
+            return None
+        manifest_files = read_manifest_list(snap.manifest_list, metadata.spec_by_id, schema)
+        if any(m.get("content", CONTENT_DATA) != CONTENT_DATA for m in manifest_files):
+            return None  # delete manifests -> exact MoR task planning
+        threshold = int(props.get("read.plan.distributed-threshold", "200000"))
+        est_entries = sum(
+            m["added_files_count"] + m["existing_files_count"] for m in manifest_files
+        )
+        if est_entries <= threshold:
+            return None
+
+        part_filter_by_spec: Dict[int, BooleanExpression] = {}
+
+        def part_filter(spec_id: int) -> BooleanExpression:
+            if spec_id not in part_filter_by_spec:
+                spec = metadata.spec_by_id(spec_id)
+                part_filter_by_spec[spec_id] = spec.inclusive_projection(schema, bound)
+            return part_filter_by_spec[spec_id]
+
+        by_spec: Dict[int, List[Dict[str, Any]]] = {}
+        for m in manifest_files:
+            by_spec.setdefault(m["spec_id"], []).append(m)
+        spark = self.table.spark
+        cols = ["file_path", "file_format", "schema_id", "record_count", "file_size_in_bytes"]
+        dfs = [
+            df.select(*cols)
+            for _sid, _spec, df in self._pruned_entry_dfs(metadata, schema, bound, by_spec, part_filter)
+        ]
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in projected.to_spark().fields]
+        )
+        if not dfs:
+            self._streaming_plan_info = {"n_files": 0, "plan_dir": None}
+            return spark.createDataFrame([], schema=out_schema)
+        union = dfs[0]
+        for extra in dfs[1:]:
+            union = union.unionByName(extra)
+        plan_dir = posixpath.join(
+            self.table.location, "metadata", "scan-plans", _uuid.uuid4().hex
+        )
+        n_manifest_parts = int(min(64, est_entries // 50_000 + 1))
+        union.repartition(n_manifest_parts).write.mode("overwrite").parquet(plan_dir)
+
+        from ..io import fileio
+
+        pm = spark.read.parquet(plan_dir)
+        info = pm.agg(
+            F.count("*").alias("n"),
+            F.sum("file_size_in_bytes").alias("bytes"),
+            F.collect_set("file_format").alias("fmts"),
+            F.collect_set("schema_id").alias("sids"),
+        ).first()
+        n_files = info["n"] or 0
+        if n_files == 0:
+            fileio.remove_recursive(plan_dir, spark)
+            self._streaming_plan_info = {"n_files": 0, "plan_dir": None}
+            return spark.createDataFrame([], schema=out_schema)
+        if {str(f).upper() for f in info["fmts"]} != {"PARQUET"}:
+            fileio.remove_recursive(plan_dir, spark)
+            return None
+        # name-projection safety across the schema ids present: every
+        # field the scan touches must carry the SAME (id, name, type) in
+        # each file schema it exists in — added columns (absent in old
+        # files) null-fill by name, which is exactly the evolution
+        # semantics; renames / promotions need per-group reads -> fall back
+        needed = {f.name for f in projected.fields}
+        for t_ in _bound_refs(bound):
+            needed.add(t_)
+        for sid in info["sids"]:
+            try:
+                fschema = metadata.schema_by_id(sid)
+            except ValueError:
+                fileio.remove_recursive(plan_dir, spark)
+                return None
+            by_id = {f.field_id: f for f in fschema.fields}
+            for f in schema.fields:
+                if f.name not in needed:
+                    continue
+                old_f = by_id.get(f.field_id)
+                if old_f is not None and (old_f.name != f.name or old_f.field_type != f.field_type):
+                    fileio.remove_recursive(plan_dir, spark)
+                    return None
+
+        # task granularity: pack files toward maxPartitionBytes, and cap
+        # total task count (the JVM scheduler is the remaining O(tasks))
+        try:
+            mpb = int(str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")).rstrip("b"))
+        except ValueError:
+            mpb = 134217728
+        avg = max(1, (info["bytes"] or 0) // n_files)
+        max_tasks = int(props.get("read.plan.max-tasks", "100000"))
+        files_per_task = max(1, min(int(mpb // avg), 1000), math.ceil(n_files / max_tasks))
+        self._streaming_plan_info = {
+            "n_files": int(n_files),
+            "plan_dir": plan_dir,
+            "files_per_task": int(files_per_task),
+        }
+
+        from ..spark_datasource import register_data_source
+
+        register_data_source(spark)
+        read_fields = [f for f in schema.to_spark().fields if f.name in needed]
+        read_schema = T.StructType([T.StructField(f.name, f.dataType, True) for f in read_fields])
+        out = (
+            spark.read.format("iceberg_python_spark")
+            .option("path_manifest_dir", plan_dir)
+            .option("schema_json", json.dumps(read_schema.jsonValue()))
+            .option("files_per_task", str(files_per_task))
+            .load()
+        )
+        if not isinstance(bound, AlwaysTrue):
+            out = out.where(to_spark_column(bound))
+        out = out.select(*[F.col(f.name) for f in projected.fields])
+        if self.limit is not None:
+            out = out.limit(self.limit)
+        return out
+
     # -- execution ----------------------------------------------------------
     def to_df(self, row_lineage: bool = False) -> DataFrame:
         return self._to_df_of(self.table.metadata, row_lineage=row_lineage)
@@ -2800,6 +2996,10 @@ class DataScan:
         projected = self.projection(metadata)
         if row_lineage and metadata.format_version < 3:
             raise ValueError("row lineage needs a format-version 3 table (next-row-id)")
+        if not row_lineage and snap is not None:
+            streamed = self._to_df_streaming_distributed(metadata, snap, schema, projected)
+            if streamed is not None:
+                return streamed
         tasks = self.plan_files(metadata)
         if not tasks:
             out_schema = projected.to_spark()

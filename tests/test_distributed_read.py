@@ -1,0 +1,185 @@
+"""Streaming distributed read: above the distributed-planning threshold
+the scan must stay distributed INTO the read — the surviving file list is
+written as a transient path manifest by a Spark job and consumed by the
+Python DataSource's planned-manifest mode; the driver never materializes
+file paths (r08 SCALE.md known limit, VERDICT r08 #2).
+
+Covered here:
+- plan parity: the streamed path reads exactly the files the exact
+  task-list planner would (file count via metrics pruning) and returns
+  value-identical rows;
+- plan shape: ``plan_files`` is never called on the streamed path (a
+  raising monkeypatch proves no driver task list is built);
+- fallbacks: delete files (MoR), renamed-column schema evolution, and
+  the ``read.plan.distributed-read=false`` opt-out all take the exact
+  task-list path;
+- empty results and limit/projection behavior.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_python_spark.schema import schema_from_spark
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def cat(spark, tmp_path_factory):
+    from iceberg_python_spark import SqliteCatalog
+
+    return SqliteCatalog("distread", str(tmp_path_factory.mktemp("wh")), spark)
+
+
+@pytest.fixture(scope="module")
+def table(cat, spark):
+    """Four appends split by ORDERKEY RANGE, so an orderkey filter
+    genuinely prunes files via min/max metrics. threshold=0 forces the
+    distributed path at test scale."""
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    t = cat.create_table(
+        "db.li_ranges",
+        schema_from_spark(df.schema),
+        properties={"read.plan.distributed-threshold": "0"},
+    )
+    hi = df.agg(F.max("l_orderkey")).first()[0]
+    step = hi // 4 + 1
+    for i in range(4):
+        t.append(df.where((F.col("l_orderkey") >= i * step) & (F.col("l_orderkey") < (i + 1) * step)))
+    return cat.load_table("db.li_ranges")
+
+
+def _exact_twin(cat, name):
+    t = cat.load_table(name)
+    t.set_properties({"read.plan.distributed-read": "false"})
+    return cat.load_table(name)
+
+
+def test_streamed_matches_tasklist_values_and_pruning(cat, table, spark):
+    flt = "l_orderkey < 100 and l_quantity > 10"
+    sel = ("l_orderkey", "l_quantity", "l_shipdate")
+    scan = table.scan(row_filter=flt, selected_fields=sel)
+    streamed = scan.to_df()
+    info = scan._streaming_plan_info
+    assert info["plan_dir"] is not None
+
+    exact = _exact_twin(cat, "db.li_ranges")
+    tasks = exact.scan(row_filter=flt).plan_files()
+    # metrics pruning: the low-orderkey filter must prune the upper
+    # range files on BOTH paths, identically
+    assert 1 <= len(tasks) < 4
+    assert info["n_files"] == len(tasks)
+
+    a = streamed.toPandas().sort_values(list(sel)).reset_index(drop=True)
+    b = (
+        exact.scan(row_filter=flt, selected_fields=sel)
+        .to_df()
+        .toPandas()
+        .sort_values(list(sel))
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    # restore the property for other tests
+    cat.load_table("db.li_ranges").set_properties({"read.plan.distributed-read": "true"})
+
+
+def test_streamed_path_never_builds_task_list(cat, table, monkeypatch, spark):
+    import iceberg_python_spark.table as tbl
+
+    def boom(*a, **k):
+        raise AssertionError("plan_files called on the streamed path")
+
+    monkeypatch.setattr(tbl.DataScan, "plan_files", boom)
+    scan = cat.load_table("db.li_ranges").scan(
+        row_filter="l_quantity > 45", selected_fields=("l_orderkey",)
+    )
+    n = scan.to_df().count()
+    assert n > 0 and scan._streaming_plan_info["n_files"] == 4
+
+
+def test_streamed_empty_result_schema(cat, table):
+    scan = cat.load_table("db.li_ranges").scan(
+        row_filter="l_quantity > 1000000", selected_fields=("l_orderkey", "l_quantity")
+    )
+    df = scan.to_df()
+    assert df.columns == ["l_orderkey", "l_quantity"] and df.count() == 0
+
+
+def test_streamed_limit(cat, table):
+    df = cat.load_table("db.li_ranges").scan(selected_fields=("l_orderkey",), limit=7).to_df()
+    assert df.count() == 7
+
+
+def test_opt_out_property_falls_back(cat, table):
+    t = cat.load_table("db.li_ranges")
+    t.set_properties({"read.plan.distributed-read": "false"})
+    try:
+        scan = cat.load_table("db.li_ranges").scan(selected_fields=("l_orderkey",))
+        scan.to_df()
+        assert not hasattr(scan, "_streaming_plan_info")
+    finally:
+        cat.load_table("db.li_ranges").set_properties({"read.plan.distributed-read": "true"})
+
+
+def test_delete_files_fall_back_exactly(cat, spark):
+    """A MoR table (position deletes) must take the exact task-list path
+    and still return correct rows with threshold=0."""
+    df = spark.range(100).select(F.col("id").cast("long").alias("k"), (F.col("id") * 2).alias("v"))
+    t = cat.create_table(
+        "db.mor_fallback",
+        schema_from_spark(df.schema),
+        properties={
+            "read.plan.distributed-threshold": "0",
+            "write.delete.mode": "merge-on-read",
+        },
+    )
+    t.append(df)
+    t = cat.load_table("db.mor_fallback")
+    t.delete("k >= 90")
+    t = cat.load_table("db.mor_fallback")
+    scan = t.scan()
+    out = scan.to_df()
+    assert out.count() == 90
+    assert not hasattr(scan, "_streaming_plan_info")
+
+
+def test_schema_rename_falls_back(cat, spark):
+    """Files written before a column RENAME need field-id alignment the
+    name-projection read cannot express -> exact path, correct values."""
+    df = spark.range(50).select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+    t = cat.create_table(
+        "db.renamed", schema_from_spark(df.schema),
+        properties={"read.plan.distributed-threshold": "0"},
+    )
+    t.append(df)
+    t = cat.load_table("db.renamed")
+    t.update_schema().rename_column("b", "b2").commit()
+    t = cat.load_table("db.renamed")
+    scan = t.scan()
+    out = scan.to_df()
+    assert out.columns == ["a", "b2"] and out.count() == 50
+    assert not hasattr(scan, "_streaming_plan_info")
+
+
+def test_added_column_streams_with_null_fill(cat, spark):
+    """Added-column evolution IS name-projection safe: old files
+    null-fill the new column on the streamed path."""
+    df = spark.range(30).select(F.col("id").alias("a")).repartition(1)
+    t = cat.create_table(
+        "db.added", schema_from_spark(df.schema),
+        properties={"read.plan.distributed-threshold": "0"},
+    )
+    t.append(df)
+    t = cat.load_table("db.added")
+    from iceberg_python_spark.types import LongType
+
+    t.update_schema().add_column("c", LongType()).commit()
+    t = cat.load_table("db.added")
+    df2 = spark.range(30, 40).select(F.col("id").alias("a"), (F.col("id") * 10).alias("c")).repartition(1)
+    t.append(df2)
+    t = cat.load_table("db.added")
+    scan = t.scan()
+    out = scan.to_df()
+    assert scan._streaming_plan_info["n_files"] == 2
+    rows = {r.a: r.c for r in out.collect()}
+    assert len(rows) == 40 and rows[5] is None and rows[35] == 350
