@@ -253,12 +253,23 @@ class MetastoreCatalog:
         ``table.scan(...).to_df().createOrReplaceTempView(...)``."""
         import re as _re
 
-        # Split the query into literal and non-literal segments (single-
-        # and double-quoted, honoring both backslash escapes — Spark's
-        # default string-literal mode — and doubled-quote escapes) so
-        # dotted names inside literals are neither resolved nor
-        # rewritten.
-        segments = _re.split(r"('(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\")", query)
+        # Split the query into code and non-code segments so dotted
+        # names inside non-code spans are neither resolved nor
+        # rewritten. Non-code spans (ADVICE r8: an apostrophe inside a
+        # comment must not open a phantom literal):
+        # - string literals (single/double quoted, honoring backslash
+        #   escapes — Spark's default mode — and doubled-quote escapes),
+        # - `--` line comments and `/* */` block comments,
+        # - backtick-quoted identifiers (explicitly quoted names are
+        #   the user's own resolution, left untouched).
+        segments = _re.split(
+            r"('(?:[^'\\]|\\.|'')*'"
+            r"|\"(?:[^\"\\]|\\.|\"\")*\""
+            r"|`(?:[^`]|``)*`"
+            r"|--[^\n]*"
+            r"|(?s:/\*.*?\*/))",
+            query,
+        )
         code = [s for i, s in enumerate(segments) if i % 2 == 0]
         for ns, tbl in dict.fromkeys(
             m for s in code for m in _re.findall(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", s)

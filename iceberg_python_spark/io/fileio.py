@@ -96,7 +96,54 @@ def _spark_or_none(spark=None):
 # _use_boto3 does for S3. This is the reference io/fsspec.py:428 role:
 # the driver-side metadata plane (StaticTable, catalog commits, GC)
 # works on gs:// and abfs:// with no Hadoop filesystem at all.
-_PYARROW_SCHEMES = ("gs", "gcs", "abfs", "abfss")
+# ``oss`` (Alibaba, S3-wire-compatible behind an endpoint override) and
+# ``hf`` (HuggingFace datasets, via the gated huggingface_hub fsspec
+# filesystem) complete the reference's scheme table
+# (io/__init__.py:329; HF config keys io/__init__.py:113-114).
+_PYARROW_SCHEMES = ("gs", "gcs", "abfs", "abfss", "oss", "hf")
+
+
+def _oss_filesystem():
+    """Alibaba OSS speaks the S3 wire protocol: a pyarrow S3FileSystem
+    with the OSS endpoint (``OSS_ENDPOINT_URL``, falling back to the
+    generic ``AWS_ENDPOINT_URL``) and the OSS credential pair when set
+    (reference io/fsspec.py routes oss:// through s3fs the same way)."""
+    from pyarrow import fs as pafs
+
+    endpoint = os.environ.get("OSS_ENDPOINT_URL") or os.environ.get("AWS_ENDPOINT_URL")
+    kwargs = {}
+    if endpoint:
+        kwargs["endpoint_override"] = endpoint
+    access = os.environ.get("OSS_ACCESS_KEY_ID")
+    secret = os.environ.get("OSS_SECRET_ACCESS_KEY")
+    if access and secret:
+        kwargs.update(access_key=access, secret_key=secret)
+    return pafs.S3FileSystem(**kwargs)
+
+
+def _hf_filesystem():
+    """HuggingFace datasets filesystem, wrapped for pyarrow. Gated on
+    ``huggingface_hub`` (not installable in every environment — the
+    same honest import gate as the Daft/Bodo exports); the fsspec
+    instance honors ``HF_TOKEN``/``HF_ENDPOINT`` like the reference's
+    hf.token / hf.endpoint properties (io/__init__.py:113-114)."""
+    try:
+        from huggingface_hub import HfFileSystem
+    except ImportError as e:  # pragma: no cover - env without the lib
+        raise ImportError(
+            "hf:// paths need the 'huggingface_hub' package (pip install "
+            "huggingface_hub); alternatively register_filesystem('hf', fs) "
+            "with any pyarrow FileSystem"
+        ) from e
+    from pyarrow import fs as pafs
+
+    return pafs.PyFileSystem(
+        pafs.FSSpecHandler(
+            HfFileSystem(
+                token=os.environ.get("HF_TOKEN"), endpoint=os.environ.get("HF_ENDPOINT")
+            )
+        )
+    )
 
 # scheme -> pyarrow FileSystem override (tests mount a SubTreeFileSystem
 # as a fake bucket store; production can inject a configured
@@ -115,14 +162,22 @@ def register_filesystem(scheme: str, fs) -> None:
 
 def _pa_fs(path: str):
     """(pyarrow FileSystem, fs-relative path) for a remote URI — the
-    pure-Python route. Registered overrides win; otherwise
-    FileSystem.from_uri (raises informatively for unresolvable
-    schemes)."""
+    pure-Python route. Registered overrides win; oss/hf construct their
+    adapters here; otherwise FileSystem.from_uri (raises informatively
+    for unresolvable schemes)."""
     from pyarrow import fs as pafs
 
-    scheme, _ = split_scheme(path)
+    scheme, rest = split_scheme(path)
+    # fs-relative form: strip the authority slashes (bucket/key), reusing
+    # split_scheme's remainder so exotic inputs (scheme:path with no
+    # "//") cannot raise a bare IndexError (ADVICE r8)
+    rel = rest.lstrip("/")
     if scheme in _fs_overrides:
-        return _fs_overrides[scheme], path.split("://", 1)[1]
+        return _fs_overrides[scheme], rel
+    if scheme == "oss":
+        return _oss_filesystem(), rel
+    if scheme == "hf":
+        return _hf_filesystem(), rel
     uri = path.replace("s3a://", "s3://", 1)
     return pafs.FileSystem.from_uri(uri)
 
@@ -378,6 +433,14 @@ def rename(src: str, dst: str, spark=None) -> None:
         if parent:
             fs.create_dir(parent, recursive=True)
         fs.move(rel_src, rel_dst)
+        return
+    if _route_pyarrow(src, spark) or _route_pyarrow(dst, spark):
+        # MIXED routing (e.g. gs:// registered filesystem -> local
+        # file://): neither a single pyarrow move nor the JVM Hadoop
+        # rename can span the two stores — explicit copy+delete through
+        # the byte plane, each side on its own route (ADVICE r8)
+        write_bytes(dst, read_bytes(src, spark), spark)
+        remove(src, spark)
         return
     fs, jsrc, jvm = _hadoop_fs(spark, src)
     jdst = jvm.org.apache.hadoop.fs.Path(dst)

@@ -571,7 +571,10 @@ def gopher_quality_flags(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     bullet_lines = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
     ellipsis_lines = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$")))
     alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    low_words = F.filter(F.split(F.trim(F.lower(t)), r"\s+"), lambda w: w != "")
+    # lowercase the already-split tokens instead of re-tokenizing
+    # lower(text) — one regexp pass over the text, not two (lowering
+    # never changes whitespace, so the token streams are identical)
+    low_words = F.transform(words, lambda w: F.lower(w))
     stop_hits = F.size(
         F.array_intersect(
             low_words,

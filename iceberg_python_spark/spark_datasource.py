@@ -475,8 +475,14 @@ def register_data_source(spark) -> None:
     Also enables ``spark.sql.python.filterPushdown.enabled`` (a runtime
     SQL conf, default false): Spark 4.1 refuses to plan a Python source
     whose reader implements ``pushFilters`` while the conf is off, and
-    our batch reader implements it for file-level pruning. Sessions
-    registering the class manually must set the conf themselves (the
-    Spark error says exactly that)."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    our batch reader implements it for file-level pruning. NOTE: the
+    conf is session-wide — it changes planning for EVERY Python data
+    source in the session (they all gain pushdown planning; sources not
+    implementing pushFilters are unaffected). It is only set when still
+    unset, so an explicit user choice (either value) is never
+    overridden (ADVICE r8). Sessions registering the class manually
+    must set the conf themselves (the Spark error says exactly that)."""
+    key = "spark.sql.python.filterPushdown.enabled"
+    if spark.conf.get(key, None) is None:
+        spark.conf.set(key, "true")
     spark.dataSource.register(IcebergDataSource)

@@ -773,7 +773,19 @@ class Table:
         ``__datafusion_table_provider__``). The data is handed over as
         Arrow record batches — a materializing export like ``to_daft``/
         ``to_bodo``, suitable for metadata-scale and post-filter
-        results, not a lazy 100 TB scan."""
+        results, not a lazy 100 TB scan.
+
+        On the FFI contract: the reference's ``register_table`` path
+        works because DataFusion probes tables for a
+        ``__datafusion_table_provider__`` method returning a PyCapsule
+        that wraps a Rust FFI TableProvider (with pushdown) — a capsule
+        only a native extension can fabricate (the reference gets it
+        from its Rust core). This class deliberately does NOT define
+        that dunder: defining it as an always-raising method would make
+        ``hasattr``-based capability probes report support and then
+        fail mid-registration instead of falling back cleanly
+        (ADVICE r8) — the conventional "not supported" signal is the
+        AttributeError the absent method produces."""
         try:
             import datafusion  # noqa: F401
         except ImportError as e:
@@ -781,20 +793,6 @@ class Table:
         name = name or self.name.replace(".", "_")
         ctx.register_record_batches(name, [self.to_arrow().to_batches()])
         return ctx.table(name)
-
-    def __datafusion_table_provider__(self, session=None):
-        """The DataFusion FFI TableProvider contract (reference
-        table/__init__.py:1735: DataFusion's ``register_table`` probes
-        for this method and expects a PyCapsule wrapping a Rust FFI
-        provider with pushdown). A conforming capsule can only come
-        from a native extension (the reference gets it from its Rust
-        core via ``datafusion.IcebergDataFusionTable``); a pure-Python
-        engine cannot fabricate one, so this raises and points at
-        ``to_datafusion`` (Arrow-materializing, no capsule needed)."""
-        raise NotImplementedError(
-            "FFI TableProvider capsules require a native DataFusion provider; "
-            "use Table.to_datafusion(ctx) to register this table via Arrow"
-        )
 
     # -- plumbing shared with Transaction -------------------------------------
     def _live_manifests(self, snapshot: Optional[Snapshot]) -> List[Dict[str, Any]]:

@@ -215,15 +215,15 @@ def test_export_connectors_gated(catalog, spark):
             with _pytest.raises(NotImplementedError):
                 getattr(t, name)()
     # DataFusion (reference table/__init__.py:1735): to_datafusion is
-    # import-gated like the others; the FFI capsule dunder always raises
-    # in a pure-Python engine and names the Arrow-based alternative
+    # import-gated like the others; the FFI capsule dunder is ABSENT
+    # (not always-raising) so hasattr-probing consumers fall back
+    # cleanly instead of failing mid-registration (ADVICE r8)
     try:
         import datafusion  # noqa: F401
     except ImportError:
         with _pytest.raises(NotImplementedError):
             t.to_datafusion(None)
-    with _pytest.raises(NotImplementedError, match="to_datafusion"):
-        t.__datafusion_table_provider__()
+    assert not hasattr(t, "__datafusion_table_provider__")
 
 
 def test_catalog_sql_surface(spark, tmp_path):
@@ -342,3 +342,28 @@ def test_cli_curate(catalog, spark, warehouse):
     assert "after_neardup\t20" in out.stdout
     assert catalog.load_table("db.curated_clean").scan().to_df().count() == 20
     assert catalog.load_table("db.curated_packed").scan().to_df().count() >= 1
+
+
+def test_catalog_sql_comments_and_backticks(spark, tmp_path):
+    """Comment spans are non-code: an apostrophe inside `--` or /* */
+    must not open a phantom literal (ns.tbl after it still resolves),
+    and literal content after such a comment is never rewritten
+    (ADVICE r8). Backtick-quoted identifiers are left untouched."""
+    import iceberg_python_spark as ips
+    from iceberg_python_spark.schema import schema_from_spark
+
+    cat = ips.SqliteCatalog("sqlc", str(tmp_path / "wh"), spark)
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    t = cat.create_table("db.nums", schema_from_spark(df.schema))
+    t.append(df)
+
+    # apostrophe in a line comment, then a real table reference
+    out = cat.sql("SELECT count(*) AS c -- don't trip here\nFROM db.nums")
+    assert out.first()["c"] == 5
+    # apostrophe in a block comment spanning lines
+    out2 = cat.sql("SELECT /* isn't\n a literal */ sum(v) AS s FROM db.nums")
+    assert out2.first()["s"] == 20
+    # a literal AFTER a comment with an apostrophe keeps its content:
+    # 'db.nums' inside the string must NOT be rewritten to the view name
+    out3 = cat.sql("SELECT 'db.nums' AS lit -- it's a comment\nFROM db.nums LIMIT 1")
+    assert out3.first()["lit"] == "db.nums"
