@@ -238,6 +238,40 @@ class IdentityTransform(Transform):
     def result_type(self, source: IcebergType) -> IcebergType:
         return source
 
+    def to_human_string(self, source: IcebergType, value: Any) -> str:
+        """Partition-path rendering parity with the reference
+        (transforms.py:927 _human_string + utils/datetime.py:196-218):
+        temporal internals render as ISO forms, bytes as base64,
+        booleans lowercase — directory layouts must match byte-for-byte
+        (conformance family #11)."""
+        if value is None:
+            return "null"
+        if isinstance(value, bool):
+            return "true" if value else "false"
+        if isinstance(value, bytes):
+            import base64
+
+            return base64.b64encode(value).decode()
+        if isinstance(value, int):
+            import datetime as _dt
+
+            if isinstance(source, DateType):
+                return (_dt.date(1970, 1, 1) + _dt.timedelta(days=value)).isoformat()
+            if isinstance(source, TimeType):
+                return (
+                    _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=value)
+                ).time().isoformat()
+            if isinstance(source, TimestampType):
+                return (
+                    _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=value)
+                ).isoformat()
+            if isinstance(source, TimestamptzType):
+                return (
+                    _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                    + _dt.timedelta(microseconds=value)
+                ).isoformat()
+        return str(value)
+
     def transform(self, source: IcebergType) -> Callable[[Any], Any]:
         return lambda v: v
 

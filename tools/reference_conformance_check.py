@@ -485,6 +485,87 @@ def main() -> int:
                 else:
                     os.environ[k] = v
 
+    # -- time/uuid type ergonomics (family #11): the least-exercised
+    # corners of the type matrix. SURVEY §1.2 maps time -> long µs and
+    # uuid -> canonical string with documented downcasts; every derived
+    # behavior (bucket hashes, partition-path human strings, binary
+    # serialization incl. non-canonical string input) must still agree
+    # with the reference value-for-value. -----------------------------------
+    times = [0, 1, 999_999, 3_600_000_000, 43_200_000_001, 86_399_999_999]
+    uuids = [
+        _uuid.UUID("12345678-1234-5678-1234-567812345678"),
+        _uuid.UUID("00000000-0000-0000-0000-000000000000"),
+        _uuid.UUID("ffffffff-ffff-ffff-ffff-ffffffffffff"),
+        _uuid.uuid5(_uuid.NAMESPACE_DNS, "iceberg"),
+    ]
+    for n in (2, 16, 100):
+        f_time = ot.BucketTransform(n).transform(otypes.TimeType())
+        r_time = rt.BucketTransform(num_buckets=n).transform(rtypes.TimeType())
+        for v in times:
+            check(f"bucket[{n}] time {v}", f_time(v), r_time(v))
+        f_uuid = ot.BucketTransform(n).transform(otypes.UUIDType())
+        r_uuid = rt.BucketTransform(num_buckets=n).transform(rtypes.UUIDType())
+        for u_ in uuids:
+            # ours hashes the canonical-string form's 16 bytes; the
+            # reference hashes UUID objects — same spec hash either way
+            check(f"bucket[{n}] uuid {u_}", f_uuid(str(u_)), r_uuid(u_))
+            check(f"bucket[{n}] uuid upper {u_}", f_uuid(str(u_).upper()), r_uuid(u_))
+    # partition-path human strings (directory layouts must match)
+    for v in times:
+        ref_h = rt.IdentityTransform().to_human_string(rtypes.TimeType(), v)
+        ours_h = ot.IdentityTransform().to_human_string(otypes.TimeType(), v)
+        check(f"human identity time {v}", ours_h, ref_h)
+    for u_ in uuids:
+        ref_h = rt.IdentityTransform().to_human_string(rtypes.UUIDType(), u_)
+        ours_h = ot.IdentityTransform().to_human_string(otypes.UUIDType(), str(u_))
+        check(f"human identity uuid {u_}", ours_h, ref_h)
+    # the rest of the identity human-string matrix (same path-parity
+    # requirement): temporal ISO forms, bytes base64, bool lowercase
+    for v in dates:
+        check(
+            f"human identity date {v}",
+            ot.IdentityTransform().to_human_string(otypes.DateType(), v),
+            rt.IdentityTransform().to_human_string(rtypes.DateType(), v),
+        )
+    for v in tss:
+        check(
+            f"human identity ts {v}",
+            ot.IdentityTransform().to_human_string(otypes.TimestampType(), v),
+            rt.IdentityTransform().to_human_string(rtypes.TimestampType(), v),
+        )
+        check(
+            f"human identity tstz {v}",
+            ot.IdentityTransform().to_human_string(otypes.TimestamptzType(), v),
+            rt.IdentityTransform().to_human_string(rtypes.TimestamptzType(), v),
+        )
+    for v in (b"", b"\x00\xff", b"iceberg"):
+        check(
+            f"human identity bytes {v!r}",
+            ot.IdentityTransform().to_human_string(otypes.BinaryType(), v),
+            rt.IdentityTransform().to_human_string(rtypes.BinaryType(), v),
+        )
+    for v in (True, False):
+        check(
+            f"human identity bool {v}",
+            ot.IdentityTransform().to_human_string(otypes.BooleanType(), v),
+            rt.IdentityTransform().to_human_string(rtypes.BooleanType(), v),
+        )
+    # binary serialization round-trips, including NON-canonical string
+    # input (uppercase / braced) — all must land on the spec 16 bytes
+    for u_ in uuids:
+        rb_ = rconv.to_bytes(rtypes.UUIDType(), u_)
+        for form in (str(u_), str(u_).upper(), "{" + str(u_) + "}", u_.hex):
+            check(f"uuid to_bytes form {form!r}", oconv.to_bytes(form, otypes.UUIDType()), rb_)
+        check(
+            f"uuid from_bytes {u_}",
+            _uuid.UUID(oconv.from_bytes(rb_, otypes.UUIDType())),
+            u_,
+        )
+    for v in times:
+        ob = oconv.to_bytes(v, otypes.TimeType())
+        check(f"time to_bytes {v}", ob, rconv.to_bytes(rtypes.TimeType(), v))
+        check(f"time from_bytes {v}", oconv.from_bytes(ob, otypes.TimeType()), v)
+
     if failures:
         print(f"{len(failures)} CONFORMANCE FAILURES:")
         for f in failures[:25]:
@@ -492,7 +573,8 @@ def main() -> int:
         return 1
     print(
         "CONFORMANCE-OK (bucket/truncate/temporal/human-string/schema-json/"
-        "conversions/v3-metadata/name-mapping/filter-parser/config-contract vs reference)"
+        "conversions/v3-metadata/name-mapping/filter-parser/config-contract/"
+        "time-uuid-ergonomics vs reference)"
     )
     return 0
 
