@@ -2073,32 +2073,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lambda spark, sf_dir: fn(spark, _wh(spark, sf_dir))
 
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries. Round-8 rotation (verified by executing queries(): slot
-    # 50 = dedup_minhash_invariants, zero no-oracle rows in-window):
-    # slots 1-9 the NINE new rows (DataSource batch read, changelog-
-    # across-rename, dataset split, substring spans, token sketch,
-    # temperature mixture, semantic-dedup invariants, Gopher flags,
-    # curation-pipeline invariants); 10-14 the previously rows-only
-    # meta_*/scan_limit queries — re-shaped this round into hash-matched
-    # data cross-checks so they finally earn full driver oracles
-    # (meta_partition_stats had never had a driver row; the others were
-    # last checked r02/r05); 15-17 pack_sequences (red r07 on the
-    # oracle-side cast, fixed), quality_deciles and text_lm_perplexity
-    # (both changed this round); 18-49 the r06-greened text/dedup/ANN/
-    # events family (2 rounds old, the rotation edge); 50
-    # dedup_minhash_invariants. Behind the window (all fresh r07,
-    # 1 round old): the remaining §2.12 rows (simhash/jaccard
-    # invariants, PQ recall, ORC, chunking, mixtures), TPC-H, the
-    # agg/window/set-op and core-engine slices, and the raw approximate
-    # outputs (no oracle by design — pinned by invariant rows).
+    # entries. Round-9 window (the pre-programmed rotation crunch:
+    # ~45 r07-greened rows hit the 2-round edge simultaneously and
+    # cannot all fit alongside new rows — priority per VERDICT r08 #1):
+    # slots 1-3 the new/changed r09 rows (span-removal rewrite with a
+    # full value-hash oracle; star-algorithm CC against the shared
+    # fixpoint oracle; the curation-pipeline row re-shaped to exercise
+    # ALL optional stages with benchmark_disjoint + decile_balance
+    # claims); 4-10 the SEVEN r07-greened §2.12 rows at the 2-round
+    # edge (simhash/jaccard invariants, PQ recall, ORC, chunking,
+    # mixture sample/epochs); 11-32 all 22 TPC-H; 33-42 the
+    # sampling/join/agg/window/set-op slice; 43-50 the core-engine
+    # write-path rows (delete/upsert/MoR/eq-delete) plus the two
+    # hottest scans. OVERFLOW (3 rounds old at r09, accepted and
+    # documented in COVERAGE.md with the r10 re-green plan):
+    # scan_partition_pruned, scan_in_filter, time_travel — all three
+    # are also pytest-pinned (test_plan_quality, test_table_e2e) and
+    # were judge-spot-checked in r08. Everything r08-greened (the nine
+    # r08 rows, meta_* family, r06 text/dedup/ANN family) is 1 round
+    # old and sits just behind the window.
     return {
         name: wrap(fn)
         for name, fn in {
-            # --- new in r09 (provisional slots; window re-designed at
-            # end of round) ---
+            # --- new/changed in r09 (slots 1-3) ---
             "dedup_span_removal": _q_dedup_span_removal,
             "dedup_neardup_clusters_star": _q_dedup_clusters_star,
-            # --- new in r08 ---
+            "pipeline_curation_invariants": _q_pipeline_curation_invariants,
+            # --- Sec.2.12 rows at the 2-round edge (4-10) ---
+            "dedup_simhash_invariants": _q_dedup_simhash_invariants,
+            "dedup_jaccard_invariants": _q_dedup_jaccard_invariants,
+            "ann_pq_recall": _q_ann_pq_recall,
+            "orc_write_scan": _q_orc_write_scan,
+            "text_chunking": _q_text_chunking,
+            "mixture_sample": _q_mixture_sample,
+            "mixture_epochs": _q_mixture_epochs,
+            # --- TPC-H, 2 rounds old (11-32) ---
+            "tpch_q1_pricing_summary": _q_q1,
+            "tpch_q2_min_cost_supplier": _q_q2_min_cost_supplier,
+            "tpch_q3_shipping_priority": _q_q3,
+            "tpch_q4_order_priority": _q_q4_order_priority,
+            "tpch_q5_local_supplier": _q_q5,
+            "tpch_q6_revenue": _q_q6,
+            "tpch_q7_volume_shipping": _q_q7_volume_shipping,
+            "tpch_q8_market_share": _q_q8_market_share,
+            "tpch_q9_product_profit": _q_q9_product_profit,
+            "tpch_q10_returned_items": _q_q10_returned_items,
+            "tpch_q11_important_parts": _q_q11_important_parts,
+            "tpch_q12_priority_lines": _q_q12_priority_lines,
+            "tpch_q13_order_distribution": _q_q13_order_distribution,
+            "tpch_q14_promo_share": _q_q14_promo,
+            "tpch_q15_top_supplier": _q_q15_top_supplier,
+            "tpch_q16_supplier_part_counts": _q_q16_supplier_part_counts,
+            "tpch_q17_small_qty_revenue": _q_q17_small_qty,
+            "tpch_q18_large_orders": _q_q18_large_orders,
+            "tpch_q19_discounted_revenue": _q_q19_discounted_revenue,
+            "tpch_q20_dominant_suppliers": _q_q20_dominant_suppliers,
+            "tpch_q21_waiting_suppliers": _q_q21_waiting_suppliers,
+            "tpch_q22_dormant_accounts": _q_q22_dormant_accounts,
+            # --- sampling / joins / agg / window / set ops (33-42) ---
+            "sample_stratified": _q_sample_stratified,
+            "anti_join_customers_no_orders": _q_anti_join_customers,
+            "agg_rollup": _q_agg_rollup,
+            "agg_cube": _q_agg_cube,
+            "agg_grouping_sets": _q_agg_grouping_sets,
+            "pivot_order_status": _q_pivot_order_status,
+            "window_rank_family": _q_window_rank_family,
+            "window_topk_per_group": _q_window_topk,
+            "set_ops_nations": _q_set_ops,
+            "meta_partitions_rowcounts": _q_meta_partitions_rowcounts,
+            # --- core-engine write path + hottest scans (43-50) ---
+            "delete_cow": _q_delete_cow,
+            "upsert_merge": _q_upsert,
+            "upsert_merge_on_read": _q_upsert_mor,
+            "mor_delete_scan": _q_mor_delete,
+            "mor_dv_scan": _q_mor_dv,
+            "eq_delete_scan": _q_eq_delete_scan,
+            "scan_filter_project": _q_scan_filter_project,
+            "count_fast": _q_count_fast,
+            # ---------------- behind the window ----------------
+            # core-slice OVERFLOW (3 rounds old, r10 priority):
+            "scan_partition_pruned": _q_scan_partition_pruned,
+            "scan_in_filter": _q_scan_in_filter,
+            "time_travel": _q_time_travel,
+            # r08-greened (1 round old):
             "spark_datasource_scan": _q_spark_datasource_scan,
             "changelog_schema_evolution": _q_changelog_schema_evolution,
             "dataset_split": _q_dataset_split,
@@ -2107,18 +2164,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mixture_temperature": _q_mixture_temperature,
             "semantic_dedup_invariants": _q_semantic_dedup_invariants,
             "text_gopher_flags": _q_text_gopher_flags,
-            "pipeline_curation_invariants": _q_pipeline_curation_invariants,
-            # --- starving rows, now fully oracled (10-14) ---
             "meta_partition_stats": _q_meta_partition_stats,
             "meta_snapshots": _q_meta_snapshots,
             "meta_files": _q_meta_files,
             "meta_partitions": _q_meta_partitions,
             "scan_limit": _q_scan_limit,
-            # --- red/changed this round (15-17) ---
             "pack_sequences": _q_pack_sequences,
             "quality_deciles": _q_quality_deciles,
             "text_lm_perplexity": _q_text_lm_ppl,
-            # --- r06-greened family at the rotation edge (18-49) ---
+            "dedup_minhash_invariants": _q_dedup_minhash_invariants,
+            # r08-greened r06 family (1 round old):
             "dedup_neardup_clusters": _q_dedup_clusters,
             "dedup_neardup_clusters_default": _q_dedup_clusters_default,
             "text_top_ngrams": _q_text_top_ngrams,
@@ -2151,65 +2206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "branch_wap_scan": _q_branch_wap_scan,
             "changelog_scan": _q_changelog_scan,
             "row_lineage_invariants": _q_row_lineage_invariants,
-            # --- r07 §2.12 rows: minhash invariants fills slot 50;
-            # the rest are just past the window edge (fresh r07) ---
-            "dedup_minhash_invariants": _q_dedup_minhash_invariants,
-            "dedup_simhash_invariants": _q_dedup_simhash_invariants,
-            "dedup_jaccard_invariants": _q_dedup_jaccard_invariants,
-            "ann_pq_recall": _q_ann_pq_recall,
-            "orc_write_scan": _q_orc_write_scan,
-            "text_chunking": _q_text_chunking,
-            "mixture_sample": _q_mixture_sample,
-            "mixture_epochs": _q_mixture_epochs,
-            # --- behind the window: TPC-H (fresh r07) ---
-            "tpch_q1_pricing_summary": _q_q1,
-            "tpch_q2_min_cost_supplier": _q_q2_min_cost_supplier,
-            "tpch_q3_shipping_priority": _q_q3,
-            "tpch_q4_order_priority": _q_q4_order_priority,
-            "tpch_q5_local_supplier": _q_q5,
-            "tpch_q6_revenue": _q_q6,
-            "tpch_q7_volume_shipping": _q_q7_volume_shipping,
-            "tpch_q8_market_share": _q_q8_market_share,
-            "tpch_q9_product_profit": _q_q9_product_profit,
-            "tpch_q10_returned_items": _q_q10_returned_items,
-            "tpch_q11_important_parts": _q_q11_important_parts,
-            "tpch_q12_priority_lines": _q_q12_priority_lines,
-            "tpch_q13_order_distribution": _q_q13_order_distribution,
-            "tpch_q14_promo_share": _q_q14_promo,
-            "tpch_q15_top_supplier": _q_q15_top_supplier,
-            "tpch_q16_supplier_part_counts": _q_q16_supplier_part_counts,
-            "tpch_q17_small_qty_revenue": _q_q17_small_qty,
-            "tpch_q18_large_orders": _q_q18_large_orders,
-            "tpch_q19_discounted_revenue": _q_q19_discounted_revenue,
-            "tpch_q20_dominant_suppliers": _q_q20_dominant_suppliers,
-            "tpch_q21_waiting_suppliers": _q_q21_waiting_suppliers,
-            "tpch_q22_dormant_accounts": _q_q22_dormant_accounts,
-            # --- behind: sampling / joins / agg / window (fresh r07) ---
-            "sample_stratified": _q_sample_stratified,
-            "anti_join_customers_no_orders": _q_anti_join_customers,
-            "agg_rollup": _q_agg_rollup,
-            "agg_cube": _q_agg_cube,
-            "agg_grouping_sets": _q_agg_grouping_sets,
-            "pivot_order_status": _q_pivot_order_status,
-            "window_rank_family": _q_window_rank_family,
-            "window_topk_per_group": _q_window_topk,
-            "set_ops_nations": _q_set_ops,
-            "meta_partitions_rowcounts": _q_meta_partitions_rowcounts,
-            # --- behind: core engine slice (fresh r07) ---
-            "scan_filter_project": _q_scan_filter_project,
-            "scan_partition_pruned": _q_scan_partition_pruned,
-            "scan_in_filter": _q_scan_in_filter,
-            "count_fast": _q_count_fast,
-            "time_travel": _q_time_travel,
-            "delete_cow": _q_delete_cow,
-            "upsert_merge": _q_upsert,
-            "upsert_merge_on_read": _q_upsert_mor,
-            "mor_delete_scan": _q_mor_delete,
-            "mor_dv_scan": _q_mor_dv,
-            "eq_delete_scan": _q_eq_delete_scan,
             # --- raw approximate outputs (no oracle by design; their
-            # quality is pinned by the in-window *_invariants and
-            # *_recall rows) ---
+            # quality is pinned by the *_invariants and *_recall rows) ---
             "dedup_minhash_lsh": _q_dedup_minhash,
             "dedup_simhash_candidates": _q_dedup_simhash,
             "dedup_ngram_jaccard": _q_dedup_jaccard,
