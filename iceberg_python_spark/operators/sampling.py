@@ -99,3 +99,135 @@ def dataset_split(
         expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
     last = F.lit(labels[-1])
     return df.withColumn(out, last if expr is None else expr.otherwise(last))
+
+
+def dsir_importance_weights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets_hex: int = 3,
+    out: str = "dsir_weight",
+) -> DataFrame:
+    """Per-document DSIR importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every raw document by how much more likely its hashed-n-gram bag is
+    under the TARGET distribution than under the RAW distribution,
+
+        w(doc) = sum over doc grams of log( p_target[b] / p_raw[b] ),
+
+    where grams are unigrams+bigrams of normalized tokens hashed into
+    ``16^n_buckets_hex`` buckets (the paper's hashed feature space) and
+    both bucket distributions are add-one smoothed.
+
+    Engine-reproducibility choices (the same discipline as
+    dataset_split / mixture_temperature): the bucket is the first
+    ``n_buckets_hex`` hex chars of md5(gram) — a deterministic,
+    engine-portable hash with no int conversion — and the weight is a
+    float sum of logs rounded to 6 dp by the caller for oracle
+    comparison (log/ln agree across engines well past 6 dp; the same
+    precision argument as ngram_lm_perplexity, which hash-matches).
+
+    Spark shape (bounded state end to end):
+    - both corpora explode to (bucket) and aggregate to bucket counts —
+      two groupBys over at most 16^n_buckets_hex keys, map-side
+      combinable;
+    - the two count tables join into one bucket->logratio table
+      (bucket-space sized, broadcastable) and the raw gram stream joins
+      it once, then one groupBy(id) sums — every shuffle keys on the
+      uniform bucket hash or the doc id.
+    At 100 TB the bucket table is O(16^k) regardless of corpus size —
+    the point of hashed features. Returns (id, n_grams, dsir_weight).
+    """
+    n_space = 16 ** n_buckets_hex
+
+    def gram_stream(d: DataFrame) -> DataFrame:
+        # bigrams are WITHIN-document (lead over the per-doc position
+        # window) — both corpora carry the id column for that, even
+        # though the target side only contributes gram counts
+        from pyspark.sql import Window
+
+        toks = F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")), r"\s+"
+        )
+        t = d.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok")).where(F.col("tok") != "")
+        w = Window.partitionBy(id_col).orderBy("pos")
+        uni = t.select(F.col(id_col), F.col("tok").alias("gram"))
+        bi = (
+            t.withColumn("_nxt", F.lead("tok", 1).over(w))
+            .where(F.col("_nxt").isNotNull())
+            .select(F.col(id_col), F.concat_ws(" ", "tok", "_nxt").alias("gram"))
+        )
+        return uni.unionByName(bi).withColumn(
+            "bucket", F.substring(F.md5("gram"), 1, n_buckets_hex)
+        )
+
+    raw_grams = gram_stream(raw_df).localCheckpoint(eager=True)
+    target_grams = gram_stream(target_df)
+    raw_counts = raw_grams.groupBy("bucket").agg(F.count("*").alias("_rc"))
+    target_counts = target_grams.groupBy("bucket").agg(F.count("*").alias("_tc"))
+    raw_tot = raw_counts.agg(F.sum("_rc").alias("_rt"))
+    target_tot = target_counts.agg(F.sum("_tc").alias("_tt"))
+    # add-one smoothing over the FULL bucket space: p[b] = (c+1)/(total+B)
+    ratios = (
+        raw_counts.join(target_counts, "bucket", "full")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(target_tot))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("_tc"), F.lit(0)) + 1) / (F.col("_tt") + F.lit(n_space)))
+                - F.log((F.coalesce(F.col("_rc"), F.lit(0)) + 1) / (F.col("_rt") + F.lit(n_space)))
+            ).alias("_lr"),
+        )
+    )
+    return (
+        raw_grams.join(ratios, "bucket")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_grams"), F.sum("_lr").alias(out))
+    )
+
+
+def dsir_select(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    mode: str = "topk",
+    salt: str = "",
+    n_buckets_hex: int = 3,
+) -> DataFrame:
+    """Select ``k`` raw documents toward the target distribution using
+    DSIR importance weights.
+
+    ``mode="topk"`` (default) takes the k highest-weight documents —
+    deterministic, engine-reproducible (ties break on ascending id), the
+    right mode for oracle-checked selection. ``mode="gumbel"`` is the
+    paper's importance RESAMPLING: each doc's key is weight + Gumbel
+    noise derived from md5(id||salt) (content-stable, no RNG state), so
+    selection probability is proportional to exp(weight) — more diverse,
+    still deterministic given the salt, but float-transcendental-heavy
+    (documented engine-portability caveat, like pow in the mixtures).
+
+    One extra shuffle beyond the weights: a global top-k. Spark plans
+    ORDER BY .. LIMIT k as per-partition TakeOrdered + a k-sized merge
+    on the driver — no full sort materializes. Returns the selected
+    (id, n_grams, weight-or-key) rows.
+    """
+    if mode not in ("topk", "gumbel"):
+        raise ValueError(f"unknown dsir mode {mode!r}")
+    w = dsir_importance_weights(raw_df, target_df, text_col, id_col, n_buckets_hex)
+    if mode == "gumbel":
+        # u in (0,1) from the first 8 hex chars of md5(id||salt); the
+        # +0.5 offset keeps u strictly inside the interval
+        u = (
+            F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8), 16, 10)
+            .cast("double")
+            + F.lit(0.5)
+        ) / F.lit(float(2**32))
+        key = (F.col("dsir_weight") - F.log(-F.log(u))).alias("_key")
+        return w.select(id_col, "n_grams", "dsir_weight", key).orderBy(
+            F.col("_key").desc(), F.col(id_col)
+        ).limit(k)
+    return w.orderBy(F.round(F.col("dsir_weight"), 6).desc(), F.col(id_col)).limit(k)

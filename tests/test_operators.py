@@ -1244,3 +1244,35 @@ def test_curate_corpus_optional_stages(spark):
     st5 = res5["stats"]
     assert 0 < st5["after_model_quality"] <= st5["after_quality"]
     assert st5["after_model_quality"] >= st5["after_exact_dedup"] >= st5["after_neardup"]
+
+
+def test_dsir_importance_weights(spark):
+    """DSIR sanity: raw docs resembling the target score higher than
+    dissimilar docs; weights are finite; n_grams = 2*len-1."""
+    from iceberg_python_spark.operators.sampling import dsir_importance_weights, dsir_select
+
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        "doc_id: long, text: string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "the quick brown fox leaps over a lazy dog"),   # target-like
+            (2, "quantum flux capacitors invert tachyon phase"),  # dissimilar
+            (3, "the quick brown fox jumps over the lazy dog"),  # identical
+        ],
+        "doc_id: long, text: string",
+    )
+    w = {r.doc_id: r for r in dsir_importance_weights(raw, target, "text", "doc_id").collect()}
+    assert w[3].dsir_weight > w[1].dsir_weight > w[2].dsir_weight
+    assert w[3].n_grams == 2 * 9 - 1
+    top = [r.doc_id for r in dsir_select(raw, target, "text", "doc_id", k=2).collect()]
+    assert top == [3, 1]
+    # gumbel mode is deterministic given the salt and returns k rows
+    g1 = [r.doc_id for r in dsir_select(raw, target, "text", "doc_id", k=2, mode="gumbel", salt="s").collect()]
+    g2 = [r.doc_id for r in dsir_select(raw, target, "text", "doc_id", k=2, mode="gumbel", salt="s").collect()]
+    assert g1 == g2 and len(g1) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown dsir mode"):
+        dsir_select(raw, target, "text", "doc_id", k=1, mode="nope")
