@@ -166,8 +166,11 @@ def dsir_importance_weights(
     target_grams = gram_stream(target_df)
     raw_counts = raw_grams.groupBy("bucket").agg(F.count("*").alias("_rc"))
     target_counts = target_grams.groupBy("bucket").agg(F.count("*").alias("_tc"))
-    raw_tot = raw_counts.agg(F.sum("_rc").alias("_rt"))
-    target_tot = target_counts.agg(F.sum("_tc").alias("_tt"))
+    # coalesce: an EMPTY corpus side degrades to the uniform smoothed
+    # distribution (all-1 numerators over the bucket space) instead of
+    # NULL-poisoning every weight
+    raw_tot = raw_counts.agg(F.coalesce(F.sum("_rc"), F.lit(0)).alias("_rt"))
+    target_tot = target_counts.agg(F.coalesce(F.sum("_tc"), F.lit(0)).alias("_tt"))
     # add-one smoothing over the FULL bucket space: p[b] = (c+1)/(total+B)
     ratios = (
         raw_counts.join(target_counts, "bucket", "full")

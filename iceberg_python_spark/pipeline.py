@@ -57,6 +57,8 @@ def curate_corpus(
     neardup_threshold: float = 0.8,
     quality_flags: Optional[Sequence[str]] = None,
     quality_top_deciles: Optional[int] = None,
+    dsir_target_df: Optional[DataFrame] = None,
+    dsir_keep: Optional[int] = None,
     span_removal_k: Optional[int] = None,
     span_removal_min: Optional[int] = None,
     salt: str = "",
@@ -77,6 +79,10 @@ def curate_corpus(
       duplicated spans >= ``span_removal_min`` (default k) tokens out
       of the surviving docs (``remove_duplicated_spans`` — rewrites
       text, never drops rows).
+    - ``dsir_target_df`` + ``dsir_keep=k``: domain selection — keep the
+      k docs whose hashed n-gram bags score highest under DSIR
+      importance weights toward the target corpus (after the quality
+      gates, before dedup).
     - ``benchmark_df``: decontamination — drop docs sharing any
       ``contamination_n``-gram (default 13, the GPT-3/PaLM convention)
       with the benchmark set.
@@ -129,6 +135,19 @@ def curate_corpus(
     else:
         quality_bins = None
     stats["after_model_quality"] = quality.count()
+
+    if dsir_target_df is not None and dsir_keep is not None:
+        # domain selection (DSIR, Xie et al. 2023): keep the dsir_keep
+        # docs whose hashed n-gram bags look most like the target —
+        # runs after the quality gates (score clean text) and before
+        # dedup (shrink the corpus before the expensive stages)
+        from .operators.sampling import dsir_select
+
+        picked = dsir_select(
+            quality.select(id_col, text_col), dsir_target_df, text_col, id_col, k=int(dsir_keep)
+        ).select(id_col)
+        quality = quality.join(picked, id_col, "left_semi").localCheckpoint(eager=True)
+        stats["after_dsir"] = quality.count()
 
     exact = normalized_dedup(quality, text_col, id_col).localCheckpoint(eager=True)
     stats["after_exact_dedup"] = exact.count()

@@ -346,6 +346,18 @@ class IcebergPlannedReader(DataSourceReader):
         self._fields = [f["name"] for f in json.loads(self.options["schema_json"])["fields"]]
         self._files_per_task = max(1, int(self.options.get("files_per_task", "1")))
 
+    @staticmethod
+    def _open_manifest(path: str):
+        """Seekable handle on a manifest part: remote goes through the
+        pyarrow FileSystem (range reads — the footer probe must not
+        download the file), local by path."""
+        from .io import fileio
+
+        if fileio.is_remote(path):
+            fs, rel = fileio._pa_fs(path)
+            return fs.open_input_file(rel)
+        return fileio.to_local(path)
+
     def partitions(self) -> List[InputPartition]:
         import pyarrow.parquet as pq
 
@@ -353,12 +365,7 @@ class IcebergPlannedReader(DataSourceReader):
 
         parts: List[InputPartition] = []
         for part in sorted(fileio.list_files(self._dir, suffix=".parquet", spark=None)):
-            if fileio.is_remote(part):
-                import io as _io
-
-                n = pq.ParquetFile(_io.BytesIO(fileio.read_bytes(part))).metadata.num_rows
-            else:
-                n = pq.ParquetFile(fileio.to_local(part)).metadata.num_rows
+            n = pq.ParquetFile(self._open_manifest(part)).metadata.num_rows
             for off in range(0, n, self._files_per_task):
                 parts.append(
                     _ManifestChunkPartition(part, off, min(self._files_per_task, n - off))
@@ -379,15 +386,9 @@ class IcebergPlannedReader(DataSourceReader):
             target = to_arrow_schema(
                 T.StructType.fromJson(json.loads(self.options["schema_json"]))
             )
-            if fileio.is_remote(partition.manifest_part):
-                import io as _io
-
-                src = _io.BytesIO(fileio.read_bytes(partition.manifest_part))
-            else:
-                src = fileio.to_local(partition.manifest_part)
-            chunk = pq.read_table(src, columns=["file_path"]).slice(
-                partition.offset, partition.count
-            )
+            chunk = pq.read_table(
+                self._open_manifest(partition.manifest_part), columns=["file_path"]
+            ).slice(partition.offset, partition.count)
             for path in chunk.column("file_path").to_pylist():
                 yield from _arrow_batches_for_file(path, self._fields, target=target)
 

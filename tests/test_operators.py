@@ -1276,3 +1276,27 @@ def test_dsir_importance_weights(spark):
 
     with _pytest.raises(ValueError, match="unknown dsir mode"):
         dsir_select(raw, target, "text", "doc_id", k=1, mode="nope")
+
+
+def test_curate_corpus_dsir_stage(spark):
+    """The DSIR stage keeps exactly dsir_keep docs, drawn toward the
+    target, and composes with the rest of the pipeline."""
+    from iceberg_python_spark.pipeline import curate_corpus
+
+    def doc(i, topic):
+        stop = "the cat and dog is of note here "
+        words = " ".join(f"{topic}{i}x{j} {topic}word{j}" for j in range(30))
+        return stop + words
+
+    rows = [(i, "web", doc(i, "alpha")) for i in range(20)]
+    rows += [(100 + i, "web", doc(i, "beta")) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    target = spark.createDataFrame(
+        [(900 + i, doc(50 + i, "beta")) for i in range(5)], "doc_id: long, text: string"
+    )
+    res = curate_corpus(df, dsir_target_df=target, dsir_keep=15, train_token_budget=2000, seq_len=128)
+    st = res["stats"]
+    assert st["after_dsir"] == 15
+    kept = {r.doc_id for r in res["clean"].collect()}
+    # beta-topic docs dominate the selection
+    assert sum(1 for d in kept if d >= 100) > sum(1 for d in kept if d < 100)
