@@ -712,6 +712,34 @@ class Table:
 
         return ExpireSnapshots(self)
 
+    def clean_scan_plans(self, max_age_hours: float = 24.0, now_ms: Optional[int] = None) -> List[str]:
+        """Sweep transient scan-plan path manifests (written by the
+        streaming distributed read under ``metadata/scan-plans/``)
+        older than ``max_age_hours``. Age comes from the
+        millisecond-timestamp prefix each plan dir carries in its NAME,
+        so no object-store mtime support is needed; the age guard keeps
+        in-flight reads safe (a running query holds a plan younger than
+        any sane threshold). Also runs as part of
+        ``expire_snapshots().commit(clean_files=True)``. Returns the
+        removed plan-dir paths."""
+        from ..io import fileio
+
+        base = posixpath.join(self.location, "metadata", "scan-plans")
+        now = now_ms if now_ms is not None else int(time.time() * 1000)
+        cutoff = now - int(max_age_hours * 3600_000)
+        dirs: Set[str] = set()
+        for f in fileio.list_files(base, suffix="", spark=self.spark):
+            rest = f.split("/scan-plans/", 1)
+            if len(rest) == 2 and "/" in rest[1]:
+                dirs.add(posixpath.join(base, rest[1].split("/", 1)[0]))
+        removed: List[str] = []
+        for d in sorted(dirs):
+            stamp = d.rsplit("/", 1)[1].split("-", 1)[0]
+            if stamp.isdigit() and int(stamp) < cutoff:
+                fileio.remove_recursive(d, self.spark)
+                removed.append(d)
+        return removed
+
     @property
     def maintenance(self) -> "MaintenanceTable":
         """Reference table/maintenance.py:30 MaintenanceTable shape:
@@ -2848,9 +2876,10 @@ class DataScan:
         re-applied post-scan, so skipping residual-based file pruning
         is sound (residuals only skip work, never change results).
 
-        The path manifest is transient scan state: cleaned by
-        ``remove_orphan_files`` (age-guarded, so in-flight reads are
-        safe) like any other unreferenced metadata artifact."""
+        The path manifest is transient scan state: swept by the
+        age-guarded ``Table.clean_scan_plans`` (run standalone or as
+        part of ``expire_snapshots().commit(clean_files=True)``) — the
+        age guard keeps in-flight reads safe."""
         import math
         import posixpath
         import uuid as _uuid
@@ -2903,8 +2932,13 @@ class DataScan:
         union = dfs[0]
         for extra in dfs[1:]:
             union = union.unionByName(extra)
+        # dir name leads with a millisecond timestamp so the age-guarded
+        # sweeper (Table.clean_scan_plans) needs no store mtime support
         plan_dir = posixpath.join(
-            self.table.location, "metadata", "scan-plans", _uuid.uuid4().hex
+            self.table.location,
+            "metadata",
+            "scan-plans",
+            f"{int(time.time() * 1000)}-{_uuid.uuid4().hex}",
         )
         n_manifest_parts = int(min(64, est_entries // 50_000 + 1))
         union.repartition(n_manifest_parts).write.mode("overwrite").parquet(plan_dir)

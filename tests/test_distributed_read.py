@@ -183,3 +183,25 @@ def test_added_column_streams_with_null_fill(cat, spark):
     assert scan._streaming_plan_info["n_files"] == 2
     rows = {r.a: r.c for r in out.collect()}
     assert len(rows) == 40 and rows[5] is None and rows[35] == 350
+
+
+def test_clean_scan_plans_age_guard(cat, table):
+    """Streamed scans leave timestamped plan dirs under
+    metadata/scan-plans; the sweeper removes only dirs older than the
+    age guard (in-flight plans survive), and expire_snapshots'
+    clean_files pass includes the sweep."""
+    import os
+
+    t = cat.load_table("db.li_ranges")
+    scan = t.scan(selected_fields=("l_orderkey",))
+    scan.to_df().count()
+    base = os.path.join(t.location, "metadata", "scan-plans")
+    dirs = os.listdir(base)
+    assert dirs, "streamed scan should have left a plan dir"
+    # young plans survive a sweep at the default guard
+    assert t.clean_scan_plans() == []
+    assert set(os.listdir(base)) == set(dirs)
+    # everything ages out when 'now' is far in the future
+    future = int(__import__("time").time() * 1000) + 48 * 3600_000
+    removed = t.clean_scan_plans(now_ms=future)
+    assert len(removed) == len(dirs) and os.listdir(base) == []
