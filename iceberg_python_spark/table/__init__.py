@@ -2743,6 +2743,14 @@ class DataScan:
                 "file_size_in_bytes",
                 "partition_json",
                 "schema_id",
+                "file_format",
+                # per-entry fields the read path needs that live inside
+                # stats_json — extracted as tiny scalars so the stats
+                # blobs still never cross to the driver: the name map
+                # (add_files foreign columns; dropping it nulled mapped
+                # columns — r09 regression test) and the v3 lineage base
+                F.get_json_object("stats_json", "$.name_map").alias("_nm_json"),
+                F.get_json_object("stats_json", "$.first_row_id").cast("long").alias("_first_row_id"),
             ).collect()
             from .manifests import _partition_from_json
 
@@ -2763,13 +2771,17 @@ class DataScan:
                 d = {
                     "content": CONTENT_DATA,
                     "file_path": r.file_path,
-                    "file_format": "PARQUET",
+                    "file_format": (r.file_format or "PARQUET").upper(),
                     "spec_id": spec_id,
                     "schema_id": r.schema_id,
                     "partition": part,
                     "record_count": r.record_count,
                     "file_size_in_bytes": r.file_size_in_bytes,
                 }
+                if r._nm_json:
+                    d["name_map"] = {int(k): v for k, v in json.loads(r._nm_json).items()}
+                if r._first_row_id is not None:
+                    d["first_row_id"] = r._first_row_id
                 dhit = del_cache.get(r.sequence_number)
                 if dhit is None:
                     dhit = (
@@ -2917,8 +2929,12 @@ class DataScan:
             by_spec.setdefault(m["spec_id"], []).append(m)
         spark = self.table.spark
         cols = ["file_path", "file_format", "schema_id", "record_count", "file_size_in_bytes"]
+        # name-mapped foreign files (add_files) carry their physical
+        # column names in stats_json; flag them here (tiny boolean per
+        # row) instead of shipping the stats blob into the path manifest
+        nm_flag = F.coalesce(F.col("stats_json").contains('"name_map"'), F.lit(False))
         dfs = [
-            df.select(*cols)
+            df.select(*cols, nm_flag.alias("has_name_map"))
             for _sid, _spec, df in self._pruned_entry_dfs(metadata, schema, bound, by_spec, part_filter)
         ]
         from pyspark.sql import types as T
@@ -2951,13 +2967,16 @@ class DataScan:
             F.sum("file_size_in_bytes").alias("bytes"),
             F.collect_set("file_format").alias("fmts"),
             F.collect_set("schema_id").alias("sids"),
+            # name-projection would silently null out name-mapped
+            # columns -> such tables take the exact path
+            F.max("has_name_map").alias("has_name_map"),
         ).first()
         n_files = info["n"] or 0
         if n_files == 0:
             fileio.remove_recursive(plan_dir, spark)
             self._streaming_plan_info = {"n_files": 0, "plan_dir": None}
             return spark.createDataFrame([], schema=out_schema)
-        if {str(f).upper() for f in info["fmts"]} != {"PARQUET"}:
+        if {str(f).upper() for f in info["fmts"]} != {"PARQUET"} or info["has_name_map"]:
             fileio.remove_recursive(plan_dir, spark)
             return None
         # name-projection safety across the schema ids present: every

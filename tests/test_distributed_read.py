@@ -205,3 +205,60 @@ def test_clean_scan_plans_age_guard(cat, table):
     future = int(__import__("time").time() * 1000) + 48 * 3600_000
     removed = t.clean_scan_plans(now_ms=future)
     assert len(removed) == len(dirs) and os.listdir(base) == []
+
+
+def test_name_mapped_add_files_falls_back(cat, spark, tmp_path):
+    """add_files tables whose files carry a name mapping (different
+    physical column names) must take the exact path — name projection
+    would silently null the mapped columns on the streamed read."""
+    from iceberg_python_spark.name_mapping import PROPERTY_KEY, MappedField, NameMapping
+
+    ext = spark.createDataFrame([(1, "x"), (2, "y")], "k: long, v: string")
+    schema = schema_from_spark(ext.schema)
+    fid = {f.name: f.field_id for f in schema.fields}
+    mapping = NameMapping(
+        [MappedField(fid["k"], ["k", "key_renamed"]), MappedField(fid["v"], ["v", "val_renamed"])]
+    )
+    t = cat.create_table(
+        "db.addf_nm",
+        schema,
+        properties={
+            "read.plan.distributed-threshold": "0",
+            PROPERTY_KEY: mapping.to_json(),
+        },
+    )
+    # external file under DIFFERENT physical names, registered via the
+    # name mapping (schema.name-mapping.default aliases)
+    foreign = ext.toDF("key_renamed", "val_renamed")
+    d = str(tmp_path / "ext")
+    foreign.coalesce(1).write.mode("overwrite").parquet(d)
+    import os as _os
+
+    paths = [f"{d}/{f}" for f in _os.listdir(d) if f.endswith(".parquet")]
+    t.add_files(paths)
+    t = cat.load_table("db.addf_nm")
+    scan = t.scan()
+    rows = {r.k: r.v for r in scan.to_df().collect()}
+    assert rows == {1: "x", 2: "y"}
+    assert not hasattr(scan, "_streaming_plan_info")
+
+
+def test_orc_through_distributed_planner(cat, spark):
+    """ORC data files keep their format through the collect-based
+    distributed planner (file_format was hardcoded PARQUET) and fall
+    back off the streamed path (parquet-only by design)."""
+    df = spark.range(20).select(F.col("id").alias("a"), (F.col("id") * 3).alias("b"))
+    t = cat.create_table(
+        "db.orc_dist",
+        schema_from_spark(df.schema),
+        properties={
+            "read.plan.distributed-threshold": "0",
+            "write.format.default": "orc",
+        },
+    )
+    t.append(df)
+    t = cat.load_table("db.orc_dist")
+    scan = t.scan(row_filter="a >= 5")
+    out = scan.to_df()
+    assert out.count() == 15 and {r.b for r in out.collect()} == {i * 3 for i in range(5, 20)}
+    assert not hasattr(scan, "_streaming_plan_info")
