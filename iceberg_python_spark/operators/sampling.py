@@ -234,3 +234,34 @@ def dsir_select(
             F.col("_key").desc(), F.col(id_col)
         ).limit(k)
     return w.orderBy(F.round(F.col("dsir_weight"), 6).desc(), F.col(id_col)).limit(k)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    max_per_group: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-group document cap — the C4/RefinedWeb-style
+    guard against any single domain/source dominating the corpus: keep
+    at most ``max_per_group`` rows per group, chosen by md5(id || salt)
+    rank (ties broken by id), so the selection is reproducible across
+    engines and runs with no RNG state.
+
+    Spark shape: one ``row_number`` window per group key — the same
+    shuffle as any per-group top-k. A mega-domain concentrates its rows
+    in one window partition; that is bounded by the domain's own size
+    (linear, never a pair join) and AQE's skew handling splits
+    oversized partitions for the sort. Returns the surviving rows
+    (original columns)."""
+    from pyspark.sql import Window
+
+    if max_per_group < 1:
+        raise ValueError(f"max_per_group must be >= 1, got {max_per_group}")
+    w = Window.partitionBy(group_col).orderBy(hash_bucket(F.col(id_col), salt), F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= max_per_group)
+        .drop("_rk")
+    )

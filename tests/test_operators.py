@@ -1300,3 +1300,109 @@ def test_curate_corpus_dsir_stage(spark):
     kept = {r.doc_id for r in res["clean"].collect()}
     # beta-topic docs dominate the selection
     assert sum(1 for d in kept if d >= 100) > sum(1 for d in kept if d < 100)
+
+
+def _brute_span_removal(rows, k):
+    """Plain-Python reference for remove_duplicated_spans (default
+    min_span): cross-doc k-gram starts -> merged islands -> splice."""
+    grams = {}
+    for doc_id, text in rows:
+        toks = text.split()
+        for i in range(max(len(toks) - k + 1, 0)):
+            g = " ".join(toks[i : i + k]).lower()
+            grams.setdefault(g, set()).add(doc_id)
+    out = {}
+    for doc_id, text in rows:
+        toks = text.split()
+        covered = set()
+        for i in range(max(len(toks) - k + 1, 0)):
+            g = " ".join(toks[i : i + k]).lower()
+            if len(grams[g]) > 1:
+                covered.update(range(i, i + k))
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        out[doc_id] = (" ".join(kept) if covered else text, len(covered))
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "x1"]), min_size=0, max_size=14),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_remove_duplicated_spans_matches_bruteforce(spark, docs_tokens):
+    """Property: the distributed splice equals a plain-Python reference
+    on random small corpora (heavy overlap from the tiny vocabulary)."""
+    from iceberg_python_spark.operators.dedup import remove_duplicated_spans
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    want = _brute_span_removal(rows, k=3)
+    got = {
+        r.doc_id: (r.text, r.n_removed_tokens)
+        for r in remove_duplicated_spans(
+            spark.createDataFrame(rows, "doc_id: long, text: string"), "doc_id", "text", k=3
+        ).collect()
+    }
+    assert got == want
+
+
+def test_cap_per_group(spark):
+    """Per-domain cap: at most N rows per group survive, selection is
+    deterministic (same salt -> same set, different salt -> usually
+    different), small groups pass through whole."""
+    from iceberg_python_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "big" if i < 40 else "small", f"t{i}") for i in range(46)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    out = cap_per_group(df, "source", "doc_id", 10)
+    by_src = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert by_src == {"big": 10, "small": 6}
+    again = {r.doc_id for r in cap_per_group(df, "source", "doc_id", 10).collect()}
+    assert again == {r.doc_id for r in out.collect()}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_per_group"):
+        cap_per_group(df, "source", "doc_id", 0)
+
+
+def test_curate_incremental(spark, tmp_path):
+    """Incremental curation: only docs appended after the checkpoint are
+    processed; cross-batch dedup drops new docs already in the curated
+    corpus; the returned last_snapshot_id advances the checkpoint."""
+    import iceberg_python_spark as ips
+    from iceberg_python_spark.pipeline import curate_corpus, curate_incremental
+    from iceberg_python_spark.schema import schema_from_spark
+
+    def doc(i):
+        return "the cat and dog is of note here " + " ".join(f"w{i}x{j}" for j in range(55))
+
+    cat = ips.SqliteCatalog("inc", str(tmp_path / "wh"), spark)
+    batch1 = spark.createDataFrame(
+        [(i, "s", doc(i)) for i in range(10)], "doc_id: long, source: string, text: string"
+    )
+    t = cat.create_table("db.docs", schema_from_spark(batch1.schema))
+    t.append(batch1)
+    t = cat.load_table("db.docs")
+    first = curate_incremental(t, train_token_budget=2000, seq_len=128)
+    assert first["stats"]["new_docs"] == 10 and first["stats"]["input"] == 10
+    ckpt = first["last_snapshot_id"]
+
+    # batch 2: 5 genuinely new + 2 copies of already-curated docs
+    batch2 = spark.createDataFrame(
+        [(100 + i, "s", doc(100 + i)) for i in range(5)]
+        + [(900, "s", doc(0)), (901, "s", doc(1))],
+        "doc_id: long, source: string, text: string",
+    )
+    t.append(batch2)
+    t = cat.load_table("db.docs")
+    second = curate_incremental(
+        t, from_snapshot_id=ckpt, existing_clean=first["clean"],
+        train_token_budget=2000, seq_len=128,
+    )
+    st = second["stats"]
+    assert st["new_docs"] == 7              # only the appended batch
+    assert st["after_cross_batch_dedup"] == 5  # the two copies dropped
+    assert st["input"] == 5
+    assert second["last_snapshot_id"] != ckpt
