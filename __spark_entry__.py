@@ -279,6 +279,16 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict:
         dup_case = docs.where("doc_id % 7 = 0").withColumn("doc_id", F.col("doc_id") + 2000000).withColumn("text", F.upper("text"))
         env["docs_dup"] = create("docs_dup", docs.unionByName(dup_exact).unionByName(dup_case))
 
+    def build_docs_inc():
+        # two-batch documents table for incremental curation: batch 1 =
+        # even doc ids; batch 2 = odd ids PLUS exact copies of every
+        # 20th even doc under shifted ids (cross-batch dedup bait)
+        docs = raw["documents"]
+        t = create("docs_inc", docs.where("doc_id % 2 = 0"))
+        copies = docs.where("doc_id % 20 = 0").withColumn("doc_id", F.col("doc_id") + 5000000)
+        t.append(docs.where("doc_id % 2 = 1").unionByName(copies))
+        env["docs_inc"] = cat.load_table("db.docs_inc")
+
     def build_stream_read():
         # streaming distributed read (r09): a clone whose threshold forces
         # the path-manifest scan on every to_df() — the driver never
@@ -293,7 +303,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict:
         build_tt, build_del, build_ups, build_ups_mor, build_dpo, build_inc,
         build_evo, build_mor, build_dv, build_compact, build_addf,
         build_eqdel, build_avro, build_wap, build_v3_lineage, build_docs_dup,
-        build_orc, build_stream_read,
+        build_orc, build_stream_read, build_docs_inc,
     ]
     with ThreadPoolExecutor(max_workers=8) as pool:
         futs = [pool.submit(b) for b in builders]
@@ -2020,6 +2030,50 @@ def _q_dsir_select(spark, env):
     return out.select("doc_id", "n_grams", F.round("dsir_weight", 6).alias("dsir_weight"))
 
 
+def _q_sample_domain_cap(spark, env):
+    # Per-source document cap (C4/RefinedWeb dominance guard): at most
+    # 150 docs per source survive, chosen by md5(doc_id) rank. Fully
+    # deterministic -> the oracle recomputes the identical window.
+    from iceberg_python_spark.operators.sampling import cap_per_group
+
+    docs = env["documents"].scan(selected_fields=("doc_id", "source")).to_df()
+    return cap_per_group(docs, "source", "doc_id", 150).select("doc_id", "source")
+
+
+def _q_pipeline_incremental_invariants(spark, env):
+    # Incremental curation over the two-batch docs_inc table: the
+    # new-docs frame must be EXACTLY batch 2 (incremental append scan),
+    # cross-batch digest dedup must drop EXACTLY the injected copies of
+    # batch-1 docs, and the checkpoint must advance. Counts are
+    # data-derived, so the oracle recomputes them from the raw table.
+    from iceberg_python_spark.pipeline import curate_incremental
+
+    t = env["docs_inc"]
+    snaps = sorted(t.metadata.snapshots, key=lambda s: s.sequence_number)
+    first_id = snaps[0].snapshot_id
+    existing = t.scan(snapshot_id=first_id, selected_fields=("doc_id", "text")).to_df()
+    res = curate_incremental(
+        t,
+        from_snapshot_id=first_id,
+        existing_clean=existing,
+        train_token_budget=5000,
+        seq_len=256,
+        quality_flags=("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok", "alpha_ratio_ok"),
+    )
+    st = res["stats"]
+    monotone = (
+        st["after_cross_batch_dedup"] >= st["after_quality"]
+        >= st["after_exact_dedup"] >= st["after_neardup"]
+    )
+    return spark.range(1).select(
+        F.lit(st["new_docs"]).cast("long").alias("new_docs"),
+        F.lit(st["after_cross_batch_dedup"]).cast("long").alias("after_cross_batch_dedup"),
+        F.lit(bool(st["input"] == st["after_cross_batch_dedup"])).alias("pipeline_input_matches"),
+        F.lit(bool(monotone)).alias("filters_monotone"),
+        F.lit(bool(res["last_snapshot_id"] != first_id)).alias("checkpoint_advanced"),
+    )
+
+
 def _q_scan_distributed_read(spark, env):
     # The r09 headline feature under the driver's oracle: a scan forced
     # (threshold=0 table property) through the streaming distributed
@@ -2206,6 +2260,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "scan_partition_pruned": _q_scan_partition_pruned,
             "scan_in_filter": _q_scan_in_filter,
             "time_travel": _q_time_travel,
+            # r10-READY rows (new operators landed late in r09 with
+            # local oracle evidence; they lead the r10 window):
+            "sample_domain_cap": _q_sample_domain_cap,
+            "pipeline_incremental_invariants": _q_pipeline_incremental_invariants,
             # r08-greened (1 round old):
             "spark_datasource_scan": _q_spark_datasource_scan,
             "changelog_schema_evolution": _q_changelog_schema_evolution,
@@ -2402,6 +2460,24 @@ def oracle_sql() -> dict[str, str]:
             "true AS decile_balance_ok, true AS splits_partition, "
             "true AS benchmark_disjoint, true AS mixture_from_train, "
             "true AS mixture_within_budget, true AS packing_dense FROM documents"
+        ),
+        "sample_domain_cap": (
+            "SELECT doc_id, source FROM ("
+            "SELECT doc_id, source, row_number() OVER ("
+            "PARTITION BY source ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk "
+            "FROM documents) WHERE rk <= 150"
+        ),
+        "pipeline_incremental_invariants": (
+            "WITH nrm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS nt FROM documents), "
+            "ev AS (SELECT DISTINCT nt FROM nrm WHERE doc_id % 2 = 0), "
+            "ok AS (SELECT count(*) AS c FROM nrm WHERE doc_id % 2 = 1 "
+            "AND nt NOT IN (SELECT nt FROM ev)) "
+            "SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 2 = 1) "
+            "+ (SELECT count(*) FROM documents WHERE doc_id % 20 = 0) AS BIGINT) AS new_docs, "
+            "CAST((SELECT c FROM ok) AS BIGINT) AS after_cross_batch_dedup, "
+            "true AS pipeline_input_matches, true AS filters_monotone, "
+            "true AS checkpoint_advanced"
         ),
         "scan_distributed_read": (
             "SELECT l_orderkey, l_partkey, l_quantity, l_shipdate FROM lineitem "

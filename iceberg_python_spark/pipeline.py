@@ -57,6 +57,7 @@ def curate_corpus(
     neardup_threshold: float = 0.8,
     quality_flags: Optional[Sequence[str]] = None,
     quality_top_deciles: Optional[int] = None,
+    max_docs_per_source: Optional[int] = None,
     dsir_target_df: Optional[DataFrame] = None,
     dsir_keep: Optional[int] = None,
     span_removal_k: Optional[int] = None,
@@ -79,6 +80,9 @@ def curate_corpus(
       duplicated spans >= ``span_removal_min`` (default k) tokens out
       of the surviving docs (``remove_duplicated_spans`` — rewrites
       text, never drops rows).
+    - ``max_docs_per_source=N``: domain-dominance guard — at most N
+      docs per source survive (deterministic md5-rank cap), applied
+      before the expensive stages.
     - ``dsir_target_df`` + ``dsir_keep=k``: domain selection — keep the
       k docs whose hashed n-gram bags score highest under DSIR
       importance weights toward the target corpus (after the quality
@@ -135,6 +139,16 @@ def curate_corpus(
     else:
         quality_bins = None
     stats["after_model_quality"] = quality.count()
+
+    if max_docs_per_source is not None:
+        # domain-dominance guard (C4/RefinedWeb): cap docs per source
+        # BEFORE the expensive stages; deterministic md5-rank selection
+        from .operators.sampling import cap_per_group
+
+        quality = cap_per_group(
+            quality, source_col, id_col, int(max_docs_per_source), salt=salt
+        ).localCheckpoint(eager=True)
+        stats["after_source_cap"] = quality.count()
 
     if dsir_target_df is not None and dsir_keep is not None:
         # domain selection (DSIR, Xie et al. 2023): keep the dsir_keep

@@ -1406,3 +1406,20 @@ def test_curate_incremental(spark, tmp_path):
     assert st["after_cross_batch_dedup"] == 5  # the two copies dropped
     assert st["input"] == 5
     assert second["last_snapshot_id"] != ckpt
+
+
+def test_curate_corpus_source_cap_stage(spark):
+    """max_docs_per_source caps each source before dedup and records
+    the stage count."""
+    from iceberg_python_spark.pipeline import curate_corpus
+
+    def doc(i):
+        return "the cat and dog is of note here " + " ".join(f"w{i}x{j}" for j in range(55))
+
+    rows = [(i, "srcA" if i < 30 else "srcB", doc(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    res = curate_corpus(df, max_docs_per_source=8, train_token_budget=2000, seq_len=128)
+    st = res["stats"]
+    assert st["after_source_cap"] == 16  # 8 from each source
+    srcs = {r[0]: r[1] for r in res["clean"].groupBy("source").count().collect()}
+    assert all(v <= 8 for v in srcs.values())
