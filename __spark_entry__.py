@@ -2030,6 +2030,57 @@ def _q_dsir_select(spark, env):
     return out.select("doc_id", "n_grams", F.round("dsir_weight", 6).alias("dsir_weight"))
 
 
+def _q_events_asof_join(spark, env):
+    # Backward as-of join (union + per-key window carry-forward — the
+    # scalable shape; Spark's raw inequality join would be a broadcast
+    # nested loop): every event picks the latest marker at or before
+    # its timestamp per user. Markers are the event_id%10==0 sub-stream
+    # deduped to one per (user, ts) so both engines match
+    # deterministically. Oracle: DuckDB's native ASOF LEFT JOIN.
+    from iceberg_python_spark.operators.joins import asof_join
+
+    ev = env["events"].scan(selected_fields=("event_id", "user_id", "ts", "value")).to_df()
+    markers = (
+        ev.where("event_id % 10 = 0")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("marker_id"))
+    )
+    markers = markers.join(
+        ev.select(F.col("event_id").alias("marker_id"), F.col("value").alias("marker_value")),
+        "marker_id",
+    ).select("user_id", "ts", "marker_id", "marker_value")
+    left = ev.select("event_id", "user_id", "ts")
+    return asof_join(left, markers, "ts", by=["user_id"])
+
+
+def _q_events_range_join(spark, env):
+    # Point-in-interval join via time-bucket equi-join (no broadcast
+    # nested loop): events landing in each marker's [ts, ts+1h) window
+    # per user, aggregated with integer-deterministic stats.
+    from iceberg_python_spark.operators.joins import range_interval_join
+
+    ev = env["events"].scan(selected_fields=("event_id", "user_id", "ts")).to_df()
+    markers = (
+        ev.where("event_id % 10 = 0")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("marker_id"))
+        .select(
+            "user_id",
+            "marker_id",
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+        )
+    )
+    joined = range_interval_join(
+        ev, "ts", markers, "w_start", "w_end", by=["user_id"], bucket_width=3600.0
+    )
+    return joined.groupBy("marker_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("event_id").cast("long").alias("min_event_id"),
+        F.max("event_id").cast("long").alias("max_event_id"),
+    )
+
+
 def _q_sample_domain_cap(spark, env):
     # Per-source document cap (C4/RefinedWeb dominance guard): at most
     # 150 docs per source survive, chosen by md5(doc_id) rank. Fully
@@ -2264,6 +2315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # local oracle evidence; they lead the r10 window):
             "sample_domain_cap": _q_sample_domain_cap,
             "pipeline_incremental_invariants": _q_pipeline_incremental_invariants,
+            "events_asof_join": _q_events_asof_join,
+            "events_range_join": _q_events_range_join,
             # r08-greened (1 round old):
             "spark_datasource_scan": _q_spark_datasource_scan,
             "changelog_schema_evolution": _q_changelog_schema_evolution,
@@ -2460,6 +2513,23 @@ def oracle_sql() -> dict[str, str]:
             "true AS decile_balance_ok, true AS splits_partition, "
             "true AS benchmark_disjoint, true AS mixture_from_train, "
             "true AS mixture_within_budget, true AS packing_dense FROM documents"
+        ),
+        "events_asof_join": (
+            "WITH m0 AS (SELECT user_id, ts, min(event_id) AS marker_id FROM events "
+            "WHERE event_id % 10 = 0 GROUP BY user_id, ts), "
+            "m AS (SELECT m0.user_id, m0.ts, m0.marker_id, e.value AS marker_value "
+            "FROM m0 JOIN events e ON e.event_id = m0.marker_id) "
+            "SELECT l.event_id, l.user_id, l.ts, m.ts AS ts_matched, m.marker_id, m.marker_value "
+            "FROM events l ASOF LEFT JOIN m ON l.user_id = m.user_id AND m.ts <= l.ts"
+        ),
+        "events_range_join": (
+            "WITH m0 AS (SELECT user_id, ts, min(event_id) AS marker_id FROM events "
+            "WHERE event_id % 10 = 0 GROUP BY user_id, ts) "
+            "SELECT m0.marker_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(min(e.event_id) AS BIGINT) AS min_event_id, "
+            "CAST(max(e.event_id) AS BIGINT) AS max_event_id "
+            "FROM m0 JOIN events e ON e.user_id = m0.user_id "
+            "AND e.ts >= m0.ts AND e.ts < m0.ts + INTERVAL 1 HOUR GROUP BY 1"
         ),
         "sample_domain_cap": (
             "SELECT doc_id, source FROM ("

@@ -1423,3 +1423,74 @@ def test_curate_corpus_source_cap_stage(spark):
     assert st["after_source_cap"] == 16  # 8 from each source
     srcs = {r[0]: r[1] for r in res["clean"].groupBy("source").count().collect()}
     assert all(v <= 8 for v in srcs.values())
+
+
+def test_asof_join(spark):
+    """Backward as-of: latest right row at or before each left ts per
+    key; strict excludes equality; tolerance nulls stale matches;
+    unmatched rows survive with NULLs."""
+    from iceberg_python_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 15, "c"), (2, 7, "d"), (3, 9, "e")],
+        "uid: long, t: long, tag: string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 12, 200.0), (2, 1, 300.0)], "uid: long, t: long, px: double"
+    )
+    out = {(r.uid, r.t): (r.t_matched, r.px) for r in asof_join(left, right, "t", by=["uid"]).collect()}
+    assert out[(1, 5)] == (5, 100.0)     # inclusive <=
+    assert out[(1, 10)] == (5, 100.0)
+    assert out[(1, 15)] == (12, 200.0)
+    assert out[(2, 7)] == (1, 300.0)
+    assert out[(3, 9)] == (None, None)   # no right rows for key
+    strict = {(r.uid, r.t): r.t_matched for r in asof_join(left, right, "t", by=["uid"], strict=True).collect()}
+    assert strict[(1, 5)] is None        # equality excluded
+    tol = {(r.uid, r.t): r.px for r in asof_join(left, right, "t", by=["uid"], tolerance=3).collect()}
+    assert tol[(1, 5)] == 100.0 and tol[(1, 10)] is None and tol[(1, 15)] == 200.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, left.select("uid", "t", "tag"), "t", by=["uid"])
+
+
+def test_asof_join_timestamps_and_plan(spark):
+    """Timestamp columns work with seconds-based tolerance, and the plan
+    contains NO BroadcastNestedLoopJoin (the shape the operator exists
+    to avoid)."""
+    from iceberg_python_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:30")], "uid: long, ts: string"
+    ).select("uid", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7.0), (1, "2024-01-01 09:00:00", 5.0)],
+        "uid: long, ts: string, v: double",
+    ).select("uid", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = asof_join(left, right, "ts", by=["uid"], tolerance=60.0)
+    row = out.first()
+    assert row.v == 7.0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    far = asof_join(left, right, "ts", by=["uid"], tolerance=10.0).first()
+    assert far.v is None
+
+
+def test_range_interval_join(spark):
+    """Points land in half-open [start, end) intervals exactly once,
+    across bucket boundaries; the end boundary is exclusive; no
+    BroadcastNestedLoopJoin in the plan."""
+    from iceberg_python_spark.operators.joins import range_interval_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.5), (2, 10.0), (3, 25.0), (4, 30.0), (5, 99.0)], "pid: long, t: double"
+    )
+    iv = spark.createDataFrame(
+        [(100, 0.0, 30.0), (200, 25.0, 35.0)], "iid: long, s: double, e: double"
+    )
+    out = range_interval_join(pts, "t", iv, "s", "e", bucket_width=10.0)
+    pairs = {(r.pid, r.iid) for r in out.collect()}
+    # t=30 is NOT in [0,30) but IS in [25,35); t=25 is in both
+    assert pairs == {(1, 100), (2, 100), (3, 100), (3, 200), (4, 200)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
