@@ -2081,6 +2081,16 @@ def _q_events_range_join(spark, env):
     )
 
 
+def _q_events_time_rollup(spark, env):
+    # Multi-resolution continuous-aggregate rollup (hypertable pattern):
+    # hour + day buckets from ONE pass (explode widths, one groupBy).
+    # Integer epoch-micros bucket arithmetic -> engine-exact edges.
+    from iceberg_python_spark.streaming import time_rollup
+
+    ev = env["events"].scan(selected_fields=("ts", "event_type", "value")).to_df()
+    return time_rollup(ev, "ts", ["event_type"], "value", [3600, 86400])
+
+
 def _q_sample_domain_cap(spark, env):
     # Per-source document cap (C4/RefinedWeb dominance guard): at most
     # 150 docs per source survive, chosen by md5(doc_id) rank. Fully
@@ -2317,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pipeline_incremental_invariants": _q_pipeline_incremental_invariants,
             "events_asof_join": _q_events_asof_join,
             "events_range_join": _q_events_range_join,
+            "events_time_rollup": _q_events_time_rollup,
             # r08-greened (1 round old):
             "spark_datasource_scan": _q_spark_datasource_scan,
             "changelog_schema_evolution": _q_changelog_schema_evolution,
@@ -2513,6 +2524,14 @@ def oracle_sql() -> dict[str, str]:
             "true AS decile_balance_ok, true AS splits_partition, "
             "true AS benchmark_disjoint, true AS mixture_from_train, "
             "true AS mixture_within_budget, true AS packing_dense FROM documents"
+        ),
+        "events_time_rollup": (
+            "WITH w AS (SELECT CAST(3600 AS BIGINT) AS width_s UNION ALL SELECT CAST(86400 AS BIGINT)) "
+            "SELECT CAST(w.width_s AS BIGINT) AS width_s, "
+            "CAST(to_timestamp((epoch_us(e.ts) // (w.width_s * 1000000)) * w.width_s) AS TIMESTAMP) AS bucket_start, "
+            "e.event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "round(sum(e.value), 4) AS sum_value, min(e.value) AS min_value, max(e.value) AS max_value "
+            "FROM events e CROSS JOIN w GROUP BY 1, 2, 3"
         ),
         "events_asof_join": (
             "WITH m0 AS (SELECT user_id, ts, min(event_id) AS marker_id FROM events "

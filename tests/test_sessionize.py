@@ -406,3 +406,35 @@ def test_append_stream_dedup_idempotent_ingestion(spark, tmp_path):
     q2 = append_stream_dedup(stream, t, str(tmp_path / "sink_ckpt2"), key_cols=["id"])
     q2.awaitTermination(60)
     assert t.refresh().scan().to_df().count() == 4
+
+
+def test_time_rollup(spark):
+    """Multi-resolution rollup from one pass: bucket edges are integer
+    floor-divisions of epoch time, counts per width sum to the input,
+    and finer buckets nest inside coarser ones."""
+    from pyspark.sql import functions as F
+
+    from iceberg_python_spark.streaming import time_rollup
+
+    rows = [
+        (1, "a", "2024-01-01 00:10:00", 1.0),
+        (2, "a", "2024-01-01 00:50:00", 2.0),
+        (3, "a", "2024-01-01 01:10:00", 4.0),
+        (4, "b", "2024-01-01 23:59:59", 8.0),
+    ]
+    df = spark.createDataFrame(rows, "id: long, k: string, ts: string, v: double").select(
+        "id", "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = time_rollup(df, "ts", ["k"], "v", [3600, 86400])
+    rows_out = {(r.width_s, str(r.bucket_start), r.k): (r.n_events, r.sum_value) for r in out.collect()}
+    assert rows_out[(3600, "2024-01-01 00:00:00", "a")] == (2, 3.0)
+    assert rows_out[(3600, "2024-01-01 01:00:00", "a")] == (1, 4.0)
+    assert rows_out[(86400, "2024-01-01 00:00:00", "a")] == (3, 7.0)
+    assert rows_out[(86400, "2024-01-01 00:00:00", "b")] == (1, 8.0)
+    # per-width totals each equal the input row count
+    per_width = {r.width_s: r.n for r in out.groupBy("width_s").agg(F.sum("n_events").alias("n")).collect()}
+    assert per_width == {3600: 4, 86400: 4}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="widths_seconds"):
+        time_rollup(df, "ts", ["k"], "v", [])
