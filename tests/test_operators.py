@@ -1494,3 +1494,45 @@ def test_range_interval_join(spark):
     assert pairs == {(1, 100), (2, 100), (3, 100), (3, 200), (4, 200)}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=25),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=25),
+)
+@settings(max_examples=10, deadline=None)
+def test_asof_join_matches_pandas(spark, lrows, rrows):
+    """Property: asof_join == pandas.merge_asof (backward, exact matches
+    allowed, by key) on random integer frames. Right (key, ts) pairs are
+    deduped first — the documented as-of precondition."""
+    import pandas as pd
+
+    from iceberg_python_spark.operators.joins import asof_join
+
+    rdedup = {}
+    for i, (k, t) in enumerate(rrows):
+        rdedup[(k, t)] = i * 10  # deterministic payload
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)], "lid: long, k: long, t: long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in sorted(rdedup.items())], "k: long, t: long, rv: long"
+    ) if rdedup else spark.createDataFrame([], "k: long, t: long, rv: long")
+    got = {
+        r.lid: (r.t_matched, r.rv)
+        for r in asof_join(left, right, "t", by=["k"]).collect()
+    }
+    lp = pd.DataFrame([(i, k, t) for i, (k, t) in enumerate(lrows)], columns=["lid", "k", "t"]).sort_values("t", kind="stable")
+    rp = pd.DataFrame(
+        [(k, t, v) for (k, t), v in sorted(rdedup.items())], columns=["k", "t", "rv"]
+    ).sort_values("t", kind="stable")
+    if len(rp):
+        m = pd.merge_asof(lp, rp, on="t", by="k", direction="backward", suffixes=("", "_r"))
+        want = {
+            int(row.lid): (None if pd.isna(row.rv) else int(row.rv))
+            for row in m.itertuples()
+        }
+    else:
+        want = {int(row.lid): None for row in lp.itertuples()}
+    got_rv = {lid: (None if v[1] is None else int(v[1])) for lid, v in got.items()}
+    assert got_rv == want
