@@ -166,6 +166,21 @@ def write_data_files(
     max_records = properties.get("write.parquet.max-records-per-file")
     if max_records:
         writer = writer.option("maxRecordsPerFile", int(max_records))
+    if fmt == "parquet":
+        # per-column bloom filters (reference TableProperties
+        # PARQUET_BLOOM_FILTER_COLUMN_ENABLED_PREFIX, table/__init__.py:155
+        # — its pyarrow writer takes the same properties): translated to
+        # parquet-mr writer options, so point-lookup row groups skip via
+        # the filter on columns min/max can't prune (uuid-ish keys)
+        bloom_prefix = "write.parquet.bloom-filter-enabled.column."
+        for k, v in properties.items():
+            if k.startswith(bloom_prefix) and str(v).lower() == "true":
+                writer = writer.option(
+                    f"parquet.bloom.filter.enabled#{k[len(bloom_prefix):]}", "true"
+                )
+        max_bytes = properties.get("write.parquet.bloom-filter-max-bytes")
+        if max_bytes:
+            writer = writer.option("parquet.bloom.filter.max.bytes", int(max_bytes))
     if pnames:
         writer = writer.partitionBy(*pnames)
     writer.save(out_dir)

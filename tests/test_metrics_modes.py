@@ -135,3 +135,40 @@ def test_add_files_rejects_statless_partition_source(catalog, spark, tmp_path):
     files = [os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")]
     with pytest.raises(ValueError, match="partition source"):
         t.add_files(files)
+
+
+def test_bloom_filter_write_property(spark, tmp_path):
+    """write.parquet.bloom-filter-enabled.column.X (reference
+    TableProperties, table/__init__.py:155) lands as a real bloom
+    filter in the written parquet footers; unlisted columns carry
+    none."""
+    import pyarrow.parquet as pq
+
+    import iceberg_python_spark as ips
+    from iceberg_python_spark.schema import schema_from_spark
+
+    df = spark.range(2000).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    cat = ips.SqliteCatalog("bloom", str(tmp_path / "wh"), spark)
+    t = cat.create_table(
+        "db.bloomed",
+        schema_from_spark(df.schema),
+        properties={
+            "write.parquet.bloom-filter-enabled.column.v": "true",
+            "write.parquet.bloom-filter-max-bytes": "131072",
+        },
+    )
+    t.append(df.repartition(1))
+    t = cat.load_table("db.bloomed")
+    [task] = t.scan().plan_files()
+    # pyarrow 16 does not expose bloom_filter_offset; assert the filter
+    # bytes are physically present via the size delta against a twin
+    # table written WITHOUT the property (identical data/layout)
+    plain = cat.create_table("db.plain", schema_from_spark(df.schema))
+    plain.append(df.repartition(1))
+    plain = cat.load_table("db.plain")
+    [ptask] = plain.scan().plan_files()
+    bloomed_sz = task.data_file["file_size_in_bytes"]
+    plain_sz = ptask.data_file["file_size_in_bytes"]
+    assert bloomed_sz > plain_sz + 1000, (bloomed_sz, plain_sz)
+    # and the data still reads back exactly
+    assert t.scan(row_filter="v = '1234'").to_df().count() == 1
