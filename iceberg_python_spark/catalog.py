@@ -376,9 +376,30 @@ class MetastoreCatalog:
         new_metadata.metadata_log = (new_metadata.metadata_log or []) + [
             {"timestamp-ms": new_metadata.last_updated_ms, "metadata-file": old_location}
         ]
+        # metadata-log retention (reference TableProperties
+        # write.metadata.previous-versions-max, default 100, and
+        # write.metadata.delete-after-commit.enabled, default false —
+        # table/__init__.py:143-147): trim the log to the newest N
+        # entries; only delete the dropped metadata FILES when the
+        # delete property opts in (trimming the log alone never removes
+        # history files another reader might hold)
+        props = new_metadata.properties or {}
+        keep = int(props.get("write.metadata.previous-versions-max", "100"))
+        dropped = []
+        if keep > 0 and len(new_metadata.metadata_log) > keep:
+            dropped = new_metadata.metadata_log[:-keep]
+            new_metadata.metadata_log = new_metadata.metadata_log[-keep:]
         new_location = self._write_metadata(new_metadata, version)
         self._pointer_cas(ns, table_name, old_location, new_location)
         self._write_version_hint(new_location)  # advisory, after the CAS won
+        if dropped and str(
+            props.get("write.metadata.delete-after-commit.enabled", "false")
+        ).lower() == "true":
+            from .io.fileio import remove as _rm
+
+            for e in dropped:
+                if e.get("metadata-file"):
+                    _rm(e["metadata-file"], self.spark)
         table.metadata = new_metadata
         table.metadata_location = new_location
 

@@ -181,6 +181,25 @@ def write_data_files(
         max_bytes = properties.get("write.parquet.bloom-filter-max-bytes")
         if max_bytes:
             writer = writer.option("parquet.bloom.filter.max.bytes", int(max_bytes))
+        # parquet layout knobs (reference TableProperties
+        # table/__init__.py:138-151) -> parquet-mr writer options
+        # (verified to reach the task writer: block size, page size,
+        # dictionary page size, page row limit, codec, zstd level)
+        codec = properties.get("write.parquet.compression-codec")
+        if codec:
+            writer = writer.option("compression", str(codec).lower())
+            level = properties.get("write.parquet.compression-level")
+            if level and str(codec).lower() == "zstd":
+                writer = writer.option("parquet.compression.codec.zstd.level", int(level))
+        for prop, opt in (
+            ("write.parquet.row-group-size-bytes", "parquet.block.size"),
+            ("write.parquet.page-size-bytes", "parquet.page.size"),
+            ("write.parquet.dict-size-bytes", "parquet.dictionary.page.size"),
+            ("write.parquet.page-row-limit", "parquet.page.row.count.limit"),
+        ):
+            v = properties.get(prop)
+            if v:
+                writer = writer.option(opt, int(v))
     if pnames:
         writer = writer.partitionBy(*pnames)
     writer.save(out_dir)

@@ -245,6 +245,15 @@ def _new_snapshot_id() -> int:
     return random.getrandbits(62)
 
 
+def _avro_codec(meta: "TableMetadata") -> str:
+    """Avro block codec for spec-metadata commits, from the reference's
+    ``write.avro.compression-codec`` property (default gzip,
+    table/__init__.py:160-161) mapped to OCF codec names."""
+    raw = meta.properties.get("write.avro.compression-codec", "gzip").lower()
+    mapping = {"gzip": "deflate", "uncompressed": "null", "zstd": "zstandard"}
+    return mapping.get(raw, raw)
+
+
 def _metadata_format(meta: "TableMetadata") -> str:
     """Manifest/manifest-list file format for commits:
     ``write.metadata.format`` = parquet (engine-native, Spark-readable,
@@ -1378,7 +1387,7 @@ class Transaction:
                 for e in keep:
                     e["status"] = STATUS_EXISTING
                 path = posixpath.join(manifests_dir, f"manifest-{uuid.uuid4()}.{mfmt}")
-                new_manifest_files.append(write_manifest(path, keep, schema, spec, fmt=mfmt))
+                new_manifest_files.append(write_manifest(path, keep, schema, spec, fmt=mfmt, codec=_avro_codec(meta)))
 
         # v3 row lineage (spec first-row-id; reference update/__init__.py:
         # 447-468): each committed data file gets the base of its implicit
@@ -1407,7 +1416,7 @@ class Transaction:
                     for f in files
                 ]
                 path = posixpath.join(manifests_dir, f"manifest-{uuid.uuid4()}.{mfmt}")
-                new_manifest_files.append(write_manifest(path, entries, schema, spec, fmt=mfmt))
+                new_manifest_files.append(write_manifest(path, entries, schema, spec, fmt=mfmt, codec=_avro_codec(meta)))
 
         # manifest merging (reference _ManifestMergeManager, update/
         # snapshot.py:733-805): when enabled and the data-manifest count
@@ -1423,6 +1432,7 @@ class Transaction:
         write_manifest_list(
             manifest_list_path, new_manifest_files, meta.spec(), schema,
             fmt=mfmt, snapshot_id=snapshot_id, sequence_number=seq,
+            codec=_avro_codec(meta),
         )
 
         total_files = sum(m["added_files_count"] + m["existing_files_count"] for m in new_manifest_files)
@@ -1506,6 +1516,7 @@ class Transaction:
         write_manifest_list(
             manifest_list_path, merged, self.metadata.spec(), schema,
             fmt=mfmt, snapshot_id=snapshot_id, sequence_number=seq,
+            codec=_avro_codec(self.metadata),
         )
         total_files = sum(m["added_files_count"] + m["existing_files_count"] for m in merged)
         total_records = sum(m["added_rows_count"] + m.get("existing_rows_count", 0) for m in merged)
@@ -1571,7 +1582,7 @@ class Transaction:
             mfmt = _metadata_format(meta)
             for i in range(0, len(entries), target):
                 path = posixpath.join(manifests_dir, f"manifest-{uuid.uuid4()}.{mfmt}")
-                out.append(write_manifest(path, entries[i : i + target], schema, spec, fmt=mfmt))
+                out.append(write_manifest(path, entries[i : i + target], schema, spec, fmt=mfmt, codec=_avro_codec(meta)))
         return out
 
     # -- public write ops --------------------------------------------------------

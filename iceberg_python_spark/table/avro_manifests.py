@@ -373,6 +373,7 @@ def write_avro_manifest(
     schema: Schema,
     spec: PartitionSpec,
     format_version: int = 2,
+    codec: str = "deflate",
 ) -> int:
     """Write entries as a spec-conformant v2 Avro manifest; returns the
     file length (the manifest list records it)."""
@@ -436,7 +437,7 @@ def write_avro_manifest(
         "format-version": str(format_version),
         "content": "deletes" if entries and entries[0]["data_file"].get("content", 0) != 0 else "data",
     }
-    avro.write_file(local_path(path), avsc, records, metadata=meta)
+    avro.write_file(local_path(path), avsc, records, metadata=meta, codec=codec)
     return _os.path.getsize(local_path(path))
 
 
@@ -448,6 +449,7 @@ def write_avro_manifest_list(
     snapshot_id: int,
     sequence_number: int,
     format_version: int = 2,
+    codec: str = "deflate",
 ) -> None:
     part_schema = spec.partition_schema(schema)
 
@@ -493,7 +495,7 @@ def write_avro_manifest_list(
             }
         )
     meta = {"snapshot-id": str(snapshot_id), "sequence-number": str(sequence_number), "format-version": str(format_version)}
-    avro.write_file(local_path(path), manifest_list_avro_schema(), records, metadata=meta)
+    avro.write_file(local_path(path), manifest_list_avro_schema(), records, metadata=meta, codec=codec)
 
 
 # ---------------------------------------------------------------------------

@@ -188,6 +188,7 @@ def write_manifest(
     schema: Schema,
     spec: PartitionSpec,
     fmt: str = "parquet",
+    codec: str = "deflate",
 ) -> Dict[str, Any]:
     """Write manifest entries; return the ManifestFile descriptor (with
     partition summaries) for the manifest list.
@@ -200,7 +201,7 @@ def write_manifest(
     if fmt == "avro":
         from .avro_manifests import write_avro_manifest
 
-        length = write_avro_manifest(path, entries, schema, spec)
+        length = write_avro_manifest(path, entries, schema, spec, codec=codec)
         live = [e for e in entries if e["status"] != STATUS_DELETED]
         summaries = construct_partition_summaries(
             [e["data_file"].get("partition", {}) for e in live], spec, schema
@@ -338,6 +339,7 @@ def write_manifest_list(
     fmt: str = "parquet",
     snapshot_id: int = -1,
     sequence_number: int = 0,
+    codec: str = "deflate",
 ) -> None:
     if fmt == "avro":
         from ..io.fileio import file_size
@@ -350,7 +352,7 @@ def write_manifest_list(
             if not m.get("manifest_length"):
                 m = {**m, "manifest_length": file_size(m["manifest_path"])}
             enriched.append(m)
-        write_avro_manifest_list(path, enriched, spec, schema, snapshot_id, sequence_number)
+        write_avro_manifest_list(path, enriched, spec, schema, snapshot_id, sequence_number, codec=codec)
         return
     part_schema = spec.partition_schema(schema)
 

@@ -633,6 +633,13 @@ class ExpireSnapshots:
     def commit(self, clean_files: bool = True, now_ms: Optional[int] = None) -> List[str]:
         meta = copy.deepcopy(self.table.metadata)
         now_ms = now_ms if now_ms is not None else int(time.time() * 1000)
+        props = meta.properties or {}
+        if not self._expire_ids and self._older_than_ms is None:
+            # no explicit target: apply the table's retention properties
+            # (reference TableProperties history.expire.max-snapshot-age-ms,
+            # default 5 days — table/__init__.py:209-213)
+            max_age = int(props.get("history.expire.max-snapshot-age-ms", str(5 * 24 * 3600 * 1000)))
+            self._older_than_ms = now_ms - max_age
         # 1. retire refs past their max-ref-age (reference
         #    update/snapshot.py:1049-1060; main never retires)
         for name, ref in list(meta.refs.items()):
@@ -652,7 +659,9 @@ class ExpireSnapshots:
         for ref in meta.refs.values():
             if ref.type != "branch":
                 continue
-            keep_n = ref.min_snapshots_to_keep or 1
+            keep_n = ref.min_snapshots_to_keep or int(
+                props.get("history.expire.min-snapshots-to-keep", "1")
+            )
             count = 0
             sid = ref.snapshot_id
             while sid is not None:

@@ -344,3 +344,31 @@ def test_native_avro_metadata_format(spark, tmp_path):
         ta.current_snapshot().manifest_list, ta.metadata.spec_by_id, ta.schema()
     ):
         assert m["manifest_path"].endswith(".avro")
+
+
+def test_avro_compression_codec_property(spark, tmp_path):
+    """write.avro.compression-codec (reference table/__init__.py:160,
+    default gzip->deflate) selects the OCF block codec for spec Avro
+    metadata; zstd maps to zstandard and round-trips through both our
+    reader and the scan path."""
+    import iceberg_python_spark as ips
+    from iceberg_python_spark import avro as ocf
+    from iceberg_python_spark.schema import schema_from_spark
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(50)], "id: long, v: string")
+    cat = ips.SqliteCatalog("avrocodec", str(tmp_path / "wh"), spark)
+    t = cat.create_table(
+        "db.zstd_meta",
+        schema_from_spark(df.schema),
+        properties={
+            "write.metadata.format": "avro",
+            "write.avro.compression-codec": "zstd",
+        },
+    )
+    t.append(df)
+    t = cat.load_table("db.zstd_meta")
+    mlist = t.current_snapshot().manifest_list
+    assert mlist.endswith(".avro")
+    _schema, meta, _recs = ocf.read_file(mlist)
+    assert meta.get("avro.codec") == b"zstandard"
+    assert t.scan().to_df().count() == 50

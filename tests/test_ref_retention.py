@@ -83,3 +83,87 @@ def test_main_branch_never_retires(catalog, spark):
     t.refresh()
     assert "main" in t.metadata.refs
     assert t.scan().to_df().count() == 10
+
+
+def test_expire_property_defaults(spark, tmp_path):
+    """commit() with no explicit target applies the table's
+    history.expire.* properties: snapshots older than max-snapshot-age
+    expire, min-snapshots-to-keep newest survive regardless of age
+    (reference TableProperties, table/__init__.py:209-213)."""
+    import iceberg_python_spark as ips
+    from iceberg_python_spark.schema import schema_from_spark
+
+    df = spark.createDataFrame([(1,)], "id: long")
+    cat = ips.SqliteCatalog("expdef", str(tmp_path / "wh"), spark)
+    t = cat.create_table(
+        "db.aged",
+        schema_from_spark(df.schema),
+        properties={
+            "history.expire.max-snapshot-age-ms": "1000000",
+            "history.expire.min-snapshots-to-keep": "2",
+        },
+    )
+    for _ in range(4):
+        t.append(df)
+        t = cat.load_table("db.aged")
+    assert len(t.metadata.snapshots) == 4
+    # pretend the future: everything is past max age, but the newest 2
+    # on main are protected by min-snapshots-to-keep
+    future = t.current_snapshot().timestamp_ms + 10_000_000
+    t.expire_snapshots().commit(now_ms=future)
+    t = cat.load_table("db.aged")
+    assert len(t.metadata.snapshots) == 2
+    # within the age window nothing expires
+    t2 = cat.create_table(
+        "db.young", schema_from_spark(df.schema),
+        properties={"history.expire.max-snapshot-age-ms": str(10**12)},
+    )
+    t2.append(df)
+    t2 = cat.load_table("db.young")
+    t2.expire_snapshots().commit()
+    t2 = cat.load_table("db.young")
+    assert len(t2.metadata.snapshots) == 1
+
+
+def test_metadata_log_retention(spark, tmp_path):
+    """write.metadata.previous-versions-max trims the metadata log;
+    delete-after-commit removes the dropped metadata FILES only when
+    opted in (reference table/__init__.py:143-147)."""
+    import os
+
+    import iceberg_python_spark as ips
+    from iceberg_python_spark.schema import schema_from_spark
+
+    df = spark.createDataFrame([(1,)], "id: long")
+    cat = ips.SqliteCatalog("mlog", str(tmp_path / "wh"), spark)
+    t = cat.create_table(
+        "db.trimmed",
+        schema_from_spark(df.schema),
+        properties={
+            "write.metadata.previous-versions-max": "2",
+            "write.metadata.delete-after-commit.enabled": "true",
+        },
+    )
+    locations = []
+    for _ in range(5):
+        locations.append(t.metadata_location)
+        t.append(df)
+        t = cat.load_table("db.trimmed")
+    assert len(t.metadata.metadata_log) == 2
+    # the oldest metadata files were physically deleted, newest kept
+    kept = [e["metadata-file"] for e in t.metadata.metadata_log]
+    assert all(os.path.exists(p) for p in kept)
+    deleted = [p for p in locations if p not in kept]
+    assert deleted and not any(os.path.exists(p) for p in deleted[:-1])
+    # without the delete property, files survive trimming
+    t2 = cat.create_table(
+        "db.keepfiles", schema_from_spark(df.schema),
+        properties={"write.metadata.previous-versions-max": "1"},
+    )
+    locs2 = []
+    for _ in range(3):
+        locs2.append(t2.metadata_location)
+        t2.append(df)
+        t2 = cat.load_table("db.keepfiles")
+    assert len(t2.metadata.metadata_log) == 1
+    assert all(os.path.exists(p) for p in locs2)
