@@ -258,11 +258,14 @@ def _apply_location_provider(
     referenced by any manifest, so a crash mid-move leaves only orphans
     that GC already sweeps. No-op under the default SimpleLocationProvider
     (files already sit at <location>/data/<commit>/<hive dirs>)."""
-    from ..locations import ObjectStoreLocationProvider, load_location_provider
+    from ..locations import SimpleLocationProvider, load_location_provider
     from .fileio import path_only, rename
 
     provider = load_location_provider(location, properties)
-    if not isinstance(provider, ObjectStoreLocationProvider):
+    if type(provider) is SimpleLocationProvider:
+        # default layout: files already sit where the provider would put
+        # them. Anything else (object-store entropy layout or a CUSTOM
+        # write.py-location-provider.impl class) relocates post-write.
         return paths, partitions
     new_paths: List[str] = []
     new_parts: Dict[str, Dict[str, Any]] = {}

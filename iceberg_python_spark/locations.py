@@ -96,9 +96,31 @@ class ObjectStoreLocationProvider(LocationProvider):
         return posixpath.join(self.data_path, f"{hashed}-{file_name}")
 
 
+PY_LOCATION_PROVIDER_IMPL = "write.py-location-provider.impl"
+
+
 def load_location_provider(
     table_location: str, properties: Optional[Dict[str, str]] = None
 ) -> LocationProvider:
+    """Resolve the table's location provider. A custom implementation
+    loads from ``write.py-location-provider.impl`` = ``module.Class``
+    (the reference's property, table/locations.py:1-205 — its loader
+    accepts the same dotted path); the class must subclass
+    LocationProvider (duck-typed ``new_data_location``)."""
+    impl = (properties or {}).get(PY_LOCATION_PROVIDER_IMPL)
+    if impl:
+        import importlib
+
+        mod_name, _, cls_name = impl.rpartition(".")
+        if not mod_name:
+            raise ValueError(
+                f"{PY_LOCATION_PROVIDER_IMPL} must be 'module.Class', got {impl!r}"
+            )
+        try:
+            cls = getattr(importlib.import_module(mod_name), cls_name)
+        except (ImportError, AttributeError) as e:
+            raise ValueError(f"cannot load location provider {impl!r}: {e}") from e
+        return cls(table_location, properties)
     if _to_bool((properties or {}).get(OBJECT_STORE_ENABLED), False):
         return ObjectStoreLocationProvider(table_location, properties)
     return SimpleLocationProvider(table_location, properties)

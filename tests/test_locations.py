@@ -102,3 +102,47 @@ def test_object_store_partitioned_write(catalog, spark):
     pruned = t.scan(row_filter="k = 1")
     assert pruned.count() == 133 or pruned.count() == len([i for i in range(400) if i % 3 == 1])
     assert sorted(r.id for r in pruned.to_df().limit(3).collect())
+
+
+class _SuffixProvider:
+    """Custom provider for the impl-loading test: files land under a
+    'custom-layout' dir. Duck-typed (no subclass requirement)."""
+
+    def __init__(self, table_location, properties=None):
+        self.base = table_location.rstrip("/") + "/custom-layout"
+
+    def new_data_location(self, file_name, partition_path=None):
+        import posixpath
+
+        if partition_path:
+            return posixpath.join(self.base, partition_path, file_name)
+        return posixpath.join(self.base, file_name)
+
+
+def test_custom_location_provider_impl(spark, tmp_path):
+    """write.py-location-provider.impl loads a module.Class provider
+    (reference table/locations.py property) and the write path routes
+    new files through it; bad paths fail loudly."""
+    import iceberg_python_spark as ips
+    from iceberg_python_spark.locations import load_location_provider
+    from iceberg_python_spark.schema import schema_from_spark
+
+    impl = f"{__name__}._SuffixProvider"
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id: long, v: string")
+    cat = ips.SqliteCatalog("customloc", str(tmp_path / "wh"), spark)
+    t = cat.create_table(
+        "db.customloc",
+        schema_from_spark(df.schema),
+        properties={"write.py-location-provider.impl": impl},
+    )
+    t.append(df)
+    t = cat.load_table("db.customloc")
+    tasks = t.scan().plan_files()
+    assert tasks and all("/custom-layout/" in x.file_path for x in tasks)
+    assert t.scan().to_df().count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot load location provider"):
+        load_location_provider("/x", {"write.py-location-provider.impl": "nope.Missing"})
+    with _pytest.raises(ValueError, match="module.Class"):
+        load_location_provider("/x", {"write.py-location-provider.impl": "NoModule"})
