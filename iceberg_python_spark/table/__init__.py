@@ -1565,6 +1565,24 @@ class Transaction:
         scans over historical snapshot ranges are unaffected — each old
         snapshot still points at its own immutable manifest list."""
         target = int(meta.properties.get("commit.manifest.target-entries", "8192"))
+        # the reference sizes merged manifests in BYTES
+        # (commit.manifest.target-size-bytes, default 8 MB); honor it by
+        # converting through the observed bytes-per-entry of the input
+        # manifests, so either knob controls the merge
+        tsb = meta.properties.get("commit.manifest.target-size-bytes")
+        if tsb:
+            n_entries = sum(
+                m.get("added_files_count", 0) + m.get("existing_files_count", 0)
+                for m in manifest_files
+                if m.get("content", CONTENT_DATA) == CONTENT_DATA
+            )
+            n_bytes = sum(
+                m.get("manifest_length") or 0
+                for m in manifest_files
+                if m.get("content", CONTENT_DATA) == CONTENT_DATA
+            )
+            per_entry = max(1, n_bytes // max(1, n_entries))
+            target = max(1, int(tsb) // per_entry)
         out = [m for m in manifest_files if m.get("content", CONTENT_DATA) != CONTENT_DATA]
         by_spec: Dict[int, List[Dict[str, Any]]] = {}
         for m in manifest_files:

@@ -305,3 +305,44 @@ def test_transaction_scoped_ddl(catalog, spark):
     assert {f.name for f in t1.schema().fields} == {"id", "s", "score", "extra"}
     got = {r.id: r.extra for r in t1.scan().to_df().collect()}
     assert got[4] == "x" and got[9] is None and len(got) == 5
+
+
+def test_manifest_merge_target_size_bytes(catalog, spark):
+    """commit.manifest.target-size-bytes (the reference's byte-sized
+    merge knob) bounds merged manifest size via the observed
+    bytes-per-entry: a tiny target forces multiple output manifests."""
+    from iceberg_python_spark.schema import schema_from_spark
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(8)], "id: long, v: string")
+    t = catalog.create_table(
+        "db.merge_bytes",
+        schema_from_spark(df.schema),
+        properties={
+            "commit.manifest-merge.enabled": "true",
+            "commit.manifest.min-count-to-merge": "4",
+            # far below one entry's size -> per_entry floor keeps
+            # target at >=1 entry per manifest (no merge collapse)
+            "commit.manifest.target-size-bytes": "1",
+        },
+    )
+    for i in range(6):
+        t.append(df.where(F.col("id") == i).repartition(1))
+        t = catalog.load_table("db.merge_bytes")
+    from iceberg_python_spark.table.manifests import read_manifest_list
+
+    mfs = read_manifest_list(
+        t.current_snapshot().manifest_list, t.metadata.spec_by_id, t.metadata.schema()
+    )
+    # merge ran (min-count hit) but the 1-byte target kept one entry per
+    # output manifest: count stays >= entries, and the table still reads
+    assert len(mfs) >= 6
+    assert t.scan().to_df().count() == 6
+    # a generous byte target consolidates down to one manifest
+    t.set_properties({"commit.manifest.target-size-bytes": str(64 * 1024 * 1024)})
+    t = catalog.load_table("db.merge_bytes")
+    t.rewrite_manifests()
+    t = catalog.load_table("db.merge_bytes")
+    mfs2 = read_manifest_list(
+        t.current_snapshot().manifest_list, t.metadata.spec_by_id, t.metadata.schema()
+    )
+    assert len(mfs2) == 1 and t.scan().to_df().count() == 6
