@@ -90,6 +90,26 @@ class PartitionSpec:
             fields.append(NestedField(pf.field_id, pf.name, pf.transform.result_type(src.field_type), required=False))
         return Schema(*fields)
 
+    def partition_to_path(self, partition: Mapping[str, Any], table_schema: Schema) -> str:
+        """Hive-style ``name=value/...`` path for a partition tuple
+        (reference partitioning.py:238 partition_to_path): values render
+        through the transform's human string (calendar forms for temporal
+        transforms) and both sides are URL-quoted with no safe chars."""
+        from urllib.parse import quote_plus
+
+        segs = []
+        for pf in self.fields:
+            try:
+                src_type = table_schema.find_field(pf.source_id).field_type
+                result_type = pf.transform.result_type(src_type)
+            except ValueError:
+                # dropped source column: the reference renders through
+                # UnknownType — plain str form is the best we can do
+                result_type = None
+            human = pf.transform.to_human_string(result_type, partition.get(pf.name))
+            segs.append(f"{quote_plus(pf.name, safe='')}={quote_plus(human, safe='')}")
+        return "/".join(segs)
+
     # -- write-side fan-out columns -----------------------------------------
     def spark_partition_columns(self, table_schema: Schema) -> List[Tuple[str, Column]]:
         out = []

@@ -71,7 +71,7 @@ from .manifests import (
     write_manifest_list,
 )
 from .metadata import MAIN_BRANCH, SnapshotRef, SortOrder, TableMetadata, new_table_metadata
-from .snapshots import Operation, Snapshot, SnapshotLogEntry, build_summary
+from .snapshots import Operation, Snapshot, SnapshotLogEntry, build_summary, partition_summary_properties
 
 
 def _strip_uri_scheme(p: str) -> str:
@@ -1367,6 +1367,9 @@ class Transaction:
 
         new_manifest_files: List[Dict[str, Any]] = []
         deleted_files = deleted_records = deleted_size = 0
+        # per-partition change tracking for the optional partition
+        # summaries (reference SnapshotSummaryCollector, snapshots.py:295)
+        changed_partitions: List[Tuple[str, Dict[str, Any], bool]] = []
         # carry forward existing manifests, rewriting any that lose files
         for m in self.table._live_manifests(parent) if parent else []:
             spec = meta.spec_by_id(m["spec_id"])
@@ -1379,6 +1382,11 @@ class Transaction:
             if not hit:
                 new_manifest_files.append(m)
                 continue
+            for e in hit:
+                if e["data_file"].get("partition"):
+                    changed_partitions.append(
+                        (spec.partition_to_path(e["data_file"]["partition"], schema), e["data_file"], False)
+                    )
             deleted_files += len(hit)
             deleted_records += sum(e["data_file"]["record_count"] for e in hit)
             deleted_size += sum(e["data_file"]["file_size_in_bytes"] for e in hit)
@@ -1437,6 +1445,13 @@ class Transaction:
 
         total_files = sum(m["added_files_count"] + m["existing_files_count"] for m in new_manifest_files)
         total_records = sum(m["added_rows_count"] + m.get("existing_rows_count", 0) for m in new_manifest_files)
+        for f in added_files:
+            if f.get("partition"):
+                spec = meta.spec_by_id(f.get("spec_id", meta.default_spec_id))
+                changed_partitions.append((spec.partition_to_path(f["partition"], schema), f, True))
+        part_props = partition_summary_properties(
+            changed_partitions, int(meta.properties.get("write.summary.partition-limit", "0"))
+        )
         summary = build_summary(
             operation,
             added_files=len(added_files),
@@ -1447,7 +1462,7 @@ class Transaction:
             deleted_size=deleted_size,
             total_files=total_files,
             total_records=total_records,
-            extra=snapshot_properties,
+            extra={**part_props, **(snapshot_properties or {})},
         )
         now_ms = int(time.time() * 1000)
         snapshot = Snapshot(

@@ -475,3 +475,46 @@ def test_incremental_scan_fluent_builders_and_exports(catalog, spark):
     base = t.scan()
     assert base.update(row_filter="id < 5").to_df().count() == 5
     assert base.with_case_sensitive(False).update(selected_fields=("ID",)).to_df().columns == ["id"]
+
+
+def test_partition_summaries_in_snapshot(catalog, spark):
+    """write.summary.partition-limit emits per-partition summary entries
+    (reference snapshots.py:300-345 SnapshotSummaryCollector.build):
+    changed-partition-count always, partitions.<hive-path> counters when
+    the changed count fits under the limit."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id int, cat string"
+    )
+    schema = schema_from_spark(df.schema)
+    spec = spec_from_names(schema, ("cat", "identity"))
+    t = catalog.create_table(
+        "db.psum_t", schema, partition_spec=spec,
+        properties={"write.summary.partition-limit": "10"},
+    )
+    t.append(df)
+    s = t.current_snapshot().summary
+    assert s["changed-partition-count"] == "2"
+    assert s["partition-summaries-included"] == "true"
+    assert "added-data-files=" in s["partitions.cat=a"]
+    assert "added-records=2" in s["partitions.cat=a"]
+    assert "added-records=1" in s["partitions.cat=b"]
+    # a delete touching only one partition summarizes only that partition
+    t.delete("cat = 'b'")
+    s2 = t.current_snapshot().summary
+    assert s2["changed-partition-count"] == "1"
+    assert "deleted-records=1" in s2["partitions.cat=b"]
+    assert "partitions.cat=a" not in s2
+
+
+def test_partition_summaries_off_by_default(catalog, spark):
+    """Default limit 0: the count is still recorded but no per-partition
+    entries render (reference default write.summary.partition-limit=0)."""
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, cat string")
+    schema = schema_from_spark(df.schema)
+    spec = spec_from_names(schema, ("cat", "identity"))
+    t = catalog.create_table("db.psum_off", schema, partition_spec=spec)
+    t.append(df)
+    s = t.current_snapshot().summary
+    assert s["changed-partition-count"] == "2"
+    assert not any(k.startswith("partitions.") for k in s)
+    assert "partition-summaries-included" not in s

@@ -566,6 +566,52 @@ def main() -> int:
         check(f"time to_bytes {v}", ob, rconv.to_bytes(rtypes.TimeType(), v))
         check(f"time from_bytes {v}", oconv.from_bytes(ob, otypes.TimeType()), v)
 
+    # -- partition_to_path (family #12): hive-style summary/path rendering
+    # must agree byte-for-byte — it keys the per-partition snapshot summary
+    # entries (reference partitioning.py:238, snapshots.py:321) ------------
+    from pyiceberg.partitioning import PartitionField as RPartitionField
+    from pyiceberg.partitioning import PartitionSpec as RPartitionSpec
+    from pyiceberg.schema import Schema as RSchema
+    from pyiceberg.typedef import Record as RRecord
+
+    from iceberg_python_spark.partitioning import PartitionField as OPartitionField
+    from iceberg_python_spark.partitioning import PartitionSpec as OPartitionSpec
+    from iceberg_python_spark.schema import Schema as OSchema
+    from iceberg_python_spark.types import NestedField as ONestedField
+
+    r_schema = RSchema(
+        rtypes.NestedField(1, "cat", rtypes.StringType()),
+        rtypes.NestedField(2, "n", rtypes.IntegerType()),
+        rtypes.NestedField(3, "ts", rtypes.TimestampType()),
+    )
+    o_schema = OSchema(
+        ONestedField(1, "cat", otypes.StringType()),
+        ONestedField(2, "n", otypes.IntegerType()),
+        ONestedField(3, "ts", otypes.TimestampType()),
+    )
+    r_spec = RPartitionSpec(
+        RPartitionField(1, 1000, rt.IdentityTransform(), "cat"),
+        RPartitionField(2, 1001, rt.BucketTransform(num_buckets=8), "n_bucket"),
+        RPartitionField(3, 1002, rt.DayTransform(), "ts_day"),
+    )
+    o_spec = OPartitionSpec(
+        OPartitionField(1, 1000, ot.IdentityTransform(), "cat"),
+        OPartitionField(2, 1001, ot.BucketTransform(8), "n_bucket"),
+        OPartitionField(3, 1002, ot.DayTransform(), "ts_day"),
+    )
+    part_cases = [
+        ("plain", "a", 3, 19234),
+        ("space+slash", "a b/c", 0, 0),
+        ("unicode+eq", "wörld=1&2", 7, -1),
+        ("nulls", None, None, None),
+    ]
+    for label, cat, nb, day in part_cases:
+        check(
+            f"partition_to_path {label}",
+            o_spec.partition_to_path({"cat": cat, "n_bucket": nb, "ts_day": day}, o_schema),
+            r_spec.partition_to_path(RRecord(cat, nb, day), r_schema),
+        )
+
     if failures:
         print(f"{len(failures)} CONFORMANCE FAILURES:")
         for f in failures[:25]:
@@ -574,7 +620,7 @@ def main() -> int:
     print(
         "CONFORMANCE-OK (bucket/truncate/temporal/human-string/schema-json/"
         "conversions/v3-metadata/name-mapping/filter-parser/config-contract/"
-        "time-uuid-ergonomics vs reference)"
+        "time-uuid-ergonomics/partition-to-path vs reference)"
     )
     return 0
 
