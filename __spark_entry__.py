@@ -2030,6 +2030,66 @@ def _q_dsir_select(spark, env):
     return out.select("doc_id", "n_grams", F.round("dsir_weight", 6).alias("dsir_weight"))
 
 
+def _q_text_c4_filter(spark, env):
+    # C4 cleaning rules (Raffel et al. 2020 §2.2) with a FULL row-level
+    # value oracle: DuckDB re-implements the line filter with list
+    # lambdas. The synthetic docs are single-line word soup, so both
+    # engines first re-segment them the same way (every ' value '
+    # becomes a sentence break, final period appended) — the filter
+    # then exercises the terminal-punctuation and min-words line rules
+    # and the min-kept-lines page rule on real multi-line pages.
+    from iceberg_python_spark.operators.text import c4_quality_filter
+
+    docs = env["documents"].scan(selected_fields=("doc_id", "text")).to_df()
+    lined = docs.withColumn(
+        "text", F.concat(F.replace(F.col("text"), F.lit(" value "), F.lit(".\n")), F.lit("."))
+    )
+    return c4_quality_filter(lined, "text", "doc_id")
+
+
+def _q_bloom_decontam_invariants(spark, env):
+    # Distributed Bloom filter (the Dolma-toolkit dedup shape): build
+    # the filter over the 'already ingested' slice (doc_id%7==0), probe
+    # the whole corpus as a join-free projection. Invariants: (1) ZERO
+    # false negatives — every member doc probes true (the Bloom
+    # guarantee), (2) the false-positive rate over docs whose text is
+    # NOT any member text stays within 5x the 1% design rate, (3)
+    # bloom_dedup_against keeps exactly the non-flagged rows. Counts
+    # (n_docs, n_members) are SQL-matched; the hash/bitmap math has no
+    # SQL equivalent, so the claims land as booleans.
+    from iceberg_python_spark.operators.bloom import (
+        bloom_build,
+        bloom_contains,
+        bloom_dedup_against,
+    )
+
+    docs = env["documents"].scan(selected_fields=("doc_id", "text")).to_df().localCheckpoint(eager=True)
+    n_docs = docs.count()
+    members = docs.where("doc_id % 7 = 0").localCheckpoint(eager=True)
+    n_members = members.count()
+    bitmap, m, k = bloom_build(members, "text", n_items=n_members, fp_rate=0.01)
+    probed = bloom_contains(docs, "text", bitmap, m, k).localCheckpoint(eager=True)
+    fn = probed.where("doc_id % 7 = 0 AND NOT in_bloom").count()
+    nonmember = probed.join(members.select("text"), "text", "left_anti")
+    nm_total = nonmember.count()
+    fp = nonmember.where("in_bloom").count()
+    kept = bloom_dedup_against(docs, "text", bitmap, m, k).count()
+    flagged = probed.where("in_bloom").count()
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                n_members,
+                fn == 0,
+                fp <= max(1, round(0.05 * nm_total)),
+                kept == n_docs - flagged,
+            )
+        ],
+        "n_docs long, n_members long, no_false_negatives boolean, "
+        "fp_within_bound boolean, dedup_drops_flagged boolean",
+    )
+
+
 def _q_events_asof_join(spark, env):
     # Backward as-of join (union + per-key window carry-forward — the
     # scalable shape; Spark's raw inequality join would be a broadcast
@@ -2328,6 +2388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_asof_join": _q_events_asof_join,
             "events_range_join": _q_events_range_join,
             "events_time_rollup": _q_events_time_rollup,
+            "text_c4_filter": _q_text_c4_filter,
+            "bloom_decontam_invariants": _q_bloom_decontam_invariants,
             # r08-greened (1 round old):
             "spark_datasource_scan": _q_spark_datasource_scan,
             "changelog_schema_evolution": _q_changelog_schema_evolution,
@@ -2571,6 +2633,26 @@ def oracle_sql() -> dict[str, str]:
         "scan_distributed_read": (
             "SELECT l_orderkey, l_partkey, l_quantity, l_shipdate FROM lineitem "
             "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_quantity > 30"
+        ),
+        "text_c4_filter": (
+            "WITH s AS (SELECT doc_id, replace(text, ' value ', '.' || chr(10)) || '.' AS text "
+            "FROM documents), "
+            "l AS (SELECT doc_id, string_split(text, chr(10)) AS all_lines, "
+            "list_filter(string_split(text, chr(10)), x -> "
+            "regexp_matches(trim(x), '[.!?\"]$') "
+            "AND len(list_filter(regexp_split_to_array(trim(x), '\\s+'), w -> w <> '')) >= 5 "
+            "AND NOT contains(lower(trim(x)), 'javascript')) AS kept, "
+            "contains(lower(text), 'lorem ipsum') AS lorem, "
+            "contains(text, '{') AS curly FROM s) "
+            "SELECT doc_id, COALESCE(array_to_string(kept, chr(10)), '') AS text, "
+            "CAST(len(all_lines) AS INT) AS n_lines, CAST(len(kept) AS INT) AS n_lines_kept, "
+            "(len(kept) >= 3 AND NOT lorem AND NOT curly) AS keep FROM l"
+        ),
+        "bloom_decontam_invariants": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(count(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) AS n_members, "
+            "true AS no_false_negatives, true AS fp_within_bound, "
+            "true AS dedup_drops_flagged FROM documents"
         ),
         "dsir_select": (
             "WITH rawd AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'), "

@@ -610,3 +610,56 @@ def gopher_quality_flags(df: DataFrame, text_col: str, id_col: str) -> DataFrame
         & F.col("stopword_ok")
     )
     return out.withColumn("keep", keep)
+
+
+def c4_quality_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2 — the published
+    recipe behind the C4 corpus), as one narrow projection. Line rules
+    REWRITE the text; page rules set the ``keep`` flag:
+
+    - a line survives iff it ends in a terminal punctuation mark
+      (``. ! ? "``), has >= ``min_words_per_line`` whitespace words,
+      and does not mention "javascript" (the enable-JS boilerplate);
+    - the page survives iff >= ``min_kept_lines`` lines survive, the
+      text has no "lorem ipsum" (any case), and no curly brace (code).
+
+    The paper counts *sentences* for the 3-line floor; like the common
+    reimplementations we count surviving lines (the synthetic corpus
+    is line-segmented). Returns (id, text [rewritten], n_lines,
+    n_lines_kept, keep).
+
+    100 TB: pure ``pyspark.sql.functions`` over split arrays — no
+    explode, no shuffle, whole-stage codegen; runs at scan speed and
+    composes as a pipeline gate. No reference counterpart
+    (published-recipe operator)."""
+    t = F.col(text_col)
+    lines = F.split(t, r"\n")
+
+    def _line_ok(l):
+        s = F.trim(l)
+        words = F.size(F.filter(F.split(s, r"\s+"), lambda w: w != ""))
+        return (
+            s.rlike(r'[.!?"]$')
+            & (words >= min_words_per_line)
+            & ~F.lower(s).contains("javascript")
+        )
+
+    kept = F.filter(lines, _line_ok)
+    page_ok = (
+        (F.size(kept) >= min_kept_lines)
+        & ~F.lower(t).contains("lorem ipsum")
+        & ~t.contains("{")
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias(text_col),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_lines_kept"),
+        page_ok.alias("keep"),
+    )

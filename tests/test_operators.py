@@ -1536,3 +1536,65 @@ def test_asof_join_matches_pandas(spark, lrows, rrows):
         want = {int(row.lid): None for row in lp.itertuples()}
     got_rv = {lid: (None if v[1] is None else int(v[1])) for lid, v in got.items()}
     assert got_rv == want
+
+
+def test_c4_quality_filter_rules(spark):
+    from iceberg_python_spark.operators.text import c4_quality_filter
+
+    good = "Here is a perfectly fine sentence with words."
+    df = spark.createDataFrame(
+        [
+            # 3 good lines + a short line, a no-punct line, a js line
+            (1, f"{good}\n{good}\n{good}\nshort.\nno terminal punct here at all\nPlease enable JavaScript to continue browsing."),
+            (2, f"lorem ipsum dolor sit here.\n{good}\n{good}\n{good}"),  # page: lorem
+            (3, f"code {{ x }} appears.\n{good}\n{good}\n{good}"),  # page: curly brace
+            (4, f"{good}\n{good}"),  # page: only 2 surviving lines
+            (5, f'She said "stop right there, thief!"\n{good}\n{good}'),  # quote terminal
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in c4_quality_filter(df, "text", "doc_id").collect()}
+    assert out[1]["keep"] and out[1]["n_lines"] == 6 and out[1]["n_lines_kept"] == 3
+    assert out[1]["text"] == f"{good}\n{good}\n{good}"  # short/no-punct/js lines cut
+    assert not out[2]["keep"] and out[2]["n_lines_kept"] == 4  # lorem is page-level
+    assert not out[3]["keep"]  # curly brace
+    assert not out[4]["keep"] and out[4]["n_lines_kept"] == 2
+    assert out[5]["keep"] and out[5]["n_lines_kept"] == 3  # end-quote counts as terminal
+
+
+def test_bloom_filter_membership(spark):
+    from iceberg_python_spark.operators.bloom import (
+        bloom_build,
+        bloom_contains,
+        bloom_dedup_against,
+        bloom_parameters,
+    )
+
+    m, k = bloom_parameters(1000, 0.01)
+    assert m % 8 == 0 and 9000 < m < 11000 and 5 <= k <= 9
+
+    members = spark.range(0, 500).select(F.concat(F.lit("doc-"), F.col("id")).alias("text"))
+    bitmap, m, k = bloom_build(members, "text", n_items=500, fp_rate=0.01)
+    assert len(bitmap) == m // 8
+
+    probe = spark.range(0, 2000).select(
+        F.col("id"), F.concat(F.lit("doc-"), F.col("id")).alias("text")
+    )
+    flagged = bloom_contains(probe, "text", bitmap, m, k)
+    # the Bloom guarantee: zero false negatives
+    assert flagged.where("id < 500 AND NOT in_bloom").count() == 0
+    # false positives bounded (deterministic hash: stable across runs)
+    fp = flagged.where("id >= 500 AND in_bloom").count()
+    assert fp <= 0.05 * 1500
+    kept = bloom_dedup_against(probe, "text", bitmap, m, k)
+    assert kept.count() == 2000 - flagged.where("in_bloom").count()
+    assert kept.where("id < 500").count() == 0  # every member dropped
+
+
+def test_bloom_empty_build(spark):
+    from iceberg_python_spark.operators.bloom import bloom_build, bloom_contains
+
+    empty = spark.range(0).select(F.col("id").cast("string").alias("t"))
+    bitmap, m, k = bloom_build(empty, "t", n_items=0)
+    probe = spark.createDataFrame([("x",)], "t: string")
+    assert bloom_contains(probe, "t", bitmap, m, k).where("in_bloom").count() == 0
