@@ -2090,6 +2090,53 @@ def _q_bloom_decontam_invariants(spark, env):
     )
 
 
+def _q_rollup_incremental(spark, env):
+    # Materialized rollup maintenance (materialize.refresh_rollup): a
+    # per-customer order rollup built in TWO refresh ticks over
+    # orders_inc's two append snapshots — tick 1 full-computes at the
+    # pinned first snapshot, tick 2 folds ONLY the second batch in
+    # (incremental mode, asserted), committing the merge and the
+    # high-water property in one transaction. The oracled claim: the
+    # incrementally-maintained table equals a from-scratch GROUP BY over
+    # the full source. Money lands as integer cents so the sums are
+    # bit-reproducible across engines.
+    if "orders_rollup" not in env:
+        from iceberg_python_spark.materialize import create_rollup, refresh_rollup
+
+        src = env["orders_inc"]
+        keys = ["o_custkey"]
+        aggs = {
+            "order_count": ("count", ""),
+            "total_cents": ("sum", "CAST(round(o_totalprice * 100) AS BIGINT)"),
+            "first_order": ("min", "o_orderdate"),
+            "last_order": ("max", "o_orderdate"),
+        }
+        tgt = create_rollup(env["catalog"], "db.orders_rollup", src, keys, aggs)
+        r1 = refresh_rollup(src, tgt, keys, aggs, to_snapshot_id=env["inc_snap1"])
+        r2 = refresh_rollup(src, tgt, keys, aggs)
+        assert r1["mode"] == "full" and r2["mode"] == "incremental", (r1, r2)
+        env["orders_rollup"] = tgt
+    return env["orders_rollup"].scan().to_df()
+
+
+def _q_scd2_history(spark, env):
+    # CDC -> Type-2 dimension history: the engine's own changelog over
+    # the upsert scenario (clone snapshot then CoW MERGE) feeds
+    # scd2_from_changelog. Carried delete+insert pairs from the CoW file
+    # rewrite MUST collapse (unchanged keys keep ONE open version);
+    # updated keys get a closed [0,1) version at the old price plus an
+    # open one at the new; inserted keys open at ordinal 1. The oracle
+    # reconstructs all three classes from raw orders.
+    from iceberg_python_spark.operators.cdc import scd2_from_changelog
+
+    changes = (
+        env["orders_ups"]
+        .incremental_changelog_scan(selected_fields=("o_orderkey", "o_totalprice"))
+        .to_df()
+    )
+    return scd2_from_changelog(changes, keys=["o_orderkey"], tracked=["o_totalprice"])
+
+
 def _q_events_asof_join(spark, env):
     # Backward as-of join (union + per-key window carry-forward — the
     # scalable shape; Spark's raw inequality join would be a broadcast
@@ -2390,6 +2437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_time_rollup": _q_events_time_rollup,
             "text_c4_filter": _q_text_c4_filter,
             "bloom_decontam_invariants": _q_bloom_decontam_invariants,
+            "rollup_incremental": _q_rollup_incremental,
+            "scd2_history": _q_scd2_history,
             # r08-greened (1 round old):
             "spark_datasource_scan": _q_spark_datasource_scan,
             "changelog_schema_evolution": _q_changelog_schema_evolution,
@@ -2647,6 +2696,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, COALESCE(array_to_string(kept, chr(10)), '') AS text, "
             "CAST(len(all_lines) AS INT) AS n_lines, CAST(len(kept) AS INT) AS n_lines_kept, "
             "(len(kept) >= 3 AND NOT lorem AND NOT curly) AS keep FROM l"
+        ),
+        "rollup_incremental": (
+            "SELECT o_custkey, CAST(count(*) AS BIGINT) AS order_count, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents, "
+            "min(o_orderdate) AS first_order, max(o_orderdate) AS last_order "
+            "FROM orders GROUP BY o_custkey"
+        ),
+        "scd2_history": (
+            # version classes: every original key opens at ordinal 0
+            # (closed at 1 iff updated); updated keys reopen at 1 with
+            # +1000; inserted (%97, shifted) keys open at 1
+            "SELECT o_orderkey, o_totalprice, CAST(0 AS BIGINT) AS valid_from, "
+            "CAST(CASE WHEN o_orderkey % 10 = 0 THEN 1 END AS BIGINT) AS valid_to, "
+            "(o_orderkey % 10 <> 0) AS is_current FROM orders "
+            "UNION ALL SELECT o_orderkey, o_totalprice + 1000, 1, NULL, true "
+            "FROM orders WHERE o_orderkey % 10 = 0 "
+            "UNION ALL SELECT o_orderkey + 10000000, o_totalprice, 1, NULL, true "
+            "FROM orders WHERE o_orderkey % 97 = 0"
         ),
         "bloom_decontam_invariants": (
             "SELECT CAST(count(*) AS BIGINT) AS n_docs, "

@@ -1,0 +1,115 @@
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_python_spark import UNPARTITIONED
+from iceberg_python_spark.materialize import (
+    SOURCE_SNAPSHOT_PROP,
+    create_rollup,
+    refresh_rollup,
+)
+from iceberg_python_spark.schema import schema_from_spark
+
+
+AGGS = {
+    "n": ("count", ""),
+    "total": ("sum", "v"),
+    "vmin": ("min", "v"),
+    "vmax": ("max", "v"),
+}
+
+
+def _src(spark, catalog, rows, name="db.fact"):
+    df = spark.createDataFrame(rows, "k string, v long")
+    t = catalog.create_table(name, schema_from_spark(df.schema), partition_spec=UNPARTITIONED)
+    t.append(df)
+    return t
+
+
+def _rollup_dict(target):
+    return {
+        r["k"]: (r["n"], r["total"], r["vmin"], r["vmax"])
+        for r in target.scan().to_df().collect()
+    }
+
+
+def test_refresh_full_then_incremental(spark, catalog):
+    src = _src(spark, catalog, [("a", 1), ("a", 2), ("b", 10)])
+    tgt = create_rollup(catalog, "db.fact_rollup", src, ["k"], AGGS)
+
+    r1 = refresh_rollup(src, tgt, ["k"], AGGS)
+    assert r1["mode"] == "full"
+    assert _rollup_dict(tgt) == {"a": (2, 3, 1, 2), "b": (1, 10, 10, 10)}
+
+    # idempotent: same snapshot -> noop, data unchanged
+    assert refresh_rollup(src, tgt, ["k"], AGGS)["mode"] == "noop"
+
+    src.append(spark.createDataFrame([("a", 4), ("c", 7)], "k string, v long"))
+    r2 = refresh_rollup(src, tgt, ["k"], AGGS)
+    assert r2["mode"] == "incremental" and r2["affected_groups"] == 2
+    assert _rollup_dict(tgt) == {
+        "a": (3, 7, 1, 4),
+        "b": (1, 10, 10, 10),  # untouched group untouched
+        "c": (1, 7, 7, 7),
+    }
+    # the high-water property advanced atomically with the merge
+    assert int(tgt.properties[SOURCE_SNAPSHOT_PROP]) == src.current_snapshot().snapshot_id
+
+    # matches a from-scratch recompute
+    want = {
+        r["k"]: (r["n"], r["total"], r["vmin"], r["vmax"])
+        for r in src.scan()
+        .to_df()
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+        .collect()
+    }
+    assert _rollup_dict(tgt) == want
+
+
+def test_refresh_falls_back_to_full_on_rewrite(spark, catalog):
+    src = _src(spark, catalog, [("a", 1), ("b", 2)], name="db.fact2")
+    tgt = create_rollup(catalog, "db.fact2_rollup", src, ["k"], AGGS)
+    refresh_rollup(src, tgt, ["k"], AGGS)
+
+    src.delete("v = 1")  # non-append change: min/max can't subtract
+    r = refresh_rollup(src, tgt, ["k"], AGGS)
+    assert r["mode"] == "full"
+    assert _rollup_dict(tgt) == {"b": (1, 2, 2, 2)}  # 'a' group gone
+
+
+def test_refresh_pinned_snapshot_and_empty_delta(spark, catalog):
+    src = _src(spark, catalog, [("a", 1)], name="db.fact3")
+    snap1 = src.current_snapshot().snapshot_id
+    src.append(spark.createDataFrame([("b", 2)], "k string, v long"))
+
+    tgt = create_rollup(catalog, "db.fact3_rollup", src, ["k"], AGGS)
+    r = refresh_rollup(src, tgt, ["k"], AGGS, to_snapshot_id=snap1)
+    assert r["mode"] == "full"
+    assert set(_rollup_dict(tgt)) == {"a"}  # pinned before b arrived
+    r2 = refresh_rollup(src, tgt, ["k"], AGGS)
+    assert r2["mode"] == "incremental"
+    assert set(_rollup_dict(tgt)) == {"a", "b"}
+
+
+def test_null_sum_stays_null(spark, catalog):
+    aggs = {"n": ("count", ""), "total": ("sum", "v")}
+    df = spark.createDataFrame([("a", None)], "k string, v long")
+    t = catalog.create_table("db.fact4", schema_from_spark(df.schema), partition_spec=UNPARTITIONED)
+    t.append(df)
+    tgt = create_rollup(catalog, "db.fact4_rollup", t, ["k"], aggs)
+    refresh_rollup(t, tgt, ["k"], aggs)
+    t.append(spark.createDataFrame([("a", None)], "k string, v long"))
+    refresh_rollup(t, tgt, ["k"], aggs)
+    row = tgt.scan().to_df().collect()[0]
+    assert row["n"] == 2 and row["total"] is None  # SUM of all-NULL is NULL, not 0
+
+
+def test_rejects_non_mergeable_agg(spark, catalog):
+    src = _src(spark, catalog, [("a", 1)], name="db.fact5")
+    with pytest.raises(ValueError, match="avg"):
+        create_rollup(catalog, "db.fact5_rollup", src, ["k"], {"m": ("avg", "v")})
