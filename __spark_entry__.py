@@ -2090,6 +2090,47 @@ def _q_bloom_decontam_invariants(spark, env):
     )
 
 
+def _q_cms_heavy_hitters(spark, env):
+    # Count-min sketch over the document token stream. Token totals are
+    # SQL-matched; the sketch guarantees land as booleans: (1) NO
+    # estimate undercounts (hard CMS property), (2) the fraction of
+    # distinct tokens overcounting beyond eps*N (eps = e/width) stays
+    # under 5% (per-item failure prob is e^-depth ~ 0.7%), (3) the
+    # sketch-driven top-20 recovers >= 90% of the exact top-20
+    # (deterministic tie-break on (count desc, token)).
+    import math
+
+    from iceberg_python_spark.operators.sketch import cms_estimate, heavy_hitters
+
+    docs = env["documents"].scan(selected_fields=("doc_id", "text")).to_df()
+    tokens = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"))
+        .where("w <> ''")
+        .localCheckpoint(eager=True)
+    )
+    n = tokens.count()
+    exact = (
+        tokens.groupBy("w").agg(F.count(F.lit(1)).alias("exact")).localCheckpoint(eager=True)
+    )
+    n_distinct = exact.count()
+    width, depth = 8192, 5
+    top, grid = heavy_hitters(tokens, "w", k=20, width=width, depth=depth)
+    est = cms_estimate(exact, "w", grid).localCheckpoint(eager=True)
+    undercounts = est.where("est_count < exact").count()
+    bound = math.e * n / width
+    frac_over = est.where(F.col("est_count") > F.col("exact") + F.lit(bound)).count() / n_distinct
+    true_top = set(
+        r["w"] for r in exact.orderBy(F.col("exact").desc(), F.col("w")).limit(20).collect()
+    )
+    got_top = set(r["w"] for r in top.collect())
+    recall = len(got_top & true_top) / 20.0
+    return spark.createDataFrame(
+        [(n, n_distinct, undercounts == 0, frac_over <= 0.05, recall >= 0.9)],
+        "n_tokens long, n_distinct long, no_undercount boolean, "
+        "overcount_frac_ok boolean, topk_recall_ok boolean",
+    )
+
+
 def _q_rollup_incremental(spark, env):
     # Materialized rollup maintenance (materialize.refresh_rollup): a
     # per-customer order rollup built in TWO refresh ticks over
@@ -2439,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bloom_decontam_invariants": _q_bloom_decontam_invariants,
             "rollup_incremental": _q_rollup_incremental,
             "scd2_history": _q_scd2_history,
+            "cms_heavy_hitters": _q_cms_heavy_hitters,
             # r08-greened (1 round old):
             "spark_datasource_scan": _q_spark_datasource_scan,
             "changelog_schema_evolution": _q_changelog_schema_evolution,
@@ -2696,6 +2738,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, COALESCE(array_to_string(kept, chr(10)), '') AS text, "
             "CAST(len(all_lines) AS INT) AS n_lines, CAST(len(kept) AS INT) AS n_lines_kept, "
             "(len(kept) >= 3 AND NOT lorem AND NOT curly) AS keep FROM l"
+        ),
+        "cms_heavy_hitters": (
+            "WITH tok AS (SELECT unnest(list_filter("
+            "regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS w FROM documents) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(count(DISTINCT w) AS BIGINT) AS n_distinct, "
+            "true AS no_undercount, true AS overcount_frac_ok, true AS topk_recall_ok FROM tok"
         ),
         "rollup_incremental": (
             "SELECT o_custkey, CAST(count(*) AS BIGINT) AS order_count, "

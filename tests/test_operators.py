@@ -1598,3 +1598,40 @@ def test_bloom_empty_build(spark):
     bitmap, m, k = bloom_build(empty, "t", n_items=0)
     probe = spark.createDataFrame([("x",)], "t: string")
     assert bloom_contains(probe, "t", bitmap, m, k).where("in_bloom").count() == 0
+
+
+def test_cms_estimates_never_undercount(spark):
+    from iceberg_python_spark.operators.sketch import cms_build, cms_estimate, heavy_hitters
+
+    rows = (
+        [("alpha",)] * 100
+        + [("beta",)] * 50
+        + [("gamma",)] * 20
+        + [(f"tail-{i}",) for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "w: string").repartition(8)
+    grid = cms_build(df, "w", width=4096, depth=5)
+    assert grid.shape == (5, 4096)
+    # every depth row holds the full count mass
+    assert (grid.sum(axis=1) == len(rows)).all()
+
+    probe = spark.createDataFrame(
+        [("alpha", 100), ("beta", 50), ("gamma", 20), ("tail-7", 1), ("absent", 0)],
+        "w: string, exact: long",
+    )
+    got = {r["w"]: r["est_count"] for r in cms_estimate(probe, "w", grid).collect()}
+    for w, exact in [("alpha", 100), ("beta", 50), ("gamma", 20), ("tail-7", 1), ("absent", 0)]:
+        assert got[w] >= exact  # the count-min guarantee
+        assert got[w] <= exact + 5 * len(rows) // 4096 + 1  # eps*N slack
+
+    top, _ = heavy_hitters(df, "w", k=3, width=4096, depth=5)
+    assert [r["w"] for r in top.collect()] == ["alpha", "beta", "gamma"]
+
+
+def test_cms_partition_merge_equals_single_partition(spark):
+    from iceberg_python_spark.operators.sketch import cms_build
+
+    rows = [(f"w{i % 37}",) for i in range(1000)]
+    one = cms_build(spark.createDataFrame(rows, "w: string").coalesce(1), "w", width=512, depth=3)
+    many = cms_build(spark.createDataFrame(rows, "w: string").repartition(16), "w", width=512, depth=3)
+    assert (one == many).all()  # partition grids merge exactly
