@@ -25,6 +25,19 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 
+def _ts_num(df: DataFrame, col: str):
+    """Epoch-µs long for timestamp columns — robust to TIMESTAMP_NTZ
+    (parquet naive timestamps; ``unix_micros`` rejects NTZ, so diff
+    against the NTZ epoch literal, timezone-independent) — and the
+    column itself for numerics. A monotone sort/bucket/delta key."""
+    t = df.schema[col].dataType
+    if isinstance(t, T.TimestampNTZType):
+        return F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`)")
+    if isinstance(t, T.TimestampType):
+        return F.unix_micros(F.col(col))
+    return F.col(col)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -59,6 +72,16 @@ def asof_join(
     Returns the left columns (original order) + each right payload
     column under its own name + ``{on}_matched`` (the matched right
     timestamp). Raises on column-name collisions.
+
+    Keyless case (``by=()``): a single global window would funnel the
+    whole union through ONE partition — instead the timeline is cut
+    into range chunks (``spark.sql.shuffle.partitions`` × 4 of them),
+    each chunk runs its own window, and the last right row of every
+    chunk is carried across chunk edges via a tiny chunk-summary
+    window (O(#chunks) rows, driver-free). Skew note: chunks are
+    equal-width in time, so a time hotspot concentrates in one chunk —
+    AQE skew-split does not apply to window partitions; pre-filter or
+    key the join if one instant dominates.
     """
     by = list(by)
     if on not in left.columns or on not in right.columns:
@@ -71,42 +94,52 @@ def asof_join(
     # tag order decides whether an exactly-equal right ts is visible to
     # the left row: right-before-left (0 < 1) = inclusive <=
     rtag, ltag = (1, 0) if strict else (0, 1)
+    on_is_time = isinstance(
+        left.schema[on].dataType, (T.TimestampType, T.TimestampNTZType)
+    )
+    # _ats / _tsu carry the ORDER key as epoch-µs longs (timestamps) or
+    # the raw value (numerics); _m._ts keeps the original type for the
+    # {on}_matched output column
+    tsu_type = T.LongType() if on_is_time else right.schema[on].dataType
     rp_type = T.StructType(
-        [T.StructField("_ts", right.schema[on].dataType)]
+        [T.StructField("_ts", right.schema[on].dataType), T.StructField("_tsu", tsu_type)]
         + [T.StructField(c, right.schema[c].dataType) for c in rpay]
     )
     lpart = left.select(
         *[F.col(c) for c in by],
-        F.col(on).alias("_ats"),
+        _ts_num(left, on).alias("_ats"),
         F.lit(ltag).alias("_tag"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
         F.lit(None).cast(rp_type).alias("_rp"),
     )
     rpart = right.select(
         *[F.col(c) for c in by],
-        F.col(on).alias("_ats"),
+        _ts_num(right, on).alias("_ats"),
         F.lit(rtag).alias("_tag"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
-        F.struct(F.col(on).alias("_ts"), *[F.col(c) for c in rpay]).alias("_rp"),
+        F.struct(
+            F.col(on).alias("_ts"), _ts_num(right, on).alias("_tsu"), *[F.col(c) for c in rpay]
+        ).alias("_rp"),
     )
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(*by)
-        .orderBy("_ats", "_tag")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    u = lpart.unionByName(rpart).withColumn("_m", F.last("_rp", ignorenulls=True).over(w))
+    u = lpart.unionByName(rpart)
+    if by:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy("_ats", "_tag")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        u = u.withColumn("_m", F.last("_rp", ignorenulls=True).over(w))
+    else:
+        u = _keyless_asof_carry(u)
     out = u.where(F.col("_tag") == ltag)
     valid = F.col("_m").isNotNull()
     if tolerance is not None:
-        ts_type = left.schema[on].dataType
-        if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
-            delta = (
-                F.unix_micros(F.col("_ats")) - F.unix_micros(F.col("_m._ts"))
-            ) / F.lit(1_000_000.0)
+        if on_is_time:
+            delta = (F.col("_ats") - F.col("_m._tsu")) / F.lit(1_000_000.0)
         else:
-            delta = F.col("_ats") - F.col("_m._ts")
+            delta = F.col("_ats") - F.col("_m._tsu")
         valid = valid & (delta <= F.lit(tolerance))
     sel = []
     for c in left.columns:
@@ -115,6 +148,64 @@ def asof_join(
     for c in rpay:
         sel.append(F.when(valid, F.col(f"_m.{c}")).alias(c))
     return out.select(*sel)
+
+
+def _keyless_asof_carry(u: DataFrame) -> DataFrame:
+    """Running-last for the keyless as-of WITHOUT a global one-partition
+    window: cut the timeline into range chunks, window inside each
+    chunk, then carry every chunk's last right struct across edges via
+    an O(#chunks) summary window. Costs one extra min/max job to size
+    the chunks (bounded driver state: two scalars)."""
+    from pyspark.sql import Window
+
+    # asof_join already normalized _ats to a numeric order key
+    num = F.col("_ats").cast("double")
+    spark = u.sparkSession
+    n_chunks = max(1, int(str(spark.conf.get("spark.sql.shuffle.partitions", "200"))) * 4)
+    row = u.agg(F.min(num).alias("lo"), F.max(num).alias("hi")).first()
+    rp_type = u.schema["_rp"].dataType
+    if row is None or row["lo"] is None:
+        return u.withColumn("_m", F.lit(None).cast(rp_type))
+    lo, hi = float(row["lo"]), float(row["hi"])
+    width = (hi - lo) / n_chunks or 1.0
+    # floor of a monotone double expr is monotone, and equal timestamps
+    # always share a chunk — chunking only partitions the order, the
+    # cross-edge carry restores everything else
+    chunk = F.greatest(
+        F.least(F.floor((num - F.lit(lo)) / F.lit(width)), F.lit(n_chunks - 1)), F.lit(0)
+    ).cast("long")
+    uc = u.withColumn("_chunk", chunk)
+    w_in = (
+        Window.partitionBy("_chunk")
+        .orderBy("_ats", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    uc = uc.withColumn("_m0", F.last("_rp", ignorenulls=True).over(w_in))
+    last_rt = (
+        uc.where(F.col("_rp").isNotNull())
+        .groupBy("_chunk")
+        .agg(F.max_by("_rp", F.struct(F.col("_ats"), F.col("_tag"))).alias("_last_rp"))
+    )
+    # full chunk frame so chunks with no right rows still receive a
+    # carry; the summary window is <= n_chunks rows (single partition by
+    # construction, bounded)
+    carry = (
+        uc.select("_chunk")
+        .distinct()
+        .join(last_rt, "_chunk", "left")
+        .withColumn(
+            "_carry",
+            F.last("_last_rp", ignorenulls=True).over(
+                Window.orderBy("_chunk").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .select("_chunk", "_carry")
+    )
+    return (
+        uc.join(F.broadcast(carry), "_chunk")
+        .withColumn("_m", F.coalesce(F.col("_m0"), F.col("_carry")))
+        .drop("_chunk", "_m0", "_carry")
+    )
 
 
 def range_interval_join(
@@ -150,24 +241,41 @@ def range_interval_join(
     if collisions:
         raise ValueError(f"overlapping columns {sorted(collisions)}; rename them first")
 
-    def to_num(col, side):
-        t = side.schema[col].dataType
-        if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
-            return F.unix_micros(F.col(col)) / F.lit(1_000_000.0)
-        return F.col(col).cast("double")
+    def _is_ts(col, side):
+        return isinstance(side.schema[col].dataType, (T.TimestampType, T.TimestampNTZType))
 
-    lb = F.floor(to_num(ts_col, left) / F.lit(float(bucket_width)))
-    rs = to_num(start_col, right)
-    re_ = to_num(end_col, right)
-    # half-open end: an interval ending exactly on a bucket edge does
-    # not cover that bucket
-    buckets = F.sequence(
-        F.floor(rs / F.lit(float(bucket_width))).cast("long"),
-        F.greatest(
-            F.ceil(re_ / F.lit(float(bucket_width))).cast("long") - F.lit(1),
+    all_ts = _is_ts(ts_col, left) and _is_ts(start_col, right) and _is_ts(end_col, right)
+    if all_ts:
+        # pure-int64 bucket math in epoch micros: pmod-floor never
+        # suffers the double-rounding edge flip, and floor((end-1)/w)
+        # IS the last covered bucket of a half-open interval
+        w = int(round(float(bucket_width) * 1_000_000))
+
+        def _fdiv(c):
+            return ((c - F.pmod(c, F.lit(w))) / F.lit(w)).cast("long")
+
+        lb = _fdiv(_ts_num(left, ts_col))
+        rs_b = _fdiv(_ts_num(right, start_col))
+        re_b = _fdiv(_ts_num(right, end_col) - F.lit(1))
+        buckets = F.sequence(rs_b, F.greatest(re_b, rs_b))
+    else:
+        # numeric axis: double bucket math (point and interval edges go
+        # through the SAME expression, so bucket indices stay consistent)
+        def to_num(col):
+            return F.col(col).cast("double")
+
+        lb = F.floor(to_num(ts_col) / F.lit(float(bucket_width)))
+        rs = to_num(start_col)
+        re_ = to_num(end_col)
+        # half-open end: an interval ending exactly on a bucket edge does
+        # not cover that bucket
+        buckets = F.sequence(
             F.floor(rs / F.lit(float(bucket_width))).cast("long"),
-        ),
-    )
+            F.greatest(
+                F.ceil(re_ / F.lit(float(bucket_width))).cast("long") - F.lit(1),
+                F.floor(rs / F.lit(float(bucket_width))).cast("long"),
+            ),
+        )
     lt = left.withColumn("_b", lb.cast("long"))
     rt = right.withColumn("_b", F.explode(buckets))
     cond = [lt["_b"] == rt["_b"]] + [lt[c] == rt[c] for c in by]

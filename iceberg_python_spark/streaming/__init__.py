@@ -529,17 +529,21 @@ def time_rollup(
     widths = [int(w) for w in widths_seconds]
     if not widths or any(w <= 0 for w in widths):
         raise ValueError(f"widths_seconds must be positive, got {widths_seconds}")
-    us = F.unix_micros(F.col(ts_col))
+    us = _epoch_us(events, ts_col)
     exploded = events.select(
         *[F.col(c) for c in key_cols],
         F.col(value_col).alias("_v"),
         us.alias("_us"),
         F.explode(F.array(*[F.lit(w).cast("long") for w in widths])).alias("width_s"),
     ).withColumn(
+        # floor to the bucket edge in PURE int64 arithmetic: pmod is
+        # non-negative, so _us - pmod(_us, w) is the floor multiple even
+        # for pre-epoch timestamps — no double division anywhere (double
+        # rounding microsecond-close to a day edge can flip the bucket)
         "bucket_start",
-        F.timestamp_seconds(
-            (F.floor(F.col("_us") / (F.col("width_s") * F.lit(1_000_000).cast("long"))))
-            * F.col("width_s")
+        F.timestamp_micros(
+            F.col("_us")
+            - F.pmod(F.col("_us"), F.col("width_s") * F.lit(1_000_000).cast("long"))
         ),
     )
     return exploded.groupBy("width_s", "bucket_start", *key_cols).agg(

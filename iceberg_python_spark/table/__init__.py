@@ -721,18 +721,24 @@ class Table:
 
         return ExpireSnapshots(self)
 
-    def clean_scan_plans(self, max_age_hours: float = 24.0, now_ms: Optional[int] = None) -> List[str]:
+    def clean_scan_plans(self, max_age_hours: Optional[float] = None, now_ms: Optional[int] = None) -> List[str]:
         """Sweep transient scan-plan path manifests (written by the
         streaming distributed read under ``metadata/scan-plans/``)
-        older than ``max_age_hours``. Age comes from the
-        millisecond-timestamp prefix each plan dir carries in its NAME,
-        so no object-store mtime support is needed; the age guard keeps
-        in-flight reads safe (a running query holds a plan younger than
-        any sane threshold). Also runs as part of
+        older than ``max_age_hours`` (default: the
+        ``read.plan.max-age-hours`` table property, 24h). Age comes
+        from the millisecond-timestamp prefix each plan dir carries in
+        its NAME, so no object-store mtime support is needed; the age
+        guard keeps in-flight reads safe (a running query holds a plan
+        younger than any sane threshold). Lifetime caveat: a LAZY
+        streamed DataFrame held longer than the guard can lose its plan
+        dir to this sweep — raise the property for long-lived handles.
+        Also runs as part of
         ``expire_snapshots().commit(clean_files=True)``. Returns the
         removed plan-dir paths."""
         from ..io import fileio
 
+        if max_age_hours is None:
+            max_age_hours = float(self.metadata.properties.get("read.plan.max-age-hours", "24"))
         base = posixpath.join(self.location, "metadata", "scan-plans")
         now = now_ms if now_ms is not None else int(time.time() * 1000)
         cutoff = now - int(max_age_hours * 3600_000)
@@ -1591,13 +1597,30 @@ class Transaction:
                 for m in manifest_files
                 if m.get("content", CONTENT_DATA) == CONTENT_DATA
             )
+            def _mlen(m: Dict[str, Any]) -> int:
+                # parquet-era descriptors may carry no manifest_length;
+                # backfill from the file itself rather than letting the
+                # per_entry divisor clamp to 1 (which would turn the
+                # byte target into tsb ENTRIES and disable the bound)
+                if not m.get("manifest_length"):
+                    from ..io.fileio import file_size
+
+                    try:
+                        return int(file_size(m["manifest_path"]))
+                    except Exception:
+                        return 0
+                return int(m["manifest_length"])
+
             n_bytes = sum(
-                m.get("manifest_length") or 0
+                _mlen(m)
                 for m in manifest_files
                 if m.get("content", CONTENT_DATA) == CONTENT_DATA
             )
-            per_entry = max(1, n_bytes // max(1, n_entries))
-            target = max(1, int(tsb) // per_entry)
+            if n_bytes > 0 and n_entries > 0:
+                per_entry = max(1, n_bytes // n_entries)
+                target = max(1, int(tsb) // per_entry)
+            # else: sizes genuinely unknown — keep the entry-count
+            # target instead of deriving one from per_entry=1
         out = [m for m in manifest_files if m.get("content", CONTENT_DATA) != CONTENT_DATA]
         by_spec: Dict[int, List[Dict[str, Any]]] = {}
         for m in manifest_files:
@@ -3001,7 +3024,13 @@ class DataScan:
             f"{int(time.time() * 1000)}-{_uuid.uuid4().hex}",
         )
         n_manifest_parts = int(min(64, est_entries // 50_000 + 1))
-        union.repartition(n_manifest_parts).write.mode("overwrite").parquet(plan_dir)
+        try:
+            union.repartition(n_manifest_parts).write.mode("overwrite").parquet(plan_dir)
+        except Exception:
+            # read-only storage credentials (or any write failure under
+            # metadata/) must degrade to the exact task-list path, not
+            # fail the scan (ADVICE r09)
+            return None
 
         from ..io import fileio
 
@@ -3038,11 +3067,20 @@ class DataScan:
                 fileio.remove_recursive(plan_dir, spark)
                 return None
             by_id = {f.field_id: f for f in fschema.fields}
+            by_name = {f.name: f for f in fschema.fields}
             for f in schema.fields:
                 if f.name not in needed:
                     continue
                 old_f = by_id.get(f.field_id)
                 if old_f is not None and (old_f.name != f.name or old_f.field_type != f.field_type):
+                    fileio.remove_recursive(plan_dir, spark)
+                    return None
+                # a file column may bear this NAME under a different id
+                # (rename a->b then add a new column a): a by-name read
+                # would surface the old column's values where the new
+                # column must be null -> exact field-id-aligned path
+                named = by_name.get(f.name)
+                if named is not None and named.field_id != f.field_id:
                     fileio.remove_recursive(plan_dir, spark)
                     return None
 

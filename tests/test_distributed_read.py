@@ -161,6 +161,34 @@ def test_schema_rename_falls_back(cat, spark):
     assert not hasattr(scan, "_streaming_plan_info")
 
 
+def test_rename_then_readd_name_falls_back(cat, spark):
+    """Rename a->a2 then ADD a new column named a: old files carry a
+    column NAMED a under the old field id, so a by-name read would
+    surface the renamed column's values where the new column must be
+    null -> exact path (ADVICE r09 high)."""
+    df = spark.range(5).select(F.col("id").alias("a"), (F.col("id") + 100).alias("z"))
+    t = cat.create_table(
+        "db.readd", schema_from_spark(df.schema),
+        properties={"read.plan.distributed-threshold": "0"},
+    )
+    t.append(df)
+    t = cat.load_table("db.readd")
+    t.update_schema().rename_column("a", "a2").commit()
+    t = cat.load_table("db.readd")
+    from iceberg_python_spark.types import LongType
+
+    t.update_schema().add_column("a", LongType()).commit()
+    t = cat.load_table("db.readd")
+    # project ONLY (z, a) — a2 (the renamed column) is not projected, so
+    # the per-id check alone would pass; the name-collision check must
+    # force the exact field-id-aligned path
+    scan = t.scan(selected_fields=("z", "a"))
+    out = scan.to_df()
+    rows = {r.z: r.a for r in out.collect()}
+    assert len(rows) == 5 and all(v is None for v in rows.values())
+    assert not hasattr(scan, "_streaming_plan_info")
+
+
 def test_added_column_streams_with_null_fill(cat, spark):
     """Added-column evolution IS name-projection safe: old files
     null-fill the new column on the streamed path."""

@@ -1538,6 +1538,56 @@ def test_asof_join_matches_pandas(spark, lrows, rrows):
     assert got_rv == want
 
 
+@given(
+    st.lists(st.integers(0, 1000), min_size=1, max_size=30),
+    st.lists(st.integers(0, 1000), min_size=0, max_size=30),
+)
+@settings(max_examples=10, deadline=None)
+def test_asof_join_keyless_matches_pandas(spark, lts, rts):
+    """Property: the keyless (by=()) range-chunked carry path == pandas
+    merge_asof backward with no key — the r09 global-window hazard is
+    replaced by chunked windows + cross-edge carry."""
+    import pandas as pd
+
+    from iceberg_python_spark.operators.joins import asof_join
+
+    rdedup = {t: t * 10 for t in rts}
+    left = spark.createDataFrame([(i, t) for i, t in enumerate(lts)], "lid: long, t: long")
+    right = (
+        spark.createDataFrame(sorted(rdedup.items()), "t: long, rv: long")
+        if rdedup
+        else spark.createDataFrame([], "t: long, rv: long")
+    )
+    got = {r.lid: (None if r.rv is None else int(r.rv)) for r in asof_join(left, right, "t").collect()}
+    lp = pd.DataFrame([(i, t) for i, t in enumerate(lts)], columns=["lid", "t"]).sort_values("t", kind="stable")
+    if rdedup:
+        rp = pd.DataFrame(sorted(rdedup.items()), columns=["t", "rv"])
+        m = pd.merge_asof(lp, rp, on="t", direction="backward")
+        want = {int(r.lid): (None if pd.isna(r.rv) else int(r.rv)) for r in m.itertuples()}
+    else:
+        want = {int(r.lid): None for r in lp.itertuples()}
+    assert got == want
+
+
+def test_asof_join_keyless_timestamps_strict_tolerance(spark):
+    """Keyless path honors strict + tolerance + timestamp typing, and
+    carries matches across chunk edges (chunk count >> rows here)."""
+    from iceberg_python_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(i, f"2024-01-01 10:{i:02d}:00") for i in (0, 5, 30)], "lid: long, ts: string"
+    ).select("lid", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 1.0), ("2024-01-01 10:04:00", 2.0)], "ts: string, v: double"
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = {r.lid: r.v for r in asof_join(left, right, "ts").collect()}
+    assert out == {0: 1.0, 5: 2.0, 30: 2.0}
+    strict = {r.lid: r.v for r in asof_join(left, right, "ts", strict=True).collect()}
+    assert strict[0] is None and strict[5] == 2.0
+    tol = {r.lid: r.v for r in asof_join(left, right, "ts", tolerance=120.0).collect()}
+    assert tol == {0: 1.0, 5: 2.0, 30: None}
+
+
 def test_c4_quality_filter_rules(spark):
     from iceberg_python_spark.operators.text import c4_quality_filter
 
