@@ -289,6 +289,22 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict:
         t.append(docs.where("doc_id % 2 = 1").unionByName(copies))
         env["docs_inc"] = cat.load_table("db.docs_inc")
 
+    def build_mor_stream():
+        # MoR streamed distributed read (r10): position deletes must
+        # apply executor-side on the path-manifest scan (threshold=0
+        # forces the streamed path; write.delete.mode=merge-on-read
+        # makes the delete land as position-delete files)
+        t = cat.clone_table(
+            "db.lineitem",
+            "db.lineitem_morstream",
+            properties={
+                "read.plan.distributed-threshold": "0",
+                "write.delete.mode": "merge-on-read",
+            },
+        )
+        t.delete("l_quantity > 45")
+        env["lineitem_morstream"] = cat.load_table("db.lineitem_morstream")
+
     def build_stream_read():
         # streaming distributed read (r09): a clone whose threshold forces
         # the path-manifest scan on every to_df() — the driver never
@@ -303,7 +319,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict:
         build_tt, build_del, build_ups, build_ups_mor, build_dpo, build_inc,
         build_evo, build_mor, build_dv, build_compact, build_addf,
         build_eqdel, build_avro, build_wap, build_v3_lineage, build_docs_dup,
-        build_orc, build_stream_read, build_docs_inc,
+        build_orc, build_stream_read, build_docs_inc, build_mor_stream,
     ]
     with ThreadPoolExecutor(max_workers=8) as pool:
         futs = [pool.submit(b) for b in builders]
@@ -2339,6 +2355,24 @@ def _q_scan_distributed_read(spark, env):
     return df
 
 
+def _q_scan_distributed_mor(spark, env):
+    # r10: the MoR variant of the streamed distributed read — the
+    # delete-file index is built driver-side (O(delete files)), the
+    # path manifest carries per-file sequence numbers, the planned
+    # reader synthesizes (_ips_file, _ips_pos, _ips_seq), and the
+    # position deletes anti-join executor-side. Must produce EXACTLY
+    # the plain-SQL rows minus the deleted predicate.
+    scan = env["lineitem_morstream"].scan(
+        row_filter="l_shipdate >= '1996-01-01'",
+        selected_fields=("l_orderkey", "l_quantity", "l_shipdate"),
+    )
+    df = scan.to_df()
+    info = getattr(scan, "_streaming_plan_info", None)
+    if info is None or not info.get("n_pos_deletes"):
+        raise AssertionError("MoR scan must stream with a non-empty delete index")
+    return df
+
+
 def _q_text_token_sketch(spark, env):
     # Bounded-state corpus stats: HLL++ distinct-token cardinality per
     # source. The row cross-checks the sketch against the exact count at
@@ -2456,6 +2490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_time_rollup": _q_events_time_rollup,
             # --- NEW r10 rows (16+) ---
             "meta_combined": _q_meta_combined,
+            "scan_distributed_mor": _q_scan_distributed_mor,
             # --- r08-greened set at the 2-round edge ---
             "spark_datasource_scan": _q_spark_datasource_scan,
             "changelog_schema_evolution": _q_changelog_schema_evolution,
@@ -2752,6 +2787,10 @@ def oracle_sql() -> dict[str, str]:
         "scan_distributed_read": (
             "SELECT l_orderkey, l_partkey, l_quantity, l_shipdate FROM lineitem "
             "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_quantity > 30"
+        ),
+        "scan_distributed_mor": (
+            "SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND NOT l_quantity > 45"
         ),
         "text_c4_filter": (
             "WITH s AS (SELECT doc_id, replace(text, ' value ', '.' || chr(10)) || '.' AS text "

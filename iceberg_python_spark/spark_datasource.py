@@ -338,12 +338,25 @@ class IcebergPlannedReader(DataSourceReader):
     streams the listed data files as Arrow batches. This is how a scan
     over 10^7 surviving files avoids materializing the path list on the
     driver — the known limit of the collect-based distributed planner
-    (SCALE.md r08)."""
+    (SCALE.md r08).
+
+    ``lineage=true`` (the streamed MoR mode): the trailing
+    ``_ips_file`` / ``_ips_pos`` / ``_ips_seq`` fields of
+    ``schema_json`` are SYNTHESIZED per batch — the file's plan path,
+    the physical row position (running index over the file's batches,
+    exact because the file is read fully and in order), and the file's
+    data sequence number carried in the path manifest. The engine
+    anti-joins position/equality deletes against these after the scan —
+    deletes stream executor-side too, never through the driver."""
+
+    LINEAGE_FIELDS = ("_ips_file", "_ips_pos", "_ips_seq")
 
     def __init__(self, options: Dict[str, str]):
         self.options = dict(options)
         self._dir = self.options["path_manifest_dir"]
-        self._fields = [f["name"] for f in json.loads(self.options["schema_json"])["fields"]]
+        self._lineage = str(self.options.get("lineage", "false")).lower() == "true"
+        all_fields = [f["name"] for f in json.loads(self.options["schema_json"])["fields"]]
+        self._fields = [f for f in all_fields if f not in self.LINEAGE_FIELDS]
         self._files_per_task = max(1, int(self.options.get("files_per_task", "1")))
 
     @staticmethod
@@ -377,20 +390,43 @@ class IcebergPlannedReader(DataSourceReader):
             return iter(())
 
         def gen():
+            import pyarrow as pa
             import pyarrow.parquet as pq
             from pyspark.sql import types as T
             from pyspark.sql.pandas.types import to_arrow_schema
 
             from .io import fileio
 
-            target = to_arrow_schema(
+            full = to_arrow_schema(
                 T.StructType.fromJson(json.loads(self.options["schema_json"]))
             )
+            if self._lineage:
+                data_target = pa.schema([full.field(n) for n in self._fields])
+            else:
+                data_target = full
+            mcols = ["file_path"] + (["sequence_number"] if self._lineage else [])
             chunk = pq.read_table(
-                self._open_manifest(partition.manifest_part), columns=["file_path"]
+                self._open_manifest(partition.manifest_part), columns=mcols
             ).slice(partition.offset, partition.count)
-            for path in chunk.column("file_path").to_pylist():
-                yield from _arrow_batches_for_file(path, self._fields, target=target)
+            seqs = (
+                chunk.column("sequence_number").to_pylist()
+                if self._lineage
+                else [None] * chunk.num_rows
+            )
+            for path, seq in zip(chunk.column("file_path").to_pylist(), seqs):
+                if not self._lineage:
+                    yield from _arrow_batches_for_file(path, self._fields, target=data_target)
+                    continue
+                off = 0
+                for b in _arrow_batches_for_file(path, self._fields, target=data_target):
+                    n = b.num_rows
+                    arrays = list(b.columns) + [
+                        pa.repeat(pa.scalar(path, pa.string()), n),
+                        pa.array(range(off, off + n), pa.int64()),
+                        pa.repeat(pa.scalar(seq, pa.int64()), n),
+                    ]
+                    off += n
+                    yield pa.RecordBatch.from_arrays(arrays, schema=full)
 
         return gen()
 

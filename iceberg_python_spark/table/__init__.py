@@ -2946,14 +2946,23 @@ class DataScan:
         (table/__init__.py:2622-2667) at file counts where even a
         compact path collect is a driver bottleneck.
 
+        MoR tables stream too (r09 known limit, closed r10): the
+        delete-file INDEX is built driver-side (delete files are orders
+        of magnitude fewer than data files — the reference's
+        DeleteFileIndex makes the same driver-side choice), the path
+        manifest carries each data file's sequence number, the planned
+        reader synthesizes (_ips_file, _ips_pos, _ips_seq), and deletes
+        are applied as executor-side anti-joins after the scan
+        (see ``_apply_streamed_deletes``).
+
         Returns None (-> caller falls back to the exact task-list path)
         when the scan needs per-task state the streamed shape cannot
-        carry: delete files (MoR), non-parquet data, schema evolution
-        that name-projection cannot express (renames / type
-        promotions), server-side planning, or an explicit
-        ``read.plan.distributed-read=false``. Row-level filters are
-        re-applied post-scan, so skipping residual-based file pruning
-        is sound (residuals only skip work, never change results).
+        carry: non-parquet data, schema evolution that name-projection
+        cannot express (renames / type promotions), server-side
+        planning, or an explicit ``read.plan.distributed-read=false``.
+        Row-level filters are re-applied post-scan, so skipping
+        residual-based file pruning is sound (residuals only skip work,
+        never change results).
 
         The path manifest is transient scan state: swept by the
         age-guarded ``Table.clean_scan_plans`` (run standalone or as
@@ -2974,8 +2983,28 @@ class DataScan:
         if isinstance(bound, AlwaysFalse):
             return None
         manifest_files = read_manifest_list(snap.manifest_list, metadata.spec_by_id, schema)
-        if any(m.get("content", CONTENT_DATA) != CONTENT_DATA for m in manifest_files):
-            return None  # delete manifests -> exact MoR task planning
+        # MoR: the DELETE side of the index stays driver-side (orders of
+        # magnitude fewer files than data — the same asymmetry the
+        # reference's DeleteFileIndex relies on,
+        # table/delete_file_index.py:105); the deletes themselves are
+        # READ executor-side and anti-joined after the planned scan, so
+        # the data-file list still never touches the driver.
+        pos_dels: List[Tuple[int, str, int]] = []
+        eq_dels: List[Tuple[int, str, Tuple[int, ...], int]] = []
+        for m in manifest_files:
+            if m.get("content", CONTENT_DATA) != CONTENT_DATA:
+                spec_d = metadata.spec_by_id(m["spec_id"])
+                for e in read_manifest(m["manifest_path"], schema, spec_d, manifest=m):
+                    if e["status"] == STATUS_DELETED:
+                        continue
+                    d = e["data_file"]
+                    sz = d.get("file_size_in_bytes", -1)
+                    if d.get("content", 0) == 2:
+                        eq_dels.append(
+                            (e["sequence_number"], d["file_path"], tuple(d.get("equality_ids") or ()), sz)
+                        )
+                    else:
+                        pos_dels.append((e["sequence_number"], d["file_path"], sz))
         threshold = int(props.get("read.plan.distributed-threshold", "200000"))
         est_entries = sum(
             m["added_files_count"] + m["existing_files_count"] for m in manifest_files
@@ -2995,7 +3024,14 @@ class DataScan:
         for m in manifest_files:
             by_spec.setdefault(m["spec_id"], []).append(m)
         spark = self.table.spark
-        cols = ["file_path", "file_format", "schema_id", "record_count", "file_size_in_bytes"]
+        cols = [
+            "file_path",
+            "file_format",
+            "schema_id",
+            "record_count",
+            "file_size_in_bytes",
+            "sequence_number",
+        ]
         # name-mapped foreign files (add_files) carry their physical
         # column names in stats_json; flag them here (tiny boolean per
         # row) instead of shipping the stats blob into the path manifest
@@ -3060,6 +3096,14 @@ class DataScan:
         needed = {f.name for f in projected.fields}
         for t_ in _bound_refs(bound):
             needed.add(t_)
+        # equality-delete keys must be read to evaluate the anti-join
+        for _dseq, _p, _fids, _sz in eq_dels:
+            for fid in _fids:
+                try:
+                    needed.add(schema.find_field(fid).name)
+                except ValueError:
+                    fileio.remove_recursive(plan_dir, spark)
+                    return None  # eq key dropped from current schema
         for sid in info["sids"]:
             try:
                 fschema = metadata.schema_by_id(sid)
@@ -3093,29 +3137,95 @@ class DataScan:
         avg = max(1, (info["bytes"] or 0) // n_files)
         max_tasks = int(props.get("read.plan.max-tasks", "100000"))
         files_per_task = max(1, min(int(mpb // avg), 1000), math.ceil(n_files / max_tasks))
+        mor = bool(pos_dels or eq_dels)
         self._streaming_plan_info = {
             "n_files": int(n_files),
             "plan_dir": plan_dir,
             "files_per_task": int(files_per_task),
+            "n_pos_deletes": len(pos_dels),
+            "n_eq_deletes": len(eq_dels),
         }
 
         from ..spark_datasource import register_data_source
 
         register_data_source(spark)
         read_fields = [f for f in schema.to_spark().fields if f.name in needed]
-        read_schema = T.StructType([T.StructField(f.name, f.dataType, True) for f in read_fields])
+        struct_fields = [T.StructField(f.name, f.dataType, True) for f in read_fields]
+        if mor:
+            struct_fields += [
+                T.StructField("_ips_file", T.StringType(), True),
+                T.StructField("_ips_pos", T.LongType(), True),
+                T.StructField("_ips_seq", T.LongType(), True),
+            ]
+        read_schema = T.StructType(struct_fields)
         out = (
             spark.read.format("iceberg_python_spark")
             .option("path_manifest_dir", plan_dir)
             .option("schema_json", json.dumps(read_schema.jsonValue()))
             .option("files_per_task", str(files_per_task))
+            .option("lineage", "true" if mor else "false")
             .load()
         )
+        if mor:
+            out = self._apply_streamed_deletes(spark, out, schema, pos_dels, eq_dels)
         if not isinstance(bound, AlwaysTrue):
             out = out.where(to_spark_column(bound))
         out = out.select(*[F.col(f.name) for f in projected.fields])
         if self.limit is not None:
             out = out.limit(self.limit)
+        return out
+
+    def _apply_streamed_deletes(self, spark, out, schema, pos_dels, eq_dels):
+        """Executor-side delete application for the streamed MoR read:
+        position deletes (parquet or DV Puffin) anti-join on the
+        synthesized (_ips_file, _ips_pos); equality deletes anti-join on
+        null-safe key equality plus the spec's strictly-newer rule
+        (data _ips_seq < delete seq — reference
+        delete_file_index.py:105). Path matching is exact because file
+        paths are unique per file incarnation (uuid names; the exact
+        task path relies on the same disjointness). Delete rows are
+        read as distributed scans and broadcast only under the
+        size-guarded threshold — nothing delete-side transits the
+        driver."""
+        threshold = _delete_broadcast_threshold(self.table.metadata)
+        if pos_dels:
+            dels = _pos_deletes_df(spark, sorted({p for _s, p, _z in pos_dels}))
+            sizes = [sz for _s, _p, sz in pos_dels]
+            total = sum(sizes) if all(sz >= 0 for sz in sizes) else None
+            cond = (
+                _norm_lineage_file(dels["file_path"]) == F.col("_ips_file")
+            ) & (dels["pos"] == F.col("_ips_pos"))
+            out = out.join(_maybe_broadcast(dels, total, threshold), cond, "left_anti")
+        by_fids: Dict[Tuple[int, ...], List[Tuple[int, str, int]]] = {}
+        for dseq, path, fids, sz in eq_dels:
+            if fids:
+                by_fids.setdefault(tuple(fids), []).append((dseq, path, sz))
+        for fids, items in sorted(by_fids.items()):
+            fields_ = [schema.find_field(fid) for fid in fids]
+            cols_ = [f.name for f in fields_]
+            del_schema = Schema(*fields_).to_spark()
+            # one read per distinct delete sequence number (files sharing
+            # a seq read together); keep the NEWEST seq per key so a
+            # re-inserted row (data seq >= old delete seq) survives
+            by_seq: Dict[int, List[str]] = {}
+            for dseq, path, _sz in items:
+                by_seq.setdefault(int(dseq), []).append(path)
+            parts = [
+                spark.read.schema(del_schema)
+                .parquet(*sorted(paths))
+                .withColumn("_dseq", F.lit(dseq).cast("long"))
+                for dseq, paths in sorted(by_seq.items())
+            ]
+            dels = parts[0]
+            for p in parts[1:]:
+                dels = dels.unionByName(p)
+            dels = dels.groupBy(*cols_).agg(F.max("_dseq").alias("_dseq"))
+            cond = F.col("_ips_seq") < dels["_dseq"]
+            for c in cols_:
+                cond = cond & out[c].eqNullSafe(dels[c])
+            sizes = [sz for _s, _p, sz in items]
+            total = sum(sizes) if all(sz >= 0 for sz in sizes) else None
+            out = out.join(_maybe_broadcast(dels, total, threshold), cond, "left_anti")
         return out
 
     # -- execution ----------------------------------------------------------

@@ -121,12 +121,13 @@ def test_opt_out_property_falls_back(cat, table):
         cat.load_table("db.li_ranges").set_properties({"read.plan.distributed-read": "true"})
 
 
-def test_delete_files_fall_back_exactly(cat, spark):
-    """A MoR table (position deletes) must take the exact task-list path
-    and still return correct rows with threshold=0."""
+def test_delete_files_stream(cat, spark):
+    """A MoR table (position deletes) STREAMS through the planned read
+    (r09 known limit, closed r10): the reader synthesizes
+    (_ips_file, _ips_pos) and the deletes anti-join executor-side."""
     df = spark.range(100).select(F.col("id").cast("long").alias("k"), (F.col("id") * 2).alias("v"))
     t = cat.create_table(
-        "db.mor_fallback",
+        "db.mor_stream",
         schema_from_spark(df.schema),
         properties={
             "read.plan.distributed-threshold": "0",
@@ -134,13 +135,93 @@ def test_delete_files_fall_back_exactly(cat, spark):
         },
     )
     t.append(df)
-    t = cat.load_table("db.mor_fallback")
+    t = cat.load_table("db.mor_stream")
     t.delete("k >= 90")
-    t = cat.load_table("db.mor_fallback")
+    t = cat.load_table("db.mor_stream")
     scan = t.scan()
     out = scan.to_df()
     assert out.count() == 90
-    assert not hasattr(scan, "_streaming_plan_info")
+    info = scan._streaming_plan_info
+    assert info["plan_dir"] is not None and info["n_pos_deletes"] >= 1
+    # values survive exactly (not just counts), and a filter composes
+    rows = {r.k: r.v for r in out.collect()}
+    assert rows == {i: i * 2 for i in range(90)}
+    assert cat.load_table("db.mor_stream").scan(row_filter="k < 5").to_df().count() == 5
+
+
+def test_mor_streamed_never_builds_task_list(cat, spark, monkeypatch):
+    """The MoR variant of the no-collect proof: plan_files is never
+    called when a deleted-from table streams."""
+    import iceberg_python_spark.table as tbl
+
+    df = spark.range(60).select(F.col("id").alias("k"), (F.col("id") + 7).alias("v"))
+    t = cat.create_table(
+        "db.mor_nocollect",
+        schema_from_spark(df.schema),
+        properties={
+            "read.plan.distributed-threshold": "0",
+            "write.delete.mode": "merge-on-read",
+        },
+    )
+    t.append(df)
+    t = cat.load_table("db.mor_nocollect")
+    t.delete("k >= 20 and k < 40")
+    t = cat.load_table("db.mor_nocollect")
+
+    def boom(*a, **k):
+        raise AssertionError("plan_files called on the streamed MoR path")
+
+    monkeypatch.setattr(tbl.DataScan, "plan_files", boom)
+    scan = t.scan()
+    assert scan.to_df().count() == 40
+    assert scan._streaming_plan_info["n_pos_deletes"] >= 1
+
+
+def test_mor_dv_puffin_streams(cat, spark):
+    """v3 deletion vectors (Puffin) apply on the streamed path too —
+    dv_positions_df expands bitmaps executor-side."""
+    df = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    t = cat.create_table(
+        "db.mor_dv_stream",
+        schema_from_spark(df.schema),
+        properties={
+            "read.plan.distributed-threshold": "0",
+            "write.delete.mode": "merge-on-read",
+            "write.delete.format": "puffin",
+            "format-version": "3",
+        },
+    )
+    t.append(df)
+    t = cat.load_table("db.mor_dv_stream")
+    t.delete("k >= 40")
+    t = cat.load_table("db.mor_dv_stream")
+    scan = t.scan()
+    rows = {r.k for r in scan.to_df().collect()}
+    assert rows == set(range(40))
+    assert scan._streaming_plan_info["n_pos_deletes"] >= 1
+
+
+def test_eq_deletes_stream_with_seq_rule(cat, spark):
+    """Equality deletes stream with the strictly-newer sequence rule: a
+    row RE-INSERTED after the delete (data seq > delete seq) survives,
+    while the older incarnation is dropped."""
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k: long, s: string")
+    t = cat.create_table(
+        "db.eqdel_stream",
+        schema_from_spark(df.schema),
+        properties={"read.plan.distributed-threshold": "0"},
+    )
+    t.append(df)
+    t = cat.load_table("db.eqdel_stream")
+    t.add_equality_deletes(spark.createDataFrame([(2,)], "k: long"), ["k"])
+    t = cat.load_table("db.eqdel_stream")
+    # re-insert k=2 AFTER the delete: newer data seq -> must survive
+    t.append(spark.createDataFrame([(2, "b2")], "k: long, s: string"))
+    t = cat.load_table("db.eqdel_stream")
+    scan = t.scan()
+    rows = {r.k: r.s for r in scan.to_df().collect()}
+    assert rows == {1: "a", 2: "b2", 3: "c"}
+    assert scan._streaming_plan_info["n_eq_deletes"] == 1
 
 
 def test_schema_rename_falls_back(cat, spark):
