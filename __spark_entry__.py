@@ -2373,6 +2373,54 @@ def _q_scan_distributed_mor(spark, env):
     return df
 
 
+def _q_multimodal_image_decode(spark, env):
+    # r10: REAL image decode under the driver's oracle. Deterministic
+    # PNGs (noise seeded by doc_id % 97, dimensions a closed-form
+    # function of the key) are synthesized with the engine's own
+    # filter-0 encoder, then decoded by the stdlib+numpy codec inside
+    # extract_image_stats. Claims computed FROM the decoded output:
+    # every payload decodes, decoded dimensions equal the generating
+    # formula, duplicate content keys share ONE pHash, distinct keys
+    # have distinct pHashes. Value columns (n_images, n_content_groups)
+    # hash-match the oracle.
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_python_spark.operators.imaging import encode_png
+    from iceberg_python_spark.operators.multimodal import extract_image_stats
+
+    docs = env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 500")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for k in (pdf["doc_id"] % 97).astype(int):
+                h, w = 16 + k % 7, 20 + k % 5
+                px = np.random.default_rng(int(k)).integers(0, 256, (h, w, 3), dtype=np.uint8)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    imgs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    stats = extract_image_stats(imgs, "doc_id", "payload")
+    j = (
+        stats.withColumn("key", F.col("id") % 97)
+        .withColumn("exp_w", (F.lit(20) + F.col("key") % 5).cast("int"))
+        .withColumn("exp_h", (F.lit(16) + F.col("key") % 7).cast("int"))
+    )
+    return j.agg(
+        F.count("*").alias("n_images"),
+        F.countDistinct("key").cast("long").alias("n_content_groups"),
+        F.min("decode_ok").alias("all_decoded"),
+        F.min(
+            (F.col("width") == F.col("exp_w"))
+            & (F.col("height") == F.col("exp_h"))
+            & (F.col("channels") == 3)
+        ).alias("dims_ok"),
+        (F.countDistinct("key", "phash") == F.countDistinct("key")).alias("phash_consistent"),
+        (F.countDistinct("phash") == F.countDistinct("key")).alias("phash_distinct"),
+    )
+
+
 def _q_text_token_sketch(spark, env):
     # Bounded-state corpus stats: HLL++ distinct-token cardinality per
     # source. The row cross-checks the sketch against the exact count at
@@ -2491,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # --- NEW r10 rows (16+) ---
             "meta_combined": _q_meta_combined,
             "scan_distributed_mor": _q_scan_distributed_mor,
+            "multimodal_image_decode": _q_multimodal_image_decode,
             # --- r08-greened set at the 2-round edge ---
             "spark_datasource_scan": _q_spark_datasource_scan,
             "changelog_schema_evolution": _q_changelog_schema_evolution,
@@ -2787,6 +2836,13 @@ def oracle_sql() -> dict[str, str]:
         "scan_distributed_read": (
             "SELECT l_orderkey, l_partkey, l_quantity, l_shipdate FROM lineitem "
             "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_quantity > 30"
+        ),
+        "multimodal_image_decode": (
+            "SELECT count(*) AS n_images, "
+            "CAST(count(DISTINCT doc_id % 97) AS BIGINT) AS n_content_groups, "
+            "true AS all_decoded, true AS dims_ok, "
+            "true AS phash_consistent, true AS phash_distinct "
+            "FROM documents WHERE doc_id < 500"
         ),
         "scan_distributed_mor": (
             "SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem "

@@ -1,0 +1,141 @@
+"""Stdlib+numpy image codec tests (no Spark): PNG round-trips across
+color types, decode of externally-filtered PNGs (Sub/Up/Average/Paeth),
+palette PNGs, PPM/BMP, stats, and pHash behavior."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from iceberg_python_spark.operators.imaging import (
+    decode_image,
+    encode_png,
+    encode_ppm,
+    hamming,
+    image_stats,
+    phash,
+)
+
+
+def _chunk(t, p):
+    return struct.pack(">I", len(p)) + t + p + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF)
+
+
+SIG = b"\x89PNG\r\n\x1a\n"
+
+
+@pytest.mark.parametrize("shape", [(37, 53, 3), (10, 20, 1), (8, 8, 4), (5, 3, 2)])
+def test_png_roundtrip(shape):
+    px = np.random.default_rng(42).integers(0, 256, shape, dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_png(px)), px)
+
+
+def test_ppm_roundtrip_and_comment_header():
+    px = np.random.default_rng(1).integers(0, 256, (6, 4, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_ppm(px)), px)
+    with_comment = b"P6\n# a comment\n4 6\n255\n" + px.tobytes()
+    assert np.array_equal(decode_image(with_comment), px)
+
+
+def test_png_all_filters_decode():
+    """Scanlines filtered with Sub/Up/Average/Paeth (encoded by an
+    independent reference filterer here) reconstruct exactly."""
+    rng = np.random.default_rng(3)
+    h, w, ch = 4, 5, 3
+    raw = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+
+    def filt_row(y, ftype):
+        row = raw[y].reshape(-1).astype(int)
+        prev = raw[y - 1].reshape(-1).astype(int) if y > 0 else np.zeros(w * ch, int)
+        out = np.zeros(w * ch, int)
+        for x in range(w * ch):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ftype == 0:
+                out[x] = row[x]
+            elif ftype == 1:
+                out[x] = (row[x] - a) % 256
+            elif ftype == 2:
+                out[x] = (row[x] - b) % 256
+            elif ftype == 3:
+                out[x] = (row[x] - (a + b) // 2) % 256
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[x] = (row[x] - pr) % 256
+        return bytes([ftype]) + bytes(out.astype(np.uint8))
+
+    scan = b"".join(filt_row(y, ft) for y, ft in zip(range(h), [1, 2, 3, 4]))
+    png = (
+        SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(scan))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_image(png), raw)
+
+
+def test_palette_png():
+    rng = np.random.default_rng(5)
+    plte = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, (6, 7, 1), dtype=np.uint8)
+    scan = b"".join(bytes([0]) + bytes(idx[y].reshape(-1)) for y in range(6))
+    png = (
+        SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 6, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", plte.tobytes())
+        + _chunk(b"IDAT", zlib.compress(scan))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_image(png), plte[idx[:, :, 0]])
+
+
+def _encode_bmp(px):
+    h, w = px.shape[:2]
+    rb = (w * 3 + 3) & ~3
+    body = b""
+    for y in range(h - 1, -1, -1):
+        row = px[y][:, [2, 1, 0]].tobytes()
+        body += row + b"\x00" * (rb - len(row))
+    off = 54
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return hdr + body
+
+
+def test_bmp_decode():
+    px = np.random.default_rng(9).integers(0, 256, (11, 6, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(_encode_bmp(px)), px)
+
+
+def test_stats_and_phash_properties():
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+    h, w, ch, means, stds = image_stats(px)
+    assert (h, w, ch) == (37, 53, 3)
+    assert abs(means[2] - px[:, :, 2].mean()) < 1e-9 and abs(stds[0] - px[:, :, 0].std()) < 1e-9
+    p1 = phash(px)
+    assert p1 == phash(px.copy()) and len(p1) == 16
+    # one-pixel nudge: tiny hamming distance; unrelated image: large
+    noisy = px.copy()
+    noisy[0, 0, 0] = (int(noisy[0, 0, 0]) + 8) % 256
+    other = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+    assert hamming(p1, phash(noisy)) <= 6
+    assert hamming(p1, phash(other)) > 10
+
+
+def test_unsupported_formats_raise_naming_pil():
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    with pytest.raises(NotImplementedError, match="PIL"):
+        # 16-bit PNG gate
+        png = (
+            SIG
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+            + _chunk(b"IEND", b"")
+        )
+        decode_image(png)

@@ -208,6 +208,34 @@ def test_multimodal_features(spark):
         extract_image_features(df, "doc_id", "payload", decode_stub="raise").collect()
 
 
+def test_extract_image_stats_real_decode(spark):
+    """Real PNG/PPM/BMP decode inside mapInPandas: exact dimensions,
+    channel means, pHash equality for duplicate pixels, per-row error
+    capture for undecodable payloads."""
+    import numpy as np
+
+    from iceberg_python_spark.operators.imaging import encode_png, encode_ppm
+    from iceberg_python_spark.operators.multimodal import extract_image_stats
+
+    rng = np.random.default_rng(7)
+    img_a = rng.integers(0, 256, (12, 17, 3), dtype=np.uint8)
+    img_b = rng.integers(0, 256, (9, 9, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_png(img_a))),
+        (2, bytearray(encode_png(img_a))),   # duplicate pixels, same bytes
+        (3, bytearray(encode_ppm(img_a))),   # same pixels, different container
+        (4, bytearray(encode_png(img_b))),
+        (5, bytearray(b"\xff\xd8\xff not actually jpeg")),  # undecodable
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, payload: binary")
+    out = {r.id: r for r in extract_image_stats(df, "doc_id", "payload").collect()}
+    assert (out[1].width, out[1].height, out[1].channels) == (17, 12, 3)
+    assert abs(out[1].channel_means[0] - float(img_a[:, :, 0].mean())) < 1e-9
+    assert out[1].phash == out[2].phash == out[3].phash  # container-independent
+    assert out[1].phash != out[4].phash
+    assert out[1].decode_ok and not out[5].decode_ok and "NotImplementedError" in out[5].error
+
+
 def test_windowed_event_counts_batch(spark):
     from iceberg_python_spark.streaming import windowed_event_counts
 
