@@ -206,6 +206,78 @@ def refresh_rollup(
     }
 
 
+def refresh_time_rollup(
+    source: Table,
+    target: Table,
+    ts_col: str,
+    key_cols,
+    value_col: str,
+    widths_seconds,
+    to_snapshot_id: Optional[int] = None,
+) -> Dict[str, object]:
+    """Incremental maintenance of a MULTI-RESOLUTION time rollup: the
+    delta (incremental append scan) folds through
+    :func:`~iceberg_python_spark.streaming.time_rollup` with
+    ``round_dp=None`` (rounding is not associative, so the stored
+    partials stay raw — round at query time), then merges into the
+    target exactly like :func:`refresh_rollup` (touched-groups-only
+    upsert + high-water snapshot property in one transaction =
+    idempotent / exactly-once). Group keys are
+    (width_s, bucket_start, *key_cols). This is the maintenance tick
+    behind :func:`~iceberg_python_spark.streaming.rollup_stream` —
+    the hypertable continuous aggregate on live appends."""
+    from .streaming import time_rollup
+
+    keys = ["width_s", "bucket_start", *key_cols]
+    fns = {"n_events": "sum", "sum_value": "sum", "min_value": "min", "max_value": "max"}
+    cur_id = to_snapshot_id
+    if cur_id is None:
+        cur = source.current_snapshot()
+        if cur is None:
+            return {"mode": "noop", "source_snapshot_id": None, "affected_groups": 0, "delta_rows": 0}
+        cur_id = cur.snapshot_id
+    last = target.properties.get(SOURCE_SNAPSHOT_PROP)
+    last_id = int(last) if last is not None else None
+    if last_id == cur_id:
+        return {"mode": "noop", "source_snapshot_id": cur_id, "affected_groups": 0, "delta_rows": 0}
+    mode = "full"
+    if last_id is not None:
+        try:
+            if _append_only_chain(source, last_id, cur_id) is not None:
+                mode = "incremental"
+        except ValueError:
+            mode = "full"
+
+    def fold(df):
+        return time_rollup(df, ts_col, key_cols, value_col, widths_seconds, round_dp=None)
+
+    if mode == "full":
+        full = fold(source.scan(snapshot_id=cur_id).to_df()).localCheckpoint(eager=True)
+        n_groups = full.count()
+        with target.transaction() as tx:
+            tx.overwrite(full)
+            tx.set_properties({SOURCE_SNAPSHOT_PROP: str(cur_id)})
+        return {"mode": "full", "source_snapshot_id": cur_id, "affected_groups": n_groups, "delta_rows": None}
+
+    delta = source.incremental_append_scan(
+        from_snapshot_id_exclusive=last_id, to_snapshot_id_inclusive=cur_id
+    ).to_df()
+    partial = fold(delta).localCheckpoint(eager=True)
+    affected = partial.count()
+    if affected == 0:
+        with target.transaction() as tx:
+            tx.set_properties({SOURCE_SNAPSHOT_PROP: str(cur_id)})
+        return {"mode": "incremental", "source_snapshot_id": cur_id, "affected_groups": 0, "delta_rows": 0}
+    existing = target.scan().to_df().join(partial.select(*keys), keys, "left_semi")
+    merged = existing.alias("e").join(partial.alias("d"), keys, "full_outer").select(
+        *keys, *[_merge_col(fn, out) for out, fn in fns.items()]
+    )
+    with target.transaction() as tx:
+        tx.upsert(merged, join_cols=keys)
+        tx.set_properties({SOURCE_SNAPSHOT_PROP: str(cur_id)})
+    return {"mode": "incremental", "source_snapshot_id": cur_id, "affected_groups": affected, "delta_rows": None}
+
+
 def _append_only_chain(source: Table, last_id: int, cur_id: int):
     """The snapshots between last (exclusive) and cur (inclusive) if
     every logical change in the range is an append — REPLACE

@@ -19,12 +19,13 @@ filter is reproducible across sessions. No false negatives ever; the
 false-positive rate is the standard ``(1 - e^(-kn/m))^k``.
 
 Spark shape: build = one narrow pass emitting ONE m/8-byte bitmap per
-partition (Arrow-batched ``mapInPandas``), OR-reduced streaming on the
-driver (``toLocalIterator`` holds two bitmaps at a time; at extreme
-partition counts tree-reduce via an intermediate ``coalesce``). Probe =
-the bitmap broadcast once, membership tested in vectorized numpy — a
-scan-speed projection. No reference counterpart (published-recipe
-operator).
+partition (Arrow-batched ``mapInPandas``); above ``fanout`` partitions
+the partials first collapse through executor-side OR-merge levels
+(``coalesce`` tree-reduce, implemented — log_fanout(P) levels), then
+the final ≤fanout bitmaps stream through the driver two-at-a-time via
+``toLocalIterator``. Probe = the bitmap broadcast once, membership
+tested in vectorized numpy — a scan-speed projection. No reference
+counterpart (published-recipe operator).
 """
 
 from __future__ import annotations
@@ -67,12 +68,29 @@ def _positions(h1: np.ndarray, h2: np.ndarray, m: int, k: int) -> np.ndarray:
     return ((u1[:, None] + i * u2[:, None]) % np.uint64(m)).astype(np.int64)
 
 
-def bloom_build(df: DataFrame, col: str, n_items: int, fp_rate: float = 0.01) -> Tuple[bytes, int, int]:
+def _tree_reduce_partials(parts: DataFrame, merge, schema: str, fanout: int) -> DataFrame:
+    """Collapse one-row-per-partition partials through executor-side
+    merge levels until at most ``fanout`` rows remain: each level
+    coalesces ~fanout rows into a partition and ``merge`` folds them to
+    one. log_fanout(P) levels; the driver then folds the survivors."""
+    n = parts.rdd.getNumPartitions()
+    while n > fanout:
+        n = max(1, math.ceil(n / fanout))
+        parts = parts.coalesce(n).mapInPandas(merge, schema=schema)
+    return parts
+
+
+def bloom_build(
+    df: DataFrame, col: str, n_items: int, fp_rate: float = 0.01, fanout: int = 64
+) -> Tuple[bytes, int, int]:
     """Build the filter over ``df[col]``; returns (bitmap, m_bits, k).
 
     ``n_items`` sizes the filter (pass the expected DISTINCT count; an
     upper bound only costs bits, an underestimate only costs false
-    positives — never correctness)."""
+    positives — never correctness). Above ``fanout`` input partitions
+    the per-partition bitmaps OR-merge executor-side in tree levels
+    before the driver fold, bounding driver transfers at ``fanout``
+    bitmaps regardless of partition count."""
     m, k = bloom_parameters(n_items, fp_rate)
 
     def build_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -84,9 +102,19 @@ def bloom_build(df: DataFrame, col: str, n_items: int, fp_rate: float = 0.01) ->
             np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
         yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
 
+    def merge_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for b in batches:
+            for buf in b["bitmap"]:
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                acc = arr.copy() if acc is None else acc | arr
+        if acc is not None:
+            yield pd.DataFrame({"bitmap": [acc.tobytes()]})
+
     parts = _with_hashes(df, col).mapInPandas(build_partition, schema="bitmap binary")
+    parts = _tree_reduce_partials(parts, merge_partials, "bitmap binary", fanout)
     acc = np.zeros(m // 8, dtype=np.uint8)
-    # stream partition bitmaps through the driver two-at-a-time; the
+    # stream the surviving bitmaps through the driver two-at-a-time; the
     # driver never holds more than 2 * m/8 bytes
     for row in parts.toLocalIterator():
         acc |= np.frombuffer(row["bitmap"], dtype=np.uint8)

@@ -42,11 +42,15 @@ def _hash_cols(df: DataFrame, col: str, width: int, depth: int) -> DataFrame:
     )
 
 
-def cms_build(df: DataFrame, col: str, width: int = 65536, depth: int = 5) -> np.ndarray:
+def cms_build(
+    df: DataFrame, col: str, width: int = 65536, depth: int = 5, fanout: int = 64
+) -> np.ndarray:
     """Fold ``df[col]`` into a count-min grid; returns int64
     ``(depth, width)``. Width trades memory for error (eps ~ e/width
     of total count); depth trades work for confidence (delta ~
-    e^-depth)."""
+    e^-depth). Above ``fanout`` input partitions the per-partition
+    grids sum executor-side in coalesce tree levels before the driver
+    fold — driver transfers bounded at ``fanout`` grids."""
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         grid = np.zeros((depth, width), dtype=np.int64)
@@ -57,7 +61,19 @@ def cms_build(df: DataFrame, col: str, width: int = 65536, depth: int = 5) -> np
                 np.add.at(grid[d], b[f"_h{d}"].to_numpy(), 1)
         yield pd.DataFrame({"grid": [grid.tobytes()]})
 
+    def merge_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for b in batches:
+            for buf in b["grid"]:
+                arr = np.frombuffer(buf, dtype=np.int64)
+                acc = arr.copy() if acc is None else acc + arr
+        if acc is not None:
+            yield pd.DataFrame({"grid": [acc.tobytes()]})
+
+    from .bloom import _tree_reduce_partials
+
     parts = _hash_cols(df, col, width, depth).mapInPandas(fold, schema="grid binary")
+    parts = _tree_reduce_partials(parts, merge_partials, "grid binary", fanout)
     acc = np.zeros((depth, width), dtype=np.int64)
     for row in parts.toLocalIterator():  # driver holds two grids at a time
         acc += np.frombuffer(row["grid"], dtype=np.int64).reshape(depth, width)

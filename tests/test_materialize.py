@@ -113,3 +113,96 @@ def test_rejects_non_mergeable_agg(spark, catalog):
     src = _src(spark, catalog, [("a", 1)], name="db.fact5")
     with pytest.raises(ValueError, match="avg"):
         create_rollup(catalog, "db.fact5_rollup", src, ["k"], {"m": ("avg", "v")})
+
+
+def test_refresh_time_rollup_incremental(spark, catalog, tmp_path):
+    """Multi-resolution rollup maintenance: full build, then an
+    incremental delta fold — result equals the batch time_rollup over
+    the full source at every step."""
+    from iceberg_python_spark.materialize import refresh_time_rollup
+    from iceberg_python_spark.streaming import time_rollup
+
+    rows1 = [("2024-01-01 00:10:00", "a", 1.0), ("2024-01-01 00:50:00", "a", 2.0),
+             ("2024-01-01 01:10:00", "b", 4.0)]
+    df1 = spark.createDataFrame(rows1, "ts: string, k: string, v: double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    src = catalog.create_table("db.tr_src", schema_from_spark(df1.schema))
+    src.append(df1)
+    src = catalog.load_table("db.tr_src")
+    target_schema = time_rollup(df1.limit(0), "ts", ("k",), "v", (3600, 86400), round_dp=None).schema
+    for f in target_schema.fields:
+        f.nullable = True
+    tgt = catalog.create_table("db.tr_tgt", schema_from_spark(target_schema))
+
+    def check():
+        got = sorted(
+            (r.width_s, r.bucket_start, r.k, r.n_events, r.sum_value, r.min_value, r.max_value)
+            for r in catalog.load_table("db.tr_tgt").scan().to_df().collect()
+        )
+        want = sorted(
+            (r.width_s, r.bucket_start, r.k, r.n_events, r.sum_value, r.min_value, r.max_value)
+            for r in time_rollup(
+                catalog.load_table("db.tr_src").scan().to_df(), "ts", ("k",), "v", (3600, 86400), round_dp=None
+            ).collect()
+        )
+        assert got == want
+
+    r1 = refresh_time_rollup(src, tgt, "ts", ("k",), "v", (3600, 86400))
+    assert r1["mode"] == "full"
+    check()
+    # delta touches an EXISTING bucket (merge) and a new one (insert)
+    df2 = spark.createDataFrame(
+        [("2024-01-01 00:20:00", "a", 10.0), ("2024-01-02 05:00:00", "c", 7.0)],
+        "ts: string, k: string, v: double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = catalog.load_table("db.tr_src")
+    src.append(df2)
+    r2 = refresh_time_rollup(catalog.load_table("db.tr_src"), catalog.load_table("db.tr_tgt"),
+                             "ts", ("k",), "v", (3600, 86400))
+    assert r2["mode"] == "incremental" and r2["affected_groups"] >= 3
+    check()
+    # idempotent: same high-water -> noop
+    r3 = refresh_time_rollup(catalog.load_table("db.tr_src"), catalog.load_table("db.tr_tgt"),
+                             "ts", ("k",), "v", (3600, 86400))
+    assert r3["mode"] == "noop"
+    check()
+
+
+def test_rollup_stream_matches_batch(spark, catalog, tmp_path):
+    """Streaming continuous aggregate (rollup_stream): after the stream
+    drains, the materialized rollup equals the batch time_rollup over
+    everything that flowed — the batch≡stream claim (VERDICT r09 #7)."""
+    from iceberg_python_spark.materialize import refresh_time_rollup  # noqa: F401
+    from iceberg_python_spark.streaming import rollup_stream, time_rollup
+
+    rows = [
+        (f"2024-01-0{1 + i % 3} {i % 24:02d}:{(7 * i) % 60:02d}:00", f"k{i % 4}", float(i % 11))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "ts: string, k: string, v: double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    feed = str(tmp_path / "feed")
+    df.repartition(3).write.parquet(feed)  # several files -> several micro-batches
+    src = catalog.create_table("db.trs_src", schema_from_spark(df.schema))
+    tschema = time_rollup(df.limit(0), "ts", ("k",), "v", (3600,), round_dp=None).schema
+    for f in tschema.fields:
+        f.nullable = True
+    tgt = catalog.create_table("db.trs_tgt", schema_from_spark(tschema))
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(feed)
+    )
+    q = rollup_stream(stream, src, tgt, str(tmp_path / "ckpt"), "ts", ("k",), "v", (3600,))
+    q.awaitTermination(120)
+    got = sorted(
+        (r.width_s, r.bucket_start, r.k, r.n_events, round(r.sum_value, 4), r.min_value, r.max_value)
+        for r in catalog.load_table("db.trs_tgt").scan().to_df().collect()
+    )
+    want = sorted(
+        (r.width_s, r.bucket_start, r.k, r.n_events, round(r.sum_value, 4), r.min_value, r.max_value)
+        for r in time_rollup(df, "ts", ("k",), "v", (3600,), round_dp=None).collect()
+    )
+    assert got == want and len(got) > 5
+    # the source table carries every event exactly once too
+    assert catalog.load_table("db.trs_src").scan().to_df().count() == 60

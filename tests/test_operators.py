@@ -1713,3 +1713,22 @@ def test_cms_partition_merge_equals_single_partition(spark):
     one = cms_build(spark.createDataFrame(rows, "w: string").coalesce(1), "w", width=512, depth=3)
     many = cms_build(spark.createDataFrame(rows, "w: string").repartition(16), "w", width=512, depth=3)
     assert (one == many).all()  # partition grids merge exactly
+
+
+def test_tree_reduce_partials_exact_at_high_partition_count(spark):
+    """fanout=4 over 40 partitions forces >=2 executor-side merge
+    levels; both the CMS sum and the Bloom OR must stay exact."""
+    from iceberg_python_spark.operators.bloom import bloom_build, bloom_contains
+    from iceberg_python_spark.operators.sketch import cms_build
+
+    rows = [(f"w{i % 23}",) for i in range(600)]
+    df40 = spark.createDataFrame(rows, "w: string").repartition(40)
+    one = cms_build(spark.createDataFrame(rows, "w: string").coalesce(1), "w", width=256, depth=3)
+    treed = cms_build(df40, "w", width=256, depth=3, fanout=4)
+    assert (one == treed).all()
+
+    bm1, m, k = bloom_build(spark.createDataFrame(rows, "w: string").coalesce(1), "w", n_items=50)
+    bm2, m2, k2 = bloom_build(df40, "w", n_items=50, fanout=4)
+    assert (m, k) == (m2, k2) and bm1 == bm2
+    probe = spark.createDataFrame(rows[:23], "w: string")
+    assert bloom_contains(probe, "w", bm2, m, k).where("in_bloom").count() == 23
