@@ -138,6 +138,15 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict:
         oum.upsert(upsert_src, join_cols=["o_orderkey"], mode="merge-on-read")
         env["orders_ups_mor"] = oum
 
+    def build_ups_eq():
+        # same upsert committed as EQUALITY DELETES + append (r10:
+        # mode="eq-delete" — O(source) commit, no target join; the
+        # reference reads but cannot write eq deletes). Same oracle
+        # as the CoW/MoR twins: content must be identical.
+        oue = cat.clone_table("db.orders", "db.orders_ups_eq")
+        oue.upsert(upsert_src, join_cols=["o_orderkey"], mode="eq-delete")
+        env["orders_ups_eq"] = oue
+
     def build_dpo():
         # dynamic partition overwrite: zero out 1996's totalprice
         # (month-partitioned, unlike base orders -> real write, no clone)
@@ -316,7 +325,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict:
         )
 
     builders = [
-        build_tt, build_del, build_ups, build_ups_mor, build_dpo, build_inc,
+        build_tt, build_del, build_ups, build_ups_mor, build_ups_eq, build_dpo, build_inc,
         build_evo, build_mor, build_dv, build_compact, build_addf,
         build_eqdel, build_avro, build_wap, build_v3_lineage, build_docs_dup,
         build_orc, build_stream_read, build_docs_inc, build_mor_stream,
@@ -384,6 +393,10 @@ def _q_upsert(spark, env):
 
 def _q_upsert_mor(spark, env):
     return env["orders_ups_mor"].scan().to_df()
+
+
+def _q_upsert_eq_delete(spark, env):
+    return env["orders_ups_eq"].scan().to_df()
 
 
 def _q_dpo(spark, env):
@@ -2540,6 +2553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "meta_combined": _q_meta_combined,
             "scan_distributed_mor": _q_scan_distributed_mor,
             "multimodal_image_decode": _q_multimodal_image_decode,
+            "upsert_eq_delete": _q_upsert_eq_delete,
             # --- r08-greened set at the 2-round edge ---
             "spark_datasource_scan": _q_spark_datasource_scan,
             "changelog_schema_evolution": _q_changelog_schema_evolution,
@@ -2703,6 +2717,13 @@ def oracle_sql() -> dict[str, str]:
         "time_travel": "SELECT * FROM lineitem",
         "delete_cow": "SELECT * FROM lineitem WHERE NOT (l_quantity > 45)",
         "upsert_merge": (
+            "SELECT o_orderkey, o_custkey, o_orderstatus, "
+            "CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice, "
+            "o_orderdate, o_orderpriority FROM orders "
+            "UNION ALL SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority "
+            "FROM orders WHERE o_orderkey % 97 = 0"
+        ),
+        "upsert_eq_delete": (
             "SELECT o_orderkey, o_custkey, o_orderstatus, "
             "CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice, "
             "o_orderdate, o_orderpriority FROM orders "

@@ -2026,8 +2026,10 @@ class Transaction:
           snapshot — the 100 TB path (SCALE.md).
         """
         mode = mode or self.metadata.properties.get("write.merge.mode", "copy-on-write")
-        if mode not in ("copy-on-write", "merge-on-read"):
-            raise ValueError(f"unknown merge mode {mode!r} (use 'copy-on-write' or 'merge-on-read')")
+        if mode not in ("copy-on-write", "merge-on-read", "eq-delete"):
+            raise ValueError(
+                f"unknown merge mode {mode!r} (use 'copy-on-write', 'merge-on-read' or 'eq-delete')"
+            )
         schema = self._schema()
         if join_cols is None:
             join_cols = [schema.find_column_name(fid) for fid in schema.identifier_field_ids]
@@ -2048,6 +2050,10 @@ class Transaction:
                 match_filter = In(join_cols[0], keys)
         if mode == "merge-on-read":
             return self._upsert_mor(src, join_cols, match_filter, when_matched_update_all, when_not_matched_insert_all)
+        if mode == "eq-delete":
+            return self._upsert_eq_delete(
+                src, join_cols, match_filter, when_matched_update_all, when_not_matched_insert_all
+            )
 
         v3_lineage = self.metadata.format_version >= 3
         tasks, tgt = self._target_with_lineage(match_filter, with_row_ids=v3_lineage)
@@ -2259,6 +2265,40 @@ class Transaction:
             if not isinstance(bound, AlwaysTrue):
                 df = df.where(to_spark_column(bound))
         return df
+
+    def _upsert_eq_delete(
+        self,
+        src: DataFrame,
+        join_cols: List[str],
+        match_filter: BooleanExpression,
+        when_matched_update_all: bool,
+        when_not_matched_insert_all: bool,
+    ) -> UpsertResult:
+        """MERGE committed as EQUALITY DELETES + append: one eq-delete
+        snapshot covering every source key, then the source rows
+        appended (the append's strictly-newer sequence number keeps
+        them alive past their own delete). The COMMIT is O(source) —
+        no target scan, no join, no rewrite; the read-side cost is one
+        broadcast anti-join per scan until ``compact()`` reclaims it.
+        This is the 100 TB upsert the reference cannot write at all
+        (it reads eq deletes, ``delete_file_index.py:105``, but MoR
+        write support is its roadmap gap).
+
+        Semantics vs CoW: final table CONTENT is identical; physically,
+        matched-but-UNCHANGED rows are also rewritten (CoW skips them),
+        so ``rows_updated`` counts every matched key. Counting needs one
+        key-only target join — the only part that touches the target."""
+        if not (when_matched_update_all and when_not_matched_insert_all):
+            raise ValueError(
+                "mode='eq-delete' commits the full MERGE (update-all + insert-all); "
+                "partial merges need the join-based modes"
+            )
+        n_src = src.count()
+        _tasks, tgt = self._target_with_lineage(match_filter)
+        matched = src.join(tgt.select(*join_cols), join_cols, "left_semi").count()
+        self.add_equality_deletes(src.select(*join_cols), join_cols)
+        self.append(src)
+        return UpsertResult(rows_updated=matched, rows_inserted=n_src - matched)
 
     def _upsert_mor(
         self,

@@ -114,3 +114,57 @@ def test_eq_deletes_round_trip_avro_export(table, spark, tmp_path):
     assert any(x.eq_delete_files for x in tasks), "eq deletes lost in Avro round-trip"
     rows = {r.id for r in st.scan().to_df().collect()}
     assert rows == set(range(100)) - {4, 44}
+
+
+def test_upsert_eq_delete_matches_cow(spark, tmp_path_factory):
+    """upsert(mode='eq-delete') — MERGE as eq-delete files + append,
+    O(source) commit — produces the SAME table content as the CoW
+    upsert on an identical scenario, with correct counts, and
+    compact() reclaims the deletes."""
+    from iceberg_python_spark import SqliteCatalog
+    from iceberg_python_spark.schema import schema_from_spark
+
+    cat = SqliteCatalog("equps", str(tmp_path_factory.mktemp("wh")), spark)
+    base = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(50)], "id: long, s: string, x: double"
+    )
+    # updates for 0..9 (id%5==0 keep identical values: CoW skips them,
+    # eq-delete rewrites them — content must still match), inserts 100..104
+    upd = spark.createDataFrame(
+        [(i, f"v{i}" if i % 5 == 0 else f"u{i}", float(i)) for i in range(10)]
+        + [(100 + i, f"n{i}", -1.0) for i in range(5)],
+        "id: long, s: string, x: double",
+    )
+    for name, mode in (("db.ups_cow", "copy-on-write"), ("db.ups_eq", "eq-delete")):
+        t = cat.create_table(name, schema_from_spark(base.schema))
+        t.append(base)
+        t = cat.load_table(name)
+        res = t.upsert(upd, join_cols=["id"], mode=mode)
+        if mode == "eq-delete":
+            assert (res.rows_updated, res.rows_inserted) == (10, 5)
+    get = lambda n: sorted(
+        (r.id, r.s, r.x) for r in cat.load_table(n).scan().to_df().collect()
+    )
+    assert get("db.ups_eq") == get("db.ups_cow")
+    # second round on the eq table: re-upsert over rows kept alive only
+    # by sequence numbers (delete + re-append of the same keys)
+    upd2 = spark.createDataFrame([(3, "w3", 9.0), (200, "n200", 0.0)], "id: long, s: string, x: double")
+    t = cat.load_table("db.ups_eq")
+    res2 = t.upsert(upd2, join_cols=["id"], mode="eq-delete")
+    assert (res2.rows_updated, res2.rows_inserted) == (1, 1)
+    rows = {r.id: r.s for r in cat.load_table("db.ups_eq").scan().to_df().collect()}
+    assert rows[3] == "w3" and rows[200] == "n200" and rows[5] == "v5" and len(rows) == 56
+    # compaction reclaims the delete files; content unchanged
+    t = cat.load_table("db.ups_eq")
+    t.compact()
+    t = cat.load_table("db.ups_eq")
+    assert not any(x.eq_delete_files for x in t.scan().plan_files())
+    rows2 = {r.id: r.s for r in t.scan().to_df().collect()}
+    assert rows2 == rows
+    # partial merges are rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="eq-delete"):
+        cat.load_table("db.ups_eq").upsert(
+            upd2, join_cols=["id"], mode="eq-delete", when_matched_update_all=False
+        )
