@@ -2267,6 +2267,28 @@ def _q_events_asof_join(spark, env):
     return asof_join(left, markers, "ts", by=["user_id"])
 
 
+def _q_events_asof_keyless(spark, env):
+    # r10: the KEYLESS as-of path — range-chunked windows with
+    # cross-edge carry instead of one global window partition (the r09
+    # ADVICE scale hazard, closed this round). Markers are a global
+    # sub-stream deduped per ts; every event picks the latest marker at
+    # or before its timestamp. Oracle: DuckDB native ASOF without keys.
+    from iceberg_python_spark.operators.joins import asof_join
+
+    ev = env["events"].scan(selected_fields=("event_id", "user_id", "ts", "value")).to_df()
+    markers = (
+        ev.where("event_id % 25 = 0")
+        .groupBy("ts")
+        .agg(F.min("event_id").alias("marker_id"))
+    )
+    markers = markers.join(
+        ev.select(F.col("event_id").alias("marker_id"), F.col("value").alias("marker_value")),
+        "marker_id",
+    ).select("ts", "marker_id", "marker_value")
+    left = ev.select("event_id", "user_id", "ts")
+    return asof_join(left, markers, "ts")
+
+
 def _q_events_range_join(spark, env):
     # Point-in-interval join via time-bucket equi-join (no broadcast
     # nested loop): events landing in each marker's [ts, ts+1h) window
@@ -2554,6 +2576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "scan_distributed_mor": _q_scan_distributed_mor,
             "multimodal_image_decode": _q_multimodal_image_decode,
             "upsert_eq_delete": _q_upsert_eq_delete,
+            "events_asof_keyless": _q_events_asof_keyless,
             # --- r08-greened set at the 2-round edge ---
             "spark_datasource_scan": _q_spark_datasource_scan,
             "changelog_schema_evolution": _q_changelog_schema_evolution,
@@ -2826,6 +2849,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM m0 JOIN events e ON e.event_id = m0.marker_id) "
             "SELECT l.event_id, l.user_id, l.ts, m.ts AS ts_matched, m.marker_id, m.marker_value "
             "FROM events l ASOF LEFT JOIN m ON l.user_id = m.user_id AND m.ts <= l.ts"
+        ),
+        "events_asof_keyless": (
+            "WITH m0 AS (SELECT ts, min(event_id) AS marker_id FROM events "
+            "WHERE event_id % 25 = 0 GROUP BY ts), "
+            "m AS (SELECT m0.ts, m0.marker_id, e.value AS marker_value "
+            "FROM m0 JOIN events e ON e.event_id = m0.marker_id) "
+            "SELECT l.event_id, l.user_id, l.ts, m.ts AS ts_matched, m.marker_id, m.marker_value "
+            "FROM events l ASOF LEFT JOIN m ON m.ts <= l.ts"
         ),
         "events_range_join": (
             "WITH m0 AS (SELECT user_id, ts, min(event_id) AS marker_id FROM events "

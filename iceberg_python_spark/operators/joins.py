@@ -45,11 +45,17 @@ def asof_join(
     by: Sequence[str] = (),
     tolerance: Optional[float] = None,
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row picks the LATEST right row
-    with the same ``by`` keys and ``right.on <= left.on`` (``strict=True``
-    for ``<``); unmatched left rows keep NULL right columns (left-join
-    semantics, the standard as-of contract).
+    """As-of join: each left row picks the LATEST right row with the
+    same ``by`` keys and ``right.on <= left.on`` (``direction=
+    "backward"``, the default; ``strict=True`` for ``<``), the EARLIEST
+    right row at-or-after (``"forward"``), or whichever of the two is
+    closer (``"nearest"``, ties to backward — two passes composed);
+    unmatched left rows keep NULL right columns (left-join semantics,
+    the standard as-of contract — pandas ``merge_asof`` directions).
+    Forward/nearest need a timestamp or numeric ``on`` (they order on
+    the negated axis).
 
     ``tolerance`` (same units as ``on`` — seconds for timestamps)
     rejects matches older than ``left.on - tolerance``: the right
@@ -84,8 +90,12 @@ def asof_join(
     key the join if one instant dominates.
     """
     by = list(by)
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     if on not in left.columns or on not in right.columns:
         raise ValueError(f"asof column {on!r} must exist on both sides")
+    if direction == "nearest":
+        return _asof_nearest(left, right, on, by, tolerance, strict)
     rpay = [c for c in right.columns if c != on and c not in by]
     collisions = (set(rpay) | {f"{on}_matched"}) & set(left.columns)
     if collisions:
@@ -97,6 +107,16 @@ def asof_join(
     on_is_time = isinstance(
         left.schema[on].dataType, (T.TimestampType, T.TimestampNTZType)
     )
+    fwd = direction == "forward"
+    if fwd and not (on_is_time or isinstance(left.schema[on].dataType, T.NumericType)):
+        raise NotImplementedError("direction='forward' needs a timestamp or numeric asof column")
+
+    def _ord(df_, col_):
+        # forward = backward on the NEGATED axis: one code path serves
+        # both directions (tolerance deltas negate consistently too)
+        n = _ts_num(df_, col_)
+        return (-n) if fwd else n
+
     # _ats / _tsu carry the ORDER key as epoch-µs longs (timestamps) or
     # the raw value (numerics); _m._ts keeps the original type for the
     # {on}_matched output column
@@ -107,18 +127,18 @@ def asof_join(
     )
     lpart = left.select(
         *[F.col(c) for c in by],
-        _ts_num(left, on).alias("_ats"),
+        _ord(left, on).alias("_ats"),
         F.lit(ltag).alias("_tag"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
         F.lit(None).cast(rp_type).alias("_rp"),
     )
     rpart = right.select(
         *[F.col(c) for c in by],
-        _ts_num(right, on).alias("_ats"),
+        _ord(right, on).alias("_ats"),
         F.lit(rtag).alias("_tag"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
         F.struct(
-            F.col(on).alias("_ts"), _ts_num(right, on).alias("_tsu"), *[F.col(c) for c in rpay]
+            F.col(on).alias("_ts"), _ord(right, on).alias("_tsu"), *[F.col(c) for c in rpay]
         ).alias("_rp"),
     )
     from pyspark.sql import Window
@@ -148,6 +168,50 @@ def asof_join(
     for c in rpay:
         sel.append(F.when(valid, F.col(f"_m.{c}")).alias(c))
     return out.select(*sel)
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str],
+    tolerance: Optional[float],
+    strict: bool,
+) -> DataFrame:
+    """direction='nearest': compose the backward and forward passes and
+    pick the closer match per left row (ties to backward). Costs two
+    as-of shuffles; the left side is id-tagged and checkpointed once so
+    both passes see identical row identities."""
+    t = left.schema[on].dataType
+    if not isinstance(t, (T.TimestampType, T.TimestampNTZType, T.NumericType)):
+        raise NotImplementedError("direction='nearest' needs a timestamp or numeric asof column")
+    lid = "_asof_lid"
+    if lid in left.columns or lid in right.columns:
+        raise ValueError(f"column {lid!r} is reserved by direction='nearest'")
+    left_id = left.withColumn(lid, F.monotonically_increasing_id()).localCheckpoint(eager=True)
+    b = asof_join(left_id, right, on, by, tolerance, strict, direction="backward")
+    f = asof_join(left_id, right, on, by, tolerance, strict, direction="forward")
+    rpay = [c for c in right.columns if c != on and c not in by]
+    mcols = [f"{on}_matched", *rpay]
+    fsel = f.select(F.col(lid), *[F.col(c).alias(f"_f_{c}") for c in mcols])
+
+    def num(c):
+        if isinstance(t, T.TimestampNTZType):
+            return F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{c}`)")
+        if isinstance(t, T.TimestampType):
+            return F.unix_micros(F.col(c))
+        return F.col(c)
+
+    j = b.join(fsel, lid)
+    db = num(on) - num(f"{on}_matched")
+    df_ = num(f"_f_{on}_matched") - num(on)
+    use_fwd = F.col(f"{on}_matched").isNull() | (
+        F.col(f"_f_{on}_matched").isNotNull() & (df_ < db)
+    )
+    sel = [F.col(c) for c in left.columns]
+    for c in mcols:
+        sel.append(F.when(use_fwd, F.col(f"_f_{c}")).otherwise(F.col(c)).alias(c))
+    return j.select(*sel)
 
 
 def _keyless_asof_carry(u: DataFrame) -> DataFrame:

@@ -1567,6 +1567,51 @@ def test_asof_join_matches_pandas(spark, lrows, rrows):
 
 
 @given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=20),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=20),
+    st.sampled_from(["forward", "nearest"]),
+)
+@settings(max_examples=8, deadline=None)
+def test_asof_join_directions_match_pandas(spark, lrows, rrows, direction):
+    """Property: forward and nearest directions == pandas merge_asof on
+    random keyed integer frames (nearest ties resolve to backward in
+    both engines)."""
+    import pandas as pd
+
+    from iceberg_python_spark.operators.joins import asof_join
+
+    rdedup = {}
+    for k, tt in rrows:
+        rdedup[(k, tt)] = (k * 100 + tt) * 10
+    left = spark.createDataFrame(
+        [(i, k, tt) for i, (k, tt) in enumerate(lrows)], "lid: long, k: long, t: long"
+    )
+    right = (
+        spark.createDataFrame(
+            [(k, tt, v) for (k, tt), v in sorted(rdedup.items())], "k: long, t: long, rv: long"
+        )
+        if rdedup
+        else spark.createDataFrame([], "k: long, t: long, rv: long")
+    )
+    got = {
+        r.lid: (None if r.rv is None else int(r.rv))
+        for r in asof_join(left, right, "t", by=["k"], direction=direction).collect()
+    }
+    lp = pd.DataFrame(
+        [(i, k, tt) for i, (k, tt) in enumerate(lrows)], columns=["lid", "k", "t"]
+    ).sort_values("t", kind="stable")
+    if rdedup:
+        rp = pd.DataFrame(
+            [(k, tt, v) for (k, tt), v in sorted(rdedup.items())], columns=["k", "t", "rv"]
+        ).sort_values("t", kind="stable")
+        m = pd.merge_asof(lp, rp, on="t", by="k", direction=direction)
+        want = {int(r.lid): (None if pd.isna(r.rv) else int(r.rv)) for r in m.itertuples()}
+    else:
+        want = {int(r.lid): None for r in lp.itertuples()}
+    assert got == want
+
+
+@given(
     st.lists(st.integers(0, 1000), min_size=1, max_size=30),
     st.lists(st.integers(0, 1000), min_size=0, max_size=30),
 )
