@@ -355,7 +355,12 @@ class MetastoreCatalog:
         # uuid suffix so concurrent commit attempts at the same version can
         # NEVER overwrite each other's file — the CAS below picks the winner
         # (same reason the spec names files 00001-<uuid>.metadata.json)
-        path = posixpath.join(metadata.location, "metadata", f"{version:05d}-{uuid.uuid4()}.metadata.json")
+        from .locations import metadata_base_path
+
+        path = posixpath.join(
+            metadata_base_path(metadata.location, metadata.properties),
+            f"{version:05d}-{uuid.uuid4()}.metadata.json",
+        )
         metadata.write(path)
         return path
 

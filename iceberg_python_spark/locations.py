@@ -38,6 +38,20 @@ ENTROPY_DIR_DEPTH = 3
 OBJECT_STORE_ENABLED = "write.object-storage.enabled"
 PARTITIONED_PATHS = "write.object-storage.partitioned-paths"
 WRITE_DATA_PATH = "write.data.path"
+WRITE_METADATA_PATH = "write.metadata.path"
+
+
+def metadata_base_path(table_location: str, properties: Optional[Dict[str, str]] = None) -> str:
+    """Base dir for NEW engine-owned metadata files (reference
+    locations.py:56 honors ``write.metadata.path`` the same way):
+    metadata JSON, manifests, statistics files and scan plans all land
+    here. Existing files keep working after a property change — every
+    recorded metadata path is absolute, so the override only redirects
+    new writes. The filesystem-catalog ``version-hint.text`` stays
+    under ``<location>/metadata`` (it is the DISCOVERY convention a
+    path-only reader probes before it can see any properties)."""
+    custom = (properties or {}).get(WRITE_METADATA_PATH)
+    return custom.rstrip("/") if custom else f"{table_location.rstrip('/')}/metadata"
 
 
 def _to_bool(v: Optional[str], default: bool) -> bool:

@@ -254,6 +254,14 @@ def _avro_codec(meta: "TableMetadata") -> str:
     return mapping.get(raw, raw)
 
 
+def _metadata_base(meta: "TableMetadata") -> str:
+    """write.metadata.path-aware base dir for new engine metadata files
+    (reference locations.py:56)."""
+    from ..locations import metadata_base_path
+
+    return metadata_base_path(meta.location, meta.properties)
+
+
 def _metadata_format(meta: "TableMetadata") -> str:
     """Manifest/manifest-list file format for commits:
     ``write.metadata.format`` = parquet (engine-native, Spark-readable,
@@ -839,7 +847,7 @@ class Table:
 
         if max_age_hours is None:
             max_age_hours = float(self.metadata.properties.get("read.plan.max-age-hours", "24"))
-        base = posixpath.join(self.location, "metadata", "scan-plans")
+        base = posixpath.join(_metadata_base(self.metadata), "scan-plans")
         now = now_ms if now_ms is not None else int(time.time() * 1000)
         cutoff = now - int(max_age_hours * 3600_000)
         dirs: Set[str] = set()
@@ -1465,7 +1473,7 @@ class Transaction:
         snapshot_id = _new_snapshot_id()
         seq = meta.last_sequence_number + 1
         removed_paths = removed_paths or set()
-        manifests_dir = posixpath.join(meta.location, "metadata", "manifests")
+        manifests_dir = posixpath.join(_metadata_base(meta), "manifests")
         # write.metadata.format=avro emits the spec's Avro manifests so
         # other Iceberg engines read this table natively (default:
         # parquet — Spark-readable, enables the distributed planner)
@@ -1620,7 +1628,7 @@ class Transaction:
         if parent is None:
             return 0
         schema = meta.schema()
-        manifests_dir = posixpath.join(meta.location, "metadata", "manifests")
+        manifests_dir = posixpath.join(_metadata_base(meta), "manifests")
         live = self.table._live_manifests(parent)
         if target_entries is not None:
             meta = _dc_replace(
@@ -3194,8 +3202,7 @@ class DataScan:
         # dir name leads with a millisecond timestamp so the age-guarded
         # sweeper (Table.clean_scan_plans) needs no store mtime support
         plan_dir = posixpath.join(
-            self.table.location,
-            "metadata",
+            _metadata_base(metadata),
             "scan-plans",
             f"{int(time.time() * 1000)}-{_uuid.uuid4().hex}",
         )

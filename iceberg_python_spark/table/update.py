@@ -26,6 +26,7 @@ from ..partitioning import PartitionField, PartitionSpec
 from ..schema import Schema, promote
 from ..transforms import IdentityTransform, parse_transform
 from ..types import IcebergType, NestedField
+from . import _metadata_base
 from .metadata import MAIN_BRANCH, SnapshotRef, SortField, SortOrder
 from .snapshots import SnapshotLogEntry
 
@@ -448,7 +449,7 @@ class UpdateStatistics:
         _pq.write_table(arrow, buf, compression="zstd")
         data_bytes = buf.getvalue()
         path = posixpath.join(
-            meta.location, "metadata", f"partition-stats-{snap.snapshot_id}-{_uuid.uuid4()}.parquet"
+            _metadata_base(meta), f"partition-stats-{snap.snapshot_id}-{_uuid.uuid4()}.parquet"
         )
         write_bytes(path, data_bytes, self.table.spark)
         return {
@@ -500,7 +501,7 @@ class UpdateStatistics:
             footer_size = writer.footer_size
             data = writer.finish()
             path = posixpath.join(
-                meta.location, "metadata", f"{_uuid.uuid4()}.stats.puffin"
+                _metadata_base(meta), f"{_uuid.uuid4()}.stats.puffin"
             )
             fileio.write_bytes(path, data, self.table.spark)
             # one StatisticsFile per snapshot (reference set_statistics

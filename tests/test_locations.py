@@ -146,3 +146,48 @@ def test_custom_location_provider_impl(spark, tmp_path):
         load_location_provider("/x", {"write.py-location-provider.impl": "nope.Missing"})
     with _pytest.raises(ValueError, match="module.Class"):
         load_location_provider("/x", {"write.py-location-provider.impl": "NoModule"})
+
+
+def test_write_metadata_path_redirects_new_metadata(spark, tmp_path_factory):
+    """write.metadata.path (reference locations.py:56): new metadata
+    JSON, manifests, scan plans and statistics files land under the
+    override; files recorded before the change keep working (absolute
+    paths)."""
+    import os
+
+    from iceberg_python_spark import SqliteCatalog
+    from iceberg_python_spark.schema import schema_from_spark
+
+    wh = tmp_path_factory.mktemp("wh")
+    alt = str(tmp_path_factory.mktemp("altmeta"))
+    cat = SqliteCatalog("wmp", str(wh), spark)
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(20)], "id: long, s: string")
+    t = cat.create_table("db.meta_redir", schema_from_spark(df.schema))
+    t.append(df)  # v1 under <location>/metadata
+    t = cat.load_table("db.meta_redir")
+    default_dir = os.path.join(t.location, "metadata")
+    assert any(f.endswith(".metadata.json") for f in os.listdir(default_dir))
+
+    t.set_properties({"write.metadata.path": alt})
+    t = cat.load_table("db.meta_redir")
+    t.append(df.where("id < 5"))
+    t = cat.load_table("db.meta_redir")
+    # the new metadata json + manifests landed under the override
+    assert any(f.endswith(".metadata.json") for f in os.listdir(alt))
+    assert os.path.isdir(os.path.join(alt, "manifests"))
+    assert t.scan().to_df().count() == 25
+    # statistics file honors it too
+    t.update_statistics().set_ndv("id", 20).commit()
+    t = cat.load_table("db.meta_redir")
+    assert any(f.endswith(".stats.puffin") for f in os.listdir(alt))
+    # streamed scan plans honor it (threshold=0 forces the plan write)
+    t.set_properties({"read.plan.distributed-threshold": "0"})
+    t = cat.load_table("db.meta_redir")
+    scan = t.scan(selected_fields=("id",))
+    assert scan.to_df().count() == 25
+    plans = os.path.join(alt, "scan-plans")
+    assert os.path.isdir(plans) and os.listdir(plans)
+    assert t.clean_scan_plans(now_ms=2**62) and os.listdir(plans) == []
+    # old (pre-override) snapshot remains readable: absolute paths
+    first = t.metadata.snapshots[0]
+    assert t.scan(snapshot_id=first.snapshot_id).to_df().count() == 20
