@@ -612,6 +612,53 @@ def main() -> int:
             r_spec.partition_to_path(RRecord(cat, nb, day), r_schema),
         )
 
+    # -- location providers (family #13): write.data.path /
+    # write.metadata.path resolution and the object-storage entropy
+    # layout must place files exactly where the reference would
+    # (locations.py:44-58 base paths, :160-205 entropy dirs) ----------------
+    from pyiceberg.table.locations import load_location_provider as r_load_provider
+
+    from iceberg_python_spark.locations import metadata_base_path as o_metadata_base
+    from iceberg_python_spark.locations import load_location_provider as o_load_provider
+
+    loc_cases = [
+        ("defaults", "s3://bkt/wh/db/t", {}),
+        ("data override", "s3://bkt/wh/db/t", {"write.data.path": "s3://other/dat/"}),
+        ("metadata override", "s3://bkt/wh/db/t", {"write.metadata.path": "s3://other/meta/"}),
+        (
+            "object storage",
+            "s3://bkt/wh/db/t",
+            {"write.object-storage.enabled": "true"},
+        ),
+        (
+            "object storage flat",
+            "s3://bkt/wh/db/t",
+            {
+                "write.object-storage.enabled": "true",
+                "write.object-storage.partitioned-paths": "false",
+            },
+        ),
+    ]
+    for label, loc, props in loc_cases:
+        rp = r_load_provider(loc, props)
+        op = o_load_provider(loc, props)
+        check(f"location {label}: data path", op.data_path, rp.data_path)
+        check(
+            f"location {label}: metadata base",
+            o_metadata_base(loc, props),
+            rp.metadata_path,
+        )
+        check(
+            f"location {label}: new_metadata_location",
+            f"{o_metadata_base(loc, props)}/00042-x.metadata.json",
+            rp.new_metadata_location("00042-x.metadata.json"),
+        )
+        check(
+            f"location {label}: unpartitioned data file",
+            op.new_data_location("f1.parquet"),
+            rp.new_data_location("f1.parquet"),
+        )
+
     if failures:
         print(f"{len(failures)} CONFORMANCE FAILURES:")
         for f in failures[:25]:
@@ -620,7 +667,7 @@ def main() -> int:
     print(
         "CONFORMANCE-OK (bucket/truncate/temporal/human-string/schema-json/"
         "conversions/v3-metadata/name-mapping/filter-parser/config-contract/"
-        "time-uuid-ergonomics/partition-to-path vs reference)"
+        "time-uuid-ergonomics/partition-to-path/location-providers vs reference)"
     )
     return 0
 
