@@ -2327,6 +2327,80 @@ def _q_events_time_rollup(spark, env):
     return time_rollup(ev, "ts", ["event_type"], "value", [3600, 86400])
 
 
+def _q_rollup_time_multires(spark, env):
+    # r10: incremental maintenance of the MULTI-RESOLUTION time rollup
+    # (materialize.refresh_time_rollup — the batch tick rollup_stream
+    # runs per micro-batch). Two refreshes over a two-snapshot events
+    # clone: tick 1 full-computes at the pinned first snapshot, tick 2
+    # folds ONLY the delta (incremental mode, asserted). Oracle: a
+    # from-scratch bucket GROUP BY over the full source. Values fold as
+    # integer cents -> bit-reproducible sums.
+    if "events_time_rollup_tbl" not in env:
+        from iceberg_python_spark.materialize import refresh_time_rollup
+        from iceberg_python_spark.schema import schema_from_spark
+        from iceberg_python_spark.streaming import time_rollup
+
+        cat = env["catalog"]
+        ev = (
+            env["events"]
+            .scan(selected_fields=("event_id", "ts", "user_id", "value"))
+            .to_df()
+            .select(
+                "event_id",
+                "ts",
+                "user_id",
+                F.expr("CAST(round(value * 100) AS BIGINT)").alias("value_cents"),
+            )
+        )
+        src_t = cat.create_table("db.events_inc_tr", schema_from_spark(ev.schema))
+        src_t.append(ev.where("event_id % 2 = 0"))
+        src_t = cat.load_table("db.events_inc_tr")
+        snap1 = src_t.current_snapshot().snapshot_id
+        src_t.append(ev.where("event_id % 2 = 1"))
+        src_t = cat.load_table("db.events_inc_tr")
+        tschema = time_rollup(
+            ev.limit(0), "ts", ("user_id",), "value_cents", (3600, 86400), round_dp=None
+        ).schema
+        for f_ in tschema.fields:
+            f_.nullable = True
+        tgt = cat.create_table("db.events_tr_rollup", schema_from_spark(tschema))
+        r1 = refresh_time_rollup(
+            src_t, tgt, "ts", ("user_id",), "value_cents", (3600, 86400), to_snapshot_id=snap1
+        )
+        tgt = cat.load_table("db.events_tr_rollup")
+        r2 = refresh_time_rollup(src_t, tgt, "ts", ("user_id",), "value_cents", (3600, 86400))
+        assert r1["mode"] == "full" and r2["mode"] == "incremental", (r1, r2)
+        env["events_time_rollup_tbl"] = cat.load_table("db.events_tr_rollup")
+    t = env["events_time_rollup_tbl"]
+    return t.scan().to_df().select(
+        "width_s", "bucket_start", "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("long").alias("sum_cents"),
+        F.col("min_value").cast("long").alias("min_cents"),
+        F.col("max_value").cast("long").alias("max_cents"),
+    )
+
+
+def _q_events_asof_forward(spark, env):
+    # r10: direction="forward" — earliest marker AT OR AFTER each event
+    # per user (negated-axis machinery). Oracle: DuckDB native ASOF on
+    # the NEGATED epoch axis (forward == backward on -t).
+    from iceberg_python_spark.operators.joins import asof_join
+
+    ev = env["events"].scan(selected_fields=("event_id", "user_id", "ts", "value")).to_df()
+    markers = (
+        ev.where("event_id % 10 = 0")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("marker_id"))
+    )
+    markers = markers.join(
+        ev.select(F.col("event_id").alias("marker_id"), F.col("value").alias("marker_value")),
+        "marker_id",
+    ).select("user_id", "ts", "marker_id", "marker_value")
+    left = ev.select("event_id", "user_id", "ts")
+    return asof_join(left, markers, "ts", by=["user_id"], direction="forward")
+
+
 def _q_sample_domain_cap(spark, env):
     # Per-source document cap (C4/RefinedWeb dominance guard): at most
     # 150 docs per source survive, chosen by md5(doc_id) rank. Fully
@@ -2577,6 +2651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "multimodal_image_decode": _q_multimodal_image_decode,
             "upsert_eq_delete": _q_upsert_eq_delete,
             "events_asof_keyless": _q_events_asof_keyless,
+            "events_asof_forward": _q_events_asof_forward,
+            "rollup_time_multires": _q_rollup_time_multires,
             # --- r08-greened set at the 2-round edge ---
             "spark_datasource_scan": _q_spark_datasource_scan,
             "changelog_schema_evolution": _q_changelog_schema_evolution,
@@ -2841,6 +2917,26 @@ def oracle_sql() -> dict[str, str]:
             "e.event_type, CAST(count(*) AS BIGINT) AS n_events, "
             "round(sum(e.value), 4) AS sum_value, min(e.value) AS min_value, max(e.value) AS max_value "
             "FROM events e CROSS JOIN w GROUP BY 1, 2, 3"
+        ),
+        "rollup_time_multires": (
+            "WITH w AS (SELECT CAST(3600 AS BIGINT) AS width_s UNION ALL SELECT CAST(86400 AS BIGINT)) "
+            "SELECT CAST(w.width_s AS BIGINT) AS width_s, "
+            "CAST(to_timestamp((epoch_us(e.ts) // (w.width_s * 1000000)) * w.width_s) AS TIMESTAMP) AS bucket_start, "
+            "e.user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents, "
+            "CAST(min(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS min_cents, "
+            "CAST(max(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS max_cents "
+            "FROM events e CROSS JOIN w GROUP BY 1, 2, 3"
+        ),
+        "events_asof_forward": (
+            "WITH m0 AS (SELECT user_id, ts, min(event_id) AS marker_id FROM events "
+            "WHERE event_id % 10 = 0 GROUP BY user_id, ts), "
+            "m AS (SELECT m0.user_id, m0.ts, m0.marker_id, e.value AS marker_value "
+            "FROM m0 JOIN events e ON e.event_id = m0.marker_id), "
+            "ln AS (SELECT event_id, user_id, ts, -epoch_us(ts) AS nts FROM events), "
+            "mn AS (SELECT user_id, ts, marker_id, marker_value, -epoch_us(ts) AS nts FROM m) "
+            "SELECT l.event_id, l.user_id, l.ts, mn.ts AS ts_matched, mn.marker_id, mn.marker_value "
+            "FROM ln l ASOF LEFT JOIN mn ON l.user_id = mn.user_id AND mn.nts <= l.nts"
         ),
         "events_asof_join": (
             "WITH m0 AS (SELECT user_id, ts, min(event_id) AS marker_id FROM events "
