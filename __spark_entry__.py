@@ -2530,6 +2530,50 @@ def _q_multimodal_image_decode(spark, env):
     )
 
 
+def _q_multimodal_audio_decode(spark, env):
+    # r10: REAL audio decode under the driver's oracle. Deterministic
+    # WAV tones (freq = 200 + 20*(doc_id % 40) Hz, 0.25 s @ 8 kHz,
+    # stereo when doc_id % 2 == 0) synthesized with the engine's own
+    # PCM writer, decoded by the stdlib codec inside
+    # extract_audio_stats. Claims from the decoded output: every
+    # payload decodes, duration/rate/channels match the generator, and
+    # the spectral centroid lands within 30 Hz of the generating tone.
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_python_spark.operators.audio import encode_wav
+    from iceberg_python_spark.operators.multimodal import extract_audio_stats
+
+    docs = env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 400")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"].astype(int):
+                freq = 200 + 20 * (d % 40)
+                t = np.arange(2000) / 8000.0
+                x = 0.5 * np.sin(2 * np.pi * freq * t)
+                if d % 2 == 0:
+                    x = np.stack([x, x], axis=1)
+                payloads.append(encode_wav(x, 8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    au = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    stats = extract_audio_stats(au, "doc_id", "payload")
+    j = stats.withColumn("freq", (F.lit(200) + (F.col("id") % 40) * 20).cast("double"))
+    return j.agg(
+        F.count("*").alias("n_audio"),
+        F.countDistinct((F.col("id") % 40)).cast("long").alias("n_freq_groups"),
+        F.min("decode_ok").alias("all_decoded"),
+        F.min(
+            (F.col("duration_ms") == 250)
+            & (F.col("sample_rate") == 8000)
+            & (F.col("n_channels") == F.when(F.col("id") % 2 == 0, 2).otherwise(1))
+        ).alias("format_ok"),
+        F.min(F.abs(F.col("spectral_centroid_hz") - F.col("freq")) < 30).alias("centroid_ok"),
+    )
+
+
 def _q_text_token_sketch(spark, env):
     # Bounded-state corpus stats: HLL++ distinct-token cardinality per
     # source. The row cross-checks the sketch against the exact count at
@@ -2653,6 +2697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_asof_keyless": _q_events_asof_keyless,
             "events_asof_forward": _q_events_asof_forward,
             "rollup_time_multires": _q_rollup_time_multires,
+            "multimodal_audio_decode": _q_multimodal_audio_decode,
             # --- r08-greened set at the 2-round edge ---
             "spark_datasource_scan": _q_spark_datasource_scan,
             "changelog_schema_evolution": _q_changelog_schema_evolution,
@@ -2984,6 +3029,12 @@ def oracle_sql() -> dict[str, str]:
         "scan_distributed_read": (
             "SELECT l_orderkey, l_partkey, l_quantity, l_shipdate FROM lineitem "
             "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_quantity > 30"
+        ),
+        "multimodal_audio_decode": (
+            "SELECT count(*) AS n_audio, "
+            "CAST(count(DISTINCT doc_id % 40) AS BIGINT) AS n_freq_groups, "
+            "true AS all_decoded, true AS format_ok, true AS centroid_ok "
+            "FROM documents WHERE doc_id < 400"
         ),
         "multimodal_image_decode": (
             "SELECT count(*) AS n_images, "

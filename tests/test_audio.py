@@ -1,0 +1,83 @@
+"""Stdlib WAV codec + feature tests (no Spark except the mapInPandas
+integration test)."""
+
+import numpy as np
+import pytest
+
+from iceberg_python_spark.operators.audio import (
+    audio_stats,
+    decode_audio,
+    decode_wav,
+    encode_wav,
+)
+
+
+def _tone(freq, rate=8000, seconds=0.5, ch=1):
+    t = np.arange(int(rate * seconds)) / rate
+    x = 0.5 * np.sin(2 * np.pi * freq * t)
+    return np.stack([x] * ch, axis=1) if ch > 1 else x
+
+
+def test_wav_roundtrip_16bit():
+    x = _tone(440)
+    got, rate = decode_wav(encode_wav(x, 8000))
+    assert rate == 8000 and got.shape == (4000, 1)
+    assert np.abs(got[:, 0] - x).max() < 1e-3  # 16-bit quantization
+
+
+def test_wav_roundtrip_8bit_stereo():
+    x = _tone(200, ch=2)
+    got, rate = decode_wav(encode_wav(x, 8000, bits=8))
+    assert got.shape == (4000, 2)
+    assert np.abs(got - x).max() < 2e-2  # 8-bit quantization
+
+
+def test_wav_24bit_and_float_decode():
+    # hand-build a 24-bit PCM chunk and a float32 chunk
+    import struct
+
+    vals = np.array([0, 1 << 22, -(1 << 22)], dtype=np.int64)
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    body = b"fmt " + struct.pack("<I", 16) + fmt + b"data" + struct.pack("<I", len(raw)) + raw
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    x, rate = decode_wav(wav)
+    assert np.allclose(x[:, 0], [0.0, 0.5, -0.5])
+    f32 = np.array([0.25, -0.75], dtype="<f4").tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 1, 16000, 16000 * 4, 4, 32)
+    body = b"fmt " + struct.pack("<I", 16) + fmt + b"data" + struct.pack("<I", len(f32)) + f32
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    x, rate = decode_wav(wav)
+    assert rate == 16000 and np.allclose(x[:, 0], [0.25, -0.75])
+
+
+def test_audio_stats_centroid_tracks_tone_frequency():
+    lo = audio_stats(_tone(300).reshape(-1, 1), 8000)
+    hi = audio_stats(_tone(2000).reshape(-1, 1), 8000)
+    assert abs(lo["spectral_centroid_hz"] - 300) < 30
+    assert abs(hi["spectral_centroid_hz"] - 2000) < 60
+    assert lo["duration_ms"] == 500 and lo["n_channels"] == 1
+    assert 0.3 < lo["rms"] < 0.4  # 0.5/sqrt(2)
+    assert hi["zero_crossing_rate"] > lo["zero_crossing_rate"]
+
+
+def test_unsupported_codecs_raise_naming_codec():
+    with pytest.raises(NotImplementedError, match="MP3"):
+        decode_audio(b"ID3\x04rest")
+    with pytest.raises(NotImplementedError, match="FLAC"):
+        decode_audio(b"fLaC....")
+
+
+def test_extract_audio_stats_spark(spark):
+    from iceberg_python_spark.operators.multimodal import extract_audio_stats
+
+    rows = [
+        (1, bytearray(encode_wav(_tone(500), 8000))),
+        (2, bytearray(encode_wav(_tone(500, ch=2), 8000))),
+        (3, bytearray(b"fLaC not really")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, payload: binary")
+    out = {r.id: r for r in extract_audio_stats(df, "doc_id", "payload").collect()}
+    assert out[1].duration_ms == 500 and out[1].sample_rate == 8000
+    assert out[2].n_channels == 2 and abs(out[1].spectral_centroid_hz - 500) < 30
+    assert out[1].decode_ok and not out[3].decode_ok and "FLAC" in out[3].error
