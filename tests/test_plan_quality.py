@@ -202,3 +202,32 @@ def test_broadcast_size_estimate_ndv_fallback(spark, tmp_path_factory):
         assert est is not None and est >= 10  # 10 rows x schema width
     finally:
         snap.summary.update(saved)
+
+
+def test_streamed_mor_delete_is_broadcast_anti_join(spark, tmp_path_factory):
+    """The streamed MoR read applies position deletes as a broadcast
+    anti-join (size-guarded), never a nested loop; whole-file deletes
+    stay metadata-only (no delete files -> plain streamed path)."""
+    from iceberg_python_spark import SqliteCatalog
+
+    cat = SqliteCatalog("morplan", str(tmp_path_factory.mktemp("wh")), spark)
+    df = spark.range(2000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    t = cat.create_table(
+        "db.morplan",
+        schema_from_spark(df.schema),
+        properties={
+            "read.plan.distributed-threshold": "0",
+            "write.delete.mode": "merge-on-read",
+        },
+    )
+    t.append(df)
+    t = cat.load_table("db.morplan")
+    t.delete("k >= 1400 and k < 1600")  # straddles file boundaries -> pos deletes
+    t = cat.load_table("db.morplan")
+    scan = t.scan()
+    out = scan.to_df()
+    assert scan._streaming_plan_info["n_pos_deletes"] >= 1
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert out.count() == 1800
