@@ -2530,6 +2530,42 @@ def _q_multimodal_image_decode(spark, env):
     )
 
 
+def _q_dedup_incremental_lsh(spark, env):
+    # r10: incremental crawl dedup against a PERSISTED LSH index —
+    # O(batch) per tick, corpus never re-signed. Batch = exact copies
+    # of corpus docs (identical signatures -> recall 1, deterministic)
+    # + novel docs with disjoint synthetic vocabulary (survive).
+    # Claims from the output; value columns from SQL.
+    from iceberg_python_spark.operators.dedup import dedup_against_lsh_index, lsh_index
+
+    docs = env["documents"].scan(selected_fields=("doc_id", "text")).to_df()
+    idx = lsh_index(docs, "doc_id", "text")
+    copies = docs.where("doc_id % 20 = 0").select(
+        (F.col("doc_id") + 7000000).alias("doc_id"), "text"
+    )
+    novel = docs.where("doc_id % 20 = 5").select(
+        (F.col("doc_id") + 8000000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit(f"zv{j}x"), F.col("doc_id").cast("string")) for j in range(25)],
+        ).alias("text"),
+    )
+    res = dedup_against_lsh_index(copies.unionByName(novel), idx, "doc_id", "text")
+    n_copies = copies.count()
+    n_novel = novel.count()
+    flagged_copies = res["flagged"].where("doc_id >= 7000000 and doc_id < 8000000").count()
+    surviving_novel = res["survivors"].where("doc_id >= 8000000").count()
+    n_surv = res["survivors"].count()
+    n_delta = res["index_delta"].count()
+    return spark.range(1).select(
+        F.lit(n_copies).cast("long").alias("n_copies"),
+        F.lit(n_novel).cast("long").alias("n_novel"),
+        F.lit(bool(flagged_copies == n_copies)).alias("all_copies_flagged"),
+        F.lit(bool(surviving_novel == n_novel)).alias("all_novel_survive"),
+        F.lit(bool(n_delta == 8 * n_surv)).alias("delta_covers_survivors"),
+    )
+
+
 def _q_multimodal_audio_decode(spark, env):
     # r10: REAL audio decode under the driver's oracle. Deterministic
     # WAV tones (freq = 200 + 20*(doc_id % 40) Hz, 0.25 s @ 8 kHz,
@@ -2698,6 +2734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_asof_forward": _q_events_asof_forward,
             "rollup_time_multires": _q_rollup_time_multires,
             "multimodal_audio_decode": _q_multimodal_audio_decode,
+            "dedup_incremental_lsh": _q_dedup_incremental_lsh,
             # --- r08-greened set at the 2-round edge ---
             "spark_datasource_scan": _q_spark_datasource_scan,
             "changelog_schema_evolution": _q_changelog_schema_evolution,
@@ -3029,6 +3066,12 @@ def oracle_sql() -> dict[str, str]:
         "scan_distributed_read": (
             "SELECT l_orderkey, l_partkey, l_quantity, l_shipdate FROM lineitem "
             "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_quantity > 30"
+        ),
+        "dedup_incremental_lsh": (
+            "SELECT (SELECT count(*) FROM documents WHERE doc_id % 20 = 0) AS n_copies, "
+            "(SELECT count(*) FROM documents WHERE doc_id % 20 = 5) AS n_novel, "
+            "true AS all_copies_flagged, true AS all_novel_survive, "
+            "true AS delta_covers_survivors"
         ),
         "multimodal_audio_decode": (
             "SELECT count(*) AS n_audio, "

@@ -86,6 +86,81 @@ def minhash_signature(df: DataFrame, text_col: str, num_hashes: int = 32, shingl
     return df.withColumn(out, sig).drop("shingles")
 
 
+def _band_buckets(df: DataFrame, id_col: str, sig_col: str, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket) membership rows from a minhash signature —
+    the persistable unit of a banded-LSH index."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.concat_ws("_", *[F.col(sig_col)[b * rows_per_band + r] for r in range(rows_per_band)]))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def lsh_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The persistable LSH INDEX of a corpus: (id, band, bucket) rows.
+    Store it as an engine table and each new crawl batch dedups against
+    it in O(batch) with :func:`dedup_against_lsh_index` — no corpus
+    re-signature, no all-pairs anything. Identical texts produce
+    identical signatures, so exact re-crawls are caught with recall 1;
+    near-dups are caught at the usual banded-LSH probability."""
+    sig = minhash_signature(df, text_col, num_hashes=num_hashes, shingle_n=shingle_n)
+    return _band_buckets(sig, id_col, "minhash", bands, rows_per_band)
+
+
+def dedup_against_lsh_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+) -> dict:
+    """Incremental near-dup dedup of a NEW batch against an existing
+    corpus :func:`lsh_index` (the Dolma/CCNet incremental-crawl shape).
+
+    A new doc is flagged when ANY of its band buckets already exists in
+    the index (band + bucket equality — a semi-join keyed on
+    (band, bucket), so the shuffle is O(batch buckets + matching index
+    rows), never O(corpus)). Returns ``{"survivors", "flagged",
+    "index_delta"}``: survivors are the unflagged docs, ``index_delta``
+    their (id, band, bucket) rows to APPEND to the index table —
+    corpus state stays an append-only table, maintained incrementally.
+
+    In-batch duplicates are NOT handled here (run
+    :func:`minhash_dedup` on the batch first); index parameters must
+    match the ones the index was built with, or buckets can't collide.
+    """
+    nb = lsh_index(
+        new_docs, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        rows_per_band=rows_per_band, shingle_n=shingle_n,
+    ).localCheckpoint(eager=True)
+    hit_ids = (
+        nb.join(index.select("band", "bucket").distinct(), ["band", "bucket"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    survivors = new_docs.join(hit_ids, id_col, "left_anti")
+    flagged = new_docs.join(hit_ids, id_col, "left_semi")
+    index_delta = nb.join(hit_ids, id_col, "left_anti")
+    return {"survivors": survivors, "flagged": flagged, "index_delta": index_delta}
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -102,17 +177,7 @@ def minhash_lsh_candidates(
     k^2/2 pairs and stalls a single reducer at scale. Docs dropped from
     a hot bucket usually still pair via their other bands.
     Returns distinct (id_a, id_b) with id_a < id_b."""
-    buckets = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(F.concat_ws("_", *[F.col(sig_col)[b * rows_per_band + r] for r in range(rows_per_band)]))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
+    buckets = _band_buckets(df, id_col, sig_col, bands, rows_per_band)
     if max_bucket_size:
         from pyspark.sql import Window
 

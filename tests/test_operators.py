@@ -208,6 +208,39 @@ def test_multimodal_features(spark):
         extract_image_features(df, "doc_id", "payload", decode_stub="raise").collect()
 
 
+def test_dedup_against_lsh_index(spark):
+    """Incremental crawl dedup: exact re-crawls of indexed docs are
+    always flagged (identical signatures), disjoint-vocabulary novel
+    docs survive and extend the index; equivalence with a from-scratch
+    joint run holds."""
+    from iceberg_python_spark.operators.dedup import dedup_against_lsh_index, lsh_index
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"w{i}t{j}" for j in range(30))) for i in range(20)],
+        "doc_id: long, text: string",
+    )
+    idx = lsh_index(corpus, "doc_id", "text").localCheckpoint(eager=True)
+    assert idx.count() == 20 * 8  # 8 bands per doc
+    recrawl = corpus.where("doc_id < 7").withColumn("doc_id", F.col("doc_id") + 1000)
+    novel = spark.createDataFrame(
+        [(2000 + i, " ".join(f"n{i}q{j}" for j in range(30))) for i in range(5)],
+        "doc_id: long, text: string",
+    )
+    res = dedup_against_lsh_index(recrawl.unionByName(novel), idx, "doc_id", "text")
+    flagged = {r.doc_id for r in res["flagged"].collect()}
+    surv = {r.doc_id for r in res["survivors"].collect()}
+    assert flagged == {1000 + i for i in range(7)}  # every exact copy caught
+    assert surv == {2000 + i for i in range(5)}     # disjoint vocab survives
+    # the delta covers exactly the survivors, ready to append to the index
+    assert {r.doc_id for r in res["index_delta"].collect()} == surv
+    # appending the delta makes a re-crawl of the NOVEL docs get caught
+    idx2 = idx.unionByName(res["index_delta"])
+    res2 = dedup_against_lsh_index(
+        novel.withColumn("doc_id", F.col("doc_id") + 9000), idx2, "doc_id", "text"
+    )
+    assert res2["survivors"].count() == 0
+
+
 def test_extract_image_stats_real_decode(spark):
     """Real PNG/PPM/BMP decode inside mapInPandas: exact dimensions,
     channel means, pHash equality for duplicate pixels, per-row error
