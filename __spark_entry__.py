@@ -2530,6 +2530,47 @@ def _q_multimodal_image_decode(spark, env):
     )
 
 
+def _q_multimodal_video_frames(spark, env):
+    # r10: REAL video frame sampling (Y4M decode) under the driver's
+    # oracle. Each doc key synthesizes a 6-frame 6-fps clip (noise
+    # seeded by doc_id % 23; dups share a seed), sampled every 500 ms
+    # -> exactly frames {0, 3} per clip. Claims: all decode, cadence
+    # exact, same-seed clips share BOTH frame pHashes, distinct seeds
+    # do not. Value columns from SQL.
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_python_spark.operators.multimodal import extract_video_frames
+    from iceberg_python_spark.operators.video import encode_y4m
+
+    docs = env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 300")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"].astype(int):
+                rng = np.random.default_rng(int(d) % 23)
+                frames = [rng.integers(0, 256, (16, 20, 3), dtype=np.uint8) for _ in range(6)]
+                payloads.append(encode_y4m(frames, fps=6))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    vids = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    out = extract_video_frames(vids, "doc_id", "payload", every_n_ms=500)
+    j = out.withColumn("seed", F.col("id") % 23)
+    return j.agg(
+        (F.count("*") / 2).cast("long").alias("n_videos"),
+        F.countDistinct("seed").cast("long").alias("n_seed_groups"),
+        F.min("decode_ok").alias("all_decoded"),
+        (
+            F.array_sort(F.collect_set("frame_idx")) == F.array(F.lit(0), F.lit(3))
+        ).alias("cadence_ok"),
+        (F.countDistinct("seed", "frame_idx", "phash") == F.countDistinct("seed", "frame_idx")).alias(
+            "dup_clips_share_hashes"
+        ),
+        (F.countDistinct("phash") == F.countDistinct("seed", "frame_idx")).alias("distinct_clips_differ"),
+    )
+
+
 def _q_dedup_incremental_lsh(spark, env):
     # r10: incremental crawl dedup against a PERSISTED LSH index —
     # O(batch) per tick, corpus never re-signed. Batch = exact copies
@@ -2735,6 +2776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rollup_time_multires": _q_rollup_time_multires,
             "multimodal_audio_decode": _q_multimodal_audio_decode,
             "dedup_incremental_lsh": _q_dedup_incremental_lsh,
+            "multimodal_video_frames": _q_multimodal_video_frames,
             # --- r08-greened set at the 2-round edge ---
             "spark_datasource_scan": _q_spark_datasource_scan,
             "changelog_schema_evolution": _q_changelog_schema_evolution,
@@ -3066,6 +3108,13 @@ def oracle_sql() -> dict[str, str]:
         "scan_distributed_read": (
             "SELECT l_orderkey, l_partkey, l_quantity, l_shipdate FROM lineitem "
             "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_quantity > 30"
+        ),
+        "multimodal_video_frames": (
+            "SELECT (SELECT count(*) FROM documents WHERE doc_id < 300) AS n_videos, "
+            "(SELECT CAST(count(DISTINCT doc_id % 23) AS BIGINT) FROM documents WHERE doc_id < 300) "
+            "AS n_seed_groups, "
+            "true AS all_decoded, true AS cadence_ok, "
+            "true AS dup_clips_share_hashes, true AS distinct_clips_differ"
         ),
         "dedup_incremental_lsh": (
             "SELECT (SELECT count(*) FROM documents WHERE doc_id % 20 = 0) AS n_copies, "

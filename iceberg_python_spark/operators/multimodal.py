@@ -220,6 +220,67 @@ def extract_audio_stats(df: DataFrame, id_col: str, binary_col: str) -> DataFram
     return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
 
 
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("t_ms", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("phash", T.StringType()),
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def extract_video_frames(
+    df: DataFrame, id_col: str, binary_col: str, every_n_ms: int = 1000
+) -> DataFrame:
+    """REAL video frame sampling for Y4M payloads (stdlib+numpy
+    YUV4MPEG2 decode in :mod:`.video`): one output row per sampled
+    frame — stream time, dimensions, and the frame's 64-bit DCT pHash
+    (shot-boundary / duplicate-clip detection building block).
+    MP4/WebM/AVI surface as a single ``decode_ok=false`` row naming
+    the codec they need instead of failing the job."""
+    from . import imaging, video
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    for idx, t_ms, rgb in video.sample_frames(bytes(b), every_n_ms):
+                        rows.append(
+                            {
+                                "id": int(i),
+                                "frame_idx": idx,
+                                "t_ms": t_ms,
+                                "width": rgb.shape[1],
+                                "height": rgb.shape[0],
+                                "phash": imaging.phash(rgb),
+                                "decode_ok": True,
+                                "error": None,
+                            }
+                        )
+                except Exception as exc:
+                    rows.append(
+                        {
+                            "id": int(i),
+                            "frame_idx": None,
+                            "t_ms": None,
+                            "width": None,
+                            "height": None,
+                            "phash": None,
+                            "decode_ok": False,
+                            "error": f"{type(exc).__name__}: {exc}",
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAMES_SCHEMA.fields])
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(run, schema=VIDEO_FRAMES_SCHEMA)
+
+
 def sample_video_frames(
     df: DataFrame,
     id_col: str,

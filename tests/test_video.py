@@ -1,0 +1,68 @@
+"""Y4M video codec + frame-sampling tests."""
+
+import numpy as np
+import pytest
+
+from iceberg_python_spark.operators.video import decode_y4m, encode_y4m, sample_frames
+
+
+def _clip(n=10, seed=1, shape=(24, 32, 3)):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, shape, dtype=np.uint8) for _ in range(n)]
+
+
+def test_y4m_roundtrip_444():
+    frames = _clip()
+    dec, fps = decode_y4m(encode_y4m(frames, fps=10))
+    assert len(dec) == 10 and fps == 10.0 and dec[0].shape == (24, 32, 3)
+    err = max(int(np.abs(d.astype(int) - f.astype(int)).max()) for d, f in zip(dec, frames))
+    assert err <= 4  # plane quantization only
+
+
+def test_y4m_420_and_mono():
+    hdr = b"YUV4MPEG2 W4 H4 F25:1 C420jpeg\n"
+    y = np.full(16, 180, np.uint8).tobytes()
+    c = np.full(4, 128, np.uint8).tobytes()
+    d, fps = decode_y4m(hdr + b"FRAME\n" + y + c + c)
+    assert d[0].shape == (4, 4, 3) and abs(int(d[0][0, 0, 0]) - 191) <= 1
+    hdr = b"YUV4MPEG2 W4 H2 F30:1 Cmono\n"
+    d, _ = decode_y4m(hdr + b"FRAME\n" + np.arange(8, dtype=np.uint8).tobytes())
+    assert d[0].shape == (2, 4, 3) and d[0][0, 3, 0] == 3 and d[0][0, 3, 2] == 3
+
+
+def test_sample_frames_cadence():
+    data = encode_y4m(_clip(10), fps=10)  # 1 s of video
+    assert [i for i, _t, _f in sample_frames(data, every_n_ms=300)] == [0, 3, 6, 9]
+    assert [t for _i, t, _f in sample_frames(data, every_n_ms=500)] == [0, 500]
+
+
+def test_container_gates_name_codecs():
+    with pytest.raises(NotImplementedError, match="WebM"):
+        decode_y4m(b"\x1a\x45\xdf\xa3xxxx")
+    with pytest.raises(NotImplementedError, match="AVI"):
+        decode_y4m(b"RIFF\x00\x00\x00\x00AVI xxxx")
+
+
+def test_extract_video_frames_spark(spark):
+    from iceberg_python_spark.operators.multimodal import extract_video_frames
+
+    same = _clip(6, seed=7)
+    rows = [
+        (1, bytearray(encode_y4m(same, fps=6))),
+        (2, bytearray(encode_y4m(same, fps=6))),   # duplicate clip
+        (3, bytearray(encode_y4m(_clip(6, seed=8), fps=6))),
+        (4, bytearray(b"\x1a\x45\xdf\xa3 webm-ish")),
+    ]
+    df = spark.createDataFrame(rows, "vid_id: long, payload: binary")
+    out = extract_video_frames(df, "vid_id", "payload", every_n_ms=500).collect()
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r.id, []).append(r)
+    # 1 s of video sampled at 500 ms -> frames 0 and 3
+    assert [r.frame_idx for r in sorted(by_vid[1], key=lambda r: r.frame_idx)] == [0, 3]
+    # duplicate clips share frame phashes; distinct clips don't
+    p1 = {r.frame_idx: r.phash for r in by_vid[1]}
+    p2 = {r.frame_idx: r.phash for r in by_vid[2]}
+    p3 = {r.frame_idx: r.phash for r in by_vid[3]}
+    assert p1 == p2 and p1 != p3
+    assert not by_vid[4][0].decode_ok and "WebM" in by_vid[4][0].error
