@@ -238,6 +238,10 @@ def _keyless_asof_carry(u: DataFrame) -> DataFrame:
     chunk = F.greatest(
         F.least(F.floor((num - F.lit(lo)) / F.lit(width)), F.lit(n_chunks - 1)), F.lit(0)
     ).cast("long")
+    # a NaN numeric key floors to null -> the row would drop out of the
+    # chunk equi-join; pin it to the last chunk instead (Spark orders
+    # NaN greatest, so within-chunk ordering matches the keyed path)
+    chunk = F.coalesce(chunk, F.lit(n_chunks - 1).cast("long"))
     uc = u.withColumn("_chunk", chunk)
     w_in = (
         Window.partitionBy("_chunk")
