@@ -3131,12 +3131,22 @@ class DataScan:
         if isinstance(bound, AlwaysFalse):
             return None
         manifest_files = read_manifest_list(snap.manifest_list, metadata.spec_by_id, schema)
+        threshold = int(props.get("read.plan.distributed-threshold", "200000"))
+        est_entries = sum(
+            m["added_files_count"] + m["existing_files_count"]
+            for m in manifest_files
+            if m.get("content", CONTENT_DATA) == CONTENT_DATA
+        )
+        if est_entries <= threshold:
+            return None
         # MoR: the DELETE side of the index stays driver-side (orders of
         # magnitude fewer files than data — the same asymmetry the
         # reference's DeleteFileIndex relies on,
         # table/delete_file_index.py:105); the deletes themselves are
         # READ executor-side and anti-joined after the planned scan, so
-        # the data-file list still never touches the driver.
+        # the data-file list still never touches the driver. Built only
+        # AFTER the threshold gate — below-threshold scans must not pay
+        # a delete-manifest walk they will repeat in plan_files.
         pos_dels: List[Tuple[int, str, int]] = []
         eq_dels: List[Tuple[int, str, Tuple[int, ...], int]] = []
         for m in manifest_files:
@@ -3153,12 +3163,6 @@ class DataScan:
                         )
                     else:
                         pos_dels.append((e["sequence_number"], d["file_path"], sz))
-        threshold = int(props.get("read.plan.distributed-threshold", "200000"))
-        est_entries = sum(
-            m["added_files_count"] + m["existing_files_count"] for m in manifest_files
-        )
-        if est_entries <= threshold:
-            return None
 
         part_filter_by_spec: Dict[int, BooleanExpression] = {}
 
