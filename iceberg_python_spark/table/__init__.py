@@ -581,9 +581,8 @@ class Table:
         for b in entry.get("blob-metadata", []):
             if b.get("type") != BLOB_TYPE_THETA or not b.get("fields"):
                 continue
-            try:
-                col = schema.find_column_name(b["fields"][0])
-            except (ValueError, KeyError):
+            col = schema.find_column_name(b["fields"][0])
+            if col is None:
                 continue  # stats for a since-dropped column
             ndv = (b.get("properties") or {}).get("ndv")
             if ndv is None:
