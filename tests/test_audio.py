@@ -81,3 +81,16 @@ def test_extract_audio_stats_spark(spark):
     assert out[1].duration_ms == 500 and out[1].sample_rate == 8000
     assert out[2].n_channels == 2 and abs(out[1].spectral_centroid_hz - 500) < 30
     assert out[1].decode_ok and not out[3].decode_ok and "FLAC" in out[3].error
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.integers(1, 5000), st.sampled_from([1, 2, 3]), st.integers(0, 2**31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_wav_roundtrip_property(n, ch, seed):
+    x = np.random.default_rng(seed).uniform(-1, 1, (n, ch))
+    got, rate = decode_wav(encode_wav(x, 8000))
+    assert rate == 8000 and got.shape == (n, ch)
+    assert np.abs(got - x).max() < 1e-3

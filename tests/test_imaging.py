@@ -139,3 +139,16 @@ def test_unsupported_formats_raise_naming_pil():
             + _chunk(b"IEND", b"")
         )
         decode_image(png)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.integers(1, 40), st.integers(1, 40), st.sampled_from([1, 2, 3, 4]), st.integers(0, 2**31 - 1)
+)
+@settings(max_examples=25, deadline=None)
+def test_png_roundtrip_property(h, w, ch, seed):
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, ch), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_png(px)), px)
