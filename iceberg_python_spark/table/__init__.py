@@ -556,7 +556,9 @@ class Table:
         con.register(table_name, arrow_table)
         return con
 
-    def column_ndv(self, snapshot_id: Optional[int] = None) -> Dict[str, int]:
+    def column_ndv(
+        self, snapshot_id: Optional[int] = None, current_snapshot_only: bool = False
+    ) -> Dict[str, int]:
         """Per-column NDV from the registered statistics files: the
         theta blobs' ``ndv`` property (the Iceberg convention the
         reference also writes, update/statistics.py) straight from the
@@ -570,7 +572,10 @@ class Table:
         entry = None
         if snap is not None:
             entry = next((s for s in stats if s.get("snapshot-id") == snap.snapshot_id), None)
-        if entry is None and stats:
+        if entry is None and stats and not current_snapshot_only:
+            # inspection convenience only — planning callers pass
+            # current_snapshot_only=True so a stale entry never drives
+            # a broadcast decision (ADVICE r10)
             entry = stats[-1]
         if entry is None:
             return {}
@@ -604,26 +609,41 @@ class Table:
         #8). Returns None when the table has no NDV statistics: only
         tables someone bothered to ANALYZE get hinted (dimension
         tables, in practice). Rows come from the snapshot summary's
-        total-records when present, else from the max column NDV (for
-        a dimension keyed by its identifier, NDV(key) == row count —
-        the fallback that matters for imported/foreign tables whose
-        summaries lack totals); bytes-per-row from the summary's
-        total-files-size, else a schema width heuristic."""
-        ndvs = self.column_ndv()
+        total-records when present, else from an IDENTIFIER-field NDV
+        (for a dimension keyed by its identifier, NDV(key) == row
+        count — the fallback for imported/foreign tables whose
+        summaries lack totals). A non-identifier column's NDV is never
+        a row-count proxy: where only a low-cardinality column was
+        analyzed it undercounts by orders of magnitude and an
+        auto-broadcast would OOM executors (ADVICE r10) — no
+        authoritative row count, no estimate. The stats entry must
+        also belong to the CURRENT snapshot (an older snapshot's NDVs
+        say nothing about today's row count); bytes-per-row from the
+        summary's total-files-size, else a schema width heuristic."""
+        snap = self.current_snapshot()
+        if snap is None:
+            return None
+        ndvs = self.column_ndv(current_snapshot_only=True)
         if not ndvs:
             return None
-        snap = self.current_snapshot()
         rows = None
         avg = None
-        if snap is not None:
-            tr = snap.summary.get("total-records")
-            tfs = snap.summary.get("total-files-size")
-            if tr is not None and int(tr) >= 0:
-                rows = int(tr)
-            if tfs is not None and rows:
-                avg = max(1, int(tfs) // rows)
+        tr = snap.summary.get("total-records")
+        tfs = snap.summary.get("total-files-size")
+        if tr is not None and int(tr) >= 0:
+            rows = int(tr)
+        if tfs is not None and rows:
+            avg = max(1, int(tfs) // rows)
         if rows is None:
-            rows = max(ndvs.values())
+            schema = self.metadata.schema()
+            ident_names = {
+                schema.find_column_name(fid)
+                for fid in (getattr(schema, "identifier_field_ids", None) or [])
+            }
+            ident_ndvs = [v for k, v in ndvs.items() if k in ident_names]
+            if not ident_ndvs:
+                return None
+            rows = max(ident_ndvs)
         if avg is None:
             # schema heuristic: fixed widths + 32B strings/binaries
             widths = {"int": 4, "long": 8, "float": 4, "double": 8, "boolean": 1, "date": 4}
@@ -4013,9 +4033,14 @@ class StaticTable(Table):
         hint = posixpath.join(metadata_location, "metadata", "version-hint.text")
         if not metadata_location.endswith(".json") and fileio.exists(hint, spark):
             v = fileio.read_text(hint, spark).strip()
-            # hint holds the metadata file basename (older layouts: a number)
-            basename = v if v.endswith(".metadata.json") else f"v{v}.metadata.json"
-            metadata_location = posixpath.join(metadata_location, "metadata", basename)
+            if "/" in v:
+                # full path form: write.metadata.path redirected metadata
+                # but the hint file stays at the probe location
+                metadata_location = v
+            else:
+                # hint holds the metadata file basename (older layouts: a number)
+                basename = v if v.endswith(".metadata.json") else f"v{v}.metadata.json"
+                metadata_location = posixpath.join(metadata_location, "metadata", basename)
         metadata = TableMetadata.read(metadata_location)
         return cls(("static", os.path.basename(metadata.location)), metadata, metadata_location, _StaticCatalog(), spark)
 

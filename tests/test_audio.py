@@ -94,3 +94,45 @@ def test_wav_roundtrip_property(n, ch, seed):
     got, rate = decode_wav(encode_wav(x, 8000))
     assert rate == 8000 and got.shape == (n, ch)
     assert np.abs(got - x).max() < 1e-3
+
+
+def _extensible_wav(samples: np.ndarray, rate: int, subformat: int, bits: int) -> bytes:
+    """Hand-build a WAVE_FORMAT_EXTENSIBLE file: 40-byte fmt chunk with
+    cbSize=22 and the SubFormat GUID carrying the real format code."""
+    import struct
+
+    if subformat == 3:
+        payload = samples.astype("<f4").tobytes()
+    else:
+        payload = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    n_ch = 1
+    block = n_ch * bits // 8
+    guid = struct.pack("<H", subformat) + bytes.fromhex("000000001000800000aa00389b71")
+    fmt = struct.pack("<HHIIHHHHI", 0xFFFE, n_ch, rate, rate * block, block, bits, 22, bits, 0x4) + guid
+    data = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    data += b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(data)) + b"WAVE" + data
+
+
+def test_extensible_wav_float_subformat_dispatches_float():
+    """ADVICE r10: a float-subformat extensible WAV must decode via the
+    IEEE-float path, not be assumed integer PCM."""
+    x = _tone(440)
+    got, rate = decode_wav(_extensible_wav(x, 8000, subformat=3, bits=32))
+    assert rate == 8000
+    assert np.abs(got[:, 0] - x).max() < 1e-6  # float32 exactness, not int32 garbage
+
+
+def test_extensible_wav_pcm_subformat_dispatches_pcm():
+    x = _tone(440)
+    got, rate = decode_wav(_extensible_wav(x, 8000, subformat=1, bits=16))
+    assert np.abs(got[:, 0] - x).max() < 1e-3
+
+
+def test_extensible_wav_unknown_guid_refuses():
+    x = _tone(440)
+    blob = bytearray(_extensible_wav(x, 8000, subformat=3, bits=32))
+    # corrupt the GUID tail: no longer the known PCM/float namespace
+    blob[12 + 8 + 26] ^= 0xFF
+    with pytest.raises(NotImplementedError, match="SubFormat GUID"):
+        decode_wav(bytes(blob))

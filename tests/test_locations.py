@@ -191,3 +191,37 @@ def test_write_metadata_path_redirects_new_metadata(spark, tmp_path_factory):
     # old (pre-override) snapshot remains readable: absolute paths
     first = t.metadata.snapshots[0]
     assert t.scan(snapshot_id=first.snapshot_id).to_df().count() == 20
+
+
+def test_version_hint_survives_metadata_path_override(spark, tmp_path_factory):
+    """ADVICE r11: with write.metadata.path active, the discovery hint
+    FILE must stay at <location>/metadata/version-hint.text (the probe
+    path) while its BODY carries the full redirected metadata path —
+    catalog-free readers must open the CURRENT version, not the
+    pre-override one."""
+    import os
+
+    from iceberg_python_spark import SqliteCatalog
+    from iceberg_python_spark.schema import schema_from_spark
+    from iceberg_python_spark.spark_datasource import _resolve_metadata_location
+    from iceberg_python_spark.table import StaticTable
+
+    wh = tmp_path_factory.mktemp("wh")
+    alt = str(tmp_path_factory.mktemp("altmeta2"))
+    cat = SqliteCatalog("wmph", str(wh), spark)
+    df = spark.createDataFrame([(i,) for i in range(10)], "id: long")
+    t = cat.create_table("db.hint_redir", schema_from_spark(df.schema))
+    t.append(df)
+    t = cat.load_table("db.hint_redir")
+    t.set_properties({"write.metadata.path": alt})
+    t = cat.load_table("db.hint_redir")
+    t.append(df)  # 20 rows; this metadata json lives under alt
+    t = cat.load_table("db.hint_redir")
+    hint = os.path.join(t.location, "metadata", "version-hint.text")
+    assert os.path.exists(hint)  # file stays at the probe path
+    body = open(hint).read().strip()
+    assert body == t.metadata_location and body.startswith(alt)
+    # both catalog-free readers resolve to the CURRENT version
+    assert _resolve_metadata_location({"table_location": t.location}) == t.metadata_location
+    st = StaticTable.from_metadata(t.location, spark)
+    assert st.scan().to_df().count() == 20

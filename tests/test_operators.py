@@ -1694,6 +1694,61 @@ def test_asof_join_keyless_timestamps_strict_tolerance(spark):
     assert tol == {0: 1.0, 5: 2.0, 30: None}
 
 
+def test_asof_join_keyless_hot_instant_salts_and_stays_correct(spark):
+    """VERDICT r10 #5 adversarial case: >=90% of left rows share ONE
+    instant. Quantile edges isolate the hot value, salted sub-chunks
+    spread its rows (no chunk may hold a hotspot-sized share), and
+    strict/inclusive visibility at the hot instant stays exact."""
+    from iceberg_python_spark.operators.joins import _keyless_asof_carry, asof_join
+
+    hot_t = 1000
+    lrows = [(i, hot_t) for i in range(900)] + [
+        (900 + i, t) for i, t in enumerate(range(0, 2000, 20))
+    ]
+    rrows = [(t, t * 10) for t in (0, 500, hot_t, 1500)]
+    left = spark.createDataFrame(lrows, "lid: long, t: long")
+    right = spark.createDataFrame(rrows, "t: long, rv: long")
+    out = {r.lid: r.rv for r in asof_join(left, right, "t").collect()}
+    assert all(out[i] == hot_t * 10 for i in range(900))  # inclusive sees rv@hot_t
+    assert out[900] == 0 and out[901] == 0 and out[925 + 900 // 20] is not None
+    s = {r.lid: r.rv for r in asof_join(left, right, "t", strict=True).collect()}
+    assert all(s[i] == 5000 for i in range(900))  # strict sees last right BEFORE hot_t
+    # chunk balance: rebuild the union frame shape and introspect _chunk
+    u = left.select(
+        F.col("t").cast("double").alias("_ats"),
+        F.lit(1).alias("_tag"),
+        F.col("lid").alias("_l_lid"),
+        F.lit(None).cast("struct<rv: bigint, _ts: bigint, _tsu: bigint>").alias("_rp"),
+    )
+    sizes = [
+        r.n
+        for r in _keyless_asof_carry(u, keep_chunk_col=True)
+        .groupBy("_chunk")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert max(sizes) <= 0.05 * sum(sizes)  # the 90% instant spread out
+
+
+def test_asof_join_keyless_null_ts_matches_keyed_path(spark):
+    """ADVICE r10: a NULL asof key must behave identically on the keyed
+    and keyless paths — unmatched when no null-ts right row exists,
+    never handed the last chunk's carry."""
+    from iceberg_python_spark.operators.joins import asof_join
+
+    lrows = [(0, None), (1, 100), (2, None), (3, 300)]
+    left = spark.createDataFrame(lrows, "lid: long, t: long")
+    right = spark.createDataFrame([(50, 1), (250, 2)], "t: long, rv: long")
+    keyless = {r.lid: r.rv for r in asof_join(left, right, "t").collect()}
+    keyed = {
+        r.lid: r.rv
+        for r in asof_join(
+            left.withColumn("k", F.lit(1)), right.withColumn("k", F.lit(1)), "t", by=["k"]
+        ).collect()
+    }
+    assert keyless == keyed == {0: None, 1: 1, 2: None, 3: 2}
+
+
 def test_c4_quality_filter_rules(spark):
     from iceberg_python_spark.operators.text import c4_quality_filter
 
@@ -1794,8 +1849,9 @@ def test_cms_partition_merge_equals_single_partition(spark):
 
 
 def test_tree_reduce_partials_exact_at_high_partition_count(spark):
-    """fanout=4 over 40 partitions forces >=2 executor-side merge
-    levels; both the CMS sum and the Bloom OR must stay exact."""
+    """fanout=4 over 40 partitions forces the executor-side shuffle
+    merge level (40 partials -> 4 merge tasks -> driver fold); both
+    the CMS sum and the Bloom OR must stay exact."""
     from iceberg_python_spark.operators.bloom import bloom_build, bloom_contains
     from iceberg_python_spark.operators.sketch import cms_build
 

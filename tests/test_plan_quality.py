@@ -179,7 +179,10 @@ def test_ndv_stats_drive_broadcast_hint(spark, tmp_path_factory):
 
 def test_broadcast_size_estimate_ndv_fallback(spark, tmp_path_factory):
     """When the snapshot summary lacks totals (foreign metadata), the
-    row count falls back to the max column NDV."""
+    row count falls back to an IDENTIFIER-field NDV only (ADVICE r10:
+    a non-identifier column's NDV undercounts arbitrarily — a
+    low-cardinality analyzed column must NOT authorize a broadcast),
+    and a stats entry for an older snapshot never drives planning."""
     from iceberg_python_spark import SqliteCatalog
 
     cat = SqliteCatalog("ndv2", str(tmp_path_factory.mktemp("wh")), spark)
@@ -192,16 +195,30 @@ def test_broadcast_size_estimate_ndv_fallback(spark, tmp_path_factory):
     t = cat.load_table("db.nosum")
     with_summary = t.broadcast_size_estimate()
     assert with_summary is not None and with_summary > 0
-    # strip the summary totals: estimate must still exist via NDV
+    # strip the summary totals: k is NOT an identifier field, so the
+    # NDV is no row-count proxy -> no estimate at all
     snap = t.current_snapshot()
     saved = dict(snap.summary)
     try:
         snap.summary.pop("total-records", None)
         snap.summary.pop("total-files-size", None)
-        est = t.broadcast_size_estimate()
+        assert t.broadcast_size_estimate() is None
+        # promote k to an identifier field: NDV(k) becomes the row count
+        t.update_schema().set_identifier_fields("k").commit()
+        t2 = cat.load_table("db.nosum")
+        snap2 = t2.current_snapshot()
+        snap2.summary.pop("total-records", None)
+        snap2.summary.pop("total-files-size", None)
+        est = t2.broadcast_size_estimate()
         assert est is not None and est >= 10  # 10 rows x schema width
     finally:
         snap.summary.update(saved)
+    # a stats entry pinned to an OLDER snapshot must not hint: append
+    # again (new snapshot, no stats for it) -> estimate withdrawn
+    t2 = cat.load_table("db.nosum")
+    t2.append(df)
+    t2 = cat.load_table("db.nosum")
+    assert t2.broadcast_size_estimate() is None
 
 
 def test_streamed_mor_delete_is_broadcast_anti_join(spark, tmp_path_factory):
