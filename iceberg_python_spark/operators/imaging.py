@@ -13,6 +13,10 @@ Decoders (magic-byte dispatch in :func:`decode_image`):
   fine, because unfiltering is O(pixels) either way and runs inside
   Arrow-batched executors. Exotic PNGs (16-bit, interlaced) raise
   NotImplementedError naming PIL.
+- **JPEG** (jpeg.py, r11) — baseline sequential SOF0/SOF1: canonical
+  Huffman decode, restart markers, sampling factors up to 2×2
+  (4:4:4/4:2:2/4:2:0), batched-numpy dequant + IDCT; progressive and
+  arithmetic variants raise NotImplementedError naming PIL.
 - **PPM/PGM (P6/P5, maxval 255)** — header parse + ``frombuffer``.
 - **BMP** — BITMAPINFOHEADER, 24/32-bit uncompressed BI_RGB,
   bottom-up or top-down, row padding honored, BGR(A)→RGB(A).
@@ -182,15 +186,22 @@ def _decode_bmp(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode PNG / PPM / PGM / BMP bytes to (H, W, C) uint8."""
+    """Decode PNG / JPEG / PPM / PGM / BMP bytes to (H, W[, C]) uint8."""
     if data[:8] == _PNG_SIG:
         return _decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        # baseline sequential JPEG (r11): Huffman + IDCT in jpeg.py;
+        # progressive/arithmetic variants raise NotImplementedError there
+        from .jpeg import decode_jpeg
+
+        px = decode_jpeg(data)
+        return px[:, :, None] if px.ndim == 2 else px  # (H, W, C) convention
     if data[:2] in (b"P6", b"P5"):
         return _decode_ppm(data)
     if data[:2] == b"BM":
         return _decode_bmp(data)
     raise NotImplementedError(
-        "unsupported image magic (JPEG/GIF/WEBP need PIL — not in this environment)"
+        "unsupported image magic (GIF/WEBP need PIL — not in this environment)"
     )
 
 

@@ -128,8 +128,12 @@ def test_stats_and_phash_properties():
 
 
 def test_unsupported_formats_raise_naming_pil():
+    # JPEG now DECODES (jpeg.py, r11) — a corrupt stream is a
+    # ValueError, while the still-gated GIF keeps naming PIL
+    with pytest.raises(ValueError, match="corrupt JPEG"):
+        decode_image(b"\xff\xd8\xff\xe0\x00\x04xx jpeg-ish-but-broken")
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+        decode_image(b"GIF89a rest-of-gif")
     with pytest.raises(NotImplementedError, match="PIL"):
         # 16-bit PNG gate
         png = (

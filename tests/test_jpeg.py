@@ -1,0 +1,147 @@
+"""Baseline JPEG codec tests (stdlib + numpy; no Spark except the
+mapInPandas integration check). The encoder synthesizes deterministic
+JPEGs the same way oracle rows do; decode correctness is judged by
+round-trip error bounds plus structural gates."""
+
+import numpy as np
+import pytest
+
+from iceberg_python_spark.operators.imaging import decode_image, hamming, phash
+from iceberg_python_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+
+def _gradient(h, w, ch=3):
+    x = np.linspace(0, 255, w)[None, :].repeat(h, axis=0)
+    y = np.linspace(0, 255, h)[:, None].repeat(w, axis=1)
+    if ch == 1:
+        return ((x + y) / 2).astype(np.uint8)
+    return np.stack([x, y, (x + y) / 2], axis=-1).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_color_444():
+    img = _gradient(48, 64)
+    dec = decode_jpeg(encode_jpeg(img, quality=90))
+    assert dec.shape == img.shape
+    rms = np.sqrt(((dec.astype(float) - img.astype(float)) ** 2).mean())
+    assert rms < 2.0
+
+
+def test_jpeg_roundtrip_grayscale():
+    g = _gradient(40, 56, ch=1)
+    dec = decode_jpeg(encode_jpeg(g, quality=90))
+    assert dec.shape == g.shape
+    assert np.sqrt(((dec.astype(float) - g.astype(float)) ** 2).mean()) < 2.0
+
+
+def test_jpeg_420_subsampling_and_restart_markers():
+    img = _gradient(48, 64)
+    enc444 = encode_jpeg(img, quality=90)
+    enc420 = encode_jpeg(img, quality=90, subsampling="4:2:0")
+    assert len(enc420) < len(enc444)  # half the chroma blocks
+    dec = decode_jpeg(enc420)
+    assert dec.shape == img.shape
+    assert np.sqrt(((dec.astype(float) - img.astype(float)) ** 2).mean()) < 4.0
+    # restart markers: DRI emitted, RSTn segments decode with DC reset
+    enc_ri = encode_jpeg(img, quality=90, subsampling="4:2:0", restart_interval=2)
+    assert b"\xff\xdd" in enc_ri and any(bytes([0xFF, 0xD0 + i]) in enc_ri for i in range(8))
+    assert np.array_equal(decode_jpeg(enc_ri), dec)
+
+
+def test_jpeg_odd_sizes_crop_exact():
+    for h, w in [(1, 1), (7, 9), (8, 8), (17, 23), (9, 31)]:
+        img = _gradient(h, w)
+        for sub in ("4:4:4", "4:2:0"):
+            dec = decode_jpeg(encode_jpeg(img, quality=95, subsampling=sub))
+            assert dec.shape == img.shape
+
+
+def test_jpeg_deterministic_and_dispatch():
+    img = _gradient(24, 24)
+    enc = encode_jpeg(img, quality=85)
+    assert enc == encode_jpeg(img, quality=85)  # oracle rows rely on this
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    px = decode_image(enc)  # magic-byte dispatch normalizes to (H, W, C)
+    assert px.shape == (24, 24, 3)
+    g = encode_jpeg(_gradient(24, 24, ch=1), quality=85)
+    assert decode_image(g).shape == (24, 24, 1)
+
+
+def test_jpeg_phash_duplicates_and_distinct():
+    rng = np.random.default_rng(7)
+    # structured content (kron-upsampled random field): a pure gradient
+    # would put every low-freq DCT coefficient at the pHash median and
+    # make the hash degenerate
+    a = np.kron(rng.integers(0, 256, (8, 8, 3)), np.ones((8, 8, 1))).astype(np.uint8)
+    b = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    ha1 = phash(decode_jpeg(encode_jpeg(a, 90)))
+    ha2 = phash(decode_jpeg(encode_jpeg(a, 90)))
+    hb = phash(decode_jpeg(encode_jpeg(b, 90)))
+    assert ha1 == ha2  # same source -> identical perceptual hash
+    assert hamming(ha1, hb) > 10  # unrelated content stays far
+    # recompression at a lower quality stays perceptually close
+    ha3 = phash(decode_jpeg(encode_jpeg(a, 60)))
+    assert hamming(ha1, ha3) <= 6
+
+
+def test_jpeg_progressive_and_corrupt_gated():
+    img = _gradient(16, 16)
+    enc = bytearray(encode_jpeg(img, 90))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(enc))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01rubbish")
+    trunc = encode_jpeg(img, 90)[:40]  # header only, no scan
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg(trunc)
+
+
+def test_jpeg_quality_monotone():
+    img = _gradient(32, 32)
+    sizes = [len(encode_jpeg(img, q)) for q in (30, 60, 90)]
+    errs = []
+    for q in (30, 60, 90):
+        d = decode_jpeg(encode_jpeg(img, q))
+        errs.append(float(np.abs(d.astype(float) - img.astype(float)).mean()))
+    assert sizes == sorted(sizes)  # more quality, more bytes
+    assert errs == sorted(errs, reverse=True)  # more quality, less error
+
+
+def test_jpeg_spark_extract_image_stats(spark):
+    from iceberg_python_spark.operators.multimodal import extract_image_stats
+
+    rng = np.random.default_rng(3)
+    img = np.kron(rng.integers(0, 256, (4, 6, 3)), np.ones((8, 8, 1))).astype(np.uint8)
+    rows = [
+        (1, bytearray(encode_jpeg(img, 90))),
+        (2, bytearray(encode_jpeg(img, 90, subsampling="4:2:0"))),
+        (3, bytearray(b"\xff\xd8 truncated nonsense")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, payload: binary")
+    out = {r.id: r for r in extract_image_stats(df, "doc_id", "payload").collect()}
+    assert out[1].decode_ok and (out[1].height, out[1].width, out[1].channels) == (32, 48, 3)
+    # chroma subsampling keeps the perceptual hash close
+    assert out[2].decode_ok and hamming(out[2].phash, out[1].phash) <= 6
+    assert not out[3].decode_ok
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.sampled_from([1, 3]), st.integers(0, 2**31 - 1))
+@settings(max_examples=20, deadline=None)
+def test_jpeg_roundtrip_property(h, w, ch, seed):
+    """Smooth random images survive encode->decode within a tolerance
+    that scales with quantization coarseness at q=95."""
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(0, 255, (4, 4) if ch == 1 else (4, 4, ch))
+    # upsample a 4x4 random field -> smooth content (JPEG's happy path)
+    reps = (-(-h // 4), -(-w // 4)) + ((1,) if ch == 3 else ())
+    img = np.clip(np.kron(base, np.ones((reps[0], reps[1]) + (() if ch == 1 else (1,)))), 0, 255)[
+        :h, :w
+    ].astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(float) - img.astype(float)).max() <= 32
