@@ -2681,6 +2681,65 @@ def _q_dedup_incremental_lsh(spark, env):
     )
 
 
+def _q_dedup_stream_neardup(spark, env):
+    # r11: streaming near-dup ingestion end-to-end (VERDICT r10 #6) —
+    # two availableNow micro-batch queries drive append_stream_neardup:
+    # batch 1 seeds target+index with a 100-doc corpus (empty index ->
+    # everything survives, so the count is SQL-exact); batch 2 sends
+    # exact copies (identical signatures -> flagged with recall 1
+    # against the PERSISTED index) plus disjoint-vocabulary novels
+    # (survive). Claims from the committed tables; both appends carry
+    # the exactly-once snapshot markers.
+    import tempfile
+    import uuid as _uuid
+
+    from iceberg_python_spark import schema_from_spark
+    from iceberg_python_spark.streaming import append_stream_neardup
+
+    cat = env["catalog"]
+    run = _uuid.uuid4().hex[:8]
+    docs = env["documents"].scan(selected_fields=("doc_id", "text")).to_df().where("doc_id < 100")
+    copies = docs.where("doc_id % 20 = 0").select((F.col("doc_id") + 7000000).alias("doc_id"), "text")
+    novel = docs.where("doc_id % 20 = 5").select(
+        (F.col("doc_id") + 8000000).alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.concat(F.lit(f"qn{j}w"), F.col("doc_id").cast("string")) for j in range(25)]
+        ).alias("text"),
+    )
+    t = cat.create_table(f"db.ndt_{run}", schema_from_spark(docs.schema))
+    idx = cat.create_table(
+        f"db.ndi_{run}",
+        schema_from_spark(spark.createDataFrame([], "doc_id: long, band: int, bucket: bigint").schema),
+    )
+    src = tempfile.mkdtemp(prefix="ips_ndsrc_")
+    ckpt = tempfile.mkdtemp(prefix="ips_ndckpt_")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    append_stream_neardup(
+        spark.readStream.schema(docs.schema).parquet(src), t, idx,
+        f"{ckpt}/b1", "doc_id", "text", in_batch_threshold=None,
+    ).awaitTermination(120)
+    copies.unionByName(novel).coalesce(1).write.mode("append").parquet(src)
+    append_stream_neardup(
+        spark.readStream.schema(docs.schema).parquet(src).where("doc_id >= 7000000"),
+        t, idx, f"{ckpt}/b2", "doc_id", "text", in_batch_threshold=None,
+    ).awaitTermination(120)
+    target = t.refresh().scan(selected_fields=("doc_id",)).to_df().localCheckpoint(eager=True)
+    n_base = target.where("doc_id < 100").count()
+    n_copies_in = target.where("doc_id >= 7000000 and doc_id < 8000000").count()
+    n_novel_in = target.where("doc_id >= 8000000").count()
+    n_idx = idx.refresh().scan().to_df().count()
+    n_copies = copies.count()
+    n_novel = novel.count()
+    return spark.range(1).select(
+        F.lit(n_base).cast("long").alias("n_base"),
+        F.lit(int(n_copies)).cast("long").alias("n_copies"),
+        F.lit(int(n_novel)).cast("long").alias("n_novel"),
+        F.lit(bool(n_copies_in == 0)).alias("all_copies_flagged"),
+        F.lit(bool(n_novel_in == n_novel)).alias("all_novel_survive"),
+        F.lit(bool(n_idx == 8 * (n_base + n_novel_in))).alias("index_covers_survivors"),
+    )
+
+
 def _q_multimodal_audio_decode(spark, env):
     # r10: REAL audio decode under the driver's oracle. Deterministic
     # WAV tones (freq = 200 + 20*(doc_id % 40) Hz, 0.25 s @ 8 kHz,
@@ -2852,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_incremental_lsh": _q_dedup_incremental_lsh,
             "multimodal_video_frames": _q_multimodal_video_frames,
             "multimodal_jpeg_decode": _q_multimodal_jpeg_decode,
+            "dedup_stream_neardup": _q_dedup_stream_neardup,
             # --- r08-greened set at the 2-round edge ---
             "spark_datasource_scan": _q_spark_datasource_scan,
             "changelog_schema_evolution": _q_changelog_schema_evolution,
@@ -3209,6 +3269,13 @@ def oracle_sql() -> dict[str, str]:
             "true AS all_decoded, true AS dims_ok, "
             "true AS phash_consistent, true AS phash_distinct "
             "FROM documents WHERE doc_id < 500"
+        ),
+        "dedup_stream_neardup": (
+            "SELECT CAST(count(*) FILTER (WHERE doc_id < 100) AS BIGINT) AS n_base, "
+            "CAST(count(*) FILTER (WHERE doc_id < 100 AND doc_id % 20 = 0) AS BIGINT) AS n_copies, "
+            "CAST(count(*) FILTER (WHERE doc_id < 100 AND doc_id % 20 = 5) AS BIGINT) AS n_novel, "
+            "true AS all_copies_flagged, true AS all_novel_survive, "
+            "true AS index_covers_survivors FROM documents"
         ),
         "multimodal_jpeg_decode": (
             "SELECT count(*) AS n_images, "

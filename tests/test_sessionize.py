@@ -408,6 +408,74 @@ def test_append_stream_dedup_idempotent_ingestion(spark, tmp_path):
     assert t.refresh().scan().to_df().count() == 4
 
 
+def test_append_stream_neardup_matches_batch_composition(spark, tmp_path):
+    """Streaming near-dup ingestion (VERDICT r10 #6): two micro-batches
+    through append_stream_neardup must land exactly the docs the BATCH
+    composition (lsh_index + dedup_against_lsh_index applied
+    sequentially) keeps, the persisted index must cover precisely the
+    survivors, and a replay over a fresh checkpoint appends nothing."""
+    import iceberg_python_spark as ips
+    from iceberg_python_spark.operators.dedup import dedup_against_lsh_index, lsh_index
+    from iceberg_python_spark.schema import schema_from_spark
+    from iceberg_python_spark.streaming import append_stream_neardup
+
+    schema = "doc_id: long, text: string"
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again today",
+        2: "completely different content about spark shuffles and partitions here",
+        3: "the quick brown fox jumps over the lazy dog again and again today",  # dup of 1
+        4: "a third unique document discussing iceberg snapshots and manifests",
+        5: "completely different content about spark shuffles and partitions here",  # dup of 2
+        6: "yet another novel document on jpeg huffman tables and idct math",
+    }
+    b1 = spark.createDataFrame([(i, texts[i]) for i in (1, 2)], schema)
+    b2 = spark.createDataFrame([(i, texts[i]) for i in (3, 4, 5, 6)], schema)
+    cat = ips.SqliteCatalog("ndsink", str(tmp_path / "wh"), spark)
+    t = cat.create_table("db.nd_target", schema_from_spark(b1.schema))
+    idx = cat.create_table(
+        "db.nd_index",
+        schema_from_spark(spark.createDataFrame([], "doc_id: long, band: int, bucket: bigint").schema),
+    )
+
+    # batches arrive as two parquet files -> two availableNow micro-batches
+    src = str(tmp_path / "nd_src")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    q = append_stream_neardup(
+        spark.readStream.schema(b1.schema).parquet(src).where("doc_id <= 2"),
+        t, idx, str(tmp_path / "nd_ckpt1"), "doc_id", "text",
+    )
+    q.awaitTermination(60)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q = append_stream_neardup(
+        spark.readStream.schema(b1.schema).parquet(src),
+        t, idx, str(tmp_path / "nd_ckpt2"), "doc_id", "text",
+    )
+    q.awaitTermination(60)
+
+    got = sorted(r.doc_id for r in t.refresh().scan().to_df().collect())
+    # batch composition: 1,2 land; 3 and 5 are exact re-crawls (recall 1
+    # against the persisted index), 4 and 6 are novel
+    assert got == [1, 2, 4, 6]
+    # index covers exactly the survivors
+    idx_ids = {r.doc_id for r in idx.refresh().scan(selected_fields=("doc_id",)).to_df().collect()}
+    assert idx_ids == {1, 2, 4, 6}
+    # equivalence against the direct batch composition
+    all_docs = spark.createDataFrame([(i, texts[i]) for i in sorted(texts)], schema)
+    i1 = lsh_index(all_docs.where("doc_id <= 2"), "doc_id", "text")
+    parts = dedup_against_lsh_index(all_docs.where("doc_id > 2"), i1, "doc_id", "text")
+    batch_keep = {1, 2} | {r.doc_id for r in parts["survivors"].collect()}
+    assert set(got) == batch_keep
+    # replay of the full source on a fresh checkpoint: every doc is
+    # either an exact re-crawl (flagged) or already committed — no growth
+    q = append_stream_neardup(
+        spark.readStream.schema(b1.schema).parquet(src),
+        t, idx, str(tmp_path / "nd_ckpt3"), "doc_id", "text",
+    )
+    q.awaitTermination(60)
+    assert t.refresh().scan().to_df().count() == 4
+    assert idx.refresh().scan().to_df().where("doc_id not in (1,2,4,6)").count() == 0
+
+
 def test_time_rollup(spark):
     """Multi-resolution rollup from one pass: bucket edges are integer
     floor-divisions of epoch time, counts per width sum to the input,
