@@ -2831,6 +2831,42 @@ def _q_spark_datasource_scan(spark, env):
     )
 
 
+def _q_spark_datasource_write(spark, env):
+    # r11: the WRITE half of the Python DataSource (VERDICT r10 missing
+    # #2): df.write.format("iceberg_python_spark") — executor tasks
+    # stream Arrow batches into parquet data files placed by the
+    # location provider, the driver worker rebuilds the catalog from
+    # options and commits ONE snapshot through the CAS. The oracle is
+    # the round trip: scan the committed table back through the native
+    # JVM path and hash-match the source rows straight off DuckDB.
+    import uuid as _uuid
+
+    from iceberg_python_spark.schema import schema_from_spark
+    from iceberg_python_spark.spark_datasource import register_data_source
+
+    register_data_source(spark)
+    cat = env["catalog"]
+    run = _uuid.uuid4().hex[:8]
+    src = (
+        env["orders"]
+        .scan(selected_fields=("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"))
+        .to_df()
+        .where("o_orderkey % 7 = 0")
+    )
+    name = f"db.dsw_{run}"
+    cat.create_table(name, schema_from_spark(src.schema))
+    (
+        src.repartition(4)
+        .write.format("iceberg_python_spark")
+        .option("warehouse", cat.warehouse)
+        .option("catalog_name", cat.name)
+        .option("table", name)
+        .mode("append")
+        .save()
+    )
+    return cat.load_table(name).scan().to_df()
+
+
 def _q_changelog_schema_evolution(spark, env):
     # Changelog over a scan range that SPANS a column rename + added
     # column (orders_evo: append evens -> rename o_orderpriority to
@@ -2912,6 +2948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "multimodal_video_frames": _q_multimodal_video_frames,
             "multimodal_jpeg_decode": _q_multimodal_jpeg_decode,
             "dedup_stream_neardup": _q_dedup_stream_neardup,
+            "spark_datasource_write": _q_spark_datasource_write,
             # --- r08-greened set at the 2-round edge ---
             "spark_datasource_scan": _q_spark_datasource_scan,
             "changelog_schema_evolution": _q_changelog_schema_evolution,
@@ -3135,6 +3172,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM nation WHERE NOT (n_regionkey = 2)"
         ),
         "spark_datasource_scan": "SELECT * FROM part",
+        "spark_datasource_write": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus "
+            "FROM orders WHERE o_orderkey % 7 = 0"
+        ),
         "dataset_split": (
             # thresholds are the engine's own rate_to_hex_threshold values
             # (cumulative over sorted labels test=0.1, train=0.8, val=0.1)
