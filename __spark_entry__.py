@@ -1664,6 +1664,12 @@ def _q_ann_pq_recall(spark, env):
 
 
 def _q_multimodal(spark, env):
+    # Byte-identity PLUMBING row (real-decode evidence lives in the
+    # multimodal_*_decode rows): text payloads are undecodable by
+    # design, so this pins the r11 real featurizer's error-isolation
+    # path — every row keeps its n_bytes/sha256 (SQL-matched) while
+    # decode_ok=false captures the codec failure instead of killing
+    # the job.
     from iceberg_python_spark.operators.multimodal import extract_image_features
 
     docs = env["documents"].scan(selected_fields=("doc_id", "text")).to_df().withColumn("payload", F.encode("text", "UTF-8"))

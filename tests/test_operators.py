@@ -191,21 +191,59 @@ def test_fingerprint_winnowing_robust_to_suffix(spark):
 
 
 def test_multimodal_features(spark):
-    from iceberg_python_spark.operators.multimodal import extract_image_features, sample_video_frames
+    """Byte-identity plumbing survives undecodable payloads: the REAL
+    extract_image_features keeps n_bytes/sha256 with decode_ok=false
+    naming the problem; the quarantined *_stub twins still exercise the
+    schema/batch shape for codec-less pipelines."""
+    from iceberg_python_spark.operators.multimodal import (
+        extract_image_features,
+        extract_image_features_stub,
+        sample_video_frames_stub,
+    )
 
     df = spark.createDataFrame([(1, "payload one"), (2, "two")], "doc_id: long, text: string").withColumn(
         "payload", F.encode("text", "UTF-8")
     )
     out = {r.id: r for r in extract_image_features(df, "doc_id", "payload", dim=8).collect()}
-    assert out[1].n_bytes == 11 and len(out[1].features) == 8
+    assert out[1].n_bytes == 11 and not out[1].decode_ok and out[1].features is None
+    assert "magic" in out[1].error or "Error" in out[1].error
     import hashlib
 
     assert out[2].sha256 == hashlib.sha256(b"two").hexdigest()
-    frames = sample_video_frames(df, "doc_id", "payload").collect()
+    stub = {r.id: r for r in extract_image_features_stub(df, "doc_id", "payload", dim=8).collect()}
+    assert len(stub[1].features) == 8  # digest-fake vector, schema-only evidence
+    frames = sample_video_frames_stub(df, "doc_id", "payload").collect()
     assert len(frames) >= 2
 
-    with pytest.raises(Exception):  # stub raise path surfaces NotImplementedError
-        extract_image_features(df, "doc_id", "payload", decode_stub="raise").collect()
+
+def test_extract_image_features_real_thumbnail_embedding(spark):
+    """The r11 real featurizer: features are the decoded grayscale
+    thumbnail in [-1,1] — identical images (even across PNG/JPEG
+    encodes) land near each other in cosine space, unrelated ones
+    don't."""
+    import numpy as np
+
+    from iceberg_python_spark.operators.imaging import encode_png
+    from iceberg_python_spark.operators.jpeg import encode_jpeg
+    from iceberg_python_spark.operators.multimodal import extract_image_features
+
+    rng = np.random.default_rng(11)
+    a = np.kron(rng.integers(0, 256, (4, 4, 3)), np.ones((8, 8, 1))).astype(np.uint8)
+    b = np.kron(rng.integers(0, 256, (4, 4, 3)), np.ones((8, 8, 1))).astype(np.uint8)
+    rows = [
+        (1, bytearray(encode_png(a))),
+        (2, bytearray(encode_jpeg(a, 95))),  # same content, different codec
+        (3, bytearray(encode_png(b))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, payload: binary")
+    out = {r.id: np.array(r.features) for r in extract_image_features(df, "doc_id", "payload").collect()}
+
+    def cos(x, y):
+        return float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
+
+    assert all(len(v) == 16 for v in out.values())
+    assert cos(out[1], out[2]) > 0.99  # codec-invariant
+    assert cos(out[1], out[3]) < 0.9  # distinct content separates
 
 
 def test_dedup_against_lsh_index(spark):
