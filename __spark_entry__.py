@@ -1277,8 +1277,19 @@ def _q_dedup_minhash_invariants(spark, env):
     hence share every LSH band — with the skew cap off they are ALWAYS
     candidates, always verify at jaccard 1.0, and are always dropped.
     Returns (n_docs, n_norm_dups, norm_dups_dropped): the counts are
-    DuckDB-recomputable, the boolean is the hard superset-of-drops claim."""
-    from iceberg_python_spark.operators.dedup import minhash_dedup
+    DuckDB-recomputable, the boolean is the hard superset-of-drops claim.
+
+    r11 fold (VERDICT r10 #7, absorbs the dedup_minhash_lsh rows-only
+    slot): dropped_verified_ok is the PRECISION claim over the raw
+    survivor set — every doc the pipeline dropped participates in at
+    least one exact-Jaccard>=0.7 verified pair (the verify step is
+    exact, so no doc is ever dropped on LSH evidence alone)."""
+    from iceberg_python_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_lsh_candidates,
+        minhash_signature,
+        ngram_jaccard_pairs,
+    )
 
     docs = env["docs_dup"].scan(selected_fields=("doc_id", "text")).to_df()
     survivors = minhash_dedup(docs, "doc_id", "text", threshold=0.7, max_bucket_size=None)
@@ -1290,10 +1301,22 @@ def _q_dedup_minhash_invariants(spark, env):
     dups = nd.join(keep, "_nrm").where(F.col("doc_id") != F.col("_keep")).select("doc_id")
     dups = dups.localCheckpoint(eager=True)  # referenced by both aggregates
     surviving_dups = dups.join(survivors.select("doc_id"), "doc_id", "left_semi")
+    cands = minhash_lsh_candidates(
+        minhash_signature(docs, "text"), "doc_id", max_bucket_size=None
+    )
+    verified = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.7, candidates=cands)
+    participants = (
+        verified.select(F.col("id_a").alias("doc_id"))
+        .unionByName(verified.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    dropped = docs.select("doc_id").join(survivors.select("doc_id"), "doc_id", "left_anti")
+    unexplained = dropped.join(participants, "doc_id", "left_anti")
     return (
         docs.agg(F.count("*").cast("long").alias("n_docs"))
         .crossJoin(F.broadcast(dups.agg(F.count("*").cast("long").alias("n_norm_dups"))))
         .crossJoin(F.broadcast(surviving_dups.agg((F.count("*") == 0).alias("norm_dups_dropped"))))
+        .crossJoin(F.broadcast(unexplained.agg((F.count("*") == 0).alias("dropped_verified_ok"))))
     )
 
 
@@ -1307,7 +1330,11 @@ def _q_dedup_jaccard_invariants(spark, env):
     (at j >= 0.8 a pair misses all 8 bands w.p. (1-j^4)^8 <= 1.5%, and
     the bulk of docs_dup's true pairs are identical-content at j = 1,
     which with the skew cap off are candidates w.p. 1). n_exact is
-    DuckDB-recomputed; both booleans are hard claims."""
+    DuckDB-recomputed; both booleans are hard claims.
+
+    r11 fold (VERDICT r10 #7, absorbs the dedup_ngram_jaccard rows-only
+    slot): verified_at_threshold_ok pins the raw verified-pair output —
+    every emitted pair's exact jaccard is >= the 0.8 threshold."""
     from iceberg_python_spark.operators.dedup import (
         jaccard_prefix_join,
         minhash_lsh_candidates,
@@ -1324,9 +1351,10 @@ def _q_dedup_jaccard_invariants(spark, env):
     cands = minhash_lsh_candidates(
         minhash_signature(docs, "text"), "doc_id", max_bucket_size=None
     )
-    verified = ngram_jaccard_pairs(
+    verified_full = ngram_jaccard_pairs(
         docs, "doc_id", "text", threshold=0.8, candidates=cands
-    ).select("id_a", "id_b")
+    ).localCheckpoint(eager=True)  # reused: block filter + threshold claim
+    verified = verified_full.select("id_a", "id_b")
     blk = docs.select("doc_id", "lang", "_lb")
     v_in = (
         verified.join(blk.withColumnRenamed("doc_id", "id_a"), "id_a")
@@ -1347,13 +1375,18 @@ def _q_dedup_jaccard_invariants(spark, env):
     n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
     n_hit = exact.join(v_in, ["id_a", "id_b"], "left_semi").agg(F.count("*").alias("n_hit"))
     n_extra = v_in.join(exact, ["id_a", "id_b"], "left_anti").agg(F.count("*").alias("n_extra"))
+    thresh_ok = verified_full.agg(
+        F.coalesce(F.min(F.col("jaccard") >= 0.8), F.lit(True)).alias("verified_at_threshold_ok")
+    )
     return (
         n_exact.crossJoin(F.broadcast(n_hit))
         .crossJoin(F.broadcast(n_extra))
+        .crossJoin(F.broadcast(thresh_ok))
         .select(
             "n_exact",
             (F.col("n_extra") == 0).alias("precision_ok"),
             (F.col("n_hit") >= 0.8 * F.col("n_exact")).alias("recall_ok"),
+            "verified_at_threshold_ok",
         )
     )
 
@@ -1365,11 +1398,18 @@ def _q_dedup_simhash_invariants(spark, env):
     normalized-duplicate pair MUST appear in the candidate set (the
     default skew cap is off, preserving the superset guarantee the
     operator documents). n_norm_pairs is DuckDB-recomputed; superset_ok
-    is the hard claim."""
+    is the hard claim.
+
+    r11 fold (VERDICT r10 #7, absorbs the dedup_simhash_candidates
+    rows-only slot): cands_share_band_ok pins the raw candidate output's
+    defining property — every emitted pair shares at least one of the
+    four 16-bit simhash bands (re-derived from the signatures and
+    checked pair-by-pair, O(candidates))."""
     from iceberg_python_spark.operators.dedup import simhash, simhash_candidates
 
     docs = env["docs_dup"].scan(selected_fields=("doc_id", "text")).to_df()
-    cands = simhash_candidates(simhash(docs, "text"), "doc_id")
+    sh = simhash(docs, "text").localCheckpoint(eager=True)  # candidates + band check
+    cands = simhash_candidates(sh, "doc_id").localCheckpoint(eager=True)
     norm = F.trim(
         F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""), r"\s+", " ")
     )
@@ -1381,9 +1421,23 @@ def _q_dedup_simhash_invariants(spark, env):
     )
     pairs = pairs.localCheckpoint(eager=True)  # referenced by both aggregates
     missing = pairs.join(cands, ["id_a", "id_b"], "left_anti")
+    sig = sh.select("doc_id", "simhash")
+    joined = (
+        cands.join(sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sa")), "id_a")
+        .join(sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sb")), "id_b")
+    )
+    mask = F.lit(0xFFFF).cast("long")
+    share = None
+    for b in range(4):
+        eq = (F.shiftright("_sa", 16 * b).bitwiseAND(mask)) == (
+            F.shiftright("_sb", 16 * b).bitwiseAND(mask)
+        )
+        share = eq if share is None else (share | eq)
+    band_ok = joined.agg(F.coalesce(F.min(share), F.lit(True)).alias("cands_share_band_ok"))
     return (
         pairs.agg(F.count("*").cast("long").alias("n_norm_pairs"))
         .crossJoin(F.broadcast(missing.agg((F.count("*") == 0).alias("superset_ok"))))
+        .crossJoin(F.broadcast(band_ok))
     )
 
 
@@ -1600,19 +1654,57 @@ def _q_dedup_clusters_default(spark, env):
     )
 
 
-def _recall_invariant(exact: DataFrame, approx: DataFrame, bound: float) -> DataFrame:
+def _recall_invariant(
+    exact: DataFrame, approx: DataFrame, bound: float, approx_full: DataFrame = None, k: int = None
+) -> DataFrame:
     """One-row invariant: |approx ∩ exact| >= bound * |exact| over the
     (query_id, vec_id) result sets — a deterministic, hash-matchable
-    statement about an approximate algorithm the oracle can't replay."""
+    statement about an approximate algorithm the oracle can't replay.
+
+    r11 fold (VERDICT r10 #7, absorbs the ann_*_topk rows-only slots):
+    pass ``approx_full`` (the raw top-k with cos + rank) and ``k`` to
+    also pin the raw output's structure — per-query result count <= k,
+    cosines inside [-1, 1], and scores non-increasing along rank."""
     exact = exact.localCheckpoint(eager=True)  # both aggregates reuse it
     hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").agg(
         F.count("*").alias("n_hit")
     )
     total = exact.agg(F.count("*").alias("n_exact"))
-    return hits.crossJoin(F.broadcast(total)).select(
+    out = hits.crossJoin(F.broadcast(total)).select(
         F.col("n_exact").cast("long").alias("n_exact"),
         (F.col("n_hit") >= F.lit(bound) * F.col("n_exact")).alias("recall_ok"),
     )
+    if approx_full is None:
+        return out
+    from pyspark.sql import Window
+
+    eps = 1e-9
+    w = Window.partitionBy("query_id").orderBy("rank")
+    a = approx_full.withColumn("_prev", F.lag("cos").over(w))
+    per_q = approx_full.groupBy("query_id").agg(F.count("*").alias("_n"))
+    claims = (
+        per_q.agg((F.max("_n") <= k).alias("k_bound_ok"))
+        .crossJoin(
+            F.broadcast(
+                approx_full.agg(
+                    ((F.min("cos") >= -1 - eps) & (F.max("cos") <= 1 + eps)).alias(
+                        "scores_valid_ok"
+                    )
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                a.agg(
+                    F.coalesce(
+                        F.min(F.col("_prev").isNull() | (F.col("cos") <= F.col("_prev") + eps)),
+                        F.lit(True),
+                    ).alias("ranked_ok")
+                )
+            )
+        )
+    )
+    return out.crossJoin(F.broadcast(claims))
 
 
 def _q_ann_lsh_recall(spark, env):
@@ -1625,10 +1717,11 @@ def _q_ann_lsh_recall(spark, env):
     emb = env["embeddings"].scan().to_df()
     q = emb.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
     exact = brute_force_cosine_topk(emb, q, "vec_id", "embedding", k=10).select("query_id", "vec_id")
-    approx = lsh_ann_topk(emb, q, "vec_id", "embedding", k=10, multiprobe_bits=2).select(
-        "query_id", "vec_id"
+    approx_full = lsh_ann_topk(emb, q, "vec_id", "embedding", k=10, multiprobe_bits=2)
+    approx_full = approx_full.localCheckpoint(eager=True)  # recall + 3 structure claims
+    return _recall_invariant(
+        exact, approx_full.select("query_id", "vec_id"), 0.25, approx_full=approx_full, k=10
     )
-    return _recall_invariant(exact, approx, 0.25)
 
 
 def _q_ann_ivf_recall(spark, env):
@@ -1639,10 +1732,12 @@ def _q_ann_ivf_recall(spark, env):
     emb = env["embeddings"].scan().to_df()
     q = emb.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
     exact = brute_force_cosine_topk(emb, q, "vec_id", "embedding", k=10).select("query_id", "vec_id")
-    approx = ivf_ann_topk(
+    approx_full = ivf_ann_topk(
         emb, q, "vec_id", "embedding", k=10, n_centroids=32, nprobe=8, sample_size=5000
-    ).select("query_id", "vec_id")
-    return _recall_invariant(exact, approx, 0.5)
+    ).localCheckpoint(eager=True)  # recall + 3 structure claims
+    return _recall_invariant(
+        exact, approx_full.select("query_id", "vec_id"), 0.5, approx_full=approx_full, k=10
+    )
 
 
 def _q_ann_pq_recall(spark, env):
@@ -3059,13 +3154,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "branch_wap_scan": _q_branch_wap_scan,
             "changelog_scan": _q_changelog_scan,
             "row_lineage_invariants": _q_row_lineage_invariants,
-            # --- raw approximate outputs (no oracle by design; their
-            # quality is pinned by the *_invariants and *_recall rows) ---
-            "dedup_minhash_lsh": _q_dedup_minhash,
-            "dedup_simhash_candidates": _q_dedup_simhash,
-            "dedup_ngram_jaccard": _q_dedup_jaccard,
-            "ann_lsh_topk": _q_ann_lsh,
-            "ann_ivf_topk": _q_ann_ivf,
+            # r11 fold (VERDICT r10 #7): the five raw-approximate
+            # rows-only entries (dedup_minhash_lsh,
+            # dedup_simhash_candidates, dedup_ngram_jaccard,
+            # ann_lsh_topk, ann_ivf_topk) are absorbed into their
+            # *_invariants / *_recall MATCH rows as extra claim columns
+            # (dropped_verified_ok, cands_share_band_ok,
+            # verified_at_threshold_ok, k_bound_ok / scores_valid_ok /
+            # ranked_ok) — zero ROWS_ONLY entries remain; the operators
+            # still execute inside those MATCH rows every round.
         }.items()
     }
 
@@ -3786,7 +3883,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), "
             "'\\s+', ' ', 'g')) AS nrm, count(*) AS k FROM docs_dup GROUP BY 1) "
             "SELECT CAST(sum(k) AS BIGINT) AS n_docs, CAST(sum(k - 1) AS BIGINT) AS n_norm_dups, "
-            "TRUE AS norm_dups_dropped FROM g"
+            "TRUE AS norm_dups_dropped, TRUE AS dropped_verified_ok FROM g"
         ),
         "dedup_jaccard_invariants": (
             # n_exact = the blocked brute-force pair count (the same CTE
@@ -3798,7 +3895,8 @@ def oracle_sql() -> dict[str, str]:
             "regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+')) - 2, 1)), "
             "i -> array_to_string((regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), "
             "'\\s+'))[i:i+2], ' '))) AS shingles FROM docs_dup) "
-            "SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS precision_ok, TRUE AS recall_ok "
+            "SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS precision_ok, TRUE AS recall_ok, "
+            "TRUE AS verified_at_threshold_ok "
             "FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
             "len(list_intersect(a.shingles, b.shingles)) / len(list_distinct(a.shingles || b.shingles)) AS j "
             "FROM sh a JOIN sh b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id "
@@ -3809,7 +3907,8 @@ def oracle_sql() -> dict[str, str]:
             f"{docs_dup_cte}, g AS ("
             "SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), "
             "'\\s+', ' ', 'g')) AS nrm, count(*) AS k FROM docs_dup GROUP BY 1) "
-            "SELECT CAST(sum(k * (k - 1) // 2) AS BIGINT) AS n_norm_pairs, TRUE AS superset_ok FROM g"
+            "SELECT CAST(sum(k * (k - 1) // 2) AS BIGINT) AS n_norm_pairs, TRUE AS superset_ok, "
+            "TRUE AS cands_share_band_ok FROM g"
         ),
         "dedup_neardup_clusters": _neardup_clusters_oracle(docs_dup_cte),
         # identical expected result through the operator's DEFAULT
@@ -3987,11 +4086,15 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_recall": (
             # invariant oracle: the Spark side computes recall against the
             # exact result and returns whether it clears the bound — the
-            # oracle pins the deterministic expectation (seeded planes)
-            "SELECT CAST(50 AS BIGINT) AS n_exact, TRUE AS recall_ok"
+            # oracle pins the deterministic expectation (seeded planes).
+            # r11 fold: the three structure claims pin the raw top-k
+            # output (<= k rows per query, valid cosines, rank-sorted)
+            "SELECT CAST(50 AS BIGINT) AS n_exact, TRUE AS recall_ok, "
+            "TRUE AS k_bound_ok, TRUE AS scores_valid_ok, TRUE AS ranked_ok"
         ),
         "ann_ivf_recall": (
-            "SELECT CAST(50 AS BIGINT) AS n_exact, TRUE AS recall_ok"
+            "SELECT CAST(50 AS BIGINT) AS n_exact, TRUE AS recall_ok, "
+            "TRUE AS k_bound_ok, TRUE AS scores_valid_ok, TRUE AS ranked_ok"
         ),
         "ann_pq_recall": (
             "SELECT CAST(50 AS BIGINT) AS n_exact, TRUE AS recall_ok"
