@@ -490,11 +490,11 @@ class IcebergStreamReader(DataSourceStreamReader):
 
 
 class _FileCommit(WriterCommitMessage):
-    """Per-task commit message: one written data file + its footer stats."""
+    """Per-task commit message: the written data files, each as
+    (path, footer stats, partition dict — internal values)."""
 
-    def __init__(self, path: Optional[str], stats: Optional[Dict[str, Any]]):
-        self.path = path
-        self.stats = stats
+    def __init__(self, files: List[Tuple[str, Dict[str, Any], Dict[str, Any]]]):
+        self.files = files
 
 
 def _writer_catalog(options: Dict[str, str]):
@@ -528,18 +528,25 @@ def _writer_catalog(options: Dict[str, str]):
 class IcebergBatchWriter(DataSourceArrowWriter):
     """``df.write.format("iceberg_python_spark")`` — the write half of
     the DataSource (reads shipped in r08). Each executor task streams
-    its Arrow record batches into ONE parquet data file placed by the
+    its Arrow record batches into parquet data files placed by the
     table's location provider (object-storage entropy layout included)
-    and returns (path, footer stats) as its commit message; the driver
-    side then assembles the DataFile entries and commits ONE engine
-    snapshot through the catalog CAS — append for SaveMode.append,
-    overwrite (remove-all + add) for SaveMode.overwrite. Data rows
-    never pass through the driver; abort removes the orphaned files.
+    and returns (path, footer stats, partition tuple) triples as its
+    commit message; the driver side then assembles the DataFile
+    entries and commits ONE engine snapshot through the catalog CAS —
+    append for SaveMode.append, overwrite (remove-all + add) for
+    SaveMode.overwrite. Data rows never pass through the driver; abort
+    removes the orphaned files.
 
-    Scope (loud): unpartitioned tables, parquet format. Partitioned
-    writes need the engine's Spark-side partition transforms — use
-    ``table.append(df)``, which distributes by partition and records
-    partition tuples."""
+    Partitioned tables (r11): partition tuples are computed row-wise
+    with the engine's own Python transform callables (identity /
+    bucket / truncate / temporal — the same code the pruning
+    evaluators trust), rows group per batch via pandas, and each task
+    keeps a bounded pool of open per-partition writers (evicted files
+    simply become additional DataFiles). For best file sizes
+    repartition the DataFrame by the partition source columns first —
+    the DataSource cannot reshuffle for you; ``table.append(df)`` can.
+
+    Scope (loud): parquet format only."""
 
     def __init__(self, options: Dict[str, str], spark_schema, overwrite: bool):
         self.options = dict(options)
@@ -547,11 +554,6 @@ class IcebergBatchWriter(DataSourceArrowWriter):
         cat = _writer_catalog(self.options)
         table = cat.load_table(self.options["table"])
         meta = table.metadata
-        if not meta.spec().is_unpartitioned:
-            raise NotImplementedError(
-                "DataSource writes support unpartitioned tables; partitioned "
-                "writes need Spark-side partition transforms — use table.append(df)"
-            )
         fmt = (meta.properties.get("write.format.default") or "parquet").lower()
         if fmt != "parquet":
             raise NotImplementedError(
@@ -569,81 +571,167 @@ class IcebergBatchWriter(DataSourceArrowWriter):
         self.location = meta.location
         self.properties = dict(meta.properties or {})
         self.schema_json = json.dumps(table_schema.to_dict())
-        self.spec_id = meta.default_spec_id
+        self.table_schema = table_schema  # picklable, ships to executors
+        self.spec = meta.spec()
+        self.spec_id = self.spec.spec_id
         self.schema_id = table_schema.schema_id
+        # fail at PLANNING time if any partition transform cannot run
+        # Python-side (void/unknown cannot place rows)
+        for pf in self.spec.fields:
+            src = table_schema.find_field(pf.source_id).field_type
+            try:
+                pf.transform.transform(src)
+            except Exception as exc:
+                raise NotImplementedError(
+                    f"partition transform {pf.transform.name!r} on field "
+                    f"{pf.name!r} has no Python-side evaluator ({exc}); "
+                    "use table.append(df)"
+                )
         import uuid as _uuid
 
         self.commit_uuid = str(_uuid.uuid4())
 
     # -- executor side ------------------------------------------------------
-    def write(self, iterator) -> _FileCommit:
+    _MAX_OPEN_WRITERS = 16
+
+    def _open_writer(self, provider, schema, partition: Dict[str, Any]):
+        import os as _os
         import uuid as _uuid
 
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
         from .io.fileio import is_remote, to_local
+
+        ppath = (
+            self.spec.partition_to_path(partition, self.table_schema) if partition else None
+        )
+        fname = f"{self.commit_uuid}-{_uuid.uuid4()}.parquet"
+        path = provider.new_data_location(fname, ppath)
+        where = path if is_remote(path) else to_local(path)
+        if not is_remote(path):
+            _os.makedirs(_os.path.dirname(where), exist_ok=True)
+        return path, pq.ParquetWriter(where, schema)
+
+    def write(self, iterator) -> _FileCommit:
+        import pyarrow as pa
+
+        from .expressions import to_internal
         from .io.write import _file_stats_fn, metrics_modes_for_schema
         from .locations import load_location_provider
+        from .schema import Schema
 
         provider = load_location_provider(self.location, self.properties)
-        fname = f"{self.commit_uuid}-{_uuid.uuid4()}.parquet"
-        path = provider.new_data_location(fname)
-        where = path if is_remote(path) else to_local(path)
-        writer = None
-        rows = 0
+        spec = self.spec
+        converters = [
+            (
+                pf.name,
+                self.table_schema.find_field(pf.source_id).name,
+                self.table_schema.find_field(pf.source_id).field_type,
+                pf.transform.transform(self.table_schema.find_field(pf.source_id).field_type),
+            )
+            for pf in spec.fields
+        ]
+        # (partition key tuple) -> [path, writer, partition dict]; a
+        # bounded pool — an evicted partition that reappears simply
+        # opens another file (more DataFiles, never wrong data)
+        open_writers: Dict[Tuple, list] = {}
+        done: List[Tuple[str, Dict[str, Any]]] = []  # (path, partition)
+
+        def close_one(key) -> None:
+            path, w, part = open_writers.pop(key)
+            w.close()
+            done.append((path, part))
+
         try:
             for batch in iterator:
                 if batch.num_rows == 0:
                     continue
-                if writer is None:
-                    import os as _os
+                if not converters:
+                    groups = {(): (None, {})}
+                    idx_by_key = {(): None}  # whole batch
+                else:
+                    import pandas as _pd
 
-                    if not is_remote(path):
-                        _os.makedirs(_os.path.dirname(where), exist_ok=True)
-                    writer = pq.ParquetWriter(where, batch.schema)
-                writer.write_table(pa.Table.from_batches([batch]))
-                rows += batch.num_rows
+                    pdf = batch.to_pandas()
+                    keys = []
+                    for _pname, src_name, src_type, tf in converters:
+                        keys.append(
+                            pdf[src_name].map(
+                                lambda v: None if _pd.isna(v) else tf(to_internal(v, src_type))
+                            )
+                        )
+                    kf = _pd.concat(keys, axis=1)
+                    kf.columns = [c[0] for c in converters]
+                    idx_by_key = _pd.DataFrame(kf).groupby(
+                        list(kf.columns), dropna=False, sort=False
+                    ).indices
+                    # pandas promotes int key columns with nulls to float
+                    # — re-coerce through to_internal on the transform's
+                    # RESULT type so partition dicts hold spec-typed values
+                    rtypes = [
+                        pf.transform.result_type(self.table_schema.find_field(pf.source_id).field_type)
+                        for pf in spec.fields
+                    ]
+                    groups = {}
+                    for key in idx_by_key:
+                        kt = key if isinstance(key, tuple) else (key,)
+                        kt = tuple(
+                            None if _pd.isna(k) else to_internal(k, rt)
+                            for k, rt in zip(kt, rtypes)
+                        )
+                        groups[key] = (None, dict(zip([c[0] for c in converters], kt)))
+                for key, (_, part) in groups.items():
+                    sub = (
+                        batch
+                        if idx_by_key.get(key) is None
+                        else batch.take(pa.array(idx_by_key[key]))
+                    )
+                    if sub.num_rows == 0:
+                        continue
+                    hkey = key if isinstance(key, tuple) else (key,)
+                    if hkey not in open_writers:
+                        if len(open_writers) >= self._MAX_OPEN_WRITERS:
+                            close_one(next(iter(open_writers)))
+                        path, w = self._open_writer(provider, batch.schema, part)
+                        open_writers[hkey] = [path, w, part]
+                    open_writers[hkey][1].write_table(pa.Table.from_batches([sub]))
         finally:
-            if writer is not None:
-                writer.close()
-        if rows == 0:
-            return _FileCommit(None, None)  # empty task — no file
-        from .schema import Schema
-
+            for key in list(open_writers):
+                close_one(key)
+        if not done:
+            return _FileCommit([])  # empty task — no files
         modes = metrics_modes_for_schema(Schema.from_dict(json.loads(self.schema_json)), self.properties)
         fn = _file_stats_fn(
             self.schema_json,
             None,
             json.dumps({str(k): list(v) for k, v in modes.items()}) if modes else None,
         )
-        _, stats = fn(path)
-        return _FileCommit(path, stats)
+        return _FileCommit([(path, fn(path)[1], part) for path, part in done])
 
     # -- driver side ----------------------------------------------------------
     def _data_files(self, messages) -> List[Dict[str, Any]]:
         files = []
         for m in messages:
-            if m is None or m.path is None:
+            if m is None:
                 continue
-            st = m.stats
-            files.append(
-                {
-                    "content": 0,
-                    "file_path": m.path,
-                    "file_format": "PARQUET",
-                    "spec_id": self.spec_id,
-                    "schema_id": self.schema_id,
-                    "partition": {},
-                    "record_count": st["record_count"],
-                    "file_size_in_bytes": st["file_size_in_bytes"],
-                    "value_counts": st["value_counts"],
-                    "null_value_counts": st["null_value_counts"],
-                    "nan_value_counts": st["nan_value_counts"],
-                    "lower_bounds": st["lower_bounds"],
-                    "upper_bounds": st["upper_bounds"],
-                }
-            )
+            for path, st, partition in m.files:
+                files.append(
+                    {
+                        "content": 0,
+                        "file_path": path,
+                        "file_format": "PARQUET",
+                        "spec_id": self.spec_id,
+                        "schema_id": self.schema_id,
+                        "partition": partition,
+                        "record_count": st["record_count"],
+                        "file_size_in_bytes": st["file_size_in_bytes"],
+                        "value_counts": st["value_counts"],
+                        "null_value_counts": st["null_value_counts"],
+                        "nan_value_counts": st["nan_value_counts"],
+                        "lower_bounds": st["lower_bounds"],
+                        "upper_bounds": st["upper_bounds"],
+                    }
+                )
         return files
 
     def _commit(self, files: List[Dict[str, Any]], snapshot_properties=None) -> None:
@@ -676,9 +764,9 @@ class IcebergBatchWriter(DataSourceArrowWriter):
         from .io import fileio
 
         for m in messages or []:
-            if m is not None and getattr(m, "path", None):
+            for path, _st, _part in getattr(m, "files", None) or []:
                 try:
-                    fileio.remove(m.path)
+                    fileio.remove(path)
                 except Exception:
                     pass  # abort is best-effort; orphan sweeps catch the rest
 

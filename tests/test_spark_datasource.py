@@ -264,13 +264,11 @@ def test_datasource_write_roundtrip(cat, spark):
 
 
 def test_datasource_write_guards(cat, spark):
-    """Schema mismatch, partitioned targets, and missing options fail
-    loudly at PLANNING time (driver), not as task errors."""
-    from iceberg_python_spark import spec_from_names
-
+    """Schema mismatch and missing options fail loudly at PLANNING time
+    (driver), not as task errors."""
     register_data_source(spark)
     df = spark.range(10).withColumn("s", F.lit("x"))
-    t = cat.create_table("db.w_guard", schema_from_spark(df.schema))
+    cat.create_table("db.w_guard", schema_from_spark(df.schema))
     bad = df.withColumn("extra", F.lit(1))
     with pytest.raises(Exception, match="does not match table schema"):
         (
@@ -278,16 +276,57 @@ def test_datasource_write_guards(cat, spark):
             .option("warehouse", cat.warehouse).option("catalog_name", "dsrc")
             .option("table", "db.w_guard").mode("append").save()
         )
-    part_schema = schema_from_spark(df.schema)
-    cat.create_table("db.w_part", part_schema, partition_spec=spec_from_names(part_schema, "s"))
-    with pytest.raises(Exception, match="unpartitioned"):
-        (
-            df.write.format("iceberg_python_spark")
-            .option("warehouse", cat.warehouse).option("catalog_name", "dsrc")
-            .option("table", "db.w_part").mode("append").save()
-        )
     with pytest.raises(Exception, match="warehouse"):
         df.write.format("iceberg_python_spark").mode("append").save()
+
+
+def test_datasource_write_partitioned(cat, spark):
+    """Partitioned DataSource writes (r11): partition tuples computed
+    with the engine's Python transform callables, per-partition files,
+    hive-style paths via the location provider, and partition pruning
+    working off the recorded tuples."""
+    from iceberg_python_spark import spec_from_names
+
+    register_data_source(spark)
+    df = (
+        spark.range(120)
+        .withColumn("cat", F.concat(F.lit("c"), (F.col("id") % 3)))
+        .withColumn("ts", F.expr("timestamp'2024-01-15 00:00:00' + make_interval(0, int(id % 4), 0, 0, 0, 0, 0)"))
+        .withColumn("v", F.col("id").cast("double"))
+    )
+    sch = schema_from_spark(df.schema)
+    cat.create_table(
+        "db.w_part2", sch, partition_spec=spec_from_names(sch, "cat", ("ts", "month"))
+    )
+    (
+        df.write.format("iceberg_python_spark")
+        .option("warehouse", cat.warehouse).option("catalog_name", "dsrc")
+        .option("table", "db.w_part2").mode("append").save()
+    )
+    t = cat.load_table("db.w_part2")
+    out = t.scan().to_df()
+    assert out.count() == 120
+    got = {r.id: (r.cat, r.v) for r in out.collect()}
+    assert got[7] == ("c1", 7.0)
+    # partition tuples recorded: pruning on cat and month must cut files
+    all_files = t.scan().plan_files()
+    pruned = t.scan(row_filter="cat = 'c1'").plan_files()
+    assert 0 < len(pruned) < len(all_files)
+    assert t.scan(row_filter="cat = 'c1'").to_df().count() == 40
+    month_pruned = t.scan(row_filter="ts >= '2024-04-01T00:00:00'").plan_files()
+    assert 0 < len(month_pruned) < len(all_files)
+    # hive-style partition dirs came from partition_to_path
+    assert any("cat=c1" in f.data_file["file_path"] for f in pruned)
+    # null partition values route to their own partition
+    nulls = spark.createDataFrame([(1000, None, None, 1.0)], df.schema)
+    (
+        nulls.write.format("iceberg_python_spark")
+        .option("warehouse", cat.warehouse).option("catalog_name", "dsrc")
+        .option("table", "db.w_part2").mode("append").save()
+    )
+    t = cat.load_table("db.w_part2")
+    assert t.scan(row_filter="cat is null").to_df().count() == 1
+    assert t.scan().to_df().count() == 121
 
 
 def test_datasource_stream_write_exactly_once(cat, spark, tmp_path):
