@@ -15,7 +15,8 @@ Decoders (magic-byte dispatch in :func:`decode_image`):
   NotImplementedError naming PIL.
 - **JPEG** (jpeg.py, r11) — baseline sequential SOF0/SOF1: canonical
   Huffman decode, restart markers, sampling factors up to 2×2
-  (4:4:4/4:2:2/4:2:0), batched-numpy dequant + IDCT; progressive and
+  (4:4:4/4:2:2/4:2:0), PROGRESSIVE SOF2 (DC first/refine, spectral
+  selection, successive approximation), batched-numpy dequant + IDCT;
   arithmetic variants raise NotImplementedError naming PIL.
 - **PPM/PGM (P6/P5, maxval 255)** — header parse + ``frombuffer``.
 - **BMP** — BITMAPINFOHEADER, 24/32-bit uncompressed BI_RGB,
@@ -190,8 +191,8 @@ def decode_image(data: bytes) -> np.ndarray:
     if data[:8] == _PNG_SIG:
         return _decode_png(data)
     if data[:2] == b"\xff\xd8":
-        # baseline sequential JPEG (r11): Huffman + IDCT in jpeg.py;
-        # progressive/arithmetic variants raise NotImplementedError there
+        # baseline + progressive JPEG (r11): Huffman + IDCT in jpeg.py;
+        # arithmetic variants raise NotImplementedError there
         from .jpeg import decode_jpeg
 
         px = decode_jpeg(data)

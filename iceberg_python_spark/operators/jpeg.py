@@ -244,20 +244,122 @@ def _marker(tag: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, tag, len(payload) + 2) + payload
 
 
+def _emit_ac_first(bw: _BitWriter, ac_tbl, blk, ss: int, se: int, al: int) -> None:
+    """Progressive AC first scan for one block (T.81 G.1.2.2): values
+    are abs>>Al with sign, zero runs + per-block EOB0 (no cross-block
+    EOB runs — valid, marginally larger)."""
+    r = 0
+    emitted = False
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        a = abs(v) >> al
+        if a == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac_tbl[0xF0]
+            bw.put(code, ln)
+            r -= 16
+        t = a.bit_length()
+        bits = a if v > 0 else (1 << t) - 1 - a  # magnitude coding of -a
+        code, ln = ac_tbl[(r << 4) | t]
+        bw.put(code, ln)
+        bw.put(bits, t)
+        r = 0
+        emitted = True
+    if r > 0 or not emitted:
+        code, ln = ac_tbl[0x00]  # EOB0
+        bw.put(code, ln)
+
+
+def _emit_ac_refine(bw: _BitWriter, ac_tbl, blk, ss: int, se: int, al: int) -> None:
+    """Progressive AC refinement for one block (T.81 G.1.2.3, per-block
+    EOB): mirrors the DECODER's walk exactly — newly-nonzero
+    coefficients (abs>>Al == 1) emit (zero_run<<4)|1 + a sign bit;
+    every nonzero-history coefficient the walk passes contributes its
+    bit-Al correction in walk order; a ZRL consumes exactly 16
+    zero-history positions (history free-riders between them ride that
+    ZRL's bit stream, later ones wait for the next symbol); the
+    trailing EOB0 carries corrections for the positions after the last
+    new coefficient."""
+    # classify each position the way the decoder's walk sees it
+    events = []  # (kind, payload): 'zero' | ('hist', bit) | ('new', signbit)
+    last_new = -1
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        a = abs(v) >> al
+        if a == 1:
+            last_new = k
+    for k in range(ss, (last_new if last_new >= 0 else ss - 1) + 1):
+        v = int(blk[k])
+        a = abs(v) >> al
+        if a == 0:
+            events.append(("zero", 0))
+        elif a > 1:
+            events.append(("hist", (abs(v) >> al) & 1))
+        else:
+            events.append(("new", 1 if v > 0 else 0))
+    i, n = 0, len(events)
+    while i < n:
+        zeros_to_new = 0
+        j = i
+        while events[j][0] != "new":
+            if events[j][0] == "zero":
+                zeros_to_new += 1
+            j += 1
+        if zeros_to_new > 15:
+            # ZRL: consume exactly 16 zero-history positions from i
+            code, ln = ac_tbl[0xF0]
+            bw.put(code, ln)
+            consumed = 0
+            while consumed < 16:
+                kind, payload = events[i]
+                if kind == "zero":
+                    consumed += 1
+                else:  # hist rides this ZRL's walk
+                    bw.put(payload, 1)
+                i += 1
+        else:
+            code, ln = ac_tbl[(zeros_to_new << 4) | 1]
+            bw.put(code, ln)
+            bw.put(events[j][1], 1)  # sign of the new coefficient
+            for kind, payload in events[i:j]:
+                if kind == "hist":
+                    bw.put(payload, 1)
+            i = j + 1
+    # EOB processing covers positions after the last new coefficient
+    k0 = (last_new + 1) if last_new >= 0 else ss
+    if k0 <= se:
+        code, ln = ac_tbl[0x00]
+        bw.put(code, ln)
+        for k in range(k0, se + 1):
+            if abs(int(blk[k])) >> al > 1:
+                bw.put((abs(int(blk[k])) >> al) & 1, 1)
+
+
 def encode_jpeg(
     px: np.ndarray,
     quality: int = 90,
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode (H, W) / (H, W, 1) grayscale or (H, W, 3) RGB uint8 as a
-    baseline sequential JFIF JPEG with Annex K tables.
+    baseline sequential (or PROGRESSIVE) JFIF JPEG with Annex K tables.
 
     ``subsampling``: ``"4:4:4"`` (one block per component per MCU) or
     ``"4:2:0"`` (4 luma + 1 Cb + 1 Cr per MCU, chroma box-averaged 2×2
     — the dominant web layout, ~½ the bytes). ``restart_interval`` > 0
     emits DRI + RSTn markers every N MCUs (what real encoders do for
-    error resilience; also exercises the decoder's restart path)."""
+    error resilience; also exercises the decoder's restart path).
+
+    ``progressive=True`` emits an SOF2 progression over the SAME
+    quantized coefficients — interleaved DC first (Al=1) + DC
+    refinement, then per-component spectral-selection AC scans (bands
+    1-5 and 6-63, Al=1) and their successive-approximation refinements
+    — so the decode is BIT-IDENTICAL to the baseline encode's decode
+    (the exactness oracle the tests pin). 4:4:4/grayscale only, no
+    restart markers (the decoder handles both for foreign files)."""
     px = np.asarray(px, dtype=np.uint8)
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[:, :, 0]
@@ -265,6 +367,10 @@ def encode_jpeg(
     if subsampling not in ("4:4:4", "4:2:0"):
         raise ValueError(f"unsupported subsampling {subsampling!r} (4:4:4 or 4:2:0)")
     sub420 = subsampling == "4:2:0" and not gray
+    if progressive and sub420:
+        raise ValueError("progressive encode supports 4:4:4/grayscale (decode handles 4:2:0)")
+    if progressive and restart_interval:
+        raise ValueError("progressive encode does not emit restart markers")
     h, w = px.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -280,7 +386,7 @@ def encode_jpeg(
     lum_hv = 0x22 if sub420 else 0x11
     for cid in range(1, ncomp + 1):
         sof += struct.pack(">BBB", cid, lum_hv if cid == 1 else 0x11, 0 if cid == 1 else 1)
-    out += _marker(0xC0, sof)
+    out += _marker(0xC2 if progressive else 0xC0, sof)
 
     def dht(tc: int, th: int, spec) -> bytes:
         bits, vals = spec
@@ -291,17 +397,14 @@ def encode_jpeg(
         out += dht(0, 1, _DC_CHR) + dht(1, 1, _AC_CHR)
     if restart_interval:
         out += _marker(0xDD, struct.pack(">H", restart_interval))
-    sos = struct.pack(">B", ncomp)
-    for cid in range(1, ncomp + 1):
-        sos += struct.pack(">BB", cid, 0x00 if cid == 1 else 0x11)
-    sos += b"\x00\x3f\x00"
-    out += _marker(0xDA, sos)
 
     dc_lum = _huff_encode_table(*_DC_LUM)
     ac_lum = _huff_encode_table(*_AC_LUM)
+    comp_blocks = None
     if gray:
         # per-MCU layout: one luma block
-        mcu_iter = [[(blk, 0)] for blk in _to_blocks(px.astype(np.float64), qlum)]
+        comp_blocks = [_to_blocks(px.astype(np.float64), qlum)]
+        mcu_iter = [[(blk, 0)] for blk in comp_blocks[0]]
         comps_tbl = [(dc_lum, ac_lum)]
     else:
         ycc = _rgb_to_ycbcr(px)
@@ -343,6 +446,14 @@ def encode_jpeg(
                 for i in range(comp_blocks[0].shape[0])
             ]
 
+    if progressive:
+        return bytes(_encode_progressive(out, comp_blocks, comps_tbl, ncomp))
+
+    sos = struct.pack(">B", ncomp)
+    for cid in range(1, ncomp + 1):
+        sos += struct.pack(">BB", cid, 0x00 if cid == 1 else 0x11)
+    sos += b"\x00\x3f\x00"
+    out += _marker(0xDA, sos)
     bw = _BitWriter()
     preds = [0] * len(comps_tbl)
     rst = 0
@@ -359,6 +470,60 @@ def encode_jpeg(
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _encode_progressive(out: bytearray, comp_blocks, comps_tbl, ncomp: int) -> bytearray:
+    """Emit the progressive scan sequence over pre-quantized zigzag
+    blocks: DC first (interleaved, Al=1), DC refinement (raw bits), AC
+    spectral bands (1-5, 6-63) first at Al=1 per component, then their
+    refinements to Al=0."""
+
+    def sos_marker(comp_ids, ss_, se_, ah_, al_) -> bytes:
+        body = struct.pack(">B", len(comp_ids))
+        for ci in comp_ids:
+            td = 0 if ci == 0 else 1
+            body += struct.pack(">BB", ci + 1, (td << 4) | td)
+        body += bytes([ss_, se_, (ah_ << 4) | al_])
+        return _marker(0xDA, body)
+
+    nblocks = comp_blocks[0].shape[0]
+    # scan 1: DC first, interleaved, point transform = arithmetic >> 1
+    out += sos_marker(list(range(ncomp)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for i in range(nblocks):
+        for c in range(ncomp):
+            v = int(comp_blocks[c][i][0]) >> 1
+            t, bits = _magnitude(v - preds[c])
+            preds[c] = v
+            code, ln = comps_tbl[c][0][t]
+            bw.put(code, ln)
+            bw.put(bits, t)
+    out += bw.flush()
+    # scan 2: DC refinement — one raw bit per block, no Huffman
+    out += sos_marker(list(range(ncomp)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for i in range(nblocks):
+        for c in range(ncomp):
+            bw.put(int(comp_blocks[c][i][0]) & 1, 1)
+    out += bw.flush()
+    # AC spectral-selection first scans at Al=1, then refinements
+    for ss_, se_ in ((1, 5), (6, 63)):
+        for c in range(ncomp):
+            out += sos_marker([c], ss_, se_, 0, 1)
+            bw = _BitWriter()
+            for blk in comp_blocks[c]:
+                _emit_ac_first(bw, comps_tbl[c][1], blk, ss_, se_, 1)
+            out += bw.flush()
+    for ss_, se_ in ((1, 5), (6, 63)):
+        for c in range(ncomp):
+            out += sos_marker([c], ss_, se_, 1, 0)
+            bw = _BitWriter()
+            for blk in comp_blocks[c]:
+                _emit_ac_refine(bw, comps_tbl[c][1], blk, ss_, se_, 0)
+            out += bw.flush()
+    out += b"\xff\xd9"
+    return out
 
 
 # ---------------------------------------------------------------- decoder
@@ -422,8 +587,13 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline-sequential JPEG bytes → (H, W) or (H, W, 3)
-    uint8 (RGB for 3-component YCbCr, JFIF full range)."""
+    """Decode baseline-sequential (SOF0/SOF1) or PROGRESSIVE (SOF2)
+    JPEG bytes → (H, W) or (H, W, 3) uint8 (RGB for 3-component YCbCr,
+    JFIF full range). Progressive scans — interleaved DC first/refine,
+    non-interleaved AC spectral-selection first scans with EOB runs,
+    and AC successive-approximation refinement (T.81 G.2) — accumulate
+    into per-component coefficient arrays; dequant + IDCT run once at
+    EOI. Arithmetic coding and hierarchical frames still gate on PIL."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (no SOI)")
     pos = 2
@@ -431,6 +601,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff: Dict[Tuple[int, int], _HuffDecoder] = {}
     frame = None
     restart_interval = 0
+    saw_scan = False
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -439,6 +610,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if tag in (0xD8, 0x01) or 0xD0 <= tag <= 0xD7:
             pos += 2
             continue
+        if tag == 0xD9:  # EOI
+            break
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
@@ -462,7 +635,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[p + 17 : p + 17 + n])
                 huff[(tc, th)] = _HuffDecoder(bits, vals)
                 p += 17 + n
-        elif tag in (0xC0, 0xC1):  # SOF0/1 baseline & extended sequential
+        elif tag in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline/extended, SOF2 progressive
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG sample precision needs PIL")
@@ -470,11 +643,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif tag in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = _init_frame(h, w, comps, progressive=(tag == 0xC2))
+        elif tag in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/arithmetic/hierarchical JPEG needs PIL (only "
-                "baseline sequential SOF0/SOF1 decodes here)"
+                "arithmetic/lossless/hierarchical JPEG needs PIL (baseline "
+                "sequential SOF0/SOF1 and progressive SOF2 decode here)"
             )
         elif tag == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -486,16 +659,44 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i : 3 + 2 * i]
                 scan_sel.append((cs, tdta >> 4, tdta & 0xF))
-            return _decode_scan(
-                data, pos, frame, scan_sel, qtables, huff, restart_interval
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            pos = _decode_scan(
+                data, pos, frame, scan_sel, huff, restart_interval, ss, se, ah, al
             )
-        elif tag == 0xD9:  # EOI before SOS
-            break
-    raise ValueError("corrupt JPEG: no scan data")
+            saw_scan = True
+    if frame is None or not saw_scan:
+        raise ValueError("corrupt JPEG: no scan data")
+    return _reconstruct(frame, qtables)
 
 
-def _decode_scan(data, pos, frame, scan_sel, qtables, huff, restart_interval):
-    # split the entropy stream at restart markers, un-stuffing 0xFF00
+def _init_frame(h_img: int, w_img: int, comps: List[Dict[str, Any]], progressive: bool):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2 or any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
+        raise NotImplementedError("sampling factors beyond 2x2 need PIL")
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]
+        c["bh"] = mcus_y * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+        # non-interleaved scans walk only the blocks covering the
+        # component's actual pixel area (T.81 A.2.2), not the MCU grid
+        comp_w = -(-w_img * c["h"] // hmax)
+        comp_h = -(-h_img * c["v"] // vmax)
+        c["nbw"] = -(-comp_w // 8)
+        c["nbh"] = -(-comp_h // 8)
+    return {
+        "h": h_img, "w": w_img, "comps": comps, "progressive": progressive,
+        "hmax": hmax, "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y,
+        "eobrun": 0,
+    }
+
+
+def _scan_segments(data: bytes, pos: int) -> Tuple[List[bytes], int]:
+    """Split one scan's entropy stream at restart markers (un-stuffing
+    0xFF00); returns (segments, position of the terminating marker)."""
     segments: List[bytes] = []
     cur = bytearray()
     p = pos
@@ -516,64 +717,191 @@ def _decode_scan(data, pos, frame, scan_sel, qtables, huff, restart_interval):
         cur.append(b)
         p += 1
     segments.append(bytes(cur))
+    return segments, p
 
+
+def _decode_scan(data, pos, frame, scan_sel, huff, restart_interval, ss, se, ah, al):
+    segments, end_pos = _scan_segments(data, pos)
     comps = frame["comps"]
-    h_img, w_img = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if hmax > 2 or vmax > 2 or any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
-        raise NotImplementedError("sampling factors beyond 2x2 need PIL")
-    mcus_x = -(-w_img // (8 * hmax))
-    mcus_y = -(-h_img // (8 * vmax))
-    sel = {cs: (td, ta) for cs, td, ta in scan_sel}
-    for c in comps:
-        c["bw"] = mcus_x * c["h"]
-        c["bh"] = mcus_y * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
-        c["td"], c["ta"] = sel[c["id"]]
+    by_id = {c["id"]: c for c in comps}
+    scan_comps = []
+    for cs, td, ta in scan_sel:
+        c = by_id.get(cs)
+        if c is None:
+            raise ValueError("corrupt JPEG: scan references unknown component")
+        c["td"], c["ta"] = td, ta
+        scan_comps.append(c)
+    progressive = frame["progressive"]
+    if not progressive:
+        ss, se, ah, al = 0, 63, 0, 0
+    frame["eobrun"] = 0
 
+    interleaved = len(scan_comps) > 1
+    if interleaved and ss != 0:
+        raise ValueError("corrupt JPEG: interleaved AC scan")
     seg_i = 0
     br = _BitReader(segments[0])
-    preds = {c["id"]: 0 for c in comps}
-    mcu = 0
-    total = mcus_x * mcus_y
-    while mcu < total:
-        if restart_interval and mcu and mcu % restart_interval == 0:
+    preds = {c["id"]: 0 for c in scan_comps}
+
+    def restart_if_due(unit: int) -> None:
+        nonlocal seg_i, br, preds
+        if restart_interval and unit and unit % restart_interval == 0:
             seg_i += 1
             if seg_i >= len(segments):
                 raise ValueError("corrupt JPEG: missing restart segment")
             br = _BitReader(segments[seg_i])
-            preds = {c["id"]: 0 for c in comps}
-        my, mx = divmod(mcu, mcus_x)
-        for c in comps:
-            dc_t = huff.get((0, c["td"]))
-            ac_t = huff.get((1, c["ta"]))
-            if dc_t is None or ac_t is None:
-                raise ValueError("corrupt JPEG: scan references missing DHT")
-            for v in range(c["v"]):
-                for hh in range(c["h"]):
-                    blk = np.zeros(64, dtype=np.int64)
-                    t = dc_t.decode(br)
-                    diff = _extend(br.receive(t), t)
-                    preds[c["id"]] += diff
-                    blk[0] = preds[c["id"]]
-                    k = 1
-                    while k < 64:
-                        rs = ac_t.decode(br)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:
-                                k += 16  # ZRL
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("corrupt JPEG: AC index overrun")
-                        blk[k] = _extend(br.receive(s), s)
+            preds = {c["id"]: 0 for c in scan_comps}
+            frame["eobrun"] = 0
+
+    if interleaved or not progressive:
+        mcus_x, mcus_y = frame["mcus_x"], frame["mcus_y"]
+        for mcu in range(mcus_x * mcus_y):
+            restart_if_due(mcu)
+            my, mx = divmod(mcu, mcus_x)
+            for c in scan_comps:
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        blk = c["coef"][(my * c["v"] + v) * c["bw"] + (mx * c["h"] + hh)]
+                        if progressive:
+                            _decode_dc(br, huff, c, blk, preds, ah, al)
+                        else:
+                            _decode_baseline_block(br, huff, c, blk, preds)
+    else:
+        c = scan_comps[0]
+        nbw, nbh = c["nbw"], c["nbh"]
+        for i in range(nbw * nbh):
+            restart_if_due(i)
+            by, bx = divmod(i, nbw)
+            blk = c["coef"][by * c["bw"] + bx]
+            if ss == 0:
+                _decode_dc(br, huff, c, blk, preds, ah, al)
+                if se != 0:
+                    raise ValueError("corrupt JPEG: progressive DC scan with Se > 0")
+            elif ah == 0:
+                _decode_ac_first(br, huff, c, blk, frame, ss, se, al)
+            else:
+                _decode_ac_refine(br, huff, c, blk, frame, ss, se, al)
+    return end_pos
+
+
+def _decode_baseline_block(br, huff, c, blk, preds) -> None:
+    dc_t = huff.get((0, c["td"]))
+    ac_t = huff.get((1, c["ta"]))
+    if dc_t is None or ac_t is None:
+        raise ValueError("corrupt JPEG: scan references missing DHT")
+    t = dc_t.decode(br)
+    preds[c["id"]] += _extend(br.receive(t), t)
+    blk[0] = preds[c["id"]]
+    k = 1
+    while k < 64:
+        rs = ac_t.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("corrupt JPEG: AC index overrun")
+        blk[k] = _extend(br.receive(s), s)
+        k += 1
+
+
+def _decode_dc(br, huff, c, blk, preds, ah, al) -> None:
+    if ah == 0:  # first DC scan: diff coding in the point-transformed domain
+        dc_t = huff.get((0, c["td"]))
+        if dc_t is None:
+            raise ValueError("corrupt JPEG: scan references missing DHT")
+        t = dc_t.decode(br)
+        preds[c["id"]] += _extend(br.receive(t), t)
+        blk[0] = preds[c["id"]] << al
+    else:  # refinement: one raw bit per block
+        if br.read_bit():
+            blk[0] |= 1 << al
+
+
+def _decode_ac_first(br, huff, c, blk, frame, ss, se, al) -> None:
+    if frame["eobrun"] > 0:
+        frame["eobrun"] -= 1
+        return
+    ac_t = huff.get((1, c["ta"]))
+    if ac_t is None:
+        raise ValueError("corrupt JPEG: scan references missing DHT")
+    k = ss
+    while k <= se:
+        rs = ac_t.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:  # EOBn: run of 2^r + receive(r) blocks ending here
+                frame["eobrun"] = (1 << r) - 1 + (br.receive(r) if r else 0)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG: AC index overrun")
+        blk[k] = _extend(br.receive(s), s) << al
+        k += 1
+
+
+def _decode_ac_refine(br, huff, c, blk, frame, ss, se, al) -> None:
+    """AC successive-approximation refinement (T.81 G.1.2.3 / libjpeg
+    jdphuff): newly-nonzero coefficients arrive as ±1<<Al; every
+    already-nonzero coefficient passed over receives one correction
+    bit."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k: int) -> None:
+        if br.read_bit() and not (blk[k] & p1):
+            blk[k] += p1 if blk[k] > 0 else m1
+
+    k = ss
+    if frame["eobrun"] == 0:
+        ac_t = huff.get((1, c["ta"]))
+        if ac_t is None:
+            raise ValueError("corrupt JPEG: scan references missing DHT")
+        while k <= se:
+            rs = ac_t.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:  # EOBn — remaining history coefficients below
+                    frame["eobrun"] = (1 << r) + (br.receive(r) if r else 0)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            elif s == 1:
+                val = p1 if br.read_bit() else m1
+            else:
+                raise ValueError("corrupt JPEG: refinement magnitude > 1")
+            # walk forward: corrections for nonzero history, r counts
+            # zero-history positions; place val when r hits 0
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        if s:
+                            blk[k] = val
                         k += 1
-                    by, bx = my * c["v"] + v, mx * c["h"] + hh
-                    c["coef"][by * c["bw"] + bx] = blk
-        mcu += 1
+                        break
+                    r -= 1
+                k += 1
+            else:
+                break
+    if frame["eobrun"] > 0:
+        # EOB processing: remaining nonzero-history coefficients still
+        # receive their correction bits
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        frame["eobrun"] -= 1
+
+
+def _reconstruct(frame, qtables) -> np.ndarray:
+    comps = frame["comps"]
+    h_img, w_img = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
 
     planes = []
     for c in comps:

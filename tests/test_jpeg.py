@@ -83,12 +83,12 @@ def test_jpeg_phash_duplicates_and_distinct():
     assert hamming(ha1, ha3) <= 6
 
 
-def test_jpeg_progressive_and_corrupt_gated():
+def test_jpeg_arithmetic_and_corrupt_gated():
     img = _gradient(16, 16)
     enc = bytearray(encode_jpeg(img, 90))
     sof = enc.find(b"\xff\xc0")
-    enc[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    enc[sof + 1] = 0xC9  # flip SOF0 -> SOF9 (arithmetic sequential)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(bytes(enc))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01rubbish")
@@ -145,3 +145,36 @@ def test_jpeg_roundtrip_property(h, w, ch, seed):
     dec = decode_jpeg(encode_jpeg(img, quality=95))
     assert dec.shape == img.shape
     assert np.abs(dec.astype(float) - img.astype(float)).max() <= 32
+
+
+def test_jpeg_progressive_decode_matches_baseline_exactly():
+    """Progressive (SOF2) encodes the SAME quantized coefficients, so
+    its decode must be BIT-IDENTICAL to the baseline decode — the
+    exactness oracle for the whole progressive path (DC first/refine,
+    spectral-selection AC first scans with EOB runs, AC
+    successive-approximation refinement)."""
+    rng = np.random.default_rng(17)
+    for h, w, ch, q in [(48, 64, 3, 90), (17, 23, 3, 50), (1, 1, 1, 95), (40, 40, 1, 75)]:
+        img = rng.integers(0, 256, (h, w) if ch == 1 else (h, w, ch), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, q))
+        prog_bytes = encode_jpeg(img, q, progressive=True)
+        assert b"\xff\xc2" in prog_bytes  # really SOF2
+        assert np.array_equal(base, decode_jpeg(prog_bytes))
+    # all-zero blocks exercise pure-EOB scans
+    z = np.zeros((24, 24, 3), dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(z, 90)), decode_jpeg(encode_jpeg(z, 90, progressive=True)))
+
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+
+@_given(_st.integers(1, 40), _st.integers(1, 40), _st.sampled_from([1, 3]),
+        _st.sampled_from([30, 75, 95]), _st.integers(0, 2**31 - 1))
+@_settings(max_examples=20, deadline=None)
+def test_jpeg_progressive_equivalence_property(h, w, ch, q, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w) if ch == 1 else (h, w, ch), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img, q)), decode_jpeg(encode_jpeg(img, q, progressive=True))
+    )

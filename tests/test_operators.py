@@ -304,7 +304,9 @@ def test_extract_image_stats_real_decode(spark):
     assert abs(out[1].channel_means[0] - float(img_a[:, :, 0].mean())) < 1e-9
     assert out[1].phash == out[2].phash == out[3].phash  # container-independent
     assert out[1].phash != out[4].phash
-    assert out[1].decode_ok and not out[5].decode_ok and "NotImplementedError" in out[5].error
+    # JPEG-magic garbage now reaches the real JPEG decoder (r11) and
+    # surfaces as a per-row corrupt-stream error, not a codec gate
+    assert out[1].decode_ok and not out[5].decode_ok and "corrupt JPEG" in out[5].error
 
 
 def test_windowed_event_counts_batch(spark):
