@@ -1283,16 +1283,16 @@ def _q_dedup_minhash_invariants(spark, env):
     slot): dropped_verified_ok is the PRECISION claim over the raw
     survivor set — every doc the pipeline dropped participates in at
     least one exact-Jaccard>=0.7 verified pair (the verify step is
-    exact, so no doc is ever dropped on LSH evidence alone)."""
-    from iceberg_python_spark.operators.dedup import (
-        minhash_dedup,
-        minhash_lsh_candidates,
-        minhash_signature,
-        ngram_jaccard_pairs,
-    )
+    exact, so no doc is ever dropped on LSH evidence alone). The
+    verified pairs come from the operator's own return_pairs audit
+    trail, so the claim costs no pipeline recompute."""
+    from iceberg_python_spark.operators.dedup import minhash_dedup
 
     docs = env["docs_dup"].scan(selected_fields=("doc_id", "text")).to_df()
-    survivors = minhash_dedup(docs, "doc_id", "text", threshold=0.7, max_bucket_size=None)
+    parts = minhash_dedup(
+        docs, "doc_id", "text", threshold=0.7, max_bucket_size=None, return_pairs=True
+    )
+    survivors = parts["survivors"]
     norm = F.trim(
         F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""), r"\s+", " ")
     )
@@ -1301,10 +1301,7 @@ def _q_dedup_minhash_invariants(spark, env):
     dups = nd.join(keep, "_nrm").where(F.col("doc_id") != F.col("_keep")).select("doc_id")
     dups = dups.localCheckpoint(eager=True)  # referenced by both aggregates
     surviving_dups = dups.join(survivors.select("doc_id"), "doc_id", "left_semi")
-    cands = minhash_lsh_candidates(
-        minhash_signature(docs, "text"), "doc_id", max_bucket_size=None
-    )
-    verified = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.7, candidates=cands)
+    verified = parts["verified_pairs"]
     participants = (
         verified.select(F.col("id_a").alias("doc_id"))
         .unionByName(verified.select(F.col("id_b").alias("doc_id")))

@@ -322,18 +322,30 @@ def minhash_dedup(
     text_col: str,
     threshold: float = 0.7,
     max_bucket_size: Optional[int] = 1000,
-) -> DataFrame:
+    return_pairs: bool = False,
+):
     """Full near-dup pipeline: minhash -> LSH candidates -> Jaccard verify
     -> drop the higher id of each surviving pair (greedy).
 
     ``max_bucket_size`` is the LSH skew guard (see
     :func:`minhash_lsh_candidates`); pass ``None`` for the deterministic
-    guarantee that identical-signature docs always become candidates."""
+    guarantee that identical-signature docs always become candidates.
+
+    ``return_pairs=True`` returns ``{"survivors", "verified_pairs"}``
+    instead of just the survivor DataFrame — the verified (id_a, id_b,
+    jaccard) pairs are the audit trail ("why was this doc dropped"),
+    checkpointed once so asking for them never recomputes the
+    signature/LSH/verify pipeline."""
     sig = minhash_signature(df, text_col)
     cands = minhash_lsh_candidates(sig, id_col, max_bucket_size=max_bucket_size)
     dups = ngram_jaccard_pairs(df, id_col, text_col, threshold, candidates=cands)
+    if return_pairs:
+        dups = dups.localCheckpoint(eager=True)  # reused by drop + audit
     to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(to_drop, on=id_col, how="left_anti")
+    survivors = df.join(to_drop, on=id_col, how="left_anti")
+    if return_pairs:
+        return {"survivors": survivors, "verified_pairs": dups}
+    return survivors
 
 
 def simhash(df: DataFrame, text_col: str, out: str = "simhash", bits: int = 64) -> DataFrame:
