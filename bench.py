@@ -63,7 +63,19 @@ def main() -> None:
         t1 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        return round(time.time() - t1, 3)
+        dt = round(time.time() - t1, 3)
+        # measurement isolation (r11): localCheckpoint blocks are only
+        # released when Python GC drops the DataFrame handles — without
+        # this, block-manager debris from earlier rows inflates LATE
+        # rows (the r11 canary rose 0.25 -> 0.78 s over 122 queries and
+        # the final three queries read 2-4x their fresh-session cost).
+        # The collect runs OUTSIDE the timed region; queries share no
+        # intended state.
+        import gc
+
+        del df
+        gc.collect()
+        return dt
 
     # contention canary (VERDICT r2: a co-tenant arriving mid-run poisoned
     # BENCH_r02 by 7-21x on unchanged queries): the cheapest stable query

@@ -5,14 +5,16 @@ honestly support).
 
 Decoders (magic-byte dispatch in :func:`decode_image`):
 
-- **PNG** — chunk walk, zlib inflate, per-scanline unfilter. 8-bit
-  depth, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-  6 (RGBA), interlace 0. Filters None/Sub/Up are vectorized with numpy
+- **PNG** — chunk walk, zlib inflate, per-scanline unfilter. 8- AND
+  16-bit depth (r11: 16-bit samples scale to 8 exactly), color types
+  0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), plain or
+  Adam7-interlaced (r11: seven independently filtered sub-images
+  scattered back). Filters None/Sub/Up are vectorized with numpy
   (Sub via per-lane cumsum mod 256); Average/Paeth rows fall back to a
   per-pixel loop (they are sequentially data-dependent along x) —
   fine, because unfiltering is O(pixels) either way and runs inside
-  Arrow-batched executors. Exotic PNGs (16-bit, interlaced) raise
-  NotImplementedError naming PIL.
+  Arrow-batched executors. Sub-byte depths raise NotImplementedError
+  naming PIL.
 - **JPEG** (jpeg.py, r11) — baseline sequential SOF0/SOF1: canonical
   Huffman decode, restart markers, sampling factors up to 2×2
   (4:4:4/4:2:2/4:2:0), PROGRESSIVE SOF2 (DC first/refine, spectral
@@ -105,6 +107,13 @@ def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray
     return out.astype(np.uint8)
 
 
+# Adam7 pass grid: (x_start, x_step, y_start, y_step) per pass
+_ADAM7 = [
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+]
+
+
 def _decode_png(data: bytes) -> np.ndarray:
     ihdr = None
     idat = []
@@ -119,17 +128,54 @@ def _decode_png(data: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("malformed PNG: missing IHDR/IDAT")
     width, height, depth, ctype_, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or ctype_ not in _CHANNELS:
+    if (
+        depth not in (8, 16)
+        or comp != 0
+        or filt != 0
+        or interlace not in (0, 1)
+        or ctype_ not in _CHANNELS
+        or (depth == 16 and ctype_ == 3)  # 16-bit palette is not a PNG thing
+    ):
         raise NotImplementedError(
-            f"PNG depth={depth} color={ctype_} interlace={interlace}: only 8-bit "
-            "non-interlaced gray/RGB/palette/GA/RGBA decode here — use PIL for the rest"
+            f"PNG depth={depth} color={ctype_} interlace={interlace}: 8/16-bit "
+            "gray/RGB/palette/GA/RGBA, plain or Adam7, decode here — use PIL for the rest"
         )
     ch = _CHANNELS[ctype_]
-    stride = width * ch
+    nbytes = depth // 8
+    bpp = ch * nbytes
+
+    def to_px(rows: np.ndarray, h: int, w: int) -> np.ndarray:
+        """(h, w*bpp) filtered-out bytes -> (h, w, ch) uint8 (16-bit
+        samples scale to 8 exactly: round(v * 255 / 65535))."""
+        if depth == 8:
+            return rows.reshape(h, w, ch)
+        v = rows.reshape(h, w, ch, 2).astype(np.uint32)
+        val = (v[..., 0] << 8) | v[..., 1]
+        return ((val * 255 + 32767) // 65535).astype(np.uint8)
+
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if raw.size != height * (stride + 1):
-        raise ValueError("PNG scanline payload size mismatch")
-    px = _unfilter(raw, height, stride, bpp=ch).reshape(height, width, ch)
+    if interlace == 0:
+        stride = width * bpp
+        if raw.size != height * (stride + 1):
+            raise ValueError("PNG scanline payload size mismatch")
+        px = to_px(_unfilter(raw, height, stride, bpp=bpp), height, width)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        px = np.zeros((height, width, ch), dtype=np.uint8)
+        pos = 0
+        for x0, xs, y0, ys in _ADAM7:
+            pw = (width - x0 + xs - 1) // xs
+            ph = (height - y0 + ys - 1) // ys
+            if pw == 0 or ph == 0:
+                continue
+            stride = pw * bpp
+            need = ph * (stride + 1)
+            sub = raw[pos : pos + need]
+            if sub.size != need:
+                raise ValueError("PNG Adam7 pass payload size mismatch")
+            pos += need
+            px[y0::ys, x0::xs] = to_px(_unfilter(sub, ph, stride, bpp=bpp), ph, pw)
+        if pos != raw.size:
+            raise ValueError("PNG scanline payload size mismatch")
     if ctype_ == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")

@@ -135,11 +135,11 @@ def test_unsupported_formats_raise_naming_pil():
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_image(b"GIF89a rest-of-gif")
     with pytest.raises(NotImplementedError, match="PIL"):
-        # 16-bit PNG gate
+        # sub-byte PNG depths stay gated (16-bit + Adam7 decode since r11)
         png = (
             SIG
-            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
-            + _chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 6))
             + _chunk(b"IEND", b"")
         )
         decode_image(png)
@@ -156,3 +156,58 @@ from hypothesis import strategies as st
 def test_png_roundtrip_property(h, w, ch, seed):
     px = np.random.default_rng(seed).integers(0, 256, (h, w, ch), dtype=np.uint8)
     assert np.array_equal(decode_image(encode_png(px)), px)
+
+
+def _png_file(width, height, depth, ctype, interlace, raw_bytes):
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, ctype, 0, 0, interlace)
+    return (
+        SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw_bytes))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_16bit_decodes_with_exact_scaling():
+    """r11: 16-bit PNGs decode (big-endian samples, byte-wise filters)
+    and scale to 8 bits exactly as round(v * 255 / 65535)."""
+    rng = np.random.default_rng(2)
+    img16 = rng.integers(0, 65536, (5, 7, 3), dtype=np.uint16)
+    raw = b"".join(b"\x00" + img16[y].astype(">u2").tobytes() for y in range(5))
+    px = decode_image(_png_file(7, 5, 16, 2, 0, raw))
+    want = ((img16.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+    assert np.array_equal(px, want)
+    # boundary samples: 0 -> 0, 65535 -> 255, 32768 -> 128
+    flat = np.array([[[0, 32768, 65535]]], dtype=np.uint16)
+    raw = b"\x00" + flat[0].astype(">u2").tobytes()
+    assert decode_image(_png_file(1, 1, 16, 2, 0, raw)).tolist() == [[[0, 128, 255]]]
+
+
+def test_png_adam7_interlaced_matches_plain():
+    """r11: Adam7 interlaced PNGs reassemble to exactly the plain-scan
+    pixels (seven independently filtered sub-images scattered back)."""
+    from iceberg_python_spark.operators.imaging import _ADAM7
+
+    rng = np.random.default_rng(4)
+    for h, w, ch, ct in [(13, 11, 3, 2), (8, 8, 1, 0), (3, 2, 4, 6), (1, 9, 3, 2)]:
+        img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        passes = []
+        for x0, xs, y0, ys in _ADAM7:
+            sub = img[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            passes.append(b"".join(b"\x00" + sub[y].tobytes() for y in range(sub.shape[0])))
+        enc = _png_file(w, h, 8, ct, 1, b"".join(passes))
+        got = decode_image(enc)
+        assert np.array_equal(got, img), (h, w, ch)
+    # 16-bit + Adam7 compose
+    img16 = rng.integers(0, 65536, (6, 5, 1), dtype=np.uint16)
+    passes = []
+    for x0, xs, y0, ys in _ADAM7:
+        sub = img16[y0::ys, x0::xs]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        passes.append(b"".join(b"\x00" + sub[y].astype(">u2").tobytes() for y in range(sub.shape[0])))
+    got = decode_image(_png_file(5, 6, 16, 0, 1, b"".join(passes)))
+    want = ((img16.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+    assert np.array_equal(got, want)
