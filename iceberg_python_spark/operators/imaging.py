@@ -23,6 +23,10 @@ Decoders (magic-byte dispatch in :func:`decode_image`):
 - **PPM/PGM (P6/P5, maxval 255)** — header parse + ``frombuffer``.
 - **BMP** — BITMAPINFOHEADER, 24/32-bit uncompressed BI_RGB,
   bottom-up or top-down, row padding honored, BGR(A)→RGB(A).
+- **GIF** (gif.py, r11) — GIF87a/89a variable-width LZW, interlace,
+  local color tables, transparency + disposal composition; a still
+  GIF decodes here, an animated one samples frames through
+  ``extract_video_frames``.
 
 Features:
 
@@ -247,8 +251,14 @@ def decode_image(data: bytes) -> np.ndarray:
         return _decode_ppm(data)
     if data[:2] == b"BM":
         return _decode_bmp(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        # r11: real LZW decode in gif.py; an animated GIF's first frame
+        # is the still image (extract_video_frames samples the rest)
+        from .gif import decode_gif
+
+        return decode_gif(data)[0][0]
     raise NotImplementedError(
-        "unsupported image magic (GIF/WEBP need PIL — not in this environment)"
+        "unsupported image magic (WEBP/TIFF need PIL — not in this environment)"
     )
 
 

@@ -110,7 +110,13 @@ def encode_y4m(frames: List[np.ndarray], fps: int = 25) -> bytes:
 
 def sample_frames(data: bytes, every_n_ms: int = 1000) -> Iterator[Tuple[int, int, np.ndarray]]:
     """Yield (frame_idx, t_ms, rgb) sampled every ``every_n_ms`` of
-    stream time (frame 0 always included)."""
+    stream time (frame 0 always included). Animated GIFs (r11: real
+    LZW decode) ride the same generator shape via gif.sample_frames."""
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import sample_frames as _gif_sample
+
+        yield from _gif_sample(data, every_n_ms)
+        return
     frames, fps = decode_y4m(data)
     step = max(1, int(round(every_n_ms * fps / 1000.0)))
     for i in range(0, len(frames), step):

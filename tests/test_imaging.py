@@ -132,8 +132,10 @@ def test_unsupported_formats_raise_naming_pil():
     # ValueError, while the still-gated GIF keeps naming PIL
     with pytest.raises(ValueError, match="corrupt JPEG"):
         decode_image(b"\xff\xd8\xff\xe0\x00\x04xx jpeg-ish-but-broken")
-    with pytest.raises(NotImplementedError, match="PIL"):
+    with pytest.raises(ValueError):  # GIF decodes since r11; garbage = corrupt
         decode_image(b"GIF89a rest-of-gif")
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     with pytest.raises(NotImplementedError, match="PIL"):
         # sub-byte PNG depths stay gated (16-bit + Adam7 decode since r11)
         png = (
