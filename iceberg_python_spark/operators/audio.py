@@ -101,16 +101,21 @@ def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
 
 
 def decode_audio(data: bytes) -> Tuple[np.ndarray, int]:
-    """Magic-byte dispatch; MP3/FLAC/OGG raise naming the real codec."""
+    """Magic-byte dispatch; MP3/OGG raise naming the real codec."""
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return decode_wav(data)
+    if data[:4] == b"fLaC":
+        # r11: real lossless decode in flac.py (subframes, Rice
+        # residuals, stereo decorrelation, CRC-verified)
+        from .flac import decode_flac
+
+        x, rate, bps = decode_flac(data)
+        return x.astype(np.float64) / float(1 << (bps - 1)), int(rate)
     if data[:3] == b"ID3" or data[:2] in (b"\xff\xfb", b"\xff\xf3"):
         raise NotImplementedError("MP3 decode needs an external codec (e.g. pydub/ffmpeg)")
-    if data[:4] == b"fLaC":
-        raise NotImplementedError("FLAC decode needs an external codec (e.g. soundfile)")
     if data[:4] == b"OggS":
         raise NotImplementedError("OGG decode needs an external codec (e.g. soundfile)")
-    raise NotImplementedError("unsupported audio magic (only RIFF/WAVE decodes here)")
+    raise NotImplementedError("unsupported audio magic (RIFF/WAVE and FLAC decode here)")
 
 
 def encode_wav(samples: np.ndarray, rate: int, bits: int = 16) -> bytes:

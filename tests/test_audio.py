@@ -64,7 +64,10 @@ def test_audio_stats_centroid_tracks_tone_frequency():
 def test_unsupported_codecs_raise_naming_codec():
     with pytest.raises(NotImplementedError, match="MP3"):
         decode_audio(b"ID3\x04rest")
-    with pytest.raises(NotImplementedError, match="FLAC"):
+    with pytest.raises(NotImplementedError, match="OGG"):
+        decode_audio(b"OggS....")
+    # FLAC decodes since r11 — garbage after the magic is a corrupt stream
+    with pytest.raises(ValueError, match="FLAC"):
         decode_audio(b"fLaC....")
 
 
