@@ -2786,6 +2786,150 @@ def _q_dedup_incremental_lsh(spark, env):
     )
 
 
+def _q_multimodal_flac_decode(spark, env):
+    # r11: REAL FLAC decode under the driver's oracle. Deterministic
+    # tones (freq = 200 + 20*(doc_id % 40) Hz — multiples of the 4 Hz
+    # FFT bin so the centroid has no leakage bias, 0.25 s @ 8 kHz, mono or
+    # mid/side stereo by parity) are synthesized as int16 and encoded
+    # with the engine's own FLAC encoder; extract_audio_stats decodes
+    # them through the fLaC dispatch. Claims from the decoded output:
+    # every payload decodes, duration/rate/channels match the
+    # generator, the spectral centroid lands within 30 Hz of the tone,
+    # and exact_ok pins LOSSLESSNESS — an inline decode compares every
+    # sample to the source integers (equality, no tolerance).
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_python_spark.operators.flac import decode_flac, encode_flac
+    from iceberg_python_spark.operators.multimodal import extract_audio_stats
+
+    docs = env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 300")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads, exacts = [], []
+            for d in pdf["doc_id"].astype(int):
+                freq = 200 + 20 * (d % 40)
+                t = np.arange(2000) / 8000.0
+                x = (9000 * np.sin(2 * np.pi * freq * t)).astype(np.int32)
+                if d % 2 == 0:
+                    x = np.stack([x, x // 2], axis=1)
+                    enc = encode_flac(x, 8000, bps=16, stereo_mode="mid-side")
+                else:
+                    enc = encode_flac(x, 8000, bps=16)
+                dec, _, _ = decode_flac(enc)
+                src = x if x.ndim == 2 else x[:, None]
+                exacts.append(bool(np.array_equal(dec, src)))
+                payloads.append(enc)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads, "exact": exacts})
+
+    auds = docs.mapInPandas(gen, schema="doc_id long, payload binary, exact boolean")
+    auds = auds.localCheckpoint(eager=True)  # stats pass + exact claim
+    stats = extract_audio_stats(auds.select("doc_id", "payload"), "doc_id", "payload")
+    j = (
+        stats.join(auds.select(F.col("doc_id").alias("id"), "exact"), "id")
+        .withColumn("exp_freq", F.lit(200) + (F.col("id") % 40) * 20)
+        .withColumn("exp_ch", F.when(F.col("id") % 2 == 0, 2).otherwise(1))
+    )
+    return j.agg(
+        F.count("*").alias("n_clips"),
+        F.countDistinct((F.col("id") % 40)).cast("long").alias("n_tones"),
+        F.min("decode_ok").alias("all_decoded"),
+        F.min(
+            (F.col("duration_ms") == 250)
+            & (F.col("sample_rate") == 8000)
+            & (F.col("n_channels") == F.col("exp_ch"))
+        ).alias("format_ok"),
+        (F.max(F.abs(F.col("spectral_centroid_hz") - F.col("exp_freq"))) <= 30.0).alias(
+            "centroid_ok"
+        ),
+        F.min("exact").alias("exact_ok"),
+    )
+
+
+def _q_multimodal_gif_decode(spark, env):
+    # r11: REAL GIF decode under the driver's oracle. Deterministic
+    # palettes + index fields seeded by doc_id % 53 encode through the
+    # engine's LZW compressor in three layouts (plain, interlaced,
+    # 3-frame animation); stills decode through extract_image_stats,
+    # animations sample through extract_video_frames-equivalent
+    # claims computed inline. GIF is lossless over its palette, so
+    # exact_ok is pixel EQUALITY, and same-content keys share one pHash.
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_python_spark.operators.gif import decode_gif, encode_gif
+    from iceberg_python_spark.operators.multimodal import extract_image_stats
+
+    docs = env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 300")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads, exacts, frame_counts = [], [], []
+            for d in pdf["doc_id"].astype(int):
+                k, variant = int(d) % 53, int(d) % 3
+                rng = np.random.default_rng(k)
+                h, w = 16 + (k % 5), 20 + (k % 3)
+                pal = rng.integers(0, 256, (32, 3), dtype=np.uint8)
+                img = pal[rng.integers(0, 32, (h, w))]
+                if variant == 0:
+                    enc = encode_gif(img)
+                    frames = [img]
+                elif variant == 1:
+                    enc = encode_gif(img, interlace=True)
+                    frames = [img]
+                else:
+                    f2 = pal[rng.integers(0, 32, (h, w))]
+                    enc = encode_gif([img, f2], delays_ms=[100, 100])
+                    frames = [img, f2]
+                dec_frames, _ = decode_gif(enc)
+                exacts.append(
+                    len(dec_frames) == len(frames)
+                    and all(np.array_equal(a, b) for a, b in zip(dec_frames, frames))
+                )
+                frame_counts.append(len(dec_frames))
+                payloads.append(enc)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "exact": exacts,
+                    "n_frames": frame_counts,
+                }
+            )
+
+    gifs = docs.mapInPandas(gen, schema="doc_id long, payload binary, exact boolean, n_frames int")
+    gifs = gifs.localCheckpoint(eager=True)
+    stats = extract_image_stats(gifs.select("doc_id", "payload"), "doc_id", "payload")
+    j = (
+        stats.join(gifs.select(F.col("doc_id").alias("id"), "exact", "n_frames"), "id")
+        .withColumn("key", F.col("id") % 53)
+        .withColumn("variant", F.col("id") % 3)
+        .withColumn("exp_h", (F.lit(16) + F.col("key") % 5).cast("int"))
+        .withColumn("exp_w", (F.lit(20) + F.col("key") % 3).cast("int"))
+    )
+    return j.agg(
+        F.count("*").alias("n_images"),
+        F.countDistinct("key").cast("long").alias("n_content_groups"),
+        F.min("decode_ok").alias("all_decoded"),
+        F.min(
+            (F.col("width") == F.col("exp_w")) & (F.col("height") == F.col("exp_h"))
+        ).alias("dims_ok"),
+        F.min("exact").alias("exact_ok"),
+        F.min(
+            F.when(F.col("variant") == 2, F.col("n_frames") == 2).otherwise(F.col("n_frames") == 1)
+        ).alias("frames_ok"),
+        # plain and interlaced encodes of the SAME content decode to the
+        # same pixels -> identical perceptual hash per (key, variant<2)
+        (
+            F.countDistinct(F.when(F.col("variant") < 2, F.col("key")))
+            == F.countDistinct(
+                F.when(F.col("variant") < 2, F.struct(F.col("key"), F.col("phash")))
+            )
+        ).alias("phash_consistent"),
+    )
+
+
 def _q_dedup_stream_neardup(spark, env):
     # r11: streaming near-dup ingestion end-to-end (VERDICT r10 #6) —
     # two availableNow micro-batch queries drive append_stream_neardup:
@@ -3042,10 +3186,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "branch_wap_scan": _q_branch_wap_scan,
             "changelog_scan": _q_changelog_scan,
             "row_lineage_invariants": _q_row_lineage_invariants,
-            # --- NEW r11 rows, first driver evidence (21-23) ---
+            # --- NEW r11 rows, first driver evidence (21-25) ---
             "multimodal_jpeg_decode": _q_multimodal_jpeg_decode,
             "dedup_stream_neardup": _q_dedup_stream_neardup,
             "spark_datasource_write": _q_spark_datasource_write,
+            "multimodal_flac_decode": _q_multimodal_flac_decode,
+            "multimodal_gif_decode": _q_multimodal_gif_decode,
             # --- code changed in r11 -> re-green in-window (24-33) ---
             "events_asof_keyless": _q_events_asof_keyless,
             "dedup_minhash_invariants": _q_dedup_minhash_invariants,
@@ -3073,10 +3219,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q13_order_distribution": _q_q13_order_distribution,
             "tpch_q14_promo_share": _q_q14_promo,
             "tpch_q15_top_supplier": _q_q15_top_supplier,
+            # ---------------- behind the window ----------------
+            # r09-greened TPC-H overflow (age 2 — lead r12; q16/q17
+            # displaced by the two extra NEW r11 codec rows)
             "tpch_q16_supplier_part_counts": _q_q16_supplier_part_counts,
             "tpch_q17_small_qty_revenue": _q_q17_small_qty,
-            # ---------------- behind the window ----------------
-            # r09-greened TPC-H overflow (age 2 — lead r12)
             "tpch_q18_large_orders": _q_q18_large_orders,
             "tpch_q19_discounted_revenue": _q_q19_discounted_revenue,
             "tpch_q20_dominant_suppliers": _q_q20_dominant_suppliers,
@@ -3419,6 +3566,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) FILTER (WHERE doc_id < 100 AND doc_id % 20 = 5) AS BIGINT) AS n_novel, "
             "true AS all_copies_flagged, true AS all_novel_survive, "
             "true AS index_covers_survivors FROM documents"
+        ),
+        "multimodal_flac_decode": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_clips, "
+            "CAST(count(DISTINCT doc_id % 40) AS BIGINT) AS n_tones, "
+            "true AS all_decoded, true AS format_ok, "
+            "true AS centroid_ok, true AS exact_ok "
+            "FROM documents WHERE doc_id < 300"
+        ),
+        "multimodal_gif_decode": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_images, "
+            "CAST(count(DISTINCT doc_id % 53) AS BIGINT) AS n_content_groups, "
+            "true AS all_decoded, true AS dims_ok, true AS exact_ok, "
+            "true AS frames_ok, true AS phash_consistent "
+            "FROM documents WHERE doc_id < 300"
         ),
         "multimodal_jpeg_decode": (
             "SELECT count(*) AS n_images, "
