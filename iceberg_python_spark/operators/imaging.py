@@ -27,6 +27,12 @@ Decoders (magic-byte dispatch in :func:`decode_image`):
   local color tables, transparency + disposal composition; a still
   GIF decodes here, an animated one samples frames through
   ``extract_video_frames``.
+- **WebP-lossless** (webp.py, r11) — VP8L: DEFLATE-style canonical
+  Huffman over an LSB-first stream, LZ77 with the 2D short-distance
+  map, color cache, meta-Huffman tiling, and all four inverse
+  transforms (14 predictor modes, cross-color, subtract-green,
+  color-indexing with sub-byte bundling); lossy VP8 and animated VP8X
+  raise naming PIL.
 
 Features:
 
@@ -257,8 +263,14 @@ def decode_image(data: bytes) -> np.ndarray:
         from .gif import decode_gif
 
         return decode_gif(data)[0][0]
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        # r11: WebP-LOSSLESS (VP8L) decodes in webp.py; lossy VP8 and
+        # extended VP8X raise there naming PIL
+        from .webp import decode_webp
+
+        return decode_webp(data)
     raise NotImplementedError(
-        "unsupported image magic (WEBP/TIFF need PIL — not in this environment)"
+        "unsupported image magic (TIFF/HEIC need PIL — not in this environment)"
     )
 
 

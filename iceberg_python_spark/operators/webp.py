@@ -1,0 +1,710 @@
+"""Stdlib + numpy WebP-LOSSLESS (VP8L) codec — closes the WEBP image
+gate for the lossless half of the format. Everything derives from the
+PUBLIC "WebP Lossless Bitstream Specification" (Google / RFC 9649):
+LSB-first bit packing with DEFLATE-style MSB-first canonical Huffman
+codes, the code-length code (symbols 16/17/18 with extra bits), simple
+2-symbol codes, five Huffman codes per meta-group (green+length+cache,
+red, blue, alpha, distance), LZ77 backward references with the 120
+two-dimensional short-distance mappings, the color cache
+(multiplicative hash), meta-Huffman tiling, and all four inverse
+transforms (predictor with 14 modes, cross-color, subtract-green,
+color-indexing with sub-byte pixel bundling).
+
+Decoder: :func:`decode_webp` → (H, W, C) uint8 (C = 3 without alpha
+hint, 4 with). VP8 (lossy) and VP8X (extended/animation) raise
+NotImplementedError naming PIL — per-row error capture upstream turns
+that into ``decode_ok=false``.
+
+Encoder: :func:`encode_webp` — the deterministic synthesis half for
+tests and oracle rows. It emits literal ARGB with flat 8-bit Huffman
+codes (a complete 256×8-bit canonical code), optionally behind the
+subtract-green transform, a color-indexing palette, or the
+left-predictor transform — enough to exercise every inverse-transform
+path with EXACT round trips (VP8L is lossless: equality oracles, no
+tolerances).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+class _LsbReader:
+    """LSB-first bit reader (VP8L packing); Huffman codes are walked
+    bit-by-bit so DEFLATE-style MSB-first code assignment just works."""
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            if self.pos >= len(self.buf):
+                raise ValueError("corrupt VP8L: bitstream exhausted")
+            v |= ((self.buf[self.pos] >> self.bit) & 1) << i
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+
+class _LsbWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc |= (v & ((1 << n) - 1)) << self.n
+        self.n += n
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def write_code(self, code: int, n: int) -> None:
+        """Huffman CODES enter the stream most-significant-bit first
+        (everything else is plain LSB-first little-endian)."""
+        for i in range(n - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+class _Huff:
+    """Canonical Huffman from code lengths (DEFLATE assignment); decode
+    walks one bit at a time (bits arrive in code-MSB-first order)."""
+
+    def __init__(self, lengths: List[int]) -> None:
+        self.single: Optional[int] = None
+        nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        if not nz:
+            raise ValueError("corrupt VP8L: empty huffman code")
+        if len(nz) == 1:
+            self.single = nz[0][1]
+            return
+        # canonical codes, shorter first, then by symbol
+        self.tree: dict = {}
+        code = 0
+        prev_len = 0
+        for ln, sym in sorted(nz):
+            code <<= ln - prev_len
+            prev_len = ln
+            self.tree[(ln, code)] = sym
+            code += 1
+        self.max_len = max(ln for ln, _ in nz)
+
+    def decode(self, br: _LsbReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, self.max_len + 1):
+            code = (code << 1) | br.read(1)
+            sym = self.tree.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("corrupt VP8L: bad huffman code")
+
+
+_CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+
+def _read_code_lengths(br: _LsbReader, n_symbols: int) -> List[int]:
+    """One Huffman code: simple (1-2 symbols) or code-length coded."""
+    if br.read(1):  # simple code
+        n = br.read(1) + 1
+        first_8 = br.read(1)
+        s0 = br.read(8 if first_8 else 1)
+        lengths = [0] * n_symbols
+        if n == 2:
+            s1 = br.read(8)
+            lengths[s0] = 1
+            lengths[s1] = 1
+        else:
+            lengths[s0] = 1  # single-symbol code: zero bits read per use
+        return lengths
+    n_codes = br.read(4) + 4
+    clc_lengths = [0] * 19
+    for i in range(n_codes):
+        clc_lengths[_CLC_ORDER[i]] = br.read(3)
+    clc = _Huff(clc_lengths)
+    # optional limit on the number of coded symbols
+    if br.read(1):
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = n_symbols
+    lengths = [0] * n_symbols
+    prev = 8
+    i = 0
+    while i < n_symbols and max_symbol > 0:
+        max_symbol -= 1
+        s = clc.decode(br)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+            if s:
+                prev = s
+        elif s == 16:
+            rep = 3 + br.read(2)
+            lengths[i : i + rep] = [prev] * rep
+            i += rep
+        elif s == 17:
+            i += 3 + br.read(3)
+        else:  # 18
+            i += 11 + br.read(7)
+    return lengths[:n_symbols]
+
+
+def _prefix_value(br: _LsbReader, code: int) -> int:
+    """LZ77 length/distance prefix decoding (spec: 40 prefix codes)."""
+    if code < 4:
+        return code + 1
+    extra = (code >> 1) - 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+# the 120 short-distance 2D offsets (spec table): (dx, dy)
+_DIST_MAP: List[Tuple[int, int]] = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (8, 5),
+    (6, 7), (-6, 7), (7, 6), (-7, 6), (8, 6), (8, 7),
+]
+
+
+def _plane_distance(dist_code: int, width: int) -> int:
+    if dist_code > 120:
+        return dist_code - 120
+    dx, dy = _DIST_MAP[dist_code - 1]
+    d = dy * width + dx
+    return max(d, 1)
+
+
+def _color_cache_hash(argb: int, bits: int) -> int:
+    return ((argb * 0x1E35A7BD) & 0xFFFFFFFF) >> (32 - bits)
+
+
+def _read_entropy_image(br: _LsbReader, w: int, h: int, allow_meta: bool):
+    """Decode one 'entropy-coded image' of w*h ARGB pixels; returns the
+    pixel array (h, w, 4 uint8 as A,R,G,B)."""
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("corrupt VP8L: bad color cache size")
+    n_groups = 1
+    meta = None
+    tile_bits = 0
+    if allow_meta and br.read(1):  # meta-huffman image present
+        tile_bits = br.read(3) + 2
+        mw = -(-w >> tile_bits)
+        mh = -(-h >> tile_bits)
+        meta_px = _read_entropy_image(br, mw, mh, allow_meta=False)
+        meta = (meta_px[:, :, 1].astype(np.int64) << 8) | meta_px[:, :, 2]
+        n_groups = int(meta.max()) + 1
+    green_size = 256 + 24 + (1 << cache_bits if cache_bits else 0)
+    groups = []
+    for _ in range(n_groups):
+        g = _Huff(_read_code_lengths(br, green_size))
+        r = _Huff(_read_code_lengths(br, 256))
+        b = _Huff(_read_code_lengths(br, 256))
+        a = _Huff(_read_code_lengths(br, 256))
+        d = _Huff(_read_code_lengths(br, 40))
+        groups.append((g, r, b, a, d))
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    out = np.zeros((h * w, 4), dtype=np.uint8)  # A,R,G,B
+    i = 0
+    n = h * w
+    while i < n:
+        if meta is not None:
+            y, x = divmod(i, w)
+            gidx = int(meta[y >> tile_bits, x >> tile_bits])
+            gh, rh, bh, ah, dh = groups[gidx]
+        else:
+            gh, rh, bh, ah, dh = groups[0]
+        s = gh.decode(br)
+        if s < 256:  # literal: G then R, B, A
+            g = s
+            r = rh.decode(br)
+            b = bh.decode(br)
+            a = ah.decode(br)
+            out[i] = (a, r, g, b)
+            if cache is not None:
+                argb = (a << 24) | (r << 16) | (g << 8) | b
+                cache[_color_cache_hash(argb, cache_bits)] = argb
+            i += 1
+        elif s < 256 + 24:  # LZ77 backref
+            length = _prefix_value(br, s - 256)
+            dist_code = _prefix_value(br, dh.decode(br))
+            dist = _plane_distance(dist_code, w)
+            if dist > i:
+                raise ValueError("corrupt VP8L: backref before start")
+            for _ in range(length):
+                if i >= n:
+                    break
+                out[i] = out[i - dist]
+                if cache is not None:
+                    a_, r_, g_, b_ = out[i]
+                    argb = (int(a_) << 24) | (int(r_) << 16) | (int(g_) << 8) | int(b_)
+                    cache[_color_cache_hash(argb, cache_bits)] = argb
+                i += 1
+        else:  # color cache reference
+            argb = cache[s - 256 - 24]
+            out[i] = ((argb >> 24) & 0xFF, (argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)
+            i += 1
+    return out.reshape(h, w, 4)
+
+
+def _inv_subtract_green(px: np.ndarray) -> None:
+    g = px[:, :, 2].astype(np.uint16)
+    px[:, :, 1] = ((px[:, :, 1] + g) & 0xFF).astype(np.uint8)
+    px[:, :, 3] = ((px[:, :, 3] + g) & 0xFF).astype(np.uint8)
+
+
+def _inv_predictor(px: np.ndarray, modes: np.ndarray, tile_bits: int) -> None:
+    h, w = px.shape[:2]
+    p = px.astype(np.int32)
+
+    def avg2(a, b):
+        return (a + b) // 2
+
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([255, 0, 0, 0], dtype=np.int32)
+            elif y == 0:
+                pred = p[0, x - 1]
+            elif x == 0:
+                pred = p[y - 1, 0]
+            else:
+                mode = int(modes[y >> tile_bits, x >> tile_bits])
+                L = p[y, x - 1]
+                T = p[y - 1, x]
+                TL = p[y - 1, x - 1]
+                # rightmost column: TR wraps to the leftmost pixel of
+                # the row ABOVE (libwebp's row-extension convention)
+                TR = p[y - 1, x + 1] if x + 1 < w else p[y - 1, 0]
+                if mode == 0:
+                    pred = np.array([255, 0, 0, 0], dtype=np.int32)
+                elif mode == 1:
+                    pred = L
+                elif mode == 2:
+                    pred = T
+                elif mode == 3:
+                    pred = TR
+                elif mode == 4:
+                    pred = TL
+                elif mode == 5:
+                    pred = avg2(avg2(L, TR), T)
+                elif mode == 6:
+                    pred = avg2(L, TL)
+                elif mode == 7:
+                    pred = avg2(L, T)
+                elif mode == 8:
+                    pred = avg2(TL, T)
+                elif mode == 9:
+                    pred = avg2(T, TR)
+                elif mode == 10:
+                    pred = avg2(avg2(L, TL), avg2(T, TR))
+                elif mode == 11:  # Select
+                    pl = np.abs(T - TL).sum()
+                    pt = np.abs(L - TL).sum()
+                    pred = L if pl < pt else T
+                elif mode == 12:  # ClampAddSubtractFull
+                    pred = np.clip(L + T - TL, 0, 255)
+                elif mode == 13:  # ClampAddSubtractHalf
+                    pred = np.clip(avg2(L, T) + (avg2(L, T) - TL) // 2, 0, 255)
+                else:
+                    raise ValueError("corrupt VP8L: bad predictor mode")
+            p[y, x] = (p[y, x] + pred) & 0xFF
+    px[:] = p.astype(np.uint8)
+
+
+def _s8(v: int) -> int:
+    return v - 256 if v >= 128 else v
+
+
+def _inv_color_transform(px: np.ndarray, elems: np.ndarray, tile_bits: int) -> None:
+    """Cross-color inverse (spec 4.2.3): the tile pixel stores
+    red_to_blue in RED, green_to_blue in GREEN, green_to_red in BLUE;
+    deltas are (int8 coefficient * int8 channel) >> 5."""
+    h, w = px.shape[:2]
+    for y in range(h):
+        ty = y >> tile_bits
+        for x in range(w):
+            e = elems[ty, x >> tile_bits]
+            r2b, g2b, g2r = _s8(int(e[0])), _s8(int(e[1])), _s8(int(e[2]))
+            g = _s8(int(px[y, x, 2]))
+            r = (int(px[y, x, 1]) + ((g2r * g) >> 5)) & 0xFF
+            b = (int(px[y, x, 3]) + ((g2b * g) >> 5) + ((r2b * _s8(r)) >> 5)) & 0xFF
+            px[y, x, 1] = r
+            px[y, x, 3] = b
+
+
+def _inv_color_indexing(px: np.ndarray, palette: np.ndarray, pack_bits: int, width: int) -> np.ndarray:
+    h = px.shape[0]
+    if pack_bits == 0:
+        idx = px[:, :, 2]
+        return palette[np.minimum(idx, len(palette) - 1)]
+    # sub-byte bundling: each stored green byte packs 8>>? pixels
+    per = 1 << pack_bits  # pixels per byte = 8 / bits_per_pixel; pack_bits in {1,2,3}
+    bits = 8 >> pack_bits
+    packed = px[:, :, 2]
+    out = np.zeros((h, width, 4), dtype=np.uint8)
+    for y in range(h):
+        for x in range(width):
+            byte = packed[y, x >> pack_bits]
+            shift = (x & (per - 1)) * bits
+            v = (byte >> shift) & ((1 << bits) - 1)
+            out[y, x] = palette[min(v, len(palette) - 1)]
+    return out
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """Decode a WebP-lossless (VP8L) file → (H, W, 3|4) uint8."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WEBP stream")
+    chunk = data[12:16]
+    if chunk == b"VP8 ":
+        raise NotImplementedError("lossy WebP (VP8) needs PIL — only VP8L decodes here")
+    if chunk == b"VP8X":
+        raise NotImplementedError("extended/animated WebP (VP8X) needs PIL")
+    if chunk != b"VP8L":
+        raise ValueError("corrupt WEBP: unknown chunk")
+    (ln,) = struct.unpack("<I", data[16:20])
+    body = data[20 : 20 + ln]
+    if not body or body[0] != 0x2F:
+        raise ValueError("corrupt VP8L: bad signature")
+    br = _LsbReader(body)
+    br.read(8)  # signature
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    has_alpha = br.read(1)
+    version = br.read(3)
+    if version != 0:
+        raise ValueError("corrupt VP8L: bad version")
+    # transforms (reverse-order application)
+    transforms = []
+    xsize = w
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype == 0:  # predictor
+            tb = br.read(3) + 2
+            mw, mh = -(-xsize >> tb), -(-h >> tb)
+            timg = _read_entropy_image(br, mw, mh, allow_meta=False)
+            transforms.append(("predictor", tb, timg[:, :, 2].copy()))
+        elif ttype == 1:  # cross-color
+            tb = br.read(3) + 2
+            mw, mh = -(-xsize >> tb), -(-h >> tb)
+            timg = _read_entropy_image(br, mw, mh, allow_meta=False)
+            # (r2b, g2b, g2r) live in (R, G, B) of the tile pixel
+            transforms.append(("color", tb, timg[:, :, 1:4].copy()))
+        elif ttype == 2:  # subtract green
+            transforms.append(("subtract-green",))
+        else:  # color indexing
+            n_colors = br.read(8) + 1
+            pal_px = _read_entropy_image(br, n_colors, 1, allow_meta=False)[0]
+            # palette entries are delta-coded component-wise
+            pal = np.cumsum(pal_px.astype(np.uint16), axis=0).astype(np.uint8)
+            pack_bits = 0
+            if n_colors <= 2:
+                pack_bits = 3
+            elif n_colors <= 4:
+                pack_bits = 2
+            elif n_colors <= 16:
+                pack_bits = 1
+            transforms.append(("palette", pal, pack_bits, xsize))
+            if pack_bits:
+                xsize = -(-xsize >> pack_bits)
+    px = _read_entropy_image(br, xsize, h, allow_meta=True)
+    for t in reversed(transforms):
+        if t[0] == "palette":
+            px = _inv_color_indexing(px, t[1], t[2], t[3])
+        elif t[0] == "subtract-green":
+            _inv_subtract_green(px)
+        elif t[0] == "predictor":
+            _inv_predictor(px, t[2], t[1])
+        else:
+            _inv_color_transform(px, t[2], t[1])
+    rgb = px[:, :, 1:4]
+    if has_alpha:
+        return np.concatenate([rgb, px[:, :, 0:1]], axis=2)
+    return rgb.copy()
+
+
+# ---------------------------------------------------------------- encoder
+
+
+def _write_flat_code(bw: _LsbWriter, n_symbols: int) -> None:
+    """A complete flat 8-bit code over the first 256 symbols via the
+    code-length code (symbol '8' + repeat-16 tokens). When the alphabet
+    is larger than 256 (the green code), the max-symbol limit stops the
+    reader exactly after our tokens so the remaining lengths stay 0."""
+    bw.write(0, 1)  # not simple
+    # code-length code over symbols {8, 16}: both length 1
+    order_pos = {s: i for i, s in enumerate(_CLC_ORDER)}
+    n_codes = max(order_pos[8], order_pos[16]) + 1
+    bw.write(n_codes - 4, 4)
+    for i in range(n_codes):
+        s = _CLC_ORDER[i]
+        bw.write(1 if s in (8, 16) else 0, 3)
+    # tokens: one '8' then repeat-16s covering the other 255 entries
+    reps = []
+    left = 255
+    while left > 0:
+        rep = min(6, left)
+        if rep < 3:
+            reps.extend([None] * rep)  # literal '8's
+            left = 0
+        else:
+            reps.append(rep)
+            left -= rep
+    n_tokens = 1 + len(reps)
+    if n_symbols > 256:
+        bw.write(1, 1)  # max-symbol limit present
+        bw.write(3, 3)  # length_nbits = 2 + 2*3 = 8
+        bw.write(n_tokens - 2, 8)  # max_symbol = 2 + x = token count
+    else:
+        bw.write(0, 1)
+    # canonical over {8,16}: 8 -> code 0, 16 -> code 1 (1 bit each)
+    bw.write(0, 1)  # symbol 8
+    for rep in reps:
+        if rep is None:
+            bw.write(0, 1)  # literal '8'
+        else:
+            bw.write(1, 1)  # symbol 16
+            bw.write(rep - 3, 2)
+
+
+def _write_single_code(bw: _LsbWriter, symbol: int) -> None:
+    bw.write(1, 1)  # simple
+    bw.write(0, 1)  # one symbol
+    if symbol < 2:
+        bw.write(0, 1)
+        bw.write(symbol, 1)
+    else:
+        bw.write(1, 1)
+        bw.write(symbol, 8)
+
+
+def encode_webp(
+    px: np.ndarray,
+    subtract_green: bool = False,
+    palette: bool = False,
+    predict_left: bool = False,
+    cross_color: bool = False,
+    rle: bool = False,
+) -> bytes:
+    """Encode (H, W, 3|4) uint8 as WebP-lossless (VP8L): literal ARGB
+    under flat 8-bit codes, optionally behind the subtract-green,
+    color-indexing (≤256 colors, no bundling — the decoder handles
+    bundled foreign files), or left-predictor transform. Lossless: the
+    decode reproduces the input exactly."""
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] not in (3, 4):
+        raise ValueError("encode_webp needs (H, W, 3|4) uint8")
+    h, w = px.shape[:2]
+    has_alpha = px.shape[2] == 4
+    a = px[:, :, 3].astype(np.uint16) if has_alpha else np.full((h, w), 255, np.uint16)
+    r = px[:, :, 0].astype(np.uint16)
+    g = px[:, :, 1].astype(np.uint16)
+    b = px[:, :, 2].astype(np.uint16)
+    bw = _LsbWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1 if has_alpha else 0, 1)
+    bw.write(0, 3)
+
+    if palette and (predict_left or subtract_green):
+        raise ValueError("palette mode composes with no other encoder transform")
+    if palette:
+        flat = np.stack([a, r, g, b], axis=2).reshape(-1, 4)
+        pal_arr, inverse = np.unique(flat, axis=0, return_inverse=True)
+        if len(pal_arr) > 256:
+            raise ValueError("palette mode needs <=256 distinct colors")
+        bw.write(1, 1)
+        bw.write(3, 2)  # color indexing
+        bw.write(len(pal_arr) - 1, 8)
+        # palette itself: delta-coded entropy image of (n,1)
+        deltas = np.diff(np.vstack([[[0, 0, 0, 0]], pal_arr.astype(np.int32)]), axis=0) & 0xFF
+        _write_argb_literals(bw, deltas.astype(np.uint8))
+        idx = inverse.reshape(h, w).astype(np.uint16)
+        # sub-byte bundling is IMPLIED by palette size — the decoder
+        # derives it, so the encoder must pack accordingly
+        n = len(pal_arr)
+        pack_bits = 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 else 0
+        if pack_bits:
+            per, bits = 1 << pack_bits, 8 >> pack_bits
+            pw = -(-w >> pack_bits)
+            packed = np.zeros((h, pw), np.uint16)
+            for x in range(w):
+                packed[:, x >> pack_bits] |= idx[:, x] << ((x & (per - 1)) * bits)
+            idx = packed
+        hw = idx.shape
+        a = np.full(hw, 255, np.uint16)
+        r = np.zeros(hw, np.uint16)
+        g = idx
+        b = np.zeros(hw, np.uint16)
+    if predict_left:
+        bw.write(1, 1)
+        bw.write(0, 2)  # predictor transform
+        bw.write(2, 3)  # tile bits 4 -> read(3)+2... write 2 => tile_bits 4
+        tb = 4
+        mw, mh = -(-w >> tb), -(-h >> tb)
+        # mode 1 (left) everywhere: tile pixels carry mode in GREEN
+        modes = np.zeros((mh, mw, 4), dtype=np.uint8)
+        modes[:, :, 2] = 1
+        modes[:, :, 0] = 255
+        _write_argb_literals(bw, modes.reshape(-1, 4))
+        # residuals: subtract the decoder's prediction per spec rules
+        planes = np.stack([a, r, g, b], axis=2).astype(np.int32)
+        res = planes.copy()
+        res[0, 0] -= np.array([255, 0, 0, 0])
+        if w > 1:
+            res[0, 1:] -= planes[0, :-1]
+        if h > 1:
+            res[1:, 0] -= planes[:-1, 0]
+            res[1:, 1:] -= planes[1:, :-1]
+        res &= 0xFF
+        a, r, g, b = (res[:, :, i].astype(np.uint16) for i in range(4))
+    if cross_color:
+        if palette:
+            raise ValueError("palette mode composes with no other encoder transform")
+        # constant coefficients over one whole-image tile (forward =
+        # exact inverse of _inv_color_transform's delta order)
+        g2r, g2b, r2b = 17, -9, 5
+        bw.write(1, 1)
+        bw.write(1, 2)  # cross-color transform
+        tb = 9 - 2  # tile_bits = read(3)+2 = 9 -> one tile up to 512px
+        bw.write(tb, 3)
+        tile = np.zeros((-(-h >> (tb + 2)), -(-w >> (tb + 2)), 4), dtype=np.uint8)
+        tile[:, :, 0] = 255
+        tile[:, :, 1] = r2b & 0xFF
+        tile[:, :, 2] = g2b & 0xFF
+        tile[:, :, 3] = g2r & 0xFF
+        _write_argb_literals(bw, tile.reshape(-1, 4))
+        for y in range(h):
+            for x in range(w):
+                gs = _s8(int(g[y, x]))
+                r_new = int(r[y, x])
+                r[y, x] = (r_new - ((g2r * gs) >> 5)) & 0xFF
+                b[y, x] = (
+                    int(b[y, x]) - ((g2b * gs) >> 5) - ((r2b * _s8(r_new)) >> 5)
+                ) & 0xFF
+    if subtract_green:
+        bw.write(1, 1)
+        bw.write(2, 2)
+        r = (r - g) & 0xFF
+        b = (b - g) & 0xFF
+    bw.write(0, 1)  # no more transforms
+    _write_argb_literals(
+        bw,
+        np.stack([a, r, g, b], axis=2).reshape(-1, 4).astype(np.uint8),
+        top_level=True,
+        rle=rle,
+    )
+    body = bw.bytes()
+    riff = b"WEBP" + b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        riff += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _write_green_rle_code(bw: _LsbWriter) -> None:
+    """Green code for the RLE mode: 256 literal symbols at 9 bits plus
+    symbol 256 (length prefix 0 — a length-1 backref) at 1 bit; Kraft
+    256·2⁻⁹ + 2⁻¹ = 1, so the code is complete. Canonical assignment:
+    symbol 256 → code 0 (1 bit), literal s → code 256+s (9 bits)."""
+    bw.write(0, 1)  # not simple
+    order_pos = {s: i for i, s in enumerate(_CLC_ORDER)}
+    n_codes = max(order_pos[1], order_pos[9], order_pos[16]) + 1
+    bw.write(n_codes - 4, 4)
+    # clc lengths: {16: 1, 1: 2, 9: 2} -> codes 16:'0', 1:'10', 9:'11'
+    clc_len = {16: 1, 1: 2, 9: 2}
+    for i in range(n_codes):
+        bw.write(clc_len.get(_CLC_ORDER[i], 0), 3)
+    reps = []
+    left = 255
+    while left > 0:
+        rep = min(6, left)
+        if rep < 3:
+            reps.extend([None] * rep)
+            left = 0
+        else:
+            reps.append(rep)
+            left -= rep
+    n_tokens = 2 + len(reps)  # '9', repeats..., '1'
+    bw.write(1, 1)
+    bw.write(3, 3)  # length_nbits = 8
+    bw.write(n_tokens - 2, 8)
+    bw.write_code(0b11, 2)  # symbol 9
+    for rep in reps:
+        if rep is None:
+            bw.write_code(0b11, 2)
+        else:
+            bw.write_code(0b0, 1)  # symbol 16
+            bw.write(rep - 3, 2)
+    bw.write_code(0b10, 2)  # symbol 1 (for green symbol 256)
+
+
+def _write_argb_literals(
+    bw: _LsbWriter, argb_rows: np.ndarray, top_level: bool = False, rle: bool = False
+) -> None:
+    """One entropy-coded image: no cache, flat 8-bit R/B/A codes, and a
+    green code that is either flat literals or the RLE variant
+    (length-1 backrefs at distance 1 for repeated pixels — exercises
+    the decoder's LZ77 path with the 2D short-distance map). Only the
+    TOP-LEVEL image carries the meta-huffman presence bit
+    (transform/palette sub-images are read with allow_meta=False)."""
+    bw.write(0, 1)  # no color cache
+    if top_level:
+        bw.write(0, 1)  # no meta-huffman
+    if rle:
+        _write_green_rle_code(bw)
+    else:
+        _write_flat_code(bw, 256 + 24)  # green: flat over first 256
+    _write_flat_code(bw, 256)  # red
+    _write_flat_code(bw, 256)  # blue
+    _write_flat_code(bw, 256)  # alpha
+    # distance code: single symbol -> zero bits per use. Prefix code 1
+    # = distance code 2 = 2D offset (1, 0) = "previous pixel".
+    _write_single_code(bw, 1 if rle else 0)
+    prev = None
+    for row in argb_rows:
+        a_, r_, g_, b_ = (int(v) for v in row)
+        if rle and prev == (a_, r_, g_, b_):
+            bw.write_code(0, 1)  # green symbol 256: length-1 backref
+            continue
+        if rle:
+            bw.write_code(256 + g_, 9)
+        else:
+            bw.write_code(g_, 8)  # flat code: canonical code of s IS s
+        bw.write_code(r_, 8)
+        bw.write_code(b_, 8)
+        bw.write_code(a_, 8)
+        prev = (a_, r_, g_, b_)

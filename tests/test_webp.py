@@ -1,0 +1,208 @@
+"""WebP-lossless (VP8L) codec tests (stdlib + numpy; Spark only for
+the mapInPandas integration check). VP8L is lossless, so round trips
+assert EXACT equality — no tolerance anywhere."""
+
+import numpy as np
+import pytest
+
+from iceberg_python_spark.operators.imaging import decode_image
+from iceberg_python_spark.operators.webp import (
+    _LsbWriter,
+    _write_flat_code,
+    _write_green_rle_code,
+    _write_single_code,
+    decode_webp,
+    encode_webp,
+)
+
+
+def _img(h, w, ch=3, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, ch), dtype=np.uint8)
+
+
+def test_webp_literal_roundtrip_and_alpha():
+    img = _img(13, 17)
+    assert np.array_equal(decode_webp(encode_webp(img)), img)
+    rgba = _img(9, 7, ch=4, seed=3)
+    got = decode_webp(encode_webp(rgba))
+    assert got.shape == (9, 7, 4) and np.array_equal(got, rgba)
+
+
+def test_webp_transforms_roundtrip_exact():
+    """Each encoder transform (and their composition) exercises its
+    inverse in the decoder: subtract-green, left-predictor tiles,
+    cross-color with signed 3.5-fixed-point coefficients."""
+    img = _img(21, 15, seed=5)
+    for kw in (
+        {"subtract_green": True},
+        {"predict_left": True},
+        {"cross_color": True},
+        {"predict_left": True, "cross_color": True, "subtract_green": True},
+    ):
+        assert np.array_equal(decode_webp(encode_webp(img, **kw)), img), kw
+
+
+def test_webp_palette_all_bundling_levels():
+    """Color-indexing with sub-byte bundling IMPLIED by palette size:
+    <=2 colors pack 8 px/byte, <=4 pack 4, <=16 pack 2."""
+    rng = np.random.default_rng(11)
+    for nc in (2, 4, 16, 30, 200):
+        pal = rng.integers(0, 256, (nc, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, nc, (11, 13))]
+        assert np.array_equal(decode_webp(encode_webp(img, palette=True)), img), nc
+
+
+def test_webp_lz77_backrefs():
+    """RLE mode emits length-1 backrefs at 2D distance (1,0) through a
+    mixed-length green code (256 literals @9 bits + backref @1 bit) —
+    the decoder's LZ77 path with the short-distance map."""
+    flat = np.tile(np.array([[10, 20, 30]], dtype=np.uint8), (40, 40, 1))
+    enc = encode_webp(flat, rle=True)
+    assert len(enc) < 0.1 * len(encode_webp(flat))  # repeats actually compress
+    assert np.array_equal(decode_webp(enc), flat)
+    img = _img(8, 31, seed=7)
+    img[:, 10:20] = img[:, 9:10]  # horizontal runs
+    assert np.array_equal(decode_webp(encode_webp(img, rle=True)), img)
+
+
+def test_webp_color_cache_hand_built():
+    """Hand-built VP8L stream with a 1-bit color cache: a black literal
+    (argb 0 hashes to slot 0) followed by a cache reference must decode
+    to two identical pixels."""
+    import struct
+
+    bw = _LsbWriter()
+    bw.write(0x2F, 8)
+    bw.write(2 - 1, 14)  # width 2
+    bw.write(1 - 1, 14)  # height 1
+    bw.write(0, 1)  # no alpha
+    bw.write(0, 3)
+    bw.write(0, 1)  # no transforms
+    bw.write(1, 1)  # color cache present
+    bw.write(1, 4)  # cache_bits = 1 -> green alphabet 256+24+2
+    bw.write(0, 1)  # no meta-huffman
+    # green: 256 literals @9 bits + cache symbol 280 @1 bit (complete)
+    bw.write(0, 1)  # not simple
+    from iceberg_python_spark.operators.webp import _CLC_ORDER
+
+    order_pos = {s: i for i, s in enumerate(_CLC_ORDER)}
+    n_codes = max(order_pos[1], order_pos[9], order_pos[16], order_pos[17], order_pos[18]) + 1
+    clc_len = {16: 2, 1: 2, 9: 2, 18: 2}
+    bw.write(n_codes - 4, 4)
+    for i in range(n_codes):
+        bw.write(clc_len.get(_CLC_ORDER[i], 0), 3)
+    bw.write(0, 1)  # no max-symbol limit (we cover all 282 entries)
+    # canonical clc: (2,1)->00, (2,9)->01, (2,16)->10, (2,18)->11
+    bw.write_code(0b01, 2)  # '9' once
+    left = 255
+    while left > 0:  # repeat '9' via 16-codes
+        rep = min(6, left)
+        bw.write_code(0b10, 2)
+        bw.write(rep - 3, 2)
+        left -= rep
+    bw.write_code(0b11, 2)  # 18: run of zeros (symbols 256..279)
+    bw.write(24 - 11, 7)
+    bw.write_code(0b00, 2)  # '1' for cache symbol 280
+    bw.write_code(0b11, 2)  # 18 again: remaining entry 281 -> zero run 11
+    bw.write(0, 7)
+    for _ in range(3):  # red, blue, alpha: flat 8-bit
+        _write_flat_code(bw, 256)
+    _write_single_code(bw, 0)  # distance, unused
+    # pixel 1: literal (0,0,0,0) -> argb 0 -> cache slot 0
+    bw.write_code(256 + 0, 9)
+    bw.write_code(0, 8)
+    bw.write_code(0, 8)
+    bw.write_code(0, 8)
+    # pixel 2: cache symbol 280 -> code 0 (1 bit)
+    bw.write_code(0, 1)
+    body = bw.bytes()
+    riff = b"WEBP" + b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        riff += b"\x00"
+    data = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    got = decode_webp(data)
+    assert got.shape == (1, 2, 3) and (got == 0).all()
+
+
+def test_webp_dispatch_and_gates():
+    img = _img(6, 6, seed=2)
+    px = decode_image(encode_webp(img))
+    assert np.array_equal(px, img)
+    with pytest.raises(NotImplementedError, match="VP8L"):
+        decode_webp(b"RIFF\x00\x00\x00\x00WEBPVP8 \x00\x00\x00\x00")
+    with pytest.raises(NotImplementedError, match="VP8X"):
+        decode_webp(b"RIFF\x00\x00\x00\x00WEBPVP8X\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="WEBP"):
+        decode_webp(b"RIFX nope")
+
+
+def test_webp_spark_extract_image_stats(spark):
+    from iceberg_python_spark.operators.multimodal import extract_image_stats
+
+    img = _img(12, 15, seed=9)
+    rows = [
+        (1, bytearray(encode_webp(img))),
+        (2, bytearray(encode_webp(img, subtract_green=True))),  # same pixels
+        (3, bytearray(b"RIFF\x08\x00\x00\x00WEBPVP8 \x00\x00\x00\x00")),  # lossy: gated
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, payload: binary")
+    out = {r.id: r for r in extract_image_stats(df, "doc_id", "payload").collect()}
+    assert out[1].decode_ok and (out[1].height, out[1].width, out[1].channels) == (12, 15, 3)
+    assert out[2].phash == out[1].phash  # lossless: identical pixels, identical hash
+    assert not out[3].decode_ok and "PIL" in out[3].error
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.integers(1, 24), st.integers(1, 24), st.sampled_from([3, 4]),
+       st.sampled_from(["plain", "sg", "pred", "cc", "rle"]), st.integers(0, 2**31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_webp_roundtrip_property(h, w, ch, mode, seed):
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, ch), dtype=np.uint8)
+    kw = {"sg": {"subtract_green": True}, "pred": {"predict_left": True},
+          "cc": {"cross_color": True}, "rle": {"rle": True}}.get(mode, {})
+    assert np.array_equal(decode_webp(encode_webp(img, **kw)), img)
+
+
+def test_webp_meta_huffman_hand_built():
+    """Hand-built VP8L stream with a meta-Huffman image: an 8x1 image
+    under tile_bits=2 has two 4-pixel tiles pointing at two different
+    Huffman groups; pixels must route through the right group."""
+    import struct
+
+    from iceberg_python_spark.operators.webp import _write_argb_literals
+
+    bw = _LsbWriter()
+    bw.write(0x2F, 8)
+    bw.write(8 - 1, 14)
+    bw.write(1 - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(1, 1)  # meta-huffman present
+    bw.write(0, 3)  # tile_bits = 2 -> 4-px tiles -> meta image 2x1
+    # meta image (allow_meta=False): pixels' (R<<8)|G = group index
+    meta_px = np.array([[255, 0, 0, 0], [255, 0, 1, 0]], dtype=np.uint8)  # groups 0, 1
+    _write_argb_literals(bw, meta_px)
+    for _ in range(2):  # two identical flat literal groups
+        _write_flat_code(bw, 256 + 24)
+        _write_flat_code(bw, 256)
+        _write_flat_code(bw, 256)
+        _write_flat_code(bw, 256)
+        _write_single_code(bw, 0)
+    want = np.arange(8 * 3, dtype=np.uint8).reshape(1, 8, 3)
+    for x in range(8):
+        r, g, b = (int(v) for v in want[0, x])
+        bw.write_code(g, 8)
+        bw.write_code(r, 8)
+        bw.write_code(b, 8)
+        bw.write_code(255, 8)
+    body = bw.bytes()
+    riff = b"WEBP" + b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        riff += b"\x00"
+    got = decode_webp(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    assert np.array_equal(got, want)
