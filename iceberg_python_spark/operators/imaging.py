@@ -33,6 +33,10 @@ Decoders (magic-byte dispatch in :func:`decode_image`):
   transforms (14 predictor modes, cross-color, subtract-green,
   color-indexing with sub-byte bundling); lossy VP8 and animated VP8X
   raise naming PIL.
+- **TIFF** (tiff.py, r11) — baseline strips, both byte orders,
+  none/LZW (early-change variant)/PackBits, bilevel/gray/palette/
+  RGB(A), 1/8/16-bit samples; tiled/JPEG-in-TIFF/CCITT raise naming
+  PIL. The document/scan-corpus format.
 
 Features:
 
@@ -269,8 +273,14 @@ def decode_image(data: bytes) -> np.ndarray:
         from .webp import decode_webp
 
         return decode_webp(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        # r11: baseline TIFF (none/LZW/PackBits strips) in tiff.py
+        from .tiff import decode_tiff
+
+        px = decode_tiff(data)
+        return px[:, :, None] if px.ndim == 2 else px
     raise NotImplementedError(
-        "unsupported image magic (TIFF/HEIC need PIL — not in this environment)"
+        "unsupported image magic (HEIC/AVIF need PIL — not in this environment)"
     )
 
 

@@ -5,14 +5,14 @@ Images/audio/video ride as ``binary`` columns with a metadata struct
 resize / frame-sample run as Arrow-batched pandas iterators via
 ``mapInPandas``.
 
-DECODE IS REAL for PNG / JPEG / GIF / WebP-lossless / PPM / PGM /
-BMP images
+DECODE IS REAL for PNG / JPEG / GIF / WebP-lossless / TIFF / PPM /
+PGM / BMP images
 (:func:`extract_image_stats`, :func:`extract_image_features`), WAV +
 FLAC audio (:func:`extract_audio_stats`) and Y4M + animated-GIF video
 (:func:`extract_video_frames`) — the stdlib+numpy codecs in
 :mod:`.imaging` / :mod:`.jpeg` / :mod:`.gif` / :mod:`.audio` /
 :mod:`.flac` / :mod:`.video`. Only formats that genuinely need an
-external library (lossy-WebP/TIFF, MP3/OGG, MP4/WebM) remain gated, surfacing per-row as ``decode_ok=false``
+external library (lossy WebP/HEIC, MP3/OGG, MP4/WebM) remain gated, surfacing per-row as ``decode_ok=false``
 naming the codec. The digest-fake twins are quarantined under
 ``*_stub`` names (``extract_image_features_stub``,
 ``sample_video_frames_stub``) so no default-reachable API hands out

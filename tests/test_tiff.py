@@ -1,0 +1,128 @@
+"""Baseline TIFF codec tests (stdlib + numpy). TIFF is lossless —
+round trips assert EXACT equality across compressions and byte
+orders."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from iceberg_python_spark.operators.imaging import decode_image
+from iceberg_python_spark.operators.tiff import (
+    _packbits_decode,
+    _packbits_encode,
+    decode_tiff,
+    encode_tiff,
+    tiff_page_count,
+)
+
+
+def test_tiff_roundtrips_all_compressions_and_endians():
+    rng = np.random.default_rng(31)
+    for shape in [(100, 90, 3), (40, 30), (12, 7, 4), (1, 1)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for comp in ("none", "packbits", "lzw"):
+            for be in (False, True):
+                got = decode_tiff(encode_tiff(img, compression=comp, big_endian=be))
+                assert np.array_equal(got, img), (shape, comp, be)
+
+
+def test_tiff_lzw_early_change_and_dictionary_reset():
+    """A strip long enough to march the LZW width through 10/11/12 bits
+    and force a dictionary reset must reconstruct exactly (the TIFF
+    'early change' off-by-one is the classic interop bug)."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (64, 512, 3), dtype=np.uint8)  # ~98 KB strips
+    assert np.array_equal(decode_tiff(encode_tiff(img, compression="lzw")), img)
+
+
+def test_tiff_compression_actually_compresses():
+    flat = np.tile(np.arange(90, dtype=np.uint8), (60, 3)).reshape(60, 90, 3)
+    n, pb, lz = (len(encode_tiff(flat, compression=c)) for c in ("none", "packbits", "lzw"))
+    assert lz < 0.3 * n
+    assert np.array_equal(decode_tiff(encode_tiff(flat, compression="lzw")), flat)
+
+
+def test_tiff_packbits_spec_cases():
+    # literal run, repeat run, and the 128 no-op byte
+    assert _packbits_decode(_packbits_encode(b"aaaa"), 4) == b"aaaa"
+    assert _packbits_decode(_packbits_encode(b"abcd"), 4) == b"abcd"
+    assert _packbits_decode(b"\x80" + _packbits_encode(b"xy"), 2) == b"xy"  # leading no-op
+    long = bytes(range(256)) * 3 + b"z" * 300
+    assert _packbits_decode(_packbits_encode(long), len(long)) == long
+
+
+def test_tiff_bilevel_and_palette_foreign_layouts():
+    """Hand-built 1-bit (WhiteIsZero) and palette TIFFs — layouts our
+    encoder never writes but scanned-document corpora do."""
+    # 1-bit 10x2, photometric 0 (white-is-zero), packed rows
+    rows = np.array([[1, 0, 1, 0, 1, 0, 1, 0, 1, 1],
+                     [0, 1, 1, 1, 0, 0, 0, 1, 0, 1]], dtype=np.uint8)
+    packed = np.packbits(rows, axis=1).tobytes()
+    ifd = [
+        (256, 4, [10]), (257, 4, [2]), (258, 3, [1]), (259, 3, [1]),
+        (262, 3, [0]), (273, 4, [0]), (277, 3, [1]), (278, 4, [2]), (279, 4, [len(packed)]),
+    ]
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    out += struct.pack("<H", len(ifd))
+    strip_off = 8 + 2 + 12 * len(ifd) + 4
+    for tag, typ, vals in ifd:
+        if tag == 273:
+            vals = [strip_off]
+        code = "H" if typ == 3 else "I"
+        raw = struct.pack("<" + code * len(vals), *vals)
+        out += struct.pack("<HHI", tag, typ, len(vals)) + raw + b"\x00" * (4 - len(raw))
+    out += struct.pack("<I", 0)
+    out += packed
+    got = decode_tiff(bytes(out))
+    assert got.shape == (2, 10)
+    # WhiteIsZero: bit 1 -> 255 inverted -> 0
+    assert np.array_equal(got, np.where(rows == 1, 0, 255).astype(np.uint8))
+
+
+def test_tiff_gates_and_dispatch():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_tiff(img)), img)
+    g = rng.integers(0, 256, (5, 4), dtype=np.uint8)
+    assert decode_image(encode_tiff(g)).shape == (5, 4, 1)  # dispatch normalizes
+    with pytest.raises(ValueError, match="TIFF"):
+        decode_tiff(b"XX\x00\x00")
+    # unsupported compression gates loudly
+    enc = bytearray(encode_tiff(img))
+    # tag 259 (compression) value patch: find it in the IFD
+    n = struct.unpack_from("<H", enc, 8)[0]
+    for i in range(n):
+        tag = struct.unpack_from("<H", enc, 10 + 12 * i)[0]
+        if tag == 259:
+            struct.pack_into("<H", enc, 10 + 12 * i + 8, 7)  # JPEG-in-TIFF
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_tiff(bytes(enc))
+
+
+def test_tiff_spark_extract_image_stats(spark):
+    from iceberg_python_spark.operators.multimodal import extract_image_stats
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (14, 11, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_tiff(img, compression="lzw"))),
+        (2, bytearray(encode_tiff(img, compression="packbits", big_endian=True))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, payload: binary")
+    out = {r.id: r for r in extract_image_stats(df, "doc_id", "payload").collect()}
+    assert out[1].decode_ok and (out[1].height, out[1].width) == (14, 11)
+    assert out[1].phash == out[2].phash  # lossless across compressions/endians
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.integers(1, 32), st.integers(1, 32), st.sampled_from([1, 3, 4]),
+       st.sampled_from(["none", "packbits", "lzw"]), st.integers(0, 2**31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_tiff_roundtrip_property(h, w, ch, comp, seed):
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+    assert np.array_equal(decode_tiff(encode_tiff(img, compression=comp)), img)
