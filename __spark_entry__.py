@@ -2651,7 +2651,10 @@ def _q_multimodal_jpeg_decode(spark, env):
     from iceberg_python_spark.operators.jpeg import encode_jpeg
     from iceberg_python_spark.operators.multimodal import extract_image_stats
 
-    docs = env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 400")
+    docs = (
+        env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 400")
+        .repartition(32)  # spread the per-payload codec work
+    )
 
     def gen(batches):
         for pdf in batches:
@@ -2803,7 +2806,12 @@ def _q_multimodal_flac_decode(spark, env):
     from iceberg_python_spark.operators.flac import decode_flac, encode_flac
     from iceberg_python_spark.operators.multimodal import extract_audio_stats
 
-    docs = env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 300")
+    # 300 rows land in ONE scan partition; FLAC decode is the priciest
+    # per-payload codec here, so spread the generator across cores
+    docs = (
+        env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 300")
+        .repartition(32)
+    )
 
     def gen(batches):
         for pdf in batches:
@@ -2861,7 +2869,10 @@ def _q_multimodal_gif_decode(spark, env):
     from iceberg_python_spark.operators.gif import decode_gif, encode_gif
     from iceberg_python_spark.operators.multimodal import extract_image_stats
 
-    docs = env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 300")
+    docs = (
+        env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 300")
+        .repartition(32)  # spread the per-payload codec work
+    )
 
     def gen(batches):
         for pdf in batches:
