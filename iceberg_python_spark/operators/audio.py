@@ -88,6 +88,20 @@ def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
             x = np.frombuffer(payload, dtype="<i4").astype(np.float64) / float(1 << 31)
         else:
             raise NotImplementedError(f"{bits}-bit integer PCM is not a WAV spec width")
+    elif audio_format == 7:  # µ-law (G.711 — telephony speech corpora)
+        u = ~np.frombuffer(payload, dtype=np.uint8)
+        sign = np.where(u & 0x80, -1, 1).astype(np.int32)
+        exp = ((u >> 4) & 0x07).astype(np.int32)
+        mant = (u & 0x0F).astype(np.int32)
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+        x = (sign * mag).astype(np.float64) / 32124.0
+    elif audio_format == 6:  # A-law (G.711 — note: sign bit SET means positive)
+        al = np.frombuffer(payload, dtype=np.uint8) ^ 0x55
+        sign = np.where(al & 0x80, 1, -1).astype(np.int32)
+        exp = ((al >> 4) & 0x07).astype(np.int32)
+        mant = (al & 0x0F).astype(np.int32)
+        mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+        x = (sign * mag).astype(np.float64) / 32768.0
     elif audio_format == 3:  # IEEE float
         dt = "<f4" if bits == 32 else "<f8"
         x = np.frombuffer(payload, dtype=dt).astype(np.float64)

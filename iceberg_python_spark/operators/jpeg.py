@@ -343,6 +343,7 @@ def encode_jpeg(
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
     progressive: bool = False,
+    exif_orientation: int = 1,
 ) -> bytes:
     """Encode (H, W) / (H, W, 1) grayscale or (H, W, 3) RGB uint8 as a
     baseline sequential (or PROGRESSIVE) JFIF JPEG with Annex K tables.
@@ -378,6 +379,16 @@ def encode_jpeg(
     qchr = _quality_scaled(_Q_CHR, quality)
     out = bytearray(b"\xff\xd8")  # SOI
     out += _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if exif_orientation != 1:
+        if not 1 <= exif_orientation <= 8:
+            raise ValueError("exif_orientation must be 1-8")
+        # minimal EXIF: one-IFD TIFF with tag 274 (what cameras write —
+        # the pixels stay unrotated, the decoder applies the view)
+        tiff = struct.pack("<2sHI", b"II", 42, 8)
+        tiff += struct.pack("<H", 1)
+        tiff += struct.pack("<HHIHH", 274, 3, 1, exif_orientation, 0)
+        tiff += struct.pack("<I", 0)
+        out += _marker(0xE1, b"Exif\x00\x00" + tiff)
     out += _marker(0xDB, b"\x00" + bytes(int(v) for v in qlum[ZIGZAG]))
     if not gray:
         out += _marker(0xDB, b"\x01" + bytes(int(v) for v in qchr[ZIGZAG]))
@@ -602,6 +613,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame = None
     restart_interval = 0
     saw_scan = False
+    orientation = 1
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -615,7 +627,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
-        if tag == 0xDB:  # DQT
+        if tag == 0xE1 and body[:6] == b"Exif\x00\x00":
+            # EXIF rides a TIFF structure; crawl JPEGs use tag 274
+            # (orientation) to store rotation the pixels don't have —
+            # apply it so downstream pHash/dedup see the VISUAL image
+            try:
+                orientation = _exif_orientation(body[6:])
+            except Exception:
+                pass  # malformed EXIF never fails the decode
+        elif tag == 0xDB:  # DQT
             p = 0
             while p < len(body):
                 pq, tq = body[p] >> 4, body[p] & 0xF
@@ -667,7 +687,40 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             saw_scan = True
     if frame is None or not saw_scan:
         raise ValueError("corrupt JPEG: no scan data")
-    return _reconstruct(frame, qtables)
+    return _apply_orientation(_reconstruct(frame, qtables), orientation)
+
+
+def _exif_orientation(tiff_bytes: bytes) -> int:
+    """Orientation (tag 274) from the EXIF TIFF structure's first IFD."""
+    from .tiff import _read_ifd
+
+    if tiff_bytes[:2] not in (b"II", b"MM"):
+        return 1
+    fmt = "<" if tiff_bytes[:2] == b"II" else ">"
+    (off,) = struct.unpack_from(fmt + "I", tiff_bytes, 4)
+    tags, _ = _read_ifd(tiff_bytes, fmt, off)
+    v = tags.get(274, [1])[0]
+    return int(v) if 1 <= int(v) <= 8 else 1
+
+
+def _apply_orientation(px: np.ndarray, orientation: int) -> np.ndarray:
+    if orientation == 1:
+        return px
+    if orientation == 2:
+        return px[:, ::-1].copy()
+    if orientation == 3:
+        return px[::-1, ::-1].copy()
+    if orientation == 4:
+        return px[::-1].copy()
+    axes = (1, 0) if px.ndim == 2 else (1, 0, 2)
+    t = px.transpose(axes)
+    if orientation == 5:
+        return t.copy()
+    if orientation == 6:  # rotate 90° clockwise
+        return t[:, ::-1].copy()
+    if orientation == 7:
+        return t[::-1, ::-1].copy()
+    return t[::-1].copy()  # 8: rotate 90° counter-clockwise
 
 
 def _init_frame(h_img: int, w_img: int, comps: List[Dict[str, Any]], progressive: bool):

@@ -1,0 +1,335 @@
+"""Media METADATA probing without decoding — the curation primitive
+for payloads whose full decode is expensive or codec-gated. A 100 TB
+crawl filter like "keep audio between 1 and 15 seconds" or "drop
+images under 64px" must not decode pixels/samples to answer; headers
+carry the answer in O(bytes-read) per payload.
+
+:func:`probe_media` parses container headers only (all from the
+public format specs):
+
+- images: PNG (IHDR), JPEG (SOF scan + EXIF-free), GIF (screen
+  descriptor + frame count), WebP (VP8L/VP8/VP8X dims), BMP, TIFF
+  (first-IFD tags + page count), PPM/PGM
+- audio: WAV (fmt/data chunks), FLAC (STREAMINFO), MP3 (first MPEG
+  frame header after ID3 — bitrate/rate/channels + a CBR duration
+  estimate), OGG (id header rate + terminal-page granule duration)
+- video: Y4M (header + frame count), MP4 (moov/mvhd timescale +
+  duration), AVI (avih), WebM/MKV (container only)
+
+Every result says whether a FULL decode is available in-engine
+(``decodable``) or needs an external codec — so a pipeline can route
+payloads: probe everything, decode what the stdlib codecs handle,
+quarantine the rest WITH their metadata instead of as opaque bytes.
+
+:func:`probe_media_stats` is the Arrow-batched Spark surface (one row
+per payload, per-row error capture).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any, Dict, Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES = {0: 44100, 1: 48000, 2: 32000}
+
+
+def _probe_mp3(data: bytes) -> Dict[str, Any]:
+    pos = 0
+    if data[:3] == b"ID3":  # skip the ID3v2 tag (syncsafe length)
+        ln = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        pos = 10 + ln
+    while pos + 4 <= len(data):
+        if data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0:
+            b1, b2, b3 = data[pos + 1], data[pos + 2], data[pos + 3]
+            version = (b1 >> 3) & 3  # 3 = MPEG1
+            layer = (b1 >> 1) & 3  # 1 = Layer III
+            br_idx = (b2 >> 4) & 0xF
+            sr_idx = (b2 >> 2) & 3
+            if version == 3 and layer == 1 and 0 < br_idx < 15 and sr_idx < 3:
+                bitrate = _MP3_BITRATES[br_idx] * 1000
+                rate = _MP3_RATES[sr_idx]
+                channels = 1 if ((b3 >> 6) & 3) == 3 else 2
+                # CBR estimate over the audio bytes that remain
+                dur_ms = int((len(data) - pos) * 8000 / bitrate)
+                return {
+                    "container": "mp3", "kind": "audio", "sample_rate": rate,
+                    "channels": channels, "duration_ms": dur_ms, "decodable": False,
+                }
+        pos += 1
+    raise ValueError("corrupt MP3: no MPEG audio frame found")
+
+
+def _probe_ogg(data: bytes) -> Dict[str, Any]:
+    # id header lives in the first page; rate offset depends on codec
+    rate = None
+    codec = "ogg"
+    head = data[28:28 + 64]
+    if head[1:7] == b"vorbis":
+        rate = struct.unpack_from("<I", head, 12)[0]
+        channels = head[11]
+        codec = "ogg-vorbis"
+    elif head[:8] == b"OpusHead":
+        rate = 48000  # opus always decodes at 48 kHz
+        channels = head[9]
+        codec = "ogg-opus"
+    else:
+        channels = None
+    # duration: granule position of the LAST page (PCM sample count)
+    last = data.rfind(b"OggS")
+    dur_ms = None
+    if last >= 0 and rate:
+        (granule,) = struct.unpack_from("<q", data, last + 6)
+        if granule > 0:
+            dur_ms = int(granule * 1000 / rate)
+    return {
+        "container": codec, "kind": "audio", "sample_rate": rate,
+        "channels": channels, "duration_ms": dur_ms, "decodable": False,
+    }
+
+
+def _probe_mp4(data: bytes) -> Dict[str, Any]:
+    # top-level box walk for moov/mvhd (timescale + duration)
+    dur_ms = None
+    pos = 0
+
+    def walk(start: int, end: int, depth: int) -> Optional[int]:
+        p = start
+        while p + 8 <= end:
+            (size,) = struct.unpack_from(">I", data, p)
+            btype = data[p + 4 : p + 8]
+            if size == 1:
+                (size,) = struct.unpack_from(">Q", data, p + 8)
+            if size < 8:
+                break
+            if btype == b"mvhd":
+                ver = data[p + 8]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", data, p + 8 + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", data, p + 8 + 12)
+                return int(dur * 1000 / ts) if ts else None
+            if btype == b"moov" and depth < 2:
+                got = walk(p + 8, min(p + size, end), depth + 1)
+                if got is not None:
+                    return got
+            p += size
+        return None
+
+    dur_ms = walk(0, len(data), 0)
+    return {"container": "mp4", "kind": "video", "duration_ms": dur_ms, "decodable": False}
+
+
+def _gif_frame_count(data: bytes) -> int:
+    """Frame count via the block walk — sub-blocks are SKIPPED by their
+    length bytes, never LZW-decompressed."""
+    pos = 13
+    flags = data[10]
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 7))
+    n = 0
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(data) and data[pos]:
+                pos += data[pos] + 1
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            iflags = data[pos + 8]
+            pos += 9
+            if iflags & 0x80:
+                pos += 3 * (2 << (iflags & 7))
+            pos += 1  # LZW min code size
+            while pos < len(data) and data[pos]:
+                pos += data[pos] + 1
+            pos += 1
+            n += 1
+        else:
+            break
+    return n
+
+
+def probe_media(data: bytes) -> Dict[str, Any]:
+    """Container metadata from headers only; raises ValueError on
+    unrecognized magic. Keys (absent = unknown): container, kind,
+    width, height, duration_ms, sample_rate, channels, n_frames,
+    n_pages, decodable."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack_from(">II", data, 16)
+        return {"container": "png", "kind": "image", "width": w, "height": h, "decodable": True}
+    if data[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                pos += 1
+                continue
+            tag = data[pos + 1]
+            if tag in (0xC0, 0xC1, 0xC2):
+                h, w = struct.unpack_from(">HH", data, pos + 5)
+                return {
+                    "container": "jpeg", "kind": "image", "width": w, "height": h,
+                    "decodable": tag in (0xC0, 0xC1, 0xC2),
+                }
+            if tag in (0xC9, 0xCA, 0xCB):  # arithmetic: dims still readable
+                h, w = struct.unpack_from(">HH", data, pos + 5)
+                return {"container": "jpeg", "kind": "image", "width": w, "height": h, "decodable": False}
+            if tag in (0xD8, 0x01) or 0xD0 <= tag <= 0xD7:
+                pos += 2
+                continue
+            (ln,) = struct.unpack_from(">H", data, pos + 2)
+            pos += 2 + ln
+        raise ValueError("corrupt JPEG: no frame header")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", data, 6)
+        return {
+            "container": "gif", "kind": "image", "width": w, "height": h,
+            "n_frames": _gif_frame_count(data), "decodable": True,
+        }
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        chunk = data[12:16]
+        if chunk == b"VP8L":
+            (bits,) = struct.unpack_from("<I", data, 21)
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return {"container": "webp-lossless", "kind": "image", "width": w, "height": h, "decodable": True}
+        if chunk == b"VP8 ":
+            w, h = struct.unpack_from("<HH", data, 26)
+            return {"container": "webp", "kind": "image", "width": w & 0x3FFF, "height": h & 0x3FFF, "decodable": False}
+        if chunk == b"VP8X":
+            wm1 = int.from_bytes(data[24:27], "little")
+            hm1 = int.from_bytes(data[27:30], "little")
+            return {"container": "webp-extended", "kind": "image", "width": wm1 + 1, "height": hm1 + 1, "decodable": False}
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        pos = 12
+        rate = channels = None
+        dur_ms = None
+        fmt_code = 1
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            if cid == b"fmt ":
+                fmt_code, channels, rate, byte_rate = struct.unpack_from("<HHII", data, pos + 8)
+            elif cid == b"data" and rate:
+                dur_ms = int(size * 1000 / byte_rate) if byte_rate else None
+            pos += 8 + size + (size & 1)
+        return {
+            "container": "wav", "kind": "audio", "sample_rate": rate, "channels": channels,
+            "duration_ms": dur_ms, "decodable": fmt_code in (1, 3, 6, 7, 0xFFFE),
+        }
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        # avih: microseconds per frame + total frames
+        p = data.find(b"avih")
+        dur_ms = None
+        if p >= 0:
+            us_per_frame, _, _, _, frames = struct.unpack_from("<IIIII", data, p + 8)
+            dur_ms = int(us_per_frame * frames / 1000)
+        return {"container": "avi", "kind": "video", "duration_ms": dur_ms, "decodable": False}
+    if data[:4] == b"fLaC":
+        br_off = 8  # skip header+blockheader: STREAMINFO starts at byte 8
+        rate = (data[br_off + 10] << 12) | (data[br_off + 11] << 4) | (data[br_off + 12] >> 4)
+        channels = ((data[br_off + 12] >> 1) & 0x7) + 1
+        total = ((data[br_off + 13] & 0x0F) << 32) | struct.unpack_from(">I", data, br_off + 14)[0]
+        return {
+            "container": "flac", "kind": "audio", "sample_rate": rate, "channels": channels,
+            "duration_ms": int(total * 1000 / rate) if rate and total else None, "decodable": True,
+        }
+    if data[:3] == b"ID3" or (len(data) > 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0):
+        return _probe_mp3(data)
+    if data[:4] == b"OggS":
+        return _probe_ogg(data)
+    if data[:9] == b"YUV4MPEG2":
+        hdr = data[: data.find(b"\n")].decode("ascii", "replace").split()
+        w = h = None
+        fps = 25.0
+        for tok in hdr[1:]:
+            if tok[0] == "W":
+                w = int(tok[1:])
+            elif tok[0] == "H":
+                h = int(tok[1:])
+            elif tok[0] == "F":
+                num, den = tok[1:].split(":")
+                fps = int(num) / int(den)
+        n = data.count(b"FRAME")
+        return {
+            "container": "y4m", "kind": "video", "width": w, "height": h,
+            "n_frames": n, "duration_ms": int(n * 1000 / fps) if fps else None, "decodable": True,
+        }
+    if len(data) > 12 and data[4:8] == b"ftyp":
+        return _probe_mp4(data)
+    if data[:4] == b"\x1a\x45\xdf\xa3":
+        return {"container": "webm/mkv", "kind": "video", "decodable": False}
+    if data[:2] == b"BM":
+        w, h = struct.unpack_from("<ii", data, 18)
+        return {"container": "bmp", "kind": "image", "width": w, "height": abs(h), "decodable": True}
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import _read_ifd, tiff_page_count
+
+        fmt = "<" if data[:2] == b"II" else ">"
+        (off,) = struct.unpack_from(fmt + "I", data, 4)
+        tags, _ = _read_ifd(data, fmt, off)
+        comp = tags.get(259, [1])[0]
+        return {
+            "container": "tiff", "kind": "image",
+            "width": tags.get(256, [None])[0], "height": tags.get(257, [None])[0],
+            "n_pages": tiff_page_count(data), "decodable": comp in (1, 5, 32773),
+        }
+    if data[:2] in (b"P6", b"P5"):
+        toks = data.split(None, 3)
+        return {"container": "pnm", "kind": "image", "width": int(toks[1]), "height": int(toks[2]), "decodable": True}
+    raise ValueError("unrecognized media magic")
+
+
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("decodable", T.BooleanType()),
+        T.StructField("probe_ok", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def probe_media_stats(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+    """One metadata row per payload, headers only — route a mixed 100 TB
+    media corpus (filter by duration/dims, split decodable vs gated)
+    without decoding a single pixel or sample."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[binary_col]):
+                base = {
+                    "id": int(i), "n_bytes": len(b) if b is not None else 0,
+                    "container": None, "kind": None, "width": None, "height": None,
+                    "duration_ms": None, "sample_rate": None, "channels": None,
+                    "n_frames": None, "decodable": None, "probe_ok": False, "error": None,
+                }
+                try:
+                    meta = probe_media(bytes(b))
+                    base.update({k: meta.get(k) for k in base if k in meta})
+                    base["n_frames"] = meta.get("n_frames", meta.get("n_pages"))
+                    base["probe_ok"] = True
+                except Exception as exc:
+                    base["error"] = f"{type(exc).__name__}: {exc}"
+                rows.append(base)
+            yield pd.DataFrame(rows, columns=[f.name for f in PROBE_SCHEMA.fields])
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(run, schema=PROBE_SCHEMA)

@@ -139,3 +139,49 @@ def test_extensible_wav_unknown_guid_refuses():
     blob[12 + 8 + 26] ^= 0xFF
     with pytest.raises(NotImplementedError, match="SubFormat GUID"):
         decode_wav(bytes(blob))
+
+
+def _g711_wav(payload: bytes, fmt_code: int, rate: int = 8000) -> bytes:
+    import struct
+
+    fmt = struct.pack("<HHIIHH", fmt_code, 1, rate, rate, 1, 8)
+    d = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    d += b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(d)) + b"WAVE" + d
+
+
+def _ulaw_encode(x: np.ndarray) -> bytes:
+    """Reference G.711 mu-law compressor (CCITT) for the test oracle."""
+    out = bytearray()
+    for v in (np.clip(x, -1, 1) * 32124).astype(int):
+        sign = 0x80 if v < 0 else 0
+        v = min(abs(int(v)), 32635) + 0x84
+        exp = v.bit_length() - 8
+        mant = (v >> (exp + 3)) & 0x0F
+        out.append(~(sign | (exp << 4) | mant) & 0xFF)
+    return bytes(out)
+
+
+def test_g711_mulaw_and_alaw_decode():
+    """mu-law: round-trip through a reference compressor lands within
+    the codec's quantization error; A-law: spec vector checks incl. the
+    inverted sign convention (bit 7 SET = positive)."""
+    x = _tone(440)
+    got, rate = decode_wav(_g711_wav(_ulaw_encode(x), 7))
+    assert rate == 8000 and got.shape[0] == len(x)
+    assert np.abs(got[:, 0] - x).max() < 0.03  # 8-bit companded quantization
+    # A-law spec vectors: encoded 0x55 (=0 after XOR) -> smallest NEGATIVE
+    # step (-8/32768); 0xD5 -> +8/32768; extremes at |32256|
+    vals = {0x55: -8, 0xD5: 8, 0x2A: -32256, 0xAA: 32256}
+    got, _ = decode_wav(_g711_wav(bytes(vals.keys()), 6))
+    want = np.array(list(vals.values())) / 32768.0
+    assert np.allclose(got[:, 0], want), (got[:, 0] * 32768).tolist()
+
+
+def test_g711_through_extract_audio_stats(spark):
+    from iceberg_python_spark.operators.multimodal import extract_audio_stats
+
+    rows = [(1, bytearray(_g711_wav(_ulaw_encode(_tone(500)), 7)))]
+    df = spark.createDataFrame(rows, "doc_id: long, payload: binary")
+    r = extract_audio_stats(df, "doc_id", "payload").collect()[0]
+    assert r.decode_ok and r.duration_ms == 500 and abs(r.spectral_centroid_hz - 500) < 30

@@ -178,3 +178,24 @@ def test_jpeg_progressive_equivalence_property(h, w, ch, q, seed):
     assert np.array_equal(
         decode_jpeg(encode_jpeg(img, q)), decode_jpeg(encode_jpeg(img, q, progressive=True))
     )
+
+
+def test_jpeg_exif_orientation_applied():
+    """Crawl JPEGs carry rotation in EXIF tag 274, not in the pixels —
+    the decoder applies it so pHash/dedup see the VISUAL image. All 8
+    orientations match the numpy reference transforms."""
+    img = _gradient(24, 32)  # non-square so transposes show
+    base = decode_jpeg(encode_jpeg(img, 95))
+    want = {
+        1: base, 2: base[:, ::-1], 3: base[::-1, ::-1], 4: base[::-1],
+        5: base.transpose(1, 0, 2), 6: np.rot90(base, -1),
+        7: base.transpose(1, 0, 2)[::-1, ::-1], 8: np.rot90(base, 1),
+    }
+    for o, w in want.items():
+        got = decode_jpeg(encode_jpeg(img, 95, exif_orientation=o))
+        assert np.array_equal(got, w), o
+    # malformed EXIF never fails the decode
+    enc = bytearray(encode_jpeg(img, 95, exif_orientation=6))
+    app1 = enc.find(b"\xff\xe1")
+    enc[app1 + 10] = 0xFF  # corrupt the TIFF byte-order mark inside EXIF
+    assert decode_jpeg(bytes(enc)).shape == base.shape  # falls back to 1

@@ -1,0 +1,113 @@
+"""probe_media tests: header-only metadata for every engine codec plus
+the gated containers (MP3/OGG/MP4) — values cross-checked against the
+encoders' ground truth; no decoding happens (a probe of a huge payload
+must not cost O(pixels))."""
+
+import struct
+import time
+
+import numpy as np
+import pytest
+
+from iceberg_python_spark.operators.audio import encode_wav
+from iceberg_python_spark.operators.flac import encode_flac
+from iceberg_python_spark.operators.gif import encode_gif
+from iceberg_python_spark.operators.imaging import encode_png
+from iceberg_python_spark.operators.jpeg import encode_jpeg
+from iceberg_python_spark.operators.probe import probe_media, probe_media_stats
+from iceberg_python_spark.operators.tiff import encode_tiff
+from iceberg_python_spark.operators.video import encode_y4m
+from iceberg_python_spark.operators.webp import encode_webp
+
+
+def _media():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    gimg = pal[rng.integers(0, 16, (20, 30))]
+    tone = (9000 * np.sin(2 * np.pi * 440 * np.arange(8000) / 8000)).astype(np.int32)
+    return img, gimg, tone
+
+
+def test_probe_engine_codecs_match_ground_truth():
+    img, gimg, tone = _media()
+    cases = {
+        "png": (encode_png(img), {"kind": "image", "width": 30, "height": 20, "decodable": True}),
+        "jpeg": (encode_jpeg(img), {"width": 30, "height": 20, "decodable": True}),
+        "gif": (encode_gif([gimg, gimg], delays_ms=[100, 100]), {"width": 30, "n_frames": 2}),
+        "webp-lossless": (encode_webp(img), {"width": 30, "height": 20, "decodable": True}),
+        "tiff": (encode_tiff(img, compression="lzw"), {"width": 30, "n_pages": 1}),
+        "wav": (encode_wav(tone / 32768.0, 8000), {"sample_rate": 8000, "duration_ms": 1000}),
+        "flac": (encode_flac(tone, 8000), {"sample_rate": 8000, "duration_ms": 1000, "channels": 1}),
+        "y4m": (encode_y4m([img, img], fps=2), {"n_frames": 2, "duration_ms": 1000}),
+    }
+    for container, (payload, want) in cases.items():
+        got = probe_media(payload)
+        assert got["container"] == container, got
+        for k, v in want.items():
+            assert got[k] == v, (container, k, got)
+
+
+def test_probe_gated_containers():
+    # MPEG1 Layer III, 128 kbps, 44.1 kHz, stereo; 16 KB ~ 1000 ms CBR
+    mp3 = b"\xff\xfb\x90\x00" + b"\x00" * 16000
+    got = probe_media(mp3)
+    assert got == {
+        "container": "mp3", "kind": "audio", "sample_rate": 44100,
+        "channels": 2, "duration_ms": 1000, "decodable": False,
+    }
+    # ID3v2-prefixed variant finds the frame behind the tag
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 + mp3
+    assert probe_media(id3)["sample_rate"] == 44100
+    # minimal MP4: ftyp + moov>mvhd (timescale 1000, duration 5000)
+    mvhd = b"mvhd" + bytes(4) + b"\x00" * 8 + struct.pack(">II", 1000, 5000) + b"\x00" * 80
+    mvhd = struct.pack(">I", 8 + len(mvhd)) + mvhd
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftypisom\x00\x00\x00\x00"
+    assert probe_media(ftyp + moov)["duration_ms"] == 5000
+    # OGG Opus: 48 kHz fixed; duration from the final page's granule
+    ogg = (b"OggS" + b"\x00" * 2 + struct.pack("<q", 0) + b"\x00" * 12
+           + b"\x01\x13" + b"OpusHead" + bytes([1, 2]) + b"\x00" * 100)
+    ogg += b"OggS" + b"\x00\x04" + struct.pack("<q", 96000) + b"\x00" * 14
+    got = probe_media(ogg)
+    assert got["container"] == "ogg-opus" and got["duration_ms"] == 2000
+    with pytest.raises(ValueError, match="magic"):
+        probe_media(b"???? not media")
+
+
+def test_probe_never_decodes():
+    """Probing a LARGE payload must be header-cost, not pixel-cost: a
+    4-megapixel PNG probes >100x faster than it decodes."""
+    from iceberg_python_spark.operators.imaging import decode_image
+
+    big = np.random.default_rng(1).integers(0, 256, (2000, 2000, 3), dtype=np.uint8)
+    payload = encode_png(big)
+    t0 = time.time()
+    for _ in range(50):
+        probe_media(payload)
+    probe_t = (time.time() - t0) / 50
+    t0 = time.time()
+    decode_image(payload)
+    decode_t = time.time() - t0
+    assert probe_t < decode_t / 100
+
+
+def test_probe_media_stats_spark(spark):
+    img, gimg, tone = _media()
+    rows = [
+        (1, bytearray(encode_jpeg(img))),
+        (2, bytearray(encode_flac(tone, 8000))),
+        (3, bytearray(b"\xff\xfb\x90\x00" + b"\x00" * 32000)),  # gated mp3, ~2 s
+        (4, bytearray(b"garbage")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, payload: binary")
+    out = {r.id: r for r in probe_media_stats(df, "doc_id", "payload").collect()}
+    assert out[1].probe_ok and out[1].kind == "image" and out[1].width == 30
+    assert out[2].probe_ok and out[2].duration_ms == 1000 and out[2].decodable
+    assert out[3].probe_ok and not out[3].decodable and out[3].duration_ms == 2000
+    assert not out[4].probe_ok and "magic" in out[4].error
+    # THE curation filter: duration gate without any decode
+    audio_1s = probe_media_stats(df, "doc_id", "payload").where(
+        "kind = 'audio' and duration_ms between 500 and 1500"
+    )
+    assert [r.id for r in audio_1s.collect()] == [2]
