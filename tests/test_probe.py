@@ -111,3 +111,26 @@ def test_probe_media_stats_spark(spark):
         "kind = 'audio' and duration_ms between 500 and 1500"
     )
     assert [r.id for r in audio_1s.collect()] == [2]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.integers(1, 40), st.integers(1, 40),
+       st.sampled_from(["png", "jpeg", "webp", "tiff", "gif"]), st.integers(0, 2**31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_probe_dims_match_every_encoder(h, w, fmt, seed):
+    """Property: for every image the engine can synthesize, the probe's
+    header-derived dimensions equal the encoder's input dimensions."""
+    rng = np.random.default_rng(seed)
+    if fmt == "gif":
+        pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, 8, (h, w))]
+        payload = encode_gif(img)
+    else:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        payload = {"png": encode_png, "jpeg": encode_jpeg,
+                   "webp": encode_webp, "tiff": encode_tiff}[fmt](img)
+    got = probe_media(payload)
+    assert (got["width"], got["height"]) == (w, h) and got["decodable"]
