@@ -344,6 +344,7 @@ def encode_jpeg(
     restart_interval: int = 0,
     progressive: bool = False,
     exif_orientation: int = 1,
+    separate_scans: bool = False,
 ) -> bytes:
     """Encode (H, W) / (H, W, 1) grayscale or (H, W, 3) RGB uint8 as a
     baseline sequential (or PROGRESSIVE) JFIF JPEG with Annex K tables.
@@ -360,7 +361,13 @@ def encode_jpeg(
     1-5 and 6-63, Al=1) and their successive-approximation refinements
     — so the decode is BIT-IDENTICAL to the baseline encode's decode
     (the exactness oracle the tests pin). 4:4:4/grayscale only, no
-    restart markers (the decoder handles both for foreign files)."""
+    restart markers (the decoder handles both for foreign files).
+
+    ``separate_scans=True`` emits a BASELINE frame as one ns=1 scan
+    per component (T.81 allows it; some encoders do this) — each scan
+    walks the component's own nbw*nbh data units, NOT the MCU grid,
+    which for a subsampled component differ. Decodes bit-identically
+    to the interleaved encode."""
     px = np.asarray(px, dtype=np.uint8)
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[:, :, 0]
@@ -372,6 +379,8 @@ def encode_jpeg(
         raise ValueError("progressive encode supports 4:4:4/grayscale (decode handles 4:2:0)")
     if progressive and restart_interval:
         raise ValueError("progressive encode does not emit restart markers")
+    if separate_scans and (progressive or restart_interval):
+        raise ValueError("separate_scans is a baseline layout without restart markers")
     h, w = px.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -417,6 +426,7 @@ def encode_jpeg(
         comp_blocks = [_to_blocks(px.astype(np.float64), qlum)]
         mcu_iter = [[(blk, 0)] for blk in comp_blocks[0]]
         comps_tbl = [(dc_lum, ac_lum)]
+        scan_grids = [(comp_blocks[0], -(-w // 8), -(-w // 8), -(-h // 8))]
     else:
         ycc = _rgb_to_ycbcr(px)
         dc_chr = _huff_encode_table(*_DC_CHR)
@@ -446,6 +456,16 @@ def encode_jpeg(
                     blocks.append((cbb[r * mx + c], 1))
                     blocks.append((crb[r * mx + c], 2))
                     mcu_iter.append(blocks)
+            # per-component unit grids for ns=1 scans: luma walks
+            # ceil(w/8) x ceil(h/8) units inside the 16-padded grid;
+            # chroma walks ceil(ceil(w/2)/8) x ceil(ceil(h/2)/8)
+            cw, ch2 = -(-w // 2), -(-h // 2)
+            cnbw, cnbh = -(-cw // 8), -(-ch2 // 8)
+            scan_grids = [
+                (yb, ybw, -(-w // 8), -(-h // 8)),
+                (cbb, mx, cnbw, cnbh),
+                (crb, mx, cnbw, cnbh),
+            ]
         else:
             comp_blocks = [
                 _to_blocks(ycc[..., 0], qlum),
@@ -456,9 +476,27 @@ def encode_jpeg(
                 [(comp_blocks[c][i], c) for c in range(3)]
                 for i in range(comp_blocks[0].shape[0])
             ]
+            gw = -(-w // 8)
+            scan_grids = [(comp_blocks[c], gw, gw, -(-h // 8)) for c in range(3)]
 
     if progressive:
         return bytes(_encode_progressive(out, comp_blocks, comps_tbl, ncomp))
+
+    if separate_scans:
+        for ci in range(ncomp):
+            blocks, gw, nbw, nbh = scan_grids[ci]
+            cid = ci + 1
+            sos = struct.pack(">BBB", 1, cid, 0x00 if cid == 1 else 0x11) + b"\x00\x3f\x00"
+            out += _marker(0xDA, sos)
+            bw = _BitWriter()
+            pred = 0
+            dct, act = comps_tbl[ci]
+            for by in range(nbh):
+                for bx in range(nbw):
+                    pred = _encode_blocks(bw, blocks[by * gw + bx][None, :], dct, act, pred)
+            out += bw.flush()
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
 
     sos = struct.pack(">B", ncomp)
     for cid in range(1, ncomp + 1):
@@ -806,7 +844,7 @@ def _decode_scan(data, pos, frame, scan_sel, huff, restart_interval, ss, se, ah,
             preds = {c["id"]: 0 for c in scan_comps}
             frame["eobrun"] = 0
 
-    if interleaved or not progressive:
+    if interleaved:
         mcus_x, mcus_y = frame["mcus_x"], frame["mcus_y"]
         for mcu in range(mcus_x * mcus_y):
             restart_if_due(mcu)
@@ -820,13 +858,18 @@ def _decode_scan(data, pos, frame, scan_sel, huff, restart_interval, ss, se, ah,
                         else:
                             _decode_baseline_block(br, huff, c, blk, preds)
     else:
+        # ns=1 scans walk the component's own nbw*nbh data units
+        # (T.81 A.2.2) — for baseline frames too, where a subsampled
+        # component's unit count differs from the MCU grid
         c = scan_comps[0]
         nbw, nbh = c["nbw"], c["nbh"]
         for i in range(nbw * nbh):
             restart_if_due(i)
             by, bx = divmod(i, nbw)
             blk = c["coef"][by * c["bw"] + bx]
-            if ss == 0:
+            if not progressive:
+                _decode_baseline_block(br, huff, c, blk, preds)
+            elif ss == 0:
                 _decode_dc(br, huff, c, blk, preds, ah, al)
                 if se != 0:
                     raise ValueError("corrupt JPEG: progressive DC scan with Se > 0")

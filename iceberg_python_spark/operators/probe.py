@@ -213,17 +213,30 @@ def probe_media(data: bytes) -> Dict[str, Any]:
         rate = channels = None
         dur_ms = None
         fmt_code = 1
+        fmt_body = b""
         while pos + 8 <= len(data):
             cid = data[pos : pos + 4]
             (size,) = struct.unpack_from("<I", data, pos + 4)
             if cid == b"fmt ":
                 fmt_code, channels, rate, byte_rate = struct.unpack_from("<HHII", data, pos + 8)
+                fmt_body = bytes(data[pos + 8 : pos + 8 + size])
             elif cid == b"data" and rate:
                 dur_ms = int(size * 1000 / byte_rate) if byte_rate else None
             pos += 8 + size + (size & 1)
+        if fmt_code == 0xFFFE:
+            # route on the embedded SubFormat code — decode_wav refuses
+            # extensible GUIDs that are not PCM/IEEE-float, so the probe
+            # must not promise decodability for e.g. extensible ADPCM
+            decodable = (
+                len(fmt_body) >= 40
+                and fmt_body[26:40] == b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+                and struct.unpack_from("<H", fmt_body, 24)[0] in (1, 3)
+            )
+        else:
+            decodable = fmt_code in (1, 3, 6, 7)
         return {
             "container": "wav", "kind": "audio", "sample_rate": rate, "channels": channels,
-            "duration_ms": dur_ms, "decodable": fmt_code in (1, 3, 6, 7, 0xFFFE),
+            "duration_ms": dur_ms, "decodable": decodable,
         }
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         # avih: microseconds per frame + total frames

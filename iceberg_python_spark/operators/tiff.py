@@ -224,6 +224,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise NotImplementedError(f"TIFF {bits}-bit samples need PIL")
     if tags.get(317, [1])[0] != 1:
         raise NotImplementedError("TIFF horizontal-differencing predictor needs PIL")
+    if tags.get(284, [1])[0] != 1:
+        raise NotImplementedError(
+            "TIFF planar (PlanarConfiguration=2) layout needs PIL — chunky decodes here"
+        )
     offsets = tags[273]
     counts = tags[279]
     rows_per_strip = tags.get(278, [h])[0]
@@ -248,6 +252,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
         v = arr.reshape(h, w, spp, 2).astype(np.uint32)
         hi, lo = (v[..., 0], v[..., 1]) if fmt == ">" else (v[..., 1], v[..., 0])
         px = (((hi << 8 | lo) * 255 + 32767) // 65535).astype(np.uint8)
+        if photo == 0:
+            px = 255 - px
     else:
         px = arr.reshape(h, w, spp).copy()
         if photo == 0:

@@ -305,9 +305,10 @@ def _inv_predictor(px: np.ndarray, modes: np.ndarray, tile_bits: int) -> None:
                 L = p[y, x - 1]
                 T = p[y - 1, x]
                 TL = p[y - 1, x - 1]
-                # rightmost column: TR wraps to the leftmost pixel of
-                # the row ABOVE (libwebp's row-extension convention)
-                TR = p[y - 1, x + 1] if x + 1 < w else p[y - 1, 0]
+                # rightmost column: libwebp's contiguous row buffer makes
+                # top[x+1] at x==w-1 land on the CURRENT row's first pixel
+                # (already reconstructed, since x > 0 in this branch)
+                TR = p[y - 1, x + 1] if x + 1 < w else p[y, 0]
                 if mode == 0:
                     pred = np.array([255, 0, 0, 0], dtype=np.int32)
                 elif mode == 1:
@@ -337,7 +338,11 @@ def _inv_predictor(px: np.ndarray, modes: np.ndarray, tile_bits: int) -> None:
                 elif mode == 12:  # ClampAddSubtractFull
                     pred = np.clip(L + T - TL, 0, 255)
                 elif mode == 13:  # ClampAddSubtractHalf
-                    pred = np.clip(avg2(L, T) + (avg2(L, T) - TL) // 2, 0, 255)
+                    # half-delta uses C integer division (truncate toward
+                    # zero), not Python floor division
+                    a = avg2(L, T)
+                    d = a - TL
+                    pred = np.clip(a + np.sign(d) * (np.abs(d) // 2), 0, 255)
                 else:
                     raise ValueError("corrupt VP8L: bad predictor mode")
             p[y, x] = (p[y, x] + pred) & 0xFF
@@ -511,6 +516,61 @@ def _write_single_code(bw: _LsbWriter, symbol: int) -> None:
         bw.write(symbol, 8)
 
 
+def _forward_predict(p: np.ndarray, mode: int) -> np.ndarray:
+    """Spec-semantics forward predictor over ORIGINAL pixel values
+    (lossless: reconstructed == original), written independently of
+    `_inv_predictor` so encoder/decoder round trips cross-check both.
+    Edge rules per the VP8L spec / libwebp's contiguous row buffer:
+    top-left seeds [255,0,0,0]; first row predicts from the left;
+    first column from directly above; TR on the last column is the
+    CURRENT row's first pixel."""
+    h, w = p.shape[:2]
+    pred = np.zeros_like(p)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred[y, x] = (255, 0, 0, 0)
+            elif y == 0:
+                pred[y, x] = p[0, x - 1]
+            elif x == 0:
+                pred[y, x] = p[y - 1, 0]
+            else:
+                L, T, TL = p[y, x - 1], p[y - 1, x], p[y - 1, x - 1]
+                TR = p[y - 1, x + 1] if x + 1 < w else p[y, 0]
+                if mode == 0:
+                    pred[y, x] = (255, 0, 0, 0)
+                elif mode == 1:
+                    pred[y, x] = L
+                elif mode == 2:
+                    pred[y, x] = T
+                elif mode == 3:
+                    pred[y, x] = TR
+                elif mode == 4:
+                    pred[y, x] = TL
+                elif mode == 5:
+                    pred[y, x] = ((L + TR) // 2 + T) // 2
+                elif mode == 6:
+                    pred[y, x] = (L + TL) // 2
+                elif mode == 7:
+                    pred[y, x] = (L + T) // 2
+                elif mode == 8:
+                    pred[y, x] = (TL + T) // 2
+                elif mode == 9:
+                    pred[y, x] = (T + TR) // 2
+                elif mode == 10:
+                    pred[y, x] = ((L + TL) // 2 + (T + TR) // 2) // 2
+                elif mode == 11:  # Select
+                    pred[y, x] = L if np.abs(T - TL).sum() < np.abs(L - TL).sum() else T
+                elif mode == 12:  # ClampAddSubtractFull
+                    pred[y, x] = np.clip(L + T - TL, 0, 255)
+                else:  # 13: ClampAddSubtractHalf, half-delta truncates toward zero
+                    av = (L + T) // 2
+                    d = av - TL
+                    half = np.where(d >= 0, d // 2, -((-d) // 2))
+                    pred[y, x] = np.clip(av + half, 0, 255)
+    return pred
+
+
 def encode_webp(
     px: np.ndarray,
     subtract_green: bool = False,
@@ -518,12 +578,17 @@ def encode_webp(
     predict_left: bool = False,
     cross_color: bool = False,
     rle: bool = False,
+    predict_mode: int | None = None,
 ) -> bytes:
     """Encode (H, W, 3|4) uint8 as WebP-lossless (VP8L): literal ARGB
     under flat 8-bit codes, optionally behind the subtract-green,
     color-indexing (≤256 colors, no bundling — the decoder handles
-    bundled foreign files), or left-predictor transform. Lossless: the
-    decode reproduces the input exactly."""
+    bundled foreign files), or predictor transform. `predict_left`
+    keeps the fast vectorized mode-1 path; `predict_mode=0..13`
+    emulates a foreign encoder via an independent scalar forward
+    predictor (spec semantics written separately from the decoder's
+    inverse, so round trips cross-check both). Lossless: the decode
+    reproduces the input exactly."""
     px = np.asarray(px, dtype=np.uint8)
     if px.ndim != 3 or px.shape[2] not in (3, 4):
         raise ValueError("encode_webp needs (H, W, 3|4) uint8")
@@ -570,26 +635,33 @@ def encode_webp(
         r = np.zeros(hw, np.uint16)
         g = idx
         b = np.zeros(hw, np.uint16)
-    if predict_left:
+    if predict_left and predict_mode is None:
+        predict_mode = 1
+    if predict_mode is not None:
+        if not 0 <= predict_mode <= 13:
+            raise ValueError("predict_mode must be 0..13")
         bw.write(1, 1)
         bw.write(0, 2)  # predictor transform
         bw.write(2, 3)  # tile bits 4 -> read(3)+2... write 2 => tile_bits 4
         tb = 4
         mw, mh = -(-w >> tb), -(-h >> tb)
-        # mode 1 (left) everywhere: tile pixels carry mode in GREEN
+        # one mode everywhere: tile pixels carry mode in GREEN
         modes = np.zeros((mh, mw, 4), dtype=np.uint8)
-        modes[:, :, 2] = 1
+        modes[:, :, 2] = predict_mode
         modes[:, :, 0] = 255
         _write_argb_literals(bw, modes.reshape(-1, 4))
-        # residuals: subtract the decoder's prediction per spec rules
         planes = np.stack([a, r, g, b], axis=2).astype(np.int32)
-        res = planes.copy()
-        res[0, 0] -= np.array([255, 0, 0, 0])
-        if w > 1:
-            res[0, 1:] -= planes[0, :-1]
-        if h > 1:
-            res[1:, 0] -= planes[:-1, 0]
-            res[1:, 1:] -= planes[1:, :-1]
+        if predict_left:
+            # fast vectorized mode-1 residuals
+            res = planes.copy()
+            res[0, 0] -= np.array([255, 0, 0, 0])
+            if w > 1:
+                res[0, 1:] -= planes[0, :-1]
+            if h > 1:
+                res[1:, 0] -= planes[:-1, 0]
+                res[1:, 1:] -= planes[1:, :-1]
+        else:
+            res = planes - _forward_predict(planes, predict_mode)
         res &= 0xFF
         a, r, g, b = (res[:, :, i].astype(np.uint16) for i in range(4))
     if cross_color:

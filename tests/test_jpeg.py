@@ -199,3 +199,23 @@ def test_jpeg_exif_orientation_applied():
     app1 = enc.find(b"\xff\xe1")
     enc[app1 + 10] = 0xFF  # corrupt the TIFF byte-order mark inside EXIF
     assert decode_jpeg(bytes(enc)).shape == base.shape  # falls back to 1
+
+
+def test_jpeg_baseline_separate_scans_subsampled():
+    """Baseline frame as three ns=1 scans (T.81 A.2.2, ADVICE r11):
+    each scan walks the component's own nbw*nbh data units — for a
+    4:2:0 frame these differ from the MCU grid, so this pins the
+    decoder's non-interleaved routing for baseline frames. Decodes
+    bit-identically to the interleaved encode."""
+    for hw in ((24, 24), (20, 19), (17, 33)):
+        img = _gradient(*hw)
+        sep = decode_jpeg(encode_jpeg(img, 90, subsampling="4:2:0", separate_scans=True))
+        inter = decode_jpeg(encode_jpeg(img, 90, subsampling="4:2:0"))
+        assert np.array_equal(sep, inter), hw
+    img = _gradient(15, 22)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img, 85, separate_scans=True)),
+        decode_jpeg(encode_jpeg(img, 85)),
+    )
+    with pytest.raises(ValueError, match="separate_scans"):
+        encode_jpeg(img, 85, restart_interval=2, separate_scans=True)

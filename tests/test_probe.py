@@ -134,3 +134,40 @@ def test_probe_dims_match_every_encoder(h, w, fmt, seed):
                    "webp": encode_webp, "tiff": encode_tiff}[fmt](img)
     got = probe_media(payload)
     assert (got["width"], got["height"]) == (w, h) and got["decodable"]
+
+
+def _extensible_wav(sub_code: int, guid_base: bytes | None = None) -> bytes:
+    """Minimal WAVE_FORMAT_EXTENSIBLE file: 40-byte fmt chunk with a
+    SubFormat GUID carrying `sub_code` in its Data1 low word."""
+    base = guid_base if guid_base is not None else (
+        b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    )
+    guid = struct.pack("<H", sub_code) + base
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+    fmt += struct.pack("<HHI", 22, 16, 0x4) + guid
+    data = b"\x00\x00" * 64
+    body = b"WAVE"
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_probe_wav_extensible_routes_on_subformat():
+    """ADVICE r11: the probe must mirror decode_wav's extensible
+    dispatch — decodable only for PCM/IEEE-float SubFormat GUIDs, so
+    e.g. extensible ADPCM is not promised to the in-engine decoder."""
+    from iceberg_python_spark.operators.audio import decode_wav
+
+    assert probe_media(_extensible_wav(1))["decodable"] is True
+    assert probe_media(_extensible_wav(3))["decodable"] is True
+    decode_wav(_extensible_wav(1))  # the promise holds
+    # embedded ADPCM code: probed un-decodable, and decode_wav refuses
+    adpcm = _extensible_wav(2)
+    assert probe_media(adpcm)["decodable"] is False
+    with pytest.raises(NotImplementedError):
+        decode_wav(adpcm)
+    # unknown GUID base: same contract on both sides
+    alien = _extensible_wav(1, guid_base=b"\x01" * 14)
+    assert probe_media(alien)["decodable"] is False
+    with pytest.raises(NotImplementedError):
+        decode_wav(alien)

@@ -126,3 +126,50 @@ def test_tiff_roundtrip_property(h, w, ch, comp, seed):
     shape = (h, w) if ch == 1 else (h, w, ch)
     img = np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
     assert np.array_equal(decode_tiff(encode_tiff(img, compression=comp)), img)
+
+
+def _build_tiff(ifd, payload, fmt="<"):
+    """Hand-assemble a single-IFD TIFF; tag 273 is patched to the
+    strip offset computed from the IFD size."""
+    out = bytearray(struct.pack(fmt + "2sHI", b"II" if fmt == "<" else b"MM", 42, 8))
+    out += struct.pack(fmt + "H", len(ifd))
+    strip_off = 8 + 2 + 12 * len(ifd) + 4
+    for tag, typ, vals in ifd:
+        if tag == 273:
+            vals = [strip_off]
+        code = "H" if typ == 3 else "I"
+        raw = struct.pack(fmt + code * len(vals), *vals)
+        out += struct.pack(fmt + "HHI", tag, typ, len(vals)) + raw + b"\x00" * (4 - len(raw))
+    out += struct.pack(fmt + "I", 0)
+    out += payload
+    return bytes(out)
+
+
+def test_tiff_16bit_white_is_zero_inverts():
+    """ADVICE r11: 16-bit MinIsWhite grayscale must invert like the
+    1-bit and 8-bit branches do."""
+    vals = np.array([[0, 65535, 32768], [16384, 49152, 257]], dtype="<u2")
+    ifd = [
+        (256, 4, [3]), (257, 4, [2]), (258, 3, [16]), (259, 3, [1]),
+        (262, 3, [0]), (273, 4, [0]), (277, 3, [1]), (278, 4, [2]),
+        (279, 4, [vals.nbytes]),
+    ]
+    got = decode_tiff(_build_tiff(ifd, vals.tobytes()))
+    scaled = ((vals.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+    assert np.array_equal(got, 255 - scaled)
+    # and photometric 1 (MinIsBlack) stays uninverted
+    ifd[4] = (262, 3, [1])
+    assert np.array_equal(decode_tiff(_build_tiff(ifd, vals.tobytes())), scaled)
+
+
+def test_tiff_planar_configuration_gates():
+    """ADVICE r11: PlanarConfiguration=2 (planar) must refuse loudly
+    instead of reshaping planar strips as chunky."""
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    ifd = [
+        (256, 4, [3]), (257, 4, [2]), (258, 3, [8]), (259, 3, [1]),
+        (262, 3, [2]), (273, 4, [0]), (277, 3, [3]), (278, 4, [2]),
+        (279, 4, [px.nbytes]), (284, 3, [2]),
+    ]
+    with pytest.raises(NotImplementedError, match="[Pp]lanar"):
+        decode_tiff(_build_tiff(ifd, px.transpose(2, 0, 1).tobytes()))

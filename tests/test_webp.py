@@ -206,3 +206,25 @@ def test_webp_meta_huffman_hand_built():
         riff += b"\x00"
     got = decode_webp(b"RIFF" + struct.pack("<I", len(riff)) + riff)
     assert np.array_equal(got, want)
+
+
+def test_webp_all_predictor_modes_roundtrip():
+    """Foreign-encoder emulation (ADVICE r11): every predictor mode
+    0..13 through an INDEPENDENT scalar forward predictor — exact
+    decode pins the inverse's edge rules, in particular TR on the
+    rightmost column resolving to the CURRENT row's first pixel and
+    mode 13's truncate-toward-zero half-delta."""
+    img = _img(19, 13, seed=21)
+    for mode in range(14):
+        assert np.array_equal(decode_webp(encode_webp(img, predict_mode=mode)), img), mode
+    rgba = _img(7, 5, ch=4, seed=3)
+    for mode in (3, 12, 13):
+        assert np.array_equal(decode_webp(encode_webp(rgba, predict_mode=mode)), rgba), mode
+
+
+def test_webp_predictor_last_column_tr_rule():
+    """2-px-wide images hit the last-column TR rule on every row for
+    the TR-using modes (3/5/9/10); mode 13 gets odd negative deltas."""
+    narrow = _img(9, 2, seed=5)
+    for mode in (3, 5, 9, 10, 13):
+        assert np.array_equal(decode_webp(encode_webp(narrow, predict_mode=mode)), narrow), mode
