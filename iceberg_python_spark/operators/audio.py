@@ -151,6 +151,40 @@ def encode_wav(samples: np.ndarray, rate: int, bits: int = 16) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
+def encode_wav_g711(samples: np.ndarray, rate: int, law: str = "ulaw") -> bytes:
+    """G.711 µ-law / A-law WAV writer (fmt codes 7 / 6) — the
+    telephony speech-corpus layouts `decode_wav` reads. Float samples
+    in [-1, 1], (n,) or (n_frames, n_channels); standard companding
+    (µ: bias 0x84, clip 32635; A: ^0x55 with sign bit SET positive)."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n_ch = x.shape[1]
+    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int32).reshape(-1)
+    mag = np.abs(pcm)
+    if law == "ulaw":
+        sign = np.where(pcm < 0, 0x80, 0)
+        m = np.minimum(mag, 32635) + 0x84
+        exp = (np.floor(np.log2(m)).astype(np.int32) - 7).clip(0, 7)
+        mant = (m >> (exp + 3)) & 0x0F
+        enc = (~(sign | (exp << 4) | mant)) & 0xFF
+        code = 7
+    elif law == "alaw":
+        sign = np.where(pcm >= 0, 0x80, 0)
+        m = np.minimum(mag, 32767)
+        exp = np.where(m < 256, 0, (np.floor(np.log2(np.maximum(m, 1))).astype(np.int32) - 7).clip(0, 7))
+        mant = np.where(exp == 0, m >> 4, (m >> (exp + 3)) & 0x0F)
+        enc = (sign | (exp << 4) | mant) ^ 0x55
+        code = 6
+    else:
+        raise ValueError("law must be 'ulaw' or 'alaw'")
+    payload = enc.astype(np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", code, n_ch, rate, rate * n_ch, n_ch, 8)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
 def audio_stats(x: np.ndarray, rate: int) -> dict:
     """Cheap curation descriptors over (n_frames, n_channels) floats."""
     mono = x.mean(axis=1)

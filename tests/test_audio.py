@@ -185,3 +185,29 @@ def test_g711_through_extract_audio_stats(spark):
     df = spark.createDataFrame(rows, "doc_id: long, payload: binary")
     r = extract_audio_stats(df, "doc_id", "payload").collect()[0]
     assert r.decode_ok and r.duration_ms == 500 and abs(r.spectral_centroid_hz - 500) < 30
+
+
+def test_encode_wav_g711_roundtrips_within_companding_error():
+    """The engine's own G.711 writers (fmt 7 µ-law / fmt 6 A-law)
+    round-trip through decode_wav within standard companding error
+    (~31/38 dB SNR); stereo interleaving preserved."""
+    from iceberg_python_spark.operators.audio import encode_wav_g711
+
+    t = np.arange(2000) / 8000.0
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    for law, tol in (("ulaw", 0.04), ("alaw", 0.02)):
+        dec, rate = decode_wav(encode_wav_g711(x, 8000, law=law))
+        assert rate == 8000 and dec.shape == (2000, 1)
+        assert np.abs(dec[:, 0] - x).max() < tol, law
+    # stereo: distinct channels stay distinct
+    st = np.stack([x, -x], axis=1)
+    dec, _ = decode_wav(encode_wav_g711(st, 8000, law="alaw"))
+    assert dec.shape == (2000, 2)
+    assert np.abs(dec[:, 0] - x).max() < 0.02 and np.abs(dec[:, 1] + x).max() < 0.02
+    # full int16 range: worst-case absolute error bounded by the coarsest step
+    xs = np.arange(-32768, 32768) / 32768.0
+    for law, tol in (("ulaw", 0.04), ("alaw", 0.02)):
+        d, _ = decode_wav(encode_wav_g711(xs, 8000, law=law))
+        assert np.abs(d[:, 0] - xs).max() < tol, law
+    with pytest.raises(ValueError, match="law"):
+        encode_wav_g711(x, 8000, law="gsm")
