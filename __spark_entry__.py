@@ -12,6 +12,7 @@ semantics simultaneously.
 
 from __future__ import annotations
 
+import math
 import os
 import tempfile
 from collections.abc import Callable
@@ -3014,19 +3015,23 @@ def _q_dedup_stream_neardup(spark, env):
 
 
 def _q_multimodal_audio_decode(spark, env):
-    # r10 (+r12 G.711 fold): REAL audio decode under the driver's
+    # r10 (+r12 codec folds): REAL audio decode under the driver's
     # oracle. Deterministic WAV tones (freq = 200 + 20*(doc_id % 40)
-    # Hz, 0.25 s @ 8 kHz, stereo when doc_id % 2 == 0) now cycle four
-    # codec layouts by doc_id % 4 — 16-bit PCM, µ-law (G.711 fmt 7),
-    # 8-bit PCM, A-law (G.711 fmt 6) — all synthesized by the engine's
+    # Hz, 0.25 s @ 8 kHz, stereo when doc_id % 2 == 0) cycle SIX codec
+    # layouts by doc_id % 6 — 16-bit PCM, µ-law (G.711 fmt 7), 8-bit
+    # PCM, A-law (G.711 fmt 6), IMA ADPCM (fmt 0x11, fact-chunk
+    # trimmed), MS ADPCM (fmt 0x02) — all synthesized by the engine's
     # own writers, decoded inside extract_audio_stats. Claims from the
     # decoded output: every payload decodes, duration/rate/channels
-    # match the generator, and the spectral centroid lands within
-    # 30 Hz of the tone for 16-bit PCM / 250 Hz for the companded and
-    # 8-bit layouts (measured worst-case G.711 noise shift: 184 Hz).
+    # match the generator, spectral centroid within 30 Hz of the tone
+    # for 16-bit PCM / 250 Hz for companded+8-bit (ADPCM noise is
+    # broadband, so those two layouts pin RMS instead), and RMS within
+    # 0.02 of the tone's 0.5/√2 across ALL layouts (measured worst
+    # deviation 0.011).
     import numpy as np
     import pandas as pd
 
+    from iceberg_python_spark.operators.adpcm import encode_wav_adpcm
     from iceberg_python_spark.operators.audio import encode_wav, encode_wav_g711
     from iceberg_python_spark.operators.multimodal import extract_audio_stats
 
@@ -3041,15 +3046,19 @@ def _q_multimodal_audio_decode(spark, env):
                 x = 0.5 * np.sin(2 * np.pi * freq * t)
                 if d % 2 == 0:
                     x = np.stack([x, x], axis=1)
-                variant = d % 4
+                variant = d % 6
                 if variant == 0:
                     payloads.append(encode_wav(x, 8000))
                 elif variant == 1:
                     payloads.append(encode_wav_g711(x, 8000, law="ulaw"))
                 elif variant == 2:
                     payloads.append(encode_wav(x, 8000, bits=8))
-                else:
+                elif variant == 3:
                     payloads.append(encode_wav_g711(x, 8000, law="alaw"))
+                elif variant == 4:
+                    payloads.append(encode_wav_adpcm(x, 8000, codec="ima"))
+                else:
+                    payloads.append(encode_wav_adpcm(x, 8000, codec="ms"))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     au = docs.mapInPandas(gen, schema="doc_id long, payload binary")
@@ -3065,9 +3074,12 @@ def _q_multimodal_audio_decode(spark, env):
             & (F.col("n_channels") == F.when(F.col("id") % 2 == 0, 2).otherwise(1))
         ).alias("format_ok"),
         F.min(
-            F.abs(F.col("spectral_centroid_hz") - F.col("freq"))
-            < F.when(F.col("id") % 4 == 0, 30.0).otherwise(250.0)
+            F.when(F.col("id") % 6 >= 4, F.lit(True)).otherwise(
+                F.abs(F.col("spectral_centroid_hz") - F.col("freq"))
+                < F.when(F.col("id") % 6 == 0, 30.0).otherwise(250.0)
+            )
         ).alias("centroid_ok"),
+        F.min(F.abs(F.col("rms") - 0.5 / math.sqrt(2.0)) < 0.02).alias("rms_ok"),
     )
 
 
@@ -3806,7 +3818,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio_decode": (
             "SELECT count(*) AS n_audio, "
             "CAST(count(DISTINCT doc_id % 40) AS BIGINT) AS n_freq_groups, "
-            "true AS all_decoded, true AS format_ok, true AS centroid_ok "
+            "true AS all_decoded, true AS format_ok, true AS centroid_ok, "
+            "true AS rms_ok "
             "FROM documents WHERE doc_id < 400"
         ),
         "multimodal_image_decode": (

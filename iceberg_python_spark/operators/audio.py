@@ -36,6 +36,7 @@ def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
     fmt = None
     fmt_body = b""
     payload = None
+    fact_frames = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -45,6 +46,8 @@ def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
             fmt_body = body
         elif cid == b"data":
             payload = body
+        elif cid == b"fact" and size >= 4:
+            (fact_frames,) = struct.unpack("<I", body[:4])
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or payload is None:
         raise ValueError("WAV missing fmt/data chunk")
@@ -64,7 +67,7 @@ def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
                 "PCM/IEEE-float subformat (needs an external codec)"
             )
         (audio_format,) = struct.unpack("<H", guid[:2])
-        if audio_format not in (1, 3):
+        if audio_format not in (1, 2, 3, 6, 7, 0x11):
             raise NotImplementedError(
                 f"WAV extensible subformat code {audio_format} (compressed) "
                 "needs an external codec"
@@ -105,6 +108,26 @@ def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
     elif audio_format == 3:  # IEEE float
         dt = "<f4" if bits == 32 else "<f8"
         x = np.frombuffer(payload, dtype=dt).astype(np.float64)
+    elif audio_format in (0x11, 2):  # IMA / Microsoft ADPCM (block codecs)
+        from .adpcm import decode_ima_adpcm, decode_ms_adpcm
+
+        n_ch = max(1, n_ch)
+        if audio_format == 0x11:
+            pcm = decode_ima_adpcm(payload, n_ch, _block_align)
+        else:
+            coefs = None  # custom coefficient table from the fmt extension
+            if len(fmt_body) >= 22:
+                (ncoef,) = struct.unpack("<H", fmt_body[20:22])
+                if ncoef and len(fmt_body) >= 22 + 4 * ncoef:
+                    coefs = (
+                        np.frombuffer(fmt_body[22 : 22 + 4 * ncoef], dtype="<i2")
+                        .reshape(ncoef, 2)
+                        .astype(np.int32)
+                    )
+            pcm = decode_ms_adpcm(payload, n_ch, _block_align, coefs)
+        if fact_frames is not None:  # trim the final block's pad
+            pcm = pcm[:fact_frames]
+        return pcm.astype(np.float64) / 32768.0, int(rate)
     else:
         raise NotImplementedError(
             f"WAV audio format {audio_format} (compressed) needs an external codec"

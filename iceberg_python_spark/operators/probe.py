@@ -223,17 +223,18 @@ def probe_media(data: bytes) -> Dict[str, Any]:
             elif cid == b"data" and rate:
                 dur_ms = int(size * 1000 / byte_rate) if byte_rate else None
             pos += 8 + size + (size & 1)
+        # the probe's routing contract mirrors decode_wav exactly:
+        # PCM (1), MS/IMA ADPCM (2/0x11), IEEE float (3), G.711 (6/7);
+        # extensible files dispatch on the embedded SubFormat code
+        _wav_codecs = (1, 2, 3, 6, 7, 0x11)
         if fmt_code == 0xFFFE:
-            # route on the embedded SubFormat code — decode_wav refuses
-            # extensible GUIDs that are not PCM/IEEE-float, so the probe
-            # must not promise decodability for e.g. extensible ADPCM
             decodable = (
                 len(fmt_body) >= 40
                 and fmt_body[26:40] == b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
-                and struct.unpack_from("<H", fmt_body, 24)[0] in (1, 3)
+                and struct.unpack_from("<H", fmt_body, 24)[0] in _wav_codecs
             )
         else:
-            decodable = fmt_code in (1, 3, 6, 7)
+            decodable = fmt_code in _wav_codecs
         return {
             "container": "wav", "kind": "audio", "sample_rate": rate, "channels": channels,
             "duration_ms": dur_ms, "decodable": decodable,

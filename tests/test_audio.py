@@ -211,3 +211,45 @@ def test_encode_wav_g711_roundtrips_within_companding_error():
         assert np.abs(d[:, 0] - xs).max() < tol, law
     with pytest.raises(ValueError, match="law"):
         encode_wav_g711(x, 8000, law="gsm")
+
+
+def test_adpcm_roundtrips_and_fact_trim():
+    """IMA (fmt 0x11) and MS (fmt 0x02) ADPCM WAVs round-trip within
+    codec-typical error; the fact chunk trims the final block's pad so
+    frame counts are exact."""
+    from iceberg_python_spark.operators.adpcm import encode_wav_adpcm
+
+    t = np.arange(3001) / 8000.0  # deliberately not a block multiple
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    for codec, tol in (("ima", 0.05), ("ms", 0.06)):
+        dec, rate = decode_wav(encode_wav_adpcm(x, 8000, codec=codec))
+        assert rate == 8000 and dec.shape == (3001, 1), (codec, dec.shape)
+        assert np.abs(dec[:, 0] - x).max() < tol, codec
+    # stereo: distinct channels decode independently
+    st = np.stack([x, 0.3 * np.sin(2 * np.pi * 990 * t)], axis=1)
+    for codec, tol in (("ima", 0.06), ("ms", 0.08)):
+        dec, _ = decode_wav(encode_wav_adpcm(st, 8000, codec=codec))
+        assert dec.shape == (3001, 2)
+        assert np.abs(dec - st).max() < tol, codec
+
+
+def test_adpcm_block_independence_and_guards():
+    """Blocks restart their predictor from the header: decoding a
+    truncated payload (whole blocks) equals the prefix of the full
+    decode — the property that makes ADPCM split-safe at scale."""
+    from iceberg_python_spark.operators.adpcm import (
+        decode_ima_adpcm,
+        encode_ima_adpcm,
+        encode_wav_adpcm,
+    )
+
+    rng = np.random.default_rng(3)
+    pcm = (rng.integers(-20000, 20000, 2021)).astype(np.int16)
+    payload, block_align, spb = encode_ima_adpcm(pcm, 1)
+    full = decode_ima_adpcm(payload, 1, block_align)
+    two = decode_ima_adpcm(payload[: 2 * block_align], 1, block_align)
+    assert np.array_equal(two, full[: 2 * spb])
+    with pytest.raises(ValueError, match="block_align"):
+        decode_ima_adpcm(payload, 1, 5)
+    with pytest.raises(ValueError, match="codec"):
+        encode_wav_adpcm(np.zeros(10), 8000, codec="gsm")

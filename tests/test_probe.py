@@ -161,11 +161,12 @@ def test_probe_wav_extensible_routes_on_subformat():
     assert probe_media(_extensible_wav(1))["decodable"] is True
     assert probe_media(_extensible_wav(3))["decodable"] is True
     decode_wav(_extensible_wav(1))  # the promise holds
-    # embedded ADPCM code: probed un-decodable, and decode_wav refuses
-    adpcm = _extensible_wav(2)
-    assert probe_media(adpcm)["decodable"] is False
+    # embedded MPEG-layer-3 code (0x55): probed un-decodable, and
+    # decode_wav refuses (r12: ADPCM 2/0x11 moved to the decodable set)
+    mp3wav = _extensible_wav(0x55)
+    assert probe_media(mp3wav)["decodable"] is False
     with pytest.raises(NotImplementedError):
-        decode_wav(adpcm)
+        decode_wav(mp3wav)
     # unknown GUID base: same contract on both sides
     alien = _extensible_wav(1, guid_base=b"\x01" * 14)
     assert probe_media(alien)["decodable"] is False
