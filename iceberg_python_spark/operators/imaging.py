@@ -5,7 +5,8 @@ honestly support).
 
 Decoders (magic-byte dispatch in :func:`decode_image`):
 
-- **PNG** — chunk walk, zlib inflate, per-scanline unfilter. 8- AND
+- **PNG** — chunk walk, zlib inflate, per-scanline unfilter. 1/2/4-bit
+  (r12: gray/palette, MSB-first packing, byte-unit filtering), 8- AND
   16-bit depth (r11: 16-bit samples scale to 8 exactly), color types
   0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), plain or
   Adam7-interlaced (r11: seven independently filtered sub-images
@@ -13,8 +14,7 @@ Decoders (magic-byte dispatch in :func:`decode_image`):
   (Sub via per-lane cumsum mod 256); Average/Paeth rows fall back to a
   per-pixel loop (they are sequentially data-dependent along x) —
   fine, because unfiltering is O(pixels) either way and runs inside
-  Arrow-batched executors. Sub-byte depths raise NotImplementedError
-  naming PIL.
+  Arrow-batched executors.
 - **JPEG** (jpeg.py, r11) — baseline sequential SOF0/SOF1: canonical
   Huffman decode, restart markers, sampling factors up to 2×2
   (4:4:4/4:2:2/4:2:0), PROGRESSIVE SOF2 (DC first/refine, spectral
@@ -143,24 +143,39 @@ def _decode_png(data: bytes) -> np.ndarray:
         raise ValueError("malformed PNG: missing IHDR/IDAT")
     width, height, depth, ctype_, comp, filt, interlace = ihdr
     if (
-        depth not in (8, 16)
+        depth not in (1, 2, 4, 8, 16)
         or comp != 0
         or filt != 0
         or interlace not in (0, 1)
         or ctype_ not in _CHANNELS
         or (depth == 16 and ctype_ == 3)  # 16-bit palette is not a PNG thing
+        or (depth < 8 and ctype_ not in (0, 3))  # sub-byte only gray/palette per spec
     ):
         raise NotImplementedError(
-            f"PNG depth={depth} color={ctype_} interlace={interlace}: 8/16-bit "
-            "gray/RGB/palette/GA/RGBA, plain or Adam7, decode here — use PIL for the rest"
+            f"PNG depth={depth} color={ctype_} interlace={interlace}: 1/2/4-bit "
+            "gray/palette and 8/16-bit gray/RGB/palette/GA/RGBA, plain or Adam7, "
+            "decode here — use PIL for the rest"
         )
     ch = _CHANNELS[ctype_]
     nbytes = depth // 8
-    bpp = ch * nbytes
+    # sub-byte rows pack MSB-first; the filter unit is ONE byte (spec:
+    # bpp rounds up to 1), so _unfilter runs unchanged on packed rows
+    bpp = max(1, ch * nbytes)
+
+    def row_stride(w: int) -> int:
+        return w * bpp if depth >= 8 else (w * depth + 7) // 8
 
     def to_px(rows: np.ndarray, h: int, w: int) -> np.ndarray:
-        """(h, w*bpp) filtered-out bytes -> (h, w, ch) uint8 (16-bit
-        samples scale to 8 exactly: round(v * 255 / 65535))."""
+        """(h, stride) filtered-out bytes -> (h, w, ch) uint8 (16-bit
+        samples scale to 8 exactly: round(v * 255 / 65535); sub-byte
+        gray scales by 255/(2^d - 1), palette keeps raw indices)."""
+        if depth < 8:
+            bits = np.unpackbits(rows, axis=1)[:, : w * depth].reshape(h, w, depth)
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+            vals = (bits.astype(np.uint16) * weights).sum(axis=2)
+            if ctype_ == 0:
+                vals = vals * 255 // ((1 << depth) - 1)
+            return vals.astype(np.uint8)[:, :, None]
         if depth == 8:
             return rows.reshape(h, w, ch)
         v = rows.reshape(h, w, ch, 2).astype(np.uint32)
@@ -169,7 +184,7 @@ def _decode_png(data: bytes) -> np.ndarray:
 
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     if interlace == 0:
-        stride = width * bpp
+        stride = row_stride(width)
         if raw.size != height * (stride + 1):
             raise ValueError("PNG scanline payload size mismatch")
         px = to_px(_unfilter(raw, height, stride, bpp=bpp), height, width)
@@ -181,7 +196,7 @@ def _decode_png(data: bytes) -> np.ndarray:
             ph = (height - y0 + ys - 1) // ys
             if pw == 0 or ph == 0:
                 continue
-            stride = pw * bpp
+            stride = row_stride(pw)
             need = ph * (stride + 1)
             sub = raw[pos : pos + need]
             if sub.size != need:
@@ -222,16 +237,92 @@ def _decode_ppm(data: bytes) -> np.ndarray:
     return px.reshape(height, width, ch).copy()
 
 
+def _bmp_rle_decode(data: bytes, pos: int, width: int, height: int, four_bit: bool) -> np.ndarray:
+    """RLE8/RLE4 (BI_RLE8/BI_RLE4) → (height, width) palette indices.
+    Escapes: 00 00 end-of-line, 00 01 end-of-bitmap, 00 02 dx dy delta;
+    00 n = absolute run (word-padded); else (count, value) encoded run
+    (RLE4 alternates the value's two nibbles)."""
+    idx = np.zeros((height, width), dtype=np.uint8)
+    x = y = 0
+    n = len(data)
+    while pos + 1 < n:
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt:
+            if four_bit:
+                pair = [(val >> 4) & 0xF, val & 0xF]
+                run = [pair[i & 1] for i in range(cnt)]
+            else:
+                run = [val] * cnt
+            take = min(cnt, width - x)
+            if take > 0 and y < height:
+                idx[y, x : x + take] = run[:take]
+            x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            if pos + 1 >= n:
+                break
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute mode, word-aligned
+            if four_bit:
+                nbytes = (val + 1) // 2
+                chunk = data[pos : pos + nbytes]
+                pix = []
+                for b in chunk:
+                    pix += [(b >> 4) & 0xF, b & 0xF]
+                pix = pix[:val]
+                pos += nbytes + (nbytes & 1)
+            else:
+                pix = list(data[pos : pos + val])
+                pos += val + (val & 1)
+            take = min(val, width - x)
+            if take > 0 and y < height:
+                idx[y, x : x + take] = pix[:take]
+            x += val
+    return idx
+
+
 def _decode_bmp(data: bytes) -> np.ndarray:
     if len(data) < 54:
         raise ValueError("truncated BMP")
     (offset,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
     width, height_raw = struct.unpack("<ii", data[18:26])
     planes, bpp = struct.unpack("<HH", data[26:30])
     (compression,) = struct.unpack("<I", data[30:34])
+    (clr_used,) = struct.unpack("<I", data[46:50])
+    height = abs(height_raw)
+    if bpp in (1, 4, 8) and compression in (0, 1, 2):
+        if (compression == 1 and bpp != 8) or (compression == 2 and bpp != 4):
+            raise ValueError("corrupt BMP: RLE mode does not match bit depth")
+        n_pal = clr_used or (1 << bpp)
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(data, dtype=np.uint8, count=n_pal * 4, offset=pal_off).reshape(n_pal, 4)
+        rgb = pal[:, [2, 1, 0]].copy()  # BGRA -> RGB
+        if compression:  # RLE rows are stored bottom-up like raw rows
+            idx = _bmp_rle_decode(data, offset, width, height, four_bit=(bpp == 4))
+            idx = idx[::-1] if height_raw > 0 else idx
+        else:
+            row_bytes = ((width * bpp + 7) // 8 + 3) & ~3
+            rows = np.frombuffer(
+                data, dtype=np.uint8, count=height * row_bytes, offset=offset
+            ).reshape(height, row_bytes)
+            if bpp == 8:
+                idx = rows[:, :width]
+            else:
+                bits = np.unpackbits(rows, axis=1)[:, : width * bpp].reshape(height, width, bpp)
+                weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.uint16)
+                idx = (bits.astype(np.uint16) * weights).sum(axis=2)
+            if height_raw > 0:
+                idx = idx[::-1]
+        return rgb[np.minimum(idx, n_pal - 1)].copy()
     if compression != 0 or bpp not in (24, 32):
         raise NotImplementedError(f"BMP bpp={bpp} compression={compression}: use PIL")
-    height = abs(height_raw)
     ch = bpp // 8
     row_bytes = (width * ch + 3) & ~3
     px = np.zeros((height, width, ch), dtype=np.uint8)

@@ -283,7 +283,14 @@ def probe_media(data: bytes) -> Dict[str, Any]:
         return {"container": "webm/mkv", "kind": "video", "decodable": False}
     if data[:2] == b"BM":
         w, h = struct.unpack_from("<ii", data, 18)
-        return {"container": "bmp", "kind": "image", "width": w, "height": abs(h), "decodable": True}
+        (bmp_bpp,) = struct.unpack_from("<H", data, 28)
+        (bmp_comp,) = struct.unpack_from("<I", data, 30)
+        # mirror decode_image: palette 1/4/8 (raw + RLE8/RLE4) and
+        # 24/32 raw decode; bitfields (3) and odd depths gate
+        ok = (bmp_bpp in (1, 4, 8) and bmp_comp in (0, 1, 2)) or (
+            bmp_bpp in (24, 32) and bmp_comp == 0
+        )
+        return {"container": "bmp", "kind": "image", "width": w, "height": abs(h), "decodable": ok}
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         from .tiff import _read_ifd, tiff_page_count
 

@@ -10,8 +10,11 @@ read).
 
 Decoder: :func:`decode_tiff` → (H, W[, C]) uint8 (first IFD only;
 multi-page files decode their first page — page count surfaces via
-:func:`tiff_page_count`). Tiled layout, JPEG-in-TIFF, and CCITT fax
-compressions raise NotImplementedError naming PIL.
+:func:`tiff_page_count`). r12: horizontal-differencing predictor
+(tag 317=2, per-row per-channel cumsum — scanner LZW files) and
+PlanarConfiguration=2 (one sample plane per strip run) decode too.
+Tiled layout, JPEG-in-TIFF, and CCITT fax compressions raise
+NotImplementedError naming PIL.
 
 Encoder: :func:`encode_tiff` — deterministic synthesis for tests and
 oracle rows (uncompressed, PackBits, or LZW strips; gray/RGB/RGBA).
@@ -222,20 +225,25 @@ def decode_tiff(data: bytes) -> np.ndarray:
     bps = bits[0]
     if bps not in (1, 8, 16) or any(b != bps for b in bits):
         raise NotImplementedError(f"TIFF {bits}-bit samples need PIL")
-    if tags.get(317, [1])[0] != 1:
-        raise NotImplementedError("TIFF horizontal-differencing predictor needs PIL")
-    if tags.get(284, [1])[0] != 1:
-        raise NotImplementedError(
-            "TIFF planar (PlanarConfiguration=2) layout needs PIL — chunky decodes here"
-        )
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2) or (predictor == 2 and bps == 1):
+        raise NotImplementedError(f"TIFF predictor {predictor} at {bps}-bit needs PIL")
+    planar = tags.get(284, [1])[0]
+    if planar not in (1, 2) or (planar == 2 and bps == 1 and spp > 1):
+        raise NotImplementedError(f"TIFF PlanarConfiguration {planar} at {bps}-bit needs PIL")
     offsets = tags[273]
     counts = tags[279]
     rows_per_strip = tags.get(278, [h])[0]
-    row_bytes = (w * spp * bps + 7) // 8
+    per_plane = planar == 2 and spp > 1
+    # planar strips carry ONE sample plane each (all plane-0 strips,
+    # then plane 1, ...), so a strip row holds w samples, not w*spp
+    row_bytes = (w * bps + 7) // 8 if per_plane else (w * spp * bps + 7) // 8
+    strips_per_plane = -(-h // rows_per_strip) if rows_per_strip else 1
     raw = bytearray()
     for si, (so, sc) in enumerate(zip(offsets, counts)):
         strip = bytes(data[so : so + sc])
-        nrows = min(rows_per_strip, h - si * rows_per_strip)
+        row0 = (si % strips_per_plane if per_plane else si) * rows_per_strip
+        nrows = min(rows_per_strip, h - row0)
         expected = nrows * row_bytes
         if comp == 5:
             strip = _tiff_lzw_decode(strip, expected)
@@ -249,13 +257,24 @@ def decode_tiff(data: bytes) -> np.ndarray:
         if photo == 0:  # WhiteIsZero
             px = 255 - px
     elif bps == 16:
-        v = arr.reshape(h, w, spp, 2).astype(np.uint32)
+        shape = (spp, h, w, 2) if per_plane else (h, w, spp, 2)
+        v = arr.reshape(shape).astype(np.uint32)
         hi, lo = (v[..., 0], v[..., 1]) if fmt == ">" else (v[..., 1], v[..., 0])
-        px = (((hi << 8 | lo) * 255 + 32767) // 65535).astype(np.uint8)
+        val = hi << 8 | lo
+        if per_plane:
+            val = val.transpose(1, 2, 0)
+        if predictor == 2:  # horizontal differencing, per channel per row
+            val = np.cumsum(val, axis=1, dtype=np.uint32) & 0xFFFF
+        px = ((val * 255 + 32767) // 65535).astype(np.uint8)
         if photo == 0:
             px = 255 - px
     else:
-        px = arr.reshape(h, w, spp).copy()
+        if per_plane:
+            px = arr.reshape(spp, h, w).transpose(1, 2, 0).copy()
+        else:
+            px = arr.reshape(h, w, spp).copy()
+        if predictor == 2:
+            px = (np.cumsum(px, axis=1, dtype=np.uint32) & 0xFF).astype(np.uint8)
         if photo == 0:
             px = 255 - px
     if photo == 3:  # palette
@@ -270,25 +289,39 @@ def decode_tiff(data: bytes) -> np.ndarray:
     return px
 
 
-def encode_tiff(px: np.ndarray, compression: str = "none", big_endian: bool = False) -> bytes:
+def encode_tiff(
+    px: np.ndarray,
+    compression: str = "none",
+    big_endian: bool = False,
+    predictor: bool = False,
+    planar: bool = False,
+) -> bytes:
     """Encode (H, W[, C]) uint8 as a baseline strip TIFF
-    (``compression``: none | packbits | lzw). Lossless — exact round
-    trips."""
+    (``compression``: none | packbits | lzw; ``predictor`` emits
+    horizontal differencing, tag 317=2 — what scanner LZW files use;
+    ``planar`` emits PlanarConfiguration=2 with one sample plane per
+    strip run). Lossless — exact round trips."""
     px = np.asarray(px, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, spp = px.shape
     fmt = ">" if big_endian else "<"
     comp_code = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+    src = px
+    if predictor:  # per-row per-channel differences (inverse of cumsum)
+        src = np.concatenate([px[:, :1, :], np.diff(px.astype(np.int16), axis=1)], axis=1)
+        src = (src & 0xFF).astype(np.uint8)
     rows_per_strip = max(1, 8192 // max(1, w * spp))
     strips: List[bytes] = []
-    for y0 in range(0, h, rows_per_strip):
-        body = px[y0 : y0 + rows_per_strip].tobytes()
-        if compression == "packbits":
-            body = _packbits_encode(body)
-        elif compression == "lzw":
-            body = _tiff_lzw_encode(body)
-        strips.append(body)
+    planes = src.transpose(2, 0, 1)[..., None] if planar and spp > 1 else [src]
+    for plane in planes:
+        for y0 in range(0, h, rows_per_strip):
+            body = plane[y0 : y0 + rows_per_strip].tobytes()
+            if compression == "packbits":
+                body = _packbits_encode(body)
+            elif compression == "lzw":
+                body = _tiff_lzw_encode(body)
+            strips.append(body)
     header = struct.pack(fmt + "2sHI", b"II" if fmt == "<" else b"MM", 42, 8)
     # layout: header(8) IFD data-area strips
     entries = []
@@ -307,6 +340,10 @@ def encode_tiff(px: np.ndarray, compression: str = "none", big_endian: bool = Fa
     entry(273, 4, [0] * len(strips))  # patched below
     if spp == 4:
         entry(338, 3, [2])  # unassociated alpha
+    if predictor:
+        entry(317, 3, [2])
+    if planar and spp > 1:
+        entry(284, 3, [2])
     entries.sort()
     n = len(entries)
     ifd_off = 8

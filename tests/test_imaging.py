@@ -137,10 +137,11 @@ def test_unsupported_formats_raise_naming_pil():
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     with pytest.raises(NotImplementedError, match="PIL"):
-        # sub-byte PNG depths stay gated (16-bit + Adam7 decode since r11)
+        # sub-byte TRUECOLOR is not a PNG layout and stays gated
+        # (1/2/4-bit gray/palette decode since r12)
         png = (
             SIG
-            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0))
             + _chunk(b"IDAT", zlib.compress(b"\x00" * 6))
             + _chunk(b"IEND", b"")
         )
@@ -213,3 +214,93 @@ def test_png_adam7_interlaced_matches_plain():
     got = decode_image(_png_file(5, 6, 16, 0, 1, b"".join(passes)))
     want = ((img16.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
     assert np.array_equal(got, want)
+
+
+def _png_chunk(t, b):
+    import struct
+    import zlib
+
+    return struct.pack(">I", len(b)) + t + b + struct.pack(">I", zlib.crc32(t + b))
+
+
+def _build_png(w, h, depth, ctype, rows_packed, plte=None):
+    import struct
+    import zlib
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0))
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte.tobytes())
+    out += _png_chunk(b"IDAT", zlib.compress(b"".join(b"\x00" + r for r in rows_packed)))
+    out += _png_chunk(b"IEND", b"")
+    return out
+
+
+def _pack_row(row, d):
+    bits = ((row[:, None] >> np.arange(d - 1, -1, -1)) & 1).astype(np.uint8).reshape(-1)
+    return np.packbits(bits).tobytes()
+
+
+def test_png_sub_byte_depths():
+    """1/2/4-bit gray and palette PNGs (hand-built foreign layouts —
+    icons and scanned documents): MSB-first packing, byte-unit
+    filtering, exact 255/(2^d-1) gray scaling."""
+    rows = np.array(
+        [[1, 0, 1, 0, 1, 0, 1, 0, 1, 1], [0, 1, 1, 1, 0, 0, 0, 1, 0, 1],
+         [1, 1, 1, 1, 1, 0, 0, 0, 0, 0]], dtype=np.uint8)
+    px = decode_image(_build_png(10, 3, 1, 0, [np.packbits(r).tobytes() for r in rows]))
+    assert px.shape == (3, 10, 1) and np.array_equal(px[:, :, 0], rows * 255)
+    vals = np.array([[0, 1, 2, 3, 3], [3, 2, 1, 0, 1]], dtype=np.uint8)
+    px = decode_image(_build_png(5, 2, 2, 0, [_pack_row(r, 2) for r in vals]))
+    assert np.array_equal(px[:, :, 0], vals.astype(np.uint16) * 255 // 3)
+    g4 = np.array([[0, 15, 8, 4, 2, 1, 11], [7, 3, 12, 15, 0, 5, 9]], dtype=np.uint8)
+    px = decode_image(_build_png(7, 2, 4, 0, [_pack_row(r, 4) for r in g4]))
+    assert np.array_equal(px[:, :, 0], g4.astype(np.uint16) * 255 // 15)
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    idx = np.array([[0, 5, 15, 7, 3], [9, 9, 1, 14, 2]], dtype=np.uint8)
+    px = decode_image(_build_png(5, 2, 4, 3, [_pack_row(r, 4) for r in idx], plte=pal))
+    assert px.shape == (2, 5, 3) and np.array_equal(px, pal[idx])
+    # sub-byte RGB stays honestly gated (not a PNG layout)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(_build_png(4, 1, 4, 2, [b"\x00\x00"]))
+
+
+def _build_bmp(width, height, bpp, compression, pal, body):
+    hdr_size = 40
+    pal_bytes = b"".join(bytes([b, g, r, 0]) for r, g, b in pal)
+    offset = 14 + hdr_size + len(pal_bytes)
+    info = struct.pack("<IiiHHIIiiII", hdr_size, width, height, 1, bpp, compression,
+                       len(body), 2835, 2835, len(pal), 0)
+    return struct.pack("<2sIHHI", b"BM", offset + len(body), 0, 0, offset) + info + pal_bytes + body
+
+
+def test_bmp_palette_and_rle():
+    """r12: palette BMPs (1/4/8-bit) and RLE8/RLE4 compression —
+    legacy-corpus layouts; encoded runs, absolute word-padded runs,
+    EOL/EOF escapes, bottom-up order, row padding."""
+    pal = [(250, 10, 10), (10, 250, 10), (10, 10, 250), (200, 200, 0)]
+    body = bytes([3, 0, 4, 1, 0, 0,  # bottom row: 3x idx0, 4x idx1, EOL
+                  0, 3, 2, 3, 0, 0,  # absolute run [2,3,0] (word-padded)
+                  4, 3, 0, 1])       # 4x idx3, EOF
+    px = decode_image(_build_bmp(7, 2, 8, 1, pal, body))
+    assert px.shape == (2, 7, 3)
+    assert [tuple(p) for p in px[1]] == [pal[0]] * 3 + [pal[1]] * 4
+    assert [tuple(p) for p in px[0]] == [pal[2], pal[3], pal[0]] + [pal[3]] * 4
+    # RLE4: run of 5 alternates the value's two nibbles
+    px = decode_image(_build_bmp(6, 1, 4, 2, pal, bytes([5, 0x12, 1, 0x30, 0, 1])))
+    assert [tuple(p) for p in px[0]] == [pal[1], pal[2], pal[1], pal[2], pal[1], pal[3]]
+    # uncompressed 8-bit palette with 4-byte row padding, bottom-up
+    idx = np.array([[0, 1, 2, 3, 0], [3, 2, 1, 0, 1]], dtype=np.uint8)
+    rows = b"".join(bytes(r) + b"\x00" * 3 for r in idx[::-1])
+    px = decode_image(_build_bmp(5, 2, 8, 0, pal, rows))
+    assert np.array_equal(px, np.array(pal, dtype=np.uint8)[idx])
+    # uncompressed 1-bit, MSB-first packing
+    bits = np.array([[1, 0, 1, 1, 0, 0, 1, 0, 1], [0, 1, 0, 0, 1, 1, 0, 1, 0]], dtype=np.uint8)
+    rows1 = b"".join(np.packbits(r).tobytes() + b"\x00" * 2 for r in bits[::-1])
+    px = decode_image(_build_bmp(9, 2, 1, 0, pal[:2], rows1))
+    assert np.array_equal(px, np.array(pal[:2], dtype=np.uint8)[bits])
+    # bitfields (compression 3) stays gated
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(_build_bmp(2, 1, 16, 3, [], b"\x00" * 8))

@@ -162,14 +162,51 @@ def test_tiff_16bit_white_is_zero_inverts():
     assert np.array_equal(decode_tiff(_build_tiff(ifd, vals.tobytes())), scaled)
 
 
-def test_tiff_planar_configuration_gates():
-    """ADVICE r11: PlanarConfiguration=2 (planar) must refuse loudly
-    instead of reshaping planar strips as chunky."""
-    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+def test_tiff_planar_and_predictor_roundtrips():
+    """r12: PlanarConfiguration=2 (one sample plane per strip run) and
+    horizontal differencing (predictor tag 317=2 — scanner LZW files)
+    decode for real (ADVICE r11 asked for a loud gate; support closed
+    it instead); exact equality, and predictor+LZW actually compresses
+    smooth gradients better than LZW alone."""
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    for kw in (
+        {"planar": True},
+        {"predictor": True},
+        {"planar": True, "predictor": True, "compression": "lzw"},
+        {"predictor": True, "compression": "packbits", "big_endian": True},
+    ):
+        assert np.array_equal(decode_tiff(encode_tiff(img, **kw)), img), kw
+    grad = np.tile(np.arange(256, dtype=np.uint8), (24, 1))
+    assert len(encode_tiff(grad, compression="lzw", predictor=True)) < len(
+        encode_tiff(grad, compression="lzw")
+    )
+    gray = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    assert np.array_equal(decode_tiff(encode_tiff(gray, predictor=True)), gray)
+
+
+def test_tiff_predictor_16bit_hand_built():
+    """Foreign 16-bit predictor-2 grayscale: per-row cumsum in the
+    16-bit domain BEFORE scaling to 8."""
+    vals = np.array([[1000, 2000, 65000], [500, 500, 500]], dtype=np.uint32)
+    diffs = np.concatenate([vals[:, :1], np.diff(vals.astype(np.int64), axis=1) & 0xFFFF], axis=1)
+    payload = diffs.astype("<u2").tobytes()
     ifd = [
-        (256, 4, [3]), (257, 4, [2]), (258, 3, [8]), (259, 3, [1]),
-        (262, 3, [2]), (273, 4, [0]), (277, 3, [3]), (278, 4, [2]),
-        (279, 4, [px.nbytes]), (284, 3, [2]),
+        (256, 4, [3]), (257, 4, [2]), (258, 3, [16]), (259, 3, [1]),
+        (262, 3, [1]), (273, 4, [0]), (277, 3, [1]), (278, 4, [2]),
+        (279, 4, [len(payload)]), (317, 3, [2]),
     ]
-    with pytest.raises(NotImplementedError, match="[Pp]lanar"):
-        decode_tiff(_build_tiff(ifd, px.transpose(2, 0, 1).tobytes()))
+    got = decode_tiff(_build_tiff(ifd, payload))
+    want = ((vals * 255 + 32767) // 65535).astype(np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_tiff_remaining_gates():
+    """1-bit predictor layouts still gate loudly."""
+    rows = np.packbits(np.ones((2, 8), dtype=np.uint8), axis=1).tobytes()
+    base = [
+        (256, 4, [8]), (257, 4, [2]), (258, 3, [1]), (259, 3, [1]),
+        (262, 3, [1]), (273, 4, [0]), (277, 3, [1]), (278, 4, [2]), (279, 4, [2]),
+    ]
+    with pytest.raises(NotImplementedError, match="predictor"):
+        decode_tiff(_build_tiff(base + [(317, 3, [2])], rows))
