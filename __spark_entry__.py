@@ -3406,6 +3406,133 @@ def _q_probe_media_corpus(spark, env):
     )
 
 
+def _q_quality_classifier_score(spark, env):
+    # r12: model-based quality scoring with a FULL value-hash oracle.
+    # Deterministic integer weights (w[bucket] = bucket % 7 - 3) make
+    # the hashed-n-gram linear score integer-exact, so DuckDB
+    # recomputes the identical per-doc logit from the same md5
+    # bucketing (engine-parity featurization: conv(substring(md5)) in
+    # Spark ≡ CAST('0x'||substring(md5)) in DuckDB). The scoring plan
+    # is pure JVM built-ins — explode distinct gram buckets,
+    # broadcast-join the weight table, sum per doc.
+    import numpy as np
+
+    from iceberg_python_spark.operators.classifier import score_quality_classifier
+
+    docs = env["documents"].scan(selected_fields=("doc_id", "text")).to_df()
+    w = ((np.arange(4096) % 7) - 3).astype(np.float64)
+    return score_quality_classifier(docs, "text", w, 0.0).select("doc_id", "quality_logit")
+
+
+def _q_quality_classifier_invariants(spark, env):
+    # r12: distributed classifier TRAINING invariants. A synthetic
+    # separable corpus is derived from the documents table's doc_ids
+    # (quality vocab vs junk vocab + shared noise, seeded per doc);
+    # full-batch logistic regression (weights broadcast per iteration,
+    # per-partition gradient partials, aggregate/zip_with reduce) must
+    # drive the loss from ln 2 at w=0 to near zero and classify a
+    # HELD-OUT slice at >= 0.95 accuracy. Counts are SQL-exact; the
+    # learning claims are tolerance-based (float partial-sum order is
+    # run-dependent, weights are not bit-stable — accuracy is).
+    import numpy as np
+
+    from iceberg_python_spark.operators.classifier import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    ids = env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 300")
+
+    def synth(kind):
+        def gen(batches):
+            import pandas as pd
+
+            pos_v = [f"qcgood{i}" for i in range(30)]
+            neg_v = [f"qcjunk{i}" for i in range(30)]
+            shared = [f"qcnoise{i}" for i in range(50)]
+            for pdf in batches:
+                texts = []
+                for d in pdf["doc_id"].astype(int):
+                    r = np.random.default_rng(int(d) + (0 if kind == "pos" else 10**6))
+                    v = pos_v if kind == "pos" else neg_v
+                    texts.append(" ".join(list(r.choice(v, 8)) + list(r.choice(shared, 12))))
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "text": texts})
+
+        return ids.mapInPandas(gen, schema="doc_id long, text string").localCheckpoint(eager=True)
+
+    pos, neg = synth("pos"), synth("neg")
+    w, b, losses = train_quality_classifier(
+        pos.where("doc_id < 240"), neg.where("doc_id < 240"), "text", dim=2048, iters=12
+    )
+    held = pos.where("doc_id >= 240").withColumn("y", F.lit(1)).unionByName(
+        neg.where("doc_id >= 240").withColumn("y", F.lit(0))
+    )
+    acc = (
+        score_quality_classifier(held, "text", w, b)
+        .agg(F.avg(((F.col("quality_logit") > 0).cast("int") == F.col("y")).cast("int")))
+        .collect()[0][0]
+    )
+    n_train = pos.where("doc_id < 240").count()
+    n_held = held.count()
+    return spark.range(1).select(
+        F.lit(int(n_train)).cast("long").alias("n_train_pos"),
+        F.lit(int(n_held)).cast("long").alias("n_held"),
+        F.lit(bool(losses[0] > 0.5 and losses[-1] < 0.2)).alias("loss_converged"),
+        F.lit(bool(all(b2 <= a2 * 1.2 for a2, b2 in zip(losses, losses[1:])))).alias(
+            "loss_stable"
+        ),
+        F.lit(bool(acc >= 0.95)).alias("heldout_acc_ok"),
+    )
+
+
+def _q_embedding_kmeans_invariants(spark, env):
+    # r12: FULL-corpus distributed k-means invariants. Lloyd's with
+    # broadcast centroids + per-partition partial sums reduced via
+    # aggregate/zip_with (per-iteration shuffle O(partitions*k) rows).
+    # Claims: inertia non-increasing (Lloyd's guarantee, evaluated at
+    # assignment time), materially improved over the k-means++ start,
+    # all k clusters non-empty, and every point's stored assignment is
+    # within epsilon of the minimum JVM-computed distance to the final
+    # centroids — a cross-engine check of the numpy assignment path
+    # against Catalyst expressions.
+    from iceberg_python_spark.operators.similarity import kmeans_assign, kmeans_fit
+
+    emb = env["embeddings"].scan(selected_fields=("vec_id", "embedding")).to_df()
+    k = 8
+    C, inertias = kmeans_fit(emb, "embedding", k=k, iters=8, seed=13)
+    assigned = kmeans_assign(emb, "embedding", C).localCheckpoint(eager=True)
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    F.array(*[F.lit(float(x)) for x in C[j]]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for j in range(k)
+        ]
+    )
+    checked = assigned.select(
+        "cluster",
+        F.try_element_at(dists, F.col("cluster") + 1).alias("d_assigned"),
+        F.array_min(dists).alias("d_min"),
+    ).localCheckpoint(eager=True)
+    n_points = checked.count()
+    n_mismatch = checked.where(F.col("d_assigned") > F.col("d_min") + 1e-6).count()
+    n_clusters = checked.select("cluster").distinct().count()
+    mono = all(b2 <= a2 * (1 + 1e-9) for a2, b2 in zip(inertias, inertias[1:]))
+    return spark.range(1).select(
+        F.lit(int(n_points)).cast("long").alias("n_points"),
+        F.lit(bool(mono)).alias("inertia_monotone"),
+        F.lit(bool(inertias[-1] <= inertias[0] * 0.95)).alias("inertia_improved"),
+        F.lit(bool(n_clusters == k)).alias("clusters_nonempty"),
+        F.lit(bool(n_mismatch == 0)).alias("assigned_nearest"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         return lambda spark, sf_dir: fn(spark, _wh(spark, sf_dir))
@@ -3465,20 +3592,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_chunking": _q_text_chunking,
             "mixture_sample": _q_mixture_sample,
             "mixture_epochs": _q_mixture_epochs,
-            # --- NEW r12 rows, first driver evidence (33-35) ---
+            # --- NEW r12 rows, first driver evidence (33-38) ---
             "multimodal_webp_decode": _q_multimodal_webp_decode,
             "multimodal_tiff_decode": _q_multimodal_tiff_decode,
             "probe_media_corpus": _q_probe_media_corpus,
-            # --- code changed in r12 -> re-green in-window (36-37) ---
+            "quality_classifier_score": _q_quality_classifier_score,
+            "quality_classifier_invariants": _q_quality_classifier_invariants,
+            "embedding_kmeans_invariants": _q_embedding_kmeans_invariants,
+            # --- code changed in r12 -> re-green in-window (39-40) ---
             "multimodal_jpeg_decode": _q_multimodal_jpeg_decode,
             "multimodal_audio_decode": _q_multimodal_audio_decode,
-            # --- r10-greened, age 2 at r12 (38-50) ---
+            # --- r10-greened, age 2 at r12 (41-50; count_fast /
+            # scan_in_filter / scan_limit displaced by the three new
+            # operator rows -> documented overflow, lead r13) ---
             "scan_filter_project": _q_scan_filter_project,
-            "count_fast": _q_count_fast,
             "scan_partition_pruned": _q_scan_partition_pruned,
-            "scan_in_filter": _q_scan_in_filter,
             "time_travel": _q_time_travel,
-            "scan_limit": _q_scan_limit,
             "events_asof_join": _q_events_asof_join,
             "events_asof_forward": _q_events_asof_forward,
             "events_range_join": _q_events_range_join,
@@ -3488,6 +3617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "upsert_eq_delete": _q_upsert_eq_delete,
             # ---------------- behind the window ----------------
             # r10-greened overflow (age 3 at r12 — MUST lead r13)
+            "count_fast": _q_count_fast,
+            "scan_in_filter": _q_scan_in_filter,
+            "scan_limit": _q_scan_limit,
             "text_c4_filter": _q_text_c4_filter,
             "rollup_incremental": _q_rollup_incremental,
             "scd2_history": _q_scd2_history,
@@ -3842,6 +3974,32 @@ def oracle_sql() -> dict[str, str]:
             "true AS all_decoded, true AS format_ok, "
             "true AS centroid_ok, true AS exact_ok "
             "FROM documents WHERE doc_id < 300"
+        ),
+        "quality_classifier_score": (
+            r"WITH arr AS ("
+            r"SELECT doc_id, list_filter(regexp_split_to_array(trim("
+            r"regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'), t -> t != '') AS toks "
+            r"FROM documents), "
+            r"grams AS (SELECT doc_id, toks || list_transform("
+            r"generate_series(1, greatest(len(toks) - 1, 0)), i -> toks[i] || ' ' || toks[i+1]) AS gs "
+            r"FROM arr), "
+            r"buckets AS (SELECT doc_id, list_distinct(list_transform(gs, "
+            r"g -> CAST(concat('0x', substring(md5(g), 1, 8)) AS BIGINT) % 4096)) AS bs "
+            r"FROM grams) "
+            r"SELECT doc_id, CAST(coalesce(list_sum(list_transform(bs, b -> (b % 7) - 3)), 0) AS DOUBLE) "
+            r"AS quality_logit FROM buckets"
+        ),
+        "quality_classifier_invariants": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_train_pos, "
+            "CAST((SELECT count(*) * 2 FROM documents WHERE doc_id >= 240 AND doc_id < 300) AS BIGINT) AS n_held, "
+            "true AS loss_converged, true AS loss_stable, true AS heldout_acc_ok "
+            "FROM documents WHERE doc_id < 240"
+        ),
+        "embedding_kmeans_invariants": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_points, "
+            "true AS inertia_monotone, true AS inertia_improved, "
+            "true AS clusters_nonempty, true AS assigned_nearest "
+            "FROM embeddings"
         ),
         "multimodal_webp_decode": (
             "SELECT CAST(count(*) AS BIGINT) AS n_images, "

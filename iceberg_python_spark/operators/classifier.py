@@ -1,0 +1,170 @@
+"""Model-based quality filtering: a hashed n-gram linear classifier
+(fasttext-style) trained and applied entirely inside Spark.
+
+The standard curation stage the heuristic text filters can't cover:
+label a few thousand docs (high-quality reference vs crawl junk),
+train a linear model over hashed uni+bigram features, score the whole
+corpus, keep the top slice. Shapes chosen for 100 TB:
+
+- **Featurization is engine-parity by construction**: tokens use the
+  same normalization as the other text operators; a gram's feature id
+  is ``int(md5(gram)[:8], 16) % dim`` — computable with built-ins in
+  BOTH Spark (``conv(substring(md5(g),1,8),16,10)``) and DuckDB
+  (``CAST('0x' || substring(md5(g),1,8) AS BIGINT)``), so scoring has
+  a full value-hash oracle and the Python (training) and JVM
+  (scoring) paths provably agree.
+- **Training** is full-batch logistic regression: per iteration the
+  weight vector (dim × 8 bytes, a few hundred KB) broadcasts, ONE
+  ``mapInPandas`` pass emits a per-partition gradient partial, and
+  partials reduce with ``aggregate(zip_with(...))`` — per-iteration
+  shuffle is O(partitions) ROWS, one dim-vector reaching the driver.
+- **Scoring** never leaves the JVM: explode distinct grams → bucket →
+  broadcast-join the (dim ≤ 2^20)-row weight table → sum per doc.
+  No Python in the corpus-wide path.
+
+Binary presence features (distinct grams per doc) keep the SQL oracle
+exact and make scores length-robust; weights are float64 (training)
+or caller-supplied integers (integer-exact oracle rows).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Iterator, List, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+_NORM_RE = re.compile(r"[^a-z0-9\s]")
+
+
+def _doc_buckets(text: str, dim: int) -> np.ndarray:
+    """Python featurizer — MUST match the SQL expressions in
+    :func:`gram_bucket_col` (same normalization, same md5 bucketing)."""
+    toks = [t for t in _NORM_RE.sub(" ", (text or "").lower()).split() if t]
+    grams = set(toks)
+    grams.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    if not grams:
+        return np.empty(0, dtype=np.int64)
+    ids = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % dim for g in grams]
+    return np.unique(np.asarray(ids, dtype=np.int64))
+
+
+def gram_bucket_col(text_col: str, dim: int):
+    """JVM-side (doc → array of DISTINCT gram bucket ids) expression —
+    built-ins only, engine-parity with :func:`_doc_buckets`."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")), r"\s+"
+    )
+    toks = F.filter(toks, lambda t: t != "")
+    bigrams = F.filter(
+        F.transform(toks, lambda t, i: F.concat_ws(" ", t, F.try_element_at(toks, i + 2))),
+        lambda g: g.contains(" "),
+    )
+    grams = F.array_distinct(F.concat(toks, bigrams))
+    return F.array_distinct(
+        F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long") % dim,
+        )
+    )
+
+
+def train_quality_classifier(
+    pos: DataFrame,
+    neg: DataFrame,
+    text_col: str,
+    dim: int = 4096,
+    iters: int = 30,
+    lr: float = 2.0,
+    l2: float = 1e-4,
+):
+    """Full-batch logistic regression over hashed n-gram presence
+    features. Returns ``(weights (dim,) float64, bias, losses)`` with
+    ``losses`` the per-iteration mean log-loss (non-increasing for a
+    sane lr on separable data)."""
+    labeled = pos.select(F.col(text_col).alias("t"), F.lit(1.0).alias("y")).unionByName(
+        neg.select(F.col(text_col).alias("t"), F.lit(0.0).alias("y"))
+    )
+    labeled = labeled.localCheckpoint(eager=True)
+    n = labeled.count()
+    if n == 0:
+        raise ValueError("train_quality_classifier: empty training set")
+    w = np.zeros(dim, dtype=np.float64)
+    b = 0.0
+    losses: List[float] = []
+    for _ in range(iters):
+        wb, bb = w.copy(), b
+
+        def partials(batches: Iterator[pd.DataFrame], _w=wb, _b=bb) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                g = np.zeros(dim, dtype=np.float64)
+                gb = 0.0
+                loss = 0.0
+                for text, y in zip(pdf["t"], pdf["y"]):
+                    idx = _doc_buckets(text, dim)
+                    z = _b + _w[idx].sum()
+                    p = 1.0 / (1.0 + np.exp(-z))
+                    err = p - y
+                    g[idx] += err
+                    gb += err
+                    eps = 1e-12
+                    loss -= y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)
+                yield pd.DataFrame(
+                    [{"g": g.tolist(), "gb": float(gb), "loss": float(loss)}]
+                )
+
+        agg = (
+            labeled.mapInPandas(partials, schema="g array<double>, gb double, loss double")
+            .agg(
+                F.aggregate(
+                    F.collect_list("g"),
+                    F.array_repeat(F.lit(0.0), dim),
+                    lambda acc, v: F.zip_with(acc, v, lambda a, x: a + x),
+                ).alias("g"),
+                F.sum("gb").alias("gb"),
+                F.sum("loss").alias("loss"),
+            )
+            .collect()[0]
+        )
+        grad = np.asarray(agg["g"], dtype=np.float64) / n + l2 * w
+        w = w - lr * grad
+        b = b - lr * float(agg["gb"]) / n
+        losses.append(float(agg["loss"]) / n)
+    return w, b, losses
+
+
+def score_quality_classifier(
+    df: DataFrame,
+    text_col: str,
+    weights,
+    bias: float = 0.0,
+    out: str = "quality_logit",
+) -> DataFrame:
+    """Score every document JVM-side: distinct gram buckets →
+    broadcast-joined weight table → per-doc sum + bias. Rows with no
+    grams score exactly ``bias``. Keeps all input columns."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    w = np.asarray(weights, dtype=np.float64)
+    dim = len(w)
+    nz = np.flatnonzero(w)
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(i), float(w[i])) for i in nz], "bucket: long, w: double"
+        )
+    )
+    with_b = df.withColumn("_qb", gram_bucket_col(text_col, dim))
+    exploded = with_b.select("*", F.explode_outer("_qb").alias("bucket"))
+    scored = (
+        exploded.join(wdf, "bucket", "left")
+        .groupBy(*[c for c in with_b.columns if c != "_qb"])
+        .agg((F.coalesce(F.sum("w"), F.lit(0.0)) + F.lit(float(bias))).alias(out))
+        .drop("_qb")
+    )
+    return scored

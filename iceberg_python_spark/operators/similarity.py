@@ -424,3 +424,130 @@ def semantic_dedup(
         F.col("node").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 10,
+    seed: int = 13,
+    tol: float = 1e-6,
+    init_sample: int = 10000,
+):
+    """FULL-corpus distributed Lloyd's k-means (Euclidean) — the
+    cluster structure behind balanced mixture sampling and
+    SemDeDup-style per-cluster curation.
+
+    Unlike :func:`train_ivf_centroids` (sample-based by design), every
+    iteration aggregates over the ENTIRE corpus, in the only shape
+    that survives 100 TB:
+
+    - centroids (k × d, a few MB) broadcast each iteration;
+    - one ``mapInPandas`` pass emits k PARTIAL rows per partition
+      (cluster, component-sum vector, count, inertia) — assignment is
+      a single (rows × d) @ (d × k) matmul per Arrow batch, never
+      per-row Python;
+    - partials reduce by cluster with ``aggregate(zip_with(...))``
+      (elementwise array sum, JVM-side), so the per-iteration shuffle
+      is O(partitions · k) ROWS regardless of corpus size, and only k
+      combined rows ever reach the driver.
+
+    Init: k-means++ on a seeded driver-side sample (bounded by
+    ``init_sample``). Empty clusters keep their previous centroid.
+    Returns ``(centroids ndarray (k, d), inertia_per_iter list)`` —
+    inertia is evaluated at assignment time, so Lloyd's guarantees the
+    sequence is non-increasing.
+    """
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("kmeans_fit: empty corpus")
+    d = len(first[0])
+    n = corpus.count()
+    frac = min(1.0, (init_sample * 1.2) / max(n, 1))
+    sample = corpus.select(vec_col).sample(False, frac, seed).limit(init_sample).collect()
+    X = np.asarray([r[0] for r in sample], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    k_eff = min(k, len(X))
+    # k-means++ seeding on the sample
+    C = X[rng.randint(len(X))][None, :]
+    for _ in range(1, k_eff):
+        d2 = np.min(((X[:, None, :] - C[None]) ** 2).sum(-1), axis=1)
+        p = d2 / max(d2.sum(), 1e-300)
+        C = np.vstack([C, X[rng.choice(len(X), p=p)]])
+
+    partial_schema = "cluster int, psum array<double>, cnt long, pinertia double"
+    inertias = []
+    for _ in range(iters):
+        Cb = C.copy()
+
+        def partials(batches, _C=Cb):
+            c_sq = (_C * _C).sum(axis=1)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+                d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ _C.T) + c_sq[None, :]
+                assign = np.argmin(d2, axis=1)
+                rows = []
+                for j in np.unique(assign):
+                    sel = assign == j
+                    rows.append(
+                        {
+                            "cluster": int(j),
+                            "psum": M[sel].sum(axis=0).tolist(),
+                            "cnt": int(sel.sum()),
+                            "pinertia": float(np.maximum(d2[sel, j], 0.0).sum()),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        agg = (
+            corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+            .mapInPandas(partials, schema=partial_schema)
+            .groupBy("cluster")
+            .agg(
+                F.aggregate(
+                    F.collect_list("psum"),
+                    F.array_repeat(F.lit(0.0), d),
+                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+                ).alias("s"),
+                F.sum("cnt").alias("n"),
+                F.sum("pinertia").alias("i"),
+            )
+            .collect()
+        )
+        new_C = C.copy()
+        total_inertia = 0.0
+        for row in agg:
+            total_inertia += row["i"]
+            if row["n"]:
+                new_C[row["cluster"]] = np.asarray(row["s"], dtype=np.float64) / row["n"]
+        inertias.append(total_inertia)
+        shift = float(np.abs(new_C - C).max())
+        C = new_C
+        if shift < tol:
+            break
+    return C, inertias
+
+
+def kmeans_assign(df: DataFrame, vec_col: str, centroids: np.ndarray, out: str = "cluster") -> DataFrame:
+    """Attach the nearest-centroid id in one vectorized Arrow pass
+    (same matmul trick as the fit's assignment step)."""
+    from pyspark.sql.types import IntegerType
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    @F.pandas_udf(IntegerType())
+    def nearest(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="int32")
+        M = np.asarray(vs.tolist(), dtype=np.float64)
+        d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + c_sq[None, :]
+        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+    return df.withColumn(out, nearest(F.col(vec_col).cast("array<double>")))

@@ -1906,3 +1906,56 @@ def test_tree_reduce_partials_exact_at_high_partition_count(spark):
     assert (m, k) == (m2, k2) and bm1 == bm2
     probe = spark.createDataFrame(rows[:23], "w: string")
     assert bloom_contains(probe, "w", bm2, m, k).where("in_bloom").count() == 23
+
+
+def test_kmeans_distributed_fit_and_assign(spark):
+    """r12: full-corpus distributed Lloyd's — monotone inertia, exact
+    recovery of well-separated blobs, assignment = nearest centroid
+    verified through a JVM-side distance expression (independent of the
+    numpy assignment path)."""
+    import numpy as np
+
+    from iceberg_python_spark.operators.similarity import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(5)
+    blobs = np.vstack([rng.normal(loc=c, scale=0.05, size=(40, 16)) for c in (0.0, 5.0, -5.0)])
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(blobs)], "id: long, v: array<double>"
+    ).repartition(4)
+    C, inertias = kmeans_fit(df, "v", k=3, iters=8, seed=1)
+    assert C.shape == (3, 16)
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(inertias, inertias[1:]))
+    assigned = kmeans_assign(df, "v", C)
+    # blob purity: each true blob maps to exactly one cluster
+    rows = assigned.collect()
+    blocks = {}
+    for r in rows:
+        blocks.setdefault(r["id"] // 40, set()).add(r["cluster"])
+    assert all(len(s) == 1 for s in blocks.values()) and len(blocks) == 3
+    # JVM cross-check: assigned distance equals the array-min distance
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(float(x)) for x in C[j]]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for j in range(3)
+        ]
+    )
+    bad = (
+        assigned.select("cluster", dists.alias("ds"))
+        .where(F.element_at("ds", F.col("cluster") + 1) > F.array_min("ds") + 1e-9)
+        .count()
+    )
+    assert bad == 0
+    # empty corpus refuses
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "id: long, v: array<double>")
+    with _pytest.raises(ValueError, match="empty"):
+        kmeans_fit(empty, "v", k=2)
