@@ -3421,7 +3421,9 @@ def _q_quality_classifier_score(spark, env):
 
     docs = env["documents"].scan(selected_fields=("doc_id", "text")).to_df()
     w = ((np.arange(4096) % 7) - 3).astype(np.float64)
-    return score_quality_classifier(docs, "text", w, 0.0).select("doc_id", "quality_logit")
+    return score_quality_classifier(docs, "text", w, 0.0, id_col="doc_id").select(
+        "doc_id", "quality_logit"
+    )
 
 
 def _q_quality_classifier_invariants(spark, env):

@@ -144,10 +144,17 @@ def score_quality_classifier(
     weights,
     bias: float = 0.0,
     out: str = "quality_logit",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Score every document JVM-side: distinct gram buckets →
     broadcast-joined weight table → per-doc sum + bias. Rows with no
-    grams score exactly ``bias``. Keeps all input columns."""
+    grams score exactly ``bias``. Keeps all input columns.
+
+    Pass ``id_col`` (a unique key) at scale: the per-doc sum then
+    shuffles only (id, bucket weight) pairs and the remaining columns
+    re-attach by an equi-join on the key — without it the groupBy key
+    is EVERY column, which drags full document text through the
+    shuffle."""
     from pyspark.sql import SparkSession
 
     spark = SparkSession.getActiveSession()
@@ -159,12 +166,20 @@ def score_quality_classifier(
             [(int(i), float(w[i])) for i in nz], "bucket: long, w: double"
         )
     )
-    with_b = df.withColumn("_qb", gram_bucket_col(text_col, dim))
+    buckets = gram_bucket_col(text_col, dim)
+    if id_col is not None:
+        exploded = df.select(F.col(id_col), F.explode_outer(buckets).alias("bucket"))
+        sums = (
+            exploded.join(wdf, "bucket", "left")
+            .groupBy(id_col)
+            .agg((F.coalesce(F.sum("w"), F.lit(0.0)) + F.lit(float(bias))).alias(out))
+        )
+        return df.join(sums, id_col)
+    with_b = df.withColumn("_qb", buckets)
     exploded = with_b.select("*", F.explode_outer("_qb").alias("bucket"))
-    scored = (
+    return (
         exploded.join(wdf, "bucket", "left")
         .groupBy(*[c for c in with_b.columns if c != "_qb"])
         .agg((F.coalesce(F.sum("w"), F.lit(0.0)) + F.lit(float(bias))).alias(out))
         .drop("_qb")
     )
-    return scored

@@ -77,3 +77,17 @@ def test_scoring_plan_stays_jvm_side(spark):
     w[3] = 1.0
     plan = score_quality_classifier(pos, "text", w, 0.0)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_scoring_id_col_fast_path_matches(spark):
+    """id_col scoring (doc-key shuffle instead of full-row groupBy)
+    returns identical scores and keeps all columns."""
+    pos, _ = _corpus(spark, n=20)
+    w = np.random.default_rng(3).normal(size=256)
+    slow = {r["id"]: r["quality_logit"] for r in score_quality_classifier(pos, "text", w, 0.5).collect()}
+    fast_rows = score_quality_classifier(pos, "text", w, 0.5, id_col="id").collect()
+    assert set(fast_rows[0].asDict()) == {"id", "text", "quality_logit"}
+    fast = {r["id"]: r["quality_logit"] for r in fast_rows}
+    assert set(slow) == set(fast)
+    for k in slow:
+        assert slow[k] == pytest.approx(fast[k], abs=1e-12)
