@@ -18,9 +18,11 @@ corpus, keep the top slice. Shapes chosen for 100 TB:
   ``mapInPandas`` pass emits a per-partition gradient partial, and
   partials reduce with ``aggregate(zip_with(...))`` — per-iteration
   shuffle is O(partitions) ROWS, one dim-vector reaching the driver.
-- **Scoring** never leaves the JVM: explode distinct grams → bucket →
-  broadcast-join the (dim ≤ 2^20)-row weight table → sum per doc.
-  No Python in the corpus-wide path.
+- **Scoring** never leaves the JVM, and for dim ≤ 2^16 never shuffles:
+  the weight vector is ONE array literal and the per-doc logit is an
+  ``aggregate`` fold over the gram-bucket array — a narrow map-only
+  plan. Larger models explode distinct grams → bucket → broadcast-join
+  the weight table → sum per doc.
 
 Binary presence features (distinct grams per doc) keep the SQL oracle
 exact and make scores length-robust; weights are float64 (training)
@@ -39,6 +41,11 @@ from pyspark.sql import DataFrame, functions as F
 
 _NORM_RE = re.compile(r"[^a-z0-9\s]")
 
+# Largest weight dim shipped as a single array literal in the scoring
+# plan (8 B/entry → ≤512 KiB per task binary); larger models take the
+# explode + broadcast-join path.
+_FOLD_DIM_MAX = 1 << 16
+
 
 def _doc_buckets(text: str, dim: int) -> np.ndarray:
     """Python featurizer — MUST match the SQL expressions in
@@ -54,13 +61,27 @@ def _doc_buckets(text: str, dim: int) -> np.ndarray:
 
 def gram_bucket_col(text_col: str, dim: int):
     """JVM-side (doc → array of DISTINCT gram bucket ids) expression —
-    built-ins only, engine-parity with :func:`_doc_buckets`."""
+    built-ins only, engine-parity with :func:`_doc_buckets`.
+
+    Bigrams pair ``toks`` with a 1-shifted copy via ``zip_with`` rather
+    than indexing ``toks`` inside a ``transform`` lambda: an outer array
+    expression referenced inside a higher-order-function lambda is
+    re-evaluated PER ELEMENT (no CSE across the lambda boundary), which
+    made tokenization O(tokens²) per document — 10× slower end-to-end.
+    The shifted copy pads with one NULL so the last token pairs to a
+    unigram (``concat_ws`` skips NULLs) that the ``contains(" ")``
+    filter drops, exactly as the old per-index form did."""
     toks = F.split(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")), r"\s+"
     )
     toks = F.filter(toks, lambda t: t != "")
+    shifted = F.slice(
+        F.concat(toks, F.array(F.lit(None).cast("string"))),
+        2,
+        F.greatest(F.size(toks), F.lit(1)),
+    )
     bigrams = F.filter(
-        F.transform(toks, lambda t, i: F.concat_ws(" ", t, F.try_element_at(toks, i + 2))),
+        F.zip_with(toks, shifted, lambda a, b: F.concat_ws(" ", a, b)),
         lambda g: g.contains(" "),
     )
     grams = F.array_distinct(F.concat(toks, bigrams))
@@ -146,20 +167,35 @@ def score_quality_classifier(
     out: str = "quality_logit",
     id_col: str | None = None,
 ) -> DataFrame:
-    """Score every document JVM-side: distinct gram buckets →
-    broadcast-joined weight table → per-doc sum + bias. Rows with no
-    grams score exactly ``bias``. Keeps all input columns.
+    """Score every document JVM-side. Rows with no grams score exactly
+    ``bias``. Keeps all input columns.
 
-    Pass ``id_col`` (a unique key) at scale: the per-doc sum then
-    shuffles only (id, bucket weight) pairs and the remaining columns
-    re-attach by an equi-join on the key — without it the groupBy key
-    is EVERY column, which drags full document text through the
-    shuffle."""
+    For ``dim`` ≤ 2^16 the weight vector ships as ONE array literal and
+    the score is an ``aggregate`` fold over the gram-bucket array —
+    a fully NARROW map-only plan (zero shuffle, zero join, no Python):
+    per-document scoring is embarrassingly parallel and the plan should
+    say so. Beyond that, fall back to explode → broadcast-joined weight
+    table → per-doc sum (the literal would bloat every task binary).
+
+    In the fallback, pass ``id_col`` (a unique key): the per-doc sum
+    then shuffles only (id, bucket weight) pairs and the remaining
+    columns re-attach by an equi-join on the key — without it the
+    groupBy key is EVERY column, which drags full document text through
+    the shuffle. The fold path ignores ``id_col`` (nothing shuffles)."""
     from pyspark.sql import SparkSession
 
     spark = SparkSession.getActiveSession()
     w = np.asarray(weights, dtype=np.float64)
     dim = len(w)
+    if dim <= _FOLD_DIM_MAX:
+        warr = F.lit([float(x) for x in w])
+        score = F.aggregate(
+            F.coalesce(gram_bucket_col(text_col, dim), F.array()),
+            F.lit(float(bias)),
+            lambda acc, bkt: acc
+            + F.coalesce(F.try_element_at(warr, (bkt + F.lit(1)).cast("int")), F.lit(0.0)),
+        )
+        return df.withColumn(out, score)
     nz = np.flatnonzero(w)
     wdf = F.broadcast(
         spark.createDataFrame(

@@ -69,25 +69,47 @@ def test_train_and_score_separable(spark):
         train_quality_classifier(pos.where("id < 0"), neg.where("id < 0"), "text")
 
 
-def test_scoring_plan_stays_jvm_side(spark):
+def test_scoring_plan_stays_jvm_side_and_narrow(spark):
     """The corpus-wide scoring path must contain no Python evaluation
-    (BatchEvalPython / ArrowEvalPython / mapInPandas nodes)."""
+    (BatchEvalPython / ArrowEvalPython / mapInPandas nodes) — and for
+    literal-fold-sized models, no shuffle or join either: per-doc
+    scoring is embarrassingly parallel and the plan must say so."""
     pos, _ = _corpus(spark, n=5)
     w = np.zeros(64)
     w[3] = 1.0
     plan = score_quality_classifier(pos, "text", w, 0.0)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Exchange" not in plan and "Join" not in plan
 
 
-def test_scoring_id_col_fast_path_matches(spark):
-    """id_col scoring (doc-key shuffle instead of full-row groupBy)
-    returns identical scores and keeps all columns."""
+def test_scoring_fold_and_explode_paths_match(spark):
+    """The narrow literal-fold path (dim <= _FOLD_DIM_MAX) and the
+    explode + broadcast-join fallback (dim above it) return identical
+    scores and keep all columns — exercised by padding the same weight
+    vector past the threshold with zeros (same buckets modulo a larger
+    dim would change featurization, so compare via id_col fallback on
+    the SAME dim instead)."""
+    from iceberg_python_spark.operators import classifier as C
+
     pos, _ = _corpus(spark, n=20)
     w = np.random.default_rng(3).normal(size=256)
-    slow = {r["id"]: r["quality_logit"] for r in score_quality_classifier(pos, "text", w, 0.5).collect()}
-    fast_rows = score_quality_classifier(pos, "text", w, 0.5, id_col="id").collect()
-    assert set(fast_rows[0].asDict()) == {"id", "text", "quality_logit"}
-    fast = {r["id"]: r["quality_logit"] for r in fast_rows}
-    assert set(slow) == set(fast)
+    fold_rows = score_quality_classifier(pos, "text", w, 0.5, id_col="id").collect()
+    assert set(fold_rows[0].asDict()) == {"id", "text", "quality_logit"}
+    fold = {r["id"]: r["quality_logit"] for r in fold_rows}
+    old_max = C._FOLD_DIM_MAX
+    C._FOLD_DIM_MAX = 0  # force the explode + broadcast-join fallback
+    try:
+        slow = {
+            r["id"]: r["quality_logit"]
+            for r in score_quality_classifier(pos, "text", w, 0.5).collect()
+        }
+        fast = {
+            r["id"]: r["quality_logit"]
+            for r in score_quality_classifier(pos, "text", w, 0.5, id_col="id").collect()
+        }
+    finally:
+        C._FOLD_DIM_MAX = old_max
+    assert set(fold) == set(slow) == set(fast)
     for k in slow:
+        assert slow[k] == pytest.approx(fold[k], abs=1e-9)
         assert slow[k] == pytest.approx(fast[k], abs=1e-12)
