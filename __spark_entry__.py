@@ -1559,19 +1559,40 @@ def _q_quality_deciles(spark, env):
     return quality_deciles(q, "quality", "doc_id", exact=True)
 
 
-def _q_text_repetition(spark, env):
-    from iceberg_python_spark.operators.text import repetition_stats
-
-    return repetition_stats(
-        env["documents"].scan(selected_fields=("doc_id", "text")).to_df(), "text", "doc_id"
+def _q_text_perdoc_combined(spark, env):
+    """r12 registry fold (slot economics, VERDICT r10 wrong #2 relief
+    continued): the seven per-doc-grain text rows — token_stats,
+    quality_score, language_id, fingerprint (md5 + winnowing set),
+    repetition_stats, and strip_html over deterministically seeded
+    markup — joined on doc_id into ONE value-hash-oracled slot. Each
+    family keeps its exact r06-era column semantics; the oracle is the
+    same seven DuckDB derivations joined USING (doc_id). 7 slots → 1
+    with no evidence loss (every column still hash-matched)."""
+    from iceberg_python_spark.operators.text import (
+        fingerprint,
+        language_id,
+        quality_score,
+        repetition_stats,
+        strip_html,
+        token_stats,
     )
 
-
-def _q_text_strip_html(spark, env):
-    from iceberg_python_spark.operators.text import strip_html
-
-    # seed markup deterministically (the synthetic corpus is plain text)
     docs = env["documents"].scan(selected_fields=("doc_id", "text")).to_df()
+    tok = token_stats(docs, "text", "doc_id")
+    qual = quality_score(docs, "text", "doc_id")
+    lang = language_id(docs, "text", "doc_id")
+    # winnow_fp is an array column; the driver's canonicalizer can't hash
+    # list cells, so emit the (sorted, distinct) fingerprint set as one
+    # string. Gram hashes are md5-prefix hex (r6), so DuckDB reproduces
+    # the winnowing fingerprint set bit-for-bit.
+    fp = fingerprint(docs, "text", "doc_id").select(
+        "doc_id",
+        "md5",
+        F.concat_ws(",", F.col("winnow_fp")).alias("winnow_fp"),
+        F.size("winnow_fp").cast("long").alias("n_fp"),
+    )
+    rep = repetition_stats(docs, "text", "doc_id")
+    # seed markup deterministically (the synthetic corpus is plain text)
     seeded = docs.select(
         "doc_id",
         F.concat(
@@ -1580,7 +1601,13 @@ def _q_text_strip_html(spark, env):
             F.lit("</p><script>track();</script></html>"),
         ).alias("text"),
     )
-    return strip_html(seeded, "text", "doc_id")
+    stripped = strip_html(seeded, "text", "doc_id").select(
+        "doc_id", F.col("text").alias("stripped_text")
+    )
+    out = tok
+    for d in (qual, lang, fp, rep, stripped):
+        out = out.join(d, "doc_id")
+    return out
 
 
 def _q_text_paragraph_dedup(spark, env):
@@ -1590,47 +1617,6 @@ def _q_text_paragraph_dedup(spark, env):
     # paragraphs dedupe away corpus-wide (C4-style repeated-span removal)
     return paragraph_dedup(
         env["docs_dup"].scan(selected_fields=("doc_id", "text")).to_df(), "text", "doc_id"
-    )
-
-
-def _q_text_tokens(spark, env):
-    from iceberg_python_spark.operators.text import token_stats
-
-    return token_stats(env["documents"].scan(selected_fields=("doc_id", "text")).to_df(), "text", "doc_id")
-
-
-def _q_text_quality(spark, env):
-    from iceberg_python_spark.operators.text import quality_score
-
-    return quality_score(env["documents"].scan(selected_fields=("doc_id", "text")).to_df(), "text", "doc_id")
-
-
-def _q_text_lang(spark, env):
-    from iceberg_python_spark.operators.text import language_id
-
-    return language_id(env["documents"].scan(selected_fields=("doc_id", "text")).to_df(), "text", "doc_id")
-
-
-def _q_text_fingerprint(spark, env):
-    from iceberg_python_spark.operators.text import fingerprint
-
-    return fingerprint(
-        env["documents"].scan(selected_fields=("doc_id", "text")).to_df(), "text", "doc_id"
-    ).select("doc_id", "md5")
-
-
-def _q_text_winnow(spark, env):
-    from iceberg_python_spark.operators.text import fingerprint
-
-    # winnow_fp is an array column; the driver's canonicalizer can't hash
-    # list cells, so emit the (sorted, distinct) fingerprint set as one
-    # string. Gram hashes are md5-prefix hex (r6), so DuckDB reproduces
-    # the winnowing fingerprint set bit-for-bit — fully oracled now.
-    fp = fingerprint(env["documents"].scan(selected_fields=("doc_id", "text")).to_df(), "text", "doc_id")
-    return fp.select(
-        "doc_id",
-        F.concat_ws(",", F.col("winnow_fp")).alias("winnow_fp"),
-        F.size("winnow_fp").cast("long").alias("n_fp"),
     )
 
 
@@ -3555,6 +3541,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DOCUMENTED OVERFLOW, they MUST lead r13 — then the 45 r11-greened
     # rows (age 1). The committed full-registry sweep at final state
     # remains the compensating evidence.
+    # r12 post-window fold: the seven per-doc text rows merged into
+    # text_perdoc_combined (registry 130 → 124). The combined row is
+    # CODE-CHANGED and must earn driver evidence in the r13 window
+    # alongside the 29-row overflow; its seven parents leave the
+    # rotation ledger (their columns are all still hash-matched inside
+    # the fold, re-verified in the final-state sweep).
     return {
         name: wrap(fn)
         for name, fn in {
@@ -3652,14 +3644,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_cosine_topk": _q_ann_brute,
             "text_pii_redact": _q_text_pii_redact,
             # r11-greened (age 1): the r06 text + core/events families
-            "text_repetition": _q_text_repetition,
-            "text_strip_html": _q_text_strip_html,
+            # r12 fold: the seven per-doc text rows (repetition,
+            # strip_html, token_stats, quality_score, language_id,
+            # fingerprint_md5, fingerprint_winnow) now live in ONE
+            # hash-matched slot; text_paragraph_dedup keeps its own row
+            # (different grain: corpus-wide paragraph removal).
+            "text_perdoc_combined": _q_text_perdoc_combined,
             "text_paragraph_dedup": _q_text_paragraph_dedup,
-            "text_token_stats": _q_text_tokens,
-            "text_quality_score": _q_text_quality,
-            "text_language_id": _q_text_lang,
-            "text_fingerprint_md5": _q_text_fingerprint,
-            "text_fingerprint_winnow": _q_text_winnow,
             "multimodal_features": _q_multimodal,
             "events_windowed_agg": _q_events_windowed,
             "events_sessionize": _q_events_sessionize,
@@ -3748,6 +3739,80 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM documents "
         "UNION ALL SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % 10 = 0 "
         "UNION ALL SELECT doc_id + 2000000 AS doc_id, upper(text) AS text, lang, source, n_chars FROM documents WHERE doc_id % 7 = 0)"
+    )
+    # The seven per-doc text derivations folded into text_perdoc_combined
+    # (r12 slot economics) — each is the original r06-era oracle verbatim,
+    # joined USING (doc_id) below.
+    tok_sql = (
+        "SELECT doc_id, length(text) AS n_chars, "
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens, "
+        "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens, "
+        "round(CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0 "
+        "THEN length(trim(text)) / len(regexp_split_to_array(trim(text), '\\s+')) ELSE 0.0 END, 4) AS avg_token_len "
+        "FROM documents"
+    )
+    qual_sql = (
+        "WITH t AS (SELECT doc_id, text, greatest(length(text), 1) AS n, "
+        "regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), "
+        "f AS (SELECT doc_id, "
+        "round(length(regexp_replace(text, '[^.,;:!?''\"()\\[\\]-]', '', 'g')) / n, 4) AS punct_ratio, "
+        "round(length(regexp_replace(text, '[^A-Z]', '', 'g')) / n, 4) AS upper_ratio, "
+        "round(len(list_intersect(toks, ['the','a','and','of','to','in','is','that','it','for'])) / 10.0, 4) AS stopword_cov, "
+        "round(len(list_distinct(toks)) / greatest(len(toks), 1), 4) AS distinct_token_ratio FROM t) "
+        "SELECT *, floor(greatest((1.0 - least(punct_ratio * 2, 0.5) - least(upper_ratio, 0.25)) "
+        "* (0.5 + distinct_token_ratio / 2), 0.0) * 10000) / 10000 AS quality FROM f"
+    )
+    lang_sql = (
+        "WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), "
+        "h AS (SELECT doc_id, text, "
+        "len(list_intersect(toks, ['the','a','and','of','to','in','is','that','it','for'])) AS en, "
+        "len(list_intersect(toks, ['le','la','les','de','des','et','un','une','est','que'])) AS fr, "
+        "len(list_intersect(toks, ['der','die','das','und','ist','ein','eine','zu','den','von'])) AS de, "
+        "len(list_intersect(toks, ['el','la','los','las','de','y','un','una','es','que'])) AS es FROM t) "
+        "SELECT doc_id, CASE "
+        "WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) / greatest(length(text), 1) > 0.2 THEN 'zh' "
+        "WHEN en = 0 AND fr = 0 AND de = 0 AND es = 0 THEN 'und' "
+        "WHEN en >= fr AND en >= de AND en >= es THEN 'en' "
+        "WHEN fr > en AND fr >= de AND fr >= es THEN 'fr' "
+        "WHEN de > en AND de > fr AND de >= es THEN 'de' "
+        "ELSE 'es' END AS lang_guess FROM h"
+    )
+    # winnowing (k=5 grams, window=4) with md5-prefix gram hashes:
+    # fixed-width lowercase hex, so DuckDB's lexicographic list_min ==
+    # Spark's array_min and the fingerprint set is engine-independent
+    winnow_sql = (
+        "WITH t AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS tk "
+        "FROM documents), "
+        "g AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(tk) - 4, 1)), "
+        "i -> substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 16)) AS grams FROM t), "
+        "m AS (SELECT doc_id, list_sort(list_distinct(list_transform("
+        "generate_series(1, greatest(len(grams) - 3, 1)), i -> list_min(grams[i:i+3])))) AS fps FROM g) "
+        "SELECT doc_id, array_to_string(fps, ',') AS winnow_fp, CAST(len(fps) AS BIGINT) AS n_fp FROM m"
+    )
+    rep_sql = (
+        "WITH base AS (SELECT doc_id, "
+        "list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines, "
+        "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS toks "
+        "FROM documents), "
+        "g AS (SELECT doc_id, lines, "
+        "list_transform(range(1, greatest(len(toks), 1)), i -> toks[i] || ' ' || toks[i+1]) AS grams FROM base), "
+        "tc AS (SELECT doc_id, lines, grams, "
+        "coalesce(list_max(list_transform(list_distinct(grams), x -> len(list_filter(grams, y -> y = x)))), 0) AS top_bigram_count FROM g) "
+        "SELECT doc_id, "
+        "floor((len(lines) - len(list_distinct(lines))) * 10000.0 / greatest(len(lines), 1)) / 10000 AS dup_line_ratio, "
+        "len(grams) AS n_bigrams, top_bigram_count, "
+        "floor(top_bigram_count * 10000.0 / greatest(len(grams), 1)) / 10000 AS top_bigram_frac FROM tc"
+    )
+    strip_sql = (
+        "WITH s0 AS (SELECT doc_id, '<html><style>p {}</style><p>' || text || "
+        "'</p><script>track();</script></html>' AS t FROM documents), "
+        "s1 AS (SELECT doc_id, regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM s0), "
+        "s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1), "
+        "s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]+>', ' ', 'g') AS t FROM s2), "
+        "s4 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t, "
+        "'&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '\"', 'g'), '&#39;', chr(39), 'g'), '&amp;', '&', 'g') AS t FROM s3) "
+        "SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text FROM s4"
     )
     return {
         "scan_filter_project": (
@@ -4557,24 +4622,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM scored) "
             "WHERE rank <= 10"
         ),
-        "text_token_stats": (
-            "SELECT doc_id, length(text) AS n_chars, "
-            "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens, "
-            "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens, "
-            "round(CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0 "
-            "THEN length(trim(text)) / len(regexp_split_to_array(trim(text), '\\s+')) ELSE 0.0 END, 4) AS avg_token_len "
-            "FROM documents"
-        ),
-        "text_quality_score": (
-            "WITH t AS (SELECT doc_id, text, greatest(length(text), 1) AS n, "
-            "regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), "
-            "f AS (SELECT doc_id, "
-            "round(length(regexp_replace(text, '[^.,;:!?''\"()\\[\\]-]', '', 'g')) / n, 4) AS punct_ratio, "
-            "round(length(regexp_replace(text, '[^A-Z]', '', 'g')) / n, 4) AS upper_ratio, "
-            "round(len(list_intersect(toks, ['the','a','and','of','to','in','is','that','it','for'])) / 10.0, 4) AS stopword_cov, "
-            "round(len(list_distinct(toks)) / greatest(len(toks), 1), 4) AS distinct_token_ratio FROM t) "
-            "SELECT *, floor(greatest((1.0 - least(punct_ratio * 2, 0.5) - least(upper_ratio, 0.25)) "
-            "* (0.5 + distinct_token_ratio / 2), 0.0) * 10000) / 10000 AS quality FROM f"
+        "text_perdoc_combined": (
+            f"SELECT * FROM ({tok_sql}) t1 "
+            f"JOIN ({qual_sql}) t2 USING (doc_id) "
+            f"JOIN ({lang_sql}) t3 USING (doc_id) "
+            "JOIN (SELECT doc_id, md5(text) AS md5 FROM documents) t4 USING (doc_id) "
+            f"JOIN ({winnow_sql}) t5 USING (doc_id) "
+            f"JOIN ({rep_sql}) t6 USING (doc_id) "
+            f"JOIN (SELECT doc_id, text AS stripped_text FROM ({strip_sql}) s) t7 USING (doc_id)"
         ),
         "text_chunking": (
             "WITH nz AS (SELECT doc_id, text FROM documents WHERE length(text) > 0), "
@@ -4596,21 +4651,6 @@ def oracle_sql() -> dict[str, str]:
             "th AS (SELECT quantile_cont(quality, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS t FROM q) "
             "SELECT doc_id, quality, CAST(1 + len(list_filter(th.t, x -> q.quality > x)) AS INTEGER) AS bucket "
             "FROM q CROSS JOIN th"
-        ),
-        "text_language_id": (
-            "WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), "
-            "h AS (SELECT doc_id, text, "
-            "len(list_intersect(toks, ['the','a','and','of','to','in','is','that','it','for'])) AS en, "
-            "len(list_intersect(toks, ['le','la','les','de','des','et','un','une','est','que'])) AS fr, "
-            "len(list_intersect(toks, ['der','die','das','und','ist','ein','eine','zu','den','von'])) AS de, "
-            "len(list_intersect(toks, ['el','la','los','las','de','y','un','una','es','que'])) AS es FROM t) "
-            "SELECT doc_id, CASE "
-            "WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) / greatest(length(text), 1) > 0.2 THEN 'zh' "
-            "WHEN en = 0 AND fr = 0 AND de = 0 AND es = 0 THEN 'und' "
-            "WHEN en >= fr AND en >= de AND en >= es THEN 'en' "
-            "WHEN fr > en AND fr >= de AND fr >= es THEN 'fr' "
-            "WHEN de > en AND de > fr AND de >= es THEN 'de' "
-            "ELSE 'es' END AS lang_guess FROM h"
         ),
         "text_pii_redact": (
             "WITH seeded AS (SELECT doc_id, text || ' contact user' || doc_id || "
@@ -4644,30 +4684,6 @@ def oracle_sql() -> dict[str, str]:
             "floor(pow(2.0, -avg(lpv) / ln(2)) * 1000000) / 1000000 AS ppl "
             "FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2 GROUP BY 1"
         ),
-        "text_repetition": (
-            "WITH base AS (SELECT doc_id, "
-            "list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines, "
-            "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS toks "
-            "FROM documents), "
-            "g AS (SELECT doc_id, lines, "
-            "list_transform(range(1, greatest(len(toks), 1)), i -> toks[i] || ' ' || toks[i+1]) AS grams FROM base), "
-            "tc AS (SELECT doc_id, lines, grams, "
-            "coalesce(list_max(list_transform(list_distinct(grams), x -> len(list_filter(grams, y -> y = x)))), 0) AS top_bigram_count FROM g) "
-            "SELECT doc_id, "
-            "floor((len(lines) - len(list_distinct(lines))) * 10000.0 / greatest(len(lines), 1)) / 10000 AS dup_line_ratio, "
-            "len(grams) AS n_bigrams, top_bigram_count, "
-            "floor(top_bigram_count * 10000.0 / greatest(len(grams), 1)) / 10000 AS top_bigram_frac FROM tc"
-        ),
-        "text_strip_html": (
-            "WITH s0 AS (SELECT doc_id, '<html><style>p {}</style><p>' || text || "
-            "'</p><script>track();</script></html>' AS t FROM documents), "
-            "s1 AS (SELECT doc_id, regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM s0), "
-            "s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1), "
-            "s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]+>', ' ', 'g') AS t FROM s2), "
-            "s4 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t, "
-            "'&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '\"', 'g'), '&#39;', chr(39), 'g'), '&amp;', '&', 'g') AS t FROM s3) "
-            "SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text FROM s4"
-        ),
         "text_paragraph_dedup": (
             docs_dup_cte + ", ex AS ("
             "SELECT doc_id, unnest(list_transform(range(1, len(ps)+1), i -> {'pos': i, 'para': ps[i]})) AS e "
@@ -4677,21 +4693,6 @@ def oracle_sql() -> dict[str, str]:
             "kept AS (SELECT * FROM ranked WHERE length(para) < 20 OR rk = 1), "
             "rebuilt AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text FROM kept GROUP BY doc_id) "
             "SELECT d.doc_id, coalesce(r.text, '') AS text FROM docs_dup d LEFT JOIN rebuilt r USING (doc_id)"
-        ),
-        "text_fingerprint_md5": "SELECT doc_id, md5(text) AS md5 FROM documents",
-        "text_fingerprint_winnow": (
-            # winnowing (k=5 grams, window=4) with md5-prefix gram hashes:
-            # fixed-width lowercase hex, so DuckDB's lexicographic
-            # list_min == Spark's array_min and the fingerprint set is
-            # engine-independent (r6: was xxhash64, rows-only)
-            "WITH t AS (SELECT doc_id, "
-            "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS tk "
-            "FROM documents), "
-            "g AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(tk) - 4, 1)), "
-            "i -> substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 16)) AS grams FROM t), "
-            "m AS (SELECT doc_id, list_sort(list_distinct(list_transform("
-            "generate_series(1, greatest(len(grams) - 3, 1)), i -> list_min(grams[i:i+3])))) AS fps FROM g) "
-            "SELECT doc_id, array_to_string(fps, ',') AS winnow_fp, CAST(len(fps) AS BIGINT) AS n_fp FROM m"
         ),
         "ann_lsh_recall": (
             # invariant oracle: the Spark side computes recall against the
