@@ -3473,6 +3473,68 @@ def _q_quality_classifier_invariants(spark, env):
     )
 
 
+def _q_bm25_topk(spark, env):
+    # late r12: BM25 ranked retrieval with a FULL value-hash oracle.
+    # Queries derive deterministically from the corpus (the first four
+    # normalized tokens of five fixed docs), so DuckDB rebuilds the
+    # identical query set. Scores are summed in integer micro-units
+    # (each term's contribution floored to BIGINT at 1e6 first), so the
+    # total is float-addition-order independent; ln enters once per
+    # term pre-floor (sqrt/＋/×/÷ are correctly rounded, ln is the one
+    # ±1ulp op — boundary-flip odds ~1e-10/value). Ties break on
+    # doc_id: fully deterministic top-k.
+    from iceberg_python_spark.operators.retrieval import _tokens, bm25_topk
+
+    docs = env["documents"].scan(selected_fields=("doc_id", "text")).to_df()
+    queries = (
+        docs.where(F.col("doc_id").isin([0, 7, 13, 21, 34]))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(_tokens("text"), 1, 4), " ").alias("query_text"),
+        )
+    )
+    return bm25_topk(docs, queries, "text", "doc_id", k=10)
+
+
+def _q_hll_sketch_invariants(spark, env):
+    # late r12: mergeable HLL distinct sketches as TABLES. Claims:
+    # (a) merging per-batch sketches (doc_id % 3 split) is register-
+    # for-register EQUAL to sketching the whole corpus — the algebra
+    # that makes incremental maintenance sound, asserted exactly;
+    # (b) the estimate lands within 5%+2 of the SQL-exact distinct
+    # count per source group (p=12, rsd≈1.6%); n_exact itself is
+    # value-hash matched.
+    from iceberg_python_spark.operators.sketch import hll_build, hll_estimate, hll_merge
+
+    docs = env["documents"].scan(selected_fields=("doc_id", "text", "source")).to_df()
+    whole = hll_build(docs, "text", ["source"]).localCheckpoint(eager=True)
+    est = hll_estimate(whole, ["source"]).select("source", "est_distinct")
+    exact = docs.groupBy("source").agg(F.countDistinct("text").alias("n_exact"))
+    parts = None
+    for i in range(3):
+        b = hll_build(docs.where(F.col("doc_id") % 3 == i), "text", ["source"])
+        parts = b if parts is None else parts.unionByName(b)
+    merged = hll_merge(parts, ["source"])
+    merge_eq = (
+        whole.alias("a")
+        .join(merged.alias("b"), "source")
+        .select("source", (F.col("a.sketch") == F.col("b.sketch")).alias("merge_eq"))
+    )
+    return (
+        exact.join(est, "source")
+        .join(merge_eq, "source")
+        .select(
+            "source",
+            "n_exact",
+            (
+                F.abs(F.col("est_distinct") - F.col("n_exact"))
+                <= F.lit(0.05) * F.col("n_exact") + F.lit(2.0)
+            ).alias("est_ok"),
+            "merge_eq",
+        )
+    )
+
+
 def _q_embedding_kmeans_invariants(spark, env):
     # r12: FULL-corpus distributed k-means invariants. Lloyd's with
     # broadcast centroids + per-partition partial sums reduced via
@@ -3693,6 +3755,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q13_order_distribution": _q_q13_order_distribution,
             "tpch_q14_promo_share": _q_q14_promo,
             "tpch_q15_top_supplier": _q_q15_top_supplier,
+            # --- late-r12 additions (behind the committed window; earn
+            # first driver evidence leading r13) ---
+            "bm25_topk": _q_bm25_topk,
+            "hll_sketch_invariants": _q_hll_sketch_invariants,
             # r11 fold (VERDICT r10 #7): the five raw-approximate
             # rows-only entries (dedup_minhash_lsh,
             # dedup_simhash_candidates, dedup_ngram_jaccard,
@@ -4061,6 +4127,37 @@ def oracle_sql() -> dict[str, str]:
             "CAST((SELECT count(*) * 2 FROM documents WHERE doc_id >= 240 AND doc_id < 300) AS BIGINT) AS n_held, "
             "true AS loss_converged, true AS loss_stable, true AS heldout_acc_ok "
             "FROM documents WHERE doc_id < 240"
+        ),
+        "bm25_topk": (
+            # same tokenization as the fingerprint family; constants
+            # cast ::DOUBLE (a bare 2.2 parses as DECIMAL in DuckDB and
+            # changes the arithmetic); per-term contributions floored
+            # to BIGINT micro-units BEFORE the sum — order independent
+            "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(trim("
+            "regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'), t -> t <> '') AS toks FROM documents), "
+            "ex AS (SELECT doc_id, unnest(toks) AS term FROM tk), "
+            "post AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2), "
+            "dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1), "
+            "st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), "
+            "q AS (SELECT doc_id AS query_id, list_distinct(toks[1:4]) AS qts FROM tk "
+            "WHERE doc_id IN (0, 7, 13, 21, 34)), "
+            "qt AS (SELECT query_id, unnest(qts) AS term FROM q), "
+            "dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM post "
+            "WHERE term IN (SELECT term FROM qt) GROUP BY 1), "
+            "scored AS (SELECT qt.query_id, post.doc_id, "
+            "SUM(CAST(floor(ln(1.0::DOUBLE + (st.n_docs::DOUBLE - dft.df_t::DOUBLE + 0.5::DOUBLE) / "
+            "(dft.df_t::DOUBLE + 0.5::DOUBLE)) * (post.tf::DOUBLE * 2.2::DOUBLE) / "
+            "(post.tf::DOUBLE + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl.dl::DOUBLE / st.avgdl)) "
+            "* 1e6) AS BIGINT)) AS score_micro "
+            "FROM qt JOIN post USING (term) JOIN dft USING (term) "
+            "JOIN dl ON post.doc_id = dl.doc_id CROSS JOIN st GROUP BY 1, 2) "
+            "SELECT query_id, doc_id, score_micro, rank FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY score_micro DESC, doc_id ASC) AS rank FROM scored) WHERE rank <= 10"
+        ),
+        "hll_sketch_invariants": (
+            "SELECT source, count(DISTINCT text) AS n_exact, TRUE AS est_ok, "
+            "TRUE AS merge_eq FROM documents GROUP BY source"
         ),
         "embedding_kmeans_invariants": (
             "SELECT CAST(count(*) AS BIGINT) AS n_points, "

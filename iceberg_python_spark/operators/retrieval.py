@@ -1,0 +1,140 @@
+"""BM25 ranked retrieval over a document corpus.
+
+The curation pipeline's search primitive: given a (small) set of
+queries, return the top-k most relevant documents under Okapi BM25
+(Robertson-Spärck Jones; the Lucene-default idf variant
+``ln(1 + (N - df + 0.5)/(df + 0.5))``, non-negative for any df). The
+repo already detects *near-duplicate* and *contaminated* text — this
+answers the complementary question "which documents are ABOUT x?"
+(topic audits, eval-set neighborhood inspection, targeted sampling).
+
+Spark shape (100 TB):
+
+- **Postings build is the only corpus-wide work**: one explode of the
+  normalized token array and ONE groupBy (doc, term) — the shuffle
+  every inverted index costs. Document length and the corpus constants
+  (N, avgdl) come from the same pass; term document-frequencies from a
+  groupBy over postings (shuffle of (term) rows, far smaller than the
+  corpus).
+- **Scoring never reshuffles the corpus**: the query-term table is tiny
+  by construction, so postings are filtered by a BROADCAST semi-join
+  on term; only the surviving (query, doc, term) candidate rows flow
+  into the per-(query, doc) sum and the per-query top-k window. A hot
+  term fans out to its document frequency — the honest floor for a
+  term-at-a-time ranker.
+- **Scores are summed in integer micro-units**: each term's
+  contribution is floored to a BIGINT at 1e6 scale *before* the sum,
+  so the total is independent of float addition order (and an ANSI-SQL
+  oracle reproduces it bit-for-bit; ln is the only non-correctly-
+  rounded op involved and enters once per term, pre-floor). Ranking
+  ties break on doc_id — fully deterministic output.
+
+Postings can be persisted as an engine table and maintained
+incrementally (append new docs' postings; N/avgdl/df refresh from
+metadata-sized aggregates), the same pattern as the persisted LSH
+index in ``operators/dedup.py``.
+
+No reference counterpart (published-recipe operator: Robertson &
+Walker SIGIR'94; Lucene BM25Similarity).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+# same normalization as the fingerprint / classifier / LM families:
+# lowercase, non-alphanumerics to spaces, whitespace split
+_NORM_PAT = r"[^a-z0-9\s]"
+
+
+def _tokens(text_col: str):
+    return F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), _NORM_PAT, " ")), r"\s+"
+        ),
+        lambda t: t != "",
+    )
+
+
+def build_postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Inverted postings: one row per (doc, term) with the term
+    frequency and the document's token length. One explode + one
+    groupBy — the single corpus-wide shuffle of the retrieval stack."""
+    toks = docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # dl from the postings themselves (sum of tf per doc) — no second
+    # pass over the text
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    return tf.join(dl, id_col)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``k`` documents per query under BM25.
+
+    Returns ``(query_id, doc_id(id_col), score_micro, rank)`` where
+    ``score_micro`` is the BM25 score in integer micro-units (each
+    query term's contribution floored to BIGINT at 1e6 before the sum
+    — addition-order independent, ANSI-SQL reproducible) and ``rank``
+    is dense 1..k ordered by (score_micro DESC, doc_id ASC).
+
+    Query terms are the DISTINCT normalized tokens of ``query_text_col``
+    (the standard bag-of-distinct-terms form; repeat a term in the
+    query does not double its weight). Pass a pre-built ``postings``
+    (from :func:`build_postings`) to amortize the corpus pass across
+    query batches."""
+    if postings is None:
+        postings = build_postings(docs, text_col, id_col)
+    # corpus constants: two scalars — metadata-sized driver work
+    stats = postings.groupBy(id_col).agg(F.first("dl").alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(_tokens(query_text_col))).alias("term"),
+    )
+    # per-term document frequency, only for terms any query mentions
+    # (semi-join first so the df aggregate touches candidate terms only)
+    cand = postings.join(F.broadcast(qterms.select("term").distinct()), "term")
+    df_t = cand.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
+    )
+    tf_factor = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    contrib_micro = F.floor(idf * tf_factor * F.lit(1e6)).cast("long")
+
+    scored = (
+        cand.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(contrib_micro).alias("score_micro"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "score_micro", "rank")
+    )

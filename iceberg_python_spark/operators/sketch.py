@@ -21,7 +21,7 @@ item. No reference counterpart (published-recipe operator).
 
 from __future__ import annotations
 
-from typing import Iterator, List, Tuple
+from typing import Iterator, List, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -149,3 +149,102 @@ def heavy_hitters(
         .limit(k)
     )
     return top, grid
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: mergeable distinct-count sketches as TABLES
+# ---------------------------------------------------------------------------
+# Spark's built-in approx_count_distinct answers one query; what an
+# incremental corpus needs is the SKETCH ITSELF as a first-class,
+# persistable, mergeable value (Flajolet et al., AofA 2007): sketch
+# each crawl batch / partition / day once, store (group, sketch) rows,
+# and answer "distinct URLs this month" by merging twelve sketch rows
+# — never rescanning data. The defining algebraic property (and the
+# oracle row's exact-equality claim): merge(sketch(A), sketch(B)) ==
+# sketch(A ∪ B), register-for-register.
+#
+# Representation: a SPARSE sorted array<struct<bucket:int, rho:int>>
+# (only occupied registers; at most 2^p entries, typically far fewer
+# for small groups). Pure JVM built-ins throughout: bucket = low p
+# bits of xxhash64, rho = leading-zero count of the remaining 64-p
+# bits + 1 computed EXACTLY as 64 - p + 1 - length(bin(w)) — bin()'s
+# string length is the integer bit length, with none of floor(log2())'s
+# double-rounding edge cases. Build is groupBy(group, bucket).max(rho)
+# then collect_list per group: shuffle O(groups · 2^p) rows, never the
+# corpus.
+
+_HLL_P_DEFAULT = 12  # 4096 registers, rsd ≈ 1.04/sqrt(4096) ≈ 1.6%
+
+
+def _hll_rho(h, p: int):
+    w = F.shiftrightunsigned(h, p)
+    return (
+        F.when(w == 0, F.lit(64 - p + 1))
+        .otherwise(F.lit(64 - p + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+
+
+def hll_build(
+    df: DataFrame, col: str, group_cols: Sequence[str] = (), p: int = _HLL_P_DEFAULT
+) -> DataFrame:
+    """One sketch row per group: ``(group..., sketch)`` with ``sketch``
+    a sparse sorted array of occupied (bucket, rho=max) registers.
+    NULL values are ignored (SQL COUNT(DISTINCT) semantics)."""
+    grp = list(group_cols)
+    h = F.xxhash64(F.col(col))
+    per_bucket = (
+        df.where(F.col(col).isNotNull())
+        .select(
+            *grp,
+            h.bitwiseAND(F.lit((1 << p) - 1)).cast("int").alias("_hb"),
+            _hll_rho(h, p).alias("_hr"),
+        )
+        .groupBy(*grp, "_hb")
+        .agg(F.max("_hr").alias("_hr"))
+    )
+    return per_bucket.groupBy(*grp).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_hb").alias("bucket"), F.col("_hr").alias("rho")))
+        ).alias("sketch")
+    )
+
+
+def hll_merge(sketches: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Merge sketch rows (≥1 per group, e.g. one per crawl batch) into
+    one per group: register-wise max. Shuffles only register rows —
+    O(rows · occupied registers), data never re-read."""
+    grp = list(group_cols)
+    ex = sketches.select(*grp, F.explode("sketch").alias("_e")).select(
+        *grp, F.col("_e.bucket").alias("_hb"), F.col("_e.rho").alias("_hr")
+    )
+    merged = ex.groupBy(*grp, "_hb").agg(F.max("_hr").alias("_hr"))
+    return merged.groupBy(*grp).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_hb").alias("bucket"), F.col("_hr").alias("rho")))
+        ).alias("sketch")
+    )
+
+
+def hll_estimate(
+    sketches: DataFrame, group_cols: Sequence[str] = (), p: int = _HLL_P_DEFAULT
+) -> DataFrame:
+    """Append an ``est_distinct`` (double) column: the classic HLL
+    estimator with the small-range linear-counting correction
+    (E ≤ 2.5m with empty registers → m·ln(m/V)). A narrow projection —
+    no shuffle, no Python."""
+    m = float(1 << p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # p >= 7 constant from the paper
+    nz = F.size("sketch").cast("double")
+    z = (F.lit(m) - nz) + F.aggregate(
+        F.col("sketch"),
+        F.lit(0.0),
+        lambda acc, s: acc + F.lit(2.0) ** (-s["rho"].cast("double")),
+    )
+    e_raw = F.lit(alpha * m * m) / z
+    v = F.lit(m) - nz
+    e = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0), F.lit(m) * F.log(F.lit(m) / v)
+    ).otherwise(e_raw)
+    grp = list(group_cols)
+    return sketches.select(*grp, "sketch", e.alias("est_distinct"))
