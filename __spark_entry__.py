@@ -3496,6 +3496,44 @@ def _q_bm25_topk(spark, env):
     return bm25_topk(docs, queries, "text", "doc_id", k=10)
 
 
+def _q_bpe_roundtrip(spark, env):
+    # late r12: BPE tokenizer train + encode with a per-doc value-hash
+    # oracle. Merges learn from the corpus word histogram (Sennrich
+    # shape); encoding is Arrow-batched with broadcast merge ranks. The
+    # oracle-matched law: decode(encode(text)) == whitespace-normalized
+    # text EXACTLY, and the base symbol count (non-ws chars + one EOW
+    # per word) is SQL-exact; n_tokens <= n_base per doc (each fired
+    # merge saves one symbol) and the corpus strictly compresses.
+    from iceberg_python_spark.operators.bpe import bpe_decode_col, bpe_encode, bpe_train
+
+    docs = env["documents"].scan(selected_fields=("doc_id", "text")).to_df()
+    merges = bpe_train(docs, "text", n_merges=200, min_freq=2)
+    enc = bpe_encode(docs, "text", merges, "doc_id")
+    base = docs.select(
+        "doc_id",
+        (
+            F.length(F.regexp_replace("text", r"\s", ""))
+            + F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != ""))
+        ).cast("long").alias("n_base"),
+    )
+    j = enc.select(
+        "doc_id", bpe_decode_col("tokens").alias("decoded"), "n_tokens"
+    ).join(base, "doc_id")
+    compressed = j.agg(
+        (F.sum("n_tokens") < F.sum("n_base")).alias("corpus_compressed")
+    )
+    return (
+        j.crossJoin(F.broadcast(compressed))
+        .select(
+            "doc_id",
+            "decoded",
+            "n_base",
+            (F.col("n_tokens") <= F.col("n_base")).alias("tokens_le_base"),
+            "corpus_compressed",
+        )
+    )
+
+
 def _q_hll_sketch_invariants(spark, env):
     # late r12: mergeable HLL distinct sketches as TABLES. Claims:
     # (a) merging per-batch sketches (doc_id % 3 split) is register-
@@ -3759,6 +3797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # first driver evidence leading r13) ---
             "bm25_topk": _q_bm25_topk,
             "hll_sketch_invariants": _q_hll_sketch_invariants,
+            "bpe_roundtrip": _q_bpe_roundtrip,
             # r11 fold (VERDICT r10 #7): the five raw-approximate
             # rows-only entries (dedup_minhash_lsh,
             # dedup_simhash_candidates, dedup_ngram_jaccard,
@@ -4158,6 +4197,16 @@ def oracle_sql() -> dict[str, str]:
         "hll_sketch_invariants": (
             "SELECT source, count(DISTINCT text) AS n_exact, TRUE AS est_ok, "
             "TRUE AS merge_eq FROM documents GROUP BY source"
+        ),
+        "bpe_roundtrip": (
+            # decode(encode(x)) == whitespace-normalized x is exact;
+            # base symbols (non-ws chars + one end-of-word per word)
+            # are SQL-exact; the learned-merge claims are booleans
+            "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS decoded, "
+            "CAST(length(regexp_replace(text, '\\s', '', 'g')) + "
+            "(CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS n_base, "
+            "TRUE AS tokens_le_base, TRUE AS corpus_compressed FROM documents"
         ),
         "embedding_kmeans_invariants": (
             "SELECT CAST(count(*) AS BIGINT) AS n_points, "

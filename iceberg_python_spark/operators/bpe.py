@@ -1,0 +1,176 @@
+"""Byte-pair-encoding tokenizer training and corpus encoding.
+
+The missing member of the tokenizer-adjacent family (token_stats
+counts whitespace/BPE-ish regex tokens; pack_sequences packs them):
+actually LEARN a subword vocabulary from the corpus and encode with
+it — the step every LLM data pipeline runs between curation and
+packing.
+
+Spark shape (100 TB), following the published scalable design
+(Sennrich et al., ACL 2016 — BPE is trained on the WORD HISTOGRAM,
+not the raw token stream):
+
+- **The corpus-wide work is one word-frequency groupBy** (explode of
+  whitespace tokens). The histogram is then pruned by ``min_freq``
+  and capped at ``max_words`` DETERMINISTICALLY (freq DESC, word ASC)
+  — at web scale the distinct-word tail is unbounded (URLs, typos);
+  the cap is the honest, documented driver-memory bound, the same
+  size-guarded-collect contract the planner uses elsewhere.
+- **Merge learning runs over the bounded histogram** on the driver:
+  classic greedy BPE (argmax pair count, ties broken (count DESC,
+  pair ASC) so the merge sequence is fully deterministic). Cost is
+  O(n_merges · words-containing-pair), independent of corpus size —
+  every token of the 100 TB corpus is represented by its word's one
+  histogram row.
+- **Encoding never collects**: merge ranks broadcast to executors and
+  each document encodes inside Arrow-batched ``mapInPandas``
+  (per-word memoized), the same per-payload-unit floor as the codec
+  family.
+
+Words carry an end-of-word marker (``</w>``), so decoding is
+``concat(tokens) with </w> → space`` and round-trips EXACTLY to the
+whitespace-normalized document — the property the oracle row
+value-hashes per doc against ANSI SQL.
+
+No reference counterpart (published-recipe operator).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, List, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+_EOW = "</w>"
+
+# ASCII whitespace, matching Java's and RE2's default \s — Python's
+# str.split() would also split on Unicode whitespace (U+00A0 …) and
+# silently diverge from the JVM histogram / SQL oracle on exotic docs
+_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def word_histogram(
+    df: DataFrame, text_col: str, min_freq: int = 1, max_words: int | None = None
+) -> DataFrame:
+    """(word, freq) over whitespace-split text — the single corpus-wide
+    shuffle of the BPE stack. ``max_words`` keeps the strongest rows by
+    (freq DESC, word ASC): deterministic, and a hard bound on what a
+    driver collect downstream can cost."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    hist = (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .where(F.col("freq") >= min_freq)
+    )
+    if max_words is not None:
+        hist = hist.orderBy(F.col("freq").desc(), F.col("word").asc()).limit(max_words)
+    return hist
+
+
+def _pairs(seq: Tuple[str, ...]):
+    return zip(seq, seq[1:])
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    min_freq: int = 2,
+    max_words: int = 1_000_000,
+) -> List[Tuple[str, str]]:
+    """Learn ``n_merges`` merge rules from the corpus. Returns the
+    ordered merge list (rank = position). Deterministic: pair argmax
+    ties break (count DESC, pair ASC)."""
+    rows = word_histogram(df, text_col, min_freq=min_freq, max_words=max_words).collect()
+    # word → symbol sequence (chars + end-of-word marker)
+    vocab = {tuple(list(r["word"]) + [_EOW]): int(r["freq"]) for r in rows}
+    merges: List[Tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for seq, freq in vocab.items():
+            for p in _pairs(seq):
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        joined = best[0] + best[1]
+        new_vocab = {}
+        for seq, freq in vocab.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == best[0] and seq[i + 1] == best[1]:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def _encode_word(word: str, ranks: dict) -> List[str]:
+    seq: List[str] = list(word) + [_EOW]
+    while len(seq) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(seq) - 1):
+            r = ranks.get((seq[i], seq[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        seq[best_i : best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+    return seq
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: Sequence[Tuple[str, str]],
+    id_col: str,
+) -> DataFrame:
+    """Encode each document: ``(id, tokens array<string>, n_tokens)``.
+    Merge ranks broadcast once; encoding runs in Arrow-batched
+    ``mapInPandas`` with a per-batch word memo (Zipf makes the memo hit
+    rate high). Decode is ``concat + </w>→space``; round-trips to the
+    whitespace-normalized text exactly."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    spark = df.sparkSession
+    b_ranks = spark.sparkContext.broadcast(ranks)
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict = {}
+        rk = b_ranks.value
+        for pdf in batches:
+            toks_out, n_out = [], []
+            for text in pdf[text_col]:
+                toks: List[str] = []
+                for w in (x for x in _WS_RE.split(text or "") if x):
+                    got = memo.get(w)
+                    if got is None:
+                        got = memo[w] = _encode_word(w, rk)
+                    toks.extend(got)
+                toks_out.append(toks)
+                n_out.append(len(toks))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "tokens": toks_out, "n_tokens": n_out}
+            )
+
+    schema = f"{df.select(id_col).schema[id_col].dataType.simpleString()}"
+    return df.select(id_col, text_col).mapInPandas(
+        enc, schema=f"{id_col} {schema}, tokens array<string>, n_tokens long"
+    )
+
+
+def bpe_decode_col(tokens_col: str):
+    """JVM-side decode expression: concat the token array and turn
+    end-of-word markers back into single spaces (trailing one
+    trimmed). A document containing the literal marker string would
+    round-trip it as a space — the classic char-BPE marker ambiguity;
+    byte-level vocabularies escape it, this implementation documents
+    it."""
+    return F.trim(F.regexp_replace(F.array_join(F.col(tokens_col), ""), _EOW, " "))

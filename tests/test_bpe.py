@@ -1,0 +1,96 @@
+"""BPE tokenizer training, encoding, and the exact round-trip law."""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from iceberg_python_spark.operators.bpe import (
+    _EOW,
+    _encode_word,
+    bpe_decode_col,
+    bpe_encode,
+    bpe_train,
+    word_histogram,
+)
+
+CORPUS = [
+    (0, "low low low low low"),
+    (1, "lower lower newest newest"),
+    (2, "newest newest newest newest widest widest"),
+    (3, "the newest of the new, the widest of the wide"),
+    (4, ""),
+    (5, "  spaced   out\ttabs\nand newlines  "),
+]
+
+
+def test_word_histogram_and_cap(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id: long, text: string")
+    hist = {r["word"]: r["freq"] for r in word_histogram(df, "text").collect()}
+    ref = Counter()
+    for _, t in CORPUS:
+        ref.update(x for x in t.split() if x)
+    assert hist == dict(ref)
+    # deterministic (freq DESC, word ASC) cap
+    top2 = [r["word"] for r in word_histogram(df, "text", max_words=2).collect()]
+    expect = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert sorted(top2) == sorted(w for w, _ in expect)
+
+
+def test_train_learns_frequent_pairs_deterministically(spark):
+    """The classic Sennrich toy corpus: the first merges assemble the
+    high-frequency word suffixes, and two runs give the identical
+    sequence."""
+    df = spark.createDataFrame(CORPUS, "doc_id: long, text: string")
+    m1 = bpe_train(df, "text", n_merges=12, min_freq=1)
+    m2 = bpe_train(df, "text", n_merges=12, min_freq=1)
+    assert m1 == m2 and len(m1) == 12
+    joined = {a + b for a, b in m1}
+    # 'newest' appears 7x — its pieces must be among the learned merges
+    assert any(s.startswith("ne") or s.endswith("est" + _EOW) or "est" in s for s in joined)
+
+
+def test_encode_decode_roundtrip_exact(spark):
+    """decode(encode(x)) == whitespace-normalized x for EVERY doc —
+    the law the oracle row value-hashes. Holds for any merge list by
+    construction (merges only concatenate)."""
+    df = spark.createDataFrame(CORPUS, "doc_id: long, text: string")
+    merges = bpe_train(df, "text", n_merges=8, min_freq=1)
+    enc = bpe_encode(df, "text", merges, "doc_id")
+    got = {
+        r["doc_id"]: r["d"]
+        for r in enc.select("doc_id", bpe_decode_col("tokens").alias("d")).collect()
+    }
+    for d, t in CORPUS:
+        assert got[d] == " ".join(t.split()), d
+
+
+def test_encode_compresses_and_bounds(spark):
+    """n_tokens is positive for non-empty docs, bounded above by the
+    base symbol count (chars + one EOW per word), and strictly below
+    it once merges exist (every learned merge that fires saves one
+    symbol)."""
+    df = spark.createDataFrame(CORPUS, "doc_id: long, text: string")
+    merges = bpe_train(df, "text", n_merges=15, min_freq=1)
+    enc = bpe_encode(df, "text", merges, "doc_id")
+    base = df.select(
+        "doc_id",
+        (
+            F.length(F.regexp_replace("text", r"\s", ""))
+            + F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != ""))
+        ).alias("n_base"),
+    )
+    rows = enc.join(base, "doc_id").collect()
+    total_tok = total_base = 0
+    for r in rows:
+        assert r["n_tokens"] <= r["n_base"]
+        total_tok += r["n_tokens"]
+        total_base += r["n_base"]
+    assert total_tok < total_base
+
+
+def test_encode_word_greedy_rank_order():
+    """Lowest-rank merge fires first — 'ab' before 'bc' when ranked
+    earlier, changing the segmentation deterministically."""
+    assert _encode_word("abc", {("a", "b"): 0, ("b", "c"): 1}) == ["ab", "c", _EOW]
+    assert _encode_word("abc", {("b", "c"): 0, ("a", "b"): 1}) == ["a", "bc", _EOW]
+    assert _encode_word("x", {}) == ["x", _EOW]
