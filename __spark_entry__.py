@@ -3069,6 +3069,76 @@ def _q_multimodal_audio_decode(spark, env):
     )
 
 
+def _q_multimodal_audio_containers(spark, env):
+    # late r12: the legacy speech-corpus CONTAINERS (AIFF/AIFF-C,
+    # Sun/NeXT AU, NIST SPHERE) under the driver's oracle. Same
+    # deterministic tones as the WAV row, cycling EIGHT layouts by
+    # doc_id % 8: AIFF BE-PCM16 / AIFF-C sowt / AIFF-C fl32 / AIFF-C
+    # µ-law, AU BE-PCM16 / AU A-law, SPHERE big-endian PCM /
+    # SPHERE µ-law — every payload synthesized by the engine's own
+    # writers and decoded through the magic-dispatch path inside
+    # extract_audio_stats. Claims from decoded output: all decode,
+    # duration/rate/channels exact, centroid within 30 Hz for linear
+    # layouts / 250 Hz for companded, RMS within 0.02 everywhere.
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_python_spark.operators.audio import encode_aiff, encode_au, encode_sphere
+    from iceberg_python_spark.operators.multimodal import extract_audio_stats
+
+    docs = (
+        env["documents"].scan(selected_fields=("doc_id",)).to_df()
+        .where("doc_id < 400")
+        .repartition(32)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"].astype(int):
+                freq = 200 + 20 * (d % 40)
+                t = np.arange(2000) / 8000.0
+                x = 0.5 * np.sin(2 * np.pi * freq * t)
+                if d % 2 == 0:
+                    x = np.stack([x, x], axis=1)
+                v = d % 8
+                if v == 0:
+                    payloads.append(encode_aiff(x, 8000))
+                elif v == 1:
+                    payloads.append(encode_aiff(x, 8000, compression="sowt"))
+                elif v == 2:
+                    payloads.append(encode_aiff(x, 8000, compression="fl32"))
+                elif v == 3:
+                    payloads.append(encode_aiff(x, 8000, compression="ulaw"))
+                elif v == 4:
+                    payloads.append(encode_au(x, 8000, encoding="pcm16"))
+                elif v == 5:
+                    payloads.append(encode_au(x, 8000, encoding="alaw"))
+                elif v == 6:
+                    payloads.append(encode_sphere(x, 8000, byte_format="10"))
+                else:
+                    payloads.append(encode_sphere(x, 8000, coding="ulaw"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    au = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    stats = extract_audio_stats(au, "doc_id", "payload")
+    j = stats.withColumn("freq", (F.lit(200) + (F.col("id") % 40) * 20).cast("double"))
+    return j.agg(
+        F.count("*").alias("n_audio"),
+        F.min("decode_ok").alias("all_decoded"),
+        F.min(
+            (F.col("duration_ms") == 250)
+            & (F.col("sample_rate") == 8000)
+            & (F.col("n_channels") == F.when(F.col("id") % 2 == 0, 2).otherwise(1))
+        ).alias("format_ok"),
+        F.min(
+            F.abs(F.col("spectral_centroid_hz") - F.col("freq"))
+            < F.when((F.col("id") % 8).isin(3, 5, 7), 250.0).otherwise(30.0)
+        ).alias("centroid_ok"),
+        F.min(F.abs(F.col("rms") - 0.5 / math.sqrt(2.0)) < 0.02).alias("rms_ok"),
+    )
+
+
 def _q_text_token_sketch(spark, env):
     # Bounded-state corpus stats: HLL++ distinct-token cardinality per
     # source. The row cross-checks the sketch against the exact count at
@@ -3798,6 +3868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bm25_topk": _q_bm25_topk,
             "hll_sketch_invariants": _q_hll_sketch_invariants,
             "bpe_roundtrip": _q_bpe_roundtrip,
+            "multimodal_audio_containers": _q_multimodal_audio_containers,
             # r11 fold (VERDICT r10 #7): the five raw-approximate
             # rows-only entries (dedup_minhash_lsh,
             # dedup_simhash_candidates, dedup_ngram_jaccard,
@@ -4118,6 +4189,10 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM documents WHERE doc_id % 20 = 5) AS n_novel, "
             "true AS all_copies_flagged, true AS all_novel_survive, "
             "true AS delta_covers_survivors"
+        ),
+        "multimodal_audio_containers": (
+            "SELECT count(*) AS n_audio, true AS all_decoded, true AS format_ok, "
+            "true AS centroid_ok, true AS rms_ok FROM documents WHERE doc_id < 400"
         ),
         "multimodal_audio_decode": (
             "SELECT count(*) AS n_audio, "

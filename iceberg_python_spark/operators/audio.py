@@ -13,10 +13,19 @@ decode).
   the standard cheap descriptors a corpus-curation pipeline filters
   on (silence/clipping detection, bandwidth sanity).
 
-MP3/FLAC/OGG genuinely need external codecs and raise
+- **Legacy speech-corpus containers** (late r12): AIFF/AIFF-C (BE PCM,
+  sowt, fl32/fl64, ulaw/alaw — 80-bit extended sample rates), Sun/NeXT
+  AU (all BE PCM widths, floats, G.711), NIST SPHERE (TIMIT/
+  Switchboard: pcm either byte order, µ-law/A-law) — thin headers over
+  the same vectorized PCM/G.711 expansion, each with a matching
+  encoder for oracle rows. SPHERE's embedded-Shorten is gated (a real
+  entropy codec, the FLAC class of work).
+
+MP3/OGG (and Shorten) genuinely need external codecs and raise
 NotImplementedError naming them; inside
 :func:`~.multimodal.extract_audio_stats` that surfaces as
-``decode_ok=false`` per row instead of failing the job.
+``decode_ok=false`` per row instead of failing the job. FLAC decodes
+for real in ``flac.py``.
 """
 
 from __future__ import annotations
@@ -25,6 +34,48 @@ import struct
 from typing import Tuple
 
 import numpy as np
+
+
+def _ulaw_expand(u: np.ndarray) -> np.ndarray:
+    """G.711 µ-law bytes → float64 in [-1, 1] (bias 0x84 companding)."""
+    u = ~np.asarray(u, dtype=np.uint8)
+    sign = np.where(u & 0x80, -1, 1).astype(np.int32)
+    exp = ((u >> 4) & 0x07).astype(np.int32)
+    mant = (u & 0x0F).astype(np.int32)
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return (sign * mag).astype(np.float64) / 32124.0
+
+
+def _alaw_expand(al: np.ndarray) -> np.ndarray:
+    """G.711 A-law bytes → float64 in [-1, 1] (^0x55, sign SET = +)."""
+    al = np.asarray(al, dtype=np.uint8) ^ 0x55
+    sign = np.where(al & 0x80, 1, -1).astype(np.int32)
+    exp = ((al >> 4) & 0x07).astype(np.int32)
+    mant = (al & 0x0F).astype(np.int32)
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return (sign * mag).astype(np.float64) / 32768.0
+
+
+def _ulaw_compress(pcm: np.ndarray) -> np.ndarray:
+    """int32 PCM (16-bit range) → µ-law bytes."""
+    mag = np.abs(pcm)
+    sign = np.where(pcm < 0, 0x80, 0)
+    m = np.minimum(mag, 32635) + 0x84
+    exp = (np.floor(np.log2(m)).astype(np.int32) - 7).clip(0, 7)
+    mant = (m >> (exp + 3)) & 0x0F
+    return ((~(sign | (exp << 4) | mant)) & 0xFF).astype(np.uint8)
+
+
+def _alaw_compress(pcm: np.ndarray) -> np.ndarray:
+    """int32 PCM (16-bit range) → A-law bytes."""
+    mag = np.abs(pcm)
+    sign = np.where(pcm >= 0, 0x80, 0)
+    m = np.minimum(mag, 32767)
+    exp = np.where(
+        m < 256, 0, (np.floor(np.log2(np.maximum(m, 1))).astype(np.int32) - 7).clip(0, 7)
+    )
+    mant = np.where(exp == 0, m >> 4, (m >> (exp + 3)) & 0x0F)
+    return ((sign | (exp << 4) | mant) ^ 0x55).astype(np.uint8)
 
 
 def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
@@ -92,19 +143,9 @@ def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
         else:
             raise NotImplementedError(f"{bits}-bit integer PCM is not a WAV spec width")
     elif audio_format == 7:  # µ-law (G.711 — telephony speech corpora)
-        u = ~np.frombuffer(payload, dtype=np.uint8)
-        sign = np.where(u & 0x80, -1, 1).astype(np.int32)
-        exp = ((u >> 4) & 0x07).astype(np.int32)
-        mant = (u & 0x0F).astype(np.int32)
-        mag = (((mant << 3) + 0x84) << exp) - 0x84
-        x = (sign * mag).astype(np.float64) / 32124.0
+        x = _ulaw_expand(np.frombuffer(payload, dtype=np.uint8))
     elif audio_format == 6:  # A-law (G.711 — note: sign bit SET means positive)
-        al = np.frombuffer(payload, dtype=np.uint8) ^ 0x55
-        sign = np.where(al & 0x80, 1, -1).astype(np.int32)
-        exp = ((al >> 4) & 0x07).astype(np.int32)
-        mant = (al & 0x0F).astype(np.int32)
-        mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
-        x = (sign * mag).astype(np.float64) / 32768.0
+        x = _alaw_expand(np.frombuffer(payload, dtype=np.uint8))
     elif audio_format == 3:  # IEEE float
         dt = "<f4" if bits == 32 else "<f8"
         x = np.frombuffer(payload, dtype=dt).astype(np.float64)
@@ -148,11 +189,19 @@ def decode_audio(data: bytes) -> Tuple[np.ndarray, int]:
 
         x, rate, bps = decode_flac(data)
         return x.astype(np.float64) / float(1 << (bps - 1)), int(rate)
+    if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
+        return decode_aiff(data)
+    if data[:4] == b".snd":
+        return decode_au(data)
+    if data[:8] == b"NIST_1A\n":
+        return decode_sphere(data)
     if data[:3] == b"ID3" or data[:2] in (b"\xff\xfb", b"\xff\xf3"):
         raise NotImplementedError("MP3 decode needs an external codec (e.g. pydub/ffmpeg)")
     if data[:4] == b"OggS":
         raise NotImplementedError("OGG decode needs an external codec (e.g. soundfile)")
-    raise NotImplementedError("unsupported audio magic (RIFF/WAVE and FLAC decode here)")
+    raise NotImplementedError(
+        "unsupported audio magic (RIFF/WAVE, FLAC, AIFF, AU, SPHERE decode here)"
+    )
 
 
 def encode_wav(samples: np.ndarray, rate: int, bits: int = 16) -> bytes:
@@ -184,24 +233,13 @@ def encode_wav_g711(samples: np.ndarray, rate: int, law: str = "ulaw") -> bytes:
         x = x[:, None]
     n_ch = x.shape[1]
     pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int32).reshape(-1)
-    mag = np.abs(pcm)
     if law == "ulaw":
-        sign = np.where(pcm < 0, 0x80, 0)
-        m = np.minimum(mag, 32635) + 0x84
-        exp = (np.floor(np.log2(m)).astype(np.int32) - 7).clip(0, 7)
-        mant = (m >> (exp + 3)) & 0x0F
-        enc = (~(sign | (exp << 4) | mant)) & 0xFF
-        code = 7
+        enc, code = _ulaw_compress(pcm), 7
     elif law == "alaw":
-        sign = np.where(pcm >= 0, 0x80, 0)
-        m = np.minimum(mag, 32767)
-        exp = np.where(m < 256, 0, (np.floor(np.log2(np.maximum(m, 1))).astype(np.int32) - 7).clip(0, 7))
-        mant = np.where(exp == 0, m >> 4, (m >> (exp + 3)) & 0x0F)
-        enc = (sign | (exp << 4) | mant) ^ 0x55
-        code = 6
+        enc, code = _alaw_compress(pcm), 6
     else:
         raise ValueError("law must be 'ulaw' or 'alaw'")
-    payload = enc.astype(np.uint8).tobytes()
+    payload = enc.tobytes()
     fmt = struct.pack("<HHIIHH", code, n_ch, rate, rate * n_ch, n_ch, 8)
     body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(payload)) + payload
@@ -230,3 +268,286 @@ def audio_stats(x: np.ndarray, rate: int) -> dict:
         "zero_crossing_rate": zcr,
         "spectral_centroid_hz": centroid,
     }
+
+
+# ---------------------------------------------------------------------------
+# Legacy speech-corpus containers: AIFF/AIFF-C, Sun/NeXT AU, NIST SPHERE
+# ---------------------------------------------------------------------------
+# The formats the classic LDC-era speech corpora actually ship in
+# (TIMIT/Switchboard: SPHERE; NeXT/Sun recordings: .au; Mac-originated
+# collections: AIFF). All are thin headers over PCM or G.711 payloads,
+# so they reuse the vectorized expansion helpers above; each has a
+# matching encoder so oracle rows can synthesize deterministic files.
+# SPHERE's embedded-Shorten compression is honestly gated (a real
+# entropy codec, same class as the FLAC work — not a header variant).
+
+
+def _parse_extended80(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (AIFF sample rates)."""
+    (se,) = struct.unpack(">H", b[:2])
+    (mant,) = struct.unpack(">Q", b[2:10])
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _pack_extended80(v: float) -> bytes:
+    if v == 0:
+        return b"\x00" * 10
+    import math
+
+    exp = math.floor(math.log2(v))
+    mant = int(v / 2.0**exp * (1 << 63))
+    if mant >= 1 << 64:
+        mant >>= 1
+        exp += 1
+    return struct.pack(">HQ", exp + 16383, mant)
+
+
+def _pcm_be(payload: bytes, bits: int) -> np.ndarray:
+    if bits == 8:  # AIFF 8-bit PCM is SIGNED
+        return np.frombuffer(payload, dtype=np.int8).astype(np.float64) / 128.0
+    if bits == 16:
+        return np.frombuffer(payload, dtype=">i2").astype(np.float64) / 32768.0
+    if bits == 24:
+        raw = np.frombuffer(payload, dtype=np.uint8)
+        raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3).astype(np.int32)
+        val = (raw[:, 0] << 16) | (raw[:, 1] << 8) | raw[:, 2]
+        return np.where(val >= 1 << 23, val - (1 << 24), val).astype(np.float64) / float(
+            1 << 23
+        )
+    if bits == 32:
+        return np.frombuffer(payload, dtype=">i4").astype(np.float64) / float(1 << 31)
+    raise NotImplementedError(f"{bits}-bit big-endian PCM")
+
+
+def decode_aiff(data: bytes) -> Tuple[np.ndarray, int]:
+    """AIFF / AIFF-C → (float64 (n_frames, n_channels), rate).
+    Compression types: NONE (BE PCM 8/16/24/32), sowt (LE 16), fl32 /
+    FL32, fl64, ulaw/ULAW, alaw/ALAW; others raise naming the type."""
+    if data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF/AIFF-C stream")
+    is_aifc = data[8:12] == b"AIFC"
+    pos, comm, payload = 12, None, None
+    comp = b"NONE"
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack(">I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"COMM":
+            n_ch, n_frames, bits = struct.unpack(">hIh", body[:8])
+            rate = _parse_extended80(body[8:18])
+            comm = (n_ch, n_frames, bits, rate)
+            if is_aifc and size >= 22:
+                comp = body[18:22]
+        elif cid == b"SSND":
+            off, _blk = struct.unpack(">II", body[:8])
+            payload = body[8 + off :]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if comm is None or payload is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    n_ch, n_frames, bits, rate = comm
+    n_ch = max(1, n_ch)
+    if comp in (b"NONE", b"twos"):
+        x = _pcm_be(payload, bits)
+    elif comp == b"sowt":  # little-endian PCM (QuickTime)
+        x = np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
+    elif comp in (b"fl32", b"FL32"):
+        x = np.frombuffer(payload, dtype=">f4").astype(np.float64)
+    elif comp in (b"fl64", b"FL64"):
+        x = np.frombuffer(payload, dtype=">f8").astype(np.float64)
+    elif comp in (b"ulaw", b"ULAW"):
+        x = _ulaw_expand(np.frombuffer(payload, dtype=np.uint8))
+    elif comp in (b"alaw", b"ALAW"):
+        x = _alaw_expand(np.frombuffer(payload, dtype=np.uint8))
+    else:
+        raise NotImplementedError(
+            f"AIFF-C compression {comp!r} needs an external codec (e.g. soundfile)"
+        )
+    x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch)
+    return x[:n_frames], int(round(rate))
+
+
+def encode_aiff(
+    samples: np.ndarray, rate: int, bits: int = 16, compression: str = "NONE"
+) -> bytes:
+    """AIFF (NONE, BE PCM 16/8) or AIFF-C (sowt / fl32 / ulaw / alaw)
+    writer for float samples in [-1, 1]."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n_frames, n_ch = x.shape
+    flat = x.reshape(-1)
+    if compression == "NONE":
+        if bits == 16:
+            payload = np.clip(np.round(flat * 32767.0), -32768, 32767).astype(">i2").tobytes()
+        elif bits == 8:
+            payload = np.clip(np.round(flat * 127.0), -128, 127).astype(np.int8).tobytes()
+        else:
+            raise ValueError("AIFF NONE writer supports 8/16-bit")
+    elif compression == "sowt":
+        bits = 16
+        payload = np.clip(np.round(flat * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    elif compression == "fl32":
+        bits = 32
+        payload = flat.astype(">f4").tobytes()
+    elif compression in ("ulaw", "alaw"):
+        pcm = np.clip(np.round(flat * 32767.0), -32768, 32767).astype(np.int32)
+        payload = (_ulaw_compress(pcm) if compression == "ulaw" else _alaw_compress(pcm)).tobytes()
+        bits = 16  # convention: ulaw/alaw COMM records the DECODED width
+    else:
+        raise ValueError(f"unsupported AIFF compression {compression}")
+    is_aifc = compression != "NONE"
+    comm = struct.pack(">hIh", n_ch, n_frames, bits) + _pack_extended80(float(rate))
+    if is_aifc:
+        comm += compression.encode() + b"\x00\x00"  # empty pstring, padded
+    chunks = b""
+    if is_aifc:
+        chunks += b"FVER" + struct.pack(">I", 4) + struct.pack(">I", 0xA2805140)
+    chunks += b"COMM" + struct.pack(">I", len(comm)) + comm
+    if len(comm) & 1:
+        chunks += b"\x00"
+    ssnd = struct.pack(">II", 0, 0) + payload
+    chunks += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    if len(ssnd) & 1:
+        chunks += b"\x00"
+    form_type = b"AIFC" if is_aifc else b"AIFF"
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + form_type + chunks
+
+
+_AU_ENCODINGS = {1: "ulaw", 2: "pcm8", 3: "pcm16", 4: "pcm24", 5: "pcm32", 6: "f32", 7: "f64", 27: "alaw"}
+
+
+def decode_au(data: bytes) -> Tuple[np.ndarray, int]:
+    """Sun/NeXT .au → (float64 (n_frames, n_channels), rate). All PCM
+    widths are big-endian; 8-bit linear is SIGNED (unlike WAV)."""
+    if data[:4] != b".snd":
+        raise ValueError("not an AU stream")
+    off, size, enc, rate, n_ch = struct.unpack(">IIIII", data[4:24])
+    payload = data[off : off + size] if size not in (0, 0xFFFFFFFF) else data[off:]
+    kind = _AU_ENCODINGS.get(enc)
+    if kind == "ulaw":
+        x = _ulaw_expand(np.frombuffer(payload, dtype=np.uint8))
+    elif kind == "alaw":
+        x = _alaw_expand(np.frombuffer(payload, dtype=np.uint8))
+    elif kind == "pcm8":
+        x = np.frombuffer(payload, dtype=np.int8).astype(np.float64) / 128.0
+    elif kind in ("pcm16", "pcm24", "pcm32"):
+        x = _pcm_be(payload, int(kind[3:]))
+    elif kind == "f32":
+        x = np.frombuffer(payload, dtype=">f4").astype(np.float64)
+    elif kind == "f64":
+        x = np.frombuffer(payload, dtype=">f8").astype(np.float64)
+    else:
+        raise NotImplementedError(f"AU encoding {enc} (e.g. G.721/G.723 ADPCM) needs an external codec")
+    n_ch = max(1, n_ch)
+    x = x[: len(x) - len(x) % n_ch]
+    return x.reshape(-1, n_ch), int(rate)
+
+
+def encode_au(samples: np.ndarray, rate: int, encoding: str = "pcm16") -> bytes:
+    """AU writer: pcm16 (BE), pcm8 (signed), ulaw, alaw, f32."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n_ch = x.shape[1]
+    flat = x.reshape(-1)
+    pcm = np.clip(np.round(flat * 32767.0), -32768, 32767).astype(np.int32)
+    if encoding == "pcm16":
+        payload, code = pcm.astype(">i2").tobytes(), 3
+    elif encoding == "pcm8":
+        payload, code = np.clip(np.round(flat * 127.0), -128, 127).astype(np.int8).tobytes(), 2
+    elif encoding == "ulaw":
+        payload, code = _ulaw_compress(pcm).tobytes(), 1
+    elif encoding == "alaw":
+        payload, code = _alaw_compress(pcm).tobytes(), 27
+    elif encoding == "f32":
+        payload, code = flat.astype(">f4").tobytes(), 6
+    else:
+        raise ValueError(f"unsupported AU encoding {encoding}")
+    hdr = b".snd" + struct.pack(">IIIII", 24, len(payload), code, rate, n_ch)
+    return hdr + payload
+
+
+def decode_sphere(data: bytes) -> Tuple[np.ndarray, int]:
+    """NIST SPHERE (TIMIT / Switchboard / LDC) → (float64
+    (n_frames, n_channels), rate). PCM (either byte order, via
+    sample_byte_format 01/10) and µ-law/A-law codings decode;
+    embedded-Shorten raises naming the codec."""
+    if data[:8] != b"NIST_1A\n":
+        raise ValueError("not a NIST SPHERE stream")
+    try:
+        hdr_size = int(data[8:16].decode("ascii").strip())
+    except ValueError as e:
+        raise ValueError("bad SPHERE header size") from e
+    fields = {}
+    for line in data[16:hdr_size].decode("ascii", "replace").split("\n"):
+        parts = line.strip().split(None, 2)
+        if not parts or parts[0] == "end_head":
+            break
+        if len(parts) == 3 and parts[1].startswith("-"):
+            fields[parts[0]] = parts[2]
+    n_ch = int(fields.get("channel_count", 1))
+    rate = int(fields.get("sample_rate", 8000))
+    n_bytes = int(fields.get("sample_n_bytes", 2))
+    coding = fields.get("sample_coding", "pcm")
+    byte_fmt = fields.get("sample_byte_format", "01")
+    n_samples = int(fields.get("sample_count", 0)) or None
+    payload = data[hdr_size:]
+    if "shorten" in coding:
+        raise NotImplementedError(
+            "SPHERE embedded-Shorten needs a Shorten codec (e.g. sph2pipe)"
+        )
+    if coding.startswith("pcm"):
+        if n_bytes == 2:
+            dt = "<i2" if byte_fmt == "01" else ">i2"
+            x = np.frombuffer(payload, dtype=dt).astype(np.float64) / 32768.0
+        elif n_bytes == 1:
+            x = (np.frombuffer(payload, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        else:
+            raise NotImplementedError(f"SPHERE pcm sample_n_bytes={n_bytes}")
+    elif coding.startswith("ulaw") or coding.startswith("mu-law"):
+        x = _ulaw_expand(np.frombuffer(payload, dtype=np.uint8))
+    elif coding.startswith("alaw"):
+        x = _alaw_expand(np.frombuffer(payload, dtype=np.uint8))
+    else:
+        raise NotImplementedError(f"SPHERE sample_coding {coding!r}")
+    x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch)
+    if n_samples is not None:
+        x = x[:n_samples]
+    return x, rate
+
+
+def encode_sphere(
+    samples: np.ndarray, rate: int, coding: str = "pcm", byte_format: str = "01"
+) -> bytes:
+    """SPHERE writer: pcm16 (01=LE / 10=BE) or ulaw, 1024-byte padded
+    ASCII header — the layout sph2pipe emits."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n_frames, n_ch = x.shape
+    flat = x.reshape(-1)
+    pcm = np.clip(np.round(flat * 32767.0), -32768, 32767).astype(np.int32)
+    if coding == "pcm":
+        payload = pcm.astype("<i2" if byte_format == "01" else ">i2").tobytes()
+        n_bytes = 2
+    elif coding == "ulaw":
+        payload, n_bytes, byte_format = _ulaw_compress(pcm).tobytes(), 1, "1"
+    else:
+        raise ValueError(f"unsupported SPHERE coding {coding}")
+    lines = [
+        "NIST_1A",
+        "   1024",
+        f"channel_count -i {n_ch}",
+        f"sample_count -i {n_frames}",
+        f"sample_rate -i {rate}",
+        f"sample_n_bytes -i {n_bytes}",
+        f"sample_byte_format -s{len(byte_format)} {byte_format}",
+        f"sample_coding -s{len(coding)} {coding}",
+        "end_head",
+    ]
+    hdr = ("\n".join(lines) + "\n").encode("ascii")
+    return hdr + b" " * (1024 - len(hdr)) + payload

@@ -256,6 +256,56 @@ def probe_media(data: bytes) -> Dict[str, Any]:
             "container": "flac", "kind": "audio", "sample_rate": rate, "channels": channels,
             "duration_ms": int(total * 1000 / rate) if rate and total else None, "decodable": True,
         }
+    if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
+        # COMM: channels, frames, bits, 80-bit rate (+AIFC compression);
+        # routing mirrors decode_aiff's compression set exactly
+        pos, out = 12, {"container": "aiff", "kind": "audio", "decodable": False}
+        is_aifc = data[8:12] == b"AIFC"
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            (size,) = struct.unpack_from(">I", data, pos + 4)
+            if cid == b"COMM":
+                n_ch, n_frames, _bits = struct.unpack_from(">hIh", data, pos + 8)
+                se, mant = struct.unpack_from(">HQ", data, pos + 16)
+                rate = int(mant * 2.0 ** ((se & 0x7FFF) - 16383 - 63)) if mant else 0
+                comp = bytes(data[pos + 26 : pos + 30]) if (is_aifc and size >= 22) else b"NONE"
+                out.update(
+                    sample_rate=rate or None,
+                    channels=n_ch,
+                    duration_ms=int(n_frames * 1000 / rate) if rate else None,
+                    decodable=comp
+                    in (b"NONE", b"twos", b"sowt", b"fl32", b"FL32", b"fl64", b"FL64",
+                        b"ulaw", b"ULAW", b"alaw", b"ALAW"),
+                )
+            pos += 8 + size + (size & 1)
+        return out
+    if data[:4] == b".snd" and len(data) >= 24:
+        off, size, enc, rate, n_ch = struct.unpack_from(">IIIII", data, 4)
+        bpf = {1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 6: 4, 7: 8, 27: 1}.get(enc)
+        n_bytes = size if size not in (0, 0xFFFFFFFF) else max(len(data) - off, 0)
+        dur = int(n_bytes / (bpf * max(n_ch, 1)) * 1000 / rate) if bpf and rate else None
+        return {
+            "container": "au", "kind": "audio", "sample_rate": rate, "channels": n_ch,
+            "duration_ms": dur, "decodable": bpf is not None,
+        }
+    if data[:8] == b"NIST_1A\n":
+        fields = {}
+        for line in data[16:1024].decode("ascii", "replace").split("\n"):
+            parts = line.strip().split(None, 2)
+            if not parts or parts[0] == "end_head":
+                break
+            if len(parts) == 3:
+                fields[parts[0]] = parts[2]
+        rate = int(fields.get("sample_rate", 0) or 0)
+        n = int(fields.get("sample_count", 0) or 0)
+        coding = fields.get("sample_coding", "pcm")
+        return {
+            "container": "sphere", "kind": "audio", "sample_rate": rate or None,
+            "channels": int(fields.get("channel_count", 1) or 1),
+            "duration_ms": int(n * 1000 / rate) if rate and n else None,
+            "decodable": "shorten" not in coding
+            and (coding.startswith(("pcm", "ulaw", "mu-law", "alaw"))),
+        }
     if data[:3] == b"ID3" or (len(data) > 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0):
         return _probe_mp3(data)
     if data[:4] == b"OggS":

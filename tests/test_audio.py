@@ -253,3 +253,111 @@ def test_adpcm_block_independence_and_guards():
         decode_ima_adpcm(payload, 1, 5)
     with pytest.raises(ValueError, match="codec"):
         encode_wav_adpcm(np.zeros(10), 8000, codec="gsm")
+
+
+# --- legacy speech-corpus containers (late r12): AIFF / AU / SPHERE ---
+
+from iceberg_python_spark.operators.audio import (  # noqa: E402
+    decode_aiff,
+    decode_au,
+    decode_audio,
+    decode_sphere,
+    encode_aiff,
+    encode_au,
+    encode_sphere,
+)
+
+
+def _ctone(n=800, rate=8000, ch=1, seed=7):
+    r = np.random.default_rng(seed)
+    t = np.arange(n) / rate
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)[:, None] + 0.02 * r.standard_normal((n, ch))
+    return np.clip(x[:, :ch] if ch > 1 else x[:, :1], -1, 1)
+
+
+def test_aiff_roundtrips_all_compressions():
+    x = _ctone(ch=2)
+    for comp, tol in [("NONE", 2 / 32768), ("sowt", 2 / 32768), ("fl32", 1e-7),
+                      ("ulaw", 0.04), ("alaw", 0.04)]:
+        data = encode_aiff(x, 8000, compression=comp)
+        y, rate = decode_audio(data)  # exercises the magic dispatch too
+        assert rate == 8000 and y.shape == x.shape, comp
+        assert np.max(np.abs(y - x)) <= tol, comp
+    mono8 = encode_aiff(_ctone(ch=1), 8000, bits=8)
+    y, _ = decode_aiff(mono8)
+    assert np.max(np.abs(y - _ctone(ch=1))) <= 2 / 128
+
+
+def test_aiff_extended80_rate_and_foreign_gate():
+    # 44100 and 8000 both round-trip through the 80-bit extended field
+    for rate in (8000, 44100, 96000):
+        data = encode_aiff(_ctone(), rate)
+        _, got = decode_aiff(data)
+        assert got == rate
+    # unknown AIFC compression refuses loudly
+    bad = bytearray(encode_aiff(_ctone(), 8000, compression="sowt"))
+    i = bytes(bad).find(b"sowt")
+    bad[i : i + 4] = b"ima4"
+    with pytest.raises(NotImplementedError, match="ima4"):
+        decode_aiff(bytes(bad))
+
+
+def test_au_roundtrips_and_signed_8bit():
+    x = _ctone(ch=2)
+    for enc, tol in [("pcm16", 2 / 32768), ("pcm8", 2 / 128), ("f32", 1e-7),
+                     ("ulaw", 0.04), ("alaw", 0.04)]:
+        data = encode_au(x, 16000, encoding=enc)
+        y, rate = decode_audio(data)
+        assert rate == 16000 and y.shape == x.shape, enc
+        assert np.max(np.abs(y - x)) <= tol, enc
+    # hand-built foreign header: G.721 ADPCM (encoding 23) must gate
+    hdr = b".snd" + np.array([24, 4, 23, 8000, 1], dtype=">u4").tobytes() + b"\x00" * 4
+    with pytest.raises(NotImplementedError, match="AU encoding 23"):
+        decode_au(hdr)
+
+
+def test_sphere_roundtrips_both_orders_and_shorten_gate():
+    x = _ctone()
+    for bf in ("01", "10"):
+        data = encode_sphere(x, 16000, coding="pcm", byte_format=bf)
+        y, rate = decode_audio(data)
+        assert rate == 16000 and np.max(np.abs(y - x)) <= 2 / 32768
+    ul = encode_sphere(x, 8000, coding="ulaw")
+    y, rate = decode_sphere(ul)
+    assert rate == 8000 and np.max(np.abs(y - x)) <= 0.04
+    # TIMIT-style shorten coding gates with the codec named
+    hdr = (
+        "NIST_1A\n   1024\nsample_rate -i 16000\n"
+        "sample_coding -s26 pcm,embedded-shorten-v2.00\nend_head\n"
+    ).encode()
+    blob = hdr + b" " * (1024 - len(hdr)) + b"\x00" * 64
+    with pytest.raises(NotImplementedError, match="[Ss]horten"):
+        decode_sphere(blob)
+
+
+def test_container_probes_match_decoders():
+    """probe_media's decodable flag and header metadata agree with the
+    decoders for every container × coding combination."""
+    from iceberg_python_spark.operators.probe import probe_media
+
+    x = _ctone(n=1600, ch=2)
+    cases = [
+        ("aiff", encode_aiff(x, 8000, compression="NONE")),
+        ("aiff", encode_aiff(x, 8000, compression="ulaw")),
+        ("au", encode_au(x, 16000, encoding="alaw")),
+        ("sphere", encode_sphere(x, 16000)),
+    ]
+    for container, blob in cases:
+        p = probe_media(blob)
+        assert p["container"] == container and p["kind"] == "audio"
+        assert p["decodable"] is True
+        assert p["channels"] == 2
+        y, rate = decode_audio(blob)
+        assert p["sample_rate"] == rate
+        assert abs(p["duration_ms"] - len(y) * 1000 / rate) <= 1
+    # gated codings probe decodable=False but still carry metadata
+    bad = bytearray(encode_aiff(x, 8000, compression="sowt"))
+    i = bytes(bad).find(b"sowt")
+    bad[i : i + 4] = b"ima4"
+    p = probe_media(bytes(bad))
+    assert p["decodable"] is False and p["sample_rate"] == 8000
