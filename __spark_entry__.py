@@ -3711,12 +3711,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DOCUMENTED OVERFLOW, they MUST lead r13 — then the 45 r11-greened
     # rows (age 1). The committed full-registry sweep at final state
     # remains the compensating evidence.
-    # r12 post-window fold: the seven per-doc text rows merged into
-    # text_perdoc_combined (registry 130 → 124). The combined row is
-    # CODE-CHANGED and must earn driver evidence in the r13 window
-    # alongside the 29-row overflow; its seven parents leave the
-    # rotation ledger (their columns are all still hash-matched inside
-    # the fold, re-verified in the final-state sweep).
+    # r12 post-window additions (all MUST lead r13 alongside the
+    # 29-row overflow): text_perdoc_combined (fold of the seven
+    # per-doc text rows, registry 130 → 124; its parents leave the
+    # ledger — every column still hash-matched inside the fold),
+    # bm25_topk, hll_sketch_invariants, bpe_roundtrip,
+    # multimodal_audio_containers (new operators earning first driver
+    # evidence; registry → 128). All verified in the final-state
+    # full-registry sweep.
     return {
         name: wrap(fn)
         for name, fn in {
