@@ -3377,19 +3377,28 @@ def _q_multimodal_tiff_decode(spark, env):
 
 
 def _q_probe_media_corpus(spark, env):
-    # r12: header-only media probing over a MIXED corpus — the routing
-    # layer a 100 TB curation pass runs before any decode. Seven
-    # containers cycle by doc_id % 7 (PNG, JPEG 4:2:0, 2-frame GIF,
-    # WebP-lossless, TIFF-LZW, PCM WAV, and a CBR MP3 whose decode is
-    # honestly gated). Claims from the probe output only: every
-    # payload probes, image dims match the generating formula, audio
-    # duration is byte-rate exact, the GIF frame count is counted
-    # without LZW decode, and decodable routing matches the engine's
-    # decoder surface (6 in-engine containers true, MP3 false).
+    # r12 (late-r12 reshape): header-only media probing over a MIXED
+    # corpus — the routing layer a 100 TB curation pass runs before
+    # any decode. TEN containers cycle by doc_id % 10: PNG, JPEG
+    # 4:2:0, 2-frame GIF, WebP-lossless, TIFF-LZW, PCM WAV, CBR MP3,
+    # MP4/ISO-BMFF (tkhd dims + stsd codec, alternating 32/64-bit
+    # mvhd), WebM (EBML walk), and a VBR MP3 whose Xing frame count —
+    # not the byte-rate estimate, wrong by construction — gives the
+    # exact duration. Claims from the probe output only: every payload
+    # probes, image AND video dims match the generating formula, audio
+    # durations are exact (byte-rate, mvhd, EBML Duration, Xing), the
+    # GIF frame count is counted without LZW decode, codec fourcc /
+    # CodecID surface, and decodable routing matches the engine's
+    # decoder surface (6 in-engine containers true, 4 gated false).
     import numpy as np
     import pandas as pd
 
     from iceberg_python_spark.operators.audio import encode_wav
+    from iceberg_python_spark.operators.containers import (
+        synthesize_mp3,
+        synthesize_mp4,
+        synthesize_webm,
+    )
     from iceberg_python_spark.operators.gif import encode_gif
     from iceberg_python_spark.operators.imaging import encode_png
     from iceberg_python_spark.operators.jpeg import encode_jpeg
@@ -3406,7 +3415,7 @@ def _q_probe_media_corpus(spark, env):
         for pdf in batches:
             payloads = []
             for d in pdf["doc_id"].astype(int):
-                k, variant = int(d) % 53, int(d) % 7
+                k, variant = int(d) % 53, int(d) % 10
                 rng = np.random.default_rng(k)
                 h, w = 16 + (k % 5), 20 + (k % 3)
                 img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
@@ -3425,10 +3434,24 @@ def _q_probe_media_corpus(spark, env):
                 elif variant == 5:
                     t = np.arange(2000) / 8000.0
                     enc = encode_wav(0.5 * np.sin(2 * np.pi * 440 * t), 8000)
-                else:
+                elif variant == 6:
                     # MPEG1 Layer III CBR 128 kbps 44.1 kHz: 16 000
                     # bytes of frame payload = exactly 1000 ms
                     enc = b"\xff\xfb\x90\x00" + b"\x00" * 16000
+                elif variant == 7:
+                    enc = synthesize_mp4(
+                        500 + k * 10, width=w, height=h, codec=b"avc1",
+                        mvhd_version=k % 2, seed=k,
+                    )
+                elif variant == 8:
+                    enc = synthesize_webm(
+                        700 + k * 10, width=w, height=h, codec_id=b"V_VP9", seed=k,
+                    )
+                else:
+                    enc = synthesize_mp3(
+                        50 + k, vbr=True, mono=k % 2 == 0,
+                        id3_bytes=64 if k % 3 else 0,
+                    )
                 payloads.append(enc)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
@@ -3436,7 +3459,7 @@ def _q_probe_media_corpus(spark, env):
     stats = probe_media_stats(media, "doc_id", "payload")
     j = (
         stats.withColumn("key", F.col("id") % 53)
-        .withColumn("variant", F.col("id") % 7)
+        .withColumn("variant", F.col("id") % 10)
         .withColumn("exp_h", (F.lit(16) + F.col("key") % 5).cast("int"))
         .withColumn("exp_w", (F.lit(20) + F.col("key") % 3).cast("int"))
     )
@@ -3446,19 +3469,31 @@ def _q_probe_media_corpus(spark, env):
         F.min("probe_ok").alias("all_probed"),
         F.min(
             F.when(
-                F.col("variant") < 5,
+                (F.col("variant") < 5) | F.col("variant").isin(7, 8),
                 (F.col("width") == F.col("exp_w")) & (F.col("height") == F.col("exp_h")),
             ).otherwise(F.lit(True))
         ).alias("dims_ok"),
         F.min(
             F.when(F.col("variant") == 5, F.col("duration_ms") == 250)
             .when(F.col("variant") == 6, F.col("duration_ms") == 1000)
+            .when(F.col("variant") == 7, F.col("duration_ms") == 500 + F.col("key") * 10)
+            .when(F.col("variant") == 8, F.col("duration_ms") == 700 + F.col("key") * 10)
+            .when(
+                F.col("variant") == 9,
+                F.col("duration_ms")
+                == F.floor((50 + F.col("key")) * 1152 * 1000 / 44100),
+            )
             .otherwise(F.lit(True))
         ).alias("duration_ok"),
         F.min(
             F.when(F.col("variant") == 2, F.col("n_frames") == 2).otherwise(F.lit(True))
         ).alias("frames_ok"),
-        F.min(F.col("decodable") == (F.col("variant") != 6)).alias("routing_ok"),
+        F.min(
+            F.when(F.col("variant") == 7, F.col("codec") == "avc1")
+            .when(F.col("variant") == 8, F.col("codec") == "V_VP9")
+            .otherwise(F.lit(True))
+        ).alias("codec_ok"),
+        F.min(F.col("decodable") == (F.col("variant") <= 5)).alias("routing_ok"),
     )
 
 
@@ -4306,10 +4341,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id < 300"
         ),
         "probe_media_corpus": (
+            # 10 variants, 9 distinct container strings (the CBR and
+            # VBR MP3 variants both probe as 'mp3')
             "SELECT CAST(count(*) AS BIGINT) AS n_payloads, "
-            "CAST(count(DISTINCT doc_id % 7) AS BIGINT) AS n_containers, "
+            "CAST(count(DISTINCT CASE WHEN doc_id % 10 = 9 THEN 6 "
+            "ELSE doc_id % 10 END) AS BIGINT) AS n_containers, "
             "true AS all_probed, true AS dims_ok, true AS duration_ok, "
-            "true AS frames_ok, true AS routing_ok "
+            "true AS frames_ok, true AS codec_ok, true AS routing_ok "
             "FROM documents WHERE doc_id < 350"
         ),
         "multimodal_gif_decode": (

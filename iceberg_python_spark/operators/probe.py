@@ -11,10 +11,13 @@ public format specs):
   descriptor + frame count), WebP (VP8L/VP8/VP8X dims), BMP, TIFF
   (first-IFD tags + page count), PPM/PGM
 - audio: WAV (fmt/data chunks), FLAC (STREAMINFO), MP3 (first MPEG
-  frame header after ID3 — bitrate/rate/channels + a CBR duration
-  estimate), OGG (id header rate + terminal-page granule duration)
-- video: Y4M (header + frame count), MP4 (moov/mvhd timescale +
-  duration), AVI (avih), WebM/MKV (container only)
+  frame header after ID3 — bitrate/rate/channels + the Xing/Info/VBRI
+  frame count when present, else a CBR duration estimate), OGG (id
+  header rate + terminal-page granule duration)
+- video: Y4M (header + frame count), MP4/ISO-BMFF (mvhd duration,
+  tkhd 16.16 dims, stsd codec fourcc + audio rate/channels), AVI
+  (avih), WebM/MKV (EBML walk: Info duration x TimestampScale,
+  TrackEntry CodecID, Video PixelWidth/Height, Audio rate/channels)
 
 Every result says whether a FULL decode is available in-engine
 (``decodable``) or needs an external codec — so a pipeline can route
@@ -28,7 +31,7 @@ per payload, per-row error capture).
 from __future__ import annotations
 
 import struct
-from typing import Any, Dict, Iterator, Optional
+from typing import Any, Dict, Iterator, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -54,9 +57,28 @@ def _probe_mp3(data: bytes) -> Dict[str, Any]:
             if version == 3 and layer == 1 and 0 < br_idx < 15 and sr_idx < 3:
                 bitrate = _MP3_BITRATES[br_idx] * 1000
                 rate = _MP3_RATES[sr_idx]
-                channels = 1 if ((b3 >> 6) & 3) == 3 else 2
-                # CBR estimate over the audio bytes that remain
-                dur_ms = int((len(data) - pos) * 8000 / bitrate)
+                mono = ((b3 >> 6) & 3) == 3
+                channels = 1 if mono else 2
+                # VBR files carry the true frame count in a Xing/Info
+                # (or Fraunhofer VBRI) header inside the FIRST frame —
+                # the per-frame bitrate varies, so the CBR byte-count
+                # estimate can be arbitrarily wrong without it. The
+                # tag sits after the side info (MPEG1: 17 bytes mono,
+                # 32 stereo); VBRI is always at 32 past the side-info
+                # start. 1152 samples per MPEG1 Layer III frame.
+                dur_ms = None
+                xing_off = pos + 4 + (17 if mono else 32)
+                if data[xing_off : xing_off + 4] in (b"Xing", b"Info"):
+                    (flags,) = struct.unpack_from(">I", data, xing_off + 4)
+                    if flags & 1:  # frames field present
+                        (n_frames,) = struct.unpack_from(">I", data, xing_off + 8)
+                        dur_ms = int(n_frames * 1152 * 1000 / rate)
+                elif data[pos + 4 + 32 : pos + 4 + 36] == b"VBRI":
+                    (n_frames,) = struct.unpack_from(">I", data, pos + 4 + 32 + 14)
+                    dur_ms = int(n_frames * 1152 * 1000 / rate)
+                if dur_ms is None:
+                    # CBR estimate over the audio bytes that remain
+                    dur_ms = int((len(data) - pos) * 8000 / bitrate)
                 return {
                     "container": "mp3", "kind": "audio", "sample_rate": rate,
                     "channels": channels, "duration_ms": dur_ms, "decodable": False,
@@ -94,35 +116,156 @@ def _probe_ogg(data: bytes) -> Dict[str, Any]:
 
 
 def _probe_mp4(data: bytes) -> Dict[str, Any]:
-    # top-level box walk for moov/mvhd (timescale + duration)
-    dur_ms = None
-    pos = 0
+    # ISO-BMFF box walk (ISO/IEC 14496-12): mvhd carries timescale +
+    # duration; each trak's tkhd carries 16.16 fixed-point presentation
+    # dims; the sample-description (stsd) fourcc names the codec and,
+    # for audio entries, embeds channel count + 16.16 sample rate.
+    # Only the listed MASTER boxes recurse — mdat is skipped by size.
+    out: Dict[str, Any] = {
+        "container": "mp4", "kind": "video", "duration_ms": None, "decodable": False,
+    }
+    masters = (b"moov", b"trak", b"mdia", b"minf", b"stbl")
+    saw_video = saw_audio = False
 
-    def walk(start: int, end: int, depth: int) -> Optional[int]:
+    def walk(start: int, end: int, depth: int) -> None:
+        nonlocal saw_video, saw_audio
         p = start
         while p + 8 <= end:
             (size,) = struct.unpack_from(">I", data, p)
             btype = data[p + 4 : p + 8]
+            body = p + 8
             if size == 1:
                 (size,) = struct.unpack_from(">Q", data, p + 8)
+                body = p + 16
+            elif size == 0:  # box extends to end of file
+                size = end - p
             if size < 8:
                 break
             if btype == b"mvhd":
-                ver = data[p + 8]
+                ver = data[body]
                 if ver == 1:
-                    ts, dur = struct.unpack_from(">IQ", data, p + 8 + 20)
+                    ts, dur = struct.unpack_from(">IQ", data, body + 20)
                 else:
-                    ts, dur = struct.unpack_from(">II", data, p + 8 + 12)
-                return int(dur * 1000 / ts) if ts else None
-            if btype == b"moov" and depth < 2:
-                got = walk(p + 8, min(p + size, end), depth + 1)
-                if got is not None:
-                    return got
+                    ts, dur = struct.unpack_from(">II", data, body + 12)
+                if ts:
+                    out["duration_ms"] = int(dur * 1000 / ts)
+            elif btype == b"tkhd":
+                ver = data[body]
+                # v0: 4(ver/flags)+4+4+4+4+4 then 8+2+2+2+2+36; v1 has
+                # 64-bit create/modify/duration (+12 bytes total)
+                woff = body + (84 if ver == 0 else 96) - 8
+                w = struct.unpack_from(">I", data, woff)[0] >> 16
+                h = struct.unpack_from(">I", data, woff + 4)[0] >> 16
+                if w and h:
+                    out.setdefault("width", w)
+                    out.setdefault("height", h)
+            elif btype == b"hdlr":
+                handler = data[body + 8 : body + 12]
+                saw_video = saw_video or handler == b"vide"
+                saw_audio = saw_audio or handler == b"soun"
+            elif btype == b"stsd":
+                # fullbox(4) + entry_count(4), then the first entry:
+                # size(4) + format fourcc(4) + body
+                fourcc = data[body + 12 : body + 16]
+                entry = body + 16
+                if fourcc in (b"mp4a", b"alac", b"ac-3", b"ec-3", b"Opus", b"fLaC"):
+                    # AudioSampleEntry: 6 reserved + 2 dref + 8 reserved
+                    # + 2 channels + 2 samplesize + 4 + 4 rate(16.16)
+                    n_ch, = struct.unpack_from(">H", data, entry + 16)
+                    rate = struct.unpack_from(">I", data, entry + 24)[0] >> 16
+                    out.setdefault("channels", n_ch or None)
+                    out.setdefault("sample_rate", rate or None)
+                    out.setdefault("codec", fourcc.decode("ascii", "replace").strip())
+                else:
+                    # a video sample entry's fourcc outranks audio
+                    out["codec"] = fourcc.decode("ascii", "replace").strip()
+            elif btype in masters and depth < 5:
+                walk(body, min(p + size, end), depth + 1)
             p += size
-        return None
 
-    dur_ms = walk(0, len(data), 0)
-    return {"container": "mp4", "kind": "video", "duration_ms": dur_ms, "decodable": False}
+    walk(0, len(data), 0)
+    out["kind"] = "video" if (saw_video or "width" in out or not saw_audio) else "audio"
+    return out
+
+
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool) -> Tuple[int, int]:
+    """Read one EBML variable-length integer at ``pos``; returns
+    (value, next_pos). Element IDs keep the length-marker bit (the
+    spec's notation); sizes clear it. A size of all ones means
+    "unknown" and is returned as -1."""
+    first = data[pos]
+    if first == 0:
+        raise ValueError("corrupt EBML: zero vint marker")
+    n = 8 - first.bit_length()  # leading zeros => n+1 total bytes
+    val = first if keep_marker else first & ((1 << (7 - n)) - 1)
+    all_ones = not keep_marker and val == (1 << (7 - n)) - 1
+    for b in data[pos + 1 : pos + 1 + n]:
+        val = (val << 8) | b
+        all_ones = all_ones and b == 0xFF
+    return (-1 if all_ones else val), pos + 1 + n
+
+
+_EBML_MASTERS = {0x1A45DFA3, 0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0, 0xE1}
+
+
+def _probe_mkv(data: bytes) -> Dict[str, Any]:
+    # Matroska/WebM EBML walk (RFC 8794 + the Matroska element IDs):
+    # Info carries TimestampScale (ns/tick, default 10^6) + Duration
+    # (float, ticks); each TrackEntry carries TrackType, CodecID, and
+    # a Video{PixelWidth,PixelHeight} or Audio{SamplingFrequency,
+    # Channels} child. Clusters are skipped by size; unknown-size
+    # master elements (live-muxed Segments) extend to the parent end.
+    out: Dict[str, Any] = {"container": "mkv", "kind": "video", "decodable": False}
+    ts_scale, dur_ticks = 1_000_000, None
+    saw_video = saw_audio = False
+    track_type = None
+
+    def walk(start: int, end: int, depth: int) -> None:
+        nonlocal ts_scale, dur_ticks, saw_video, saw_audio, track_type
+        pos = start
+        while pos + 2 <= end:
+            eid, p = _ebml_vint(data, pos, keep_marker=True)
+            size, body = _ebml_vint(data, p, keep_marker=False)
+            nxt = end if size < 0 else min(body + size, end)
+            if eid == 0x4282:  # DocType
+                doc = data[body:nxt].decode("ascii", "replace")
+                if doc == "webm":
+                    out["container"] = "webm"
+            elif eid == 0x2AD7B1:
+                ts_scale = int.from_bytes(data[body:nxt], "big")
+            elif eid == 0x4489:
+                dur_ticks = struct.unpack_from(
+                    ">f" if nxt - body == 4 else ">d", data, body
+                )[0]
+            elif eid == 0x83:  # TrackType: 1=video, 2=audio
+                track_type = int.from_bytes(data[body:nxt], "big")
+                saw_video = saw_video or track_type == 1
+                saw_audio = saw_audio or track_type == 2
+            elif eid == 0x86:  # CodecID — the video track's wins
+                codec = data[body:nxt].decode("ascii", "replace").rstrip("\x00")
+                if track_type == 1 or "codec" not in out:
+                    out["codec"] = codec
+            elif eid == 0xB0:
+                out["width"] = int.from_bytes(data[body:nxt], "big")
+            elif eid == 0xBA:
+                out["height"] = int.from_bytes(data[body:nxt], "big")
+            elif eid == 0xB5:
+                out["sample_rate"] = int(
+                    struct.unpack_from(">f" if nxt - body == 4 else ">d", data, body)[0]
+                )
+            elif eid == 0x9F:
+                out["channels"] = int.from_bytes(data[body:nxt], "big")
+            elif eid in _EBML_MASTERS and depth < 5:
+                walk(body, nxt, depth + 1)
+            if size < 0:
+                break  # unknown-size non-master: cannot resync
+            pos = body + size
+
+    walk(0, len(data), 0)
+    if dur_ticks is not None:
+        out["duration_ms"] = int(dur_ticks * ts_scale / 1_000_000)
+    out["kind"] = "audio" if (saw_audio and not saw_video) else "video"
+    return out
 
 
 def _gif_frame_count(data: bytes) -> int:
@@ -330,7 +473,7 @@ def probe_media(data: bytes) -> Dict[str, Any]:
     if len(data) > 12 and data[4:8] == b"ftyp":
         return _probe_mp4(data)
     if data[:4] == b"\x1a\x45\xdf\xa3":
-        return {"container": "webm/mkv", "kind": "video", "decodable": False}
+        return _probe_mkv(data)
     if data[:2] == b"BM":
         w, h = struct.unpack_from("<ii", data, 18)
         (bmp_bpp,) = struct.unpack_from("<H", data, 28)
@@ -371,6 +514,7 @@ PROBE_SCHEMA = T.StructType(
         T.StructField("sample_rate", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
         T.StructField("n_frames", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
         T.StructField("decodable", T.BooleanType()),
         T.StructField("probe_ok", T.BooleanType()),
         T.StructField("error", T.StringType()),
@@ -391,7 +535,8 @@ def probe_media_stats(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
                     "id": int(i), "n_bytes": len(b) if b is not None else 0,
                     "container": None, "kind": None, "width": None, "height": None,
                     "duration_ms": None, "sample_rate": None, "channels": None,
-                    "n_frames": None, "decodable": None, "probe_ok": False, "error": None,
+                    "n_frames": None, "codec": None, "decodable": None,
+                    "probe_ok": False, "error": None,
                 }
                 try:
                     meta = probe_media(bytes(b))

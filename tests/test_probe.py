@@ -172,3 +172,75 @@ def test_probe_wav_extensible_routes_on_subformat():
     assert probe_media(alien)["decodable"] is False
     with pytest.raises(NotImplementedError):
         decode_wav(alien)
+
+
+# ---------------------------------------------------------------------------
+# r12 late: ISO-BMFF / EBML / MP3-VBR container probes (headers real,
+# media payloads junk — synthesized by operators/containers.py)
+# ---------------------------------------------------------------------------
+
+from iceberg_python_spark.operators.containers import (  # noqa: E402
+    synthesize_mp3,
+    synthesize_mp4,
+    synthesize_webm,
+)
+
+
+def test_probe_mp4_video_dims_and_codec():
+    for ver in (0, 1):  # 32- and 64-bit mvhd layouts
+        got = probe_media(synthesize_mp4(5500, width=640, height=360,
+                                         codec=b"avc1", mvhd_version=ver))
+        assert got["container"] == "mp4" and got["kind"] == "video"
+        assert (got["width"], got["height"]) == (640, 360)
+        assert got["duration_ms"] == 5500 and got["codec"] == "avc1"
+        assert got["decodable"] is False  # H.264 needs an external codec
+
+
+def test_probe_mp4_audio_only_is_m4a_shaped():
+    got = probe_media(synthesize_mp4(3000, sample_rate=44100, channels=2))
+    assert got["kind"] == "audio" and "width" not in got
+    assert got["sample_rate"] == 44100 and got["channels"] == 2
+    assert got["duration_ms"] == 3000 and got["codec"] == "mp4a"
+
+
+def test_probe_webm_ebml_walk():
+    got = probe_media(synthesize_webm(12345, width=1280, height=720,
+                                      codec_id=b"V_VP9"))
+    assert got["container"] == "webm" and got["kind"] == "video"
+    assert (got["width"], got["height"]) == (1280, 720)
+    assert got["duration_ms"] == 12345 and got["codec"] == "V_VP9"
+    # non-default TimestampScale: duration_ms must rescale
+    got = probe_media(synthesize_webm(8000, width=64, height=48,
+                                      timestamp_scale_ns=500_000))
+    assert got["duration_ms"] == 8000
+
+
+def test_probe_mkv_audio_unknown_segment_size():
+    """Live-muxed Matroska writes an all-ones Segment size; the walk
+    must treat it as to-end-of-file, not stop at the Segment."""
+    got = probe_media(synthesize_webm(
+        4000, sample_rate=48000, channels=1, codec_id=b"A_OPUS",
+        doc_type=b"matroska", unknown_segment_size=True))
+    assert got["container"] == "mkv" and got["kind"] == "audio"
+    assert got["sample_rate"] == 48000 and got["channels"] == 1
+    assert got["duration_ms"] == 4000 and got["codec"] == "A_OPUS"
+
+
+def test_probe_mp3_xing_beats_cbr_estimate():
+    """A VBR file's CBR byte estimate is wrong by construction; the
+    Xing frame count gives the exact duration. Mono moves the tag to
+    the 17-byte side-info offset."""
+    for mono in (False, True):
+        n = 200
+        payload = synthesize_mp3(n, vbr=True, mono=mono, id3_bytes=128)
+        got = probe_media(payload)
+        true_ms = n * 1152 * 1000 // 44100
+        assert got["duration_ms"] == true_ms
+        assert got["channels"] == (1 if mono else 2)
+        # the CBR estimate over these bytes would NOT be the truth
+        first_frame_br = 128_000
+        cbr_ms = (len(payload) - 128) * 8000 // first_frame_br
+        assert abs(cbr_ms - true_ms) > 500
+    # plain CBR still estimates from the byte count
+    got = probe_media(synthesize_mp3(100, bitrate_kbps=64, rate=32000, mono=True))
+    assert got["duration_ms"] == 100 * 1152 * 1000 // 32000
