@@ -3678,6 +3678,101 @@ def _q_hll_sketch_invariants(spark, env):
     )
 
 
+def _q_tdigest_quantile_invariants(spark, env):
+    # late r12: mergeable t-digest quantile sketches as TABLES — the
+    # fourth sketch-family member (Bloom membership / CMS frequency /
+    # HLL distinct / t-digest rank). Claims per l_returnflag group:
+    # (a) every probe quantile of l_extendedprice answers within 1%
+    # rank error of exact, where rank error is measured EXACTLY in
+    # Spark against the raw data (distance from q to the estimate's
+    # tie-interval [count(<est), count(<=est)]/n); (b) the same bound
+    # holds for a MERGE of three per-batch digests (the algebra that
+    # makes day-level digest tables sound — centroids are partition-
+    # order dependent, so the guarantee, not the bytes, is the
+    # invariant); (c) td_min/td_max anchors are exactly the group
+    # min/max and td_n the exact count; (d) the sketch stays O(delta).
+    # n_exact is value-hash matched against DuckDB.
+    from iceberg_python_spark.operators.sketch import (
+        tdigest_build,
+        tdigest_merge,
+        tdigest_quantiles,
+    )
+
+    # the row makes ~7 passes over the 3-column projection (4 digest
+    # builds + 2 exact rank sweeps + the exact agg) — checkpoint once
+    li = (
+        env["lineitem"]
+        .scan(selected_fields=("l_orderkey", "l_returnflag", "l_extendedprice"))
+        .to_df()
+        .localCheckpoint(eager=True)
+    )
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    whole = tdigest_build(li, "l_extendedprice", ["l_returnflag"]).localCheckpoint(
+        eager=True
+    )
+    parts = None
+    for i in range(3):
+        b = tdigest_build(
+            li.where(F.col("l_orderkey") % 3 == i), "l_extendedprice", ["l_returnflag"]
+        )
+        parts = b if parts is None else parts.unionByName(b)
+    merged = tdigest_merge(parts, ["l_returnflag"])
+
+    def rank_claims(digests, out_name):
+        est = tdigest_quantiles(digests, qs, ["l_returnflag"])
+        j = est.join(
+            li.select("l_returnflag", "l_extendedprice"), "l_returnflag"
+        ).groupBy("l_returnflag", "q", "est")
+        errs = j.agg(
+            (
+                F.sum((F.col("l_extendedprice") < F.col("est")).cast("int"))
+                / F.count("*")
+            ).alias("lo"),
+            (
+                F.sum((F.col("l_extendedprice") <= F.col("est")).cast("int"))
+                / F.count("*")
+            ).alias("hi"),
+        )
+        return errs.groupBy("l_returnflag").agg(
+            F.min(
+                F.greatest(
+                    F.lit(0.0), F.col("lo") - F.col("q"), F.col("q") - F.col("hi")
+                )
+                <= 0.01
+            ).alias(out_name)
+        )
+
+    exact = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_exact"),
+        F.min("l_extendedprice").alias("_vmin"),
+        F.max("l_extendedprice").alias("_vmax"),
+    )
+    meta = whole.select(
+        "l_returnflag",
+        F.col("td_n").alias("_tdn"),
+        "td_min",
+        "td_max",
+        (F.size("sketch") <= 400).alias("size_ok"),
+    )
+    return (
+        exact.join(meta, "l_returnflag")
+        .join(rank_claims(whole, "quantiles_ok"), "l_returnflag")
+        .join(rank_claims(merged, "merged_ok"), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_exact",
+            "quantiles_ok",
+            "merged_ok",
+            (
+                (F.col("td_min") == F.col("_vmin"))
+                & (F.col("td_max") == F.col("_vmax"))
+                & (F.col("_tdn") == F.col("n_exact"))
+            ).alias("anchors_ok"),
+            "size_ok",
+        )
+    )
+
+
 def _q_embedding_kmeans_invariants(spark, env):
     # r12: FULL-corpus distributed k-means invariants. Lloyd's with
     # broadcast centroids + per-partition partial sums reduced via
@@ -3751,9 +3846,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per-doc text rows, registry 130 → 124; its parents leave the
     # ledger — every column still hash-matched inside the fold),
     # bm25_topk, hll_sketch_invariants, bpe_roundtrip,
-    # multimodal_audio_containers (new operators earning first driver
-    # evidence; registry → 128). All verified in the final-state
-    # full-registry sweep.
+    # multimodal_audio_containers, tdigest_quantile_invariants (new
+    # operators earning first driver evidence; registry → 129), plus
+    # probe_media_corpus re-shaped (7 → 10 containers: MP4 dims/codec,
+    # WebM EBML, MP3 Xing — CODE-CHANGED, must re-green leading r13).
+    # All verified in the final-state full-registry sweep.
     return {
         name: wrap(fn)
         for name, fn in {
@@ -3904,6 +4001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # first driver evidence leading r13) ---
             "bm25_topk": _q_bm25_topk,
             "hll_sketch_invariants": _q_hll_sketch_invariants,
+            "tdigest_quantile_invariants": _q_tdigest_quantile_invariants,
             "bpe_roundtrip": _q_bpe_roundtrip,
             "multimodal_audio_containers": _q_multimodal_audio_containers,
             # r11 fold (VERDICT r10 #7): the five raw-approximate
@@ -4309,6 +4407,11 @@ def oracle_sql() -> dict[str, str]:
         "hll_sketch_invariants": (
             "SELECT source, count(DISTINCT text) AS n_exact, TRUE AS est_ok, "
             "TRUE AS merge_eq FROM documents GROUP BY source"
+        ),
+        "tdigest_quantile_invariants": (
+            "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_exact, "
+            "true AS quantiles_ok, true AS merged_ok, true AS anchors_ok, "
+            "true AS size_ok FROM lineitem GROUP BY l_returnflag"
         ),
         "bpe_roundtrip": (
             # decode(encode(x)) == whitespace-normalized x is exact;

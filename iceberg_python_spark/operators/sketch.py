@@ -248,3 +248,189 @@ def hll_estimate(
     ).otherwise(e_raw)
     grp = list(group_cols)
     return sketches.select(*grp, "sketch", e.alias("est_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# t-digest: mergeable QUANTILE sketches as TABLES
+# ---------------------------------------------------------------------------
+# The fourth member of the sketch family (Bloom: membership, CMS:
+# frequency, HLL: distinct count — t-digest: quantiles / rank). Spark's
+# approx_percentile answers one query; a curation pipeline wants the
+# DIGEST as a persistable row per (group, batch) — "p99 document length
+# per source per crawl-day" is then a merge of day rows, never a
+# rescan. Dunning & Ertl's merging t-digest (arXiv:1902.04023): sorted
+# values fold into centroids whose width is capped by the k1 scale
+# function k(q) = (delta/2pi)*asin(2q-1), so tails get tiny centroids
+# (relative accuracy where quantiles matter) and the sketch is bounded
+# at O(delta) centroids regardless of input size.
+#
+# Spark shape (100 TB): one partial digest per (input partition, group)
+# via Arrow-batched mapInPandas — numpy sort + one linear compress pass
+# over the partition's rows; only O(partitions * groups * delta)
+# centroid rows shuffle to the per-group merge (concat + re-compress in
+# applyInPandas). The corpus itself never reshuffles. Centroid order
+# depends on partition layout, so merged digests are run-stable only in
+# their GUARANTEES, not their exact centroids — oracle rows therefore
+# claim rank error vs SQL-exact ranks, the published bound's shape.
+
+_TD_DELTA_DEFAULT = 200  # ~1e-3 rank error at the median, better at tails
+
+TDIGEST_FIELDS = (
+    "sketch array<struct<mean:double,weight:long>>, "
+    "td_n bigint, td_min double, td_max double"
+)
+
+
+def _td_k(q: np.ndarray, delta: float) -> np.ndarray:
+    return (delta / (2 * np.pi)) * np.arcsin(2 * np.clip(q, 0.0, 1.0) - 1)
+
+
+def _td_compress(
+    means: np.ndarray, weights: np.ndarray, delta: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One merging pass over mean-sorted centroids: greedily absorb the
+    next centroid while the union stays within one k-unit. Returns
+    O(delta) centroids whose means are weight-averaged exactly."""
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    total = int(weights.sum())
+    out_m: List[float] = []
+    out_w: List[int] = []
+    cur_m, cur_w = float(means[0]), int(weights[0])
+    k_left = _td_k(np.array([0.0]), delta)[0]
+    cum = 0  # weight fully to the left of the current centroid
+    for m, w in zip(means[1:], weights[1:]):
+        q_new = (cum + cur_w + int(w)) / total
+        if _td_k(np.array([q_new]), delta)[0] - k_left <= 1.0:
+            cur_m += (float(m) - cur_m) * (int(w) / (cur_w + int(w)))
+            cur_w += int(w)
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            cum += cur_w
+            k_left = _td_k(np.array([cum / total]), delta)[0]
+            cur_m, cur_w = float(m), int(w)
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m, dtype=np.float64), np.asarray(out_w, dtype=np.int64)
+
+
+def _td_rows(
+    means: np.ndarray, weights: np.ndarray, vmin: float, vmax: float
+) -> dict:
+    return {
+        "sketch": [
+            {"mean": float(m), "weight": int(w)} for m, w in zip(means, weights)
+        ],
+        "td_n": int(weights.sum()),
+        "td_min": float(vmin),
+        "td_max": float(vmax),
+    }
+
+
+def tdigest_build(
+    df: DataFrame,
+    col: str,
+    group_cols: Sequence[str] = (),
+    delta: float = _TD_DELTA_DEFAULT,
+) -> DataFrame:
+    """One digest row per group: ``(group..., sketch, td_n, td_min,
+    td_max)``. NULL values are ignored. Builds a partial digest per
+    (input partition, group), then merges per group — the corpus never
+    reshuffles, only centroid rows do."""
+    grp = list(group_cols)
+    src = df.select(*grp, F.col(col).alias("_v")).where(F.col("_v").isNotNull())
+    schema = ", ".join(
+        f"`{c}` {src.schema[c].dataType.simpleString()}" for c in grp
+    )
+    schema = (schema + ", " if schema else "") + TDIGEST_FIELDS
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict = {}
+        for b in batches:
+            if len(b) == 0:
+                continue
+            for keys, sub in (
+                b.groupby(grp, dropna=False, sort=False) if grp else [((), b)]
+            ):
+                k = keys if isinstance(keys, tuple) else (keys,)
+                acc.setdefault(k, []).append(sub["_v"].to_numpy(dtype=np.float64))
+        rows = []
+        for k, chunks in acc.items():
+            v = np.concatenate(chunks)
+            m, w = _td_compress(v, np.ones(len(v), dtype=np.int64), delta)
+            rows.append(
+                dict(zip(grp, k)) | _td_rows(m, w, v.min(), v.max())
+            )
+        if rows:
+            yield pd.DataFrame(rows)
+
+    parts = src.mapInPandas(partials, schema=schema)
+    return tdigest_merge(parts, grp, delta)
+
+
+def tdigest_merge(
+    digests: DataFrame,
+    group_cols: Sequence[str] = (),
+    delta: float = _TD_DELTA_DEFAULT,
+) -> DataFrame:
+    """Merge digest rows (>= 1 per group, e.g. one per crawl batch)
+    into one per group: concat centroids, re-compress. Input is sketch
+    rows (tiny), never data."""
+    grp = list(group_cols)
+    schema = ", ".join(
+        f"`{c}` {digests.schema[c].dataType.simpleString()}" for c in grp
+    )
+    schema = (schema + ", " if schema else "") + TDIGEST_FIELDS
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        means = np.concatenate(
+            [np.array([c["mean"] for c in s], dtype=np.float64) for s in pdf["sketch"]]
+        )
+        weights = np.concatenate(
+            [np.array([c["weight"] for c in s], dtype=np.int64) for s in pdf["sketch"]]
+        )
+        m, w = _td_compress(means, weights, delta)
+        row = dict(zip(grp, [pdf[c].iloc[0] for c in grp])) | _td_rows(
+            m, w, pdf["td_min"].min(), pdf["td_max"].max()
+        )
+        return pd.DataFrame([row])
+
+    if grp:
+        return digests.groupBy(*grp).applyInPandas(merge, schema=schema)
+    return digests.repartition(1).mapInPandas(
+        lambda it: iter([merge(pd.concat(list(it)))]), schema=schema
+    )
+
+
+def tdigest_quantiles(
+    digests: DataFrame, qs: Sequence[float], group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Append one row per (group, q): ``(group..., q, est)``. Linear
+    interpolation between centroid midpoints with td_min/td_max as the
+    rank-0 / rank-n anchors (singleton edge centroids are exact)."""
+    grp = list(group_cols)
+    qvals = [float(q) for q in qs]
+    schema = ", ".join(
+        f"`{c}` {digests.schema[c].dataType.simpleString()}" for c in grp
+    )
+    schema = (schema + ", " if schema else "") + "q double, est double"
+
+    def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                m = np.array([c["mean"] for c in r["sketch"]], dtype=np.float64)
+                w = np.array([c["weight"] for c in r["sketch"]], dtype=np.int64)
+                n = int(w.sum())
+                # midpoint ranks, anchored by min/max at ranks 0 and n
+                mids = np.cumsum(w) - w / 2.0
+                xs = np.concatenate([[0.0], mids, [float(n)]])
+                ys = np.concatenate([[r["td_min"]], m, [r["td_max"]]])
+                for q in qvals:
+                    val = float(np.interp(q * n, xs, ys))
+                    rows.append(dict(zip(grp, [r[c] for c in grp])) | {"q": q, "est": val})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return digests.mapInPandas(est, schema=schema)
