@@ -51,14 +51,18 @@ def synthesize_mp4(
     channels: int = 0,
     mdat_bytes: int = 256,
     mvhd_version: int = 0,
+    fragmented: bool = False,
     seed: int = 0,
 ) -> bytes:
     """A structurally-valid MP4: video track when ``width`` is set
     (tkhd 16.16 dims + a ``codec`` VisualSampleEntry), audio track when
     ``sample_rate`` is set (mp4a AudioSampleEntry). ``mvhd_version=1``
-    exercises the 64-bit create/modify/duration layout."""
+    exercises the 64-bit create/modify/duration layout.
+    ``fragmented`` emits the DASH/CMAF shape: mvhd duration 0 with the
+    real total duration in mvex/mehd."""
     ts = 1000  # movie timescale: 1 tick = 1 ms
-    dur = int(duration_ms)
+    real_dur = int(duration_ms)
+    dur = 0 if fragmented else real_dur
     if mvhd_version == 1:
         mvhd = _full(
             b"mvhd", 1, 0,
@@ -96,10 +100,15 @@ def synthesize_mp4(
             + struct.pack(">I", sample_rate << 16),
         )
         traks += _trak(2, dur, b"soun", entry)
+    mvex = b""
+    if fragmented:
+        mehd = _full(b"mehd", 0, 0, struct.pack(">I", real_dur))
+        trex = _full(b"trex", 0, 0, struct.pack(">IIIII", 1, 1, 0, 0, 0))
+        mvex = _box(b"mvex", mehd + trex)
     rng = np.random.default_rng(seed)
     mdat = _box(b"mdat", rng.integers(0, 256, mdat_bytes, dtype=np.uint8).tobytes())
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
-    return ftyp + _box(b"moov", mvhd + traks) + mdat
+    return ftyp + _box(b"moov", mvhd + traks + mvex) + mdat
 
 
 _UNITY_MATRIX = struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)

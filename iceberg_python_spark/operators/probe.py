@@ -124,11 +124,12 @@ def _probe_mp4(data: bytes) -> Dict[str, Any]:
     out: Dict[str, Any] = {
         "container": "mp4", "kind": "video", "duration_ms": None, "decodable": False,
     }
-    masters = (b"moov", b"trak", b"mdia", b"minf", b"stbl")
+    masters = (b"moov", b"trak", b"mdia", b"minf", b"stbl", b"mvex")
     saw_video = saw_audio = False
+    timescale = 0
 
     def walk(start: int, end: int, depth: int) -> None:
-        nonlocal saw_video, saw_audio
+        nonlocal saw_video, saw_audio, timescale
         p = start
         while p + 8 <= end:
             (size,) = struct.unpack_from(">I", data, p)
@@ -147,8 +148,19 @@ def _probe_mp4(data: bytes) -> Dict[str, Any]:
                     ts, dur = struct.unpack_from(">IQ", data, body + 20)
                 else:
                     ts, dur = struct.unpack_from(">II", data, body + 12)
-                if ts:
+                timescale = ts
+                # fragmented files write duration 0 here; mehd has it
+                if ts and dur:
                     out["duration_ms"] = int(dur * 1000 / ts)
+            elif btype == b"mehd" and timescale:
+                # movie-extends header: total duration of a fragmented
+                # (DASH/CMAF) movie, in mvhd timescale units
+                ver = data[body]
+                if ver == 1:
+                    (frag_dur,) = struct.unpack_from(">Q", data, body + 4)
+                else:
+                    (frag_dur,) = struct.unpack_from(">I", data, body + 4)
+                out["duration_ms"] = int(frag_dur * 1000 / timescale)
             elif btype == b"tkhd":
                 ver = data[body]
                 # v0: 4(ver/flags)+4+4+4+4+4 then 8+2+2+2+2+36; v1 has

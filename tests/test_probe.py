@@ -244,3 +244,13 @@ def test_probe_mp3_xing_beats_cbr_estimate():
     # plain CBR still estimates from the byte count
     got = probe_media(synthesize_mp3(100, bitrate_kbps=64, rate=32000, mono=True))
     assert got["duration_ms"] == 100 * 1152 * 1000 // 32000
+
+
+def test_probe_mp4_fragmented_duration_from_mehd():
+    """DASH/CMAF fragmented files write mvhd duration 0; the total
+    duration lives in mvex/mehd (mvhd timescale units)."""
+    got = probe_media(synthesize_mp4(9000, width=320, height=180, fragmented=True))
+    assert got["duration_ms"] == 9000
+    assert (got["width"], got["height"]) == (320, 180)
+    # non-fragmented behavior unchanged
+    assert probe_media(synthesize_mp4(9000, width=320, height=180))["duration_ms"] == 9000
