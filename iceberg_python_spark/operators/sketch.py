@@ -345,8 +345,28 @@ def tdigest_build(
     )
     schema = (schema + ", " if schema else "") + TDIGEST_FIELDS
 
+    # canonical MergingDigest buffering: per group keep the running
+    # O(delta) centroids plus a bounded value buffer; fold the buffer
+    # into the centroids whenever it fills. Task memory is
+    # O(groups * (delta + buffer)) — never O(partition rows) — at the
+    # cost of a sort per fold instead of one per partition (repeated
+    # re-compression is how the published structure works; the k1
+    # size/accuracy invariant holds across folds).
+    buf_cap = max(8192, 4 * int(delta))
+
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # group -> [means, weights, buffered values, vmin, vmax]
         acc: dict = {}
+
+        def fold(st: list) -> None:
+            buf = np.concatenate(st[2])
+            m = np.concatenate([st[0], buf])
+            w = np.concatenate([st[1], np.ones(len(buf), dtype=np.int64)])
+            st[0], st[1] = _td_compress(m, w, delta)
+            st[2] = []
+            st[3] = min(st[3], float(buf.min()))
+            st[4] = max(st[4], float(buf.max()))
+
         for b in batches:
             if len(b) == 0:
                 continue
@@ -354,14 +374,18 @@ def tdigest_build(
                 b.groupby(grp, dropna=False, sort=False) if grp else [((), b)]
             ):
                 k = keys if isinstance(keys, tuple) else (keys,)
-                acc.setdefault(k, []).append(sub["_v"].to_numpy(dtype=np.float64))
+                st = acc.setdefault(
+                    k,
+                    [np.empty(0), np.empty(0, dtype=np.int64), [], np.inf, -np.inf],
+                )
+                st[2].append(sub["_v"].to_numpy(dtype=np.float64))
+                if sum(len(c) for c in st[2]) >= buf_cap:
+                    fold(st)
         rows = []
-        for k, chunks in acc.items():
-            v = np.concatenate(chunks)
-            m, w = _td_compress(v, np.ones(len(v), dtype=np.int64), delta)
-            rows.append(
-                dict(zip(grp, k)) | _td_rows(m, w, v.min(), v.max())
-            )
+        for k, st in acc.items():
+            if st[2]:
+                fold(st)
+            rows.append(dict(zip(grp, k)) | _td_rows(st[0], st[1], st[3], st[4]))
         if rows:
             yield pd.DataFrame(rows)
 

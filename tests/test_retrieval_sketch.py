@@ -259,3 +259,20 @@ def test_tdigest_nulls_ignored_and_tiny_groups_exact(spark):
     assert row["est"] == 2.0
     (row,) = tdigest_quantiles(d.where(F.col("g") == 1), [0.5], ["g"]).collect()
     assert row["est"] == 42.0
+
+
+def test_tdigest_buffered_folds_keep_accuracy(spark):
+    """A single fat partition overflows the build buffer several times
+    (the O(delta + buffer) task-memory path); repeated re-compression
+    must keep the rank-error bound."""
+    rng = np.random.default_rng(17)
+    v = rng.lognormal(0.0, 2.0, 40_000)
+    df = spark.createDataFrame(
+        [(float(x),) for x in v], "v: double"
+    ).repartition(1)
+    d = tdigest_build(df, "v")
+    (row,) = d.collect()
+    assert row["td_n"] == len(v) and len(row["sketch"]) <= 2 * 200
+    assert row["td_min"] == v.min() and row["td_max"] == v.max()
+    for r in tdigest_quantiles(d, _QS).collect():
+        assert _rank_err(v, r["q"], r["est"]) <= 0.01, r["q"]
