@@ -1,12 +1,12 @@
-"""Count-min sketch frequency estimation and heavy hitters.
+"""The engine's mergeable-sketch family, minus Bloom membership
+(``operators/bloom.py``): count-min FREQUENCY grids, HyperLogLog
+DISTINCT-count tables, and t-digest QUANTILE tables.
 
-The third member of the engine's mergeable-sketch family (HLL++ for
-distinct counts — ``source_token_sketch``; Bloom for membership —
-``operators/bloom.py``): Cormode-Muthukrishnan count-min (J. Algorithms
-2005) answers "how often does X occur?" and "what are the top items?"
-over a corpus too large to groupBy-count exactly. Estimates NEVER
-undercount; they overcount by at most ``eps * N`` (eps = e/width) with
-probability 1 - delta (delta = e^-depth), N = total items.
+Count-min (Cormode-Muthukrishnan, J. Algorithms 2005) answers "how
+often does X occur?" and "what are the top items?" over a corpus too
+large to groupBy-count exactly. Estimates NEVER undercount; they
+overcount by at most ``eps * N`` (eps = e/width) with probability
+1 - delta (delta = e^-depth), N = total items.
 
 Spark shape (100 TB): the per-row hash positions are JVM ``xxhash64``
 columns (one per depth row, whole-stage codegen); each partition folds
