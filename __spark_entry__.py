@@ -3773,6 +3773,43 @@ def _q_tdigest_quantile_invariants(spark, env):
     )
 
 
+def _q_events_json_extract(spark, env):
+    # late r12: semi-structured metadata extraction — the events
+    # table's `props` JSON sidecar becomes typed columns JVM-side
+    # (get_json_object + cast inside whole-stage codegen; inference is
+    # sample-bounded driver work). A second, nested JSON column is
+    # CONSTRUCTED from integer columns (no float formatting, so both
+    # engines rebuild it byte-identically) to exercise dotted-path
+    # extraction; summing the round-tripped ids proves extraction ==
+    # source. FULL value-hash: per-event-type count/sum/min/max of the
+    # extracted k plus the round-tripped id sums, all SQL-exact.
+    from iceberg_python_spark.operators.semistructured import extract_json_fields
+
+    ev = env["events"].scan(
+        selected_fields=("event_id", "user_id", "event_type", "props")
+    ).to_df()
+    enriched = ev.withColumn(
+        "_j2",
+        F.concat(
+            F.lit('{"ids": {"e": '),
+            F.col("event_id"),
+            F.lit(', "u": '),
+            F.col("user_id"),
+            F.lit("}}"),
+        ),
+    )
+    ex = extract_json_fields(enriched, "props", fields={"k": "bigint"})
+    ex = extract_json_fields(ex, "_j2", fields={"ids.e": "bigint", "ids.u": "bigint"})
+    return ex.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("ids_e").alias("sum_e"),
+        F.sum("ids_u").alias("sum_u"),
+    )
+
+
 def _q_embedding_kmeans_invariants(spark, env):
     # r12: FULL-corpus distributed k-means invariants. Lloyd's with
     # broadcast centroids + per-partition partial sums reduced via
@@ -3846,8 +3883,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per-doc text rows, registry 130 → 124; its parents leave the
     # ledger — every column still hash-matched inside the fold),
     # bm25_topk, hll_sketch_invariants, bpe_roundtrip,
-    # multimodal_audio_containers, tdigest_quantile_invariants (new
-    # operators earning first driver evidence; registry → 129), plus
+    # multimodal_audio_containers, tdigest_quantile_invariants,
+    # events_json_extract (new
+    # operators earning first driver evidence; registry → 130), plus
     # probe_media_corpus re-shaped (7 → 10 containers: MP4 dims/codec,
     # WebM EBML, MP3 Xing — CODE-CHANGED, must re-green leading r13).
     # All verified in the final-state full-registry sweep.
@@ -4002,6 +4040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bm25_topk": _q_bm25_topk,
             "hll_sketch_invariants": _q_hll_sketch_invariants,
             "tdigest_quantile_invariants": _q_tdigest_quantile_invariants,
+            "events_json_extract": _q_events_json_extract,
             "bpe_roundtrip": _q_bpe_roundtrip,
             "multimodal_audio_containers": _q_multimodal_audio_containers,
             # r11 fold (VERDICT r10 #7): the five raw-approximate
@@ -4412,6 +4451,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_exact, "
             "true AS quantiles_ok, true AS merged_ok, true AS anchors_ok, "
             "true AS size_ok FROM lineitem GROUP BY l_returnflag"
+        ),
+        "events_json_extract": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
+            "CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k, "
+            "CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k, "
+            "CAST(sum(event_id) AS BIGINT) AS sum_e, "
+            "CAST(sum(user_id) AS BIGINT) AS sum_u "
+            "FROM events GROUP BY event_type"
         ),
         "bpe_roundtrip": (
             # decode(encode(x)) == whitespace-normalized x is exact;
