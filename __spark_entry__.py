@@ -3810,6 +3810,63 @@ def _q_events_json_extract(spark, env):
     )
 
 
+def _q_warc_ingest(spark, env):
+    # late r12: WARC crawl-archive ingestion — the step that PRODUCES
+    # a documents table from the bytes Common Crawl actually ships.
+    # Each doc becomes a 2-record WARC file (warcinfo + HTTP response
+    # whose body is an HTML wrap of the doc text; odd doc_ids use the
+    # spec's per-record-gzip layout). The FULL extraction path is
+    # value-hashed: the decoded response body must equal the exact
+    # wrap DuckDB rebuilds by string concat, alongside the status and
+    # the formulaic target URI. Multi-record framing, gzip members,
+    # HTTP envelope split, and utf-8 round trip are all on the hashed
+    # path — any drift anywhere mismatches.
+    import pandas as pd
+
+    from iceberg_python_spark.operators.warc import encode_warc, warc_records
+
+    docs = (
+        env["documents"].scan(selected_fields=("doc_id", "text")).to_df()
+        .where("doc_id < 400")
+        .repartition(32)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d, t in zip(pdf["doc_id"].astype(int), pdf["text"]):
+                body = f"<html><body><p>{t}</p></body></html>".encode()
+                recs = [
+                    {
+                        "warc_type": "warcinfo",
+                        "record_id": f"urn:uuid:info-{d}",
+                        "block": b"software: iceberg_python_spark\r\n",
+                        "content_type": "application/warc-fields",
+                    },
+                    {
+                        "warc_type": "response",
+                        "record_id": f"urn:uuid:resp-{d}",
+                        "target_uri": f"https://example.org/doc/{d}",
+                        "http_status": 200,
+                        "body": body,
+                    },
+                ]
+                payloads.append(encode_warc(recs, gzip_per_record=d % 2 == 1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    archives = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    recs = warc_records(archives, "doc_id", "payload")
+    return (
+        recs.where((F.col("warc_type") == "response") & F.col("parse_ok"))
+        .select(
+            F.col("src_id").alias("doc_id"),
+            F.col("http_status").cast("int").alias("http_status"),
+            F.col("target_uri"),
+            F.col("body").cast("string").alias("page_text"),
+        )
+    )
+
+
 def _q_embedding_kmeans_invariants(spark, env):
     # r12: FULL-corpus distributed k-means invariants. Lloyd's with
     # broadcast centroids + per-partition partial sums reduced via
@@ -3884,8 +3941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ledger — every column still hash-matched inside the fold),
     # bm25_topk, hll_sketch_invariants, bpe_roundtrip,
     # multimodal_audio_containers, tdigest_quantile_invariants,
-    # events_json_extract (new
-    # operators earning first driver evidence; registry → 130), plus
+    # events_json_extract, warc_ingest (new
+    # operators earning first driver evidence; registry → 131), plus
     # probe_media_corpus re-shaped (7 → 10 containers: MP4 dims/codec,
     # WebM EBML, MP3 Xing — CODE-CHANGED, must re-green leading r13).
     # All verified in the final-state full-registry sweep.
@@ -4041,6 +4098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "hll_sketch_invariants": _q_hll_sketch_invariants,
             "tdigest_quantile_invariants": _q_tdigest_quantile_invariants,
             "events_json_extract": _q_events_json_extract,
+            "warc_ingest": _q_warc_ingest,
             "bpe_roundtrip": _q_bpe_roundtrip,
             "multimodal_audio_containers": _q_multimodal_audio_containers,
             # r11 fold (VERDICT r10 #7): the five raw-approximate
@@ -4460,6 +4518,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(event_id) AS BIGINT) AS sum_e, "
             "CAST(sum(user_id) AS BIGINT) AS sum_u "
             "FROM events GROUP BY event_type"
+        ),
+        "warc_ingest": (
+            "SELECT doc_id, CAST(200 AS INTEGER) AS http_status, "
+            "'https://example.org/doc/' || doc_id AS target_uri, "
+            "'<html><body><p>' || text || '</p></body></html>' AS page_text "
+            "FROM documents WHERE doc_id < 400"
         ),
         "bpe_roundtrip": (
             # decode(encode(x)) == whitespace-normalized x is exact;

@@ -1,0 +1,195 @@
+"""WARC (Web ARChive, ISO 28500 / WARC/1.1) ingestion — the container
+crawl corpora actually arrive in (Common Crawl ships WARC; WET/WAT are
+derived views of it). The engine's text-curation pillar starts from a
+``documents`` table; this is the step that PRODUCES that table from
+archive bytes.
+
+Format (all public spec): a WARC file is a concatenation of records —
+``WARC/1.1`` version line, CRLF-separated named headers, blank line,
+exactly ``Content-Length`` bytes of block, then a CRLF CRLF trailer.
+Each record MAY be its own gzip member; members are concatenated
+back-to-back (the spec's recommended layout, so records are
+independently seekable). ``response``/``request`` records carry a full
+HTTP message as their block; the page body follows the HTTP headers.
+
+Spark shape (100 TB): WARC payloads (or whole files via
+``spark.read.format("binaryFile")``) flow through Arrow-batched
+``mapInPandas`` — one output row per WARC record, per-PAYLOAD error
+capture (a truncated archive yields its parse error, not a failed
+job). Record splitting is Content-Length arithmetic, not scanning, so
+cost is O(records + header bytes); bodies are sliced, never copied
+through regex. The writer exists for oracle rows and tests
+(deterministic record ids are the caller's job — no RNG here).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+_CRLF = b"\r\n"
+
+
+def encode_warc(
+    records: Sequence[Dict[str, Any]], gzip_per_record: bool = False
+) -> bytes:
+    """Serialize records, each a dict with ``warc_type``, ``record_id``,
+    optional ``target_uri`` / ``warc_date`` / ``content_type``, and
+    either ``block`` (raw bytes) or ``http_status`` + ``http_headers``
+    + ``body`` (an application/http response block is assembled).
+    ``gzip_per_record`` emits one gzip member per record (the spec's
+    seekable layout)."""
+    out = bytearray()
+    for r in records:
+        if "block" in r:
+            block = bytes(r["block"])
+            ctype = r.get("content_type", "application/octet-stream")
+        else:
+            body = bytes(r.get("body", b""))
+            status = int(r.get("http_status", 200))
+            http = bytearray(f"HTTP/1.1 {status} OK".encode() + _CRLF)
+            headers = dict(r.get("http_headers", {}))
+            headers.setdefault("Content-Type", "text/html; charset=utf-8")
+            headers.setdefault("Content-Length", str(len(body)))
+            for k, v in headers.items():
+                http += f"{k}: {v}".encode() + _CRLF
+            http += _CRLF + body
+            block = bytes(http)
+            ctype = r.get("content_type", "application/http;msgtype=response")
+        head = bytearray(b"WARC/1.1" + _CRLF)
+        head += f"WARC-Type: {r['warc_type']}".encode() + _CRLF
+        head += f"WARC-Record-ID: <{r['record_id']}>".encode() + _CRLF
+        head += f"WARC-Date: {r.get('warc_date', '2026-01-01T00:00:00Z')}".encode() + _CRLF
+        if r.get("target_uri"):
+            head += f"WARC-Target-URI: {r['target_uri']}".encode() + _CRLF
+        head += f"Content-Type: {ctype}".encode() + _CRLF
+        head += f"Content-Length: {len(block)}".encode() + _CRLF
+        rec = bytes(head) + _CRLF + block + _CRLF + _CRLF
+        if gzip_per_record:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            out += co.compress(rec) + co.flush()
+        else:
+            out += rec
+    return bytes(out)
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Concatenated gzip members -> concatenated plain bytes."""
+    out = bytearray()
+    rest = data
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(31)
+        out += d.decompress(rest)
+        out += d.flush()
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC")
+        rest = d.unused_data
+    if rest:
+        raise ValueError("trailing non-gzip bytes after gzip members")
+    return bytes(out)
+
+
+def decode_warc(data: bytes) -> List[Dict[str, Any]]:
+    """Parse a WARC file (plain or per-record-gzip) into record dicts:
+    ``warc_type, record_id, target_uri, warc_date, content_type,
+    http_status, http_content_type, body``. For ``application/http``
+    blocks the HTTP envelope is split off and ``body`` is the message
+    body; other blocks pass through as ``body`` with null status."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    records: List[Dict[str, Any]] = []
+    pos = 0
+    while pos < len(data):
+        # tolerate inter-record padding CRLFs
+        while data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= len(data):
+            break
+        if not data[pos : pos + 5] == b"WARC/":
+            raise ValueError(f"not a WARC record at offset {pos}")
+        hdr_end = data.find(_CRLF + _CRLF, pos)
+        if hdr_end < 0:
+            raise ValueError("truncated WARC record header")
+        lines = data[pos:hdr_end].split(_CRLF)
+        headers: Dict[str, str] = {}
+        for ln in lines[1:]:
+            k, _, v = ln.decode("utf-8", "replace").partition(":")
+            headers[k.strip().lower()] = v.strip()
+        length = int(headers["content-length"])
+        block = data[hdr_end + 4 : hdr_end + 4 + length]
+        if len(block) != length:
+            raise ValueError("truncated WARC block")
+        rec: Dict[str, Any] = {
+            "warc_type": headers.get("warc-type"),
+            "record_id": headers.get("warc-record-id", "").strip("<>"),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "content_type": headers.get("content-type"),
+            "http_status": None,
+            "http_content_type": None,
+            "body": block,
+        }
+        if (rec["content_type"] or "").startswith("application/http"):
+            split = block.find(_CRLF + _CRLF)
+            if split >= 0:
+                http_lines = block[:split].split(_CRLF)
+                status_parts = http_lines[0].split(None, 2)
+                if len(status_parts) >= 2 and status_parts[1].isdigit():
+                    rec["http_status"] = int(status_parts[1])
+                for ln in http_lines[1:]:
+                    k, _, v = ln.decode("utf-8", "replace").partition(":")
+                    if k.strip().lower() == "content-type":
+                        rec["http_content_type"] = v.strip()
+                rec["body"] = block[split + 4 :]
+        records.append(rec)
+        pos = hdr_end + 4 + length
+    return records
+
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("src_id", T.LongType()),
+        T.StructField("rec_index", T.IntegerType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("http_content_type", T.StringType()),
+        T.StructField("body", T.BinaryType()),
+        T.StructField("parse_ok", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def warc_records(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+    """One row per WARC record per payload — the archive-to-table step
+    of a crawl-ingest pipeline. A payload that fails to parse yields
+    one ``parse_ok=false`` row carrying the error; good payloads never
+    pay for bad neighbors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[binary_col]):
+                base = {c: None for c in cols}
+                base.update(src_id=int(i), parse_ok=False)
+                try:
+                    for j, rec in enumerate(decode_warc(bytes(b))):
+                        row = dict(base, rec_index=j, parse_ok=True, **rec)
+                        row.pop("content_type", None)
+                        rows.append({c: row.get(c) for c in cols})
+                except Exception as exc:
+                    base["error"] = f"{type(exc).__name__}: {exc}"
+                    rows.append(base)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+        run, schema=WARC_SCHEMA
+    )

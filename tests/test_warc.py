@@ -1,0 +1,67 @@
+"""WARC codec + Spark ingest surface."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_python_spark.operators.warc import (
+    decode_warc,
+    encode_warc,
+    warc_records,
+)
+
+RECS = [
+    {"warc_type": "warcinfo", "record_id": "urn:uuid:0",
+     "block": b"software: engine\r\n", "content_type": "application/warc-fields"},
+    {"warc_type": "request", "record_id": "urn:uuid:1",
+     "target_uri": "https://example.org/a",
+     "block": b"GET /a HTTP/1.1\r\nHost: example.org\r\n\r\n",
+     "content_type": "application/http;msgtype=request"},
+    {"warc_type": "response", "record_id": "urn:uuid:2",
+     "target_uri": "https://example.org/a", "http_status": 200,
+     "body": "<html><body><p>héllo\nworld</p></body></html>".encode()},
+    {"warc_type": "response", "record_id": "urn:uuid:3",
+     "target_uri": "https://example.org/b", "http_status": 404,
+     "body": b"not found"},
+]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_warc_roundtrip(gz):
+    out = decode_warc(encode_warc(RECS, gzip_per_record=gz))
+    assert [r["warc_type"] for r in out] == ["warcinfo", "request", "response", "response"]
+    assert out[0]["http_status"] is None and out[0]["body"] == b"software: engine\r\n"
+    # request blocks are application/http but have no digit status
+    assert out[1]["http_status"] is None
+    assert out[2]["http_status"] == 200
+    assert out[2]["body"].decode() == "<html><body><p>héllo\nworld</p></body></html>"
+    assert out[2]["http_content_type"] == "text/html; charset=utf-8"
+    assert out[3]["http_status"] == 404 and out[3]["record_id"] == "urn:uuid:3"
+
+
+def test_warc_truncation_and_garbage_gate():
+    data = encode_warc(RECS)
+    with pytest.raises(ValueError):
+        decode_warc(data[: len(data) - 30])  # short block
+    with pytest.raises(ValueError):
+        decode_warc(b"HTTP/1.1 200 OK\r\n\r\n")  # not WARC
+    with pytest.raises(ValueError):
+        decode_warc(encode_warc(RECS, gzip_per_record=True)[:40])
+
+
+def test_warc_records_spark_surface(spark):
+    """One row per record, per-payload error isolation: a corrupt
+    archive in the corpus yields its error row while every other
+    payload parses fully."""
+    good = encode_warc(RECS, gzip_per_record=True)
+    rows = [(0, bytearray(good)), (1, bytearray(b"garbage")), (2, bytearray(good))]
+    df = spark.createDataFrame(rows, "id: long, payload: binary")
+    out = warc_records(df, "id", "payload").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src_id"], []).append(r)
+    assert len(by_src[0]) == 4 and all(r["parse_ok"] for r in by_src[0])
+    assert len(by_src[1]) == 1 and not by_src[1][0]["parse_ok"]
+    assert "ValueError" in by_src[1][0]["error"]
+    resp = [r for r in by_src[2] if r["warc_type"] == "response"]
+    assert {r["http_status"] for r in resp} == {200, 404}
+    assert bytes(resp[0]["body"]).decode().startswith("<html>")
