@@ -180,7 +180,15 @@ def decode_ms_adpcm(payload: bytes, n_ch: int, block_align: int, coefs: np.ndarr
     out[:, 0, :] = s2.astype(np.int16)
     out[:, 1, :] = s1.astype(np.int16)
     for k in range(n_nib):
-        predictor = (s1 * c1 + s2 * c2) >> 8
+        # the spec's predictor is C integer division by 256 —
+        # truncation toward ZERO, not a floor shift: a negative
+        # (s1*c1 + s2*c2) under >>8 would come out one low and the
+        # error would propagate through the rest of the block
+        # (coef pairs like (512,-256) go negative on real signals;
+        # our encoder's pair 0 is exactly divisible, so round trips
+        # cannot catch this)
+        p = s1 * c1 + s2 * c2
+        predictor = np.sign(p) * (np.abs(p) >> 8)
         s = np.clip(predictor + nib_signed[:, k, :] * idelta, -32768, 32767)
         out[:, 2 + k, :] = s.astype(np.int16)
         s2, s1 = s1, s

@@ -351,7 +351,14 @@ def decode_aiff(data: bytes) -> Tuple[np.ndarray, int]:
     n_ch, n_frames, bits, rate = comm
     n_ch = max(1, n_ch)
     if comp in (b"NONE", b"twos"):
-        x = _pcm_be(payload, bits)
+        # AIFF stores 1-32-bit samples LEFT-JUSTIFIED in ceil(bits/8)
+        # bytes, so decoding at the container width yields the exact
+        # normalized value (a 12-bit sample is its 16-bit container
+        # value << 4, and v<<4 / 2^15 == v / 2^11) — old sampler gear
+        # really ships 12-bit AIFF
+        if not 1 <= bits <= 32:
+            raise ValueError(f"AIFF sample width {bits}")
+        x = _pcm_be(payload, ((bits + 7) // 8) * 8)
     elif comp == b"sowt":  # little-endian PCM (QuickTime)
         x = np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
     elif comp in (b"fl32", b"FL32"):

@@ -361,3 +361,67 @@ def test_container_probes_match_decoders():
     bad[i : i + 4] = b"ima4"
     p = probe_media(bytes(bad))
     assert p["decodable"] is False and p["sample_rate"] == 8000
+
+
+def test_aiff_sub_container_widths_left_justified():
+    """AIFF samples are LEFT-JUSTIFIED in whole bytes: a 12-bit file
+    (old sampler gear) decodes exactly at its 16-bit container width,
+    and an out-of-range width raises rather than mis-scaling."""
+    import struct
+
+    t = np.round(np.sin(2 * np.pi * 440 * np.arange(800) / 8000) * 2047) / 2047.0
+    data = bytearray(encode_aiff(t, 8000, bits=16))
+    i = data.index(b"COMM")
+    struct.pack_into(">h", data, i + 8 + 2 + 4, 12)  # claim 12-bit
+    x, rate = decode_aiff(bytes(data))
+    want = np.clip(np.round(t * 32767), -32768, 32767) / 32768.0
+    assert rate == 8000 and np.allclose(x[:, 0], want, atol=1 / 32768)
+    struct.pack_into(">h", data, i + 8 + 2 + 4, 40)  # nonsense width
+    with pytest.raises(ValueError):
+        decode_aiff(bytes(data))
+
+
+def test_ms_adpcm_predictor_truncates_toward_zero():
+    """The MS ADPCM predictor is C integer division by 256 (truncation
+    toward zero, not a floor shift). A hand-built foreign block using
+    coefficient pair 1 (512, -256) drives the predictor negative; the
+    vectorized decoder must match a literal scalar reference decoder
+    bit-for-bit (our own encoder's pair 0 is exactly divisible, so
+    round trips can never catch this)."""
+    import struct
+
+    from iceberg_python_spark.operators.adpcm import (
+        _MS_ADAPT,
+        _MS_COEFS,
+        decode_ms_adpcm,
+    )
+
+    rng = np.random.default_rng(9)
+    nibbles = rng.integers(0, 16, 40, dtype=np.int64).tolist()
+    s2_0, s1_0, idelta0 = 2000, -3000, 600  # negative-going signal
+    block = bytearray()
+    block.append(5)  # coef index 5: (460, -208) — not 256-divisible
+    block += struct.pack("<h", idelta0)
+    block += struct.pack("<h", s1_0)
+    block += struct.pack("<h", s2_0)
+    for i in range(0, 40, 2):
+        block.append((nibbles[i] << 4) | nibbles[i + 1])
+
+    # literal scalar reference (C semantics via int() truncation)
+    c1, c2 = int(_MS_COEFS[5, 0]), int(_MS_COEFS[5, 1])
+    s1, s2, idelta = s1_0, s2_0, idelta0
+    want = [s2_0, s1_0]
+    saw_negative_odd = False
+    for n in nibbles:
+        p = s1 * c1 + s2 * c2
+        saw_negative_odd = saw_negative_odd or (p < 0 and p % 256)
+        pred = int(p / 256)  # trunc toward zero
+        signed = n - 16 if n > 7 else n
+        s = max(-32768, min(32767, pred + signed * idelta))
+        want.append(s)
+        s2, s1 = s1, s
+        idelta = max(16, (int(_MS_ADAPT[n]) * idelta) >> 8)
+    assert saw_negative_odd  # the crafted block actually exercises it
+
+    got = decode_ms_adpcm(bytes(block), 1, len(block))
+    assert got[:, 0].tolist() == want
