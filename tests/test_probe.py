@@ -254,3 +254,33 @@ def test_probe_mp4_fragmented_duration_from_mehd():
     assert (got["width"], got["height"]) == (320, 180)
     # non-fragmented behavior unchanged
     assert probe_media(synthesize_mp4(9000, width=320, height=180))["duration_ms"] == 9000
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.integers(1, 400), st.sampled_from([32000, 44100, 48000]),
+       st.booleans(), st.booleans(), st.sampled_from([0, 64, 500]))
+@settings(max_examples=30, deadline=None)
+def test_probe_mp3_duration_property(n_frames, rate, mono, vbr, id3):
+    """Synthesized MP3s of any shape probe to the exact frame-count
+    duration (VBR via Xing) or the CBR byte estimate."""
+    payload = synthesize_mp3(n_frames, rate=rate, mono=mono, vbr=vbr, id3_bytes=id3)
+    got = probe_media(payload)
+    assert got["sample_rate"] == rate and got["channels"] == (1 if mono else 2)
+    if vbr:
+        assert got["duration_ms"] == n_frames * 1152 * 1000 // rate
+
+
+# duration 0 is excluded: muxers write mvhd duration 0 to mean
+# "unknown / fragmented", and the probe honestly reports None for it
+@given(st.integers(1, 4000), st.integers(1, 4000), st.integers(1, 10_000_000),
+       st.sampled_from([0, 1]), st.booleans())
+@settings(max_examples=30, deadline=None)
+def test_probe_mp4_webm_dims_duration_property(w, h, dur, mvhd_ver, frag):
+    m = probe_media(synthesize_mp4(dur, width=w, height=h,
+                                   mvhd_version=mvhd_ver, fragmented=frag))
+    assert (m["width"], m["height"], m["duration_ms"]) == (w, h, dur)
+    e = probe_media(synthesize_webm(dur, width=w, height=h))
+    assert (e["width"], e["height"], e["duration_ms"]) == (w, h, dur)

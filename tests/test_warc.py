@@ -65,3 +65,45 @@ def test_warc_records_spark_surface(spark):
     resp = [r for r in by_src[2] if r["warc_type"] == "response"]
     assert {r["http_status"] for r in resp} == {200, 404}
     assert bytes(resp[0]["body"]).decode().startswith("<html>")
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["response", "request", "warcinfo", "metadata"]),
+            st.binary(min_size=0, max_size=200),
+            st.integers(200, 599),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_warc_roundtrip_property(specs, gz):
+    """Any record mix (including bodies containing CRLF, gzip magic,
+    and 'WARC/' lookalikes) frames and parses back exactly — record
+    splitting is length arithmetic, so adversarial bodies can't
+    desynchronize it."""
+    recs = []
+    for i, (wtype, body, status) in enumerate(specs):
+        if wtype == "response":
+            recs.append({"warc_type": wtype, "record_id": f"urn:uuid:{i}",
+                         "target_uri": f"https://x.example/{i}",
+                         "http_status": status, "body": body})
+        else:
+            recs.append({"warc_type": wtype, "record_id": f"urn:uuid:{i}",
+                         "block": b"WARC/1.1\r\n" + body,  # lookalike block
+                         "content_type": "application/octet-stream"})
+    out = decode_warc(encode_warc(recs, gzip_per_record=gz))
+    assert len(out) == len(recs)
+    for i, ((wtype, body, status), rec) in enumerate(zip(specs, out)):
+        assert rec["warc_type"] == wtype and rec["record_id"] == f"urn:uuid:{i}"
+        if wtype == "response":
+            assert rec["http_status"] == status and rec["body"] == body
+        else:
+            assert rec["body"] == b"WARC/1.1\r\n" + body
