@@ -58,7 +58,14 @@ def word_histogram(
     shuffle of the BPE stack. ``max_words`` keeps the strongest rows by
     (freq DESC, word ASC): deterministic, and a hard bound on what a
     driver collect downstream can cost."""
-    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    # monster tokens (unbroken base64/minified-JS runs) are excluded
+    # from MERGE LEARNING — they aren't vocabulary, and one such row
+    # would dominate the driver-side pair scans; encoding still
+    # handles them by cap-sized chunking (_encode_word)
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda t: (t != "") & (F.length(t) <= _MAX_WORD_CHARS),
+    )
     hist = (
         df.select(F.explode(toks).alias("word"))
         .groupBy("word")
@@ -113,8 +120,19 @@ def bpe_train(
     return merges
 
 
-def _encode_word(word: str, ranks: dict) -> List[str]:
-    seq: List[str] = list(word) + [_EOW]
+# greedy merge scanning is O(len^2) per word — unbounded on the
+# unbroken monster tokens real crawls contain (base64 blobs, minified
+# JS, DNA strings: a single 100 KB "word" would be ~10^10 operations
+# in one executor thread). Words above the cap encode in cap-sized
+# pieces — only the LAST piece carries the end-of-word marker, so
+# decode (concat + marker→space) still round-trips EXACTLY — the same
+# practical bound GPT-2's regex pre-split and SentencePiece's
+# max-piece-length impose.
+_MAX_WORD_CHARS = 512
+
+
+def _encode_piece(piece: str, ranks: dict, eow: bool) -> List[str]:
+    seq: List[str] = list(piece) + ([_EOW] if eow else [])
     while len(seq) > 1:
         best_rank, best_i = None, None
         for i in range(len(seq) - 1):
@@ -125,6 +143,16 @@ def _encode_word(word: str, ranks: dict) -> List[str]:
             break
         seq[best_i : best_i + 2] = [seq[best_i] + seq[best_i + 1]]
     return seq
+
+
+def _encode_word(word: str, ranks: dict) -> List[str]:
+    if len(word) <= _MAX_WORD_CHARS:
+        return _encode_piece(word, ranks, eow=True)
+    out: List[str] = []
+    for i in range(0, len(word), _MAX_WORD_CHARS):
+        piece = word[i : i + _MAX_WORD_CHARS]
+        out.extend(_encode_piece(piece, ranks, eow=i + _MAX_WORD_CHARS >= len(word)))
+    return out
 
 
 def bpe_encode(

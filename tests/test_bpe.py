@@ -94,3 +94,42 @@ def test_encode_word_greedy_rank_order():
     assert _encode_word("abc", {("a", "b"): 0, ("b", "c"): 1}) == ["ab", "c", _EOW]
     assert _encode_word("abc", {("b", "c"): 0, ("a", "b"): 1}) == ["a", "bc", _EOW]
     assert _encode_word("x", {}) == ["x", _EOW]
+
+
+def test_bpe_monster_words_bounded_and_exact(spark):
+    """A single unbroken 50 KB token (base64 blob / minified JS — real
+    crawl content) must encode in bounded time via cap-sized chunking
+    and still round-trip EXACTLY (only the final chunk carries the
+    end-of-word marker). Monster tokens are excluded from merge
+    learning but never from encoding."""
+    import time
+
+    from iceberg_python_spark.operators.bpe import (
+        _MAX_WORD_CHARS,
+        _encode_word,
+        bpe_decode_col,
+        bpe_encode,
+        bpe_train,
+        word_histogram,
+    )
+
+    monster = "ab" * 25_000  # 50k chars, no whitespace
+    docs = spark.createDataFrame(
+        [(0, f"the quick fox {monster} jumps"), (1, "the quick fox jumps")],
+        "doc_id: long, text: string",
+    )
+    merges = bpe_train(docs, "text", n_merges=30)
+    # training histogram never saw the monster
+    words = {r["word"] for r in word_histogram(docs, "text").collect()}
+    assert monster not in words and "quick" in words
+    t0 = time.time()
+    toks = _encode_word(monster, {tuple(m): i for i, m in enumerate(merges)})
+    assert time.time() - t0 < 5.0  # O(len * cap), not O(len^2)
+    assert sum(len(t.replace("</w>", "")) for t in toks) == len(monster)
+    # full-path exact round trip through Spark
+    enc = bpe_encode(docs, "text", merges, "doc_id")
+    dec = enc.select("doc_id", bpe_decode_col("tokens").alias("decoded"))
+    got = {r["doc_id"]: r["decoded"] for r in dec.collect()}
+    assert got[0] == f"the quick fox {monster} jumps"
+    assert got[1] == "the quick fox jumps"
+    assert _MAX_WORD_CHARS < 50_000
