@@ -1959,3 +1959,21 @@ def test_kmeans_distributed_fit_and_assign(spark):
     empty = spark.createDataFrame([], "id: long, v: array<double>")
     with _pytest.raises(ValueError, match="empty"):
         kmeans_fit(empty, "v", k=2)
+
+
+def test_pii_email_pattern_is_restart_bounded(spark):
+    """The email pattern uses RFC 5321's 64/253 length bounds as
+    quantifier caps: an unanchored `+` local part made regex restarts
+    O(n^2) — one adversarial 100 KB unbroken email-charset run cost
+    ~106 s/doc before the bound. Valid emails are unaffected; an
+    over-long (invalid) local part redacts its RFC-max tail."""
+    from iceberg_python_spark.operators.text import PII_PATTERNS, pii_redact
+
+    email_pat = dict((l, p) for l, p, _ in PII_PATTERNS)["email"]
+    assert "{1,64}" in email_pat and "]+" not in email_pat
+    df = spark.createDataFrame(
+        [(0, "x@y.com and " + "b" * 100 + "@example.com")], "doc_id: long, text: string"
+    )
+    (row,) = pii_redact(df, "text", "doc_id").collect()
+    assert row["n_email"] == 2
+    assert row["text"].startswith("<EMAIL> and " + "b" * 36 + "<EMAIL>")
