@@ -4213,8 +4213,11 @@ def oracle_sql() -> dict[str, str]:
         "floor(top_bigram_count * 10000.0 / greatest(len(grams), 1)) / 10000 AS top_bigram_frac FROM tc"
     )
     strip_sql = (
+        # the engine appends sentinel close tags (HTML5 unclosed-
+        # element semantics + linear-time guarantee); the oracle
+        # mirrors them
         "WITH s0 AS (SELECT doc_id, '<html><style>p {}</style><p>' || text || "
-        "'</p><script>track();</script></html>' AS t FROM documents), "
+        "'</p><script>track();</script></html>' || '</script></style>' AS t FROM documents), "
         "s1 AS (SELECT doc_id, regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM s0), "
         "s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1), "
         "s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]+>', ' ', 'g') AS t FROM s2), "

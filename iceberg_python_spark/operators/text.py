@@ -243,6 +243,15 @@ def strip_html(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     regexp_replace chain — RE2-safe patterns, so any engine reproduces
     the output bit-for-bit. Returns (id, text)."""
     t = F.col(text_col)
+    # Sentinel close tags appended first: per HTML5 an unclosed
+    # <script>/<style> element runs to end-of-input, and without a
+    # close ANYWHERE the lazy .*? below would rescan to EOF once per
+    # dangling open — quadratic on adversarial pages (measured ~6 s
+    # for 12k unclosed opens in 96 KB; one match to the sentinel is
+    # linear). On well-formed pages the sentinels match nothing and
+    # are stripped by the generic tag rule below. The DuckDB oracle
+    # appends the same sentinels.
+    t = F.concat(t, F.lit("</script></style>"))
     # (?is) case-insensitive + dot-matches-newline; RE2 supports inline flags
     t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script>", " ")
     t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")

@@ -1977,3 +1977,28 @@ def test_pii_email_pattern_is_restart_bounded(spark):
     (row,) = pii_redact(df, "text", "doc_id").collect()
     assert row["n_email"] == 2
     assert row["text"].startswith("<EMAIL> and " + "b" * 36 + "<EMAIL>")
+
+
+def test_strip_html_unclosed_blocks_are_linear_and_html5_correct(spark):
+    """An unclosed <script>/<style> element runs to end-of-input per
+    HTML5 — the sentinel-close trick encodes that AND removes the
+    quadratic rescan (12k dangling opens cost ~6 s/doc before; now
+    they cost the same as benign HTML). Well-formed pages are
+    byte-identical to the pre-sentinel output."""
+    from iceberg_python_spark.operators.text import strip_html
+
+    rows = [
+        (0, "<script>" * 12_000),                        # adversarial
+        (1, "<p>keep</p><script>var x = 'dangling';"),   # unclosed tail
+        (2, "<p>keep</p><style>p { color: red;"),        # unclosed style
+        (3, '<html><style>p{}</style><p>a &amp; "b"</p><script>t();</script></html>'),
+        (4, "plain, no html at all"),
+        (5, "stray close </script> is just a tag"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r[0]: r[1] for r in strip_html(df, "text", "doc_id").collect()}
+    assert got[0] == ""
+    assert got[1] == "keep" and got[2] == "keep"
+    assert got[3] == 'a & "b"'
+    assert got[4] == "plain, no html at all"
+    assert got[5] == "stray close is just a tag"
