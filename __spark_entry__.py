@@ -3944,7 +3944,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # events_json_extract, warc_ingest (new
     # operators earning first driver evidence; registry → 131), plus
     # probe_media_corpus re-shaped (7 → 10 containers: MP4 dims/codec,
-    # WebM EBML, MP3 Xing — CODE-CHANGED, must re-green leading r13).
+    # WebM EBML, MP3 Xing) and multimodal_audio_decode (MS ADPCM
+    # truncation fix) — both CODE-CHANGED, must re-green leading r13.
+    # (text_pii_redact, text_perdoc_combined, bpe_roundtrip also
+    # changed in the late-r12 audit; all three already lead r13.)
     # All verified in the final-state full-registry sweep.
     return {
         name: wrap(fn)
