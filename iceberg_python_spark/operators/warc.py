@@ -193,3 +193,194 @@ def warc_records(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
         run, schema=WARC_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING file-scale reads — Common Crawl WARCs are ~1 GB per file;
+# a whole-file binary column would hold the file in task memory (and
+# Spark binary values cap at 2 GB). The streaming path keeps memory at
+# O(largest record + decompress chunk): records are parsed out of a
+# rolling buffer fed by incremental gzip-member decompression, and the
+# Spark surface takes a DataFrame of PATHS (one task per file, opened
+# executor-side through the engine's scheme-aware FileIO).
+# ---------------------------------------------------------------------------
+
+_CHUNK = 1 << 20
+
+
+def _iter_decompressed(stream) -> Iterator[bytes]:
+    """Plain or concatenated-gzip-member stream -> plain byte chunks,
+    incrementally (never the whole file)."""
+    first = stream.read(2)
+    if not first:
+        return
+    if first != b"\x1f\x8b":
+        yield first
+        while True:
+            b = stream.read(_CHUNK)
+            if not b:
+                return
+            yield b
+        return
+    d = zlib.decompressobj(31)
+    pending = first
+    while True:
+        if not pending:
+            pending = stream.read(_CHUNK)
+            if not pending:
+                if not d.eof:
+                    raise ValueError("truncated gzip member in WARC")
+                return
+        out = d.decompress(pending)
+        if out:
+            yield out
+        if d.eof:
+            pending = d.unused_data
+            # the next member's magic may straddle the read boundary
+            while len(pending) < 2:
+                more = stream.read(2 - len(pending))
+                if not more:
+                    if pending:
+                        raise ValueError("trailing non-gzip bytes after gzip members")
+                    return
+                pending += more
+            if pending[:2] != b"\x1f\x8b":
+                raise ValueError("trailing non-gzip bytes after gzip members")
+            d = zlib.decompressobj(31)
+        else:
+            pending = b""
+
+
+def iter_warc_records(stream) -> Iterator[Dict[str, Any]]:
+    """Yield record dicts (the :func:`decode_warc` shape) from a
+    file-like binary stream, plain or per-record-gzip, holding only
+    the current record in memory."""
+    chunks = _iter_decompressed(stream)
+    buf = bytearray()
+    pos = 0
+    done = False
+
+    def fill(need: int) -> bool:
+        # appends only — offsets into buf stay valid across calls;
+        # the consumed prefix is trimmed at record boundaries
+        nonlocal buf, done
+        while len(buf) - pos < need and not done:
+            try:
+                buf += next(chunks)
+            except StopIteration:
+                done = True
+        return len(buf) - pos >= need
+
+    while True:
+        while fill(2) and buf[pos : pos + 2] == _CRLF:
+            pos += 2
+        if not fill(5):
+            return
+        if bytes(buf[pos : pos + 5]) != b"WARC/":
+            raise ValueError("not a WARC record in stream")
+        hint = pos  # resume the separator search where it last ended
+        while True:
+            hdr_end = buf.find(_CRLF + _CRLF, hint)
+            if hdr_end >= 0:
+                break
+            # the separator may straddle the old buffer end by 3 bytes
+            hint = max(pos, len(buf) - 3)
+            before = len(buf)
+            fill(len(buf) - pos + 1)  # any amount of new bytes re-tries
+            if len(buf) == before:
+                raise ValueError("truncated WARC record header")
+        lines = bytes(buf[pos:hdr_end]).split(_CRLF)
+        headers: Dict[str, str] = {}
+        for ln in lines[1:]:
+            k, _, v = ln.decode("utf-8", "replace").partition(":")
+            headers[k.strip().lower()] = v.strip()
+        length = int(headers["content-length"])
+        block_start = hdr_end + 4
+        if not fill(block_start - pos + length):
+            raise ValueError("truncated WARC block")
+        block = bytes(buf[block_start : block_start + length])
+        pos = block_start + length
+        if pos > _CHUNK:  # trim consumed prefix so memory stays bounded
+            del buf[:pos]
+            pos = 0
+        rec: Dict[str, Any] = {
+            "warc_type": headers.get("warc-type"),
+            "record_id": headers.get("warc-record-id", "").strip("<>"),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "content_type": headers.get("content-type"),
+            "http_status": None,
+            "http_content_type": None,
+            "body": block,
+        }
+        if (rec["content_type"] or "").startswith("application/http"):
+            split = block.find(_CRLF + _CRLF)
+            if split >= 0:
+                http_lines = block[:split].split(_CRLF)
+                status_parts = http_lines[0].split(None, 2)
+                if len(status_parts) >= 2 and status_parts[1].isdigit():
+                    rec["http_status"] = int(status_parts[1])
+                for ln in http_lines[1:]:
+                    k, _, v = ln.decode("utf-8", "replace").partition(":")
+                    if k.strip().lower() == "content-type":
+                        rec["http_content_type"] = v.strip()
+                rec["body"] = block[split + 4 :]
+        yield rec
+
+
+def _open_stream(path: str):
+    from ..io.fileio import is_remote, split_scheme, to_local, _pa_fs
+
+    scheme, _ = split_scheme(path)
+    if scheme in (None, "file"):
+        return open(to_local(path), "rb")
+    fs, rel = _pa_fs(path)
+    return fs.open_input_stream(rel)
+
+
+WARC_PATH_SCHEMA = T.StructType(
+    [T.StructField("path", T.StringType())]
+    + [f for f in WARC_SCHEMA.fields if f.name != "src_id"]
+)
+
+
+def warc_records_from_paths(
+    paths: DataFrame, path_col: str = "path", batch_records: int = 256
+) -> DataFrame:
+    """One row per WARC record from a DataFrame of FILE PATHS — the
+    file-scale ingest surface (one task per archive, opened
+    executor-side through the engine's scheme-aware FileIO, records
+    streamed with O(record) memory). Repartition the path list to
+    spread archives across executors. A file that fails mid-stream
+    yields its parsed records plus one error row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_PATH_SCHEMA.fields]
+        for pdf in batches:
+            for p in pdf[path_col]:
+                rows: list = []
+                try:
+                    with _open_stream(str(p)) as f:
+                        for j, rec in enumerate(iter_warc_records(f)):
+                            rec.pop("content_type", None)
+                            rows.append(
+                                dict({c: None for c in cols}, path=str(p),
+                                     rec_index=j, parse_ok=True, **rec)
+                            )
+                            if len(rows) >= batch_records:
+                                yield pd.DataFrame(
+                                    [{c: r.get(c) for c in cols} for r in rows],
+                                    columns=cols,
+                                )
+                                rows = []
+                except Exception as exc:
+                    rows.append(
+                        dict({c: None for c in cols}, path=str(p),
+                             parse_ok=False, error=f"{type(exc).__name__}: {exc}")
+                    )
+                if rows:
+                    yield pd.DataFrame(
+                        [{c: r.get(c) for c in cols} for r in rows], columns=cols
+                    )
+
+    return paths.select(F.col(path_col)).mapInPandas(run, schema=WARC_PATH_SCHEMA)

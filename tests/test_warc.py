@@ -107,3 +107,62 @@ def test_warc_roundtrip_property(specs, gz):
             assert rec["http_status"] == status and rec["body"] == body
         else:
             assert rec["body"] == b"WARC/1.1\r\n" + body
+
+
+def test_warc_streaming_iter_matches_batch():
+    """The streaming parser (the file-scale path) yields exactly what
+    decode_warc yields, for both layouts and pathological read sizes,
+    including bodies larger than the 1 MB buffer-trim threshold."""
+    import io
+
+    recs = [
+        {"warc_type": "response", "record_id": f"urn:uuid:{i}",
+         "target_uri": f"https://x/{i}", "http_status": 200 + i,
+         "body": bytes([i % 256]) * (i * 997 % 5000)}
+        for i in range(25)
+    ] + [{"warc_type": "response", "record_id": "urn:uuid:big",
+          "http_status": 200, "body": b"B" * (3 << 20)}]
+
+    class TinyReads(io.RawIOBase):
+        def __init__(self, data, sz):
+            self.b, self.sz = io.BytesIO(data), sz
+
+        def read(self, n=-1):
+            return self.b.read(min(n if n and n > 0 else self.sz, self.sz))
+
+    from iceberg_python_spark.operators.warc import iter_warc_records
+
+    for gz in (False, True):
+        data = encode_warc(recs, gzip_per_record=gz)
+        want = decode_warc(data)
+        for sz in (7, 4096, 1 << 22):
+            got = list(iter_warc_records(TinyReads(data, sz)))
+            assert got == want, (gz, sz)
+
+
+def test_warc_records_from_paths(spark, tmp_path):
+    """File-scale surface: one task per archive path, records streamed
+    executor-side; a corrupt file yields its error row while other
+    files parse fully."""
+    from iceberg_python_spark.operators.warc import warc_records_from_paths
+
+    f1 = tmp_path / "a.warc.gz"
+    f1.write_bytes(encode_warc(RECS, gzip_per_record=True))
+    f2 = tmp_path / "b.warc"
+    f2.write_bytes(encode_warc(RECS))
+    f3 = tmp_path / "c.warc"
+    f3.write_bytes(b"this is not a warc file")
+    paths = spark.createDataFrame(
+        [(str(f1),), (str(f2),), (str(f3),)], "path: string"
+    ).repartition(3)
+    out = warc_records_from_paths(paths).collect()
+    by_path = {}
+    for r in out:
+        by_path.setdefault(r["path"].rsplit("/", 1)[-1], []).append(r)
+    for name in ("a.warc.gz", "b.warc"):
+        rows = by_path[name]
+        assert len(rows) == 4 and all(r["parse_ok"] for r in rows)
+        resp = sorted(r["http_status"] for r in rows if r["warc_type"] == "response")
+        assert resp == [200, 404]
+    (bad,) = by_path["c.warc"]
+    assert not bad["parse_ok"] and "ValueError" in bad["error"]
