@@ -99,6 +99,10 @@ def decode_warc(data: bytes) -> List[Dict[str, Any]]:
     http_status, http_content_type, body``. For ``application/http``
     blocks the HTTP envelope is split off and ``body`` is the message
     body; other blocks pass through as ``body`` with null status."""
+    if data[:2] == b"\x28\xb5":  # zstd magic prefix (.warc.zst)
+        raise NotImplementedError(
+            "zstd-compressed WARC needs the zstandard library"
+        )
     if data[:2] == b"\x1f\x8b":
         data = _gunzip_members(data)
     records: List[Dict[str, Any]] = []
@@ -214,6 +218,10 @@ def _iter_decompressed(stream) -> Iterator[bytes]:
     first = stream.read(2)
     if not first:
         return
+    if first == b"\x28\xb5":  # zstd magic prefix (.warc.zst)
+        raise NotImplementedError(
+            "zstd-compressed WARC needs the zstandard library"
+        )
     if first != b"\x1f\x8b":
         yield first
         while True:
