@@ -392,3 +392,44 @@ def warc_records_from_paths(
                     )
 
     return paths.select(F.col(path_col)).mapInPandas(run, schema=WARC_PATH_SCHEMA)
+
+
+def warc_to_documents(records: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The canonical crawl-ingest composition: WARC record rows (from
+    :func:`warc_records` or :func:`warc_records_from_paths`) ->
+    documents-shaped rows ``(doc_id, text, lang, source, n_chars)``
+    ready to append to a documents table and flow into the curation
+    pipeline. Keeps successful HTTP 200 text/html-ish responses;
+    ``doc_id`` is the xxhash64 of the WARC record id (stable across
+    re-reads of the same crawl), ``source`` is the target URI's host,
+    ``text`` is the HTML-stripped body, ``lang`` the n-gram guess.
+    Pure column expressions plus the existing text operators — no new
+    Python in the path."""
+    from .text import language_id, strip_html
+
+    resp = records.where(
+        F.col("parse_ok")
+        & (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & (
+            F.col("http_content_type").isNull()
+            | F.col("http_content_type").startswith("text/")
+        )
+    ).select(
+        F.xxhash64("record_id").alias(id_col),
+        F.col("body").cast("string").alias("text"),
+        F.parse_url(F.col("target_uri"), F.lit("HOST")).alias("source"),
+    )
+    stripped = strip_html(resp, "text", id_col)
+    lang = language_id(stripped, "text", id_col)
+    return (
+        stripped.join(lang, id_col)
+        .join(resp.select(id_col, "source"), id_col)
+        .select(
+            id_col,
+            "text",
+            F.col("lang_guess").alias("lang"),
+            "source",
+            F.length("text").alias("n_chars"),
+        )
+    )

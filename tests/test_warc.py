@@ -166,3 +166,42 @@ def test_warc_records_from_paths(spark, tmp_path):
         assert resp == [200, 404]
     (bad,) = by_path["c.warc"]
     assert not bad["parse_ok"] and "ValueError" in bad["error"]
+
+
+def test_warc_to_documents_end_to_end(spark, tmp_path):
+    """Archive bytes -> documents-shaped rows in one call: only 200
+    text responses survive, bodies are HTML-stripped, source is the
+    URI host, doc_id is stable across re-reads."""
+    from iceberg_python_spark.operators.warc import (
+        warc_records_from_paths,
+        warc_to_documents,
+    )
+
+    recs = [
+        {"warc_type": "warcinfo", "record_id": "urn:uuid:info",
+         "block": b"x", "content_type": "application/warc-fields"},
+        {"warc_type": "response", "record_id": "urn:uuid:p1",
+         "target_uri": "https://news.example.org/a", "http_status": 200,
+         "body": b"<html><body><p>Breaking:&amp; the dog barks</p></body></html>"},
+        {"warc_type": "response", "record_id": "urn:uuid:p2",
+         "target_uri": "https://blog.example.net/b", "http_status": 404,
+         "body": b"<p>not found</p>"},
+        {"warc_type": "response", "record_id": "urn:uuid:p3",
+         "target_uri": "https://blog.example.net/c", "http_status": 200,
+         "body": b"<p>the cat naps</p>"},
+    ]
+    f = tmp_path / "crawl.warc.gz"
+    f.write_bytes(encode_warc(recs, gzip_per_record=True))
+    paths = spark.createDataFrame([(str(f),)], "path: string")
+    docs1 = warc_to_documents(warc_records_from_paths(paths)).orderBy("source")
+    rows = docs1.collect()
+    assert [r["source"] for r in rows] == ["blog.example.net", "news.example.org"]
+    texts = {r["source"]: r["text"] for r in rows}
+    assert texts["news.example.org"] == "Breaking:& the dog barks"
+    assert texts["blog.example.net"] == "the cat naps"
+    assert all(r["n_chars"] == len(r["text"]) and r["lang"] is not None for r in rows)
+    # doc_id stability across re-reads of the same crawl
+    docs2 = warc_to_documents(warc_records_from_paths(paths))
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in docs2.collect()
+    )
