@@ -103,6 +103,7 @@ def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
     if fmt is None or payload is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_ch, rate, _byte_rate, _block_align, bits = fmt
+    was_extensible = audio_format == 0xFFFE
     if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
         # the real format lives in the SubFormat GUID at fmt-extension
         # bytes 24..40; its Data1 low word is the classic format code.
@@ -157,11 +158,21 @@ def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
             pcm = decode_ima_adpcm(payload, n_ch, _block_align)
         else:
             coefs = None  # custom coefficient table from the fmt extension
-            if len(fmt_body) >= 22:
-                (ncoef,) = struct.unpack("<H", fmt_body[20:22])
-                if ncoef and len(fmt_body) >= 22 + 4 * ncoef:
+            # classic fmt: cbSize@16, nCoef@20, table@22.  Extensible
+            # fmt (0xFFFE): bytes 18..40 hold validBits/channelMask/
+            # GUID, so the classic offsets would read the channel mask
+            # (e.g. stereo=3) as a coef count and the GUID bytes as
+            # coefficients — silently wrong samples with decode_ok
+            # (ADVICE r12).  Re-base past the 22-byte extensible
+            # header: nCoef@40, table@42.
+            ncoef_off = 40 if was_extensible else 20
+            if len(fmt_body) >= ncoef_off + 2:
+                (ncoef,) = struct.unpack("<H", fmt_body[ncoef_off : ncoef_off + 2])
+                if ncoef and len(fmt_body) >= ncoef_off + 2 + 4 * ncoef:
                     coefs = (
-                        np.frombuffer(fmt_body[22 : 22 + 4 * ncoef], dtype="<i2")
+                        np.frombuffer(
+                            fmt_body[ncoef_off + 2 : ncoef_off + 2 + 4 * ncoef], dtype="<i2"
+                        )
                         .reshape(ncoef, 2)
                         .astype(np.int32)
                     )

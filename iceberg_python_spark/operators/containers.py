@@ -223,13 +223,15 @@ _MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 32
 _MP3_RATE_IDX = {44100: 0, 48000: 1, 32000: 2}
 
 
-def _mp3_frame(bitrate_kbps: int, rate: int, mono: bool) -> bytearray:
+def _mp3_frame(bitrate_kbps: int, rate: int, mono: bool, crc: bool = False) -> bytearray:
     br_idx = _MP3_BITRATES.index(bitrate_kbps)
     sr_idx = _MP3_RATE_IDX[rate]
     n = 144 * bitrate_kbps * 1000 // rate  # no padding bit
     hdr = bytearray(n)
     hdr[0] = 0xFF
-    hdr[1] = 0xFB  # MPEG1, Layer III, no CRC
+    # protection bit CLEAR (0xFA) means a 16-bit CRC sits between the
+    # header and the side info, shifting everything after it by 2
+    hdr[1] = 0xFA if crc else 0xFB  # MPEG1, Layer III
     hdr[2] = (br_idx << 4) | (sr_idx << 2)
     hdr[3] = 0xC0 if mono else 0x00  # channel mode
     return hdr
@@ -242,6 +244,7 @@ def synthesize_mp3(
     mono: bool = False,
     vbr: bool = False,
     id3_bytes: int = 0,
+    crc: bool = False,
 ) -> bytes:
     """``n_frames`` MPEG1 Layer III frames with valid headers and
     zeroed audio payload (1152 samples each — the true duration is
@@ -258,16 +261,16 @@ def synthesize_mp3(
         )
         out += b"\x00" * body
     if vbr:
-        first = _mp3_frame(bitrate_kbps, rate, mono)
-        off = 4 + (17 if mono else 32)
+        first = _mp3_frame(bitrate_kbps, rate, mono, crc)
+        off = 4 + (2 if crc else 0) + (17 if mono else 32)
         first[off : off + 4] = b"Xing"
         first[off + 4 : off + 8] = struct.pack(">I", 1)  # flags: frames
         first[off + 8 : off + 12] = struct.pack(">I", n_frames)
         out += first
         rates = [64, 128, 256]
         for i in range(n_frames - 1):
-            out += _mp3_frame(rates[i % 3], rate, mono)
+            out += _mp3_frame(rates[i % 3], rate, mono, crc)
     else:
         for _ in range(n_frames):
-            out += _mp3_frame(bitrate_kbps, rate, mono)
+            out += _mp3_frame(bitrate_kbps, rate, mono, crc)
     return bytes(out)

@@ -67,7 +67,13 @@ def _probe_mp3(data: bytes) -> Dict[str, Any]:
                 # 32 stereo); VBRI is always at 32 past the side-info
                 # start. 1152 samples per MPEG1 Layer III frame.
                 dur_ms = None
-                xing_off = pos + 4 + (17 if mono else 32)
+                # CRC-protected frames (protection bit CLEAR, b1&1==0)
+                # carry a 16-bit CRC between the header and side info,
+                # shifting the Xing/Info tag 2 bytes later (ADVICE
+                # r12) — without this, VBR duration for those files
+                # falls back to the arbitrarily-wrong CBR estimate.
+                crc_pad = 0 if (b1 & 0x01) else 2
+                xing_off = pos + 4 + crc_pad + (17 if mono else 32)
                 if data[xing_off : xing_off + 4] in (b"Xing", b"Info"):
                     (flags,) = struct.unpack_from(">I", data, xing_off + 4)
                     if flags & 1:  # frames field present

@@ -469,7 +469,18 @@ def kmeans_fit(
     n = corpus.count()
     frac = min(1.0, (init_sample * 1.2) / max(n, 1))
     sample = corpus.select(vec_col).sample(False, frac, seed).limit(init_sample).collect()
+    if len(sample) < min(k, n):
+        # a tiny frac draw can come back empty (rng.randint(0) would
+        # be an unhelpful IndexError) or shorter than k, which would
+        # silently return k_eff < k centroids while callers assume
+        # exactly k (ADVICE r12) — top up deterministically.
+        sample = corpus.select(vec_col).limit(max(init_sample, k)).collect()
     X = np.asarray([r[0] for r in sample], dtype=np.float64)
+    if len(X) < k:
+        raise ValueError(
+            f"kmeans_fit: corpus has only {len(X)} rows but k={k}; "
+            "need at least k distinct rows to seed k clusters"
+        )
     rng = np.random.RandomState(seed)
     k_eff = min(k, len(X))
     # k-means++ seeding on the sample

@@ -28,7 +28,7 @@ import zlib
 from typing import Any, Dict, Iterator, List, Optional, Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 _CRLF = b"\r\n"
@@ -215,7 +215,16 @@ _CHUNK = 1 << 20
 def _iter_decompressed(stream) -> Iterator[bytes]:
     """Plain or concatenated-gzip-member stream -> plain byte chunks,
     incrementally (never the whole file)."""
-    first = stream.read(2)
+    # file-likes may legally return short reads — loop until 2 bytes
+    # or EOF, else a 1-byte first read makes a gzip stream take the
+    # plain-bytes path and fail later as 'not a WARC record' (ADVICE
+    # r12)
+    first = b""
+    while len(first) < 2:
+        b = stream.read(2 - len(first))
+        if not b:
+            break
+        first += b
     if not first:
         return
     if first == b"\x28\xb5":  # zstd magic prefix (.warc.zst)
@@ -419,6 +428,16 @@ def warc_to_documents(records: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.xxhash64("record_id").alias(id_col),
         F.col("body").cast("string").alias("text"),
         F.parse_url(F.col("target_uri"), F.lit("HOST")).alias("source"),
+    )
+    # Re-crawled archives repeat record ids; the three equi-joins
+    # below key on doc_id, so n duplicates would fan out to n^3 rows
+    # (ADVICE r12). Keep one deterministic winner per doc_id (ordered
+    # by content, not partition layout) before fanning into the joins.
+    w = Window.partitionBy(id_col).orderBy("text", "source")
+    resp = (
+        resp.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
     stripped = strip_html(resp, "text", id_col)
     lang = language_id(stripped, "text", id_col)

@@ -425,3 +425,53 @@ def test_ms_adpcm_predictor_truncates_toward_zero():
 
     got = decode_ms_adpcm(bytes(block), 1, len(block))
     assert got[:, 0].tolist() == want
+
+
+def test_ms_adpcm_extensible_fmt_ignores_channel_mask():
+    """ADVICE r12: in an extensible fmt the classic coef-table offsets
+    (cbSize@16, nCoef@20) land on validBits/channelMask — a stereo
+    mask (3) would pass the length check and the GUID bytes would be
+    read as coefficients, silently corrupting samples. The extensible
+    layout must decode bit-identically to the classic layout."""
+    import struct
+
+    from iceberg_python_spark.operators.adpcm import _MS_COEFS, encode_wav_adpcm
+
+    t = np.linspace(0, 1, 800)
+    x = np.stack([np.sin(2 * np.pi * 440 * t), np.sin(2 * np.pi * 220 * t)], axis=1)
+    classic = encode_wav_adpcm(x, 8000, codec="ms")
+    want, want_rate = decode_wav(classic)
+
+    def rebuild_extensible(wav: bytes, coef_table: bool) -> bytes:
+        # parse chunks, rewrite fmt into WAVE_FORMAT_EXTENSIBLE form
+        pos, chunks = 12, []
+        while pos + 8 <= len(wav):
+            cid = wav[pos : pos + 4]
+            (size,) = struct.unpack("<I", wav[pos + 4 : pos + 8])
+            chunks.append((cid, wav[pos + 8 : pos + 8 + size]))
+            pos += 8 + size + (size & 1)
+        out = b"WAVE"
+        for cid, body in chunks:
+            if cid == b"fmt ":
+                _, n_ch, rate, byr, ba, bits = struct.unpack("<HHIIHH", body[:16])
+                (spb,) = struct.unpack("<H", body[18:20])  # classic ext: cbSize,spb
+                guid = struct.pack("<H", 0x0002) + (
+                    b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+                )
+                ext = struct.pack("<HHI", 22, spb, 0x3) + guid  # stereo mask=3
+                if coef_table:
+                    ext += struct.pack("<H", len(_MS_COEFS))
+                    for c1, c2 in _MS_COEFS:
+                        ext += struct.pack("<hh", int(c1), int(c2))
+                body = struct.pack("<HHIIHH", 0xFFFE, n_ch, rate, byr, ba, bits) + ext
+            out += cid + struct.pack("<I", len(body)) + body
+            if len(body) & 1:
+                out += b"\x00"
+        return b"RIFF" + struct.pack("<I", len(out)) + out
+
+    # no coef table after the GUID -> default table, NOT mask-as-nCoef
+    got, rate = decode_wav(rebuild_extensible(classic, coef_table=False))
+    assert rate == want_rate and np.array_equal(got, want)
+    # re-based custom table at offset 40 parses and matches too
+    got2, _ = decode_wav(rebuild_extensible(classic, coef_table=True))
+    assert np.array_equal(got2, want)

@@ -1961,6 +1961,24 @@ def test_kmeans_distributed_fit_and_assign(spark):
         kmeans_fit(empty, "v", k=2)
 
 
+def test_kmeans_short_sample_tops_up_and_tiny_corpus_refuses(spark):
+    """ADVICE r12: a tiny seeded sample draw must not IndexError
+    (empty) or silently return fewer than k centroids — top up
+    deterministically; fewer than k rows total is a clear refusal."""
+    import pytest as _pytest
+
+    from iceberg_python_spark.operators.similarity import kmeans_fit
+
+    rows = [(i, [float(i), float(i % 3)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "id: long, v: array<double>")
+    # init_sample=1 -> frac ~0.1; the draw is often shorter than k=4
+    C, inertias = kmeans_fit(df, "v", k=4, iters=3, seed=7, init_sample=1)
+    assert C.shape == (4, 2) and len(inertias) >= 1
+    tiny = spark.createDataFrame(rows[:3], "id: long, v: array<double>")
+    with _pytest.raises(ValueError, match="only 3 rows but k=8"):
+        kmeans_fit(tiny, "v", k=8)
+
+
 def test_pii_email_pattern_is_restart_bounded(spark):
     """The email pattern uses RFC 5321's 64/253 length bounds as
     quantifier caps: an unanchored `+` local part made regex restarts

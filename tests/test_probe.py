@@ -284,3 +284,15 @@ def test_probe_mp4_webm_dims_duration_property(w, h, dur, mvhd_ver, frag):
     assert (m["width"], m["height"], m["duration_ms"]) == (w, h, dur)
     e = probe_media(synthesize_webm(dur, width=w, height=h))
     assert (e["width"], e["height"], e["duration_ms"]) == (w, h, dur)
+
+
+def test_probe_mp3_crc_protected_xing():
+    """ADVICE r12: CRC-protected MPEG1 frames (protection bit clear)
+    put a 16-bit CRC before the side info, shifting the Xing tag 2
+    bytes later — the probe must still find it, not fall back to the
+    wrong CBR byte estimate."""
+    for mono in (False, True):
+        n = 150
+        got = probe_media(synthesize_mp3(n, vbr=True, mono=mono, crc=True))
+        assert got["duration_ms"] == n * 1152 * 1000 // 44100
+        assert got["channels"] == (1 if mono else 2)
