@@ -3867,6 +3867,44 @@ def _q_warc_ingest(spark, env):
     )
 
 
+def _q_pdf_ingest(spark, env):
+    # r13: PDF text ingestion — the other big crawl-corpus container
+    # (operators/pdf.py: classic-xref file structure, object model,
+    # FlateDecode, page tree, Tj/TJ/'/" text operators). Each doc
+    # becomes a multi-page PDF (200 chars per page; odd doc_ids use
+    # FlateDecode content streams, even ids plain). The FULL
+    # extraction path is value-hashed: xref walk, object parse, page
+    # ordering, string unescape, and filter decode all sit on the
+    # hashed path — any drift anywhere mismatches DuckDB's substr
+    # reconstruction.
+    import pandas as pd
+
+    from iceberg_python_spark.operators.pdf import encode_pdf, pdf_pages
+
+    docs = (
+        env["documents"].scan(selected_fields=("doc_id", "text")).to_df()
+        .where("doc_id < 400")
+        .repartition(32)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d, t in zip(pdf["doc_id"].astype(int), pdf["text"]):
+                pages = [t[i : i + 200] for i in range(0, len(t), 200)] or [""]
+                payloads.append(encode_pdf(pages, compress=d % 2 == 1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    archives = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    pages = pdf_pages(archives, "doc_id", "payload")
+    return pages.where("parse_ok").select(
+        F.col("src_id").alias("doc_id"),
+        F.col("page_no").cast("int").alias("page_no"),
+        F.col("text").alias("page_text"),
+        F.col("n_pages").cast("int").alias("n_pages"),
+    )
+
+
 def _q_embedding_kmeans_invariants(spark, env):
     # r12: FULL-corpus distributed k-means invariants. Lloyd's with
     # broadcast centroids + per-partition partial sums reduced via
@@ -4102,6 +4140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tdigest_quantile_invariants": _q_tdigest_quantile_invariants,
             "events_json_extract": _q_events_json_extract,
             "warc_ingest": _q_warc_ingest,
+            "pdf_ingest": _q_pdf_ingest,
             "bpe_roundtrip": _q_bpe_roundtrip,
             "multimodal_audio_containers": _q_multimodal_audio_containers,
             # r11 fold (VERDICT r10 #7): the five raw-approximate
@@ -4530,6 +4569,14 @@ def oracle_sql() -> dict[str, str]:
             "'https://example.org/doc/' || doc_id AS target_uri, "
             "'<html><body><p>' || text || '</p></body></html>' AS page_text "
             "FROM documents WHERE doc_id < 400"
+        ),
+        "pdf_ingest": (
+            "SELECT doc_id, CAST(p AS INTEGER) AS page_no, "
+            "substr(text, (p - 1) * 200 + 1, 200) AS page_text, "
+            "CAST(ceil(length(text) / 200.0) AS INTEGER) AS n_pages "
+            "FROM (SELECT doc_id, text, "
+            "unnest(generate_series(1, CAST(ceil(length(text) / 200.0) AS BIGINT))) AS p "
+            "FROM documents WHERE doc_id < 400)"
         ),
         "bpe_roundtrip": (
             # decode(encode(x)) == whitespace-normalized x is exact;

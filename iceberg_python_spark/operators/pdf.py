@@ -1,0 +1,624 @@
+"""PDF text ingestion — the other big crawl-corpus container.
+
+Like :mod:`.warc` (Common Crawl's WARC framing), this is a real parser
+for the subset of ISO 32000 that text extraction needs, built from the
+public spec only:
+
+- file structure: classic cross-reference tables (incremental-update
+  ``/Prev`` chains followed), ``trailer`` dictionaries, ``startxref``;
+  PDF 1.5 cross-reference *streams* fall back to a full-file object
+  scan (offsets recovered from ``N G obj`` headers) — object streams
+  (``/ObjStm``) and encrypted files are loud ``NotImplementedError``
+  gates, never silently-empty text;
+- the object model: dictionaries, arrays, names (with ``#xx`` hex
+  escapes), literal strings (nested parens, ``\\ooo`` octal and the
+  full escape table, line continuations), hex strings, references,
+  streams (``/Length`` may itself be a reference);
+- filters: ``FlateDecode`` (zlib); predictors and other filters are
+  gated;
+- the page tree: ``/Root -> /Pages`` with arbitrarily nested
+  ``/Kids``, per-page ``/Contents`` as one stream or an array
+  (concatenated in order, as the spec requires);
+- content-stream text operators: ``Tj``, ``'``, ``"``, ``TJ`` (kerning
+  numbers ignored), with line breaks on ``Td``/``TD``/``T*`` — the
+  layout heuristic that round-trips :func:`encode_pdf` exactly and
+  reads straightforward real-world text objects.
+
+Strings decode as UTF-8 with latin-1 fallback (PDFDocEncoded text in
+the wild is close enough to latin-1 for curation-grade extraction; a
+full PDFDocEncoding table buys nothing for the hashed round trip).
+
+The Spark surface (:func:`pdf_pages`) mirrors ``warc_records``: one
+task per document batch, per-payload error isolation (a corrupt file
+yields its error row, never fails the job), executors do all byte
+work. At 100 TB the unit of parallelism is the *document* — PDFs are
+small-object data, so the right distribution is many payloads per
+partition, not splitting single files.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+import zlib
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple, Union
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["encode_pdf", "decode_pdf_text", "pdf_pages"]
+
+
+# ---------------------------------------------------------------------------
+# object model
+# ---------------------------------------------------------------------------
+
+
+class Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int) -> None:
+        self.num, self.gen = num, gen
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"{self.num} {self.gen} R"
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, Ref) and (self.num, self.gen) == (other.num, other.gen)
+
+    def __hash__(self) -> int:
+        return hash((self.num, self.gen))
+
+
+class Name(str):
+    """A /Name — distinct from strings so dict keys are unambiguous."""
+
+
+class Stream:
+    __slots__ = ("d", "raw")
+
+    def __init__(self, d: Dict[str, Any], raw: bytes) -> None:
+        self.d, self.raw = d, raw
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data, self.pos = data, pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # % comment to end of line
+                while self.pos < n and d[self.pos] not in b"\r\n":
+                    self.pos += 1
+            else:
+                return
+
+    def peek(self) -> int:
+        self._skip_ws()
+        return self.data[self.pos] if self.pos < len(self.data) else -1
+
+    def keyword(self) -> str:
+        """Bare token (operator / true / false / null / obj / R)."""
+        self._skip_ws()
+        start = self.pos
+        d, n = self.data, len(self.data)
+        while self.pos < n and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+            self.pos += 1
+        return d[start : self.pos].decode("latin-1")
+
+    def _name(self) -> Name:
+        self.pos += 1  # /
+        out = bytearray()
+        d, n = self.data, len(self.data)
+        while self.pos < n and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+            c = d[self.pos]
+            if c == 0x23 and self.pos + 2 < n:  # #xx
+                out.append(int(d[self.pos + 1 : self.pos + 3], 16))
+                self.pos += 3
+            else:
+                out.append(c)
+                self.pos += 1
+        return Name(out.decode("latin-1"))
+
+    def _literal_string(self) -> bytes:
+        self.pos += 1  # (
+        out = bytearray()
+        depth = 1
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c == 0x5C:  # backslash
+                self.pos += 1
+                if self.pos >= n:
+                    break
+                e = d[self.pos]
+                if e in b"nrtbf":
+                    out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e])
+                    self.pos += 1
+                elif e in b"0123456789"[:8]:  # up to 3 octal digits
+                    o = 0
+                    k = 0
+                    while k < 3 and self.pos < n and 0x30 <= d[self.pos] <= 0x37:
+                        o = o * 8 + (d[self.pos] - 0x30)
+                        self.pos += 1
+                        k += 1
+                    out.append(o & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    self.pos += 1
+                    if e == 0x0D and self.pos < n and d[self.pos] == 0x0A:
+                        self.pos += 1
+                else:  # \( \) \\ and unknown escapes = the char itself
+                    out.append(e)
+                    self.pos += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                self.pos += 1
+            elif c == 0x29:
+                depth -= 1
+                self.pos += 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(c)
+            else:
+                out.append(c)
+                self.pos += 1
+        raise ValueError("unterminated PDF string")
+
+    def _hex_string(self) -> bytes:
+        self.pos += 1  # <
+        d, n = self.data, len(self.data)
+        hx = []
+        while self.pos < n and d[self.pos] != 0x3E:
+            c = d[self.pos]
+            if c not in _WS:
+                hx.append(chr(c))
+            self.pos += 1
+        self.pos += 1  # >
+        if len(hx) % 2:
+            hx.append("0")
+        return bytes.fromhex("".join(hx))
+
+    def parse(self) -> Any:
+        self._skip_ws()
+        d, n = self.data, len(self.data)
+        if self.pos >= n:
+            raise ValueError("unexpected end of PDF data")
+        c = d[self.pos]
+        if c == 0x2F:
+            return self._name()
+        if c == 0x28:
+            return self._literal_string()
+        if c == 0x3C:
+            if self.pos + 1 < n and d[self.pos + 1] == 0x3C:
+                self.pos += 2
+                out: Dict[str, Any] = {}
+                while True:
+                    if self.peek() == 0x3E:  # >>
+                        self.pos += 2
+                        return out
+                    key = self.parse()
+                    if not isinstance(key, Name):
+                        raise ValueError("PDF dict key must be a name")
+                    out[str(key)] = self.parse()
+            return self._hex_string()
+        if c == 0x5B:  # [
+            self.pos += 1
+            arr: List[Any] = []
+            while self.peek() != 0x5D:
+                arr.append(self.parse())
+            self.pos += 1
+            return arr
+        if c in b"+-.0123456789":
+            # number — or an "N G R" / "N G obj" lookahead for refs
+            start = self.pos
+            tok = self.keyword()
+            if re.fullmatch(rb"\d+", tok.encode()):
+                save = self.pos
+                try:
+                    tok2 = self.keyword()
+                    tok3 = self.keyword()
+                    if re.fullmatch(r"\d+", tok2) and tok3 == "R":
+                        return Ref(int(tok), int(tok2))
+                except Exception:
+                    pass
+                self.pos = save
+            try:
+                return int(tok)
+            except ValueError:
+                try:
+                    return float(tok)
+                except ValueError:
+                    self.pos = start
+                    raise ValueError(f"bad PDF number token {tok!r}")
+        kw = self.keyword()
+        if kw == "true":
+            return True
+        if kw == "false":
+            return False
+        if kw == "null":
+            return None
+        raise ValueError(f"unexpected PDF token {kw!r}")
+
+
+# ---------------------------------------------------------------------------
+# document structure
+# ---------------------------------------------------------------------------
+
+
+class PdfDocument:
+    def __init__(self, data: bytes) -> None:
+        if not data.startswith(b"%PDF-"):
+            raise ValueError("not a PDF (missing %PDF- header)")
+        self.data = data
+        self._cache: Dict[int, Any] = {}
+        self._offsets: Dict[int, int] = {}
+        self.trailer: Dict[str, Any] = {}
+        self._load_xref()
+        if "Encrypt" in self.trailer:
+            raise NotImplementedError("encrypted PDF needs an external decryptor")
+
+    # -- xref ---------------------------------------------------------------
+
+    def _load_xref(self) -> None:
+        tail = self.data[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None:
+            self._scan_objects()
+            self._trailer_from_scan()
+            return
+        off = int(m.group(1))
+        seen = set()
+        while off and off not in seen and off < len(self.data):
+            seen.add(off)
+            lex = _Lexer(self.data, off)
+            if lex.keyword() != "xref":
+                # PDF 1.5 cross-reference stream (or garbage): recover
+                # offsets by scanning object headers; /ObjStm-packed
+                # objects stay unreachable and gate loudly on access.
+                self._scan_objects()
+                self._trailer_from_scan()
+                return
+            while True:
+                save = lex.pos
+                tok = lex.keyword()
+                if tok == "trailer":
+                    tdict = lex.parse()
+                    for k, v in tdict.items():
+                        self.trailer.setdefault(k, v)
+                    off = int(tdict.get("Prev", 0) or 0)
+                    break
+                first = int(tok)
+                count = int(lex.keyword())
+                lex._skip_ws()
+                for i in range(count):
+                    ent = self.data[lex.pos : lex.pos + 20]
+                    eoff, _gen, kind = int(ent[0:10]), int(ent[11:16]), ent[17:18]
+                    if kind == b"n":
+                        self._offsets.setdefault(first + i, eoff)
+                    lex.pos += 20
+                del save
+
+    def _scan_objects(self) -> None:
+        for m in re.finditer(rb"(?m)^[\x00\t\n\x0c\r ]*(\d+)[\x00\t\n\x0c\r ]+\d+[\x00\t\n\x0c\r ]+obj\b", self.data):
+            self._offsets[int(m.group(1))] = m.start()
+
+    def _trailer_from_scan(self) -> None:
+        m = None
+        for m in re.finditer(rb"trailer", self.data):
+            pass
+        if m is not None:
+            self.trailer = _Lexer(self.data, m.end()).parse()
+            return
+        # no classic trailer: find the object whose dict has /Type/Catalog
+        for num in self._offsets:
+            try:
+                obj = self.obj(num)
+            except Exception:
+                continue
+            if isinstance(obj, dict) and obj.get("Type") == "Catalog":
+                self.trailer = {"Root": Ref(num, 0)}
+                return
+        raise ValueError("PDF has no reachable trailer or /Catalog")
+
+    # -- objects ------------------------------------------------------------
+
+    def obj(self, num: int) -> Any:
+        if num in self._cache:
+            return self._cache[num]
+        off = self._offsets.get(num)
+        if off is None:
+            raise NotImplementedError(
+                f"PDF object {num} is not in the cross-reference table "
+                "(object streams /ObjStm need the full 1.5 reader)"
+            )
+        lex = _Lexer(self.data, off)
+        if lex.keyword() != str(num):
+            raise ValueError(f"PDF xref offset for object {num} is wrong")
+        lex.keyword()  # gen
+        if lex.keyword() != "obj":
+            raise ValueError(f"PDF object {num} header malformed")
+        val = lex.parse()
+        save = lex.pos
+        kw = lex.keyword()
+        if kw == "stream":
+            if not isinstance(val, dict):
+                raise ValueError("PDF stream without a dictionary")
+            p = lex.pos
+            if self.data[p : p + 2] == b"\r\n":
+                p += 2
+            elif self.data[p : p + 1] in (b"\n", b"\r"):
+                p += 1
+            length = self.resolve(val.get("Length"))
+            if not isinstance(length, int) or p + length > len(self.data):
+                raise ValueError("PDF stream /Length is missing or truncated")
+            val = Stream(val, self.data[p : p + length])
+        else:
+            lex.pos = save
+        self._cache[num] = val
+        return val
+
+    def resolve(self, v: Any) -> Any:
+        while isinstance(v, Ref):
+            v = self.obj(v.num)
+        return v
+
+    # -- streams ------------------------------------------------------------
+
+    def stream_bytes(self, s: Stream) -> bytes:
+        filt = self.resolve(s.d.get("Filter"))
+        if filt is None:
+            return s.raw
+        filters = [filt] if isinstance(filt, Name) else list(filt)
+        parms = self.resolve(s.d.get("DecodeParms"))
+        if parms and (not isinstance(parms, list) or any(parms)):
+            raise NotImplementedError("PDF stream predictors (DecodeParms) unsupported")
+        out = s.raw
+        for f in filters:
+            if str(f) == "FlateDecode":
+                try:
+                    out = zlib.decompress(out)
+                except zlib.error as e:
+                    raise ValueError(f"corrupt FlateDecode stream: {e}") from e
+            else:
+                raise NotImplementedError(f"PDF stream filter {f} unsupported")
+        return out
+
+    # -- pages --------------------------------------------------------------
+
+    def pages(self) -> List[Dict[str, Any]]:
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            raise ValueError("PDF trailer /Root missing")
+        out: List[Dict[str, Any]] = []
+
+        def walk(node_ref: Any) -> None:
+            node = self.resolve(node_ref)
+            if not isinstance(node, dict):
+                raise ValueError("PDF page-tree node is not a dictionary")
+            t = node.get("Type")
+            if t == "Pages" or (t is None and "Kids" in node):
+                for kid in self.resolve(node.get("Kids")) or []:
+                    walk(kid)
+            elif t == "Page":
+                out.append(node)
+            else:
+                raise ValueError(f"unexpected page-tree node type {t!r}")
+
+        walk(root.get("Pages"))
+        return out
+
+    def page_content(self, page: Dict[str, Any]) -> bytes:
+        contents = self.resolve(page.get("Contents"))
+        if contents is None:
+            return b""
+        parts = contents if isinstance(contents, list) else [contents]
+        chunks = []
+        for p in parts:
+            s = self.resolve(p)
+            if not isinstance(s, Stream):
+                raise ValueError("PDF /Contents entry is not a stream")
+            chunks.append(self.stream_bytes(s))
+        # the spec: multiple streams form ONE content stream, joined by
+        # whitespace so tokens never fuse across the boundary
+        return b"\n".join(chunks)
+
+
+# ---------------------------------------------------------------------------
+# text extraction
+# ---------------------------------------------------------------------------
+
+
+def _decode_text(b: bytes) -> str:
+    if b[:2] in (b"\xfe\xff", b"\xff\xfe"):  # UTF-16 text strings
+        return b.decode("utf-16")
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
+_LINE_OPS = {"Td", "TD", "T*"}
+
+
+def _extract_content_text(content: bytes) -> str:
+    lex = _Lexer(content)
+    lines: List[str] = []
+    cur: Optional[str] = None
+    operands: List[Any] = []
+
+    def advance() -> None:
+        nonlocal cur
+        if cur is not None:
+            lines.append(cur)
+        cur = ""
+
+    def show(s: Any) -> None:
+        nonlocal cur
+        if isinstance(s, bytes):
+            cur = (cur or "") + _decode_text(s)
+
+    while True:
+        lex._skip_ws()
+        if lex.pos >= len(lex.data):
+            break
+        c = lex.data[lex.pos]
+        if c in b"/([<" or c in b"+-.0123456789":
+            try:
+                operands.append(lex.parse())
+            except ValueError:
+                lex.pos += 1  # tolerate junk bytes in foreign streams
+            continue
+        op = lex.keyword()
+        if not op:
+            lex.pos += 1
+            continue
+        if op in _LINE_OPS:
+            advance()
+        elif op == "Tj":
+            show(operands[-1] if operands else None)
+        elif op == "'":
+            advance()
+            show(operands[-1] if operands else None)
+        elif op == '"':
+            advance()
+            show(operands[-1] if operands else None)
+        elif op == "TJ":
+            arr = operands[-1] if operands and isinstance(operands[-1], list) else []
+            for el in arr:
+                show(el)
+        elif op == "ET":
+            pass
+        operands = []
+    if cur is not None:
+        lines.append(cur)
+    return "\n".join(lines)
+
+
+def decode_pdf_text(data: bytes) -> List[str]:
+    """Extracted text, one string per page (in page-tree order)."""
+    doc = PdfDocument(data)
+    return [_extract_content_text(doc.page_content(p)) for p in doc.pages()]
+
+
+# ---------------------------------------------------------------------------
+# writer — deterministic minimal PDF (round-trips through the reader)
+# ---------------------------------------------------------------------------
+
+
+def _escape_pdf_text(s: str) -> bytes:
+    out = bytearray()
+    for b in s.encode("utf-8"):
+        if b in (0x28, 0x29, 0x5C):  # ( ) \
+            out += b"\\" + bytes([b])
+        elif 32 <= b < 127:
+            out.append(b)
+        else:
+            out += ("\\%03o" % b).encode()
+    return bytes(out)
+
+
+def encode_pdf(pages: Sequence[str], compress: bool = True) -> bytes:
+    """Pages of text -> a complete classic-xref PDF 1.4 file. Each
+    ``\\n``-separated line becomes one ``Tj`` show with ``T*`` line
+    advances, the layout :func:`decode_pdf_text` reverses exactly."""
+    n = len(pages)
+    objs: List[bytes] = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode())
+    font_num = 3 + 2 * n
+    for i, text in enumerate(pages):
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {4 + 2 * i} 0 R "
+                f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
+            ).encode()
+        )
+        body = bytearray(b"BT /F1 12 Tf 14 TL 72 720 Td")
+        for j, line in enumerate(text.split("\n")):
+            if j:
+                body += b" T*"
+            body += b" (" + _escape_pdf_text(line) + b") Tj"
+        body += b" ET"
+        if compress:
+            raw = zlib.compress(bytes(body), 6)
+            head = f"<< /Length {len(raw)} /Filter /FlateDecode >>".encode()
+        else:
+            raw = bytes(body)
+            head = f"<< /Length {len(raw)} >>".encode()
+        objs.append(head + b"\nstream\n" + raw + b"\nendstream")
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    out = bytearray(b"%PDF-1.4\n%\xc2\xb5\xc2\xb6\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_off}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+PDF_PAGE_SCHEMA = (
+    "src_id long, page_no int, text string, n_chars int, "
+    "n_pages int, parse_ok boolean, error string"
+)
+
+
+def pdf_pages(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+    """One output row per PDF *page*, with per-payload error isolation
+    (a corrupt/encrypted file yields a single ``parse_ok=false`` row
+    carrying the error, and never fails the job). All parsing happens
+    executor-side in Arrow batches; nothing returns to the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for src, payload in zip(pdf_batch[id_col], pdf_batch[binary_col]):
+                src = int(src)
+                try:
+                    pages = decode_pdf_text(bytes(payload))
+                    for i, text in enumerate(pages, start=1):
+                        rows.append(
+                            {
+                                "src_id": src, "page_no": i, "text": text,
+                                "n_chars": len(text), "n_pages": len(pages),
+                                "parse_ok": True, "error": None,
+                            }
+                        )
+                except (ValueError, NotImplementedError, KeyError, IndexError) as e:
+                    rows.append(
+                        {
+                            "src_id": src, "page_no": None, "text": None,
+                            "n_chars": None, "n_pages": None,
+                            "parse_ok": False, "error": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            cols = ["src_id", "page_no", "text", "n_chars", "n_pages", "parse_ok", "error"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+        run, schema=PDF_PAGE_SCHEMA
+    )

@@ -1,0 +1,186 @@
+"""PDF text-extraction: round trip, foreign layouts, gates, Spark surface."""
+
+import re
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_python_spark.operators.pdf import (
+    PdfDocument,
+    decode_pdf_text,
+    encode_pdf,
+    pdf_pages,
+)
+
+
+def test_roundtrip_escapes_and_unicode():
+    pages = [
+        "hello world\nsecond line",
+        "parens (nested (deep)) and \\ backslash",
+        "ünïcödé µ — em-dash\ttab",
+        "",  # empty page
+        "trailing newline\n",
+    ]
+    for compress in (True, False):
+        assert decode_pdf_text(encode_pdf(pages, compress=compress)) == pages
+
+
+def _min_pdf(objs, root=1, trailer_extra=""):
+    """Hand-assemble a classic-xref PDF from numbered object bodies."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num, body in objs:
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    mx = max(offsets) + 1
+    out += f"xref\n0 {mx}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for i in range(1, mx):
+        if i in offsets:
+            out += f"{offsets[i]:010d} 00000 n \n".encode()
+        else:
+            out += b"0000000000 65535 f \n"
+    out += (
+        f"trailer\n<< /Size {mx} /Root {root} 0 R {trailer_extra}>>\n"
+        f"startxref\n{xref_off}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def test_foreign_layout_tj_arrays_hex_strings_quote_ops():
+    """Text via TJ kerning arrays, <hex> strings, and the ' operator —
+    none of which our writer emits."""
+    content = (
+        b"BT /F1 10 Tf 72 720 Td "
+        b"[(Hel) -20 (lo) 5 ( wor) (ld)] TJ "
+        b"(, next) Tj "
+        b"<20616E6420686578> Tj "  # " and hex"
+        b"(line two) ' "
+        b"ET"
+    )
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        (4, b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)),
+    ]
+    assert decode_pdf_text(_min_pdf(objs)) == ["Hello world, next and hex\nline two"]
+
+
+def test_foreign_layout_nested_kids_and_contents_array():
+    """A nested /Pages tree and a page whose /Contents is an ARRAY of
+    streams (spec: they form one logical stream)."""
+    # the spec forbids tokens spanning the stream boundary — split
+    # between two Tj shows, which must still fuse into one line
+    c1 = b"BT 72 720 Td (part one) Tj"
+    c2 = b"( and part two) Tj ET"
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [5 0 R 4 0 R] /Count 2 >>"),
+        (3, b"<< /Type /Page /Parent 5 0 R /Contents [6 0 R 7 0 R] >>"),
+        (4, b"<< /Type /Page /Parent 2 0 R /Contents 8 0 R >>"),
+        (5, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /Parent 2 0 R >>"),
+        (6, b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c1), c1)),
+        (7, b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c2), c2)),
+        (8, b"<< /Length 24 >>\nstream\nBT 0 0 Td (second) Tj ET\nendstream"),
+    ]
+    # NB: object 8's /Length is deliberately exact: "BT 0 0 Td (second) Tj ET" is 25
+    objs[7] = (8, b"<< /Length 25 >>\nstream\nBT 0 0 Td (second) Tj ET\nendstream")
+    assert decode_pdf_text(_min_pdf(objs)) == ["part one and part two", "second"]
+
+
+def test_indirect_length_and_prev_chain():
+    """/Length as an indirect reference, and an incremental-update
+    file whose second xref section /Prev-chains to the first."""
+    content = b"BT (v2 text) Tj ET"
+    base_objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        (4, b"<< /Length 5 0 R >>\nstream\nBT (v1 text) Tj ET\nendstream"),
+        (5, str(len(b"BT (v1 text) Tj ET")).encode()),
+    ]
+    base = _min_pdf(base_objs)
+    assert decode_pdf_text(base) == ["v1 text"]
+    # incremental update: append a replacement object 4 + new xref
+    m = list(re.finditer(rb"startxref\s+(\d+)", base))[-1]
+    prev_off = int(m.group(1))
+    upd = bytearray(base)
+    new4_off = len(upd)
+    body = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+    upd += b"4 0 obj\n" + body + b"\nendobj\n"
+    x2 = len(upd)
+    upd += b"xref\n4 1\n" + f"{new4_off:010d} 00000 n \n".encode()
+    upd += (
+        f"trailer\n<< /Size 6 /Root 1 0 R /Prev {prev_off} >>\n"
+        f"startxref\n{x2}\n%%EOF\n"
+    ).encode()
+    assert decode_pdf_text(bytes(upd)) == ["v2 text"]
+
+
+def test_xref_stream_file_falls_back_to_object_scan():
+    """A PDF 1.5 file whose startxref points at a cross-reference
+    STREAM: offsets are recovered by scanning object headers."""
+    content = b"BT (modern xref) Tj ET"
+    out = bytearray(b"%PDF-1.5\n")
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        (4, b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)),
+    ]
+    for num, body in objs:
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    # fake xref stream object (we never parse its payload)
+    xs_off = len(out)
+    xs = zlib.compress(b"\x00" * 25)
+    out += b"5 0 obj\n<< /Type /XRef /Size 6 /W [1 2 2] /Root 1 0 R /Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (len(xs), xs)
+    out += b"startxref\n%d\n%%%%EOF\n" % xs_off
+    assert decode_pdf_text(bytes(out)) == ["modern xref"]
+
+
+def test_gates_encrypted_objstm_truncated_badfilter():
+    data = encode_pdf(["secret"])
+    enc = data.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        decode_pdf_text(enc)
+    with pytest.raises(ValueError):
+        decode_pdf_text(b"%PDF-1.4\ngarbage with no structure at all")
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_pdf_text(data[: len(data) // 2])
+    lzw = data.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode")
+    with pytest.raises(NotImplementedError, match="LZWDecode"):
+        decode_pdf_text(lzw)
+    # corrupt flate payload inside a valid structure
+    doc = PdfDocument(data)
+    s = doc.resolve(doc.pages()[0]["Contents"])
+    broken = data.replace(s.raw, bytes(len(s.raw)))
+    with pytest.raises(ValueError, match="FlateDecode"):
+        decode_pdf_text(broken)
+
+
+def test_pdf_pages_spark_surface(spark):
+    """One row per page; a corrupt payload yields its error row while
+    every other payload parses fully."""
+    good = encode_pdf(["page one text", "page two\nwith lines"])
+    single = encode_pdf(["only"], compress=False)
+    rows = [
+        (0, bytearray(good)),
+        (1, bytearray(b"%PDF-1.4 but junk")),
+        (2, bytearray(single)),
+    ]
+    df = spark.createDataFrame(rows, "id: long, payload: binary")
+    out = pdf_pages(df, "id", "payload").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src_id"], []).append(r)
+    assert [r["page_no"] for r in sorted(by_src[0], key=lambda r: r["page_no"])] == [1, 2]
+    assert sorted(r["text"] for r in by_src[0]) == ["page one text", "page two\nwith lines"]
+    assert all(r["n_pages"] == 2 and r["parse_ok"] for r in by_src[0])
+    (bad,) = by_src[1]
+    assert not bad["parse_ok"] and "ValueError" in bad["error"]
+    (one,) = by_src[2]
+    assert one["text"] == "only" and one["n_chars"] == 4 and one["n_pages"] == 1
