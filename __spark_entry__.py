@@ -3867,6 +3867,70 @@ def _q_warc_ingest(spark, env):
     )
 
 
+def _q_theta_sketch_invariants(spark, env):
+    # r13: theta/KMV distinct sketches as TABLES — fifth sketch-family
+    # member, and the wire format Iceberg statistics files store
+    # (apache-datasketches-theta-v1; update_statistics().
+    # compute_sketches() writes these same retained-hash sets to
+    # Puffin). Claims: (a) per-source sketches are in EXACT mode below
+    # k, so est == countDistinct exactly (n_exact value-hash matched);
+    # (b) merging per-batch sketches (doc_id % 3 split) equals the
+    # whole-corpus sketch HASH-FOR-HASH — KMV union is exact, the
+    # algebra behind per-crawl sketch rows; (c) corpus-wide k=128
+    # sketch is in estimation mode (ndv > k at every test SF) and
+    # lands within 30% (rse ≈ 8.9%); (d) the set-algebra theta offers
+    # and HLL cannot: intersection/union estimates of two doc subsets
+    # at k=8192 (exact mode) EQUAL the SQL-exact counts.
+    from iceberg_python_spark.operators.sketch import (
+        theta_build,
+        theta_estimate,
+        theta_intersect_estimate,
+        theta_merge,
+    )
+
+    docs = (
+        env["documents"].scan(selected_fields=("doc_id", "text", "source")).to_df()
+        .localCheckpoint(eager=True)
+    )
+    whole = theta_build(docs, "text", ["source"]).localCheckpoint(eager=True)
+    est = theta_estimate(whole, ["source"]).select("source", "est_distinct")
+    exact = docs.groupBy("source").agg(F.countDistinct("text").alias("n_exact"))
+    parts = None
+    for i in range(3):
+        b = theta_build(docs.where(F.col("doc_id") % 3 == i), "text", ["source"])
+        parts = b if parts is None else parts.unionByName(b)
+    merged = theta_merge(parts, ["source"])
+    merge_eq = (
+        whole.alias("a")
+        .join(merged.alias("b"), "source")
+        .select("source", (F.col("a.sketch") == F.col("b.sketch")).alias("merge_eq"))
+    )
+    # (c) estimation mode, corpus-wide
+    (crow,) = theta_estimate(theta_build(docs, "text", lg_k=7), lg_k=7).collect()
+    ndv = docs.select("text").distinct().count()
+    estmode = len(crow["sketch"]) == 128 and abs(crow["est_distinct"] - ndv) <= 0.3 * ndv
+    # (d) set algebra at k=8192 (exact mode at every test SF)
+    A, B = docs.where("doc_id % 2 = 0"), docs.where("doc_id % 3 = 0")
+    (irow,) = theta_intersect_estimate(
+        theta_build(A, "text", lg_k=13), theta_build(B, "text", lg_k=13), lg_k=13
+    ).collect()
+    n_int = A.select("text").intersect(B.select("text")).count()
+    n_un = A.select("text").union(B.select("text")).distinct().count()
+    algebra = irow["est_intersection"] == float(n_int) and irow["est_union"] == float(n_un)
+    return (
+        exact.join(est, "source")
+        .join(merge_eq, "source")
+        .select(
+            "source",
+            "n_exact",
+            (F.col("est_distinct") == F.col("n_exact").cast("double")).alias("est_exact"),
+            "merge_eq",
+            F.lit(bool(estmode)).alias("estmode_ok"),
+            F.lit(bool(algebra)).alias("set_algebra_exact"),
+        )
+    )
+
+
 def _q_pdf_ingest(spark, env):
     # r13: PDF text ingestion — the other big crawl-corpus container
     # (operators/pdf.py: classic-xref file structure, object model,
@@ -4141,6 +4205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_json_extract": _q_events_json_extract,
             "warc_ingest": _q_warc_ingest,
             "pdf_ingest": _q_pdf_ingest,
+            "theta_sketch_invariants": _q_theta_sketch_invariants,
             "bpe_roundtrip": _q_bpe_roundtrip,
             "multimodal_audio_containers": _q_multimodal_audio_containers,
             # r11 fold (VERDICT r10 #7): the five raw-approximate
@@ -4569,6 +4634,11 @@ def oracle_sql() -> dict[str, str]:
             "'https://example.org/doc/' || doc_id AS target_uri, "
             "'<html><body><p>' || text || '</p></body></html>' AS page_text "
             "FROM documents WHERE doc_id < 400"
+        ),
+        "theta_sketch_invariants": (
+            "SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS n_exact, "
+            "true AS est_exact, true AS merge_eq, true AS estmode_ok, "
+            "true AS set_algebra_exact FROM documents GROUP BY source"
         ),
         "pdf_ingest": (
             "SELECT doc_id, CAST(p AS INTEGER) AS page_no, "

@@ -458,3 +458,161 @@ def tdigest_quantiles(
                 yield pd.DataFrame(rows)
 
     return digests.mapInPandas(est, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# theta / KMV: mergeable DISTINCT-COUNT sketches with SET ALGEBRA, and
+# the wire format Iceberg statistics files actually store
+# ---------------------------------------------------------------------------
+# Fifth member of the sketch family (Bloom: membership, CMS: frequency,
+# HLL: distinct count, t-digest: quantiles). Theta earns its slot next
+# to HLL twice over:
+#
+# 1. SET ALGEBRA. An HLL register grid supports union only; a theta
+#    sketch's retained-hash set supports union AND intersection /
+#    difference estimates ("how many URLs did crawls A and B share?")
+#    because the k smallest hashes of A ∪ B are a uniform sample of
+#    the union — membership of each in A and B is exact.
+# 2. WIRE PARITY. Iceberg's table-statistics Puffin blob
+#    (`apache-datasketches-theta-v1`, reference
+#    pyiceberg/table/statistics.py + the spec's Appendix) stores
+#    exactly this: retained ordered 63-bit hashes + theta. A sketch
+#    row built here serializes losslessly into the blob the reference
+#    ecosystem reads (table/puffin.py: theta_sketch_bytes_from_hashes).
+#
+# Representation: `sketch array<long>` — the ≤ k smallest DISTINCT
+# 63-bit hashes of the column's values, sorted ascending (KMV = the
+# bottom-k variant of the theta family; fixed k makes union exact to
+# implement and keeps every row ≤ 32 KiB at k=4096). Fewer than k
+# retained hashes ⇒ the sketch is EXACT (every distinct hash is
+# present); at k, the k-th smallest acts as theta and the unbiased
+# estimate is (k-1) / (theta / 2^63).
+#
+# Scale shape: one mapInPandas pass emits ONE partial row (group,
+# ≤ k hashes) per (partition × group) — the corpus never shuffles;
+# the merge flattens partials per group with JVM array built-ins
+# (flatten → array_distinct → array_sort → slice k). Build shuffle is
+# O(partitions · groups · k) LONGS, merge of stored rows is
+# O(rows · k), independent of data size.
+
+_THETA_LG_K_DEFAULT = 12  # k = 4096 retained hashes, rse ≈ 1/sqrt(k-2) ≈ 1.6%
+_THETA_SPACE = float(1 << 63)
+
+
+def _theta_cut(grp_cols: Sequence[str], df: DataFrame, k: int) -> DataFrame:
+    """(group..., hs array<long>) partial rows -> one KMV row per
+    group: union the partial hash sets, keep the k smallest."""
+    return df.groupBy(*grp_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("hs")))), 1, k
+        ).alias("sketch")
+    )
+
+
+def theta_build(
+    df: DataFrame,
+    col: str,
+    group_cols: Sequence[str] = (),
+    lg_k: int = _THETA_LG_K_DEFAULT,
+    pre_hashed: bool = False,
+) -> DataFrame:
+    """One KMV/theta sketch row per group: ``(group..., sketch)`` with
+    ``sketch`` the sorted ≤ 2^lg_k smallest distinct 63-bit hashes.
+    NULLs ignored (COUNT DISTINCT semantics). ``pre_hashed=True``
+    means ``col`` already holds raw ``xxhash64`` longs (the one-pass
+    multi-column melt in table statistics) — sketches stay
+    bit-identical to the direct path."""
+    k = 1 << lg_k
+    grp = list(group_cols)
+    raw = F.col(col) if pre_hashed else F.xxhash64(F.col(col))
+    hashed = df.where(F.col(col).isNotNull()).select(
+        *grp, F.shiftrightunsigned(raw, 1).alias("_h")
+    )
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict = {}
+        for b in batches:
+            if not len(b):
+                continue
+            for key, sub in b.groupby(list(grp) if grp else lambda _: 0)["_h"]:
+                u = np.unique(sub.to_numpy(dtype=np.int64))
+                prev = acc.get(key)
+                merged = u if prev is None else np.union1d(prev, u)
+                acc[key] = merged[:k]
+        rows = []
+        for key, hs in acc.items():
+            key = key if isinstance(key, tuple) else (key,)
+            row = dict(zip(grp, key)) if grp else {}
+            row["hs"] = hs.tolist()
+            rows.append(row)
+        if rows:
+            yield pd.DataFrame(rows, columns=[*grp, "hs"])
+
+    schema_grp = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}" for c in grp)
+    schema = (schema_grp + ", " if grp else "") + "hs array<long>"
+    partials = hashed.mapInPandas(partial, schema=schema)
+    return _theta_cut(grp, partials, k)
+
+
+def theta_merge(
+    sketches: DataFrame, group_cols: Sequence[str] = (), lg_k: int = _THETA_LG_K_DEFAULT
+) -> DataFrame:
+    """Merge sketch rows (≥1 per group, e.g. one per crawl batch) into
+    one per group. Union of KMV sketches with a common k is EXACT:
+    merge(sketch(A), sketch(B)) == sketch(A ∪ B), hash-for-hash."""
+    grp = list(group_cols)
+    return _theta_cut(grp, sketches.select(*grp, F.col("sketch").alias("hs")), 1 << lg_k)
+
+
+def theta_estimate(
+    sketches: DataFrame, group_cols: Sequence[str] = (), lg_k: int = _THETA_LG_K_DEFAULT
+) -> DataFrame:
+    """Append ``est_distinct`` (double): exact retained count below k,
+    the unbiased KMV estimator (k-1)/(h_(k)/2^63) at k. A narrow
+    projection — no shuffle, no Python."""
+    k = 1 << lg_k
+    n = F.size("sketch")
+    theta = F.element_at("sketch", -1).cast("double") / F.lit(_THETA_SPACE)
+    est = F.when(n < k, n.cast("double")).otherwise(F.lit(float(k - 1)) / theta)
+    grp = list(group_cols)
+    return sketches.select(*grp, "sketch", est.alias("est_distinct"))
+
+
+def theta_intersect_estimate(
+    a: DataFrame, b: DataFrame, group_cols: Sequence[str] = (),
+    lg_k: int = _THETA_LG_K_DEFAULT,
+) -> DataFrame:
+    """Per-group estimates over two sketch tables: ``est_a``,
+    ``est_b``, ``est_union``, ``est_intersection`` (inclusion via the
+    union sample: |A∩B| ≈ union_est · |sample∩both| / |sample|). The
+    query HLL cannot answer. JVM array built-ins only."""
+    grp = list(group_cols)
+    k = 1 << lg_k
+    j = a.select(*grp, F.col("sketch").alias("_sa")).join(
+        b.select(*grp, F.col("sketch").alias("_sb")), grp
+    ) if grp else a.select(F.col("sketch").alias("_sa")).crossJoin(
+        b.select(F.col("sketch").alias("_sb"))
+    )
+    un = F.slice(F.array_sort(F.array_union("_sa", "_sb")), 1, k)
+    j = j.select(*grp, "_sa", "_sb", un.alias("_su"))
+    nu = F.size("_su")
+    theta_u = F.element_at("_su", -1).cast("double") / F.lit(_THETA_SPACE)
+    est_u = F.when(nu < k, nu.cast("double")).otherwise(F.lit(float(k - 1)) / theta_u)
+    # below theta_u, membership of each union-sample hash in A and B
+    # is exact — count hashes present in both
+    both = F.size(F.array_intersect(F.array_intersect("_su", "_sa"), "_sb"))
+
+    def _est(col):
+        n = F.size(col)
+        th = F.element_at(col, -1).cast("double") / F.lit(_THETA_SPACE)
+        return F.when(n < k, n.cast("double")).otherwise(F.lit(float(k - 1)) / th)
+
+    return j.select(
+        *grp,
+        _est("_sa").alias("est_a"),
+        _est("_sb").alias("est_b"),
+        est_u.alias("est_union"),
+        (est_u * both.cast("double") / F.greatest(nu, F.lit(1)).cast("double")).alias(
+            "est_intersection"
+        ),
+    )

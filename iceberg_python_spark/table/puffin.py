@@ -373,6 +373,52 @@ def theta_sketch_bytes(ndv: int) -> bytes:
     return header + hashes.tobytes()
 
 
+def theta_sketch_bytes_from_hashes(hashes, k: int = 4096) -> bytes:
+    """Serialize a REAL compact ordered theta sketch (DataSketches
+    serial v3) from a KMV retained-hash set — the ``sketch`` column of
+    :func:`~iceberg_python_spark.operators.sketch.theta_build` rows.
+
+    Unlike :func:`theta_sketch_bytes` (which synthesizes hash values to
+    hit a target estimate), the retained hashes here are the actual
+    63-bit value hashes, so cross-sketch set operations between blobs
+    written this way ARE meaningful. Exact mode (< k retained hashes)
+    stores them all with theta = 1; at k, the k-th smallest becomes
+    theta and the k-1 below it are stored — `getEstimate()` then reads
+    (k-1)/(theta/2^63), the unbiased KMV estimator. Readable by
+    datasketches-java (the hash FUNCTION differs from murmur3-128, so
+    unions with sketches of the same column built by other writers are
+    not meaningful — estimates and unions among our own blobs are)."""
+    h = np.asarray(sorted({int(x) for x in hashes}), dtype=np.uint64)
+    if len(h) and (int(h[0]) < 1 or int(h[-1]) >= (1 << 63)):
+        raise ValueError("theta hashes must be 63-bit positive values")
+    if len(h) == 0:
+        flags = _FLAG_READ_ONLY | _FLAG_EMPTY | _FLAG_COMPACT | _FLAG_ORDERED
+        return struct.pack("<BBBBBBH", 1, 3, 3, 0, 0, flags, _THETA_SEED_HASH)
+    flags = _FLAG_READ_ONLY | _FLAG_COMPACT | _FLAG_ORDERED
+    if len(h) < k:
+        header = struct.pack("<BBBBBBH", 2, 3, 3, 0, 0, flags, _THETA_SEED_HASH)
+        header += struct.pack("<iI", len(h), 0)
+        return header + h.astype("<u8").tobytes()
+    theta = int(h[k - 1])
+    header = struct.pack("<BBBBBBH", 3, 3, 3, 0, 0, flags, _THETA_SEED_HASH)
+    header += struct.pack("<iI", k - 1, 0)
+    header += struct.pack("<q", theta)
+    return header + h[: k - 1].astype("<u8").tobytes()
+
+
+def theta_sketch_retained(buf: bytes) -> Tuple[np.ndarray, int]:
+    """Read side for real sketches: (retained hashes, theta)."""
+    pre_longs, ser_ver, family = buf[0], buf[1], buf[2]
+    if ser_ver != 3 or family != 3:
+        raise ValueError(f"unsupported theta sketch (serVer={ser_ver}, family={family})")
+    if buf[5] & _FLAG_EMPTY or pre_longs == 1:
+        return np.empty(0, dtype=np.uint64), _THETA_MAX
+    count = struct.unpack_from("<i", buf, 8)[0]
+    theta = struct.unpack_from("<q", buf, 16)[0] if pre_longs >= 3 else _THETA_MAX
+    off = 8 * pre_longs
+    return np.frombuffer(buf, dtype="<u8", count=count, offset=off), theta
+
+
 def theta_sketch_estimate(buf: bytes) -> float:
     """Estimate from a serialized compact theta sketch (read side)."""
     pre_longs, ser_ver, family = buf[0], buf[1], buf[2]

@@ -357,6 +357,7 @@ class UpdateStatistics:
     def __init__(self, table):
         self.table = table
         self._ndv: Dict[int, int] = {}
+        self._sketches: Dict[int, List[int]] = {}
         self._removed_snapshot_ids: List[int] = []
         self._compute_partition_stats = False
         self._removed_partition_snapshot_ids: List[int] = []
@@ -371,6 +372,46 @@ class UpdateStatistics:
         row = df.agg(*[F.approx_count_distinct(c).alias(c) for c in cols]).collect()[0]
         for c in cols:
             self._ndv[schema.find_field(c).field_id] = int(row[c])
+        return self
+
+    def compute_sketches(self, *columns: str, lg_k: int = 12) -> "UpdateStatistics":
+        """REAL theta sketches per column in ONE Spark pass: columns
+        melt to (name, xxhash64) pairs, then the KMV build groups by
+        name (operators/sketch.theta_build, pre-hashed path). The
+        Puffin blob then carries the actual retained hash set
+        (puffin.theta_sketch_bytes_from_hashes), so cross-snapshot /
+        cross-column set algebra over stored statistics blobs is
+        meaningful — not just the NDV number. NDV itself comes from
+        the sketch (exact below 2^lg_k retained hashes)."""
+        from pyspark.sql import functions as F
+
+        from ..operators.sketch import theta_build, theta_estimate
+
+        schema = self.table.metadata.schema()
+        cols = list(columns) or [f.name for f in schema.fields if f.field_type.is_primitive]
+        df = self.table.scan(selected_fields=tuple(cols)).to_df()
+        melted = (
+            df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("_col"),
+                                F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c))).alias("_vh"),
+                            )
+                            for c in cols
+                        ]
+                    )
+                ).alias("_e")
+            )
+            .select(F.col("_e._col").alias("_col"), F.col("_e._vh").alias("_vh"))
+        )
+        sk = theta_build(melted, "_vh", ["_col"], lg_k=lg_k, pre_hashed=True)
+        for row in theta_estimate(sk, ["_col"], lg_k=lg_k).collect():
+            fid = schema.find_field(row["_col"]).field_id
+            self._sketches[fid] = list(row["sketch"])
+            self._ndv[fid] = int(round(row["est_distinct"]))
+        self._sketch_k = 1 << lg_k
         return self
 
     def set_ndv(self, column: str, ndv: int) -> "UpdateStatistics":
@@ -464,7 +505,12 @@ class UpdateStatistics:
         import uuid as _uuid
 
         from ..io import fileio
-        from .puffin import BLOB_TYPE_THETA, PuffinWriter, theta_sketch_bytes
+        from .puffin import (
+            BLOB_TYPE_THETA,
+            PuffinWriter,
+            theta_sketch_bytes,
+            theta_sketch_bytes_from_hashes,
+        )
 
         meta = copy.deepcopy(self.table.metadata)
         snap = meta.current_snapshot()
@@ -489,9 +535,18 @@ class UpdateStatistics:
         if self._ndv and snap is not None:
             writer = PuffinWriter(properties={"created-by": "iceberg_python_spark"})
             for fid in sorted(self._ndv):
+                # compute_sketches() path: the blob carries the REAL
+                # retained-hash set; set_ndv/compute() fall back to the
+                # synthesized estimate-only sketch
+                if fid in self._sketches:
+                    blob = theta_sketch_bytes_from_hashes(
+                        self._sketches[fid], getattr(self, "_sketch_k", 4096)
+                    )
+                else:
+                    blob = theta_sketch_bytes(self._ndv[fid])
                 writer.add_blob(
                     BLOB_TYPE_THETA,
-                    theta_sketch_bytes(self._ndv[fid]),
+                    blob,
                     fields=[fid],
                     snapshot_id=snap.snapshot_id,
                     sequence_number=snap.sequence_number,

@@ -106,6 +106,29 @@ def test_statistics(table):
         (fid,) = blob.fields
         assert round(theta_sketch_estimate(pf.blob_payload(blob))) == ndv[fid]
         assert int(blob.properties["ndv"]) == ndv[fid]
+    # compute_sketches(): ONE pass, and the blobs carry the REAL
+    # retained-hash sets (exact NDV below k, meaningful set algebra)
+    from pyspark.sql import functions as _F
+
+    from iceberg_python_spark.table.puffin import theta_sketch_retained
+
+    t.update_statistics().compute_sketches("id", "grp").commit()
+    t.refresh()
+    df = t.scan(selected_fields=("id", "grp")).to_df()
+    exact = df.agg(
+        _F.countDistinct("id").alias("id"), _F.countDistinct("grp").alias("grp")
+    ).collect()[0]
+    stats2 = json.loads(t.properties["statistics.ndv"])
+    ndv2 = {int(k): v for k, v in stats2["ndv"].items()}
+    assert ndv2[schema.find_field("id").field_id] == exact["id"]  # exact, not approx
+    assert ndv2[schema.find_field("grp").field_id] == exact["grp"]
+    pf2 = PuffinFile(read_bytes(t.metadata.statistics[0]["statistics-path"]))
+    for blob in pf2.blobs:
+        (fid,) = blob.fields
+        retained, _theta = theta_sketch_retained(pf2.blob_payload(blob))
+        assert len(retained) == ndv2[fid]  # one real hash per distinct value
+        assert len(set(retained.tolist())) == len(retained)
+
     # replacing statistics for the same snapshot keeps one entry; removal drops it
     t.update_statistics().set_ndv("id", 30).commit()
     t.refresh()

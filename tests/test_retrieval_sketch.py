@@ -276,3 +276,100 @@ def test_tdigest_buffered_folds_keep_accuracy(spark):
     assert row["td_min"] == v.min() and row["td_max"] == v.max()
     for r in tdigest_quantiles(d, _QS).collect():
         assert _rank_err(v, r["q"], r["est"]) <= 0.01, r["q"]
+
+
+# ---------------------------------------------------------------------------
+# theta / KMV distinct sketches (r13): set algebra + Iceberg wire parity
+# ---------------------------------------------------------------------------
+
+
+def test_theta_exact_mode_and_merge_equals_union_sketch(spark):
+    from iceberg_python_spark.operators.sketch import (
+        theta_build,
+        theta_estimate,
+        theta_merge,
+    )
+
+    rows = [(i, f"v{i % 97}", i % 4) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id: long, v: string, g: int")
+    whole = theta_build(df, "v", ["g"])
+    est = {r["g"]: r["est_distinct"] for r in theta_estimate(whole, ["g"]).collect()}
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert est == {g: float(n) for g, n in exact.items()}  # exact below k
+    parts = None
+    for i in range(3):
+        b = theta_build(df.where(F.col("id") % 3 == i), "v", ["g"])
+        parts = b if parts is None else parts.unionByName(b)
+    merged = {r["g"]: list(r["sketch"]) for r in theta_merge(parts, ["g"]).collect()}
+    wh = {r["g"]: list(r["sketch"]) for r in whole.collect()}
+    assert merged == wh  # hash-for-hash
+
+
+def test_theta_estimation_mode_accuracy_and_nulls(spark):
+    from iceberg_python_spark.operators.sketch import theta_build, theta_estimate
+
+    rows = [(i, f"val-{i}" if i % 10 else None) for i in range(30000)]
+    df = spark.createDataFrame(rows, "id: long, v: string")
+    sk = theta_build(df, "v", lg_k=10)  # k=1024 << 27000 distinct
+    (r,) = theta_estimate(sk, lg_k=10).collect()
+    true_ndv = 27000
+    assert len(r["sketch"]) == 1024
+    assert abs(r["est_distinct"] - true_ndv) < 0.15 * true_ndv  # rse ~3.1%
+
+
+def test_theta_intersection_exact_below_k(spark):
+    from iceberg_python_spark.operators.sketch import (
+        theta_build,
+        theta_intersect_estimate,
+    )
+
+    a = spark.createDataFrame([(f"k{i}",) for i in range(300)], "v: string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(200, 700)], "v: string")
+    (r,) = theta_intersect_estimate(theta_build(a, "v"), theta_build(b, "v")).collect()
+    assert (r["est_a"], r["est_b"]) == (300.0, 500.0)
+    assert r["est_union"] == 700.0 and r["est_intersection"] == 100.0
+
+
+def test_theta_pre_hashed_path_is_bit_identical(spark):
+    from iceberg_python_spark.operators.sketch import theta_build
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(500)], "v: string")
+    direct = theta_build(df, "v").collect()[0]["sketch"]
+    pre = df.select(F.xxhash64("v").alias("h"))
+    viah = theta_build(pre, "h", pre_hashed=True).collect()[0]["sketch"]
+    assert list(direct) == list(viah)
+
+
+def test_theta_puffin_roundtrip_and_estimator_parity(spark):
+    """Real-hash Puffin blobs: serialize a built sketch row, read it
+    back, and the DataSketches-format estimate equals the engine's."""
+    import numpy as np
+
+    from iceberg_python_spark.operators.sketch import theta_build, theta_estimate
+    from iceberg_python_spark.table.puffin import (
+        theta_sketch_bytes_from_hashes,
+        theta_sketch_estimate,
+        theta_sketch_retained,
+    )
+
+    df = spark.createDataFrame([(f"u{i}",) for i in range(9000)], "v: string")
+    lg_k = 9  # k=512: estimation mode
+    row = theta_estimate(theta_build(df, "v", lg_k=lg_k), lg_k=lg_k).collect()[0]
+    buf = theta_sketch_bytes_from_hashes(row["sketch"], k=1 << lg_k)
+    assert abs(theta_sketch_estimate(buf) - row["est_distinct"]) < 1e-6
+    retained, theta = theta_sketch_retained(buf)
+    assert len(retained) == (1 << lg_k) - 1 and theta == row["sketch"][-1]
+    # exact mode round-trips every hash
+    small = theta_build(spark.createDataFrame([(f"x{i}",) for i in range(40)], "v: string"), "v")
+    hs = small.collect()[0]["sketch"]
+    buf2 = theta_sketch_bytes_from_hashes(hs)
+    r2, th2 = theta_sketch_retained(buf2)
+    assert list(r2) == list(hs) and theta_sketch_estimate(buf2) == 40.0
+    # gates
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="63-bit"):
+        theta_sketch_bytes_from_hashes([1 << 63])
