@@ -3931,6 +3931,88 @@ def _q_theta_sketch_invariants(spark, env):
     )
 
 
+def _q_mg_heavy_hitters_invariants(spark, env):
+    # r13: Misra-Gries heavy-hitter summaries — the DETERMINISTIC
+    # counterpart of cms_heavy_hitters, and mergeable (Agarwal et al.
+    # PODS'12), so it lives as a TABLE row per (group, batch) like the
+    # other sketches. The value column plants a true heavy item per
+    # group (50% of rows) over otherwise-flat l_partkey values.
+    # Claims per l_returnflag group, checked EXACTLY in Spark against
+    # the groupBy-count truth: (a) est <= true <= est + deducted for
+    # every kept item; (b) every item with true > deducted is present
+    # (completeness — in particular the planted heavy item, asserted
+    # separately); (c) deducted <= n/(m+1); (d) all guarantees survive
+    # a 3-way merge of per-batch summaries; (e) n is the exact row
+    # count (value-hash matched).
+    from iceberg_python_spark.operators.sketch import mg_build, mg_merge
+
+    m = 16
+    li = env["lineitem"].scan(selected_fields=("l_orderkey", "l_partkey", "l_returnflag")).to_df()
+    v = F.when(
+        F.col("l_orderkey") % 4 < 2, F.concat(F.lit("heavy-"), F.col("l_returnflag"))
+    ).otherwise(F.col("l_partkey").cast("string"))
+    df = li.select(F.col("l_returnflag").alias("g"), v.alias("v"), "l_orderkey").localCheckpoint(
+        eager=True
+    )
+    exact = df.groupBy("g", "v").count().localCheckpoint(eager=True)
+
+    def checks(summary):
+        ex = summary.select("g", F.explode("items").alias("it"), "deducted").select(
+            "g", F.col("it.item").alias("v"), F.col("it.est").alias("est"), "deducted"
+        )
+        bounds = ex.join(exact, ["g", "v"], "left").groupBy("g").agg(
+            F.min(
+                (F.col("est") <= F.col("count"))
+                & (F.col("count") <= F.col("est") + F.col("deducted"))
+            ).alias("bounds_ok")
+        )
+        complete = (
+            exact.join(summary.select("g", "deducted"), "g")
+            .where(F.col("count") > F.col("deducted"))
+            .join(ex.select("g", "v").withColumn("_hit", F.lit(1)), ["g", "v"], "left")
+            .groupBy("g")
+            .agg(F.min(F.col("_hit").isNotNull()).alias("complete_ok"))
+        )
+        return bounds.join(complete, "g")
+
+    whole = mg_build(df, "v", ["g"], m=m).localCheckpoint(eager=True)
+    parts = None
+    for i in range(3):
+        b = mg_build(df.where(F.col("l_orderkey") % 3 == i), "v", ["g"], m=m)
+        parts = b if parts is None else parts.unionByName(b)
+    merged = mg_merge(parts, ["g"], m=m).localCheckpoint(eager=True)
+    c1 = checks(whole)
+    c2 = checks(merged).select(
+        "g",
+        F.col("bounds_ok").alias("merged_bounds_ok"),
+        F.col("complete_ok").alias("merged_complete_ok"),
+    )
+    heavy = whole.select(
+        "g",
+        F.exists("items", lambda it: it["item"] == F.concat(F.lit("heavy-"), F.col("g"))).alias(
+            "found_heavy"
+        ),
+        (F.col("deducted") * (m + 1) <= F.col("n")).alias("deduct_ok"),
+        (F.size("items") <= m).alias("size_ok"),
+        "n",
+    )
+    return (
+        heavy.join(c1, "g")
+        .join(c2, "g")
+        .select(
+            F.col("g").alias("flag"),
+            F.col("n").alias("n_rows"),
+            "bounds_ok",
+            "complete_ok",
+            "deduct_ok",
+            "size_ok",
+            "found_heavy",
+            "merged_bounds_ok",
+            "merged_complete_ok",
+        )
+    )
+
+
 def _q_pdf_ingest(spark, env):
     # r13: PDF text ingestion — the other big crawl-corpus container
     # (operators/pdf.py: classic-xref file structure, object model,
@@ -4206,6 +4288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "warc_ingest": _q_warc_ingest,
             "pdf_ingest": _q_pdf_ingest,
             "theta_sketch_invariants": _q_theta_sketch_invariants,
+            "mg_heavy_hitters_invariants": _q_mg_heavy_hitters_invariants,
             "bpe_roundtrip": _q_bpe_roundtrip,
             "multimodal_audio_containers": _q_multimodal_audio_containers,
             # r11 fold (VERDICT r10 #7): the five raw-approximate
@@ -4634,6 +4717,12 @@ def oracle_sql() -> dict[str, str]:
             "'https://example.org/doc/' || doc_id AS target_uri, "
             "'<html><body><p>' || text || '</p></body></html>' AS page_text "
             "FROM documents WHERE doc_id < 400"
+        ),
+        "mg_heavy_hitters_invariants": (
+            "SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows, "
+            "true AS bounds_ok, true AS complete_ok, true AS deduct_ok, "
+            "true AS size_ok, true AS found_heavy, true AS merged_bounds_ok, "
+            "true AS merged_complete_ok FROM lineitem GROUP BY l_returnflag"
         ),
         "theta_sketch_invariants": (
             "SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS n_exact, "

@@ -616,3 +616,127 @@ def theta_intersect_estimate(
             "est_intersection"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries: mergeable HEAVY-HITTER summaries with deterministic
+# guarantees
+# ---------------------------------------------------------------------------
+# CMS + heavy_hitters() above answer frequency queries with
+# PROBABILISTIC error; the Misra-Gries summary is the deterministic
+# counterpart, and (Agarwal et al., "Mergeable Summaries", PODS'12)
+# closed under merging — which makes it a TABLE row like the other
+# sketches: one summary per (source, crawl-day), merged per month,
+# never rescanning. Guarantees carried by every row and preserved by
+# every merge, with `deducted` the summary's own error certificate:
+#
+#   est(x) <= true(x) <= est(x) + deducted      for every kept item
+#   every x with true(x) > deducted is IN the summary
+#   deducted <= n / (m + 1)
+#
+# Row shape: (group..., items array<struct<item, est>>, deducted, n).
+# Scale shape: one partial summary per (partition × group) — a pandas
+# value_counts compressed to m counters, so only O(partitions · groups
+# · m) rows shuffle; the merge is pure JVM (sum counters, subtract the
+# (m+1)-th largest, keep positives).
+
+from pyspark.sql import Window as _W
+
+
+def _mg_compress(summaries: DataFrame, group_cols: Sequence[str], m: int) -> DataFrame:
+    """(group..., items, deducted, n) rows -> ONE row per group with
+    the Misra-Gries merge: sum counters, subtract the (m+1)-th
+    largest combined counter from every item, keep positive ones."""
+    grp = list(group_cols)
+    meta = summaries.groupBy(*grp).agg(
+        F.sum("deducted").alias("_d"), F.sum("n").alias("n")
+    )
+    comb = (
+        summaries.select(*grp, F.explode("items").alias("_it"))
+        .groupBy(*grp, F.col("_it.item").alias("item"))
+        .agg(F.sum("_it.est").alias("est"))
+    )
+    w = _W.partitionBy(*grp) if grp else _W.partitionBy(F.lit(1))
+    rn = F.row_number().over(w.orderBy(F.desc("est"), F.asc("item")))
+    comb = comb.withColumn("_rn", rn)
+    t = comb.groupBy(*grp).agg(
+        F.coalesce(F.max(F.when(F.col("_rn") == m + 1, F.col("est"))), F.lit(0)).alias("_t")
+    )
+    kept = (
+        comb.join(t, grp) if grp else comb.crossJoin(t)
+    ).where(F.col("est") > F.col("_t"))
+    out = kept.groupBy(*grp, "_t").agg(
+        F.reverse(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((F.col("est") - F.col("_t")).alias("est"), F.col("item").alias("item"))
+                )
+            )
+        ).alias("_raw")
+    )
+    items = F.transform("_raw", lambda s: F.struct(s["item"].alias("item"), s["est"].alias("est")))
+    out = out.select(*grp, items.alias("items"), F.col("_t").alias("_tt"))
+    joined = meta.join(out, grp, "left") if grp else meta.crossJoin(out)
+    return joined.select(
+        *grp,
+        F.coalesce("items", F.array().cast("array<struct<item:string,est:long>>")).alias("items"),
+        (F.col("_d") + F.coalesce("_tt", F.lit(0))).alias("deducted"),
+        "n",
+    )
+
+
+def mg_build(
+    df: DataFrame, col: str, group_cols: Sequence[str] = (), m: int = 64
+) -> DataFrame:
+    """One Misra-Gries summary row per group over ``col`` (cast to
+    string; NULLs ignored). ``m`` counters ⇒ error ≤ n/(m+1)."""
+    grp = list(group_cols)
+    src = df.where(F.col(col).isNotNull()).select(
+        *grp, F.col(col).cast("string").alias("_v")
+    )
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict = {}
+        nrows: dict = {}
+        for b in batches:
+            if not len(b):
+                continue
+            for key, sub in b.groupby(list(grp) if grp else lambda _: 0)["_v"]:
+                vc = sub.value_counts()
+                prev = acc.get(key)
+                acc[key] = vc if prev is None else prev.add(vc, fill_value=0)
+                nrows[key] = nrows.get(key, 0) + len(sub)
+        rows = []
+        for key, counts in acc.items():
+            counts = counts.sort_values(ascending=False).astype("int64")
+            if len(counts) > m:
+                t = int(counts.iloc[m])  # the (m+1)-th largest
+                counts = (counts.iloc[:m] - t)
+                counts = counts[counts > 0]
+            else:
+                t = 0
+            k = key if isinstance(key, tuple) else (key,)
+            row = dict(zip(grp, k)) if grp else {}
+            row["items"] = [
+                {"item": str(i), "est": int(c)} for i, c in counts.items()
+            ]
+            row["deducted"] = t
+            row["n"] = nrows[key]
+            rows.append(row)
+        if rows:
+            yield pd.DataFrame(rows, columns=[*grp, "items", "deducted", "n"])
+
+    schema_grp = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}" for c in grp)
+    schema = (schema_grp + ", " if grp else "") + (
+        "items array<struct<item:string,est:long>>, deducted long, n long"
+    )
+    partials = src.mapInPandas(partial, schema=schema)
+    return _mg_compress(partials, grp, m)
+
+
+def mg_merge(
+    summaries: DataFrame, group_cols: Sequence[str] = (), m: int = 64
+) -> DataFrame:
+    """Merge summary rows (≥1 per group) into one per group; the
+    deterministic guarantees above survive every merge."""
+    return _mg_compress(summaries, list(group_cols), m)

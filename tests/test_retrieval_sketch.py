@@ -373,3 +373,68 @@ def test_theta_puffin_roundtrip_and_estimator_parity(spark):
 
     with _pytest.raises(ValueError, match="63-bit"):
         theta_sketch_bytes_from_hashes([1 << 63])
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy-hitter summaries (r13): deterministic guarantees
+# ---------------------------------------------------------------------------
+
+
+def _mg_checks(spark, summary, exact, m):
+    ex = summary.select(
+        "g", F.explode("items").alias("it"), "deducted", "n"
+    ).select("g", F.col("it.item").alias("v"), F.col("it.est").alias("est"), "deducted", "n")
+    bounds_bad = (
+        ex.join(exact, ["g", "v"], "left")
+        .where(~((F.col("est") <= F.col("count")) & (F.col("count") <= F.col("est") + F.col("deducted"))))
+        .count()
+    )
+    missing = (
+        exact.join(summary.select("g", "deducted"), "g")
+        .where(F.col("count") > F.col("deducted"))
+        .join(ex.select("g", "v"), ["g", "v"], "left_anti")
+        .count()
+    )
+    deduct_bad = summary.where(F.col("deducted") * (m + 1) > F.col("n")).count()
+    size_bad = summary.where(F.size("items") > m).count()
+    return bounds_bad, missing, deduct_bad, size_bad
+
+
+def test_mg_guarantees_and_merge(spark):
+    from iceberg_python_spark.operators.sketch import mg_build, mg_merge
+
+    # zipf-ish skew: item j appears ~N/j times, two groups
+    rows = []
+    for g in ("a", "b"):
+        for j in range(1, 120):
+            rows += [(g, f"{g}-item{j}", i) for i in range(600 // j)]
+    df = spark.createDataFrame(rows, "g: string, v: string, i: long").repartition(8)
+    m = 8
+    s = mg_build(df, "v", ["g"], m=m).cache()
+    exact = df.groupBy("g", "v").count()
+    assert _mg_checks(spark, s, exact, m) == (0, 0, 0, 0)
+    # the true top item is present with a tight estimate
+    tops = {r["g"]: r["items"][0] for r in s.collect()}
+    assert tops["a"]["item"] == "a-item1" and tops["b"]["item"] == "b-item1"
+    # merge of per-batch summaries keeps every guarantee
+    parts = None
+    for i in range(3):
+        b = mg_build(df.where(F.col("i") % 3 == i), "v", ["g"], m=m)
+        parts = b if parts is None else parts.unionByName(b)
+    merged = mg_merge(parts, ["g"], m=m)
+    assert _mg_checks(spark, merged, exact, m) == (0, 0, 0, 0)
+
+
+def test_mg_small_groups_exact_and_nulls(spark):
+    from iceberg_python_spark.operators.sketch import mg_build
+
+    df = spark.createDataFrame(
+        [("g1", "x"), ("g1", "x"), ("g1", "y"), ("g2", None), ("g2", "z")],
+        "g: string, v: string",
+    )
+    s = {r["g"]: r for r in mg_build(df, "v", ["g"], m=4).collect()}
+    # fewer distinct items than m: the summary is EXACT, deducted = 0
+    assert s["g1"]["deducted"] == 0 and s["g1"]["n"] == 3
+    assert {(i["item"], i["est"]) for i in s["g1"]["items"]} == {("x", 2), ("y", 1)}
+    assert s["g2"]["n"] == 1  # null ignored
+    assert [(i["item"], i["est"]) for i in s["g2"]["items"]] == [("z", 1)]
