@@ -3931,6 +3931,33 @@ def _q_theta_sketch_invariants(spark, env):
     )
 
 
+def _q_events_gapfill(spark, env):
+    # r13: time-bucket gap filling (TimescaleDB time_bucket_gapfill /
+    # InfluxDB fill()) — densify a sparse per-key timeline to every
+    # bucket of the observed span with n_events=0 marker rows, LOCF
+    # carry-forward, and a filled flag. The events are thinned to
+    # user_id % 50 = 7 (~2% of rows) so most hourly buckets ARE gaps;
+    # value sums are integer cents so the hash is float-free. LOCF is
+    # on the hashed path (DuckDB reproduces it with the gap-group
+    # window trick); interp is covered by pytest.
+    from iceberg_python_spark.streaming import gapfill
+
+    ev = (
+        env["events"].scan(selected_fields=("ts", "user_id", "event_type", "value")).to_df()
+        .where(F.col("user_id") % 50 == 7)
+        .select("event_type", "ts", F.round(F.col("value") * 100).cast("long").alias("cents"))
+    )
+    out = gapfill(ev, "ts", ["event_type"], "cents", 3600, fill=("locf",))
+    return out.select(
+        "event_type",
+        "bucket_start",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("long").alias("sum_cents"),
+        "filled",
+        F.col("value_locf").cast("long").alias("locf_cents"),
+    )
+
+
 def _q_mg_heavy_hitters_invariants(spark, env):
     # r13: Misra-Gries heavy-hitter summaries — the DETERMINISTIC
     # counterpart of cms_heavy_hitters, and mergeable (Agarwal et al.
@@ -4289,6 +4316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pdf_ingest": _q_pdf_ingest,
             "theta_sketch_invariants": _q_theta_sketch_invariants,
             "mg_heavy_hitters_invariants": _q_mg_heavy_hitters_invariants,
+            "events_gapfill": _q_events_gapfill,
             "bpe_roundtrip": _q_bpe_roundtrip,
             "multimodal_audio_containers": _q_multimodal_audio_containers,
             # r11 fold (VERDICT r10 #7): the five raw-approximate
@@ -4717,6 +4745,30 @@ def oracle_sql() -> dict[str, str]:
             "'https://example.org/doc/' || doc_id AS target_uri, "
             "'<html><body><p>' || text || '</p></body></html>' AS page_text "
             "FROM documents WHERE doc_id < 400"
+        ),
+        "events_gapfill": (
+            "WITH src AS (SELECT event_type, "
+            "epoch_us(ts) - (epoch_us(ts) % 3600000000) AS b_us, "
+            "CAST(round(value * 100) AS BIGINT) AS cents "
+            "FROM events WHERE user_id % 50 = 7), "
+            "agg AS (SELECT event_type, b_us, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(cents) AS BIGINT) AS sum_cents FROM src GROUP BY 1, 2), "
+            "span AS (SELECT min(b_us) AS lo, max(b_us) AS hi FROM src), "
+            "grid AS (SELECT t.event_type, u.b_us FROM "
+            "(SELECT DISTINCT event_type FROM src) t, "
+            "(SELECT unnest(generate_series(lo, hi, 3600000000)) AS b_us FROM span) u), "
+            "joined AS (SELECT g.event_type, g.b_us, "
+            "coalesce(a.n_events, 0) AS n_events, a.sum_cents, "
+            "(a.b_us IS NULL) AS filled FROM grid g "
+            "LEFT JOIN agg a ON g.event_type = a.event_type AND g.b_us = a.b_us), "
+            "locf AS (SELECT *, max(sum_cents) OVER "
+            "(PARTITION BY event_type, grp) AS locf_cents FROM "
+            "(SELECT *, count(sum_cents) OVER (PARTITION BY event_type "
+            "ORDER BY b_us) AS grp FROM joined)) "
+            "SELECT event_type, make_timestamp(b_us) AS bucket_start, "
+            "CAST(n_events AS BIGINT) AS n_events, "
+            "CAST(sum_cents AS BIGINT) AS sum_cents, filled, "
+            "CAST(locf_cents AS BIGINT) AS locf_cents FROM locf"
         ),
         "mg_heavy_hitters_invariants": (
             "SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows, "

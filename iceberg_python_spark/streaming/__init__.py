@@ -690,3 +690,113 @@ def time_rollup(
         F.min("_v").alias("min_value"),
         F.max("_v").alias("max_value"),
     )
+
+
+def gapfill(
+    events: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    width_seconds: int,
+    fill: Sequence[str] = ("locf", "interp"),
+) -> DataFrame:
+    """Time-bucket gap filling (the TimescaleDB
+    ``time_bucket_gapfill`` / InfluxDB ``fill()`` pattern): bucket the
+    events per key, then DENSIFY — every key gets a row for every
+    bucket in the observed global span, with ``n_events = 0``,
+    ``sum_value = NULL`` and ``filled = true`` where nothing happened.
+
+    Fill strategies (each adds a column, all pure window functions):
+
+    - ``locf``  → ``value_locf``: last observed ``sum_value`` carried
+      forward (NULL before the first observation);
+    - ``interp`` → ``value_interp``: linear interpolation between the
+      previous and next observed buckets (NULL outside them).
+
+    Scale shape: the dense grid is GENERATED, not shuffled —
+    ``sequence()`` over the bucket index cross-joined with the
+    distinct keys, O(keys × span/width) rows; the left join and the
+    fill windows both key on (key, bucket), so at 1000 executors each
+    key's timeline lands in one partition and the windows never see
+    another key's rows. Bucket arithmetic is integer epoch-micros
+    (same rule as :func:`time_rollup`), so any engine reproduces the
+    edges exactly. The global span is two scalar aggregates
+    (driver-side metadata, not data)."""
+    w_us = int(width_seconds) * 1_000_000
+    if w_us <= 0:
+        raise ValueError(f"width_seconds must be positive, got {width_seconds}")
+    keys = list(key_cols)
+    us = _epoch_us(events, ts_col)
+    src = events.select(
+        *keys, F.col(value_col).alias("_v"), (us - F.pmod(us, F.lit(w_us))).alias("_b")
+    )
+    agg = src.groupBy(*keys, "_b").agg(
+        F.count("*").cast("long").alias("n_events"), F.sum("_v").alias("sum_value")
+    )
+    span = src.agg(F.min("_b").alias("lo"), F.max("_b").alias("hi")).collect()[0]
+    if span["lo"] is None:
+        return agg.select(
+            *keys,
+            F.timestamp_micros("_b").alias("bucket_start"),
+            "n_events",
+            "sum_value",
+            F.lit(False).alias("filled"),
+            *[F.col("sum_value").alias(f"value_{f}") for f in fill],
+        )
+    grid = (
+        src.select(*keys).distinct()
+        .crossJoin(
+            F.broadcast(
+                events.sparkSession.range(1).select(
+                    F.explode(
+                        F.sequence(
+                            F.lit(int(span["lo"])), F.lit(int(span["hi"])), F.lit(w_us)
+                        )
+                    ).alias("_b")
+                )
+            )
+        )
+    )
+    dense = grid.join(agg, [*keys, "_b"], "left").select(
+        *keys,
+        "_b",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "sum_value",
+        F.col("n_events").isNull().alias("filled"),
+    )
+    from pyspark.sql import Window as _W
+
+    w_all = _W.partitionBy(*keys).orderBy("_b")
+    out_cols = {}
+    if "locf" in fill:
+        out_cols["value_locf"] = F.last("sum_value", ignorenulls=True).over(
+            w_all.rowsBetween(_W.unboundedPreceding, 0)
+        )
+    if "interp" in fill:
+        prev_v = F.last("sum_value", ignorenulls=True).over(
+            w_all.rowsBetween(_W.unboundedPreceding, -1)
+        )
+        prev_b = F.last(F.when(F.col("sum_value").isNotNull(), F.col("_b")), ignorenulls=True).over(
+            w_all.rowsBetween(_W.unboundedPreceding, -1)
+        )
+        next_v = F.first("sum_value", ignorenulls=True).over(
+            w_all.rowsBetween(1, _W.unboundedFollowing)
+        )
+        next_b = F.first(F.when(F.col("sum_value").isNotNull(), F.col("_b")), ignorenulls=True).over(
+            w_all.rowsBetween(1, _W.unboundedFollowing)
+        )
+        frac = (F.col("_b") - prev_b).cast("double") / (next_b - prev_b).cast("double")
+        out_cols["value_interp"] = F.when(
+            F.col("sum_value").isNotNull(), F.col("sum_value").cast("double")
+        ).otherwise(prev_v.cast("double") + (next_v - prev_v).cast("double") * frac)
+    unknown = [f for f in fill if f not in ("locf", "interp")]
+    if unknown:
+        raise ValueError(f"unknown fill strategies {unknown}; supported: locf, interp")
+    return dense.select(
+        *keys,
+        F.timestamp_micros("_b").alias("bucket_start"),
+        "n_events",
+        "sum_value",
+        "filled",
+        *[c.alias(name) for name, c in out_cols.items()],
+    )

@@ -506,3 +506,46 @@ def test_time_rollup(spark):
 
     with _pytest.raises(ValueError, match="widths_seconds"):
         time_rollup(df, "ts", ["k"], "v", [])
+
+
+def test_gapfill_locf_interp_and_edges(spark):
+    """Dense grid over the observed span; LOCF carries the last
+    observation, interp is exactly linear between neighbors, both NULL
+    outside their defined ranges; observed buckets pass through."""
+    from pyspark.sql import functions as F
+
+    from iceberg_python_spark.streaming import gapfill
+
+    rows = [
+        ("a", "2024-01-01 00:10:00", 10.0),
+        ("a", "2024-01-01 00:20:00", 20.0),
+        ("a", "2024-01-01 03:05:00", 40.0),
+        ("b", "2024-01-01 01:30:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = {
+        (r["k"], str(r["bucket_start"])): r
+        for r in gapfill(df, "ts", ["k"], "v", 3600).collect()
+    }
+    assert len(out) == 8  # 2 keys x 4 hourly buckets of the global span
+    a1 = out[("a", "2024-01-01 01:00:00")]
+    assert a1["n_events"] == 0 and a1["filled"] and a1["sum_value"] is None
+    assert a1["value_locf"] == 30.0
+    assert abs(a1["value_interp"] - (30.0 + 10.0 / 3)) < 1e-9
+    a0 = out[("a", "2024-01-01 00:00:00")]
+    assert a0["n_events"] == 2 and not a0["filled"] and a0["sum_value"] == 30.0
+    assert a0["value_interp"] == 30.0  # observed buckets pass through
+    b0 = out[("b", "2024-01-01 00:00:00")]
+    assert b0["value_locf"] is None and b0["value_interp"] is None  # before first obs
+    b3 = out[("b", "2024-01-01 03:00:00")]
+    assert b3["value_locf"] == 5.0 and b3["value_interp"] is None  # after last obs
+    # empty input: no span, no grid, no crash
+    assert gapfill(df.where("k = 'zzz'"), "ts", ["k"], "v", 3600).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="width_seconds"):
+        gapfill(df, "ts", ["k"], "v", 0)
+    with _pytest.raises(ValueError, match="unknown fill"):
+        gapfill(df, "ts", ["k"], "v", 3600, fill=("locf", "spline")).collect()
