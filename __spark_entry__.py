@@ -3958,6 +3958,27 @@ def _q_events_gapfill(spark, env):
     )
 
 
+def _q_events_funnel(spark, env):
+    # r13: ordered-funnel analysis (view -> click -> purchase within a
+    # 6h window of the anchor). Earliest-anchor greedy semantics,
+    # chosen exactly BECAUSE DuckDB reproduces it with three
+    # conditional-min CTEs — every matched step time (epoch micros,
+    # exact integers) per user is on the hashed path, so the one-
+    # shuffle Catalyst aggregate() fold is value-checked step by step.
+    from iceberg_python_spark.streaming import funnel
+
+    ev = env["events"].scan(selected_fields=("ts", "user_id", "event_type")).to_df()
+    return funnel(
+        ev, "ts", "user_id", "event_type", ["view", "click", "purchase"], 21600
+    ).select(
+        F.col("user").alias("user_id"),
+        F.col("level").cast("int").alias("level"),
+        "step1_us",
+        "step2_us",
+        "step3_us",
+    )
+
+
 def _q_mg_heavy_hitters_invariants(spark, env):
     # r13: Misra-Gries heavy-hitter summaries — the DETERMINISTIC
     # counterpart of cms_heavy_hitters, and mergeable (Agarwal et al.
@@ -4317,6 +4338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "theta_sketch_invariants": _q_theta_sketch_invariants,
             "mg_heavy_hitters_invariants": _q_mg_heavy_hitters_invariants,
             "events_gapfill": _q_events_gapfill,
+            "events_funnel": _q_events_funnel,
             "bpe_roundtrip": _q_bpe_roundtrip,
             "multimodal_audio_containers": _q_multimodal_audio_containers,
             # r11 fold (VERDICT r10 #7): the five raw-approximate
@@ -4769,6 +4791,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_events AS BIGINT) AS n_events, "
             "CAST(sum_cents AS BIGINT) AS sum_cents, filled, "
             "CAST(locf_cents AS BIGINT) AS locf_cents FROM locf"
+        ),
+        "events_funnel": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events), "
+            "s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, min(e.us) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id "
+            "WHERE e.event_type = 'click' AND e.us > s1.t1 "
+            "AND e.us <= s1.t1 + 21600000000 GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, min(e.us) AS t3 FROM e "
+            "JOIN s2 ON e.user_id = s2.user_id JOIN s1 ON e.user_id = s1.user_id "
+            "WHERE e.event_type = 'purchase' AND e.us > s2.t2 "
+            "AND e.us <= s1.t1 + 21600000000 GROUP BY 1), "
+            "base AS (SELECT DISTINCT user_id FROM e "
+            "WHERE event_type IN ('view', 'click', 'purchase')) "
+            "SELECT b.user_id, CAST(CASE WHEN t3 IS NOT NULL THEN 3 "
+            "WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1 "
+            "ELSE 0 END AS INTEGER) AS level, "
+            "CAST(t1 AS BIGINT) AS step1_us, CAST(t2 AS BIGINT) AS step2_us, "
+            "CAST(t3 AS BIGINT) AS step3_us "
+            "FROM base b LEFT JOIN s1 ON b.user_id = s1.user_id "
+            "LEFT JOIN s2 ON b.user_id = s2.user_id "
+            "LEFT JOIN s3 ON b.user_id = s3.user_id"
         ),
         "mg_heavy_hitters_invariants": (
             "SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows, "

@@ -800,3 +800,85 @@ def gapfill(
         "filled",
         *[c.alias(name) for name, c in out_cols.items()],
     )
+
+
+def funnel(
+    events: DataFrame,
+    ts_col: str,
+    user_col: str,
+    step_col: str,
+    steps: Sequence[str],
+    window_seconds: int,
+) -> DataFrame:
+    """Ordered-funnel analysis (the ClickHouse ``windowFunnel`` family
+    of questions: how far down ``steps`` does each user get, and
+    when?).
+
+    Semantics — EARLIEST-ANCHOR GREEDY, chosen because it is
+    deterministic and exactly reproducible in ANSI SQL (the oracle):
+    the chain anchors at the user's earliest step-1 event; each later
+    step matches its earliest event STRICTLY after the previous match
+    and within ``window_seconds`` of the anchor. (ClickHouse's
+    max-level variant re-anchors at every step-1 event; a user greedy
+    misses at one anchor may complete from a later one — callers who
+    need that can re-run on events after the first anchor.)
+
+    Returns one row per user with at least one step event: ``(user,
+    level int, step1_us .. stepK_us long)`` — matched event times in
+    epoch micros (exact integers, NULL where the chain stopped).
+
+    Scale shape: ONE groupBy(user) shuffle; each user's timeline folds
+    JVM-side with a Catalyst higher-order ``aggregate`` over the
+    sorted (ts, step) array — no Python, no window over the corpus, no
+    self-joins (a k-step funnel as k self-joins shuffles the events
+    table k times; this shuffles it once). Per-user event lists
+    materialize in executor memory — bounded by the heaviest user, the
+    same constraint as sessionize."""
+    k = len(steps)
+    if k < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    win_us = int(window_seconds) * 1_000_000
+    us = _epoch_us(events, ts_col)
+    idx = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
+    )[F.col(step_col)]
+    src = events.select(
+        F.col(user_col).alias("user"), us.alias("_us"), idx.alias("_idx")
+    ).where(F.col("_idx").isNotNull())
+    per_user = src.groupBy("user").agg(
+        F.array_sort(F.collect_list(F.struct(F.col("_us").alias("us"), F.col("_idx").alias("idx")))).alias(
+            "_tl"
+        )
+    )
+    init = F.struct(
+        F.lit(0).alias("lvl"),
+        F.array_repeat(F.lit(None).cast("long"), k).alias("t"),
+    )
+
+    def fold(acc, e):
+        anchor = F.try_element_at(acc["t"], F.lit(1))
+        last = F.try_element_at(acc["t"], acc["lvl"])  # NULL when lvl=0
+        ok = (
+            (acc["lvl"] < k)
+            & (e["idx"] == acc["lvl"])
+            & ((acc["lvl"] == 0) | ((e["us"] > last) & (e["us"] <= anchor + F.lit(win_us))))
+        )
+        new_t = F.transform(
+            acc["t"],
+            lambda x, i: F.when(i == acc["lvl"], e["us"]).otherwise(x),
+        )
+        return F.when(
+            ok, F.struct((acc["lvl"] + 1).alias("lvl"), new_t.alias("t"))
+        ).otherwise(acc)
+
+    res = per_user.select(
+        "user", F.aggregate("_tl", init, fold).alias("_r")
+    )
+    return res.select(
+        "user",
+        F.col("_r.lvl").alias("level"),
+        *[
+            F.try_element_at(F.col("_r.t"), F.lit(i + 1)).alias(f"step{i + 1}_us")
+            for i in range(k)
+        ],
+    )

@@ -549,3 +549,42 @@ def test_gapfill_locf_interp_and_edges(spark):
         gapfill(df, "ts", ["k"], "v", 0)
     with _pytest.raises(ValueError, match="unknown fill"):
         gapfill(df, "ts", ["k"], "v", 3600, fill=("locf", "spline")).collect()
+
+
+def test_funnel_greedy_anchor_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from iceberg_python_spark.streaming import funnel
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 00:10:00", "click"),
+        (1, "2024-01-01 00:20:00", "purchase"),
+        (2, "2024-01-01 00:00:00", "view"),
+        (2, "2024-01-01 09:00:00", "click"),  # outside the 1h window
+        (3, "2024-01-01 00:00:00", "click"),  # wrong order: not a chain start
+        (3, "2024-01-01 00:05:00", "view"),  # anchors here
+        (3, "2024-01-01 00:06:00", "click"),
+        (4, "2024-01-01 00:00:00", "error"),  # no step events -> absent
+        # greedy anchor: the EARLIEST view anchors even when a later
+        # view would have completed the funnel
+        (5, "2024-01-01 00:00:00", "view"),
+        (5, "2024-01-01 05:00:00", "view"),
+        (5, "2024-01-01 05:10:00", "click"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts string, et string").select(
+        "u", F.col("ts").cast("timestamp").alias("ts"), "et"
+    )
+    out = {
+        r["user"]: r
+        for r in funnel(df, "ts", "u", "et", ["view", "click", "purchase"], 3600).collect()
+    }
+    assert set(out) == {1, 2, 3, 5}
+    assert out[1]["level"] == 3 and out[1]["step3_us"] is not None
+    assert out[2]["level"] == 1 and out[2]["step2_us"] is None
+    assert out[3]["level"] == 2  # pre-anchor click ignored, post-anchor counts
+    assert out[5]["level"] == 1  # documented greedy-anchor semantics
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least 2"):
+        funnel(df, "ts", "u", "et", ["view"], 3600)
