@@ -4033,6 +4033,23 @@ def _q_record_linkage(spark, env):
     ).select("dirty_id", "c_custkey", F.col("distance").cast("int").alias("distance"))
 
 
+def _q_zorder_curve(spark, env):
+    # r13: first ORACLED row for the z-order clustering key
+    # (zorder.py with_zorder_key — the sort key under rewrite_zorder's
+    # multi-column pruning, e2e-tested in test_table_e2e since r10 but
+    # never value-hash matched). DuckDB rebuilds the exact same
+    # min/max scaling (scalar IEEE arithmetic, no float summation) and
+    # the Morton bit-interleave term by term; every order's 16-bit
+    # z-key is on the hashed path.
+    from iceberg_python_spark.zorder import with_zorder_key
+
+    orders = env["orders"].scan(
+        selected_fields=("o_orderkey", "o_custkey", "o_totalprice")
+    ).to_df()
+    keyed = with_zorder_key(orders, ["o_custkey", "o_totalprice"], bits=8, out="zkey")
+    return keyed.select("o_orderkey", F.col("zkey").cast("long").alias("zkey"))
+
+
 def _q_mg_heavy_hitters_invariants(spark, env):
     # r13: Misra-Gries heavy-hitter summaries — the DETERMINISTIC
     # counterpart of cms_heavy_hitters, and mergeable (Agarwal et al.
@@ -4394,6 +4411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_gapfill": _q_events_gapfill,
             "events_funnel": _q_events_funnel,
             "record_linkage": _q_record_linkage,
+            "zorder_curve": _q_zorder_curve,
             "bpe_roundtrip": _q_bpe_roundtrip,
             "multimodal_audio_containers": _q_multimodal_audio_containers,
             # r11 fold (VERDICT r10 #7): the five raw-approximate
@@ -4846,6 +4864,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_events AS BIGINT) AS n_events, "
             "CAST(sum_cents AS BIGINT) AS sum_cents, filled, "
             "CAST(locf_cents AS BIGINT) AS locf_cents FROM locf"
+        ),
+        "zorder_curve": (
+            'WITH span AS (SELECT min(CAST(o_custkey AS DOUBLE)) AS mn0, max(CAST(o_custkey AS DOUBLE)) AS mx0, min(o_totalprice) AS mn1, max(o_totalprice) AS mx1 FROM orders), ranks AS (SELECT o_orderkey, CAST(least(greatest(floor((CAST(o_custkey AS DOUBLE) - mn0) / (mx0 - mn0) * 255), 0), 255) AS BIGINT) AS r0, CAST(least(greatest(floor((o_totalprice - mn1) / (mx1 - mn1) * 255), 0), 255) AS BIGINT) AS r1 FROM orders, span) SELECT o_orderkey, CAST((((r0 >> 0) & 1) << 0) + (((r1 >> 0) & 1) << 1) + (((r0 >> 1) & 1) << 2) + (((r1 >> 1) & 1) << 3) + (((r0 >> 2) & 1) << 4) + (((r1 >> 2) & 1) << 5) + (((r0 >> 3) & 1) << 6) + (((r1 >> 3) & 1) << 7) + (((r0 >> 4) & 1) << 8) + (((r1 >> 4) & 1) << 9) + (((r0 >> 5) & 1) << 10) + (((r1 >> 5) & 1) << 11) + (((r0 >> 6) & 1) << 12) + (((r1 >> 6) & 1) << 13) + (((r0 >> 7) & 1) << 14) + (((r1 >> 7) & 1) << 15) AS BIGINT) AS zkey FROM ranks'
         ),
         "record_linkage": (
             "WITH dirty AS (SELECT c_custkey + 100000 AS dirty_id, "
