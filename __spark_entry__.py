@@ -4050,6 +4050,47 @@ def _q_zorder_curve(spark, env):
     return keyed.select("o_orderkey", F.col("zkey").cast("long").alias("zkey"))
 
 
+def _q_events_transition_matrix(spark, env):
+    # late r13: first-order Markov transitions over per-user event
+    # sequences — ONE lead window + ONE pair groupBy; per-from totals
+    # come from a window over the AGGREGATED O(states^2) table, never
+    # a second corpus pass. p_micro is floor(n*1e6/total): float-free
+    # modulo one IEEE division both engines round identically.
+    from iceberg_python_spark.streaming import transition_matrix
+
+    ev = env["events"].scan(selected_fields=("ts", "user_id", "event_type")).to_df()
+    return transition_matrix(ev, "ts", "user_id", "event_type")
+
+
+def _q_events_retention_cohorts(spark, env):
+    # late r13: cohort retention — users grouped by first-activity
+    # week, one row per (cohort, periods-later) with distinct active
+    # users. Integer epoch-micros period edges.
+    from iceberg_python_spark.streaming import retention_cohorts
+
+    ev = env["events"].scan(selected_fields=("ts", "user_id")).to_df()
+    return retention_cohorts(ev, "ts", "user_id", 7 * 86400).select(
+        "cohort_start", "period_index", "n_users"
+    )
+
+
+def _q_events_interval_coverage(spark, env):
+    # late r13: union-of-intervals coverage per user (islands merged,
+    # the question naive SUM(end-start) double-counts). Intervals are
+    # [ts, ts + floor(value*6e7)us]; covered length, island count and
+    # interval count are all exact integers on the hashed path.
+    from iceberg_python_spark.streaming import interval_coverage
+
+    ev = env["events"].scan(selected_fields=("ts", "user_id", "value")).to_df()
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "user_id",
+        us.alias("s"),
+        (us + F.floor(F.col("value") * 60000000).cast("long")).alias("e"),
+    )
+    return interval_coverage(iv, ["user_id"], "s", "e")
+
+
 def _q_mg_heavy_hitters_invariants(spark, env):
     # r13: Misra-Gries heavy-hitter summaries — the DETERMINISTIC
     # counterpart of cms_heavy_hitters, and mergeable (Agarwal et al.
@@ -4311,6 +4352,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # text_paragraph_dedup + multimodal_features), then the
             # r12-window rows at age 1. Compensating evidence: the
             # committed final-state full-registry sweep runs all rows.
+            # late-r13 additions (behind the window; MUST lead r14
+            # for first driver evidence)
+            "events_transition_matrix": _q_events_transition_matrix,
+            "events_retention_cohorts": _q_events_retention_cohorts,
+            "events_interval_coverage": _q_events_interval_coverage,
             "tpch_q16_supplier_part_counts": _q_q16_supplier_part_counts,
             "tpch_q17_small_qty_revenue": _q_q17_small_qty,
             "tpch_q18_large_orders": _q_q18_large_orders,
@@ -4852,6 +4898,41 @@ def oracle_sql() -> dict[str, str]:
         ),
         "zorder_curve": (
             'WITH span AS (SELECT min(CAST(o_custkey AS DOUBLE)) AS mn0, max(CAST(o_custkey AS DOUBLE)) AS mx0, min(o_totalprice) AS mn1, max(o_totalprice) AS mx1 FROM orders), ranks AS (SELECT o_orderkey, CAST(least(greatest(floor((CAST(o_custkey AS DOUBLE) - mn0) / (mx0 - mn0) * 255), 0), 255) AS BIGINT) AS r0, CAST(least(greatest(floor((o_totalprice - mn1) / (mx1 - mn1) * 255), 0), 255) AS BIGINT) AS r1 FROM orders, span) SELECT o_orderkey, CAST((((r0 >> 0) & 1) << 0) + (((r1 >> 0) & 1) << 1) + (((r0 >> 1) & 1) << 2) + (((r1 >> 1) & 1) << 3) + (((r0 >> 2) & 1) << 4) + (((r1 >> 2) & 1) << 5) + (((r0 >> 3) & 1) << 6) + (((r1 >> 3) & 1) << 7) + (((r0 >> 4) & 1) << 8) + (((r1 >> 4) & 1) << 9) + (((r0 >> 5) & 1) << 10) + (((r1 >> 5) & 1) << 11) + (((r0 >> 6) & 1) << 12) + (((r1 >> 6) & 1) << 13) + (((r0 >> 7) & 1) << 14) + (((r1 >> 7) & 1) << 15) AS BIGINT) AS zkey FROM ranks'
+        ),
+        "events_transition_matrix": (
+            "WITH seq AS (SELECT user_id, event_type AS from_state, "
+            "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) "
+            "AS to_state FROM events), "
+            "counts AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n "
+            "FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2) "
+            "SELECT from_state, to_state, n, "
+            "CAST(floor(n * 1000000.0 / sum(n) OVER (PARTITION BY from_state)) AS BIGINT) "
+            "AS p_micro FROM counts"
+        ),
+        "events_retention_cohorts": (
+            "WITH acts AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) - (epoch_us(ts) % 604800000000) AS p FROM events), "
+            "fst AS (SELECT user_id, min(p) AS c FROM acts GROUP BY 1) "
+            "SELECT make_timestamp(c) AS cohort_start, "
+            "CAST((p - c) / 604800000000 AS INTEGER) AS period_index, "
+            "CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users "
+            "FROM acts a JOIN fst f ON a.user_id = f.user_id GROUP BY 1, 2"
+        ),
+        "events_interval_coverage": (
+            "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, "
+            "epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e FROM events), "
+            "m AS (SELECT *, CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL "
+            "OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS nw "
+            "FROM iv WHERE s <= e), "
+            "isl AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY s, e "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g FROM m), "
+            "per AS (SELECT user_id, g, min(s) AS lo, max(e) AS hi, count(*) AS cnt "
+            "FROM isl GROUP BY 1, 2) "
+            "SELECT user_id, CAST(sum(hi - lo) AS BIGINT) AS covered, "
+            "CAST(count(*) AS BIGINT) AS n_islands, "
+            "CAST(sum(cnt) AS BIGINT) AS n_intervals FROM per GROUP BY 1"
         ),
         "record_linkage": (
             "WITH dirty AS (SELECT c_custkey + 100000 AS dirty_id, "

@@ -23,7 +23,7 @@ from __future__ import annotations
 import hashlib
 from typing import Optional, Sequence, Tuple
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..table import Table
 
@@ -881,4 +881,122 @@ def funnel(
             F.try_element_at(F.col("_r.t"), F.lit(i + 1)).alias(f"step{i + 1}_us")
             for i in range(k)
         ],
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    ts_col: str,
+    user_col: str,
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences: one row per observed ``(from_state, to_state)`` with
+    the transition count and an integer micro-unit row probability
+    (``floor(n * 1e6 / from_total)`` — float-free, so any engine
+    reproduces it exactly).
+
+    ONE window (lead over each user's timeline, keyed and sorted once)
+    + ONE groupBy(from, to); the per-from totals come from a window
+    over the AGGREGATED pair table (O(states²) rows), never a second
+    pass over the events. Ties in ``ts`` order deterministically by
+    the state value."""
+    pairs = (
+        events.select(
+            F.col(user_col).alias("_u"),
+            F.col(ts_col).alias("_ts"),
+            F.col(state_col).alias("from_state"),
+        )
+        .withColumn("to_state", F.lead("from_state").over(
+            Window.partitionBy("_u").orderBy("_ts", "from_state")
+        ))
+        .where(F.col("to_state").isNotNull())
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n",
+        # explicit floor: Spark's cast truncates but DuckDB's rounds —
+        # floor is the one spelling both engines reproduce exactly
+        F.floor(F.col("n") * F.lit(1_000_000) / F.sum("n").over(tot)).cast("long").alias("p_micro"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    ts_col: str,
+    user_col: str,
+    period_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Cohort retention: users grouped by first-activity period, one
+    row per ``(cohort_start, period_index)`` with the distinct users
+    from that cohort active ``period_index`` periods later (index 0 =
+    the cohort period itself).
+
+    Shape: one groupBy(user) for first-seen, one distinct over
+    (user, period) — both key on the user id so the second reuses the
+    first's partitioning under AQE — then one count per (cohort,
+    index). Period edges are integer epoch-micros arithmetic."""
+    p_us = int(period_seconds) * 1_000_000
+    if p_us <= 0:
+        raise ValueError(f"period_seconds must be positive, got {period_seconds}")
+    us = _epoch_us(events, ts_col)
+    acts = events.select(
+        F.col(user_col).alias("_u"), (us - F.pmod(us, F.lit(p_us))).alias("_p")
+    ).distinct()
+    first = acts.groupBy("_u").agg(F.min("_p").alias("_c"))
+    return (
+        acts.join(first, "_u")
+        .groupBy(
+            F.timestamp_micros(F.col("_c")).alias("cohort_start"),
+            ((F.col("_p") - F.col("_c")) / F.lit(p_us)).cast("int").alias("period_index"),
+        )
+        .agg(F.count_distinct("_u").cast("long").alias("n_users"))
+    )
+
+
+def interval_coverage(
+    intervals: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Union-of-intervals coverage per key: merge overlapping/touching
+    ``[start, end]`` intervals into islands and report per key the
+    total covered length, the island count, and the raw interval count
+    — the classic "how much wall-clock was this user active" question
+    that naive SUM(end - start) double-counts.
+
+    ONE window per key (sorted by start; island boundary = start
+    strictly greater than the running max of previous ends) + ONE
+    groupBy — per-key state is a single running max, cost is the sort
+    a merge join needs anyway. Works on any orderable numeric/
+    timestamp pair; length is end - start in the column's own units
+    (epoch micros for timestamps)."""
+    keys = list(key_cols)
+    s, e = F.col("_s"), F.col("_e")
+    src = intervals.select(
+        *keys,
+        F.col(start_col).cast("long").alias("_s"),
+        F.col(end_col).cast("long").alias("_e"),
+    ).where(s <= e)
+    w = Window.partitionBy(*keys).orderBy("_s", "_e")
+    prev_max = F.max("_e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = src.withColumn(
+        "_new", F.when(prev_max.isNull() | (s > prev_max), 1).otherwise(0)
+    )
+    islands = marked.withColumn(
+        "_isl", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_island = islands.groupBy(*keys, "_isl").agg(
+        F.min("_s").alias("_lo"), F.max("_e").alias("_hi"), F.count("*").alias("_n")
+    )
+    return per_island.groupBy(*keys).agg(
+        F.sum(F.col("_hi") - F.col("_lo")).cast("long").alias("covered"),
+        F.count("*").cast("long").alias("n_islands"),
+        F.sum("_n").cast("long").alias("n_intervals"),
     )

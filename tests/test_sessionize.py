@@ -588,3 +588,74 @@ def test_funnel_greedy_anchor_semantics(spark):
 
     with _pytest.raises(ValueError, match="at least 2"):
         funnel(df, "ts", "u", "et", ["view"], 3600)
+
+
+def test_transition_matrix_counts_and_micro_probs(spark):
+    from pyspark.sql import functions as F
+
+    from iceberg_python_spark.streaming import transition_matrix
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "a"),
+        (1, "2024-01-01 00:01:00", "b"),
+        (1, "2024-01-01 00:02:00", "a"),
+        (1, "2024-01-01 00:03:00", "c"),
+        (2, "2024-01-01 00:00:00", "a"),
+        (2, "2024-01-01 00:01:00", "b"),
+        (3, "2024-01-01 00:00:00", "z"),  # single event: no transition
+    ]
+    df = spark.createDataFrame(rows, "u long, ts string, s string").select(
+        "u", F.col("ts").cast("timestamp").alias("ts"), "s"
+    )
+    out = {(r["from_state"], r["to_state"]): r for r in transition_matrix(df, "ts", "u", "s").collect()}
+    assert out[("a", "b")]["n"] == 2 and out[("b", "a")]["n"] == 1
+    assert out[("a", "c")]["n"] == 1 and ("z", None) not in out
+    # from 'a': 2/3 to b, 1/3 to c — floored micro units
+    assert out[("a", "b")]["p_micro"] == 666666
+    assert out[("a", "c")]["p_micro"] == 333333
+    # user 2's trailing 'b' has no successor, so b->a is b's only transition
+    assert out[("b", "a")]["p_micro"] == 1000000
+
+
+def test_retention_cohorts(spark):
+    from pyspark.sql import functions as F
+
+    from iceberg_python_spark.streaming import retention_cohorts
+
+    day = 86400
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-02 10:00:00"), (1, "2024-01-04 10:00:00"),
+        (2, "2024-01-01 23:00:00"),
+        (3, "2024-01-02 00:00:00"), (3, "2024-01-04 01:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts string").select(
+        "u", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {
+        (str(r["cohort_start"]), r["period_index"]): r["n_users"]
+        for r in retention_cohorts(df, "ts", "u", day).collect()
+    }
+    assert out[("2024-01-01 00:00:00", 0)] == 2  # users 1, 2
+    assert out[("2024-01-01 00:00:00", 1)] == 1  # user 1 back next day
+    assert out[("2024-01-01 00:00:00", 3)] == 1  # user 1 on day 4
+    assert out[("2024-01-02 00:00:00", 0)] == 1  # user 3's own cohort
+    assert out[("2024-01-02 00:00:00", 2)] == 1  # user 3 on day 4
+    assert ("2024-01-01 00:00:00", 2) not in out  # nobody from c1 on day 3
+
+
+def test_interval_coverage_island_merge(spark):
+    from pyspark.sql import functions as F
+
+    from iceberg_python_spark.streaming import interval_coverage
+
+    rows = [
+        ("u", 0, 10), ("u", 5, 20), ("u", 20, 25),  # one island [0,25] (touching merges)
+        ("u", 30, 40),                               # second island
+        ("u", 50, 45),                               # inverted: dropped
+        ("v", 100, 200),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = {r["k"]: r for r in interval_coverage(df, ["k"], "s", "e").collect()}
+    assert out["u"]["covered"] == 35 and out["u"]["n_islands"] == 2
+    assert out["u"]["n_intervals"] == 4
+    assert out["v"]["covered"] == 100 and out["v"]["n_islands"] == 1
