@@ -4091,6 +4091,51 @@ def _q_events_interval_coverage(spark, env):
     return interval_coverage(iv, ["user_id"], "s", "e")
 
 
+def _q_url_normalize(spark, env):
+    # late r13: URL canonicalization (operators/url.py — RFC 3986 §6
+    # rules as one narrow Catalyst projection; dot segments resolved
+    # by a JVM aggregate fold). Messy URLs are synthesized per doc
+    # (case noise, default vs explicit ports, ./.. segments, trailing
+    # fragments, unsorted queries); the ORACLE writes the expected
+    # canonical form directly by construction — the WARC/PDF pattern —
+    # so every rule sits on the value-hashed path. registered_domain
+    # exercises the two-level-suffix split on .com vs .co.uk hosts.
+    from iceberg_python_spark.operators.url import normalize_url, registered_domain
+
+    docs = env["documents"].scan(selected_fields=("doc_id", "source")).to_df()
+    host = F.concat(
+        F.col("source"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(".example.com")).otherwise(
+            F.lit(".news.example.co.uk")
+        ),
+    )
+    mode = F.col("doc_id") % 4
+    messy = (
+        F.when(
+            mode == 0,
+            F.concat(F.lit("HTTP://"), F.upper(host), F.lit(":80/a/../doc/"), F.col("doc_id"), F.lit("#frag")),
+        )
+        .when(
+            mode == 1,
+            F.concat(F.lit("https://"), host, F.lit(":443/./doc/"), F.col("doc_id"), F.lit("?z=1&a=2")),
+        )
+        .when(
+            mode == 2,
+            F.concat(F.lit("https://"), F.upper(host), F.lit(":8443?q="), F.col("doc_id")),
+        )
+        .otherwise(
+            F.concat(F.lit("http://"), host, F.lit("/x/y/../../doc/"), F.col("doc_id"), F.lit("/")),
+        )
+    )
+    out = docs.select(
+        "doc_id",
+        normalize_url(messy, sort_query=True).alias("url_norm"),
+    )
+    return out.withColumn(
+        "domain", registered_domain(F.parse_url(F.col("url_norm"), F.lit("HOST")))
+    )
+
+
 def _q_mg_heavy_hitters_invariants(spark, env):
     # r13: Misra-Gries heavy-hitter summaries — the DETERMINISTIC
     # counterpart of cms_heavy_hitters, and mergeable (Agarwal et al.
@@ -4357,6 +4402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_transition_matrix": _q_events_transition_matrix,
             "events_retention_cohorts": _q_events_retention_cohorts,
             "events_interval_coverage": _q_events_interval_coverage,
+            "url_normalize": _q_url_normalize,
             "tpch_q16_supplier_part_counts": _q_q16_supplier_part_counts,
             "tpch_q17_small_qty_revenue": _q_q17_small_qty,
             "tpch_q18_large_orders": _q_q18_large_orders,
@@ -4898,6 +4944,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "zorder_curve": (
             'WITH span AS (SELECT min(CAST(o_custkey AS DOUBLE)) AS mn0, max(CAST(o_custkey AS DOUBLE)) AS mx0, min(o_totalprice) AS mn1, max(o_totalprice) AS mx1 FROM orders), ranks AS (SELECT o_orderkey, CAST(least(greatest(floor((CAST(o_custkey AS DOUBLE) - mn0) / (mx0 - mn0) * 255), 0), 255) AS BIGINT) AS r0, CAST(least(greatest(floor((o_totalprice - mn1) / (mx1 - mn1) * 255), 0), 255) AS BIGINT) AS r1 FROM orders, span) SELECT o_orderkey, CAST((((r0 >> 0) & 1) << 0) + (((r1 >> 0) & 1) << 1) + (((r0 >> 1) & 1) << 2) + (((r1 >> 1) & 1) << 3) + (((r0 >> 2) & 1) << 4) + (((r1 >> 2) & 1) << 5) + (((r0 >> 3) & 1) << 6) + (((r1 >> 3) & 1) << 7) + (((r0 >> 4) & 1) << 8) + (((r1 >> 4) & 1) << 9) + (((r0 >> 5) & 1) << 10) + (((r1 >> 5) & 1) << 11) + (((r0 >> 6) & 1) << 12) + (((r1 >> 6) & 1) << 13) + (((r0 >> 7) & 1) << 14) + (((r1 >> 7) & 1) << 15) AS BIGINT) AS zkey FROM ranks'
+        ),
+        "url_normalize": (
+            # expected canonical form BY CONSTRUCTION (the operator's
+            # rules applied by hand to each synthesized layout)
+            "SELECT doc_id, "
+            "CASE CAST(doc_id % 4 AS INTEGER) "
+            "WHEN 0 THEN 'http://' || h || '/doc/' || doc_id "
+            "WHEN 1 THEN 'https://' || h || '/doc/' || doc_id || '?a=2&z=1' "
+            "WHEN 2 THEN 'https://' || h || ':8443/?q=' || doc_id "
+            "ELSE 'http://' || h || '/doc/' || doc_id || '/' END AS url_norm, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'example.com' ELSE 'example.co.uk' END AS domain "
+            "FROM (SELECT doc_id, source || (CASE WHEN doc_id % 2 = 0 "
+            "THEN '.example.com' ELSE '.news.example.co.uk' END) AS h FROM documents)"
         ),
         "events_transition_matrix": (
             "WITH seq AS (SELECT user_id, event_type AS from_state, "
