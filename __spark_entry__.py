@@ -4136,6 +4136,42 @@ def _q_url_normalize(spark, env):
     )
 
 
+def _q_embedding_pca_invariants(spark, env):
+    # late r13: distributed PCA (one moment-partial pass, O(partitions
+    # · d²) shuffle, driver eigh on the tiny d×d covariance — exact,
+    # not a sketch). Claims: components orthonormal, eigenvalues
+    # descending, per-dimension variance of the SPARK-projected corpus
+    # equals the eigenvalues (cross-checks the distributed moments +
+    # the Arrow transform against numpy's eigendecomposition), top-k
+    # coverage ≥ k/d (a theorem — top eigenvalues dominate the mean),
+    # n value-hashed.
+    import numpy as np
+
+    from iceberg_python_spark.operators.similarity import pca_fit, pca_transform
+
+    emb = env["embeddings"].scan(selected_fields=("vec_id", "embedding")).to_df()
+    k = 16
+    mean, C, ev, total = pca_fit(emb, "embedding", k=k)
+    ortho = bool(np.allclose(C @ C.T, np.eye(k), atol=1e-9))
+    desc = bool(all(ev[i] >= ev[i + 1] - 1e-12 for i in range(k - 1)))
+    cover = bool(ev.sum() >= (k / len(mean)) * total - 1e-9)
+    proj = pca_transform(emb, "embedding", mean, C).localCheckpoint(eager=True)
+    vrow = proj.select(
+        *[F.var_samp(F.element_at("pca", i + 1)).alias(f"v{i}") for i in range(k)]
+    ).collect()[0]
+    var_ok = bool(
+        all(abs(vrow[f"v{i}"] - ev[i]) <= 1e-6 * max(ev[i], 1e-12) for i in range(k))
+    )
+    n = proj.count()
+    return spark.range(1).select(
+        F.lit(int(n)).cast("long").alias("n_points"),
+        F.lit(ortho).alias("orthonormal"),
+        F.lit(desc).alias("eigs_descending"),
+        F.lit(var_ok).alias("proj_var_matches"),
+        F.lit(cover).alias("coverage_ok"),
+    )
+
+
 def _q_mg_heavy_hitters_invariants(spark, env):
     # r13: Misra-Gries heavy-hitter summaries — the DETERMINISTIC
     # counterpart of cms_heavy_hitters, and mergeable (Agarwal et al.
@@ -4403,6 +4439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_retention_cohorts": _q_events_retention_cohorts,
             "events_interval_coverage": _q_events_interval_coverage,
             "url_normalize": _q_url_normalize,
+            "embedding_pca_invariants": _q_embedding_pca_invariants,
             "tpch_q16_supplier_part_counts": _q_q16_supplier_part_counts,
             "tpch_q17_small_qty_revenue": _q_q17_small_qty,
             "tpch_q18_large_orders": _q_q18_large_orders,
@@ -4944,6 +4981,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "zorder_curve": (
             'WITH span AS (SELECT min(CAST(o_custkey AS DOUBLE)) AS mn0, max(CAST(o_custkey AS DOUBLE)) AS mx0, min(o_totalprice) AS mn1, max(o_totalprice) AS mx1 FROM orders), ranks AS (SELECT o_orderkey, CAST(least(greatest(floor((CAST(o_custkey AS DOUBLE) - mn0) / (mx0 - mn0) * 255), 0), 255) AS BIGINT) AS r0, CAST(least(greatest(floor((o_totalprice - mn1) / (mx1 - mn1) * 255), 0), 255) AS BIGINT) AS r1 FROM orders, span) SELECT o_orderkey, CAST((((r0 >> 0) & 1) << 0) + (((r1 >> 0) & 1) << 1) + (((r0 >> 1) & 1) << 2) + (((r1 >> 1) & 1) << 3) + (((r0 >> 2) & 1) << 4) + (((r1 >> 2) & 1) << 5) + (((r0 >> 3) & 1) << 6) + (((r1 >> 3) & 1) << 7) + (((r0 >> 4) & 1) << 8) + (((r1 >> 4) & 1) << 9) + (((r0 >> 5) & 1) << 10) + (((r1 >> 5) & 1) << 11) + (((r0 >> 6) & 1) << 12) + (((r1 >> 6) & 1) << 13) + (((r0 >> 7) & 1) << 14) + (((r1 >> 7) & 1) << 15) AS BIGINT) AS zkey FROM ranks'
+        ),
+        "embedding_pca_invariants": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_points, "
+            "true AS orthonormal, true AS eigs_descending, "
+            "true AS proj_var_matches, true AS coverage_ok FROM embeddings"
         ),
         "url_normalize": (
             # expected canonical form BY CONSTRUCTION (the operator's

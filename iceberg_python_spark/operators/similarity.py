@@ -562,3 +562,101 @@ def kmeans_assign(df: DataFrame, vec_col: str, centroids: np.ndarray, out: str =
         return pd.Series(np.argmin(d2, axis=1).astype("int32"))
 
     return df.withColumn(out, nearest(F.col(vec_col).cast("array<double>")))
+
+
+def pca_fit(
+    corpus: DataFrame,
+    vec_col: str,
+    k: int = 16,
+):
+    """Distributed PCA over an embedding column — the dimensionality
+    step in front of ANN indexing and semantic dedup (a 64→16
+    projection cuts every downstream distance computation 4×; OPQ/PCA
+    rotation is also how production IVF pipelines whiten vectors).
+
+    The only scalable shape for tall-skinny data (n ≫ d): one
+    ``mapInPandas`` pass emits per-partition MOMENT partials — the
+    (d × d) Gram matrix ``Xᵀ X``, the component sum, and the row count
+    (O(partitions · d²) numbers shuffle, never the corpus) — the
+    driver assembles the covariance ``Σ = (XᵀX − n·μμᵀ)/(n−1)`` and
+    eigendecomposes the tiny d×d matrix (numpy ``eigh``; deterministic
+    sign fix: each component's largest-|coefficient| entry is made
+    positive). No iteration, one pass, exact — not a sketch.
+
+    Returns ``(mean (d,), components (k, d) row-major, explained_var
+    (k,), total_var float)``.
+    """
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("pca_fit: empty corpus")
+    d = len(first[0])
+    if not 1 <= k <= d:
+        raise ValueError(f"pca_fit: k={k} outside [1, d={d}]")
+
+    def partials(batches):
+        gram = np.zeros((d, d), dtype=np.float64)
+        s = np.zeros(d, dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            gram += M.T @ M
+            s += M.sum(axis=0)
+            n += len(M)
+        if n:
+            yield pd.DataFrame(
+                {"gram": [gram.reshape(-1).tolist()], "s": [s.tolist()], "n": [n]}
+            )
+
+    parts = (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .mapInPandas(partials, schema="gram array<double>, s array<double>, n long")
+        .collect()
+    )
+    gram = np.zeros((d, d), dtype=np.float64)
+    s = np.zeros(d, dtype=np.float64)
+    n = 0
+    for row in parts:
+        gram += np.asarray(row["gram"], dtype=np.float64).reshape(d, d)
+        s += np.asarray(row["s"], dtype=np.float64)
+        n += row["n"]
+    if n < 2:
+        raise ValueError(f"pca_fit: needs >= 2 rows, got {n}")
+    mean = s / n
+    cov = (gram - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T.copy()
+    # deterministic sign: the largest-|coeff| entry of each component
+    # is positive (eigh's sign is arbitrary)
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    explained = np.maximum(evals[order], 0.0)
+    total = float(np.maximum(evals, 0.0).sum())
+    return mean, comps, explained, total
+
+
+def pca_transform(
+    df: DataFrame, vec_col: str, mean: np.ndarray, components: np.ndarray,
+    out: str = "pca",
+) -> DataFrame:
+    """Project embeddings onto the fitted components in one vectorized
+    Arrow pass: ``(X - μ) @ Cᵀ`` per batch (same broadcast-matmul
+    shape as :func:`kmeans_assign`)."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    mu = np.ascontiguousarray(mean, dtype=np.float64)
+    C = np.ascontiguousarray(components, dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def project(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        M = np.asarray(v.tolist(), dtype=np.float64)
+        P = (M - mu) @ C.T
+        return pd.Series(list(P))
+
+    return df.withColumn(out, project(F.col(vec_col).cast("array<double>")))

@@ -2020,3 +2020,43 @@ def test_strip_html_unclosed_blocks_are_linear_and_html5_correct(spark):
     assert got[3] == 'a & "b"'
     assert got[4] == "plain, no html at all"
     assert got[5] == "stray close is just a tag"
+
+
+def test_pca_fit_transform_invariants(spark):
+    """Distributed moment partials == exact covariance; components
+    orthonormal with deterministic signs; projection variance equals
+    the eigenvalues; reconstruction error equals the dropped spectrum
+    (the PCA identity); guards refuse empty/small/bad-k input."""
+    import numpy as np
+    import pytest as _pytest
+
+    from iceberg_python_spark.operators.similarity import pca_fit, pca_transform
+
+    rng = np.random.RandomState(3)
+    # anisotropic data so the spectrum is far from flat
+    X = rng.randn(400, 12) @ np.diag([5, 4, 3, 2] + [0.5] * 8)
+    df = spark.createDataFrame([(i, row.tolist()) for i, row in enumerate(X)],
+                               "id: long, v: array<double>").repartition(6)
+    mean, C, ev, total = pca_fit(df, "v", k=4)
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    assert np.allclose(C @ C.T, np.eye(4), atol=1e-9)
+    exact = np.sort(np.linalg.eigvalsh(np.cov(X.T)))[::-1]
+    assert np.allclose(ev, exact[:4], rtol=1e-9)
+    assert abs(total - exact.sum()) < 1e-9
+    # deterministic sign: largest-|coeff| entry positive
+    for row in C:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+    # projections: variance per dim == eigenvalue; residual == dropped tail
+    P = np.asarray(
+        [r["pca"] for r in pca_transform(df, "v", mean, C).orderBy("id").collect()]
+    )
+    assert np.allclose(P.var(axis=0, ddof=1), ev, rtol=1e-8)
+    recon = mean + P @ C
+    resid = ((X - recon) ** 2).sum() / (len(X) - 1)
+    assert abs(resid - (total - ev.sum())) < 1e-8
+    with _pytest.raises(ValueError, match="empty"):
+        pca_fit(df.where("id < 0"), "v", k=2)
+    with _pytest.raises(ValueError, match="outside"):
+        pca_fit(df, "v", k=13)
+    with _pytest.raises(ValueError, match=">= 2 rows"):
+        pca_fit(df.where("id = 0"), "v", k=2)
