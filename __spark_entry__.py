@@ -4172,6 +4172,21 @@ def _q_embedding_pca_invariants(spark, env):
     )
 
 
+def _q_phrase_search(spark, env):
+    # late r13: exact-phrase matching via a positional inverted index
+    # (operators/retrieval.py phrase_search — posexplode + broadcast
+    # term filter + m-1 positional self-joins over candidate rows).
+    # Four phrase lengths (1..3 tokens, incl. one that never occurs as
+    # a phrase despite its terms co-occurring); every (phrase, doc)
+    # occurrence COUNT is value-hashed against DuckDB counting start
+    # positions with list functions.
+    from iceberg_python_spark.operators.retrieval import phrase_search
+
+    docs = env["documents"].scan(selected_fields=("doc_id", "text")).to_df()
+    phrases = ["slow hash batch", "part filter scan", "fast table", "table"]
+    return phrase_search(docs, phrases, "text", "doc_id")
+
+
 def _q_mg_heavy_hitters_invariants(spark, env):
     # r13: Misra-Gries heavy-hitter summaries — the DETERMINISTIC
     # counterpart of cms_heavy_hitters, and mergeable (Agarwal et al.
@@ -4440,6 +4455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_interval_coverage": _q_events_interval_coverage,
             "url_normalize": _q_url_normalize,
             "embedding_pca_invariants": _q_embedding_pca_invariants,
+            "phrase_search": _q_phrase_search,
             "tpch_q16_supplier_part_counts": _q_q16_supplier_part_counts,
             "tpch_q17_small_qty_revenue": _q_q17_small_qty,
             "tpch_q18_large_orders": _q_q18_large_orders,
@@ -4986,6 +5002,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_points, "
             "true AS orthonormal, true AS eigs_descending, "
             "true AS proj_var_matches, true AS coverage_ok FROM embeddings"
+        ),
+        "phrase_search": (
+            "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS tk FROM documents) SELECT * FROM (SELECT CAST(0 AS INTEGER) AS phrase_id, doc_id, CAST(len(list_filter(list_transform(generate_series(1, greatest(len(tk) - 2, 0)), i -> array_to_string(tk[i:i+2], ' ')), x -> x = 'slow hash batch')) AS BIGINT) AS n_matches FROM toks UNION ALL SELECT CAST(1 AS INTEGER) AS phrase_id, doc_id, CAST(len(list_filter(list_transform(generate_series(1, greatest(len(tk) - 2, 0)), i -> array_to_string(tk[i:i+2], ' ')), x -> x = 'part filter scan')) AS BIGINT) AS n_matches FROM toks UNION ALL SELECT CAST(2 AS INTEGER) AS phrase_id, doc_id, CAST(len(list_filter(list_transform(generate_series(1, greatest(len(tk) - 1, 0)), i -> array_to_string(tk[i:i+1], ' ')), x -> x = 'fast table')) AS BIGINT) AS n_matches FROM toks UNION ALL SELECT CAST(3 AS INTEGER) AS phrase_id, doc_id, CAST(len(list_filter(list_transform(generate_series(1, greatest(len(tk) - 0, 0)), i -> array_to_string(tk[i:i+0], ' ')), x -> x = 'table')) AS BIGINT) AS n_matches FROM toks) WHERE n_matches > 0"
         ),
         "url_normalize": (
             # expected canonical form BY CONSTRUCTION (the operator's

@@ -138,3 +138,62 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "score_micro", "rank")
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase matching via a POSITIONAL inverted index — the IR
+    primitive BM25's bag-of-words scoring cannot express ("foo bar"
+    as a contiguous sequence, not two co-occurring terms).
+
+    Returns one row per ``(phrase_id, doc)`` that contains the phrase
+    at least once, with the occurrence count. Tokenization is the
+    retrieval stack's shared normalizer, so ``phrases`` match the
+    same way documents index.
+
+    Spark shape (100 TB): ONE posexplode builds (doc, term, pos) rows;
+    a BROADCAST semi-join on the phrase-term set discards every
+    posting whose term appears in no phrase BEFORE anything shuffles —
+    the corpus-wide cost is the explode, the join work is bounded by
+    the query terms' document frequencies. The phrase itself resolves
+    as m−1 self-joins on (doc, pos+i) — the classic positional-index
+    intersection, each join keyed on (doc, pos) so AQE plans them as
+    ordinary shuffled hash joins over candidate rows only. Like
+    ``build_postings``, the positional index is persistable and
+    incrementally maintainable as an engine table."""
+    import re as _re
+
+    if not phrases:
+        raise ValueError("phrase_search needs at least one phrase")
+    seqs = []
+    for p in phrases:
+        toks = [t for t in _re.split(r"\s+", _re.sub(_NORM_PAT, " ", p.lower())) if t]
+        if not toks:
+            raise ValueError(f"phrase {p!r} has no tokens under the normalizer")
+        seqs.append(toks)
+    all_terms = sorted({t for s in seqs for t in s})
+    spark = docs.sparkSession
+    terms_df = spark.createDataFrame([(t,) for t in all_terms], "term: string")
+    pos = docs.select(
+        F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "term")
+    ).join(F.broadcast(terms_df), "term", "left_semi")
+    pos = pos.localCheckpoint(eager=True)  # reused once per distinct phrase length
+    out = None
+    for pid, toks in enumerate(seqs):
+        cur = (
+            pos.where(F.col("term") == toks[0])
+            .select(F.col(id_col), F.col("pos").alias("_start"))
+        )
+        for i, t in enumerate(toks[1:], start=1):
+            nxt = pos.where(F.col("term") == t).select(
+                F.col(id_col), (F.col("pos") - i).alias("_start")
+            )
+            cur = cur.join(nxt, [id_col, "_start"], "left_semi")
+        hits = cur.groupBy(id_col).agg(F.count("*").cast("long").alias("n_matches"))
+        hits = hits.select(F.lit(pid).cast("int").alias("phrase_id"), id_col, "n_matches")
+        out = hits if out is None else out.unionByName(hits)
+    return out

@@ -438,3 +438,31 @@ def test_mg_small_groups_exact_and_nulls(spark):
     assert {(i["item"], i["est"]) for i in s["g1"]["items"]} == {("x", 2), ("y", 1)}
     assert s["g2"]["n"] == 1  # null ignored
     assert [(i["item"], i["est"]) for i in s["g2"]["items"]] == [("z", 1)]
+
+
+def test_phrase_search_positional(spark):
+    from iceberg_python_spark.operators.retrieval import phrase_search
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "The CAT... sat! on a mat"),   # punctuation normalizes away
+        (3, "cat on the mat, the cat sat nearby"),
+        (4, "sat cat"),                     # terms co-occur, phrase absent
+        (5, "cat sat cat sat cat sat"),     # repeated occurrences
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["phrase_id"], r["doc_id"]): r["n_matches"]
+        for r in phrase_search(df, ["the cat sat", "cat sat", "mat"], "text", "doc_id").collect()
+    }
+    assert out == {
+        (0, 1): 1, (0, 3): 1,
+        (1, 1): 1, (1, 2): 1, (1, 3): 1, (1, 5): 3,
+        (2, 1): 1, (2, 2): 1, (2, 3): 1,
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        phrase_search(df, [], "text", "doc_id")
+    with _pytest.raises(ValueError, match="no tokens"):
+        phrase_search(df, ["...!"], "text", "doc_id")
