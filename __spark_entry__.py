@@ -4187,6 +4187,37 @@ def _q_phrase_search(spark, env):
     return phrase_search(docs, phrases, "text", "doc_id")
 
 
+def _q_salted_join(spark, env):
+    # late r13: skew-safe salted join (operators/joins.py salted_join)
+    # — the result must be IDENTICAL to the plain join, so the oracle
+    # is simply DuckDB's plain join. The left side is lineitem with a
+    # planted 50%-mass hot key (the exact shape salting exists for);
+    # hot_keys mode replicates only that key. Aggregated per (key,
+    # nation) so the hashed output is bounded while every joined row
+    # still contributes to a sum.
+    from iceberg_python_spark.operators.joins import salted_join
+
+    li = env["lineitem"].scan(
+        selected_fields=("l_orderkey", "l_suppkey", "l_quantity")
+    ).to_df()
+    left = li.select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(7)).otherwise(
+            F.col("l_suppkey") % 100
+        ).cast("int").alias("k"),
+        F.col("l_quantity"),
+    )
+    sup = env["supplier"].scan(selected_fields=("s_suppkey", "s_nationkey")).to_df()
+    right = sup.where(F.col("s_suppkey") < 100).select(
+        F.col("s_suppkey").cast("int").alias("k"),
+        F.col("s_nationkey").alias("nat"),
+    )
+    joined = salted_join(left, right, ["k"], "inner", salt=8, hot_keys=[7])
+    return joined.groupBy("k", "nat").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+    )
+
+
 def _q_mg_heavy_hitters_invariants(spark, env):
     # r13: Misra-Gries heavy-hitter summaries — the DETERMINISTIC
     # counterpart of cms_heavy_hitters, and mergeable (Agarwal et al.
@@ -4456,6 +4487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url_normalize": _q_url_normalize,
             "embedding_pca_invariants": _q_embedding_pca_invariants,
             "phrase_search": _q_phrase_search,
+            "salted_join": _q_salted_join,
             "tpch_q16_supplier_part_counts": _q_q16_supplier_part_counts,
             "tpch_q17_small_qty_revenue": _q_q17_small_qty,
             "tpch_q18_large_orders": _q_q18_large_orders,
@@ -5005,6 +5037,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "phrase_search": (
             "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS tk FROM documents) SELECT * FROM (SELECT CAST(0 AS INTEGER) AS phrase_id, doc_id, CAST(len(list_filter(list_transform(generate_series(1, greatest(len(tk) - 2, 0)), i -> array_to_string(tk[i:i+2], ' ')), x -> x = 'slow hash batch')) AS BIGINT) AS n_matches FROM toks UNION ALL SELECT CAST(1 AS INTEGER) AS phrase_id, doc_id, CAST(len(list_filter(list_transform(generate_series(1, greatest(len(tk) - 2, 0)), i -> array_to_string(tk[i:i+2], ' ')), x -> x = 'part filter scan')) AS BIGINT) AS n_matches FROM toks UNION ALL SELECT CAST(2 AS INTEGER) AS phrase_id, doc_id, CAST(len(list_filter(list_transform(generate_series(1, greatest(len(tk) - 1, 0)), i -> array_to_string(tk[i:i+1], ' ')), x -> x = 'fast table')) AS BIGINT) AS n_matches FROM toks UNION ALL SELECT CAST(3 AS INTEGER) AS phrase_id, doc_id, CAST(len(list_filter(list_transform(generate_series(1, greatest(len(tk) - 0, 0)), i -> array_to_string(tk[i:i+0], ' ')), x -> x = 'table')) AS BIGINT) AS n_matches FROM toks) WHERE n_matches > 0"
+        ),
+        "salted_join": (
+            'WITH lft AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 7 ELSE CAST(l_suppkey % 100 AS INTEGER) END AS k, l_quantity FROM lineitem), rgt AS (SELECT CAST(s_suppkey AS INTEGER) AS k, s_nationkey AS nat FROM supplier WHERE s_suppkey < 100) SELECT l.k, r.nat, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty FROM lft l JOIN rgt r ON l.k = r.k GROUP BY 1, 2'
         ),
         "url_normalize": (
             # expected canonical form BY CONSTRUCTION (the operator's

@@ -423,3 +423,61 @@ def range_interval_join(
     )
     sel = [lt[c] for c in left.columns] + [rt[c] for c in right.columns if c not in by]
     return joined.select(*sel)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt: int = 8,
+    hot_keys: Optional[Sequence] = None,
+) -> DataFrame:
+    """Skew-safe equi-join: identical RESULT to ``left.join(right, on,
+    how)`` (the driver row value-hashes that equality), different
+    PHYSICAL shape — a hot key's rows split across ``salt`` shuffle
+    partitions instead of landing in one straggler task.
+
+    Mechanics: each left row gets a deterministic salt (``xxhash64``
+    of the whole row, mod ``salt`` — content-derived, so reruns and
+    retries salt identically); the right side replicates ``salt``
+    times via one generated ``explode(sequence)``; the join keys on
+    ``(on..., salt)``. With ``hot_keys`` given, ONLY those keys
+    replicate (everything else joins at salt 0), so the right-side
+    blow-up is |hot set| · salt rows, not |right| · salt.
+
+    When to reach for this instead of AQE's skew-join split: AQE can
+    only split a skewed partition AFTER a shuffle materializes it and
+    cannot split a single key's rows across tasks for a hash join it
+    chose to broadcast-bucket differently; salting moves the split to
+    plan time and composes with any downstream groupBy on the same
+    keys. ``how`` supports inner/left — the salt column is an equal
+    partner in the key, so every left row (salted exactly once)
+    preserves outer semantics; right/full outer would duplicate
+    right-side no-match rows per salt replica and are refused.
+    """
+    keys = list(on)
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r} "
+            "(right/full outer would duplicate unmatched right rows per replica)"
+        )
+    if salt < 2:
+        raise ValueError(f"salt must be >= 2 to split anything, got {salt}")
+    lsalt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])), F.lit(salt))
+    if hot_keys is not None:
+        if len(keys) != 1:
+            raise ValueError("hot_keys currently targets single-column join keys")
+        hot = [k for k in hot_keys]
+        lsalt = F.when(F.col(keys[0]).isin(hot), lsalt).otherwise(F.lit(0))
+        rsalts = F.when(
+            F.col(keys[0]).isin(hot), F.sequence(F.lit(0), F.lit(salt - 1))
+        ).otherwise(F.array(F.lit(0)))
+    else:
+        rsalts = F.sequence(F.lit(0), F.lit(salt - 1))
+    lt = left.withColumn("_salt", lsalt.cast("int"))
+    rt = right.withColumn("_salt", F.explode(rsalts)).withColumn(
+        "_salt", F.col("_salt").cast("int")
+    )
+    out = lt.join(rt, [*keys, "_salt"], how)
+    return out.drop("_salt")

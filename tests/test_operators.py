@@ -2060,3 +2060,52 @@ def test_pca_fit_transform_invariants(spark):
         pca_fit(df, "v", k=13)
     with _pytest.raises(ValueError, match=">= 2 rows"):
         pca_fit(df.where("id = 0"), "v", k=2)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """The salted plan returns exactly the plain join's multiset, for
+    inner and left joins, with and without a hot-key set; guards
+    refuse outer modes and degenerate salt."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from iceberg_python_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(i, 0 if i % 10 < 7 else i % 5, f"p{i}") for i in range(2000)],
+        "id: long, k: int, payload: string",
+    ).repartition(8)
+    right = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(5)], "k: int, attr: string"
+    )
+
+    def multiset(df):
+        rows = df.collect()
+        return sorted(tuple(r) for r in rows)
+
+    for how in ("inner", "left"):
+        plain = left.join(right, ["k"], how).select("id", "k", "payload", "attr")
+        salted = salted_join(left, right, ["k"], how, salt=8).select(
+            "id", "k", "payload", "attr"
+        )
+        assert multiset(salted) == multiset(plain), how
+        hot = salted_join(left, right, ["k"], how, salt=8, hot_keys=[0]).select(
+            "id", "k", "payload", "attr"
+        )
+        assert multiset(hot) == multiset(plain), f"{how} hot"
+    # the hot key's rows really do split across salt values
+    lt = left.withColumn(
+        "_salt",
+        F.when(
+            F.col("k").isin([0]),
+            F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])), F.lit(8)),
+        ).otherwise(F.lit(0)),
+    )
+    n_salts = lt.where("k = 0").select("_salt").distinct().count()
+    assert n_salts == 8
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(left, right, ["k"], "full", salt=8)
+    with _pytest.raises(ValueError, match="salt must be"):
+        salted_join(left, right, ["k"], salt=1)
+    with _pytest.raises(ValueError, match="single-column"):
+        salted_join(left, right, ["k", "k"], hot_keys=[0])
