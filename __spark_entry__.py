@@ -4218,6 +4218,69 @@ def _q_salted_join(spark, env):
     )
 
 
+def _q_image_phash_dedup(spark, env):
+    # late r13: visual near-dup dedup — the full multimodal pipeline
+    # composition: synthesize PNGs (content key doc_id % 53; docs
+    # >= 200 get a +3 brightness perturbation of the SAME base image,
+    # a true near-duplicate), decode + pHash via extract_image_stats,
+    # band the hashes (pigeonhole-exact recall at hamming <= bands-1),
+    # verify Hamming JVM-side (conv + bit_count), cluster with
+    # connected_components. Claims: every content key's docs land in
+    # ONE component (the perturbed variants MUST merge with their
+    # bases), components are key-pure (no cross-content merges), and
+    # per-key doc counts value-hash against SQL.
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_python_spark.operators.dedup import connected_components
+    from iceberg_python_spark.operators.imaging import encode_png
+    from iceberg_python_spark.operators.multimodal import (
+        extract_image_stats,
+        phash_neardup_pairs,
+    )
+
+    docs = (
+        env["documents"].scan(selected_fields=("doc_id",)).to_df()
+        .where("doc_id < 400")
+        .repartition(32)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"].astype(int):
+                k = d % 53
+                px = np.random.default_rng(int(k)).integers(0, 250, (24, 24, 3), dtype=np.uint8)
+                if d >= 200:
+                    px = np.clip(px.astype(np.int16) + 3, 0, 255).astype(np.uint8)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    imgs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    stats = extract_image_stats(imgs, "doc_id", "payload").localCheckpoint(eager=True)
+    pairs = phash_neardup_pairs(stats, "id", "phash", max_hamming=7, bands=8)
+    comp = connected_components(pairs)
+    labeled = (
+        stats.select(F.col("id"), (F.col("id") % 53).alias("key"))
+        .join(comp.withColumnRenamed("node", "id"), "id", "left")
+        .select("id", "key", F.coalesce("component_id", F.col("id")).alias("cid"))
+        .localCheckpoint(eager=True)
+    )
+    per_key = labeled.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.countDistinct("cid") == 1).alias("one_component"),
+    )
+    n_impure = (
+        labeled.groupBy("cid").agg(F.countDistinct("key").alias("nk")).where("nk > 1").count()
+    )
+    return per_key.select(
+        "key",
+        "n_docs",
+        "one_component",
+        F.lit(bool(n_impure == 0)).alias("components_key_pure"),
+    )
+
+
 def _q_mg_heavy_hitters_invariants(spark, env):
     # r13: Misra-Gries heavy-hitter summaries — the DETERMINISTIC
     # counterpart of cms_heavy_hitters, and mergeable (Agarwal et al.
@@ -4488,6 +4551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embedding_pca_invariants": _q_embedding_pca_invariants,
             "phrase_search": _q_phrase_search,
             "salted_join": _q_salted_join,
+            "image_phash_dedup": _q_image_phash_dedup,
             "tpch_q16_supplier_part_counts": _q_q16_supplier_part_counts,
             "tpch_q17_small_qty_revenue": _q_q17_small_qty,
             "tpch_q18_large_orders": _q_q18_large_orders,
@@ -5040,6 +5104,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "salted_join": (
             'WITH lft AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 7 ELSE CAST(l_suppkey % 100 AS INTEGER) END AS k, l_quantity FROM lineitem), rgt AS (SELECT CAST(s_suppkey AS INTEGER) AS k, s_nationkey AS nat FROM supplier WHERE s_suppkey < 100) SELECT l.k, r.nat, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty FROM lft l JOIN rgt r ON l.k = r.k GROUP BY 1, 2'
+        ),
+        "image_phash_dedup": (
+            'SELECT CAST(doc_id % 53 AS BIGINT) AS key, CAST(count(*) AS BIGINT) AS n_docs, true AS one_component, true AS components_key_pure FROM documents WHERE doc_id < 400 GROUP BY 1'
         ),
         "url_normalize": (
             # expected canonical form BY CONSTRUCTION (the operator's

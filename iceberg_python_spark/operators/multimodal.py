@@ -376,3 +376,85 @@ def sample_video_frames_stub(
             yield pd.DataFrame(rows, columns=["id", "frame_idx", "frame_sha256"])
 
     return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(run, schema=schema)
+
+
+def phash_neardup_pairs(
+    stats: DataFrame,
+    id_col: str = "id",
+    phash_col: str = "phash",
+    max_hamming: int = 7,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-duplicate image pairs from 64-bit pHashes — the visual
+    sibling of MinHash-LSH text dedup, over the output of
+    :func:`extract_image_stats` (or any (id, 16-hex-char pHash)
+    table).
+
+    Banding guarantee (pigeonhole, same argument as MinHash bands):
+    two hashes within Hamming distance ``bands - 1`` agree EXACTLY in
+    at least one of ``bands`` equal slices, so candidates = the
+    self-join on (band index, band value) and the guarantee is exact
+    recall for ``max_hamming <= bands - 1`` (the default: 7 ≤ 7 —
+    raise ``bands`` to chase larger radii). Verification computes the
+    true Hamming distance JVM-side: the two 32-bit hash halves parse
+    with ``conv`` and XOR under ``bit_count`` — no Python.
+
+    Scale shape: the join keys on (band, value) — candidate volume is
+    bounded by bucket occupancy exactly like text LSH (hot buckets =
+    boilerplate images; same salting/drop mitigations apply). Returns
+    (id_a, id_b, hamming) with id_a < id_b, each pair once.
+    """
+    if 16 % bands != 0:
+        raise ValueError(f"bands must divide 16 hex chars, got {bands}")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the banding guarantee "
+            f"(bands - 1 = {bands - 1}); raise bands"
+        )
+    width = 16 // bands
+    src = stats.where(F.col(phash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(phash_col).alias("_ph")
+    )
+    banded = src.select(
+        "_id",
+        "_ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("_ph", b * width + 1, width).alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_ph", F.col("_b.band").alias("_band"), F.col("_b.val").alias("_val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._val") == F.col("b._val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._ph").alias("_pha"),
+            F.col("b._ph").alias("_phb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    def _half(col, lo):  # hex chars [lo, lo+8) -> long
+        return F.conv(F.substring(col, lo + 1, 8), 16, 10).cast("long")
+
+    ham = F.bit_count(
+        _half("_pha", 0).bitwiseXOR(_half("_phb", 0))
+    ) + F.bit_count(_half("_pha", 8).bitwiseXOR(_half("_phb", 8)))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -2109,3 +2109,45 @@ def test_salted_join_equals_plain_join(spark):
         salted_join(left, right, ["k"], salt=1)
     with _pytest.raises(ValueError, match="single-column"):
         salted_join(left, right, ["k", "k"], hot_keys=[0])
+
+
+def test_phash_neardup_pairs_exact_at_banding_guarantee(spark):
+    """Banded candidates + JVM Hamming verify == the exact all-pairs
+    truth for max_hamming <= bands-1 (the pigeonhole guarantee), on
+    bases + brightness-perturbed near-duplicate variants."""
+    import numpy as np
+    import pytest as _pytest
+
+    from iceberg_python_spark.operators.imaging import encode_png, hamming, phash
+    from iceberg_python_spark.operators.multimodal import (
+        extract_image_stats,
+        phash_neardup_pairs,
+    )
+
+    def make(i):
+        k = i % 6
+        px = np.random.default_rng(k).integers(0, 250, (24, 24, 3), dtype=np.uint8)
+        if i >= 18:
+            px = np.clip(px.astype(np.int16) + 3, 0, 255).astype(np.uint8)
+        return px
+
+    rows = [(i, bytearray(encode_png(make(i)))) for i in range(36)]
+    df = spark.createDataFrame(rows, "id: long, payload: binary")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_neardup_pairs(
+            extract_image_stats(df, "id", "payload"), max_hamming=7, bands=8
+        ).collect()
+    }
+    local = {i: phash(make(i)) for i in range(36)}
+    want = {
+        (x, y): hamming(local[x], local[y])
+        for x in range(36)
+        for y in range(x + 1, 36)
+        if hamming(local[x], local[y]) <= 7
+    }
+    assert got == want and len(want) > 0
+    with _pytest.raises(ValueError, match="bands must divide"):
+        phash_neardup_pairs(extract_image_stats(df, "id", "payload"), bands=5)
+    with _pytest.raises(ValueError, match="exceeds the banding guarantee"):
+        phash_neardup_pairs(extract_image_stats(df, "id", "payload"), max_hamming=9, bands=8)
