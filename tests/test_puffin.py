@@ -199,3 +199,46 @@ def test_upsert_mor_writes_dvs(dv_table, spark):
     assert row[1] == (99, 111.0) and row[200] == (0, 200.0)
     dels = {p for x in t.scan().plan_files() for p in x.delete_files}
     assert any(p.endswith(".puffin") for p in dels)
+
+
+def test_real_hash_theta_blobs_readable_by_datasketches_java(spark):
+    """r13: blobs built from REAL retained-hash sets (compute_sketches
+    path) must also be genuine DataSketches compact theta bytes —
+    datasketches-java wraps them, returns the same estimate as our
+    reader, reports the right retained count/theta mode, and UNIONs of
+    our blobs estimate the true union size."""
+    import numpy as np
+
+    from iceberg_python_spark.table.puffin import (
+        theta_sketch_bytes_from_hashes,
+        theta_sketch_estimate,
+    )
+
+    jvm = spark.sparkContext._jvm
+
+    def wrap(buf):
+        mem = jvm.org.apache.datasketches.memory.Memory.wrap(bytearray(buf))
+        return jvm.org.apache.datasketches.theta.Sketches.wrapCompactSketch(mem)
+
+    rng = np.random.RandomState(11)
+    hs = np.unique(rng.randint(1, 1 << 63, size=30_000, dtype=np.int64).astype(np.uint64))
+    k = 1024
+    # exact mode: every hash retained, estimate == count
+    exact = theta_sketch_bytes_from_hashes(hs[:500], k=k)
+    sk = wrap(exact)
+    assert sk.getRetainedEntries() == 500 and round(sk.getEstimate()) == 500
+    assert not sk.isEstimationMode()
+    # estimation mode: k-1 retained below theta = h_(k)
+    smallest = np.sort(hs)[:k]
+    est_buf = theta_sketch_bytes_from_hashes(smallest, k=k)
+    sk2 = wrap(est_buf)
+    assert sk2.getRetainedEntries() == k - 1 and sk2.isEstimationMode()
+    assert abs(sk2.getEstimate() - theta_sketch_estimate(est_buf)) < 1e-6
+    assert abs(sk2.getEstimate() - len(hs)) < 0.15 * len(hs)
+    # union of two real-hash blobs (java-side) sees the true union
+    a = theta_sketch_bytes_from_hashes(hs[:400], k=k)
+    b = theta_sketch_bytes_from_hashes(hs[200:600], k=k)
+    union = jvm.org.apache.datasketches.theta.SetOperation.builder().buildUnion()
+    union.union(wrap(a))
+    union.union(wrap(b))
+    assert round(union.getResult().getEstimate()) == 600
