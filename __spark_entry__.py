@@ -4281,6 +4281,53 @@ def _q_image_phash_dedup(spark, env):
     )
 
 
+def _q_basket_affinity(spark, env):
+    # late r13: market-basket pair mining over lineitem (orders are
+    # baskets, parts % 200 the items so pairs actually repeat at
+    # sf0.01). One distinct + one basket self-join + two groupBys;
+    # support/marginals integer-exact, confidence/lift as
+    # floor-of-double micro-units both engines round identically.
+    from iceberg_python_spark.operators.basket import basket_affinity
+
+    li = env["lineitem"].scan(selected_fields=("l_orderkey", "l_partkey")).to_df()
+    baskets = li.select(
+        F.col("l_orderkey").alias("b"), (F.col("l_partkey") % 200).alias("i")
+    )
+    return basket_affinity(baskets, "b", "i", min_support=3)
+
+
+def _q_events_rolling_agg(spark, env):
+    # late r13: RANGE-frame rolling windows — the one window-frame
+    # family no other row exercises (rank/rows frames are covered).
+    # Per user ordered by epoch micros: trailing-24h event count and
+    # integer-cent sum, plus the cumulative cent sum. RANGE frames
+    # over integer micros are engine-exact; sums are integers.
+    from pyspark.sql import Window as _W
+
+    ev = env["events"].scan(selected_fields=("ts", "user_id", "event_id", "value")).to_df()
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    src = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("t_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    day = 86_400_000_000
+    w_range = (
+        _W.partitionBy("user_id").orderBy("t_us").rangeBetween(-(day - 1), 0)
+    )
+    w_cum = _W.partitionBy("user_id").orderBy("t_us", "event_id").rowsBetween(
+        _W.unboundedPreceding, 0
+    )
+    return src.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w_range).cast("long").alias("n_24h"),
+        F.sum("cents").over(w_range).cast("long").alias("sum_cents_24h"),
+        F.sum("cents").over(w_cum).cast("long").alias("cum_cents"),
+    )
+
+
 def _q_mg_heavy_hitters_invariants(spark, env):
     # r13: Misra-Gries heavy-hitter summaries — the DETERMINISTIC
     # counterpart of cms_heavy_hitters, and mergeable (Agarwal et al.
@@ -4552,6 +4599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "phrase_search": _q_phrase_search,
             "salted_join": _q_salted_join,
             "image_phash_dedup": _q_image_phash_dedup,
+            "basket_affinity": _q_basket_affinity,
+            "events_rolling_agg": _q_events_rolling_agg,
             "tpch_q16_supplier_part_counts": _q_q16_supplier_part_counts,
             "tpch_q17_small_qty_revenue": _q_q17_small_qty,
             "tpch_q18_large_orders": _q_q18_large_orders,
@@ -5107,6 +5156,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "image_phash_dedup": (
             'SELECT CAST(doc_id % 53 AS BIGINT) AS key, CAST(count(*) AS BIGINT) AS n_docs, true AS one_component, true AS components_key_pure FROM documents WHERE doc_id < 400 GROUP BY 1'
+        ),
+        "basket_affinity": (
+            'WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 200 AS i FROM lineitem), nb AS (SELECT count(DISTINCT b) AS n FROM items), marg AS (SELECT i, CAST(count(*) AS BIGINT) AS m FROM items GROUP BY 1), pairs AS (SELECT a.i AS item_a, c.i AS item_b, CAST(count(*) AS BIGINT) AS support FROM items a JOIN items c ON a.b = c.b AND a.i < c.i GROUP BY 1, 2 HAVING count(*) >= 3) SELECT p.item_a, p.item_b, p.support, ma.m AS support_a, mb.m AS support_b, CAST(floor(p.support * 1000000.0 / ma.m) AS BIGINT) AS confidence_micro, CAST(floor(CAST(p.support AS DOUBLE) * nb.n * 1000000.0 / (CAST(ma.m AS DOUBLE) * CAST(mb.m AS DOUBLE))) AS BIGINT) AS lift_micro FROM pairs p JOIN marg ma ON p.item_a = ma.i JOIN marg mb ON p.item_b = mb.i, nb'
+        ),
+        "events_rolling_agg": (
+            'WITH src AS (SELECT user_id, event_id, epoch_us(ts) AS t_us, CAST(round(value * 100) AS BIGINT) AS cents FROM events) SELECT user_id, event_id, CAST(count(*) OVER w AS BIGINT) AS n_24h, CAST(sum(cents) OVER w AS BIGINT) AS sum_cents_24h, CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY t_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents FROM src WINDOW w AS (PARTITION BY user_id ORDER BY t_us RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)'
         ),
         "url_normalize": (
             # expected canonical form BY CONSTRUCTION (the operator's

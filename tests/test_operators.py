@@ -2151,3 +2151,34 @@ def test_phash_neardup_pairs_exact_at_banding_guarantee(spark):
         phash_neardup_pairs(extract_image_stats(df, "id", "payload"), bands=5)
     with _pytest.raises(ValueError, match="exceeds the banding guarantee"):
         phash_neardup_pairs(extract_image_stats(df, "id", "payload"), max_hamming=9, bands=8)
+
+
+def test_basket_affinity_exact(spark):
+    import pytest as _pytest
+
+    from iceberg_python_spark.operators.basket import basket_affinity
+
+    rows = [
+        (1, "milk"), (1, "bread"), (1, "eggs"),
+        (2, "milk"), (2, "bread"),
+        (3, "milk"), (3, "bread"),
+        (4, "eggs"),
+        (5, "milk"), (5, "milk"),  # duplicate item in a basket: counted once
+    ]
+    df = spark.createDataFrame(rows, "b: long, i: string")
+    out = {(r["item_a"], r["item_b"]): r for r in basket_affinity(df, "b", "i").collect()}
+    mb = out[("bread", "milk")]
+    assert (mb["support"], mb["support_a"], mb["support_b"]) == (3, 3, 4)
+    assert mb["confidence_micro"] == 1_000_000  # P(milk|bread) = 3/3
+    # lift = (3/5) / ((3/5)*(4/5)) = 1.25
+    assert mb["lift_micro"] == 1_250_000
+    assert ("bread", "eggs") not in out  # support 1 < min_support 2
+    low = {
+        (r["item_a"], r["item_b"]): r["support"]
+        for r in basket_affinity(df, "b", "i", min_support=1).collect()
+    }
+    assert low[("bread", "eggs")] == 1 and low[("eggs", "milk")] == 1
+    with _pytest.raises(ValueError, match="min_support"):
+        basket_affinity(df, "b", "i", min_support=0)
+    with _pytest.raises(ValueError, match="no baskets"):
+        basket_affinity(df.where("b < 0"), "b", "i")
