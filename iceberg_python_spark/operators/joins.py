@@ -464,6 +464,8 @@ def salted_join(
         )
     if salt < 2:
         raise ValueError(f"salt must be >= 2 to split anything, got {salt}")
+    if "_salt" in left.columns or "_salt" in right.columns:
+        raise ValueError("salted_join reserves the column name '_salt'; rename it first")
     lsalt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])), F.lit(salt))
     if hot_keys is not None:
         if len(keys) != 1:

@@ -108,7 +108,10 @@ def normalize_url(url: Column, sort_query: bool = False) -> Column:
         q = query
     q_part = F.when(query.isNull() | (query == ""), F.lit("")).otherwise(F.concat(F.lit("?"), q))
     out = F.concat(lscheme, F.lit("://"), _lower(host), port_part, npath, q_part)
-    return F.when(scheme == "", url).otherwise(out)
+    # a scheme without a parseable authority (mailto:, data:, broken
+    # input) null-propagates through the concat — fall back to the
+    # original rather than silently NULLing the column
+    return F.when(scheme == "", url).otherwise(F.coalesce(out, url))
 
 
 def registered_domain(host: Column) -> Column:

@@ -979,10 +979,19 @@ def interval_coverage(
     (epoch micros for timestamps)."""
     keys = list(key_cols)
     s, e = F.col("_s"), F.col("_e")
+
+    def _as_long(c: str):
+        # timestamp cast("long") would silently truncate to SECONDS —
+        # route temporal columns through epoch micros instead
+        dt = intervals.schema[c].dataType.typeName()
+        if dt in ("timestamp", "timestamp_ntz"):
+            return F.unix_micros(F.col(c).cast("timestamp"))
+        if dt == "date":
+            return F.unix_micros(F.col(c).cast("timestamp"))
+        return F.col(c).cast("long")
+
     src = intervals.select(
-        *keys,
-        F.col(start_col).cast("long").alias("_s"),
-        F.col(end_col).cast("long").alias("_e"),
+        *keys, _as_long(start_col).alias("_s"), _as_long(end_col).alias("_e")
     ).where(s <= e)
     w = Window.partitionBy(*keys).orderBy("_s", "_e")
     prev_max = F.max("_e").over(w.rowsBetween(Window.unboundedPreceding, -1))

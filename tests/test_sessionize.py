@@ -659,3 +659,19 @@ def test_interval_coverage_island_merge(spark):
     assert out["u"]["covered"] == 35 and out["u"]["n_islands"] == 2
     assert out["u"]["n_intervals"] == 4
     assert out["v"]["covered"] == 100 and out["v"]["n_islands"] == 1
+
+
+def test_interval_coverage_timestamp_columns_use_micros(spark):
+    """Timestamp start/end columns must not silently truncate to
+    seconds — sub-second intervals survive."""
+    from pyspark.sql import functions as F
+
+    from iceberg_python_spark.streaming import interval_coverage
+
+    df = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00.100", "2024-01-01 00:00:00.350"),
+         ("u", "2024-01-01 00:00:00.300", "2024-01-01 00:00:00.500")],
+        "k string, s string, e string",
+    ).select("k", F.col("s").cast("timestamp").alias("s"), F.col("e").cast("timestamp").alias("e"))
+    (r,) = interval_coverage(df, ["k"], "s", "e").collect()
+    assert r["covered"] == 400_000 and r["n_islands"] == 1  # micros, merged

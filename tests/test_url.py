@@ -76,3 +76,8 @@ def test_with_normalized_url_projection_is_narrow(spark):
     # narrow plan: no Exchange, no Python
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_normalize_url_unparseable_authority_falls_back(spark):
+    got = _norm(spark, ["mailto:someone@example.com", "data:text/plain,hi"])
+    assert got == ["mailto:someone@example.com", "data:text/plain,hi"]
