@@ -4328,6 +4328,84 @@ def _q_events_rolling_agg(spark, env):
     )
 
 
+def _q_audio_neardup_dedup(spark, env):
+    # late r13: audio near-dup — completes the dedup trilogy (MinHash
+    # text, pHash images, spectral frame hashes audio). Per doc a
+    # chirp-mixture WAV (content key doc_id % 37); docs >= 200 are the
+    # SAME content at a different volume — a true near-duplicate the
+    # sign-of-band-delta fingerprint must survive (requantization
+    # through the 16-bit WAV codec is on the path twice). Pairs from
+    # the frame-hash equi-join (min 12 shared frames of ~29), clusters
+    # via connected_components; claims: one key-pure component per
+    # content key, per-key counts value-hashed.
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_python_spark.operators.audio import encode_wav
+    from iceberg_python_spark.operators.audiofp import (
+        audio_fingerprints,
+        audio_neardup_pairs,
+    )
+    from iceberg_python_spark.operators.dedup import connected_components
+
+    rate = 8000
+    docs = (
+        env["documents"].scan(selected_fields=("doc_id",)).to_df()
+        .where("doc_id < 400")
+        .repartition(32)
+    )
+
+    def gen(batches):
+        t = np.arange(rate * 2) / rate
+        seg = rate // 8
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"].astype(int):
+                key, amp = int(d) % 37, (0.9 if d >= 200 else 0.5)
+                rng = np.random.RandomState(key)
+                x = np.zeros_like(t)
+                for _ in range(4):
+                    f0, sweep = rng.uniform(300, 2000), rng.uniform(-400, 400)
+                    x += np.sin(
+                        2 * np.pi * (f0 + sweep * t) * t + rng.uniform(0, 6)
+                    ) * rng.uniform(0.3, 1.0)
+                env_gain = np.repeat(rng.uniform(0.2, 1.0, len(t) // seg + 1), seg)[: len(t)]
+                x = x * env_gain
+                x = x / np.max(np.abs(x)) * amp
+                payloads.append(encode_wav(x, rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    clips = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    fps = audio_fingerprints(clips, "doc_id", "payload").localCheckpoint(eager=True)
+    pairs = audio_neardup_pairs(fps, min_shared=12)
+    comp = connected_components(pairs)
+    labeled = (
+        fps.select("clip_id").distinct()
+        .join(comp.withColumnRenamed("node", "clip_id"), "clip_id", "left")
+        .select(
+            "clip_id",
+            (F.col("clip_id") % 37).alias("key"),
+            F.coalesce("component_id", F.col("clip_id")).alias("cid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    per_key = labeled.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_clips"),
+        (F.countDistinct("cid") == 1).alias("one_component"),
+    )
+    n_impure = (
+        labeled.groupBy("cid").agg(F.countDistinct("key").alias("nk")).where("nk > 1").count()
+    )
+    all_decoded = fps.where(~F.col("decode_ok")).count() == 0
+    return per_key.select(
+        "key",
+        "n_clips",
+        "one_component",
+        F.lit(bool(n_impure == 0)).alias("components_key_pure"),
+        F.lit(bool(all_decoded)).alias("all_decoded"),
+    )
+
+
 def _q_mg_heavy_hitters_invariants(spark, env):
     # r13: Misra-Gries heavy-hitter summaries — the DETERMINISTIC
     # counterpart of cms_heavy_hitters, and mergeable (Agarwal et al.
@@ -4601,6 +4679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "image_phash_dedup": _q_image_phash_dedup,
             "basket_affinity": _q_basket_affinity,
             "events_rolling_agg": _q_events_rolling_agg,
+            "audio_neardup_dedup": _q_audio_neardup_dedup,
             "tpch_q16_supplier_part_counts": _q_q16_supplier_part_counts,
             "tpch_q17_small_qty_revenue": _q_q17_small_qty,
             "tpch_q18_large_orders": _q_q18_large_orders,
@@ -5162,6 +5241,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_rolling_agg": (
             'WITH src AS (SELECT user_id, event_id, epoch_us(ts) AS t_us, CAST(round(value * 100) AS BIGINT) AS cents FROM events) SELECT user_id, event_id, CAST(count(*) OVER w AS BIGINT) AS n_24h, CAST(sum(cents) OVER w AS BIGINT) AS sum_cents_24h, CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY t_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents FROM src WINDOW w AS (PARTITION BY user_id ORDER BY t_us RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)'
+        ),
+        "audio_neardup_dedup": (
+            'SELECT CAST(doc_id % 37 AS BIGINT) AS key, CAST(count(*) AS BIGINT) AS n_clips, true AS one_component, true AS components_key_pure, true AS all_decoded FROM documents WHERE doc_id < 400 GROUP BY 1'
         ),
         "url_normalize": (
             # expected canonical form BY CONSTRUCTION (the operator's
