@@ -646,8 +646,20 @@ from pyspark.sql import Window as _W
 def _mg_compress(summaries: DataFrame, group_cols: Sequence[str], m: int) -> DataFrame:
     """(group..., items, deducted, n) rows -> ONE row per group with
     the Misra-Gries merge: sum counters, subtract the (m+1)-th
-    largest combined counter from every item, keep positive ones."""
+    largest combined counter from every item, keep positive ones.
+
+    The deduction ``_t`` rides the per-group ``t`` table (which always
+    has a row — every input summary carries ≥1 item), NOT the kept
+    rows: in the degenerate merge where every combined counter ties at
+    the (m+1)-th value nothing is kept, and losing ``t`` there would
+    under-state ``deducted`` and silently break the error certificate.
+    A constant key stands in when ``group_cols`` is empty (a crossJoin
+    against a possibly-empty frame would drop the global row)."""
     grp = list(group_cols)
+    dummy = not grp
+    if dummy:
+        summaries = summaries.withColumn("_g", F.lit(1))
+        grp = ["_g"]
     meta = summaries.groupBy(*grp).agg(
         F.sum("deducted").alias("_d"), F.sum("n").alias("n")
     )
@@ -656,16 +668,14 @@ def _mg_compress(summaries: DataFrame, group_cols: Sequence[str], m: int) -> Dat
         .groupBy(*grp, F.col("_it.item").alias("item"))
         .agg(F.sum("_it.est").alias("est"))
     )
-    w = _W.partitionBy(*grp) if grp else _W.partitionBy(F.lit(1))
+    w = _W.partitionBy(*grp)
     rn = F.row_number().over(w.orderBy(F.desc("est"), F.asc("item")))
     comb = comb.withColumn("_rn", rn)
     t = comb.groupBy(*grp).agg(
         F.coalesce(F.max(F.when(F.col("_rn") == m + 1, F.col("est"))), F.lit(0)).alias("_t")
     )
-    kept = (
-        comb.join(t, grp) if grp else comb.crossJoin(t)
-    ).where(F.col("est") > F.col("_t"))
-    out = kept.groupBy(*grp, "_t").agg(
+    kept = comb.join(t, grp).where(F.col("est") > F.col("_t"))
+    out = kept.groupBy(*grp).agg(
         F.reverse(
             F.array_sort(
                 F.collect_list(
@@ -675,14 +685,18 @@ def _mg_compress(summaries: DataFrame, group_cols: Sequence[str], m: int) -> Dat
         ).alias("_raw")
     )
     items = F.transform("_raw", lambda s: F.struct(s["item"].alias("item"), s["est"].alias("est")))
-    out = out.select(*grp, items.alias("items"), F.col("_t").alias("_tt"))
-    joined = meta.join(out, grp, "left") if grp else meta.crossJoin(out)
-    return joined.select(
+    out = out.select(*grp, items.alias("items"))
+    # left joins: a group whose input summaries are ALL empty-item rows
+    # has no comb/t rows at all — it must still surface with its
+    # accumulated deduction, not vanish
+    joined = meta.join(t, grp, "left").join(out, grp, "left")
+    res = joined.select(
         *grp,
         F.coalesce("items", F.array().cast("array<struct<item:string,est:long>>")).alias("items"),
-        (F.col("_d") + F.coalesce("_tt", F.lit(0))).alias("deducted"),
+        (F.col("_d") + F.coalesce("_t", F.lit(0))).alias("deducted"),
         "n",
     )
+    return res.drop("_g") if dummy else res
 
 
 def mg_build(

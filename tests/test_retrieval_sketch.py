@@ -466,3 +466,29 @@ def test_phrase_search_positional(spark):
         phrase_search(df, [], "text", "doc_id")
     with _pytest.raises(ValueError, match="no tokens"):
         phrase_search(df, ["...!"], "text", "doc_id")
+
+
+def test_mg_degenerate_all_tied_merge_keeps_certificate(spark):
+    """When every combined counter ties at the (m+1)-th value the merge
+    keeps nothing — the deduction must still land in `deducted` (losing
+    it would under-state the error certificate), and a groupless build
+    must not lose its single global row."""
+    from iceberg_python_spark.operators.sketch import mg_build, mg_merge
+
+    # m+1 = 4 items, all with count 5: t = 5, everything drops
+    rows = [(f"x{j}", i) for j in range(4) for i in range(5)]
+    df = spark.createDataFrame(rows, "v: string, i: long")
+    (s,) = mg_build(df, "v", m=3).collect()
+    assert s["items"] == [] and s["deducted"] == 5 and s["n"] == 20
+    # certificate still sound: every item has true (5) <= deducted (5),
+    # so absence is allowed; an item with true > deducted must survive
+    rows2 = rows + [("big", i) for i in range(9)]
+    (s2,) = mg_build(spark.createDataFrame(rows2, "v: string, i: long"), "v", m=3).collect()
+    names = [it["item"] for it in s2["items"]]
+    assert "big" in names and s2["n"] == 29
+    # groupless merge of summary rows keeps the global row too
+    parts = mg_build(df.where("i < 2"), "v", m=3).unionByName(
+        mg_build(df.where("i >= 2"), "v", m=3)
+    )
+    (merged,) = mg_merge(parts, m=3).collect()
+    assert merged["n"] == 20 and merged["deducted"] >= 5
