@@ -248,3 +248,48 @@ def test_streamed_mor_delete_is_broadcast_anti_join(spark, tmp_path_factory):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert out.count() == 1800
+
+
+def test_r13_operator_plans(spark):
+    """Plan pins for the round-13 operators: phrase_search filters
+    postings through a BROADCAST semi-join before any shuffle;
+    salted_join plans ordinary hash joins (never a nested-loop);
+    gapfill's dense grid arrives by broadcast, not a shuffled join."""
+    from iceberg_python_spark.operators.joins import salted_join
+    from iceberg_python_spark.operators.retrieval import phrase_search
+    from iceberg_python_spark.streaming import gapfill
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(200)], "doc_id: long, text: string"
+    )
+    # the broadcast term filter runs BEFORE phrase_search's internal
+    # localCheckpoint — pin it on the same pre-checkpoint expression
+    from iceberg_python_spark.operators.retrieval import _tokens
+
+    terms = spark.createDataFrame([("alpha",), ("beta",)], "term: string")
+    pos = docs.select(
+        F.col("doc_id"), F.posexplode(_tokens("text")).alias("pos", "term")
+    ).join(F.broadcast(terms), "term", "left_semi")
+    pos.collect()
+    plan = _plan(pos)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    out = phrase_search(docs, ["alpha beta"], "text", "doc_id")
+    out.collect()
+    plan_ps = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan_ps and "CartesianProduct" not in plan_ps
+
+    left = spark.createDataFrame([(i, i % 5) for i in range(1000)], "id: long, k: int")
+    right = spark.createDataFrame([(k, f"d{k}") for k in range(5)], "k: int, attr: string")
+    sj = salted_join(left, right, ["k"], salt=4)
+    sj.collect()
+    plan2 = _plan(sj)
+    assert "BroadcastNestedLoopJoin" not in plan2 and "CartesianProduct" not in plan2
+
+    ev = spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00", 1.0), ("a", "2024-01-03 00:10:00", 2.0)],
+        "k string, ts string, v double",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    gf = gapfill(ev, "ts", ["k"], "v", 3600, fill=("locf",))
+    gf.collect()
+    plan3 = _plan(gf)
+    assert "BroadcastHashJoin" in plan3 or "BroadcastExchange" in plan3
