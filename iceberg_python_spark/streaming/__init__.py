@@ -743,20 +743,13 @@ def gapfill(
             F.lit(False).alias("filled"),
             *[F.col("sum_value").alias(f"value_{f}") for f in fill],
         )
-    grid = (
-        src.select(*keys).distinct()
-        .crossJoin(
-            F.broadcast(
-                events.sparkSession.range(1).select(
-                    F.explode(
-                        F.sequence(
-                            F.lit(int(span["lo"])), F.lit(int(span["hi"])), F.lit(w_us)
-                        )
-                    ).alias("_b")
-                )
-            )
-        )
-    )
+    # spark.range generates the bucket axis DISTRIBUTED — a sequence()
+    # literal would materialize one span/width-element array in a
+    # single task (3e7 elements for a year at 1s buckets)
+    buckets = events.sparkSession.range(
+        int(span["lo"]), int(span["hi"]) + 1, w_us
+    ).select(F.col("id").alias("_b"))
+    grid = src.select(*keys).distinct().crossJoin(F.broadcast(buckets))
     dense = grid.join(agg, [*keys, "_b"], "left").select(
         *keys,
         "_b",
