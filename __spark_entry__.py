@@ -4406,6 +4406,28 @@ def _q_audio_neardup_dedup(spark, env):
     )
 
 
+def _q_events_mad_outliers(spark, env):
+    # late r13: robust anomaly flagging (operators/anomaly.py) — per
+    # event_type median/MAD over integer cents and the Iglewicz-
+    # Hoaglin 3.5·1.4826·MAD cut. Exact percentile both sides;
+    # interpolated medians of integers are halves (exact doubles), so
+    # med/mad and the outlier counts all sit on the hashed path.
+    from iceberg_python_spark.operators.anomaly import mad_outliers
+
+    ev = (
+        env["events"].scan(selected_fields=("event_type", "value")).to_df()
+        .where(F.col("value").isNotNull())
+        .select("event_type", F.round(F.col("value") * 100).cast("long").alias("cents"))
+    )
+    flagged = mad_outliers(ev, "cents", ["event_type"], k=3.5)
+    return flagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("is_outlier").cast("long")).cast("long").alias("n_outliers"),
+        F.first("group_median").alias("med_cents"),
+        F.first("group_mad").alias("mad_cents"),
+    )
+
+
 def _q_mg_heavy_hitters_invariants(spark, env):
     # r13: Misra-Gries heavy-hitter summaries — the DETERMINISTIC
     # counterpart of cms_heavy_hitters, and mergeable (Agarwal et al.
@@ -4680,6 +4702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "basket_affinity": _q_basket_affinity,
             "events_rolling_agg": _q_events_rolling_agg,
             "audio_neardup_dedup": _q_audio_neardup_dedup,
+            "events_mad_outliers": _q_events_mad_outliers,
             "tpch_q16_supplier_part_counts": _q_q16_supplier_part_counts,
             "tpch_q17_small_qty_revenue": _q_q17_small_qty,
             "tpch_q18_large_orders": _q_q18_large_orders,
@@ -5244,6 +5267,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "audio_neardup_dedup": (
             'SELECT CAST(doc_id % 37 AS BIGINT) AS key, CAST(count(*) AS BIGINT) AS n_clips, true AS one_component, true AS components_key_pure, true AS all_decoded FROM documents WHERE doc_id < 400 GROUP BY 1'
+        ),
+        "events_mad_outliers": (
+            'WITH src AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events WHERE value IS NOT NULL), med AS (SELECT event_type, quantile_cont(cents, 0.5) AS m FROM src GROUP BY 1), mad AS (SELECT s.event_type, quantile_cont(abs(s.cents - m.m), 0.5) AS d FROM src s JOIN med m ON s.event_type = m.event_type GROUP BY 1) SELECT s.event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN (CASE WHEN d = 0 THEN abs(s.cents - m) > 0 ELSE abs(s.cents - m) > 3.5 * 1.4826 * d END) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, CAST(m AS DOUBLE) AS med_cents, CAST(d AS DOUBLE) AS mad_cents FROM src s JOIN med ON s.event_type = med.event_type JOIN mad ON s.event_type = mad.event_type GROUP BY s.event_type, m, d'
         ),
         "url_normalize": (
             # expected canonical form BY CONSTRUCTION (the operator's

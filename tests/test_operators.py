@@ -2182,3 +2182,28 @@ def test_basket_affinity_exact(spark):
         basket_affinity(df, "b", "i", min_support=0)
     with _pytest.raises(ValueError, match="no baskets"):
         basket_affinity(df.where("b < 0"), "b", "i")
+
+
+def test_mad_outliers(spark):
+    import pytest as _pytest
+
+    from iceberg_python_spark.operators.anomaly import mad_outliers
+
+    rows = [("a", float(x)) for x in [10, 11, 12, 13, 14, 1000]] + [
+        ("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 9.0),  # MAD=0 group
+        ("c", None),
+    ]
+    df = spark.createDataFrame(rows, "g: string, v: double")
+    out = mad_outliers(df, "v", ["g"]).collect()
+    flags = {(r["g"], r["v"]): r["is_outlier"] for r in out}
+    assert flags[("a", 1000.0)] is True
+    assert all(not flags[("a", float(x))] for x in [10, 11, 12, 13, 14])
+    # MAD=0: any value off the median flags
+    assert flags[("b", 9.0)] is True and flags[("b", 5.0)] is False
+    assert flags[("c", None)] is False
+    meds = {r["g"]: (r["group_median"], r["group_mad"]) for r in out}
+    assert meds["a"] == (12.5, 1.5)  # interpolated median; MAD of devs
+    assert meds["b"] == (5.0, 0.0)
+    # approx path agrees on this small data
+    out2 = mad_outliers(df, "v", ["g"], approx=True).collect()
+    assert {(r["g"], r["v"]): r["is_outlier"] for r in out2}[("a", 1000.0)] is True
