@@ -4428,6 +4428,87 @@ def _q_events_mad_outliers(spark, env):
     )
 
 
+def _q_funnel_stream(spark, env):
+    # late r13: the STREAMING funnel (applyInPandasWithState, O(k)
+    # state per user, exact-and-final emission for anchored chains)
+    # hash-matched against the BATCH funnel's SQL oracle. Events feed
+    # in two event-time-ordered chunks through a shared checkpoint
+    # (three availableNow runs; the third carries far-future sentinels
+    # so every event-time timeout fires), then per user the FIRST
+    # anchored emission is selected — by construction it carries the
+    # batch semantics' anchor (the globally earliest step-1 event),
+    # so levels and every matched step time must equal the batch CTE
+    # chain row for row.
+    import tempfile
+
+    from iceberg_python_spark.streaming import funnel_stream
+
+    ev = env["events"].scan(selected_fields=("ts", "user_id", "event_type")).to_df()
+    mid = ev.agg(F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)")).collect()[0][0]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    chunk1 = ev.where(us <= F.lit(int(mid)))
+    chunk2 = ev.where(us > F.lit(int(mid)))
+    far = spark.createDataFrame(
+        [(int(-1),)], "user_id: long"
+    ).select(
+        F.lit("2031-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.col("user_id"),
+        F.lit("view").alias("event_type"),
+    )
+    import uuid as _uuid
+
+    src = tempfile.mkdtemp(prefix="ips_funnel_src_")
+    ckpt = tempfile.mkdtemp(prefix="ips_funnel_ckpt_")
+    schema = chunk1.select("ts", "user_id", "event_type").schema
+    qname = f"fs_{_uuid.uuid4().hex[:8]}"
+
+    def append(df_chunk):
+        df_chunk.select("ts", "user_id", "event_type").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    append(chunk1)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        funnel_stream(
+            stream, "ts", "user_id", "event_type",
+            ["view", "click", "purchase"], 21600, watermark="0 seconds",
+        )
+        .writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        append(chunk2)
+        q.processAllAvailable()
+        append(far)
+        q.processAllAvailable()
+        far2 = far.select(
+            F.lit("2032-01-01 00:00:00").cast("timestamp").alias("ts"), "user_id", "event_type"
+        )
+        append(far2)
+        q.processAllAvailable()
+        collected = spark.sql(f"SELECT * FROM {qname}").collect()
+    finally:
+        q.stop()
+    rows = [(r["user"], r["level"], r["step1_us"], r["step2_us"], r["step3_us"]) for r in collected]
+    out = spark.createDataFrame(
+        rows, "user_id long, level int, step1_us long, step2_us long, step3_us long"
+    ).where("user_id >= 0")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("step1_us").asc_nulls_last(), F.col("level").desc()
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .drop("_rn")
+        .select("user_id", F.col("level").cast("int").alias("level"), "step1_us", "step2_us", "step3_us")
+    )
+
+
 def _q_mg_heavy_hitters_invariants(spark, env):
     # r13: Misra-Gries heavy-hitter summaries — the DETERMINISTIC
     # counterpart of cms_heavy_hitters, and mergeable (Agarwal et al.
@@ -4703,6 +4784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_rolling_agg": _q_events_rolling_agg,
             "audio_neardup_dedup": _q_audio_neardup_dedup,
             "events_mad_outliers": _q_events_mad_outliers,
+            "funnel_stream": _q_funnel_stream,
             "tpch_q16_supplier_part_counts": _q_q16_supplier_part_counts,
             "tpch_q17_small_qty_revenue": _q_q17_small_qty,
             "tpch_q18_large_orders": _q_q18_large_orders,
@@ -5338,6 +5420,27 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY distance, c_custkey) AS rn FROM cand) "
             "SELECT dirty_id, c_custkey, CAST(distance AS INTEGER) AS distance "
             "FROM best WHERE rn = 1"
+        ),
+        "funnel_stream": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events), "
+            "s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, min(e.us) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id "
+            "WHERE e.event_type = 'click' AND e.us > s1.t1 "
+            "AND e.us <= s1.t1 + 21600000000 GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, min(e.us) AS t3 FROM e "
+            "JOIN s2 ON e.user_id = s2.user_id JOIN s1 ON e.user_id = s1.user_id "
+            "WHERE e.event_type = 'purchase' AND e.us > s2.t2 "
+            "AND e.us <= s1.t1 + 21600000000 GROUP BY 1), "
+            "base AS (SELECT DISTINCT user_id FROM e "
+            "WHERE event_type IN ('view', 'click', 'purchase')) "
+            "SELECT b.user_id, CAST(CASE WHEN t3 IS NOT NULL THEN 3 "
+            "WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1 "
+            "ELSE 0 END AS INTEGER) AS level, "
+            "CAST(t1 AS BIGINT) AS step1_us, CAST(t2 AS BIGINT) AS step2_us, "
+            "CAST(t3 AS BIGINT) AS step3_us "
+            "FROM base b LEFT JOIN s1 ON b.user_id = s1.user_id "
+            "LEFT JOIN s2 ON b.user_id = s2.user_id "
+            "LEFT JOIN s3 ON b.user_id = s3.user_id"
         ),
         "events_funnel": (
             "WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events), "

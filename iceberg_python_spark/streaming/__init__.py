@@ -1002,3 +1002,103 @@ def interval_coverage(
         F.count("*").cast("long").alias("n_islands"),
         F.sum("_n").cast("long").alias("n_intervals"),
     )
+
+
+def funnel_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    state_col: str,
+    steps: Sequence[str],
+    window_seconds: int,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Ordered-funnel analysis on a STREAM via a custom stateful
+    operator (``applyInPandasWithState``) — the incremental
+    counterpart of :func:`funnel`, same earliest-anchor greedy
+    semantics. Per-user state is O(k): the reached level and the k
+    matched step times.
+
+    Emission is exact and final for ANCHORED users: no event can
+    extend a chain past ``anchor + window``, so once the watermark
+    passes that instant the row (user, level, step times) is frozen —
+    it emits then, or immediately on completion (level = k). Users
+    who never anchored emit their level-0 row when the watermark
+    passes their last event + window; a user reappearing after that
+    re-evaluates from scratch (one row per appearance epoch — the
+    same replay semantics as session close).
+
+    Ordering contract (same as :func:`sessionize_stream`): events fold
+    in event-time order WITHIN each micro-batch; a late cross-batch
+    event older than already-folded ones is folded late (bounded by
+    the watermark). Feed near-ordered streams or widen the trigger —
+    the batch operator is the arbiter for backfills."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    k = len(steps)
+    if k < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    win_us = int(window_seconds) * 1_000_000
+    idx_of = {s: i for i, s in enumerate(steps)}
+    step_cols = [f"step{i + 1}_us" for i in range(k)]
+    out_schema = T.StructType(
+        [T.StructField("user", T.LongType()), T.StructField("level", T.IntegerType())]
+        + [T.StructField(c, T.LongType()) for c in step_cols]
+    )
+    # flat long fields — array-typed state/output rows trip Spark's
+    # row decoder in applyInPandasWithState
+    state_schema = T.StructType(
+        [T.StructField("lvl", T.LongType())]
+        + [T.StructField(f"t{i}", T.LongType()) for i in range(k)]
+        + [T.StructField("last_seen", T.LongType())]
+    )
+
+    def update(key, pdf_iter, state):
+        u = key[0]
+        out = []
+        if state.hasTimedOut:
+            if state.exists:
+                vals = state.get
+                lvl, t = int(vals[0]), list(vals[1 : 1 + k])
+                out.append((u, lvl, *t))
+                state.remove()
+        else:
+            evs = []
+            for pdf in pdf_iter:
+                ts_us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
+                for t_us, s in zip(ts_us.tolist(), pdf[state_col]):
+                    i = idx_of.get(s)
+                    if i is not None:
+                        evs.append((t_us, i))
+            evs.sort()
+            if state.exists:
+                vals = state.get
+                lvl, t, last_seen = int(vals[0]), list(vals[1 : 1 + k]), vals[1 + k]
+            else:
+                lvl, t, last_seen = 0, [None] * k, 0
+            for t_us, i in evs:
+                last_seen = max(last_seen, t_us)
+                if lvl >= k or i != lvl:
+                    continue
+                if lvl == 0:
+                    t[0], lvl = t_us, 1
+                elif t_us > t[lvl - 1] and t_us <= t[0] + win_us:
+                    t[lvl], lvl = t_us, lvl + 1
+            if lvl >= k:
+                out.append((u, int(lvl), *t))
+                state.remove()
+            elif evs or state.exists:
+                state.update((lvl, *t, last_seen))
+                freeze_us = (t[0] + win_us) if t[0] is not None else (last_seen + win_us)
+                state.setTimeoutTimestamp(freeze_us // 1000 + 1)
+        yield pd.DataFrame(out, columns=["user", "level", *step_cols])
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )

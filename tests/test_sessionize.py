@@ -675,3 +675,65 @@ def test_interval_coverage_timestamp_columns_use_micros(spark):
     ).select("k", F.col("s").cast("timestamp").alias("s"), F.col("e").cast("timestamp").alias("e"))
     (r,) = interval_coverage(df, ["k"], "s", "e").collect()
     assert r["covered"] == 400_000 and r["n_islands"] == 1  # micros, merged
+
+
+def test_funnel_stream_matches_batch(spark, tmp_path):
+    """Feed funnel events in two event-time-ordered micro-batches; the
+    stream's emitted rows (completion + watermark freeze) must equal
+    the batch funnel over the union."""
+    from pyspark.sql import functions as F
+
+    from iceberg_python_spark.streaming import funnel, funnel_stream
+
+    def ev(u, minute, et, eid):
+        base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+        return (eid, base + datetime.timedelta(minutes=minute), u, et)
+
+    batch1 = [
+        ev(1, 0, "view", 1), ev(1, 5, "click", 2),          # completes in b2
+        ev(2, 0, "view", 3),                                 # stalls at level 1
+        ev(3, 2, "click", 4),                                # never anchors: level 0
+    ]
+    batch2 = [
+        ev(1, 10, "purchase", 5),                            # completes user 1
+        ev(2, 500, "click", 6),                              # outside 1h window
+        # far-future event pushes the watermark past every freeze point
+        ev(9, 60 * 50, "view", 7),
+    ]
+    schema = "event_id: long, ts: timestamp, user_id: long, event_type: string"
+    src = str(tmp_path / "funnel_src")
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(spark.createDataFrame([], schema).schema).parquet(src)
+    q = (
+        funnel_stream(stream, "ts", "user_id", "event_type",
+                      ["view", "click", "purchase"], 3600, watermark="0 seconds")
+        .writeStream.format("memory").queryName("funnel_out")
+        .option("checkpointLocation", str(tmp_path / "fckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # one more far-future append lets event-time timeouts fire
+        spark.createDataFrame(
+            [ev(9, 60 * 60 * 5, "view", 8)], schema
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {
+            r["user"]: (r["level"], (r["step1_us"], r["step2_us"], r["step3_us"]))
+            for r in spark.sql("SELECT * FROM funnel_out").collect()
+            if r["user"] in (1, 2, 3)
+        }
+    finally:
+        q.stop()
+    full = spark.createDataFrame(batch1 + batch2[:2], schema)
+    want = {
+        r["user"]: (r["level"], (r["step1_us"], r["step2_us"], r["step3_us"]))
+        for r in funnel(full, "ts", "user_id", "event_type",
+                        ["view", "click", "purchase"], 3600).collect()
+    }
+    assert got[1][0] == 3 and got[1][1] == want[1][1]
+    assert got[2][0] == 1 and got[2][1][0] == want[2][1][0] and got[2][1][1] is None
+    assert got[3][0] == 0
