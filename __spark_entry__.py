@@ -4482,9 +4482,9 @@ def _q_funnel_stream(spark, env):
     )
     try:
         q.processAllAvailable()
-        append(chunk2)
-        q.processAllAvailable()
-        append(far)
+        # the first far-future sentinel rides chunk 2 (watermarks
+        # advance AFTER a batch, so its freezes fire in the next one)
+        append(chunk2.select("ts", "user_id", "event_type").unionByName(far))
         q.processAllAvailable()
         far2 = far.select(
             F.lit("2032-01-01 00:00:00").cast("timestamp").alias("ts"), "user_id", "event_type"
