@@ -184,3 +184,25 @@ def test_pdf_pages_spark_surface(spark):
     assert not bad["parse_ok"] and "ValueError" in bad["error"]
     (one,) = by_src[2]
     assert one["text"] == "only" and one["n_chars"] == 4 and one["n_pages"] == 1
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),  # no lone surrogates
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_pdf_roundtrip_property(pages, compress):
+    """Any unicode page texts (control chars, parens, backslashes,
+    newlines, emoji) survive encode -> decode exactly."""
+    assert decode_pdf_text(encode_pdf(pages, compress=compress)) == pages

@@ -81,3 +81,45 @@ def test_with_normalized_url_projection_is_narrow(spark):
 def test_normalize_url_unparseable_authority_falls_back(spark):
     got = _norm(spark, ["mailto:someone@example.com", "data:text/plain,hi"])
     assert got == ["mailto:someone@example.com", "data:text/plain,hi"]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_host = st.from_regex(r"[A-Za-z]([A-Za-z0-9-]{0,8}[A-Za-z0-9])?(\.[A-Za-z]([A-Za-z0-9-]{0,6})?){0,3}", fullmatch=True)
+_path = st.from_regex(r"(/(([a-zA-Z0-9._~-]{0,6})|\.|\.\.)){0,5}/?", fullmatch=True)
+_q = st.one_of(st.just(""), st.from_regex(r"\?[a-z0-9=&]{0,12}", fullmatch=True))
+
+
+@given(
+    st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
+    _host,
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    _path,
+    _q,
+    st.sampled_from(["", "#frag", "#x/y?z"]),
+    st.booleans(),
+)
+@settings(max_examples=80, deadline=None)
+def test_normalize_url_idempotent_property(scheme, host, port, path, q, frag, sortq):
+    """normalize(normalize(u)) == normalize(u) on generated absolute
+    URLs — the fixpoint property every canonicalizer must have."""
+    import iceberg_python_spark.operators.url as url_mod
+
+    spark = _SPARK["s"]
+    u = f"{scheme}://{host}{port}{path}{q}{frag}"
+    df = spark.createDataFrame([(u,)], "u: string")
+    once = df.select(url_mod.normalize_url(F.col("u"), sort_query=sortq).alias("n"))
+    row = once.select(
+        "n", url_mod.normalize_url(F.col("n"), sort_query=sortq).alias("n2")
+    ).collect()[0]
+    assert row["n"] == row["n2"], u
+
+
+_SPARK = {}
+
+
+@pytest.fixture(autouse=True)
+def _capture_spark(spark):
+    _SPARK["s"] = spark
+    yield
