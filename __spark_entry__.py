@@ -4509,6 +4509,98 @@ def _q_funnel_stream(spark, env):
     )
 
 
+def _q_heavy_hitters_stream(spark, env):
+    # late r13: STREAMING heavy hitters — per-group Misra-Gries state
+    # via applyInPandasWithState (the third custom stateful operator).
+    # The lineitem value column (planted 50%-mass heavy key per
+    # l_returnflag group) streams in two chunks; the latest emitted
+    # snapshot per group must satisfy every batch-operator certificate
+    # against the exact whole-corpus counts: est <= true <= est +
+    # deducted, true > deducted => present (the heavy item asserted
+    # separately), deducted <= n/(m+1), n exact (value-hashed).
+    import tempfile
+    import uuid as _uuid
+
+    from iceberg_python_spark.streaming import heavy_hitters_stream
+
+    m = 16
+    li = env["lineitem"].scan(
+        selected_fields=("l_orderkey", "l_partkey", "l_returnflag")
+    ).to_df()
+    v = F.when(
+        F.col("l_orderkey") % 4 < 2, F.concat(F.lit("heavy-"), F.col("l_returnflag"))
+    ).otherwise(F.col("l_partkey").cast("string"))
+    src_df = li.select(
+        F.col("l_returnflag").alias("g"), v.alias("v"), "l_orderkey"
+    ).localCheckpoint(eager=True)
+    exact = src_df.groupBy("g", "v").count().localCheckpoint(eager=True)
+
+    src = tempfile.mkdtemp(prefix="ips_hh_src_")
+    ckpt = tempfile.mkdtemp(prefix="ips_hh_ckpt_")
+    qname = f"hh_{_uuid.uuid4().hex[:8]}"
+    feed_schema = src_df.select("g", "v").schema
+    src_df.where("l_orderkey % 2 = 0").select("g", "v").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(feed_schema).parquet(src)
+    q = (
+        heavy_hitters_stream(stream, "v", ["g"], m=m)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        src_df.where("l_orderkey % 2 = 1").select("g", "v").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        emitted = spark.sql(f"SELECT * FROM {qname}").collect()
+    finally:
+        q.stop()
+    rows = [(r["g"], r["item"], r["est"], r["deducted"], r["n"]) for r in emitted]
+    em = spark.createDataFrame(
+        rows, "g string, item string, est long, deducted long, n long"
+    ).localCheckpoint(eager=True)
+    latest_n = em.groupBy("g").agg(F.max("n").alias("n"))
+    snap = em.join(latest_n, ["g", "n"])
+    items = snap.where(F.col("item").isNotNull()).select("g", "item", "est", "deducted")
+    meta = snap.groupBy("g").agg(F.first("deducted").alias("deducted"), F.first("n").alias("n"))
+    bounds = items.join(
+        exact.withColumnRenamed("v", "item"), ["g", "item"], "left"
+    ).groupBy("g").agg(
+        F.min(
+            (F.col("est") <= F.col("count"))
+            & (F.col("count") <= F.col("est") + F.col("deducted"))
+        ).alias("bounds_ok")
+    )
+    complete = (
+        exact.join(meta.select("g", "deducted"), "g")
+        .where(F.col("count") > F.col("deducted"))
+        .join(items.select("g", F.col("item").alias("v")).withColumn("_hit", F.lit(1)), ["g", "v"], "left")
+        .groupBy("g")
+        .agg(F.min(F.col("_hit").isNotNull()).alias("complete_ok"))
+    )
+    heavy = items.groupBy("g").agg(
+        F.max(F.col("item") == F.concat(F.lit("heavy-"), F.col("g"))).alias("found_heavy")
+    )
+    return (
+        meta.join(bounds, "g")
+        .join(complete, "g")
+        .join(heavy, "g")
+        .select(
+            F.col("g").alias("flag"),
+            F.col("n").alias("n_rows"),
+            "bounds_ok",
+            "complete_ok",
+            (F.col("deducted") * (m + 1) <= F.col("n")).alias("deduct_ok"),
+            "found_heavy",
+        )
+    )
+
+
 def _q_mg_heavy_hitters_invariants(spark, env):
     # r13: Misra-Gries heavy-hitter summaries — the DETERMINISTIC
     # counterpart of cms_heavy_hitters, and mergeable (Agarwal et al.
@@ -4785,6 +4877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "audio_neardup_dedup": _q_audio_neardup_dedup,
             "events_mad_outliers": _q_events_mad_outliers,
             "funnel_stream": _q_funnel_stream,
+            "heavy_hitters_stream": _q_heavy_hitters_stream,
             "tpch_q16_supplier_part_counts": _q_q16_supplier_part_counts,
             "tpch_q17_small_qty_revenue": _q_q17_small_qty,
             "tpch_q18_large_orders": _q_q18_large_orders,
@@ -5462,6 +5555,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM base b LEFT JOIN s1 ON b.user_id = s1.user_id "
             "LEFT JOIN s2 ON b.user_id = s2.user_id "
             "LEFT JOIN s3 ON b.user_id = s3.user_id"
+        ),
+        "heavy_hitters_stream": (
+            'SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows, true AS bounds_ok, true AS complete_ok, true AS deduct_ok, true AS found_heavy FROM lineitem GROUP BY l_returnflag'
         ),
         "mg_heavy_hitters_invariants": (
             "SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows, "

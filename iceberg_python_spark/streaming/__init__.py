@@ -1102,3 +1102,79 @@ def funnel_stream(
             update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )
     )
+
+
+def heavy_hitters_stream(
+    stream_df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    m: int = 64,
+    watermark_col: Optional[str] = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming heavy hitters: a Misra-Gries summary as PER-GROUP
+    STREAMING STATE (``applyInPandasWithState``) — the third custom
+    stateful operator beside sessionize and the funnel. Each
+    micro-batch folds its exact per-group counts into the summary
+    (MG merges commute with ANY arrival order, so the batch boundary
+    is invisible to the guarantees) and emits the group's refreshed
+    snapshot: one row per surviving item plus a marker row
+    (item = NULL) carrying ``deducted`` and ``n`` — consumers keep
+    the latest snapshot per group.
+
+    The deterministic certificates are the batch operator's, at every
+    emission: est ≤ true ≤ est + deducted, every item with
+    true > deducted present, deducted ≤ n/(m+1). State per group is
+    O(m) — serialized as one JSON string (flat state schemas only;
+    array-typed state rows trip Spark's row decoder)."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    grp = list(group_cols)
+    if not grp:
+        raise ValueError("heavy_hitters_stream needs at least one group column")
+    out_schema = T.StructType(
+        [T.StructField(g, T.StringType()) for g in grp]
+        + [
+            T.StructField("item", T.StringType()),
+            T.StructField("est", T.LongType()),
+            T.StructField("deducted", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("js", T.StringType())])
+
+    def update(key, pdf_iter, state):
+        counts: dict = {}
+        n_new = 0
+        for pdf in pdf_iter:
+            vc = pdf[value_col].dropna().astype(str).value_counts()
+            for item, c in vc.items():
+                counts[item] = counts.get(item, 0) + int(c)
+            n_new += int(vc.sum())
+        if state.exists:
+            st = _json.loads(state.get[0])
+        else:
+            st = {"items": {}, "deducted": 0, "n": 0}
+        for item, c in counts.items():
+            st["items"][item] = st["items"].get(item, 0) + c
+        st["n"] += n_new
+        if len(st["items"]) > m:
+            vals = sorted(st["items"].values(), reverse=True)
+            t = vals[m]  # the (m+1)-th largest
+            st["items"] = {k: v - t for k, v in st["items"].items() if v > t}
+            st["deducted"] += t
+        state.update((_json.dumps(st),))
+        rows = [(*key, it, int(est), int(st["deducted"]), int(st["n"])) for it, est in st["items"].items()]
+        rows.append((*key, None, None, int(st["deducted"]), int(st["n"])))
+        yield pd.DataFrame(rows, columns=[*grp, "item", "est", "deducted", "n"])
+
+    src = stream_df
+    if watermark_col:
+        src = src.withWatermark(watermark_col, watermark)
+    return src.groupBy(*[F.col(g).cast("string").alias(g) for g in grp]).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

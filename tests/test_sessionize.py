@@ -737,3 +737,61 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
     assert got[1][0] == 3 and got[1][1] == want[1][1]
     assert got[2][0] == 1 and got[2][1][0] == want[2][1][0] and got[2][1][1] is None
     assert got[3][0] == 0
+
+
+def test_heavy_hitters_stream_guarantees(spark, tmp_path):
+    """Two micro-batches fold into per-group MG state; every emitted
+    snapshot carries the batch operator's guarantees against the exact
+    counts of the data seen so far."""
+    from pyspark.sql import functions as F
+
+    from iceberg_python_spark.streaming import heavy_hitters_stream
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "g: string, v: string")
+
+    b1 = [("a", "hot")] * 20 + [("a", f"x{i}") for i in range(10)] + [("b", "bh")] * 5
+    b2 = [("a", "hot")] * 15 + [("a", f"y{i}") for i in range(10)] + [("b", "bh")] * 3
+    src = str(tmp_path / "hh_src")
+    mk(b1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(mk([]).schema).parquet(src)
+    q = (
+        heavy_hitters_stream(stream, "v", ["g"], m=4)
+        .writeStream.format("memory").queryName("hh_out")
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mk(b2).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM hh_out").collect()
+    finally:
+        q.stop()
+    # latest snapshot per group = rows with the max n for that group
+    from collections import Counter, defaultdict
+
+    latest_n = defaultdict(int)
+    for r in rows:
+        latest_n[r["g"]] = max(latest_n[r["g"]], r["n"])
+    snap = defaultdict(dict)
+    ded = {}
+    for r in rows:
+        if r["n"] == latest_n[r["g"]]:
+            ded[r["g"]] = r["deducted"]
+            if r["item"] is not None:
+                snap[r["g"]][r["item"]] = r["est"]
+    true = defaultdict(Counter)
+    for g, v in b1 + b2:
+        true[g][v] += 1
+    for g in true:
+        n = sum(true[g].values())
+        assert latest_n[g] == n
+        assert ded[g] * (4 + 1) <= n
+        for item, est in snap[g].items():
+            assert est <= true[g][item] <= est + ded[g]
+        for item, cnt in true[g].items():
+            if cnt > ded[g]:
+                assert item in snap[g], (g, item)
+    assert "hot" in snap["a"] and snap["a"]["hot"] >= 35 - ded["a"]
