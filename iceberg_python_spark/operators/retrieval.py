@@ -22,12 +22,15 @@ Spark shape (100 TB):
   into the per-(query, doc) sum and the per-query top-k window. A hot
   term fans out to its document frequency — the honest floor for a
   term-at-a-time ranker.
-- **Scores are summed in integer micro-units**: each term's
-  contribution is floored to a BIGINT at 1e6 scale *before* the sum,
-  so the total is independent of float addition order (and an ANSI-SQL
-  oracle reproduces it bit-for-bit; ln is the only non-correctly-
-  rounded op involved and enters once per term, pre-floor). Ranking
-  ties break on doc_id — fully deterministic output.
+- **Scores are summed in integer micro-units**: each term's idf is
+  floored to a BIGINT at 1e6 scale EXACTLY on the driver
+  (:func:`exact_idf_micro` — arbitrary-precision ``decimal.ln``, no
+  libm), and each term's contribution ``floor(idf_micro · tf_factor)``
+  is a BIGINT before the sum, so the total is independent of float
+  addition order AND of the engine's libm (every in-plan op is
+  correctly-rounded IEEE — an ANSI-SQL oracle fed the same idf_micro
+  literals reproduces it bit-for-bit). Ranking ties break on doc_id —
+  fully deterministic output.
 
 Postings can be persisted as an engine table and maintained
 incrementally (append new docs' postings; N/avgdl/df refresh from
@@ -58,6 +61,29 @@ def _tokens(text_col: str):
     )
 
 
+def exact_idf_micro(n_docs: int, df_t: int) -> int:
+    """``floor(1e6 · ln(1 + (N − df + ½)/(df + ½)))`` computed EXACTLY.
+
+    The log argument simplifies to the rational ``2(N+1)/(2·df+1)``,
+    and ``decimal``'s arbitrary-precision ``ln`` at 50 digits leaves
+    ~40 digits of margin on the floor boundary (by Lindemann the ln of
+    a rational ≠ 1 is irrational, so the boundary is never exact).
+    This removes the ONE non-correctly-rounded float op (libm ``ln``,
+    whose JVM vs system implementations disagree by 1 ulp on some
+    inputs) from the scoring plan: the remaining +/×/÷/floor are all
+    correctly-rounded IEEE, so any engine reproduces ``score_micro``
+    bit-for-bit (the r13 ``bm25_topk`` hash miss was exactly such a
+    boundary flip)."""
+    from decimal import ROUND_FLOOR, Decimal, localcontext
+
+    if not 1 <= df_t <= n_docs:
+        raise ValueError(f"df_t={df_t} outside 1..n_docs={n_docs}")
+    with localcontext() as ctx:
+        ctx.prec = 50
+        v = (Decimal(2 * (n_docs + 1)) / Decimal(2 * df_t + 1)).ln() * 10**6
+        return int(v.to_integral_value(rounding=ROUND_FLOOR))
+
+
 def build_postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Inverted postings: one row per (doc, term) with the term
     frequency and the document's token length. One explode + one
@@ -85,10 +111,12 @@ def bm25_topk(
     """Top-``k`` documents per query under BM25.
 
     Returns ``(query_id, doc_id(id_col), score_micro, rank)`` where
-    ``score_micro`` is the BM25 score in integer micro-units (each
-    query term's contribution floored to BIGINT at 1e6 before the sum
-    — addition-order independent, ANSI-SQL reproducible) and ``rank``
-    is dense 1..k ordered by (score_micro DESC, doc_id ASC).
+    ``score_micro = Σ_t floor(idf_micro(t) · tf_factor(t, d))`` in
+    integer micro-units — idf_micro computed exactly driver-side
+    (:func:`exact_idf_micro`), each term's contribution floored to
+    BIGINT before the sum: addition-order independent, libm-free,
+    ANSI-SQL reproducible — and ``rank`` is dense 1..k ordered by
+    (score_micro DESC, doc_id ASC).
 
     Query terms are the DISTINCT normalized tokens of ``query_text_col``
     (the standard bag-of-distinct-terms form; repeat a term in the
@@ -110,20 +138,26 @@ def bm25_topk(
     # per-term document frequency, only for terms any query mentions
     # (semi-join first so the df aggregate touches candidate terms only)
     cand = postings.join(F.broadcast(qterms.select("term").distinct()), "term")
-    df_t = cand.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
-
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
+    # per-term idf in integer micro-units, computed EXACTLY on the
+    # driver (exact_idf_micro) from the collected document frequencies
+    # — O(distinct query terms) rows, tiny by construction. Keeping
+    # libm ln out of the distributed plan makes score_micro engine-
+    # independent: every op left in-plan is correctly-rounded IEEE.
+    df_rows = (
+        cand.groupBy("term").agg(F.countDistinct(id_col).alias("df_t")).collect()
+    )
+    idf_df = docs.sparkSession.createDataFrame(
+        [(r["term"], exact_idf_micro(n_docs, int(r["df_t"]))) for r in df_rows],
+        "term: string, idf_micro: long",
     )
     tf_factor = (F.col("tf") * F.lit(k1 + 1.0)) / (
         F.col("tf")
         + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
     )
-    contrib_micro = F.floor(idf * tf_factor * F.lit(1e6)).cast("long")
+    contrib_micro = F.floor(F.col("idf_micro").cast("double") * tf_factor).cast("long")
 
     scored = (
-        cand.join(F.broadcast(df_t), "term")
+        cand.join(F.broadcast(idf_df), "term")
         .join(F.broadcast(qterms), "term")
         .groupBy("query_id", id_col)
         .agg(F.sum(contrib_micro).alias("score_micro"))
