@@ -143,8 +143,16 @@ def main() -> None:
         "reps": reps,
         "agg": "min",
     }
+    # Default the detail file to a SCRATCH path so driver-initiated
+    # (possibly load-contended) runs never overwrite the committed
+    # idle-host artifact in the working tree (VERDICT r13 #4 / next #9).
+    # An idle-host run that SHOULD be committed sets
+    # SPARK_GRAFT_DETAIL=BENCH_DETAIL.json explicitly.
+    detail_path = os.environ.get("SPARK_GRAFT_DETAIL", "/tmp/BENCH_DETAIL.json")
+    if not os.path.isabs(detail_path):
+        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_path)
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+        with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1)
     except OSError:
         pass
@@ -163,7 +171,7 @@ def main() -> None:
                     "load_sec": load_sec,
                     "contended": contended,
                     "loadavg_start": loadavg_start,
-                    "detail": "BENCH_DETAIL.json",
+                    "detail": detail_path,
                 }
             )
         return json.dumps(payload, separators=(",", ":"))

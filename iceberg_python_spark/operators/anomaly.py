@@ -50,11 +50,16 @@ def mad_outliers(
         if approx
         else (lambda c: F.percentile(c, 0.5))
     )
+    # the median/MAD tables are O(distinct groups) rows: no forced
+    # broadcast hint — AQE broadcasts them when they are actually small
+    # and falls back to a shuffled join at high group cardinality
+    # instead of OOMing the driver (ADVICE r13). The keyless case IS a
+    # single row, so the broadcast hint there is exact.
     med = df.groupBy(*grp).agg(pct(v).alias("group_median"))
-    j = df.join(F.broadcast(med), grp) if grp else df.crossJoin(F.broadcast(med))
+    j = df.join(med, grp) if grp else df.crossJoin(F.broadcast(med))
     dev = F.abs(v - F.col("group_median"))
     mad = j.groupBy(*grp).agg(pct(dev).alias("group_mad"))
-    j2 = j.join(F.broadcast(mad), grp) if grp else j.crossJoin(F.broadcast(mad))
+    j2 = j.join(mad, grp) if grp else j.crossJoin(F.broadcast(mad))
     cut = F.lit(float(k) * 1.4826) * F.col("group_mad")
     flag = F.when(v.isNull(), F.lit(False)).otherwise(
         F.when(F.col("group_mad") == 0, dev > 0).otherwise(dev > cut)

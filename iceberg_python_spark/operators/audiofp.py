@@ -116,7 +116,10 @@ def audio_neardup_pairs(
     """Near-duplicate clip pairs from a fingerprint table: clips
     sharing at least ``min_shared`` exact (hash, frame-offset-agnostic)
     frame hashes. Hash values occurring in more than ``max_bucket``
-    (clip, frame) rows are dropped before the self-join — the
+    DISTINCT CLIPS are dropped before the self-join (the count runs
+    after the per-clip distinct, so a clip repeating one hash
+    thousands of times never trips the guard — join fan-out is
+    clips², which is exactly what the threshold bounds) — the
     silence/boilerplate guard every hash-bucket join needs (same knob
     as text LSH's over-full buckets). Returns (id_a, id_b,
     shared_frames) with id_a < id_b."""

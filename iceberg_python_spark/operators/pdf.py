@@ -369,7 +369,14 @@ class PdfDocument:
         return val
 
     def resolve(self, v: Any) -> Any:
+        # visited-set cycle guard: a crafted/corrupt indirect object
+        # chain (e.g. `4 0 obj 4 0 R endobj`) must raise, not hang the
+        # executor — per-payload error isolation (ADVICE r13)
+        seen: set[int] = set()
         while isinstance(v, Ref):
+            if v.num in seen:
+                raise ValueError(f"PDF indirect reference cycle at object {v.num}")
+            seen.add(v.num)
             v = self.obj(v.num)
         return v
 
@@ -401,21 +408,31 @@ class PdfDocument:
         if not isinstance(root, dict):
             raise ValueError("PDF trailer /Root missing")
         out: List[Dict[str, Any]] = []
+        # cycle + depth guards: a /Kids tree that references an
+        # ancestor (or nests absurdly deep) raises ValueError instead
+        # of RecursionError, keeping the per-payload isolation contract
+        seen_refs: set[int] = set()
 
-        def walk(node_ref: Any) -> None:
+        def walk(node_ref: Any, depth: int) -> None:
+            if isinstance(node_ref, Ref):
+                if node_ref.num in seen_refs:
+                    raise ValueError(f"PDF page-tree cycle at object {node_ref.num}")
+                seen_refs.add(node_ref.num)
+            if depth > 256:  # spec trees are shallow; 256 is generous
+                raise ValueError("PDF page tree deeper than 256 levels")
             node = self.resolve(node_ref)
             if not isinstance(node, dict):
                 raise ValueError("PDF page-tree node is not a dictionary")
             t = node.get("Type")
             if t == "Pages" or (t is None and "Kids" in node):
                 for kid in self.resolve(node.get("Kids")) or []:
-                    walk(kid)
+                    walk(kid, depth + 1)
             elif t == "Page":
                 out.append(node)
             else:
                 raise ValueError(f"unexpected page-tree node type {t!r}")
 
-        walk(root.get("Pages"))
+        walk(root.get("Pages"), 0)
         return out
 
     def page_content(self, page: Dict[str, Any]) -> bytes:
@@ -608,7 +625,13 @@ def pdf_pages(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
                                 "parse_ok": True, "error": None,
                             }
                         )
-                except (ValueError, NotImplementedError, KeyError, IndexError) as e:
+                except (
+                    ValueError,
+                    NotImplementedError,
+                    KeyError,
+                    IndexError,
+                    RecursionError,  # deeply nested object graphs (lexer)
+                ) as e:
                     rows.append(
                         {
                             "src_id": src, "page_no": None, "text": None,

@@ -107,7 +107,14 @@ def normalize_url(url: Column, sort_query: bool = False) -> Column:
     else:
         q = query
     q_part = F.when(query.isNull() | (query == ""), F.lit("")).otherwise(F.concat(F.lit("?"), q))
-    out = F.concat(lscheme, F.lit("://"), _lower(host), port_part, npath, q_part)
+    # userinfo is part of the fetch identity (RFC 3986 §3.2.1) — re-emit
+    # it verbatim (case-SENSITIVE, never lowercased) instead of silently
+    # merging http://user:pw@h/x with http://h/x (ADVICE r13)
+    userinfo = F.parse_url(url, F.lit("USERINFO"))
+    ui_part = F.when(
+        userinfo.isNull() | (userinfo == ""), F.lit("")
+    ).otherwise(F.concat(userinfo, F.lit("@")))
+    out = F.concat(lscheme, F.lit("://"), ui_part, _lower(host), port_part, npath, q_part)
     # a scheme without a parseable authority (mailto:, data:, broken
     # input) null-propagates through the concat — fall back to the
     # original rather than silently NULLing the column

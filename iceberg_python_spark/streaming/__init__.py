@@ -714,17 +714,23 @@ def gapfill(
       previous and next observed buckets (NULL outside them).
 
     Scale shape: the dense grid is GENERATED, not shuffled —
-    ``sequence()`` over the bucket index cross-joined with the
-    distinct keys, O(keys × span/width) rows; the left join and the
-    fill windows both key on (key, bucket), so at 1000 executors each
-    key's timeline lands in one partition and the windows never see
-    another key's rows. Bucket arithmetic is integer epoch-micros
+    ``spark.range`` over the bucket index cross-joined with the
+    distinct keys, O(keys × span/width) rows; up to ~1e6 buckets the
+    axis broadcasts, beyond that the (far smaller) distinct-keys side
+    broadcasts and the axis stays distributed — neither side ever
+    funnels a year-at-1s axis through the driver. The left join and
+    the fill windows both key on (key, bucket), so at 1000 executors
+    each key's timeline lands in one partition and the windows never
+    see another key's rows. Bucket arithmetic is integer epoch-micros
     (same rule as :func:`time_rollup`), so any engine reproduces the
     edges exactly. The global span is two scalar aggregates
     (driver-side metadata, not data)."""
     w_us = int(width_seconds) * 1_000_000
     if w_us <= 0:
         raise ValueError(f"width_seconds must be positive, got {width_seconds}")
+    unknown = [f for f in fill if f not in ("locf", "interp")]
+    if unknown:  # validate BEFORE any early return (ADVICE r13)
+        raise ValueError(f"unknown fill strategies {unknown}; supported: locf, interp")
     keys = list(key_cols)
     us = _epoch_us(events, ts_col)
     src = events.select(
@@ -746,10 +752,20 @@ def gapfill(
     # spark.range generates the bucket axis DISTRIBUTED — a sequence()
     # literal would materialize one span/width-element array in a
     # single task (3e7 elements for a year at 1s buckets)
+    n_buckets = (int(span["hi"]) - int(span["lo"])) // w_us + 1
     buckets = events.sparkSession.range(
         int(span["lo"]), int(span["hi"]) + 1, w_us
     ).select(F.col("id").alias("_b"))
-    grid = src.select(*keys).distinct().crossJoin(F.broadcast(buckets))
+    # broadcast the axis only while it is genuinely broadcast-sized;
+    # past ~1e6 buckets ship the (typically far smaller) distinct-keys
+    # side instead and let the axis stay distributed — broadcasting a
+    # year-at-1s axis (~3e7 rows) funnels it through the driver
+    # (ADVICE r13 / VERDICT r13 #3)
+    dkeys = src.select(*keys).distinct()
+    if n_buckets <= 1_000_000:
+        grid = dkeys.crossJoin(F.broadcast(buckets))
+    else:
+        grid = buckets.crossJoin(F.broadcast(dkeys))
     dense = grid.join(agg, [*keys, "_b"], "left").select(
         *keys,
         "_b",
@@ -782,9 +798,6 @@ def gapfill(
         out_cols["value_interp"] = F.when(
             F.col("sum_value").isNotNull(), F.col("sum_value").cast("double")
         ).otherwise(prev_v.cast("double") + (next_v - prev_v).cast("double") * frac)
-    unknown = [f for f in fill if f not in ("locf", "interp")]
-    if unknown:
-        raise ValueError(f"unknown fill strategies {unknown}; supported: locf, interp")
     return dense.select(
         *keys,
         F.timestamp_micros("_b").alias("bucket_start"),

@@ -162,6 +162,45 @@ def test_gates_encrypted_objstm_truncated_badfilter():
         decode_pdf_text(broken)
 
 
+def test_cyclic_structures_raise_not_hang():
+    """ADVICE r13: a self-referential indirect object must raise (not
+    spin resolve() forever), and a /Kids tree referencing an ancestor
+    must raise ValueError (not RecursionError) — one crafted payload
+    can never hang or crash the whole Spark job."""
+    # 4 0 obj 4 0 R endobj — resolve() cycle, reached via /Contents
+    cyc = _min_pdf(
+        [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+            (4, b"4 0 R"),
+        ]
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        decode_pdf_text(cyc)
+    # two-object reference cycle (5 -> 6 -> 5)
+    cyc2 = _min_pdf(
+        [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"),
+            (5, b"6 0 R"),
+            (6, b"5 0 R"),
+        ]
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        decode_pdf_text(cyc2)
+    # page tree whose Kids points back at the root Pages node
+    ktree = _min_pdf(
+        [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [2 0 R] /Count 1 >>"),
+        ]
+    )
+    with pytest.raises(ValueError, match="cycle|256 levels"):
+        decode_pdf_text(ktree)
+
+
 def test_pdf_pages_spark_surface(spark):
     """One row per page; a corrupt payload yields its error row while
     every other payload parses fully."""

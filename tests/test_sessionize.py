@@ -549,6 +549,34 @@ def test_gapfill_locf_interp_and_edges(spark):
         gapfill(df, "ts", ["k"], "v", 0)
     with _pytest.raises(ValueError, match="unknown fill"):
         gapfill(df, "ts", ["k"], "v", 3600, fill=("locf", "spline")).collect()
+    # unknown fill validates BEFORE the empty-input early return too
+    with _pytest.raises(ValueError, match="unknown fill"):
+        gapfill(df.where("k = 'zzz'"), "ts", ["k"], "v", 3600, fill=("bogus",))
+
+
+def test_gapfill_wide_span_keeps_axis_unbroadcast(spark):
+    """ADVICE r13: past ~1e6 buckets the generated axis must NOT be
+    broadcast (a year at 1s is ~3e7 rows through the driver); the
+    small distinct-keys side broadcasts instead, results identical."""
+    from pyspark.sql import functions as F
+
+    from iceberg_python_spark.streaming import gapfill
+
+    rows = [("a", "2024-01-01 00:00:00", 1.0), ("a", "2024-02-01 00:00:00", 2.0)]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = gapfill(df, "ts", ["k"], "v", 1, fill=())  # 31 days at 1s > 1e6 buckets
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the Range (bucket axis) side must not sit under a BroadcastExchange
+    import re as _re
+
+    for m in _re.finditer(r"BroadcastExchange[\s\S]{0,400}?Range \(", plan):
+        raise AssertionError("bucket axis was broadcast on a wide span")
+    n = out.count()
+    assert n == 31 * 24 * 3600 + 1
+    filled = out.where("n_events = 0").count()
+    assert filled == n - 2
 
 
 def test_funnel_greedy_anchor_semantics(spark):

@@ -83,6 +83,26 @@ def test_normalize_url_unparseable_authority_falls_back(spark):
     assert got == ["mailto:someone@example.com", "data:text/plain,hi"]
 
 
+def test_normalize_url_preserves_userinfo(spark):
+    """ADVICE r13: userinfo is part of the fetch identity — it must
+    survive normalization verbatim (case-sensitive), so URL-keyed
+    dedup never merges distinct identities."""
+    got = _norm(
+        spark,
+        [
+            "HTTP://User:Pw@Example.COM:80/a/../b",
+            "http://example.com/a/../b",
+            "https://token@Host.example/x",
+        ],
+    )
+    assert got == [
+        "http://User:Pw@example.com/b",
+        "http://example.com/b",
+        "https://token@host.example/x",
+    ]
+    assert got[0] != got[1]  # distinct fetch identities stay distinct
+
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
