@@ -3643,6 +3643,42 @@ def _q_bpe_roundtrip(spark, env):
     )
 
 
+def _q_bpe_roundtrip_bytes(spark, env):
+    # r14 (VERDICT r13 next #3): BYTE-level BPE (GPT-2 shape — 256-byte
+    # base vocab, bytes_to_unicode, regex pre-tokens, NO end-of-word
+    # marker). The oracle-matched law is stronger than the char row's:
+    # decode(encode(text)) == text EXACTLY (byte-for-byte, whitespace
+    # and all) over a corpus salted with no-space CJK, emoji, and the
+    # literal '</w>' marker string — the three inputs char-BPE cannot
+    # represent faithfully. n_tokens <= n_bytes per doc and the corpus
+    # strictly compresses (CJK repeats teach real merges, min_freq=1).
+    from iceberg_python_spark.operators.bpe import bpe_encode_bytes, bpe_train_bytes
+
+    docs = env["documents"].scan(selected_fields=("doc_id", "text")).to_df()
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.concat(
+                F.lit("数据湖表格式"),
+                F.col("text"),
+                F.lit(" 🧪 </w> 中文字符中文字符"),
+            ).alias("text"),
+        )
+    )
+    merges = bpe_train_bytes(corpus, "text", n_merges=200)
+    enc = bpe_encode_bytes(corpus, "text", merges, "doc_id", emit_decoded=True)
+    nb = corpus.select("doc_id", F.octet_length("text").cast("long").alias("n_bytes"))
+    j = enc.join(nb, "doc_id")
+    compressed = j.agg((F.sum("n_tokens") < F.sum("n_bytes")).alias("corpus_compressed"))
+    return j.crossJoin(F.broadcast(compressed)).select(
+        "doc_id",
+        "decoded",
+        "n_bytes",
+        (F.col("n_tokens") <= F.col("n_bytes")).alias("tokens_le_bytes"),
+        "corpus_compressed",
+    )
+
+
 def _q_hll_sketch_invariants(spark, env):
     # late r12: mergeable HLL distinct sketches as TABLES. Claims:
     # (a) merging per-batch sketches (doc_id % 3 split) is register-
@@ -4843,6 +4879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bm25_topk": _q_bm25_topk,
             "hll_sketch_invariants": _q_hll_sketch_invariants,
             "bpe_roundtrip": _q_bpe_roundtrip,
+            "bpe_roundtrip_bytes": _q_bpe_roundtrip_bytes,
             "multimodal_audio_containers": _q_multimodal_audio_containers,
             "tdigest_quantile_invariants": _q_tdigest_quantile_invariants,
             "events_json_extract": _q_events_json_extract,
@@ -5652,6 +5689,17 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN length(trim(text)) = 0 THEN 0 "
             "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS n_base, "
             "TRUE AS tokens_le_base, TRUE AS corpus_compressed FROM documents"
+        ),
+        "bpe_roundtrip_bytes": (
+            # byte-level law: decoded == text EXACTLY (no whitespace
+            # normalization, no marker ambiguity); n_bytes is strlen
+            # (UTF-8 byte length) — both engines count the same bytes
+            "WITH corpus AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 3000000 AS doc_id, "
+            "'数据湖表格式' || text || ' 🧪 </w> 中文字符中文字符' AS text "
+            "FROM documents WHERE doc_id % 5 = 0) "
+            "SELECT doc_id, text AS decoded, CAST(strlen(text) AS BIGINT) AS n_bytes, "
+            "TRUE AS tokens_le_bytes, TRUE AS corpus_compressed FROM corpus"
         ),
         "embedding_kmeans_invariants": (
             "SELECT CAST(count(*) AS BIGINT) AS n_points, "
