@@ -3070,20 +3070,29 @@ def _q_multimodal_audio_decode(spark, env):
 
 
 def _q_multimodal_audio_containers(spark, env):
-    # late r12: the legacy speech-corpus CONTAINERS (AIFF/AIFF-C,
-    # Sun/NeXT AU, NIST SPHERE) under the driver's oracle. Same
-    # deterministic tones as the WAV row, cycling EIGHT layouts by
-    # doc_id % 8: AIFF BE-PCM16 / AIFF-C sowt / AIFF-C fl32 / AIFF-C
-    # µ-law, AU BE-PCM16 / AU A-law, SPHERE big-endian PCM /
-    # SPHERE µ-law — every payload synthesized by the engine's own
-    # writers and decoded through the magic-dispatch path inside
-    # extract_audio_stats. Claims from decoded output: all decode,
-    # duration/rate/channels exact, centroid within 30 Hz for linear
-    # layouts / 250 Hz for companded, RMS within 0.02 everywhere.
+    # late r12, reshaped r14: the legacy speech-corpus CONTAINERS
+    # (AIFF/AIFF-C, Sun/NeXT AU, NIST SPHERE) under the driver's
+    # oracle. Same deterministic tones as the WAV row, cycling NINE
+    # layouts by doc_id % 9: AIFF BE-PCM16 / AIFF-C sowt / AIFF-C fl32
+    # / AIFF-C µ-law, AU BE-PCM16 / AU A-law, SPHERE big-endian PCM /
+    # SPHERE µ-law / SPHERE EMBEDDED-SHORTEN (r14 — the dominant
+    # TIMIT/Switchboard payload, decoded by the from-spec shorten v2
+    # codec in operators/shorten.py; previously a loud gate). Every
+    # payload synthesized by the engine's own writers and decoded
+    # through the magic-dispatch path inside extract_audio_stats.
+    # Claims: all decode, duration/rate/channels exact, centroid
+    # within 30 Hz linear / 250 Hz companded, RMS within 0.02, and the
+    # shortened payloads decode to EXACTLY the int16 samples the plain
+    # PCM writer would store (integer equality, checked in-UDF).
     import numpy as np
     import pandas as pd
 
-    from iceberg_python_spark.operators.audio import encode_aiff, encode_au, encode_sphere
+    from iceberg_python_spark.operators.audio import (
+        decode_sphere,
+        encode_aiff,
+        encode_au,
+        encode_sphere,
+    )
     from iceberg_python_spark.operators.multimodal import extract_audio_stats
 
     docs = (
@@ -3094,14 +3103,15 @@ def _q_multimodal_audio_containers(spark, env):
 
     def gen(batches):
         for pdf in batches:
-            payloads = []
+            payloads, exacts = [], []
             for d in pdf["doc_id"].astype(int):
                 freq = 200 + 20 * (d % 40)
                 t = np.arange(2000) / 8000.0
                 x = 0.5 * np.sin(2 * np.pi * freq * t)
                 if d % 2 == 0:
                     x = np.stack([x, x], axis=1)
-                v = d % 8
+                v = d % 9
+                exact = True
                 if v == 0:
                     payloads.append(encode_aiff(x, 8000))
                 elif v == 1:
@@ -3116,12 +3126,26 @@ def _q_multimodal_audio_containers(spark, env):
                     payloads.append(encode_au(x, 8000, encoding="alaw"))
                 elif v == 6:
                     payloads.append(encode_sphere(x, 8000, byte_format="10"))
-                else:
+                elif v == 7:
                     payloads.append(encode_sphere(x, 8000, coding="ulaw"))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+                else:
+                    sph = encode_sphere(x, 8000, coding="shorten")
+                    dec, _rate = decode_sphere(sph)
+                    want = np.clip(
+                        np.round((x if x.ndim == 2 else x[:, None]) * 32767.0),
+                        -32768, 32767,
+                    ) / 32768.0
+                    exact = dec.shape == want.shape and bool(np.array_equal(dec, want))
+                    payloads.append(sph)
+                exacts.append(exact)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "exact": exacts}
+            )
 
-    au = docs.mapInPandas(gen, schema="doc_id long, payload binary")
-    stats = extract_audio_stats(au, "doc_id", "payload")
+    au = docs.mapInPandas(gen, schema="doc_id long, payload binary, exact boolean")
+    stats = extract_audio_stats(au.select("doc_id", "payload"), "doc_id", "payload").join(
+        au.select(F.col("doc_id").alias("id"), "exact"), "id"
+    )
     j = stats.withColumn("freq", (F.lit(200) + (F.col("id") % 40) * 20).cast("double"))
     return j.agg(
         F.count("*").alias("n_audio"),
@@ -3133,9 +3157,10 @@ def _q_multimodal_audio_containers(spark, env):
         ).alias("format_ok"),
         F.min(
             F.abs(F.col("spectral_centroid_hz") - F.col("freq"))
-            < F.when((F.col("id") % 8).isin(3, 5, 7), 250.0).otherwise(30.0)
+            < F.when((F.col("id") % 9).isin(3, 5, 7), 250.0).otherwise(30.0)
         ).alias("centroid_ok"),
         F.min(F.abs(F.col("rms") - 0.5 / math.sqrt(2.0)) < 0.02).alias("rms_ok"),
+        F.min("exact").alias("shorten_exact"),
     )
 
 
@@ -5564,7 +5589,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "multimodal_audio_containers": (
             "SELECT count(*) AS n_audio, true AS all_decoded, true AS format_ok, "
-            "true AS centroid_ok, true AS rms_ok FROM documents WHERE doc_id < 400"
+            "true AS centroid_ok, true AS rms_ok, true AS shorten_exact "
+            "FROM documents WHERE doc_id < 400"
         ),
         "multimodal_audio_decode": (
             "SELECT count(*) AS n_audio, "

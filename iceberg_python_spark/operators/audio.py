@@ -16,12 +16,13 @@ decode).
 - **Legacy speech-corpus containers** (late r12): AIFF/AIFF-C (BE PCM,
   sowt, fl32/fl64, ulaw/alaw — 80-bit extended sample rates), Sun/NeXT
   AU (all BE PCM widths, floats, G.711), NIST SPHERE (TIMIT/
-  Switchboard: pcm either byte order, µ-law/A-law) — thin headers over
+  Switchboard: pcm either byte order, µ-law/A-law, and — r14 — the
+  dominant EMBEDDED-SHORTEN payload, decoded exactly by the from-spec
+  shorten v2 codec in ``operators/shorten.py``) — thin headers over
   the same vectorized PCM/G.711 expansion, each with a matching
-  encoder for oracle rows. SPHERE's embedded-Shorten is gated (a real
-  entropy codec, the FLAC class of work).
+  encoder for oracle rows.
 
-MP3/OGG (and Shorten) genuinely need external codecs and raise
+MP3/OGG genuinely need external codecs and raise
 NotImplementedError naming them; inside
 :func:`~.multimodal.extract_audio_stats` that surfaces as
 ``decode_ok=false`` per row instead of failing the job. FLAC decodes
@@ -492,8 +493,9 @@ def encode_au(samples: np.ndarray, rate: int, encoding: str = "pcm16") -> bytes:
 def decode_sphere(data: bytes) -> Tuple[np.ndarray, int]:
     """NIST SPHERE (TIMIT / Switchboard / LDC) → (float64
     (n_frames, n_channels), rate). PCM (either byte order, via
-    sample_byte_format 01/10) and µ-law/A-law codings decode;
-    embedded-Shorten raises naming the codec."""
+    sample_byte_format 01/10), µ-law/A-law, and embedded-Shorten
+    (``*,embedded-shorten-v2.*`` — decoded by operators/shorten.py,
+    exact integer recovery) all decode."""
     if data[:8] != b"NIST_1A\n":
         raise ValueError("not a NIST SPHERE stream")
     try:
@@ -515,9 +517,27 @@ def decode_sphere(data: bytes) -> Tuple[np.ndarray, int]:
     n_samples = int(fields.get("sample_count", 0)) or None
     payload = data[hdr_size:]
     if "shorten" in coding:
-        raise NotImplementedError(
-            "SPHERE embedded-Shorten needs a Shorten codec (e.g. sph2pipe)"
-        )
+        # TIMIT/Switchboard's dominant payload: sample_coding
+        # "pcm,embedded-shorten-v2.00" (or "ulaw,embedded-shorten-*"),
+        # payload = an ajkg stream. Decode the shorten integers, then
+        # map them exactly like the uncompressed coding would
+        from .shorten import TYPE_ALAW, TYPE_ULAW, decode_shorten
+
+        ints, ftype = decode_shorten(payload)
+        if coding.startswith("ulaw") or coding.startswith("mu-law") or ftype == TYPE_ULAW:
+            x = _ulaw_expand(ints.astype(np.uint8).reshape(-1))
+        elif coding.startswith("alaw") or ftype == TYPE_ALAW:
+            x = _alaw_expand(ints.astype(np.uint8).reshape(-1))
+        elif n_bytes == 2:
+            x = ints.reshape(-1).astype(np.float64) / 32768.0
+        elif n_bytes == 1:
+            x = ints.reshape(-1).astype(np.float64) / 128.0
+        else:
+            raise NotImplementedError(f"SPHERE shortened sample_n_bytes={n_bytes}")
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch)
+        if n_samples is not None:
+            x = x[:n_samples]
+        return x, rate
     if coding.startswith("pcm"):
         if n_bytes == 2:
             dt = "<i2" if byte_fmt == "01" else ">i2"
@@ -554,6 +574,15 @@ def encode_sphere(
         n_bytes = 2
     elif coding == "ulaw":
         payload, n_bytes, byte_format = _ulaw_compress(pcm).tobytes(), 1, "1"
+    elif coding == "shorten":
+        # sph2pipe's embedded layout: coding advertises the UNDERLYING
+        # pcm plus the shorten marker; payload is the ajkg stream
+        from .shorten import TYPE_S16LH, encode_shorten
+
+        payload = encode_shorten(
+            pcm.astype(np.int32).reshape(n_frames, n_ch), ftype=TYPE_S16LH
+        )
+        n_bytes, coding = 2, "pcm,embedded-shorten-v2.00"
     else:
         raise ValueError(f"unsupported SPHERE coding {coding}")
     lines = [

@@ -316,7 +316,7 @@ def test_au_roundtrips_and_signed_8bit():
         decode_au(hdr)
 
 
-def test_sphere_roundtrips_both_orders_and_shorten_gate():
+def test_sphere_roundtrips_both_orders_and_shorten():
     x = _ctone()
     for bf in ("01", "10"):
         data = encode_sphere(x, 16000, coding="pcm", byte_format=bf)
@@ -325,14 +325,18 @@ def test_sphere_roundtrips_both_orders_and_shorten_gate():
     ul = encode_sphere(x, 8000, coding="ulaw")
     y, rate = decode_sphere(ul)
     assert rate == 8000 and np.max(np.abs(y - x)) <= 0.04
-    # TIMIT-style shorten coding gates with the codec named
-    hdr = (
-        "NIST_1A\n   1024\nsample_rate -i 16000\n"
-        "sample_coding -s26 pcm,embedded-shorten-v2.00\nend_head\n"
-    ).encode()
-    blob = hdr + b" " * (1024 - len(hdr)) + b"\x00" * 64
-    with pytest.raises(NotImplementedError, match="[Ss]horten"):
-        decode_sphere(blob)
+    # TIMIT-style embedded-shorten now DECODES (r14) — and exactly:
+    # the shortened ints equal what the plain PCM writer would store
+    sh = encode_sphere(x, 16000, coding="shorten")
+    assert b"pcm,embedded-shorten-v2.00" in sh[:1024]
+    y, rate = decode_sphere(sh)
+    plain, _ = decode_sphere(encode_sphere(x, 16000, coding="pcm"))
+    assert rate == 16000 and np.array_equal(y, plain)
+    # and the shortened file is genuinely smaller than the PCM one
+    assert len(sh) < len(encode_sphere(x, 16000, coding="pcm"))
+    # a corrupt/truncated shorten payload still raises cleanly
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_sphere(sh[:1100])
 
 
 def test_container_probes_match_decoders():

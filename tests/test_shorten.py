@@ -1,0 +1,115 @@
+"""Shorten v2 codec: exact round trips for every command, the SPHERE
+embedded path, and the loud gates."""
+
+import numpy as np
+import pytest
+
+from iceberg_python_spark.operators.shorten import (
+    FN_DIFF0,
+    FN_DIFF1,
+    FN_DIFF2,
+    FN_DIFF3,
+    FN_QLPC,
+    FN_ZERO,
+    TYPE_S16LH,
+    TYPE_ULAW,
+    decode_shorten,
+    encode_shorten,
+)
+
+
+def _walk(n=1000, seed=7):
+    rng = np.random.RandomState(seed)
+    return np.cumsum(rng.randint(-50, 51, size=n)).astype(np.int32)
+
+
+@pytest.mark.parametrize(
+    "cmds",
+    [[FN_DIFF0], [FN_DIFF1], [FN_DIFF2], [FN_DIFF3], [FN_DIFF1, FN_DIFF2, FN_DIFF3, FN_DIFF0]],
+)
+def test_diff_commands_roundtrip_exact(cmds):
+    x = _walk()
+    dec, ftype = decode_shorten(encode_shorten(x, blocksize=256, commands=cmds))
+    assert ftype == TYPE_S16LH
+    assert dec.shape == (1000, 1) and np.array_equal(dec[:, 0], x)
+
+
+def test_stereo_nmean_verbatim_roundtrip():
+    x = _walk()
+    st = np.stack([x, -x], axis=1)
+    enc = encode_shorten(
+        st, blocksize=128, nmean=4, commands=[FN_DIFF0, FN_DIFF1], verbatim=b"NIST_1A hdr"
+    )
+    dec, _ = decode_shorten(enc)
+    assert np.array_equal(dec, st)
+
+
+def test_zero_bitshift_and_tail_block():
+    z = np.zeros(633, dtype=np.int32)  # non-multiple length -> FN_BLOCKSIZE tail
+    z[100:200] = _walk(100)
+    dec, _ = decode_shorten(encode_shorten(z, blocksize=100, commands=[FN_ZERO, FN_DIFF1]))
+    assert np.array_equal(dec[:, 0], z)
+    xb = (_walk().astype(np.int64) << 2).astype(np.int32)
+    dec, _ = decode_shorten(encode_shorten(xb, blocksize=256, bitshift=2))
+    assert np.array_equal(dec[:, 0], xb)
+    with pytest.raises(ValueError, match="low bits"):
+        encode_shorten(np.array([1], dtype=np.int32), bitshift=2)
+
+
+def test_qlpc_roundtrip_with_and_without_means():
+    x = _walk()
+    dec, _ = decode_shorten(
+        encode_shorten(x, blocksize=200, commands=[FN_QLPC, FN_DIFF2], qlpc=[60, -28])
+    )
+    assert np.array_equal(dec[:, 0], x)
+    dec, _ = decode_shorten(
+        encode_shorten(x + 5000, blocksize=250, commands=[FN_QLPC], qlpc=[40, -10], nmean=2)
+    )
+    assert np.array_equal(dec[:, 0], x + 5000)
+
+
+def test_compresses_tonal_audio():
+    t = np.arange(4000)
+    s = np.round(3000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int32)
+    enc = encode_shorten(s, commands=[FN_DIFF2])
+    assert len(enc) < 2 * len(s) * 0.8  # < 80% of raw int16 bytes
+
+
+def test_gates_and_corruption():
+    with pytest.raises(ValueError, match="ajkg"):
+        decode_shorten(b"RIFF1234")
+    with pytest.raises(NotImplementedError, match="version"):
+        decode_shorten(b"ajkg\x01" + b"\x00" * 32)
+    enc = encode_shorten(_walk(), ftype=TYPE_ULAW)
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_shorten(enc[: len(enc) // 3])  # truncated stream
+
+
+def test_sphere_embedded_shorten_spark_surface(spark):
+    """The Arrow-batched extract_audio_stats path decodes shortened
+    SPHERE payloads end-to-end (the TIMIT shape)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from iceberg_python_spark.operators.audio import encode_sphere
+    from iceberg_python_spark.operators.multimodal import extract_audio_stats
+
+    ids = spark.range(24).select(F.col("id").alias("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].astype(int):
+                t = np.arange(1600) / 8000.0
+                x = 0.4 * np.sin(2 * np.pi * (300 + 10 * d) * t)
+                rows.append(encode_sphere(x, 8000, coding="shorten"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": rows})
+
+    au = ids.mapInPandas(gen, schema="doc_id long, payload binary")
+    stats = extract_audio_stats(au, "doc_id", "payload")
+    got = stats.agg(
+        F.min("decode_ok").alias("ok"),
+        F.min("sample_rate").alias("rate"),
+        F.min("duration_ms").alias("ms"),
+    ).first()
+    assert got["ok"] and got["rate"] == 8000 and got["ms"] == 200
