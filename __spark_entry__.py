@@ -3668,6 +3668,106 @@ def _q_bpe_roundtrip(spark, env):
     )
 
 
+def _q_crawl_to_corpus(spark, env):
+    # r14 (VERDICT r13 next #7): the crawl→corpus END-TO-END
+    # composition as ONE oracled row — raw container BYTES (WARC for
+    # doc_id%3!=0 with a planted exact re-crawl duplicate under a new
+    # record id for %10==5; PDF for %3==0) → warc_to_documents /
+    # pdf_to_documents (the r14 sibling) → ONE documents-shaped union
+    # → curate_corpus. The ingest half is FULLY value-hashed: (text,
+    # lang, source, n_chars) for every ingested row, duplicates
+    # included, reproduced by DuckDB from the same wrap/slice rules
+    # (doc_id is xxhash64-of-record-id, so identity travels as text —
+    # the corpus has distinct bodies). The curation half rides as
+    # claims: stage counts monotone, the planted duplicates collapse
+    # (clean = one row per normalized text), and both ingest sources
+    # survive curation.
+    import pandas as pd
+
+    from iceberg_python_spark.operators.pdf import encode_pdf, pdf_to_documents
+    from iceberg_python_spark.operators.warc import (
+        encode_warc,
+        warc_records,
+        warc_to_documents,
+    )
+    from iceberg_python_spark.pipeline import curate_corpus
+
+    docs = (
+        env["documents"].scan(selected_fields=("doc_id", "text")).to_df()
+        .where("doc_id < 400")
+        .repartition(32)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for d, t in zip(pdf["doc_id"].astype(int), pdf["text"]):
+                if d % 3 == 0:
+                    pages = [t[i : i + 200] for i in range(0, len(t), 200)] or [""]
+                    kinds.append("pdf")
+                    payloads.append(encode_pdf(pages, compress=d % 2 == 1))
+                else:
+                    body = f"<html><body><p>{t}</p></body></html>".encode()
+                    recs = [
+                        {
+                            "warc_type": "response",
+                            "record_id": f"urn:uuid:resp-{d}",
+                            "target_uri": f"https://crawl.example.org/doc/{d}",
+                            "http_status": 200,
+                            "body": body,
+                        }
+                    ]
+                    if d % 10 == 5:
+                        recs.append({**recs[0], "record_id": f"urn:uuid:resp-dup-{d}"})
+                    kinds.append("warc")
+                    payloads.append(encode_warc(recs, gzip_per_record=d % 2 == 1))
+                ids.append(d)
+            yield pd.DataFrame({"doc_id": ids, "kind": kinds, "payload": payloads})
+
+    payloads = docs.mapInPandas(
+        gen, schema="doc_id long, kind string, payload binary"
+    ).localCheckpoint(eager=True)
+    wdocs = warc_to_documents(
+        warc_records(payloads.where("kind = 'warc'"), "doc_id", "payload")
+    )
+    pdocs = pdf_to_documents(
+        payloads.where("kind = 'pdf'"), "doc_id", "payload",
+        source="pdf-batch", page_sep="",
+    )
+    ingested = wdocs.unionByName(pdocs).localCheckpoint(eager=True)
+    # the synthetic corpus is ~20-word docs: Gopher's 50-word rule
+    # would empty it — gate on the applicable rule subset (the
+    # documented quality_flags contract, same as the pipeline rows)
+    res = curate_corpus(
+        ingested,
+        quality_flags=(
+            "mean_word_len_ok",
+            "symbol_ratio_ok",
+            "bullet_ratio_ok",
+            "ellipsis_ratio_ok",
+            "alpha_ratio_ok",
+        ),
+    )
+    st = res["stats"]
+    chain = ["input", "after_quality", "after_exact_dedup", "after_neardup", "after_decontamination"]
+    monotone_ok = all(st[a] >= st[b] for a, b in zip(chain, chain[1:]))
+    clean = res["clean"]
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""), r"\s+", " ")
+    )
+    dd = clean.agg(
+        (F.count("*") == F.countDistinct(norm)).alias("dd"),
+        (F.countDistinct("source") >= 2).alias("srcs"),
+    ).first()
+    claims = spark.createDataFrame(
+        [(bool(monotone_ok), bool(dd["dd"]), bool(dd["srcs"]))],
+        "monotone_ok: boolean, planted_dups_dropped: boolean, both_sources_survive: boolean",
+    )
+    return ingested.select("text", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")).crossJoin(
+        F.broadcast(claims)
+    )
+
+
 def _ensure_docs_inc(env):
     """Two-batch documents scenario shared by the incremental-index and
     incremental-sketch rows: batch 1 = doc_id%2==0, batch 2 = the rest;
@@ -5081,6 +5181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bm25_topk": _q_bm25_topk,
             "bm25_incremental": _q_bm25_incremental,
             "sketch_refresh": _q_sketch_refresh,
+            "crawl_to_corpus": _q_crawl_to_corpus,
             "hll_sketch_invariants": _q_hll_sketch_invariants,
             "bpe_roundtrip": _q_bpe_roundtrip,
             "bpe_roundtrip_bytes": _q_bpe_roundtrip_bytes,
@@ -5711,6 +5812,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(DISTINCT text) AS n_exact, TRUE AS modes_ok, "
             "TRUE AS hll_registers_eq, TRUE AS theta_hashes_eq, "
             "TRUE AS td_meta_eq, TRUE AS td_rank_ok FROM documents GROUP BY source"
+        ),
+        "crawl_to_corpus": (
+            # ingest half value-hashed: WARC rows (incl. the planted
+            # %10==5 re-crawl duplicates) carry the crawl host, PDF
+            # rows the batch label; text survives byte-for-byte (the
+            # wrap strips / pages concatenate back to the original);
+            # lang is the shared n-gram heuristic; curation claims
+            # are booleans
+            "WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 400), "
+            "warc AS (SELECT text FROM src WHERE doc_id % 3 != 0 "
+            "UNION ALL SELECT text FROM src WHERE doc_id % 3 != 0 AND doc_id % 10 = 5), "
+            "allr AS (SELECT text, 'crawl.example.org' AS source FROM warc "
+            "UNION ALL SELECT text, 'pdf-batch' AS source FROM src WHERE doc_id % 3 = 0), "
+            "t AS (SELECT text, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM allr), "
+            "h AS (SELECT text, source, "
+            "len(list_intersect(toks, ['the','a','and','of','to','in','is','that','it','for'])) AS en, "
+            "len(list_intersect(toks, ['le','la','les','de','des','et','un','une','est','que'])) AS fr, "
+            "len(list_intersect(toks, ['der','die','das','und','ist','ein','eine','zu','den','von'])) AS de, "
+            "len(list_intersect(toks, ['el','la','los','las','de','y','un','una','es','que'])) AS es FROM t) "
+            "SELECT text, CASE "
+            "WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) / greatest(length(text), 1) > 0.2 THEN 'zh' "
+            "WHEN en = 0 AND fr = 0 AND de = 0 AND es = 0 THEN 'und' "
+            "WHEN en >= fr AND en >= de AND en >= es THEN 'en' "
+            "WHEN fr > en AND fr >= de AND fr >= es THEN 'fr' "
+            "WHEN de > en AND de > fr AND de >= es THEN 'de' "
+            "ELSE 'es' END AS lang, source, CAST(length(text) AS BIGINT) AS n_chars, "
+            "TRUE AS monotone_ok, TRUE AS planted_dups_dropped, "
+            "TRUE AS both_sources_survive FROM h"
         ),
         "hll_sketch_invariants": (
             "SELECT source, count(DISTINCT text) AS n_exact, TRUE AS est_ok, "
