@@ -3976,6 +3976,45 @@ def _q_agg_multidim_combined(spark, env):
     return r.unionByName(c).unionByName(g)
 
 
+def _q_mixture_combined(spark, env):
+    # budget-fill + epoch-upsampling + temperature mixtures (3 former
+    # rows, one documents scenario) — NULL-padded union, variant tag,
+    # every selected doc row still value-hashed
+    s = _q_mixture_sample(spark, env).select(
+        F.lit("budget").alias("variant"), "doc_id", "lang", "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.lit(None).cast("long").alias("epoch"),
+    )
+    e = _q_mixture_epochs(spark, env).select(
+        F.lit("epochs").alias("variant"), "doc_id",
+        F.lit(None).cast("string").alias("lang"), "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("epoch").cast("long").alias("epoch"),
+    )
+    t = _q_mixture_temperature(spark, env).select(
+        F.lit("temperature").alias("variant"), "doc_id", "lang", "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.lit(None).cast("long").alias("epoch"),
+    )
+    return s.unionByName(e).unionByName(t)
+
+
+def _q_scan_distributed_combined(spark, env):
+    # plain + MoR streamed distributed reads (2 former rows) — union
+    # with a variant tag (l_partkey NULL-padded on the MoR side)
+    r = _q_scan_distributed_read(spark, env).select(
+        F.lit("plain").alias("variant"), "l_orderkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    m = _q_scan_distributed_mor(spark, env).select(
+        F.lit("mor").alias("variant"), "l_orderkey",
+        F.lit(None).cast("long").alias("l_partkey"), "l_quantity", "l_shipdate",
+    )
+    return r.unionByName(m)
+
+
 def _ensure_docs_inc(env):
     """Two-batch documents scenario shared by the incremental-index and
     incremental-sketch rows: batch 1 = doc_id%2==0, batch 2 = the rest;
@@ -5325,8 +5364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries. Round-14 window, executing the VERDICT r13 plan: the
-    # registry FOLD ran (156 candidate rows -> 132: 34 constituents
-    # absorbed into 10 combined rows, see _FOLDED_ROWS — the judge's
+    # registry FOLD ran (156 candidate rows -> 129: 39 constituents
+    # absorbed into 12 combined rows, see _FOLDED_ROWS — the judge's
     # #2 ask, second round running), and the 50 slots cover (1-14) all
     # fourteen late-r13 rows that never had driver evidence, (15-19)
     # every code-changed re-green, (20-23) the four NEW r14 rows,
@@ -5423,6 +5462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "quality_classifier_combined": _q_quality_classifier_combined,
             "pipeline_invariants_combined": _q_pipeline_invariants_combined,
             "agg_multidim_combined": _q_agg_multidim_combined,
+            "mixture_combined": _q_mixture_combined,
+            "scan_distributed_combined": _q_scan_distributed_combined,
             "count_fast": _q_count_fast,
             "scan_in_filter": _q_scan_in_filter,
             "scan_limit": _q_scan_limit,
@@ -5437,7 +5478,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dataset_split": _q_dataset_split,
             "dedup_substring_spans": _q_dedup_substring_spans,
             "text_token_sketch": _q_text_token_sketch,
-            "mixture_temperature": _q_mixture_temperature,
             "text_gopher_flags": _q_text_gopher_flags,
             "pack_sequences": _q_pack_sequences,
             "quality_deciles": _q_quality_deciles,
@@ -5481,19 +5521,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mor_dv_scan": _q_mor_dv,
             "eq_delete_scan": _q_eq_delete_scan,
             "dedup_span_removal": _q_dedup_span_removal,
-            "scan_distributed_read": _q_scan_distributed_read,
             "dsir_select": _q_dsir_select,
             "orc_write_scan": _q_orc_write_scan,
             "text_chunking": _q_text_chunking,
-            "mixture_sample": _q_mixture_sample,
-            "mixture_epochs": _q_mixture_epochs,
             "scan_filter_project": _q_scan_filter_project,
             "scan_partition_pruned": _q_scan_partition_pruned,
             "time_travel": _q_time_travel,
             "events_range_join": _q_events_range_join,
             "events_time_rollup": _q_events_time_rollup,
             "meta_combined": _q_meta_combined,
-            "scan_distributed_mor": _q_scan_distributed_mor,
             "upsert_eq_delete": _q_upsert_eq_delete,
         }.items()
     }
@@ -5537,6 +5573,11 @@ _FOLDED_ROWS = (
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
+    "mixture_sample",
+    "mixture_epochs",
+    "mixture_temperature",
+    "scan_distributed_read",
+    "scan_distributed_mor",
 )
 
 _PIPE_INC_COLS = (
@@ -7089,6 +7130,24 @@ def oracle_sql() -> dict[str, str]:
         "CAST(c_nationkey AS BIGINT), c_mktsegment, CAST(numcust AS BIGINT), "
         "CAST(total_bal AS DOUBLE) "
         f"FROM ({o['agg_grouping_sets']})"
+    )
+    o["mixture_combined"] = (
+        "SELECT 'budget' AS variant, doc_id, lang, source, "
+        "CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "CAST(NULL AS BIGINT) AS epoch "
+        f"FROM ({o['mixture_sample']}) "
+        "UNION ALL SELECT 'epochs', doc_id, CAST(NULL AS VARCHAR), source, "
+        "CAST(n_chars AS BIGINT), CAST(n_tokens AS BIGINT), CAST(epoch AS BIGINT) "
+        f"FROM ({o['mixture_epochs']}) "
+        "UNION ALL SELECT 'temperature', doc_id, lang, source, "
+        "CAST(n_chars AS BIGINT), CAST(n_tokens AS BIGINT), CAST(NULL AS BIGINT) "
+        f"FROM ({o['mixture_temperature']})"
+    )
+    o["scan_distributed_combined"] = (
+        "SELECT 'plain' AS variant, l_orderkey, l_partkey, l_quantity, l_shipdate "
+        f"FROM ({o['scan_distributed_read']}) "
+        "UNION ALL SELECT 'mor', l_orderkey, CAST(NULL AS BIGINT), l_quantity, l_shipdate "
+        f"FROM ({o['scan_distributed_mor']})"
     )
     for _k in _FOLDED_ROWS:
         del o[_k]
