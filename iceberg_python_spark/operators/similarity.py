@@ -16,7 +16,7 @@
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -660,3 +660,73 @@ def pca_transform(
         return pd.Series(list(P))
 
     return df.withColumn(out, project(F.col(vec_col).cast("array<double>")))
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str, id_col: str, levels: int = 256
+) -> Tuple[DataFrame, List[float], List[float]]:
+    """Per-dimension scalar quantization of an embedding column — the
+    standard 4× storage cut (float32 → uint8) a 100 TB embedding table
+    takes BEFORE any indexing; PQ/IVF then build on top of (or instead
+    of) it. Returns ``(quantized_df, mins, maxs)`` where the df carries
+    ``q`` (array<int> of 0..levels-1) alongside ``id_col``, and the
+    per-dimension min/max lists are the dequantization codebook
+    (metadata-sized: 2·d floats — persist them as table properties).
+
+    Exactly reproducible across engines: the per-dimension min/max are
+    EXACT aggregates (no accumulation error), the quantizer is
+    ``floor((v − lo_i) · (levels−1)/(hi_i − lo_i) + 0.5)`` — one
+    correctly-rounded subtract/multiply/add each, identical in any
+    IEEE engine (half-up, not banker's rounding, precisely so the
+    oracle matches bit-for-bit). Constant dimensions quantize to 0.
+
+    Spark shape (100 TB): the stats pass is one posexplode + groupBy
+    over d keys (map-side combined — the shuffle carries
+    O(partitions·d) rows); the collected stats are 2·d scalars on the
+    driver; quantization itself is a narrow Catalyst ``transform``
+    projection, no Python, no second shuffle."""
+    if levels < 2 or levels > 65536:
+        raise ValueError(f"levels must be in 2..65536, got {levels}")
+    ex = df.select(
+        F.posexplode(F.col(vec_col)).alias("_i", "_v")
+    ).groupBy("_i").agg(F.min("_v").alias("lo"), F.max("_v").alias("hi"))
+    stats = {int(r["_i"]): (float(r["lo"]), float(r["hi"])) for r in ex.collect()}
+    if not stats:
+        raise ValueError("quantize_embeddings: empty or all-null vector column")
+    d = max(stats) + 1
+    mins = [stats[i][0] for i in range(d)]
+    maxs = [stats[i][1] for i in range(d)]
+    lo_arr = F.array(*[F.lit(v).cast("double") for v in mins])
+    # scale computed driver-side as one double per dim (exact inputs,
+    # one correctly-rounded division — same value any engine computes)
+    scales = [
+        0.0 if maxs[i] == mins[i] else (levels - 1) / (maxs[i] - mins[i]) for i in range(d)
+    ]
+    sc_arr = F.array(*[F.lit(v).cast("double") for v in scales])
+    idx = F.transform(F.col(vec_col), lambda _, i: i)
+    q = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        idx,
+        lambda v, i: F.floor(
+            (v - F.element_at(lo_arr, i + 1)) * F.element_at(sc_arr, i + 1) + F.lit(0.5)
+        ).cast("int"),
+    )
+    return df.select(F.col(id_col), q.alias("q")), mins, maxs
+
+
+def dequantize_col(q_col, mins: List[float], maxs: List[float], levels: int = 256):
+    """Column expression reconstructing approximate float vectors from
+    :func:`quantize_embeddings` output: ``lo_i + q·(hi_i−lo_i)/(levels−1)``.
+    Max per-element error is half a quantization step."""
+    lo_arr = F.array(*[F.lit(v).cast("double") for v in mins])
+    steps = [
+        0.0 if maxs[i] == mins[i] else (maxs[i] - mins[i]) / (levels - 1)
+        for i in range(len(mins))
+    ]
+    st_arr = F.array(*[F.lit(v).cast("double") for v in steps])
+    idx = F.transform(q_col, lambda _, i: i)
+    return F.zip_with(
+        q_col.cast("array<double>"),
+        idx,
+        lambda v, i: F.element_at(lo_arr, i + 1) + v * F.element_at(st_arr, i + 1),
+    )
