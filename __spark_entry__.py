@@ -4031,6 +4031,52 @@ def _q_embedding_quantize(spark, env):
     )
 
 
+def _q_orphan_cleanup(spark, env):
+    # r14: remove_orphan_files — Iceberg's RemoveOrphanFiles action
+    # (the maintenance job the reference names at table/__init__.py:493
+    # and leaves to engines; expire_snapshots only walks snapshot
+    # lineage and can never see crashed-write leftovers). Scenario:
+    # clone a table, plant aged orphan payloads + one fresh in-flight
+    # file, sweep. Claims: exactly the aged orphans went, the fresh
+    # file and every referenced file survived; the value-hashed body is
+    # the table content AFTER the sweep (must equal the oracle's
+    # straight SELECT — the sweep touched nothing referenced).
+    import os as _os
+    import time as _time
+
+    from iceberg_python_spark.io.fileio import to_local
+
+    if "orphan_tbl" not in env:
+        cat = env["catalog"]
+        t = cat.clone_table("db.nation", "db.nation_orphan")
+
+        def plant(rel, age_s):
+            p = _os.path.join(to_local(t.location), rel)
+            _os.makedirs(_os.path.dirname(p), exist_ok=True)
+            with open(p, "wb") as f:
+                f.write(b"orphan")
+            old = _time.time() - age_s
+            _os.utime(p, (old, old))
+            return p
+
+        aged = {plant("data/orph-a.parquet", 7 * 86400), plant("metadata/orph-b.tmp", 7 * 86400)}
+        fresh = plant("data/inflight.parquet", 0)
+        before = {r["file_path"] for r in t.inspect.files().collect()}
+        removed = set(t.remove_orphan_files())
+        env["orphan_claims"] = (
+            removed == aged,
+            _os.path.exists(to_local(fresh)),
+            all(_os.path.exists(to_local(p)) for p in before),
+        )
+        env["orphan_tbl"] = t
+    c = env["orphan_claims"]
+    claims = spark.createDataFrame(
+        [(bool(c[0]), bool(c[1]), bool(c[2]))],
+        "orphans_swept_exactly: boolean, inflight_kept: boolean, referenced_kept: boolean",
+    )
+    return env["orphan_tbl"].scan().to_df().crossJoin(F.broadcast(claims))
+
+
 def _q_mixture_combined(spark, env):
     # budget-fill + epoch-upsampling + temperature mixtures (3 former
     # rows, one documents scenario) — NULL-padded union, variant tag,
@@ -5518,6 +5564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pipeline_invariants_combined": _q_pipeline_invariants_combined,
             "agg_multidim_combined": _q_agg_multidim_combined,
             "embedding_quantize": _q_embedding_quantize,
+            "orphan_cleanup": _q_orphan_cleanup,
             "mixture_combined": _q_mixture_combined,
             "scan_distributed_combined": _q_scan_distributed_combined,
             "count_fast": _q_count_fast,
@@ -7201,6 +7248,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT vec_id, array_to_string(list(qv ORDER BY i), ',') AS q_codes, "
         "TRUE AS mae_ok, TRUE AS recall_ok "
         "FROM qe GROUP BY vec_id"
+    )
+    o["orphan_cleanup"] = (
+        "SELECT *, TRUE AS orphans_swept_exactly, TRUE AS inflight_kept, "
+        "TRUE AS referenced_kept FROM nation"
     )
     o["mixture_combined"] = (
         "SELECT 'budget' AS variant, doc_id, lang, source, "

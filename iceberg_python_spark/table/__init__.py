@@ -882,6 +882,129 @@ class Table:
                 removed.append(d)
         return removed
 
+    def remove_orphan_files(
+        self,
+        older_than_ms: Optional[int] = None,
+        dry_run: bool = False,
+        now_ms: Optional[int] = None,
+    ) -> List[str]:
+        """Iceberg's RemoveOrphanFiles maintenance action: delete files
+        under the table location that NO snapshot or metadata object
+        references — the leftovers of crashed/aborted writes that
+        ``expire_snapshots`` (which only walks snapshot lineage) can
+        never see. Reference `table/__init__.py:493` names exactly this
+        job ("clean up with expire/orphan-file maintenance jobs") and
+        leaves it to engines.
+
+        Safety model (the Spark action's): only files older than
+        ``older_than_ms`` (default: 3 days, or the
+        ``gc.orphan-grace-ms`` table property) are candidates, so
+        in-flight writes — files placed but not yet committed — are
+        never swept; scan-plan dirs keep their own age-guarded sweep
+        (:meth:`clean_scan_plans`) and are excluded here.
+
+        Spark shape (100 TB): the referenced DATA/DELETE file set is a
+        distributed manifest read (one ``inspect.entries`` DataFrame
+        per snapshot, unioned — never a driver loop over entries);
+        manifest/metadata/statistics paths are O(manifests) driver
+        work. The listing side fans out per first-level directory via
+        ``spark.parallelize`` so a 10⁷-file warehouse lists in
+        parallel, and the orphan set is a LEFT ANTI join of listing
+        against references — no O(files) Python set on the driver
+        until the (typically tiny) orphan result collects.
+
+        Returns the removed (or, with ``dry_run=True``, would-remove)
+        paths."""
+        from ..io import fileio
+
+        spark = self.spark
+        now = now_ms if now_ms is not None else int(time.time() * 1000)
+        if older_than_ms is None:
+            older_than_ms = int(
+                self.metadata.properties.get("gc.orphan-grace-ms", str(3 * 24 * 3600_000))
+            )
+        cutoff = now - older_than_ms
+        meta = self.metadata
+
+        # referenced: data/delete files from EVERY snapshot (deleted-
+        # status entries stay referenced until their manifest expires)
+        refs_df = None
+        for s in meta.snapshots:
+            df = self.inspect._entries_df(s.snapshot_id).select(
+                F.col("file_path").alias("path")
+            )
+            refs_df = df if refs_df is None else refs_df.unionByName(df)
+        # metadata plane: manifest lists, manifests, metadata jsons,
+        # statistics blobs — O(manifests) driver-side strings
+        small_refs: Set[str] = {self.metadata_location}
+        for e in meta.metadata_log:
+            p = e.get("metadata-file")
+            if p:
+                small_refs.add(p)
+        for s in meta.snapshots:
+            small_refs.add(s.manifest_list)
+            for m in self._live_manifests(s):
+                small_refs.add(m["manifest_path"])
+        for st in list(meta.statistics) + list(meta.partition_statistics):
+            p = st.get("statistics-path")
+            if p:
+                small_refs.add(p)
+        small_df = spark.createDataFrame([(p,) for p in sorted(small_refs)], "path: string")
+        refs_df = small_df if refs_df is None else refs_df.unionByName(small_df)
+
+        # listing: fan out one task per first-level entry of the table
+        # location (data partitions / metadata dir)
+        loc = self.location.rstrip("/")
+        local_root = fileio.to_local(loc) if not fileio.is_remote(loc) else None
+        if local_root is not None and os.path.isdir(local_root):
+            tops = sorted(
+                posixpath.join(loc, name) for name in os.listdir(local_root)
+            )
+        else:
+            tops = [loc]
+
+        def _list(prefixes):
+            import os
+
+            from iceberg_python_spark.io import fileio as _f
+
+            for pfx in prefixes:
+                if "/scan-plans" in pfx:
+                    continue
+                lp = _f.to_local(pfx) if not _f.is_remote(pfx) else None
+                if lp is not None and os.path.isfile(lp):
+                    yield (pfx, int(os.path.getmtime(lp) * 1000))
+                    continue
+                for f in _f.list_files(pfx, suffix=""):
+                    if "/scan-plans/" in f:
+                        continue
+                    flp = _f.to_local(f) if not _f.is_remote(f) else None
+                    mt = int(os.path.getmtime(flp) * 1000) if flp else 0
+                    yield (f, mt)
+
+        listed = spark.sparkContext.parallelize(tops, max(len(tops), 1)).mapPartitions(
+            lambda it: _list(list(it))
+        )
+        listed_df = spark.createDataFrame(listed, "path: string, mtime_ms: long")
+        # normalize both sides to scheme-less absolute paths so
+        # file:///x and /x compare equal (manifest entries may differ)
+        norm = lambda c: F.regexp_replace(c, r"^[a-zA-Z0-9+.-]+://", "")  # noqa: E731
+        orphans = (
+            listed_df.where(F.col("mtime_ms") < F.lit(cutoff))
+            .withColumn("_n", norm(F.col("path")))
+            .join(
+                refs_df.select(norm(F.col("path")).alias("_n")).distinct(),
+                "_n",
+                "left_anti",
+            )
+            .select("path")
+        )
+        out = sorted(r["path"] for r in orphans.collect())
+        if not dry_run:
+            for p in out:
+                fileio.remove(p, spark)
+        return out
+
     @property
     def maintenance(self) -> "MaintenanceTable":
         """Reference table/maintenance.py:30 MaintenanceTable shape:
