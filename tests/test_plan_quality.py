@@ -293,3 +293,32 @@ def test_r13_operator_plans(spark):
     gf.collect()
     plan3 = _plan(gf)
     assert "BroadcastHashJoin" in plan3 or "BroadcastExchange" in plan3
+
+
+def test_r14_operator_plans(spark):
+    """Plan pins for the round-14 operators: BM25's idf literals enter
+    via a BROADCAST join and no log/ln executes anywhere in the plan;
+    the scalar-quantization projection is a single narrow codegen pass
+    (no Exchange, no Python) once the stats are collected."""
+    from iceberg_python_spark.operators.retrieval import bm25_topk
+    from iceberg_python_spark.operators.similarity import quantize_embeddings
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 7}") for i in range(300)],
+        "doc_id: long, text: string",
+    )
+    qdf = spark.createDataFrame([(1, "alpha gamma")], "query_id: long, query_text: string")
+    out = bm25_topk(docs, qdf, "text", "doc_id", k=5)
+    out.collect()
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "LOG(" not in plan.upper() and " LN(" not in plan.upper()
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 13), float(i % 7), float(i % 3)]) for i in range(200)],
+        "vec_id: long, vec: array<double>",
+    )
+    qdf2, mins, maxs = quantize_embeddings(emb, "vec", "vec_id")
+    qdf2.collect()
+    plan2 = _plan(qdf2)
+    assert "Exchange" not in plan2 and "Python" not in plan2
