@@ -4077,6 +4077,43 @@ def _q_orphan_cleanup(spark, env):
     return env["orphan_tbl"].scan().to_df().crossJoin(F.broadcast(claims))
 
 
+def _q_graph_pagerank(spark, env):
+    # r14: integer-micro PageRank (operators/graph.py) over the
+    # supplier→part endorsement graph derived from lineitem (part ids
+    # offset so the two key spaces never collide). Every iteration is
+    # pure integer arithmetic (micro-unit ranks, integer-division
+    # shares), so five unrolled DuckDB CTE iterations reproduce every
+    # rank EXACTLY — the iterative-numeric sibling of the connected-
+    # components fixpoint rows.
+    from iceberg_python_spark.operators.graph import pagerank
+
+    li = env["lineitem"].scan(selected_fields=("l_suppkey", "l_partkey")).to_df()
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + F.lit(10_000_000)).alias("dst"),
+    )
+    return pagerank(edges, "src", "dst", iterations=5)
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    head = (
+        "WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey + 10000000 AS dst FROM lineitem), "
+        "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+        "d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), "
+        "p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n)"
+    )
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f", p{i} AS (SELECT n.node, CAST(150000 AS BIGINT) + coalesce(s.inflow, 0) AS pr "
+            f"FROM n LEFT JOIN (SELECT e.dst AS node, "
+            f"sum((p.pr * 850000) // (1000000 * d.outdeg)) AS inflow "
+            f"FROM e JOIN p{i-1} p ON p.node = e.src JOIN d ON d.src = e.src "
+            f"GROUP BY e.dst) s USING (node))"
+        )
+    return head + "".join(steps) + f" SELECT node, pr AS pr_micro FROM p{iterations}"
+
+
 def _q_mixture_combined(spark, env):
     # budget-fill + epoch-upsampling + temperature mixtures (3 former
     # rows, one documents scenario) — NULL-padded union, variant tag,
@@ -5167,8 +5204,8 @@ def _q_funnel_stream(spark, env):
         .writeStream.format("memory")
         .queryName(qname)
         .option("checkpointLocation", ckpt)
-        .trigger(processingTime="1 second")
-        .start()
+        .start()  # default ASAP trigger: processAllAvailable drains each
+        # append without the 1s-cadence idle between micro-batches (r14)
     )
     try:
         q.processAllAvailable()
@@ -5238,8 +5275,8 @@ def _q_heavy_hitters_stream(spark, env):
         .writeStream.format("memory")
         .queryName(qname)
         .option("checkpointLocation", ckpt)
-        .trigger(processingTime="1 second")
-        .start()
+        .start()  # default ASAP trigger: processAllAvailable drains each
+        # append without the 1s-cadence idle between micro-batches (r14)
     )
     try:
         q.processAllAvailable()
@@ -5565,6 +5602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "agg_multidim_combined": _q_agg_multidim_combined,
             "embedding_quantize": _q_embedding_quantize,
             "orphan_cleanup": _q_orphan_cleanup,
+            "graph_pagerank": _q_graph_pagerank,
             "mixture_combined": _q_mixture_combined,
             "scan_distributed_combined": _q_scan_distributed_combined,
             "count_fast": _q_count_fast,
@@ -7253,6 +7291,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT *, TRUE AS orphans_swept_exactly, TRUE AS inflight_kept, "
         "TRUE AS referenced_kept FROM nation"
     )
+    o["graph_pagerank"] = _pagerank_oracle(5)
     o["mixture_combined"] = (
         "SELECT 'budget' AS variant, doc_id, lang, source, "
         "CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens, "
