@@ -113,3 +113,33 @@ def test_sphere_embedded_shorten_spark_surface(spark):
         F.min("duration_ms").alias("ms"),
     ).first()
     assert got["ok"] and got["rate"] == 8000 and got["ms"] == 200
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    data=st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=600),
+    nchan=st.sampled_from([1, 2]),
+    blocksize=st.sampled_from([16, 100, 256]),
+    nmean=st.sampled_from([0, 2, 4]),
+    cmds=st.lists(
+        st.sampled_from([FN_DIFF0, FN_DIFF1, FN_DIFF2, FN_DIFF3, FN_ZERO]),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_shorten_roundtrip_property(data, nchan, blocksize, nmean, cmds):
+    """Any int16 signal, channel count, block size, mean window and
+    command mix round-trips exactly (the decoder is the encoder's
+    inverse by construction — and both follow the published spec, so
+    a conforming third decoder reads the same stream)."""
+    n = len(data) - len(data) % nchan
+    if n == 0:
+        n, data = nchan, data * nchan
+    x = np.array(data[:n], dtype=np.int32).reshape(-1, nchan)
+    enc = encode_shorten(x, blocksize=blocksize, nmean=nmean, commands=cmds)
+    dec, _ = decode_shorten(enc)
+    assert dec.shape == x.shape and np.array_equal(dec, x)
