@@ -50,16 +50,29 @@ def mad_outliers(
         if approx
         else (lambda c: F.percentile(c, 0.5))
     )
-    # the median/MAD tables are O(distinct groups) rows: no forced
-    # broadcast hint — AQE broadcasts them when they are actually small
-    # and falls back to a shuffled join at high group cardinality
-    # instead of OOMing the driver (ADVICE r13). The keyless case IS a
-    # single row, so the broadcast hint there is exact.
+    # the median/MAD tables are O(distinct groups) rows: the broadcast
+    # hint is GATED on the materialized group count (ADVICE r13 — a
+    # forced hint OOMs at high cardinality, while relying on AQE alone
+    # costs extra adaptive stages when the table is obviously tiny).
+    # The keyless case IS a single row, so its hint is unconditional.
+    _BCAST_MAX_GROUPS = 100_000
+
+    def _maybe_broadcast(t):
+        return F.broadcast(t) if t.count() <= _BCAST_MAX_GROUPS else t
+
     med = df.groupBy(*grp).agg(pct(v).alias("group_median"))
-    j = df.join(med, grp) if grp else df.crossJoin(F.broadcast(med))
+    if grp:
+        med = _maybe_broadcast(med.localCheckpoint(eager=True))
+        j = df.join(med, grp)
+    else:
+        j = df.crossJoin(F.broadcast(med))
     dev = F.abs(v - F.col("group_median"))
     mad = j.groupBy(*grp).agg(pct(dev).alias("group_mad"))
-    j2 = j.join(mad, grp) if grp else j.crossJoin(F.broadcast(mad))
+    if grp:
+        mad = _maybe_broadcast(mad.localCheckpoint(eager=True))
+        j2 = j.join(mad, grp)
+    else:
+        j2 = j.crossJoin(F.broadcast(mad))
     cut = F.lit(float(k) * 1.4826) * F.col("group_mad")
     flag = F.when(v.isNull(), F.lit(False)).otherwise(
         F.when(F.col("group_mad") == 0, dev > 0).otherwise(dev > cut)
