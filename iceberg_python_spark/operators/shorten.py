@@ -102,7 +102,8 @@ class _BitWriter:
             self.word, self.nbits = 0, 0
 
     def uvar(self, v: int, k: int) -> None:
-        hi, lo = v >> k, v & ((1 << k) - 1) if k else 0
+        hi = v >> k
+        lo = v & ((1 << k) - 1) if k else 0
         for _ in range(hi):
             self.bit(0)
         self.bit(1)
