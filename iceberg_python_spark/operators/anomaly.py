@@ -38,11 +38,19 @@ def mad_outliers(
     k: float = 3.5,
     approx: bool = False,
     out: str = "is_outlier",
+    small_groups: bool = True,
 ) -> DataFrame:
     """Append ``out`` (boolean), ``group_median`` and ``group_mad``
     (doubles) to ``df``. NULL values are never outliers. Groups where
     MAD = 0 (over half the values identical) flag any value different
-    from the median — the conventional degenerate-case reading."""
+    from the median — the conventional degenerate-case reading.
+
+    ``small_groups`` (ADVICE r13): the per-group median/MAD tables are
+    O(distinct groups) rows; with the default ``True`` they join via a
+    broadcast hint — the caller asserts groups fit executor memory,
+    the same documented contract as ``salted_join``'s ``hot_keys`` or
+    LSH's ``max_bucket``. Pass ``False`` at high group cardinality to
+    take unhinted shuffled joins (AQE may still broadcast if small)."""
     grp = list(group_cols)
     v = F.col(value_col).cast("double")
     pct = (
@@ -50,29 +58,13 @@ def mad_outliers(
         if approx
         else (lambda c: F.percentile(c, 0.5))
     )
-    # the median/MAD tables are O(distinct groups) rows: the broadcast
-    # hint is GATED on the materialized group count (ADVICE r13 — a
-    # forced hint OOMs at high cardinality, while relying on AQE alone
-    # costs extra adaptive stages when the table is obviously tiny).
-    # The keyless case IS a single row, so its hint is unconditional.
-    _BCAST_MAX_GROUPS = 100_000
-
-    def _maybe_broadcast(t):
-        return F.broadcast(t) if t.count() <= _BCAST_MAX_GROUPS else t
-
+    # the keyless case IS a single row, so its hint is unconditional
+    hint = (lambda t: F.broadcast(t)) if small_groups else (lambda t: t)
     med = df.groupBy(*grp).agg(pct(v).alias("group_median"))
-    if grp:
-        med = _maybe_broadcast(med.localCheckpoint(eager=True))
-        j = df.join(med, grp)
-    else:
-        j = df.crossJoin(F.broadcast(med))
+    j = df.join(hint(med), grp) if grp else df.crossJoin(F.broadcast(med))
     dev = F.abs(v - F.col("group_median"))
     mad = j.groupBy(*grp).agg(pct(dev).alias("group_mad"))
-    if grp:
-        mad = _maybe_broadcast(mad.localCheckpoint(eager=True))
-        j2 = j.join(mad, grp)
-    else:
-        j2 = j.crossJoin(F.broadcast(mad))
+    j2 = j.join(hint(mad), grp) if grp else j.crossJoin(F.broadcast(mad))
     cut = F.lit(float(k) * 1.4826) * F.col("group_mad")
     flag = F.when(v.isNull(), F.lit(False)).otherwise(
         F.when(F.col("group_mad") == 0, dev > 0).otherwise(dev > cut)

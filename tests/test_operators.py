@@ -2207,3 +2207,9 @@ def test_mad_outliers(spark):
     # approx path agrees on this small data
     out2 = mad_outliers(df, "v", ["g"], approx=True).collect()
     assert {(r["g"], r["v"]): r["is_outlier"] for r in out2}[("a", 1000.0)] is True
+    # high-cardinality path (small_groups=False, unhinted joins) is
+    # result-identical and its plan carries no forced broadcast
+    big = mad_outliers(df, "v", ["g"], small_groups=False)
+    assert sorted(map(tuple, big.collect())) == sorted(map(tuple, out))
+    anal = big._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in anal and "hint" not in anal.lower()
