@@ -205,3 +205,35 @@ def test_char_bpe_coverage_warning_on_cjk(spark):
         warnings.simplefilter("error")
         merges = bpe_train_bytes(df, "text", n_merges=5)
     assert merges
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.text(max_size=300), st.booleans())
+@settings(max_examples=120, deadline=None)
+def test_byte_bpe_pure_roundtrip_property(text, with_merges):
+    """decode(encode(x)) == x for ARBITRARY unicode text — with and
+    without learned merges — exercising the pre-tokenizer, the
+    byte↔unicode bijection, and the greedy merge scan without Spark."""
+    from iceberg_python_spark.operators.bpe import (
+        _encode_piece,
+        _pretoken_units,
+        bpe_decode_bytes,
+    )
+
+    ranks = {}
+    if with_merges:
+        # learn a tiny rank table from the text's own frequent pairs
+        units = _pretoken_units(text)
+        pairs = {}
+        for u in units:
+            for a, b in zip(u, u[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + 1
+        for i, (p, _) in enumerate(sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:8]):
+            ranks[p] = i
+    toks = []
+    for u in _pretoken_units(text):
+        toks.extend(_encode_piece(u, ranks, eow=False))
+    assert bpe_decode_bytes(toks) == text

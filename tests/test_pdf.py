@@ -245,3 +245,21 @@ def test_pdf_roundtrip_property(pages, compress):
     """Any unicode page texts (control chars, parens, backslashes,
     newlines, emoji) survive encode -> decode exactly."""
     assert decode_pdf_text(encode_pdf(pages, compress=compress)) == pages
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=150, deadline=None)
+def test_pdf_garbage_never_hangs_or_leaks(payload):
+    """The error-isolation contract under fuzz: arbitrary bytes (with
+    and without a PDF magic prefix) either parse or raise one of the
+    caught exception types — never hang, never escape the pdf_pages
+    catch list."""
+    for data in (payload, b"%PDF-1.4\n" + payload):
+        try:
+            decode_pdf_text(data)
+        except (ValueError, NotImplementedError, KeyError, IndexError, RecursionError):
+            pass
