@@ -5754,7 +5754,7 @@ def _bm25_idfmap_values() -> str:
     from iceberg_python_spark.operators.retrieval import exact_idf_micro
 
     rows = []
-    for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
         p = os.path.join(d, "documents.parquet")
         if not os.path.exists(p):
             continue
