@@ -139,7 +139,10 @@ def bm25_topk(
     (from :func:`build_postings`) to amortize the corpus pass across
     query batches."""
     if postings is None:
-        postings = build_postings(docs, text_col, id_col)
+        # three consumers read the postings (corpus stats, the idf
+        # df collect, the scored query) — materialize once instead of
+        # re-running the corpus explode per consumer
+        postings = build_postings(docs, text_col, id_col).localCheckpoint(eager=True)
     # corpus constants: two scalars — metadata-sized driver work
     stats = postings.groupBy(id_col).agg(F.first("dl").alias("dl")).agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
