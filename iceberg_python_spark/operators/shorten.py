@@ -150,6 +150,16 @@ def decode_shorten(data: bytes) -> Tuple[np.ndarray, int]:
     maxnlpc = br.ulong()
     nmean = br.ulong()
     nskip = br.ulong()
+    # header sanity caps: a crafted stream must raise ValueError, not
+    # allocate a 2^60-element buffer (MemoryError would escape the
+    # codec family's per-payload error capture) — same contract as the
+    # PDF cycle guards. Real shorten streams sit far below these.
+    if not 1 <= nchan <= 64:
+        raise ValueError(f"shorten: implausible channel_count {nchan}")
+    if not 1 <= blocksize <= 1 << 20:
+        raise ValueError(f"shorten: implausible blocksize {blocksize}")
+    if maxnlpc > 1024 or nmean > 1 << 16 or nskip > 1 << 20:
+        raise ValueError("shorten: implausible header (maxnlpc/nmean/nskip)")
     for _ in range(nskip):
         br.uvar(XBYTESIZE)
     lpcqoffset = 1 << (LPCQUANT - 1)

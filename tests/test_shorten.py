@@ -143,3 +143,34 @@ def test_shorten_roundtrip_property(data, nchan, blocksize, nmean, cmds):
     enc = encode_shorten(x, blocksize=blocksize, nmean=nmean, commands=cmds)
     dec, _ = decode_shorten(enc)
     assert dec.shape == x.shape and np.array_equal(dec, x)
+
+
+def test_crafted_header_raises_not_allocates():
+    """A crafted header requesting absurd blocksize/channels raises
+    ValueError instead of attempting a huge allocation (MemoryError
+    would escape the codec family's per-payload error capture)."""
+    from iceberg_python_spark.operators.shorten import _BitWriter, _MAGIC
+
+    def stream(ftype=5, nchan=1, blocksize=1 << 40, maxnlpc=0, nmean=0, nskip=0):
+        bw = _BitWriter()
+        for v in (ftype, nchan, blocksize, maxnlpc, nmean, nskip):
+            bw.ulong(v)
+        return _MAGIC + bytes([2]) + bw.bytes_()
+
+    with pytest.raises(ValueError, match="blocksize"):
+        decode_shorten(stream())
+    with pytest.raises(ValueError, match="channel_count"):
+        decode_shorten(stream(blocksize=256, nchan=10_000))
+    with pytest.raises(ValueError, match="implausible header"):
+        decode_shorten(stream(blocksize=256, maxnlpc=1 << 30))
+
+
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=120, deadline=None)
+def test_shorten_garbage_never_allocates_or_hangs(payload):
+    """Fuzz: arbitrary bytes after the magic either decode or raise
+    ValueError/NotImplementedError — never MemoryError, never a hang."""
+    try:
+        decode_shorten(b"ajkg\x02" + payload)
+    except (ValueError, NotImplementedError):
+        pass
