@@ -694,6 +694,8 @@ def quantize_embeddings(
     if not stats:
         raise ValueError("quantize_embeddings: empty or all-null vector column")
     d = max(stats) + 1
+    if d > 16384:  # the codebook becomes plan literals — keep it sane
+        raise ValueError(f"quantize_embeddings: dimension {d} exceeds 16384")
     mins = [stats[i][0] for i in range(d)]
     maxs = [stats[i][1] for i in range(d)]
     lo_arr = F.array(*[F.lit(v).cast("double") for v in mins])
