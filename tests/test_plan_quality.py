@@ -313,6 +313,11 @@ def test_r14_operator_plans(spark):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan
     assert "LOG(" not in plan.upper() and " LN(" not in plan.upper()
+    # r15: the scoring is float-FREE — the tf factor is one exact
+    # integer division on decimal(38,0); no double cast touches the
+    # idf/score path anywhere in the plan
+    assert " div " in plan
+    assert "as double" not in plan.lower()
 
     emb = spark.createDataFrame(
         [(i, [float(i % 13), float(i % 7), float(i % 3)]) for i in range(200)],
