@@ -81,8 +81,13 @@ def check_expectations(df: DataFrame, rules: Sequence[Dict[str, Any]]) -> DataFr
     # one pass computes n_rows AND every simple rule's violation count
     aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
     for i, r in enumerate(simple):
+        # coalesce: SUM over ZERO rows is NULL — an empty ingest batch
+        # is exactly when a quality gate runs, and it must report
+        # 0 violations, not crash on int(None) (ADVICE r14 #3)
         aggs.append(
-            F.sum(F.when(_violation_expr(r), 1).otherwise(0)).cast("long").alias(f"_v{i}")
+            F.coalesce(F.sum(F.when(_violation_expr(r), 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"_v{i}")
         )
     row = df.agg(*aggs).collect()[0]
     n_rows = int(row["_n"])

@@ -131,6 +131,28 @@ def _rounded_shift_down(x: int, n: int) -> int:
     return x if n == 0 else ((x >> (n - 1)) + 1) >> 1
 
 
+def _c_div(a: int, b: int) -> int:
+    """C integer division: truncate toward zero. shorten.c computes
+    the running-mean offsets with C ``/``; Python ``//`` floors and
+    differs by 1 whenever the quotient is negative (negative-DC
+    speech blocks) — using it would decode DIFF0/QLPC blocks wrong vs
+    sph2pipe while our own round trips still passed, since the
+    encoder mirrored the same bug (ADVICE r14 #2)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _init_offset(ftype: int) -> int:
+    """Initial running-mean offset per sample type (shorten.c
+    ``init_offset``): unsigned types bias to half range, signed and
+    companded types to 0."""
+    if ftype == TYPE_U8:
+        return 0x80
+    if ftype in (TYPE_U16HL, TYPE_U16LH):
+        return 0x8000
+    return 0
+
+
 def decode_shorten(data: bytes) -> Tuple[np.ndarray, int]:
     """Shorten stream → ``(int32 samples (n_frames, n_channels),
     ftype)``. Samples are the codec's raw integers — the container
@@ -166,7 +188,7 @@ def decode_shorten(data: bytes) -> Tuple[np.ndarray, int]:
     nwrap = max(NWRAP, maxnlpc)
     # per-channel history buffers: [wrap | block]
     bufs = [np.zeros(nwrap + blocksize, dtype=np.int64) for _ in range(nchan)]
-    offsets = [[0] * max(nmean, 1) for _ in range(nchan)]
+    offsets = [[_init_offset(ftype)] * max(nmean, 1) for _ in range(nchan)]
     out: List[List[np.ndarray]] = [[] for _ in range(nchan)]
     chan, bitshift = 0, 0
     while True:
@@ -194,7 +216,7 @@ def decode_shorten(data: bytes) -> Tuple[np.ndarray, int]:
             coffset = offsets[chan][0]
         else:
             s = nmean // 2 + sum(offsets[chan])
-            coffset = _rounded_shift_down(s // nmean, bitshift)
+            coffset = _rounded_shift_down(_c_div(s, nmean), bitshift)
         w = nwrap
         if cmd == FN_ZERO:
             buf[w : w + blocksize] = 0
@@ -231,7 +253,7 @@ def decode_shorten(data: bytes) -> Tuple[np.ndarray, int]:
             # leaves them adjusted too; bit-compatible)
         if nmean > 0:
             s = blocksize // 2 + int(buf[w : w + blocksize].sum())
-            offsets[chan] = offsets[chan][1:] + [(s // blocksize) << bitshift]
+            offsets[chan] = offsets[chan][1:] + [_c_div(s, blocksize) << bitshift]
         buf[w - nwrap : w] = buf[w + blocksize - nwrap : w + blocksize].copy()
         block = buf[w : w + blocksize].copy()
         if bitshift:
@@ -285,7 +307,7 @@ def encode_shorten(
     lpcqoffset = 1 << (LPCQUANT - 1)
     nwrap = max(NWRAP, maxnlpc)
     bufs = [np.zeros(nwrap + blocksize, dtype=np.int64) for _ in range(nchan)]
-    offsets = [[0] * max(nmean, 1) for _ in range(nchan)]
+    offsets = [[_init_offset(ftype)] * max(nmean, 1) for _ in range(nchan)]
     pos, blk_i = 0, 0
     while pos < n:
         cur = min(blocksize, n - pos)
@@ -305,7 +327,7 @@ def encode_shorten(
                 coffset = offsets[chan][0]
             else:
                 s = nmean // 2 + sum(offsets[chan])
-                coffset = _rounded_shift_down(s // nmean, bitshift)
+                coffset = _rounded_shift_down(_c_div(s, nmean), bitshift)
             if cmd == FN_ZERO and block.any():
                 cmd = FN_DIFF1  # ZERO only encodes true silence
             res: List[int] = []
@@ -354,7 +376,7 @@ def encode_shorten(
             buf[w : w + cur] = block
             if nmean > 0:
                 s = cur // 2 + int(block.sum())
-                offsets[chan] = offsets[chan][1:] + [(s // cur) << bitshift]
+                offsets[chan] = offsets[chan][1:] + [_c_div(s, cur) << bitshift]
             buf[w - nwrap : w] = buf[w + cur - nwrap : w + cur].copy()
         pos += cur
         blk_i += 1

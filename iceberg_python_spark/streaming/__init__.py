@@ -739,7 +739,11 @@ def gapfill(
     agg = src.groupBy(*keys, "_b").agg(
         F.count("*").cast("long").alias("n_events"), F.sum("_v").alias("sum_value")
     )
-    span = src.agg(F.min("_b").alias("lo"), F.max("_b").alias("hi")).collect()[0]
+    span = src.agg(
+        F.min("_b").alias("lo"),
+        F.max("_b").alias("hi"),
+        F.approx_count_distinct(F.struct(*keys)).alias("nk"),
+    ).collect()[0]
     if span["lo"] is None:
         return agg.select(
             *keys,
@@ -757,15 +761,19 @@ def gapfill(
         int(span["lo"]), int(span["hi"]) + 1, w_us
     ).select(F.col("id").alias("_b"))
     # broadcast the axis only while it is genuinely broadcast-sized;
-    # past ~1e6 buckets ship the (typically far smaller) distinct-keys
-    # side instead and let the axis stay distributed — broadcasting a
-    # year-at-1s axis (~3e7 rows) funnels it through the driver
-    # (ADVICE r13 / VERDICT r13 #3)
+    # past ~1e6 buckets ship the distinct-keys side instead — but only
+    # hint ITS broadcast while the key cardinality (estimated in the
+    # same span aggregate, ±2%) is broadcast-sized too; with a long
+    # span AND high key cardinality BOTH sides are large, so leave the
+    # cross join unhinted and let AQE choose rather than force the
+    # OOM the axis guard was meant to remove (ADVICE r13 / r14 #4)
     dkeys = src.select(*keys).distinct()
     if n_buckets <= 1_000_000:
         grid = dkeys.crossJoin(F.broadcast(buckets))
-    else:
+    elif int(span["nk"] or 0) <= 1_000_000:
         grid = buckets.crossJoin(F.broadcast(dkeys))
+    else:
+        grid = buckets.crossJoin(dkeys)
     dense = grid.join(agg, [*keys, "_b"], "left").select(
         *keys,
         "_b",

@@ -41,6 +41,14 @@ def test_expectations_counts_and_pass_flags(spark):
         check_expectations(df, [])
     with pytest.raises(ValueError, match="unknown rule"):
         check_expectations(df, [{"rule": "bogus", "column": "id"}])
+    # an EMPTY batch is exactly when a quality gate runs (ADVICE r14
+    # #3): every rule reports 0 violations over 0 rows and passes —
+    # no int(None) crash from NULL sums
+    empty = df.where("id < 0")
+    out = {r["rule"]: (r["violations"], r["n_rows"], r["passed"]) for r in
+           check_expectations(empty, rules).collect()}
+    assert len(out) == 7
+    assert all(v == (0, 0, True) for v in out.values()), out
 
 
 def test_expectations_single_pass_plan(spark):

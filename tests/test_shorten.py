@@ -174,3 +174,71 @@ def test_shorten_garbage_never_allocates_or_hangs(payload):
         decode_shorten(b"ajkg\x02" + payload)
     except (ValueError, NotImplementedError):
         pass
+
+
+def test_c_division_semantics_negative_dc_pin():
+    """ADVICE r14 #2: shorten.c computes running-mean offsets with C
+    division (truncate toward zero); Python // floors and differs by 1
+    on negative block sums. Round trips can't catch it (the encoder
+    mirrored the decoder), so this HANDCRAFTED stream pins the decoder
+    against sample values computed independently with C semantics:
+    three DIFF0 blocks with negative DC, nmean=4. Under floor division
+    block 3 would decode as [-2]*4 instead of [-1]*4."""
+    from iceberg_python_spark.operators.shorten import (
+        ENERGYSIZE,
+        FNSIZE,
+        FN_QUIT,
+        _MAGIC,
+        _BitWriter,
+    )
+
+    bw = _BitWriter()
+    for v in (TYPE_S16LH, 1, 4, 0, 4, 0):  # ftype nchan blocksize maxnlpc nmean nskip
+        bw.ulong(v)
+    for residuals, resn in (([-7] * 4, 3), ([-1] * 4, 1), ([0] * 4, 0)):
+        bw.uvar(FN_DIFF0, FNSIZE)
+        bw.uvar(resn, ENERGYSIZE)
+        for r in residuals:
+            bw.var(r, resn)
+    bw.uvar(FN_QUIT, FNSIZE)
+    stream = _MAGIC + bytes([2]) + bw.bytes_()
+
+    x, ftype = decode_shorten(stream)
+    assert ftype == TYPE_S16LH
+    # block1: offsets [0,0,0,0] -> coffset trunc((2+0)/4)=0 -> [-7]*4,
+    #   update trunc((2-28)/4) = -6 (floor: -7)
+    # block2: coffset trunc((2-6)/4) = -1 -> [-2]*4,
+    #   update trunc((2-8)/4) = -1 (floor: -2)
+    # block3: coffset trunc((2+0+0-6-1)/4) = trunc(-1.25) = -1 -> [-1]*4
+    #   (floor(-1.25) = -2 -> [-2]*4: the bug this test pins out)
+    assert x[:, 0].tolist() == [-7] * 4 + [-2] * 4 + [-1] * 4
+
+
+def test_u8_offset_initializes_to_half_range():
+    """shorten.c init_offset: unsigned types bias the initial running
+    mean to half range (0x80 for TYPE_U8), not 0 — a DIFF0 block of
+    zero residuals with nmean=0 decodes to 128s."""
+    from iceberg_python_spark.operators.shorten import (
+        ENERGYSIZE,
+        FNSIZE,
+        FN_QUIT,
+        TYPE_U8,
+        _MAGIC,
+        _BitWriter,
+    )
+
+    bw = _BitWriter()
+    for v in (TYPE_U8, 1, 4, 0, 0, 0):
+        bw.ulong(v)
+    bw.uvar(FN_DIFF0, FNSIZE)
+    bw.uvar(0, ENERGYSIZE)
+    for _ in range(4):
+        bw.var(0, 0)
+    bw.uvar(FN_QUIT, FNSIZE)
+    x, ftype = decode_shorten(_MAGIC + bytes([2]) + bw.bytes_())
+    assert ftype == TYPE_U8
+    assert x[:, 0].tolist() == [0x80] * 4
+    # and the encoder mirrors the init: U8 round trip stays exact
+    data = (np.arange(64) % 200 + 20).astype(np.int32)
+    y, ft = decode_shorten(encode_shorten(data, ftype=TYPE_U8, nmean=4, blocksize=16))
+    assert ft == TYPE_U8 and np.array_equal(y[:, 0], data)
