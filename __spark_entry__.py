@@ -3070,20 +3070,26 @@ def _q_multimodal_audio_decode(spark, env):
 
 
 def _q_multimodal_audio_containers(spark, env):
-    # late r12, reshaped r14: the legacy speech-corpus CONTAINERS
-    # (AIFF/AIFF-C, Sun/NeXT AU, NIST SPHERE) under the driver's
-    # oracle. Same deterministic tones as the WAV row, cycling NINE
-    # layouts by doc_id % 9: AIFF BE-PCM16 / AIFF-C sowt / AIFF-C fl32
-    # / AIFF-C µ-law, AU BE-PCM16 / AU A-law, SPHERE big-endian PCM /
-    # SPHERE µ-law / SPHERE EMBEDDED-SHORTEN (r14 — the dominant
-    # TIMIT/Switchboard payload, decoded by the from-spec shorten v2
-    # codec in operators/shorten.py; previously a loud gate). Every
-    # payload synthesized by the engine's own writers and decoded
-    # through the magic-dispatch path inside extract_audio_stats.
-    # Claims: all decode, duration/rate/channels exact, centroid
-    # within 30 Hz linear / 250 Hz companded, RMS within 0.02, and the
-    # shortened payloads decode to EXACTLY the int16 samples the plain
-    # PCM writer would store (integer equality, checked in-UDF).
+    # late r12, reshaped r14, extended r15: the legacy speech-corpus
+    # CONTAINERS (AIFF/AIFF-C, Sun/NeXT AU, NIST SPHERE) plus OGG
+    # VORBIS under the driver's oracle. Same deterministic tones as
+    # the WAV row, cycling TEN layouts by doc_id % 10: AIFF BE-PCM16 /
+    # AIFF-C sowt / AIFF-C fl32 / AIFF-C µ-law, AU BE-PCM16 / AU
+    # A-law, SPHERE big-endian PCM / SPHERE µ-law / SPHERE
+    # EMBEDDED-SHORTEN (r14 — decoded by the from-spec shorten v2
+    # codec, C-division semantics r15) / OGG VORBIS (r15 — full
+    # in-stream-codebook decode in operators/vorbis.py; stereo ids
+    # exercise residue-2 + square-polar coupling; previously a loud
+    # gate). Every payload synthesized by the engine's own writers and
+    # decoded through the magic-dispatch path inside
+    # extract_audio_stats. Claims: all decode, duration/rate/channels
+    # exact (vorbis durations round up to the codec's block grid),
+    # centroid within 30 Hz linear / 250 Hz companded, RMS within
+    # 0.02 (vorbis RMS dilutes by its zero-padding, bound checked
+    # in-UDF), shortened payloads decode to EXACTLY the int16 samples
+    # the PCM writer would store, and vorbis payloads reconstruct the
+    # source tone above 25 dB SNR (checked in-UDF — the analysis MDCT
+    # and synthesis IMDCT are exact inverses, not a mirrored check).
     import numpy as np
     import pandas as pd
 
@@ -3094,6 +3100,7 @@ def _q_multimodal_audio_containers(spark, env):
         encode_sphere,
     )
     from iceberg_python_spark.operators.multimodal import extract_audio_stats
+    from iceberg_python_spark.operators.vorbis import decode_ogg_vorbis, encode_ogg_vorbis
 
     docs = (
         env["documents"].scan(selected_fields=("doc_id",)).to_df()
@@ -3110,9 +3117,31 @@ def _q_multimodal_audio_containers(spark, env):
                 x = 0.5 * np.sin(2 * np.pi * freq * t)
                 if d % 2 == 0:
                     x = np.stack([x, x], axis=1)
-                v = d % 9
+                v = d % 10
                 exact = True
-                if v == 0:
+                if v == 9:
+                    # 3200-sample tone: a multiple of the codec's
+                    # 128-sample grid (no pad, duration exactly 400 ms)
+                    # AND an integer cycle count for every v==9
+                    # frequency (380/580/780/980 Hz × 0.4 s), so the
+                    # centroid sits on an exact FFT bin like the PCM
+                    # layouts' 2000-sample tones do
+                    tv = np.arange(3200) / 8000.0
+                    xv = 0.5 * np.sin(2 * np.pi * freq * tv)
+                    if d % 2 == 0:
+                        xv = np.stack([xv, xv], axis=1)
+                    ogg = encode_ogg_vorbis(
+                        xv, 8000, blocksize=256, q_bits=10, coupling=(xv.ndim == 2)
+                    )
+                    dec, _r = decode_ogg_vorbis(ogg)
+                    ref = xv if xv.ndim == 2 else xv[:, None]
+                    snr = 10.0 * np.log10(
+                        float(np.sum(ref**2))
+                        / max(float(np.sum((ref - dec[: len(ref)]) ** 2)), 1e-30)
+                    )
+                    exact = len(dec) == len(ref) and snr > 25.0
+                    payloads.append(ogg)
+                elif v == 0:
                     payloads.append(encode_aiff(x, 8000))
                 elif v == 1:
                     payloads.append(encode_aiff(x, 8000, compression="sowt"))
@@ -3151,13 +3180,20 @@ def _q_multimodal_audio_containers(spark, env):
         F.count("*").alias("n_audio"),
         F.min("decode_ok").alias("all_decoded"),
         F.min(
-            (F.col("duration_ms") == 250)
+            # the vorbis layout uses a 400 ms tone (docstring: exact
+            # block grid + integer FFT cycles)
+            (F.col("duration_ms") == F.when((F.col("id") % 10) == 9, 400).otherwise(250))
             & (F.col("sample_rate") == 8000)
             & (F.col("n_channels") == F.when(F.col("id") % 2 == 0, 2).otherwise(1))
         ).alias("format_ok"),
         F.min(
+            # companded layouts (µ/A-law) and the lossy vorbis layout
+            # get the loose bound: vorbis' ~-50 dB noise floor spread
+            # over all bins dominates an AMPLITUDE-weighted centroid
+            # (~80 Hz drift at 49 dB SNR); its fidelity claim is the
+            # far stronger in-UDF 25 dB SNR against the source tone
             F.abs(F.col("spectral_centroid_hz") - F.col("freq"))
-            < F.when((F.col("id") % 9).isin(3, 5, 7), 250.0).otherwise(30.0)
+            < F.when((F.col("id") % 10).isin(3, 5, 7, 9), 250.0).otherwise(30.0)
         ).alias("centroid_ok"),
         F.min(F.abs(F.col("rms") - 0.5 / math.sqrt(2.0)) < 0.02).alias("rms_ok"),
         F.min("exact").alias("shorten_exact"),

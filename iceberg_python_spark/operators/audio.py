@@ -208,9 +208,30 @@ def decode_audio(data: bytes) -> Tuple[np.ndarray, int]:
     if data[:8] == b"NIST_1A\n":
         return decode_sphere(data)
     if data[:3] == b"ID3" or data[:2] in (b"\xff\xfb", b"\xff\xf3"):
-        raise NotImplementedError("MP3 decode needs an external codec (e.g. pydub/ffmpeg)")
+        # DOCUMENTED CEILING (r15): MPEG-1 Layer III decode requires
+        # ~1,300 entries of normative TABLE DATA (ISO 11172-3 Table
+        # B.7's 34 Huffman code tables and the 512-coefficient
+        # synthesis window of Table B.3) that are data, not formulas.
+        # This sandbox has no codec binary, no network, and no
+        # conformance stream to validate a from-memory transcription
+        # against, and the repo's own shorten lesson (ADVICE r14 #2)
+        # is that mirrored encoder/decoder table errors pass every
+        # self-made fixture — an unvalidatable decoder is worse than
+        # this loud gate. FLAC/JPEG/Shorten were implementable because
+        # their tables are parametric or travel inside the stream.
+        raise NotImplementedError(
+            "MP3 decode needs an external codec (e.g. pydub/ffmpeg): the Layer III "
+            "Huffman tables + synthesis window are normative table data that cannot "
+            "be validated in this environment"
+        )
     if data[:4] == b"OggS":
-        raise NotImplementedError("OGG decode needs an external codec (e.g. soundfile)")
+        # Vorbis codebooks travel IN the stream (canonical assignment
+        # from lengths) and window/MDCT are closed formulas — decoded
+        # natively in vorbis.py. Other Ogg payloads (Opus: CELT/SILK
+        # spec tables) keep the loud gate.
+        from .vorbis import decode_ogg_vorbis
+
+        return decode_ogg_vorbis(data)
     raise NotImplementedError(
         "unsupported audio magic (RIFF/WAVE, FLAC, AIFF, AU, SPHERE decode here)"
     )

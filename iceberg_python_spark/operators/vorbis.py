@@ -1,0 +1,1004 @@
+"""Ogg Vorbis I decoder + minimal spec-faithful encoder.
+
+The second-most-common web-crawl audio container after MP3. Unlike
+MPEG-1 Layer III — whose 34 normative Huffman tables and synthesis
+window are unverifiable TABLE DATA in this sandbox (see the documented
+ceiling in ``audio.decode_audio``) — Vorbis is decodable from first
+principles: every Huffman codebook travels INSIDE the stream's setup
+header (codeword assignment is the spec's canonical
+lowest-unused-codeword rule over transmitted lengths), and the window
+(``sin(π/2·sin²(π(i+½)/n))``) and MDCT are closed formulas. Same
+class of work as the FLAC decoder (`operators/flac.py`).
+
+Implemented from the public Vorbis I specification (Xiph.Org,
+"Vorbis I specification"; Ogg framing per RFC 3533):
+
+- Ogg page parse with CRC-32 (poly 0x04c11db7, unreflected) verified
+  per page; packet reassembly across lacing segments and page spans.
+- Setup: codebooks (ordered/unordered, sparse, VQ lookup types 0/1/2
+  with ``float32_unpack`` and ``lookup1_values``), floor type 1
+  (partition classes, X-list, neighbor/render-point amplitude
+  synthesis), residue types 0/1/2 (cascade passes, classword
+  decode), mappings (channel coupling via square polar), modes.
+- Synthesis: floor curve in the inverse-dB domain (geometric curve
+  pinned to the spec endpoints 1.0649863e-07 → 1.0; Vorbis is lossy,
+  claims are tolerance-based), dot product, IMDCT
+  ``y[j] = Σ X[k]·cos(π/(2n)(2j+1+n/2)(2k+1))`` (cached cosine
+  matrix), windowing incl. long/short lap geometry, overlap-add.
+
+The encoder writes genuinely conformant streams (tiny custom
+codebooks, floor1, residue 1/2, optional coupling) so oracle rows and
+tests can synthesize deterministic payloads; because every table the
+decoder uses is parsed back OUT of those streams, a header misparse
+desyncs loudly instead of mirroring an encoder bug (the shorten
+lesson, ADVICE r14 #2).
+
+Crafted-input contract: malformed structure raises ValueError (never
+MemoryError/RecursionError) — header caps mirror shorten.py's.
+
+No reference counterpart (the reference gates all audio decode on
+external codecs; this is part of the multimodal ingest surface the
+LLM-pipeline side needs).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_CRC_TABLE = None
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg CRC-32: poly 0x04c11db7, init 0, no reflection, no final
+    xor (RFC 3533 / libogg os_checksum)."""
+    global _CRC_TABLE
+    if _CRC_TABLE is None:
+        tbl = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) if (r & 0x80000000) else (r << 1)
+                r &= 0xFFFFFFFF
+            tbl.append(r)
+        _CRC_TABLE = tbl
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _CRC_TABLE[((crc >> 24) & 0xFF) ^ b]
+    return crc
+
+
+def ogg_pages(data: bytes):
+    """Yield (header_type, granule, serial, seq, [segment bytes])
+    per CRC-verified page."""
+    pos = 0
+    while pos < len(data):
+        if data[pos : pos + 4] != b"OggS":
+            raise ValueError("ogg: lost page sync")
+        if len(data) < pos + 27:
+            raise ValueError("ogg: truncated page header")
+        (ver, htype, granule, serial, seq, crc, nsegs) = struct.unpack(
+            "<BBqIIIB", data[pos + 4 : pos + 27]
+        )
+        if ver != 0:
+            raise ValueError(f"ogg: stream structure version {ver}")
+        lacing = data[pos + 27 : pos + 27 + nsegs]
+        if len(lacing) < nsegs:
+            raise ValueError("ogg: truncated lacing table")
+        body_len = sum(lacing)
+        end = pos + 27 + nsegs + body_len
+        if end > len(data):
+            raise ValueError("ogg: truncated page body")
+        page = bytearray(data[pos:end])
+        page[22:26] = b"\0\0\0\0"
+        if _ogg_crc(bytes(page)) != crc:
+            raise ValueError("ogg: page CRC mismatch")
+        segs, off = [], pos + 27 + nsegs
+        for ln in lacing:
+            segs.append((data[off : off + ln], ln))
+            off += ln
+        yield htype, granule, serial, seq, segs
+        pos = end
+
+
+def ogg_packets(data: bytes) -> List[bytes]:
+    """Reassemble the logical packets of the FIRST logical stream."""
+    out: List[bytes] = []
+    cur = bytearray()
+    serial0: Optional[int] = None
+    open_packet = False
+    for htype, _gran, serial, _seq, segs in ogg_pages(data):
+        if serial0 is None:
+            serial0 = serial
+        if serial != serial0:
+            continue
+        if not (htype & 0x01):  # not a continuation page
+            if open_packet:
+                raise ValueError("ogg: packet spans into a non-continuation page")
+        for seg, ln in segs:
+            cur += seg
+            open_packet = True
+            if ln < 255:  # packet ends here
+                out.append(bytes(cur))
+                cur = bytearray()
+                open_packet = False
+    if open_packet:
+        raise ValueError("ogg: final packet unterminated")
+    return out
+
+
+class _BitReader:
+    """Vorbis bit packing: LSB-first within each byte."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            p = self.pos + i
+            byte = p >> 3
+            if byte >= len(self.data):
+                raise ValueError("vorbis: packet exhausted")
+            v |= ((self.data[byte] >> (p & 7)) & 1) << i
+        self.pos += n
+        return v
+
+    def remaining(self) -> int:
+        return len(self.data) * 8 - self.pos
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: List[int] = []
+
+    def write(self, v: int, n: int) -> None:
+        for i in range(n):
+            self.bits.append((v >> i) & 1)
+
+    def bytes_(self) -> bytes:
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j, bit in enumerate(self.bits[i : i + 8]):
+                b |= bit << j
+            out.append(b)
+        return bytes(out)
+
+
+def ilog(x: int) -> int:
+    """Spec ilog: position of the highest set bit (ilog(0)=0)."""
+    return max(x, 0).bit_length()
+
+
+def float32_unpack(x: int) -> float:
+    """Vorbis packed float: 21-bit mantissa, sign, 10-bit exponent."""
+    mant = x & 0x1FFFFF
+    if x & 0x80000000:
+        mant = -mant
+    exp = (x >> 21) & 0x3FF
+    return float(mant) * (2.0 ** (exp - 788))
+
+
+def float32_pack(v: float) -> int:
+    """Inverse of float32_unpack for encoder use (exact for the small
+    integers fixtures quantize with)."""
+    sign = 0
+    if v < 0:
+        sign, v = 0x80000000, -v
+    if v == 0:
+        return 0
+    exp = 788
+    m = v
+    while m != int(m) and exp > 0:
+        m *= 2.0
+        exp -= 1
+    m = int(m)
+    while m > 0x1FFFFF:
+        if m & 1:
+            raise ValueError("float32_pack: value needs >21 mantissa bits")
+        m >>= 1
+        exp += 1
+    return sign | (exp << 21) | m
+
+
+def lookup1_values(entries: int, dims: int) -> int:
+    """Greatest integer v with v**dims <= entries."""
+    v = 1
+    while (v + 1) ** dims <= entries:
+        v += 1
+    return v
+
+
+def assign_codewords(lengths: Sequence[int]) -> Dict[int, Tuple[int, int]]:
+    """Canonical Vorbis codeword assignment: each used entry (in
+    order) receives the LOWEST-valued unused codeword of its length,
+    codewords ordered as binary fractions (first-read bit = MSB).
+    Implemented directly as the tree-splitting rule — an available
+    node at depth d extends with zeros to the target length, releasing
+    each sibling along the path. Returns {entry: (code, len)}."""
+    avail: List[Tuple[int, int]] = [(0, 0)]  # (code, depth), root free
+    out: Dict[int, Tuple[int, int]] = {}
+    single = [i for i, l in enumerate(lengths) if l > 0]
+    for i, l in enumerate(lengths):
+        if l <= 0:
+            continue
+        if not 1 <= l <= 32:
+            raise ValueError(f"vorbis: codeword length {l}")
+        # lowest codeword of length l reachable from any free node of
+        # depth <= l: minimize code as a binary fraction
+        best = None
+        for idx, (c, d) in enumerate(avail):
+            if d > l:
+                continue
+            val = c << (l - d)  # extend with zeros
+            if best is None or val < best[0]:
+                best = (val, idx, c, d)
+        if best is None:
+            raise ValueError("vorbis: over-specified codebook (no free node)")
+        val, idx, c, d = best
+        avail.pop(idx)
+        # descend, freeing the 1-sibling at each level
+        code = c
+        for depth in range(d, l):
+            code <<= 1
+            avail.append((code | 1, depth + 1))
+        out[i] = (code, l)
+    # a codebook with a single used entry is special-cased by the spec
+    # (codeword = 0, 1 bit) — our construction already yields (0, l)
+    if len(single) == 1 and lengths[single[0]] != 1:
+        # tolerated: decoder reads `lengths[e]` bits of zeros
+        pass
+    return out
+
+
+class Codebook:
+    def __init__(self, dims, entries, lengths, lookup_type, min_v=0.0,
+                 delta_v=0.0, seq_p=0, mults=None, value_bits=0):
+        self.dims, self.entries = dims, entries
+        self.lengths = lengths
+        self.codes = assign_codewords(lengths)
+        self.decode_map = {cl: e for e, cl in self.codes.items()}
+        self.lookup_type = lookup_type
+        self.min_v, self.delta_v, self.seq_p = min_v, delta_v, seq_p
+        self.mults = mults or []
+        self.value_bits = value_bits
+        self.vectors: Optional[List[List[float]]] = None
+        if lookup_type == 1:
+            lv = lookup1_values(entries, dims)
+            vecs = []
+            for e in range(entries):
+                last, idx_div, vec = 0.0, 1, []
+                for _d in range(dims):
+                    off = (e // idx_div) % lv
+                    v = self.mults[off] * delta_v + min_v + last
+                    vec.append(v)
+                    if seq_p:
+                        last = v
+                    idx_div *= lv
+                vecs.append(vec)
+            self.vectors = vecs
+        elif lookup_type == 2:
+            vecs = []
+            for e in range(entries):
+                last, vec = 0.0, []
+                for d in range(dims):
+                    v = self.mults[e * dims + d] * delta_v + min_v + last
+                    vec.append(v)
+                    if seq_p:
+                        last = v
+                vecs.append(vec)
+            self.vectors = vecs
+
+    def decode_scalar(self, br: _BitReader) -> int:
+        code, ln = 0, 0
+        for _ in range(33):
+            code = (code << 1) | br.read(1)
+            ln += 1
+            e = self.decode_map.get((code, ln))
+            if e is not None:
+                return e
+        raise ValueError("vorbis: codeword longer than 32 bits")
+
+    def decode_vector(self, br: _BitReader) -> List[float]:
+        if self.vectors is None:
+            raise ValueError("vorbis: scalar codebook used in VQ context")
+        return self.vectors[self.decode_scalar(br)]
+
+
+def _read_codebook(br: _BitReader) -> Codebook:
+    if br.read(24) != 0x564342:
+        raise ValueError("vorbis: codebook sync lost")
+    dims = br.read(16)
+    entries = br.read(24)
+    if dims == 0 or entries == 0 or dims * entries > 1 << 22:
+        raise ValueError("vorbis: implausible codebook dims/entries")
+    ordered = br.read(1)
+    lengths = []
+    if not ordered:
+        sparse = br.read(1)
+        for _ in range(entries):
+            if sparse:
+                lengths.append(br.read(5) + 1 if br.read(1) else 0)
+            else:
+                lengths.append(br.read(5) + 1)
+    else:
+        cur_len = br.read(5) + 1
+        cur = 0
+        while cur < entries:
+            num = br.read(ilog(entries - cur))
+            if cur + num > entries:
+                raise ValueError("vorbis: ordered codebook overrun")
+            lengths += [cur_len] * num
+            cur += num
+            cur_len += 1
+    lookup = br.read(4)
+    if lookup == 0:
+        return Codebook(dims, entries, lengths, 0)
+    if lookup not in (1, 2):
+        raise ValueError(f"vorbis: codebook lookup type {lookup}")
+    min_v = float32_unpack(br.read(32))
+    delta_v = float32_unpack(br.read(32))
+    value_bits = br.read(4) + 1
+    seq_p = br.read(1)
+    n_vals = lookup1_values(entries, dims) if lookup == 1 else entries * dims
+    mults = [br.read(value_bits) for _ in range(n_vals)]
+    return Codebook(dims, entries, lengths, lookup, min_v, delta_v, seq_p, mults, value_bits)
+
+
+class Floor1:
+    def __init__(self, br: _BitReader, n_books: int):
+        parts = br.read(5)
+        self.partition_classes = [br.read(4) for _ in range(parts)]
+        maxc = max(self.partition_classes) if parts else -1
+        self.class_dims, self.class_subs, self.class_master, self.sub_books = [], [], [], []
+        for _ in range(maxc + 1):
+            self.class_dims.append(br.read(3) + 1)
+            subs = br.read(2)
+            self.class_subs.append(subs)
+            self.class_master.append(br.read(8) if subs else -1)
+            books = []
+            for _ in range(1 << subs):
+                books.append(br.read(8) - 1)  # -1 = unused
+            self.sub_books.append(books)
+        self.multiplier = br.read(2) + 1
+        rangebits = br.read(4)
+        xs = [0, 1 << rangebits]
+        for pc in self.partition_classes:
+            for _ in range(self.class_dims[pc]):
+                xs.append(br.read(rangebits))
+        if len(set(xs)) != len(xs):
+            raise ValueError("vorbis: floor1 X list not unique")
+        self.x_list = xs
+        for b in self.class_master + [bb for bs in self.sub_books for bb in bs]:
+            if b >= n_books:
+                raise ValueError("vorbis: floor1 references missing codebook")
+
+
+class Residue:
+    def __init__(self, rtype: int, br: _BitReader, n_books: int):
+        self.rtype = rtype
+        self.begin = br.read(24)
+        self.end = br.read(24)
+        self.part_size = br.read(24) + 1
+        self.classifications = br.read(6) + 1
+        self.classbook = br.read(8)
+        cascades = []
+        for _ in range(self.classifications):
+            high, low = 0, br.read(3)
+            if br.read(1):
+                high = br.read(5)
+            cascades.append((high << 3) | low)
+        self.cascades = cascades
+        self.books: List[List[int]] = []
+        for c in range(self.classifications):
+            row = []
+            for pas in range(8):
+                row.append(br.read(8) if (cascades[c] >> pas) & 1 else -1)
+            self.books.append(row)
+        if self.classbook >= n_books:
+            raise ValueError("vorbis: residue classbook missing")
+
+
+class Mapping:
+    def __init__(self, br: _BitReader, channels: int, n_floors: int, n_residues: int):
+        self.submaps = br.read(4) + 1 if br.read(1) else 1
+        self.coupling: List[Tuple[int, int]] = []
+        if br.read(1):
+            steps = br.read(8) + 1
+            bits = ilog(channels - 1)
+            for _ in range(steps):
+                m, a = br.read(bits), br.read(bits)
+                if m == a or m >= channels or a >= channels:
+                    raise ValueError("vorbis: bad coupling step")
+                self.coupling.append((m, a))
+        if br.read(2) != 0:
+            raise ValueError("vorbis: reserved mapping bits set")
+        self.mux = [br.read(4) for _ in range(channels)] if self.submaps > 1 else [0] * channels
+        self.submap_floor, self.submap_residue = [], []
+        for _ in range(self.submaps):
+            br.read(8)  # unused time config
+            f = br.read(8)
+            r = br.read(8)
+            if f >= n_floors or r >= n_residues:
+                raise ValueError("vorbis: mapping references missing floor/residue")
+            self.submap_floor.append(f)
+            self.submap_residue.append(r)
+
+
+class VorbisSetup:
+    def __init__(self, channels: int, rate: int, bs0: int, bs1: int):
+        self.channels, self.rate = channels, rate
+        self.blocksizes = (bs0, bs1)
+        self.codebooks: List[Codebook] = []
+        self.floors: List[Floor1] = []
+        self.residues: List[Residue] = []
+        self.mappings: List[Mapping] = []
+        self.modes: List[Tuple[int, int]] = []  # (blockflag, mapping)
+
+
+# --- floor 1 amplitude rendering (spec §7.2.3-7.2.4) -------------------------
+
+#: geometric inverse-dB curve pinned to the spec endpoints
+#: (1.0649863e-07 at 0, 1.0 at 255). Vorbis is lossy and every claim
+#: downstream is tolerance-based, so the per-entry rounding of the
+#: spec's printed table (<0.1% relative) is immaterial here.
+_INV_DB = np.exp(np.log(1.0649863e-07) * (255 - np.arange(256)) / 255.0)
+
+
+def _neighbors(xs: List[int], x: int) -> Tuple[int, int]:
+    lo, hi = None, None
+    for i in range(x):
+        if xs[i] < xs[x] and (lo is None or xs[i] > xs[lo]):
+            lo = i
+        if xs[i] > xs[x] and (hi is None or xs[i] < xs[hi]):
+            hi = i
+    if lo is None or hi is None:
+        raise ValueError("vorbis: floor1 X list lacks neighbors")
+    return lo, hi
+
+
+def _render_point(x0: int, y0: int, x1: int, y1: int, x: int) -> int:
+    dy, adx = y1 - y0, x1 - x0
+    err = abs(dy) * (x - x0)
+    off = err // adx
+    return y0 - off if dy < 0 else y0 + off
+
+
+def _render_line(x0: int, y0: int, x1: int, y1: int, out: np.ndarray, n: int) -> None:
+    dy, adx = y1 - y0, x1 - x0
+    base = dy // adx if adx else 0
+    sy = base + 1 if dy > 0 else base - 1
+    # integer Bresenham exactly as the spec writes it
+    x, y, err = x0, y0, 0
+    ady = abs(dy) - abs(base) * adx
+    if x0 < n:
+        out[x0] = _INV_DB[min(y0, 255)]
+    for x in range(x0 + 1, min(x1, n)):
+        err += ady
+        if err >= adx:
+            err -= adx
+            y += sy
+        else:
+            y += base
+        out[x] = _INV_DB[min(max(y, 0), 255)]
+
+
+def _decode_floor1(fl: Floor1, br: _BitReader, books: List[Codebook], n2: int) -> Optional[np.ndarray]:
+    if not br.read(1):
+        return None  # unaudible channel this frame
+    rng = [256, 128, 86, 64][fl.multiplier - 1]
+    ys = [br.read(ilog(rng - 1)), br.read(ilog(rng - 1))]
+    for pc in fl.partition_classes:
+        cdim, cbits = fl.class_dims[pc], fl.class_subs[pc]
+        csub = (1 << cbits) - 1
+        cval = 0
+        if cbits:
+            cval = books[fl.class_master[pc]].decode_scalar(br)
+        for _ in range(cdim):
+            book = fl.sub_books[pc][cval & csub]
+            cval >>= cbits
+            ys.append(books[book].decode_scalar(br) if book >= 0 else 0)
+    # amplitude value synthesis (spec §7.2.4 step 1)
+    xs = fl.x_list
+    n_vals = len(xs)
+    final_y = [0] * n_vals
+    step2 = [False] * n_vals
+    final_y[0], final_y[1] = ys[0], ys[1]
+    step2[0] = step2[1] = True
+    for i in range(2, n_vals):
+        lo, hi = _neighbors(xs, i)
+        pred = _render_point(xs[lo], final_y[lo], xs[hi], final_y[hi], xs[i])
+        val = ys[i]
+        high_room = rng - pred
+        low_room = pred
+        room = min(high_room, low_room) * 2
+        if val:
+            step2[lo] = step2[hi] = step2[i] = True
+            if val >= room:
+                final_y[i] = (val - low_room + pred) if high_room > low_room else (
+                    pred - (val - high_room) - 1
+                )
+            elif val & 1:
+                final_y[i] = pred - ((val + 1) // 2)
+            else:
+                final_y[i] = pred + val // 2
+        else:
+            step2[i] = False
+            final_y[i] = pred
+    # curve synthesis (step 2): piecewise lines over sorted X between
+    # step2-flagged points, in the multiplied dB domain
+    order = sorted(range(n_vals), key=lambda i: xs[i])
+    out = np.zeros(n2, dtype=np.float64)
+    lx, ly = 0, final_y[order[0]] * fl.multiplier
+    hx, hy = lx, ly
+    for i in order[1:]:
+        if step2[i]:
+            hx, hy = xs[i], final_y[i] * fl.multiplier
+            if lx < n2:
+                _render_line(lx, ly, hx, hy, out, n2)
+            lx, ly = hx, hy
+    if hx < n2:  # horizontal fill to the block edge
+        out[max(hx, 0) : n2] = _INV_DB[min(max(hy, 0), 255)]
+    return out
+
+
+# --- residue decode (spec §8.6) ----------------------------------------------
+
+def _decode_residue(res: Residue, br: _BitReader, books: List[Codebook],
+                    do_not_decode: List[bool], n2: int) -> np.ndarray:
+    ch = len(do_not_decode)
+    if res.rtype == 2:
+        vec = _decode_residue_core(res, br, books, [all(do_not_decode)], n2 * ch)
+        out = np.zeros((ch, n2))
+        for j in range(ch):
+            out[j] = vec[0][j::ch]
+        return out
+    return _decode_residue_core(res, br, books, do_not_decode, n2)
+
+
+def _decode_residue_core(res: Residue, br: _BitReader, books: List[Codebook],
+                         do_not_decode: List[bool], n: int) -> np.ndarray:
+    ch = len(do_not_decode)
+    out = np.zeros((ch, n), dtype=np.float64)
+    begin, end = min(res.begin, n), min(res.end, n)
+    if end <= begin:
+        return out
+    psize = res.part_size
+    parts = (end - begin) // psize
+    classbook = books[res.classbook]
+    cw = classbook.dims
+    classifs = [[0] * (parts + cw) for _ in range(ch)]
+    for pas in range(8):
+        if not any((c >> pas) & 1 for c in res.cascades):
+            continue
+        p = 0
+        while p < parts:
+            if pas == 0:
+                for j in range(ch):
+                    if do_not_decode[j]:
+                        continue
+                    temp = classbook.decode_scalar(br)
+                    for i in range(cw - 1, -1, -1):
+                        classifs[j][p + i] = temp % res.classifications
+                        temp //= res.classifications
+            for i in range(cw):
+                if p >= parts:
+                    break
+                for j in range(ch):
+                    if do_not_decode[j]:
+                        continue
+                    c = classifs[j][p]
+                    book = res.books[c][pas]
+                    if book < 0:
+                        continue
+                    cb = books[book]
+                    off = begin + p * psize
+                    if res.rtype == 0:
+                        step = psize // cb.dims
+                        for k in range(step):
+                            v = cb.decode_vector(br)
+                            for d in range(cb.dims):
+                                out[j][off + k + d * step] += v[d]
+                    else:  # types 1 and (flattened) 2
+                        k = 0
+                        while k < psize:
+                            v = cb.decode_vector(br)
+                            for d in range(cb.dims):
+                                out[j][off + k + d] += v[d]
+                            k += cb.dims
+                p += 1
+    return out
+
+
+# --- synthesis ----------------------------------------------------------------
+
+_IMDCT_CACHE: Dict[int, np.ndarray] = {}
+
+
+def _imdct(spec: np.ndarray) -> np.ndarray:
+    """Vorbis IMDCT: y[j] = Σ_k X[k]·cos(π/(2n)·(2j+1+n/2)·(2k+1)),
+    n = 2·len(spec). Cached cosine matrix (fixture-scale blocks)."""
+    n2 = len(spec)
+    n = n2 * 2
+    M = _IMDCT_CACHE.get(n)
+    if M is None:
+        j = np.arange(n)[:, None]
+        k = np.arange(n2)[None, :]
+        M = np.cos(np.pi / (2 * n) * (2 * j + 1 + n2) * (2 * k + 1))
+        _IMDCT_CACHE[n] = M
+    return M @ spec
+
+
+def _vorbis_window(n: int) -> np.ndarray:
+    i = np.arange(n)
+    return np.sin(0.5 * np.pi * np.sin(np.pi / n * (i + 0.5)) ** 2)
+
+
+def decode_ogg_vorbis(data: bytes) -> Tuple[np.ndarray, int]:
+    """Ogg Vorbis stream → (float64 samples (n_frames, n_channels) in
+    [-1, 1], rate)."""
+    packets = ogg_packets(data)
+    if len(packets) < 4:
+        raise ValueError("vorbis: need ident/comment/setup + audio packets")
+    setup = _parse_headers(packets[0], packets[1], packets[2])
+    ch = setup.channels
+    bs = setup.blocksizes
+    blocks: List[Tuple[int, np.ndarray]] = []  # (absolute start, (ch, n))
+    start = 0
+    prev_n: Optional[int] = None
+    for pkt in packets[3:]:
+        br = _BitReader(pkt)
+        if br.read(1) != 0:
+            raise ValueError("vorbis: audio packet with header packtype")
+        mode_i = br.read(ilog(len(setup.modes) - 1)) if len(setup.modes) > 1 else 0
+        blockflag, map_i = setup.modes[mode_i]
+        n = bs[blockflag]
+        long_prev = long_next = 1
+        if blockflag:
+            long_prev = br.read(1)
+            long_next = br.read(1)
+        mapping = setup.mappings[map_i]
+        n2 = n // 2
+        floors: List[Optional[np.ndarray]] = []
+        no_residue = []
+        for c in range(ch):
+            sub = mapping.mux[c]
+            fl = setup.floors[mapping.submap_floor[sub]]
+            f = _decode_floor1(fl, br, setup.codebooks, n2)
+            floors.append(f)
+            no_residue.append(f is None)
+        # coupling: a coupled pair decodes if EITHER side is audible
+        for (m, a) in mapping.coupling:
+            if not (no_residue[m] and no_residue[a]):
+                no_residue[m] = no_residue[a] = False
+        residues = np.zeros((ch, n2))
+        for sub in range(mapping.submaps):
+            idx = [c for c in range(ch) if mapping.mux[c] == sub]
+            dnd = [no_residue[c] for c in idx]
+            res = setup.residues[mapping.submap_residue[sub]]
+            dec = _decode_residue(res, br, setup.codebooks, dnd, n2)
+            for k, c in enumerate(idx):
+                residues[c] = dec[k]
+        # inverse coupling (square polar, spec §4.3.5), last step first
+        for (mi, ai) in reversed(mapping.coupling):
+            M, A = residues[mi], residues[ai]
+            newM, newA = M.copy(), M.copy()
+            pos = M > 0
+            apos = A > 0
+            newA[pos & apos] = M[pos & apos] - A[pos & apos]
+            newM[pos & ~apos] = M[pos & ~apos] + A[pos & ~apos]
+            newA[~pos & apos] = M[~pos & apos] + A[~pos & apos]
+            newM[~pos & ~apos] = M[~pos & ~apos] - A[~pos & ~apos]
+            residues[mi], residues[ai] = newM, newA
+        # dot product + IMDCT + window
+        win = _window_for(n, bs[0], blockflag, long_prev, long_next)
+        pcm = np.zeros((ch, n))
+        for c in range(ch):
+            if floors[c] is None:
+                continue
+            pcm[c] = _imdct(residues[c] * floors[c]) * win
+        # absolute placement: consecutive block centers advance by
+        # n_prev/4 + n_cur/4, so start_{i+1} = start_i + 3n_prev/4 − n_cur/4
+        if prev_n is not None:
+            start = start + 3 * prev_n // 4 - n // 4
+        blocks.append((start, pcm))
+        prev_n = n
+    if len(blocks) < 2:
+        return np.zeros((0, ch)), setup.rate
+    total = blocks[-1][0] + blocks[-1][1].shape[1]
+    acc = np.zeros((ch, total))
+    for st, pcm in blocks:
+        acc[:, st : st + pcm.shape[1]] += pcm
+    # valid data spans center of the first block to center of the last
+    first_c = blocks[0][1].shape[1] // 2
+    last_c = blocks[-1][0] + blocks[-1][1].shape[1] // 2
+    out = acc[:, first_c:last_c].T
+    return np.clip(out, -1.0, 1.0), setup.rate
+
+
+def _window_for(n: int, n_short: int, blockflag: int, long_prev: int, long_next: int) -> np.ndarray:
+    """Block window with lap slopes shaped by the neighbor flags
+    (spec §4.3.1): a long block lapped against a short neighbor
+    compresses that slope to the short width, centered on the
+    quarter-points, with zeros outside and ones between."""
+    full = _vorbis_window(n)
+    if not blockflag or (long_prev and long_next):
+        return full
+    w = np.ones(n)
+    s = _vorbis_window(n_short)
+    if long_prev:
+        w[: n // 2] = full[: n // 2]
+    else:
+        ls = n // 4 - n_short // 4
+        w[:ls] = 0.0
+        w[ls : ls + n_short // 2] = s[: n_short // 2]
+    if long_next:
+        w[n // 2 :] = full[n // 2 :]
+    else:
+        rs = 3 * n // 4 - n_short // 4
+        w[rs : rs + n_short // 2] = s[n_short // 2 :]
+        w[rs + n_short // 2 :] = 0.0
+    return w
+
+
+def _parse_headers(ident: bytes, comment: bytes, setup_pkt: bytes) -> VorbisSetup:
+    if ident[:7] != b"\x01vorbis":
+        raise ValueError("vorbis: bad identification header")
+    if comment[:7] != b"\x03vorbis":
+        raise ValueError("vorbis: bad comment header")
+    if setup_pkt[:7] != b"\x05vorbis":
+        raise ValueError("vorbis: bad setup header")
+    br = _BitReader(ident[7:])
+    if br.read(32) != 0:
+        raise ValueError("vorbis: stream version != 0")
+    channels = br.read(8)
+    rate = br.read(32)
+    if not 1 <= channels <= 32 or not 1 <= rate <= 768000:
+        raise ValueError("vorbis: implausible channels/rate")
+    br.read(32), br.read(32), br.read(32)  # bitrate max/nominal/min
+    bs0 = 1 << br.read(4)
+    bs1 = 1 << br.read(4)
+    if not (64 <= bs0 <= 8192 and bs0 <= bs1 <= 8192):
+        raise ValueError("vorbis: bad blocksizes")
+    if br.read(1) != 1:
+        raise ValueError("vorbis: ident framing bit unset")
+    st = VorbisSetup(channels, rate, bs0, bs1)
+    br = _BitReader(setup_pkt[7:])
+    n_books = br.read(8) + 1
+    for _ in range(n_books):
+        st.codebooks.append(_read_codebook(br))
+    for _ in range(br.read(6) + 1):  # time transforms (placeholders)
+        if br.read(16) != 0:
+            raise ValueError("vorbis: nonzero time transform")
+    for _ in range(br.read(6) + 1):
+        ftype = br.read(16)
+        if ftype != 1:
+            raise NotImplementedError("vorbis: floor type 0 (LSP) not implemented")
+        st.floors.append(Floor1(br, len(st.codebooks)))
+    for _ in range(br.read(6) + 1):
+        rtype = br.read(16)
+        if rtype not in (0, 1, 2):
+            raise ValueError(f"vorbis: residue type {rtype}")
+        st.residues.append(Residue(rtype, br, len(st.codebooks)))
+    for _ in range(br.read(6) + 1):
+        mtype = br.read(16)
+        if mtype != 0:
+            raise ValueError(f"vorbis: mapping type {mtype}")
+        st.mappings.append(Mapping(br, channels, len(st.floors), len(st.residues)))
+    for _ in range(br.read(6) + 1):
+        blockflag = br.read(1)
+        if br.read(16) != 0 or br.read(16) != 0:
+            raise ValueError("vorbis: nonzero mode window/transform type")
+        mapping = br.read(8)
+        if mapping >= len(st.mappings):
+            raise ValueError("vorbis: mode references missing mapping")
+        st.modes.append((blockflag, mapping))
+    if br.read(1) != 1:
+        raise ValueError("vorbis: setup framing bit unset")
+    return st
+
+
+# --- minimal spec-faithful encoder (fixture/oracle payloads) -------------------
+
+def _wcode(bw: _BitWriter, code: int, ln: int) -> None:
+    """Emit a Huffman codeword: the decoder folds stream bits MSB-first
+    (code = code<<1 | bit), so the encoder writes MSB..LSB."""
+    for i in range(ln - 1, -1, -1):
+        bw.write((code >> i) & 1, 1)
+
+
+def _lacing(n: int) -> bytes:
+    segs = [255] * (n // 255) + [n % 255]
+    return bytes(segs)
+
+
+def _ogg_wrap(packets: Sequence[bytes], serial: int = 0x5047) -> bytes:
+    """One packet per page; BOS on the first, EOS on the last."""
+    out = bytearray()
+    for i, pkt in enumerate(packets):
+        htype = (0x02 if i == 0 else 0) | (0x04 if i == len(packets) - 1 else 0)
+        granule = i * 4096
+        lac = _lacing(len(pkt))
+        head = b"OggS" + struct.pack("<BBqIIIB", 0, htype, granule, serial, i, 0, len(lac))
+        page = bytearray(head + lac + pkt)
+        crc = _ogg_crc(bytes(page))
+        page[22:26] = struct.pack("<I", crc)
+        out += page
+    return bytes(out)
+
+
+def _write_codebook(bw: _BitWriter, dims: int, entries: int, lengths: Sequence[int],
+                    lookup: int, min_v: float = 0.0, delta_v: float = 0.0,
+                    value_bits: int = 0, mults: Sequence[int] = ()) -> None:
+    bw.write(0x564342, 24)
+    bw.write(dims, 16)
+    bw.write(entries, 24)
+    bw.write(0, 1)  # not ordered
+    bw.write(0, 1)  # not sparse
+    for l in lengths:
+        bw.write(l - 1, 5)
+    bw.write(lookup, 4)
+    if lookup:
+        bw.write(float32_pack(min_v), 32)
+        bw.write(float32_pack(delta_v), 32)
+        bw.write(value_bits - 1, 4)
+        bw.write(0, 1)  # sequence_p
+        for m in mults:
+            bw.write(m, value_bits)
+
+
+def encode_ogg_vorbis(
+    samples: np.ndarray,
+    rate: int,
+    blocksize: int = 256,
+    q_bits: int = 6,
+    coupling: bool = False,
+) -> bytes:
+    """Conformant single-mode Ogg Vorbis writer: long blocks only,
+    floor1 as a constant gain line, residues quantized to a 2^q_bits
+    integer codebook (residue type 1, or type 2 when ``coupling`` —
+    magnitude = the mono mix, angle = 0, i.e. the square-polar pair
+    that decodes to identical L/R). Analysis is the exact forward MDCT
+    (scale 4/n, numerically verified TDAC inverse of the decoder), so
+    decode(encode(x)) ≈ x to quantization error — an SNR claim against
+    the ORIGINAL signal, not a mirrored round trip."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, n2 = blocksize, blocksize // 2
+    ch = x.shape[1]
+    if coupling and ch != 2:
+        raise ValueError("coupling fixture needs exactly 2 channels")
+    if n & (n - 1) or not 64 <= n <= 8192:
+        raise ValueError("blocksize must be a power of two in [64, 8192]")
+    # pad both ends by n2 (the decoder discards the outer half-blocks)
+    pad = (-len(x)) % n2
+    xp = np.concatenate([np.zeros((n2, ch)), x, np.zeros((pad + n2, ch))])
+    nblocks = len(xp) // n2 - 1
+    w = _vorbis_window(n)
+    _ = _imdct(np.zeros(n2))  # prime the cosine cache
+    M = _IMDCT_CACHE[n]
+    spectra = np.zeros((nblocks, ch, n2))
+    for t in range(nblocks):
+        blk = xp[t * n2 : t * n2 + n]
+        spectra[t] = (4.0 / n) * (M.T @ (w[:, None] * blk)).T
+    if coupling:
+        # magnitude = mean(L, R) of the (identical-channel) fixture;
+        # angle = 0 decodes back to L = R = magnitude
+        mono = spectra.mean(axis=1)
+        spectra = np.stack([mono, np.zeros_like(mono)], axis=1)
+    qmax = (1 << (q_bits - 1)) - 1
+    peak = float(np.max(np.abs(spectra))) if spectra.size else 0.0
+    req = peak / qmax if qmax else 0.0
+    g_idx = int(np.searchsorted(_INV_DB, req)) if req > 0 else 0
+    g_idx = min(g_idx, 255)
+    gain = float(_INV_DB[g_idx])
+    res = np.clip(np.round(spectra / gain), -(qmax + 1), qmax).astype(np.int64)
+
+    rtype = 2 if coupling else 1
+    psize = min(n2, 16)
+    parts = (n2 * ch) // psize if rtype == 2 else n2 // psize
+    entries = 1 << q_bits
+    # codebook 0: classbook (one classword covers every partition)
+    # codebook 1: scalar residue values -2^(q-1) .. 2^(q-1)-1
+    rangebits = n2.bit_length() - 1  # x1 == n2: the line spans the block
+
+    bw = _BitWriter()
+    bw.write(2 - 1, 8)  # codebook count - 1
+    _write_codebook(bw, dims=parts, entries=1, lengths=[1], lookup=0)
+    _write_codebook(
+        bw, dims=1, entries=entries, lengths=[q_bits] * entries, lookup=2,
+        min_v=float(-(qmax + 1)), delta_v=1.0, value_bits=q_bits,
+        mults=list(range(entries)),
+    )
+    bw.write(0, 6)  # time count - 1
+    bw.write(0, 16)
+    bw.write(0, 6)  # floor count - 1
+    bw.write(1, 16)  # floor type 1
+    bw.write(0, 5)  # 0 partitions
+    bw.write(0, 2)  # multiplier - 1
+    bw.write(rangebits, 4)
+    bw.write(0, 6)  # residue count - 1
+    bw.write(rtype, 16)
+    bw.write(0, 24)  # begin
+    bw.write(n2 * ch if rtype == 2 else n2, 24)  # end
+    bw.write(psize - 1, 24)
+    bw.write(0, 6)  # classifications - 1
+    bw.write(0, 8)  # classbook = codebook 0
+    bw.write(1, 3)  # cascade low bits: pass 0 only
+    bw.write(0, 1)  # no high bits
+    bw.write(1, 8)  # pass-0 book = codebook 1
+    bw.write(0, 6)  # mapping count - 1
+    bw.write(0, 16)  # mapping type 0
+    bw.write(0, 1)  # one submap
+    if coupling:
+        bw.write(1, 1)
+        bw.write(0, 8)  # one coupling step
+        bits = ilog(ch - 1)
+        bw.write(0, bits)  # magnitude = ch 0
+        bw.write(1, bits)  # angle = ch 1
+    else:
+        bw.write(0, 1)
+    bw.write(0, 2)  # reserved
+    bw.write(0, 8)  # time config (unused)
+    bw.write(0, 8)  # submap floor
+    bw.write(0, 8)  # submap residue
+    bw.write(0, 6)  # mode count - 1
+    bw.write(0, 1)  # blockflag 0
+    bw.write(0, 16)
+    bw.write(0, 16)
+    bw.write(0, 8)  # mapping 0
+    bw.write(1, 1)  # framing
+    setup_pkt = b"\x05vorbis" + bw.bytes_()
+
+    bw = _BitWriter()
+    bw.write(0, 32)
+    bw.write(ch, 8)
+    bw.write(rate, 32)
+    bw.write(0, 32), bw.write(0, 32), bw.write(0, 32)
+    bw.write(n.bit_length() - 1, 4)
+    bw.write(n.bit_length() - 1, 4)
+    bw.write(1, 1)
+    ident_pkt = b"\x01vorbis" + bw.bytes_()
+
+    vendor = b"iceberg_python_spark vorbis fixture"
+    bw = _BitWriter()
+    bw.write(len(vendor), 32)
+    for b in vendor:
+        bw.write(b, 8)
+    bw.write(0, 32)  # no user comments
+    bw.write(1, 1)
+    comment_pkt = b"\x03vorbis" + bw.bytes_()
+
+    value_codes = assign_codewords([q_bits] * entries)
+    class_code = assign_codewords([1])[0]
+    packets = [ident_pkt, comment_pkt, setup_pkt]
+    for t in range(nblocks):
+        bw = _BitWriter()
+        bw.write(0, 1)  # audio packtype
+        # 1 mode -> 0 mode bits; blockflag 0 -> no window flags
+        for _c in range(ch):  # floor: constant line y0 = y1 = g_idx
+            bw.write(1, 1)
+            bw.write(g_idx, 8)
+            bw.write(g_idx, 8)
+        if rtype == 2:
+            vec = res[t].T.reshape(-1)  # interleave channels
+            _wcode(bw, *class_code)  # one classword, one "channel"
+            for i in range(parts):
+                for v in vec[i * psize : (i + 1) * psize]:
+                    c, ln = value_codes[int(v) + qmax + 1]
+                    _wcode(bw, c, ln)
+        else:
+            for _c in range(ch):
+                _wcode(bw, *class_code)
+            for i in range(parts):
+                for c_i in range(ch):
+                    for v in res[t][c_i][i * psize : (i + 1) * psize]:
+                        c, ln = value_codes[int(v) + qmax + 1]
+                        _wcode(bw, c, ln)
+        packets.append(b"" + bw.bytes_())
+    return _ogg_wrap(packets)
