@@ -650,7 +650,15 @@ def decode_ogg_vorbis(data: bytes) -> Tuple[np.ndarray, int]:
     blocks: List[Tuple[int, np.ndarray]] = []  # (absolute start, (ch, n))
     start = 0
     prev_n: Optional[int] = None
+    total_samples = 0
     for pkt in packets[3:]:
+        # crafted-stream amplification cap: a few-byte audio packet
+        # expands to blocksize×channels floats; bound the expansion so
+        # a malicious stream raises ValueError instead of exhausting
+        # memory (same contract as the shorten header caps)
+        total_samples += setup.blocksizes[1] * ch
+        if total_samples > 200_000_000:
+            raise ValueError("vorbis: stream exceeds the decode size cap")
         br = _BitReader(pkt)
         if br.read(1) != 0:
             raise ValueError("vorbis: audio packet with header packtype")
@@ -709,7 +717,13 @@ def decode_ogg_vorbis(data: bytes) -> Tuple[np.ndarray, int]:
         prev_n = n
     if len(blocks) < 2:
         return np.zeros((0, ch)), setup.rate
-    total = blocks[-1][0] + blocks[-1][1].shape[1]
+    # a short first block followed by a long one extends BEFORE the
+    # origin — shift the whole timeline so no start is negative
+    # (a negative index would silently wrap the accumulator)
+    shift = -min(st for st, _ in blocks)
+    if shift > 0:
+        blocks = [(st + shift, pcm) for st, pcm in blocks]
+    total = max(st + pcm.shape[1] for st, pcm in blocks)
     acc = np.zeros((ch, total))
     for st, pcm in blocks:
         acc[:, st : st + pcm.shape[1]] += pcm
@@ -1001,4 +1015,170 @@ def encode_ogg_vorbis(
                         c, ln = value_codes[int(v) + qmax + 1]
                         _wcode(bw, c, ln)
         packets.append(b"" + bw.bytes_())
+    return _ogg_wrap(packets)
+
+
+def encode_ogg_vorbis_mixed(
+    samples: np.ndarray,
+    rate: int,
+    long_blocksize: int = 256,
+    short_blocksize: int = 64,
+    pattern: Sequence[int] = (1, 1, 0, 0, 1),
+    q_bits: int = 8,
+) -> bytes:
+    """Two-mode (long/short block) mono writer exercising the decode
+    paths the single-mode encoder cannot: window-flag shaping of long
+    blocks lapped against short neighbors, the variable-start
+    overlap-add geometry (a short→long transition starts BEFORE the
+    previous block's origin), and floor1's partition/class/sub-book
+    decode (one partition, two zero-offset points — the curve stays
+    the constant gain line but travels the full decode path). The
+    analysis MDCT uses the same shaped windows, so TDAC reconstruction
+    is exact (verified to 1e-13 in tests) and decode(encode(x)) is an
+    SNR claim against the original signal."""
+    x = np.asarray(samples, dtype=np.float64).reshape(-1)
+    N, s = long_blocksize, short_blocksize
+    for b in (N, s):
+        if b & (b - 1) or not 64 <= b <= 8192:
+            raise ValueError("blocksizes must be powers of two in [64, 8192]")
+    if s >= N:
+        raise ValueError("short blocksize must be smaller than long")
+    psize = min(s // 2, 16)
+    if (N // 2) % psize or (s // 2) % psize:
+        raise ValueError("partition size must divide both half-blocks")
+    # build the block-size sequence until it covers the signal
+    sizes: List[int] = [N]  # lead with a long block (its left half is lap-discarded)
+    starts = [0]
+    total_needed = None
+    i = 0
+    while True:
+        n_i = N if pattern[i % len(pattern)] else s
+        starts.append(starts[-1] + 3 * sizes[-1] // 4 - n_i // 4)
+        sizes.append(n_i)
+        i += 1
+        first_c = starts[0] + sizes[0] // 2
+        last_c = starts[-1] + sizes[-1] // 2
+        if last_c - first_c >= len(x) + N:
+            total_needed = max(st + n for st, n in zip(starts, sizes))
+            break
+        if i > 16 + 4 * (len(x) // max(s // 2, 1)):
+            raise ValueError("mixed encoder failed to cover the signal")
+    sizes.append(N)  # trail with a long block
+    starts.append(starts[-1] + 3 * sizes[-2] // 4 - N // 4)
+    total_needed = max(total_needed, starts[-1] + N)
+    shift = -min(starts)
+    starts = [st + shift for st in starts]
+    total_needed += shift
+    xp = np.zeros(total_needed)
+    first_c = starts[0] + sizes[0] // 2
+    xp[first_c : first_c + len(x)] = x
+
+    _ = _imdct(np.zeros(N // 2)), _imdct(np.zeros(s // 2))
+    spectra = []
+    for k, (st, n) in enumerate(zip(starts, sizes)):
+        flag = 1 if n == N else 0
+        lp = 1 if (k == 0 or sizes[k - 1] == N) else 0
+        ln_ = 1 if (k == len(sizes) - 1 or sizes[k + 1] == N) else 0
+        w = _window_for(n, s, flag, lp, ln_)
+        spectra.append((4.0 / n) * (_IMDCT_CACHE[n].T @ (w * xp[st : st + n])))
+    qmax = (1 << (q_bits - 1)) - 1
+    peak = max((float(np.max(np.abs(sp))) for sp in spectra), default=0.0)
+    g_idx = min(int(np.searchsorted(_INV_DB, peak / qmax)) if peak > 0 else 0, 255)
+    gain = float(_INV_DB[g_idx])
+    entries = 1 << q_bits
+    cw = (N // 2) // psize
+    rangebits = (N // 2).bit_length() - 1
+    xr = 1 << rangebits
+
+    bw = _BitWriter()
+    bw.write(3 - 1, 8)  # three codebooks
+    _write_codebook(bw, dims=cw, entries=1, lengths=[1], lookup=0)  # classbook
+    _write_codebook(
+        bw, dims=1, entries=entries, lengths=[q_bits] * entries, lookup=2,
+        min_v=float(-(qmax + 1)), delta_v=1.0, value_bits=q_bits,
+        mults=list(range(entries)),
+    )
+    _write_codebook(bw, dims=1, entries=1, lengths=[1], lookup=0)  # floor offsets
+    bw.write(0, 6)
+    bw.write(0, 16)  # one time transform
+    bw.write(0, 6)  # one floor
+    bw.write(1, 16)  # floor type 1
+    bw.write(1, 5)  # ONE partition
+    bw.write(0, 4)  # its class = 0
+    bw.write(2 - 1, 3)  # class 0: two dimensions
+    bw.write(0, 2)  # zero subclass bits -> no masterbook
+    bw.write(2 + 1, 8)  # sub book = codebook 2 (stored +1)
+    bw.write(0, 2)  # multiplier - 1
+    bw.write(rangebits, 4)
+    bw.write(xr // 4, rangebits)  # two extra X points
+    bw.write(xr // 2, rangebits)
+    bw.write(0, 6)  # one residue
+    bw.write(1, 16)  # residue type 1
+    bw.write(0, 24)
+    bw.write(N // 2, 24)
+    bw.write(psize - 1, 24)
+    bw.write(0, 6)
+    bw.write(0, 8)  # classbook 0
+    bw.write(1, 3)
+    bw.write(0, 1)
+    bw.write(1, 8)  # pass-0 value book
+    bw.write(0, 6)  # one mapping
+    bw.write(0, 16)
+    bw.write(0, 1)  # one submap
+    bw.write(0, 1)  # no coupling
+    bw.write(0, 2)
+    bw.write(0, 8)
+    bw.write(0, 8)
+    bw.write(0, 8)
+    bw.write(1, 6)  # TWO modes
+    bw.write(0, 1)  # mode 0: short
+    bw.write(0, 16), bw.write(0, 16), bw.write(0, 8)
+    bw.write(1, 1)  # mode 1: long
+    bw.write(0, 16), bw.write(0, 16), bw.write(0, 8)
+    bw.write(1, 1)
+    setup_pkt = b"\x05vorbis" + bw.bytes_()
+
+    bw = _BitWriter()
+    bw.write(0, 32)
+    bw.write(1, 8)
+    bw.write(rate, 32)
+    bw.write(0, 32), bw.write(0, 32), bw.write(0, 32)
+    bw.write(s.bit_length() - 1, 4)
+    bw.write(N.bit_length() - 1, 4)
+    bw.write(1, 1)
+    ident_pkt = b"\x01vorbis" + bw.bytes_()
+    bw = _BitWriter()
+    bw.write(0, 32)
+    bw.write(0, 32)
+    bw.write(1, 1)
+    comment_pkt = b"\x03vorbis" + bw.bytes_()
+
+    value_codes = assign_codewords([q_bits] * entries)
+    one_bit = assign_codewords([1])[0]
+    packets = [ident_pkt, comment_pkt, setup_pkt]
+    for k, (st, n) in enumerate(zip(starts, sizes)):
+        flag = 1 if n == N else 0
+        lp = 1 if (k == 0 or sizes[k - 1] == N) else 0
+        ln_ = 1 if (k == len(sizes) - 1 or sizes[k + 1] == N) else 0
+        res = np.clip(np.round(spectra[k] / gain), -(qmax + 1), qmax).astype(np.int64)
+        bw = _BitWriter()
+        bw.write(0, 1)
+        bw.write(flag, 1)  # mode number (ilog(1) = 1 bit)
+        if flag:
+            bw.write(lp, 1)
+            bw.write(ln_, 1)
+        # floor: nonzero, y0, y1, then two zero offsets via codebook 2
+        bw.write(1, 1)
+        bw.write(g_idx, 8)
+        bw.write(g_idx, 8)
+        _wcode(bw, *one_bit)
+        _wcode(bw, *one_bit)
+        # residue: one classword, then the clamped partitions
+        _wcode(bw, *one_bit)
+        parts_here = (n // 2) // psize
+        for i in range(parts_here):
+            for v in res[i * psize : (i + 1) * psize]:
+                c, ln2 = value_codes[int(v) + qmax + 1]
+                _wcode(bw, c, ln2)
+        packets.append(bw.bytes_())
     return _ogg_wrap(packets)

@@ -144,3 +144,43 @@ def test_crafted_streams_raise_valueerror():
     for cut in (3, 20, 30, len(good) // 2):
         with pytest.raises(ValueError):
             decode_ogg_vorbis(good[:cut])
+
+
+def test_mixed_long_short_blocks():
+    """Two-mode stream: long blocks window-flag-shaped against short
+    neighbors, variable-start overlap-add (a short-to-long transition
+    reaches BEFORE the previous block's origin), and floor1's
+    partition/class/sub-book path. TDAC holds across every transition
+    — SNR against the original stays quantization-bounded."""
+    from iceberg_python_spark.operators.vorbis import encode_ogg_vorbis_mixed
+
+    rate = 8000
+    t = np.arange(2000)
+    x = 0.5 * np.sin(2 * np.pi * 440.0 * t / rate)
+    for pattern in ((1, 0), (1, 1, 0, 0, 1), (0, 0, 0)):
+        data = encode_ogg_vorbis_mixed(
+            x, rate, long_blocksize=256, short_blocksize=64,
+            pattern=pattern, q_bits=10,
+        )
+        y, r = decode_ogg_vorbis(data)
+        assert r == rate and len(y) >= len(x)
+        snr = _snr(x, y[: len(x), 0])
+        assert snr > 30.0, f"pattern {pattern}: SNR {snr:.1f} dB"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=400), st.integers(0, 200))
+def test_vorbis_garbage_never_allocates_or_hangs(junk, cut):
+    """Crafted-input contract: arbitrary bytes, or a valid stream with
+    junk spliced in, must raise ValueError/NotImplementedError — never
+    MemoryError, RecursionError, or a silent wrong decode."""
+    good = encode_ogg_vorbis(np.zeros(256), 8000, blocksize=128)
+    for payload in (junk, b"OggS" + junk, good[: cut % len(good)] + junk):
+        try:
+            decode_ogg_vorbis(payload)
+        except (ValueError, NotImplementedError):
+            pass
