@@ -184,3 +184,41 @@ def test_vorbis_garbage_never_allocates_or_hangs(junk, cut):
             decode_ogg_vorbis(payload)
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_fingerprint_family_rides_vorbis():
+    """The audio near-dup family consumes decode_audio output, so a
+    clip stored as WAV and the SAME clip re-encoded as Ogg Vorbis must
+    produce overwhelmingly matching fingerprint frame hashes — the
+    whole point of near-dup detection across container re-encodes."""
+    from iceberg_python_spark.operators.audio import decode_audio, encode_wav
+    from iceberg_python_spark.operators.audiofp import fingerprint_samples
+
+    rate = 8000
+    rng = np.random.RandomState(3)
+    t = np.arange(8192)
+    # a multi-tone "music-like" clip (fingerprints need band structure)
+    x = sum(a * np.sin(2 * np.pi * f * t / rate) for a, f in
+            [(0.3, 410.0), (0.2, 950.0), (0.15, 1700.0)])
+    x += 0.02 * rng.randn(len(t))
+    wav_dec, r1 = decode_audio(encode_wav(x, rate))
+    ogg_dec, r2 = decode_audio(encode_ogg_vorbis(x, rate, blocksize=256, q_bits=10))
+    f1 = fingerprint_samples(wav_dec, r1)
+    f2 = fingerprint_samples(ogg_dec[: len(wav_dec)], r2)
+    m = min(len(f1), len(f2))
+    assert m > 10
+    # per-frame BIT agreement (the near-dup metric): marginal band
+    # deltas flip individual sign bits under the -50 dB codec noise,
+    # so exact 31-bit equality is the wrong bar across a lossy
+    # re-encode — bit similarity is what the Hamming-style matcher
+    # consumes
+    xor = np.bitwise_xor(f1[:m], f2[:m])
+    diff_bits = np.array([bin(int(v)).count("1") for v in xor])
+    agreement = 1.0 - diff_bits.mean() / 31.0
+    assert agreement > 0.93, f"bit agreement {agreement:.2%} across containers"
+    # and a genuinely different clip is far away
+    other = 0.4 * np.sin(2 * np.pi * 2600.0 * t / rate)
+    f3 = fingerprint_samples(other, rate)
+    xor3 = np.bitwise_xor(f1[: min(m, len(f3))], f3[: min(m, len(f3))])
+    far = np.array([bin(int(v)).count("1") for v in xor3]).mean() / 31.0
+    assert far > 0.2, f"unrelated clip too close: {1 - far:.2%}"
