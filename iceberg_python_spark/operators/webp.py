@@ -395,7 +395,21 @@ def decode_webp(data: bytes) -> np.ndarray:
         raise ValueError("not a WEBP stream")
     chunk = data[12:16]
     if chunk == b"VP8 ":
-        raise NotImplementedError("lossy WebP (VP8) needs PIL — only VP8L decodes here")
+        # DOCUMENTED CEILING (r15, same class as the MP3 gate in
+        # audio.decode_audio): VP8 intra decode requires RFC 6386's
+        # normative TABLE DATA — the default coefficient-probability
+        # tables (~2k entries), token trees, and quantizer lookup
+        # tables — which are data, not formulas; with no codec binary,
+        # no network, and no conformance bitstream in this sandbox a
+        # from-memory transcription is unvalidatable, and mirrored
+        # encoder/decoder table errors pass every self-made fixture.
+        # VP8L (lossless) decodes natively here because its entropy
+        # codes travel in-stream.
+        raise NotImplementedError(
+            "lossy WebP (VP8) needs PIL: RFC 6386's probability/quantizer tables "
+            "are normative table data that cannot be validated in this environment "
+            "— only VP8L decodes natively here"
+        )
     if chunk == b"VP8X":
         raise NotImplementedError("extended/animated WebP (VP8X) needs PIL")
     if chunk != b"VP8L":
