@@ -418,6 +418,8 @@ class Mapping:
         if br.read(2) != 0:
             raise ValueError("vorbis: reserved mapping bits set")
         self.mux = [br.read(4) for _ in range(channels)] if self.submaps > 1 else [0] * channels
+        if any(m >= self.submaps for m in self.mux):
+            raise ValueError("vorbis: channel mux references missing submap")
         self.submap_floor, self.submap_residue = [], []
         for _ in range(self.submaps):
             br.read(8)  # unused time config
@@ -573,7 +575,11 @@ def _decode_residue_core(res: Residue, br: _BitReader, books: List[Codebook],
     cw = classbook.dims
     classifs = [[0] * (parts + cw) for _ in range(ch)]
     for pas in range(8):
-        if not any((c >> pas) & 1 for c in res.cascades):
+        # pass 0 ALWAYS decodes the classwords (spec §8.6.2) — even
+        # when every cascade's pass-0 bit is clear and no values
+        # decode this pass; skipping it would desync streams whose
+        # books live only in later passes
+        if pas > 0 and not any((c >> pas) & 1 for c in res.cascades):
             continue
         p = 0
         while p < parts:

@@ -222,3 +222,40 @@ def test_fingerprint_family_rides_vorbis():
     xor3 = np.bitwise_xor(f1[: min(m, len(f3))], f3[: min(m, len(f3))])
     far = np.array([bin(int(v)).count("1") for v in xor3]).mean() / 31.0
     assert far > 0.2, f"unrelated clip too close: {1 - far:.2%}"
+
+
+def test_residue_classwords_decode_even_without_pass0_books():
+    """Spec §8.6.2: pass 0 ALWAYS decodes the classwords, even when
+    every cascade's pass-0 bit is clear — a stream whose books live
+    only in pass 1 must not desync. Hand-built residue + bitstream."""
+    from iceberg_python_spark.operators.vorbis import (
+        Codebook,
+        Residue,
+        _BitReader,
+        _BitWriter,
+        _decode_residue_core,
+        _wcode,
+    )
+
+    classbook = Codebook(dims=2, entries=4, lengths=[2, 2, 2, 2], lookup_type=0)
+    # 2-dim VQ book: vectors (-1,-1), (0,0), (1,1), (-1,1)
+    values = Codebook(
+        dims=2, entries=4, lengths=[2, 2, 2, 2], lookup_type=2,
+        min_v=-1.0, delta_v=1.0, mults=[0, 0, 1, 1, 2, 2, 0, 2], value_bits=2,
+    )
+
+    class _R:
+        rtype = 1
+        begin, end, part_size = 0, 8, 4
+        classifications = 2
+        classbook = 0
+        cascades = [0b10, 0b10]  # books in pass 1 ONLY
+        books = [[-1, 1] + [-1] * 6, [-1, 1] + [-1] * 6]
+
+    bw = _BitWriter()
+    _wcode(bw, *classbook.codes[1])  # classes (0, 1): temp = 0*2+1
+    for e in (1, 2, 3, 0):  # partition 0: (0,0),(1,1); partition 1: (-1,1),(-1,-1)
+        _wcode(bw, *values.codes[e])
+    out = _decode_residue_core(_R(), _BitReader(bw.bytes_()), [classbook, values], [False], 8)
+    assert out.shape == (1, 8)
+    assert out[0].tolist() == [0, 0, 1, 1, -1, 1, -1, -1]
