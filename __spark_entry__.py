@@ -4139,14 +4139,18 @@ def _pagerank_oracle(iterations: int = 5) -> str:
     )
     steps = []
     for i in range(1, iterations + 1):
+        # DuckDB sum() over BIGINT returns HUGEINT, which pandas renders as
+        # float64 ("155892.0" vs Spark int64's "155892") — the r15 hash-red.
+        # Cast the aggregate back to BIGINT at every step so pr stays BIGINT
+        # end-to-end (values are bounded by 1e6 * |nodes|, far under 2^63).
         steps.append(
-            f", p{i} AS (SELECT n.node, CAST(150000 AS BIGINT) + coalesce(s.inflow, 0) AS pr "
+            f", p{i} AS (SELECT n.node, CAST(150000 AS BIGINT) + coalesce(s.inflow, CAST(0 AS BIGINT)) AS pr "
             f"FROM n LEFT JOIN (SELECT e.dst AS node, "
-            f"sum((p.pr * 850000) // (1000000 * d.outdeg)) AS inflow "
+            f"CAST(sum((p.pr * 850000) // (1000000 * d.outdeg)) AS BIGINT) AS inflow "
             f"FROM e JOIN p{i-1} p ON p.node = e.src JOIN d ON d.src = e.src "
             f"GROUP BY e.dst) s USING (node))"
         )
-    return head + "".join(steps) + f" SELECT node, pr AS pr_micro FROM p{iterations}"
+    return head + "".join(steps) + f" SELECT node, CAST(pr AS BIGINT) AS pr_micro FROM p{iterations}"
 
 
 def _q_data_expectations(spark, env):
@@ -5624,128 +5628,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lambda spark, sf_dir: fn(spark, _wh(spark, sf_dir))
 
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries. Round-15 window, executing the committed end-of-r14
-    # rotation plan + VERDICT r14 #2 EXACTLY: (1-8) the eight
-    # documented r14 overflow rows, now age-4 — they lead; (9-14) the
-    # six r14 fold rows that were behind the window (first driver
-    # evidence); (15-18) the four late-r14 operators, never driver-
-    # checked; (19-22) this round's code-changed re-greens — bm25_topk
-    # and bm25_incremental (the r14 red rows, oracle rebuilt env-
-    # independent per VERDICT r14 #1), multimodal_audio_containers
-    # (shorten C-division semantics + MP3 layout) and events_gapfill
-    # (broadcast-guard change); (23) the ONE sanctioned r15 fold row
-    # (VERDICT r14 #6 — window arithmetic demanded it: 4 re-greens,
-    # not 3); (24-50) the full age-2 cohort (r12-checked), 27 rows
-    # after the fold absorbed three of them. ZERO new registry rows,
-    # ZERO overflow: every age-3+ row is in-window.
+    # entries. Round-16 window, executing the committed end-of-r15
+    # rotation plan + VERDICT r15 #3 EXACTLY: (1-35) the 35-row
+    # r13-checked tail — age-3 at r16, it MUST lead; (36-37) this
+    # round's code-changed re-greens — graph_pagerank (oracle
+    # output-type fix, VERDICT r15 #1) and multimodal_audio_containers
+    # (Ogg routing contract + vorbis granule/cap/clamp hardening;
+    # multimodal_audio_decode and probe_media_corpus, also
+    # code-changed via decode_audio/probe, are already in the tail);
+    # (38-50) the first 13 of the 46-row r14-checked cohort (age-2) —
+    # the remaining 33 are ordered immediately behind the window and
+    # MUST lead r17. ZERO new registry rows, ZERO overflow: every
+    # age-3+ row is in-window.
     return {
         name: wrap(fn)
         for name, fn in {
-            # --- 1-8: the r14 documented-overflow rows (age-4) ---
-            "text_paragraph_dedup": _q_text_paragraph_dedup,
-            "multimodal_features": _q_multimodal,
-            "events_windowed_agg": _q_events_windowed,
-            "events_sessionize": _q_events_sessionize,
-            "avro_interop_scan": _q_avro_interop,
-            "row_lineage_invariants": _q_row_lineage_invariants,
-            "dedup_stream_neardup": _q_dedup_stream_neardup,
-            "tpch_q1_pricing_summary": _q_q1,
-            # --- 9-14: r14 fold rows, first driver evidence ---
-            "dedup_clusters_combined": _q_dedup_clusters_combined,
-            "quality_classifier_combined": _q_quality_classifier_combined,
-            "pipeline_invariants_combined": _q_pipeline_invariants_combined,
-            "agg_multidim_combined": _q_agg_multidim_combined,
-            "mixture_combined": _q_mixture_combined,
-            "scan_distributed_combined": _q_scan_distributed_combined,
-            # --- 15-18: late-r14 operators, first driver evidence ---
-            "embedding_quantize": _q_embedding_quantize,
-            "orphan_cleanup": _q_orphan_cleanup,
-            "graph_pagerank": _q_graph_pagerank,
-            "data_expectations": _q_data_expectations,
-            # --- 19-22: r15 code-changed re-greens ---
-            "bm25_topk": _q_bm25_topk,
-            "bm25_incremental": _q_bm25_incremental,
-            "multimodal_audio_containers": _q_multimodal_audio_containers,
-            "events_gapfill": _q_events_gapfill,
-            # --- 23: the r15 fold row (first driver evidence) ---
-            "eq_delete_mor_combined": _q_eq_delete_mor_combined,
-            # --- 24-50: the age-2 cohort (r12-checked) ---
-            "tpch_q16_supplier_part_counts": _q_q16_supplier_part_counts,
-            "tpch_q17_small_qty_revenue": _q_q17_small_qty,
-            "tpch_q18_large_orders": _q_q18_large_orders,
-            "tpch_q19_discounted_revenue": _q_q19_discounted_revenue,
-            "tpch_q20_dominant_suppliers": _q_q20_dominant_suppliers,
-            "tpch_q21_waiting_suppliers": _q_q21_waiting_suppliers,
-            "tpch_q22_dormant_accounts": _q_q22_dormant_accounts,
-            "sample_stratified": _q_sample_stratified,
-            "anti_join_customers_no_orders": _q_anti_join_customers,
-            "pivot_order_status": _q_pivot_order_status,
-            "window_rank_family": _q_window_rank_family,
-            "window_topk_per_group": _q_window_topk,
-            "set_ops_nations": _q_set_ops,
-            "delete_cow": _q_delete_cow,
-            "upsert_merge": _q_upsert,
-            "upsert_merge_on_read": _q_upsert_mor,
-            "mor_delete_scan": _q_mor_delete,
-            "dedup_span_removal": _q_dedup_span_removal,
-            "dsir_select": _q_dsir_select,
-            "orc_write_scan": _q_orc_write_scan,
-            "text_chunking": _q_text_chunking,
-            "scan_filter_project": _q_scan_filter_project,
-            "scan_partition_pruned": _q_scan_partition_pruned,
-            "time_travel": _q_time_travel,
-            "events_range_join": _q_events_range_join,
-            "events_time_rollup": _q_events_time_rollup,
-            "meta_combined": _q_meta_combined,
-            # ---------------- behind the window ----------------
-            # r14-window rows (age-1; re-checked by the committed
-            # final-state full-registry sweep each round)
-            "events_transition_matrix": _q_events_transition_matrix,
-            "events_retention_cohorts": _q_events_retention_cohorts,
-            "events_interval_coverage": _q_events_interval_coverage,
-            "url_normalize": _q_url_normalize,
-            "embedding_pca_invariants": _q_embedding_pca_invariants,
-            "phrase_search": _q_phrase_search,
-            "salted_join": _q_salted_join,
-            "image_phash_dedup": _q_image_phash_dedup,
-            "basket_affinity": _q_basket_affinity,
-            "events_rolling_agg": _q_events_rolling_agg,
-            "audio_neardup_dedup": _q_audio_neardup_dedup,
-            "events_mad_outliers": _q_events_mad_outliers,
-            "funnel_stream": _q_funnel_stream,
-            "heavy_hitters_stream": _q_heavy_hitters_stream,
-            "pdf_ingest": _q_pdf_ingest,
-            "bpe_roundtrip": _q_bpe_roundtrip,
-            "bpe_roundtrip_bytes": _q_bpe_roundtrip_bytes,
-            "sketch_refresh": _q_sketch_refresh,
-            "crawl_to_corpus": _q_crawl_to_corpus,
-            "dedup_invariants_combined": _q_dedup_invariants_combined,
-            "multimodal_decode_combined": _q_multimodal_decode_combined,
-            "events_asof_combined": _q_events_asof_combined,
-            "ann_recall_combined": _q_ann_recall_combined,
-            "sketch_invariants_combined": _q_sketch_invariants_combined,
-            "spark_datasource_rt": _q_spark_datasource_rt,
-            "dynamic_partition_overwrite": _q_dpo,
-            "incremental_append_scan": _q_incremental,
-            "schema_evolution_read": _q_schema_evolution,
-            "mor_compacted_scan": _q_mor_compacted,
-            "add_files_partitioned_scan": _q_add_files_scan,
-            "branch_wap_scan": _q_branch_wap_scan,
-            "changelog_scan": _q_changelog_scan,
-            "tpch_q2_min_cost_supplier": _q_q2_min_cost_supplier,
-            "tpch_q3_shipping_priority": _q_q3,
-            "tpch_q4_order_priority": _q_q4_order_priority,
-            "tpch_q5_local_supplier": _q_q5,
-            "tpch_q6_revenue": _q_q6,
-            "tpch_q7_volume_shipping": _q_q7_volume_shipping,
-            "tpch_q8_market_share": _q_q8_market_share,
-            "tpch_q9_product_profit": _q_q9_product_profit,
-            "tpch_q10_returned_items": _q_q10_returned_items,
-            "tpch_q11_important_parts": _q_q11_important_parts,
-            "tpch_q12_priority_lines": _q_q12_priority_lines,
-            "tpch_q13_order_distribution": _q_q13_order_distribution,
-            "tpch_q14_promo_share": _q_q14_promo,
-            "tpch_q15_top_supplier": _q_q15_top_supplier,
+            # --- 1-35: the r13-checked tail (age-3) ---
             "count_fast": _q_count_fast,
             "scan_in_filter": _q_scan_in_filter,
             "scan_limit": _q_scan_limit,
@@ -5781,6 +5679,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_funnel": _q_events_funnel,
             "record_linkage": _q_record_linkage,
             "zorder_curve": _q_zorder_curve,
+            # --- 36-37: r16 code-changed re-greens ---
+            "graph_pagerank": _q_graph_pagerank,
+            "multimodal_audio_containers": _q_multimodal_audio_containers,
+            # --- 38-50: first 13 of the r14-checked cohort (age-2) ---
+            "events_transition_matrix": _q_events_transition_matrix,
+            "events_retention_cohorts": _q_events_retention_cohorts,
+            "events_interval_coverage": _q_events_interval_coverage,
+            "url_normalize": _q_url_normalize,
+            "embedding_pca_invariants": _q_embedding_pca_invariants,
+            "phrase_search": _q_phrase_search,
+            "salted_join": _q_salted_join,
+            "image_phash_dedup": _q_image_phash_dedup,
+            "basket_affinity": _q_basket_affinity,
+            "events_rolling_agg": _q_events_rolling_agg,
+            "audio_neardup_dedup": _q_audio_neardup_dedup,
+            "events_mad_outliers": _q_events_mad_outliers,
+            "funnel_stream": _q_funnel_stream,
+            # ---------------- behind the window ----------------
+            # the remaining 33 r14-checked rows (age-2) — MUST lead r17
+            "heavy_hitters_stream": _q_heavy_hitters_stream,
+            "pdf_ingest": _q_pdf_ingest,
+            "bpe_roundtrip": _q_bpe_roundtrip,
+            "bpe_roundtrip_bytes": _q_bpe_roundtrip_bytes,
+            "sketch_refresh": _q_sketch_refresh,
+            "crawl_to_corpus": _q_crawl_to_corpus,
+            "dedup_invariants_combined": _q_dedup_invariants_combined,
+            "multimodal_decode_combined": _q_multimodal_decode_combined,
+            "events_asof_combined": _q_events_asof_combined,
+            "ann_recall_combined": _q_ann_recall_combined,
+            "sketch_invariants_combined": _q_sketch_invariants_combined,
+            "spark_datasource_rt": _q_spark_datasource_rt,
+            "dynamic_partition_overwrite": _q_dpo,
+            "incremental_append_scan": _q_incremental,
+            "schema_evolution_read": _q_schema_evolution,
+            "mor_compacted_scan": _q_mor_compacted,
+            "add_files_partitioned_scan": _q_add_files_scan,
+            "branch_wap_scan": _q_branch_wap_scan,
+            "changelog_scan": _q_changelog_scan,
+            "tpch_q2_min_cost_supplier": _q_q2_min_cost_supplier,
+            "tpch_q3_shipping_priority": _q_q3,
+            "tpch_q4_order_priority": _q_q4_order_priority,
+            "tpch_q5_local_supplier": _q_q5,
+            "tpch_q6_revenue": _q_q6,
+            "tpch_q7_volume_shipping": _q_q7_volume_shipping,
+            "tpch_q8_market_share": _q_q8_market_share,
+            "tpch_q9_product_profit": _q_q9_product_profit,
+            "tpch_q10_returned_items": _q_q10_returned_items,
+            "tpch_q11_important_parts": _q_q11_important_parts,
+            "tpch_q12_priority_lines": _q_q12_priority_lines,
+            "tpch_q13_order_distribution": _q_q13_order_distribution,
+            "tpch_q14_promo_share": _q_q14_promo,
+            "tpch_q15_top_supplier": _q_q15_top_supplier,
+            # r15-window rows (age-1; re-checked by the committed
+            # final-state full-registry sweep each round)
+            "text_paragraph_dedup": _q_text_paragraph_dedup,
+            "multimodal_features": _q_multimodal,
+            "events_windowed_agg": _q_events_windowed,
+            "events_sessionize": _q_events_sessionize,
+            "avro_interop_scan": _q_avro_interop,
+            "row_lineage_invariants": _q_row_lineage_invariants,
+            "dedup_stream_neardup": _q_dedup_stream_neardup,
+            "tpch_q1_pricing_summary": _q_q1,
+            "dedup_clusters_combined": _q_dedup_clusters_combined,
+            "quality_classifier_combined": _q_quality_classifier_combined,
+            "pipeline_invariants_combined": _q_pipeline_invariants_combined,
+            "agg_multidim_combined": _q_agg_multidim_combined,
+            "mixture_combined": _q_mixture_combined,
+            "scan_distributed_combined": _q_scan_distributed_combined,
+            "embedding_quantize": _q_embedding_quantize,
+            "orphan_cleanup": _q_orphan_cleanup,
+            "data_expectations": _q_data_expectations,
+            "bm25_topk": _q_bm25_topk,
+            "bm25_incremental": _q_bm25_incremental,
+            "events_gapfill": _q_events_gapfill,
+            "eq_delete_mor_combined": _q_eq_delete_mor_combined,
+            "tpch_q16_supplier_part_counts": _q_q16_supplier_part_counts,
+            "tpch_q17_small_qty_revenue": _q_q17_small_qty,
+            "tpch_q18_large_orders": _q_q18_large_orders,
+            "tpch_q19_discounted_revenue": _q_q19_discounted_revenue,
+            "tpch_q20_dominant_suppliers": _q_q20_dominant_suppliers,
+            "tpch_q21_waiting_suppliers": _q_q21_waiting_suppliers,
+            "tpch_q22_dormant_accounts": _q_q22_dormant_accounts,
+            "sample_stratified": _q_sample_stratified,
+            "anti_join_customers_no_orders": _q_anti_join_customers,
+            "pivot_order_status": _q_pivot_order_status,
+            "window_rank_family": _q_window_rank_family,
+            "window_topk_per_group": _q_window_topk,
+            "set_ops_nations": _q_set_ops,
+            "delete_cow": _q_delete_cow,
+            "upsert_merge": _q_upsert,
+            "upsert_merge_on_read": _q_upsert_mor,
+            "mor_delete_scan": _q_mor_delete,
+            "dedup_span_removal": _q_dedup_span_removal,
+            "dsir_select": _q_dsir_select,
+            "orc_write_scan": _q_orc_write_scan,
+            "text_chunking": _q_text_chunking,
+            "scan_filter_project": _q_scan_filter_project,
+            "scan_partition_pruned": _q_scan_partition_pruned,
+            "time_travel": _q_time_travel,
+            "events_range_join": _q_events_range_join,
+            "events_time_rollup": _q_events_time_rollup,
+            "meta_combined": _q_meta_combined,
         }.items()
     }
 
@@ -6190,7 +6190,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pipeline_incremental_invariants": (
             "WITH nrm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "
-            "'[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS nt FROM documents), "
+            r"'[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS nt FROM documents), "
             "ev AS (SELECT DISTINCT nt FROM nrm WHERE doc_id % 2 = 0), "
             "ok AS (SELECT count(*) AS c FROM nrm WHERE doc_id % 2 = 1 "
             "AND nt NOT IN (SELECT nt FROM ev)) "

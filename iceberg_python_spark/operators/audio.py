@@ -191,7 +191,11 @@ def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
 
 
 def decode_audio(data: bytes) -> Tuple[np.ndarray, int]:
-    """Magic-byte dispatch; MP3/OGG raise naming the real codec."""
+    """Magic-byte dispatch. Native decode: WAV family, FLAC, AIFF, AU,
+    SPHERE(+Shorten), Ogg Vorbis. Recognized-but-unsupported codecs
+    (MP3, Ogg Opus/Speex/Theora/FLAC-mapping) raise NotImplementedError
+    NAMING the codec; malformed bytes after a known magic raise
+    ValueError."""
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return decode_wav(data)
     if data[:4] == b"fLaC":
@@ -225,13 +229,44 @@ def decode_audio(data: bytes) -> Tuple[np.ndarray, int]:
             "be validated in this environment"
         )
     if data[:4] == b"OggS":
-        # Vorbis codebooks travel IN the stream (canonical assignment
-        # from lengths) and window/MDCT are closed formulas — decoded
-        # natively in vorbis.py. Other Ogg payloads (Opus: CELT/SILK
-        # spec tables) keep the loud gate.
-        from .vorbis import decode_ogg_vorbis
+        # Route by the FIRST PACKET's codec id header (r16, restoring
+        # the probe<->decoder contract): Vorbis decodes natively
+        # (codebooks travel IN the stream, window/MDCT are closed
+        # formulas — vorbis.py); recognized-but-unsupported codecs get
+        # a NotImplementedError NAMING the codec; malformed bytes
+        # after the OggS magic stay ValueError (the FLAC junk-magic
+        # precedent). The peek shares ogg_pages' CRC/lacing checks.
+        from .vorbis import decode_ogg_vorbis, ogg_first_packet_magic
 
-        return decode_ogg_vorbis(data)
+        magic = ogg_first_packet_magic(data)
+        if magic[:7] == b"\x01vorbis":
+            return decode_ogg_vorbis(data)
+        if magic[:8] == b"OpusHead":
+            # DOCUMENTED CEILING (r16): Opus (RFC 6716) is the same
+            # unvalidatable-table-data class as MP3 — SILK's PDF/
+            # codebook tables and CELT's band allocation + PVQ spread
+            # tables are normative DATA, not formulas, and this
+            # sandbox has no conformance vector to validate a
+            # transcription against (the shorten lesson: mirrored
+            # table errors pass every self-made fixture). probe_media
+            # still reads OpusHead metadata (rate/channels/duration).
+            raise NotImplementedError(
+                "Ogg Opus decode needs an external codec (e.g. opuslib/ffmpeg): "
+                "RFC 6716's SILK codebooks and CELT allocation/PVQ tables are "
+                "normative table data that cannot be validated in this environment"
+            )
+        if magic[:5] == b"\x7fFLAC":
+            raise NotImplementedError(
+                "Ogg-FLAC mapping is not implemented; native FLAC decode "
+                "expects a bare fLaC stream"
+            )
+        if magic[:8] == b"Speex   ":
+            raise NotImplementedError("Ogg Speex decode needs an external codec")
+        if magic[:7] == b"\x80theora":
+            raise NotImplementedError("Ogg Theora is a video codec (no audio decode)")
+        raise NotImplementedError(
+            f"unknown Ogg codec id packet {bytes(magic[:8])!r}"
+        )
     raise NotImplementedError(
         "unsupported audio magic (RIFF/WAVE, FLAC, AIFF, AU, SPHERE decode here)"
     )

@@ -117,7 +117,10 @@ def _probe_ogg(data: bytes) -> Dict[str, Any]:
             dur_ms = int(granule * 1000 / rate)
     return {
         "container": codec, "kind": "audio", "sample_rate": rate,
-        "channels": channels, "duration_ms": dur_ms, "decodable": False,
+        "channels": channels, "duration_ms": dur_ms,
+        # r16 routing contract: Vorbis decodes natively (vorbis.py)
+        # since r15; Opus stays a documented table-data ceiling
+        "decodable": codec == "ogg-vorbis",
     }
 
 

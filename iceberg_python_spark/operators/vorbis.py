@@ -103,6 +103,19 @@ def ogg_pages(data: bytes):
         pos = end
 
 
+def ogg_first_packet_magic(data: bytes) -> bytes:
+    """First 16 bytes of the first page's first segment — enough to
+    identify every registered Ogg codec id header (``\\x01vorbis``,
+    ``OpusHead``, ``\\x7fFLAC``, ``Speex   ``, ``\\x80theora``).
+    Shares ``ogg_pages``'s validation, so malformed bytes after the
+    ``OggS`` magic raise ValueError exactly like the full decode."""
+    for _htype, _gran, _serial, _seq, segs in ogg_pages(data):
+        for seg, _ln in segs:
+            return bytes(seg[:16])
+        return b""
+    return b""
+
+
 def ogg_packets(data: bytes) -> List[bytes]:
     """Reassemble the logical packets of the FIRST logical stream."""
     out: List[bytes] = []
@@ -614,6 +627,15 @@ def _decode_residue_core(res: Residue, br: _BitReader, books: List[Codebook],
                         while k < psize:
                             v = cb.decode_vector(br)
                             for d in range(cb.dims):
+                                # clamp at n (libvorbis behavior): a
+                                # stream whose value-book dims do not
+                                # divide part_size, or whose residue
+                                # end is not dims-aligned, must not
+                                # overrun the row (crafted-input
+                                # contract: structure errors are
+                                # ValueError, never IndexError)
+                                if off + k + d >= n:
+                                    break
                                 out[j][off + k + d] += v[d]
                             k += cb.dims
                 p += 1
@@ -653,24 +675,34 @@ def decode_ogg_vorbis(data: bytes) -> Tuple[np.ndarray, int]:
     setup = _parse_headers(packets[0], packets[1], packets[2])
     ch = setup.channels
     bs = setup.blocksizes
-    blocks: List[Tuple[int, np.ndarray]] = []  # (absolute start, (ch, n))
+    # incremental overlap-add state: acc[:, i] holds absolute sample
+    # position origin + i; blocks are NOT retained (peak memory is the
+    # real output extent + one block, not 2x)
+    acc: Optional[np.ndarray] = None
+    origin = 0
+    length = 0
     start = 0
     prev_n: Optional[int] = None
+    n_blocks = 0
+    first_center: Optional[int] = None
     total_samples = 0
     for pkt in packets[3:]:
-        # crafted-stream amplification cap: a few-byte audio packet
-        # expands to blocksize×channels floats; bound the expansion so
-        # a malicious stream raises ValueError instead of exhausting
-        # memory (same contract as the shorten header caps)
-        total_samples += setup.blocksizes[1] * ch
-        if total_samples > 200_000_000:
-            raise ValueError("vorbis: stream exceeds the decode size cap")
         br = _BitReader(pkt)
         if br.read(1) != 0:
             raise ValueError("vorbis: audio packet with header packtype")
         mode_i = br.read(ilog(len(setup.modes) - 1)) if len(setup.modes) > 1 else 0
         blockflag, map_i = setup.modes[mode_i]
         n = bs[blockflag]
+        # crafted-stream amplification cap: a few-byte audio packet
+        # expands to blocksize×channels floats; bound the expansion so
+        # a malicious stream raises ValueError instead of exhausting
+        # memory (same contract as the shorten header caps). Charges
+        # the ACTUAL block size from the mode bits (ADVICE r15 —
+        # charging blocksizes[1] rejected legitimate mostly-short
+        # streams at a fraction of the cap)
+        total_samples += n * ch
+        if total_samples > 200_000_000:
+            raise ValueError("vorbis: stream exceeds the decode size cap")
         long_prev = long_next = 1
         if blockflag:
             long_prev = br.read(1)
@@ -719,24 +751,39 @@ def decode_ogg_vorbis(data: bytes) -> Tuple[np.ndarray, int]:
         # n_prev/4 + n_cur/4, so start_{i+1} = start_i + 3n_prev/4 − n_cur/4
         if prev_n is not None:
             start = start + 3 * prev_n // 4 - n // 4
-        blocks.append((start, pcm))
         prev_n = n
-    if len(blocks) < 2:
+        n_blocks += 1
+        if first_center is None:
+            first_center = n // 2  # absolute (first block starts at 0)
+        # fold the block in immediately; a short→long transition can
+        # extend BEFORE the current origin (start goes negative), so
+        # the buffer grows at the front too — geometric growth at the
+        # back keeps the total copy cost linear
+        if acc is None:
+            acc = pcm.copy()
+            origin, length = start, n
+        else:
+            if start < origin:
+                acc = np.concatenate(
+                    [np.zeros((ch, origin - start)), acc[:, :length]], axis=1
+                )
+                length += origin - start
+                origin = start
+            rel_end = start - origin + n
+            if rel_end > acc.shape[1]:
+                grow = max(rel_end, 2 * acc.shape[1])
+                acc = np.concatenate(
+                    [acc, np.zeros((ch, grow - acc.shape[1]))], axis=1
+                )
+            length = max(length, rel_end)
+            acc[:, start - origin : start - origin + n] += pcm
+    if n_blocks < 2 or acc is None:
         return np.zeros((0, ch)), setup.rate
-    # a short first block followed by a long one extends BEFORE the
-    # origin — shift the whole timeline so no start is negative
-    # (a negative index would silently wrap the accumulator)
-    shift = -min(st for st, _ in blocks)
-    if shift > 0:
-        blocks = [(st + shift, pcm) for st, pcm in blocks]
-    total = max(st + pcm.shape[1] for st, pcm in blocks)
-    acc = np.zeros((ch, total))
-    for st, pcm in blocks:
-        acc[:, st : st + pcm.shape[1]] += pcm
     # valid data spans center of the first block to center of the last
-    first_c = blocks[0][1].shape[1] // 2
-    last_c = blocks[-1][0] + blocks[-1][1].shape[1] // 2
-    out = acc[:, first_c:last_c].T
+    # (absolute coordinates — correct even when the timeline extends
+    # before the first block's start)
+    last_center = start + prev_n // 2
+    out = acc[:, first_center - origin : last_center - origin].T
     return np.clip(out, -1.0, 1.0), setup.rate
 
 
@@ -836,12 +883,18 @@ def _lacing(n: int) -> bytes:
     return bytes(segs)
 
 
-def _ogg_wrap(packets: Sequence[bytes], serial: int = 0x5047) -> bytes:
-    """One packet per page; BOS on the first, EOS on the last."""
+def _ogg_wrap(packets: Sequence[bytes], serial: int = 0x5047,
+              granules: Optional[Sequence[int]] = None) -> bytes:
+    """One packet per page; BOS on the first, EOS on the last.
+    ``granules[i]`` is page i's spec granule position (RFC 3533 /
+    Vorbis I A.2: cumulative complete PCM samples decodable through
+    that page's last packet; header pages 0) so real Ogg tools read
+    correct duration/seek points from the fixtures. Defaults to 0
+    everywhere — correct for header-only streams."""
     out = bytearray()
     for i, pkt in enumerate(packets):
         htype = (0x02 if i == 0 else 0) | (0x04 if i == len(packets) - 1 else 0)
-        granule = i * 4096
+        granule = int(granules[i]) if granules is not None else 0
         lac = _lacing(len(pkt))
         head = b"OggS" + struct.pack("<BBqIIIB", 0, htype, granule, serial, i, 0, len(lac))
         page = bytearray(head + lac + pkt)
@@ -1021,7 +1074,11 @@ def encode_ogg_vorbis(
                         c, ln = value_codes[int(v) + qmax + 1]
                         _wcode(bw, c, ln)
         packets.append(b"" + bw.bytes_())
-    return _ogg_wrap(packets)
+    # fixed-size lapped blocks: audio packet j (1-based) completes
+    # (j-1)·n/2 samples; the final page's granule equals the decoder's
+    # output length, so probes read the true duration
+    granules = [0, 0, 0] + [a * n2 for a in range(nblocks)]
+    return _ogg_wrap(packets, granules=granules)
 
 
 def encode_ogg_vorbis_mixed(
@@ -1187,4 +1244,11 @@ def encode_ogg_vorbis_mixed(
                 c, ln2 = value_codes[int(v) + qmax + 1]
                 _wcode(bw, c, ln2)
         packets.append(bw.bytes_())
-    return _ogg_wrap(packets)
+    # variable blocks: packet j completes (n_{j-1} + n_j)/4 samples
+    # beyond packet j-1 (the lapped-MDCT advance); first packet 0
+    granules, cum = [0, 0, 0], 0
+    for k in range(len(sizes)):
+        if k > 0:
+            cum += (sizes[k - 1] + sizes[k]) // 4
+        granules.append(cum)
+    return _ogg_wrap(packets, granules=granules)

@@ -64,11 +64,52 @@ def test_audio_stats_centroid_tracks_tone_frequency():
 def test_unsupported_codecs_raise_naming_codec():
     with pytest.raises(NotImplementedError, match="MP3"):
         decode_audio(b"ID3\x04rest")
-    with pytest.raises(NotImplementedError, match="OGG"):
+    # Vorbis decodes since r15 — garbage after the OggS magic is a
+    # corrupt stream (the FLAC junk-magic precedent below)
+    with pytest.raises(ValueError, match="ogg"):
         decode_audio(b"OggS....")
     # FLAC decodes since r11 — garbage after the magic is a corrupt stream
     with pytest.raises(ValueError, match="FLAC"):
         decode_audio(b"fLaC....")
+
+
+def test_ogg_codec_routing_contract():
+    """probe<->decoder contract for Ogg (r16): a WELL-FORMED container
+    whose first packet is a recognized-but-unsupported codec raises
+    NotImplementedError NAMING the codec (Opus gets the table-data
+    ceiling rationale); the probe reads the same id header's metadata."""
+    from iceberg_python_spark.operators.probe import probe_media
+    from iceberg_python_spark.operators.vorbis import _ogg_wrap
+
+    opus_head = b"OpusHead" + bytes([1, 2, 0x38, 1]) + (48000).to_bytes(4, "little") + b"\0\0\0"
+    ogg_opus = _ogg_wrap([opus_head, b"OpusTags\0\0\0\0\0\0\0\0"])
+    with pytest.raises(NotImplementedError, match="Opus"):
+        decode_audio(ogg_opus)
+    meta = probe_media(ogg_opus)
+    assert meta["container"] == "ogg-opus" and meta["sample_rate"] == 48000
+    assert meta["channels"] == 2 and meta["decodable"] is False
+
+    for ident, codec in [
+        (b"\x7fFLAC\x01\x00", "Ogg-FLAC"),
+        (b"Speex   1.2", "Speex"),
+        (b"\x80theora\x03\x02", "Theora"),
+    ]:
+        with pytest.raises(NotImplementedError, match=codec.split("-")[-1]):
+            decode_audio(_ogg_wrap([ident]))
+    # unknown id packet in a valid container: still a loud gate, not a
+    # misleading parse error
+    with pytest.raises(NotImplementedError, match="unknown Ogg codec"):
+        decode_audio(_ogg_wrap([b"XYZCODEC\x00\x01"]))
+
+    # the decodable direction: a real Vorbis stream probes decodable
+    # AND decodes natively — probe and decoder agree per container
+    from iceberg_python_spark.operators.vorbis import encode_ogg_vorbis
+
+    ogg_v = encode_ogg_vorbis(_tone(1024, rate=8000), 8000)
+    meta_v = probe_media(ogg_v)
+    assert meta_v["container"] == "ogg-vorbis" and meta_v["decodable"] is True
+    x, rate = decode_audio(ogg_v)
+    assert rate == 8000 and x.shape[0] > 0
 
 
 def test_extract_audio_stats_spark(spark):

@@ -77,7 +77,9 @@ def test_flac_through_decode_audio_and_extract_audio_stats(spark):
     out = {r.id: r for r in extract_audio_stats(df, "doc_id", "payload").collect()}
     assert out[1].decode_ok and out[1].sample_rate == 8000 and out[1].duration_ms == 500
     assert abs(out[1].spectral_centroid_hz - 500) < 30  # centroid tracks the tone
-    assert not out[2].decode_ok and "OGG" in out[2].error
+    # junk after the OggS magic is a corrupt stream (ValueError from the
+    # page parser), captured per-row — the r16 routing contract
+    assert not out[2].decode_ok and "ogg" in out[2].error
 
 
 from hypothesis import given, settings

@@ -183,6 +183,49 @@ def test_oracle_sql_env_independent():
     assert again == baseline
 
 
+def test_oracle_output_types_bind_and_render_identically():
+    """Registry-wide oracle output-TYPE audit (the r15 graph_pagerank
+    red): DuckDB ``sum()`` over BIGINT returns HUGEINT, which lands in
+    pandas as float64 and renders ``155892.0`` where Spark's int64
+    renders ``155892`` — rows+schema match, value hash dies. Bind
+    EVERY oracle against the real view set and assert no output column
+    is HUGEINT/UHUGEINT/DECIMAL (oracles must cast aggregate-derived
+    integers back to BIGINT in their final select). Binding (not
+    executing) also proves each oracle COMPILES against the bare views
+    — the env-dependence class: functions missing in the installed
+    DuckDB, implicit-cast errors, typo'd view columns."""
+    import os
+
+    import __spark_entry__ as entry
+
+    from .conftest import SF_DIR
+
+    if not os.path.isdir(SF_DIR):
+        pytest.skip(f"testdata not present at {SF_DIR}")
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    forbidden = ("HUGEINT", "UHUGEINT", "DECIMAL")
+    con = duckdb.connect()
+    try:
+        for t in tables:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        bad: list[str] = []
+        for name, sql in entry.oracle_sql().items():
+            rel = con.sql(sql)  # binds (compiles) without executing
+            for col, typ in zip(rel.columns, rel.types):
+                t = str(typ).upper()
+                if any(f in t for f in forbidden):
+                    bad.append(f"{name}.{col}: {t}")
+        assert not bad, (
+            "oracle output columns that pandas renders differently from "
+            "Spark (cast to BIGINT/DOUBLE in the final select): " + "; ".join(bad)
+        )
+    finally:
+        con.close()
+
+
 def test_queries_registry_is_pure():
     """Building the queries() registry (NOT running the queries) must
     not probe the environment either — the driver imports the entry in

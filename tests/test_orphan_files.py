@@ -179,18 +179,22 @@ def test_remove_orphan_files_many_snapshots_plan_bound(spark, catalog):
         t.append(df)
     assert len(t.metadata.snapshots) == 200
 
-    t0 = time.time()
     man_paths = sorted(
         {m["manifest_path"] for s in t.metadata.snapshots for m in t._live_manifests(s)}
     )
+    # the structural claim (ADVICE r16: wall-clock bounds are flaky on
+    # loaded hosts — assert plan SHAPE instead): dedup collapses the 200
+    # snapshots' manifest lists to O(appends) distinct files, and the
+    # referenced-set reads them as ONE relation (a single scan node),
+    # not a per-snapshot union tower
+    assert len(man_paths) <= 200  # deduped: one manifest per append
     refs = (
         spark.read.schema(spark.createDataFrame([], t.inspect._entries_schema()).schema)
         .parquet(*man_paths)
         .select(F.col("file_path").alias("path"))
     )
-    build_s = time.time() - t0
-    assert build_s < 1.0, f"refs plan build took {build_s:.2f}s at 200 snapshots"
-    assert refs.schema is not None
+    plan = refs._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation") == 1 and "Union" not in plan
 
     old = _plant(t, "data/stale-orphan.parquet", age_s=7 * 24 * 3600)
     t0 = time.time()

@@ -259,3 +259,83 @@ def test_residue_classwords_decode_even_without_pass0_books():
     out = _decode_residue_core(_R(), _BitReader(bw.bytes_()), [classbook, values], [False], 8)
     assert out.shape == (1, 8)
     assert out[0].tolist() == [0, 0, 1, 1, -1, 1, -1, -1]
+
+
+def test_residue_write_clamps_at_n():
+    """ADVICE r15: a value codebook whose dims do NOT divide part_size
+    must not overrun the row — writes clamp at n (libvorbis behavior)
+    instead of raising numpy IndexError past the crafted-input
+    contract."""
+    from iceberg_python_spark.operators.vorbis import (
+        Codebook,
+        Residue,
+        _BitReader,
+        _decode_residue_core,
+    )
+
+    classbook = Codebook(dims=1, entries=1, lengths=[1], lookup_type=0)
+    # dims=3 vs part_size=4: each partition's 2nd vector writes
+    # off+3..off+5; the LAST partition's reaches n+1 without the clamp
+    values = Codebook(
+        dims=3, entries=2, lengths=[1, 1], lookup_type=2,
+        min_v=1.0, delta_v=0.0, mults=[0] * 6, value_bits=1,
+    )
+
+    class _R:
+        rtype = 1
+        begin, end, part_size = 0, 8, 4
+        classifications = 1
+        classbook = 0
+        cascades = [1]  # pass 0 only
+        books = [[1] + [-1] * 7]
+
+    out = _decode_residue_core(
+        _R(), _BitReader(b"\x00\x00"), [classbook, values], [False], 8
+    )
+    assert out.shape == (1, 8)
+    # every vector is [1,1,1]; partition 0 covers 0..5, partition 1
+    # covers 4..8 with 8 clamped away
+    assert out[0].tolist() == [1, 1, 1, 1, 2, 2, 1, 1]
+
+
+def test_ogg_granules_are_cumulative_pcm_positions():
+    """ADVICE r15: fixture granule positions are the spec's cumulative
+    complete-PCM-sample counts (header pages 0, final page == decoded
+    length), so real Ogg tools — and the repo's own probe — read the
+    true duration."""
+    from iceberg_python_spark.operators.probe import probe_media
+    from iceberg_python_spark.operators.vorbis import encode_ogg_vorbis_mixed, ogg_pages
+
+    x = 0.5 * np.sin(2 * np.pi * 440.0 * np.arange(2000) / 8000)
+    for data, rate in (
+        (encode_ogg_vorbis(x, 8000, blocksize=128), 8000),
+        (encode_ogg_vorbis_mixed(x, 8000, long_blocksize=256,
+                                 short_blocksize=64, pattern=(1, 1, 0, 0, 1),
+                                 q_bits=10), 8000),
+    ):
+        y, r = decode_ogg_vorbis(data)
+        grans = [g for _h, g, _s, _q, _segs in ogg_pages(data)]
+        assert grans[0] == grans[1] == grans[2] == 0  # header pages
+        assert all(b >= a for a, b in zip(grans, grans[1:]))
+        assert grans[-1] == len(y)  # final granule == complete samples
+        assert probe_media(data)["duration_ms"] == int(len(y) * 1000 / rate)
+
+
+def test_short_first_block_decodes_and_trims_correctly():
+    """A stream whose FIRST block is short followed by long blocks
+    extends the overlap-add timeline before the origin; the trim must
+    use absolute centers (r16 incremental overlap-add rewrite) and the
+    final granule must still equal the decoded length."""
+    from iceberg_python_spark.operators.vorbis import encode_ogg_vorbis_mixed, ogg_pages
+
+    x = 0.5 * np.sin(2 * np.pi * 440.0 * np.arange(2000) / 8000)
+    data = encode_ogg_vorbis_mixed(
+        x, 8000, long_blocksize=256, short_blocksize=64,
+        pattern=(0, 1, 1), q_bits=10,
+    )
+    y, r = decode_ogg_vorbis(data)
+    assert r == 8000 and len(y) >= len(x)
+    snr = _snr(x, y[: len(x), 0])
+    assert snr > 30.0, f"SNR {snr:.1f} dB"
+    grans = [g for _h, g, _s, _q, _segs in ogg_pages(data)]
+    assert grans[-1] == len(y)
