@@ -520,3 +520,17 @@ def test_ms_adpcm_extensible_fmt_ignores_channel_mask():
     # re-based custom table at offset 40 parses and matches too
     got2, _ = decode_wav(rebuild_extensible(classic, coef_table=True))
     assert np.array_equal(got2, want)
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=50, deadline=None)
+def test_decode_audio_ogg_dispatch_never_leaks_other_errors(junk):
+    """The r16 first-packet peek shares the page parser's validation:
+    decode_audio on OggS + arbitrary bytes must raise ValueError
+    (malformed container) or NotImplementedError (recognized/unknown
+    codec id in a VALID container) — never IndexError/struct.error/
+    KeyError, which would escape the per-row error capture."""
+    try:
+        decode_audio(b"OggS" + junk)
+    except (ValueError, NotImplementedError):
+        pass
