@@ -195,7 +195,15 @@ def decode_audio(data: bytes) -> Tuple[np.ndarray, int]:
     SPHERE(+Shorten), Ogg Vorbis. Recognized-but-unsupported codecs
     (MP3, Ogg Opus/Speex/Theora/FLAC-mapping) raise NotImplementedError
     NAMING the codec; malformed bytes after a known magic raise
-    ValueError."""
+    ValueError — struct truncations from the byte parsers are
+    converted at this boundary (crafted-input contract, r16)."""
+    try:
+        return _decode_audio_dispatch(data)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt audio stream: {exc}") from exc
+
+
+def _decode_audio_dispatch(data: bytes) -> Tuple[np.ndarray, int]:
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return decode_wav(data)
     if data[:4] == b"fLaC":

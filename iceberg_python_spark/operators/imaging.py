@@ -338,7 +338,19 @@ def _decode_bmp(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode PNG / JPEG / PPM / PGM / BMP bytes to (H, W[, C]) uint8."""
+    """Decode PNG / JPEG / PPM / PGM / BMP bytes to (H, W[, C]) uint8.
+
+    Crafted-input contract (r16): any malformed structure after a known
+    magic raises ValueError — struct truncations and out-of-range
+    offsets from the byte parsers are converted at this boundary so a
+    crafted payload can never surface an internal exception class."""
+    try:
+        return _decode_image_dispatch(data)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt image stream: {exc}") from exc
+
+
+def _decode_image_dispatch(data: bytes) -> np.ndarray:
     if data[:8] == _PNG_SIG:
         return _decode_png(data)
     if data[:2] == b"\xff\xd8":

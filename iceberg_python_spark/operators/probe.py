@@ -326,7 +326,18 @@ def probe_media(data: bytes) -> Dict[str, Any]:
     """Container metadata from headers only; raises ValueError on
     unrecognized magic. Keys (absent = unknown): container, kind,
     width, height, duration_ms, sample_rate, channels, n_frames,
-    n_pages, decodable."""
+    n_pages, decodable.
+
+    Crafted-input contract (r16): truncated/malformed headers after a
+    known magic raise ValueError — struct truncations and crafted
+    offsets are converted at this boundary."""
+    try:
+        return _probe_media_dispatch(data)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt media header: {exc}") from exc
+
+
+def _probe_media_dispatch(data: bytes) -> Dict[str, Any]:
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         w, h = struct.unpack_from(">II", data, 16)
         return {"container": "png", "kind": "image", "width": w, "height": h, "decodable": True}
