@@ -107,6 +107,15 @@ def main() -> None:
                 t = run_one(fn)
                 spark.catalog.clearCache()  # no cross-rep cache reuse
                 best = t if best is None else min(best, t)
+            # sub-second rows are the only ones a rare driver-side stall
+            # (~0.2-1.0 s, query-independent, ~1 in 15 executions — the
+            # r13-r16 scan_limit "flutter") can push past a 2x ratio;
+            # one extra rep makes min() robust to a single strike at
+            # negligible added wall-clock (the row is sub-second)
+            if best is not None and best < 1.5 and reps >= 2:
+                t = run_one(fn)
+                spark.catalog.clearCache()
+                best = min(best, t)
             times[name] = best
         except Exception as e:  # a failing query must not hide the rest
             times[name] = -1.0
@@ -141,6 +150,7 @@ def main() -> None:
         "loadavg_1m": loadavg,
         "contended": contended,
         "reps": reps,
+        "extra_rep_subsecond": True,  # min-of-(reps+1) for rows < 1.5 s
         "agg": "min",
     }
     # Default the detail file to a SCRATCH path so driver-initiated
