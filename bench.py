@@ -150,7 +150,7 @@ def main() -> None:
         "loadavg_1m": loadavg,
         "contended": contended,
         "reps": reps,
-        "extra_rep_subsecond": True,  # min-of-(reps+1) for rows < 1.5 s
+        "extra_rep_subsecond": reps >= 2,  # min-of-(reps+1) for rows < 1.5 s
         "agg": "min",
     }
     # Default the detail file to a SCRATCH path so driver-initiated

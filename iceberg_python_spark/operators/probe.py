@@ -98,7 +98,10 @@ def _probe_ogg(data: bytes) -> Dict[str, Any]:
     rate = None
     codec = "ogg"
     head = data[28:28 + 64]
-    if head[1:7] == b"vorbis":
+    # match the DECODER's id-header check exactly (\x01 packtype +
+    # "vorbis") — a bare 'vorbis' substring match claimed
+    # decodable=True for streams decode_audio refuses (r16 review)
+    if head[:7] == b"\x01vorbis":
         rate = struct.unpack_from("<I", head, 12)[0]
         channels = head[11]
         codec = "ogg-vorbis"

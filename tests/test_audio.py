@@ -101,6 +101,16 @@ def test_ogg_codec_routing_contract():
     with pytest.raises(NotImplementedError, match="unknown Ogg codec"):
         decode_audio(_ogg_wrap([b"XYZCODEC\x00\x01"]))
 
+    # a first packet that is NOT a valid Vorbis id header (wrong
+    # packtype byte) must not probe as vorbis/decodable — the probe
+    # matches the decoder's \x01vorbis check, not a bare 'vorbis'
+    # substring (r16 review finding)
+    fake = _ogg_wrap([b"\x03vorbis" + bytes(23)])
+    meta_f = probe_media(fake)
+    assert meta_f["container"] == "ogg" and meta_f["decodable"] is False
+    with pytest.raises(NotImplementedError, match="unknown Ogg codec"):
+        decode_audio(fake)
+
     # the decodable direction: a real Vorbis stream probes decodable
     # AND decodes natively — probe and decoder agree per container
     from iceberg_python_spark.operators.vorbis import encode_ogg_vorbis

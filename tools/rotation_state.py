@@ -91,7 +91,10 @@ def rotation_state() -> dict:
 def main() -> int:
     max_overflow = 0
     if "--max-overflow" in sys.argv:
-        max_overflow = int(sys.argv[sys.argv.index("--max-overflow") + 1])
+        idx = sys.argv.index("--max-overflow") + 1
+        if idx >= len(sys.argv) or not sys.argv[idx].lstrip("-").isdigit():
+            raise SystemExit("usage: rotation_state.py [--max-overflow N]")
+        max_overflow = int(sys.argv[idx])
     st = rotation_state()
     ages: dict[object, int] = {}
     for r in st["rows"].values():
