@@ -118,11 +118,20 @@ def ogg_first_packet_magic(data: bytes) -> bytes:
 
 def ogg_packets(data: bytes) -> List[bytes]:
     """Reassemble the logical packets of the FIRST logical stream."""
+    return _ogg_demux(data)[0]
+
+
+def _ogg_demux(data: bytes) -> Tuple[List[bytes], Optional[int]]:
+    """Packets of the first logical stream + the TERMINAL granule
+    position (last page of that stream that completes a packet and
+    carries a granule != -1) — the value the Vorbis I spec (App. A)
+    says truncates the decoder's lap padding to the true length."""
     out: List[bytes] = []
     cur = bytearray()
     serial0: Optional[int] = None
     open_packet = False
-    for htype, _gran, serial, _seq, segs in ogg_pages(data):
+    final_granule: Optional[int] = None
+    for htype, gran, serial, _seq, segs in ogg_pages(data):
         if serial0 is None:
             serial0 = serial
         if serial != serial0:
@@ -130,6 +139,7 @@ def ogg_packets(data: bytes) -> List[bytes]:
         if not (htype & 0x01):  # not a continuation page
             if open_packet:
                 raise ValueError("ogg: packet spans into a non-continuation page")
+        completed = False
         for seg, ln in segs:
             cur += seg
             open_packet = True
@@ -137,9 +147,20 @@ def ogg_packets(data: bytes) -> List[bytes]:
                 out.append(bytes(cur))
                 cur = bytearray()
                 open_packet = False
+                completed = True
+        if completed and gran >= 0:  # -1 = no packet completes here
+            final_granule = gran
     if open_packet:
         raise ValueError("ogg: final packet unterminated")
-    return out
+    return out, final_granule
+
+
+class EndOfPacket(ValueError):
+    """Bit reads ran past the packet end. During HEADER decode this is
+    a hard error (it subclasses ValueError so truncation contracts
+    hold); during AUDIO packet decode the spec makes it a NOMINAL
+    occurrence (§1.3.2: floor → channel unused, residue → remaining
+    values zero) and the decode loop catches it."""
 
 
 class _BitReader:
@@ -155,7 +176,7 @@ class _BitReader:
             p = self.pos + i
             byte = p >> 3
             if byte >= len(self.data):
-                raise ValueError("vorbis: packet exhausted")
+                raise EndOfPacket("vorbis: packet exhausted")
             v |= ((self.data[byte] >> (p & 7)) & 1) << i
         self.pos += n
         return v
@@ -235,7 +256,6 @@ def assign_codewords(lengths: Sequence[int]) -> Dict[int, Tuple[int, int]]:
     each sibling along the path. Returns {entry: (code, len)}."""
     avail: List[Tuple[int, int]] = [(0, 0)]  # (code, depth), root free
     out: Dict[int, Tuple[int, int]] = {}
-    single = [i for i, l in enumerate(lengths) if l > 0]
     for i, l in enumerate(lengths):
         if l <= 0:
             continue
@@ -260,11 +280,9 @@ def assign_codewords(lengths: Sequence[int]) -> Dict[int, Tuple[int, int]]:
             code <<= 1
             avail.append((code | 1, depth + 1))
         out[i] = (code, l)
-    # a codebook with a single used entry is special-cased by the spec
-    # (codeword = 0, 1 bit) — our construction already yields (0, l)
-    if len(single) == 1 and lengths[single[0]] != 1:
-        # tolerated: decoder reads `lengths[e]` bits of zeros
-        pass
+    # (a codebook with a single used entry is special-cased by the
+    # spec as codeword 0; this construction already yields (0, l) for
+    # it — the decoder reads `lengths[e]` bits of zeros)
     return out
 
 
@@ -414,6 +432,13 @@ class Residue:
             self.books.append(row)
         if self.classbook >= n_books:
             raise ValueError("vorbis: residue classbook missing")
+        # every referenced pass book must exist (r16 review: an 8-bit
+        # book number past the codebook count crashed decode with
+        # IndexError instead of the contract's ValueError)
+        for row in self.books:
+            for b in row:
+                if b >= n_books:
+                    raise ValueError("vorbis: residue pass book missing")
 
 
 class Mapping:
@@ -485,13 +510,22 @@ def _render_point(x0: int, y0: int, x1: int, y1: int, x: int) -> int:
 
 def _render_line(x0: int, y0: int, x1: int, y1: int, out: np.ndarray, n: int) -> None:
     dy, adx = y1 - y0, x1 - x0
-    base = dy // adx if adx else 0
-    sy = base + 1 if dy > 0 else base - 1
-    # integer Bresenham exactly as the spec writes it
+    # spec/libvorbis integer division TRUNCATES TOWARD ZERO; Python //
+    # floors toward -inf, which mis-rendered every negative-slope
+    # segment where adx does not divide dy (base one too low, ady
+    # negative so the Bresenham error term never fired) — r16 review.
+    # Spec check: (0,10)->(8,7) must render 10,10,10,9,9,9,8,8.
+    if adx:
+        base = abs(dy) // adx
+        if dy < 0:
+            base = -base
+    else:
+        base = 0
+    sy = base - 1 if dy < 0 else base + 1
     x, y, err = x0, y0, 0
     ady = abs(dy) - abs(base) * adx
-    if x0 < n:
-        out[x0] = _INV_DB[min(y0, 255)]
+    if 0 <= x0 < n:
+        out[x0] = _INV_DB[min(max(y0, 0), 255)]
     for x in range(x0 + 1, min(x1, n)):
         err += ady
         if err >= adx:
@@ -587,6 +621,21 @@ def _decode_residue_core(res: Residue, br: _BitReader, books: List[Codebook],
     classbook = books[res.classbook]
     cw = classbook.dims
     classifs = [[0] * (parts + cw) for _ in range(ch)]
+    try:
+        _residue_passes(res, br, books, do_not_decode, out, classifs,
+                        classbook, cw, begin, parts, psize, n)
+    except EndOfPacket:
+        # spec §1.3.2 / §8.6.2: EOP mid-residue is nominal — the values
+        # decoded so far stand, the rest stay zero
+        pass
+    return out
+
+
+def _residue_passes(res: Residue, br: _BitReader, books: List[Codebook],
+                    do_not_decode: List[bool], out: np.ndarray,
+                    classifs: List[List[int]], classbook: Codebook, cw: int,
+                    begin: int, parts: int, psize: int, n: int) -> None:
+    ch = len(do_not_decode)
     for pas in range(8):
         # pass 0 ALWAYS decodes the classwords (spec §8.6.2) — even
         # when every cascade's pass-0 bit is clear and no values
@@ -639,7 +688,6 @@ def _decode_residue_core(res: Residue, br: _BitReader, books: List[Codebook],
                                 out[j][off + k + d] += v[d]
                             k += cb.dims
                 p += 1
-    return out
 
 
 # --- synthesis ----------------------------------------------------------------
@@ -647,18 +695,52 @@ def _decode_residue_core(res: Residue, br: _BitReader, books: List[Codebook],
 _IMDCT_CACHE: Dict[int, np.ndarray] = {}
 
 
-def _imdct(spec: np.ndarray) -> np.ndarray:
-    """Vorbis IMDCT: y[j] = Σ_k X[k]·cos(π/(2n)·(2j+1+n/2)·(2k+1)),
-    n = 2·len(spec). Cached cosine matrix (fixture-scale blocks)."""
-    n2 = len(spec)
-    n = n2 * 2
+def _imdct_matrix(n: int) -> np.ndarray:
+    """Dense IMDCT cosine matrix (n × n/2). Used by the encoders'
+    exact forward MDCT (M.T, scale 4/n) and as the FFT path's unit-test
+    ground truth. Cached only for modest sizes so a max-blocksize
+    stream can't pin a ~268 MB matrix for the process lifetime."""
     M = _IMDCT_CACHE.get(n)
     if M is None:
         j = np.arange(n)[:, None]
-        k = np.arange(n2)[None, :]
-        M = np.cos(np.pi / (2 * n) * (2 * j + 1 + n2) * (2 * k + 1))
-        _IMDCT_CACHE[n] = M
-    return M @ spec
+        k = np.arange(n // 2)[None, :]
+        M = np.cos(np.pi / (2 * n) * (2 * j + 1 + n // 2) * (2 * k + 1))
+        if n <= 2048:
+            _IMDCT_CACHE[n] = M
+    return M
+
+
+def _imdct_ref(spec: np.ndarray) -> np.ndarray:
+    """Direct O(n²) IMDCT — ground truth for the FFT path's tests."""
+    return _imdct_matrix(len(spec) * 2) @ spec
+
+
+def _imdct(spec: np.ndarray) -> np.ndarray:
+    """Vorbis IMDCT: y[j] = Σ_k X[k]·cos(π/(2n)·(2j+1+n/2)·(2k+1)),
+    n = 2·len(spec), via one real FFT — O(n log n), no cached matrix
+    (r16: the dense matrix was O(n²) per block and pinned ~268 MB for
+    a bs=8192 stream).
+
+    Derivation: with m = j + n/4 the kernel is cos(2π/n·(m+½)(k+½)),
+    the DCT-IV_{n2} kernel; its index extensions fold back with sign
+    flips, so y is three shuffled/negated slices of c = DCT-IV(X).
+    DCT-IV via FFT: c[m] = Re(rfft(g)[2m+1]) where g is X spread onto
+    the odd indices of a zero array of length 8·n2 (verified ≤1e-10
+    against the direct matrix for every block size in tests)."""
+    n2 = len(spec)
+    n = n2 * 2
+    q = n // 4
+    g = np.zeros(8 * n2)
+    g[1 : 2 * n2 : 2] = spec
+    c = np.fft.rfft(g)[1 : 2 * n2 : 2].real
+    y = np.empty(n)
+    # j in [0, n/4): m = j + n/4 < n/2  -> direct
+    y[:q] = c[q : 2 * q]
+    # j in [n/4, 3n/4): m = n/2 + p     -> -c[n/2 - 1 - p]
+    y[q : 3 * q] = -c[::-1]
+    # j in [3n/4, n): m = n + q'        -> -c[q']
+    y[3 * q :] = -c[:q]
+    return y
 
 
 def _vorbis_window(n: int) -> np.ndarray:
@@ -669,7 +751,7 @@ def _vorbis_window(n: int) -> np.ndarray:
 def decode_ogg_vorbis(data: bytes) -> Tuple[np.ndarray, int]:
     """Ogg Vorbis stream → (float64 samples (n_frames, n_channels) in
     [-1, 1], rate)."""
-    packets = ogg_packets(data)
+    packets, final_granule = _ogg_demux(data)
     if len(packets) < 4:
         raise ValueError("vorbis: need ident/comment/setup + audio packets")
     setup = _parse_headers(packets[0], packets[1], packets[2])
@@ -687,10 +769,17 @@ def decode_ogg_vorbis(data: bytes) -> Tuple[np.ndarray, int]:
     first_center: Optional[int] = None
     total_samples = 0
     for pkt in packets[3:]:
+        if not pkt:
+            continue  # zero-length packets are legal Ogg; skipped (libvorbis)
         br = _BitReader(pkt)
-        if br.read(1) != 0:
-            raise ValueError("vorbis: audio packet with header packtype")
-        mode_i = br.read(ilog(len(setup.modes) - 1)) if len(setup.modes) > 1 else 0
+        try:
+            if br.read(1) != 0:
+                raise ValueError("vorbis: audio packet with header packtype")
+            mode_i = br.read(ilog(len(setup.modes) - 1)) if len(setup.modes) > 1 else 0
+        except EndOfPacket:
+            continue  # EOP before the mode resolves: packet discarded (spec §4.3.1)
+        if mode_i >= len(setup.modes):
+            raise ValueError("vorbis: packet mode out of range")
         blockflag, map_i = setup.modes[mode_i]
         n = bs[blockflag]
         # crafted-stream amplification cap: a few-byte audio packet
@@ -704,31 +793,41 @@ def decode_ogg_vorbis(data: bytes) -> Tuple[np.ndarray, int]:
         if total_samples > 200_000_000:
             raise ValueError("vorbis: stream exceeds the decode size cap")
         long_prev = long_next = 1
-        if blockflag:
-            long_prev = br.read(1)
-            long_next = br.read(1)
+        try:
+            if blockflag:
+                long_prev = br.read(1)
+                long_next = br.read(1)
+        except EndOfPacket:
+            continue  # EOP before the window info resolves: discarded
         mapping = setup.mappings[map_i]
         n2 = n // 2
         floors: List[Optional[np.ndarray]] = []
         no_residue = []
-        for c in range(ch):
-            sub = mapping.mux[c]
-            fl = setup.floors[mapping.submap_floor[sub]]
-            f = _decode_floor1(fl, br, setup.codebooks, n2)
-            floors.append(f)
-            no_residue.append(f is None)
-        # coupling: a coupled pair decodes if EITHER side is audible
-        for (m, a) in mapping.coupling:
-            if not (no_residue[m] and no_residue[a]):
-                no_residue[m] = no_residue[a] = False
         residues = np.zeros((ch, n2))
-        for sub in range(mapping.submaps):
-            idx = [c for c in range(ch) if mapping.mux[c] == sub]
-            dnd = [no_residue[c] for c in idx]
-            res = setup.residues[mapping.submap_residue[sub]]
-            dec = _decode_residue(res, br, setup.codebooks, dnd, n2)
-            for k, c in enumerate(idx):
-                residues[c] = dec[k]
+        try:
+            for c in range(ch):
+                sub = mapping.mux[c]
+                fl = setup.floors[mapping.submap_floor[sub]]
+                f = _decode_floor1(fl, br, setup.codebooks, n2)
+                floors.append(f)
+                no_residue.append(f is None)
+            # coupling: a coupled pair decodes if EITHER side is audible
+            for (m, a) in mapping.coupling:
+                if not (no_residue[m] and no_residue[a]):
+                    no_residue[m] = no_residue[a] = False
+            for sub in range(mapping.submaps):
+                idx = [c for c in range(ch) if mapping.mux[c] == sub]
+                dnd = [no_residue[c] for c in idx]
+                res = setup.residues[mapping.submap_residue[sub]]
+                dec = _decode_residue(res, br, setup.codebooks, dnd, n2)
+                for k, c in enumerate(idx):
+                    residues[c] = dec[k]
+        except EndOfPacket:
+            # spec §1.3.2: EOP during floor/residue decode is NOMINAL —
+            # synthesis proceeds with the partial data (undecoded
+            # floors = unused channels, undecoded residue = zeros)
+            while len(floors) < ch:
+                floors.append(None)
         # inverse coupling (square polar, spec §4.3.5), last step first
         for (mi, ai) in reversed(mapping.coupling):
             M, A = residues[mi], residues[ai]
@@ -784,6 +883,14 @@ def decode_ogg_vorbis(data: bytes) -> Tuple[np.ndarray, int]:
     # before the first block's start)
     last_center = start + prev_n // 2
     out = acc[:, first_center - origin : last_center - origin].T
+    # Vorbis I App. A: the terminal granule states the stream's TRUE
+    # sample count — encoders pad to block boundaries, and the decoder
+    # truncates the lap padding here (r16: previously the padding was
+    # returned, disagreeing with every reference decoder and the probe)
+    # (a ZERO terminal granule on a stream with audio packets is a
+    # lazy muxer, not a zero-length claim — ignored, like granule -1)
+    if final_granule is not None and 0 < final_granule < out.shape[0]:
+        out = out[:final_granule]
     return np.clip(out, -1.0, 1.0), setup.rate
 
 
@@ -843,8 +950,12 @@ def _parse_headers(ident: bytes, comment: bytes, setup_pkt: bytes) -> VorbisSetu
             raise ValueError("vorbis: nonzero time transform")
     for _ in range(br.read(6) + 1):
         ftype = br.read(16)
-        if ftype != 1:
+        if ftype == 0:
+            # floor 0 (LSP) is a real, recognized-but-unimplemented
+            # spec feature; types >= 2 are reserved = malformed stream
             raise NotImplementedError("vorbis: floor type 0 (LSP) not implemented")
+        if ftype != 1:
+            raise ValueError(f"vorbis: reserved floor type {ftype}")
         st.floors.append(Floor1(br, len(st.codebooks)))
     for _ in range(br.read(6) + 1):
         rtype = br.read(16)
@@ -953,8 +1064,7 @@ def encode_ogg_vorbis(
     xp = np.concatenate([np.zeros((n2, ch)), x, np.zeros((pad + n2, ch))])
     nblocks = len(xp) // n2 - 1
     w = _vorbis_window(n)
-    _ = _imdct(np.zeros(n2))  # prime the cosine cache
-    M = _IMDCT_CACHE[n]
+    M = _imdct_matrix(n)
     spectra = np.zeros((nblocks, ch, n2))
     for t in range(nblocks):
         blk = xp[t * n2 : t * n2 + n]
@@ -1075,9 +1185,11 @@ def encode_ogg_vorbis(
                         _wcode(bw, c, ln)
         packets.append(b"" + bw.bytes_())
     # fixed-size lapped blocks: audio packet j (1-based) completes
-    # (j-1)·n/2 samples; the final page's granule equals the decoder's
-    # output length, so probes read the true duration
+    # (j-1)·n/2 samples; the TERMINAL granule states the true input
+    # length (spec App. A) so decoders — ours included — truncate the
+    # final block's lap padding and probes read the true duration
     granules = [0, 0, 0] + [a * n2 for a in range(nblocks)]
+    granules[-1] = max(granules[-2], min(granules[-1], x.shape[0]))
     return _ogg_wrap(packets, granules=granules)
 
 
@@ -1136,14 +1248,13 @@ def encode_ogg_vorbis_mixed(
     first_c = starts[0] + sizes[0] // 2
     xp[first_c : first_c + len(x)] = x
 
-    _ = _imdct(np.zeros(N // 2)), _imdct(np.zeros(s // 2))
     spectra = []
     for k, (st, n) in enumerate(zip(starts, sizes)):
         flag = 1 if n == N else 0
         lp = 1 if (k == 0 or sizes[k - 1] == N) else 0
         ln_ = 1 if (k == len(sizes) - 1 or sizes[k + 1] == N) else 0
         w = _window_for(n, s, flag, lp, ln_)
-        spectra.append((4.0 / n) * (_IMDCT_CACHE[n].T @ (w * xp[st : st + n])))
+        spectra.append((4.0 / n) * (_imdct_matrix(n).T @ (w * xp[st : st + n])))
     qmax = (1 << (q_bits - 1)) - 1
     peak = max((float(np.max(np.abs(sp))) for sp in spectra), default=0.0)
     g_idx = min(int(np.searchsorted(_INV_DB, peak / qmax)) if peak > 0 else 0, 255)
@@ -1251,4 +1362,6 @@ def encode_ogg_vorbis_mixed(
         if k > 0:
             cum += (sizes[k - 1] + sizes[k]) // 4
         granules.append(cum)
+    # terminal granule = true input length (spec App. A truncation)
+    granules[-1] = max(granules[-2], min(granules[-1], len(x)))
     return _ogg_wrap(packets, granules=granules)

@@ -339,3 +339,111 @@ def test_short_first_block_decodes_and_trims_correctly():
     assert snr > 30.0, f"SNR {snr:.1f} dB"
     grans = [g for _h, g, _s, _q, _segs in ogg_pages(data)]
     assert grans[-1] == len(y)
+
+
+def test_render_line_truncating_division_matches_spec():
+    """r16 review: the spec/libvorbis render_line divides TRUNCATING
+    toward zero; Python floor division mis-rendered every negative-
+    slope segment where adx does not divide dy. Pin the worked
+    sequence: (0,10)->(8,7) renders y = 10,10,10,9,9,9,8,8."""
+    from iceberg_python_spark.operators.vorbis import _INV_DB, _render_line
+
+    out = np.zeros(8)
+    _render_line(0, 10, 8, 7, out, 8)
+    want = [10, 10, 10, 9, 9, 9, 8, 8]
+    assert np.allclose(out, _INV_DB[want])
+    # ascending slope for symmetry: (0,7)->(8,10) -> 7,7,7,8,8,8,9,9
+    out = np.zeros(8)
+    _render_line(0, 7, 8, 10, out, 8)
+    assert np.allclose(out, _INV_DB[[7, 7, 7, 8, 8, 8, 9, 9]])
+    # crafted out-of-range y values clamp instead of wrapping/crashing
+    out = np.zeros(8)
+    _render_line(0, -300, 8, 7, out, 8)
+    assert out[0] == _INV_DB[0]
+    _render_line(0, 5000, 8, 7, out, 8)
+    assert out[0] == _INV_DB[255]
+
+
+def test_imdct_fft_matches_direct_matrix_all_blocksizes():
+    """The O(n log n) FFT IMDCT equals the direct cosine-matrix sum to
+    float64 round-off at every legal Vorbis block size."""
+    from iceberg_python_spark.operators.vorbis import _imdct, _imdct_ref
+
+    rng = np.random.default_rng(16)
+    for n2 in (32, 64, 128, 256, 1024, 4096):
+        x = rng.standard_normal(n2)
+        assert np.abs(_imdct(x) - _imdct_ref(x)).max() < 1e-9 * max(1, n2 / 64)
+
+
+def test_end_of_packet_is_nominal_and_zero_length_packets_skip():
+    """Vorbis I §1.3.2: end-of-packet during AUDIO decode is a nominal
+    occurrence (partial data stands); zero-length Ogg packets are
+    legal and skipped. Header truncation stays a hard ValueError."""
+    from iceberg_python_spark.operators.vorbis import _ogg_wrap, ogg_packets
+
+    x = 0.5 * np.sin(2 * np.pi * 440.0 * np.arange(2000) / 8000)
+    good = encode_ogg_vorbis(x, 8000, blocksize=128, q_bits=10)
+    pkts = ogg_packets(good)
+    # truncate the FINAL audio packet mid-body: decode still succeeds,
+    # losing at most that block's contribution
+    cut = pkts[:-1] + [pkts[-1][: max(1, len(pkts[-1]) // 2)]]
+    y, rate = decode_ogg_vorbis(_ogg_wrap(cut))
+    assert rate == 8000 and len(y) > 0
+    # a zero-length packet mid-stream is skipped, not fatal
+    with_zero = pkts[:4] + [b""] + pkts[4:]
+    y2, _ = decode_ogg_vorbis(_ogg_wrap(with_zero))
+    assert len(y2) > 0
+    # truncating a HEADER packet stays a hard error
+    with pytest.raises(ValueError):
+        decode_ogg_vorbis(_ogg_wrap([pkts[0][:10]] + pkts[1:]))
+
+
+def test_decode_truncates_to_terminal_granule():
+    """Spec App. A: the terminal granule states the true sample count;
+    the decoder truncates the final block's lap padding — decode of an
+    encoder fixture returns EXACTLY the input length, including lengths
+    that are not a multiple of the block grid."""
+    for n_in in (2000, 3200, 777):
+        x = 0.5 * np.sin(2 * np.pi * 440.0 * np.arange(n_in) / 8000)
+        y, _ = decode_ogg_vorbis(encode_ogg_vorbis(x, 8000, blocksize=128, q_bits=10))
+        assert len(y) == n_in, n_in
+
+
+def test_reserved_floor_type_is_valueerror_floor0_is_gate():
+    """Floor type 0 (LSP) is a recognized spec feature -> loud
+    NotImplementedError; types >= 2 are reserved -> malformed stream
+    -> ValueError (the decode_audio routing contract depends on it)."""
+    from iceberg_python_spark.operators.vorbis import _ogg_wrap, ogg_packets
+
+    good = encode_ogg_vorbis(np.zeros(256), 8000, blocksize=128)
+    pkts = ogg_packets(good)
+    setup = bytearray(pkts[2])
+
+    def flip_floor_type(value):
+        # the floor-type field is the 16 bits after: 8(bookcount) +
+        # codebook bits + 6(time count)+16(time)+6(floor count); easier:
+        # decode with a patched _BitReader is overkill — instead patch
+        # via parse: find it by brute force is fragile, so go through
+        # the module's own parser by monkeypatching is also overkill.
+        # Simplest robust route: craft a minimal setup packet directly.
+        from iceberg_python_spark.operators.vorbis import _BitWriter, _wcode
+
+        bw = _BitWriter()
+        bw.write(0, 8)  # 1 codebook
+        bw.write(0x564342, 24)
+        bw.write(1, 16)  # dims
+        bw.write(1, 24)  # entries
+        bw.write(0, 1)  # not ordered
+        bw.write(0, 1)  # not sparse
+        bw.write(0, 5)  # length 1
+        bw.write(0, 4)  # lookup 0
+        bw.write(0, 6)  # 1 time transform
+        bw.write(0, 16)
+        bw.write(0, 6)  # 1 floor
+        bw.write(value, 16)  # floor type under test
+        return b"\x05vorbis" + bw.bytes_()
+
+    with pytest.raises(NotImplementedError, match="LSP"):
+        decode_ogg_vorbis(_ogg_wrap([pkts[0], pkts[1], flip_floor_type(0), b"\x00"]))
+    with pytest.raises(ValueError, match="reserved floor type"):
+        decode_ogg_vorbis(_ogg_wrap([pkts[0], pkts[1], flip_floor_type(7), b"\x00"]))
