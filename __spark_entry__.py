@@ -3070,17 +3070,19 @@ def _q_multimodal_audio_decode(spark, env):
 
 
 def _q_multimodal_audio_containers(spark, env):
-    # late r12, reshaped r14, extended r15: the legacy speech-corpus
+    # late r12, reshaped r14, extended r15/r16: the legacy speech-corpus
     # CONTAINERS (AIFF/AIFF-C, Sun/NeXT AU, NIST SPHERE) plus OGG
-    # VORBIS under the driver's oracle. Same deterministic tones as
-    # the WAV row, cycling TEN layouts by doc_id % 10: AIFF BE-PCM16 /
-    # AIFF-C sowt / AIFF-C fl32 / AIFF-C µ-law, AU BE-PCM16 / AU
-    # A-law, SPHERE big-endian PCM / SPHERE µ-law / SPHERE
+    # VORBIS and OGG FLAC under the driver's oracle. Same deterministic
+    # tones as the WAV row, cycling ELEVEN layouts by doc_id % 11: AIFF
+    # BE-PCM16 / AIFF-C sowt / AIFF-C fl32 / AIFF-C µ-law, AU BE-PCM16
+    # / AU A-law, SPHERE big-endian PCM / SPHERE µ-law / SPHERE
     # EMBEDDED-SHORTEN (r14 — decoded by the from-spec shorten v2
     # codec, C-division semantics r15) / OGG VORBIS (r15 — full
     # in-stream-codebook decode in operators/vorbis.py; stereo ids
     # exercise residue-2 + square-polar coupling; previously a loud
-    # gate). Every payload synthesized by the engine's own writers and
+    # gate) / OGG FLAC (r16 — the FLAC→Ogg mapping reassembled onto the
+    # lossless flac.py decoder; exact int16 roundtrip claimed like
+    # shorten). Every payload synthesized by the engine's own writers and
     # decoded through the magic-dispatch path inside
     # extract_audio_stats. Claims: all decode, duration/rate/channels
     # exact (vorbis durations round up to the codec's block grid),
@@ -3099,6 +3101,7 @@ def _q_multimodal_audio_containers(spark, env):
         encode_au,
         encode_sphere,
     )
+    from iceberg_python_spark.operators.flac import decode_ogg_flac, encode_ogg_flac
     from iceberg_python_spark.operators.multimodal import extract_audio_stats
     from iceberg_python_spark.operators.vorbis import decode_ogg_vorbis, encode_ogg_vorbis
 
@@ -3117,9 +3120,20 @@ def _q_multimodal_audio_containers(spark, env):
                 x = 0.5 * np.sin(2 * np.pi * freq * t)
                 if d % 2 == 0:
                     x = np.stack([x, x], axis=1)
-                v = d % 10
+                v = d % 11
                 exact = True
-                if v == 9:
+                if v == 10:
+                    # Ogg-FLAC: lossless mapping, so the claim is the
+                    # strong one — decode == the exact int16 samples
+                    pcm = np.clip(
+                        np.round((x if x.ndim == 2 else x[:, None]) * 32767.0),
+                        -32768, 32767,
+                    ).astype(np.int32)
+                    ogg = encode_ogg_flac(pcm, 8000, block_size=1024)
+                    dec, _r, _b = decode_ogg_flac(ogg)
+                    exact = dec.shape == pcm.shape and bool(np.array_equal(dec, pcm))
+                    payloads.append(ogg)
+                elif v == 9:
                     # 3200-sample tone: a multiple of the codec's
                     # 128-sample grid (no pad, duration exactly 400 ms)
                     # AND an integer cycle count for every v==9
@@ -3182,7 +3196,7 @@ def _q_multimodal_audio_containers(spark, env):
         F.min(
             # the vorbis layout uses a 400 ms tone (docstring: exact
             # block grid + integer FFT cycles)
-            (F.col("duration_ms") == F.when((F.col("id") % 10) == 9, 400).otherwise(250))
+            (F.col("duration_ms") == F.when((F.col("id") % 11) == 9, 400).otherwise(250))
             & (F.col("sample_rate") == 8000)
             & (F.col("n_channels") == F.when(F.col("id") % 2 == 0, 2).otherwise(1))
         ).alias("format_ok"),
@@ -3193,7 +3207,7 @@ def _q_multimodal_audio_containers(spark, env):
             # (~80 Hz drift at 49 dB SNR); its fidelity claim is the
             # far stronger in-UDF 25 dB SNR against the source tone
             F.abs(F.col("spectral_centroid_hz") - F.col("freq"))
-            < F.when((F.col("id") % 10).isin(3, 5, 7, 9), 250.0).otherwise(30.0)
+            < F.when((F.col("id") % 11).isin(3, 5, 7, 9), 250.0).otherwise(30.0)
         ).alias("centroid_ok"),
         F.min(F.abs(F.col("rms") - 0.5 / math.sqrt(2.0)) < 0.02).alias("rms_ok"),
         F.min("exact").alias("shorten_exact"),

@@ -191,9 +191,10 @@ def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
 
 
 def decode_audio(data: bytes) -> Tuple[np.ndarray, int]:
-    """Magic-byte dispatch. Native decode: WAV family, FLAC, AIFF, AU,
-    SPHERE(+Shorten), Ogg Vorbis. Recognized-but-unsupported codecs
-    (MP3, Ogg Opus/Speex/Theora/FLAC-mapping) raise NotImplementedError
+    """Magic-byte dispatch. Native decode: WAV family, FLAC (bare and
+    Ogg-mapped), AIFF, AU, SPHERE(+Shorten), Ogg Vorbis.
+    Recognized-but-unsupported codecs
+    (MP3, Ogg Opus/Speex/Theora) raise NotImplementedError
     NAMING the codec; malformed bytes after a known magic raise
     ValueError — struct truncations from the byte parsers are
     converted at this boundary (crafted-input contract, r16)."""
@@ -264,10 +265,15 @@ def _decode_audio_dispatch(data: bytes) -> Tuple[np.ndarray, int]:
                 "normative table data that cannot be validated in this environment"
             )
         if magic[:5] == b"\x7fFLAC":
-            raise NotImplementedError(
-                "Ogg-FLAC mapping is not implemented; native FLAC decode "
-                "expects a bare fLaC stream"
-            )
+            # r16: real decode — the FLAC→Ogg mapping is pure container
+            # plumbing (xiph mapping spec / RFC 9639 App. A): validate
+            # the signature packet, drop the header packets, and hand
+            # the reassembled bare fLaC stream to the existing lossless
+            # decoder. Exact integers, both CRCs verified.
+            from .flac import decode_ogg_flac
+
+            x, rate, bps = decode_ogg_flac(data)
+            return x.astype(np.float64) / float(1 << (bps - 1)), int(rate)
         if magic[:8] == b"Speex   ":
             raise NotImplementedError("Ogg Speex decode needs an external codec")
         if magic[:7] == b"\x80theora":

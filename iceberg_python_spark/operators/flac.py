@@ -406,17 +406,17 @@ def _encode_subframe(bw: _BitsW, x: np.ndarray, bps: int) -> None:
     _write_residuals(bw, res, param)
 
 
-def encode_flac(
+def _flac_parts(
     samples: np.ndarray,
     rate: int,
-    bps: int = 16,
-    block_size: int = 4096,
-    stereo_mode: str = "independent",
-) -> bytes:
-    """Encode integer samples shaped (n,) or (n, channels) as FLAC.
-    Values must fit ``bps`` signed bits; the encode is LOSSLESS, so
-    ``decode_flac(encode_flac(x)) == x`` exactly. ``stereo_mode``:
-    ``"independent"`` or ``"mid-side"`` (2-channel only)."""
+    bps: int,
+    block_size: int,
+    stereo_mode: str,
+) -> Tuple[bytes, List[bytes], List[int]]:
+    """Shared synthesis core for :func:`encode_flac` and
+    :func:`encode_ogg_flac`: returns (STREAMINFO block body, frames,
+    per-frame sample counts). The Ogg mapping needs the stream split
+    at exactly these boundaries (one FLAC frame per Ogg packet)."""
     x = np.asarray(samples)
     if x.ndim == 1:
         x = x[:, None]
@@ -430,7 +430,6 @@ def encode_flac(
         raise ValueError("stereo_mode must be independent or mid-side")
     if stereo_mode == "mid-side" and channels != 2:
         raise ValueError("mid-side needs exactly 2 channels")
-    out = bytearray(b"fLaC")
     info = _BitsW()
     info.write(block_size, 16)
     info.write(block_size, 16)
@@ -441,7 +440,8 @@ def encode_flac(
     info.write(bps - 1, 5)
     info.write(n, 36)
     body = info.bytes() + b"\x00" * 16  # md5 unset (permitted)
-    out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+    frames: List[bytes] = []
+    counts: List[int] = []
     for fi, start in enumerate(range(0, n, block_size)):
         blk = x[start : start + block_size].astype(np.int64)
         bs = blk.shape[0]
@@ -471,5 +471,99 @@ def encode_flac(
         bw.align()
         frame = head + bw.bytes()
         frame += struct.pack(">H", _crc16(frame))
+        frames.append(frame)
+        counts.append(bs)
+    return body, frames, counts
+
+
+def encode_flac(
+    samples: np.ndarray,
+    rate: int,
+    bps: int = 16,
+    block_size: int = 4096,
+    stereo_mode: str = "independent",
+) -> bytes:
+    """Encode integer samples shaped (n,) or (n, channels) as FLAC.
+    Values must fit ``bps`` signed bits; the encode is LOSSLESS, so
+    ``decode_flac(encode_flac(x)) == x`` exactly. ``stereo_mode``:
+    ``"independent"`` or ``"mid-side"`` (2-channel only)."""
+    body, frames, _counts = _flac_parts(samples, rate, bps, block_size, stereo_mode)
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+    for frame in frames:
         out += frame
     return bytes(out)
+
+
+def encode_ogg_flac(
+    samples: np.ndarray,
+    rate: int,
+    bps: int = 16,
+    block_size: int = 4096,
+    stereo_mode: str = "independent",
+    serial: int = 0x464C,
+) -> bytes:
+    """FLAC-in-Ogg per the public FLAC→Ogg mapping (xiph.org
+    "FLAC to Ogg mapping", RFC 9639 App. A): the first packet is
+    ``0x7F "FLAC" major minor n_headers(BE16) "fLaC" STREAMINFO``;
+    the mandatory second header packet is a VORBIS_COMMENT block; every
+    audio packet is exactly one FLAC frame; page granule positions are
+    cumulative decoded samples (header pages 0). Fully reuses the bare
+    encoder's synthesis core, so the payload round-trips exactly."""
+    body, frames, counts = _flac_parts(samples, rate, bps, block_size, stereo_mode)
+    # STREAMINFO inside the mapping packet: last-metadata flag CLEAR —
+    # the VORBIS_COMMENT header packet follows
+    streaminfo = bytes([0x00]) + struct.pack(">I", len(body))[1:] + body
+    first = b"\x7fFLAC" + bytes([1, 0]) + struct.pack(">H", 1) + b"fLaC" + streaminfo
+    vendor = b"iceberg_python_spark flac"
+    vc_body = struct.pack("<I", len(vendor)) + vendor + struct.pack("<I", 0)
+    comment = bytes([0x84]) + struct.pack(">I", len(vc_body))[1:] + vc_body
+    from .vorbis import _ogg_wrap
+
+    packets = [first, comment] + frames
+    granules = [0, 0]
+    acc = 0
+    for c in counts:
+        acc += c
+        granules.append(acc)
+    return _ogg_wrap(packets, serial=serial, granules=granules)
+
+
+def decode_ogg_flac(data: bytes) -> Tuple[np.ndarray, int, int]:
+    """Decode FLAC-in-Ogg → ((n, channels) int32, rate, bps).
+    Reassembles the logical packets (CRC-verified pages), validates the
+    mapping's first-packet signature, skips the header packets, and
+    hands a reconstructed bare ``fLaC`` stream to :func:`decode_flac`
+    — same frame CRC checks, same exact-integer result."""
+    from .vorbis import _ogg_demux
+
+    pkts, _granule = _ogg_demux(data)
+    if not pkts or pkts[0][:5] != b"\x7fFLAC":
+        raise ValueError("ogg-flac: missing mapping signature packet")
+    p0 = pkts[0]
+    if len(p0) < 13 + 38:
+        raise ValueError("ogg-flac: truncated first packet")
+    if p0[5] != 1:
+        raise ValueError(f"ogg-flac: unsupported mapping version {p0[5]}.{p0[6]}")
+    (n_headers,) = struct.unpack(">H", p0[7:9])
+    if p0[9:13] != b"fLaC":
+        raise ValueError("ogg-flac: fLaC signature missing in first packet")
+    streaminfo = bytearray(p0[13:])
+    if streaminfo[0] & 0x7F != 0:
+        raise ValueError("ogg-flac: first metadata block is not STREAMINFO")
+    streaminfo[0] |= 0x80  # re-mark as last: header packets are dropped
+    rest = pkts[1:]
+    if n_headers:  # declared count (not including the first packet)
+        if len(rest) < n_headers:
+            raise ValueError("ogg-flac: missing declared header packets")
+        audio = rest[n_headers:]
+    else:  # 0 = unknown: headers are metadata blocks, frames start 0xFF
+        audio = []
+        in_headers = True
+        for p in rest:
+            if in_headers and p and p[0] != 0xFF:
+                continue
+            in_headers = False
+            audio.append(p)
+    bare = b"fLaC" + bytes(streaminfo) + b"".join(audio)
+    return decode_flac(bare)

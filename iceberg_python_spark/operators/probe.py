@@ -109,6 +109,14 @@ def _probe_ogg(data: bytes) -> Dict[str, Any]:
         rate = 48000  # opus always decodes at 48 kHz
         channels = head[9]
         codec = "ogg-opus"
+    elif head[:5] == b"\x7fFLAC" and head[9:13] == b"fLaC":
+        # FLAC→Ogg mapping signature packet: "fLaC" + STREAMINFO at
+        # head[13:]; STREAMINFO body bytes 10-12 carry rate(20 bits) +
+        # channels(3 bits) — same field math as the bare-FLAC probe
+        si = head[13 + 4 :]
+        rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+        channels = ((si[12] >> 1) & 0x07) + 1
+        codec = "ogg-flac"
     else:
         channels = None
     # duration: granule position of the LAST page (PCM sample count)
@@ -121,9 +129,10 @@ def _probe_ogg(data: bytes) -> Dict[str, Any]:
     return {
         "container": codec, "kind": "audio", "sample_rate": rate,
         "channels": channels, "duration_ms": dur_ms,
-        # r16 routing contract: Vorbis decodes natively (vorbis.py)
-        # since r15; Opus stays a documented table-data ceiling
-        "decodable": codec == "ogg-vorbis",
+        # r16 routing contract: Vorbis (r15, vorbis.py) and the FLAC
+        # mapping (r16, flac.py) decode natively; Opus stays a
+        # documented table-data ceiling
+        "decodable": codec in ("ogg-vorbis", "ogg-flac"),
     }
 
 

@@ -90,12 +90,16 @@ def test_ogg_codec_routing_contract():
     assert meta["channels"] == 2 and meta["decodable"] is False
 
     for ident, codec in [
-        (b"\x7fFLAC\x01\x00", "Ogg-FLAC"),
         (b"Speex   1.2", "Speex"),
         (b"\x80theora\x03\x02", "Theora"),
     ]:
         with pytest.raises(NotImplementedError, match=codec.split("-")[-1]):
             decode_audio(_ogg_wrap([ident]))
+    # Ogg-FLAC decodes natively since r16 (flac.decode_ogg_flac); a
+    # TRUNCATED mapping signature packet is malformed structure, so it
+    # follows the junk-after-magic precedent: ValueError, not a gate
+    with pytest.raises(ValueError, match="ogg-flac"):
+        decode_audio(_ogg_wrap([b"\x7fFLAC\x01\x00"]))
     # unknown id packet in a valid container: still a loud gate, not a
     # misleading parse error
     with pytest.raises(NotImplementedError, match="unknown Ogg codec"):

@@ -97,3 +97,81 @@ def test_flac_roundtrip_property(n, ch, bps, seed):
     dec, rate, got_bps = decode_flac(encode_flac(x, 22050, bps=bps, block_size=1024, stereo_mode=mode))
     assert rate == 22050 and got_bps == bps
     assert np.array_equal(dec, x)
+
+
+# ---- FLAC→Ogg mapping (r16: gate converted to a real decode) ----
+
+
+def test_ogg_flac_roundtrips_exact_all_modes():
+    from iceberg_python_spark.operators.flac import decode_ogg_flac, encode_ogg_flac
+
+    rng = np.random.default_rng(11)
+    for shape, mode, bs in [
+        ((3000,), "independent", 1024),
+        ((3000, 2), "independent", 700),
+        ((3000, 2), "mid-side", 4096),
+    ]:
+        x = rng.integers(-20000, 20000, size=shape).astype(np.int32)
+        dec, rate, bps = decode_ogg_flac(encode_ogg_flac(x, 8000, stereo_mode=mode, block_size=bs))
+        ref = x if x.ndim == 2 else x[:, None]
+        assert rate == 8000 and bps == 16
+        assert np.array_equal(dec, ref)
+
+
+def test_ogg_flac_through_decode_audio_and_probe():
+    from iceberg_python_spark.operators.audio import decode_audio
+    from iceberg_python_spark.operators.flac import encode_ogg_flac
+    from iceberg_python_spark.operators.probe import probe_media
+
+    x = np.stack([_tone(4000, 300, 8000), _tone(4000, 300, 8000)], axis=1)
+    ogg = encode_ogg_flac(x, 8000)
+    f, rate = decode_audio(ogg)
+    assert rate == 8000 and f.shape == (4000, 2)
+    assert np.max(np.abs(f - x / 32768.0)) == 0  # lossless through the float interface
+    p = probe_media(ogg)
+    # probe<->decoder contract: ogg-flac probes decodable AND decodes
+    assert p["container"] == "ogg-flac" and p["decodable"] is True
+    assert p["sample_rate"] == 8000 and p["channels"] == 2
+    assert p["duration_ms"] == 500  # final page granule = 4000 samples
+
+
+def test_ogg_flac_unknown_header_count_and_extra_headers():
+    # n_headers=0 means UNKNOWN per the mapping: the decoder must skip
+    # metadata packets by type byte until the first 0xFF-sync frame
+    from iceberg_python_spark.operators.flac import decode_ogg_flac, encode_ogg_flac
+    from iceberg_python_spark.operators.vorbis import _ogg_demux, _ogg_wrap
+
+    x = _tone(2000, 500, 8000)
+    pkts, _g = _ogg_demux(encode_ogg_flac(x, 8000))
+    first = bytearray(pkts[0])
+    first[7:9] = b"\x00\x00"  # declared header count -> unknown
+    padding = bytes([0x01]) + b"\x00\x00\x04" + b"\x00" * 4  # extra PADDING block packet
+    again = _ogg_wrap([bytes(first), pkts[1], padding] + pkts[2:])
+    dec, rate, bps = decode_ogg_flac(again)
+    assert rate == 8000 and np.array_equal(dec, x[:, None])
+
+
+def test_ogg_flac_malformed_mapping_raises_valueerror():
+    from iceberg_python_spark.operators.flac import decode_ogg_flac, encode_ogg_flac
+    from iceberg_python_spark.operators.vorbis import _ogg_demux, _ogg_wrap
+
+    x = _tone(1000, 500, 8000)
+    pkts, _g = _ogg_demux(encode_ogg_flac(x, 8000))
+
+    bad_ver = bytearray(pkts[0])
+    bad_ver[5] = 2
+    with pytest.raises(ValueError, match="mapping version"):
+        decode_ogg_flac(_ogg_wrap([bytes(bad_ver)] + pkts[1:]))
+
+    bad_sig = bytearray(pkts[0])
+    bad_sig[9:13] = b"XXXX"
+    with pytest.raises(ValueError, match="fLaC signature"):
+        decode_ogg_flac(_ogg_wrap([bytes(bad_sig)] + pkts[1:]))
+
+    with pytest.raises(ValueError, match="truncated first packet"):
+        decode_ogg_flac(_ogg_wrap([b"\x7fFLAC\x01\x00"]))
+
+    missing = bytearray(pkts[0])
+    missing[7:9] = b"\x00\x05"  # declares 5 header packets; stream has 1
+    with pytest.raises(ValueError, match="missing declared header"):
+        decode_ogg_flac(_ogg_wrap([bytes(missing)]))
