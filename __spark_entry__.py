@@ -2634,13 +2634,19 @@ def _q_multimodal_jpeg_decode(spark, env):
     # r12 fold: two more variants — baseline with SEPARATE ns=1 scans
     # (T.81 A.2.2 unit-grid routing on a 4:2:0 frame; the ADVICE r11
     # decoder fix) and EXIF orientation 6 (decoded view rotated 90°
-    # CW, so expected dims swap).
+    # CW, so expected dims swap). r16: a seventh variant — new-style
+    # JPEG-in-TIFF (TIFF compression 7, tiled, shared tag-347 tables)
+    # decoded through the image dispatch (tiff.py splices the tables
+    # and hands each tile to this same JPEG decoder); same max-err
+    # fidelity claim, and the phash claim is per (content, variant) so
+    # the container variant carries its own hash.
     import numpy as np
     import pandas as pd
 
     from iceberg_python_spark.operators.imaging import decode_image
     from iceberg_python_spark.operators.jpeg import encode_jpeg
     from iceberg_python_spark.operators.multimodal import extract_image_stats
+    from iceberg_python_spark.operators.tiff import encode_tiff
 
     docs = (
         env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 400")
@@ -2651,12 +2657,18 @@ def _q_multimodal_jpeg_decode(spark, env):
         for pdf in batches:
             payloads, errs = [], []
             for d in pdf["doc_id"].astype(int):
-                k, variant = int(d) % 61, int(d) % 6
+                k, variant = int(d) % 61, int(d) % 7
                 h, w = 24 + (k % 3) * 8, 32 + (k % 2) * 8
                 rng = np.random.default_rng(k)
                 base = rng.integers(0, 256, (h // 8, w // 8, 3), dtype=np.uint8)
                 px = np.kron(base, np.ones((8, 8, 1))).astype(np.uint8)
-                if variant == 0:
+                if variant == 6:
+                    enc = encode_tiff(
+                        px, compression="jpeg", tiled=True, tile_size=(16, 16),
+                        jpeg_tables=True, jpeg_quality=90,
+                    )
+                    src = px
+                elif variant == 0:
                     enc = encode_jpeg(px, quality=90)
                     src = px
                 elif variant == 1:
@@ -2688,7 +2700,7 @@ def _q_multimodal_jpeg_decode(spark, env):
     j = (
         stats.join(imgs.select(F.col("doc_id").alias("id"), "max_err"), "id")
         .withColumn("key", F.col("id") % 61)
-        .withColumn("variant", F.col("id") % 6)
+        .withColumn("variant", F.col("id") % 7)
         .withColumn("raw_h", (F.lit(24) + (F.col("key") % 3) * 8).cast("int"))
         .withColumn("raw_w", (F.lit(32) + (F.col("key") % 2) * 8).cast("int"))
         # EXIF orientation 6 rotates the decoded view -> dims swap
@@ -3390,13 +3402,15 @@ def _q_multimodal_webp_decode(spark, env):
 
 
 def _q_multimodal_tiff_decode(spark, env):
-    # r12: REAL baseline-TIFF decode under the driver's oracle.
-    # Deterministic RGB images seeded by doc_id % 53 encode through
-    # four engine strip layouts — uncompressed, LZW (early-change),
-    # PackBits, and big-endian LZW — all decoded inside
+    # r12, extended r16: REAL baseline-TIFF decode under the driver's
+    # oracle. Deterministic RGB images seeded by doc_id % 53 encode
+    # through six engine layouts — uncompressed, LZW (early-change),
+    # PackBits, and big-endian LZW strips, plus the §15 TILED layout
+    # (r16): tiled LZW with per-tile predictor restart and tiled
+    # planar PackBits big-endian — all decoded inside
     # extract_image_stats. TIFF is lossless: exact_ok is pixel
-    # EQUALITY and all four variants of one content key share exactly
-    # one perceptual hash.
+    # EQUALITY and all variants of one content key share exactly one
+    # perceptual hash (tiled layouts decode to bit-identical pixels).
     import numpy as np
     import pandas as pd
 
@@ -3412,7 +3426,7 @@ def _q_multimodal_tiff_decode(spark, env):
         for pdf in batches:
             payloads, exacts = [], []
             for d in pdf["doc_id"].astype(int):
-                k, variant = int(d) % 53, int(d) % 4
+                k, variant = int(d) % 53, int(d) % 6
                 rng = np.random.default_rng(k)
                 h, w = 16 + (k % 5), 20 + (k % 3)
                 img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
@@ -3422,8 +3436,18 @@ def _q_multimodal_tiff_decode(spark, env):
                     enc = encode_tiff(img, compression="lzw")
                 elif variant == 2:
                     enc = encode_tiff(img, compression="packbits")
-                else:
+                elif variant == 3:
                     enc = encode_tiff(img, compression="lzw", big_endian=True)
+                elif variant == 4:
+                    enc = encode_tiff(
+                        img, compression="lzw", predictor=True,
+                        tiled=True, tile_size=(16, 16),
+                    )
+                else:
+                    enc = encode_tiff(
+                        img, compression="packbits", planar=True,
+                        big_endian=True, tiled=True, tile_size=(16, 32),
+                    )
                 exacts.append(bool(np.array_equal(decode_tiff(enc), img)))
                 payloads.append(enc)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads, "exact": exacts})
@@ -5709,9 +5733,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_rolling_agg": _q_events_rolling_agg,
             "audio_neardup_dedup": _q_audio_neardup_dedup,
             "events_mad_outliers": _q_events_mad_outliers,
-            "funnel_stream": _q_funnel_stream,
+            # r16 code-changed re-green: the tiff/jpeg sub-rows gained
+            # tiled + JPEG-in-TIFF layouts this round, so the combined
+            # row swaps IN for funnel_stream (unchanged age-2; now
+            # leads r17 with the rest of its cohort)
+            "multimodal_decode_combined": _q_multimodal_decode_combined,
             # ---------------- behind the window ----------------
-            # the remaining 33 r14-checked rows (age-2) — MUST lead r17
+            # the remaining r14-checked rows (age-2) — MUST lead r17
+            "funnel_stream": _q_funnel_stream,
             "heavy_hitters_stream": _q_heavy_hitters_stream,
             "pdf_ingest": _q_pdf_ingest,
             "bpe_roundtrip": _q_bpe_roundtrip,
@@ -5719,7 +5748,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sketch_refresh": _q_sketch_refresh,
             "crawl_to_corpus": _q_crawl_to_corpus,
             "dedup_invariants_combined": _q_dedup_invariants_combined,
-            "multimodal_decode_combined": _q_multimodal_decode_combined,
             "events_asof_combined": _q_events_asof_combined,
             "ann_recall_combined": _q_ann_recall_combined,
             "sketch_invariants_combined": _q_sketch_invariants_combined,

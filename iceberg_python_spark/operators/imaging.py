@@ -35,7 +35,8 @@ Decoders (magic-byte dispatch in :func:`decode_image`):
   raise naming PIL.
 - **TIFF** (tiff.py, r11) — baseline strips, both byte orders,
   none/LZW (early-change variant)/PackBits, bilevel/gray/palette/
-  RGB(A), 1/8/16-bit samples; tiled/JPEG-in-TIFF/CCITT raise naming
+  RGB(A), 1/8/16-bit samples, tiled layout, new-style JPEG-in-TIFF
+  (r16); CCITT/old-JPEG raise naming
   PIL. The document/scan-corpus format.
 
 Features:

@@ -13,12 +13,16 @@ multi-page files decode their first page — page count surfaces via
 :func:`tiff_page_count`). r12: horizontal-differencing predictor
 (tag 317=2, per-row per-channel cumsum — scanner LZW files) and
 PlanarConfiguration=2 (one sample plane per strip run) decode too.
-Tiled layout, JPEG-in-TIFF, and CCITT fax compressions raise
+r16: the §15 TILED layout (tags 322-325, per-tile predictor restart,
+planar tile grids) and new-style JPEG-in-TIFF (compression 7 with the
+tag-347 JPEGTables splice, TIFF TechNote 2 — segments decode through
+jpeg.py). CCITT fax and old-style JPEG (comp 6) raise
 NotImplementedError naming PIL.
 
 Encoder: :func:`encode_tiff` — deterministic synthesis for tests and
-oracle rows (uncompressed, PackBits, or LZW strips; gray/RGB/RGBA).
-TIFF is lossless: round trips assert EXACT equality.
+oracle rows (uncompressed, PackBits, LZW, or JPEG segments; strip or
+tile layout; gray/RGB/RGBA). Non-JPEG compressions are lossless:
+round trips assert EXACT equality.
 """
 
 from __future__ import annotations
@@ -215,12 +219,16 @@ def decode_tiff(data: bytes) -> np.ndarray:
     spp = tags.get(277, [1])[0]
     comp = tags.get(259, [1])[0]
     photo = tags.get(262, [1])[0]
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF needs PIL (strip layout decodes here)")
+    if comp == 7:
+        # r16: new-style JPEG-in-TIFF (TIFF TechNote 2) — each strip or
+        # tile is a complete (possibly abbreviated) JPEG datastream;
+        # tag 347 JPEGTables carries the shared DQT/DHT prologue. Pure
+        # container plumbing onto the existing jpeg.py decoder.
+        return _decode_jpeg_tiff(data, fmt, tags, w, h, spp, photo)
     if comp not in (1, 5, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} (CCITT/JPEG/deflate) needs PIL — "
-            "none/LZW/PackBits decode here"
+            f"TIFF compression {comp} (CCITT/old-JPEG/deflate) needs PIL — "
+            "none/LZW/PackBits/new-JPEG decode here"
         )
     bps = bits[0]
     if bps not in (1, 8, 16) or any(b != bps for b in bits):
@@ -231,6 +239,9 @@ def decode_tiff(data: bytes) -> np.ndarray:
     planar = tags.get(284, [1])[0]
     if planar not in (1, 2) or (planar == 2 and bps == 1 and spp > 1):
         raise NotImplementedError(f"TIFF PlanarConfiguration {planar} at {bps}-bit needs PIL")
+    if 322 in tags or 324 in tags:
+        px = _decode_tiles(data, fmt, tags, w, h, bps, spp, comp, predictor, planar)
+        return _finish_pixels(px, photo, tags)
     offsets = tags[273]
     counts = tags[279]
     rows_per_strip = tags.get(278, [h])[0]
@@ -254,8 +265,6 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if bps == 1:
         bits_arr = np.unpackbits(arr.reshape(h, row_bytes), axis=1)[:, : w * spp]
         px = (bits_arr * 255).astype(np.uint8).reshape(h, w, spp)
-        if photo == 0:  # WhiteIsZero
-            px = 255 - px
     elif bps == 16:
         shape = (spp, h, w, 2) if per_plane else (h, w, spp, 2)
         v = arr.reshape(shape).astype(np.uint32)
@@ -266,8 +275,6 @@ def decode_tiff(data: bytes) -> np.ndarray:
         if predictor == 2:  # horizontal differencing, per channel per row
             val = np.cumsum(val, axis=1, dtype=np.uint32) & 0xFFFF
         px = ((val * 255 + 32767) // 65535).astype(np.uint8)
-        if photo == 0:
-            px = 255 - px
     else:
         if per_plane:
             px = arr.reshape(spp, h, w).transpose(1, 2, 0).copy()
@@ -275,8 +282,14 @@ def decode_tiff(data: bytes) -> np.ndarray:
             px = arr.reshape(h, w, spp).copy()
         if predictor == 2:
             px = (np.cumsum(px, axis=1, dtype=np.uint32) & 0xFF).astype(np.uint8)
-        if photo == 0:
-            px = 255 - px
+    return _finish_pixels(px, photo, tags)
+
+
+def _finish_pixels(px: np.ndarray, photo: int, tags) -> np.ndarray:
+    """Shared photometric tail for the strip and tile paths: WhiteIsZero
+    inversion, palette expansion, single-channel squeeze."""
+    if photo == 0:  # WhiteIsZero
+        px = 255 - px
     if photo == 3:  # palette
         cmap = tags.get(320)
         if cmap is None:
@@ -289,39 +302,245 @@ def decode_tiff(data: bytes) -> np.ndarray:
     return px
 
 
+def _decode_jpeg_tiff(
+    data: bytes, fmt: str, tags, w: int, h: int, spp: int, photo: int,
+) -> np.ndarray:
+    """New-style JPEG-in-TIFF (compression 7, TIFF TechNote 2): every
+    strip/tile holds one JPEG datastream; when tag 347 (JPEGTables)
+    exists its SOI..EOI body is spliced ahead of each abbreviated
+    segment. The photometric is already resolved by the JPEG decoder
+    (YCbCr→RGB), so photo 2/6 pass through; photo 0 inverts."""
+    from .jpeg import decode_jpeg
+
+    if spp not in (1, 3):
+        raise NotImplementedError(f"JPEG-in-TIFF with {spp} samples/pixel needs PIL")
+    tables = tags.get(347, [b""])[0]
+    if tables and (tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9"):
+        raise ValueError("corrupt TIFF: JPEGTables is not an SOI..EOI stream")
+
+    def seg_pixels(so: int, sc: int) -> np.ndarray:
+        seg = bytes(data[so : so + sc])
+        if seg[:2] != b"\xff\xd8":
+            raise ValueError("corrupt TIFF: JPEG segment missing SOI")
+        if tables:  # splice: tables' SOI + tables body + segment body
+            seg = tables[:-2] + seg[2:]
+        px = decode_jpeg(seg)
+        return px[:, :, None] if px.ndim == 2 else px
+
+    tiled = 322 in tags or 324 in tags
+    if tiled:
+        if not all(t in tags for t in (322, 323, 324, 325)):
+            raise ValueError("corrupt TIFF: incomplete tile tag set")
+        tw, tl = tags[322][0], tags[323][0]
+        if tw <= 0 or tl <= 0:
+            raise ValueError("corrupt TIFF: bad tile dimensions")
+        offsets, counts = tags[324], tags[325]
+        across, down = -(-w // tw), -(-h // tl)
+        if len(offsets) < across * down:
+            raise ValueError("corrupt TIFF: tile count below the grid size")
+        canvas = None
+        for ti in range(across * down):
+            v = seg_pixels(offsets[ti], counts[ti])
+            if canvas is None:
+                canvas = np.zeros((down * tl, across * tw, v.shape[2]), dtype=np.uint8)
+            ty, tx = divmod(ti, across)
+            canvas[ty * tl : ty * tl + v.shape[0], tx * tw : tx * tw + v.shape[1]] = v[
+                :tl, :tw
+            ]
+        px = canvas[:h, :w, :]
+    else:
+        offsets, counts = tags[273], tags[279]
+        rows_per_strip = tags.get(278, [h])[0] or h
+        canvas = None
+        for si, (so, sc) in enumerate(zip(offsets, counts)):
+            v = seg_pixels(so, sc)
+            if canvas is None:
+                canvas = np.zeros((h, w, v.shape[2]), dtype=np.uint8)
+            y0 = si * rows_per_strip
+            nr = min(v.shape[0], h - y0)
+            canvas[y0 : y0 + nr, : min(w, v.shape[1])] = v[:nr, :w]
+        px = canvas
+    if px is None:
+        raise ValueError("corrupt TIFF: no JPEG segments")
+    if photo == 0:
+        px = 255 - px
+    if px.shape[2] == 1:
+        return px[:, :, 0].copy()
+    return px
+
+
+def _decode_tiles(
+    data: bytes, fmt: str, tags, w: int, h: int, bps: int, spp: int,
+    comp: int, predictor: int, planar: int,
+) -> np.ndarray:
+    """Tiled layout (TIFF 6.0 §15): TileWidth/TileLength (322/323) pad
+    the image to a full tile grid; TileOffsets/TileByteCounts (324/325)
+    list tiles left-to-right, top-to-bottom, one full grid per sample
+    plane when PlanarConfiguration=2. Each tile decompresses
+    independently and the predictor restarts at every tile row, so the
+    decode pastes per-tile pixel blocks into a padded canvas and crops."""
+    if 322 not in tags or 323 not in tags or 324 not in tags or 325 not in tags:
+        raise ValueError("corrupt TIFF: incomplete tile tag set")
+    tw, tl = tags[322][0], tags[323][0]
+    if tw <= 0 or tl <= 0:
+        raise ValueError("corrupt TIFF: bad tile dimensions")
+    offsets, counts = tags[324], tags[325]
+    across, down = -(-w // tw), -(-h // tl)
+    per_plane = planar == 2 and spp > 1
+    nplanes = spp if per_plane else 1
+    sppe = 1 if per_plane else spp
+    n_grid = across * down
+    if len(offsets) < n_grid * nplanes or len(counts) < n_grid * nplanes:
+        raise ValueError("corrupt TIFF: tile count below the grid size")
+    tile_row_bytes = (tw * sppe * bps + 7) // 8
+    expected = tl * tile_row_bytes
+    dtype = np.uint16 if bps == 16 else np.uint8
+    canvas = np.zeros((down * tl, across * tw, nplanes * sppe), dtype=dtype)
+    for ti in range(n_grid * nplanes):
+        so, sc = offsets[ti], counts[ti]
+        tile = bytes(data[so : so + sc])
+        if comp == 5:
+            tile = _tiff_lzw_decode(tile, expected)
+        elif comp == 32773:
+            tile = _packbits_decode(tile, expected)
+        if len(tile) < expected:
+            raise ValueError("corrupt TIFF: tile data ended early")
+        arr = np.frombuffer(tile[:expected], dtype=np.uint8)
+        if bps == 1:
+            bits_arr = np.unpackbits(arr.reshape(tl, tile_row_bytes), axis=1)
+            v = (bits_arr[:, : tw * sppe] * 255).astype(np.uint8).reshape(tl, tw, sppe)
+        elif bps == 16:
+            b2 = arr.reshape(tl, tw, sppe, 2).astype(np.uint32)
+            hi, lo = (b2[..., 0], b2[..., 1]) if fmt == ">" else (b2[..., 1], b2[..., 0])
+            v = hi << 8 | lo
+            if predictor == 2:
+                v = np.cumsum(v, axis=1, dtype=np.uint32) & 0xFFFF
+            v = v.astype(np.uint16)
+        else:
+            v = arr.reshape(tl, tw, sppe)
+            if predictor == 2:
+                v = (np.cumsum(v, axis=1, dtype=np.uint32) & 0xFF).astype(np.uint8)
+        plane, k = divmod(ti, n_grid)
+        ty, tx = divmod(k, across)
+        canvas[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw,
+               plane * sppe : (plane + 1) * sppe] = v
+    px = canvas[:h, :w, :]
+    if bps == 16:
+        px = ((px.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+    return px
+
+
+def _factor_jpeg_tables(segments: List[bytes]) -> Tuple[bytes, List[bytes]]:
+    """Split shared DQT/DHT markers out of complete JPEG segments into
+    a JPEGTables blob (SOI + tables + EOI) and abbreviated per-segment
+    streams (SOI + everything else), per TIFF TechNote 2."""
+    tables = b""
+    out: List[bytes] = []
+    for seg in segments:
+        if seg[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG segment")
+        kept = bytearray(b"\xff\xd8")
+        this_tables = bytearray()
+        pos = 2
+        while pos + 4 <= len(seg):
+            if seg[pos] != 0xFF:
+                raise ValueError("corrupt JPEG segment: lost marker sync")
+            marker = seg[pos + 1]
+            if marker == 0xDA:  # SOS: entropy data follows, copy the rest
+                kept += seg[pos:]
+                break
+            (ln,) = struct.unpack(">H", seg[pos + 2 : pos + 4])
+            chunk = seg[pos : pos + 2 + ln]
+            if marker in (0xDB, 0xC4):  # DQT / DHT → shared tables
+                this_tables += chunk
+            else:
+                kept += chunk
+            pos += 2 + ln
+        if not tables:
+            tables = bytes(this_tables)
+        elif bytes(this_tables) != tables:
+            raise ValueError("JPEG segments disagree on tables; cannot factor")
+        out.append(bytes(kept))
+    return (b"\xff\xd8" + tables + b"\xff\xd9") if tables else b"", out
+
+
 def encode_tiff(
     px: np.ndarray,
     compression: str = "none",
     big_endian: bool = False,
     predictor: bool = False,
     planar: bool = False,
+    tiled: bool = False,
+    tile_size: Tuple[int, int] = (16, 16),
+    jpeg_quality: int = 95,
+    jpeg_tables: bool = False,
 ) -> bytes:
-    """Encode (H, W[, C]) uint8 as a baseline strip TIFF
-    (``compression``: none | packbits | lzw; ``predictor`` emits
+    """Encode (H, W[, C]) uint8 as a baseline TIFF
+    (``compression``: none | packbits | lzw | jpeg; ``predictor`` emits
     horizontal differencing, tag 317=2 — what scanner LZW files use;
     ``planar`` emits PlanarConfiguration=2 with one sample plane per
-    strip run). Lossless — exact round trips."""
+    strip/tile run; ``tiled`` emits the §15 tile layout with
+    ``tile_size`` = (width, length), both multiples of 16 per spec).
+    ``jpeg`` writes new-style JPEG-in-TIFF (compression 7) segments —
+    lossy; ``jpeg_tables=True`` factors shared DQT/DHT into tag 347 and
+    writes abbreviated segments. Other compressions are lossless —
+    exact round trips."""
     px = np.asarray(px, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, spp = px.shape
     fmt = ">" if big_endian else "<"
-    comp_code = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+    comp_code = {"none": 1, "packbits": 32773, "lzw": 5, "jpeg": 7}[compression]
+    if compression == "jpeg" and (predictor or planar or spp not in (1, 3)):
+        raise ValueError("JPEG-in-TIFF: chunky layout, no predictor, 1 or 3 samples")
     src = px
-    if predictor:  # per-row per-channel differences (inverse of cumsum)
+    if predictor and not tiled:  # per-row differences (inverse of cumsum)
         src = np.concatenate([px[:, :1, :], np.diff(px.astype(np.int16), axis=1)], axis=1)
         src = (src & 0xFF).astype(np.uint8)
     rows_per_strip = max(1, 8192 // max(1, w * spp))
+    if compression == "jpeg":
+        rows_per_strip = max(8, rows_per_strip - rows_per_strip % 8)
+
+    def _compress(block: np.ndarray) -> bytes:
+        if compression == "jpeg":
+            from .jpeg import encode_jpeg
+
+            return encode_jpeg(
+                block[:, :, 0] if block.shape[2] == 1 else block, quality=jpeg_quality
+            )
+        body = block.tobytes()
+        if compression == "packbits":
+            return _packbits_encode(body)
+        if compression == "lzw":
+            return _tiff_lzw_encode(body)
+        return body
+
     strips: List[bytes] = []
     planes = src.transpose(2, 0, 1)[..., None] if planar and spp > 1 else [src]
-    for plane in planes:
-        for y0 in range(0, h, rows_per_strip):
-            body = plane[y0 : y0 + rows_per_strip].tobytes()
-            if compression == "packbits":
-                body = _packbits_encode(body)
-            elif compression == "lzw":
-                body = _tiff_lzw_encode(body)
-            strips.append(body)
+    if tiled:
+        tw, tl = tile_size
+        if tw % 16 or tl % 16 or tw <= 0 or tl <= 0:
+            raise ValueError("tile dimensions must be positive multiples of 16")
+        across, down = -(-w // tw), -(-h // tl)
+        for plane in planes:
+            padded = np.zeros((down * tl, across * tw, plane.shape[2]), dtype=np.uint8)
+            padded[:h, :w] = plane
+            for ty in range(down):
+                for tx in range(across):
+                    blk = padded[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
+                    if predictor:  # restarts at every tile row (§15)
+                        blk = np.concatenate(
+                            [blk[:, :1, :], np.diff(blk.astype(np.int16), axis=1)], axis=1
+                        )
+                        blk = (blk & 0xFF).astype(np.uint8)
+                    strips.append(_compress(blk))
+    else:
+        for plane in planes:
+            for y0 in range(0, h, rows_per_strip):
+                strips.append(_compress(plane[y0 : y0 + rows_per_strip]))
+    tables_blob = b""
+    if compression == "jpeg" and jpeg_tables:
+        tables_blob, strips = _factor_jpeg_tables(strips)
     header = struct.pack(fmt + "2sHI", b"II" if fmt == "<" else b"MM", 42, 8)
     # layout: header(8) IFD data-area strips
     entries = []
@@ -333,11 +552,21 @@ def encode_tiff(
     entry(257, 4, [h])
     entry(258, 3, [8] * spp)
     entry(259, 3, [comp_code])
-    entry(262, 3, [2 if spp >= 3 else 1])  # RGB or BlackIsZero
+    # JPEG segments carry YCbCr (photo 6) when color; else RGB/gray
+    photo_code = 6 if (compression == "jpeg" and spp == 3) else (2 if spp >= 3 else 1)
+    entry(262, 3, [photo_code])
     entry(277, 3, [spp])
-    entry(278, 4, [rows_per_strip])
-    entry(279, 4, [len(s) for s in strips])
-    entry(273, 4, [0] * len(strips))  # patched below
+    if tables_blob:
+        entry(347, 7, tables_blob)
+    if tiled:
+        entry(322, 4, [tile_size[0]])
+        entry(323, 4, [tile_size[1]])
+        entry(325, 4, [len(s) for s in strips])
+        entry(324, 4, [0] * len(strips))  # patched below
+    else:
+        entry(278, 4, [rows_per_strip])
+        entry(279, 4, [len(s) for s in strips])
+        entry(273, 4, [0] * len(strips))  # patched below
     if spp == 4:
         entry(338, 3, [2])  # unassociated alpha
     if predictor:
@@ -350,7 +579,7 @@ def encode_tiff(
     data_off = ifd_off + 2 + 12 * n + 4
     # first pass: compute out-of-line value area
     extra = bytearray()
-    type_size = {3: 2, 4: 4}
+    type_size = {3: 2, 4: 4, 7: 1}
     packed = []
     for tag, typ, vals in entries:
         size = type_size[typ] * len(vals)
@@ -358,7 +587,10 @@ def encode_tiff(
             packed.append((tag, typ, vals, None))
         else:
             packed.append((tag, typ, vals, data_off + len(extra)))
-            extra += struct.pack(fmt + ("H" if typ == 3 else "I") * len(vals), *vals)
+            if typ == 7:  # UNDEFINED: raw bytes
+                extra += bytes(vals)
+            else:
+                extra += struct.pack(fmt + ("H" if typ == 3 else "I") * len(vals), *vals)
     strips_off = data_off + len(extra)
     offs = []
     cur = strips_off
@@ -370,17 +602,20 @@ def encode_tiff(
     out += struct.pack(fmt + "H", n)
     extra = bytearray()
     for tag, typ, vals, ptr in packed:
-        if tag == 273:
+        if tag == (324 if tiled else 273):
             vals = offs
         code = "H" if typ == 3 else "I"
         size = type_size[typ] * len(vals)
         out += struct.pack(fmt + "HHI", tag, typ, len(vals))
         if size <= 4:
-            raw = struct.pack(fmt + code * len(vals), *vals)
+            raw = bytes(vals) if typ == 7 else struct.pack(fmt + code * len(vals), *vals)
             out += raw + b"\x00" * (4 - len(raw))
         else:
             out += struct.pack(fmt + "I", data_off + len(extra))
-            extra += struct.pack(fmt + code * len(vals), *vals)
+            if typ == 7:
+                extra += bytes(vals)
+            else:
+                extra += struct.pack(fmt + code * len(vals), *vals)
     out += struct.pack(fmt + "I", 0)  # no next IFD
     out += extra
     for s in strips:

@@ -95,8 +95,14 @@ def test_tiff_gates_and_dispatch():
     for i in range(n):
         tag = struct.unpack_from("<H", enc, 10 + 12 * i)[0]
         if tag == 259:
-            struct.pack_into("<H", enc, 10 + 12 * i + 8, 7)  # JPEG-in-TIFF
+            comp_at = 10 + 12 * i + 8
+            struct.pack_into("<H", enc, comp_at, 6)  # old-style JPEG
     with pytest.raises(NotImplementedError, match="PIL"):
+        decode_tiff(bytes(enc))
+    # new-style JPEG (comp 7) decodes since r16 — so NON-JPEG strip
+    # bytes under comp 7 are malformed structure, not a gate
+    struct.pack_into("<H", enc, comp_at, 7)
+    with pytest.raises(ValueError, match="SOI"):
         decode_tiff(bytes(enc))
 
 
@@ -210,3 +216,77 @@ def test_tiff_remaining_gates():
     ]
     with pytest.raises(NotImplementedError, match="predictor"):
         decode_tiff(_build_tiff(base + [(317, 3, [2])], rows))
+
+
+# ---- tiled layout + new-style JPEG-in-TIFF (r16: gates -> real decodes) ----
+
+
+def test_tiff_tiled_roundtrips_all_combinations():
+    rng = np.random.default_rng(3)
+    for shape in [(20, 20), (37, 53), (64, 48, 3), (33, 47, 4)]:
+        for comp in ["none", "packbits", "lzw"]:
+            for pred in [False, True]:
+                for planar in [False, True]:
+                    img = rng.integers(0, 256, shape, dtype=np.uint8)
+                    t = encode_tiff(
+                        img, compression=comp, predictor=pred, planar=planar,
+                        tiled=True, tile_size=(16, 32),
+                    )
+                    assert np.array_equal(decode_tiff(t), img), (shape, comp, pred, planar)
+
+
+def test_tiff_tiled_big_endian_and_nonsquare_tiles():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (50, 70, 3), dtype=np.uint8)
+    for ts in [(16, 16), (48, 16), (16, 64)]:
+        t = encode_tiff(img, big_endian=True, tiled=True, tile_size=ts, compression="lzw")
+        assert np.array_equal(decode_tiff(t), img)
+
+
+def test_tiff_tiled_malformed_raises_valueerror():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (20, 20), dtype=np.uint8)
+    enc = bytearray(encode_tiff(img, tiled=True, tile_size=(16, 16)))
+    # drop a tile from TileByteCounts/TileOffsets by shrinking counts:
+    # patch tag 325's count field to 1 (grid needs 4)
+    n = struct.unpack_from("<H", enc, 8)[0]
+    for i in range(n):
+        tag = struct.unpack_from("<H", enc, 10 + 12 * i)[0]
+        if tag in (324, 325):
+            struct.pack_into("<I", enc, 10 + 12 * i + 4, 1)
+    with pytest.raises(ValueError, match="tile count"):
+        decode_tiff(bytes(enc))
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(img, tiled=True, tile_size=(10, 16))
+
+
+def test_tiff_jpeg_in_tiff_strips_tiles_and_shared_tables():
+    yy, xx = np.mgrid[0:80, 0:100]
+    gray = np.clip(yy + xx, 0, 255).astype(np.uint8)
+    rgb = np.stack(
+        [np.clip(xx, 0, 255), np.clip(yy * 2, 0, 255), np.clip(255 - xx, 0, 255)], axis=2
+    ).astype(np.uint8)
+    for img in (gray, rgb):
+        for tiled in (False, True):
+            for jt in (False, True):
+                t = encode_tiff(
+                    img, compression="jpeg", tiled=tiled, tile_size=(32, 16),
+                    jpeg_tables=jt, jpeg_quality=95,
+                )
+                dec = decode_tiff(t)
+                assert dec.shape == img.shape
+                assert np.abs(dec.astype(float) - img.astype(float)).max() <= 12
+    # factoring shared tables must actually shrink the file
+    big = encode_tiff(rgb, compression="jpeg", tiled=True, tile_size=(16, 16))
+    small = encode_tiff(rgb, compression="jpeg", tiled=True, tile_size=(16, 16), jpeg_tables=True)
+    assert len(small) < len(big) * 0.5
+
+
+def test_tiff_jpeg_in_tiff_malformed_tables_raise():
+    img = np.zeros((16, 16), dtype=np.uint8)
+    enc = bytearray(encode_tiff(img, compression="jpeg", tiled=True, jpeg_tables=True))
+    # corrupt the JPEGTables blob's SOI
+    pos = bytes(enc).find(b"\xff\xd8", 8)
+    enc[pos] = 0x00
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(enc))
