@@ -3337,20 +3337,29 @@ def _q_scan_limit(spark, env):
 
 
 def _q_multimodal_webp_decode(spark, env):
-    # r12: REAL WebP-lossless (VP8L) decode under the driver's oracle.
-    # Deterministic 32-color images seeded by doc_id % 53 encode
-    # through four engine layouts — literal ARGB, a per-key predictor
-    # mode (k % 14, emitted via the independent spec-forward predictor
-    # so the ADVICE-r11 TR/mode-13 inverse rules are exercised in the
-    # data plane), composed subtract-green+left-predictor+cross-color,
-    # and palette (color-indexing). VP8L is lossless: exact_ok is
-    # pixel EQUALITY and all four variants of one content key share
-    # exactly one perceptual hash.
+    # r12, extended r16: REAL WebP-lossless (VP8L) decode under the
+    # driver's oracle. Deterministic 32-color images seeded by
+    # doc_id % 53 encode through six engine layouts — literal ARGB, a
+    # per-key predictor mode (k % 14, emitted via the independent
+    # spec-forward predictor so the ADVICE-r11 TR/mode-13 inverse
+    # rules are exercised in the data plane), composed
+    # subtract-green+left-predictor+cross-color, palette
+    # (color-indexing), plus the VP8X EXTENDED container (r16): a
+    # still VP8X wrap with EXIF metadata and a 2-frame ANIMATION whose
+    # first composited canvas must equal the source (alpha plane all
+    # 255; phash ignores alpha so the hash claim holds). VP8L is
+    # lossless: exact_ok is pixel EQUALITY and all variants of one
+    # content key share exactly one perceptual hash.
     import numpy as np
     import pandas as pd
 
     from iceberg_python_spark.operators.multimodal import extract_image_stats
-    from iceberg_python_spark.operators.webp import decode_webp, encode_webp
+    from iceberg_python_spark.operators.webp import (
+        decode_webp,
+        encode_webp,
+        encode_webp_anim,
+        encode_webp_extended,
+    )
 
     docs = (
         env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 300")
@@ -3361,7 +3370,7 @@ def _q_multimodal_webp_decode(spark, env):
         for pdf in batches:
             payloads, exacts = [], []
             for d in pdf["doc_id"].astype(int):
-                k, variant = int(d) % 53, int(d) % 4
+                k, variant = int(d) % 53, int(d) % 6
                 rng = np.random.default_rng(k)
                 h, w = 16 + (k % 5), 20 + (k % 3)
                 pal = rng.integers(0, 256, (32, 3), dtype=np.uint8)
@@ -3372,9 +3381,23 @@ def _q_multimodal_webp_decode(spark, env):
                     enc = encode_webp(img, predict_mode=k % 14)
                 elif variant == 2:
                     enc = encode_webp(img, subtract_green=True, predict_left=True, cross_color=True)
-                else:
+                elif variant == 3:
                     enc = encode_webp(img, palette=True)
-                exacts.append(bool(np.array_equal(decode_webp(enc), img)))
+                elif variant == 4:
+                    enc = encode_webp_extended(img, exif=b"fixture-exif")
+                else:
+                    # 2-frame animation: frame 0 fills the canvas, so
+                    # the first composited canvas == source + opaque
+                    # alpha (phash ignores alpha; dims are the canvas)
+                    enc = encode_webp_anim(
+                        [img, img[: h - h // 2, : w - w // 2]],
+                        delays_ms=[40, 60],
+                    )
+                dec = decode_webp(enc)
+                exacts.append(
+                    bool(np.array_equal(dec[:, :, :3], img))
+                    and (dec.shape[2] == 3 or bool(np.all(dec[:, :, 3] == 255)))
+                )
                 payloads.append(enc)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads, "exact": exacts})
 

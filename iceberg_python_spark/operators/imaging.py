@@ -31,7 +31,8 @@ Decoders (magic-byte dispatch in :func:`decode_image`):
   Huffman over an LSB-first stream, LZ77 with the 2D short-distance
   map, color cache, meta-Huffman tiling, and all four inverse
   transforms (14 predictor modes, cross-color, subtract-green,
-  color-indexing with sub-byte bundling); lossy VP8 and animated VP8X
+  color-indexing with sub-byte bundling, and — r16 — the VP8X extended
+  container: still unwrap + ANMF animation compositing); lossy VP8
   raise naming PIL.
 - **TIFF** (tiff.py, r11) — baseline strips, both byte orders,
   none/LZW (early-change variant)/PackBits, bilevel/gray/palette/
@@ -372,8 +373,9 @@ def _decode_image_dispatch(data: bytes) -> np.ndarray:
 
         return decode_gif(data)[0][0]
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
-        # r11: WebP-LOSSLESS (VP8L) decodes in webp.py; lossy VP8 and
-        # extended VP8X raise there naming PIL
+        # r11: WebP-LOSSLESS (VP8L) decodes in webp.py; r16: VP8X
+        # extended/animated too (first composited canvas, like GIF);
+        # lossy VP8 raises there naming PIL
         from .webp import decode_webp
 
         return decode_webp(data)

@@ -394,7 +394,32 @@ def _probe_media_dispatch(data: bytes) -> Dict[str, Any]:
         if chunk == b"VP8X":
             wm1 = int.from_bytes(data[24:27], "little")
             hm1 = int.from_bytes(data[27:30], "little")
-            return {"container": "webp-extended", "kind": "image", "width": wm1 + 1, "height": hm1 + 1, "decodable": False}
+            # r16: VP8X decodes natively when its image payloads are
+            # lossless (VP8L); lossy VP8/ALPH payloads keep the
+            # table-data ceiling. Header-only chunk walk — fourccs and
+            # sizes, no entropy decode — matching the decoder's routing.
+            n_frames = 0
+            has_vp8l = has_lossy = False
+            pos = 12
+            while pos + 8 <= len(data):
+                four = data[pos : pos + 4]
+                ln = int.from_bytes(data[pos + 4 : pos + 8], "little")
+                if four == b"ANMF":
+                    n_frames += 1
+                    sub = data[pos + 24 : pos + 28]  # frame's image chunk id
+                    has_vp8l |= sub == b"VP8L"
+                    has_lossy |= sub in (b"VP8 ", b"ALPH")
+                elif four == b"VP8L":
+                    has_vp8l = True
+                elif four in (b"VP8 ", b"ALPH"):
+                    has_lossy = True
+                pos += 8 + ln + (ln & 1)
+            return {
+                "container": "webp-extended", "kind": "image",
+                "width": wm1 + 1, "height": hm1 + 1,
+                "n_frames": n_frames if n_frames else None,
+                "decodable": has_vp8l and not has_lossy,
+            }
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         pos = 12
         rate = channels = None

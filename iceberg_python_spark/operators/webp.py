@@ -11,9 +11,14 @@ transforms (predictor with 14 modes, cross-color, subtract-green,
 color-indexing with sub-byte pixel bundling).
 
 Decoder: :func:`decode_webp` → (H, W, C) uint8 (C = 3 without alpha
-hint, 4 with). VP8 (lossy) and VP8X (extended/animation) raise
-NotImplementedError naming PIL — per-row error capture upstream turns
-that into ``decode_ok=false``.
+hint, 4 with). r16: the EXTENDED container (VP8X) decodes too — still
+VP8X unwraps to its VP8L payload, and animations composite ANMF
+rectangles per the container spec's blend/dispose rules
+(:func:`decode_webp_frames` returns every composited RGBA canvas +
+delays, the GIF-decoder shape). VP8 (lossy) payloads raise
+NotImplementedError naming PIL (RFC 6386 normative table data — the
+documented ceiling) — per-row error capture upstream turns that into
+``decode_ok=false``.
 
 Encoder: :func:`encode_webp` — the deterministic synthesis half for
 tests and oracle rows. It emits literal ARGB with flat 8-bit Huffman
@@ -21,7 +26,9 @@ codes (a complete 256×8-bit canonical code), optionally behind the
 subtract-green transform, a color-indexing palette, or the
 left-predictor transform — enough to exercise every inverse-transform
 path with EXACT round trips (VP8L is lossless: equality oracles, no
-tolerances).
+tolerances). :func:`encode_webp_anim` / :func:`encode_webp_extended`
+write the VP8X container (ANIM/ANMF with per-frame offsets, blend and
+dispose flags; EXIF/XMP metadata chunks) around VP8L payloads.
 """
 
 from __future__ import annotations
@@ -390,10 +397,17 @@ def _inv_color_indexing(px: np.ndarray, palette: np.ndarray, pack_bits: int, wid
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """Decode a WebP-lossless (VP8L) file → (H, W, 3|4) uint8."""
+    """Decode a WebP file → (H, W, 3|4) uint8. VP8L decodes natively;
+    VP8X (extended, r16) unwraps to its VP8L payload — for animations
+    the return is the FIRST composited canvas (RGBA), mirroring the
+    GIF decoder; :func:`decode_webp_frames` yields them all. Lossy VP8
+    payloads stay a documented table-data ceiling."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WEBP stream")
     chunk = data[12:16]
+    if chunk == b"VP8X":
+        frames, _delays = _decode_vp8x(data)
+        return frames[0]
     if chunk == b"VP8 ":
         # DOCUMENTED CEILING (r15, same class as the MP3 gate in
         # audio.decode_audio): VP8 intra decode requires RFC 6386's
@@ -410,12 +424,15 @@ def decode_webp(data: bytes) -> np.ndarray:
             "are normative table data that cannot be validated in this environment "
             "— only VP8L decodes natively here"
         )
-    if chunk == b"VP8X":
-        raise NotImplementedError("extended/animated WebP (VP8X) needs PIL")
     if chunk != b"VP8L":
         raise ValueError("corrupt WEBP: unknown chunk")
     (ln,) = struct.unpack("<I", data[16:20])
     body = data[20 : 20 + ln]
+    return _decode_vp8l(body)
+
+
+def _decode_vp8l(body: bytes) -> np.ndarray:
+    """Decode one VP8L chunk body → (H, W, 3|4) uint8."""
     if not body or body[0] != 0x2F:
         raise ValueError("corrupt VP8L: bad signature")
     br = _LsbReader(body)
@@ -473,6 +490,123 @@ def decode_webp(data: bytes) -> np.ndarray:
     if has_alpha:
         return np.concatenate([rgb, px[:, :, 0:1]], axis=2)
     return rgb.copy()
+
+
+# ------------------------------------------------ VP8X container (r16)
+
+
+def _riff_chunks(data: bytes, start: int = 12):
+    """Yield (fourcc, payload) for each RIFF sub-chunk (odd sizes are
+    padded per RIFF)."""
+    pos = start
+    while pos + 8 <= len(data):
+        four = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        payload = data[pos + 8 : pos + 8 + ln]
+        if len(payload) < ln:
+            raise ValueError("corrupt WEBP: truncated chunk")
+        yield four, payload
+        pos += 8 + ln + (ln & 1)
+
+
+def _frame_pixels(chunks) -> np.ndarray:
+    """Decode the image payload among a chunk list: VP8L natively,
+    VP8/ALPH gate with the lossy table-data rationale."""
+    for four, payload in chunks:
+        if four == b"VP8L":
+            return _decode_vp8l(payload)
+        if four in (b"VP8 ", b"ALPH"):
+            raise NotImplementedError(
+                "lossy WebP (VP8/ALPH) inside VP8X needs PIL: RFC 6386 table data "
+                "— only VP8L payloads decode natively here"
+            )
+    raise ValueError("corrupt WEBP: VP8X frame without an image chunk")
+
+
+def _decode_vp8x(data: bytes):
+    """Decode an extended (VP8X) WebP → (frames, delays_ms). Still
+    images return one frame with delay 0; animations composite each
+    ANMF rectangle onto the canvas per the container spec's blending
+    (alpha-blend or overwrite) and disposal (none or
+    dispose-to-background) rules, returning RGBA canvases."""
+    chunks = list(_riff_chunks(data))
+    if not chunks or chunks[0][0] != b"VP8X":
+        raise ValueError("corrupt WEBP: VP8X chunk missing")
+    head = chunks[0][1]
+    if len(head) < 10:
+        raise ValueError("corrupt WEBP: short VP8X header")
+    flags = head[0]
+    if flags & 0xC1:
+        raise ValueError("corrupt WEBP: reserved VP8X flag bits set")
+    animated = bool(flags & 0x02)
+    cw = int.from_bytes(head[4:7], "little") + 1
+    ch = int.from_bytes(head[7:10], "little") + 1
+    if not animated:
+        px = _frame_pixels(chunks[1:])
+        if px.shape[0] != ch or px.shape[1] != cw:
+            raise ValueError("corrupt WEBP: still VP8X image does not fill the canvas")
+        return [px], [0]
+    bg = np.array([255, 255, 255, 255], dtype=np.uint8)
+    for four, payload in chunks:
+        if four == b"ANIM":
+            if len(payload) < 6:
+                raise ValueError("corrupt WEBP: short ANIM chunk")
+            b_, g_, r_, a_ = payload[0], payload[1], payload[2], payload[3]
+            bg = np.array([r_, g_, b_, a_], dtype=np.uint8)  # stored BGRA
+    canvas = np.broadcast_to(bg, (ch, cw, 4)).copy()
+    frames: List[np.ndarray] = []
+    delays: List[int] = []
+    for four, payload in chunks:
+        if four != b"ANMF":
+            continue
+        if len(payload) < 16:
+            raise ValueError("corrupt WEBP: short ANMF header")
+        fx = int.from_bytes(payload[0:3], "little") * 2
+        fy = int.from_bytes(payload[3:6], "little") * 2
+        fw = int.from_bytes(payload[6:9], "little") + 1
+        fh = int.from_bytes(payload[9:12], "little") + 1
+        dur = int.from_bytes(payload[12:15], "little")
+        fflags = payload[15]
+        no_blend = bool(fflags & 0x02)
+        dispose_bg = bool(fflags & 0x01)
+        if fx + fw > cw or fy + fh > ch:
+            raise ValueError("corrupt WEBP: ANMF rectangle exceeds the canvas")
+        px = _frame_pixels(list(_riff_chunks(payload, start=16)))
+        if px.shape[:2] != (fh, fw):
+            raise ValueError("corrupt WEBP: ANMF payload dims disagree with its header")
+        if px.shape[2] == 3:
+            px = np.concatenate([px, np.full((fh, fw, 1), 255, np.uint8)], axis=2)
+        rect = canvas[fy : fy + fh, fx : fx + fw]
+        if no_blend:
+            rect[:] = px
+        else:  # source-over alpha blend (container spec §Animation)
+            fa = px[:, :, 3:4].astype(np.float64) / 255.0
+            ca = rect[:, :, 3:4].astype(np.float64) / 255.0
+            oa = fa + ca * (1.0 - fa)
+            rgb = px[:, :, :3].astype(np.float64) * fa + rect[:, :, :3].astype(
+                np.float64
+            ) * ca * (1.0 - fa)
+            safe = np.where(oa > 0, oa, 1.0)
+            rect[:, :, :3] = np.round(rgb / safe).astype(np.uint8)
+            rect[:, :, 3:4] = np.round(oa * 255.0).astype(np.uint8)
+        frames.append(canvas.copy())
+        delays.append(dur)
+        if dispose_bg:
+            canvas[fy : fy + fh, fx : fx + fw] = bg
+    if not frames:
+        raise ValueError("corrupt WEBP: animation without ANMF frames")
+    return frames, delays
+
+
+def decode_webp_frames(data: bytes) -> Tuple[List[np.ndarray], List[int]]:
+    """Decode any WebP → (composited frames, per-frame delays in ms) —
+    the GIF-decoder shape. Single-image files return one frame with
+    delay 0."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WEBP stream")
+    if data[12:16] == b"VP8X":
+        return _decode_vp8x(data)
+    return [decode_webp(data)], [0]
 
 
 # ---------------------------------------------------------------- encoder
@@ -585,7 +719,7 @@ def _forward_predict(p: np.ndarray, mode: int) -> np.ndarray:
     return pred
 
 
-def encode_webp(
+def _encode_vp8l_body(
     px: np.ndarray,
     subtract_green: bool = False,
     palette: bool = False,
@@ -594,7 +728,7 @@ def encode_webp(
     rle: bool = False,
     predict_mode: int | None = None,
 ) -> bytes:
-    """Encode (H, W, 3|4) uint8 as WebP-lossless (VP8L): literal ARGB
+    """Encode (H, W, 3|4) uint8 as a VP8L chunk body: literal ARGB
     under flat 8-bit codes, optionally behind the subtract-green,
     color-indexing (≤256 colors, no bundling — the decoder handles
     bundled foreign files), or predictor transform. `predict_left`
@@ -714,11 +848,116 @@ def encode_webp(
         top_level=True,
         rle=rle,
     )
-    body = bw.bytes()
-    riff = b"WEBP" + b"VP8L" + struct.pack("<I", len(body)) + body
-    if len(body) & 1:
-        riff += b"\x00"
+    return bw.bytes()
+
+
+def _chunk(four: bytes, payload: bytes) -> bytes:
+    return four + struct.pack("<I", len(payload)) + payload + (b"\x00" if len(payload) & 1 else b"")
+
+
+def _riff_wrap(chunks: bytes) -> bytes:
+    riff = b"WEBP" + chunks
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def encode_webp(
+    px: np.ndarray,
+    subtract_green: bool = False,
+    palette: bool = False,
+    predict_left: bool = False,
+    cross_color: bool = False,
+    rle: bool = False,
+    predict_mode: int | None = None,
+) -> bytes:
+    """Encode (H, W, 3|4) uint8 as a simple WebP-lossless (VP8L) file —
+    see :func:`_encode_vp8l_body` for the transform options."""
+    body = _encode_vp8l_body(
+        px, subtract_green, palette, predict_left, cross_color, rle, predict_mode
+    )
+    return _riff_wrap(_chunk(b"VP8L", body))
+
+
+def _vp8x_header(w: int, h: int, animated: bool, has_alpha: bool,
+                 has_exif: bool = False, has_xmp: bool = False) -> bytes:
+    flags = (
+        (0x10 if has_alpha else 0) | (0x08 if has_exif else 0)
+        | (0x04 if has_xmp else 0) | (0x02 if animated else 0)
+    )
+    return _chunk(
+        b"VP8X",
+        bytes([flags, 0, 0, 0])
+        + (w - 1).to_bytes(3, "little")
+        + (h - 1).to_bytes(3, "little"),
+    )
+
+
+def encode_webp_extended(px: np.ndarray, exif: bytes = b"", xmp: bytes = b"") -> bytes:
+    """Still extended WebP: VP8X header (+ optional EXIF/XMP metadata
+    chunks) wrapping one VP8L payload."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape[:2]
+    out = _vp8x_header(w, h, False, px.ndim == 3 and px.shape[2] == 4,
+                       bool(exif), bool(xmp))
+    out += _chunk(b"VP8L", _encode_vp8l_body(px))
+    if exif:
+        out += _chunk(b"EXIF", exif)
+    if xmp:
+        out += _chunk(b"XMP ", xmp)
+    return _riff_wrap(out)
+
+
+def encode_webp_anim(
+    frames,
+    delays_ms=None,
+    loop_count: int = 0,
+    background=(255, 255, 255, 255),
+    offsets=None,
+    no_blend=None,
+    dispose_bg=None,
+    canvas_size: Optional[Tuple[int, int]] = None,
+) -> bytes:
+    """Animated WebP (container spec): VP8X + ANIM + one ANMF per frame,
+    each carrying a lossless VP8L payload. ``offsets`` are per-frame
+    (x, y) canvas positions (even values — the container stores them
+    halved); ``no_blend`` / ``dispose_bg`` are per-frame booleans for
+    the ANMF flag bits; ``background`` is RGBA. Lossless payloads, so
+    composited round trips are exact."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    n = len(frames)
+    delays_ms = list(delays_ms) if delays_ms is not None else [100] * n
+    offsets = list(offsets) if offsets is not None else [(0, 0)] * n
+    no_blend = list(no_blend) if no_blend is not None else [True] + [False] * (n - 1)
+    dispose_bg = list(dispose_bg) if dispose_bg is not None else [False] * n
+    if not (len(delays_ms) == len(offsets) == len(no_blend) == len(dispose_bg) == n):
+        raise ValueError("per-frame lists must match the frame count")
+    cw = ch = 0
+    for f, (x, y) in zip(frames, offsets):
+        if x % 2 or y % 2 or x < 0 or y < 0:
+            raise ValueError("frame offsets must be even and non-negative")
+        cw = max(cw, x + f.shape[1])
+        ch = max(ch, y + f.shape[0])
+    if canvas_size is not None:
+        if canvas_size[0] < cw or canvas_size[1] < ch:
+            raise ValueError("canvas_size smaller than the frame extents")
+        cw, ch = canvas_size
+    has_alpha = any(f.ndim == 3 and f.shape[2] == 4 for f in frames)
+    r_, g_, b_, a_ = background
+    out = _vp8x_header(cw, ch, True, has_alpha)
+    out += _chunk(b"ANIM", bytes([b_, g_, r_, a_]) + struct.pack("<H", loop_count))
+    for f, d, (x, y), nb, db in zip(frames, delays_ms, offsets, no_blend, dispose_bg):
+        fh, fw = f.shape[:2]
+        head = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + int(d).to_bytes(3, "little")
+            + bytes([(0x02 if nb else 0) | (0x01 if db else 0)])
+        )
+        out += _chunk(b"ANMF", head + _chunk(b"VP8L", _encode_vp8l_body(f)))
+    return _riff_wrap(out)
 
 
 def _write_green_rle_code(bw: _LsbWriter) -> None:

@@ -130,7 +130,9 @@ def test_webp_dispatch_and_gates():
     assert np.array_equal(px, img)
     with pytest.raises(NotImplementedError, match="VP8L"):
         decode_webp(b"RIFF\x00\x00\x00\x00WEBPVP8 \x00\x00\x00\x00")
-    with pytest.raises(NotImplementedError, match="VP8X"):
+    # VP8X decodes since r16, so an EMPTY VP8X header is malformed
+    # structure (ValueError), not a gate
+    with pytest.raises(ValueError, match="VP8X"):
         decode_webp(b"RIFF\x00\x00\x00\x00WEBPVP8X\x00\x00\x00\x00")
     with pytest.raises(ValueError, match="WEBP"):
         decode_webp(b"RIFX nope")
@@ -228,3 +230,118 @@ def test_webp_predictor_last_column_tr_rule():
     narrow = _img(9, 2, seed=5)
     for mode in (3, 5, 9, 10, 13):
         assert np.array_equal(decode_webp(encode_webp(narrow, predict_mode=mode)), narrow), mode
+
+
+# ---- VP8X extended container (r16: gate -> real decode) ----
+
+
+def test_webp_vp8x_still_and_metadata_chunks():
+    from iceberg_python_spark.operators.webp import decode_webp_frames, encode_webp_extended
+
+    img = _img(12, 18, seed=7)
+    still = encode_webp_extended(img, exif=b"ExifBlob", xmp=b"<xmp/>")
+    assert np.array_equal(decode_webp(still), img)
+    frames, delays = decode_webp_frames(still)
+    assert len(frames) == 1 and delays == [0]
+    assert np.array_equal(frames[0], img)
+
+
+def test_webp_animation_composites_blend_dispose_offsets():
+    from iceberg_python_spark.operators.webp import decode_webp_frames, encode_webp_anim
+
+    rng = np.random.default_rng(9)
+    f0 = rng.integers(0, 256, (32, 40, 3), dtype=np.uint8)
+    patch = rng.integers(0, 256, (8, 10, 3), dtype=np.uint8)
+    anim = encode_webp_anim(
+        [f0, patch], delays_ms=[80, 120], offsets=[(0, 0), (4, 6)],
+        no_blend=[True, True], dispose_bg=[False, True], background=(1, 2, 3, 255),
+    )
+    frames, delays = decode_webp_frames(anim)
+    assert delays == [80, 120] and frames[0].shape == (32, 40, 4)
+    assert np.array_equal(frames[0][:, :, :3], f0) and np.all(frames[0][:, :, 3] == 255)
+    exp1 = frames[0].copy()
+    exp1[6:14, 4:14, :3] = patch
+    assert np.array_equal(frames[1], exp1)
+    # decode_webp returns the FIRST composited canvas (GIF convention)
+    assert np.array_equal(decode_webp(anim), frames[0])
+
+
+def test_webp_animation_alpha_blend_math():
+    from iceberg_python_spark.operators.webp import decode_webp_frames, encode_webp_anim
+
+    base = np.full((16, 16, 4), 100, np.uint8)
+    base[:, :, 3] = 255
+    over = np.zeros((16, 16, 4), np.uint8)
+    over[:, :, :3] = 200
+    over[:, :, 3] = 128
+    frames, _ = decode_webp_frames(encode_webp_anim([base, over], no_blend=[True, False]))
+    fa = 128 / 255.0
+    exp = round((200 * fa + 100 * (1 - fa)) / (fa + (1 - fa)))
+    assert abs(int(frames[1][0, 0, 0]) - exp) <= 1
+    assert frames[1][0, 0, 3] == 255  # opaque base stays opaque
+
+
+def test_webp_vp8x_probe_contract_and_lossy_gate():
+    from iceberg_python_spark.operators.probe import probe_media
+    from iceberg_python_spark.operators.webp import (
+        _chunk,
+        _riff_wrap,
+        _vp8x_header,
+        encode_webp_anim,
+        encode_webp_extended,
+    )
+
+    img = _img(10, 14, seed=3)
+    still = encode_webp_extended(img)
+    p = probe_media(still)
+    assert p["container"] == "webp-extended" and p["decodable"] is True
+    assert (p["width"], p["height"]) == (14, 10)
+
+    anim = encode_webp_anim([img, img], delays_ms=[50, 60])
+    pa = probe_media(anim)
+    assert pa["decodable"] is True and pa["n_frames"] == 2
+
+    # a VP8X wrapping a LOSSY VP8 payload: probe says not decodable,
+    # decoder gates naming the codec — contract agrees both ways
+    lossy = _riff_wrap(_vp8x_header(10, 10, False, False) + _chunk(b"VP8 ", b"\x00" * 10))
+    pl = probe_media(lossy)
+    assert pl["container"] == "webp-extended" and pl["decodable"] is False
+    with pytest.raises(NotImplementedError, match="VP8"):
+        decode_webp(lossy)
+
+
+def test_webp_vp8x_malformed_raises_valueerror():
+    from iceberg_python_spark.operators.webp import (
+        _chunk,
+        _riff_wrap,
+        _vp8x_header,
+        encode_webp_anim,
+        encode_webp_extended,
+    )
+
+    img = _img(8, 8, seed=5)
+    # reserved flag bits set
+    bad = bytearray(encode_webp_extended(img))
+    bad[20] |= 0x80
+    with pytest.raises(ValueError, match="reserved"):
+        decode_webp(bytes(bad))
+    # ANMF rectangle outside the canvas
+    anim = encode_webp_anim([img], offsets=[(0, 0)])
+    raw = bytearray(anim)
+    pos = bytes(raw).find(b"ANMF") + 8
+    raw[pos : pos + 3] = (30).to_bytes(3, "little")  # x=60 > canvas 8
+    with pytest.raises(ValueError, match="canvas"):
+        decode_webp(bytes(raw))
+    # still VP8X whose payload does not fill the canvas
+    wrong = _riff_wrap(
+        _vp8x_header(20, 20, False, False)
+        + encode_webp(img)[12:]  # VP8L chunk for an 8x8 image
+    )
+    with pytest.raises(ValueError, match="canvas"):
+        decode_webp(wrong)
+    # animation with zero frames
+    empty = _riff_wrap(
+        _vp8x_header(8, 8, True, False) + _chunk(b"ANIM", b"\x00" * 6)
+    )
+    with pytest.raises(ValueError, match="ANMF"):
+        decode_webp(empty)
