@@ -3427,13 +3427,14 @@ def _q_multimodal_webp_decode(spark, env):
 def _q_multimodal_tiff_decode(spark, env):
     # r12, extended r16: REAL baseline-TIFF decode under the driver's
     # oracle. Deterministic RGB images seeded by doc_id % 53 encode
-    # through six engine layouts — uncompressed, LZW (early-change),
-    # PackBits, and big-endian LZW strips, plus the §15 TILED layout
-    # (r16): tiled LZW with per-tile predictor restart and tiled
-    # planar PackBits big-endian — all decoded inside
-    # extract_image_stats. TIFF is lossless: exact_ok is pixel
-    # EQUALITY and all variants of one content key share exactly one
-    # perceptual hash (tiled layouts decode to bit-identical pixels).
+    # through EIGHT engine layouts — uncompressed, LZW (early-change),
+    # PackBits, and big-endian LZW strips, plus (r16) the §15 TILED
+    # layout (tiled LZW with per-tile predictor restart; tiled planar
+    # PackBits big-endian) and DEFLATE (zlib strips; tiled
+    # deflate+predictor) — all decoded inside extract_image_stats.
+    # TIFF is lossless: exact_ok is pixel EQUALITY and all variants of
+    # one content key share exactly one perceptual hash (every layout
+    # decodes to bit-identical pixels).
     import numpy as np
     import pandas as pd
 
@@ -3449,11 +3450,18 @@ def _q_multimodal_tiff_decode(spark, env):
         for pdf in batches:
             payloads, exacts = [], []
             for d in pdf["doc_id"].astype(int):
-                k, variant = int(d) % 53, int(d) % 6
+                k, variant = int(d) % 53, int(d) % 8
                 rng = np.random.default_rng(k)
                 h, w = 16 + (k % 5), 20 + (k % 3)
                 img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-                if variant == 0:
+                if variant == 6:
+                    enc = encode_tiff(img, compression="deflate")
+                elif variant == 7:
+                    enc = encode_tiff(
+                        img, compression="deflate", predictor=True,
+                        tiled=True, tile_size=(16, 16), big_endian=True,
+                    )
+                elif variant == 0:
                     enc = encode_tiff(img)
                 elif variant == 1:
                     enc = encode_tiff(img, compression="lzw")

@@ -3,10 +3,11 @@ format (OCR corpora ship TIFF the way web crawls ship JPEG).
 Everything derives from the PUBLIC TIFF 6.0 specification: both byte
 orders (II/MM), IFD tag walking, strip-based layout, bilevel/gray/
 palette/RGB(A) photometric interpretations, 1/8/16-bit samples, and
-the three baseline compressions — none (1), CCITT-free PackBits
-(32773), and TIFF-variant LZW (5: MSB-first codes, early code-size
+the baseline compressions — none (1), CCITT-free PackBits
+(32773), TIFF-variant LZW (5: MSB-first codes, early code-size
 change, CLEAR/EOI semantics — the variant GIF's LSB-first LZW cannot
-read).
+read), and Deflate (8 / legacy 32946, r16 — zlib streams, the PNG
+precedent).
 
 Decoder: :func:`decode_tiff` → (H, W[, C]) uint8 (first IFD only;
 multi-page files decode their first page — page count surfaces via
@@ -20,14 +21,15 @@ jpeg.py). CCITT fax and old-style JPEG (comp 6) raise
 NotImplementedError naming PIL.
 
 Encoder: :func:`encode_tiff` — deterministic synthesis for tests and
-oracle rows (uncompressed, PackBits, LZW, or JPEG segments; strip or
-tile layout; gray/RGB/RGBA). Non-JPEG compressions are lossless:
-round trips assert EXACT equality.
+oracle rows (uncompressed, PackBits, LZW, Deflate, or JPEG segments;
+strip or tile layout; gray/RGB/RGBA). Non-JPEG compressions are
+lossless: round trips assert EXACT equality.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import List, Tuple
 
 import numpy as np
@@ -225,10 +227,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
         # tag 347 JPEGTables carries the shared DQT/DHT prologue. Pure
         # container plumbing onto the existing jpeg.py decoder.
         return _decode_jpeg_tiff(data, fmt, tags, w, h, spp, photo)
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF compression {comp} (CCITT/old-JPEG/deflate) needs PIL — "
-            "none/LZW/PackBits/new-JPEG decode here"
+            f"TIFF compression {comp} (CCITT/old-JPEG) needs PIL — "
+            "none/LZW/PackBits/Deflate/new-JPEG decode here"
         )
     bps = bits[0]
     if bps not in (1, 8, 16) or any(b != bps for b in bits):
@@ -260,6 +262,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
             strip = _tiff_lzw_decode(strip, expected)
         elif comp == 32773:
             strip = _packbits_decode(strip, expected)
+        elif comp in (8, 32946):  # Adobe deflate / old deflate code
+            try:
+                strip = zlib.decompress(strip)
+            except zlib.error as exc:
+                raise ValueError(f"corrupt TIFF: bad deflate strip: {exc}") from exc
+        if len(strip) < expected:
+            raise ValueError("corrupt TIFF: strip data ended early")
         raw += strip[:expected]
     arr = np.frombuffer(bytes(raw), dtype=np.uint8)
     if bps == 1:
@@ -403,6 +412,11 @@ def _decode_tiles(
             tile = _tiff_lzw_decode(tile, expected)
         elif comp == 32773:
             tile = _packbits_decode(tile, expected)
+        elif comp in (8, 32946):
+            try:
+                tile = zlib.decompress(tile)
+            except zlib.error as exc:
+                raise ValueError(f"corrupt TIFF: bad deflate tile: {exc}") from exc
         if len(tile) < expected:
             raise ValueError("corrupt TIFF: tile data ended early")
         arr = np.frombuffer(tile[:expected], dtype=np.uint8)
@@ -476,7 +490,7 @@ def encode_tiff(
     jpeg_tables: bool = False,
 ) -> bytes:
     """Encode (H, W[, C]) uint8 as a baseline TIFF
-    (``compression``: none | packbits | lzw | jpeg; ``predictor`` emits
+    (``compression``: none | packbits | lzw | deflate | jpeg; ``predictor`` emits
     horizontal differencing, tag 317=2 — what scanner LZW files use;
     ``planar`` emits PlanarConfiguration=2 with one sample plane per
     strip/tile run; ``tiled`` emits the §15 tile layout with
@@ -490,7 +504,7 @@ def encode_tiff(
         px = px[:, :, None]
     h, w, spp = px.shape
     fmt = ">" if big_endian else "<"
-    comp_code = {"none": 1, "packbits": 32773, "lzw": 5, "jpeg": 7}[compression]
+    comp_code = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8, "jpeg": 7}[compression]
     if compression == "jpeg" and (predictor or planar or spp not in (1, 3)):
         raise ValueError("JPEG-in-TIFF: chunky layout, no predictor, 1 or 3 samples")
     src = px
@@ -513,6 +527,8 @@ def encode_tiff(
             return _packbits_encode(body)
         if compression == "lzw":
             return _tiff_lzw_encode(body)
+        if compression == "deflate":
+            return zlib.compress(body, 6)
         return body
 
     strips: List[bytes] = []

@@ -290,3 +290,34 @@ def test_tiff_jpeg_in_tiff_malformed_tables_raise():
     enc[pos] = 0x00
     with pytest.raises(ValueError):
         decode_tiff(bytes(enc))
+
+
+def test_tiff_deflate_roundtrips_and_legacy_code():
+    """Compression 8 (Adobe deflate) and the legacy 32946 code decode
+    via zlib (the PNG precedent); strip and tile layouts, predictor,
+    both endians — all exact."""
+    rng = np.random.default_rng(6)
+    for shape in [(37, 53), (64, 48, 3), (33, 47, 4)]:
+        for tiled in (False, True):
+            for pred in (False, True):
+                img = rng.integers(0, 256, shape, dtype=np.uint8)
+                t = encode_tiff(
+                    img, compression="deflate", tiled=tiled, predictor=pred,
+                    big_endian=tiled, tile_size=(16, 16),
+                )
+                assert np.array_equal(decode_tiff(t), img), (shape, tiled, pred)
+    img = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    enc = bytearray(encode_tiff(img, compression="deflate"))
+    n = struct.unpack_from("<H", enc, 8)[0]
+    for i in range(n):
+        if struct.unpack_from("<H", enc, 10 + 12 * i)[0] == 259:
+            struct.pack_into("<H", enc, 10 + 12 * i + 8, 32946)  # legacy code
+    assert np.array_equal(decode_tiff(bytes(enc)), img)
+    # deflate actually compresses a flat image
+    flat = np.full((60, 90, 3), 7, np.uint8)
+    assert len(encode_tiff(flat, compression="deflate")) < 0.1 * len(encode_tiff(flat))
+    # corrupt deflate stream: ValueError, not zlib.error
+    bad = bytearray(encode_tiff(img, compression="deflate"))
+    bad[-10:] = b"\x00" * 10
+    with pytest.raises(ValueError, match="deflate"):
+        decode_tiff(bytes(bad))
