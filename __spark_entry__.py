@@ -5204,6 +5204,60 @@ def _q_image_phash_dedup(spark, env):
     )
 
 
+def _q_tar_shard_ingest(spark, env):
+    # r16: WebDataset tar-shard ingestion under the driver's oracle —
+    # the container multimodal training corpora ship in. The documents
+    # table packs into 25 deterministic ustar shards (one applyInPandas
+    # group per shard; members = <key>.txt + <key>.json per doc,
+    # adjacency-ordered), then read_tar_samples explodes each shard
+    # back into samples INSIDE mapInPandas (WebDataset adjacency
+    # grouping — zero shuffle on the read side). Claims per doc, all
+    # value-hashed: both members present, the text member round-trips
+    # byte-exactly, and the JSON sidecar's fields equal the source row.
+    # At 100 TB the shard frame comes from binaryFile reads (one task
+    # per shard); this row exercises the identical code path.
+    from iceberg_python_spark.operators.tar import (
+        read_tar_samples,
+        tar_shards_from_samples,
+    )
+
+    docs = (
+        env["documents"]
+        .scan(selected_fields=("doc_id", "text", "lang", "source"))
+        .to_df()
+        .where("doc_id < 500")
+    )
+    src = docs.select(
+        (F.col("doc_id") % 25).alias("shard_id"),
+        F.format_string("%08d", F.col("doc_id")).alias("key"),
+        F.col("text").alias("txt"),
+        F.to_json(F.struct("doc_id", "lang", "source")).alias("json"),
+    )
+    shards = tar_shards_from_samples(
+        src, "shard_id", "key", [("txt", "txt"), ("json", "json")]
+    )
+    samples = read_tar_samples(shards.select("shard_id", "shard"), "shard_id", "shard")
+    parsed = samples.select(
+        F.col("sample_key").cast("long").alias("doc_id"),
+        "n_members",
+        F.col("members")["txt"].cast("string").alias("txt_back"),
+        F.from_json(
+            F.col("members")["json"].cast("string"),
+            "doc_id long, lang string, source string",
+        ).alias("j"),
+    )
+    return parsed.join(docs, "doc_id").select(
+        "doc_id",
+        "n_members",
+        (F.col("txt_back") == F.col("text")).alias("text_ok"),
+        (
+            (F.col("j.doc_id") == F.col("doc_id"))
+            & (F.col("j.lang") == F.col("lang"))
+            & (F.col("j.source") == F.col("source"))
+        ).alias("meta_ok"),
+    )
+
+
 def _q_basket_affinity(spark, env):
     # late r13: market-basket pair mining over lineitem (orders are
     # baskets, parts % 200 the items so pairs actually repeat at
@@ -5760,7 +5814,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "phrase_search": _q_phrase_search,
             "salted_join": _q_salted_join,
             "image_phash_dedup": _q_image_phash_dedup,
-            "basket_affinity": _q_basket_affinity,
+            # r16 NEW row (in-window so its first driver check happens
+            # this round; basket_affinity — unchanged age-2 — moves
+            # behind the window and leads r17 with its cohort)
+            "tar_shard_ingest": _q_tar_shard_ingest,
             "events_rolling_agg": _q_events_rolling_agg,
             "audio_neardup_dedup": _q_audio_neardup_dedup,
             "events_mad_outliers": _q_events_mad_outliers,
@@ -5772,6 +5829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # ---------------- behind the window ----------------
             # the remaining r14-checked rows (age-2) — MUST lead r17
             "funnel_stream": _q_funnel_stream,
+            "basket_affinity": _q_basket_affinity,
             "heavy_hitters_stream": _q_heavy_hitters_stream,
             "pdf_ingest": _q_pdf_ingest,
             "bpe_roundtrip": _q_bpe_roundtrip,
@@ -6630,6 +6688,12 @@ def oracle_sql() -> dict[str, str]:
             "true AS all_decoded, true AS dims_ok, true AS exact_ok, "
             "true AS phash_consistent "
             "FROM documents WHERE doc_id < 300"
+        ),
+        "tar_shard_ingest": (
+            # full per-doc value oracle: the engine's claims are all
+            # data-derived booleans + the fixed member count
+            "SELECT doc_id, 2 AS n_members, true AS text_ok, true AS meta_ok "
+            "FROM documents WHERE doc_id < 500"
         ),
         "multimodal_tiff_decode": (
             "SELECT CAST(count(*) AS BIGINT) AS n_images, "

@@ -1,0 +1,230 @@
+"""POSIX ustar tar-shard ingestion — the WebDataset layout multimodal
+training corpora ship in (LAION, DataComp, OpenWebText re-packs: a
+corpus is thousands of ``.tar`` shards; each sample is the group of
+adjacent members sharing a basename up to the first dot, e.g.
+``000123.jpg`` + ``000123.txt`` + ``000123.json``).
+
+Format (all public spec: POSIX.1-1988 ustar, IEEE 1003.1): 512-byte
+headers — name(100) mode(8) uid(8) gid(8) size(12, octal) mtime(12)
+chksum(8, octal of the header bytes with the checksum field as
+spaces) typeflag(1) linkname(100) magic ``ustar\\0`` version ``00``
+uname(32) gname(32) devmajor(8) devminor(8) prefix(155) — followed by
+the member payload padded to 512, the archive ending with two zero
+blocks. The decoder also consumes the two pax extension record types
+(``x``/``g`` skipped) and GNU long names (``L`` sets the next
+member's name), which real-world shards contain.
+
+Spark shape (100 TB): shards arrive as whole-file rows
+(``spark.read.format("binaryFile")`` over an object-store glob — one
+task per shard, parallelism = shard count, no driver materialization)
+and flow through Arrow-batched ``mapInPandas`` with per-shard error
+capture. Sample grouping happens INSIDE the shard iterator —
+WebDataset guarantees a sample's members are adjacent, so grouping is
+a single pass with zero shuffle; only the downstream analytics
+shuffle. The writer is the deterministic synthesis half (mtime 0,
+uid/gid 0, mode 0644, fixed uname/gname): same members → same bytes,
+so shards are valid oracle fixtures.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+_BLOCK = 512
+
+
+def _octal(v: int, width: int) -> bytes:
+    s = format(v, "o").rjust(width - 1, "0").encode()
+    if len(s) >= width:
+        raise ValueError(f"tar: value {v} exceeds a {width}-byte octal field")
+    return s + b"\x00"
+
+
+def encode_tar(members: Sequence[Tuple[str, bytes]]) -> bytes:
+    """Serialize (name, payload) members as a deterministic ustar
+    archive: mtime 0, uid/gid 0, mode 0644, empty uname/gname — byte
+    output depends only on the member list."""
+    out = bytearray()
+    for name, payload in members:
+        payload = bytes(payload)
+        nb = name.encode()
+        prefix = b""
+        if len(nb) > 100:
+            # ustar split: prefix/name joined by '/',  at a '/' boundary
+            cut = nb.rfind(b"/", 0, 156)
+            if cut <= 0 or len(nb) - cut - 1 > 100:
+                raise ValueError(f"tar: member name too long for ustar: {name!r}")
+            prefix, nb = nb[:cut], nb[cut + 1 :]
+        hdr = bytearray(_BLOCK)
+        hdr[0:100] = nb.ljust(100, b"\x00")
+        hdr[100:108] = _octal(0o644, 8)
+        hdr[108:116] = _octal(0, 8)
+        hdr[116:124] = _octal(0, 8)
+        hdr[124:136] = _octal(len(payload), 12)
+        hdr[136:148] = _octal(0, 12)
+        hdr[148:156] = b" " * 8  # checksum computed over spaces
+        hdr[156:157] = b"0"  # regular file
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        hdr[345 : 345 + len(prefix)] = prefix
+        chk = sum(hdr)
+        hdr[148:156] = format(chk, "o").rjust(6, "0").encode() + b"\x00 "
+        out += hdr + payload
+        pad = (-len(payload)) % _BLOCK
+        out += b"\x00" * pad
+    out += b"\x00" * (2 * _BLOCK)
+    return bytes(out)
+
+
+def decode_tar(data: bytes) -> List[Tuple[str, bytes]]:
+    """Walk a ustar/pax/GNU archive → [(name, payload)] for regular
+    files. Checksums verify; pax records (x/g) and directories skip;
+    GNU long-name records (L) apply to the following member. Malformed
+    structure raises ValueError (crafted-input contract)."""
+    out: List[Tuple[str, bytes]] = []
+    pos = 0
+    pending_name: str | None = None
+    while pos + _BLOCK <= len(data):
+        hdr = data[pos : pos + _BLOCK]
+        if hdr == b"\x00" * _BLOCK:  # end-of-archive marker
+            break
+        if hdr[257:262] != b"ustar":  # covers POSIX "ustar\0" and GNU "ustar "
+            raise ValueError("tar: missing ustar magic")
+        stored = hdr[148:156]
+        try:
+            want = int(stored.strip(b"\x00 ").decode() or "0", 8)
+        except ValueError as exc:
+            raise ValueError("tar: bad checksum field") from exc
+        calc = sum(hdr[:148]) + sum(hdr[156:]) + 8 * 0x20
+        if calc != want:
+            raise ValueError("tar: header checksum mismatch")
+        size_field = hdr[124:136].strip(b"\x00 ")
+        try:
+            size = int(size_field.decode() or "0", 8)
+        except ValueError as exc:
+            raise ValueError("tar: bad size field") from exc
+        typeflag = hdr[156:157]
+        name = hdr[0:100].rstrip(b"\x00").decode("utf-8", "replace")
+        prefix = hdr[345:500].rstrip(b"\x00").decode("utf-8", "replace")
+        if prefix:
+            name = prefix + "/" + name
+        body_end = pos + _BLOCK + size
+        if body_end > len(data):
+            raise ValueError("tar: truncated member payload")
+        payload = data[pos + _BLOCK : body_end]
+        pos = body_end + ((-size) % _BLOCK)
+        if typeflag == b"L":  # GNU long name: payload names the NEXT member
+            pending_name = payload.rstrip(b"\x00").decode("utf-8", "replace")
+            continue
+        if typeflag in (b"x", b"g", b"5"):  # pax records / directory
+            pending_name = None
+            continue
+        if typeflag not in (b"0", b"\x00"):
+            pending_name = None
+            continue  # links/devices/fifos: not corpus members
+        if pending_name is not None:
+            name = pending_name
+            pending_name = None
+        out.append((name, bytes(payload)))
+    else:
+        if pos < len(data):
+            raise ValueError("tar: truncated header block")
+    return out
+
+
+def split_sample_key(name: str) -> Tuple[str, str]:
+    """WebDataset convention: the sample key is the member path up to
+    the FIRST dot of its basename; the extension is everything after
+    (so ``a/b/0001.seg.json`` → (``a/b/0001``, ``seg.json``))."""
+    slash = name.rfind("/")
+    dot = name.find(".", slash + 1)
+    if dot < 0:
+        return name, ""
+    return name[:dot], name[dot + 1 :]
+
+
+def iter_tar_samples(data: bytes) -> Iterator[Tuple[str, List[Tuple[str, bytes]]]]:
+    """Yield (sample_key, [(ext, payload)]) groups — one pass, adjacency
+    grouping per the WebDataset contract."""
+    key = None
+    members: List[Tuple[str, bytes]] = []
+    for name, payload in decode_tar(data):
+        k, ext = split_sample_key(name)
+        if key is not None and k != key:
+            yield key, members
+            members = []
+        key = k
+        members.append((ext, payload))
+    if key is not None:
+        yield key, members
+
+
+def read_tar_samples(
+    shards: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """Explode tar shards into one row per WebDataset SAMPLE:
+    ``(shard id, sample_key, members map<ext, binary>, n_members,
+    error)``. Grouping is adjacency inside each shard (zero shuffle);
+    a malformed shard yields ONE error row, never a failed job."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    for key, members in iter_tar_samples(bytes(payload)):
+                        rows.append(
+                            (
+                                sid,
+                                key,
+                                {e: m for e, m in members},
+                                len(members),
+                                None,
+                            )
+                        )
+                except (ValueError, UnicodeDecodeError) as exc:
+                    rows.append((sid, None, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "sample_key", "members", "n_members", "error"]
+            )
+
+    schema = (
+        f"{id_col} long, sample_key string, members map<string, binary>, "
+        "n_members int, error string"
+    )
+    return shards.mapInPandas(gen, schema=schema)
+
+
+def tar_shards_from_samples(
+    df: DataFrame,
+    shard_col: str,
+    key_col: str,
+    member_cols: Sequence[Tuple[str, str]],
+) -> DataFrame:
+    """Synthesis half at DataFrame scale: pack each ``shard_col`` group
+    into ONE deterministic tar shard (members sorted by sample key,
+    ``member_cols`` = [(column, extension)] per sample). One shuffle on
+    the shard id; returns ``(shard id, shard binary, n_samples)``."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(key_col)
+        members: List[Tuple[str, bytes]] = []
+        for _, row in pdf.iterrows():
+            for col, ext in member_cols:
+                v = row[col]
+                payload = v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+                members.append((f"{row[key_col]}.{ext}", bytes(payload)))
+        return pd.DataFrame(
+            {
+                shard_col: [pdf[shard_col].iloc[0]],
+                "shard": [encode_tar(members)],
+                "n_samples": [len(pdf)],
+            }
+        )
+
+    return df.groupBy(shard_col).applyInPandas(
+        pack, schema=f"{shard_col} long, shard binary, n_samples int"
+    )
