@@ -2725,17 +2725,21 @@ def _q_multimodal_jpeg_decode(spark, env):
 
 
 def _q_multimodal_video_frames(spark, env):
-    # r10: REAL video frame sampling (Y4M decode) under the driver's
-    # oracle. Each doc key synthesizes a 6-frame 6-fps clip (noise
-    # seeded by doc_id % 23; dups share a seed), sampled every 500 ms
-    # -> exactly frames {0, 3} per clip. Claims: all decode, cadence
-    # exact, same-seed clips share BOTH frame pHashes, distinct seeds
-    # do not. Value columns from SQL.
+    # r10, extended r16: REAL video frame sampling under the driver's
+    # oracle — Y4M decode plus UNCOMPRESSED AVI (r16: BI_RGB DIB
+    # bottom-up frames, pure RIFF plumbing; previously a loud gate).
+    # Each doc key synthesizes a 6-frame 6-fps clip (noise seeded by
+    # doc_id % 23; dups share a seed); the CONTAINER is a function of
+    # the seed (even → Y4M, odd → AVI) so same-seed clips stay
+    # byte-comparable. Sampled every 500 ms -> exactly frames {0, 3}
+    # per clip. Claims: all decode, cadence exact, same-seed clips
+    # share BOTH frame pHashes, distinct seeds do not. Value columns
+    # from SQL.
     import numpy as np
     import pandas as pd
 
     from iceberg_python_spark.operators.multimodal import extract_video_frames
-    from iceberg_python_spark.operators.video import encode_y4m
+    from iceberg_python_spark.operators.video import encode_avi, encode_y4m
 
     docs = env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 300")
 
@@ -2743,9 +2747,13 @@ def _q_multimodal_video_frames(spark, env):
         for pdf in batches:
             payloads = []
             for d in pdf["doc_id"].astype(int):
-                rng = np.random.default_rng(int(d) % 23)
+                seed = int(d) % 23
+                rng = np.random.default_rng(seed)
                 frames = [rng.integers(0, 256, (16, 20, 3), dtype=np.uint8) for _ in range(6)]
-                payloads.append(encode_y4m(frames, fps=6))
+                if seed % 2:
+                    payloads.append(encode_avi(frames, fps=6, bpp=32 if seed % 4 == 1 else 24))
+                else:
+                    payloads.append(encode_y4m(frames, fps=6))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     vids = docs.mapInPandas(gen, schema="doc_id long, payload binary")

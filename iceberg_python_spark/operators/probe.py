@@ -452,13 +452,26 @@ def _probe_media_dispatch(data: bytes) -> Dict[str, Any]:
             "duration_ms": dur_ms, "decodable": decodable,
         }
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
-        # avih: microseconds per frame + total frames
+        # avih: microseconds per frame + total frames + canvas dims;
+        # strf (BITMAPINFOHEADER) compression routes decodable exactly
+        # like video.decode_avi (r16: BI_RGB 24/32 bpp and raw I420
+        # decode natively; other fourccs stay gated)
         p = data.find(b"avih")
-        dur_ms = None
+        dur_ms = w = h = None
         if p >= 0:
             us_per_frame, _, _, _, frames = struct.unpack_from("<IIIII", data, p + 8)
             dur_ms = int(us_per_frame * frames / 1000)
-        return {"container": "avi", "kind": "video", "duration_ms": dur_ms, "decodable": False}
+            w, h = struct.unpack_from("<II", data, p + 8 + 32)
+        decodable = False
+        ps = data.find(b"strf")
+        if ps >= 0 and ps + 28 <= len(data):
+            (bpp,) = struct.unpack_from("<H", data, ps + 8 + 14)
+            (comp,) = struct.unpack_from("<I", data, ps + 8 + 16)
+            decodable = (comp == 0 and bpp in (24, 32)) or comp == 0x30323449
+        return {
+            "container": "avi", "kind": "video", "width": w, "height": h,
+            "duration_ms": dur_ms, "decodable": decodable,
+        }
     if data[:4] == b"fLaC":
         br_off = 8  # skip header+blockheader: STREAMINFO starts at byte 8
         rate = (data[br_off + 10] << 12) | (data[br_off + 11] << 4) | (data[br_off + 12] >> 4)

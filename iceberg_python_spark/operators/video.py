@@ -1,10 +1,10 @@
-"""Stdlib + numpy video codec: Y4M (YUV4MPEG2) frame decode/sampling —
-the video third of the multimodal pillar, real for the one container a
-stdlib-only environment can honestly parse (uncompressed YUV planes
-behind a text header; the interchange format ffmpeg/x264 pipelines
-use). MP4/WebM/AVI need real codecs and raise naming them; inside
-:func:`~.multimodal.extract_video_frames` that surfaces per row as
-``decode_ok=false``.
+"""Stdlib + numpy video codecs: Y4M (YUV4MPEG2) and — r16 —
+UNCOMPRESSED AVI frame decode/sampling, the two containers a
+stdlib-only environment can honestly parse (raw YUV planes behind a
+text header; BI_RGB DIB or raw-I420 frames behind RIFF plumbing).
+MP4/WebM and compressed AVI fourccs need real codecs and raise naming
+them; inside :func:`~.multimodal.extract_video_frames` that surfaces
+per row as ``decode_ok=false``.
 
 Decode: header `YUV4MPEG2 W<w> H<h> F<num>:<den> ... C<fmt>` then
 `FRAME\\n` + raw planes. 4:2:0 (C420*, chroma upsampled 2×2), 4:2:2,
@@ -63,7 +63,10 @@ def decode_y4m(data: bytes) -> Tuple[List[np.ndarray], float]:
     if data[:4] == b"\x1a\x45\xdf\xa3":
         raise NotImplementedError("WebM/MKV decode needs an external codec (ffmpeg/decord)")
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
-        raise NotImplementedError("AVI decode needs an external codec (ffmpeg/decord)")
+        # r16: UNCOMPRESSED AVI decodes natively (BI_RGB DIB frames and
+        # raw I420 planes — pure RIFF plumbing); compressed fourccs
+        # gate inside decode_avi naming the codec
+        return decode_avi(data)
     params, pos = _parse_header(data)
     w, h, fmt = params["width"], params["height"], params["C"]
     fsize, (cy, cx) = _frame_geometry(fmt, w, h)
@@ -106,6 +109,153 @@ def encode_y4m(frames: List[np.ndarray], fps: int = 25) -> bytes:
         for plane in (y, u, v):
             out.append(np.clip(np.round(plane), 0, 255).astype(np.uint8).tobytes())
     return b"".join(out)
+
+
+def _avi_chunks(data: bytes, pos: int, end: int):
+    """Yield (fourcc, list_type_or_None, start, size) for each RIFF
+    chunk in [pos, end)."""
+    while pos + 8 <= end:
+        four = data[pos : pos + 4]
+        (size,) = np.frombuffer(data[pos + 4 : pos + 8], dtype="<u4")
+        size = int(size)
+        if pos + 8 + size > len(data):
+            raise ValueError("corrupt AVI: truncated chunk")
+        ltype = data[pos + 8 : pos + 12] if four == b"LIST" else None
+        yield four, ltype, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def decode_avi(data: bytes) -> Tuple[List[np.ndarray], float]:
+    """Decode an UNCOMPRESSED AVI (OpenDML/AVI 1.0 RIFF layout) →
+    ((H, W, 3) uint8 RGB frames, fps). Supported stream formats: BI_RGB
+    DIB frames at 24/32 bpp (bottom-up BGR rows, the Windows bitmap
+    convention; top-down via negative biHeight) and raw I420 planes.
+    Compressed fourccs raise NotImplementedError NAMING the codec —
+    real video codecs are the same table-data ceiling class as MP4."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI stream")
+    rate = scale = None
+    w = h = None
+    bpp = 24
+    compression = 0
+    fourcc_handler = b""
+    got_video = False
+    movi: List[bytes] = []
+
+    def walk(pos: int, end: int, in_strl: bool = False) -> None:
+        nonlocal rate, scale, w, h, bpp, compression, fourcc_handler, got_video
+        stream_is_video = False
+        for four, ltype, start, size in _avi_chunks(data, pos, end):
+            if four == b"LIST":
+                if ltype == b"movi":
+                    for f2, lt2, s2, sz2 in _avi_chunks(data, start + 4, start + size):
+                        if f2 == b"LIST" and lt2 == b"rec ":
+                            for f3, _l3, s3, sz3 in _avi_chunks(data, s2 + 4, s2 + sz2):
+                                if f3[2:4] in (b"db", b"dc"):
+                                    movi.append(data[s3 : s3 + sz3])
+                        elif f2[2:4] in (b"db", b"dc"):
+                            movi.append(data[s2 : s2 + sz2])
+                else:
+                    walk(start + 4, start + size, in_strl=ltype == b"strl")
+            elif four == b"strh" and not got_video:
+                if data[start : start + 4] == b"vids":
+                    stream_is_video = True
+                    fourcc_handler = bytes(data[start + 4 : start + 8])
+                    scale, rate = np.frombuffer(
+                        data[start + 20 : start + 28], dtype="<u4"
+                    )
+                    scale, rate = int(scale), int(rate)
+            elif four == b"strf" and in_strl and stream_is_video and not got_video:
+                # BITMAPINFOHEADER
+                bw, bh = np.frombuffer(data[start + 4 : start + 12], dtype="<i4")
+                (bc,) = np.frombuffer(data[start + 14 : start + 16], dtype="<u2")
+                (comp,) = np.frombuffer(data[start + 16 : start + 20], dtype="<u4")
+                w, h, bpp, compression = int(bw), int(bh), int(bc), int(comp)
+                got_video = True
+
+    walk(12, len(data))
+    if not got_video or w is None:
+        raise ValueError("corrupt AVI: no video stream header")
+    fps = (rate / scale) if rate and scale else 25.0
+    top_down = h < 0
+    h = abs(h)
+    frames: List[np.ndarray] = []
+    if compression == 0x30323449:  # 'I420' raw planes
+        for raw in movi:
+            if len(raw) < w * h * 3 // 2:
+                raise ValueError("corrupt AVI: short I420 frame")
+            a = np.frombuffer(raw, dtype=np.uint8)
+            y = a[: w * h].reshape(h, w)
+            cw, ch2 = w // 2, h // 2
+            u = a[w * h : w * h + cw * ch2].reshape(ch2, cw)
+            v = a[w * h + cw * ch2 : w * h + 2 * cw * ch2].reshape(ch2, cw)
+            u = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)[:h, :w]
+            v = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)[:h, :w]
+            frames.append(_yuv_to_rgb(y, u, v))
+        return frames, fps
+    if compression != 0:  # BI_RGB only; anything else is a codec
+        name = fourcc_handler.decode("ascii", "replace").strip() or hex(compression)
+        raise NotImplementedError(
+            f"compressed AVI ({name}) needs an external codec (ffmpeg/decord) — "
+            "uncompressed BI_RGB and I420 decode here"
+        )
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"AVI BI_RGB at {bpp} bpp needs PIL/ffmpeg")
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3  # DIB rows pad to 4 bytes
+    for raw in movi:
+        if len(raw) < stride * h:
+            raise ValueError("corrupt AVI: short DIB frame")
+        rows = np.frombuffer(raw, dtype=np.uint8, count=stride * h).reshape(h, stride)
+        px = rows[:, : w * nch].reshape(h, w, nch)
+        if not top_down:
+            px = px[::-1]  # bottom-up storage
+        frames.append(px[:, :, 2::-1].copy())  # BGR(X) -> RGB
+    return frames, fps
+
+
+def encode_avi(frames: List[np.ndarray], fps: int = 25, bpp: int = 24) -> bytes:
+    """Minimal uncompressed AVI writer (BI_RGB bottom-up DIB frames,
+    24/32 bpp, single video stream, idx1 index) for deterministic
+    test/oracle synthesis. Lossless: decode_avi(encode_avi(x)) == x."""
+    if bpp not in (24, 32):
+        raise ValueError("encode_avi writes 24 or 32 bpp BI_RGB")
+    h, w = frames[0].shape[:2]
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    import struct as _s
+
+    def chunk(four: bytes, payload: bytes) -> bytes:
+        return four + _s.pack("<I", len(payload)) + payload + (b"\x00" if len(payload) & 1 else b"")
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    frame_bytes = []
+    for fr in frames:
+        px = np.asarray(fr, dtype=np.uint8)
+        bgr = px[:, :, 2::-1]
+        if nch == 4:
+            bgr = np.concatenate([bgr, np.zeros((h, w, 1), np.uint8)], axis=2)
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * nch] = bgr.reshape(h, w * nch)
+        frame_bytes.append(rows[::-1].tobytes())  # bottom-up
+    avih = _s.pack(
+        "<14I", int(1_000_000 / fps), stride * h * fps, 0, 0x10, len(frames),
+        0, 1, stride * h, w, h, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"DIB " + _s.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), stride * h, 0, 0, 0)
+    strf = _s.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, stride * h, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_payload = b"".join(chunk(b"00db", fb) for fb in frame_bytes)
+    movi = lst(b"movi", movi_payload)
+    idx = bytearray()
+    off = 4
+    for fb in frame_bytes:
+        idx += b"00db" + _s.pack("<III", 0x10, off, len(fb))
+        off += 8 + len(fb) + (len(fb) & 1)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + _s.pack("<I", len(body)) + body
 
 
 def sample_frames(data: bytes, every_n_ms: int = 1000) -> Iterator[Tuple[int, int, np.ndarray]]:

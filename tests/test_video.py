@@ -39,8 +39,10 @@ def test_sample_frames_cadence():
 def test_container_gates_name_codecs():
     with pytest.raises(NotImplementedError, match="WebM"):
         decode_y4m(b"\x1a\x45\xdf\xa3xxxx")
-    with pytest.raises(NotImplementedError, match="AVI"):
-        decode_y4m(b"RIFF\x00\x00\x00\x00AVI xxxx")
+    # AVI decodes since r16, so a header-less AVI shell is malformed
+    # structure (ValueError), not a gate
+    with pytest.raises(ValueError, match="video stream"):
+        decode_y4m(b"RIFF\x04\x00\x00\x00AVI xxxx")
 
 
 def test_extract_video_frames_spark(spark):
@@ -66,3 +68,73 @@ def test_extract_video_frames_spark(spark):
     p3 = {r.frame_idx: r.phash for r in by_vid[3]}
     assert p1 == p2 and p1 != p3
     assert not by_vid[4][0].decode_ok and "WebM" in by_vid[4][0].error
+
+
+# ---- uncompressed AVI (r16: gate -> real decode) ----
+
+
+def test_avi_roundtrips_exact_and_dispatch():
+    from iceberg_python_spark.operators.video import decode_avi, encode_avi
+
+    rng = np.random.default_rng(8)
+    frames = [rng.integers(0, 256, (24, 34, 3), dtype=np.uint8) for _ in range(5)]
+    for bpp in (24, 32):
+        dec, fps = decode_avi(encode_avi(frames, fps=10, bpp=bpp))
+        assert fps == 10.0 and len(dec) == 5
+        for a, b in zip(dec, frames):
+            assert np.array_equal(a, b), bpp
+    # rides the decode_y4m dispatch + sampling cadence
+    dec2, _ = decode_y4m(encode_avi(frames, fps=10))
+    assert np.array_equal(dec2[0], frames[0])
+    assert [i for i, _t, _f in sample_frames(encode_avi(frames, fps=10), every_n_ms=300)] == [0, 3]
+
+
+def test_avi_odd_width_dib_padding_and_i420():
+    from iceberg_python_spark.operators.video import _yuv_to_rgb, decode_avi, encode_avi
+
+    rng = np.random.default_rng(3)
+    # odd width -> DIB stride padding exercised
+    frames = [rng.integers(0, 256, (10, 13, 3), dtype=np.uint8) for _ in range(2)]
+    dec, _ = decode_avi(encode_avi(frames, fps=5))
+    assert all(np.array_equal(a, b) for a, b in zip(dec, frames))
+    # hand-built I420 AVI: patch the encoder's header and swap payload
+    import struct
+
+    w, h = 16, 12
+    y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    u = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+    v = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+    raw = y.tobytes() + u.tobytes() + v.tobytes()
+    shell = bytearray(encode_avi([np.zeros((h, w, 3), np.uint8)], fps=5))
+    ps = bytes(shell).find(b"strf") + 8
+    struct.pack_into("<I", shell, ps + 16, 0x30323449)  # biCompression = 'I420'
+    pm = bytes(shell).find(b"00db")
+    (old_len,) = struct.unpack_from("<I", shell, pm + 4)
+    shell[pm + 8 : pm + 8 + old_len] = raw.ljust(old_len, b"\x00")
+    dec, _ = decode_avi(bytes(shell))
+    uu = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)
+    vv = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)
+    assert np.array_equal(dec[0], _yuv_to_rgb(y, uu, vv))
+
+
+def test_avi_probe_contract_and_codec_gate():
+    import struct
+
+    from iceberg_python_spark.operators.probe import probe_media
+    from iceberg_python_spark.operators.video import decode_avi, encode_avi
+
+    frames = [np.zeros((12, 16, 3), np.uint8) for _ in range(4)]
+    avi = encode_avi(frames, fps=8)
+    p = probe_media(avi)
+    assert p["container"] == "avi" and p["kind"] == "video"
+    assert (p["width"], p["height"]) == (16, 12)
+    assert p["duration_ms"] == 500 and p["decodable"] is True
+    # compressed fourcc: probe not-decodable, decoder gates NAMING it
+    mj = bytearray(avi)
+    ps = bytes(mj).find(b"strf") + 8
+    struct.pack_into("<I", mj, ps + 16, struct.unpack("<I", b"MJPG")[0])
+    ph = bytes(mj).find(b"strh") + 8 + 4
+    mj[ph : ph + 4] = b"MJPG"
+    assert probe_media(bytes(mj))["decodable"] is False
+    with pytest.raises(NotImplementedError, match="MJPG"):
+        decode_avi(bytes(mj))
