@@ -24,7 +24,13 @@ def test_no_stale_rows_outside_window():
     # documents overflow (<=10 rows, each with compensating evidence),
     # update this bound alongside the rotation note
     assert st["stale_outside_window"] == []
-    assert st["never_checked"] == []
+    # a brand-new row is legitimate ONLY inside the window — its first
+    # driver check must happen the round it lands, never deferred
+    for name in st["never_checked"]:
+        assert st["rows"][name]["in_window"], (
+            f"new row {name} must enter the registry inside the driver "
+            f"window (position {st['rows'][name]['position']})"
+        )
 
 
 def test_red_rows_lead_the_window():
