@@ -119,7 +119,24 @@ def decode_tar(data: bytes) -> List[Tuple[str, bytes]]:
         if typeflag == b"L":  # GNU long name: payload names the NEXT member
             pending_name = payload.rstrip(b"\x00").decode("utf-8", "replace")
             continue
-        if typeflag in (b"x", b"g", b"5"):  # pax records / directory
+        if typeflag == b"x":  # pax extended record: 'path' overrides the
+            # next member's (truncated) name field — records are
+            # "<len> key=value\n" with len counting the whole record
+            p = 0
+            while p < len(payload):
+                sp = payload.find(b" ", p)
+                if sp < 0:
+                    break
+                try:
+                    rlen = int(payload[p:sp])
+                except ValueError:
+                    raise ValueError("tar: bad pax record length") from None
+                rec = payload[sp + 1 : p + rlen]
+                if rec.startswith(b"path=") and rec.endswith(b"\n"):
+                    pending_name = rec[5:-1].decode("utf-8", "replace")
+                p += rlen
+            continue
+        if typeflag in (b"g", b"5"):  # pax globals / directory
             pending_name = None
             continue
         if typeflag not in (b"0", b"\x00"):

@@ -121,3 +121,12 @@ def test_tar_spark_shard_roundtrip(spark):
     )
     err = read_tar_samples(broken, "shard_id", "shard").collect()
     assert len(err) == 1 and err[0].error is not None
+
+
+def test_tar_pax_long_names():
+    """PAX long names travel in 'x' records as 'path=' keys overriding
+    the truncated header name — stdlib pax archives with >100-char
+    names must decode with their full names."""
+    long = "p/" + "z" * 150 + "/0005.txt"
+    t = _stdlib_tar([(long, b"pax"), ("short.txt", b"s")], tarfile.PAX_FORMAT)
+    assert decode_tar(t) == [(long, b"pax"), ("short.txt", b"s")]
