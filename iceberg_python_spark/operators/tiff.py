@@ -182,10 +182,14 @@ def _read_ifd(data: bytes, fmt: str, off: int):
             raw = data[ptr : ptr + size]
         else:
             raw = data[vo : vo + size]
-        if typ == 3:
-            vals = list(struct.unpack(fmt + "H" * cnt, raw[: 2 * cnt]))
-        elif typ == 4:
-            vals = list(struct.unpack(fmt + "I" * cnt, raw[: 4 * cnt]))
+        if typ in (3, 4):
+            # bound cnt by the bytes actually present BEFORE building
+            # the unpack format — a crafted count field would otherwise
+            # allocate a multi-GB format string (fuzz finding, r16)
+            unit = 2 if typ == 3 else 4
+            if len(raw) < unit * cnt:
+                raise ValueError("corrupt TIFF: tag value runs past the buffer")
+            vals = list(struct.unpack(fmt + ("H" if typ == 3 else "I") * cnt, raw[: unit * cnt]))
         elif typ == 1:
             vals = list(raw[:cnt])
         else:
@@ -205,6 +209,27 @@ def tiff_page_count(data: bytes) -> int:
     return n
 
 
+def _tag_int(tags, tag: int, default=None) -> int:
+    """Integer tag value with the crafted-input contract: a missing
+    required tag or a non-integer value field is corrupt structure
+    (ValueError), never a KeyError/TypeError escaping the dispatch."""
+    vals = tags.get(tag)
+    if vals is None:
+        if default is None:
+            raise ValueError(f"corrupt TIFF: required tag {tag} missing")
+        return default
+    if not vals or not isinstance(vals[0], int):
+        raise ValueError(f"corrupt TIFF: tag {tag} has a non-integer value")
+    return vals[0]
+
+
+def _tag_ints(tags, tag: int):
+    vals = tags.get(tag)
+    if not vals or not all(isinstance(v, int) for v in vals):
+        raise ValueError(f"corrupt TIFF: tag {tag} missing or non-integer")
+    return vals
+
+
 def decode_tiff(data: bytes) -> np.ndarray:
     """Decode the first IFD of a baseline TIFF → (H, W[, C]) uint8."""
     if data[:2] not in (b"II", b"MM"):
@@ -215,12 +240,16 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise ValueError("corrupt TIFF: bad magic")
     (off,) = struct.unpack_from(fmt + "I", data, 4)
     tags, _ = _read_ifd(data, fmt, off)
-    w = tags[256][0]
-    h = tags[257][0]
+    w = _tag_int(tags, 256)
+    h = _tag_int(tags, 257)
+    if w <= 0 or h <= 0 or w * h > 1 << 30:
+        raise ValueError("corrupt TIFF: implausible image dimensions")
     bits = tags.get(258, [1])
-    spp = tags.get(277, [1])[0]
-    comp = tags.get(259, [1])[0]
-    photo = tags.get(262, [1])[0]
+    if not all(isinstance(b, int) for b in bits):
+        raise ValueError("corrupt TIFF: non-integer BitsPerSample")
+    spp = _tag_int(tags, 277, 1)
+    comp = _tag_int(tags, 259, 1)
+    photo = _tag_int(tags, 262, 1)
     if comp == 7:
         # r16: new-style JPEG-in-TIFF (TIFF TechNote 2) — each strip or
         # tile is a complete (possibly abbreviated) JPEG datastream;
@@ -235,18 +264,18 @@ def decode_tiff(data: bytes) -> np.ndarray:
     bps = bits[0]
     if bps not in (1, 8, 16) or any(b != bps for b in bits):
         raise NotImplementedError(f"TIFF {bits}-bit samples need PIL")
-    predictor = tags.get(317, [1])[0]
+    predictor = _tag_int(tags, 317, 1)
     if predictor not in (1, 2) or (predictor == 2 and bps == 1):
         raise NotImplementedError(f"TIFF predictor {predictor} at {bps}-bit needs PIL")
-    planar = tags.get(284, [1])[0]
+    planar = _tag_int(tags, 284, 1)
     if planar not in (1, 2) or (planar == 2 and bps == 1 and spp > 1):
         raise NotImplementedError(f"TIFF PlanarConfiguration {planar} at {bps}-bit needs PIL")
     if 322 in tags or 324 in tags:
         px = _decode_tiles(data, fmt, tags, w, h, bps, spp, comp, predictor, planar)
         return _finish_pixels(px, photo, tags)
-    offsets = tags[273]
-    counts = tags[279]
-    rows_per_strip = tags.get(278, [h])[0]
+    offsets = _tag_ints(tags, 273)
+    counts = _tag_ints(tags, 279)
+    rows_per_strip = _tag_int(tags, 278, h)
     per_plane = planar == 2 and spp > 1
     # planar strips carry ONE sample plane each (all plane-0 strips,
     # then plane 1, ...), so a strip row holds w samples, not w*spp
@@ -263,8 +292,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
         elif comp == 32773:
             strip = _packbits_decode(strip, expected)
         elif comp in (8, 32946):  # Adobe deflate / old deflate code
-            try:
-                strip = zlib.decompress(strip)
+            try:  # cap expansion at the strip's declared pixel bytes
+                strip = zlib.decompressobj().decompress(strip, expected)
             except zlib.error as exc:
                 raise ValueError(f"corrupt TIFF: bad deflate strip: {exc}") from exc
         if len(strip) < expected:
@@ -324,6 +353,8 @@ def _decode_jpeg_tiff(
     if spp not in (1, 3):
         raise NotImplementedError(f"JPEG-in-TIFF with {spp} samples/pixel needs PIL")
     tables = tags.get(347, [b""])[0]
+    if not isinstance(tables, (bytes, bytearray)):
+        raise ValueError("corrupt TIFF: JPEGTables has a non-byte value")
     if tables and (tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9"):
         raise ValueError("corrupt TIFF: JPEGTables is not an SOI..EOI stream")
 
@@ -340,11 +371,13 @@ def _decode_jpeg_tiff(
     if tiled:
         if not all(t in tags for t in (322, 323, 324, 325)):
             raise ValueError("corrupt TIFF: incomplete tile tag set")
-        tw, tl = tags[322][0], tags[323][0]
+        tw, tl = _tag_int(tags, 322), _tag_int(tags, 323)
         if tw <= 0 or tl <= 0:
             raise ValueError("corrupt TIFF: bad tile dimensions")
-        offsets, counts = tags[324], tags[325]
+        offsets, counts = _tag_ints(tags, 324), _tag_ints(tags, 325)
         across, down = -(-w // tw), -(-h // tl)
+        if down * tl * across * tw * 3 > 1 << 31:
+            raise ValueError("corrupt TIFF: implausible tile grid size")
         if len(offsets) < across * down:
             raise ValueError("corrupt TIFF: tile count below the grid size")
         canvas = None
@@ -358,8 +391,8 @@ def _decode_jpeg_tiff(
             ]
         px = canvas[:h, :w, :]
     else:
-        offsets, counts = tags[273], tags[279]
-        rows_per_strip = tags.get(278, [h])[0] or h
+        offsets, counts = _tag_ints(tags, 273), _tag_ints(tags, 279)
+        rows_per_strip = _tag_int(tags, 278, h) or h
         canvas = None
         for si, (so, sc) in enumerate(zip(offsets, counts)):
             v = seg_pixels(so, sc)
@@ -390,11 +423,13 @@ def _decode_tiles(
     decode pastes per-tile pixel blocks into a padded canvas and crops."""
     if 322 not in tags or 323 not in tags or 324 not in tags or 325 not in tags:
         raise ValueError("corrupt TIFF: incomplete tile tag set")
-    tw, tl = tags[322][0], tags[323][0]
+    tw, tl = _tag_int(tags, 322), _tag_int(tags, 323)
     if tw <= 0 or tl <= 0:
         raise ValueError("corrupt TIFF: bad tile dimensions")
-    offsets, counts = tags[324], tags[325]
+    offsets, counts = _tag_ints(tags, 324), _tag_ints(tags, 325)
     across, down = -(-w // tw), -(-h // tl)
+    if down * tl * across * tw * max(spp, 1) > 1 << 31:
+        raise ValueError("corrupt TIFF: implausible tile grid size")
     per_plane = planar == 2 and spp > 1
     nplanes = spp if per_plane else 1
     sppe = 1 if per_plane else spp
@@ -414,7 +449,7 @@ def _decode_tiles(
             tile = _packbits_decode(tile, expected)
         elif comp in (8, 32946):
             try:
-                tile = zlib.decompress(tile)
+                tile = zlib.decompressobj().decompress(tile, expected)
             except zlib.error as exc:
                 raise ValueError(f"corrupt TIFF: bad deflate tile: {exc}") from exc
         if len(tile) < expected:

@@ -176,6 +176,8 @@ def decode_avi(data: bytes) -> Tuple[List[np.ndarray], float]:
     walk(12, len(data))
     if not got_video or w is None:
         raise ValueError("corrupt AVI: no video stream header")
+    if w <= 0 or h == 0 or w * abs(h) > 1 << 30:
+        raise ValueError("corrupt AVI: implausible frame dimensions")
     fps = (rate / scale) if rate and scale else 25.0
     top_down = h < 0
     h = abs(h)

@@ -541,6 +541,12 @@ def _decode_vp8x(data: bytes):
     animated = bool(flags & 0x02)
     cw = int.from_bytes(head[4:7], "little") + 1
     ch = int.from_bytes(head[7:10], "little") + 1
+    # crafted-canvas cap: each side within the VP8L payload limit
+    # (16384) and the pixel count within 2^24 (64 MB RGBA canvas) —
+    # every decodable (lossless-payload) file fits; a flipped dims
+    # field can't force gigabyte memsets per ANMF frame
+    if cw > 16384 or ch > 16384 or cw * ch > 1 << 24:
+        raise ValueError("corrupt WEBP: implausible VP8X canvas size")
     if not animated:
         px = _frame_pixels(chunks[1:])
         if px.shape[0] != ch or px.shape[1] != cw:

@@ -51,3 +51,66 @@ def test_dispatchers_raise_only_contract_errors(magic, junk):
             fn(payload)
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_structured_corruption_of_round16_containers():
+    """r16: STRUCTURED corruption (truncation, bit flips, zero spans,
+    junk splices) of valid tiled/JPEG/deflate TIFF, VP8X WebP, AVI,
+    Ogg-FLAC, and tar fixtures must stay inside the crafted-input
+    contract — ValueError/NotImplementedError only. This found (and
+    now pins) a multi-GB format-string hang on a flipped TIFF IFD
+    count, a gigabyte VP8X canvas memset, and KeyError/TypeError
+    escapes on missing or mistyped required tags."""
+    import numpy as np
+
+    from iceberg_python_spark.operators.audio import decode_audio
+    from iceberg_python_spark.operators.flac import encode_ogg_flac
+    from iceberg_python_spark.operators.imaging import decode_image
+    from iceberg_python_spark.operators.probe import probe_media
+    from iceberg_python_spark.operators.tar import decode_tar, encode_tar
+    from iceberg_python_spark.operators.tiff import encode_tiff
+    from iceberg_python_spark.operators.video import decode_y4m, encode_avi
+    from iceberg_python_spark.operators.webp import encode_webp_anim, encode_webp_extended
+
+    rng = np.random.default_rng(99)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    frames = [img.copy() for _ in range(2)]
+    pcm = rng.integers(-3000, 3000, (400,)).astype(np.int32)
+    seeds = {
+        "tiff-tiled": (encode_tiff(img, tiled=True, compression="lzw"), [decode_image, probe_media]),
+        "tiff-jpeg": (encode_tiff(img, compression="jpeg", tiled=True, jpeg_tables=True), [decode_image, probe_media]),
+        "tiff-deflate": (encode_tiff(img, compression="deflate"), [decode_image, probe_media]),
+        "vp8x-still": (encode_webp_extended(img, exif=b"e"), [decode_image, probe_media]),
+        "vp8x-anim": (encode_webp_anim(frames, delays_ms=[10, 20]), [decode_image, probe_media]),
+        "avi": (encode_avi(frames, fps=5), [decode_y4m, probe_media]),
+        "ogg-flac": (encode_ogg_flac(pcm, 8000), [decode_audio, probe_media]),
+        "tar": (encode_tar([("0001.txt", b"x")]), [decode_tar]),
+    }
+    for name, (good, fns) in seeds.items():
+        g = np.frombuffer(good, dtype=np.uint8).copy()
+        for trial in range(80):
+            r = np.random.default_rng(trial * 7 + 1)
+            b = g.copy()
+            mode = trial % 4
+            if mode == 0:
+                b = b[: r.integers(1, len(b))]
+            elif mode == 1:
+                idx = r.integers(0, len(b), size=max(1, len(b) // 50))
+                b[idx] ^= r.integers(1, 256, size=len(idx)).astype(np.uint8)
+            elif mode == 2:
+                s = r.integers(0, len(b))
+                e = min(len(b), s + int(r.integers(1, 64)))
+                b[s:e] = 0
+            else:
+                keep = int(r.integers(8, min(64, len(b))))
+                b = np.concatenate(
+                    [b[:keep], r.integers(0, 256, size=int(r.integers(16, 128))).astype(np.uint8)]
+                )
+            payload = b.tobytes()
+            for fn in fns:
+                try:
+                    fn(payload)
+                except (ValueError, NotImplementedError):
+                    pass
+                # anything else (KeyError/TypeError/MemoryError/hang)
+                # is a contract escape and fails the test loudly
