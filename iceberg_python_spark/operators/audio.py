@@ -200,7 +200,7 @@ def decode_audio(data: bytes) -> Tuple[np.ndarray, int]:
     converted at this boundary (crafted-input contract, r16)."""
     try:
         return _decode_audio_dispatch(data)
-    except (struct.error, IndexError) as exc:
+    except (struct.error, IndexError, OverflowError) as exc:
         raise ValueError(f"corrupt audio stream: {exc}") from exc
 
 

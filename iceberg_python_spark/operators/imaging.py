@@ -348,7 +348,9 @@ def decode_image(data: bytes) -> np.ndarray:
     crafted payload can never surface an internal exception class."""
     try:
         return _decode_image_dispatch(data)
-    except (struct.error, IndexError) as exc:
+    except (struct.error, IndexError, OverflowError, zlib.error) as exc:
+        # zlib.error: a corrupt PNG IDAT / TIFF deflate stream is
+        # malformed structure like any other (fuzz finding, r16)
         raise ValueError(f"corrupt image stream: {exc}") from exc
 
 

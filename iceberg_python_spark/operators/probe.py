@@ -345,7 +345,7 @@ def probe_media(data: bytes) -> Dict[str, Any]:
     offsets are converted at this boundary."""
     try:
         return _probe_media_dispatch(data)
-    except (struct.error, IndexError) as exc:
+    except (struct.error, IndexError, OverflowError) as exc:
         raise ValueError(f"corrupt media header: {exc}") from exc
 
 

@@ -72,11 +72,30 @@ def test_structured_corruption_of_round16_containers():
     from iceberg_python_spark.operators.video import decode_y4m, encode_avi
     from iceberg_python_spark.operators.webp import encode_webp_anim, encode_webp_extended
 
+    from iceberg_python_spark.operators.audio import encode_aiff, encode_wav
+    from iceberg_python_spark.operators.flac import encode_flac
+    from iceberg_python_spark.operators.gif import encode_gif
+    from iceberg_python_spark.operators.imaging import encode_png
+    from iceberg_python_spark.operators.jpeg import encode_jpeg
+    from iceberg_python_spark.operators.webp import encode_webp
+
     rng = np.random.default_rng(99)
     img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
     frames = [img.copy() for _ in range(2)]
     pcm = rng.integers(-3000, 3000, (400,)).astype(np.int32)
+    tone = pcm.astype(np.float64) / 32768.0
+    pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+    gimg = pal[rng.integers(0, 8, (16, 16))]
     seeds = {
+        # older codecs under the same sweep (found zlib.error and
+        # OverflowError escapes on PNG / JPEG / AIFF payloads)
+        "png": (encode_png(img), [decode_image, probe_media]),
+        "jpeg": (encode_jpeg(img, quality=90), [decode_image, probe_media]),
+        "gif": (encode_gif([gimg, gimg], delays_ms=[50, 50]), [decode_image, probe_media]),
+        "webp-vp8l": (encode_webp(img), [decode_image, probe_media]),
+        "wav": (encode_wav(tone, 8000), [decode_audio, probe_media]),
+        "flac": (encode_flac(pcm, 8000), [decode_audio, probe_media]),
+        "aiff": (encode_aiff(tone, 8000), [decode_audio, probe_media]),
         "tiff-tiled": (encode_tiff(img, tiled=True, compression="lzw"), [decode_image, probe_media]),
         "tiff-jpeg": (encode_tiff(img, compression="jpeg", tiled=True, jpeg_tables=True), [decode_image, probe_media]),
         "tiff-deflate": (encode_tiff(img, compression="deflate"), [decode_image, probe_media]),
