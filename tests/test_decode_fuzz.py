@@ -72,6 +72,7 @@ def test_structured_corruption_of_round16_containers():
     from iceberg_python_spark.operators.video import decode_y4m, encode_avi
     from iceberg_python_spark.operators.webp import encode_webp_anim, encode_webp_extended
 
+    from iceberg_python_spark.operators.zip import decode_zip, encode_zip
     from iceberg_python_spark.operators.audio import encode_aiff, encode_wav
     from iceberg_python_spark.operators.flac import encode_flac
     from iceberg_python_spark.operators.gif import encode_gif
@@ -104,6 +105,7 @@ def test_structured_corruption_of_round16_containers():
         "avi": (encode_avi(frames, fps=5), [decode_y4m, probe_media]),
         "ogg-flac": (encode_ogg_flac(pcm, 8000), [decode_audio, probe_media]),
         "tar": (encode_tar([("0001.txt", b"x")]), [decode_tar]),
+        "zip": (encode_zip([("0001.txt", b"x"), ("0002.txt", b"y" * 99)]), [decode_zip]),
     }
     for name, (good, fns) in seeds.items():
         g = np.frombuffer(good, dtype=np.uint8).copy()
