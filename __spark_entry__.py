@@ -5759,83 +5759,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lambda spark, sf_dir: fn(spark, _wh(spark, sf_dir))
 
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries. Round-16 window, executing the committed end-of-r15
-    # rotation plan + VERDICT r15 #3 EXACTLY: (1-35) the 35-row
-    # r13-checked tail — age-3 at r16, it MUST lead; (36-37) this
-    # round's code-changed re-greens — graph_pagerank (oracle
-    # output-type fix, VERDICT r15 #1) and multimodal_audio_containers
-    # (Ogg routing contract + vorbis granule/cap/clamp hardening;
-    # multimodal_audio_decode and probe_media_corpus, also
-    # code-changed via decode_audio/probe, are already in the tail);
-    # (38-50) the first 13 of the 46-row r14-checked cohort (age-2) —
-    # the remaining 33 are ordered immediately behind the window and
-    # MUST lead r17. ZERO new registry rows, ZERO overflow: every
-    # age-3+ row is in-window.
+    # entries. Round-17 window, executing the committed end-of-r16
+    # rotation plan (VERDICT r16 #1) EXACTLY: (1-34) the 34-row
+    # r14-checked cohort — age-3 at r17, it MUST lead (this includes
+    # pdf_ingest, a planned r17 code-changed row); (35-38) this
+    # round's planned code-changed re-greens — scan_limit (two-job
+    # collapse, VERDICT r16 #4), tar_shard_ingest (ADVICE r16 pax fix
+    # + zip fold, VERDICT r16 #3), multimodal_decode_combined +
+    # probe_media_corpus (MJPEG-in-AVI decode + probe routing, VERDICT
+    # r16 #5); (39-50) the first 12 of the 48-row r15-checked cohort
+    # (age-2) — the remaining 36 are ordered immediately behind the
+    # window and MUST lead r18. ZERO overflow: every age-3+ row is
+    # in-window.
     return {
         name: wrap(fn)
         for name, fn in {
-            # --- 1-35: the r13-checked tail (age-3) ---
-            "count_fast": _q_count_fast,
-            "scan_in_filter": _q_scan_in_filter,
-            "scan_limit": _q_scan_limit,
-            "text_c4_filter": _q_text_c4_filter,
-            "rollup_incremental": _q_rollup_incremental,
-            "scd2_history": _q_scd2_history,
-            "sample_domain_cap": _q_sample_domain_cap,
-            "multimodal_image_decode": _q_multimodal_image_decode,
-            "rollup_time_multires": _q_rollup_time_multires,
-            "dedup_incremental_lsh": _q_dedup_incremental_lsh,
-            "changelog_schema_evolution": _q_changelog_schema_evolution,
-            "dataset_split": _q_dataset_split,
-            "dedup_substring_spans": _q_dedup_substring_spans,
-            "text_token_sketch": _q_text_token_sketch,
-            "text_gopher_flags": _q_text_gopher_flags,
-            "pack_sequences": _q_pack_sequences,
-            "quality_deciles": _q_quality_deciles,
-            "text_lm_perplexity": _q_text_lm_ppl,
-            "text_top_ngrams": _q_text_top_ngrams,
-            "text_contamination": _q_text_contamination,
-            "dedup_exact": _q_dedup_exact,
-            "dedup_normalized": _q_dedup_normalized,
-            "dedup_jaccard_blocked": _q_dedup_jaccard_blocked,
-            "dedup_embedding_cosine": _q_embedding_neardup,
-            "ann_cosine_topk": _q_ann_brute,
-            "text_pii_redact": _q_text_pii_redact,
-            "text_perdoc_combined": _q_text_perdoc_combined,
-            "events_json_extract": _q_events_json_extract,
-            "warc_ingest": _q_warc_ingest,
-            "probe_media_corpus": _q_probe_media_corpus,
-            "multimodal_audio_decode": _q_multimodal_audio_decode,
-            "embedding_kmeans_invariants": _q_embedding_kmeans_invariants,
-            "events_funnel": _q_events_funnel,
-            "record_linkage": _q_record_linkage,
-            "zorder_curve": _q_zorder_curve,
-            # --- 36-37: r16 code-changed re-greens ---
-            "graph_pagerank": _q_graph_pagerank,
-            "multimodal_audio_containers": _q_multimodal_audio_containers,
-            # --- 38-50: first 13 of the r14-checked cohort (age-2) ---
-            "events_transition_matrix": _q_events_transition_matrix,
-            "events_retention_cohorts": _q_events_retention_cohorts,
-            "events_interval_coverage": _q_events_interval_coverage,
-            "url_normalize": _q_url_normalize,
-            "embedding_pca_invariants": _q_embedding_pca_invariants,
-            "phrase_search": _q_phrase_search,
-            "salted_join": _q_salted_join,
-            "image_phash_dedup": _q_image_phash_dedup,
-            # r16 NEW row (in-window so its first driver check happens
-            # this round; basket_affinity — unchanged age-2 — moves
-            # behind the window and leads r17 with its cohort)
-            "tar_shard_ingest": _q_tar_shard_ingest,
-            "events_rolling_agg": _q_events_rolling_agg,
-            "audio_neardup_dedup": _q_audio_neardup_dedup,
-            "events_mad_outliers": _q_events_mad_outliers,
-            # r16 code-changed re-green: the tiff/jpeg sub-rows gained
-            # tiled + JPEG-in-TIFF layouts this round, so the combined
-            # row swaps IN for funnel_stream (unchanged age-2; now
-            # leads r17 with the rest of its cohort)
-            "multimodal_decode_combined": _q_multimodal_decode_combined,
-            # ---------------- behind the window ----------------
-            # the remaining r14-checked rows (age-2) — MUST lead r17
+            # --- 1-34: the r14-checked cohort (age-3) ---
             "funnel_stream": _q_funnel_stream,
             "basket_affinity": _q_basket_affinity,
             "heavy_hitters_stream": _q_heavy_hitters_stream,
@@ -5870,8 +5809,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q13_order_distribution": _q_q13_order_distribution,
             "tpch_q14_promo_share": _q_q14_promo,
             "tpch_q15_top_supplier": _q_q15_top_supplier,
-            # r15-window rows (age-1; re-checked by the committed
-            # final-state full-registry sweep each round)
+            # --- 35-38: r17 planned code-changed re-greens (age-1) ---
+            "scan_limit": _q_scan_limit,
+            "tar_shard_ingest": _q_tar_shard_ingest,
+            "multimodal_decode_combined": _q_multimodal_decode_combined,
+            "probe_media_corpus": _q_probe_media_corpus,
+            # --- 39-50: first 12 of the r15-checked cohort (age-2) ---
             "text_paragraph_dedup": _q_text_paragraph_dedup,
             "multimodal_features": _q_multimodal,
             "events_windowed_agg": _q_events_windowed,
@@ -5884,6 +5827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "quality_classifier_combined": _q_quality_classifier_combined,
             "pipeline_invariants_combined": _q_pipeline_invariants_combined,
             "agg_multidim_combined": _q_agg_multidim_combined,
+            # ---------------- behind the window ----------------
+            # the remaining r15-checked rows (age-2) — MUST lead r18
             "mixture_combined": _q_mixture_combined,
             "scan_distributed_combined": _q_scan_distributed_combined,
             "embedding_quantize": _q_embedding_quantize,
@@ -5920,6 +5865,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_range_join": _q_events_range_join,
             "events_time_rollup": _q_events_time_rollup,
             "meta_combined": _q_meta_combined,
+            # the r16-checked rows (age-1; re-checked by the committed
+            # final-state full-registry sweep each round)
+            "count_fast": _q_count_fast,
+            "scan_in_filter": _q_scan_in_filter,
+            "text_c4_filter": _q_text_c4_filter,
+            "rollup_incremental": _q_rollup_incremental,
+            "scd2_history": _q_scd2_history,
+            "sample_domain_cap": _q_sample_domain_cap,
+            "multimodal_image_decode": _q_multimodal_image_decode,
+            "rollup_time_multires": _q_rollup_time_multires,
+            "dedup_incremental_lsh": _q_dedup_incremental_lsh,
+            "changelog_schema_evolution": _q_changelog_schema_evolution,
+            "dataset_split": _q_dataset_split,
+            "dedup_substring_spans": _q_dedup_substring_spans,
+            "text_token_sketch": _q_text_token_sketch,
+            "text_gopher_flags": _q_text_gopher_flags,
+            "pack_sequences": _q_pack_sequences,
+            "quality_deciles": _q_quality_deciles,
+            "text_lm_perplexity": _q_text_lm_ppl,
+            "text_top_ngrams": _q_text_top_ngrams,
+            "text_contamination": _q_text_contamination,
+            "dedup_exact": _q_dedup_exact,
+            "dedup_normalized": _q_dedup_normalized,
+            "dedup_jaccard_blocked": _q_dedup_jaccard_blocked,
+            "dedup_embedding_cosine": _q_embedding_neardup,
+            "ann_cosine_topk": _q_ann_brute,
+            "text_pii_redact": _q_text_pii_redact,
+            "text_perdoc_combined": _q_text_perdoc_combined,
+            "events_json_extract": _q_events_json_extract,
+            "warc_ingest": _q_warc_ingest,
+            "multimodal_audio_decode": _q_multimodal_audio_decode,
+            "embedding_kmeans_invariants": _q_embedding_kmeans_invariants,
+            "events_funnel": _q_events_funnel,
+            "record_linkage": _q_record_linkage,
+            "zorder_curve": _q_zorder_curve,
+            "graph_pagerank": _q_graph_pagerank,
+            "multimodal_audio_containers": _q_multimodal_audio_containers,
+            "events_transition_matrix": _q_events_transition_matrix,
+            "events_retention_cohorts": _q_events_retention_cohorts,
+            "events_interval_coverage": _q_events_interval_coverage,
+            "url_normalize": _q_url_normalize,
+            "embedding_pca_invariants": _q_embedding_pca_invariants,
+            "phrase_search": _q_phrase_search,
+            "salted_join": _q_salted_join,
+            "image_phash_dedup": _q_image_phash_dedup,
+            "events_rolling_agg": _q_events_rolling_agg,
+            "audio_neardup_dedup": _q_audio_neardup_dedup,
+            "events_mad_outliers": _q_events_mad_outliers,
         }.items()
     }
 
