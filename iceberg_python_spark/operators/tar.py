@@ -131,6 +131,12 @@ def decode_tar(data: bytes) -> List[Tuple[str, bytes]]:
                     rlen = int(payload[p:sp])
                 except ValueError:
                     raise ValueError("tar: bad pax record length") from None
+                if rlen <= sp - p:
+                    # the length counts the WHOLE record including its
+                    # own digits; anything that does not advance past
+                    # the length field (rlen=0 crafted shards) would
+                    # loop forever — a hang is worse than a failure
+                    raise ValueError("tar: bad pax record length")
                 rec = payload[sp + 1 : p + rlen]
                 if rec.startswith(b"path=") and rec.endswith(b"\n"):
                     pending_name = rec[5:-1].decode("utf-8", "replace")

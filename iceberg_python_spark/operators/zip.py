@@ -118,19 +118,24 @@ def decode_zip(data: bytes) -> List[Tuple[str, bytes]]:
             _vmade, _vneed, flags, method, _t, _d, crc, clen, ulen,
             nlen, xlen, mlen, _disk, _iattr, _eattr, lho,
         ) = struct.unpack_from("<HHHHHHIIIHHHHHII", data, pos + 4)
-        name = data[pos + 46 : pos + 46 + nlen].decode("utf-8", "replace")
+        raw_name = data[pos + 46 : pos + 46 + nlen]
+        name = raw_name.decode("utf-8", "replace")
         pos += 46 + nlen + xlen + mlen
         if pos > cd_end:
             raise ValueError("zip: central directory entry runs past its declared size")
         if flags & 0x01:
             raise NotImplementedError("zip: encrypted member")
+        if lho + 30 > len(data):
+            raise ValueError("zip: local header runs past the archive")
         if data[lho : lho + 4] != _LOCAL:
             raise ValueError("zip: local header signature missing")
         (l_nlen, l_xlen) = struct.unpack_from("<HH", data, lho + 26)
         # APPNOTE: the central and local names describe the same member;
         # disagreement means a corrupted directory (e.g. a splice that
-        # shifted the EOCD into a name field)
-        if data[lho + 30 : lho + 30 + l_nlen] != name.encode("utf-8", "replace"):
+        # shifted the EOCD into a name field). Compare the RAW bytes —
+        # legacy CP437/Latin-1 names are legal and must not be bounced
+        # through a lossy UTF-8 round-trip
+        if data[lho + 30 : lho + 30 + l_nlen] != raw_name:
             raise ValueError("zip: central/local header name mismatch")
         body = lho + 30 + l_nlen + l_xlen
         if body + clen > len(data):
@@ -143,8 +148,12 @@ def decode_zip(data: bytes) -> List[Tuple[str, bytes]]:
                 raise ValueError("zip: stored member size mismatch")
             payload = bytes(comp)
         elif method == 8:
-            try:  # raw deflate, expansion capped at the declared size
-                payload = zlib.decompressobj(-15).decompress(comp, ulen)
+            try:  # raw deflate, expansion capped at the declared size.
+                # zlib treats max_length=0 as UNLIMITED, so a member
+                # declaring ulen=0 must cap at 1 and prove it's empty —
+                # otherwise a ~50 KB bomb inflates GBs before the
+                # size-mismatch check
+                payload = zlib.decompressobj(-15).decompress(comp, max(ulen, 1))
             except zlib.error as exc:
                 raise ValueError(f"zip: bad deflate member: {exc}") from exc
             if len(payload) != ulen:

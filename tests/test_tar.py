@@ -130,3 +130,26 @@ def test_tar_pax_long_names():
     long = "p/" + "z" * 150 + "/0005.txt"
     t = _stdlib_tar([(long, b"pax"), ("short.txt", b"s")], tarfile.PAX_FORMAT)
     assert decode_tar(t) == [(long, b"pax"), ("short.txt", b"s")]
+
+
+def test_tar_pax_zero_length_record_raises_not_hangs():
+    """ADVICE r16 (high): a pax 'x' record declaring length 0 (payload
+    starting b'0 ') must raise ValueError — before the fix `p += rlen`
+    never advanced and the executor hung forever on a crafted shard,
+    which is worse than the documented one-error-row failure."""
+    t = bytearray(encode_tar([("victim.txt", b"0 path=evil\n")]))
+    t[156] = ord("x")  # retype the member as a pax extended record
+    t[148:156] = b" " * 8
+    chk = sum(t[0:512])
+    t[148:156] = format(chk, "o").rjust(6, "0").encode() + b"\x00 "
+    with pytest.raises(ValueError, match="pax record length"):
+        decode_tar(bytes(t))
+    # a record whose length covers only its own digits (does not reach
+    # past the space separator) must also raise
+    t2 = bytearray(encode_tar([("victim.txt", b"1 path=evil\n")]))
+    t2[156] = ord("x")
+    t2[148:156] = b" " * 8
+    chk = sum(t2[0:512])
+    t2[148:156] = format(chk, "o").rjust(6, "0").encode() + b"\x00 "
+    with pytest.raises(ValueError, match="pax record length"):
+        decode_tar(bytes(t2))

@@ -81,3 +81,75 @@ def test_zip_spark_samples_same_contract_as_tar(spark):
     broken = df.limit(1).select("shard_id", F.expr("substring(shard, 1, 40)").alias("shard"))
     err = read_zip_samples(broken, "shard_id", "shard").collect()
     assert len(err) == 1 and err[0].error is not None
+
+
+def _patch_eocd_checked(z: bytearray):
+    """Locate the EOCD + first central entry of a single-member archive
+    built by encode_zip (no comment, no zip64)."""
+    import struct as _s
+
+    eocd = bytes(z).rfind(b"PK\x05\x06")
+    assert eocd >= 0
+    (cd_off,) = _s.unpack_from("<I", z, eocd + 16)
+    return eocd, cd_off
+
+
+def test_zip_tail_local_header_sig_raises_valueerror_not_struct_error():
+    """ADVICE r16: a central entry whose local-header offset points at a
+    bare 4-byte PK\\x03\\x04 at the archive tail passed the signature
+    check but blew up in unpack_from with struct.error — which
+    read_zip_samples does not catch, failing the Spark task instead of
+    yielding an error row."""
+    import struct as _s
+
+    z = bytearray(encode_zip([("a.txt", b"x")], compression="stored"))
+    evil = bytearray(bytes(z) + b"PK\x03\x04")
+    eocd, cd_off = _patch_eocd_checked(z)
+    _s.pack_into("<I", evil, cd_off + 42, len(z))  # lho -> the bare sig
+    with pytest.raises(ValueError, match="local header"):
+        decode_zip(bytes(evil))
+
+
+def test_zip_non_utf8_member_names_decode():
+    """ADVICE r16: legacy CP437/Latin-1 names (old Gutenberg/Kaggle
+    zips) are legal — the name consistency check must compare RAW
+    bytes, not a lossy UTF-8 round-trip that turns 0xE9 into U+FFFD and
+    falsely reports a central/local mismatch."""
+    z = bytearray(encode_zip([("caf_.txt", b"legacy")], compression="stored"))
+    raw = b"caf\xe9.txt"  # Latin-1 'é' — invalid UTF-8
+    assert bytes(z).count(b"caf_.txt") == 2  # local + central
+    patched = bytes(z).replace(b"caf_.txt", raw)
+    [(name, payload)] = decode_zip(patched)
+    assert payload == b"legacy"
+    assert name == raw.decode("utf-8", "replace")  # lossy display name is fine
+
+
+def test_zip_deflate_ulen_zero_bomb_does_not_inflate():
+    """ADVICE r16: zlib treats decompress(..., max_length=0) as
+    UNLIMITED, so a member declaring ulen=0 inflated fully into memory
+    (50 MB from ~50 KB; ~1000:1 scales to GBs) before the size check.
+    It must now be rejected without materializing the expansion."""
+    import struct as _s
+    import zlib as _z
+
+    co = _z.compressobj(9, _z.DEFLATED, -15)
+    comp = co.compress(b"\x00" * (50 << 20)) + co.flush()  # ~50 KB
+    name = b"bomb.bin"
+    lho = 0
+    local = b"PK\x03\x04" + _s.pack(
+        "<HHHHHIIIHH", 20, 0, 8, 0, 0x21, 0, len(comp), 0, len(name), 0
+    ) + name + comp
+    central = b"PK\x01\x02" + _s.pack(
+        "<HHHHHHIIIHHHHHII", 20, 20, 0, 8, 0, 0x21, 0, len(comp), 0,
+        len(name), 0, 0, 0, 0, 0, lho,
+    ) + name
+    eocd = b"PK\x05\x06" + _s.pack(
+        "<HHHHIIH", 0, 0, 1, 1, len(central), len(local), 0
+    )
+    data = local + central + eocd
+    import time
+
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="deflate member size mismatch"):
+        decode_zip(data)
+    assert time.monotonic() - t0 < 1.0  # rejected without inflating 50 MB
