@@ -5672,15 +5672,21 @@ def _q_pdf_ingest(spark, env):
     # r13: PDF text ingestion — the other big crawl-corpus container
     # (operators/pdf.py: classic-xref file structure, object model,
     # FlateDecode, page tree, Tj/TJ/'/" text operators). Each doc
-    # becomes a multi-page PDF (200 chars per page; odd doc_ids use
-    # FlateDecode content streams, even ids plain). The FULL
+    # becomes a multi-page PDF (200 chars per page; doc_id % 3 == 2
+    # uses the PDF-1.5 MODERN layout — /ObjStm + xref stream +
+    # Predictor 12, r17 — the rest the classic xref table with
+    # FlateDecode (odd ids) or plain content streams). The FULL
     # extraction path is value-hashed: xref walk, object parse, page
     # ordering, string unescape, and filter decode all sit on the
     # hashed path — any drift anywhere mismatches DuckDB's substr
     # reconstruction.
     import pandas as pd
 
-    from iceberg_python_spark.operators.pdf import encode_pdf, pdf_pages
+    from iceberg_python_spark.operators.pdf import (
+        encode_pdf,
+        encode_pdf_modern,
+        pdf_pages,
+    )
 
     docs = (
         env["documents"].scan(selected_fields=("doc_id", "text")).to_df()
@@ -5693,7 +5699,12 @@ def _q_pdf_ingest(spark, env):
             payloads = []
             for d, t in zip(pdf["doc_id"].astype(int), pdf["text"]):
                 pages = [t[i : i + 200] for i in range(0, len(t), 200)] or [""]
-                payloads.append(encode_pdf(pages, compress=d % 2 == 1))
+                if d % 3 == 2:
+                    # r17: PDF-1.5 modern layout — ObjStm-packed
+                    # catalog/page tree, xref STREAM, Predictor 12
+                    payloads.append(encode_pdf_modern(pages))
+                else:
+                    payloads.append(encode_pdf(pages, compress=d % 2 == 1))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     archives = docs.mapInPandas(gen, schema="doc_id long, payload binary")

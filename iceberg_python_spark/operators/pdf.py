@@ -261,6 +261,11 @@ class PdfDocument:
         self.data = data
         self._cache: Dict[int, Any] = {}
         self._offsets: Dict[int, int] = {}
+        #: objects packed in /ObjStm object streams: num -> (container, idx)
+        self._in_objstm: Dict[int, Tuple[int, int]] = {}
+        self._objstm_cache: Dict[int, Tuple[bytes, List[Tuple[int, int]]]] = {}
+        self._objstm_loading: set = set()
+        self._scanned = False
         self.trailer: Dict[str, Any] = {}
         self._load_xref()
         if "Encrypt" in self.trailer:
@@ -283,12 +288,17 @@ class PdfDocument:
             seen.add(off)
             lex = _Lexer(self.data, off)
             if lex.keyword() != "xref":
-                # PDF 1.5 cross-reference stream (or garbage): recover
-                # offsets by scanning object headers; /ObjStm-packed
-                # objects stay unreachable and gate loudly on access.
-                self._scan_objects()
-                self._trailer_from_scan()
-                return
+                # PDF 1.5 cross-reference STREAM: an indirect stream
+                # object whose dict carries the trailer keys and whose
+                # decoded rows are the table. Garbage falls back to a
+                # full-file object-header scan.
+                try:
+                    off = self._load_xref_stream(off)
+                except (ValueError, NotImplementedError):
+                    self._scan_objects()
+                    self._trailer_from_scan()
+                    return
+                continue
             while True:
                 save = lex.pos
                 tok = lex.keyword()
@@ -296,6 +306,16 @@ class PdfDocument:
                     tdict = lex.parse()
                     for k, v in tdict.items():
                         self.trailer.setdefault(k, v)
+                    # hybrid-reference file (§7.5.8.4): the classic
+                    # section is paired with an xref STREAM holding the
+                    # ObjStm-packed entries old readers can't see
+                    xs = tdict.get("XRefStm")
+                    if isinstance(xs, int) and 0 < xs < len(self.data) and xs not in seen:
+                        seen.add(xs)
+                        try:
+                            self._load_xref_stream(xs)
+                        except (ValueError, NotImplementedError):
+                            pass
                     off = int(tdict.get("Prev", 0) or 0)
                     break
                 first = int(tok)
@@ -309,7 +329,80 @@ class PdfDocument:
                     lex.pos += 20
                 del save
 
+    def _load_xref_stream(self, off: int) -> int:
+        """Parse a PDF-1.5 cross-reference stream at ``off`` (ISO 32000
+        §7.5.8): ``/W [w1 w2 w3]`` fixed-width big-endian fields per
+        row over the ``/Index`` subsections (default ``[0 /Size]``).
+        Row types: 0 = free, 1 = (offset, gen), 2 = (object-stream
+        number, index within it). Returns the ``/Prev`` offset (0 at
+        the chain end); raises ValueError on anything malformed so the
+        caller can fall back to the object-header scan."""
+        lex = _Lexer(self.data, off)
+        numtok = lex.keyword()
+        if not numtok.isdigit():
+            raise ValueError("xref stream: no object header at startxref")
+        lex.keyword()  # gen
+        if lex.keyword() != "obj":
+            raise ValueError("xref stream: object header malformed")
+        d = lex.parse()
+        if not isinstance(d, dict) or d.get("Type") != "XRef":
+            raise ValueError("xref stream: /Type /XRef missing")
+        if lex.keyword() != "stream":
+            raise ValueError("xref stream: stream keyword missing")
+        p = lex.pos
+        if self.data[p : p + 2] == b"\r\n":
+            p += 2
+        elif self.data[p : p + 1] in (b"\n", b"\r"):
+            p += 1
+        length = d.get("Length")
+        if not isinstance(length, int) or length < 0 or p + length > len(self.data):
+            # /Length as an indirect reference cannot resolve before
+            # the xref exists — treat as malformed and fall back
+            raise ValueError("xref stream: /Length missing or truncated")
+        content = self.stream_bytes(Stream(d, self.data[p : p + length]))
+        size = d.get("Size")
+        w = d.get("W")
+        if not isinstance(size, int) or not isinstance(w, list) or len(w) != 3:
+            raise ValueError("xref stream: /Size or /W malformed")
+        if not all(isinstance(x, int) and 0 <= x <= 8 for x in w) or sum(w) == 0:
+            raise ValueError("xref stream: /W widths out of range")
+        index = d.get("Index", [0, size])
+        if (
+            not isinstance(index, list)
+            or len(index) % 2
+            or not all(isinstance(x, int) and x >= 0 for x in index)
+        ):
+            raise ValueError("xref stream: /Index malformed")
+        rowlen = sum(w)
+        if sum(index[1::2]) * rowlen > len(content):
+            raise ValueError("xref stream: rows run past the decoded data")
+        pos = 0
+        for s in range(0, len(index), 2):
+            start, count = index[s], index[s + 1]
+            for i in range(count):
+                row = content[pos : pos + rowlen]
+                pos += rowlen
+                c = 0
+                f1 = int.from_bytes(row[: w[0]], "big") if w[0] else 1
+                c += w[0]
+                f2 = int.from_bytes(row[c : c + w[1]], "big")
+                c += w[1]
+                f3 = int.from_bytes(row[c : c + w[2]], "big")
+                num = start + i
+                if f1 == 1:
+                    self._offsets.setdefault(num, f2)
+                elif f1 == 2:
+                    self._in_objstm.setdefault(num, (f2, f3))
+                # type 0 (free) and unknown types: spec says treat
+                # unknown as null references — skip
+        for k in ("Root", "Info", "Size", "Encrypt", "ID"):
+            if k in d:
+                self.trailer.setdefault(k, d[k])
+        prev = d.get("Prev", 0)
+        return prev if isinstance(prev, int) else 0
+
     def _scan_objects(self) -> None:
+        self._scanned = True
         for m in re.finditer(rb"(?m)^[\x00\t\n\x0c\r ]*(\d+)[\x00\t\n\x0c\r ]+\d+[\x00\t\n\x0c\r ]+obj\b", self.data):
             self._offsets[int(m.group(1))] = m.start()
 
@@ -321,7 +414,11 @@ class PdfDocument:
             self.trailer = _Lexer(self.data, m.end()).parse()
             return
         # no classic trailer: find the object whose dict has /Type/Catalog
-        for num in self._offsets:
+        # — checking top-level objects first, then /ObjStm-packed ones
+        # (a 1.5 file whose xref stream is damaged keeps its catalog
+        # inside an object stream)
+        self._index_scanned_objstms()
+        for num in list(self._offsets) + list(self._in_objstm):
             try:
                 obj = self.obj(num)
             except Exception:
@@ -338,10 +435,19 @@ class PdfDocument:
             return self._cache[num]
         off = self._offsets.get(num)
         if off is None:
-            raise NotImplementedError(
-                f"PDF object {num} is not in the cross-reference table "
-                "(object streams /ObjStm need the full 1.5 reader)"
-            )
+            if num not in self._in_objstm and self._scanned:
+                # recovery path (broken xref): index any /ObjStm
+                # containers the header scan found so packed objects
+                # stay reachable
+                self._index_scanned_objstms()
+            loc = self._in_objstm.get(num)
+            if loc is None:
+                raise ValueError(
+                    f"PDF object {num} is not in the cross-reference data"
+                )
+            val = self._objstm_member(num, loc[0], loc[1])
+            self._cache[num] = val
+            return val
         lex = _Lexer(self.data, off)
         if lex.keyword() != str(num):
             raise ValueError(f"PDF xref offset for object {num} is wrong")
@@ -368,6 +474,89 @@ class PdfDocument:
         self._cache[num] = val
         return val
 
+    def _objstm_member(self, num: int, container: int, idx: int) -> Any:
+        """Unpack object ``num`` from /ObjStm ``container`` (ISO 32000
+        §7.5.7): the decoded stream opens with ``/N`` pairs of
+        ``objnum offset`` integers, then the objects themselves start
+        at ``/First``. Members are direct objects only (never streams),
+        so a plain parse at ``First + offset`` suffices."""
+        if container in self._objstm_loading:
+            raise ValueError(f"PDF object stream {container} references itself")
+        if container not in self._objstm_cache:
+            self._objstm_loading.add(container)
+            try:
+                stm = self.obj(container)
+            finally:
+                self._objstm_loading.discard(container)
+            if not isinstance(stm, Stream) or stm.d.get("Type") != "ObjStm":
+                raise ValueError(
+                    f"PDF xref points into object {container} which is not an /ObjStm"
+                )
+            content = self.stream_bytes(stm)
+            n = self.resolve(stm.d.get("N"))
+            first = self.resolve(stm.d.get("First"))
+            if (
+                not isinstance(n, int)
+                or not isinstance(first, int)
+                or n < 0
+                or not 0 <= first <= len(content)
+                or 2 * n > first  # each header pair needs >= "a b" = 2+ bytes
+            ):
+                raise ValueError("PDF /ObjStm /N or /First malformed")
+            hdr = _Lexer(content, 0)
+            pairs: List[Tuple[int, int]] = []
+            try:
+                for _ in range(n):
+                    onum = int(hdr.keyword())
+                    ooff = int(hdr.keyword())
+                    if ooff < 0 or first + ooff > len(content):
+                        raise ValueError
+                    pairs.append((onum, ooff))
+            except ValueError:
+                raise ValueError("PDF /ObjStm header pairs malformed") from None
+            self._objstm_cache[container] = (content, pairs)
+        content, pairs = self._objstm_cache[container]
+        first = self.resolve(self._objstm_dict(container).get("First"))
+        if not (0 <= idx < len(pairs)) or pairs[idx][0] != num:
+            # damaged index field: fall back to searching the pairs
+            matches = [i for i, (onum, _o) in enumerate(pairs) if onum == num]
+            if not matches:
+                raise ValueError(
+                    f"PDF object {num} is not a member of object stream {container}"
+                )
+            idx = matches[0]
+        return _Lexer(content, first + pairs[idx][1]).parse()
+
+    def _objstm_dict(self, container: int) -> Dict[str, Any]:
+        stm = self._cache.get(container)
+        if not isinstance(stm, Stream):
+            raise ValueError(f"PDF object stream {container} vanished from the cache")
+        return stm.d
+
+    def _index_scanned_objstms(self) -> None:
+        """After the damaged-file header scan, make /ObjStm members
+        reachable too: any scanned object whose header window mentions
+        /ObjStm is parsed, and its member table indexed."""
+        for cnum, off in list(self._offsets.items()):
+            if b"/ObjStm" not in self.data[off : off + 1024]:
+                continue
+            try:
+                stm = self.obj(cnum)
+                if not isinstance(stm, Stream) or stm.d.get("Type") != "ObjStm":
+                    continue
+                self._objstm_member(-1, cnum, 0)  # force the header parse
+            except ValueError:
+                if cnum in self._objstm_cache:
+                    pass  # header parsed; -1 just isn't a member
+                else:
+                    continue
+            except NotImplementedError:
+                continue
+            _content, pairs = self._objstm_cache.get(cnum, (b"", []))
+            for i, (onum, _o) in enumerate(pairs):
+                if onum not in self._offsets:
+                    self._in_objstm.setdefault(onum, (cnum, i))
+
     def resolve(self, v: Any) -> Any:
         # visited-set cycle guard: a crafted/corrupt indirect object
         # chain (e.g. `4 0 obj 4 0 R endobj`) must raise, not hang the
@@ -388,18 +577,77 @@ class PdfDocument:
             return s.raw
         filters = [filt] if isinstance(filt, Name) else list(filt)
         parms = self.resolve(s.d.get("DecodeParms"))
-        if parms and (not isinstance(parms, list) or any(parms)):
-            raise NotImplementedError("PDF stream predictors (DecodeParms) unsupported")
+        if parms is None or isinstance(parms, dict):
+            parms_list: List[Any] = [parms]
+        elif isinstance(parms, list):
+            parms_list = [self.resolve(p) for p in parms]
+        else:
+            raise ValueError("PDF /DecodeParms is neither dict nor array")
+        parms_list += [None] * (len(filters) - len(parms_list))
         out = s.raw
-        for f in filters:
+        for f, pm in zip(filters, parms_list):
             if str(f) == "FlateDecode":
                 try:
                     out = zlib.decompress(out)
                 except zlib.error as e:
                     raise ValueError(f"corrupt FlateDecode stream: {e}") from e
+                out = self._unpredict(out, pm)
             else:
                 raise NotImplementedError(f"PDF stream filter {f} unsupported")
         return out
+
+    def _unpredict(self, data: bytes, parms: Any) -> bytes:
+        """Reverse a /DecodeParms predictor (ISO 32000 §7.4.4.4):
+        1 = none, 2 = TIFF horizontal differencing, 10-15 = the PNG
+        row filters (each row is 1 tag byte + Columns samples; the tag
+        selects None/Sub/Up/Average/Paeth per row, so all five must
+        decode regardless of the nominal Predictor value). Virtually
+        every post-2005 xref stream uses Predictor 12 /Columns n."""
+        if parms is None:
+            return data
+        if not isinstance(parms, dict):
+            raise ValueError("PDF /DecodeParms entry is not a dictionary")
+        pred = self.resolve(parms.get("Predictor", 1)) or 1
+        if not isinstance(pred, int) or pred == 1:
+            if pred == 1:
+                return data
+            raise ValueError(f"PDF /Predictor is not an integer: {pred!r}")
+        colors = self.resolve(parms.get("Colors", 1)) or 1
+        bpc = self.resolve(parms.get("BitsPerComponent", 8)) or 8
+        columns = self.resolve(parms.get("Columns", 1)) or 1
+        if not all(isinstance(v, int) and v > 0 for v in (colors, bpc, columns)):
+            raise ValueError("PDF predictor parameters must be positive integers")
+        rowlen = (columns * colors * bpc + 7) // 8
+        bpp = max(1, (colors * bpc + 7) // 8)
+        if pred == 2:
+            if bpc != 8:
+                raise NotImplementedError(
+                    "PDF TIFF predictor with BitsPerComponent != 8"
+                )
+            if rowlen == 0 or len(data) % rowlen:
+                raise ValueError("PDF TIFF-predictor data is not whole rows")
+            import numpy as np
+
+            arr = np.frombuffer(data, np.uint8).reshape(-1, rowlen).astype(np.int32)
+            for lane in range(bpp):
+                arr[:, lane::bpp] = np.cumsum(arr[:, lane::bpp], axis=1) % 256
+            return arr.astype(np.uint8).tobytes()
+        if 10 <= pred <= 15:
+            import numpy as np
+
+            from .imaging import _unfilter
+
+            stride = rowlen + 1
+            if len(data) % stride:
+                raise ValueError("PDF PNG-predictor data is not whole rows")
+            h = len(data) // stride
+            try:
+                return _unfilter(
+                    np.frombuffer(data, np.uint8), h, rowlen, bpp
+                ).tobytes()
+            except ValueError as e:
+                raise ValueError(f"PDF PNG predictor: {e}") from e
+        raise ValueError(f"PDF /Predictor {pred} is not a spec value")
 
     # -- pages --------------------------------------------------------------
 
@@ -591,6 +839,107 @@ def encode_pdf(pages: Sequence[str], compress: bool = True) -> bytes:
         f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
         f"startxref\n{xref_off}\n%%EOF\n"
     ).encode()
+    return bytes(out)
+
+
+def encode_pdf_modern(pages: Sequence[str]) -> bytes:
+    """Pages of text -> a PDF 1.5 file exercising the modern file
+    structure virtually every post-2005 PDF uses: all non-stream
+    objects (catalog, page tree, page dicts, font) packed into ONE
+    compressed /ObjStm, located through a cross-reference STREAM whose
+    rows are FlateDecode + PNG Up-predictor (/Predictor 12) encoded —
+    the layout Acrobat/LibreOffice/Chrome emit. Deterministic: same
+    pages -> same bytes. Extracted text is identical to
+    :func:`encode_pdf`'s classic form, so the two writers value-hash
+    against one oracle."""
+    n = len(pages)
+    # numbering: 1 catalog, 2 pages, 3..2+n page dicts, 3+n..2+2n
+    # content streams, 3+2n font, 4+2n the ObjStm, 5+2n the xref stream
+    font_num = 3 + 2 * n
+    objstm_num = 4 + 2 * n
+    xref_num = 5 + 2 * n
+    size = xref_num + 1
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n))
+    packed: List[Tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()),
+    ]
+    streams: List[Tuple[int, bytes]] = []
+    for i, text in enumerate(pages):
+        packed.append(
+            (
+                3 + i,
+                (
+                    f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                    f"/Contents {3 + n + i} 0 R "
+                    f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
+                ).encode(),
+            )
+        )
+        body = bytearray(b"BT /F1 12 Tf 14 TL 72 720 Td")
+        for j, line in enumerate(text.split("\n")):
+            if j:
+                body += b" T*"
+            body += b" (" + _escape_pdf_text(line) + b") Tj"
+        body += b" ET"
+        raw = zlib.compress(bytes(body), 6)
+        streams.append(
+            (
+                3 + n + i,
+                f"<< /Length {len(raw)} /Filter /FlateDecode >>".encode()
+                + b"\nstream\n"
+                + raw
+                + b"\nendstream",
+            )
+        )
+    packed.append((font_num, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
+    # the /ObjStm: header pairs, then the members at /First + offset
+    member_bytes = bytearray()
+    pair_parts: List[str] = []
+    for onum, body in packed:
+        pair_parts.append(f"{onum} {len(member_bytes)}")
+        member_bytes += body + b"\n"
+    header = (" ".join(pair_parts) + "\n").encode()
+    objstm_payload = zlib.compress(header + bytes(member_bytes), 6)
+    objstm = (
+        f"<< /Type /ObjStm /N {len(packed)} /First {len(header)} "
+        f"/Length {len(objstm_payload)} /Filter /FlateDecode >>"
+    ).encode() + b"\nstream\n" + objstm_payload + b"\nendstream"
+
+    out = bytearray(b"%PDF-1.5\n%\xc2\xb5\xc2\xb6\n")
+    offsets: Dict[int, int] = {}
+    for onum, body in streams + [(objstm_num, objstm)]:
+        offsets[onum] = len(out)
+        out += f"{onum} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    offsets[xref_num] = xref_off
+    # xref rows: W = [1 4 2] (type, offset/container, gen/index)
+    rows: List[bytes] = []
+    for onum in range(size):
+        if onum == 0:
+            rows.append(b"\x00" + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2, "big"))
+        elif onum in offsets:
+            rows.append(b"\x01" + offsets[onum].to_bytes(4, "big") + b"\x00\x00")
+        else:
+            idx = [p[0] for p in packed].index(onum)
+            rows.append(b"\x02" + objstm_num.to_bytes(4, "big") + idx.to_bytes(2, "big"))
+    # forward PNG Up filter (Predictor 12): tag 2 + (row - prev) mod 256
+    rowlen = 7
+    filtered = bytearray()
+    prev = bytes(rowlen)
+    for row in rows:
+        filtered += b"\x02" + bytes((row[i] - prev[i]) % 256 for i in range(rowlen))
+        prev = row
+    xref_payload = zlib.compress(bytes(filtered), 6)
+    out += f"{xref_num} 0 obj\n".encode()
+    out += (
+        f"<< /Type /XRef /Size {size} /W [1 4 2] /Index [0 {size}] "
+        f"/Root 1 0 R /Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 /Columns {rowlen} >> "
+        f"/Length {len(xref_payload)} >>"
+    ).encode()
+    out += b"\nstream\n" + xref_payload + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_off}\n%%EOF\n".encode()
     return bytes(out)
 
 

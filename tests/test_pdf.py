@@ -263,3 +263,137 @@ def test_pdf_garbage_never_hangs_or_leaks(payload):
             decode_pdf_text(data)
         except (ValueError, NotImplementedError, KeyError, IndexError, RecursionError):
             pass
+
+
+# ---------------------------------------------------------------------------
+# PDF 1.5 modern file structure (r17): xref streams, /ObjStm, predictors
+# ---------------------------------------------------------------------------
+
+from iceberg_python_spark.operators.pdf import encode_pdf_modern
+
+
+def test_modern_pdf_roundtrip_through_real_15_paths():
+    """encode_pdf_modern emits the post-2005 layout (ObjStm + xref
+    STREAM + Predictor 12) and the reader must resolve it through the
+    real 1.5 machinery — NOT the object-header scan fallback."""
+    pages = ["Hello world\nline two", "Page two text", "", "Third page ünïcödé"]
+    modern = encode_pdf_modern(pages)
+    assert decode_pdf_text(modern) == pages
+    # deterministic bytes, and text-identical to the classic writer
+    assert encode_pdf_modern(pages) == modern
+    assert decode_pdf_text(encode_pdf(pages)) == pages
+    doc = PdfDocument(modern)
+    doc.pages()
+    assert doc._in_objstm, "catalog/page dicts must be ObjStm-packed"
+    assert not doc._scanned, "must use the xref stream, not the scan fallback"
+
+
+def test_modern_pdf_damaged_xref_recovers_packed_catalog():
+    """Corrupting the xref stream forces the object-header scan, which
+    must still reach the catalog INSIDE the /ObjStm."""
+    pages = ["recovered one", "recovered two"]
+    data = bytearray(encode_pdf_modern(pages))
+    ix = data.rfind(b"startxref")
+    off = int(data[ix + 10 : data.find(b"\n", ix + 10)])
+    data[off : off + 4] = b"ZZZZ"
+    doc = PdfDocument(bytes(data))
+    assert doc._scanned
+    assert decode_pdf_text(bytes(data)) == pages
+
+
+def test_hybrid_reference_file_xrefstm_key():
+    """§7.5.8.4 hybrid file: a CLASSIC xref section whose trailer
+    carries /XRefStm pointing at the stream that maps the
+    ObjStm-packed objects. startxref targets the classic section."""
+    pages = ["hybrid page"]
+    base = encode_pdf_modern(pages)
+    ix = base.rfind(b"startxref")
+    xs_off = int(base[ix + 10 : base.find(b"\n", ix + 10)])
+    body = base[:ix]  # keep objects + xref stream, drop old startxref
+    out = bytearray(body)
+    classic_off = len(out)
+    out += b"xref\n0 1\n0000000000 65535 f \n"
+    out += (
+        b"trailer\n<< /Size 99 /Root 1 0 R /XRefStm %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (xs_off, classic_off)
+    )
+    doc = PdfDocument(bytes(out))
+    doc.pages()
+    assert doc._in_objstm and not doc._scanned
+    assert decode_pdf_text(bytes(out)) == pages
+
+
+def test_unpredict_png_all_row_filters_and_tiff():
+    """_unpredict must reverse every PNG row filter regardless of the
+    nominal Predictor value (the tag byte per row governs), plus TIFF
+    horizontal differencing (Predictor 2)."""
+    import numpy as np
+
+    doc = PdfDocument(encode_pdf(["x"]))
+    rows = np.array(
+        [[3, 200, 7, 255], [0, 9, 250, 1], [128, 64, 32, 16]], dtype=np.uint8
+    )
+    bpp, ncols = 1, 4
+    # forward-filter row i with filter (i % 5) cycling Sub/Up/Average/Paeth/None
+    filt = bytearray()
+    prev = np.zeros(ncols, np.int32)
+    for i, row in enumerate(rows.astype(np.int32)):
+        tag = [1, 2, 3, 4, 0][i % 5]
+        filt.append(tag)
+        left = np.concatenate([[0] * bpp, row[:-bpp]])
+        pleft = np.concatenate([[0] * bpp, prev[:-bpp]])
+        if tag == 0:
+            enc = row
+        elif tag == 1:
+            enc = row - left
+        elif tag == 2:
+            enc = row - prev
+        elif tag == 3:
+            enc = row - (left + prev) // 2
+        else:
+            p = left + prev - pleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - pleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, pleft))
+            enc = row - pred
+        filt += (enc % 256).astype(np.uint8).tobytes()
+        prev = row
+    got = doc._unpredict(bytes(filt), {"Predictor": 12, "Columns": ncols})
+    assert got == rows.tobytes()
+    # TIFF predictor 2, Colors 2: per-lane cumulative sums
+    raw = np.array([[10, 5, 250, 7, 3, 9]], dtype=np.uint8)
+    diff = raw.astype(np.int32).copy()
+    diff[:, 2::2] = raw[:, 2::2].astype(np.int32) - raw[:, 0:-2:2]
+    diff[:, 3::2] = raw[:, 3::2].astype(np.int32) - raw[:, 1:-2:2]
+    got2 = doc._unpredict(
+        (diff % 256).astype(np.uint8).tobytes(),
+        {"Predictor": 2, "Colors": 2, "Columns": 3},
+    )
+    assert got2 == raw.tobytes()
+    with pytest.raises(ValueError, match="Predictor 7"):
+        doc._unpredict(b"\x00" * 4, {"Predictor": 7, "Columns": 4})
+
+
+def test_modern_pdf_malformed_structures_raise_not_hang():
+    """Crafted 1.5 structures: self-referencing ObjStm, xref pointing
+    into a non-ObjStm, bad /W widths, short xref payload — all raise
+    ValueError (or recover via scan) rather than hanging or escaping."""
+    pages = ["victim"]
+    base = encode_pdf_modern(pages)
+    # (a) truncate the xref stream payload -> scan fallback still reads
+    short = base.replace(b"/W [1 4 2]", b"/W [1 8 8]")
+    assert decode_pdf_text(short) == pages  # falls back to scan, recovers
+    # (b) ObjStm that claims itself as container for a member
+    doc = PdfDocument(base)
+    objstm_num = next(iter(doc._in_objstm.values()))[0]
+    doc2 = PdfDocument(base)
+    doc2._in_objstm[objstm_num] = (objstm_num, 0)
+    doc2._offsets.pop(objstm_num, None)
+    with pytest.raises(ValueError, match="references itself"):
+        doc2.obj(objstm_num)
+    # (c) xref type-2 entry pointing into a non-ObjStm object
+    doc3 = PdfDocument(base)
+    any_top = next(iter(doc3._offsets))
+    packed_num = next(iter(doc3._in_objstm))
+    doc3._in_objstm[packed_num] = (any_top, 0)
+    with pytest.raises(ValueError):
+        doc3.obj(packed_num)
