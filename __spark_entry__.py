@@ -5212,21 +5212,31 @@ def _q_image_phash_dedup(spark, env):
     )
 
 
-def _q_tar_shard_ingest(spark, env):
-    # r16: WebDataset tar-shard ingestion under the driver's oracle —
-    # the container multimodal training corpora ship in. The documents
-    # table packs into 25 deterministic ustar shards (one applyInPandas
-    # group per shard; members = <key>.txt + <key>.json per doc,
-    # adjacency-ordered), then read_tar_samples explodes each shard
-    # back into samples INSIDE mapInPandas (WebDataset adjacency
-    # grouping — zero shuffle on the read side). Claims per doc, all
-    # value-hashed: both members present, the text member round-trips
-    # byte-exactly, and the JSON sidecar's fields equal the source row.
-    # At 100 TB the shard frame comes from binaryFile reads (one task
-    # per shard); this row exercises the identical code path.
+def _q_archive_ingest(spark, env):
+    # r16/r17: archive ingestion under the driver's oracle — the
+    # containers training corpora actually ship in. The documents
+    # table packs into 25 deterministic shards: EVEN shard ids as
+    # WebDataset ustar shards (operators/tar.py — adjacency-ordered
+    # <key>.txt + <key>.json members), ODD shard ids as PKZIP archives
+    # (operators/zip.py — central-directory indexed, deflate members,
+    # per-member CRC-32; r17 fold per VERDICT r16 #3). Each side reads
+    # back through its own sample reader INSIDE mapInPandas (tar =
+    # adjacency grouping, zip = whole-archive central-directory
+    # grouping; zero read-side shuffle either way) and the union hits
+    # one downstream check. Claims per doc, all value-hashed: both
+    # members present, the text member round-trips byte-exactly
+    # through pack->archive bytes->parse, the JSON sidecar's fields
+    # equal the source row, and fmt records which container carried
+    # the doc. At 100 TB the shard frame comes from binaryFile reads
+    # (one task per archive); this row exercises the identical code
+    # path for both formats.
     from iceberg_python_spark.operators.tar import (
         read_tar_samples,
         tar_shards_from_samples,
+    )
+    from iceberg_python_spark.operators.zip import (
+        read_zip_samples,
+        zip_shards_from_samples,
     )
 
     docs = (
@@ -5241,13 +5251,24 @@ def _q_tar_shard_ingest(spark, env):
         F.col("text").alias("txt"),
         F.to_json(F.struct("doc_id", "lang", "source")).alias("json"),
     )
-    shards = tar_shards_from_samples(
-        src, "shard_id", "key", [("txt", "txt"), ("json", "json")]
+    members = [("txt", "txt"), ("json", "json")]
+    tar_shards = tar_shards_from_samples(
+        src.where("shard_id % 2 = 0"), "shard_id", "key", members
     )
-    samples = read_tar_samples(shards.select("shard_id", "shard"), "shard_id", "shard")
+    zip_shards = zip_shards_from_samples(
+        src.where("shard_id % 2 = 1"), "shard_id", "key", members
+    )
+    samples = read_tar_samples(
+        tar_shards.select("shard_id", "shard"), "shard_id", "shard"
+    ).withColumn("fmt", F.lit("tar")).unionByName(
+        read_zip_samples(
+            zip_shards.select("shard_id", "shard"), "shard_id", "shard"
+        ).withColumn("fmt", F.lit("zip"))
+    )
     parsed = samples.select(
         F.col("sample_key").cast("long").alias("doc_id"),
         "n_members",
+        "fmt",
         F.col("members")["txt"].cast("string").alias("txt_back"),
         F.from_json(
             F.col("members")["json"].cast("string"),
@@ -5257,6 +5278,7 @@ def _q_tar_shard_ingest(spark, env):
     return parsed.join(docs, "doc_id").select(
         "doc_id",
         "n_members",
+        "fmt",
         (F.col("txt_back") == F.col("text")).alias("text_ok"),
         (
             (F.col("j.doc_id") == F.col("doc_id"))
@@ -5775,8 +5797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r14-checked cohort — age-3 at r17, it MUST lead (this includes
     # pdf_ingest, a planned r17 code-changed row); (35-38) this
     # round's planned code-changed re-greens — scan_limit (two-job
-    # collapse, VERDICT r16 #4), tar_shard_ingest (ADVICE r16 pax fix
-    # + zip fold, VERDICT r16 #3), multimodal_decode_combined +
+    # collapse, VERDICT r16 #4), archive_ingest (tar_shard_ingest
+    # reshaped to cycle tar+zip per VERDICT r16 #3; ADVICE r16 fixes), multimodal_decode_combined +
     # probe_media_corpus (MJPEG-in-AVI decode + probe routing, VERDICT
     # r16 #5); (39-50) the first 12 of the 48-row r15-checked cohort
     # (age-2) — the remaining 36 are ordered immediately behind the
@@ -5822,7 +5844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q15_top_supplier": _q_q15_top_supplier,
             # --- 35-38: r17 planned code-changed re-greens (age-1) ---
             "scan_limit": _q_scan_limit,
-            "tar_shard_ingest": _q_tar_shard_ingest,
+            "archive_ingest": _q_archive_ingest,
             "multimodal_decode_combined": _q_multimodal_decode_combined,
             "probe_media_corpus": _q_probe_media_corpus,
             # --- 39-50: first 12 of the r15-checked cohort (age-2) ---
@@ -6701,10 +6723,13 @@ def oracle_sql() -> dict[str, str]:
             "true AS phash_consistent "
             "FROM documents WHERE doc_id < 300"
         ),
-        "tar_shard_ingest": (
+        "archive_ingest": (
             # full per-doc value oracle: the engine's claims are all
-            # data-derived booleans + the fixed member count
-            "SELECT doc_id, 2 AS n_members, true AS text_ok, true AS meta_ok "
+            # data-derived booleans + the fixed member count; fmt is
+            # determined by the shard-parity routing
+            "SELECT doc_id, 2 AS n_members, "
+            "CASE WHEN (doc_id % 25) % 2 = 0 THEN 'tar' ELSE 'zip' END AS fmt, "
+            "true AS text_ok, true AS meta_ok "
             "FROM documents WHERE doc_id < 500"
         ),
         "multimodal_tiff_decode": (

@@ -206,3 +206,40 @@ def read_zip_samples(
         "n_members int, error string"
     )
     return shards.mapInPandas(gen, schema=schema)
+
+
+def zip_shards_from_samples(
+    df: DataFrame,
+    shard_col: str,
+    key_col: str,
+    member_cols: Sequence[Tuple[str, str]],
+    compression: str = "deflate",
+) -> DataFrame:
+    """Synthesis half at DataFrame scale — the PKZIP twin of
+    :func:`.tar.tar_shards_from_samples`: pack each ``shard_col``
+    group into ONE deterministic zip archive
+    (members sorted by sample key, ``member_cols`` = [(column,
+    extension)] per sample). One shuffle on the shard id; returns
+    ``(shard id, shard binary, n_samples)`` — the same output contract
+    as the tar packer, so either feeds :func:`read_zip_samples` /
+    ``read_tar_samples`` interchangeably downstream."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(key_col)
+        members: List[Tuple[str, bytes]] = []
+        for _, row in pdf.iterrows():
+            for col, ext in member_cols:
+                v = row[col]
+                payload = v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+                members.append((f"{row[key_col]}.{ext}", bytes(payload)))
+        return pd.DataFrame(
+            {
+                shard_col: [pdf[shard_col].iloc[0]],
+                "shard": [encode_zip(members, compression=compression)],
+                "n_samples": [len(pdf)],
+            }
+        )
+
+    return df.groupBy(shard_col).applyInPandas(
+        pack, schema=f"{shard_col} long, shard binary, n_samples int"
+    )
