@@ -2725,16 +2725,19 @@ def _q_multimodal_jpeg_decode(spark, env):
 
 
 def _q_multimodal_video_frames(spark, env):
-    # r10, extended r16: REAL video frame sampling under the driver's
-    # oracle — Y4M decode plus UNCOMPRESSED AVI (r16: BI_RGB DIB
-    # bottom-up frames, pure RIFF plumbing; previously a loud gate).
+    # r10, extended r16/r17: REAL video frame sampling under the
+    # driver's oracle — Y4M decode plus AVI (r16: BI_RGB DIB bottom-up
+    # frames + raw I420; r17: MJPG Motion-JPEG through the in-repo
+    # T.81 decoder, seeds % 8 == 3, with seed 11 shipping DHT-less
+    # 'AVI1' frames that exercise the Annex-K default-table splice).
     # Each doc key synthesizes a 6-frame 6-fps clip (noise seeded by
     # doc_id % 23; dups share a seed); the CONTAINER is a function of
     # the seed (even → Y4M, odd → AVI) so same-seed clips stay
     # byte-comparable. Sampled every 500 ms -> exactly frames {0, 3}
     # per clip. Claims: all decode, cadence exact, same-seed clips
-    # share BOTH frame pHashes, distinct seeds do not. Value columns
-    # from SQL.
+    # share BOTH frame pHashes, distinct seeds do not (MJPEG decodes
+    # are deterministic, so lossy frames hash stably too). Value
+    # columns from SQL.
     import numpy as np
     import pandas as pd
 
@@ -2750,7 +2753,13 @@ def _q_multimodal_video_frames(spark, env):
                 seed = int(d) % 23
                 rng = np.random.default_rng(seed)
                 frames = [rng.integers(0, 256, (16, 20, 3), dtype=np.uint8) for _ in range(6)]
-                if seed % 2:
+                if seed % 8 == 3:
+                    payloads.append(
+                        encode_avi(
+                            frames, fps=6, codec="mjpg", mjpg_omit_dht=seed == 11
+                        )
+                    )
+                elif seed % 2:
                     payloads.append(encode_avi(frames, fps=6, bpp=32 if seed % 4 == 1 else 24))
                 else:
                     payloads.append(encode_y4m(frames, fps=6))

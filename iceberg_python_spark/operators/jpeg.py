@@ -244,6 +244,52 @@ def _marker(tag: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, tag, len(payload) + 2) + payload
 
 
+def default_dht_segments() -> bytes:
+    """The four T.81 Annex K.3 example Huffman tables as DHT marker
+    segments. MJPEG-in-AVI frames routinely omit DHT (the OpenDML
+    'AVI1' convention); omitted tables are defined to be exactly
+    these."""
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, vals = spec
+        return _marker(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals))
+
+    return (
+        dht(0, 0, _DC_LUM)
+        + dht(1, 0, _AC_LUM)
+        + dht(0, 1, _DC_CHR)
+        + dht(1, 1, _AC_CHR)
+    )
+
+
+def ensure_dht(data: bytes) -> bytes:
+    """Return ``data`` with the Annex-K default Huffman tables spliced
+    in front of the first SOS if the stream defines NO DHT before it —
+    the normalization that makes DHT-less MJPEG frames plain baseline
+    JPEGs. Streams that already carry tables pass through untouched."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (no SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        tag = data[pos + 1]
+        if tag in (0xD8, 0x01) or 0xD0 <= tag <= 0xD7:
+            pos += 2
+            continue
+        if tag == 0xC4:  # has its own tables
+            return data
+        if tag == 0xDA:  # SOS reached with no DHT seen
+            return data[:pos] + default_dht_segments() + data[pos:]
+        if tag == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if seglen < 2:
+            raise ValueError("corrupt JPEG: marker segment length < 2")
+        pos += 2 + seglen
+    return data
+
+
 def _emit_ac_first(bw: _BitWriter, ac_tbl, blk, ss: int, se: int, al: int) -> None:
     """Progressive AC first scan for one block (T.81 G.1.2.2): values
     are abs>>Al with sign, zero runs + per-block EOB0 (no cross-block

@@ -454,8 +454,8 @@ def _probe_media_dispatch(data: bytes) -> Dict[str, Any]:
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         # avih: microseconds per frame + total frames + canvas dims;
         # strf (BITMAPINFOHEADER) compression routes decodable exactly
-        # like video.decode_avi (r16: BI_RGB 24/32 bpp and raw I420
-        # decode natively; other fourccs stay gated)
+        # like video.decode_avi (r16: BI_RGB 24/32 bpp and raw I420;
+        # r17: MJPG through the T.81 decoder; other fourccs stay gated)
         p = data.find(b"avih")
         dur_ms = w = h = None
         if p >= 0:
@@ -467,7 +467,11 @@ def _probe_media_dispatch(data: bytes) -> Dict[str, Any]:
         if ps >= 0 and ps + 28 <= len(data):
             (bpp,) = struct.unpack_from("<H", data, ps + 8 + 14)
             (comp,) = struct.unpack_from("<I", data, ps + 8 + 16)
-            decodable = (comp == 0 and bpp in (24, 32)) or comp == 0x30323449
+            decodable = (
+                (comp == 0 and bpp in (24, 32))
+                or comp == 0x30323449
+                or comp in (0x47504A4D, 0x67706A6D)  # MJPG/mjpg (r17)
+            )
         return {
             "container": "avi", "kind": "video", "width": w, "height": h,
             "duration_ms": dur_ms, "decodable": decodable,

@@ -126,12 +126,14 @@ def _avi_chunks(data: bytes, pos: int, end: int):
 
 
 def decode_avi(data: bytes) -> Tuple[List[np.ndarray], float]:
-    """Decode an UNCOMPRESSED AVI (OpenDML/AVI 1.0 RIFF layout) →
-    ((H, W, 3) uint8 RGB frames, fps). Supported stream formats: BI_RGB
-    DIB frames at 24/32 bpp (bottom-up BGR rows, the Windows bitmap
-    convention; top-down via negative biHeight) and raw I420 planes.
-    Compressed fourccs raise NotImplementedError NAMING the codec —
-    real video codecs are the same table-data ceiling class as MP4."""
+    """Decode an AVI (OpenDML/AVI 1.0 RIFF layout) → ((H, W, 3) uint8
+    RGB frames, fps). Supported stream formats: BI_RGB DIB frames at
+    24/32 bpp (bottom-up BGR rows, the Windows bitmap convention;
+    top-down via negative biHeight), raw I420 planes, and MJPG
+    Motion-JPEG (r17: per-frame baseline T.81 JPEGs through the in-repo
+    decoder; DHT-less 'AVI1' frames get the Annex-K defaults). Other
+    fourccs raise NotImplementedError NAMING the codec — real video
+    codecs are the same table-data ceiling class as MP4."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI stream")
     rate = scale = None
@@ -195,11 +197,26 @@ def decode_avi(data: bytes) -> Tuple[List[np.ndarray], float]:
             v = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)[:h, :w]
             frames.append(_yuv_to_rgb(y, u, v))
         return frames, fps
-    if compression != 0:  # BI_RGB only; anything else is a codec
+    if compression in (0x47504A4D, 0x67706A6D):  # 'MJPG' / 'mjpg'
+        # r17: Motion-JPEG — every movi chunk is a standalone baseline
+        # T.81 JPEG (the in-repo decoder); DHT-less frames (the OpenDML
+        # 'AVI1' convention) imply the Annex-K default tables, which
+        # ensure_dht splices in before decode.
+        from .jpeg import decode_jpeg, ensure_dht
+
+        for raw in movi:
+            px = decode_jpeg(ensure_dht(bytes(raw)))
+            if px.ndim == 2:
+                px = np.stack([px] * 3, axis=-1)
+            if px.shape[0] != h or px.shape[1] != w:
+                raise ValueError("corrupt AVI: MJPEG frame dims disagree with strf")
+            frames.append(px)
+        return frames, fps
+    if compression != 0:  # BI_RGB/I420/MJPG only; anything else is a codec
         name = fourcc_handler.decode("ascii", "replace").strip() or hex(compression)
         raise NotImplementedError(
             f"compressed AVI ({name}) needs an external codec (ffmpeg/decord) — "
-            "uncompressed BI_RGB and I420 decode here"
+            "uncompressed BI_RGB, I420 and MJPG decode here"
         )
     if bpp not in (24, 32):
         raise NotImplementedError(f"AVI BI_RGB at {bpp} bpp needs PIL/ffmpeg")
@@ -216,15 +233,22 @@ def decode_avi(data: bytes) -> Tuple[List[np.ndarray], float]:
     return frames, fps
 
 
-def encode_avi(frames: List[np.ndarray], fps: int = 25, bpp: int = 24) -> bytes:
-    """Minimal uncompressed AVI writer (BI_RGB bottom-up DIB frames,
-    24/32 bpp, single video stream, idx1 index) for deterministic
-    test/oracle synthesis. Lossless: decode_avi(encode_avi(x)) == x."""
-    if bpp not in (24, 32):
-        raise ValueError("encode_avi writes 24 or 32 bpp BI_RGB")
+def encode_avi(
+    frames: List[np.ndarray],
+    fps: int = 25,
+    bpp: int = 24,
+    codec: str = "raw",
+    mjpg_quality: int = 90,
+    mjpg_omit_dht: bool = False,
+) -> bytes:
+    """Minimal AVI writer for deterministic test/oracle synthesis.
+    ``codec="raw"``: BI_RGB bottom-up DIB frames at 24/32 bpp —
+    lossless, decode_avi(encode_avi(x)) == x. ``codec="mjpg"``: each
+    frame a standalone baseline JPEG ('00dc' chunks, strf compression
+    'MJPG'); ``mjpg_omit_dht=True`` strips the Huffman tables from
+    every frame (the real-world 'AVI1' layout), exercising the
+    decoder's Annex-K default-table splice."""
     h, w = frames[0].shape[:2]
-    nch = bpp // 8
-    stride = (w * nch + 3) & ~3
     import struct as _s
 
     def chunk(four: bytes, payload: bytes) -> bytes:
@@ -234,27 +258,48 @@ def encode_avi(frames: List[np.ndarray], fps: int = 25, bpp: int = 24) -> bytes:
         return chunk(b"LIST", ltype + payload)
 
     frame_bytes = []
-    for fr in frames:
-        px = np.asarray(fr, dtype=np.uint8)
-        bgr = px[:, :, 2::-1]
-        if nch == 4:
-            bgr = np.concatenate([bgr, np.zeros((h, w, 1), np.uint8)], axis=2)
-        rows = np.zeros((h, stride), np.uint8)
-        rows[:, : w * nch] = bgr.reshape(h, w * nch)
-        frame_bytes.append(rows[::-1].tobytes())  # bottom-up
+    if codec == "mjpg":
+        from .jpeg import default_dht_segments, encode_jpeg
+
+        for fr in frames:
+            jb = encode_jpeg(np.asarray(fr, dtype=np.uint8), quality=mjpg_quality)
+            if mjpg_omit_dht:
+                jb = jb.replace(default_dht_segments(), b"")
+            frame_bytes.append(jb)
+        nch, stride = 3, w * 3
+        compression, handler, tag = 0x47504A4D, b"MJPG", b"00dc"
+        buf_size = max(len(fb) for fb in frame_bytes)
+        bpp = 24
+    elif codec == "raw":
+        if bpp not in (24, 32):
+            raise ValueError("encode_avi writes 24 or 32 bpp BI_RGB")
+        nch = bpp // 8
+        stride = (w * nch + 3) & ~3
+        for fr in frames:
+            px = np.asarray(fr, dtype=np.uint8)
+            bgr = px[:, :, 2::-1]
+            if nch == 4:
+                bgr = np.concatenate([bgr, np.zeros((h, w, 1), np.uint8)], axis=2)
+            rows = np.zeros((h, stride), np.uint8)
+            rows[:, : w * nch] = bgr.reshape(h, w * nch)
+            frame_bytes.append(rows[::-1].tobytes())  # bottom-up
+        compression, handler, tag = 0, b"DIB ", b"00db"
+        buf_size = stride * h
+    else:
+        raise ValueError("encode_avi codec must be raw or mjpg")
     avih = _s.pack(
-        "<14I", int(1_000_000 / fps), stride * h * fps, 0, 0x10, len(frames),
-        0, 1, stride * h, w, h, 0, 0, 0, 0,
+        "<14I", int(1_000_000 / fps), buf_size * fps, 0, 0x10, len(frames),
+        0, 1, buf_size, w, h, 0, 0, 0, 0,
     )
-    strh = b"vids" + b"DIB " + _s.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), stride * h, 0, 0, 0)
-    strf = _s.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, stride * h, 0, 0, 0, 0)
+    strh = b"vids" + handler + _s.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), buf_size, 0, 0, 0)
+    strf = _s.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, compression, stride * h, 0, 0, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi_payload = b"".join(chunk(b"00db", fb) for fb in frame_bytes)
+    movi_payload = b"".join(chunk(tag, fb) for fb in frame_bytes)
     movi = lst(b"movi", movi_payload)
     idx = bytearray()
     off = 4
     for fb in frame_bytes:
-        idx += b"00db" + _s.pack("<III", 0x10, off, len(fb))
+        idx += tag + _s.pack("<III", 0x10, off, len(fb))
         off += 8 + len(fb) + (len(fb) & 1)
     body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
     return b"RIFF" + _s.pack("<I", len(body)) + body

@@ -130,11 +130,56 @@ def test_avi_probe_contract_and_codec_gate():
     assert (p["width"], p["height"]) == (16, 12)
     assert p["duration_ms"] == 500 and p["decodable"] is True
     # compressed fourcc: probe not-decodable, decoder gates NAMING it
+    # (r17: MJPG now decodes, so the gate class is exercised via H264)
     mj = bytearray(avi)
     ps = bytes(mj).find(b"strf") + 8
-    struct.pack_into("<I", mj, ps + 16, struct.unpack("<I", b"MJPG")[0])
+    struct.pack_into("<I", mj, ps + 16, struct.unpack("<I", b"H264")[0])
     ph = bytes(mj).find(b"strh") + 8 + 4
-    mj[ph : ph + 4] = b"MJPG"
+    mj[ph : ph + 4] = b"H264"
     assert probe_media(bytes(mj))["decodable"] is False
-    with pytest.raises(NotImplementedError, match="MJPG"):
+    with pytest.raises(NotImplementedError, match="H264"):
         decode_avi(bytes(mj))
+
+
+def test_avi_mjpeg_decodes_with_and_without_dht():
+    """r17: MJPG frames are standalone baseline JPEGs through the
+    in-repo T.81 decoder; DHT-less 'AVI1' frames imply the Annex-K
+    default tables (probe decodable mirrors the routing both ways)."""
+    from iceberg_python_spark.operators.jpeg import decode_jpeg, encode_jpeg, ensure_dht
+    from iceberg_python_spark.operators.probe import probe_media
+    from iceberg_python_spark.operators.video import decode_avi, encode_avi
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (16, 20, 3), dtype=np.uint8) for _ in range(5)]
+    for omit in (False, True):
+        data = encode_avi(frames, fps=5, codec="mjpg", mjpg_omit_dht=omit)
+        assert encode_avi(frames, fps=5, codec="mjpg", mjpg_omit_dht=omit) == data
+        dec, fps = decode_avi(data)
+        assert fps == 5.0 and len(dec) == 5
+        assert all(f.shape == (16, 20, 3) for f in dec)
+        # lossy fidelity bound — same claim class as the JPEG row
+        mae = np.mean(
+            [np.abs(d.astype(int) - f.astype(int)).mean() for d, f in zip(dec, frames)]
+        )
+        assert mae < 12.0, mae
+        assert probe_media(data)["decodable"] is True
+    # MJPEG frame bytes == plain-JPEG decode of the same frame, i.e.
+    # the container adds no pixel transform
+    with_dht = encode_avi(frames, fps=5, codec="mjpg")
+    dec_avi, _ = decode_avi(with_dht)
+    assert (dec_avi[0] == decode_jpeg(encode_jpeg(frames[0], quality=90))).all()
+    # ensure_dht: pass-through when tables exist, splice yields the
+    # byte-identical decode when they don't
+    jb = encode_jpeg(frames[0], quality=90)
+    assert ensure_dht(jb) == jb
+    from iceberg_python_spark.operators.jpeg import default_dht_segments
+
+    stripped = jb.replace(default_dht_segments(), b"")
+    assert b"\xff\xc4" not in stripped.split(b"\xff\xda")[0]
+    assert (decode_jpeg(ensure_dht(stripped)) == decode_jpeg(jb)).all()
+    # corrupt MJPEG frame -> ValueError, not a hang or crash
+    broken = bytearray(with_dht)
+    soi = broken.find(b"\xff\xd8", 12)
+    broken[soi] = 0x00
+    with pytest.raises(ValueError):
+        decode_avi(bytes(broken))
