@@ -651,7 +651,11 @@ class _HuffDecoder:
             if ln > 16:
                 raise ValueError("corrupt JPEG: huffman code overruns 16 bits")
             code = (code << 1) | br.read_bit()
-        return self.vals[self.valptr[ln] + code - self.mincode[ln]]
+        idx = self.valptr[ln] + code - self.mincode[ln]
+        if not 0 <= idx < len(self.vals):
+            # a corrupt DHT can define codes with no symbol behind them
+            raise ValueError("corrupt JPEG: huffman code has no symbol")
+        return self.vals[idx]
 
 
 class _BitReader:

@@ -771,9 +771,19 @@ def _extract_content_text(content: bytes) -> str:
 
 
 def decode_pdf_text(data: bytes) -> List[str]:
-    """Extracted text, one string per page (in page-tree order)."""
-    doc = PdfDocument(data)
-    return [_extract_content_text(doc.page_content(p)) for p in doc.pages()]
+    """Extracted text, one string per page (in page-tree order).
+
+    Boundary contract (r17, same as decode_image/decode_audio):
+    malformed structure raises ValueError, recognized-but-ungated
+    features NotImplementedError — internal classes
+    (KeyError/IndexError/RecursionError/struct.error) never escape."""
+    try:
+        doc = PdfDocument(data)
+        return [_extract_content_text(doc.page_content(p)) for p in doc.pages()]
+    except (ValueError, NotImplementedError):
+        raise
+    except (KeyError, IndexError, RecursionError, OverflowError, struct.error, TypeError) as e:
+        raise ValueError(f"corrupt PDF: {type(e).__name__}: {e}") from e
 
 
 # ---------------------------------------------------------------------------

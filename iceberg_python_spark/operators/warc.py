@@ -83,8 +83,11 @@ def _gunzip_members(data: bytes) -> bytes:
     rest = data
     while rest[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(31)
-        out += d.decompress(rest)
-        out += d.flush()
+        try:
+            out += d.decompress(rest)
+            out += d.flush()
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member in WARC: {e}") from e
         if not d.eof:
             raise ValueError("truncated gzip member in WARC")
         rest = d.unused_data
@@ -123,7 +126,10 @@ def decode_warc(data: bytes) -> List[Dict[str, Any]]:
         for ln in lines[1:]:
             k, _, v = ln.decode("utf-8", "replace").partition(":")
             headers[k.strip().lower()] = v.strip()
-        length = int(headers["content-length"])
+        cl = headers.get("content-length", "")
+        if not cl.isdigit():  # absent or corrupt — never KeyError/int() escape
+            raise ValueError("WARC record missing a numeric Content-Length")
+        length = int(cl)
         block = data[hdr_end + 4 : hdr_end + 4 + length]
         if len(block) != length:
             raise ValueError("truncated WARC block")

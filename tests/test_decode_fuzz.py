@@ -135,3 +135,80 @@ def test_structured_corruption_of_round16_containers():
                     pass
                 # anything else (KeyError/TypeError/MemoryError/hang)
                 # is a contract escape and fails the test loudly
+
+
+def test_structured_corruption_of_ingestion_parsers():
+    """r17 (VERDICT r16 #6): the archive/document dispatchers walk
+    attacker bytes at 100 TB just like the media decoders — give
+    warc_records' and pdf_pages' underlying parsers (and the r17
+    MJPEG-AVI path) the same 80-corruption treatment. Contract:
+    ValueError / NotImplementedError only — internal exception
+    classes (KeyError/IndexError/RecursionError/struct.error) must
+    be converted at the decode boundary, and no trial may hang or
+    balloon memory."""
+    import numpy as np
+
+    from iceberg_python_spark.operators.pdf import (
+        decode_pdf_text,
+        encode_pdf,
+        encode_pdf_modern,
+    )
+    from iceberg_python_spark.operators.probe import probe_media
+    from iceberg_python_spark.operators.video import decode_y4m, encode_avi
+    from iceberg_python_spark.operators.warc import decode_warc, encode_warc
+
+    rng = np.random.default_rng(1234)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    recs = [
+        {
+            "warc_type": "response",
+            "record_id": f"<urn:uuid:{i:08d}>",
+            "target_uri": f"http://example.com/{i}",
+            "warc_date": "2024-01-01T00:00:00Z",
+            "http_status": 200,
+            "body": (f"<html><body>doc {i} " + "x" * 200 + "</body></html>").encode(),
+        }
+        for i in range(3)
+    ]
+    pages = ["page one text\nsecond line", "page two"]
+    seeds = {
+        "warc-plain": (encode_warc(recs), [decode_warc]),
+        "warc-gz": (encode_warc(recs, gzip_per_record=True), [decode_warc]),
+        "pdf-classic": (encode_pdf(pages), [decode_pdf_text]),
+        "pdf-classic-raw": (encode_pdf(pages, compress=False), [decode_pdf_text]),
+        "pdf-modern": (encode_pdf_modern(pages), [decode_pdf_text]),
+        "avi-mjpg": (
+            encode_avi([img, img], fps=5, codec="mjpg"),
+            [decode_y4m, probe_media],
+        ),
+        "avi-mjpg-nodht": (
+            encode_avi([img, img], fps=5, codec="mjpg", mjpg_omit_dht=True),
+            [decode_y4m, probe_media],
+        ),
+    }
+    for name, (good, fns) in seeds.items():
+        g = np.frombuffer(good, dtype=np.uint8).copy()
+        for trial in range(80):
+            r = np.random.default_rng(trial * 13 + 3)
+            b = g.copy()
+            mode = trial % 4
+            if mode == 0:
+                b = b[: r.integers(1, len(b))]
+            elif mode == 1:
+                idx = r.integers(0, len(b), size=max(1, len(b) // 50))
+                b[idx] ^= r.integers(1, 256, size=len(idx)).astype(np.uint8)
+            elif mode == 2:
+                s = r.integers(0, len(b))
+                e = min(len(b), s + int(r.integers(1, 64)))
+                b[s:e] = 0
+            else:
+                keep = int(r.integers(8, min(64, len(b))))
+                b = np.concatenate(
+                    [b[:keep], r.integers(0, 256, size=int(r.integers(16, 128))).astype(np.uint8)]
+                )
+            payload = b.tobytes()
+            for fn in fns:
+                try:
+                    fn(payload)
+                except (ValueError, NotImplementedError):
+                    pass
