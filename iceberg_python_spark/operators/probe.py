@@ -577,10 +577,29 @@ def _probe_media_dispatch(data: bytes) -> Dict[str, Any]:
         (off,) = struct.unpack_from(fmt + "I", data, 4)
         tags, _ = _read_ifd(data, fmt, off)
         comp = tags.get(259, [1])[0]
+        # mirror decode_tiff's routing exactly: baseline codecs (r16:
+        # + deflate + new-JPEG), r17: CCITT fax — decodable unless an
+        # option the decoder gates on is set (lsb-first FillOrder,
+        # tiled fax, T.4 uncompressed mode, non-bilevel samples)
+        bits_t = tags.get(258, [1])
+        fill_order = tags.get(266, [1])[0]
+        tiled_t = 322 in tags or 324 in tags
+        if comp in (2, 3, 4):
+            t4 = tags.get(292, [0])[0] if comp == 3 else 0
+            ok = (
+                bits_t == [1]
+                and fill_order in (1, 2)  # r17: lsb-first decodes too
+                and not tiled_t
+                and not (isinstance(t4, int) and t4 & 2)
+            )
+        elif comp == 7:
+            ok = True
+        else:
+            ok = comp in (1, 5, 8, 32773, 32946)
         return {
             "container": "tiff", "kind": "image",
             "width": tags.get(256, [None])[0], "height": tags.get(257, [None])[0],
-            "n_pages": tiff_page_count(data), "decodable": comp in (1, 5, 32773),
+            "n_pages": tiff_page_count(data), "decodable": ok,
         }
     if data[:2] in (b"P6", b"P5"):
         toks = data.split(None, 3)

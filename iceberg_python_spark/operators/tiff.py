@@ -77,10 +77,12 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+def _tiff_lzw_decode(data: bytes, expected: int, early: int = 1) -> bytes:
     """TIFF LZW (spec §13): MSB-first variable-width codes, table
     reset at CLEAR (256), EOI (257), and the EARLY code-width bump
-    (width grows at table size 2^w - 1, one entry sooner than GIF)."""
+    (width grows at table size 2^w - 1, one entry sooner than GIF).
+    ``early`` is PDF's /EarlyChange knob: 1 (TIFF/PDF default) bumps
+    one entry sooner, 0 at the exact table-full point."""
     out = bytearray()
     base = [bytes([i]) for i in range(256)] + [b"", b""]
     table = list(base)
@@ -119,7 +121,7 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
         # writer has already assigned the entry for the code we just
         # read, so its counter is len(table)+1; it bumped when that
         # counter + 1 reached 2^width
-        if len(table) + 2 >= (1 << width) and width < 12:
+        if len(table) + 1 + early >= (1 << width) and width < 12:
             width += 1
     return bytes(out[:expected])
 
@@ -256,10 +258,14 @@ def decode_tiff(data: bytes) -> np.ndarray:
         # tag 347 JPEGTables carries the shared DQT/DHT prologue. Pure
         # container plumbing onto the existing jpeg.py decoder.
         return _decode_jpeg_tiff(data, fmt, tags, w, h, spp, photo)
+    if comp in (2, 3, 4):
+        # r17: CCITT G3/G4 fax decode from spec (operators/ccitt.py —
+        # decision record there: TIFF 6.0 §10 prints the MH tables)
+        return _decode_ccitt_tiff(data, fmt, tags, w, h, spp, comp, photo)
     if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF compression {comp} (CCITT/old-JPEG) needs PIL — "
-            "none/LZW/PackBits/Deflate/new-JPEG decode here"
+            f"TIFF compression {comp} (old-JPEG) needs PIL — "
+            "none/LZW/PackBits/Deflate/new-JPEG/CCITT decode here"
         )
     bps = bits[0]
     if bps not in (1, 8, 16) or any(b != bps for b in bits):
@@ -338,6 +344,57 @@ def _finish_pixels(px: np.ndarray, photo: int, tags) -> np.ndarray:
     if px.shape[2] == 1:
         return px[:, :, 0].copy()
     return px
+
+
+#: 256-entry per-byte bit-reversal for FillOrder 2 fax strips
+_BITREV = bytes(int(f"{b:08b}"[::-1], 2) for b in range(256))
+
+
+def _decode_ccitt_tiff(
+    data: bytes, fmt: str, tags, w: int, h: int, spp: int, comp: int, photo: int,
+) -> np.ndarray:
+    """CCITT strips (compressions 2=MH, 3=T.4, 4=T.6) -> pixels. Each
+    strip is an independent fax stream covering its rows (2D reference
+    lines never cross strips, TIFF 6.0 §11)."""
+    from . import ccitt as _ccitt
+
+    bits = tags.get(258, [1])
+    if bits != [1] or spp != 1:
+        raise NotImplementedError("CCITT TIFF must be 1-bit single-sample")
+    if photo not in (0, 1):
+        raise ValueError("CCITT TIFF with a non-bilevel PhotometricInterpretation")
+    fill_order = _tag_int(tags, 266, 1)
+    if fill_order not in (1, 2):
+        raise ValueError("corrupt TIFF: FillOrder must be 1 or 2")
+    if 322 in tags or 324 in tags:
+        raise NotImplementedError("tiled CCITT TIFF needs PIL")
+    t4 = _tag_int(tags, 292, 0) if comp == 3 else 0
+    if comp == 3 and t4 & 2:
+        raise NotImplementedError("T.4 uncompressed mode (T4Options bit 1)")
+    offsets = _tag_ints(tags, 273)
+    counts = _tag_ints(tags, 279)
+    rows_per_strip = _tag_int(tags, 278, h)
+    ink = np.zeros((h, w), dtype=np.uint8)
+    for si, (so, sc) in enumerate(zip(offsets, counts)):
+        row0 = si * rows_per_strip
+        nrows = min(rows_per_strip, h - row0)
+        if nrows <= 0:
+            break
+        seg = bytes(data[so : so + sc])
+        if fill_order == 2:
+            # lsb-first bit packing (common in real fax TIFFs): reverse
+            # the bits of every byte, then decode msb-first as usual
+            seg = bytes(_BITREV[b] for b in seg)
+        if comp == 4:
+            ink[row0 : row0 + nrows] = _ccitt.decode_g4(seg, w, nrows)
+        elif comp == 3:
+            ink[row0 : row0 + nrows] = _ccitt.decode_g3(seg, w, nrows, two_d=bool(t4 & 1))
+        else:
+            ink[row0 : row0 + nrows] = _ccitt.decode_mh(seg, w, nrows)
+    # stored sample value: WhiteIsZero stores ink directly; BlackIsZero
+    # stores the complement. _finish_pixels applies the photo-0 inversion.
+    stored = ink if photo == 0 else 1 - ink
+    return _finish_pixels((stored * 255).astype(np.uint8)[:, :, None], photo, tags)
 
 
 def _decode_jpeg_tiff(
@@ -523,6 +580,7 @@ def encode_tiff(
     tile_size: Tuple[int, int] = (16, 16),
     jpeg_quality: int = 95,
     jpeg_tables: bool = False,
+    fill_order: int = 1,
 ) -> bytes:
     """Encode (H, W[, C]) uint8 as a baseline TIFF
     (``compression``: none | packbits | lzw | deflate | jpeg; ``predictor`` emits
@@ -539,7 +597,15 @@ def encode_tiff(
         px = px[:, :, None]
     h, w, spp = px.shape
     fmt = ">" if big_endian else "<"
-    comp_code = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8, "jpeg": 7}[compression]
+    comp_code = {
+        "none": 1, "packbits": 32773, "lzw": 5, "deflate": 8, "jpeg": 7,
+        "ccitt-mh": 2, "ccitt-g3": 3, "ccitt-g3-2d": 3, "ccitt-g4": 4,
+    }[compression]
+    ccitt_kind = compression if compression.startswith("ccitt") else None
+    if ccitt_kind and (predictor or planar or tiled or spp != 1):
+        raise ValueError("CCITT: single-sample bilevel strips only")
+    if fill_order == 2 and not ccitt_kind:
+        raise ValueError("FillOrder 2 is only written for CCITT strips")
     if compression == "jpeg" and (predictor or planar or spp not in (1, 3)):
         raise ValueError("JPEG-in-TIFF: chunky layout, no predictor, 1 or 3 samples")
     src = px
@@ -549,6 +615,8 @@ def encode_tiff(
     rows_per_strip = max(1, 8192 // max(1, w * spp))
     if compression == "jpeg":
         rows_per_strip = max(8, rows_per_strip - rows_per_strip % 8)
+    if ccitt_kind:
+        rows_per_strip = h  # one strip: 2D rows reference the previous row
 
     def _compress(block: np.ndarray) -> bytes:
         if compression == "jpeg":
@@ -567,8 +635,22 @@ def encode_tiff(
         return body
 
     strips: List[bytes] = []
+    if ccitt_kind:
+        from . import ccitt as _ccitt
+
+        ink = (src[:, :, 0] != 0).astype(np.uint8)  # nonzero = black ink
+        payload = {
+            "ccitt-mh": _ccitt.encode_mh,
+            "ccitt-g3": _ccitt.encode_g3,
+            "ccitt-g4": _ccitt.encode_g4,
+        }.get(ccitt_kind, lambda a: _ccitt.encode_g3(a, two_d=True))(ink)
+        if fill_order == 2:
+            payload = bytes(_BITREV[b] for b in payload)
+        strips = [payload]
     planes = src.transpose(2, 0, 1)[..., None] if planar and spp > 1 else [src]
-    if tiled:
+    if ccitt_kind:
+        pass
+    elif tiled:
         tw, tl = tile_size
         if tw % 16 or tl % 16 or tw <= 0 or tl <= 0:
             raise ValueError("tile dimensions must be positive multiples of 16")
@@ -601,11 +683,24 @@ def encode_tiff(
 
     entry(256, 4, [w])
     entry(257, 4, [h])
-    entry(258, 3, [8] * spp)
+    entry(258, 3, [1] if ccitt_kind else [8] * spp)
     entry(259, 3, [comp_code])
-    # JPEG segments carry YCbCr (photo 6) when color; else RGB/gray
-    photo_code = 6 if (compression == "jpeg" and spp == 3) else (2 if spp >= 3 else 1)
+    # JPEG segments carry YCbCr (photo 6) when color; CCITT fax is
+    # WhiteIsZero (photo 0) by convention; else RGB/gray
+    photo_code = (
+        0 if ccitt_kind
+        else 6 if (compression == "jpeg" and spp == 3)
+        else (2 if spp >= 3 else 1)
+    )
     entry(262, 3, [photo_code])
+    if ccitt_kind and fill_order == 2:
+        entry(266, 3, [2])
+    if ccitt_kind == "ccitt-g3":
+        entry(292, 4, [0])
+    elif ccitt_kind == "ccitt-g3-2d":
+        entry(292, 4, [1])
+    elif ccitt_kind == "ccitt-g4":
+        entry(293, 4, [0])
     entry(277, 3, [spp])
     if tables_blob:
         entry(347, 7, tables_blob)

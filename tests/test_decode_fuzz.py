@@ -100,6 +100,14 @@ def test_structured_corruption_of_round16_containers():
         "tiff-tiled": (encode_tiff(img, tiled=True, compression="lzw"), [decode_image, probe_media]),
         "tiff-jpeg": (encode_tiff(img, compression="jpeg", tiled=True, jpeg_tables=True), [decode_image, probe_media]),
         "tiff-deflate": (encode_tiff(img, compression="deflate"), [decode_image, probe_media]),
+        "tiff-ccitt-g4": (
+            encode_tiff((img[:, :, 0] < 128).astype(np.uint8), compression="ccitt-g4"),
+            [decode_image, probe_media],
+        ),
+        "tiff-ccitt-g3-2d": (
+            encode_tiff((img[:, :, 0] < 128).astype(np.uint8), compression="ccitt-g3-2d"),
+            [decode_image, probe_media],
+        ),
         "vp8x-still": (encode_webp_extended(img, exif=b"e"), [decode_image, probe_media]),
         "vp8x-anim": (encode_webp_anim(frames, delays_ms=[10, 20]), [decode_image, probe_media]),
         "avi": (encode_avi(frames, fps=5), [decode_y4m, probe_media]),
