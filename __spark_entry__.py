@@ -3342,15 +3342,23 @@ def _q_changelog_schema_evolution(spark, env):
 
 def _q_scan_limit(spark, env):
     # WHICH 100 rows a limit returns is plan-dependent; the invariant is
-    # exact: 100 rows back, every one a real lineitem key. The semi-join
-    # keeps duplicates on the limited side, so the count is the limit
-    # count, validated row-by-row against the table.
+    # exact: 100 rows back, every one a real lineitem key, validated
+    # row-by-row against the table. r17 restructure (VERDICT r16 #4):
+    # the old left-semi made the FULL table the broadcast build side —
+    # fine at sf0.1, impossible at 100 TB (and the driver-side collect
+    # of every key was the row's fixed overhead). Now the ≤100 limited
+    # keys (with their duplicate counts) broadcast into ONE streamed
+    # full scan; n_valid_rows = Σ n_dup over keys present. The big side
+    # is never shuffled, never broadcast, at any scale.
     out = env["lineitem"].scan(selected_fields=("l_orderkey",), limit=100).to_df()
     full = env["lineitem"].scan(selected_fields=("l_orderkey",)).to_df()
-    # semi join ignores right-side duplicates — no distinct needed
-    return out.join(full, "l_orderkey", "semi").agg(
-        F.count("*").cast("long").alias("n_valid_rows")
+    keys = out.groupBy("l_orderkey").agg(F.count("*").alias("n_dup"))
+    present = (
+        full.join(F.broadcast(keys), "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.first("n_dup").alias("n_dup"))
     )
+    return present.agg(F.sum("n_dup").cast("long").alias("n_valid_rows"))
 
 
 def _q_multimodal_webp_decode(spark, env):
@@ -3424,6 +3432,8 @@ def _q_multimodal_webp_decode(spark, env):
     j = (
         stats.join(webps.select(F.col("doc_id").alias("id"), "exact"), "id")
         .withColumn("key", F.col("id") % 53)
+        # render class: RGB layouts vs the bilevel fax rendering (r17)
+        .withColumn("rkey", F.col("key") * 2 + (F.col("id") % 10 >= 8).cast("long"))
         .withColumn("exp_h", (F.lit(16) + F.col("key") % 5).cast("int"))
         .withColumn("exp_w", (F.lit(20) + F.col("key") % 3).cast("int"))
     )
@@ -3436,22 +3446,28 @@ def _q_multimodal_webp_decode(spark, env):
         ).alias("dims_ok"),
         F.min("exact").alias("exact_ok"),
         (
-            F.countDistinct("key") == F.countDistinct(F.struct(F.col("key"), F.col("phash")))
+            F.countDistinct("rkey") == F.countDistinct(F.struct(F.col("rkey"), F.col("phash")))
         ).alias("phash_consistent"),
     )
 
 
 def _q_multimodal_tiff_decode(spark, env):
-    # r12, extended r16: REAL baseline-TIFF decode under the driver's
-    # oracle. Deterministic RGB images seeded by doc_id % 53 encode
-    # through EIGHT engine layouts — uncompressed, LZW (early-change),
-    # PackBits, and big-endian LZW strips, plus (r16) the §15 TILED
-    # layout (tiled LZW with per-tile predictor restart; tiled planar
-    # PackBits big-endian) and DEFLATE (zlib strips; tiled
-    # deflate+predictor) — all decoded inside extract_image_stats.
-    # TIFF is lossless: exact_ok is pixel EQUALITY and all variants of
-    # one content key share exactly one perceptual hash (every layout
-    # decodes to bit-identical pixels).
+    # r12, extended r16/r17: REAL baseline-TIFF decode under the
+    # driver's oracle. Deterministic RGB images seeded by doc_id % 53
+    # encode through TEN engine layouts — uncompressed, LZW
+    # (early-change), PackBits, and big-endian LZW strips, (r16) the
+    # §15 TILED layout (tiled LZW with per-tile predictor restart;
+    # tiled planar PackBits big-endian) and DEFLATE (zlib strips;
+    # tiled deflate+predictor), and (r17) CCITT FAX: variants 8-9
+    # carry the SAME content thresholded to bilevel through all four
+    # fax layouts (MH comp 2 / T.4 1D and 2D comp 3 / T.6 comp 4,
+    # cycled by key parity, lsb-first FillOrder 2 for k % 5 == 0;
+    # decision record in operators/ccitt.py) —
+    # all decoded inside extract_image_stats. TIFF is lossless:
+    # exact_ok is pixel EQUALITY and all variants of one (content,
+    # render-class) key share exactly one perceptual hash (RGB
+    # layouts decode bit-identically; both fax variants of a key
+    # decode to the same bilevel rendering).
     import numpy as np
     import pandas as pd
 
@@ -3467,10 +3483,28 @@ def _q_multimodal_tiff_decode(spark, env):
         for pdf in batches:
             payloads, exacts = [], []
             for d in pdf["doc_id"].astype(int):
-                k, variant = int(d) % 53, int(d) % 8
+                k, variant = int(d) % 53, int(d) % 10
                 rng = np.random.default_rng(k)
                 h, w = 16 + (k % 5), 20 + (k % 3)
                 img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                if variant >= 8:
+                    ink = (img[:, :, 0] < 128).astype(np.uint8)
+                    kind = (
+                        ("ccitt-g4" if k % 2 else "ccitt-mh")
+                        if variant == 8
+                        else ("ccitt-g3-2d" if k % 2 else "ccitt-g3")
+                    )
+                    enc = encode_tiff(
+                        ink,
+                        compression=kind,
+                        big_endian=bool(k % 3 == 0),
+                        fill_order=2 if k % 5 == 0 else 1,
+                    )
+                    exacts.append(
+                        bool(np.array_equal(decode_tiff(enc), (1 - ink) * 255))
+                    )
+                    payloads.append(enc)
+                    continue
                 if variant == 6:
                     enc = encode_tiff(img, compression="deflate")
                 elif variant == 7:
@@ -3506,6 +3540,8 @@ def _q_multimodal_tiff_decode(spark, env):
     j = (
         stats.join(tiffs.select(F.col("doc_id").alias("id"), "exact"), "id")
         .withColumn("key", F.col("id") % 53)
+        # render class: RGB layouts vs the bilevel fax rendering (r17)
+        .withColumn("rkey", F.col("key") * 2 + (F.col("id") % 10 >= 8).cast("long"))
         .withColumn("exp_h", (F.lit(16) + F.col("key") % 5).cast("int"))
         .withColumn("exp_w", (F.lit(20) + F.col("key") % 3).cast("int"))
     )
@@ -3518,7 +3554,7 @@ def _q_multimodal_tiff_decode(spark, env):
         ).alias("dims_ok"),
         F.min("exact").alias("exact_ok"),
         (
-            F.countDistinct("key") == F.countDistinct(F.struct(F.col("key"), F.col("phash")))
+            F.countDistinct("rkey") == F.countDistinct(F.struct(F.col("rkey"), F.col("phash")))
         ).alias("phash_consistent"),
     )
 
@@ -5748,6 +5784,84 @@ def _q_pdf_ingest(spark, env):
     )
 
 
+def _q_pdf_scanned_ingest(spark, env):
+    # r17: the SCANNED-document path under the driver's oracle — the
+    # PDF shape OCR/crawl corpora actually contain: each page is one
+    # full-page image XObject plus a text layer. Per doc (< 250), two
+    # pages of deterministic imagery (content key doc_id % 31; bilevel
+    # ink for the fax filter, gray otherwise) encode through FIVE
+    # image encodings cycled by doc_id % 5 — CCITTFaxDecode K=-1
+    # (operators/ccitt.py T.6), DCTDecode (in-repo T.81), FlateDecode,
+    # LZWDecode, and an ASCIIHex+RunLength filter CHAIN — then
+    # pdf_images (dims + pHash per image) joins pdf_pages (text layer)
+    # and every claim is value-hashed: page text exact, image dims
+    # equal the content-key formula, one image per page, and both
+    # pages of a doc decode (pHash present). The whole 1.4/1.5 reader
+    # stack sits on the hashed path.
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_python_spark.operators.pdf import (
+        encode_pdf_scanned,
+        pdf_images,
+        pdf_pages,
+    )
+
+    docs = (
+        env["documents"].scan(selected_fields=("doc_id",)).to_df()
+        .where("doc_id < 250")
+        .repartition(32)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"].astype(int):
+                k = int(d) % 31
+                rng = np.random.default_rng(k)
+                h, w = 24 + (k % 4), 30 + (k % 5)
+                gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+                filt = ["ccitt-g4", "dct", "flate", "lzw", "rle-hex"][int(d) % 5]
+                imgs = (
+                    [(gray < 128).astype(np.uint8)] * 2
+                    if filt == "ccitt-g4"
+                    else [gray, 255 - gray]
+                )
+                payloads.append(
+                    encode_pdf_scanned(
+                        imgs,
+                        image_filter=filt,
+                        texts=[f"scan {int(d)} page {p}" for p in (1, 2)],
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    pdfs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    pdfs = pdfs.localCheckpoint(eager=True)
+    imgs = pdf_images(pdfs, "doc_id", "payload").where("parse_ok")
+    texts = pdf_pages(pdfs, "doc_id", "payload").where("parse_ok")
+    j = imgs.join(
+        texts.select(
+            F.col("src_id").alias("t_id"),
+            F.col("page_no").alias("t_page"),
+            "text",
+        ),
+        (F.col("src_id") == F.col("t_id")) & (F.col("page_no") == F.col("t_page")),
+    )
+    k = F.col("src_id") % 31
+    return j.select(
+        F.col("src_id").alias("doc_id"),
+        F.col("page_no").cast("int").alias("page_no"),
+        F.col("text").alias("page_text"),
+        (F.col("img_idx") == F.col("page_no") - 1).alias("one_image_per_page"),
+        (
+            (F.col("width") == (F.lit(30) + k % 5))
+            & (F.col("height") == (F.lit(24) + k % 4))
+        ).alias("dims_ok"),
+        F.col("phash").isNotNull().alias("decoded_ok"),
+    )
+
+
 def _q_embedding_kmeans_invariants(spark, env):
     # r12: FULL-corpus distributed k-means invariants. Lloyd's with
     # broadcast centroids + per-partition partial sums reduced via
@@ -5868,9 +5982,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_clusters_combined": _q_dedup_clusters_combined,
             "quality_classifier_combined": _q_quality_classifier_combined,
             "pipeline_invariants_combined": _q_pipeline_invariants_combined,
-            "agg_multidim_combined": _q_agg_multidim_combined,
+            # r17 documented swap: pdf_scanned_ingest (NEW row — first
+            # driver check the round it lands, per the repo rule) takes
+            # position 50; agg_multidim_combined (age-2, green r15)
+            # moves to the head of the behind-window block and leads
+            # r18 with the rest of its cohort.
+            "pdf_scanned_ingest": _q_pdf_scanned_ingest,
             # ---------------- behind the window ----------------
             # the remaining r15-checked rows (age-2) — MUST lead r18
+            "agg_multidim_combined": _q_agg_multidim_combined,
             "mixture_combined": _q_mixture_combined,
             "scan_distributed_combined": _q_scan_distributed_combined,
             "embedding_quantize": _q_embedding_quantize,
@@ -6689,6 +6809,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS n_exact, "
             "true AS est_exact, true AS merge_eq, true AS estmode_ok, "
             "true AS set_algebra_exact FROM documents GROUP BY source"
+        ),
+        "pdf_scanned_ingest": (
+            # every output column is deterministic from doc_id; the
+            # engine side must reproduce text + dims + per-page image
+            # bookkeeping exactly
+            "SELECT doc_id, CAST(p AS INTEGER) AS page_no, "
+            "'scan ' || CAST(doc_id AS VARCHAR) || ' page ' || CAST(p AS VARCHAR) "
+            "AS page_text, "
+            "true AS one_image_per_page, true AS dims_ok, true AS decoded_ok "
+            "FROM (SELECT doc_id, unnest([1, 2]) AS p FROM documents "
+            "WHERE doc_id < 250)"
         ),
         "pdf_ingest": (
             "SELECT doc_id, CAST(p AS INTEGER) AS page_no, "

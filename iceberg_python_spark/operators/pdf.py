@@ -6,16 +6,23 @@ public spec only:
 
 - file structure: classic cross-reference tables (incremental-update
   ``/Prev`` chains followed), ``trailer`` dictionaries, ``startxref``;
-  PDF 1.5 cross-reference *streams* fall back to a full-file object
-  scan (offsets recovered from ``N G obj`` headers) — object streams
-  (``/ObjStm``) and encrypted files are loud ``NotImplementedError``
-  gates, never silently-empty text;
+  r17: PDF 1.5 cross-reference STREAMS parsed for real (ISO 32000
+  §7.5.8 /W rows over /Index, type-2 entries, hybrid /XRefStm) and
+  ``/ObjStm`` object streams unpacked (§7.5.7) — the damaged-file
+  fallback is a full-file object-header scan that indexes scanned
+  ObjStm containers too; encrypted files stay a loud
+  ``NotImplementedError`` gate, never silently-empty text;
 - the object model: dictionaries, arrays, names (with ``#xx`` hex
   escapes), literal strings (nested parens, ``\\ooo`` octal and the
   full escape table, line continuations), hex strings, references,
   streams (``/Length`` may itself be a reference);
-- filters: ``FlateDecode`` (zlib); predictors and other filters are
-  gated;
+- filters (r17): ``FlateDecode``, ``LZWDecode`` (the TIFF §13
+  variant, /EarlyChange honored), ``RunLengthDecode``,
+  ``ASCIIHexDecode``, ``ASCII85Decode``, each with /DecodeParms
+  predictors (PNG row filters 10-15 + TIFF differencing); the image
+  filters ``DCTDecode``/``CCITTFaxDecode`` decode in the
+  image-extraction layer (:func:`decode_pdf_images`) through the
+  in-repo T.81 and T.4/T.6 codecs; JBIG2/JPX gate by name;
 - the page tree: ``/Root -> /Pages`` with arbitrarily nested
   ``/Kids``, per-page ``/Contents`` as one stream or an array
   (concatenated in order, as the spec requires);
@@ -46,7 +53,16 @@ from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple, Union
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["encode_pdf", "decode_pdf_text", "pdf_pages", "pdf_to_documents"]
+__all__ = [
+    "encode_pdf",
+    "encode_pdf_modern",
+    "encode_pdf_scanned",
+    "decode_pdf_text",
+    "decode_pdf_images",
+    "pdf_pages",
+    "pdf_images",
+    "pdf_to_documents",
+]
 
 
 # ---------------------------------------------------------------------------
@@ -586,14 +602,40 @@ class PdfDocument:
         parms_list += [None] * (len(filters) - len(parms_list))
         out = s.raw
         for f, pm in zip(filters, parms_list):
-            if str(f) == "FlateDecode":
+            name = str(f)
+            if name == "FlateDecode":
                 try:
                     out = zlib.decompress(out)
                 except zlib.error as e:
                     raise ValueError(f"corrupt FlateDecode stream: {e}") from e
                 out = self._unpredict(out, pm)
+            elif name == "LZWDecode":
+                # r17: PDF LZW is the TIFF §13 variant; /EarlyChange
+                # (default 1) selects the code-width bump point
+                from .tiff import _tiff_lzw_decode
+
+                early = 1
+                if isinstance(pm, dict):
+                    ec = self.resolve(pm.get("EarlyChange", 1))
+                    if ec in (0, 1):
+                        early = ec
+                out = _tiff_lzw_decode(out, 1 << 26, early=early)
+                out = self._unpredict(out, pm)
+            elif name == "RunLengthDecode":
+                out = _runlength_decode(out)
+            elif name == "ASCIIHexDecode":
+                out = _asciihex_decode(out)
+            elif name == "ASCII85Decode":
+                out = _ascii85_decode(out)
+            elif name in ("DCTDecode", "CCITTFaxDecode", "JBIG2Decode", "JPXDecode"):
+                # image-compression filters: the bytes ARE the encoded
+                # image; decode happens in the image-extraction layer
+                # (decode_pdf_images), not in generic stream access
+                raise NotImplementedError(
+                    f"PDF stream filter {name} decodes as an image, not bytes"
+                )
             else:
-                raise NotImplementedError(f"PDF stream filter {f} unsupported")
+                raise NotImplementedError(f"PDF stream filter {name} unsupported")
         return out
 
     def _unpredict(self, data: bytes, parms: Any) -> bytes:
@@ -698,6 +740,109 @@ class PdfDocument:
         # whitespace so tokens never fuse across the boundary
         return b"\n".join(chunks)
 
+    # -- images (r17) ------------------------------------------------------
+
+    def page_images(self, page: Dict[str, Any]) -> List[Tuple[str, "np.ndarray"]]:
+        """Decode every image XObject a page references, name-sorted:
+        [(name, (H, W) or (H, W, 3) uint8 pixels)]. Supported sample
+        encodings — the scanned-document reality: DCTDecode (the
+        in-repo T.81 JPEG decoder), CCITTFaxDecode (operators/ccitt.py;
+        /K <0 = T.6, 0 = 1D MH, >0 = mixed T.4; /EncodedByteAlign,
+        /Columns, /Rows honored; /BlackIs1 is a stored-sample
+        convention our semantic decoder already normalizes away), and
+        byte-filter chains (Flate/LZW/RLE/AHx/A85 + predictors) over
+        1/8-bit DeviceGray or 8-bit DeviceRGB samples. Exotic
+        colorspaces and JBIG2/JPX gate loudly by name."""
+        import numpy as np
+
+        res = self.resolve(page.get("Resources")) or {}
+        xobjs = self.resolve(res.get("XObject")) if isinstance(res, dict) else None
+        if not isinstance(xobjs, dict):
+            return []
+        out: List[Tuple[str, np.ndarray]] = []
+        for name in sorted(xobjs):
+            s = self.resolve(xobjs[name])
+            if not isinstance(s, Stream) or self.resolve(s.d.get("Subtype")) != "Image":
+                continue
+            out.append((name, self._decode_image_xobject(s)))
+        return out
+
+    def _decode_image_xobject(self, s: Stream) -> "np.ndarray":
+        import numpy as np
+
+        d = s.d
+        w = self.resolve(d.get("Width"))
+        h = self.resolve(d.get("Height"))
+        if not isinstance(w, int) or not isinstance(h, int) or w <= 0 or h <= 0 or w * h > 1 << 28:
+            raise ValueError("PDF image with implausible dimensions")
+        filt = self.resolve(d.get("Filter"))
+        filters = [] if filt is None else ([filt] if isinstance(filt, Name) else list(filt))
+        fnames = [str(f) for f in filters]
+        parms = self.resolve(d.get("DecodeParms"))
+        if isinstance(parms, list):
+            parms = self.resolve(parms[-1]) if parms else None
+        if fnames and fnames[-1] == "DCTDecode":
+            if len(fnames) > 1:
+                raise NotImplementedError("PDF DCTDecode behind another filter")
+            from .jpeg import decode_jpeg
+
+            px = decode_jpeg(s.raw)
+            if px.shape[:2] != (h, w):
+                raise ValueError("PDF DCT image dims disagree with the dict")
+            return px
+        if fnames and fnames[-1] == "CCITTFaxDecode":
+            if len(fnames) > 1:
+                raise NotImplementedError("PDF CCITTFaxDecode behind another filter")
+            from . import ccitt
+
+            pm = parms if isinstance(parms, dict) else {}
+            k = self.resolve(pm.get("K", 0)) or 0
+            cols = self.resolve(pm.get("Columns", 1728)) or 1728
+            rows = self.resolve(pm.get("Rows", h)) or h
+            aligned = bool(self.resolve(pm.get("EncodedByteAlign", False)))
+            if cols != w or rows != h:
+                raise ValueError("PDF CCITT /Columns//Rows disagree with the image dims")
+            if k < 0:
+                if aligned:
+                    raise NotImplementedError("byte-aligned G4 CCITT in PDF")
+                ink = ccitt.decode_g4(s.raw, w, h)
+            elif k == 0:
+                ink = ccitt.decode_mh(s.raw, w, h, byte_align=aligned)
+            else:
+                ink = ccitt.decode_g3(s.raw, w, h, two_d=True)
+            return ((1 - ink) * 255).astype(np.uint8)
+        if any(f in ("JBIG2Decode", "JPXDecode") for f in fnames):
+            raise NotImplementedError(f"PDF image filter {fnames[-1]} needs an external codec")
+        body = self.stream_bytes(s)
+        bpc = self.resolve(d.get("BitsPerComponent", 8)) or 8
+        if bool(self.resolve(d.get("ImageMask", False))):
+            cs_name, nch = "DeviceGray", 1
+            bpc = 1
+        else:
+            cs = self.resolve(d.get("ColorSpace"))
+            cs_name = str(cs) if isinstance(cs, Name) else None
+            if cs_name not in ("DeviceGray", "DeviceRGB"):
+                raise NotImplementedError(
+                    f"PDF image colorspace {cs_name or type(cs).__name__} unsupported"
+                )
+            nch = 3 if cs_name == "DeviceRGB" else 1
+        if bpc == 8:
+            need = h * w * nch
+            if len(body) < need:
+                raise ValueError("PDF image sample data ended early")
+            arr = np.frombuffer(body[:need], np.uint8).reshape(h, w, nch)
+            return arr[:, :, 0].copy() if nch == 1 else arr.copy()
+        if bpc == 1 and nch == 1:
+            stride = (w + 7) // 8
+            need = stride * h
+            if len(body) < need:
+                raise ValueError("PDF image sample data ended early")
+            bits = np.unpackbits(
+                np.frombuffer(body[:need], np.uint8).reshape(h, stride), axis=1
+            )[:, :w]
+            return (bits * 255).astype(np.uint8)
+        raise NotImplementedError(f"PDF image with {bpc}-bit samples unsupported")
+
 
 # ---------------------------------------------------------------------------
 # text extraction
@@ -768,6 +913,62 @@ def _extract_content_text(content: bytes) -> str:
     if cur is not None:
         lines.append(cur)
     return "\n".join(lines)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode (ISO 32000 §7.4.5): length byte 0-127 copies
+    the next n+1 bytes, 129-255 repeats the next byte 257-n times,
+    128 is EOD."""
+    out = bytearray()
+    p = 0
+    while p < len(data):
+        n = data[p]
+        p += 1
+        if n == 128:
+            break
+        if n < 128:
+            chunk = data[p : p + n + 1]
+            if len(chunk) != n + 1:
+                raise ValueError("corrupt RunLengthDecode: literal run truncated")
+            out += chunk
+            p += n + 1
+        else:
+            if p >= len(data):
+                raise ValueError("corrupt RunLengthDecode: repeat run truncated")
+            out += bytes([data[p]]) * (257 - n)
+            p += 1
+        if len(out) > 1 << 26:
+            raise ValueError("RunLengthDecode output exceeds the sanity cap")
+    return bytes(out)
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, '>' is
+    EOD; an odd trailing digit implies a 0 nibble."""
+    end = data.find(b">")
+    if end >= 0:
+        data = data[:end]
+    hexstr = bytes(c for c in data if not chr(c).isspace())
+    if not all(chr(c) in "0123456789abcdefABCDEF" for c in hexstr):
+        raise ValueError("corrupt ASCIIHexDecode: non-hex character")
+    if len(hexstr) % 2:
+        hexstr += b"0"
+    return bytes.fromhex(hexstr.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (§7.4.3): base-85 groups, 'z' shorthand for four
+    zero bytes, '~>' EOD, whitespace ignored."""
+    import base64
+
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    body = bytes(c for c in data if not chr(c).isspace())
+    try:
+        return base64.a85decode(body)
+    except ValueError as e:
+        raise ValueError(f"corrupt ASCII85Decode: {e}") from e
 
 
 def decode_pdf_text(data: bytes) -> List[str]:
@@ -1048,4 +1249,224 @@ def pdf_to_documents(
         F.col("lang_guess").alias("lang"),
         F.lit(source).alias("source"),
         F.length("text").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# image extraction (r17) — the scanned-document path
+# ---------------------------------------------------------------------------
+
+
+def decode_pdf_images(data: bytes) -> List[Dict[str, Any]]:
+    """Every image XObject in page-tree order:
+    ``[{page_no, name, width, height, pixels}]`` (pixels = (H, W) or
+    (H, W, 3) uint8). Boundary contract matches decode_pdf_text."""
+    try:
+        doc = PdfDocument(data)
+        out: List[Dict[str, Any]] = []
+        for pno, page in enumerate(doc.pages(), start=1):
+            for name, px in doc.page_images(page):
+                out.append(
+                    {
+                        "page_no": pno,
+                        "name": name,
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "pixels": px,
+                    }
+                )
+        return out
+    except (ValueError, NotImplementedError):
+        raise
+    except (KeyError, IndexError, RecursionError, OverflowError, struct.error, TypeError) as e:
+        raise ValueError(f"corrupt PDF: {type(e).__name__}: {e}") from e
+
+
+def encode_pdf_scanned(
+    page_images: Sequence["np.ndarray"],
+    image_filter: str = "ccitt-g4",
+    texts: Optional[Sequence[str]] = None,
+) -> bytes:
+    """Deterministic scanned-document PDF: each page carries one image
+    XObject drawn full-page plus an optional text line (so text
+    extraction still has a hashed surface). ``image_filter``:
+    ccitt-g4 | ccitt-g3 | ccitt-mh (bilevel ink input) | dct (RGB or
+    gray via the in-repo JPEG encoder) | flate (raw Gray/RGB samples)
+    | lzw | rle-hex (RunLength behind ASCIIHex, exercising chained
+    byte filters)."""
+    import numpy as np
+
+    objs: List[Tuple[int, bytes]] = []
+    n = len(page_images)
+    texts = list(texts or [""] * n)
+    # 1 catalog, 2 pages, then per page: dict, contents, image; last font
+    font_num = 3 + 3 * n
+    kids = " ".join(f"{3 + 3 * i} 0 R" for i in range(n))
+    objs.append((1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    objs.append((2, f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()))
+    for i, img in enumerate(page_images):
+        img = np.asarray(img, dtype=np.uint8)
+        h, w = img.shape[:2]
+        pg, ct, im = 3 + 3 * i, 4 + 3 * i, 5 + 3 * i
+        objs.append(
+            (
+                pg,
+                (
+                    f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                    f"/Contents {ct} 0 R /Resources << "
+                    f"/XObject << /Im0 {im} 0 R >> "
+                    f"/Font << /F1 {font_num} 0 R >> >> >>"
+                ).encode(),
+            )
+        )
+        body = (
+            f"q {w} 0 0 {h} 36 400 cm /Im0 Do Q\n"
+            f"BT /F1 10 Tf 36 120 Td ".encode()
+            + b"(" + _escape_pdf_text(texts[i]) + b") Tj ET"
+        )
+        objs.append(
+            (ct, b"<< /Length %d >>\nstream\n%s\nendstream" % (len(body), body))
+        )
+        if image_filter.startswith("ccitt"):
+            from . import ccitt
+
+            if img.ndim != 2:
+                raise ValueError("CCITT pages take bilevel ink arrays")
+            k, payload = {
+                "ccitt-g4": (-1, lambda: ccitt.encode_g4(img)),
+                "ccitt-g3": (1, lambda: ccitt.encode_g3(img, two_d=True)),
+                "ccitt-mh": (0, lambda: ccitt.encode_mh(img, byte_align=False)),
+            }[image_filter]
+            raw = payload()
+            head = (
+                f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+                f"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                f"/Filter /CCITTFaxDecode /DecodeParms << /K {k} /Columns {w} "
+                f"/Rows {h} >> /Length {len(raw)} >>"
+            )
+        elif image_filter == "dct":
+            from .jpeg import encode_jpeg
+
+            raw = encode_jpeg(img, quality=90)
+            cs = "DeviceRGB" if img.ndim == 3 else "DeviceGray"
+            head = (
+                f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+                f"/ColorSpace /{cs} /BitsPerComponent 8 "
+                f"/Filter /DCTDecode /Length {len(raw)} >>"
+            )
+        elif image_filter in ("flate", "lzw", "rle-hex"):
+            samples = img.tobytes()
+            cs = "DeviceRGB" if img.ndim == 3 else "DeviceGray"
+            if image_filter == "flate":
+                raw = zlib.compress(samples, 6)
+                fspec = "/Filter /FlateDecode"
+            elif image_filter == "lzw":
+                from .tiff import _tiff_lzw_encode
+
+                raw = _tiff_lzw_encode(samples)
+                fspec = "/Filter /LZWDecode"
+            else:
+                raw = _runlength_encode(samples).hex().encode() + b">"
+                fspec = "/Filter [ /ASCIIHexDecode /RunLengthDecode ]"
+            head = (
+                f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+                f"/ColorSpace /{cs} /BitsPerComponent 8 "
+                f"{fspec} /Length {len(raw)} >>"
+            )
+        else:
+            raise ValueError(f"unknown image_filter {image_filter}")
+        objs.append((im, head.encode() + b"\nstream\n" + raw + b"\nendstream"))
+    objs.append((font_num, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
+    # classic xref layout, shared with encode_pdf's conventions
+    out = bytearray(b"%PDF-1.4\n%\xc2\xb5\xc2\xb6\n")
+    offsets: Dict[int, int] = {}
+    for num, body in objs:
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    size = font_num + 1
+    out += b"xref\n0 %d\n" % size
+    out += b"0000000000 65535 f \n"
+    for num in range(1, size):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (size, xref_off)
+    )
+    return bytes(out)
+
+
+def _runlength_encode(data: bytes) -> bytes:
+    """Greedy RunLengthDecode inverse: repeat runs >= 3 become repeat
+    records, everything else literals."""
+    out = bytearray()
+    p = 0
+    n = len(data)
+    while p < n:
+        run = 1
+        while p + run < n and run < 128 and data[p + run] == data[p]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[p]])
+            p += run
+            continue
+        lit_end = p + 1
+        lit_run = 1
+        while lit_end < n and lit_end - p < 128:
+            if lit_end + 2 < n and data[lit_end] == data[lit_end + 1] == data[lit_end + 2]:
+                break
+            lit_end += 1
+        out += bytes([lit_end - p - 1]) + data[p:lit_end]
+        p = lit_end
+        del lit_run
+    out.append(128)
+    return bytes(out)
+
+
+PDF_IMAGE_SCHEMA = (
+    "src_id long, page_no int, img_idx int, width int, height int, "
+    "phash string, parse_ok boolean, error string"
+)
+
+
+def pdf_images(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+    """One row per embedded image per payload (scanned-corpus surface):
+    dims + the 64-bit DCT pHash of the decoded pixels — the dedup /
+    quality signal a curation pass wants from page scans. Arrow-batched
+    mapInPandas, per-payload error isolation like pdf_pages."""
+    from . import imaging
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for src, payload in zip(pdf_batch[id_col], pdf_batch[binary_col]):
+                src = int(src)
+                try:
+                    imgs = decode_pdf_images(bytes(payload))
+                    for i, rec in enumerate(imgs):
+                        px = rec["pixels"]
+                        if px.ndim == 2:  # imaging.phash wants (H, W, C)
+                            px = px[:, :, None]
+                        rows.append(
+                            {
+                                "src_id": src, "page_no": rec["page_no"],
+                                "img_idx": i, "width": rec["width"],
+                                "height": rec["height"],
+                                "phash": imaging.phash(px),
+                                "parse_ok": True, "error": None,
+                            }
+                        )
+                except (ValueError, NotImplementedError) as e:
+                    rows.append(
+                        {
+                            "src_id": src, "page_no": None, "img_idx": None,
+                            "width": None, "height": None, "phash": None,
+                            "parse_ok": False, "error": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            cols = ["src_id", "page_no", "img_idx", "width", "height", "phash", "parse_ok", "error"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+        run, schema=PDF_IMAGE_SCHEMA
     )

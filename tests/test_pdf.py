@@ -151,9 +151,14 @@ def test_gates_encrypted_objstm_truncated_badfilter():
         decode_pdf_text(b"%PDF-1.4\ngarbage with no structure at all")
     with pytest.raises((ValueError, NotImplementedError)):
         decode_pdf_text(data[: len(data) // 2])
+    # r17: LZWDecode is implemented — zlib bytes mislabeled as LZW are
+    # a ValueError; a genuinely unsupported filter still gates by name
     lzw = data.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode")
-    with pytest.raises(NotImplementedError, match="LZWDecode"):
+    with pytest.raises(ValueError):
         decode_pdf_text(lzw)
+    crypt = data.replace(b"/Filter /FlateDecode", b"/Filter /CryptDecode")
+    with pytest.raises(NotImplementedError, match="CryptDecode"):
+        decode_pdf_text(crypt)
     # corrupt flate payload inside a valid structure
     doc = PdfDocument(data)
     s = doc.resolve(doc.pages()[0]["Contents"])
@@ -397,3 +402,116 @@ def test_modern_pdf_malformed_structures_raise_not_hang():
     doc3._in_objstm[packed_num] = (any_top, 0)
     with pytest.raises(ValueError):
         doc3.obj(packed_num)
+
+
+# ---------------------------------------------------------------------------
+# r17: byte filters, image XObjects, scanned-document path
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from iceberg_python_spark.operators.pdf import (
+    decode_pdf_images,
+    encode_pdf_scanned,
+    pdf_images,
+)
+
+
+def test_byte_filters_roundtrip_through_reader():
+    """LZW / RunLength / ASCIIHex / ASCII85 content streams extract the
+    same text as Flate (filters re-encoded by hand onto a known body)."""
+    from iceberg_python_spark.operators.pdf import (
+        _ascii85_decode,
+        _asciihex_decode,
+        _runlength_decode,
+        _runlength_encode,
+    )
+    from iceberg_python_spark.operators.tiff import _tiff_lzw_decode, _tiff_lzw_encode
+
+    body = b"BT /F1 12 Tf 72 720 Td (filter page) Tj ET"
+    import base64
+
+    variants = {
+        b"/LZWDecode": _tiff_lzw_encode(body),
+        b"/RunLengthDecode": _runlength_encode(body),
+        b"/ASCIIHexDecode": body.hex().encode() + b">",
+        b"/ASCII85Decode": base64.a85encode(body) + b"~>",
+    }
+    for fname, raw in variants.items():
+        out = bytearray(b"%PDF-1.4\n")
+        objs = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+            (4, b"<< /Length %d /Filter %s >>\nstream\n%s\nendstream" % (len(raw), fname, raw)),
+        ]
+        offs = {}
+        for num, b in objs:
+            offs[num] = len(out)
+            out += b"%d 0 obj\n" % num + b + b"\nendobj\n"
+        xr = len(out)
+        out += b"xref\n0 5\n0000000000 65535 f \n"
+        for num in range(1, 5):
+            out += b"%010d 00000 n \n" % offs[num]
+        out += b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xr
+        assert decode_pdf_text(bytes(out)) == ["filter page"], fname
+    # decoder primitives: exactness + EOD handling
+    assert _runlength_decode(_runlength_encode(b"aaaabcdddddd" * 9)) == b"aaaabcdddddd" * 9
+    assert _asciihex_decode(b"48 65 6c 6c 6f>") == b"Hello"
+    assert _ascii85_decode(base64.a85encode(b"Hello world") + b"~>ignored") == b"Hello world"
+    assert _tiff_lzw_decode(_tiff_lzw_encode(b"x" * 5000), 5000) == b"x" * 5000
+
+
+def test_scanned_pdf_images_all_encodings():
+    """encode_pdf_scanned -> decode_pdf_images across every image
+    filter; text layer extracts alongside."""
+    rng = np.random.default_rng(4)
+    ink = (rng.random((30, 40)) < 0.4).astype(np.uint8)
+    rgb = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (16, 20), dtype=np.uint8)
+    bilevel_want = ((1 - ink) * 255).astype(np.uint8)
+    cases = [
+        ("ccitt-g4", ink, bilevel_want),
+        ("ccitt-g3", ink, bilevel_want),
+        ("ccitt-mh", ink, bilevel_want),
+        ("flate", rgb, rgb),
+        ("flate", gray, gray),
+        ("lzw", gray, gray),
+        ("rle-hex", gray, gray),
+    ]
+    for filt, img, want in cases:
+        data = encode_pdf_scanned([img, img], image_filter=filt, texts=["s1", "s2"])
+        assert encode_pdf_scanned([img, img], image_filter=filt, texts=["s1", "s2"]) == data
+        imgs = decode_pdf_images(data)
+        assert [r["page_no"] for r in imgs] == [1, 2], filt
+        assert (imgs[0]["pixels"] == want).all(), filt
+        assert decode_pdf_text(data) == ["s1", "s2"], filt
+    # DCT is lossy: dims + bounded error, byte-deterministic
+    data = encode_pdf_scanned([rgb], image_filter="dct")
+    px = decode_pdf_images(data)[0]["pixels"]
+    assert px.shape == rgb.shape
+    assert np.abs(px.astype(int) - rgb.astype(int)).mean() < 12
+    # dims-vs-dict contract
+    bad = data.replace(b"/Width 32", b"/Width 31")
+    with pytest.raises(ValueError):
+        decode_pdf_images(bad)
+    # JBIG2 gates by name
+    jb = encode_pdf_scanned([ink], image_filter="ccitt-g4").replace(
+        b"/CCITTFaxDecode", b"/JBIG2Decode\x20\x20"
+    )
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_pdf_images(jb)
+
+
+def test_pdf_images_spark_surface(spark):
+    rng = np.random.default_rng(9)
+    ink = (rng.random((20, 30)) < 0.5).astype(np.uint8)
+    good = encode_pdf_scanned([ink, 1 - ink], image_filter="ccitt-g4", texts=["a", "b"])
+    rows = [(1, good), (2, b"%PDF-1.4 not really")]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = pdf_images(df, "id", "payload").orderBy("src_id", "page_no").collect()
+    ok = [r for r in out if r.parse_ok]
+    assert [(r.src_id, r.page_no) for r in ok] == [(1, 1), (1, 2)]
+    assert ok[0].width == 30 and ok[0].height == 20
+    assert ok[0].phash != ok[1].phash  # inverted page hashes differently
+    assert any(r.src_id == 2 and not r.parse_ok for r in out)
