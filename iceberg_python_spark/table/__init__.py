@@ -30,6 +30,7 @@ import posixpath
 import random
 import time
 import uuid
+from collections import OrderedDict
 from dataclasses import dataclass, replace as _dc_replace
 from typing import Any, Callable, Dict, Iterable, List, Mapping, Optional, Sequence, Set, Tuple, Union
 
@@ -324,14 +325,50 @@ def _apply_equality_deletes(
     return df
 
 
+#: session-scoped read-plan cache: iceberg data files are immutable
+#: (a committed file is never modified in place; new data = new paths),
+#: so an identical (session, schema, format, path list) read is the
+#: same lazy DataFrame — reusing it skips Spark's driver-side file
+#: listing / InMemoryFileIndex rebuild, the dominant fixed cost of
+#: sub-second scans. Keyed by applicationId so a restarted session
+#: never sees another session's plans; LRU-bounded (plans are lazy and
+#: small, the bound is hygiene).
+_READ_PLAN_CACHE: "OrderedDict[Tuple, DataFrame]" = OrderedDict()
+_READ_PLAN_CACHE_MAX = 256
+
+
 def _read_paths(spark: SparkSession, spark_schema, fmt: str, paths: List[str]) -> DataFrame:
     """Format-aware file read (PARQUET | ORC — reference manifest.py:114)."""
+    try:
+        key = (
+            spark.sparkContext.applicationId,
+            spark_schema.json(),
+            fmt.upper(),
+            tuple(paths),
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _READ_PLAN_CACHE:
+        _READ_PLAN_CACHE.move_to_end(key)
+        base = _READ_PLAN_CACHE[key]
+        # hand out a fresh-exprId clone, never the cached object itself:
+        # two scans of one table must not share attribute ids or
+        # downstream expression joins (upsert, MERGE, as-of) hit
+        # AMBIGUOUS_SELF_JOIN — toDF re-aliases every column (metadata
+        # pseudo-columns still resolve through the Project)
+        return base.toDF(*base.columns)
     reader = spark.read.schema(spark_schema)
     if fmt.upper() == "ORC":
         # DataFrameReader.orc takes ONE path-or-list arg (unlike
         # parquet's *paths); splatting shifts paths into keyword slots
-        return reader.orc(list(paths))
-    return reader.parquet(*paths)
+        df = reader.orc(list(paths))
+    else:
+        df = reader.parquet(*paths)
+    if key is not None:
+        _READ_PLAN_CACHE[key] = df
+        if len(_READ_PLAN_CACHE) > _READ_PLAN_CACHE_MAX:
+            _READ_PLAN_CACHE.popitem(last=False)
+    return df
 
 
 def _read_data(
