@@ -5741,8 +5741,11 @@ def _q_pdf_ingest(spark, env):
     # FlateDecode, page tree, Tj/TJ/'/" text operators). Each doc
     # becomes a multi-page PDF (200 chars per page; doc_id % 3 == 2
     # uses the PDF-1.5 MODERN layout — /ObjStm + xref stream +
-    # Predictor 12, r17 — the rest the classic xref table with
-    # FlateDecode (odd ids) or plain content streams). The FULL
+    # Predictor 12, r17; doc_id % 12 in (1, 4, 7) the standard-
+    # security-handler ENCRYPTED layouts — RC4-128 / AES-128 / AES-256
+    # with an empty user password, decrypted transparently, r17 — the
+    # rest the classic xref table with FlateDecode (odd ids) or plain
+    # content streams). The FULL
     # extraction path is value-hashed: xref walk, object parse, page
     # ordering, string unescape, and filter decode all sit on the
     # hashed path — any drift anywhere mismatches DuckDB's substr
@@ -5751,6 +5754,7 @@ def _q_pdf_ingest(spark, env):
 
     from iceberg_python_spark.operators.pdf import (
         encode_pdf,
+        encode_pdf_encrypted,
         encode_pdf_modern,
         pdf_pages,
     )
@@ -5770,6 +5774,12 @@ def _q_pdf_ingest(spark, env):
                     # r17: PDF-1.5 modern layout — ObjStm-packed
                     # catalog/page tree, xref STREAM, Predictor 12
                     payloads.append(encode_pdf_modern(pages))
+                elif d % 12 in (1, 4, 7):
+                    # r17: standard-security-handler ENCRYPTED layouts
+                    # (owner-locked, empty user password — the common
+                    # crawl shape): RC4-128 / AESV2 / AES-256 R6
+                    mode = {1: "rc4-128", 4: "aes-128", 7: "aes-256"}[d % 12]
+                    payloads.append(encode_pdf_encrypted(pages, mode=mode))
                 else:
                     payloads.append(encode_pdf(pages, compress=d % 2 == 1))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})

@@ -283,9 +283,31 @@ class PdfDocument:
         self._objstm_loading: set = set()
         self._scanned = False
         self.trailer: Dict[str, Any] = {}
+        #: standard-security-handler state (r17): set when /Encrypt
+        #: names the Standard filter and the USER password is empty —
+        #: the owner-locked-only shape most "encrypted" crawl PDFs have
+        self._file_key: Optional[bytes] = None
+        self._cipher: str = "identity"
+        self._encrypt_num: Optional[int] = None
         self._load_xref()
         if "Encrypt" in self.trailer:
-            raise NotImplementedError("encrypted PDF needs an external decryptor")
+            self._setup_encryption()
+
+    def _setup_encryption(self) -> None:
+        from . import pdfcrypt
+
+        ref = self.trailer.get("Encrypt")
+        if isinstance(ref, Ref):
+            self._encrypt_num = ref.num
+        enc = self.resolve(ref)
+        if not isinstance(enc, dict):
+            raise ValueError("PDF /Encrypt is not a dictionary")
+        fid = self.resolve(self.trailer.get("ID"))
+        first_id = b""
+        if isinstance(fid, list) and fid and isinstance(fid[0], (bytes, bytearray)):
+            first_id = bytes(fid[0])
+        resolved = {str(k): self.resolve(v) for k, v in enc.items()}
+        self._file_key, self._cipher = pdfcrypt.compute_file_key(resolved, first_id)
 
     # -- xref ---------------------------------------------------------------
 
@@ -467,7 +489,8 @@ class PdfDocument:
         lex = _Lexer(self.data, off)
         if lex.keyword() != str(num):
             raise ValueError(f"PDF xref offset for object {num} is wrong")
-        lex.keyword()  # gen
+        gen_tok = lex.keyword()
+        gen = int(gen_tok) if gen_tok.isdigit() else 0
         if lex.keyword() != "obj":
             raise ValueError(f"PDF object {num} header malformed")
         val = lex.parse()
@@ -484,7 +507,18 @@ class PdfDocument:
             length = self.resolve(val.get("Length"))
             if not isinstance(length, int) or p + length > len(self.data):
                 raise ValueError("PDF stream /Length is missing or truncated")
-            val = Stream(val, self.data[p : p + length])
+            raw = self.data[p : p + length]
+            if (
+                self._file_key is not None
+                and num != self._encrypt_num
+                and val.get("Type") != "XRef"  # xref streams are never encrypted
+            ):
+                from . import pdfcrypt
+
+                raw = pdfcrypt.decrypt_object_bytes(
+                    raw, self._file_key, self._cipher, num, gen
+                )
+            val = Stream(val, raw)
         else:
             lex.pos = save
         self._cache[num] = val
@@ -1050,6 +1084,113 @@ def encode_pdf(pages: Sequence[str], compress: bool = True) -> bytes:
         f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
         f"startxref\n{xref_off}\n%%EOF\n"
     ).encode()
+    return bytes(out)
+
+
+def encode_pdf_encrypted(
+    pages: Sequence[str], mode: str = "aes-128", user_password: bytes = b""
+) -> bytes:
+    """Classic-layout PDF encrypted by the STANDARD security handler
+    (owner password fixed to ``b"owner"``): ``mode`` = rc4-40 | rc4-128
+    | aes-128 (V4/AESV2) | aes-256 (V5/R6). With the default empty
+    user password this is the owner-locked shape most "encrypted"
+    crawl PDFs have — :class:`PdfDocument` decrypts it transparently.
+    Deterministic (fixed /ID, salts, and per-object IVs)."""
+    from . import pdfcrypt
+
+    import hashlib as _hl
+
+    n = len(pages)
+    font_num = 3 + 2 * n
+    enc_num = font_num + 1
+    file_id = _hl.md5(b"spark-graft-encrypted-fixture").digest()
+    perm = -44
+    if mode == "rc4-40":
+        v, r, bits, cipher = 1, 2, 40, "rc4"
+    elif mode == "rc4-128":
+        v, r, bits, cipher = 2, 3, 128, "rc4"
+    elif mode == "aes-128":
+        v, r, bits, cipher = 4, 4, 128, "aes-128"
+    elif mode == "aes-256":
+        v, r, bits, cipher = 5, 6, 256, "aes-256"
+    else:
+        raise ValueError(f"unknown encryption mode {mode}")
+    if mode == "aes-256":
+        key = _hl.sha256(b"spark-graft-r6-file-key").digest()
+        ent = pdfcrypt.r6_entries(key)
+        perms_blob = pdfcrypt.aes_encrypt_block(
+            key, struct.pack("<i", perm) + b"\xff\xff\xff\xffTadb" + b"seed"
+        )
+        enc_dict = (
+            b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+            b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> "
+            b"/StmF /StdCF /StrF /StdCF "
+            b"/O <" + ent["O"].hex().encode() + b"> "
+            b"/U <" + ent["U"].hex().encode() + b"> "
+            b"/OE <" + ent["OE"].hex().encode() + b"> "
+            b"/UE <" + ent["UE"].hex().encode() + b"> "
+            b"/P %d /Perms <%s> >>" % (perm, perms_blob.hex().encode())
+        )
+        if user_password:
+            raise NotImplementedError("fixture writer only writes empty user passwords")
+    else:
+        o = pdfcrypt.owner_entry_r34(b"owner", user_password, r, bits)
+        key = pdfcrypt._r234_file_key(user_password, o, perm, file_id, r, bits, True)
+        u = pdfcrypt.user_entry(key, r, file_id)
+        extra = b""
+        if mode == "aes-128":
+            extra = (
+                b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
+                b"/StmF /StdCF /StrF /StdCF "
+            )
+        enc_dict = (
+            b"<< /Filter /Standard /V %d /R %d /Length %d " % (v, r, bits)
+            + extra
+            + b"/O <" + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> "
+            b"/P %d >>" % perm
+        )
+    # object bodies mirror encode_pdf's classic layout
+    objs: List[bytes] = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode())
+    for i, text in enumerate(pages):
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {4 + 2 * i} 0 R "
+                f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
+            ).encode()
+        )
+        body = bytearray(b"BT /F1 12 Tf 14 TL 72 720 Td")
+        for j, line in enumerate(text.split("\n")):
+            if j:
+                body += b" T*"
+            body += b" (" + _escape_pdf_text(line) + b") Tj"
+        body += b" ET"
+        raw = zlib.compress(bytes(body), 6)
+        enc_raw = pdfcrypt.encrypt_object_bytes(raw, key, cipher, 4 + 2 * i, 0)
+        objs.append(
+            f"<< /Length {len(enc_raw)} /Filter /FlateDecode >>".encode()
+            + b"\nstream\n" + enc_raw + b"\nendstream"
+        )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    objs.append(enc_dict)  # the /Encrypt dict itself is never encrypted
+    out = bytearray(b"%PDF-1.6\n%\xc2\xb5\xc2\xb6\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Encrypt %d 0 R "
+        b"/ID [<%s> <%s>] >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, enc_num, file_id.hex().encode(), file_id.hex().encode(), xref_off)
+    )
     return bytes(out)
 
 

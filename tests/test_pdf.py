@@ -144,8 +144,11 @@ def test_xref_stream_file_falls_back_to_object_scan():
 
 def test_gates_encrypted_objstm_truncated_badfilter():
     data = encode_pdf(["secret"])
+    # r17: encryption with an EMPTY user password decrypts for real
+    # (test_pdf_encryption); a trailer naming a MISSING /Encrypt object
+    # is corrupt structure -> ValueError
     enc = data.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
-    with pytest.raises(NotImplementedError, match="encrypted"):
+    with pytest.raises(ValueError):
         decode_pdf_text(enc)
     with pytest.raises(ValueError):
         decode_pdf_text(b"%PDF-1.4\ngarbage with no structure at all")
