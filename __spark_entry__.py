@@ -5262,7 +5262,8 @@ def _q_archive_ingest(spark, env):
     # containers training corpora actually ship in. The documents
     # table packs into 25 deterministic shards: EVEN shard ids as
     # WebDataset ustar shards (operators/tar.py — adjacency-ordered
-    # <key>.txt + <key>.json members), ODD shard ids as PKZIP archives
+    # <key>.txt + <key>.json members; shard % 4 == 0 gzip-compressed
+    # .tar.gz, r17), ODD shard ids as PKZIP archives
     # (operators/zip.py — central-directory indexed, deflate members,
     # per-member CRC-32; r17 fold per VERDICT r16 #3). Each side reads
     # back through its own sample reader INSIDE mapInPandas (tar =
@@ -5298,17 +5299,31 @@ def _q_archive_ingest(spark, env):
     )
     members = [("txt", "txt"), ("json", "json")]
     tar_shards = tar_shards_from_samples(
-        src.where("shard_id % 2 = 0"), "shard_id", "key", members
+        src.where("shard_id % 4 = 2"), "shard_id", "key", members
+    )
+    # r17: shard_id % 4 == 0 ships gzip-compressed (.tar.gz), the form
+    # WebDataset shards actually travel in; the reader gunzips
+    # transparently inside the same mapInPandas task
+    targz_shards = tar_shards_from_samples(
+        src.where("shard_id % 4 = 0"), "shard_id", "key", members, gzip_shards=True
     )
     zip_shards = zip_shards_from_samples(
         src.where("shard_id % 2 = 1"), "shard_id", "key", members
     )
-    samples = read_tar_samples(
-        tar_shards.select("shard_id", "shard"), "shard_id", "shard"
-    ).withColumn("fmt", F.lit("tar")).unionByName(
-        read_zip_samples(
-            zip_shards.select("shard_id", "shard"), "shard_id", "shard"
-        ).withColumn("fmt", F.lit("zip"))
+    samples = (
+        read_tar_samples(
+            tar_shards.select("shard_id", "shard"), "shard_id", "shard"
+        ).withColumn("fmt", F.lit("tar"))
+        .unionByName(
+            read_tar_samples(
+                targz_shards.select("shard_id", "shard"), "shard_id", "shard"
+            ).withColumn("fmt", F.lit("tar.gz"))
+        )
+        .unionByName(
+            read_zip_samples(
+                zip_shards.select("shard_id", "shard"), "shard_id", "shard"
+            ).withColumn("fmt", F.lit("zip"))
+        )
     )
     parsed = samples.select(
         F.col("sample_key").cast("long").alias("doc_id"),
@@ -6878,7 +6893,8 @@ def oracle_sql() -> dict[str, str]:
             # data-derived booleans + the fixed member count; fmt is
             # determined by the shard-parity routing
             "SELECT doc_id, 2 AS n_members, "
-            "CASE WHEN (doc_id % 25) % 2 = 0 THEN 'tar' ELSE 'zip' END AS fmt, "
+            "CASE WHEN (doc_id % 25) % 4 = 0 THEN 'tar.gz' "
+            "WHEN (doc_id % 25) % 2 = 0 THEN 'tar' ELSE 'zip' END AS fmt, "
             "true AS text_ok, true AS meta_ok "
             "FROM documents WHERE doc_id < 500"
         ),

@@ -28,6 +28,7 @@ so shards are valid oracle fixtures.
 
 from __future__ import annotations
 
+import zlib
 from typing import Iterator, List, Sequence, Tuple
 
 import pandas as pd
@@ -79,11 +80,46 @@ def encode_tar(members: Sequence[Tuple[str, bytes]]) -> bytes:
     return bytes(out)
 
 
+def _maybe_gunzip(data: bytes) -> bytes:
+    """Transparent .tar.gz/.tgz support (r17): WebDataset shards ship
+    gzip-compressed as often as not. Concatenated members compose;
+    expansion is capped at 2 GiB (a shard bigger than that is a job
+    design problem, not a tar problem)."""
+    if data[:2] != b"\x1f\x8b":
+        return data
+    out = bytearray()
+    rest = data
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(31)
+        try:
+            out += d.decompress(rest, (1 << 31) - len(out))
+            out += d.flush()
+        except zlib.error as e:
+            raise ValueError(f"tar.gz: corrupt gzip member: {e}") from e
+        if len(out) >= 1 << 31:
+            raise ValueError("tar.gz: expansion exceeds the 2 GiB cap")
+        if not d.eof:
+            raise ValueError("tar.gz: truncated gzip member")
+        rest = d.unused_data
+    if rest:
+        raise ValueError("tar.gz: trailing non-gzip bytes")
+    return bytes(out)
+
+
+def encode_tar_gz(members: Sequence[Tuple[str, bytes]], level: int = 6) -> bytes:
+    """Deterministic gzip-wrapped shard (mtime 0, no filename)."""
+    co = zlib.compressobj(level, zlib.DEFLATED, 31)
+    # zlib's wbits=31 gzip header uses mtime 0 already — deterministic
+    return co.compress(encode_tar(members)) + co.flush()
+
+
 def decode_tar(data: bytes) -> List[Tuple[str, bytes]]:
     """Walk a ustar/pax/GNU archive → [(name, payload)] for regular
-    files. Checksums verify; pax records (x/g) and directories skip;
+    files; gzip-compressed archives (.tar.gz) decompress transparently.
+    Checksums verify; pax records (x/g) and directories skip;
     GNU long-name records (L) apply to the following member. Malformed
     structure raises ValueError (crafted-input contract)."""
+    data = _maybe_gunzip(data)
     out: List[Tuple[str, bytes]] = []
     pos = 0
     pending_name: str | None = None
@@ -226,6 +262,7 @@ def tar_shards_from_samples(
     shard_col: str,
     key_col: str,
     member_cols: Sequence[Tuple[str, str]],
+    gzip_shards: bool = False,
 ) -> DataFrame:
     """Synthesis half at DataFrame scale: pack each ``shard_col`` group
     into ONE deterministic tar shard (members sorted by sample key,
@@ -243,7 +280,9 @@ def tar_shards_from_samples(
         return pd.DataFrame(
             {
                 shard_col: [pdf[shard_col].iloc[0]],
-                "shard": [encode_tar(members)],
+                "shard": [
+                    encode_tar_gz(members) if gzip_shards else encode_tar(members)
+                ],
                 "n_samples": [len(pdf)],
             }
         )

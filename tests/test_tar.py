@@ -153,3 +153,26 @@ def test_tar_pax_zero_length_record_raises_not_hangs():
     t2[148:156] = format(chk, "o").rjust(6, "0").encode() + b"\x00 "
     with pytest.raises(ValueError, match="pax record length"):
         decode_tar(bytes(t2))
+
+
+def test_targz_shards_roundtrip_and_contract():
+    """r17: gzip-compressed shards (.tar.gz — the common WebDataset
+    shipping form) decode transparently; deterministic writer;
+    corrupt gzip raises ValueError (per-shard error capture relies
+    on it)."""
+    from iceberg_python_spark.operators.tar import (
+        decode_tar,
+        encode_tar,
+        encode_tar_gz,
+        iter_tar_samples,
+    )
+
+    members = [("0001.txt", b"hello"), ("0001.json", b'{"a":1}'), ("0002.txt", b"w" * 999)]
+    gz = encode_tar_gz(members)
+    assert gz[:2] == b"\x1f\x8b" and decode_tar(gz) == members
+    assert encode_tar_gz(members) == gz
+    assert [k for k, _ in iter_tar_samples(gz)] == ["0001", "0002"]
+    with pytest.raises(ValueError):
+        decode_tar(gz[:20] + b"\x00" * 5 + gz[25:])
+    with pytest.raises(ValueError):
+        decode_tar(gz[: len(gz) // 2])  # truncated member
