@@ -136,6 +136,54 @@ def _probe_ogg(data: bytes) -> Dict[str, Any]:
     }
 
 
+def _probe_heif(data: bytes, brand: bytes) -> Dict[str, Any]:
+    """AVIF/HEIC still images (r17): ISO-BMFF meta walk — the primary
+    item's spatial extents live in meta/iprp/ipco/ispe (ISO/IEC
+    23008-12 §6.5.3); the codec config box present in ipco (av1C /
+    hvcC) names the payload codec. The AV1/HEVC bitstreams are the
+    same normative-table ceiling class as MP4 video, so decodable is
+    always False — but a curation pass still gets dims + codec."""
+    container = "avif" if brand in (b"avif", b"avis") else "heic"
+    out: Dict[str, Any] = {
+        "container": container, "kind": "image",
+        "width": None, "height": None, "codec": None, "decodable": False,
+    }
+    masters = (b"meta", b"iprp", b"ipco")
+
+    def walk(start: int, end: int, depth: int) -> None:
+        p = start
+        while p + 8 <= end:
+            (size,) = struct.unpack_from(">I", data, p)
+            btype = data[p + 4 : p + 8]
+            body = p + 8
+            if size == 1:
+                if p + 16 > end:
+                    raise ValueError("heif: truncated 64-bit box size")
+                (size,) = struct.unpack_from(">Q", data, p + 8)
+                body = p + 16
+            if size < 8 or p + size > end:
+                raise ValueError("heif: box overruns its parent")
+            if btype == b"meta":
+                body += 4  # FullBox version/flags
+            if btype in masters and depth < 8:
+                walk(body, p + size, depth + 1)
+            elif btype == b"ispe" and out["width"] is None:
+                if body + 12 <= p + size:
+                    w, h = struct.unpack_from(">II", data, body + 4)
+                    if 0 < w < 1 << 24 and 0 < h < 1 << 24:
+                        out["width"], out["height"] = int(w), int(h)
+            elif btype == b"av1C":
+                out["codec"] = "av1"
+            elif btype == b"hvcC":
+                out["codec"] = "hevc"
+            p += size
+
+    walk(0, len(data), 0)
+    if out["codec"] is None:
+        out["codec"] = "av1" if container == "avif" else "hevc"
+    return out
+
+
 def _probe_mp4(data: bytes) -> Dict[str, Any]:
     # ISO-BMFF box walk (ISO/IEC 14496-12): mvhd carries timescale +
     # duration; each trak's tkhd carries 16.16 fixed-point presentation
@@ -557,6 +605,9 @@ def _probe_media_dispatch(data: bytes) -> Dict[str, Any]:
             "n_frames": n, "duration_ms": int(n * 1000 / fps) if fps else None, "decodable": True,
         }
     if len(data) > 12 and data[4:8] == b"ftyp":
+        brand = bytes(data[8:12])
+        if brand in (b"avif", b"avis", b"heic", b"heix", b"heif", b"mif1", b"msf1"):
+            return _probe_heif(data, brand)
         return _probe_mp4(data)
     if data[:4] == b"\x1a\x45\xdf\xa3":
         return _probe_mkv(data)

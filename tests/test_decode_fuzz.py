@@ -36,6 +36,8 @@ MAGICS = [
     b"OggS",
     b"YUV4MPEG2 ",
     b"\x00\x00\x00\x18ftypisom",
+    b"\x00\x00\x00\x18ftypavif",
+    b"\x00\x00\x00\x18ftypheic",
     b"\x1a\x45\xdf\xa3",
     b"ID3\x04",
     b"\xff\xfb\x90\x00",

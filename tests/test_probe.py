@@ -296,3 +296,43 @@ def test_probe_mp3_crc_protected_xing():
         got = probe_media(synthesize_mp3(n, vbr=True, mono=mono, crc=True))
         assert got["duration_ms"] == n * 1152 * 1000 // 44100
         assert got["channels"] == (1 if mono else 2)
+
+
+def test_heif_avif_probe_dims_and_codec():
+    """r17: AVIF/HEIC stills — meta/iprp/ipco/ispe dims + codec-config
+    routing (av1C/hvcC). Payload codecs are the MP4 ceiling class, so
+    decodable is False, but dims + codec reach the curation pass."""
+    import struct as _s
+
+    def box(t, payload):
+        return _s.pack(">I", 8 + len(payload)) + t + payload
+
+    ispe = box(b"ispe", _s.pack(">III", 0, 640, 480))
+    ipco = box(b"ipco", ispe + box(b"av1C", b"\x81\x04\x0c\x00"))
+    avif = box(b"ftyp", b"avif\x00\x00\x00\x00avifmif1") + box(
+        b"meta", b"\x00\x00\x00\x00" + box(b"iprp", ipco)
+    )
+    pr = probe_media(avif)
+    assert pr == {
+        "container": "avif", "kind": "image", "width": 640, "height": 480,
+        "codec": "av1", "decodable": False,
+    }
+    ipco2 = box(b"ipco", box(b"ispe", _s.pack(">III", 0, 4032, 3024)) + box(b"hvcC", b"\x01" * 10))
+    heic = box(b"ftyp", b"heic\x00\x00\x00\x00heicmif1") + box(
+        b"meta", b"\x00\x00\x00\x00" + box(b"iprp", ipco2)
+    )
+    pr2 = probe_media(heic)
+    assert (pr2["container"], pr2["width"], pr2["height"], pr2["codec"]) == (
+        "heic", 4032, 3024, "hevc",
+    )
+    # plain mp4 ftyp brands still route to the video probe
+    import numpy as np
+    mp4ish = box(b"ftyp", b"isom\x00\x00\x00\x00isomiso2")
+    assert probe_media(mp4ish)["container"] == "mp4"
+    # crafted box sizes raise, never hang
+    bad = bytearray(avif)
+    bad[len(avif) - 8 - len(ipco) - 8 - 4 - 8] = 0  # clobber a size byte
+    try:
+        probe_media(bytes(bad))
+    except ValueError:
+        pass
