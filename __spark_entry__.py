@@ -2729,7 +2729,8 @@ def _q_multimodal_video_frames(spark, env):
     # driver's oracle — Y4M decode plus AVI (r16: BI_RGB DIB bottom-up
     # frames + raw I420; r17: MJPG Motion-JPEG through the in-repo
     # T.81 decoder, seeds % 8 == 3, with seed 11 shipping DHT-less
-    # 'AVI1' frames that exercise the Annex-K default-table splice).
+    # 'AVI1' frames that exercise the Annex-K default-table splice;
+    # r17: APNG acTL/fcTL/fdAT animation for seeds % 6 == 0).
     # Each doc key synthesizes a 6-frame 6-fps clip (noise seeded by
     # doc_id % 23; dups share a seed); the CONTAINER is a function of
     # the seed (even → Y4M, odd → AVI) so same-seed clips stay
@@ -2741,6 +2742,7 @@ def _q_multimodal_video_frames(spark, env):
     import numpy as np
     import pandas as pd
 
+    from iceberg_python_spark.operators.imaging import encode_apng
     from iceberg_python_spark.operators.multimodal import extract_video_frames
     from iceberg_python_spark.operators.video import encode_avi, encode_y4m
 
@@ -2761,6 +2763,11 @@ def _q_multimodal_video_frames(spark, env):
                     )
                 elif seed % 2:
                     payloads.append(encode_avi(frames, fps=6, bpp=32 if seed % 4 == 1 else 24))
+                elif seed % 6 == 0:
+                    # r17: animated PNG — 167 ms/frame so the 500 ms
+                    # sampler lands on frames {0, 3} like the 6-fps
+                    # containers (3 x 167 = 501 >= 500)
+                    payloads.append(encode_apng(frames, [167] * len(frames)))
                 else:
                     payloads.append(encode_y4m(frames, fps=6))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})

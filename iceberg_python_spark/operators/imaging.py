@@ -392,6 +392,166 @@ def _decode_image_dispatch(data: bytes) -> np.ndarray:
     )
 
 
+def _png_chunk(typ: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + typ
+        + payload
+        + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+    )
+
+
+def decode_apng_frames(data: bytes) -> Tuple[list, list]:
+    """APNG (the PNG 3rd-edition animation chunks acTL/fcTL/fdAT) →
+    (composited canvases, delays_ms). Each frame region re-wraps as a
+    standalone PNG and rides the full _decode_png path (filters,
+    depths, palette), then composites per its fcTL dispose/blend ops —
+    the same canvas model as GIF and animated WebP. A PNG without
+    acTL raises ValueError (use decode_image for stills)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    ihdr_payload = None
+    plte = b""
+    trns = b""
+    actl = None
+    frames_ctl: list = []  # (fcTL fields, [raw idat payloads])
+    default_idat: list = []
+    default_is_frame = False
+    expected_seq = 0
+    for ctype, payload in _png_chunks(data):
+        if ctype == b"IHDR":
+            ihdr_payload = payload
+        elif ctype == b"PLTE":
+            plte = payload
+        elif ctype == b"tRNS":
+            trns = payload
+        elif ctype == b"acTL":
+            if len(payload) < 8:
+                raise ValueError("APNG acTL too short")
+            actl = struct.unpack(">II", payload[:8])
+        elif ctype == b"fcTL":
+            if len(payload) < 26:
+                raise ValueError("APNG fcTL too short")
+            seq = struct.unpack(">I", payload[:4])[0]
+            if seq != expected_seq:
+                raise ValueError("APNG sequence numbers out of order")
+            expected_seq += 1
+            frames_ctl.append((struct.unpack(">IIIIIHHBB", payload[:26]), []))
+            if not default_idat:
+                default_is_frame = True
+        elif ctype == b"IDAT":
+            if frames_ctl and default_is_frame and len(frames_ctl) == 1:
+                frames_ctl[0][1].append(payload)
+            default_idat.append(payload)
+        elif ctype == b"fdAT":
+            if len(payload) < 4 or not frames_ctl:
+                raise ValueError("APNG fdAT without a preceding fcTL")
+            seq = struct.unpack(">I", payload[:4])[0]
+            if seq != expected_seq:
+                raise ValueError("APNG sequence numbers out of order")
+            expected_seq += 1
+            frames_ctl[-1][1].append(payload[4:])
+    if actl is None:
+        raise ValueError("PNG has no acTL chunk (not an APNG)")
+    if ihdr_payload is None or not frames_ctl:
+        raise ValueError("malformed APNG: missing IHDR/fcTL")
+    if actl[0] != len(frames_ctl):
+        raise ValueError("APNG acTL frame count disagrees with fcTL chunks")
+    cw, ch_, depth, ctype_, _c, _f, _i = struct.unpack(">IIBBBBB", ihdr_payload)
+    if cw * ch_ > 1 << 26:
+        raise ValueError("APNG canvas implausibly large")
+    nch = _CHANNELS.get(ctype_)
+    if nch is None:
+        raise ValueError("APNG with an unknown color type")
+    out_ch = 3 if ctype_ == 3 else nch
+    canvas = np.zeros((ch_, cw, out_ch), dtype=np.uint8)
+    alpha = np.zeros((ch_, cw), dtype=np.uint8)  # canvas coverage
+    frames: list = []
+    delays: list = []
+    for (seq, fw, fh, fx, fy, dnum, dden, dispose, blend), idats in frames_ctl:
+        if not idats:
+            raise ValueError("APNG frame without image data")
+        if fx + fw > cw or fy + fh > ch_ or fw == 0 or fh == 0:
+            raise ValueError("APNG frame region outside the canvas")
+        sub = (
+            _PNG_SIG
+            + _png_chunk(
+                b"IHDR", struct.pack(">IIBBBBB", fw, fh, depth, ctype_, 0, 0, 0)
+            )
+            + (_png_chunk(b"PLTE", plte) if plte else b"")
+            + b"".join(_png_chunk(b"IDAT", p) for p in idats)
+            + _png_chunk(b"IEND", b"")
+        )
+        px = _decode_png(sub)
+        if px.ndim == 2:
+            px = px[:, :, None]
+        prev_region = None
+        if dispose == 2:
+            prev_region = (
+                canvas[fy : fy + fh, fx : fx + fw].copy(),
+                alpha[fy : fy + fh, fx : fx + fw].copy(),
+            )
+        region_c = canvas[fy : fy + fh, fx : fx + fw]
+        region_a = alpha[fy : fy + fh, fx : fx + fw]
+        if blend == 1 and ctype_ in (4, 6):
+            a = px[:, :, -1].astype(np.uint16)
+            rgb = px[:, :, :-1].astype(np.uint16)
+            base = region_c[:, :, : out_ch - 1].astype(np.uint16)
+            over = (rgb * a[..., None] + base * (255 - a)[..., None] + 127) // 255
+            region_c[:, :, : out_ch - 1] = over.astype(np.uint8)
+            oa = a + region_c[:, :, -1].astype(np.uint16) * (255 - a) // 255
+            region_c[:, :, -1] = np.minimum(oa, 255).astype(np.uint8)
+            region_a[:] = np.maximum(region_a, (a > 0).astype(np.uint8) * 255)
+        else:
+            region_c[:] = px[:, :, :out_ch]
+            region_a[:] = 255
+        frames.append(canvas.copy() if out_ch > 1 else canvas[:, :, 0].copy())
+        delays.append(int(dnum * 1000 / (dden or 100)))
+        if dispose == 1:
+            canvas[fy : fy + fh, fx : fx + fw] = 0
+            alpha[fy : fy + fh, fx : fx + fw] = 0
+        elif dispose == 2 and prev_region is not None:
+            canvas[fy : fy + fh, fx : fx + fw] = prev_region[0]
+            alpha[fy : fy + fh, fx : fx + fw] = prev_region[1]
+    return frames, delays
+
+
+def encode_apng(frames: list, delays_ms: list) -> bytes:
+    """Deterministic full-canvas APNG writer (blend 0, dispose 0):
+    IHDR + acTL + fcTL/IDAT for frame 0, fcTL/fdAT for the rest."""
+    if not frames or len(frames) != len(delays_ms):
+        raise ValueError("encode_apng needs matching frames and delays")
+    first = np.ascontiguousarray(frames[0], dtype=np.uint8)
+    if first.ndim == 2:
+        first = first[:, :, None]
+    h, w, ch = first.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    out = bytearray(_PNG_SIG)
+    out += _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+    out += _png_chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for i, (fr, delay) in enumerate(zip(frames, delays_ms)):
+        fr = np.ascontiguousarray(fr, dtype=np.uint8)
+        if fr.ndim == 2:
+            fr = fr[:, :, None]
+        if fr.shape != (h, w, ch):
+            raise ValueError("encode_apng frames must share the canvas shape")
+        out += _png_chunk(
+            b"fcTL",
+            struct.pack(">IIIIIHHBB", seq, w, h, 0, 0, int(delay), 1000, 0, 0),
+        )
+        seq += 1
+        scan = np.concatenate([np.zeros((h, 1), np.uint8), fr.reshape(h, w * ch)], axis=1)
+        payload = zlib.compress(scan.tobytes(), 6)
+        if i == 0:
+            out += _png_chunk(b"IDAT", payload)
+        else:
+            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + payload)
+            seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
 def encode_png(px: np.ndarray) -> bytes:
     """Minimal filter-0 PNG writer for (H, W, C) uint8 (C in 1/2/3/4)."""
     px = np.ascontiguousarray(px, dtype=np.uint8)

@@ -400,7 +400,13 @@ def probe_media(data: bytes) -> Dict[str, Any]:
 def _probe_media_dispatch(data: bytes) -> Dict[str, Any]:
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         w, h = struct.unpack_from(">II", data, 16)
-        return {"container": "png", "kind": "image", "width": w, "height": h, "decodable": True}
+        out = {"container": "png", "kind": "image", "width": w, "height": h, "decodable": True}
+        # r17: APNG — the acTL chunk precedes IDAT, so a bounded scan
+        # of the header area finds it; frame count mirrors GIF's field
+        ix = data.find(b"acTL", 8, 4096)
+        if ix >= 0 and data.find(b"IDAT", 8, ix) < 0:
+            out["n_frames"] = int(struct.unpack_from(">I", data, ix + 4)[0])
+        return out
     if data[:2] == b"\xff\xd8":
         pos = 2
         while pos + 4 <= len(data):

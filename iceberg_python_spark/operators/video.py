@@ -314,6 +314,19 @@ def sample_frames(data: bytes, every_n_ms: int = 1000) -> Iterator[Tuple[int, in
 
         yield from _gif_sample(data, every_n_ms)
         return
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        # r17: animated PNG rides the same cadence model as GIF
+        from .imaging import decode_apng_frames
+
+        frames, delays = decode_apng_frames(data)
+        t = 0
+        next_t = 0
+        for i, (f, d) in enumerate(zip(frames, delays)):
+            if t >= next_t:
+                yield i, t, (f if f.ndim == 3 else f[:, :, None])[:, :, :3]
+                next_t = t + every_n_ms
+            t += max(d, 10)
+        return
     frames, fps = decode_y4m(data)
     step = max(1, int(round(every_n_ms * fps / 1000.0)))
     for i in range(0, len(frames), step):

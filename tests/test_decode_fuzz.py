@@ -78,7 +78,7 @@ def test_structured_corruption_of_round16_containers():
     from iceberg_python_spark.operators.audio import encode_aiff, encode_wav
     from iceberg_python_spark.operators.flac import encode_flac
     from iceberg_python_spark.operators.gif import encode_gif
-    from iceberg_python_spark.operators.imaging import encode_png
+    from iceberg_python_spark.operators.imaging import encode_apng, encode_png
     from iceberg_python_spark.operators.jpeg import encode_jpeg
     from iceberg_python_spark.operators.webp import encode_webp
 
@@ -93,6 +93,7 @@ def test_structured_corruption_of_round16_containers():
         # older codecs under the same sweep (found zlib.error and
         # OverflowError escapes on PNG / JPEG / AIFF payloads)
         "png": (encode_png(img), [decode_image, probe_media]),
+        "apng": (encode_apng([img, img[::-1]], [40, 60]), [decode_image, probe_media]),
         "jpeg": (encode_jpeg(img, quality=90), [decode_image, probe_media]),
         "gif": (encode_gif([gimg, gimg], delays_ms=[50, 50]), [decode_image, probe_media]),
         "webp-vp8l": (encode_webp(img), [decode_image, probe_media]),

@@ -304,3 +304,74 @@ def test_bmp_palette_and_rle():
     # bitfields (compression 3) stays gated
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_image(_build_bmp(2, 1, 16, 3, [], b"\x00" * 8))
+
+
+def test_apng_roundtrip_blend_dispose_and_sampling():
+    """r17: APNG (acTL/fcTL/fdAT) — full-canvas roundtrip, RGBA
+    over-blend on a sub-region, dispose-to-background, cadence
+    sampling via video.sample_frames, and the probe's frame count."""
+    import struct
+    import zlib
+
+    from iceberg_python_spark.operators.imaging import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_apng_frames,
+        decode_image,
+        encode_apng,
+    )
+    from iceberg_python_spark.operators.probe import probe_media
+    from iceberg_python_spark.operators.video import sample_frames
+
+    rng = np.random.default_rng(6)
+    frames = [rng.integers(0, 256, (12, 17, 3), dtype=np.uint8) for _ in range(4)]
+    data = encode_apng(frames, [40, 60, 80, 100])
+    assert encode_apng(frames, [40, 60, 80, 100]) == data
+    out, delays = decode_apng_frames(data)
+    assert delays == [40, 60, 80, 100]
+    assert all((a == b).all() for a, b in zip(out, frames))
+    assert (decode_image(data) == frames[0]).all()  # still path = default image
+    pr = probe_media(data)
+    assert pr["decodable"] is True and pr["n_frames"] == 4
+    assert "n_frames" not in probe_media(
+        __import__("iceberg_python_spark.operators.imaging", fromlist=["encode_png"]).encode_png(frames[0])
+    )
+    sampled = list(sample_frames(data, every_n_ms=100))
+    assert [i for i, _, _ in sampled] == [0, 2]  # 0ms and 100ms marks
+
+    def scanb(px):
+        h, w, c = px.shape
+        rows = np.concatenate([np.zeros((h, 1), np.uint8), px.reshape(h, w * c)], axis=1)
+        return zlib.compress(rows.tobytes(), 6)
+
+    f0 = np.zeros((6, 8, 4), np.uint8)
+    f0[:, :, 0] = 200
+    f0[:, :, 3] = 255
+    sub = np.zeros((2, 3, 4), np.uint8)
+    sub[:, :, 1] = 100
+    sub[:, :, 3] = 128
+    d = bytearray(_PNG_SIG)
+    d += _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 6, 8, 6, 0, 0, 0))
+    d += _png_chunk(b"acTL", struct.pack(">II", 3, 0))
+    d += _png_chunk(b"fcTL", struct.pack(">IIIIIHHBB", 0, 8, 6, 0, 0, 50, 1000, 0, 0))
+    d += _png_chunk(b"IDAT", scanb(f0))
+    d += _png_chunk(b"fcTL", struct.pack(">IIIIIHHBB", 1, 3, 2, 2, 1, 50, 1000, 1, 1))
+    d += _png_chunk(b"fdAT", struct.pack(">I", 2) + scanb(sub))
+    d += _png_chunk(b"fcTL", struct.pack(">IIIIIHHBB", 3, 1, 1, 0, 0, 50, 1000, 0, 0))
+    d += _png_chunk(b"fdAT", struct.pack(">I", 4) + scanb(np.full((1, 1, 4), 9, np.uint8)))
+    d += _png_chunk(b"IEND", b"")
+    fr, _dl = decode_apng_frames(bytes(d))
+    px = fr[1][1, 2]
+    assert abs(int(px[0]) - 100) <= 1 and abs(int(px[1]) - 50) <= 1
+    # dispose 1 cleared the sub-region before frame 3 composited
+    assert (fr[2][1, 2] == 0).all() and (fr[2][0, 0] == 9).all()
+    # sequence-number violation raises
+    bad = bytes(d).replace(struct.pack(">IIIIIHHBB", 3, 1, 1, 0, 0, 50, 1000, 0, 0),
+                           struct.pack(">IIIIIHHBB", 9, 1, 1, 0, 0, 50, 1000, 0, 0))
+    with pytest.raises(ValueError, match="sequence"):
+        decode_apng_frames(bad)
+    # a plain PNG is not an APNG
+    with pytest.raises(ValueError, match="acTL"):
+        decode_apng_frames(
+            __import__("iceberg_python_spark.operators.imaging", fromlist=["encode_png"]).encode_png(frames[0])
+        )
