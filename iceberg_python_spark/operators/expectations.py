@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Sequence
 
+from iceberg_python_spark.operators._local import local_rows_df
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["check_expectations"]
@@ -97,8 +98,8 @@ def check_expectations(df: DataFrame, rules: Sequence[Dict[str, Any]]) -> DataFr
     ]
     if rows:
         reports.append(
-            spark.createDataFrame(
-                rows, "rule string, violations long, n_rows long, passed boolean"
+            local_rows_df(
+                spark, rows, "rule string, violations long, n_rows long, passed boolean"
             )
         )
 
@@ -118,7 +119,8 @@ def check_expectations(df: DataFrame, rules: Sequence[Dict[str, Any]]) -> DataFr
                 nn = nn & F.col(k).isNotNull()
             v = df.select(*keys).where(nn).join(ref, keys, "left_anti").count()
         reports.append(
-            spark.createDataFrame(
+            local_rows_df(
+                spark,
                 [(_rule_name(r), int(v), n_rows, v == 0)],
                 "rule string, violations long, n_rows long, passed boolean",
             )

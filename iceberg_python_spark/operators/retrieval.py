@@ -176,7 +176,10 @@ def bm25_topk(
     df_rows = (
         cand.groupBy("term").agg(F.countDistinct(id_col).alias("df_t")).collect()
     )
-    idf_df = docs.sparkSession.createDataFrame(
+    from iceberg_python_spark.operators._local import local_rows_df
+
+    idf_df = local_rows_df(
+        docs.sparkSession,
         [(r["term"], exact_idf_micro(n_docs, int(r["df_t"]))) for r in df_rows],
         "term: string, idf_micro: long",
     )
@@ -272,7 +275,9 @@ def phrase_search(
         seqs.append(toks)
     all_terms = sorted({t for s in seqs for t in s})
     spark = docs.sparkSession
-    terms_df = spark.createDataFrame([(t,) for t in all_terms], "term: string")
+    from iceberg_python_spark.operators._local import local_rows_df
+
+    terms_df = local_rows_df(spark, [(t,) for t in all_terms], "term: string")
     base = index if index is not None else build_positional_index(docs, text_col, id_col)
     pos = base.join(F.broadcast(terms_df), "term", "left_semi")
     pos = pos.localCheckpoint(eager=True)  # reused once per distinct phrase length
