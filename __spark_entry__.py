@@ -1289,7 +1289,7 @@ def _q_dedup_minhash_invariants(spark, env):
     trail, so the claim costs no pipeline recompute."""
     from iceberg_python_spark.operators.dedup import minhash_dedup
 
-    docs = env["docs_dup"].scan(selected_fields=("doc_id", "text")).to_df()
+    docs = _widen(env["docs_dup"].scan(selected_fields=("doc_id", "text")).to_df())
     parts = minhash_dedup(
         docs, "doc_id", "text", threshold=0.7, max_bucket_size=None, return_pairs=True
     )
@@ -1340,9 +1340,9 @@ def _q_dedup_jaccard_invariants(spark, env):
         ngram_jaccard_pairs,
     )
 
-    docs = env["docs_dup"].scan(
-        selected_fields=("doc_id", "text", "lang", "n_chars")
-    ).to_df().select("doc_id", "text", "lang", (F.floor(F.col("n_chars") / 64)).alias("_lb"))
+    docs = _widen(
+        env["docs_dup"].scan(selected_fields=("doc_id", "text", "lang", "n_chars")).to_df()
+    ).select("doc_id", "text", "lang", (F.floor(F.col("n_chars") / 64)).alias("_lb"))
     exact = jaccard_prefix_join(
         docs, "doc_id", "text", threshold=0.8, block_cols=["lang", "_lb"]
     ).select("id_a", "id_b")
@@ -1405,7 +1405,7 @@ def _q_dedup_simhash_invariants(spark, env):
     checked pair-by-pair, O(candidates))."""
     from iceberg_python_spark.operators.dedup import simhash, simhash_candidates
 
-    docs = env["docs_dup"].scan(selected_fields=("doc_id", "text")).to_df()
+    docs = _widen(env["docs_dup"].scan(selected_fields=("doc_id", "text")).to_df())
     sh = simhash(docs, "text").localCheckpoint(eager=True)  # candidates + band check
     cands = simhash_candidates(sh, "doc_id").localCheckpoint(eager=True)
     norm = F.trim(
@@ -1939,7 +1939,7 @@ def _q_pipeline_curation_invariants(spark, env):
     from iceberg_python_spark.operators.text import contamination_flags
     from iceberg_python_spark.pipeline import curate_corpus
 
-    docs = env["documents"].scan(selected_fields=("doc_id", "text", "source")).to_df()
+    docs = _widen(env["documents"].scan(selected_fields=("doc_id", "text", "source")).to_df())
     # a deterministic slice of the corpus itself is the benchmark: its
     # docs share every one of their 13-grams with the corpus, so the
     # decontamination stage must remove them (and any other doc
@@ -3697,7 +3697,7 @@ def _q_quality_classifier_score(spark, env):
 
     from iceberg_python_spark.operators.classifier import score_quality_classifier
 
-    docs = env["documents"].scan(selected_fields=("doc_id", "text")).to_df()
+    docs = _widen(env["documents"].scan(selected_fields=("doc_id", "text")).to_df())
     w = ((np.arange(4096) % 7) - 3).astype(np.float64)
     return score_quality_classifier(docs, "text", w, 0.0, id_col="doc_id").select(
         "doc_id", "quality_logit"
@@ -3721,7 +3721,7 @@ def _q_quality_classifier_invariants(spark, env):
         train_quality_classifier,
     )
 
-    ids = env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 300")
+    ids = _widen(env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 300"))
 
     def synth(kind):
         def gen(batches):
@@ -3964,6 +3964,21 @@ def _scaled_shuffle(spark, n_keys, per_partition=1):
         yield parts
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _widen(df):
+    """Widen a narrow scan to the session's parallelism before heavy
+    per-row work (guide §2.5 "input skew / repartition after the read").
+    The local sf files are a single 128MB-split scan partition, so every
+    pre-exchange map stage (tokenizers, hashing, decoders) would run in
+    ONE task on a 32-core session. No-op when the scan is already at
+    least as wide as the session (the 100 TB case — real scans carry
+    thousands of partitions), so this never SHRINKS parallelism."""
+    spark = df.sparkSession
+    dp = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < dp:
+        return df.repartition(dp)
+    return df
 
 
 def _claims(spark, **flags):
@@ -4735,12 +4750,14 @@ def _q_tdigest_quantile_invariants(spark, env):
     whole = tdigest_build(li, "l_extendedprice", ["l_returnflag"]).localCheckpoint(
         eager=True
     )
-    parts = None
-    for i in range(3):
-        b = tdigest_build(
-            li.where(F.col("l_orderkey") % 3 == i), "l_extendedprice", ["l_returnflag"]
-        )
-        parts = b if parts is None else parts.unionByName(b)
+    # one pass for all three per-batch digests (batch id as a group
+    # column — identical partials, 3 mapInPandas passes -> 1; see the
+    # mg_heavy_hitters row for the measured effect)
+    parts = tdigest_build(
+        li.withColumn("_b", F.col("l_orderkey") % 3),
+        "l_extendedprice",
+        ["l_returnflag", "_b"],
+    ).drop("_b")
     merged = tdigest_merge(parts, ["l_returnflag"])
 
     def rank_claims(digests, out_name):
@@ -5811,10 +5828,15 @@ def _q_mg_heavy_hitters_invariants(spark, env):
         return bounds.join(complete, "g")
 
     whole = mg_build(df, "v", ["g"], m=m).localCheckpoint(eager=True)
-    parts = None
-    for i in range(3):
-        b = mg_build(df.where(F.col("l_orderkey") % 3 == i), "v", ["g"], m=m)
-        parts = b if parts is None else parts.unionByName(b)
+    # ONE pass builds all three per-batch summaries: the batch id is
+    # just another group column — each (g, batch) cell sees exactly the
+    # rows the per-batch build saw, so the partials (and the merge
+    # input) are identical while 3 full mapInPandas passes collapse
+    # into 1 (measured 7.2s -> 2.5s for this block at sf0.1; guide §1.2
+    # "remove unnecessary passes")
+    parts = mg_build(
+        df.withColumn("_b", F.col("l_orderkey") % 3), "v", ["g", "_b"], m=m
+    ).drop("_b")
     merged = mg_merge(parts, ["g"], m=m).localCheckpoint(eager=True)
     c1 = checks(whole)
     c2 = checks(merged).select(

@@ -109,8 +109,37 @@ def train_quality_classifier(
     labeled = pos.select(F.col(text_col).alias("t"), F.lit(1.0).alias("y")).unionByName(
         neg.select(F.col(text_col).alias("t"), F.lit(0.0).alias("y"))
     )
-    labeled = labeled.localCheckpoint(eager=True)
-    n = labeled.count()
+
+    # featurize ONCE: the hashed gram buckets of a document never change
+    # across iterations, so md5-hashing every gram anew in each of the
+    # ``iters`` gradient passes is pure waste (guide §1.2 — fix the
+    # per-task work after the pass structure). The checkpointed frame
+    # carries only (idx array, y); per-iteration passes are then a
+    # sigmoid + scatter-add over precomputed indices.
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "idx": [
+                        _doc_buckets(text, dim).tolist() for text in pdf["t"]
+                    ],
+                    "y": pdf["y"].astype(float),
+                }
+            )
+
+    feat = labeled.mapInPandas(featurize, schema="idx array<int>, y double")
+    # narrow the iteration frame: each of the ``iters`` gradient passes
+    # pays one Python task round trip per partition, and the driver-side
+    # reduce folds one dim-vector per partition — with the featurize
+    # pass fanned wide for hashing parallelism, folding 64 near-empty
+    # partials per iteration costs far more than it wins. 8 partitions
+    # bounds both (coalesce, no shuffle; the 100 TB case keeps its
+    # width because coalesce never widens).
+    feat = feat.coalesce(8)
+    feat = feat.localCheckpoint(eager=True)
+    n = feat.count()
     if n == 0:
         raise ValueError("train_quality_classifier: empty training set")
     w = np.zeros(dim, dtype=np.float64)
@@ -126,8 +155,8 @@ def train_quality_classifier(
                 g = np.zeros(dim, dtype=np.float64)
                 gb = 0.0
                 loss = 0.0
-                for text, y in zip(pdf["t"], pdf["y"]):
-                    idx = _doc_buckets(text, dim)
+                for idx, y in zip(pdf["idx"], pdf["y"]):
+                    idx = np.asarray(idx, dtype=np.int64)
                     z = _b + _w[idx].sum()
                     p = 1.0 / (1.0 + np.exp(-z))
                     err = p - y
@@ -140,7 +169,7 @@ def train_quality_classifier(
                 )
 
         agg = (
-            labeled.mapInPandas(partials, schema="g array<double>, gb double, loss double")
+            feat.mapInPandas(partials, schema="g array<double>, gb double, loss double")
             .agg(
                 F.aggregate(
                     F.collect_list("g"),

@@ -189,6 +189,13 @@ def minhash_lsh_candidates(
 
         w = Window.partitionBy("band", "bucket")
         buckets = buckets.withColumn("_bsz", F.count("*").over(w)).where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+    # persist before the self-join: both join sides otherwise re-derive
+    # the full minhash-signature subtree (tokenizer + k hashes per
+    # shingle), doubling the most expensive stage of the pipeline. The
+    # bucket rows are narrow (id, band, bucket) — O(docs * bands).
+    from pyspark.storagelevel import StorageLevel
+
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -215,6 +222,12 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with jaccard >= threshold."""
     sh = with_ngram_shingles(df, text_col, n=shingle_n).select(F.col(id_col), F.col("shingles"))
+    # persist: the verify join references the shingled frame on BOTH
+    # sides, and Catalyst would otherwise run the tokenizer + shingler
+    # regexes twice (the jaccard_prefix_join persist, same reason)
+    from pyspark.storagelevel import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     if candidates is None:
         a, b = sh.alias("a"), sh.alias("b")
         joined = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

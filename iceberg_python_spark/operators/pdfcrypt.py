@@ -190,17 +190,121 @@ def _aes_decrypt_block(block: bytes, w: List[List[int]], nr: int) -> bytes:
     return bytes(st)
 
 
+# --- T-table core (the canonical 32-bit formulation of FIPS-197) ---
+# Each Te table packs SubBytes + the MixColumns column product for one
+# byte position, so a round is 16 list lookups + XORs on ints instead
+# of the byte-matrix loops above (~6x fewer Python operations per
+# block; the R6 KDF below runs tens of thousands of blocks per file).
+# The loop versions are kept as the readable spec reference and as the
+# cross-check surface for tests.
+_TE0 = [0] * 256
+for _x in range(256):
+    _s = _SBOX[_x]
+    _TE0[_x] = (_MUL[2][_s] << 24) | (_s << 16) | (_s << 8) | _MUL[3][_s]
+_TE1 = [((t >> 8) | ((t & 0xFF) << 24)) & 0xFFFFFFFF for t in _TE0]
+_TE2 = [((t >> 16) | ((t & 0xFFFF) << 16)) & 0xFFFFFFFF for t in _TE0]
+_TE3 = [((t >> 24) | ((t & 0xFFFFFF) << 8)) & 0xFFFFFFFF for t in _TE0]
+
+_TD0 = [0] * 256
+for _x in range(256):
+    _s = _INV_SBOX[_x]
+    _TD0[_x] = (_MUL[14][_s] << 24) | (_MUL[9][_s] << 16) | (_MUL[13][_s] << 8) | _MUL[11][_s]
+_TD1 = [((t >> 8) | ((t & 0xFF) << 24)) & 0xFFFFFFFF for t in _TD0]
+_TD2 = [((t >> 16) | ((t & 0xFFFF) << 16)) & 0xFFFFFFFF for t in _TD0]
+_TD3 = [((t >> 24) | ((t & 0xFFFFFF) << 8)) & 0xFFFFFFFF for t in _TD0]
+del _x, _s
+
+
+@lru_cache(maxsize=64)
+def _enc_schedule(key: bytes):
+    """Round keys as 32-bit words (+ round count) for the T-table core."""
+    w = _expand_key(key)
+    nr = len(key) // 4 + 6
+    rk = tuple((a << 24) | (b << 16) | (c << 8) | d for a, b, c, d in w)
+    return rk, nr
+
+
+@lru_cache(maxsize=64)
+def _dec_schedule(key: bytes):
+    """Equivalent-inverse-cipher schedule: encryption round keys in
+    reverse order with InvMixColumns applied to the middle rounds."""
+    rk, nr = _enc_schedule(key)
+
+    def imc(word: int) -> int:
+        b0, b1, b2, b3 = word >> 24, (word >> 16) & 0xFF, (word >> 8) & 0xFF, word & 0xFF
+        return (
+            ((_MUL[14][b0] ^ _MUL[11][b1] ^ _MUL[13][b2] ^ _MUL[9][b3]) << 24)
+            | ((_MUL[9][b0] ^ _MUL[14][b1] ^ _MUL[11][b2] ^ _MUL[13][b3]) << 16)
+            | ((_MUL[13][b0] ^ _MUL[9][b1] ^ _MUL[14][b2] ^ _MUL[11][b3]) << 8)
+            | (_MUL[11][b0] ^ _MUL[13][b1] ^ _MUL[9][b2] ^ _MUL[14][b3])
+        )
+
+    ik = list(rk[4 * nr : 4 * nr + 4])
+    for r in range(1, nr):
+        ik.extend(imc(w) for w in rk[4 * (nr - r) : 4 * (nr - r) + 4])
+    ik.extend(rk[0:4])
+    return tuple(ik), nr
+
+
+def _encrypt_block_fast(block: bytes, rk, nr: int) -> bytes:
+    te0, te1, te2, te3, sb = _TE0, _TE1, _TE2, _TE3, _SBOX
+    s0 = int.from_bytes(block[0:4], "big") ^ rk[0]
+    s1 = int.from_bytes(block[4:8], "big") ^ rk[1]
+    s2 = int.from_bytes(block[8:12], "big") ^ rk[2]
+    s3 = int.from_bytes(block[12:16], "big") ^ rk[3]
+    k = 4
+    for _ in range(nr - 1):
+        t0 = te0[s0 >> 24] ^ te1[(s1 >> 16) & 0xFF] ^ te2[(s2 >> 8) & 0xFF] ^ te3[s3 & 0xFF] ^ rk[k]
+        t1 = te0[s1 >> 24] ^ te1[(s2 >> 16) & 0xFF] ^ te2[(s3 >> 8) & 0xFF] ^ te3[s0 & 0xFF] ^ rk[k + 1]
+        t2 = te0[s2 >> 24] ^ te1[(s3 >> 16) & 0xFF] ^ te2[(s0 >> 8) & 0xFF] ^ te3[s1 & 0xFF] ^ rk[k + 2]
+        t3 = te0[s3 >> 24] ^ te1[(s0 >> 16) & 0xFF] ^ te2[(s1 >> 8) & 0xFF] ^ te3[s2 & 0xFF] ^ rk[k + 3]
+        s0, s1, s2, s3 = t0, t1, t2, t3
+        k += 4
+    o0 = ((sb[s0 >> 24] << 24) | (sb[(s1 >> 16) & 0xFF] << 16) | (sb[(s2 >> 8) & 0xFF] << 8) | sb[s3 & 0xFF]) ^ rk[k]
+    o1 = ((sb[s1 >> 24] << 24) | (sb[(s2 >> 16) & 0xFF] << 16) | (sb[(s3 >> 8) & 0xFF] << 8) | sb[s0 & 0xFF]) ^ rk[k + 1]
+    o2 = ((sb[s2 >> 24] << 24) | (sb[(s3 >> 16) & 0xFF] << 16) | (sb[(s0 >> 8) & 0xFF] << 8) | sb[s1 & 0xFF]) ^ rk[k + 2]
+    o3 = ((sb[s3 >> 24] << 24) | (sb[(s0 >> 16) & 0xFF] << 16) | (sb[(s1 >> 8) & 0xFF] << 8) | sb[s2 & 0xFF]) ^ rk[k + 3]
+    return (
+        o0.to_bytes(4, "big") + o1.to_bytes(4, "big") + o2.to_bytes(4, "big") + o3.to_bytes(4, "big")
+    )
+
+
+def _decrypt_block_fast(block: bytes, ik, nr: int) -> bytes:
+    td0, td1, td2, td3, isb = _TD0, _TD1, _TD2, _TD3, _INV_SBOX
+    s0 = int.from_bytes(block[0:4], "big") ^ ik[0]
+    s1 = int.from_bytes(block[4:8], "big") ^ ik[1]
+    s2 = int.from_bytes(block[8:12], "big") ^ ik[2]
+    s3 = int.from_bytes(block[12:16], "big") ^ ik[3]
+    k = 4
+    for _ in range(nr - 1):
+        t0 = td0[s0 >> 24] ^ td1[(s3 >> 16) & 0xFF] ^ td2[(s2 >> 8) & 0xFF] ^ td3[s1 & 0xFF] ^ ik[k]
+        t1 = td0[s1 >> 24] ^ td1[(s0 >> 16) & 0xFF] ^ td2[(s3 >> 8) & 0xFF] ^ td3[s2 & 0xFF] ^ ik[k + 1]
+        t2 = td0[s2 >> 24] ^ td1[(s1 >> 16) & 0xFF] ^ td2[(s0 >> 8) & 0xFF] ^ td3[s3 & 0xFF] ^ ik[k + 2]
+        t3 = td0[s3 >> 24] ^ td1[(s2 >> 16) & 0xFF] ^ td2[(s1 >> 8) & 0xFF] ^ td3[s0 & 0xFF] ^ ik[k + 3]
+        s0, s1, s2, s3 = t0, t1, t2, t3
+        k += 4
+    o0 = ((isb[s0 >> 24] << 24) | (isb[(s3 >> 16) & 0xFF] << 16) | (isb[(s2 >> 8) & 0xFF] << 8) | isb[s1 & 0xFF]) ^ ik[k]
+    o1 = ((isb[s1 >> 24] << 24) | (isb[(s0 >> 16) & 0xFF] << 16) | (isb[(s3 >> 8) & 0xFF] << 8) | isb[s2 & 0xFF]) ^ ik[k + 1]
+    o2 = ((isb[s2 >> 24] << 24) | (isb[(s1 >> 16) & 0xFF] << 16) | (isb[(s0 >> 8) & 0xFF] << 8) | isb[s3 & 0xFF]) ^ ik[k + 2]
+    o3 = ((isb[s3 >> 24] << 24) | (isb[(s2 >> 16) & 0xFF] << 16) | (isb[(s1 >> 8) & 0xFF] << 8) | isb[s0 & 0xFF]) ^ ik[k + 3]
+    return (
+        o0.to_bytes(4, "big") + o1.to_bytes(4, "big") + o2.to_bytes(4, "big") + o3.to_bytes(4, "big")
+    )
+
+
 def aes_encrypt_block(key: bytes, block: bytes) -> bytes:
     """One-block ECB encrypt (the FIPS-197 known-answer surface)."""
     if len(key) not in (16, 24, 32) or len(block) != 16:
         raise ValueError("AES takes a 16/24/32-byte key and one 16-byte block")
-    return _aes_encrypt_block(block, _expand_key(key), len(key) // 4 + 6)
+    rk, nr = _enc_schedule(key)
+    return _encrypt_block_fast(block, rk, nr)
 
 
 def aes_decrypt_block(key: bytes, block: bytes) -> bytes:
     if len(key) not in (16, 24, 32) or len(block) != 16:
         raise ValueError("AES takes a 16/24/32-byte key and one 16-byte block")
-    return _aes_decrypt_block(block, _expand_key(key), len(key) // 4 + 6)
+    ik, nr = _dec_schedule(key)
+    return _decrypt_block_fast(block, ik, nr)
 
 
 def aes_cbc_decrypt(key: bytes, data: bytes, unpad: bool = True) -> bytes:
@@ -208,15 +312,16 @@ def aes_cbc_decrypt(key: bytes, data: bytes, unpad: bool = True) -> bytes:
     ciphertext with PKCS#5 padding (§7.6.3.1)."""
     if len(data) < 16 or len(data) % 16:
         raise ValueError("AES-CBC data must be IV + whole blocks")
-    w = _expand_key(key)
-    nr = len(key) // 4 + 6
+    ik, nr = _dec_schedule(key)
     iv = data[:16]
     out = bytearray()
     prev = iv
     for off in range(16, len(data), 16):
         blk = data[off : off + 16]
-        dec = _aes_decrypt_block(blk, w, nr)
-        out += bytes(a ^ b for a, b in zip(dec, prev))
+        dec = _decrypt_block_fast(blk, ik, nr)
+        out += int.to_bytes(
+            int.from_bytes(dec, "big") ^ int.from_bytes(prev, "big"), 16, "big"
+        )
         prev = blk
     if not unpad:
         return bytes(out)
@@ -235,13 +340,16 @@ def aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
         raise ValueError("IV must be 16 bytes")
     pad = 16 - len(data) % 16
     data = data + bytes([pad]) * pad
-    w = _expand_key(key)
-    nr = len(key) // 4 + 6
+    rk, nr = _enc_schedule(key)
     out = bytearray(iv)
     prev = iv
     for off in range(0, len(data), 16):
-        blk = bytes(a ^ b for a, b in zip(data[off : off + 16], prev))
-        prev = _aes_encrypt_block(blk, w, nr)
+        blk = int.to_bytes(
+            int.from_bytes(data[off : off + 16], "big") ^ int.from_bytes(prev, "big"),
+            16,
+            "big",
+        )
+        prev = _encrypt_block_fast(blk, rk, nr)
         out += prev
     return bytes(out)
 
