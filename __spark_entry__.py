@@ -2575,7 +2575,9 @@ def _q_multimodal_image_decode(spark, env):
     from iceberg_python_spark.operators.imaging import encode_png
     from iceberg_python_spark.operators.multimodal import extract_image_stats
 
-    docs = env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 500")
+    docs = _widen(
+        env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 500")
+    )  # spread the per-payload codec work
 
     def gen(batches):
         for pdf in batches:
@@ -2738,7 +2740,9 @@ def _q_multimodal_video_frames(spark, env):
     from iceberg_python_spark.operators.multimodal import extract_video_frames
     from iceberg_python_spark.operators.video import encode_avi, encode_y4m
 
-    docs = env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 300")
+    docs = _widen(
+        env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 300")
+    )  # spread the per-payload codec work
 
     def gen(batches):
         for pdf in batches:
@@ -3054,7 +3058,9 @@ def _q_multimodal_audio_decode(spark, env):
     from iceberg_python_spark.operators.audio import encode_wav, encode_wav_g711
     from iceberg_python_spark.operators.multimodal import extract_audio_stats
 
-    docs = env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 400")
+    docs = _widen(
+        env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 400")
+    )  # spread the per-payload codec work (the bare scan is ONE split)
 
     def gen(batches):
         for pdf in batches:
@@ -4115,10 +4121,30 @@ def _q_spark_datasource_rt(spark, env):
 def _q_dedup_clusters_combined(spark, env):
     # the three connected-components variants (hash-min, default
     # params, star topology) union with a variant tag — same schema,
-    # full per-doc component assignments kept, one slot
-    base = _q_dedup_clusters(spark, env).select(F.lit("base").alias("variant"), "*")
-    dflt = _q_dedup_clusters_default(spark, env).select(F.lit("default").alias("variant"), "*")
-    star = _q_dedup_clusters_star(spark, env).select(F.lit("star").alias("variant"), "*")
+    # full per-doc component assignments kept, one slot. The edge set
+    # is identical for all three, so the expensive prefix-filter
+    # jaccard join runs ONCE (checkpointed) instead of once per variant
+    # (guide §1.2 — each _q_dedup_clusters* builds its own pairs when
+    # run standalone; the fold shares them)
+    from iceberg_python_spark.operators.dedup import connected_components, jaccard_prefix_join
+
+    docs = _widen(
+        env["docs_dup"].scan(selected_fields=("doc_id", "text", "lang", "n_chars")).to_df()
+    ).select("doc_id", "text", "lang", (F.floor(F.col("n_chars") / 64)).alias("_lb"))
+    pairs = (
+        jaccard_prefix_join(docs, "doc_id", "text", threshold=0.8, block_cols=["lang", "_lb"])
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    base = connected_components(pairs, driver_threshold=0).select(
+        F.lit("base").alias("variant"), F.col("node").alias("doc_id"), "component_id"
+    )
+    dflt = connected_components(pairs).select(
+        F.lit("default").alias("variant"), F.col("node").alias("doc_id"), "component_id"
+    )
+    star = connected_components(pairs, driver_threshold=0, algorithm="star").select(
+        F.lit("star").alias("variant"), F.col("node").alias("doc_id"), "component_id"
+    )
     return base.unionByName(dflt).unionByName(star)
 
 

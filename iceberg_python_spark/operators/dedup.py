@@ -484,6 +484,28 @@ def embedding_neardup_pairs(
     )
 
 
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _edge_scaled_shuffle(spark, n_edges: int, per_partition: int = 50000):
+    """Size the per-round shuffles of an iterative CC loop from the
+    EDGE COUNT (guide §2: scale-adaptive partitioning): ~50k edges per
+    partition, clamped to the session width. Threshold-pruned near-dup
+    edge lists are tiny relative to the corpus, and every loop round is
+    2+ shuffles — 32 near-empty partitions per round cost more in task
+    launches than they win. The session width stays the upper bound, so
+    billion-edge graphs keep their configured parallelism."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = max(2, min(int(old), n_edges // max(per_partition, 1) + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
     """Alternating large-star/small-star connected components (Kiveris
     et al., "Connected Components in MapReduce and Beyond", SoCC'14,
@@ -587,7 +609,8 @@ def connected_components(
     edges = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(eager=True)
     n_edges = edges.count()  # free: checkpointed
     if algorithm == "star" and n_edges > driver_threshold:
-        return _cc_star(edges, max_iter)
+        with _edge_scaled_shuffle(edges.sparkSession, n_edges):
+            return _cc_star(edges, max_iter)
     if n_edges <= driver_threshold:
         # small-graph fast path: near-dup edge lists are threshold-pruned
         # and usually tiny relative to the corpus, so a driver union-find
@@ -629,6 +652,15 @@ def connected_components(
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
     labels = labels.localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
+    _ctx = _edge_scaled_shuffle(edges.sparkSession, n_edges)
+    _ctx.__enter__()
+    try:
+        return _cc_hashmin_loop(sym, labels, max_iter)
+    finally:
+        _ctx.__exit__(None, None, None)
+
+
+def _cc_hashmin_loop(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.v == labels.node)

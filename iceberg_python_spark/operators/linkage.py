@@ -89,14 +89,27 @@ def record_linkage(
     for i in range(len(block_on)):
         c = F.col(f"_lb{i}") == F.col(f"_rb{i}")
         cond = c if cond is None else cond & c
+    # thresholded levenshtein (banded DP, Spark 3.5+): the unbounded
+    # form fills the full O(|l|*|r|) matrix per candidate pair; with the
+    # threshold it early-exits past max_distance and returns -1. Any
+    # per-column distance > max_distance already exceeds the summed
+    # cutoff, so dropping -1 rows is exactly the old filter.
+    ds = [
+        F.levenshtein(F.col(f"_lc{i}"), F.col(f"_rc{i}"), max_distance)
+        for i in range(len(compare))
+    ]
+    in_band = None
+    for d in ds:
+        c = d >= 0
+        in_band = c if in_band is None else in_band & c
     dist = None
-    for i in range(len(compare)):
-        d = F.levenshtein(F.col(f"_lc{i}"), F.col(f"_rc{i}"))
+    for d in ds:
         dist = d if dist is None else dist + d
     cand = (
         a.join(b, cond)
-        .select("_lid", "_rid", dist.alias("distance"))
-        .where(F.col("distance") <= max_distance)
+        .select("_lid", "_rid", in_band.alias("_ib"), dist.alias("distance"))
+        .where(F.col("_ib") & (F.col("distance") <= max_distance))
+        .drop("_ib")
     )
     if best_only:
         w = Window.partitionBy("_lid").orderBy("distance", "_rid")
