@@ -1460,7 +1460,8 @@ def _q_dedup_jaccard_blocked(spark, env):
 def _q_embedding_neardup(spark, env):
     from iceberg_python_spark.operators.dedup import embedding_neardup_pairs
 
-    emb = env["embeddings"].scan().to_df()
+    emb = _widen(env["embeddings"].scan().to_df())  # 1-split scan; the
+    # blocked cosine self-join's map side is CPU-bound per row
     return embedding_neardup_pairs(emb, "vec_id", "embedding", block_cols=["label"], threshold=0.9)
 
 
@@ -2062,7 +2063,8 @@ def _q_semantic_dedup_invariants(spark, env):
     from iceberg_python_spark.operators.dedup import connected_components
 
     copies = base.where("vec_id % 10 = 0").withColumn("vec_id", F.col("vec_id") + 100000)
-    emb = base.unionByName(copies)
+    emb = _widen(base.unionByName(copies))  # 2-split union; k-means +
+    # blocked cosine join are CPU-bound per row
     # one clustering + one pair join serve BOTH the dedup and the checks
     # (semantic_dedup composes exactly these pieces; recomputing them
     # would run k-means and the blocked join twice for the same result)
@@ -4037,10 +4039,47 @@ def _q_multimodal_decode_combined(spark, env):
 
 
 def _q_ann_recall_combined(spark, env):
-    # LSH + IVF + PQ recall rows (3 former rows) in one slot
-    out = _prefixed(_q_ann_lsh_recall(spark, env), "lsh_")
-    for fn, p in ((_q_ann_ivf_recall, "ivf_"), (_q_ann_pq_recall, "pq_")):
-        out = out.crossJoin(F.broadcast(_prefixed(fn(spark, env), p)))
+    # LSH + IVF + PQ recall rows (3 former rows) in one slot. All three
+    # compare against the SAME exact top-k, so the brute-force pass
+    # runs once (checkpointed) instead of once per variant (guide §1.2;
+    # the standalone _q_ann_*_recall functions keep their own when run
+    # alone)
+    from iceberg_python_spark.operators.similarity import (
+        brute_force_cosine_topk,
+        ivf_ann_topk,
+        lsh_ann_topk,
+        pq_ann_topk,
+    )
+
+    emb = env["embeddings"].scan().to_df()
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = (
+        brute_force_cosine_topk(emb, q, "vec_id", "embedding", k=10)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    lsh_full = lsh_ann_topk(
+        emb, q, "vec_id", "embedding", k=10, multiprobe_bits=2
+    ).localCheckpoint(eager=True)
+    lsh = _recall_invariant(
+        exact, lsh_full.select("query_id", "vec_id"), 0.25, approx_full=lsh_full, k=10
+    )
+    ivf_full = ivf_ann_topk(
+        emb, q, "vec_id", "embedding", k=10, n_centroids=32, nprobe=8, sample_size=5000
+    ).localCheckpoint(eager=True)
+    ivf = _recall_invariant(
+        exact, ivf_full.select("query_id", "vec_id"), 0.5, approx_full=ivf_full, k=10
+    )
+    pq = _recall_invariant(
+        exact,
+        pq_ann_topk(emb, q, "vec_id", "embedding", k=10, rerank_factor=8).select(
+            "query_id", "vec_id"
+        ),
+        0.5,
+    )
+    out = _prefixed(lsh, "lsh_")
+    for sub, p in ((ivf, "ivf_"), (pq, "pq_")):
+        out = out.crossJoin(F.broadcast(_prefixed(sub, p)))
     return out
 
 
@@ -4719,10 +4758,11 @@ def _q_hll_sketch_invariants(spark, env):
     whole = hll_build(docs, "text", ["source"]).localCheckpoint(eager=True)
     est = hll_estimate(whole, ["source"]).select("source", "est_distinct")
     exact = docs.groupBy("source").agg(F.countDistinct("text").alias("n_exact"))
-    parts = None
-    for i in range(3):
-        b = hll_build(docs.where(F.col("doc_id") % 3 == i), "text", ["source"])
-        parts = b if parts is None else parts.unionByName(b)
+    # one scan for all three per-batch sketches (batch id as a group
+    # column — identical register sets; see the mg_heavy_hitters row)
+    parts = hll_build(
+        docs.withColumn("_b", F.col("doc_id") % 3), "text", ["source", "_b"]
+    ).drop("_b")
     merged = hll_merge(parts, ["source"])
     merge_eq = (
         whole.alias("a")
@@ -4963,10 +5003,11 @@ def _q_theta_sketch_invariants(spark, env):
     whole = theta_build(docs, "text", ["source"]).localCheckpoint(eager=True)
     est = theta_estimate(whole, ["source"]).select("source", "est_distinct")
     exact = docs.groupBy("source").agg(F.countDistinct("text").alias("n_exact"))
-    parts = None
-    for i in range(3):
-        b = theta_build(docs.where(F.col("doc_id") % 3 == i), "text", ["source"])
-        parts = b if parts is None else parts.unionByName(b)
+    # one pass for all three per-batch sketches (batch id as a group
+    # column — identical partials; see the mg_heavy_hitters row)
+    parts = theta_build(
+        docs.withColumn("_b", F.col("doc_id") % 3), "text", ["source", "_b"]
+    ).drop("_b")
     merged = theta_merge(parts, ["source"])
     merge_eq = (
         whole.alias("a")
