@@ -1940,7 +1940,12 @@ def _q_pipeline_curation_invariants(spark, env):
     from iceberg_python_spark.operators.text import contamination_flags
     from iceberg_python_spark.pipeline import curate_corpus
 
-    docs = _widen(env["documents"].scan(selected_fields=("doc_id", "text", "source")).to_df())
+    # NOT _widen()ed: the curation stages checkpoint + reshuffle at
+    # every step anyway, and the rule gate's per-row work is cheap —
+    # A/B'd at +2.9s for the widened form (32 task launches per stage
+    # materialization vs one fat scan task that the first exchange
+    # rebalances regardless)
+    docs = env["documents"].scan(selected_fields=("doc_id", "text", "source")).to_df()
     # a deterministic slice of the corpus itself is the benchmark: its
     # docs share every one of their 13-grams with the corpus, so the
     # decontamination stage must remove them (and any other doc
@@ -3729,7 +3734,11 @@ def _q_quality_classifier_invariants(spark, env):
         train_quality_classifier,
     )
 
-    ids = _widen(env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 300"))
+    # NOT _widen()ed: 300 ids / 20-word synthetic docs — widening to 32
+    # partitions made every synth checkpoint and all 12 iteration
+    # passes pay 32 Python task launches for ~10 rows each (A/B'd at
+    # +3.2s for the widened form)
+    ids = env["documents"].scan(selected_fields=("doc_id",)).to_df().where("doc_id < 300")
 
     def synth(kind):
         def gen(batches):

@@ -114,13 +114,16 @@ def curate_corpus(
         gate = F.lit(True)
         for name in quality_flags:
             gate = gate & F.col(name)
-    # Each stage is materialized ONCE (eager localCheckpoint, blocks
+    # Each stage is materialized ONCE (localCheckpoint, blocks
     # GC-released with the result): the per-stage counts are part of
     # the pipeline's contract, and without materialization every
     # downstream count would re-execute the entire upstream chain (a
     # recompute pyramid — the quality gate would run six times).
+    # eager=False everywhere a count follows immediately: the count is
+    # the action that materializes the checkpoint blocks, so each
+    # stage costs ONE job instead of a materialize job + a count job.
     kept = flags_df.where(gate).select(id_col)
-    quality = docs.join(kept, id_col, "left_semi").localCheckpoint(eager=True)
+    quality = docs.join(kept, id_col, "left_semi").localCheckpoint(eager=False)
     stats["after_quality"] = quality.count()
 
     if quality_top_deciles is not None:
@@ -132,10 +135,10 @@ def curate_corpus(
         scored = ngram_lm_perplexity(quality, text_col, id_col)
         # checkpointed: feeds the keep filter AND is returned for
         # decile-population audits (out["quality_bins"])
-        binned = quality_deciles(scored, "ppl", id_col).localCheckpoint(eager=True)
+        binned = quality_deciles(scored, "ppl", id_col).localCheckpoint(eager=False)
         quality_bins = binned
         keep_ids = binned.where(F.col("bucket") <= int(quality_top_deciles)).select(id_col)
-        quality = quality.join(keep_ids, id_col, "left_semi").localCheckpoint(eager=True)
+        quality = quality.join(keep_ids, id_col, "left_semi").localCheckpoint(eager=False)
     else:
         quality_bins = None
     stats["after_model_quality"] = quality.count()
@@ -147,7 +150,7 @@ def curate_corpus(
 
         quality = cap_per_group(
             quality, source_col, id_col, int(max_docs_per_source), salt=salt
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         stats["after_source_cap"] = quality.count()
 
     if dsir_target_df is not None and dsir_keep is not None:
@@ -160,13 +163,13 @@ def curate_corpus(
         picked = dsir_select(
             quality.select(id_col, text_col), dsir_target_df, text_col, id_col, k=int(dsir_keep)
         ).select(id_col)
-        quality = quality.join(picked, id_col, "left_semi").localCheckpoint(eager=True)
+        quality = quality.join(picked, id_col, "left_semi").localCheckpoint(eager=False)
         stats["after_dsir"] = quality.count()
 
-    exact = normalized_dedup(quality, text_col, id_col).localCheckpoint(eager=True)
+    exact = normalized_dedup(quality, text_col, id_col).localCheckpoint(eager=False)
     stats["after_exact_dedup"] = exact.count()
 
-    neardup = minhash_dedup(exact, id_col, text_col, threshold=neardup_threshold).localCheckpoint(eager=True)
+    neardup = minhash_dedup(exact, id_col, text_col, threshold=neardup_threshold).localCheckpoint(eager=False)
     stats["after_neardup"] = neardup.count()
 
     if span_removal_k is not None:
@@ -176,7 +179,7 @@ def curate_corpus(
         # total is reported instead
         rewritten = remove_duplicated_spans(
             neardup, id_col, text_col, k=int(span_removal_k), min_span=span_removal_min
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         stats["span_tokens_removed"] = (
             rewritten.agg(F.sum("n_removed_tokens")).first()[0] or 0
         )
@@ -188,12 +191,12 @@ def curate_corpus(
         )
         # checkpointed: the corpus-vs-benchmark n-gram join is the most
         # expensive stage and feeds both the count and the split
-        decontaminated = neardup.join(contaminated, id_col, "left_anti").localCheckpoint(eager=True)
+        decontaminated = neardup.join(contaminated, id_col, "left_anti").localCheckpoint(eager=False)
     else:
         decontaminated = neardup
     stats["after_decontamination"] = decontaminated.count()
 
-    clean = dataset_split(decontaminated, id_col, fractions, salt=salt).localCheckpoint(eager=True)
+    clean = dataset_split(decontaminated, id_col, fractions, salt=salt).localCheckpoint(eager=False)
     train = clean.where(F.col("split") == "train")
     stats["train"] = train.count()
 
@@ -209,7 +212,7 @@ def curate_corpus(
         train_token_budget,
         alpha=mixture_alpha,
         salt=salt,
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     stats["mixture_docs"] = mixture.count()
 
     packed = pack_sequences(
@@ -276,7 +279,7 @@ def curate_incremental(
             new_docs.withColumn("_digest", F.md5(norm))
             .join(seen, "_digest", "left_anti")
             .drop("_digest")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     pre_stats["after_cross_batch_dedup"] = new_docs.count()
 

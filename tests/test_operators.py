@@ -1302,6 +1302,26 @@ def test_remove_duplicated_spans_extra_columns_preserved(spark):
     assert got[1].text == "a b c" and got[1].source == "s1" and got[1].n_removed_tokens == 0
 
 
+def test_curate_corpus_stage_materialization(spark):
+    """r17: stage checkpoints are lazy (the per-stage count is the job
+    that materializes them) but every returned frame must still be a
+    lineage-truncated checkpoint by the time curate_corpus returns —
+    re-consuming it reads persisted blocks, not the upstream chain."""
+    from iceberg_python_spark.pipeline import curate_corpus
+
+    rows = [
+        (i, "s", "the cat and dog is of note here " + " ".join(f"w{i}x{j}" for j in range(55)))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    res = curate_corpus(df, train_token_budget=500, seq_len=64)
+    for name in ("clean", "mixture"):
+        plan = res[name]._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" in plan, f"{name} is not checkpoint-backed:\n{plan}"
+        assert res[name].count() == res[name].count()
+    assert res["clean"].count() == res["stats"]["after_decontamination"]
+
+
 def test_curate_corpus_optional_stages(spark):
     """The three optional stages compose: model-based decile gate,
     span-level rewrite (row-preserving), benchmark decontamination at
