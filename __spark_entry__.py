@@ -4017,33 +4017,65 @@ def _prefixed(df, prefix, keep=()):
     )
 
 
+def _overlap(*thunks):
+    """Build independent sub-frames on driver threads so the jobs each
+    build runs at construction time (eager localCheckpoints, counts,
+    iterative loops) overlap instead of serializing (guide §2.6:
+    actions are only sequential because driver code calls them
+    sequentially; FIFO scheduling back-fills executors freed by one
+    job's tail with the next job's tasks). Returns the frames in thunk
+    order — the COMPOSITION of the combined row is unchanged, only the
+    wall-clock of building it. Each thunk is a pure DataFrame builder
+    over immutable inputs (env table scans), so concurrent construction
+    computes byte-identical frames; exceptions propagate unchanged via
+    Future.result()."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(inheritable_thread_target(t)) for t in thunks]
+        return [f.result() for f in futs]
+
+
 def _q_dedup_invariants_combined(spark, env):
     # minhash + simhash + jaccard + semantic + bloom-decontamination
-    # invariants (5 former rows, 4 of them age-3) in one slot
-    out = _prefixed(_q_dedup_minhash_invariants(spark, env), "mh_")
-    for fn, p in (
-        (_q_dedup_simhash_invariants, "sh_"),
-        (_q_dedup_jaccard_invariants, "jc_"),
-        (_q_semantic_dedup_invariants, "sem_"),
-        (_q_bloom_decontam_invariants, "bl_"),
-    ):
-        out = out.crossJoin(F.broadcast(_prefixed(fn(spark, env), p)))
+    # invariants (5 former rows, 4 of them age-3) in one slot. The five
+    # sub-builds are independent and each runs its own checkpoint jobs
+    # at construction time — build them on overlapped driver threads
+    # (guide §2.6) so those jobs back-fill each other's task tails; the
+    # crossJoin composition (and therefore the result) is unchanged.
+    subs = _overlap(
+        lambda: _q_dedup_minhash_invariants(spark, env),
+        lambda: _q_dedup_simhash_invariants(spark, env),
+        lambda: _q_dedup_jaccard_invariants(spark, env),
+        lambda: _q_semantic_dedup_invariants(spark, env),
+        lambda: _q_bloom_decontam_invariants(spark, env),
+    )
+    out = _prefixed(subs[0], "mh_")
+    for sub, p in zip(subs[1:], ("sh_", "jc_", "sem_", "bl_")):
+        out = out.crossJoin(F.broadcast(_prefixed(sub, p)))
     return out
 
 
 def _q_multimodal_decode_combined(spark, env):
     # jpeg + gif + webp + tiff + flac + video-frame codec rows (6
     # former rows) in one slot — every decoder still decodes its full
-    # synthesized corpus; the one-row claim frames crossJoin
-    out = _prefixed(_q_multimodal_jpeg_decode(spark, env), "jpeg_")
-    for fn, p in (
-        (_q_multimodal_gif_decode, "gif_"),
-        (_q_multimodal_webp_decode, "webp_"),
-        (_q_multimodal_tiff_decode, "tiff_"),
-        (_q_multimodal_flac_decode, "flac_"),
-        (_q_multimodal_video_frames, "video_"),
-    ):
-        out = out.crossJoin(F.broadcast(_prefixed(fn(spark, env), p)))
+    # synthesized corpus; the one-row claim frames crossJoin. Each
+    # sub-build runs its synth+fidelity mapInPandas pass eagerly at
+    # construction; overlapping the six builds on driver threads
+    # (guide §2.6) back-fills codec-job tails — composition unchanged.
+    subs = _overlap(
+        lambda: _q_multimodal_jpeg_decode(spark, env),
+        lambda: _q_multimodal_gif_decode(spark, env),
+        lambda: _q_multimodal_webp_decode(spark, env),
+        lambda: _q_multimodal_tiff_decode(spark, env),
+        lambda: _q_multimodal_flac_decode(spark, env),
+        lambda: _q_multimodal_video_frames(spark, env),
+    )
+    out = _prefixed(subs[0], "jpeg_")
+    for sub, p in zip(subs[1:], ("gif_", "webp_", "tiff_", "flac_", "video_")):
+        out = out.crossJoin(F.broadcast(_prefixed(sub, p)))
     return out
 
 
@@ -4062,30 +4094,32 @@ def _q_ann_recall_combined(spark, env):
 
     emb = env["embeddings"].scan().to_df()
     q = emb.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
-    exact = (
-        brute_force_cosine_topk(emb, q, "vec_id", "embedding", k=10)
+    # the four index builds (exact brute-force + LSH + IVF + PQ) are
+    # mutually independent — only the lazy _recall_invariant
+    # comparisons reference `exact` — so their construction-time jobs
+    # (three eager checkpoints; IVF's k-means fit) overlap on driver
+    # threads (guide §2.6); the comparisons compose exactly as before
+    exact, lsh_full, ivf_full, pq_top = _overlap(
+        lambda: brute_force_cosine_topk(emb, q, "vec_id", "embedding", k=10)
         .select("query_id", "vec_id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True),
+        lambda: lsh_ann_topk(
+            emb, q, "vec_id", "embedding", k=10, multiprobe_bits=2
+        ).localCheckpoint(eager=True),
+        lambda: ivf_ann_topk(
+            emb, q, "vec_id", "embedding", k=10, n_centroids=32, nprobe=8, sample_size=5000
+        ).localCheckpoint(eager=True),
+        lambda: pq_ann_topk(emb, q, "vec_id", "embedding", k=10, rerank_factor=8).select(
+            "query_id", "vec_id"
+        ),
     )
-    lsh_full = lsh_ann_topk(
-        emb, q, "vec_id", "embedding", k=10, multiprobe_bits=2
-    ).localCheckpoint(eager=True)
     lsh = _recall_invariant(
         exact, lsh_full.select("query_id", "vec_id"), 0.25, approx_full=lsh_full, k=10
     )
-    ivf_full = ivf_ann_topk(
-        emb, q, "vec_id", "embedding", k=10, n_centroids=32, nprobe=8, sample_size=5000
-    ).localCheckpoint(eager=True)
     ivf = _recall_invariant(
         exact, ivf_full.select("query_id", "vec_id"), 0.5, approx_full=ivf_full, k=10
     )
-    pq = _recall_invariant(
-        exact,
-        pq_ann_topk(emb, q, "vec_id", "embedding", k=10, rerank_factor=8).select(
-            "query_id", "vec_id"
-        ),
-        0.5,
-    )
+    pq = _recall_invariant(exact, pq_top, 0.5)
     out = _prefixed(lsh, "lsh_")
     for sub, p in ((ivf, "ivf_"), (pq, "pq_")):
         out = out.crossJoin(F.broadcast(_prefixed(sub, p)))
@@ -4113,15 +4147,24 @@ def _q_sketch_invariants_combined(spark, env):
     # HLL + theta (per-source) join on source; t-digest + Misra-Gries
     # (per-returnflag) join on flag; cms (one row) crossJoins — 5
     # former rows, every estimator claim kept, one slot
-    hll = _prefixed(_q_hll_sketch_invariants(spark, env), "hll_", keep=("source",))
-    theta = _prefixed(_q_theta_sketch_invariants(spark, env), "theta_", keep=("source",))
+    # the five estimator sub-builds are independent; overlap their
+    # construction-time jobs (guide §2.6) — composition unchanged
+    subs = _overlap(
+        lambda: _q_hll_sketch_invariants(spark, env),
+        lambda: _q_theta_sketch_invariants(spark, env),
+        lambda: _q_tdigest_quantile_invariants(spark, env),
+        lambda: _q_mg_heavy_hitters_invariants(spark, env),
+        lambda: _q_cms_heavy_hitters(spark, env),
+    )
+    hll = _prefixed(subs[0], "hll_", keep=("source",))
+    theta = _prefixed(subs[1], "theta_", keep=("source",))
     td = _prefixed(
-        _q_tdigest_quantile_invariants(spark, env).withColumnRenamed("l_returnflag", "flag"),
+        subs[2].withColumnRenamed("l_returnflag", "flag"),
         "td_",
         keep=("flag",),
     )
-    mg = _prefixed(_q_mg_heavy_hitters_invariants(spark, env), "mg_", keep=("flag",))
-    cms = _prefixed(_q_cms_heavy_hitters(spark, env), "cms_")
+    mg = _prefixed(subs[3], "mg_", keep=("flag",))
+    cms = _prefixed(subs[4], "cms_")
     return (
         hll.join(theta, "source")
         .crossJoin(td.join(mg, "flag"))
@@ -4198,17 +4241,30 @@ def _q_dedup_clusters_combined(spark, env):
 
 def _q_quality_classifier_combined(spark, env):
     # per-doc classifier scores (value-hashed) + the training
-    # invariants claims (one row, prefixed) — 2 former rows
-    scores = _q_quality_classifier_score(spark, env)
-    inv = _prefixed(_q_quality_classifier_invariants(spark, env), "train_")
+    # invariants claims (one row, prefixed) — 2 former rows. The
+    # scoring pass is pinned eagerly on a second driver thread so it
+    # overlaps the invariants half's 12 sequential gradient-pass jobs
+    # (guide §2.6); the returned composition is unchanged (the final
+    # action reads the checkpointed score blocks instead of recomputing
+    # the scan+score subtree it already ran).
+    scores, inv = _overlap(
+        lambda: _q_quality_classifier_score(spark, env).localCheckpoint(eager=True),
+        lambda: _prefixed(_q_quality_classifier_invariants(spark, env), "train_"),
+    )
     return scores.crossJoin(F.broadcast(inv))
 
 
 def _q_pipeline_invariants_combined(spark, env):
     # incremental-curation + full-curation pipeline claims (both
-    # one-row frames) — 2 former rows
-    a = _prefixed(_q_pipeline_incremental_invariants(spark, env), "inc_")
-    b = _prefixed(_q_pipeline_curation_invariants(spark, env), "cur_")
+    # one-row frames) — 2 former rows. Each half is a full curate run
+    # whose ~10 sequential stage jobs execute at construction time over
+    # small frames; overlapping the two halves on driver threads
+    # (guide §2.6) back-fills one half's stage-job latency with the
+    # other's — composition and claims unchanged.
+    a, b = _overlap(
+        lambda: _prefixed(_q_pipeline_incremental_invariants(spark, env), "inc_"),
+        lambda: _prefixed(_q_pipeline_curation_invariants(spark, env), "cur_"),
+    )
     return a.crossJoin(F.broadcast(b))
 
 
@@ -4621,15 +4677,17 @@ def _q_bm25_incremental(spark, env):
         return diff.limit(1).count() == 0
 
     maintained = env["docs_postings"].scan().to_df()
-    scratch = build_postings(docs, "text", "doc_id")
-    postings_ok = _multiset_equal(maintained, scratch)
     pidx = env["docs_positional"].scan().to_df()
-    pscratch = build_positional_index(docs, "text", "doc_id")
-    positional_ok = _multiset_equal(pidx, pscratch)
     phrases = ["the", "data"]
-    fresh_ph = sorted(map(tuple, phrase_search(docs, phrases, "text", "doc_id").collect()))
-    idx_ph = sorted(
-        map(tuple, phrase_search(docs, phrases, "text", "doc_id", index=pidx).collect())
+    # the four equality claims are independent driver-side jobs —
+    # overlap them (guide §2.6) instead of running 4 small jobs in file
+    postings_ok, positional_ok, fresh_ph, idx_ph = _overlap(
+        lambda: _multiset_equal(maintained, build_postings(docs, "text", "doc_id")),
+        lambda: _multiset_equal(pidx, build_positional_index(docs, "text", "doc_id")),
+        lambda: sorted(map(tuple, phrase_search(docs, phrases, "text", "doc_id").collect())),
+        lambda: sorted(
+            map(tuple, phrase_search(docs, phrases, "text", "doc_id", index=pidx).collect())
+        ),
     )
     phrase_ok = fresh_ph == idx_ph
     queries = docs.where(F.col("doc_id").isin([0, 7, 13, 21, 34])).select(
@@ -4678,28 +4736,31 @@ def _q_sketch_refresh(spark, env):
         want = {r["source"]: r["sketch"] for r in whole.collect()}
         return got == want
 
-    hll_eq = _eq("hll", "text")
-    theta_eq = _eq("theta", "text")
     td = env["sk_tdigest_inc"].scan().to_df()
     whole_td = sk.tdigest_build(docs, "n_chars", ["source"])
     meta_cols = ["source", "td_n", "td_min", "td_max"]
-    td_meta_eq = sorted(map(tuple, td.select(*meta_cols).collect())) == sorted(
-        map(tuple, whole_td.select(*meta_cols).collect())
+    # the six claim computations are independent driver-side jobs —
+    # overlap them (guide §2.6) instead of running them in file
+    hll_eq, theta_eq, td_meta_eq, med, exact_med, spread = _overlap(
+        lambda: _eq("hll", "text"),
+        lambda: _eq("theta", "text"),
+        lambda: sorted(map(tuple, td.select(*meta_cols).collect()))
+        == sorted(map(tuple, whole_td.select(*meta_cols).collect())),
+        lambda: {
+            r["source"]: r["est"]
+            for r in sk.tdigest_quantiles(td, [0.5], ["source"]).collect()
+        },
+        lambda: {
+            r["source"]: r["m"]
+            for r in docs.groupBy("source").agg(F.percentile("n_chars", 0.5).alias("m")).collect()
+        },
+        lambda: {
+            r["source"]: (r["lo"], r["hi"])
+            for r in docs.groupBy("source")
+            .agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"))
+            .collect()
+        },
     )
-    med = {
-        r["source"]: r["est"]
-        for r in sk.tdigest_quantiles(td, [0.5], ["source"]).collect()
-    }
-    exact_med = {
-        r["source"]: r["m"]
-        for r in docs.groupBy("source").agg(F.percentile("n_chars", 0.5).alias("m")).collect()
-    }
-    spread = {
-        r["source"]: (r["lo"], r["hi"])
-        for r in docs.groupBy("source")
-        .agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"))
-        .collect()
-    }
     td_rank_ok = all(
         abs(med[s] - exact_med[s]) <= 0.1 * max(spread[s][1] - spread[s][0], 1)
         for s in med

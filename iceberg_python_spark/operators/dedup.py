@@ -17,6 +17,7 @@ cluster: the only shuffles are the groupBys/joins stated per function.
 
 from __future__ import annotations
 
+import threading
 from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
@@ -488,6 +489,14 @@ def embedding_neardup_pairs(
 from contextlib import contextmanager
 
 
+#: serializes scaled-shuffle sections across driver threads: the
+#: session conf is global, so two overlapped builds interleaving
+#: set/restore could leak a loop-scaled partition count to the rest of
+#: the session (combined registry rows now build independent sub-frames
+#: on concurrent driver threads)
+_SCALED_SHUFFLE_LOCK = threading.RLock()
+
+
 @contextmanager
 def _edge_scaled_shuffle(spark, n_edges: int, per_partition: int = 50000):
     """Size the per-round shuffles of an iterative CC loop from the
@@ -497,13 +506,14 @@ def _edge_scaled_shuffle(spark, n_edges: int, per_partition: int = 50000):
     2+ shuffles — 32 near-empty partitions per round cost more in task
     launches than they win. The session width stays the upper bound, so
     billion-edge graphs keep their configured parallelism."""
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    parts = max(2, min(int(old), n_edges // max(per_partition, 1) + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    with _SCALED_SHUFFLE_LOCK:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        parts = max(2, min(int(old), n_edges // max(per_partition, 1) + 1))
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:

@@ -28,6 +28,7 @@ import json
 import os
 import posixpath
 import random
+import threading
 import time
 import uuid
 from collections import OrderedDict
@@ -335,6 +336,11 @@ def _apply_equality_deletes(
 #: small, the bound is hygiene).
 _READ_PLAN_CACHE: "OrderedDict[Tuple, DataFrame]" = OrderedDict()
 _READ_PLAN_CACHE_MAX = 256
+#: guards the OrderedDict against concurrent mutation — scans may now
+#: run on overlapped driver threads (the combined registry rows build
+#: their independent sub-frames concurrently), and an unguarded
+#: move_to_end racing a popitem would KeyError
+_READ_PLAN_CACHE_LOCK = threading.Lock()
 
 
 def _read_paths(spark: SparkSession, spark_schema, fmt: str, paths: List[str]) -> DataFrame:
@@ -348,15 +354,18 @@ def _read_paths(spark: SparkSession, spark_schema, fmt: str, paths: List[str]) -
         )
     except Exception:
         key = None
-    if key is not None and key in _READ_PLAN_CACHE:
-        _READ_PLAN_CACHE.move_to_end(key)
-        base = _READ_PLAN_CACHE[key]
-        # hand out a fresh-exprId clone, never the cached object itself:
-        # two scans of one table must not share attribute ids or
-        # downstream expression joins (upsert, MERGE, as-of) hit
-        # AMBIGUOUS_SELF_JOIN — toDF re-aliases every column (metadata
-        # pseudo-columns still resolve through the Project)
-        return base.toDF(*base.columns)
+    if key is not None:
+        with _READ_PLAN_CACHE_LOCK:
+            base = _READ_PLAN_CACHE.get(key)
+            if base is not None:
+                _READ_PLAN_CACHE.move_to_end(key)
+        if base is not None:
+            # hand out a fresh-exprId clone, never the cached object itself:
+            # two scans of one table must not share attribute ids or
+            # downstream expression joins (upsert, MERGE, as-of) hit
+            # AMBIGUOUS_SELF_JOIN — toDF re-aliases every column (metadata
+            # pseudo-columns still resolve through the Project)
+            return base.toDF(*base.columns)
     reader = spark.read.schema(spark_schema)
     if fmt.upper() == "ORC":
         # DataFrameReader.orc takes ONE path-or-list arg (unlike
@@ -365,9 +374,10 @@ def _read_paths(spark: SparkSession, spark_schema, fmt: str, paths: List[str]) -
     else:
         df = reader.parquet(*paths)
     if key is not None:
-        _READ_PLAN_CACHE[key] = df
-        if len(_READ_PLAN_CACHE) > _READ_PLAN_CACHE_MAX:
-            _READ_PLAN_CACHE.popitem(last=False)
+        with _READ_PLAN_CACHE_LOCK:
+            _READ_PLAN_CACHE[key] = df
+            if len(_READ_PLAN_CACHE) > _READ_PLAN_CACHE_MAX:
+                _READ_PLAN_CACHE.popitem(last=False)
     return df
 
 

@@ -2233,3 +2233,91 @@ def test_mad_outliers(spark):
     assert sorted(map(tuple, big.collect())) == sorted(map(tuple, out))
     anal = big._jdf.queryExecution().analyzed().toString()
     assert "UnresolvedHint" not in anal and "hint" not in anal.lower()
+
+
+def test_overlap_helper_order_and_errors(spark):
+    """r17: _overlap builds independent sub-frames on driver threads.
+    It must preserve thunk order, run thunks concurrently against one
+    SparkSession without corrupting results, and propagate a thunk's
+    exception unchanged."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+
+    dfs = entry._overlap(
+        lambda: spark.range(10).selectExpr("sum(id) as s").localCheckpoint(eager=True),
+        lambda: spark.range(100).selectExpr("count(*) as c").localCheckpoint(eager=True),
+        lambda: 42,  # plain-value thunks are allowed (claim computations)
+    )
+    assert dfs[0].first()["s"] == 45
+    assert dfs[1].first()["c"] == 100
+    assert dfs[2] == 42
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="boom"):
+        entry._overlap(
+            lambda: spark.range(1).count(),
+            lambda: (_ for _ in ()).throw(ValueError("boom")),
+        )
+
+
+def test_edge_scaled_shuffle_concurrent_restore(spark):
+    """r17: _edge_scaled_shuffle mutates the session-global shuffle
+    partition conf; with combined rows building sub-frames on threads,
+    interleaved set/restore must never leak a scaled value into the
+    session. The lock serializes the scaled sections."""
+    import threading
+
+    from iceberg_python_spark.operators.dedup import _edge_scaled_shuffle
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    errs = []
+
+    def run(n_edges):
+        try:
+            with _edge_scaled_shuffle(spark, n_edges):
+                pass
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(n,)) for n in (10, 100_000, 10_000_000)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_read_plan_cache_thread_safety(spark, tmp_path):
+    """r17: _read_paths' LRU read-plan cache is hit from overlapped
+    driver threads; hammer it concurrently and assert every handed-out
+    frame is valid and fresh-aliased (no shared exprIds)."""
+    import threading
+
+    from iceberg_python_spark.table import _read_paths
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(50).selectExpr("id", "id * 2 as v").write.parquet(p)
+    import glob
+
+    files = sorted(glob.glob(p + "/part-*.parquet"))
+    schema = spark.read.parquet(p).schema
+    out, errs = [], []
+
+    def run():
+        try:
+            for _ in range(5):
+                df = _read_paths(spark, schema, "PARQUET", files)
+                out.append(df.selectExpr("sum(id) as s").first()["s"])
+        except Exception as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert out and all(s == 1225 for s in out)
