@@ -1289,7 +1289,12 @@ def _q_dedup_minhash_invariants(spark, env):
     trail, so the claim costs no pipeline recompute."""
     from iceberg_python_spark.operators.dedup import minhash_dedup
 
-    docs = _widen(env["docs_dup"].scan(selected_fields=("doc_id", "text")).to_df())
+    # NOT _widen()ed since the r17 overlap: this build runs concurrently
+    # with 4 sibling sub-builds (see _q_dedup_invariants_combined), so
+    # session-width parallelism comes from the overlap itself and the
+    # repartition only charged 32 extra task launches per stage
+    # (interleaved A/B: combined row 7.0-9.7s widened vs 5.5-9.6s not)
+    docs = env["docs_dup"].scan(selected_fields=("doc_id", "text")).to_df()
     parts = minhash_dedup(
         docs, "doc_id", "text", threshold=0.7, max_bucket_size=None, return_pairs=True
     )
@@ -1340,7 +1345,8 @@ def _q_dedup_jaccard_invariants(spark, env):
         ngram_jaccard_pairs,
     )
 
-    docs = _widen(
+    # NOT _widen()ed since the r17 overlap (see _q_dedup_minhash_invariants)
+    docs = (
         env["docs_dup"].scan(selected_fields=("doc_id", "text", "lang", "n_chars")).to_df()
     ).select("doc_id", "text", "lang", (F.floor(F.col("n_chars") / 64)).alias("_lb"))
     exact = jaccard_prefix_join(
@@ -1405,7 +1411,8 @@ def _q_dedup_simhash_invariants(spark, env):
     checked pair-by-pair, O(candidates))."""
     from iceberg_python_spark.operators.dedup import simhash, simhash_candidates
 
-    docs = _widen(env["docs_dup"].scan(selected_fields=("doc_id", "text")).to_df())
+    # NOT _widen()ed since the r17 overlap (see _q_dedup_minhash_invariants)
+    docs = env["docs_dup"].scan(selected_fields=("doc_id", "text")).to_df()
     sh = simhash(docs, "text").localCheckpoint(eager=True)  # candidates + band check
     cands = simhash_candidates(sh, "doc_id").localCheckpoint(eager=True)
     norm = F.trim(
@@ -4045,12 +4052,20 @@ def _q_dedup_invariants_combined(spark, env):
     # at construction time — build them on overlapped driver threads
     # (guide §2.6) so those jobs back-fill each other's task tails; the
     # crossJoin composition (and therefore the result) is unchanged.
+    # Each one-row claim frame is pinned eagerly INSIDE its thunk: the
+    # sub-builds' claim aggregates read .persist()ed intermediates
+    # (minhash survivors, LSH buckets) that five concurrent builds can
+    # evict, so leaving the claims lazy let the final action silently
+    # recompute the whole LSH pipeline (measured: 0.9-2.2s final job
+    # flipping to 16-28s). Pinning moves all claim work into the
+    # overlapped phase while its caches are hot; the final action is a
+    # crossJoin of five one-row checkpoints.
     subs = _overlap(
-        lambda: _q_dedup_minhash_invariants(spark, env),
-        lambda: _q_dedup_simhash_invariants(spark, env),
-        lambda: _q_dedup_jaccard_invariants(spark, env),
-        lambda: _q_semantic_dedup_invariants(spark, env),
-        lambda: _q_bloom_decontam_invariants(spark, env),
+        lambda: _q_dedup_minhash_invariants(spark, env).localCheckpoint(eager=True),
+        lambda: _q_dedup_simhash_invariants(spark, env).localCheckpoint(eager=True),
+        lambda: _q_dedup_jaccard_invariants(spark, env).localCheckpoint(eager=True),
+        lambda: _q_semantic_dedup_invariants(spark, env).localCheckpoint(eager=True),
+        lambda: _q_bloom_decontam_invariants(spark, env).localCheckpoint(eager=True),
     )
     out = _prefixed(subs[0], "mh_")
     for sub, p in zip(subs[1:], ("sh_", "jc_", "sem_", "bl_")):
