@@ -4080,6 +4080,11 @@ def _q_multimodal_decode_combined(spark, env):
     # sub-build runs its synth+fidelity mapInPandas pass eagerly at
     # construction; overlapping the six builds on driver threads
     # (guide §2.6) back-fills codec-job tails — composition unchanged.
+    # NOT claim-pinned like the dedup/sketch rows: each codec sub-build
+    # already checkpoints its decoded-stats frame, so the returned
+    # claims are cheap aggregates over checkpoints — pinning them only
+    # added 6 checkpoint jobs (interleaved A/B: pin 9.6/11.3/5.6s vs
+    # no-pin 5.8/9.0/6.0s)
     subs = _overlap(
         lambda: _q_multimodal_jpeg_decode(spark, env),
         lambda: _q_multimodal_gif_decode(spark, env),
@@ -4163,13 +4168,18 @@ def _q_sketch_invariants_combined(spark, env):
     # (per-returnflag) join on flag; cms (one row) crossJoins — 5
     # former rows, every estimator claim kept, one slot
     # the five estimator sub-builds are independent; overlap their
-    # construction-time jobs (guide §2.6) — composition unchanged
+    # construction-time jobs (guide §2.6) — composition unchanged.
+    # Each small sub-frame (per-source/per-flag/one-row) is pinned
+    # eagerly INSIDE its thunk: the sub-builds checkpoint their sketch
+    # tables but return lazy claim frames, so the exact-count scans and
+    # merge builds otherwise run serially in the combined row's final
+    # action instead of inside the overlapped phase.
     subs = _overlap(
-        lambda: _q_hll_sketch_invariants(spark, env),
-        lambda: _q_theta_sketch_invariants(spark, env),
-        lambda: _q_tdigest_quantile_invariants(spark, env),
-        lambda: _q_mg_heavy_hitters_invariants(spark, env),
-        lambda: _q_cms_heavy_hitters(spark, env),
+        lambda: _q_hll_sketch_invariants(spark, env).localCheckpoint(eager=True),
+        lambda: _q_theta_sketch_invariants(spark, env).localCheckpoint(eager=True),
+        lambda: _q_tdigest_quantile_invariants(spark, env).localCheckpoint(eager=True),
+        lambda: _q_mg_heavy_hitters_invariants(spark, env).localCheckpoint(eager=True),
+        lambda: _q_cms_heavy_hitters(spark, env).localCheckpoint(eager=True),
     )
     hll = _prefixed(subs[0], "hll_", keep=("source",))
     theta = _prefixed(subs[1], "theta_", keep=("source",))
