@@ -6222,81 +6222,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lambda spark, sf_dir: fn(spark, _wh(spark, sf_dir))
 
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries. Round-17 window, executing the committed end-of-r16
-    # rotation plan (VERDICT r16 #1) EXACTLY: (1-34) the 34-row
-    # r14-checked cohort — age-3 at r17, it MUST lead (this includes
-    # pdf_ingest, a planned r17 code-changed row); (35-38) this
-    # round's planned code-changed re-greens — scan_limit (two-job
-    # collapse, VERDICT r16 #4), archive_ingest (tar_shard_ingest
-    # reshaped to cycle tar+zip per VERDICT r16 #3; ADVICE r16 fixes), multimodal_decode_combined +
-    # probe_media_corpus (MJPEG-in-AVI decode + probe routing, VERDICT
-    # r16 #5); (39-50) the first 12 of the 48-row r15-checked cohort
-    # (age-2) — the remaining 36 are ordered immediately behind the
-    # window and MUST lead r18. ZERO overflow: every age-3+ row is
-    # in-window.
+    # entries. Round-18 window, executing the committed end-of-r17
+    # rotation plan (VERDICT r17 #9) EXACTLY: (1-37) the full
+    # r15-checked cohort — age-3 at r18, ALL of it MUST lead (zero
+    # overflow; includes the agg_multidim_combined swap documented in
+    # r17); (38-50) this round's planned code-changed re-greens —
+    # funnel_stream/heavy_hitters_stream/dedup_stream_neardup
+    # (streaming fold + scaled-shuffle unification),
+    # graph_pagerank (edge-scaled loop shuffles, VERDICT r17 #5),
+    # quality_classifier_combined (coalesce(8) fix, VERDICT r17 #2),
+    # pipeline_invariants_combined + crawl_to_corpus (observe()
+    # stage-count fusion, VERDICT r17 #3), dedup_* rows (persist
+    # lifecycle, VERDICT r17 #6), multimodal_decode_combined +
+    # multimodal_image_decode (codec vectorization, VERDICT r17 #7).
+    # Behind the window: the remaining 42 r16-checked rows (age-2) —
+    # they MUST lead r19 — then the r17-checked rows (age-1).
     return {
         name: wrap(fn)
         for name, fn in {
-            # --- 1-34: the r14-checked cohort (age-3) ---
-            "funnel_stream": _q_funnel_stream,
-            "basket_affinity": _q_basket_affinity,
-            "heavy_hitters_stream": _q_heavy_hitters_stream,
-            "pdf_ingest": _q_pdf_ingest,
-            "bpe_roundtrip": _q_bpe_roundtrip,
-            "bpe_roundtrip_bytes": _q_bpe_roundtrip_bytes,
-            "sketch_refresh": _q_sketch_refresh,
-            "crawl_to_corpus": _q_crawl_to_corpus,
-            "dedup_invariants_combined": _q_dedup_invariants_combined,
-            "events_asof_combined": _q_events_asof_combined,
-            "ann_recall_combined": _q_ann_recall_combined,
-            "sketch_invariants_combined": _q_sketch_invariants_combined,
-            "spark_datasource_rt": _q_spark_datasource_rt,
-            "dynamic_partition_overwrite": _q_dpo,
-            "incremental_append_scan": _q_incremental,
-            "schema_evolution_read": _q_schema_evolution,
-            "mor_compacted_scan": _q_mor_compacted,
-            "add_files_partitioned_scan": _q_add_files_scan,
-            "branch_wap_scan": _q_branch_wap_scan,
-            "changelog_scan": _q_changelog_scan,
-            "tpch_q2_min_cost_supplier": _q_q2_min_cost_supplier,
-            "tpch_q3_shipping_priority": _q_q3,
-            "tpch_q4_order_priority": _q_q4_order_priority,
-            "tpch_q5_local_supplier": _q_q5,
-            "tpch_q6_revenue": _q_q6,
-            "tpch_q7_volume_shipping": _q_q7_volume_shipping,
-            "tpch_q8_market_share": _q_q8_market_share,
-            "tpch_q9_product_profit": _q_q9_product_profit,
-            "tpch_q10_returned_items": _q_q10_returned_items,
-            "tpch_q11_important_parts": _q_q11_important_parts,
-            "tpch_q12_priority_lines": _q_q12_priority_lines,
-            "tpch_q13_order_distribution": _q_q13_order_distribution,
-            "tpch_q14_promo_share": _q_q14_promo,
-            "tpch_q15_top_supplier": _q_q15_top_supplier,
-            # --- 35-38: r17 planned code-changed re-greens (age-1) ---
-            "scan_limit": _q_scan_limit,
-            "archive_ingest": _q_archive_ingest,
-            "multimodal_decode_combined": _q_multimodal_decode_combined,
-            "probe_media_corpus": _q_probe_media_corpus,
-            # --- 39-50: first 12 of the r15-checked cohort (age-2) ---
-            "text_paragraph_dedup": _q_text_paragraph_dedup,
-            "multimodal_features": _q_multimodal,
-            "events_windowed_agg": _q_events_windowed,
-            "events_sessionize": _q_events_sessionize,
-            "avro_interop_scan": _q_avro_interop,
-            "row_lineage_invariants": _q_row_lineage_invariants,
-            "dedup_stream_neardup": _q_dedup_stream_neardup,
-            "tpch_q1_pricing_summary": _q_q1,
-            "dedup_clusters_combined": _q_dedup_clusters_combined,
-            "quality_classifier_combined": _q_quality_classifier_combined,
-            "pipeline_invariants_combined": _q_pipeline_invariants_combined,
-            # r17 documented swap: pdf_scanned_ingest (NEW row — first
-            # driver check the round it lands, per the repo rule) takes
-            # position 50; agg_multidim_combined (age-2, green r15)
-            # moves to the head of the behind-window block and leads
-            # r18 with the rest of its cohort.
-            "pdf_scanned_ingest": _q_pdf_scanned_ingest,
-            # ---------------- behind the window ----------------
-            # the remaining r15-checked rows (age-2) — MUST lead r18
+            # --- 1-37: the r15-checked cohort (age-3) ---
             "agg_multidim_combined": _q_agg_multidim_combined,
             "mixture_combined": _q_mixture_combined,
             "scan_distributed_combined": _q_scan_distributed_combined,
@@ -6334,17 +6278,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_range_join": _q_events_range_join,
             "events_time_rollup": _q_events_time_rollup,
             "meta_combined": _q_meta_combined,
-            # the r16-checked rows (age-1; re-checked by the committed
-            # final-state full-registry sweep each round)
+            # --- 38-50: r18 planned code-changed re-greens ---
+            "funnel_stream": _q_funnel_stream,
+            "heavy_hitters_stream": _q_heavy_hitters_stream,
+            "dedup_stream_neardup": _q_dedup_stream_neardup,
+            "graph_pagerank": _q_graph_pagerank,
+            "quality_classifier_combined": _q_quality_classifier_combined,
+            "pipeline_invariants_combined": _q_pipeline_invariants_combined,
+            "crawl_to_corpus": _q_crawl_to_corpus,
+            "dedup_invariants_combined": _q_dedup_invariants_combined,
+            "dedup_clusters_combined": _q_dedup_clusters_combined,
+            "dedup_incremental_lsh": _q_dedup_incremental_lsh,
+            "dedup_jaccard_blocked": _q_dedup_jaccard_blocked,
+            "multimodal_decode_combined": _q_multimodal_decode_combined,
+            "multimodal_image_decode": _q_multimodal_image_decode,
+            # ---------------- behind the window ----------------
+            # the remaining r16-checked rows (age-2) — MUST lead r19
             "count_fast": _q_count_fast,
             "scan_in_filter": _q_scan_in_filter,
             "text_c4_filter": _q_text_c4_filter,
             "rollup_incremental": _q_rollup_incremental,
             "scd2_history": _q_scd2_history,
             "sample_domain_cap": _q_sample_domain_cap,
-            "multimodal_image_decode": _q_multimodal_image_decode,
             "rollup_time_multires": _q_rollup_time_multires,
-            "dedup_incremental_lsh": _q_dedup_incremental_lsh,
             "changelog_schema_evolution": _q_changelog_schema_evolution,
             "dataset_split": _q_dataset_split,
             "dedup_substring_spans": _q_dedup_substring_spans,
@@ -6357,7 +6313,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_contamination": _q_text_contamination,
             "dedup_exact": _q_dedup_exact,
             "dedup_normalized": _q_dedup_normalized,
-            "dedup_jaccard_blocked": _q_dedup_jaccard_blocked,
             "dedup_embedding_cosine": _q_embedding_neardup,
             "ann_cosine_topk": _q_ann_brute,
             "text_pii_redact": _q_text_pii_redact,
@@ -6369,7 +6324,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_funnel": _q_events_funnel,
             "record_linkage": _q_record_linkage,
             "zorder_curve": _q_zorder_curve,
-            "graph_pagerank": _q_graph_pagerank,
             "multimodal_audio_containers": _q_multimodal_audio_containers,
             "events_transition_matrix": _q_events_transition_matrix,
             "events_retention_cohorts": _q_events_retention_cohorts,
@@ -6382,6 +6336,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_rolling_agg": _q_events_rolling_agg,
             "audio_neardup_dedup": _q_audio_neardup_dedup,
             "events_mad_outliers": _q_events_mad_outliers,
+            # the r17-checked rows (age-1; re-checked by the committed
+            # final-state full-registry sweep each round)
+            "basket_affinity": _q_basket_affinity,
+            "pdf_ingest": _q_pdf_ingest,
+            "bpe_roundtrip": _q_bpe_roundtrip,
+            "bpe_roundtrip_bytes": _q_bpe_roundtrip_bytes,
+            "sketch_refresh": _q_sketch_refresh,
+            "events_asof_combined": _q_events_asof_combined,
+            "ann_recall_combined": _q_ann_recall_combined,
+            "sketch_invariants_combined": _q_sketch_invariants_combined,
+            "spark_datasource_rt": _q_spark_datasource_rt,
+            "dynamic_partition_overwrite": _q_dpo,
+            "incremental_append_scan": _q_incremental,
+            "schema_evolution_read": _q_schema_evolution,
+            "mor_compacted_scan": _q_mor_compacted,
+            "add_files_partitioned_scan": _q_add_files_scan,
+            "branch_wap_scan": _q_branch_wap_scan,
+            "changelog_scan": _q_changelog_scan,
+            "tpch_q2_min_cost_supplier": _q_q2_min_cost_supplier,
+            "tpch_q3_shipping_priority": _q_q3,
+            "tpch_q4_order_priority": _q_q4_order_priority,
+            "tpch_q5_local_supplier": _q_q5,
+            "tpch_q6_revenue": _q_q6,
+            "tpch_q7_volume_shipping": _q_q7_volume_shipping,
+            "tpch_q8_market_share": _q_q8_market_share,
+            "tpch_q9_product_profit": _q_q9_product_profit,
+            "tpch_q10_returned_items": _q_q10_returned_items,
+            "tpch_q11_important_parts": _q_q11_important_parts,
+            "tpch_q12_priority_lines": _q_q12_priority_lines,
+            "tpch_q13_order_distribution": _q_q13_order_distribution,
+            "tpch_q14_promo_share": _q_q14_promo,
+            "tpch_q15_top_supplier": _q_q15_top_supplier,
+            "scan_limit": _q_scan_limit,
+            "archive_ingest": _q_archive_ingest,
+            "probe_media_corpus": _q_probe_media_corpus,
+            "text_paragraph_dedup": _q_text_paragraph_dedup,
+            "multimodal_features": _q_multimodal,
+            "events_windowed_agg": _q_events_windowed,
+            "events_sessionize": _q_events_sessionize,
+            "avro_interop_scan": _q_avro_interop,
+            "row_lineage_invariants": _q_row_lineage_invariants,
+            "tpch_q1_pricing_summary": _q_q1,
+            "pdf_scanned_ingest": _q_pdf_scanned_ingest,
         }.items()
     }
 
