@@ -1978,39 +1978,59 @@ def _q_pipeline_curation_invariants(spark, env):
         st["input"] >= st["after_quality"] >= st["after_model_quality"]
         >= st["after_exact_dedup"] >= st["after_neardup"] >= st["after_decontamination"]
     )
-    # decile populations: |pop - n/10| bounded by the approx_percentile
-    # rank error (2 * n/accuracy per bucket edge) plus the largest
-    # score tie-class (threshold binning sends an entire tie to one
-    # side) — quality_deciles' documented bound
     bins = res["quality_bins"]
-    nb = bins.count()
-    tmax = (
-        bins.groupBy("ppl").agg(F.count("*").alias("_tc")).agg(F.max("_tc")).first()[0] or 0
+
+    # the five claim blocks below are independent read-only actions
+    # over the run's checkpointed artifacts (bins/clean/mixture/packed)
+    # folding to Python scalars — run them on overlapped driver threads
+    # (guide §2.6) so the heavy output-recheck join back-fills the
+    # small aggregates' job tails instead of serializing ~9 jobs. The
+    # values (and therefore the one-row result) are unchanged.
+    def _bins_claims():
+        # decile populations: |pop - n/10| bounded by the
+        # approx_percentile rank error (2 * n/accuracy per bucket edge)
+        # plus the largest score tie-class (threshold binning sends an
+        # entire tie to one side) — quality_deciles' documented bound
+        nb = bins.count()
+        tmax = (
+            bins.groupBy("ppl").agg(F.count("*").alias("_tc")).agg(F.max("_tc")).first()[0] or 0
+        )
+        present = {r["bucket"]: r["_c"] for r in bins.groupBy("bucket").agg(F.count("*").alias("_c")).collect()}
+        bound = 2.0 * nb / 10000 + tmax + 2
+        return all(abs(present.get(b, 0) - nb / 10.0) <= bound for b in range(1, 11))
+
+    def _split_claims():
+        labels = {r["split"] for r in clean.select("split").distinct().collect()}
+        return labels <= {"train", "val", "test"} and clean.count() == st["after_decontamination"]
+
+    def _decontam_claim():
+        # the decontamination claim, re-verified over the OUTPUT: zero
+        # surviving docs share any 13-gram with the benchmark
+        return (
+            contamination_flags(
+                clean.select("doc_id", "text"), bench, "text", "doc_id", n=13
+            ).count()
+            == 0
+        )
+
+    def _mixture_claims():
+        train_ids = clean.where("split = 'train'").select("doc_id")
+        from_train = mixture.select("doc_id").join(train_ids, "doc_id", "left_anti").count() == 0
+        tok = mixture.agg(
+            F.sum("n_tokens").alias("_tot"), F.max("n_tokens").alias("_max"), F.countDistinct("source").alias("_ns")
+        ).first()
+        return from_train, (tok["_tot"] or 0) <= 20000 + (tok["_ns"] or 0) * (tok["_max"] or 0)
+
+    def _packed_claim():
+        return packed.agg(
+            F.count("*").alias("_n"),
+            F.min("start_offset").alias("_lo"),
+            (F.max(F.col("start_offset") + F.col("n_tokens")) == F.sum("n_tokens")).alias("_dense"),
+        ).first()
+
+    decile_balance, splits_partition, benchmark_disjoint, (mixture_from_train, mixture_within_budget), p = _overlap(
+        _bins_claims, _split_claims, _decontam_claim, _mixture_claims, _packed_claim
     )
-    present = {r["bucket"]: r["_c"] for r in bins.groupBy("bucket").agg(F.count("*").alias("_c")).collect()}
-    bound = 2.0 * nb / 10000 + tmax + 2
-    decile_balance = all(abs(present.get(b, 0) - nb / 10.0) <= bound for b in range(1, 11))
-    labels = {r["split"] for r in clean.select("split").distinct().collect()}
-    splits_partition = labels <= {"train", "val", "test"} and clean.count() == st["after_decontamination"]
-    # the decontamination claim, re-verified over the OUTPUT: zero
-    # surviving docs share any 13-gram with the benchmark
-    benchmark_disjoint = (
-        contamination_flags(
-            clean.select("doc_id", "text"), bench, "text", "doc_id", n=13
-        ).count()
-        == 0
-    )
-    train_ids = clean.where("split = 'train'").select("doc_id")
-    mixture_from_train = mixture.select("doc_id").join(train_ids, "doc_id", "left_anti").count() == 0
-    tok = mixture.agg(
-        F.sum("n_tokens").alias("_tot"), F.max("n_tokens").alias("_max"), F.countDistinct("source").alias("_ns")
-    ).first()
-    mixture_within_budget = (tok["_tot"] or 0) <= 20000 + (tok["_ns"] or 0) * (tok["_max"] or 0)
-    p = packed.agg(
-        F.count("*").alias("_n"),
-        F.min("start_offset").alias("_lo"),
-        (F.max(F.col("start_offset") + F.col("n_tokens")) == F.sum("n_tokens")).alias("_dense"),
-    ).first()
     # an empty packing plan is vacuously dense (the pipeline defines an
     # all-filtered corpus as a valid outcome, not an invariant breach)
     packing_dense = p["_n"] == 0 or ((p["_lo"] == 0) and bool(p["_dense"]))
@@ -5761,9 +5781,6 @@ def _q_funnel_stream(spark, env):
         F.lit(-1).cast("long").alias("user_id"),
         F.lit("view").alias("event_type"),
     )
-    far2 = far.select(
-        F.lit("2032-01-01 00:00:00").cast("timestamp").alias("ts"), "user_id", "event_type"
-    )
     import uuid as _uuid
 
     src = tempfile.mkdtemp(prefix="ips_funnel_src_")
@@ -5775,9 +5792,16 @@ def _q_funnel_stream(spark, env):
     # every chunk is written BEFORE the stream starts (a batch write
     # racing a running continuous-trigger stream pays ~2s of driver
     # contention per job, measured); the per-tick "append" is then a
-    # pure file move into the source directory — no Spark job at all
+    # pure file move into the source directory — no Spark job at all.
+    # TWO chunks only (r18): the far-future sentinel rides chunk 2, and
+    # because each drain runs a follow-up micro-batch once the
+    # watermark advances, every real user's freeze fires in chunk 2's
+    # own drain — the old third sentinel-only chunk bought nothing but
+    # two more micro-batch commits (~1.5s) and a chunk write; its only
+    # effect was emitting the sentinel user's row, which the user_id >=
+    # 0 filter below drops anyway.
     for i, df_chunk in enumerate(
-        (chunk1, chunk2.select("ts", "user_id", "event_type").unionByName(far), far2)
+        (chunk1, chunk2.select("ts", "user_id", "event_type").unionByName(far))
     ):
         df_chunk.select("ts", "user_id", "event_type").coalesce(1).write.mode(
             "overwrite"
@@ -5788,9 +5812,12 @@ def _q_funnel_stream(spark, env):
             shutil.move(p, os.path.join(src, f"c{i}_{j}.parquet"))
 
     # state partitions sized from the data (~25k events per partition;
-    # see _scaled_shuffle — 32 near-empty state stores cost more in
+    # see _scaled_shuffle — near-empty state stores cost more in
     # per-batch store commits + Python round trips than they win in
-    # parallelism: measured 13.3s -> 3.8s per micro-batch at sf0.1)
+    # parallelism). Since r18 the operator buckets its state by user
+    # hash (one pandas exchange per bucket per micro-batch instead of
+    # one per user — the per-KEY protocol was the row's 9-10s floor),
+    # so the state width only sizes the store/commit count.
     with _scaled_shuffle(spark, n_ev, 25000):
         append(0)
         stream = spark.readStream.schema(schema).parquet(src)
@@ -5807,11 +5834,11 @@ def _q_funnel_stream(spark, env):
         )
         try:
             q.processAllAvailable()
-            # the first far-future sentinel rides chunk 2 (watermarks
-            # advance AFTER a batch, so its freezes fire in the next one)
+            # chunk 2 carries the far-future sentinel: watermarks
+            # advance AFTER a batch, and the advance itself triggers
+            # one more micro-batch in the same drain, where every
+            # frozen user emits
             append(1)
-            q.processAllAvailable()
-            append(2)
             q.processAllAvailable()
         finally:
             q.stop()

@@ -126,6 +126,7 @@ def curate_corpus(
     quality = docs.join(kept, id_col, "left_semi").localCheckpoint(eager=False)
     stats["after_quality"] = quality.count()
 
+    _mq_obs = None
     if quality_top_deciles is not None:
         # model-based gate: bigram-LM perplexity deciles over the
         # rule-gate survivors; keep the quality_top_deciles LOWEST
@@ -138,10 +139,34 @@ def curate_corpus(
         binned = quality_deciles(scored, "ppl", id_col).localCheckpoint(eager=False)
         quality_bins = binned
         keep_ids = binned.where(F.col("bucket") <= int(quality_top_deciles)).select(id_col)
-        quality = quality.join(keep_ids, id_col, "left_semi").localCheckpoint(eager=False)
+        quality = quality.join(keep_ids, id_col, "left_semi")
+        if max_docs_per_source is None and not (dsir_target_df is not None and dsir_keep is not None):
+            # the semi-join output flows into exactly ONE single-pass
+            # consumer (normalized_dedup's groupBy), so its count can
+            # ride that stage's materialization as an observe() metric
+            # instead of paying its own checkpoint compile + count job
+            # (each localCheckpoint costs a full plan->RDD compile on
+            # the driver — measured ~0.66s apiece in this pipeline)
+            from pyspark.sql import Observation
+
+            _mq_obs = Observation()
+            quality = quality.observe(_mq_obs, F.count(F.lit(1)).alias("n"))
+        else:
+            # the optional cap/dsir stages read the model-gate output
+            # more than once — keep the materialize-then-count shape
+            quality = quality.localCheckpoint(eager=False)
     else:
         quality_bins = None
-    stats["after_model_quality"] = quality.count()
+    if _mq_obs is None:
+        # model gate off: same frame as after_quality — same count, no job
+        stats["after_model_quality"] = (
+            stats["after_quality"] if quality_top_deciles is None else quality.count()
+        )
+    else:
+        # placeholder keeps the stats key order; the real value is
+        # filled from the observation right after the dedup stage's
+        # materialization below
+        stats["after_model_quality"] = -1
 
     if max_docs_per_source is not None:
         # domain-dominance guard (C4/RefinedWeb): cap docs per source
@@ -167,7 +192,13 @@ def curate_corpus(
         stats["after_dsir"] = quality.count()
 
     exact = normalized_dedup(quality, text_col, id_col).localCheckpoint(eager=False)
-    stats["after_exact_dedup"] = exact.count()
+    _n_exact = exact.count()
+    if _mq_obs is not None:
+        # the observed metric was computed by the count above (the
+        # dedup plan contains the observe node); same value the
+        # dedicated count produced, one fewer materialization
+        stats["after_model_quality"] = int(_mq_obs.get["n"])
+    stats["after_exact_dedup"] = _n_exact
 
     neardup = minhash_dedup(exact, id_col, text_col, threshold=neardup_threshold).localCheckpoint(eager=False)
     stats["after_neardup"] = neardup.count()
@@ -189,16 +220,24 @@ def curate_corpus(
         contaminated = contamination_flags(
             neardup, benchmark_df, text_col, id_col, n=contamination_n
         )
-        # checkpointed: the corpus-vs-benchmark n-gram join is the most
-        # expensive stage and feeds both the count and the split
-        decontaminated = neardup.join(contaminated, id_col, "left_anti").localCheckpoint(eager=False)
+        decontaminated = neardup.join(contaminated, id_col, "left_anti")
     else:
         decontaminated = neardup
-    stats["after_decontamination"] = decontaminated.count()
 
+    # the split label is a pure single-pass projection (no shuffle, no
+    # second read of its input), so the decontamination join and the
+    # split share ONE materialization: the checkpointed ``clean`` IS
+    # the decontaminated corpus plus a label column, and one aggregate
+    # over it yields BOTH stage counts (guide §1.2 — don't run passes
+    # you can fuse; this drops a full checkpoint pass + count job).
     clean = dataset_split(decontaminated, id_col, fractions, salt=salt).localCheckpoint(eager=False)
+    _counts = clean.agg(
+        F.count("*").alias("_n"),
+        F.count(F.when(F.col("split") == "train", True)).alias("_tr"),
+    ).first()
+    stats["after_decontamination"] = _counts["_n"]
     train = clean.where(F.col("split") == "train")
-    stats["train"] = train.count()
+    stats["train"] = _counts["_tr"]
 
     # mixture_temperature is total: an empty train split (or one whose
     # strata are all NULL) yields an empty schema-correct mixture, so

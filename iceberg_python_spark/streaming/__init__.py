@@ -1033,6 +1033,7 @@ def funnel_stream(
     steps: Sequence[str],
     window_seconds: int,
     watermark: str = "10 minutes",
+    buckets: Optional[int] = None,
 ) -> DataFrame:
     """Ordered-funnel analysis on a STREAM via a custom stateful
     operator (``applyInPandasWithState``) — the incremental
@@ -1053,7 +1054,23 @@ def funnel_stream(
     in event-time order WITHIN each micro-batch; a late cross-batch
     event older than already-folded ones is folded late (bounded by
     the watermark). Feed near-ordered streams or widen the trigger —
-    the batch operator is the arbiter for backfills."""
+    the batch operator is the arbiter for backfills.
+
+    Execution shape: state is keyed by a hash BUCKET of the user id,
+    not the user id itself — ``applyInPandasWithState`` serializes one
+    pandas frame per KEY per micro-batch, so per-user keys pay the
+    Python round-trip protocol once per active user per batch. A
+    bucket's state is the dict of its users' O(k) records; per-user
+    emission timing is reproduced exactly by sweeping the dict against
+    the current watermark with the same ``freeze`` rule the per-user
+    event-time timeout used (a user emits in the first micro-batch
+    whose watermark passes ``freeze_ms + 1`` — Spark fires an
+    event-time timeout when its timestamp < watermark). ``buckets``
+    defaults to the session's shuffle-partition setting (one state
+    store per shuffle partition); the result set is bucket-invariant.
+    """
+    import json as _json
+
     import pandas as pd
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -1068,57 +1085,77 @@ def funnel_stream(
         [T.StructField("user", T.LongType()), T.StructField("level", T.IntegerType())]
         + [T.StructField(c, T.LongType()) for c in step_cols]
     )
-    # flat long fields — array-typed state/output rows trip Spark's
-    # row decoder in applyInPandasWithState
-    state_schema = T.StructType(
-        [T.StructField("lvl", T.LongType())]
-        + [T.StructField(f"t{i}", T.LongType()) for i in range(k)]
-        + [T.StructField("last_seen", T.LongType())]
-    )
+    # one JSON string per bucket: {user: [lvl, t0..t(k-1), last_seen]}
+    # (flat state schemas only — array/map-typed state rows trip
+    # Spark's row decoder in applyInPandasWithState)
+    state_schema = T.StructType([T.StructField("js", T.StringType())])
+    if buckets is None:
+        buckets = int(stream_df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_buckets = max(1, int(buckets))
 
     def update(key, pdf_iter, state):
-        u = key[0]
+        st = _json.loads(state.get[0]) if state.exists else {}
         out = []
-        if state.hasTimedOut:
-            if state.exists:
-                vals = state.get
-                lvl, t = int(vals[0]), list(vals[1 : 1 + k])
-                out.append((u, lvl, *t))
-                state.remove()
-        else:
-            evs = []
+        if not state.hasTimedOut:
+            per_user: dict = {}
             for pdf in pdf_iter:
                 ts_us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
-                for t_us, s in zip(ts_us.tolist(), pdf[state_col]):
+                for u, t_us, s in zip(
+                    pdf[user_col].values.tolist(), ts_us.tolist(), pdf[state_col]
+                ):
                     i = idx_of.get(s)
                     if i is not None:
-                        evs.append((t_us, i))
-            evs.sort()
-            if state.exists:
-                vals = state.get
-                lvl, t, last_seen = int(vals[0]), list(vals[1 : 1 + k]), vals[1 + k]
-            else:
-                lvl, t, last_seen = 0, [None] * k, 0
-            for t_us, i in evs:
-                last_seen = max(last_seen, t_us)
-                if lvl >= k or i != lvl:
-                    continue
-                if lvl == 0:
-                    t[0], lvl = t_us, 1
-                elif t_us > t[lvl - 1] and t_us <= t[0] + win_us:
-                    t[lvl], lvl = t_us, lvl + 1
-            if lvl >= k:
-                out.append((u, int(lvl), *t))
-                state.remove()
-            elif evs or state.exists:
-                state.update((lvl, *t, last_seen))
-                freeze_us = (t[0] + win_us) if t[0] is not None else (last_seen + win_us)
-                state.setTimeoutTimestamp(freeze_us // 1000 + 1)
+                        per_user.setdefault(u, []).append((t_us, i))
+            for u, evs in per_user.items():
+                evs.sort()
+                ku = str(u)
+                rec = st.get(ku)
+                if rec is None:
+                    lvl, t, last_seen = 0, [None] * k, 0
+                else:
+                    lvl, t, last_seen = int(rec[0]), list(rec[1 : 1 + k]), rec[1 + k]
+                for t_us, i in evs:
+                    last_seen = max(last_seen, t_us)
+                    if lvl >= k or i != lvl:
+                        continue
+                    if lvl == 0:
+                        t[0], lvl = t_us, 1
+                    elif t_us > t[lvl - 1] and t_us <= t[0] + win_us:
+                        t[lvl], lvl = t_us, lvl + 1
+                if lvl >= k:
+                    out.append((u, int(lvl), *t))
+                    st.pop(ku, None)
+                else:
+                    st[ku] = [lvl, *t, last_seen]
+        # per-user freeze sweep — the event-time-timeout firing rule
+        # (timestamp = freeze_ms + 1 fires when < watermark) applied
+        # per user inside the bucket
+        wm = state.getCurrentWatermarkMs()
+
+        def _freeze_ms(rec) -> int:
+            t0 = rec[1]
+            base_us = (t0 + win_us) if t0 is not None else (rec[1 + k] + win_us)
+            return base_us // 1000 + 1
+
+        for ku in list(st):
+            rec = st[ku]
+            if _freeze_ms(rec) < wm:
+                t = [None if x is None else int(x) for x in rec[1 : 1 + k]]
+                out.append((int(ku), int(rec[0]), *t))
+                del st[ku]
+        if st:
+            state.update((_json.dumps(st),))
+            state.setTimeoutTimestamp(max(min(_freeze_ms(r) for r in st.values()), wm + 1))
+        elif state.exists:
+            state.remove()
         yield pd.DataFrame(out, columns=["user", "level", *step_cols])
 
     return (
         stream_df.withWatermark(ts_col, watermark)
-        .groupBy(F.col(user_col))
+        # grouping expressions must be plain attributes for
+        # applyInPandasWithState — materialize the bucket as a column
+        .withColumn("_bucket", F.pmod(F.xxhash64(F.col(user_col)), F.lit(n_buckets)))
+        .groupBy("_bucket")
         .applyInPandasWithState(
             update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )

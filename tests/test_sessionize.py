@@ -767,6 +767,63 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
     assert got[3][0] == 0
 
 
+def test_funnel_stream_single_bucket_state(spark, tmp_path):
+    """funnel_stream keys its state by a user-hash BUCKET (one pandas
+    exchange per bucket per micro-batch, not one per user); with
+    buckets=1 every user shares one state dict and the per-user
+    emission rows must still match the batch funnel exactly —
+    completion emits immediately, freezes emit on the watermark sweep,
+    and a swept user's reappearance starts a fresh epoch."""
+    from pyspark.sql import functions as F
+
+    from iceberg_python_spark.streaming import funnel, funnel_stream
+
+    def ev(u, minute, et, eid):
+        base = datetime.datetime(2024, 3, 1, 8, 0, 0)
+        return (eid, base + datetime.timedelta(minutes=minute), u, et)
+
+    batch1 = [
+        ev(1, 0, "view", 1), ev(1, 1, "click", 2), ev(1, 2, "purchase", 3),  # completes in b1
+        ev(2, 0, "view", 4), ev(2, 3, "click", 5),                            # stalls at level 2
+        ev(3, 1, "click", 6),                                                 # never anchors
+    ]
+    batch2 = [ev(9, 60 * 50, "view", 7)]   # watermark push: freezes for 2 and 3 fire
+    batch3 = [ev(2, 60 * 55, "view", 8)]   # user 2 reappears AFTER its sweep: new epoch
+    batch4 = [ev(9, 60 * 60 * 9, "view", 9)]  # final push: epoch-2 freeze fires
+    schema = "event_id: long, ts: timestamp, user_id: long, event_type: string"
+    src = str(tmp_path / "funnel1b_src")
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(spark.createDataFrame([], schema).schema).parquet(src)
+    q = (
+        funnel_stream(stream, "ts", "user_id", "event_type",
+                      ["view", "click", "purchase"], 3600, watermark="0 seconds", buckets=1)
+        .writeStream.format("memory").queryName("funnel1b_out")
+        .option("checkpointLocation", str(tmp_path / "f1bckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for b in (batch2, batch3, batch4):
+            spark.createDataFrame(b, schema).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM funnel1b_out").collect()
+    finally:
+        q.stop()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user"], []).append((r["level"], r["step1_us"]))
+    want = {
+        r["user"]: (r["level"], r["step1_us"])
+        for r in funnel(spark.createDataFrame(batch1, schema), "ts", "user_id",
+                        "event_type", ["view", "click", "purchase"], 3600).collect()
+    }
+    assert by_user[1] == [want[1]] and want[1][0] == 3     # immediate completion
+    assert by_user[2][0] == want[2] and want[2][0] == 2    # frozen at level 2
+    assert by_user[3] == [want[3]] and want[3][0] == 0     # never anchored
+    # epoch 2: user 2's reappearance after the sweep re-evaluates from scratch
+    assert len(by_user[2]) == 2 and by_user[2][1][0] == 1
+
+
 def test_heavy_hitters_stream_guarantees(spark, tmp_path):
     """Two micro-batches fold into per-group MG state; every emitted
     snapshot carries the batch operator's guarantees against the exact

@@ -1,6 +1,6 @@
 """Profile declared queries in isolation (guide §1): time each named
 query via the noop sink on an idle session and write its
-.explain("formatted") to plans/r17/<name>_<tag>.txt.
+.explain("formatted") to plans/r18/<name>_<tag>.txt.
 
 Usage:
   python tools/profile_hot.py [--tag before|after] [--reps N] [--no-plans] name [name ...]
@@ -55,7 +55,7 @@ def main() -> None:
     print(f"# load {time.time() - t0:.1f}s", file=sys.stderr)
 
     qs = entry.queries()
-    plans_dir = os.path.join(root, "plans", "r17")
+    plans_dir = os.path.join(root, "plans", "r18")
     os.makedirs(plans_dir, exist_ok=True)
 
     out: dict = {}
