@@ -3986,28 +3986,19 @@ def _q_crawl_to_corpus(spark, env):
 # ---------------------------------------------------------------------------
 
 
-from contextlib import contextmanager
 
 
-@contextmanager
 def _scaled_shuffle(spark, n_keys, per_partition=1):
-    """Temporarily size spark.sql.shuffle.partitions from the DATA
-    (guide §2: scale-adaptive partitioning, not a constant tuned for
-    either local mode or the cluster): ceil(n_keys / per_partition)
-    clamped to [2, current session width]. The session width stays the
-    upper bound, so on a real cluster the same derivation widens with
-    the configured parallelism while tiny local scenarios stop paying
-    for dozens of near-empty shuffle/state partitions (each streaming
-    state partition costs a state-store commit + a Python round trip
-    per micro-batch — measured 13.3s -> 3.8s per micro-batch at sf0.1
-    for funnel_stream's 32 -> 4 reduction)."""
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    parts = max(2, min(int(old), int(n_keys) // max(int(per_partition), 1)))
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
-        yield parts
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    """Size spark.sql.shuffle.partitions from the DATA for a scoped
+    section (streaming state stores here): ceil(n_keys/per_partition)
+    clamped to [2, session width] — measured 13.3s -> 3.8s per
+    micro-batch at sf0.1 for funnel_stream's 32 -> 4 reduction. Thin
+    wrapper over the ONE locked implementation in operators/_local.py,
+    so every conf-scoped section is overlap-safe against concurrent
+    combined-row builds by construction (VERDICT r17 #4)."""
+    from iceberg_python_spark.operators._local import scaled_shuffle
+
+    return scaled_shuffle(spark, n_keys, per_partition)
 
 
 def _widen(df):

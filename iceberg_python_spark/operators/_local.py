@@ -15,9 +15,49 @@ a session without pyarrow); results are identical either way.
 
 from __future__ import annotations
 
-from typing import Iterable, Sequence
+import threading
+from contextlib import contextmanager
+from typing import Iterable, Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: serializes scaled-shuffle sections across driver threads: the
+#: session conf is GLOBAL, so two overlapped builds interleaving
+#: set/restore would leak a loop-scaled partition count to the rest of
+#: the session (combined registry rows build independent sub-frames on
+#: concurrent driver threads; streaming rows size their state stores
+#: through the same helper)
+_SCALED_SHUFFLE_LOCK = threading.RLock()
+
+
+@contextmanager
+def scaled_shuffle(spark: SparkSession, n_keys: int, per_partition: int = 1) -> Iterator[int]:
+    """Temporarily size ``spark.sql.shuffle.partitions`` from the DATA
+    (guide §2: scale-adaptive partitioning, not a constant tuned for
+    either local mode or the cluster): ``ceil(n_keys / per_partition)``
+    clamped to ``[2, current session width]``. The session width stays
+    the upper bound, so on a real cluster the same derivation widens
+    with the configured parallelism while tiny local scenarios stop
+    paying for dozens of near-empty shuffle/state partitions (each
+    streaming state partition costs a state-store commit + a Python
+    round trip per micro-batch; each iterative-loop round is 2+
+    shuffles whose near-empty tasks cost more in launches than they
+    win).
+
+    This is the ONE locked implementation every conf-scoped section
+    goes through (entry ``_scaled_shuffle`` and dedup
+    ``_edge_scaled_shuffle`` are thin wrappers), so scaled sections are
+    overlap-safe by construction: the lock serializes set/restore
+    against sibling driver threads."""
+    with _SCALED_SHUFFLE_LOCK:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        per = max(int(per_partition), 1)
+        parts = max(2, min(int(old), (int(n_keys) + per - 1) // per))
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            yield parts
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def local_rows_df(spark: SparkSession, rows: Sequence[Iterable], schema) -> DataFrame:

@@ -39,6 +39,11 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+#: iteration-frame partition count of the most recent
+#: train_quality_classifier run — exposed so tests can pin the
+#: scale-adaptive width derivation (no fixed local-mode cap)
+_last_iteration_width: int | None = None
+
 _NORM_RE = re.compile(r"[^a-z0-9\s]")
 
 # Largest weight dim shipped as a single array literal in the scoring
@@ -129,19 +134,30 @@ def train_quality_classifier(
                 }
             )
 
+    # checkpoint at the featurize pass's NATURAL width — a coalesce
+    # placed before the checkpoint would narrow the whole upstream
+    # stage (no shuffle boundary), running the expensive hashing
+    # mapInPandas in that many tasks regardless of input size
     feat = labeled.mapInPandas(featurize, schema="idx array<int>, y double")
-    # narrow the iteration frame: each of the ``iters`` gradient passes
-    # pays one Python task round trip per partition, and the driver-side
-    # reduce folds one dim-vector per partition — with the featurize
-    # pass fanned wide for hashing parallelism, folding 64 near-empty
-    # partials per iteration costs far more than it wins. 8 partitions
-    # bounds both (coalesce, no shuffle; the 100 TB case keeps its
-    # width because coalesce never widens).
-    feat = feat.coalesce(8)
     feat = feat.localCheckpoint(eager=True)
     n = feat.count()
     if n == 0:
         raise ValueError("train_quality_classifier: empty training set")
+    # narrow the ITERATION frame only, with a width derived from the
+    # data (guide §2: scale-adaptive partitioning, not a local-mode
+    # constant): each of the ``iters`` gradient passes pays one Python
+    # task round trip per partition and the driver-side reduce folds
+    # one dim-vector per partition, so near-empty partitions are pure
+    # overhead — ~2k docs per partition, clamped to the session width
+    # so a large corpus keeps its configured parallelism. coalesce on
+    # the checkpointed blocks merges at read time (no shuffle) and
+    # never widens, so it only ever REDUCES the pass width.
+    sc = feat.sparkSession.sparkContext
+    it_parts = max(1, min(sc.defaultParallelism, (n + 2047) // 2048))
+    if it_parts < feat.rdd.getNumPartitions():
+        feat = feat.coalesce(it_parts)
+    global _last_iteration_width
+    _last_iteration_width = feat.rdd.getNumPartitions()
     w = np.zeros(dim, dtype=np.float64)
     b = 0.0
     losses: List[float] = []

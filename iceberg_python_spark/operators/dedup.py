@@ -17,7 +17,6 @@ cluster: the only shuffles are the groupBys/joins stated per function.
 
 from __future__ import annotations
 
-import threading
 from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
@@ -486,34 +485,19 @@ def embedding_neardup_pairs(
 
 
 
-from contextlib import contextmanager
 
 
-#: serializes scaled-shuffle sections across driver threads: the
-#: session conf is global, so two overlapped builds interleaving
-#: set/restore could leak a loop-scaled partition count to the rest of
-#: the session (combined registry rows now build independent sub-frames
-#: on concurrent driver threads)
-_SCALED_SHUFFLE_LOCK = threading.RLock()
-
-
-@contextmanager
 def _edge_scaled_shuffle(spark, n_edges: int, per_partition: int = 50000):
     """Size the per-round shuffles of an iterative CC loop from the
-    EDGE COUNT (guide §2: scale-adaptive partitioning): ~50k edges per
-    partition, clamped to the session width. Threshold-pruned near-dup
-    edge lists are tiny relative to the corpus, and every loop round is
-    2+ shuffles — 32 near-empty partitions per round cost more in task
-    launches than they win. The session width stays the upper bound, so
-    billion-edge graphs keep their configured parallelism."""
-    with _SCALED_SHUFFLE_LOCK:
-        old = spark.conf.get("spark.sql.shuffle.partitions")
-        parts = max(2, min(int(old), n_edges // max(per_partition, 1) + 1))
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-        try:
-            yield
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", old)
+    EDGE COUNT: ~50k edges per partition, clamped to the session width.
+    Threshold-pruned near-dup edge lists are tiny relative to the
+    corpus, and every loop round is 2+ shuffles — 32 near-empty
+    partitions per round cost more in task launches than they win.
+    Thin wrapper over the ONE locked, overlap-safe implementation in
+    :mod:`.._local` (guide §2 scale-adaptive partitioning)."""
+    from ._local import scaled_shuffle
+
+    return scaled_shuffle(spark, n_edges, per_partition)
 
 
 def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:

@@ -69,6 +69,32 @@ def test_train_and_score_separable(spark):
         train_quality_classifier(pos.where("id < 0"), neg.where("id < 0"), "text")
 
 
+def test_training_iteration_width_is_data_derived(spark):
+    """The gradient-pass frame's partition count must derive from the
+    row count clamped to the session width — not a fixed local-mode
+    cap: a tiny corpus collapses to 1 partition; a wide-partitioned
+    input never exceeds min(defaultParallelism, ceil(n/2048)), and the
+    coalesce happens AFTER the full-width featurize checkpoint."""
+    from iceberg_python_spark.operators import classifier as C
+
+    pos, neg = _corpus(spark, n=40)
+    dp = spark.sparkContext.defaultParallelism
+    # tiny corpus (80 rows): one iteration partition, regardless of how
+    # wide the input arrives
+    C.train_quality_classifier(
+        pos.repartition(max(dp, 8)), neg.repartition(max(dp, 8)), "text", dim=512, iters=1
+    )
+    assert C._last_iteration_width == 1
+    # wide input with n > 2048: width scales with the data, clamped to
+    # the session width (no fixed 8-partition cap)
+    big = spark.range(3000).select(
+        F.col("id"), F.concat(F.lit("tok"), (F.col("id") % 97).cast("string")).alias("text")
+    )
+    C.train_quality_classifier(big, big, "text", dim=256, iters=1)
+    expected = max(1, min(dp, (6000 + 2047) // 2048))
+    assert C._last_iteration_width == expected
+
+
 def test_scoring_plan_stays_jvm_side_and_narrow(spark):
     """The corpus-wide scoring path must contain no Python evaluation
     (BatchEvalPython / ArrowEvalPython / mapInPandas nodes) — and for

@@ -2263,25 +2263,36 @@ def test_overlap_helper_order_and_errors(spark):
 
 
 def test_edge_scaled_shuffle_concurrent_restore(spark):
-    """r17: _edge_scaled_shuffle mutates the session-global shuffle
-    partition conf; with combined rows building sub-frames on threads,
-    interleaved set/restore must never leak a scaled value into the
-    session. The lock serializes the scaled sections."""
+    """r17/r18: every scaled-shuffle section mutates the session-global
+    shuffle partition conf through ONE locked implementation
+    (operators/_local.scaled_shuffle); with combined rows building
+    sub-frames on threads AND streaming rows sizing their state stores
+    through the same helper, interleaved set/restore must never leak a
+    scaled value into the session. Hammers the dedup wrapper, the
+    entry wrapper, and the shared helper concurrently."""
     import threading
 
+    import __spark_entry__ as entry
+    from iceberg_python_spark.operators._local import scaled_shuffle
     from iceberg_python_spark.operators.dedup import _edge_scaled_shuffle
 
     before = spark.conf.get("spark.sql.shuffle.partitions")
     errs = []
 
-    def run(n_edges):
+    def run(ctx_fn, n):
         try:
-            with _edge_scaled_shuffle(spark, n_edges):
-                pass
+            with ctx_fn(spark, n):
+                # inside the section the conf is the scaled value and
+                # stays stable against sibling threads (the lock holds)
+                assert int(spark.conf.get("spark.sql.shuffle.partitions")) <= max(2, int(before))
         except Exception as e:  # pragma: no cover
             errs.append(e)
 
-    threads = [threading.Thread(target=run, args=(n,)) for n in (10, 100_000, 10_000_000)]
+    threads = [
+        threading.Thread(target=run, args=(fn, n))
+        for n in (10, 100_000, 10_000_000)
+        for fn in (_edge_scaled_shuffle, entry._scaled_shuffle, scaled_shuffle)
+    ]
     for t in threads:
         t.start()
     for t in threads:
