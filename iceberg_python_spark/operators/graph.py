@@ -62,35 +62,50 @@ def pagerank(
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
     )
-    e = e.localCheckpoint(eager=True)  # reused every iteration
+    # attach the out-degree to each edge ONCE: outdeg is a pure
+    # function of the edge set, so joining it inside the loop (the old
+    # shape) recomputed the degree groupBy + a second src-keyed join in
+    # EVERY iteration — per-iteration work is now one join + one
+    # groupBy + the rank refresh (guide §1.2/§2.4; iteration plan 10
+    # Exchanges -> 4)
+    e = e.localCheckpoint(eager=True)  # reused: degree agg + every iteration
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ed = e.join(outdeg, "src").localCheckpoint(eager=True)
+    n_edges = ed.count()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     base = _SCALE - damping_micro
     pr = nodes.select("node", F.lit(_SCALE).cast("long").alias("pr_micro"))
-    for _ in range(iterations):
-        shares = (
-            e.join(pr.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr(f"(pr_micro * CAST({damping_micro} AS BIGINT)) div "
-                       f"(CAST({_SCALE} AS BIGINT) * outdeg)").alias("share"),
+    from ._local import scaled_shuffle
+
+    # per-round shuffles sized from the edge count (guide §2
+    # scale-adaptive partitioning, the connected-components loop's
+    # treatment): near-dup-scale authority graphs are tiny relative to
+    # the corpus and every iteration is 2+ shuffles; billion-edge
+    # graphs keep the session width.
+    with scaled_shuffle(e.sparkSession, n_edges, 50000):
+        for _ in range(iterations):
+            shares = (
+                ed.join(pr.withColumnRenamed("node", "src"), "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr(f"(pr_micro * CAST({damping_micro} AS BIGINT)) div "
+                           f"(CAST({_SCALE} AS BIGINT) * outdeg)").alias("share"),
+                )
+                .groupBy("node")
+                .agg(F.sum("share").alias("inflow"))
             )
-            .groupBy("node")
-            .agg(F.sum("share").alias("inflow"))
-        )
-        pr = nodes.join(shares, "node", "left").select(
-            "node",
-            (F.lit(base).cast("long") + F.coalesce(F.col("inflow"), F.lit(0))).alias(
-                "pr_micro"
-            ),
-        )
-        # materialize each iteration: the lineage would otherwise grow
-        # a 2·k-join plan and re-execute everything per action
-        pr = pr.localCheckpoint(eager=True)
+            pr = nodes.join(shares, "node", "left").select(
+                "node",
+                (F.lit(base).cast("long") + F.coalesce(F.col("inflow"), F.lit(0))).alias(
+                    "pr_micro"
+                ),
+            )
+            # materialize each iteration: the lineage would otherwise grow
+            # a 2·k-join plan and re-execute everything per action
+            pr = pr.localCheckpoint(eager=True)
     return pr
