@@ -189,13 +189,18 @@ def minhash_lsh_candidates(
 
         w = Window.partitionBy("band", "bucket")
         buckets = buckets.withColumn("_bsz", F.count("*").over(w)).where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
-    # persist before the self-join: both join sides otherwise re-derive
-    # the full minhash-signature subtree (tokenizer + k hashes per
-    # shingle), doubling the most expensive stage of the pipeline. The
-    # bucket rows are narrow (id, band, bucket) — O(docs * bands).
-    from pyspark.storagelevel import StorageLevel
-
-    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize before the self-join: both join sides otherwise
+    # re-derive the full minhash-signature subtree (tokenizer + k
+    # hashes per shingle), doubling the most expensive stage of the
+    # pipeline. The bucket rows are narrow (id, band, bucket) —
+    # O(docs * bands). localCheckpoint, not persist (guide §5 memory
+    # hygiene): checkpoint blocks are released by the ContextCleaner
+    # when the frame is GC'd, where the old never-unpersisted
+    # MEMORY_AND_DISK blocks accumulated for the life of the session —
+    # and, unlike an evictable cache under concurrent combined-row
+    # builds, checkpoint blocks spill instead of silently recomputing
+    # the signature pipeline.
+    buckets = buckets.localCheckpoint(eager=True)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -222,12 +227,12 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with jaccard >= threshold."""
     sh = with_ngram_shingles(df, text_col, n=shingle_n).select(F.col(id_col), F.col("shingles"))
-    # persist: the verify join references the shingled frame on BOTH
-    # sides, and Catalyst would otherwise run the tokenizer + shingler
-    # regexes twice (the jaccard_prefix_join persist, same reason)
-    from pyspark.storagelevel import StorageLevel
-
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize: the verify join references the shingled frame on
+    # BOTH sides, and Catalyst would otherwise run the tokenizer +
+    # shingler regexes twice. localCheckpoint, not persist — blocks
+    # release with the frame instead of accumulating per invocation
+    # (guide §5; see minhash_lsh_candidates)
+    sh = sh.localCheckpoint(eager=True)
     if candidates is None:
         a, b = sh.alias("a"), sh.alias("b")
         joined = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -281,10 +286,10 @@ def jaccard_prefix_join(
 
     Plan-level notes (the constants that matter as much as the
     complexity):
-    - the shingled frame is ``persist()``-ed: it feeds the token
-      explode, both candidate sides, and both verify sides, and Catalyst
-      would otherwise re-run the tokenizer+shingler regexes per branch
-      (~5x measured);
+    - the shingled frame is checkpointed: it feeds the token explode,
+      both candidate sides, and both verify sides, and Catalyst would
+      otherwise re-run the tokenizer+shingler regexes per branch
+      (~5x measured); the blocks release with the frame;
     - doc frequency is computed per block key, so the frequency table,
       the prefix ordering, and the candidate buckets all shrink to
       block-local size, and the candidate join carries the block key as
@@ -294,13 +299,15 @@ def jaccard_prefix_join(
       safe bound (a short prefix would silently drop qualifying pairs).
     """
     from pyspark.sql import Window
-    from pyspark.storagelevel import StorageLevel
 
     blocks = list(block_cols or [])
     sh = with_ngram_shingles(df, text_col, n=shingle_n).select(
         F.col(id_col), *[F.col(c) for c in blocks], F.col("shingles"), F.size("shingles").alias("_n")
     )
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    # localCheckpoint, not persist: blocks release with the frame
+    # instead of accumulating per invocation (guide §5; see
+    # minhash_lsh_candidates)
+    sh = sh.localCheckpoint(eager=True)
     tok = sh.select(F.col(id_col), *[F.col(c) for c in blocks], "_n", F.explode("shingles").alias("_sh"))
     doc_freq = tok.groupBy("_sh", *blocks).agg(F.count("*").alias("_df"))
     w = Window.partitionBy(id_col).orderBy("_df", "_sh")

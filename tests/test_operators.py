@@ -2262,6 +2262,43 @@ def test_overlap_helper_order_and_errors(spark):
         )
 
 
+def test_dedup_blocks_release_with_frames(spark):
+    """r18 (VERDICT r17 #6): the minhash/jaccard materializations must
+    not accumulate storage blocks across invocations in a long-lived
+    session — the old never-unpersisted persist(MEMORY_AND_DISK) calls
+    leaked one cached RDD per pipeline run. With localCheckpoint the
+    ContextCleaner releases the blocks once the frames are GC'd: after
+    repeated runs + gc, the persistent-RDD map returns to (near) its
+    starting size instead of growing by ~2 RDDs per run."""
+    import gc
+    import time
+
+    from iceberg_python_spark.operators.dedup import minhash_dedup
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 23}tok" for j in range(30))) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    def n_persistent():
+        return spark._jsc.getPersistentRDDs().size()
+
+    gc.collect()
+    base = n_persistent()
+    for _ in range(3):
+        out = minhash_dedup(df, "doc_id", "text", threshold=0.8)
+        out.count()
+        del out
+    gc.collect()
+    # the ContextCleaner runs async; poll briefly for the cleanup
+    deadline = time.time() + 30
+    while n_persistent() > base + 1 and time.time() < deadline:
+        gc.collect()
+        time.sleep(0.5)
+    grown = n_persistent() - base
+    assert grown <= 1, f"persistent RDDs grew by {grown} across 3 dedup runs"
+
+
 def test_edge_scaled_shuffle_concurrent_restore(spark):
     """r17/r18: every scaled-shuffle section mutates the session-global
     shuffle partition conf through ONE locked implementation
