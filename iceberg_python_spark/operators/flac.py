@@ -43,22 +43,82 @@ _FIXED_COEFS = {
 }
 
 
+def _make_crc_tables() -> Tuple[List[int], np.ndarray]:
+    t8, t16 = [], np.empty(256, dtype=np.uint16)
+    for b in range(256):
+        c = b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        t8.append(c)
+        c = b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+        t16[b] = c
+    return t8, t16
+
+
+_T8, _T16 = _make_crc_tables()
+_T16_LIST: List[int] = _T16.tolist()
+
+
 def _crc8(data: bytes) -> int:
     crc = 0
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = _T8[crc ^ b]
     return crc
+
+
+# CRC-16 is GF(2)-linear in the message bits (init 0, no xor-out), so
+# crc(A||B) = shift_{|B|}(crc(A)) ^ crc(B) where shift_n multiplies by
+# x^(8n) mod the polynomial. _SHIFT_TABLES[k] holds two 256-entry
+# lookup tables for shifting a 16-bit CRC by 2^k zero bytes (one per
+# byte half); pairwise combining per-byte contributions then gives an
+# O(log n)-pass fully-vectorized CRC with 3 array ops per level.
+_SHIFT_BASIS: List[np.ndarray] = []
+_SHIFT_TABLES: List[Tuple[np.ndarray, np.ndarray]] = []
+
+
+def _shift_apply(v: np.ndarray, basis: np.ndarray) -> np.ndarray:
+    acc = np.zeros_like(v)
+    for j in range(16):
+        acc ^= np.where((v >> j) & 1, basis[j], np.uint16(0))
+    return acc
+
+
+def _ensure_shift_tables(levels: int) -> None:
+    if not _SHIFT_BASIS:
+        b0 = np.empty(16, dtype=np.uint16)
+        for j in range(16):
+            v = 1 << j
+            b0[j] = ((v & 0xFF) << 8) ^ int(_T16[v >> 8])  # one zero byte
+        _SHIFT_BASIS.append(b0)
+    while len(_SHIFT_BASIS) < levels:
+        prev = _SHIFT_BASIS[-1]
+        _SHIFT_BASIS.append(_shift_apply(prev, prev))
+    while len(_SHIFT_TABLES) < levels:
+        basis = _SHIFT_BASIS[len(_SHIFT_TABLES)]
+        lo = np.arange(256, dtype=np.uint16)
+        _SHIFT_TABLES.append((_shift_apply(lo << 8, basis), _shift_apply(lo, basis)))
 
 
 def _crc16(data: bytes) -> int:
-    crc = 0
-    for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
-    return crc
+    n = len(data)
+    if n < 64:  # table loop beats numpy setup on tiny inputs
+        crc = 0
+        for b in data:
+            crc = ((crc & 0xFF) << 8) ^ _T16_LIST[(crc >> 8) ^ b]
+        return crc
+    c = _T16[np.frombuffer(data, dtype=np.uint8)]
+    m = 1 << (n - 1).bit_length()
+    if m != n:  # leading zero bytes leave an init-0 CRC unchanged
+        c = np.concatenate([np.zeros(m - n, dtype=np.uint16), c])
+    levels = m.bit_length() - 1
+    _ensure_shift_tables(levels)
+    for k in range(levels):
+        hi, lo = _SHIFT_TABLES[k]
+        left = c[0::2]
+        c = hi[left >> 8] ^ lo[left & 0xFF] ^ c[1::2]
+    return int(c[0])
 
 
 class _Bits:
@@ -125,6 +185,24 @@ class _BitsW:
             q -= 32
         self.write(1, q + 1)
 
+    def write_bits(self, arr: np.ndarray) -> None:
+        """Append a 0/1 uint8 bit array (MSB-first) in one packbits pass."""
+        if arr.size == 0:
+            return
+        if self.n:
+            pre = np.empty(self.n, dtype=np.uint8)
+            for j in range(self.n):
+                pre[j] = (self.acc >> (self.n - 1 - j)) & 1
+            arr = np.concatenate([pre, arr])
+            self.acc = 0
+            self.n = 0
+        whole = arr.size & ~7
+        if whole:
+            self.out += np.packbits(arr[:whole]).tobytes()
+        for b in arr[whole:].tolist():
+            self.acc = (self.acc << 1) | int(b)
+            self.n += 1
+
     def align(self) -> None:
         if self.n:
             self.write(0, 8 - self.n)
@@ -132,6 +210,96 @@ class _BitsW:
     def bytes(self) -> bytes:
         assert self.n == 0
         return bytes(self.out)
+
+
+def _signed_bitmatrix(vals: np.ndarray, width: int) -> np.ndarray:
+    """Two's-complement fixed-width bits of each value, flattened MSB-first."""
+    u = vals.astype(np.int64) & ((np.int64(1) << width) - 1)
+    return ((u[:, None] >> np.arange(width - 1, -1, -1, dtype=np.int64)) & 1).astype(np.uint8).ravel()
+
+
+def _bits_uint(bits: np.ndarray, cur: int, n: int) -> int:
+    """Read n MSB-first bits from an unpacked bit array."""
+    if cur + n > bits.size:
+        raise ValueError("corrupt FLAC: bitstream exhausted")
+    v = 0
+    for b in bits[cur : cur + n].tolist():
+        v = (v << 1) | b
+    return v
+
+
+def _bits_fixed_signed(bits: np.ndarray, cur: int, n: int, width: int) -> np.ndarray:
+    """Vectorized read of n signed fixed-width values."""
+    if cur + n * width > bits.size:
+        raise ValueError("corrupt FLAC: bitstream exhausted")
+    m = bits[cur : cur + n * width].reshape(n, width).astype(np.int64)
+    vals = m @ (np.int64(1) << np.arange(width - 1, -1, -1, dtype=np.int64))
+    return np.where(vals >= np.int64(1) << (width - 1), vals - (np.int64(1) << width), vals)
+
+
+def _rice_read_seg(seg: np.ndarray, n: int, param: int):
+    """Decode n Rice codes from a bit window; None = window too short."""
+    ones = np.flatnonzero(seg)
+    if param == 0:
+        # every 1-bit is a stop bit
+        if ones.size < n:
+            return None
+        stops = ones[:n].astype(np.int64)
+        q = np.empty(n, dtype=np.int64)
+        q[0] = stops[0]
+        np.subtract(stops[1:], stops[:-1] + 1, out=q[1:])
+        return q, int(stops[-1]) + 1
+    m = ones.size
+    if m == 0:
+        return None
+    # stop bit of code i+1 is the first 1-bit more than `param` bits
+    # past stop i (the remainder bits in between may contain 1s);
+    # cnt[j] = ones in seg[:j+1], so the index of the first 1-bit past
+    # position p is cnt[p]; enumerate the stop chain by pointer doubling
+    L = seg.size
+    cnt = np.cumsum(seg)
+    step = np.full(m + 1, m, dtype=np.int64)  # sentinel: index m is a fixed point
+    reach = ones + param
+    ok = reach < L
+    step[:m][ok] = cnt[reach[ok]]
+    idx = np.empty(n, dtype=np.int64)
+    idx[0] = 0
+    filled = 1
+    while filled < n:
+        take = min(filled, n - filled)
+        idx[filled : filled + take] = step[idx[:take]]
+        filled += take
+        if filled < n:
+            step = step[step]  # 2^k -> 2^(k+1) jumps
+    if idx[-1] >= m:
+        return None
+    stops = ones[idx].astype(np.int64)
+    if int(stops[-1]) + 1 + param > L:
+        return None
+    q = np.empty(n, dtype=np.int64)
+    q[0] = stops[0]
+    np.subtract(stops[1:], stops[:-1] + 1 + param, out=q[1:])
+    rem = np.zeros(n, dtype=np.int64)
+    base = stops + 1
+    for j in range(param):
+        rem = (rem << 1) | seg[base + j]
+    return (q << param) | rem, int(stops[-1]) + 1 + param
+
+
+def _rice_read(bits: np.ndarray, cur: int, n: int, param: int) -> Tuple[np.ndarray, int]:
+    """Vectorized Rice decode of n codes starting at bit `cur`.
+    Returns (unsigned folded values, new cursor). Scans a geometrically
+    growing window so one partition never pays for the whole stream."""
+    total = bits.size - cur
+    span = min(total, n * (param + 4) + 64)
+    while True:
+        got = _rice_read_seg(bits[cur : cur + span], n, param)
+        if got is not None:
+            vals, used = got
+            return vals, cur + used
+        if span >= total:
+            raise ValueError("corrupt FLAC: bitstream exhausted")
+        span = min(total, span * 2)
 
 
 def _utf8_number(br: _Bits) -> int:
@@ -158,7 +326,7 @@ def _utf8_encode(v: int) -> bytes:
     return bytes([lead] + list(reversed(tails)))
 
 
-def _read_residuals(br: _Bits, blocksize: int, order: int) -> np.ndarray:
+def _read_residuals(br: _Bits, bits: np.ndarray, blocksize: int, order: int) -> np.ndarray:
     method = br.read(2)
     if method > 1:
         raise ValueError("corrupt FLAC: reserved residual method")
@@ -170,20 +338,25 @@ def _read_residuals(br: _Bits, blocksize: int, order: int) -> np.ndarray:
         pass  # tolerated; per-spec sizes computed below anyway
     out = np.empty(blocksize - order, dtype=np.int64)
     idx = 0
+    cur = br.byte * 8 + br.bit
     for p in range(nparts):
         n = (blocksize >> porder) - (order if p == 0 else 0)
-        param = br.read(pbits)
+        param = _bits_uint(bits, cur, pbits)
+        cur += pbits
         if param == escape:
-            raw = br.read(5)
-            for _ in range(n):
-                out[idx] = br.read_signed(raw) if raw else 0
-                idx += 1
-        else:
-            for _ in range(n):
-                q = br.read_unary()
-                u = (q << param) | (br.read(param) if param else 0)
-                out[idx] = (u >> 1) ^ -(u & 1)  # zigzag
-                idx += 1
+            raw = _bits_uint(bits, cur, 5)
+            cur += 5
+            if n:
+                if raw:
+                    out[idx : idx + n] = _bits_fixed_signed(bits, cur, n, raw)
+                    cur += n * raw
+                else:
+                    out[idx : idx + n] = 0
+        elif n:
+            u, cur = _rice_read(bits, cur, n, param)
+            out[idx : idx + n] = (u >> 1) ^ -(u & 1)  # zigzag
+        idx += n
+    br.byte, br.bit = divmod(cur, 8)
     return out
 
 
@@ -191,15 +364,36 @@ def _write_residuals(bw: _BitsW, res: np.ndarray, param: int) -> None:
     bw.write(0, 2)  # 4-bit rice
     bw.write(0, 4)  # partition order 0
     bw.write(param, 4)
-    for r in res:
-        r = int(r)
-        u = ((-r) << 1) - 1 if r < 0 else (r << 1)  # zigzag
-        bw.write_unary(u >> param)
-        if param:
-            bw.write(u & ((1 << param) - 1), param)
+    if len(res) == 0:
+        return
+    r = res.astype(np.int64)
+    u = np.where(r < 0, ((-r) << 1) - 1, r << 1)  # zigzag
+    q = u >> param
+    ends = np.cumsum(q + 1 + param)  # per-code bit lengths
+    arr = np.zeros(int(ends[-1]), dtype=np.uint8)
+    stops = ends - param - 1
+    arr[stops] = 1
+    for j in range(param):
+        arr[stops + 1 + j] = (u >> (param - 1 - j)) & 1
+    bw.write_bits(arr)
 
 
-def _decode_subframe(br: _Bits, blocksize: int, bps: int) -> np.ndarray:
+def _fixed_reconstruct(warm: List[int], res: np.ndarray, order: int) -> np.ndarray:
+    """Invert the order-k fixed predictor exactly: the residuals are the
+    k-th finite differences, so reconstruction is k nested cumulative
+    sums seeded with the warmup samples' difference pyramid."""
+    if order == 0:
+        return res
+    pyr = [np.asarray(warm, dtype=np.int64)]
+    for _ in range(order - 1):
+        pyr.append(np.diff(pyr[-1]))
+    seq = res
+    for k in range(order, 0, -1):
+        seq = np.cumsum(np.concatenate([pyr[k - 1][:1], seq]))
+    return seq
+
+
+def _decode_subframe(br: _Bits, bits: np.ndarray, blocksize: int, bps: int) -> np.ndarray:
     if br.read(1):
         raise ValueError("corrupt FLAC: subframe padding bit set")
     stype = br.read(6)
@@ -210,19 +404,14 @@ def _decode_subframe(br: _Bits, blocksize: int, bps: int) -> np.ndarray:
     if stype == 0:  # CONSTANT
         out = np.full(blocksize, br.read_signed(bps), dtype=np.int64)
     elif stype == 1:  # VERBATIM
-        out = np.array([br.read_signed(bps) for _ in range(blocksize)], dtype=np.int64)
+        cur = br.byte * 8 + br.bit
+        out = _bits_fixed_signed(bits, cur, blocksize, bps)
+        br.byte, br.bit = divmod(cur + blocksize * bps, 8)
     elif 8 <= stype <= 12:  # FIXED
         order = stype - 8
         warm = [br.read_signed(bps) for _ in range(order)]
-        res = _read_residuals(br, blocksize, order)
-        out = np.empty(blocksize, dtype=np.int64)
-        out[:order] = warm
-        coefs = _FIXED_COEFS[order]
-        for i in range(order, blocksize):
-            pred = 0
-            for j, c in enumerate(coefs):
-                pred += c * out[i - 1 - j]
-            out[i] = pred + res[i - order]
+        res = _read_residuals(br, bits, blocksize, order)
+        out = _fixed_reconstruct(warm, res, order)
     elif stype >= 32:  # LPC
         order = (stype & 31) + 1
         warm = [br.read_signed(bps) for _ in range(order)]
@@ -231,7 +420,8 @@ def _decode_subframe(br: _Bits, blocksize: int, bps: int) -> np.ndarray:
             raise ValueError("corrupt FLAC: invalid LPC precision")
         shift = br.read_signed(5)
         coefs = [br.read_signed(prec) for _ in range(order)]
-        res = _read_residuals(br, blocksize, order)
+        res = _read_residuals(br, bits, blocksize, order)
+        # the quantized >> per step makes LPC genuinely sequential
         out = np.empty(blocksize, dtype=np.int64)
         out[:order] = warm
         for i in range(order, blocksize):
@@ -280,6 +470,8 @@ def decode_flac(data: bytes) -> Tuple[np.ndarray, int, int]:
             break
     if rate is None:
         raise ValueError("corrupt FLAC: missing STREAMINFO")
+    # one unpack of the whole stream feeds every vectorized bit read
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
     chans: List[List[np.ndarray]] = [[] for _ in range(channels)]
     got = 0
     while pos < len(data) - 1 and (total == 0 or got < total):
@@ -316,14 +508,14 @@ def decode_flac(data: bytes) -> Tuple[np.ndarray, int, int]:
         br.byte += 1
         if ch_code < 8:
             nch = ch_code + 1
-            subs = [_decode_subframe(br, blocksize, fbps) for _ in range(nch)]
+            subs = [_decode_subframe(br, bits, blocksize, fbps) for _ in range(nch)]
         elif ch_code in (8, 9, 10):  # left/side, side/right, mid/side
             nch = 2
             # the SIDE subframe carries one extra bit: position 1 for
             # ch 8/10 (left|mid first), position 0 for ch 9 (side first)
             extra = (1, 0) if ch_code == 9 else (0, 1)
-            a = _decode_subframe(br, blocksize, fbps + extra[0])
-            b = _decode_subframe(br, blocksize, fbps + extra[1])
+            a = _decode_subframe(br, bits, blocksize, fbps + extra[0])
+            b = _decode_subframe(br, bits, blocksize, fbps + extra[1])
             if ch_code == 8:  # left, side -> right = left - side
                 subs = [a, a - b]
             elif ch_code == 9:  # side, right -> left = right + side
@@ -395,8 +587,7 @@ def _encode_subframe(bw: _BitsW, x: np.ndarray, bps: int) -> None:
         bw.write(0, 1)
         bw.write(1, 6)  # VERBATIM
         bw.write(0, 1)
-        for v in x:
-            bw.write_signed(int(v), bps)
+        bw.write_bits(_signed_bitmatrix(x, bps))
         return
     bw.write(0, 1)
     bw.write(8 + order, 6)  # FIXED
