@@ -46,6 +46,12 @@ _last_iteration_width: int | None = None
 
 _NORM_RE = re.compile(r"[^a-z0-9\s]")
 
+#: a training set at most this many rows (== one rows_per_partition
+#: quantum, so the iteration frame is ONE partition) runs all gradient
+#: passes fused inside that single task; tests set 0 to force the
+#: distributed per-iteration loop for parity checks
+_FUSE_MAX_ROWS = 2048
+
 # Largest weight dim shipped as a single array literal in the scoring
 # plan (8 B/entry → ≤512 KiB per task binary); larger models take the
 # explode + broadcast-join path.
@@ -158,6 +164,46 @@ def train_quality_classifier(
         feat = feat.coalesce(it_parts)
     global _last_iteration_width
     _last_iteration_width = feat.rdd.getNumPartitions()
+    if _last_iteration_width == 1 and n <= _FUSE_MAX_ROWS:
+        # the whole (small, <= one rows_per_partition quantum) training
+        # set sits in ONE partition, so that task
+        # already holds the full batch: run every gradient pass inside
+        # it — same float64 arithmetic in the same order as the
+        # distributed loop's (one-partition) reduce, ONE job instead of
+        # ``iters`` sequential job+collect round trips (guide §1.2).
+        # Multi-partition inputs keep the per-iteration broadcast +
+        # partial-reduce loop below: a fused pass would turn full-batch
+        # gradients into local ones, which is a different algorithm.
+        def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            parts = [pdf for pdf in batches if len(pdf)]
+            w = np.zeros(dim, dtype=np.float64)
+            b = 0.0
+            losses: List[float] = []
+            for _ in range(iters):
+                g = np.zeros(dim, dtype=np.float64)
+                gb = 0.0
+                loss = 0.0
+                for pdf in parts:
+                    for idx, y in zip(pdf["idx"], pdf["y"]):
+                        idx = np.asarray(idx, dtype=np.int64)
+                        z = b + w[idx].sum()
+                        p = 1.0 / (1.0 + np.exp(-z))
+                        err = p - y
+                        g[idx] += err
+                        gb += err
+                        eps = 1e-12
+                        loss -= y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)
+                w = w - lr * (g / n + l2 * w)
+                b = b - lr * gb / n
+                losses.append(float(loss) / n)
+            yield pd.DataFrame(
+                [{"w": w.tolist(), "b": float(b), "losses": losses}]
+            )
+
+        row = feat.mapInPandas(
+            fused, schema="w array<double>, b double, losses array<double>"
+        ).collect()[0]
+        return np.asarray(row["w"], dtype=np.float64), float(row["b"]), list(row["losses"])
     w = np.zeros(dim, dtype=np.float64)
     b = 0.0
     losses: List[float] = []

@@ -139,3 +139,25 @@ def test_scoring_fold_and_explode_paths_match(spark):
     for k in slow:
         assert slow[k] == pytest.approx(fold[k], abs=1e-9)
         assert slow[k] == pytest.approx(fast[k], abs=1e-12)
+
+
+def test_fused_single_partition_training_matches_loop(spark):
+    """A training set that fits one iteration partition runs all
+    gradient passes fused inside that task; the result must be
+    BIT-IDENTICAL to the per-iteration distributed loop (same float64
+    ops in the same order — this is an execution fusion, not an
+    algorithm change)."""
+    from iceberg_python_spark.operators import classifier as C
+
+    pos, neg = _corpus(spark, n=60)
+    w1, b1, l1 = C.train_quality_classifier(pos, neg, "text", dim=512, iters=5)
+    assert C._last_iteration_width == 1  # fused path ran
+    old = C._FUSE_MAX_ROWS
+    C._FUSE_MAX_ROWS = 0  # force the distributed per-iteration loop
+    try:
+        w2, b2, l2 = C.train_quality_classifier(pos, neg, "text", dim=512, iters=5)
+    finally:
+        C._FUSE_MAX_ROWS = old
+    assert np.array_equal(w1, w2)
+    assert b1 == b2
+    assert l1 == l2
