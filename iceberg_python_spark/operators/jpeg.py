@@ -142,27 +142,37 @@ def _quality_scaled(base: np.ndarray, quality: int) -> np.ndarray:
 
 
 class _BitWriter:
+    """Collects (value, length) emissions; ``flush`` packs the whole
+    entropy segment in one vectorized pass (bit matrix -> packbits ->
+    byte stuffing) instead of a Python bit loop per symbol."""
+
     def __init__(self) -> None:
-        self.out = bytearray()
-        self._acc = 0
-        self._n = 0
+        self._vals: List[int] = []
+        self._lens: List[int] = []
 
     def put(self, value: int, length: int) -> None:
         if length == 0:
             return
-        self._acc = (self._acc << length) | (value & ((1 << length) - 1))
-        self._n += length
-        while self._n >= 8:
-            self._n -= 8
-            b = (self._acc >> self._n) & 0xFF
-            self.out.append(b)
-            if b == 0xFF:
-                self.out.append(0x00)  # byte stuffing
+        self._vals.append(value)
+        self._lens.append(length)
 
     def flush(self) -> bytes:
-        if self._n:
-            self.put(0x7F, 8 - self._n)  # pad with 1s per spec
-        return bytes(self.out)
+        if not self._lens:
+            return b""
+        lens = np.asarray(self._lens, dtype=np.int64)
+        vals = np.asarray(self._vals, dtype=np.int64) & ((np.int64(1) << lens) - 1)
+        pad = int(-lens.sum()) % 8
+        if pad:  # pad with 1s per spec
+            vals = np.append(vals, (1 << pad) - 1)
+            lens = np.append(lens, pad)
+        width = int(lens.max())
+        bitmat = (vals[:, None] >> np.arange(width - 1, -1, -1, dtype=np.int64)) & 1
+        mask = np.arange(width)[None, :] >= (width - lens[:, None])
+        packed = np.packbits(bitmat[mask].astype(np.uint8))
+        ff = np.flatnonzero(packed == 0xFF)
+        if ff.size:  # byte stuffing
+            packed = np.insert(packed, ff + 1, 0)
+        return packed.tobytes()
 
 
 def _huff_encode_table(bits: List[int], vals: List[int]) -> Dict[int, Tuple[int, int]]:
@@ -624,61 +634,93 @@ def _encode_progressive(out: bytearray, comp_blocks, comps_tbl, ncomp: int) -> b
 # ---------------------------------------------------------------- decoder
 
 
+# peek-16-bits decode LUTs keyed by the DHT spec: entry = (symbol << 8)
+# | code_length; 0 marks a prefix belonging to no code (> 16 bits) and
+# 0xFF a declared code with no symbol behind it. The Annex-K defaults
+# dominate real streams, so the tables are shared process-wide.
+_HUFF_LUT_CACHE: Dict[Tuple[Tuple[int, ...], Tuple[int, ...]], List[int]] = {}
+
+
 class _HuffDecoder:
-    """Canonical Huffman decode per T.81 F.2.2.3 (MINCODE/MAXCODE)."""
+    """Canonical Huffman decode per T.81 F.2.2.3, via a 16-bit peek
+    table: one lookup per symbol instead of one compare per bit."""
 
     def __init__(self, bits: List[int], vals: List[int]) -> None:
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
-        code = 0
-        k = 0
-        for ln in range(1, 17):
-            if bits[ln - 1]:
-                self.valptr[ln] = k
-                self.mincode[ln] = code
-                code += bits[ln - 1]
-                k += bits[ln - 1]
-                self.maxcode[ln] = code - 1
-            code <<= 1
-        self.vals = vals
+        key = (tuple(bits), tuple(vals))
+        lut = _HUFF_LUT_CACHE.get(key)
+        if lut is None:
+            arr = np.zeros(1 << 16, dtype=np.int32)
+            code = 0
+            k = 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    start = code << (16 - ln)
+                    # a corrupt DHT can define codes with no symbol
+                    ent = ((vals[k] << 8) | ln) if k < len(vals) else 0xFF
+                    arr[start : start + (1 << (16 - ln))] = ent
+                    code += 1
+                    k += 1
+                code <<= 1
+            lut = arr.tolist()
+            if len(_HUFF_LUT_CACHE) > 64:
+                _HUFF_LUT_CACHE.clear()
+            _HUFF_LUT_CACHE[key] = lut
+        self.lut = lut
 
     def decode(self, br: "_BitReader") -> int:
-        code = br.read_bit()
-        ln = 1
-        while code > self.maxcode[ln]:
-            ln += 1
-            if ln > 16:
-                raise ValueError("corrupt JPEG: huffman code overruns 16 bits")
-            code = (code << 1) | br.read_bit()
-        idx = self.valptr[ln] + code - self.mincode[ln]
-        if not 0 <= idx < len(self.vals):
-            # a corrupt DHT can define codes with no symbol behind them
+        acc, n = br._acc, br._n
+        if n < 16:
+            acc &= (1 << n) - 1  # shed consumed high bits
+            buf, pos, ln = br.buf, br.pos, len(br.buf)
+            while n < 16 and pos < ln:
+                acc = (acc << 8) | buf[pos]
+                pos += 1
+                n += 8
+            br._acc, br._n, br.pos = acc, n, pos
+        window = ((acc << (16 - n)) if n < 16 else (acc >> (n - 16))) & 0xFFFF
+        ent = self.lut[window]
+        length = ent & 0xFF
+        if length == 0xFF:
             raise ValueError("corrupt JPEG: huffman code has no symbol")
-        return self.vals[idx]
+        if length == 0:
+            raise ValueError("corrupt JPEG: huffman code overruns 16 bits")
+        if length > n:
+            raise ValueError("corrupt JPEG: entropy stream exhausted")
+        br._n = n - length
+        return ent >> 8
 
 
 class _BitReader:
     def __init__(self, buf: bytes) -> None:
         self.buf = buf
         self.pos = 0
-        self.bit = 0
+        self._acc = 0
+        self._n = 0
 
     def read_bit(self) -> int:
-        if self.pos >= len(self.buf):
-            raise ValueError("corrupt JPEG: entropy stream exhausted")
-        b = (self.buf[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
+        if self._n == 0:
+            if self.pos >= len(self.buf):
+                raise ValueError("corrupt JPEG: entropy stream exhausted")
+            self._acc = self.buf[self.pos]
             self.pos += 1
-        return b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        acc, have = self._acc, self._n
+        if have < n:
+            acc &= (1 << have) - 1  # shed consumed high bits
+            buf, pos, ln = self.buf, self.pos, len(self.buf)
+            while have < n:
+                if pos >= ln:
+                    raise ValueError("corrupt JPEG: entropy stream exhausted")
+                acc = (acc << 8) | buf[pos]
+                pos += 1
+                have += 8
+            self.pos = pos
+        self._acc, self._n = acc, have - n
+        return (acc >> (have - n)) & ((1 << n) - 1)
 
 
 def _extend(v: int, t: int) -> int:
