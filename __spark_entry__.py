@@ -4703,11 +4703,18 @@ def _q_bm25_incremental(spark, env):
         # a.exceptAll(b).count() == 0 AND b.exceptAll(a).count() == 0,
         # but in ONE job evaluating each side once: group both sides to
         # per-row multiplicities and full-outer-compare (the old shape
-        # ran 4 jobs and re-built each index side twice — guide §2.4)
+        # ran 4 jobs and re-built each index side twice — guide §2.4).
+        # Join per-column with eqNullSafe, NOT a name-list equi-join:
+        # exceptAll treats NULLs as equal, and a plain equi-join would
+        # report equal multisets as unequal the moment an index column
+        # carries a NULL (ADVICE r17).
         cols = list(a.columns)
         ca = a.groupBy(*cols).agg(F.count("*").alias("_ca"))
         cb = b.groupBy(*cols).agg(F.count("*").alias("_cb"))
-        diff = ca.join(cb, cols, "full_outer").where(
+        cond = F.lit(True)
+        for c in cols:
+            cond = cond & ca[c].eqNullSafe(cb[c])
+        diff = ca.join(cb, cond, "full_outer").where(
             F.coalesce(F.col("_ca"), F.lit(0)) != F.coalesce(F.col("_cb"), F.lit(0))
         )
         return diff.limit(1).count() == 0
