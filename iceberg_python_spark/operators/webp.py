@@ -39,26 +39,33 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 
+_REV8 = [int(f"{b:08b}"[::-1], 2) for b in range(256)]
+
+
 class _LsbReader:
-    """LSB-first bit reader (VP8L packing); Huffman codes are walked
-    bit-by-bit so DEFLATE-style MSB-first code assignment just works."""
+    """LSB-first bit reader (VP8L packing) over a bit accumulator;
+    Huffman codes arrive code-MSB-first within the LSB-first stream."""
 
     def __init__(self, buf: bytes) -> None:
         self.buf = buf
         self.pos = 0
-        self.bit = 0
+        self._acc = 0  # upcoming bits, stream bit i at acc bit i
+        self._n = 0
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            if self.pos >= len(self.buf):
-                raise ValueError("corrupt VP8L: bitstream exhausted")
-            v |= ((self.buf[self.pos] >> self.bit) & 1) << i
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.pos += 1
-        return v
+        acc, have = self._acc, self._n
+        if have < n:
+            buf, pos, ln = self.buf, self.pos, len(self.buf)
+            while have < n:
+                if pos >= ln:
+                    raise ValueError("corrupt VP8L: bitstream exhausted")
+                acc |= buf[pos] << have
+                pos += 1
+                have += 8
+            self.pos = pos
+        self._acc = acc >> n
+        self._n = have - n
+        return acc & ((1 << n) - 1)
 
 
 class _LsbWriter:
@@ -77,9 +84,10 @@ class _LsbWriter:
 
     def write_code(self, code: int, n: int) -> None:
         """Huffman CODES enter the stream most-significant-bit first
-        (everything else is plain LSB-first little-endian)."""
-        for i in range(n - 1, -1, -1):
-            self.write((code >> i) & 1, 1)
+        (everything else is plain LSB-first little-endian) — one
+        bit-reversed write instead of n single-bit writes."""
+        rev = ((_REV8[code & 0xFF] << 8) | _REV8[(code >> 8) & 0xFF]) >> (16 - n)
+        self.write(rev, n)
 
     def bytes(self) -> bytes:
         if self.n:
@@ -90,8 +98,11 @@ class _LsbWriter:
 
 
 class _Huff:
-    """Canonical Huffman from code lengths (DEFLATE assignment); decode
-    walks one bit at a time (bits arrive in code-MSB-first order)."""
+    """Canonical Huffman from code lengths (DEFLATE assignment). An
+    8-bit stream-order peek table resolves short codes (the common
+    case) in one lookup; longer codes fall back to the bitwise walk."""
+
+    _PEEK = 8
 
     def __init__(self, lengths: List[int]) -> None:
         self.single: Optional[int] = None
@@ -105,16 +116,40 @@ class _Huff:
         self.tree: dict = {}
         code = 0
         prev_len = 0
+        peek = [0] * (1 << self._PEEK)
         for ln, sym in sorted(nz):
             code <<= ln - prev_len
             prev_len = ln
             self.tree[(ln, code)] = sym
+            if ln <= self._PEEK:
+                # stream-order pattern: first code bit (its MSB) is the
+                # lowest stream bit
+                rev = ((_REV8[code & 0xFF] << 8) | _REV8[(code >> 8) & 0xFF]) >> (16 - ln)
+                ent = (sym << 8) | ln
+                for t in range(1 << (self._PEEK - ln)):
+                    peek[rev | (t << ln)] = ent
             code += 1
+        self.peek = peek
         self.max_len = max(ln for ln, _ in nz)
 
     def decode(self, br: _LsbReader) -> int:
         if self.single is not None:
             return self.single
+        acc, have = br._acc, br._n
+        if have < 8:
+            buf, pos, ln = br.buf, br.pos, len(br.buf)
+            while have < 8 and pos < ln:
+                acc |= buf[pos] << have
+                pos += 1
+                have += 8
+            br._acc, br._n, br.pos = acc, have, pos
+        ent = self.peek[acc & 0xFF] if have >= 8 else self.peek[(acc & ((1 << have) - 1))]
+        length = ent & 0xFF
+        if ent and length <= have:
+            br._acc = acc >> length
+            br._n = have - length
+            return ent >> 8
+        # long code (or short window at stream end): bitwise walk
         code = 0
         for ln in range(1, self.max_len + 1):
             code = (code << 1) | br.read(1)
@@ -243,7 +278,7 @@ def _read_entropy_image(br: _LsbReader, w: int, h: int, allow_meta: bool):
         d = _Huff(_read_code_lengths(br, 40))
         groups.append((g, r, b, a, d))
     cache = [0] * (1 << cache_bits) if cache_bits else None
-    out = np.zeros((h * w, 4), dtype=np.uint8)  # A,R,G,B
+    out: List[tuple] = [None] * (h * w)  # A,R,G,B tuples
     i = 0
     n = h * w
     while i < n:
@@ -276,14 +311,14 @@ def _read_entropy_image(br: _LsbReader, w: int, h: int, allow_meta: bool):
                 out[i] = out[i - dist]
                 if cache is not None:
                     a_, r_, g_, b_ = out[i]
-                    argb = (int(a_) << 24) | (int(r_) << 16) | (int(g_) << 8) | int(b_)
+                    argb = (a_ << 24) | (r_ << 16) | (g_ << 8) | b_
                     cache[_color_cache_hash(argb, cache_bits)] = argb
                 i += 1
         else:  # color cache reference
             argb = cache[s - 256 - 24]
             out[i] = ((argb >> 24) & 0xFF, (argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)
             i += 1
-    return out.reshape(h, w, 4)
+    return np.asarray(out, dtype=np.uint8).reshape(h, w, 4)
 
 
 def _inv_subtract_green(px: np.ndarray) -> None:
@@ -293,67 +328,91 @@ def _inv_subtract_green(px: np.ndarray) -> None:
 
 
 def _inv_predictor(px: np.ndarray, modes: np.ndarray, tile_bits: int) -> None:
+    # plain-int row lists: the reconstruction is pixel-sequential (L is
+    # the just-written neighbor), and per-pixel numpy vector ops cost
+    # ~10x a four-int Python loop at this granularity
     h, w = px.shape[:2]
-    p = px.astype(np.int32)
-
-    def avg2(a, b):
-        return (a + b) // 2
-
+    p = px.astype(np.int32).tolist()
+    mrows = modes.tolist()
     for y in range(h):
+        row = p[y]
+        above = p[y - 1] if y else None
+        mrow = mrows[y >> tile_bits] if y else None
         for x in range(w):
             if x == 0 and y == 0:
-                pred = np.array([255, 0, 0, 0], dtype=np.int32)
+                pred = (255, 0, 0, 0)
             elif y == 0:
-                pred = p[0, x - 1]
+                pred = row[x - 1]
             elif x == 0:
-                pred = p[y - 1, 0]
+                pred = above[0]
             else:
-                mode = int(modes[y >> tile_bits, x >> tile_bits])
-                L = p[y, x - 1]
-                T = p[y - 1, x]
-                TL = p[y - 1, x - 1]
+                mode = mrow[x >> tile_bits]
+                L = row[x - 1]
+                T = above[x]
                 # rightmost column: libwebp's contiguous row buffer makes
                 # top[x+1] at x==w-1 land on the CURRENT row's first pixel
                 # (already reconstructed, since x > 0 in this branch)
-                TR = p[y - 1, x + 1] if x + 1 < w else p[y, 0]
                 if mode == 0:
-                    pred = np.array([255, 0, 0, 0], dtype=np.int32)
+                    pred = (255, 0, 0, 0)
                 elif mode == 1:
                     pred = L
                 elif mode == 2:
                     pred = T
                 elif mode == 3:
-                    pred = TR
+                    pred = above[x + 1] if x + 1 < w else row[0]
                 elif mode == 4:
-                    pred = TL
+                    pred = above[x - 1]
                 elif mode == 5:
-                    pred = avg2(avg2(L, TR), T)
+                    TR = above[x + 1] if x + 1 < w else row[0]
+                    pred = [(((a + b) // 2) + c) // 2 for a, b, c in zip(L, TR, T)]
                 elif mode == 6:
-                    pred = avg2(L, TL)
+                    TL = above[x - 1]
+                    pred = [(a + b) // 2 for a, b in zip(L, TL)]
                 elif mode == 7:
-                    pred = avg2(L, T)
+                    pred = [(a + b) // 2 for a, b in zip(L, T)]
                 elif mode == 8:
-                    pred = avg2(TL, T)
+                    TL = above[x - 1]
+                    pred = [(a + b) // 2 for a, b in zip(TL, T)]
                 elif mode == 9:
-                    pred = avg2(T, TR)
+                    TR = above[x + 1] if x + 1 < w else row[0]
+                    pred = [(a + b) // 2 for a, b in zip(T, TR)]
                 elif mode == 10:
-                    pred = avg2(avg2(L, TL), avg2(T, TR))
+                    TL = above[x - 1]
+                    TR = above[x + 1] if x + 1 < w else row[0]
+                    pred = [
+                        ((a + b) // 2 + (c + d) // 2) // 2
+                        for a, b, c, d in zip(L, TL, T, TR)
+                    ]
                 elif mode == 11:  # Select
-                    pl = np.abs(T - TL).sum()
-                    pt = np.abs(L - TL).sum()
+                    TL = above[x - 1]
+                    pl = sum(abs(a - b) for a, b in zip(T, TL))
+                    pt = sum(abs(a - b) for a, b in zip(L, TL))
                     pred = L if pl < pt else T
                 elif mode == 12:  # ClampAddSubtractFull
-                    pred = np.clip(L + T - TL, 0, 255)
+                    TL = above[x - 1]
+                    pred = [
+                        min(255, max(0, a + b - c)) for a, b, c in zip(L, T, TL)
+                    ]
                 elif mode == 13:  # ClampAddSubtractHalf
                     # half-delta uses C integer division (truncate toward
                     # zero), not Python floor division
-                    a = avg2(L, T)
-                    d = a - TL
-                    pred = np.clip(a + np.sign(d) * (np.abs(d) // 2), 0, 255)
+                    TL = above[x - 1]
+                    pred = []
+                    for a, b, c in zip(L, T, TL):
+                        m = (a + b) // 2
+                        d = m - c
+                        half = (abs(d) // 2) if d >= 0 else -(abs(d) // 2)
+                        pred.append(min(255, max(0, m + half)))
                 else:
                     raise ValueError("corrupt VP8L: bad predictor mode")
-            p[y, x] = (p[y, x] + pred) & 0xFF
-    px[:] = p.astype(np.uint8)
+            cur = row[x]
+            row[x] = [
+                (cur[0] + pred[0]) & 0xFF,
+                (cur[1] + pred[1]) & 0xFF,
+                (cur[2] + pred[2]) & 0xFF,
+                (cur[3] + pred[3]) & 0xFF,
+            ]
+    px[:] = np.asarray(p, dtype=np.int32).astype(np.uint8)
 
 
 def _s8(v: int) -> int:
@@ -363,18 +422,25 @@ def _s8(v: int) -> int:
 def _inv_color_transform(px: np.ndarray, elems: np.ndarray, tile_bits: int) -> None:
     """Cross-color inverse (spec 4.2.3): the tile pixel stores
     red_to_blue in RED, green_to_blue in GREEN, green_to_red in BLUE;
-    deltas are (int8 coefficient * int8 channel) >> 5."""
+    deltas are (int8 coefficient * int8 channel) >> 5. Red depends only
+    on green and blue only on (green, new red), so the whole image
+    vectorizes: expand the tile coefficients to the pixel grid and
+    apply both channel updates as array expressions (numpy's arithmetic
+    >> IS the spec's floor shift)."""
     h, w = px.shape[:2]
-    for y in range(h):
-        ty = y >> tile_bits
-        for x in range(w):
-            e = elems[ty, x >> tile_bits]
-            r2b, g2b, g2r = _s8(int(e[0])), _s8(int(e[1])), _s8(int(e[2]))
-            g = _s8(int(px[y, x, 2]))
-            r = (int(px[y, x, 1]) + ((g2r * g) >> 5)) & 0xFF
-            b = (int(px[y, x, 3]) + ((g2b * g) >> 5) + ((r2b * _s8(r)) >> 5)) & 0xFF
-            px[y, x, 1] = r
-            px[y, x, 3] = b
+    ys = np.arange(h) >> tile_bits
+    xs = np.arange(w) >> tile_bits
+    e = elems[ys[:, None], xs[None, :]].astype(np.int32)  # (h, w, 3)
+    r2b, g2b, g2r = (e[:, :, 0] - ((e[:, :, 0] >= 128) << 8),
+                     e[:, :, 1] - ((e[:, :, 1] >= 128) << 8),
+                     e[:, :, 2] - ((e[:, :, 2] >= 128) << 8))
+    g = px[:, :, 2].astype(np.int32)
+    g -= (g >= 128) << 8  # int8 view of the green channel
+    r = (px[:, :, 1].astype(np.int32) + ((g2r * g) >> 5)) & 0xFF
+    r_s = r - ((r >= 128) << 8)
+    b = (px[:, :, 3].astype(np.int32) + ((g2b * g) >> 5) + ((r2b * r_s) >> 5)) & 0xFF
+    px[:, :, 1] = r.astype(np.uint8)
+    px[:, :, 3] = b.astype(np.uint8)
 
 
 def _inv_color_indexing(px: np.ndarray, palette: np.ndarray, pack_bits: int, width: int) -> np.ndarray:
