@@ -879,28 +879,36 @@ def _init_frame(h_img: int, w_img: int, comps: List[Dict[str, Any]], progressive
 
 def _scan_segments(data: bytes, pos: int) -> Tuple[List[bytes], int]:
     """Split one scan's entropy stream at restart markers (un-stuffing
-    0xFF00); returns (segments, position of the terminating marker)."""
+    0xFF00); returns (segments, position of the terminating marker).
+    Jumps between 0xFF positions (numpy scan) instead of walking every
+    byte — entropy bytes between markers/stuffing copy as slices."""
+    n = len(data)
     segments: List[bytes] = []
-    cur = bytearray()
-    p = pos
-    while p < len(data):
-        b = data[p]
-        if b == 0xFF and p + 1 < len(data):
-            nxt = data[p + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                segments.append(bytes(cur))
-                cur = bytearray()
-                p += 2
-                continue
-            break  # any other marker ends the scan
-        cur.append(b)
-        p += 1
-    segments.append(bytes(cur))
-    return segments, p
+    parts: List[bytes] = []
+    run_start = pos
+    ffs = np.flatnonzero(np.frombuffer(data, dtype=np.uint8)[pos:] == 0xFF)
+    for q in ffs:
+        q += pos
+        if q < run_start:
+            continue  # second byte of an already-consumed pair
+        if q + 1 >= n:
+            break  # trailing 0xFF with no marker byte: plain data
+        nxt = data[q + 1]
+        if nxt == 0x00:  # byte-stuffed 0xFF
+            parts.append(data[run_start : q + 1])
+            run_start = q + 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn
+            parts.append(data[run_start:q])
+            segments.append(b"".join(parts))
+            parts = []
+            run_start = q + 2
+        else:  # any other marker ends the scan
+            parts.append(data[run_start:q])
+            segments.append(b"".join(parts))
+            return segments, q
+    parts.append(data[run_start:n])
+    segments.append(b"".join(parts))
+    return segments, n
 
 
 def _decode_scan(data, pos, frame, scan_sel, huff, restart_interval, ss, se, ah, al):
@@ -922,6 +930,9 @@ def _decode_scan(data, pos, frame, scan_sel, huff, restart_interval, ss, se, ah,
     interleaved = len(scan_comps) > 1
     if interleaved and ss != 0:
         raise ValueError("corrupt JPEG: interleaved AC scan")
+    if not progressive:
+        _decode_baseline_scan(segments, frame, scan_comps, huff, restart_interval)
+        return end_pos
     seg_i = 0
     br = _BitReader(segments[0])
     preds = {c["id"]: 0 for c in scan_comps}
@@ -936,6 +947,7 @@ def _decode_scan(data, pos, frame, scan_sel, huff, restart_interval, ss, se, ah,
             preds = {c["id"]: 0 for c in scan_comps}
             frame["eobrun"] = 0
 
+    # only progressive scans reach here (baseline dispatched above)
     if interleaved:
         mcus_x, mcus_y = frame["mcus_x"], frame["mcus_y"]
         for mcu in range(mcus_x * mcus_y):
@@ -945,23 +957,17 @@ def _decode_scan(data, pos, frame, scan_sel, huff, restart_interval, ss, se, ah,
                 for v in range(c["v"]):
                     for hh in range(c["h"]):
                         blk = c["coef"][(my * c["v"] + v) * c["bw"] + (mx * c["h"] + hh)]
-                        if progressive:
-                            _decode_dc(br, huff, c, blk, preds, ah, al)
-                        else:
-                            _decode_baseline_block(br, huff, c, blk, preds)
+                        _decode_dc(br, huff, c, blk, preds, ah, al)
     else:
         # ns=1 scans walk the component's own nbw*nbh data units
-        # (T.81 A.2.2) — for baseline frames too, where a subsampled
-        # component's unit count differs from the MCU grid
+        # (T.81 A.2.2), not the MCU grid
         c = scan_comps[0]
         nbw, nbh = c["nbw"], c["nbh"]
         for i in range(nbw * nbh):
             restart_if_due(i)
             by, bx = divmod(i, nbw)
             blk = c["coef"][by * c["bw"] + bx]
-            if not progressive:
-                _decode_baseline_block(br, huff, c, blk, preds)
-            elif ss == 0:
+            if ss == 0:
                 _decode_dc(br, huff, c, blk, preds, ah, al)
                 if se != 0:
                     raise ValueError("corrupt JPEG: progressive DC scan with Se > 0")
@@ -972,28 +978,161 @@ def _decode_scan(data, pos, frame, scan_sel, huff, restart_interval, ss, se, ah,
     return end_pos
 
 
-def _decode_baseline_block(br, huff, c, blk, preds) -> None:
-    dc_t = huff.get((0, c["td"]))
-    ac_t = huff.get((1, c["ta"]))
-    if dc_t is None or ac_t is None:
-        raise ValueError("corrupt JPEG: scan references missing DHT")
-    t = dc_t.decode(br)
-    preds[c["id"]] += _extend(br.receive(t), t)
-    blk[0] = preds[c["id"]]
-    k = 1
-    while k < 64:
-        rs = ac_t.decode(br)
-        r, s = rs >> 4, rs & 0xF
-        if s == 0:
-            if r == 15:
-                k += 16  # ZRL
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise ValueError("corrupt JPEG: AC index overrun")
-        blk[k] = _extend(br.receive(s), s)
-        k += 1
+def _decode_baseline_scan(segments, frame, scan_comps, huff, restart_interval) -> None:
+    """Baseline-sequential scan decode (T.81 F.2.2), fused.
+
+    Bit-for-bit the same stream semantics as _HuffDecoder.decode +
+    _BitReader.receive walked per coefficient, but the accumulator
+    lives in locals for the whole scan and decoded coefficients are
+    collected into per-component (block, k, value) lists that scatter
+    into the coef arrays with ONE numpy assignment each — the
+    per-coefficient method calls and numpy scalar stores were the
+    remaining hot path after the peek-16 LUT landed."""
+    # decode-order unit pattern: per MCU for interleaved scans, per
+    # component data unit for ns=1 scans (T.81 A.2.2)
+    if len(scan_comps) > 1:
+        units = frame["mcus_x"] * frame["mcus_y"]
+        pattern = [
+            (ci, v, hh, c["v"], c["h"], c["bw"])
+            for ci, c in enumerate(scan_comps)
+            for v in range(c["v"])
+            for hh in range(c["h"])
+        ]
+        mcus_x = frame["mcus_x"]
+    else:
+        c = scan_comps[0]
+        units = c["nbw"] * c["nbh"]
+        pattern = [(0, 0, 0, 1, 1, c["bw"])]
+        mcus_x = c["nbw"]
+
+    # huffman LUTs resolved lazily at each component's FIRST block so a
+    # missing-DHT error keeps its position relative to stream errors
+    luts = [None] * len(scan_comps)
+    ids = [c["id"] for c in scan_comps]
+    nseg = len(segments)
+    buf = segments[0]
+    ln = len(buf)
+    pos = acc = n = 0
+    seg_i = 0
+    # DC predictors keyed by component ID, exactly like the per-block
+    # path (duplicate selectors in a corrupt scan share one predictor)
+    preds = {i: 0 for i in ids}
+    outi = [[] for _ in scan_comps]  # flat coef indices (block*64 + k)
+    outv = [[] for _ in scan_comps]
+
+    for unit in range(units):
+        if restart_interval and unit and unit % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= nseg:
+                raise ValueError("corrupt JPEG: missing restart segment")
+            buf = segments[seg_i]
+            ln = len(buf)
+            pos = acc = n = 0
+            preds = {i: 0 for i in ids}
+        my, mx = divmod(unit, mcus_x)
+        for ci, v, hh, cv, ch, bw in pattern:
+            tabs = luts[ci]
+            if tabs is None:
+                cc = scan_comps[ci]
+                dc_t = huff.get((0, cc["td"]))
+                ac_t = huff.get((1, cc["ta"]))
+                if dc_t is None or ac_t is None:
+                    raise ValueError("corrupt JPEG: scan references missing DHT")
+                tabs = luts[ci] = (dc_t.lut, ac_t.lut)
+            dc_lut, ac_lut = tabs
+            cid = ids[ci]
+            base = ((my * cv + v) * bw + mx * ch + hh) << 6
+            oi, ov = outi[ci], outv[ci]
+
+            # DC: huffman symbol = magnitude category t, then t raw bits
+            if n < 16:
+                acc &= (1 << n) - 1
+                while n < 16 and pos < ln:
+                    acc = (acc << 8) | buf[pos]
+                    pos += 1
+                    n += 8
+            window = ((acc << (16 - n)) if n < 16 else (acc >> (n - 16))) & 0xFFFF
+            ent = dc_lut[window]
+            t = ent & 0xFF
+            if t == 0xFF:
+                raise ValueError("corrupt JPEG: huffman code has no symbol")
+            if t == 0:
+                raise ValueError("corrupt JPEG: huffman code overruns 16 bits")
+            if t > n:
+                raise ValueError("corrupt JPEG: entropy stream exhausted")
+            n -= t
+            t = ent >> 8
+            if t:
+                if n < t:
+                    acc &= (1 << n) - 1
+                    while n < t:
+                        if pos >= ln:
+                            raise ValueError("corrupt JPEG: entropy stream exhausted")
+                        acc = (acc << 8) | buf[pos]
+                        pos += 1
+                        n += 8
+                n -= t
+                diff = (acc >> n) & ((1 << t) - 1)
+                if diff < (1 << (t - 1)):
+                    diff += 1 - (1 << t)
+                preds[cid] += diff
+            pv = preds[cid]
+            if not (-9223372036854775808 <= pv <= 9223372036854775807):
+                # the per-block path stored into the int64 coef array
+                # immediately; keep its overflow behavior (a corrupt DHT
+                # can define DC categories > 63 bits)
+                raise OverflowError("Python int too large to convert to C long")
+            oi.append(base)
+            ov.append(pv)
+
+            # AC: (run, size) symbols until EOB or k > 63
+            k = 1
+            while k < 64:
+                if n < 16:
+                    acc &= (1 << n) - 1
+                    while n < 16 and pos < ln:
+                        acc = (acc << 8) | buf[pos]
+                        pos += 1
+                        n += 8
+                window = ((acc << (16 - n)) if n < 16 else (acc >> (n - 16))) & 0xFFFF
+                ent = ac_lut[window]
+                length = ent & 0xFF
+                if length == 0xFF:
+                    raise ValueError("corrupt JPEG: huffman code has no symbol")
+                if length == 0:
+                    raise ValueError("corrupt JPEG: huffman code overruns 16 bits")
+                if length > n:
+                    raise ValueError("corrupt JPEG: entropy stream exhausted")
+                n -= length
+                rs = ent >> 8
+                s = rs & 0xF
+                if s == 0:
+                    if rs == 0xF0:
+                        k += 16  # ZRL
+                        continue
+                    break  # EOB
+                k += rs >> 4
+                if k > 63:
+                    raise ValueError("corrupt JPEG: AC index overrun")
+                if n < s:
+                    acc &= (1 << n) - 1
+                    while n < s:
+                        if pos >= ln:
+                            raise ValueError("corrupt JPEG: entropy stream exhausted")
+                        acc = (acc << 8) | buf[pos]
+                        pos += 1
+                        n += 8
+                n -= s
+                val = (acc >> n) & ((1 << s) - 1)
+                if val < (1 << (s - 1)):
+                    val += 1 - (1 << s)
+                oi.append(base + k)
+                ov.append(val)
+                k += 1
+
+    for ci, c in enumerate(scan_comps):
+        if outi[ci]:
+            c["coef"].reshape(-1)[outi[ci]] = outv[ci]
 
 
 def _decode_dc(br, huff, c, blk, preds, ah, al) -> None:
