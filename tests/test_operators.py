@@ -2268,8 +2268,16 @@ def test_dedup_blocks_release_with_frames(spark):
     session — the old never-unpersisted persist(MEMORY_AND_DISK) calls
     leaked one cached RDD per pipeline run. With localCheckpoint the
     ContextCleaner releases the blocks once the frames are GC'd: after
-    repeated runs + gc, the persistent-RDD map returns to (near) its
-    starting size instead of growing by ~2 RDDs per run."""
+    repeated runs + gc, the storage-RDD list returns to (near) its
+    starting size instead of growing by ~2 RDDs per run.
+
+    Probe via getRDDStorageInfo (plain RDDInfo data), NOT
+    getPersistentRDDs — the latter returns JavaRDD wrappers whose
+    Py4J-held references pin the weak-valued persistentRdds map and
+    defeat the very cleanup being asserted. The poll forces JVM GCs:
+    the weak refs only enqueue on a JVM collection, which production
+    sessions get from the ContextCleaner's periodic System.gc (default
+    every 30min) and a test can't wait for."""
     import gc
     import time
 
@@ -2280,23 +2288,25 @@ def test_dedup_blocks_release_with_frames(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id: long, text: string")
 
-    def n_persistent():
-        return spark._jsc.getPersistentRDDs().size()
+    def n_stored():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
 
     gc.collect()
-    base = n_persistent()
+    base = n_stored()
     for _ in range(3):
         out = minhash_dedup(df, "doc_id", "text", threshold=0.8)
         out.count()
         del out
     gc.collect()
-    # the ContextCleaner runs async; poll briefly for the cleanup
+    # the ContextCleaner runs async off JVM weak refs; poll with forced
+    # JVM collections for the cleanup
     deadline = time.time() + 30
-    while n_persistent() > base + 1 and time.time() < deadline:
+    while n_stored() > base + 1 and time.time() < deadline:
         gc.collect()
+        spark._jvm.System.gc()
         time.sleep(0.5)
-    grown = n_persistent() - base
-    assert grown <= 1, f"persistent RDDs grew by {grown} across 3 dedup runs"
+    grown = n_stored() - base
+    assert grown <= 1, f"stored RDDs grew by {grown} across 3 dedup runs"
 
 
 def test_edge_scaled_shuffle_concurrent_restore(spark):
