@@ -4091,23 +4091,39 @@ def _q_multimodal_decode_combined(spark, env):
     # sub-build runs its synth+fidelity mapInPandas pass eagerly at
     # construction; overlapping the six builds on driver threads
     # (guide §2.6) back-fills codec-job tails — composition unchanged.
-    # NOT claim-pinned like the dedup/sketch rows: each codec sub-build
-    # already checkpoints its decoded-stats frame, so the returned
-    # claims are cheap aggregates over checkpoints — pinning them only
-    # added 6 checkpoint jobs (interleaved A/B: pin 9.6/11.3/5.6s vs
-    # no-pin 5.8/9.0/6.0s)
+    # Each sub's ONE-ROW claim aggregate is evaluated inside its own
+    # overlap thread (first()) and the combined row is rebuilt as JVM
+    # literals over range(1) — the _claims shape. The old
+    # crossJoin(broadcast(...)) composition deferred all six aggregates
+    # to the final action, where the five broadcast builds materialized
+    # SEQUENTIALLY on the driver (~2.6s of serial claim jobs measured;
+    # guide §2.6 — the threads were already there, the finale wasn't
+    # using them). Values and schema are identical: same aggregates,
+    # same rows, literal-cast to each sub's exact column types.
+    # (r17 note kept for contrast: checkpoint-PINNING the claim frames
+    # lost — that added 6 jobs; this evaluates the same job in-thread.)
+    def _pinned(build):
+        def thunk():
+            df = build(spark, env)
+            return df.schema, df.first()
+
+        return thunk
+
     subs = _overlap(
-        lambda: _q_multimodal_jpeg_decode(spark, env),
-        lambda: _q_multimodal_gif_decode(spark, env),
-        lambda: _q_multimodal_webp_decode(spark, env),
-        lambda: _q_multimodal_tiff_decode(spark, env),
-        lambda: _q_multimodal_flac_decode(spark, env),
-        lambda: _q_multimodal_video_frames(spark, env),
+        _pinned(_q_multimodal_jpeg_decode),
+        _pinned(_q_multimodal_gif_decode),
+        _pinned(_q_multimodal_webp_decode),
+        _pinned(_q_multimodal_tiff_decode),
+        _pinned(_q_multimodal_flac_decode),
+        _pinned(_q_multimodal_video_frames),
     )
-    out = _prefixed(subs[0], "jpeg_")
-    for sub, p in zip(subs[1:], ("gif_", "webp_", "tiff_", "flac_", "video_")):
-        out = out.crossJoin(F.broadcast(_prefixed(sub, p)))
-    return out
+    cols = []
+    for (schema, row), p in zip(
+        subs, ("jpeg_", "gif_", "webp_", "tiff_", "flac_", "video_")
+    ):
+        for fld, v in zip(schema.fields, row):
+            cols.append(F.lit(v).cast(fld.dataType).alias(f"{p}{fld.name}"))
+    return spark.range(1).select(*cols)
 
 
 def _q_ann_recall_combined(spark, env):
