@@ -4928,8 +4928,7 @@ def _q_tdigest_quantile_invariants(spark, env):
     # min/max and td_n the exact count; (d) the sketch stays O(delta).
     # n_exact is value-hash matched against DuckDB.
     from iceberg_python_spark.operators.sketch import (
-        tdigest_build,
-        tdigest_merge,
+        tdigest_build_pair,
         tdigest_quantiles,
     )
 
@@ -4942,18 +4941,20 @@ def _q_tdigest_quantile_invariants(spark, env):
         .localCheckpoint(eager=True)
     )
     qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
-    whole = tdigest_build(li, "l_extendedprice", ["l_returnflag"]).localCheckpoint(
-        eager=True
-    )
-    # one pass for all three per-batch digests (batch id as a group
-    # column — identical partials, 3 mapInPandas passes -> 1; see the
-    # mg_heavy_hitters row for the measured effect)
-    parts = tdigest_build(
+    # ONE pass for the whole-corpus digest AND all three per-batch
+    # digests (r17 fused the 3 per-batch passes via the batch-id group
+    # column; r18 fuses the whole-build pass in too via
+    # tdigest_build_pair — identical partials, the 600k-row corpus
+    # crosses the Python boundary ONCE; guide §1.2). merged stays lazy:
+    # its re-compress is centroid rows only, over the pair's
+    # checkpointed partials.
+    whole, merged = tdigest_build_pair(
         li.withColumn("_b", F.col("l_orderkey") % 3),
         "l_extendedprice",
-        ["l_returnflag", "_b"],
-    ).drop("_b")
-    merged = tdigest_merge(parts, ["l_returnflag"])
+        ["l_returnflag"],
+        "_b",
+    )
+    whole = whole.localCheckpoint(eager=True)
 
     def rank_claims(digests, out_name):
         est = tdigest_quantiles(digests, qs, ["l_returnflag"])
@@ -5999,7 +6000,7 @@ def _q_mg_heavy_hitters_invariants(spark, env):
     # separately); (c) deducted <= n/(m+1); (d) all guarantees survive
     # a 3-way merge of per-batch summaries; (e) n is the exact row
     # count (value-hash matched).
-    from iceberg_python_spark.operators.sketch import mg_build, mg_merge
+    from iceberg_python_spark.operators.sketch import mg_build_pair
 
     m = 16
     li = env["lineitem"].scan(selected_fields=("l_orderkey", "l_partkey", "l_returnflag")).to_df()
@@ -6030,17 +6031,20 @@ def _q_mg_heavy_hitters_invariants(spark, env):
         )
         return bounds.join(complete, "g")
 
-    whole = mg_build(df, "v", ["g"], m=m).localCheckpoint(eager=True)
-    # ONE pass builds all three per-batch summaries: the batch id is
-    # just another group column — each (g, batch) cell sees exactly the
-    # rows the per-batch build saw, so the partials (and the merge
-    # input) are identical while 3 full mapInPandas passes collapse
-    # into 1 (measured 7.2s -> 2.5s for this block at sf0.1; guide §1.2
-    # "remove unnecessary passes")
-    parts = mg_build(
-        df.withColumn("_b", F.col("l_orderkey") % 3), "v", ["g", "_b"], m=m
-    ).drop("_b")
-    merged = mg_merge(parts, ["g"], m=m).localCheckpoint(eager=True)
+    # ONE pass builds the whole-corpus summary AND all three per-batch
+    # summaries: the batch id is just another group column — each
+    # (g, batch) cell sees exactly the rows the per-batch build saw, so
+    # the partials (and the merge input) are identical to the separate
+    # builds (r17 fused the 3 per-batch passes, measured 7.2s -> 2.5s;
+    # r18 fuses the whole-build pass in too via mg_build_pair — the
+    # 600k-row corpus crosses the Python boundary ONCE; guide §1.2
+    # "remove unnecessary passes"). merged stays lazy: its compress is
+    # pure JVM over the pair's checkpointed partials and has exactly
+    # one consumer (the c2 checks).
+    whole, merged = mg_build_pair(
+        df.withColumn("_b", F.col("l_orderkey") % 3), "v", ["g"], "_b", m=m
+    )
+    whole = whole.localCheckpoint(eager=True)
     c1 = checks(whole)
     c2 = checks(merged).select(
         "g",

@@ -393,6 +393,96 @@ def tdigest_build(
     return tdigest_merge(parts, grp, delta)
 
 
+def tdigest_build_pair(
+    df: DataFrame,
+    col: str,
+    group_cols: Sequence[str],
+    batch_col: str,
+    delta: float = _TD_DELTA_DEFAULT,
+) -> Tuple[DataFrame, DataFrame]:
+    """(whole, merged) t-digests from ONE corpus pass: the per-group
+    digest of the whole frame AND the merge of the per-(group,
+    ``batch_col``) digests.
+
+    Outputs are value-identical to running
+    ``tdigest_build(df, col, group_cols, delta)`` and
+    ``tdigest_merge(tdigest_build(df, col, [*group_cols, batch_col],
+    delta).drop(batch_col), group_cols, delta)`` — both passes would
+    consume the same source partitions and fold each key's value
+    sequence through the same buffer/compress cadence — while the
+    corpus crosses the Python boundary once instead of twice (guide
+    §1.2/§4). The shared tagged-partials frame is materialized eagerly
+    (two consumers)."""
+    grp = list(group_cols)
+    src = df.select(*grp, F.col(batch_col).alias("_b"), F.col(col).alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    buf_cap = max(8192, 4 * int(delta))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc_w: dict = {}
+        acc_p: dict = {}
+
+        def fold(st: list) -> None:
+            buf = np.concatenate(st[2])
+            m = np.concatenate([st[0], buf])
+            w = np.concatenate([st[1], np.ones(len(buf), dtype=np.int64)])
+            st[0], st[1] = _td_compress(m, w, delta)
+            st[2] = []
+            st[3] = min(st[3], float(buf.min()))
+            st[4] = max(st[4], float(buf.max()))
+
+        def feed(acc, keys, sub) -> None:
+            k = keys if isinstance(keys, tuple) else (keys,)
+            st = acc.setdefault(
+                k,
+                [np.empty(0), np.empty(0, dtype=np.int64), [], np.inf, -np.inf],
+            )
+            st[2].append(sub["_v"].to_numpy(dtype=np.float64))
+            if sum(len(c) for c in st[2]) >= buf_cap:
+                fold(st)
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            for keys, sub in (
+                b.groupby(grp, dropna=False, sort=False) if grp else [((), b)]
+            ):
+                feed(acc_w, keys, sub)
+            for keys, sub in b.groupby([*grp, "_b"], dropna=False, sort=False):
+                feed(acc_p, keys, sub)
+
+        def emit(acc, key_cols, is_whole):
+            rows = []
+            for k, st in acc.items():
+                if st[2]:
+                    fold(st)
+                row = dict(zip(key_cols, k))
+                if is_whole:
+                    row["_b"] = None
+                rows.append(row | _td_rows(st[0], st[1], st[3], st[4]) | {"_w": is_whole})
+            return rows
+
+        rows = emit(acc_w, grp, True) + emit(acc_p, [*grp, "_b"], False)
+        if rows:
+            yield pd.DataFrame(rows, columns=[*grp, "_b", "sketch", "td_n", "td_min", "td_max", "_w"])
+
+    schema_grp = ", ".join(f"`{c}` {src.schema[c].dataType.simpleString()}" for c in grp)
+    schema = (schema_grp + ", " if grp else "") + (
+        f"_b {df.schema[batch_col].dataType.simpleString()}, " + TDIGEST_FIELDS + ", _w boolean"
+    )
+    partials = src.mapInPandas(partial, schema=schema).localCheckpoint(eager=True)
+    whole = tdigest_merge(
+        partials.where("_w").select(*grp, "sketch", "td_n", "td_min", "td_max"), grp, delta
+    )
+    parts = tdigest_merge(
+        partials.where("NOT _w").select(*grp, "_b", "sketch", "td_n", "td_min", "td_max"),
+        [*grp, "_b"],
+        delta,
+    ).drop("_b")
+    return whole, tdigest_merge(parts, grp, delta)
+
+
 def tdigest_merge(
     digests: DataFrame,
     group_cols: Sequence[str] = (),
@@ -754,3 +844,91 @@ def mg_merge(
     """Merge summary rows (≥1 per group) into one per group; the
     deterministic guarantees above survive every merge."""
     return _mg_compress(summaries, list(group_cols), m)
+
+
+def mg_build_pair(
+    df: DataFrame,
+    col: str,
+    group_cols: Sequence[str],
+    batch_col: str,
+    m: int = 64,
+) -> Tuple[DataFrame, DataFrame]:
+    """(whole, merged) Misra-Gries summaries from ONE corpus pass: the
+    per-group summary of the whole frame AND the merge of the
+    per-(group, ``batch_col``) summaries.
+
+    Outputs are value-identical to running
+    ``mg_build(df, col, group_cols, m)`` and
+    ``mg_merge(mg_build(df, col, [*group_cols, batch_col], m)
+    .drop(batch_col), group_cols, m)`` — both passes would consume the
+    same source partitions and fold each key's rows through the same
+    accumulation — while the corpus crosses the Python boundary once
+    instead of twice (guide §1.2/§4). The shared tagged-partials frame
+    is materialized eagerly (two consumers); ``batch_col`` must be an
+    existing column and must not be named like a group column."""
+    grp = list(group_cols)
+    src = df.where(F.col(col).isNotNull()).select(
+        *grp, F.col(batch_col).alias("_b"), F.col(col).cast("string").alias("_v")
+    )
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc_w: dict = {}
+        n_w: dict = {}
+        acc_p: dict = {}
+        n_p: dict = {}
+        for b in batches:
+            if not len(b):
+                continue
+            for key, sub in b.groupby(list(grp) if grp else lambda _: 0)["_v"]:
+                vc = sub.value_counts()
+                prev = acc_w.get(key)
+                acc_w[key] = vc if prev is None else prev.add(vc, fill_value=0)
+                n_w[key] = n_w.get(key, 0) + len(sub)
+            for key, sub in b.groupby([*grp, "_b"])["_v"]:
+                vc = sub.value_counts()
+                prev = acc_p.get(key)
+                acc_p[key] = vc if prev is None else prev.add(vc, fill_value=0)
+                n_p[key] = n_p.get(key, 0) + len(sub)
+
+        def emit(acc, nrows, key_cols, is_whole):
+            rows = []
+            for key, counts in acc.items():
+                counts = counts.sort_values(ascending=False).astype("int64")
+                if len(counts) > m:
+                    t = int(counts.iloc[m])  # the (m+1)-th largest
+                    counts = (counts.iloc[:m] - t)
+                    counts = counts[counts > 0]
+                else:
+                    t = 0
+                k = key if isinstance(key, tuple) else (key,)
+                row = dict(zip(key_cols, k))
+                if is_whole:
+                    row["_b"] = None
+                row["items"] = [
+                    {"item": str(i), "est": int(c)} for i, c in counts.items()
+                ]
+                row["deducted"] = t
+                row["n"] = nrows[key]
+                row["_w"] = is_whole
+                rows.append(row)
+            return rows
+
+        rows = emit(acc_w, n_w, grp, True) + emit(acc_p, n_p, [*grp, "_b"], False)
+        if rows:
+            yield pd.DataFrame(rows, columns=[*grp, "_b", "items", "deducted", "n", "_w"])
+
+    schema_grp = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}" for c in grp)
+    schema = (schema_grp + ", " if grp else "") + (
+        f"_b {df.schema[batch_col].dataType.simpleString()}, "
+        "items array<struct<item:string,est:long>>, deducted long, n long, _w boolean"
+    )
+    partials = src.mapInPandas(partial, schema=schema).localCheckpoint(eager=True)
+    whole = _mg_compress(
+        partials.where("_w").select(*grp, "items", "deducted", "n"), grp, m
+    )
+    parts = _mg_compress(
+        partials.where("NOT _w").select(*grp, "_b", "items", "deducted", "n"),
+        [*grp, "_b"],
+        m,
+    ).drop("_b")
+    return whole, _mg_compress(parts, grp, m)

@@ -525,3 +525,83 @@ def test_mg_degenerate_all_tied_merge_keeps_certificate(spark):
     )
     (merged,) = mg_merge(parts, m=3).collect()
     assert merged["n"] == 20 and merged["deducted"] >= 5
+
+
+def test_mg_build_pair_matches_two_pass(spark):
+    """r18: mg_build_pair fuses the whole-corpus build and the
+    per-batch builds into ONE mapInPandas pass; its two outputs must be
+    VALUE-IDENTICAL (items arrays included) to the separate mg_build /
+    mg_merge construction over the same partitioning — skewed values
+    plus flat tied tails, multiple partitions."""
+    from iceberg_python_spark.operators.sketch import mg_build, mg_build_pair, mg_merge
+
+    rows = []
+    for g in ("a", "b"):
+        for j in range(1, 40):
+            rows += [(g, f"{g}-item{j}", i) for i in range(200 // j)]
+        rows += [(g, f"{g}-flat{j}", j) for j in range(50)]  # tied tail
+    df = (
+        spark.createDataFrame(rows, "g: string, v: string, i: long")
+        .repartition(8)
+        .localCheckpoint(eager=True)  # pin ONE partitioning for both constructions
+    )
+    m = 6
+    dfb = df.withColumn("_b", F.col("i") % 3)
+    whole_ref = mg_build(df, "v", ["g"], m=m)
+    merged_ref = mg_merge(
+        mg_build(dfb, "v", ["g", "_b"], m=m).drop("_b"), ["g"], m=m
+    )
+    whole, merged = mg_build_pair(dfb, "v", ["g"], "_b", m=m)
+
+    def rows_of(d):
+        return sorted(
+            (r["g"], tuple((it["item"], it["est"]) for it in r["items"]), r["deducted"], r["n"])
+            for r in d.collect()
+        )
+
+    assert rows_of(whole) == rows_of(whole_ref)
+    assert rows_of(merged) == rows_of(merged_ref)
+
+
+def test_tdigest_build_pair_matches_two_pass(spark):
+    """r18: tdigest_build_pair — same fusion, same value-identity bar:
+    centroid structs, n/min/max all equal the separate construction."""
+    from iceberg_python_spark.operators.sketch import (
+        tdigest_build,
+        tdigest_build_pair,
+        tdigest_merge,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [
+        ("x" if i % 2 else "y", float(v), i)
+        for i, v in enumerate(rng.normal(100.0, 25.0, 4000))
+    ]
+    df = (
+        spark.createDataFrame(rows, "g: string, v: double, i: long")
+        .repartition(8)
+        .localCheckpoint(eager=True)
+    )
+    dfb = df.withColumn("_b", F.col("i") % 3)
+    whole_ref = tdigest_build(df, "v", ["g"])
+    merged_ref = tdigest_merge(
+        tdigest_build(dfb, "v", ["g", "_b"]).drop("_b"), ["g"]
+    )
+    whole, merged = tdigest_build_pair(dfb, "v", ["g"], "_b")
+
+    def rows_of(d):
+        return sorted(
+            (
+                r["g"],
+                tuple((c["mean"], c["weight"]) for c in r["sketch"]),
+                r["td_n"],
+                r["td_min"],
+                r["td_max"],
+            )
+            for r in d.collect()
+        )
+
+    assert rows_of(whole) == rows_of(whole_ref)
+    assert rows_of(merged) == rows_of(merged_ref)
