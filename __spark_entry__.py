@@ -4288,13 +4288,23 @@ def _q_dedup_clusters_combined(spark, env):
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
-    base = connected_components(pairs, driver_threshold=0).select(
+    # the three variants are independent reads of the ONE checkpointed
+    # pair set; each distributed loop runs on its own conf-isolated
+    # session clone (no global-conf lock to hold), so building them on
+    # overlapped driver threads (guide §2.6) backfills one loop's
+    # per-round job tails with the others' — composition unchanged
+    base_cc, dflt_cc, star_cc = _overlap(
+        lambda: connected_components(pairs, driver_threshold=0),
+        lambda: connected_components(pairs),
+        lambda: connected_components(pairs, driver_threshold=0, algorithm="star"),
+    )
+    base = base_cc.select(
         F.lit("base").alias("variant"), F.col("node").alias("doc_id"), "component_id"
     )
-    dflt = connected_components(pairs).select(
+    dflt = dflt_cc.select(
         F.lit("default").alias("variant"), F.col("node").alias("doc_id"), "component_id"
     )
-    star = connected_components(pairs, driver_threshold=0, algorithm="star").select(
+    star = star_cc.select(
         F.lit("star").alias("variant"), F.col("node").alias("doc_id"), "component_id"
     )
     return base.unionByName(dflt).unionByName(star)

@@ -15,6 +15,7 @@ a session without pyarrow); results are identical either way.
 
 from __future__ import annotations
 
+import itertools
 import threading
 from contextlib import contextmanager
 from typing import Iterable, Iterator, Sequence
@@ -51,13 +52,58 @@ def scaled_shuffle(spark: SparkSession, n_keys: int, per_partition: int = 1) -> 
     against sibling driver threads."""
     with _SCALED_SHUFFLE_LOCK:
         old = spark.conf.get("spark.sql.shuffle.partitions")
-        per = max(int(per_partition), 1)
-        parts = max(2, min(int(old), (int(n_keys) + per - 1) // per))
+        parts = scaled_width(int(old), n_keys, per_partition)
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         try:
             yield parts
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def scaled_width(current: int, n_keys: int, per_partition: int = 1) -> int:
+    """``ceil(n_keys / per_partition)`` clamped to ``[2, current]`` —
+    the one shuffle-width derivation behind both the conf-scoped
+    context manager above and the isolated-session variant below."""
+    per = max(int(per_partition), 1)
+    return max(2, min(int(current), (int(n_keys) + per - 1) // per))
+
+
+def isolated_scaled_session(spark: SparkSession, n_keys: int, per_partition: int = 1) -> SparkSession:
+    """A session CLONE (shared SparkContext, PRIVATE SQLConf) whose
+    shuffle width is scaled from the data — the lock-free alternative
+    to :func:`scaled_shuffle` for LOOP sections. A loop that mutates
+    the session-global conf must hold the lock for its whole duration,
+    which serializes sibling overlapped builds (combined rows run
+    independent variants on concurrent driver threads); a private-conf
+    clone needs no lock at all, so independent loops genuinely overlap
+    (guide §2.6) while each still gets data-scaled shuffles (§2). The
+    width derivation and clamp source (the PARENT's current conf) match
+    :func:`scaled_shuffle` exactly, so plans are unchanged — only the
+    scoping of the conf is."""
+    sess = spark.newSession()
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sess.conf.set("spark.sql.shuffle.partitions", str(scaled_width(cur, n_keys, per_partition)))
+    return sess
+
+
+_REBIND_SEQ = itertools.count()
+
+
+def rebind(df: DataFrame, session: SparkSession) -> DataFrame:
+    """Re-root a DataFrame in another session of the same SparkContext
+    via a transient global temp view (the public cross-session
+    handoff). Analysis inlines the view's plan into the new frame
+    eagerly, so the view is dropped before returning. Hand over
+    checkpointed/cheap plans — the PLAN, not its result, crosses
+    sessions (a non-checkpointed plan would recompute in the target)."""
+    if df.sparkSession is session:
+        return df
+    name = f"_rebind_{next(_REBIND_SEQ)}"
+    df.createOrReplaceGlobalTempView(name)
+    try:
+        return session.table(f"global_temp.{name}")
+    finally:
+        df.sparkSession.catalog.dropGlobalTempView(name)
 
 
 def local_rows_df(spark: SparkSession, rows: Sequence[Iterable], schema) -> DataFrame:

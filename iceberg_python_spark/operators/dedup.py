@@ -495,13 +495,13 @@ def embedding_neardup_pairs(
 
 
 def _edge_scaled_shuffle(spark, n_edges: int, per_partition: int = 50000):
-    """Size the per-round shuffles of an iterative CC loop from the
-    EDGE COUNT: ~50k edges per partition, clamped to the session width.
-    Threshold-pruned near-dup edge lists are tiny relative to the
-    corpus, and every loop round is 2+ shuffles — 32 near-empty
-    partitions per round cost more in task launches than they win.
-    Thin wrapper over the ONE locked, overlap-safe implementation in
-    :mod:`.._local` (guide §2 scale-adaptive partitioning)."""
+    """Size the per-round shuffles of an iterative loop from the EDGE
+    COUNT: ~50k edges per partition, clamped to the session width.
+    Thin wrapper over the locked conf-scoped implementation in
+    :mod:`.._local` (guide §2 scale-adaptive partitioning). The CC
+    loops themselves now run on conf-isolated session clones
+    (:func:`.._local.isolated_scaled_session`) so they can overlap;
+    this wrapper remains for conf-scoped one-shot sections."""
     from ._local import scaled_shuffle
 
     return scaled_shuffle(spark, n_edges, per_partition)
@@ -609,9 +609,19 @@ def connected_components(
     # an expensive similarity join that must not be re-run per reference
     edges = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(eager=True)
     n_edges = edges.count()  # free: checkpointed
+    # the distributed loops run on a conf-ISOLATED session clone with
+    # edge-scaled shuffle width (~50k edges/partition, clamped to the
+    # session width): a private SQLConf instead of the locked global
+    # mutation means a loop never holds a lock for its duration, so
+    # independent CC variants built on overlapped driver threads
+    # (dedup_clusters_combined) genuinely run concurrently (guide §2.6)
+    # with identical per-round plans
+    from ._local import isolated_scaled_session, rebind
+
+    spark = edges.sparkSession
     if algorithm == "star" and n_edges > driver_threshold:
-        with _edge_scaled_shuffle(edges.sparkSession, n_edges):
-            return _cc_star(edges, max_iter)
+        sess = isolated_scaled_session(spark, n_edges, 50000)
+        return rebind(_cc_star(rebind(edges, sess), max_iter), spark)
     if n_edges <= driver_threshold:
         # small-graph fast path: near-dup edge lists are threshold-pruned
         # and usually tiny relative to the corpus, so a driver union-find
@@ -653,12 +663,9 @@ def connected_components(
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
     labels = labels.localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
-    _ctx = _edge_scaled_shuffle(edges.sparkSession, n_edges)
-    _ctx.__enter__()
-    try:
-        return _cc_hashmin_loop(sym, labels, max_iter)
-    finally:
-        _ctx.__exit__(None, None, None)
+    sess = isolated_scaled_session(spark, n_edges, 50000)
+    out = _cc_hashmin_loop(rebind(sym, sess), rebind(labels, sess), max_iter)
+    return rebind(out, spark)
 
 
 def _cc_hashmin_loop(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:

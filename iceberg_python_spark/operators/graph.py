@@ -79,33 +79,38 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     base = _SCALE - damping_micro
-    pr = nodes.select("node", F.lit(_SCALE).cast("long").alias("pr_micro"))
-    from ._local import scaled_shuffle
+    from ._local import isolated_scaled_session, rebind
 
     # per-round shuffles sized from the edge count (guide §2
     # scale-adaptive partitioning, the connected-components loop's
     # treatment): near-dup-scale authority graphs are tiny relative to
     # the corpus and every iteration is 2+ shuffles; billion-edge
-    # graphs keep the session width.
-    with scaled_shuffle(e.sparkSession, n_edges, 50000):
-        for _ in range(iterations):
-            shares = (
-                ed.join(pr.withColumnRenamed("node", "src"), "src")
-                .select(
-                    F.col("dst").alias("node"),
-                    F.expr(f"(pr_micro * CAST({damping_micro} AS BIGINT)) div "
-                           f"(CAST({_SCALE} AS BIGINT) * outdeg)").alias("share"),
-                )
-                .groupBy("node")
-                .agg(F.sum("share").alias("inflow"))
+    # graphs keep the session width. The loop runs on a conf-ISOLATED
+    # session clone instead of a locked global-conf section, so it
+    # never serializes sibling overlapped builds (guide §2.6).
+    parent = e.sparkSession
+    sess = isolated_scaled_session(parent, n_edges, 50000)
+    ed = rebind(ed, sess)
+    nodes = rebind(nodes, sess)
+    pr = nodes.select("node", F.lit(_SCALE).cast("long").alias("pr_micro"))
+    for _ in range(iterations):
+        shares = (
+            ed.join(pr.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(pr_micro * CAST({damping_micro} AS BIGINT)) div "
+                       f"(CAST({_SCALE} AS BIGINT) * outdeg)").alias("share"),
             )
-            pr = nodes.join(shares, "node", "left").select(
-                "node",
-                (F.lit(base).cast("long") + F.coalesce(F.col("inflow"), F.lit(0))).alias(
-                    "pr_micro"
-                ),
-            )
-            # materialize each iteration: the lineage would otherwise grow
-            # a 2·k-join plan and re-execute everything per action
-            pr = pr.localCheckpoint(eager=True)
-    return pr
+            .groupBy("node")
+            .agg(F.sum("share").alias("inflow"))
+        )
+        pr = nodes.join(shares, "node", "left").select(
+            "node",
+            (F.lit(base).cast("long") + F.coalesce(F.col("inflow"), F.lit(0))).alias(
+                "pr_micro"
+            ),
+        )
+        # materialize each iteration: the lineage would otherwise grow
+        # a 2·k-join plan and re-execute everything per action
+        pr = pr.localCheckpoint(eager=True)
+    return rebind(pr, parent)

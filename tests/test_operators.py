@@ -2309,6 +2309,91 @@ def test_dedup_blocks_release_with_frames(spark):
     assert grown <= 1, f"stored RDDs grew by {grown} across 3 dedup runs"
 
 
+def test_isolated_scaled_session_private_conf(spark):
+    """r18: iterative loops (CC, pagerank) size their per-round
+    shuffles on a conf-ISOLATED session clone — the scaled width must
+    land on the clone only, derive exactly like scaled_shuffle, and
+    never touch the parent session's conf (lock-free overlap safety)."""
+    from iceberg_python_spark.operators._local import (
+        isolated_scaled_session,
+        scaled_width,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    sess = isolated_scaled_session(spark, 100_000, 50_000)
+    assert sess is not spark
+    assert int(sess.conf.get("spark.sql.shuffle.partitions")) == scaled_width(
+        int(before), 100_000, 50_000
+    ) == 2
+    # huge key count clamps to the parent width, tiny floors at 2
+    assert scaled_width(int(before), 10**9, 1) == int(before)
+    assert scaled_width(int(before), 1, 50_000) == 2
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_rebind_cross_session_roundtrip(spark):
+    """r18: rebind() hands a checkpointed frame to a session clone and
+    back via a transient global temp view; values are identical, the
+    view does not linger, and a frame already in the target session is
+    returned as-is."""
+    from pyspark.sql import functions as F
+
+    from iceberg_python_spark.operators._local import rebind
+
+    df = (
+        spark.range(100)
+        .withColumn("v", F.col("id") % 7)
+        .localCheckpoint(eager=True)
+    )
+    clone = spark.newSession()
+    over = rebind(df, clone)
+    agg = over.groupBy("v").count().localCheckpoint(eager=True)
+    back = rebind(agg, spark)
+    want = sorted((r.v, r["count"]) for r in df.groupBy("v").count().collect())
+    assert sorted((r.v, r["count"]) for r in back.collect()) == want
+    assert rebind(df, spark) is df
+    # transient views are dropped before rebind returns
+    assert [t.name for t in spark.catalog.listTables("global_temp") if t.name.startswith("_rebind_")] == []
+
+
+def test_connected_components_overlapped_loops(spark):
+    """r18: distributed CC loops run on isolated session clones, so
+    concurrent variants (the dedup_clusters_combined shape) must not
+    perturb each other or the parent conf, and must agree with the
+    driver union-find path."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    from iceberg_python_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22), (30, 31)],
+        "id_a: long, id_b: long",
+    )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(
+                inheritable_thread_target(
+                    lambda kw=kw: {
+                        r.node: r.component_id
+                        for r in connected_components(edges, **kw).collect()
+                    }
+                )
+            )
+            for kw in (
+                {"driver_threshold": 0},
+                {},
+                {"driver_threshold": 0, "algorithm": "star"},
+            )
+        ]
+        got = [f.result() for f in futs]
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+    assert got[0] == got[1] == got[2] == want
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
 def test_edge_scaled_shuffle_concurrent_restore(spark):
     """r17/r18: every scaled-shuffle section mutates the session-global
     shuffle partition conf through ONE locked implementation
