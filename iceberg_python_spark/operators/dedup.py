@@ -241,19 +241,24 @@ def ngram_jaccard_pairs(
         b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
         joined = candidates.join(a, "id_a").join(b, "id_b")
         return (
-            joined.withColumn(
+            joined.withColumn("_i", F.size(F.array_intersect("sh_a", "sh_b")))
+            # |A∪B| = |A|+|B|−|A∩B| for the distinct-element shingle
+            # arrays — same integers, one array-hash op per pair instead
+            # of two (array_union built a whole array only to size it)
+            .withColumn(
                 "jaccard",
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.col("_i") / (F.size("sh_a") + F.size("sh_b") - F.col("_i")),
             )
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
     return (
-        joined.withColumn(
+        joined.withColumn("_i", F.size(F.array_intersect("a.shingles", "b.shingles")))
+        # union size via the inclusion-exclusion identity (see above)
+        .withColumn(
             "jaccard",
-            F.size(F.array_intersect("a.shingles", "b.shingles"))
-            / F.size(F.array_union("a.shingles", "b.shingles")),
+            F.col("_i")
+            / (F.size("a.shingles") + F.size("b.shingles") - F.col("_i")),
         )
         .where(F.col("jaccard") >= threshold)
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "jaccard")
@@ -333,9 +338,12 @@ def jaccard_prefix_join(
     return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
+        .withColumn("_i", F.size(F.array_intersect("sh_a", "sh_b")))
+        # union size via the inclusion-exclusion identity over the
+        # distinct-element shingle arrays (see ngram_jaccard_pairs)
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")),
+            F.col("_i") / (F.size("sh_a") + F.size("sh_b") - F.col("_i")),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
